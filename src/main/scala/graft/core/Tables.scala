@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access over the driver-generated parquet fixtures
+  * (see /root/repo/TESTDATA.md, FIXTURES.md).
+  *
+  * Mirrors the reference's named-table model (`IStorage` registered in a
+  * factory — reference `src/Storages/registerStorages.cpp`) as plain
+  * DataFrame sources: at 100 TB each `t(...)` call is a columnar scan that
+  * Catalyst prunes/pushes into, so no caching layer is interposed here.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one fixture table. Column pruning + predicate pushdown reach the
+    * parquet scan automatically because this is a plain declarative read. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture table as a temp view so `spark.sql` works on
+    * the same names the DuckDB oracle sees. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Session defaults for local[32] iteration; the same settings scale to a
+    * real cluster (AQE re-plans partitions at runtime). */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
