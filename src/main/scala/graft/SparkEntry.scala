@@ -15,7 +15,9 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (graft.queries.Relational.queries, graft.queries.Relational.oracleSql)
+      (graft.queries.Relational.queries, graft.queries.Relational.oracleSql),
+      (graft.queries.Windows.queries, graft.queries.Windows.oracleSql),
+      (graft.queries.SpecialJoins.queries, graft.queries.SpecialJoins.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -16,9 +16,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Read one fixture table. Column pruning + predicate pushdown reach the
-    * parquet scan automatically because this is a plain declarative read. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    * parquet scan automatically because this is a plain declarative read.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a
+    * raw nanosecond long (legacy conf) and convert to a microsecond
+    * TimestampType with exact integer arithmetic — matching how DuckDB
+    * truncates ns→µs, so oracle comparisons agree. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every fixture table as a temp view so `spark.sql` works on
     * the same names the DuckDB oracle sees. */
