@@ -17,7 +17,8 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracleSql),
       (graft.queries.Windows.queries, graft.queries.Windows.oracleSql),
-      (graft.queries.SpecialJoins.queries, graft.queries.SpecialJoins.oracleSql)
+      (graft.queries.SpecialJoins.queries, graft.queries.SpecialJoins.oracleSql),
+      (graft.queries.Functions.queries, graft.queries.Functions.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
