@@ -18,7 +18,8 @@ object SparkEntry {
       (graft.queries.Relational.queries, graft.queries.Relational.oracleSql),
       (graft.queries.Windows.queries, graft.queries.Windows.oracleSql),
       (graft.queries.SpecialJoins.queries, graft.queries.SpecialJoins.oracleSql),
-      (graft.queries.Functions.queries, graft.queries.Functions.oracleSql)
+      (graft.queries.Functions.queries, graft.queries.Functions.oracleSql),
+      (graft.queries.Aggregates.queries, graft.queries.Aggregates.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
