@@ -19,7 +19,8 @@ object SparkEntry {
       (graft.queries.Windows.queries, graft.queries.Windows.oracleSql),
       (graft.queries.SpecialJoins.queries, graft.queries.SpecialJoins.oracleSql),
       (graft.queries.Functions.queries, graft.queries.Functions.oracleSql),
-      (graft.queries.Aggregates.queries, graft.queries.Aggregates.oracleSql)
+      (graft.queries.Aggregates.queries, graft.queries.Aggregates.oracleSql),
+      (graft.queries.LlmOps.queries, graft.queries.LlmOps.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit FNV-1a hash — self-contained so sketch values are
+  * stable across Spark versions (no dependence on internal hash impls). */
+object Fnv64 {
+  final val OFFSET = 0xcbf29ce484222325L
+  final val PRIME = 0x100000001b3L
+  def hash(bytes: Array[Byte], seed: Long = OFFSET): Long = {
+    var h = seed
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= PRIME; i += 1 }
+    h
+  }
+  def hashString(s: String, seed: Long = OFFSET): Long =
+    hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+}
+
+/** simHash64 over a token array (reference: FunctionsStringHash.cpp
+  * wordShingleSimHash family — SimHash per Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002).
+  *
+  * Each token votes ±1 on each of 64 bits of its hash; the result sets
+  * bit j iff the vote sum is positive. Near-duplicate texts differ in few
+  * bits (compare with hamming distance / bitXor+bit_count).
+  *
+  * Evaluated per-row over the token array — O(tokens * 64) with no state,
+  * so it runs map-side anywhere in the plan. CodegenFallback keeps it out
+  * of whole-stage codegen; acceptable because it's one expression, not a
+  * per-row interpreter for the whole projection.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv64.hashString(arr.getUTF8String(i).toString)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+}
+
+/** Polynomial rolling-hash fingerprint of a string (reference:
+  * document fingerprinting à la Rabin-Karp; normalizes nothing — callers
+  * lower/strip first if wanted). h = h*1315423911 xor c, over UTF-8 bytes. */
+case class RollingHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 1315423911L ^ (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 = copy(newChild)
+}
+
+object TextHashes {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  def sim_hash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def rolling_hash64(text: Column): Column = column(RollingHash64(expression(text)))
+
+  /** bitHammingDistance (reference bitHammingDistance.cpp) composed from
+    * built-ins: popcount(a xor b). */
+  def hamming64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
+}

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (reference:
+  * MergeTreeIndexVectorSimilarity.h routes ORDER BY distance LIMIT k to an
+  * HNSW index; our scale path is brute-force scan — which Spark
+  * parallelizes perfectly — plus a random-hyperplane LSH variant that
+  * prunes the scan to one bucket).
+  */
+object Similarity {
+
+  /** Cast float vector to double (all kernels fold in double for
+    * cross-engine-stable arithmetic). */
+  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(vd(a), vd(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(vd(a), lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(vd(a), vd(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Brute-force cosine top-k neighbours of the vector with id `queryId`.
+    * One broadcast of the query vector + one map-side scan + TakeOrdered —
+    * no shuffle of the corpus. This is the exact baseline: at 100 TB it is
+    * a single pass, embarrassingly parallel. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = broadcast(emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv")))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash of
+    * (plane, dim) mapped to [-1, 1). No RNG — reproducible across runs
+    * and engines. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Random-hyperplane LSH bucket id (sign pattern of `nPlanes` dots). */
+  def lshBucket(vecCol: Column, nPlanes: Int = 8): Column = {
+    val dims = sequence(lit(0), size(vecCol) - 1)
+    val bits = (0 until nPlanes).map { p =>
+      val d = aggregate(
+        zip_with(vd(vecCol), dims, (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** ANN top-k: brute-force cosine restricted to the query's LSH bucket.
+    * Recall < 1 by construction; the bucket prunes the corpus ~2^nPlanes×.
+    * At cluster scale the corpus would be written bucketed/partitioned by
+    * this id so the scan touches one partition. */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
+    val withBucket = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    val q = broadcast(withBucket.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), col("bucket").as("qbucket")))
+    withBucket.crossJoin(q)
+      .filter(col("bucket") === col("qbucket") && col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All vector pairs with cosine >= threshold (embedding near-dup).
+    * Quadratic reference implementation; LSH-bucketed variant joins on
+    * bucket first for the scale path. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID (reference NLP family:
+  * FunctionsLanguageClassification.cpp, FunctionsTonalityClassification.cpp
+  * — ours are n-gram/stopword heuristics, not model-based).
+  *
+  * Everything here is a pure Column expression over built-ins, so it stays
+  * inside whole-stage codegen and runs map-side at any scale — the shape
+  * you want when scoring 100 TB of documents before a shuffle.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).as("n_tokens")
+
+  /** BPE-ish subword count: word pieces + non-alphanumeric symbols.
+    * A crude stand-in for a real tokenizer with the right asymptotics. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z0-9]{1,4}|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are not lowercase-alphanumeric/space. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "von", "mit", "auf", "nicht", "ein")
+  private val frStop = Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    hitCount(t, enStop).cast("double") / greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Mean token length — short-token spam and long-token garbage both
+    * deviate from natural text. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: rewards natural length, stopword
+    * presence, low punctuation noise. Weights are heuristic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    (lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3)
+  }
+
+  /** Stopword-vote language ID over {en, de, fr}; ties and zero hits
+    * resolve to 'und' (undetermined). */
+  def languageId(text: Column): Column = {
+    val t = tokens(text)
+    val en = hitCount(t, enStop)
+    val de = hitCount(t, deStop)
+    val fr = hitCount(t, frStop)
+    when(en >= de && en >= fr && en > 0, "en")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextHashes
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (SURVEY.md §2.8 similarity/dedup/NLP
+  * families + the LLM-ops extension): dedup (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard, embedding cosine), similarity search (brute-force +
+  * LSH-bucketed ANN), text analysis, fingerprinting, multimodal plumbing.
+  */
+object LlmOps {
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame = Tables.t(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // Token/quality/ratio statistics per document.
+    "q_text_stats" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      ordered(d.select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.bpeishCount(col("text")).as("n_bpeish"),
+        TextStats.punctRatio(col("text")).as("punct_ratio"),
+        TextStats.stopwordRatio(col("text")).as("stop_ratio"),
+        TextStats.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextStats.qualityScore(col("text")).as("quality")))
+    },
+
+    // Heuristic language ID distribution.
+    "q_lang_id" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      ordered(d.select(TextStats.languageId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n")))
+    },
+
+    // Exact dedup statistics (hash-groupBy; first pass of corpus dedup).
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactDupStats(T(s, dir)("documents"), "text")
+    },
+
+    // MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+    "q_dedup_minhash_lsh" -> { (s, dir) =>
+      ordered(Dedup.minhashLshPairs(T(s, dir)("documents"), "doc_id", "text",
+        k = 32, bands = 8, shingleN = 3, threshold = 0.7))
+    },
+
+    // Exact char-8-gram Jaccard pairs on a bounded id range (quadratic
+    // reference path; LSH above is the scale path).
+    "q_dedup_ngram_jaccard" -> { (s, dir) =>
+      val d = T(s, dir)("documents").filter(col("doc_id") < 300)
+      ordered(Dedup.exactJaccardPairs(d, "doc_id", "text",
+        Dedup.charShingles(_, 8), threshold = 0.6))
+    },
+
+    // SimHash near-dup pairs (no DuckDB analog -> rows-only check; exact
+    // semantics covered by LlmSpec golden tests).
+    "q_dedup_simhash" -> { (s, dir) =>
+      ordered(Dedup.simhashPairs(T(s, dir)("documents"), "doc_id", "text", maxHamming = 3))
+    },
+
+    // Embedding cosine near-duplicate pairs.
+    "q_dedup_embedding" -> { (s, dir) =>
+      ordered(Similarity.cosinePairs(T(s, dir)("embeddings"), "vec_id", "embedding", 0.45))
+    },
+
+    // Brute-force cosine top-10 neighbours of vec_id = 0.
+    "q_sim_topk" -> { (s, dir) =>
+      Similarity.bruteForceTopK(T(s, dir)("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    },
+
+    // LSH-bucketed ANN top-10 (recall<1 by construction -> rows-only
+    // check; recall vs brute force asserted in LlmSpec).
+    "q_sim_ann_lsh" -> { (s, dir) =>
+      Similarity.annTopK(T(s, dir)("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, nPlanes = 6)
+    },
+
+    // Document fingerprints: rolling hash + simhash (custom Catalyst
+    // expressions; values asserted in LlmSpec goldens).
+    "q_fingerprint" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      ordered(d.select(
+        col("doc_id"),
+        TextHashes.rolling_hash64(col("text")).as("fp"),
+        TextHashes.sim_hash64(split(col("text"), " ")).as("sh")))
+    },
+
+    // Multimodal: binary asset column + metadata + per-partition feature
+    // extraction (decode step stubbed; plumbing real).
+    "q_multimodal_features" -> { (s, dir) =>
+      val assets = Multimodal.assetsFromText(T(s, dir)("documents"), "doc_id", "text")
+      ordered(Multimodal.extractFeatures(s, assets).toDF())
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, text, toks,
+        |  len(toks) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]{1,4}|[^a-zA-Z0-9\s]')) AS n_bpeish,
+        |  (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+        |    / greatest(len(toks), 1) AS stop_ratio,
+        |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |    / greatest(len(toks), 1) AS mean_tok_len
+        |FROM t)
+        |SELECT doc_id, cast(n_tokens AS int) AS n_tokens, cast(n_bpeish AS int) AS n_bpeish,
+        |  punct_ratio, stop_ratio, mean_tok_len,
+        |  least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+        |    + least(stop_ratio * 5.0, 1.0) * 0.3
+        |    + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.3 AS quality
+        |FROM s
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT string_split_regex(text, '\s+') AS toks FROM documents),
+        |v AS (SELECT
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','auf','nicht','ein'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','dans','pour','que','une','des'))) AS fr
+        |FROM t)
+        |SELECT CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+        |            WHEN de >= fr AND de > 0 THEN 'de'
+        |            WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred,
+        |  count(*) AS n
+        |FROM v GROUP BY 1
+        |ORDER BY lang_pred NULLS FIRST, n NULLS FIRST""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(DISTINCT text) AS n_distinct, count(*) AS n_docs,
+        |  count(*) - count(DISTINCT text) AS n_redundant
+        |FROM documents""".stripMargin,
+    "q_dedup_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS g FROM d)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    len(list_intersect(x.g, y.g))::DOUBLE / len(list_distinct(x.g || y.g)) AS jaccard
+        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+        |WHERE jaccard >= 0.7
+        |ORDER BY a NULLS FIRST, b NULLS FIRST, jaccard NULLS FIRST""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN
+        |    list_distinct(list_transform(range(1, length(text) - 6),
+        |      i -> substring(text, i, 8)))
+        |    ELSE [text] END AS g
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    len(list_intersect(x.g, y.g))::DOUBLE / len(list_distinct(x.g || y.g)) AS jaccard
+        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+        |WHERE jaccard >= 0.6
+        |ORDER BY a NULLS FIRST, b NULLS FIRST, jaccard NULLS FIRST""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a, b, cos FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+        |      / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
+        |         * sqrt(list_sum(list_transform(y.v, t -> t * t)))) AS cos
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        |WHERE cos >= 0.45
+        |ORDER BY a NULLS FIRST, b NULLS FIRST, cos NULLS FIRST""".stripMargin,
+    "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT y.vec_id AS vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+        |    / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
+        |       * sqrt(list_sum(list_transform(y.v, t -> t * t)))) AS cos
+        |FROM e x JOIN e y ON x.vec_id = 0 AND y.vec_id <> 0
+        |ORDER BY cos DESC, y.vec_id LIMIT 10""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    length(text) AS n_bytes,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substring(text, i, 1))) AS codes
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  cast(n_bytes AS bigint) AS n_bytes,
+        |  list_sum(codes)::DOUBLE / n_bytes AS mean_byte,
+        |  cast(16 + n_bytes % 64 AS int) AS width,
+        |  cast(16 + n_bytes % 48 AS int) AS height,
+        |  CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS checksum
+        |FROM b, LATERAL (SELECT list_reduce([CAST(0 AS HUGEINT)] || codes,
+        |    (h, c) -> (h * 31 + c) % 18446744073709551616) AS m)
+        |ORDER BY asset_id NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.{Fnv64, TextHashes}
+import graft.llm.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("fnv64 is stable (golden)") {
+    assert(Fnv64.hashString("spark") == Fnv64.hashString("spark"))
+    assert(Fnv64.hashString("spark") != Fnv64.hashString("sparl"))
+  }
+
+  test("simhash: near-identical token lists differ in few bits") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val b = ((1 to 98).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
+    val c = (200 to 300).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+      .select(col("id"), TextHashes.sim_hash64(split(col("t"), " ")).as("h"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m(1L), m(2L)) < 12, s"near-dup hamming ${ham(m(1L), m(2L))}")
+    assert(ham(m(1L), m(3L)) > 16, s"distinct hamming ${ham(m(1L), m(3L))}")
+  }
+
+  test("simhashPairs finds planted near-dups at sf0.001") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+    // the fixtures plant ~5% near-dup docs; simhash should find some and
+    // every reported pair must satisfy the hamming bound
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("hamming") <= 10))
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs at sf0.001") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        Dedup.wordShingles(_, 3), 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("ann lsh returns valid bucket-local neighbours, bounded by exact top-1") {
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val bfTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1)
+      .collect()(0).getAs[Double]("cos")
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10, nPlanes = 4).collect()
+    assert(ann.nonEmpty && ann.length <= 10)
+    val cosVals = ann.map(_.getAs[Double]("cos"))
+    // sorted descending, and no ANN hit can beat the exact best
+    assert(cosVals.sameElements(cosVals.sorted.reverse))
+    assert(cosVals.forall(_ <= bfTop + 1e-12))
+  }
+
+  test("rolling hash: equal input equal hash, prefix change changes hash") {
+    import spark.implicits._
+    val df = Seq("hello world", "hello world", "jello world").toDF("t")
+      .select(TextHashes.rolling_hash64(col("t")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+  }
+
+  test("multimodal features preserve partitioning and row count") {
+    val docs = graft.core.Tables.t(spark, sf, "documents").repartition(5)
+    val assets = graft.llm.Multimodal.assetsFromText(docs, "doc_id", "text")
+    val feats = graft.llm.Multimodal.extractFeatures(spark, assets)
+    assert(feats.rdd.getNumPartitions == 5)
+    assert(feats.count() == docs.count())
+  }
+}
