@@ -20,7 +20,9 @@ object SparkEntry {
       (graft.queries.SpecialJoins.queries, graft.queries.SpecialJoins.oracleSql),
       (graft.queries.Functions.queries, graft.queries.Functions.oracleSql),
       (graft.queries.Aggregates.queries, graft.queries.Aggregates.oracleSql),
-      (graft.queries.LlmOps.queries, graft.queries.LlmOps.oracleSql)
+      (graft.queries.LlmOps.queries, graft.queries.LlmOps.oracleSql),
+      (graft.queries.Engines.queries, graft.queries.Engines.oracleSql),
+      (graft.queries.Streaming.queries, graft.queries.Streaming.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{EngineViews, Fill}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MergeTree engine-family semantics, FINAL, WITH FILL, deterministic
+  * sampling (SURVEY.md §2.1, §2.6).
+  */
+object Engines {
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame = Tables.t(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // ReplacingMergeTree + FINAL: latest event per (user, type).
+    "q_engine_replacing" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+      ordered(EngineViews.replacingFinal(e,
+          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value")))
+    },
+
+    // SummingMergeTree + FINAL: measures summed per key.
+    "q_engine_summing" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+      ordered(EngineViews.summingFinal(e, Seq("user_id", "event_type"), Seq("value")))
+    },
+
+    // CollapsingMergeTree + FINAL: signup=+1 / error=-1 rows collapse per
+    // user; survivors = net>0, state = latest +1 row.
+    "q_engine_collapsing" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+        .filter(col("event_type").isin("signup", "error"))
+        .withColumn("sign", when(col("event_type") === "signup", 1).otherwise(-1))
+      ordered(EngineViews.collapsingFinal(e, Seq("user_id"), col("sign"),
+          Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("value")))
+    },
+
+    // WITH FILL: daily signup counts on a gap-free January 2024 grid,
+    // missing days as 0, plus INTERPOLATE-style carry of the last count.
+    "q_with_fill" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+      val daily = e.filter(col("event_type") === "signup" && col("user_id") < 10)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val from = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000
+      val to = java.time.Instant.parse("2024-01-30T00:00:00Z").toEpochMilli * 1000
+      val filled = Fill.withFillTimestamp(s, daily, "day", from, to, 86400L * 1000000,
+        carryCols = Seq("n"))
+      ordered(filled.select(col("day"),
+        coalesce(col("n"), lit(0L)).as("n_filled")))
+    },
+
+    // Deterministic SAMPLE BY key (reference MergeTree sampling key
+    // semantics: stable subset by key arithmetic, not RNG).
+    "q_sample_by_key" -> { (s, dir) =>
+      val li = T(s, dir)("lineitem")
+      ordered(li.filter(pmod(col("l_orderkey"), lit(10)) === 3)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty")))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_engine_replacing" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, event_id NULLS FIRST, value NULLS FIRST""".stripMargin,
+    "q_engine_summing" ->
+      """SELECT user_id, event_type, sum(value) AS value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, value NULLS FIRST""".stripMargin,
+    "q_engine_collapsing" ->
+      """WITH se AS (SELECT *, CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END AS sign
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |alive AS (SELECT user_id FROM se GROUP BY user_id HAVING sum(sign) > 0),
+        |latest AS (SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM se WHERE sign = 1) WHERE rn = 1)
+        |SELECT l.user_id AS user_id, l.event_id AS event_id, l.value AS value
+        |FROM latest l JOIN alive a USING (user_id)
+        |ORDER BY l.user_id NULLS FIRST, l.event_id NULLS FIRST, l.value NULLS FIRST""".stripMargin,
+    "q_with_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |    count(*) AS n
+        |  FROM events WHERE event_type = 'signup' AND user_id < 10
+        |  GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day)
+        |SELECT g.day AS day, coalesce(d.n, 0) AS n_filled
+        |FROM grid g LEFT JOIN daily d USING (day)
+        |ORDER BY day NULLS FIRST, n_filled NULLS FIRST""".stripMargin,
+    "q_sample_by_key" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 3
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST, sum_qty NULLS FIRST""".stripMargin
+  )
+}

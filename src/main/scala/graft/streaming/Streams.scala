@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming surface (SURVEY.md §2.9): file-source streams over the
+  * fixture layout, event-time windows (tumble/hop/session — reference
+  * FunctionsTimeWindow.cpp tumble/hop; session is a Spark superset),
+  * watermarked late-data handling (reference StorageWindowView
+  * max_watermark/updateMaxWatermark), streaming dedup
+  * (DeduplicationTokenTransforms → dropDuplicatesWithinWatermark), and
+  * materialized-view chains (StorageMaterializedView → foreachBatch).
+  */
+object Streams {
+
+  /** Streaming read of the events fixture: same ns->us normalization as
+    * the batch path, driven through readStream (file source = the
+    * S3Queue/FileLog analog). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.t(spark, dir, "events").schema // ts already timestamp
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" =>
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      // file source needs a directory; select just the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window aggregate with watermark (WindowView tumble +
+    * bounded watermark; append mode emits only finalized windows). */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 day",
+                     watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Hopping (sliding) window counts. */
+  def hoppingCounts(events: DataFrame, size: String = "2 days",
+                    slide: String = "1 day", watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Session windows per user (gap-based). */
+  def sessionStats(events: DataFrame, gap: String = "1 day",
+                   watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("total"))
+
+  /** Streaming dedup on a business key within the watermark horizon
+    * (ReplacingMergeTree-on-ingest / insert dedup tokens). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Materialized-view chain (StorageMaterializedView analog): each
+    * micro-batch is transformed to partial aggregates and appended to a
+    * parquet target, partitioned by batch id — an AggregatingMergeTree-
+    * style MV holding partial states. Retried batches overwrite their own
+    * partition (dynamic partition overwrite), which is what makes the
+    * chain exactly-once. Read the view back with `readMv`, which merges
+    * partials — the -State/-Merge split (reference
+    * DataTypeAggregateFunction + QueryProcessingStage::WithMergeableState). */
+  def mvAppendSink(events: DataFrame, transform: DataFrame => DataFrame,
+                   path: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        transform(batch)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("__batch_id").parquet(path)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** Merge the MV's per-batch partial aggregates: keys = all columns but
+    * the last measure column, which is summed. */
+  def readMv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path).drop("__batch_id")
+    val keys = df.columns.dropRight(1)
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(df.columns.last)).as(df.columns.last))
+  }
+}

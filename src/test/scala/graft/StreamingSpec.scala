@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("file-source stream: tumbling counts match batch equivalent") {
+    val stream = Streams.eventsStream(spark, sf)
+    assert(stream.isStreaming)
+    val q = Streams.tumblingCounts(stream).writeStream
+      .format("memory").queryName("tumble_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumble_out")
+      .agg(sum("n")).collect()(0).getLong(0)
+    // append mode emits only windows at/behind the final watermark; the
+    // last day's windows stay open, so emitted <= total and > 0
+    val total = graft.core.Tables.t(spark, sf, "events").count()
+    assert(got > 0 && got <= total)
+  }
+
+  test("watermark drops late rows in append aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    val agg = df.withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes")).agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w"), $"n")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    mem.addData((t(0), 1.0), (t(5), 1.0))   // window 10:00
+    q.processAllAvailable()
+    mem.addData((t(40), 1.0))               // advances watermark past 10:00
+    q.processAllAvailable()
+    mem.addData((t(2), 99.0))               // LATE: behind watermark, dropped
+    q.processAllAvailable()
+    mem.addData((t(90), 1.0))               // close the 10:40 window too
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("late_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the 10:00 window must have exactly its 2 on-time rows (late row dropped)
+    assert(rows("2024-01-01 10:00:00.0") == 2L)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups streaming keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "k")
+    val q = Streams.dedupWithinWatermark(df, Seq("k"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData((base, 1L), (base, 1L), (base, 2L))
+    q.processAllAvailable()
+    mem.addData((new Timestamp(base.getTime + 60000), 1L)) // dup within watermark
+    q.processAllAvailable(); q.stop()
+    val ks = spark.table("dedup_out").select("k").collect().map(_.getLong(0)).toSeq
+    assert(ks.sorted == Seq(1L, 2L))
+  }
+
+  test("foreachBatch MV: partial aggregates merge to batch ground truth") {
+    val tmp = java.nio.file.Files.createTempDirectory("mv").toString
+    val stream = Streams.eventsStream(spark, sf)
+    val writer = Streams.mvAppendSink(stream,
+      b => b.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      s"$tmp/mv")
+    val q = writer.start()
+    q.processAllAvailable(); q.stop()
+    val mv = Streams.readMv(spark, s"$tmp/mv")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = graft.core.Tables.t(spark, sf, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mv == truth)
+  }
+}
