@@ -34,47 +34,76 @@ object Dedup {
     * min over shingles of hash_i(shingle), hash_i = xxhash64 seeded by i.
     * Pure built-ins — stays in codegen, no UDF. */
   def minhashSignature(shingles: Column, k: Int = 32): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+    graft.functions.VectorKernels.minhash_sig(shingles, k)
 
   /** Exact Jaccard between two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    graft.functions.VectorKernels.jaccard_sim(a, b)
+
+  /** All ordered pairs (a<b) from a sorted id array, as structs. */
+  private def bucketPairs(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+      transform(slice(ids, i + 1, size(ids) - i), j =>
+        struct(element_at(ids, i).as("a"), j.as("b")))))
 
   /** MinHash + LSH near-duplicate pairs.
     *
     * Plan shape (the 100 TB story):
-    *  1. per-doc shingle set + k-hash MinHash signature (map-only)
+    *  1. per-doc shingle set + k-hash one-pass MinHash signature (map-only)
     *  2. signature sliced into `bands` bands of k/bands rows; each band
     *     hashed -> (bandIdx, bandHash, id) — the ONLY thing shuffled
-    *  3. self-join on (bandIdx, bandHash) -> candidate id pairs (distinct)
-    *  4. candidates re-joined to shingle sets, exact Jaccard verification
+    *  3. ONE groupBy (bandIdx, bandHash) -> in-bucket pair generation
+    *     (no self-join: the signature subtree is computed exactly once)
+    *  4. candidate pairs (few by construction) re-joined to raw text,
+    *     exact Jaccard verification on just those pairs
     *
     * With j >= 0.9 near-dups, k=32/bands=8 gives detection probability
     * 1-(1-0.9^4)^8 ≈ 1-3e-8 per pair; candidates are verified exactly so
-    * false positives never escape.
+    * false positives never escape. `maxBucket` skips degenerate buckets
+    * (giant near-identical clusters — at corpus scale those are handled
+    * by the exact-hash pass, and skipping bounds worst-case skew).
     *
     * Returns (a, b, jaccard) with a < b, jaccard >= threshold.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
     val rows = k / bands
-    val sh = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("g"))
-    val sig = sh.select(col("id"), minhashSignature(col("g"), k).as("sig"))
+    // signature straight from tokens — no shingle strings materialized
+    val sig = docs.select(col(idCol).as("id"),
+      graft.functions.VectorKernels.minhash_tokens_sig(
+        split(col(textCol), " "), shingleN, k).as("sig"))
     val bandRows = sig.select(col("id"), explode(array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*).as("bh"))): _*)).as("s"))
       .select(col("id"), col("s.band"), col("s.bh"))
-    val cand = bandRows.as("x").join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val cand = bandRows.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b")).distinct()
+    // Verification re-joins raw text and shingles ONLY the candidate pairs
+    // (few by construction) — full shingle sets are never materialized
+    // twice nor shuffled.
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     cand
-      .join(sh.select(col("id").as("a"), col("g").as("ga")), "a")
-      .join(sh.select(col("id").as("b"), col("g").as("gb")), "b")
-      .select(col("a"), col("b"), jaccard(col("ga"), col("gb")).as("jaccard"))
+      .join(txt.select(col("id").as("a"), col("t").as("ta")), "a")
+      .join(txt.select(col("id").as("b"), col("t").as("tb")), "b")
+      .select(col("a"), col("b"),
+        jaccard(wordShingles(col("ta"), shingleN), wordShingles(col("tb"), shingleN)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs char-n-gram Jaccard over HASHED shingle sets
+    * (quadratic — for bounded subsets; each doc is reduced to a sorted
+    * long array once, so the pair loop is a pure numeric merge). */
+  def exactCharNgramPairs(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      graft.functions.VectorKernels.char_ngram_hashes(col(textCol), n).as("g"))
+    sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        graft.functions.VectorKernels.jaccard_sorted_longs(col("x.g"), col("y.g")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -101,11 +130,19 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(0xffffL).as("bh"))): _*)).as("s"))
       .select(col("id"), col("h"), col("s.band"), col("s.bh"))
-    bandRows.as("x").join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        TextHashes.hamming64(col("x.h"), col("y.h")).as("hamming"))
+    // one groupBy per bucket, pairs generated in-bucket (same shape as
+    // minhashLshPairs — fingerprint subtree computed once, no self-join)
+    bandRows.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(struct(col("id"), col("h")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(sequence(lit(1), size(col("ms")) - 1), i =>
+        transform(slice(col("ms"), i + 1, size(col("ms")) - i), j =>
+          struct(element_at(col("ms"), i).getField("id").as("a"),
+            j.getField("id").as("b"),
+            element_at(col("ms"), i).getField("h").as("ha"),
+            j.getField("h").as("hb")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        TextHashes.hamming64(col("p.ha"), col("p.hb")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

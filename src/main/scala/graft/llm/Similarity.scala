@@ -16,12 +16,15 @@ object Similarity {
   private def vd(c: Column): Column = transform(c, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(vd(a), vd(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorKernels.dot_product(a, b)
 
   def l2Norm(a: Column): Column =
     sqrt(aggregate(vd(a), lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Single-pass kernel (see VectorKernels) — bit-equal to
+    * dot/(|a|*|b|) with sequential double accumulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.cosine_sim(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(vd(a), vd(b), (x, y) => (x - y) * (x - y)),

@@ -50,8 +50,7 @@ object LlmOps {
     // reference path; LSH above is the scale path).
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
       val d = T(s, dir)("documents").filter(col("doc_id") < 300)
-      ordered(Dedup.exactJaccardPairs(d, "doc_id", "text",
-        Dedup.charShingles(_, 8), threshold = 0.6))
+      ordered(Dedup.exactCharNgramPairs(d, "doc_id", "text", n = 8, threshold = 0.6))
     },
 
     // SimHash near-dup pairs (no DuckDB analog -> rows-only check; exact
