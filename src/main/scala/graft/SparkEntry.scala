@@ -22,7 +22,8 @@ object SparkEntry {
       (graft.queries.Aggregates.queries, graft.queries.Aggregates.oracleSql),
       (graft.queries.LlmOps.queries, graft.queries.LlmOps.oracleSql),
       (graft.queries.Engines.queries, graft.queries.Engines.oracleSql),
-      (graft.queries.Streaming.queries, graft.queries.Streaming.oracleSql)
+      (graft.queries.Streaming.queries, graft.queries.Streaming.oracleSql),
+      (graft.queries.Functions2.queries, graft.queries.Functions2.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
