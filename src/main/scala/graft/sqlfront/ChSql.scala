@@ -1,0 +1,246 @@
+package graft.sqlfront
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ClickHouse-dialect SQL front-end (SURVEY.md §3.1 "thin dialect layer"):
+  * rewrites the CH-isms the reference parser accepts
+  * (src/Parsers/ParserSelectQuery.cpp: FINAL, PREWHERE, QUALIFY,
+  * LIMIT n BY, function-name surface) into Spark SQL, then delegates to
+  * Catalyst. This is a pragmatic textual rewriter, not a full parser —
+  * it handles the documented constructs on well-formed SELECTs and passes
+  * everything else through untouched.
+  */
+object ChSql {
+
+  /** 1:1 function-name aliases (CH name -> Spark SQL name). */
+  val aliases: Map[String, String] = Map(
+    // date/time extract
+    "toYear" -> "year", "toMonth" -> "month", "toDayOfMonth" -> "day",
+    "toHour" -> "hour", "toMinute" -> "minute", "toSecond" -> "second",
+    "toDayOfYear" -> "dayofyear", "toQuarter" -> "quarter",
+    "toISOWeek" -> "weekofyear", "toDayOfWeek" -> "dayofweek",
+    "toUnixTimestamp" -> "unix_timestamp",
+    "fromUnixTimestamp" -> "from_unixtime",
+    "formatDateTime" -> "date_format",
+    "dateDiff" -> "timestampdiff", "date_diff" -> "timestampdiff",
+    "addDays" -> "date_add", "subtractDays" -> "date_sub",
+    "makeDate" -> "make_date",
+    // string
+    "lengthUTF8" -> "length", "lowerUTF8" -> "lower", "upperUTF8" -> "upper",
+    "substringUTF8" -> "substring", "mid" -> "substring",
+    "positionCaseInsensitive" -> "instr",
+    "concatWithSeparator" -> "concat_ws",
+    "splitByChar" -> "split_by_char", // handled by template below
+    "match" -> "rlike", "extract" -> "regexp_extract",
+    "replaceAll" -> "replace", "replaceRegexpAll" -> "regexp_replace",
+    "countSubstrings" -> "regexp_count",
+    "editDistance" -> "levenshtein", "levenshteinDistance" -> "levenshtein",
+    "startsWith" -> "startswith", "endsWith" -> "endswith",
+    "trimBoth" -> "trim", "trimLeft" -> "ltrim", "trimRight" -> "rtrim",
+    "leftPad" -> "lpad", "rightPad" -> "rpad",
+    // math / misc
+    "intDiv" -> "div", "modulo" -> "mod", "plus" -> "try_add",
+    "ln" -> "ln", "log2" -> "log2", "log10" -> "log10",
+    "roundBankers" -> "bround", "cbrt" -> "cbrt",
+    "bitCount" -> "bit_count",
+    // conditionals
+    "multiIf" -> "case_when_chain", // template below
+    "if" -> "if", "ifNull" -> "nvl", "nullIf" -> "nullif",
+    "assumeNotNull" -> "coalesce",
+    // aggregates
+    "uniq" -> "approx_count_distinct", "uniqHLL12" -> "approx_count_distinct",
+    "uniqCombined" -> "approx_count_distinct", "uniqExact" -> "count_distinct",
+    "groupArray" -> "collect_list", "groupUniqArray" -> "collect_set",
+    "anyLast" -> "last", "any" -> "first",
+    "argMin" -> "min_by", "argMax" -> "max_by",
+    "avgWeighted" -> "avg_weighted", // template below
+    "varPop" -> "var_pop", "varSamp" -> "var_samp",
+    "stddevPop" -> "stddev_pop", "stddevSamp" -> "stddev_samp",
+    "covarPop" -> "covar_pop", "covarSamp" -> "covar_samp",
+    "skewPop" -> "skewness", "kurtPop" -> "kurtosis",
+    "medianExact" -> "median", "quantileExact" -> "percentile",
+    "quantile" -> "percentile_approx",
+    "topK" -> "top_k", // template below (graft custom)
+    // arrays
+    "arrayJoin" -> "explode", "has" -> "array_contains",
+    "arrayConcat" -> "concat", "arraySlice" -> "slice",
+    "arrayUniq" -> "array_size_distinct", // template below
+    "arrayDistinct" -> "array_distinct", "arraySort" -> "array_sort",
+    "arrayReverse" -> "reverse", "arrayFlatten" -> "flatten",
+    "arrayCompact" -> "array_compact", "arrayZip" -> "arrays_zip",
+    "indexOf" -> "array_position", "arrayElement" -> "element_at",
+    "arrayMap" -> "transform", "arrayFilter" -> "filter",
+    "arrayExists" -> "exists", "arrayAll" -> "forall",
+    "arrayCumSum" -> "array_cum_sum", // no direct; leave template-less
+    "arrayStringConcat" -> "array_join", "emptyArrayString" -> "array",
+    // json
+    "JSONExtractString" -> "get_json_object",
+    "JSONLength" -> "json_array_length",
+    "toJSONString" -> "to_json",
+    "visitParamExtractRaw" -> "get_json_object",
+    // hash / encode
+    "cityHash64" -> "xxhash64", "sipHash64" -> "xxhash64",
+    "halfMD5" -> "xxhash64", "MD5" -> "md5",
+    "hex" -> "hex", "unhex" -> "unhex",
+    "base64Encode" -> "base64", "base64Decode" -> "unbase64",
+    "bitHammingDistance" -> "bit_hamming" // template below
+  )
+
+  /** Split a function-argument string on top-level commas. */
+  private[sqlfront] def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var last = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.map(_.trim).toSeq
+  }
+
+  /** Find `name(` occurrences (word boundary), rewrite via `f(args)`. */
+  private def rewriteCalls(sql: String, name: String)(f: Seq[String] => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val idx = sql.indexOf(name + "(", i)
+      val boundaryOk = idx >= 0 &&
+        (idx == 0 || !Character.isLetterOrDigit(sql.charAt(idx - 1)) && sql.charAt(idx - 1) != '_')
+      if (idx < 0) { sb.append(sql.substring(i)); i = sql.length }
+      else if (!boundaryOk) { sb.append(sql.substring(i, idx + name.length)); i = idx + name.length }
+      else {
+        sb.append(sql.substring(i, idx))
+        // find matching close paren
+        var depth = 0; var j = idx + name.length; var end = -1; var inStr = false
+        while (j < sql.length && end < 0) {
+          val c = sql.charAt(j)
+          if (inStr) { if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = j }
+          j += 1
+        }
+        if (end < 0) { sb.append(sql.substring(idx)); i = sql.length }
+        else {
+          val args = splitArgs(sql.substring(idx + name.length + 1, end))
+          sb.append(f(args))
+          i = end + 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Apply all rewrites to a ClickHouse-flavoured SELECT. */
+  def rewrite(chSql: String): String = {
+    var q = chSql
+
+    // count() -> count(*)
+    q = q.replaceAll("""\bcount\(\s*\)""", "count(*)")
+
+    // templates (argument-restructuring rewrites) — before plain aliases
+    q = rewriteCalls(q, "sumIf")(a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)")
+    q = rewriteCalls(q, "countIf")(a => s"count(CASE WHEN ${a(0)} THEN 1 END)")
+    q = rewriteCalls(q, "avgIf")(a => s"avg(CASE WHEN ${a(1)} THEN ${a(0)} END)")
+    q = rewriteCalls(q, "minIf")(a => s"min(CASE WHEN ${a(1)} THEN ${a(0)} END)")
+    q = rewriteCalls(q, "maxIf")(a => s"max(CASE WHEN ${a(1)} THEN ${a(0)} END)")
+    q = rewriteCalls(q, "uniqExact")(a => s"count(DISTINCT ${a.mkString(", ")})")
+    q = rewriteCalls(q, "toString")(a => s"cast(${a(0)} AS string)")
+    q = rewriteCalls(q, "toInt64")(a => s"cast(${a(0)} AS bigint)")
+    q = rewriteCalls(q, "toInt32")(a => s"cast(${a(0)} AS int)")
+    q = rewriteCalls(q, "toFloat64")(a => s"cast(${a(0)} AS double)")
+    q = rewriteCalls(q, "toInt64OrNull")(a => s"try_cast(${a(0)} AS bigint)")
+    q = rewriteCalls(q, "toInt64OrZero")(a => s"coalesce(try_cast(${a(0)} AS bigint), 0)")
+    q = rewriteCalls(q, "toDate")(a => s"to_date(${a(0)})")
+    q = rewriteCalls(q, "toStartOfDay")(a => s"date_trunc('day', ${a(0)})")
+    q = rewriteCalls(q, "toStartOfHour")(a => s"date_trunc('hour', ${a(0)})")
+    q = rewriteCalls(q, "toStartOfMonth")(a => s"date_trunc('month', ${a(0)})")
+    q = rewriteCalls(q, "toStartOfQuarter")(a => s"date_trunc('quarter', ${a(0)})")
+    q = rewriteCalls(q, "toStartOfYear")(a => s"date_trunc('year', ${a(0)})")
+    q = rewriteCalls(q, "toStartOfWeek")(a => s"date_trunc('week', ${a(0)})")
+    q = rewriteCalls(q, "splitByChar")(a => s"split(${a(1)}, ${a(0)})")
+    q = rewriteCalls(q, "arrayStringConcat")(a =>
+      if (a.length > 1) s"array_join(${a(0)}, ${a(1)})" else s"array_join(${a(0)}, '')")
+    q = rewriteCalls(q, "multiIf") { a =>
+      val cases = a.dropRight(1).grouped(2).map(p => s"WHEN ${p(0)} THEN ${p(1)}").mkString(" ")
+      s"CASE $cases ELSE ${a.last} END"
+    }
+    q = rewriteCalls(q, "empty")(a => s"(length(${a(0)}) = 0)")
+    q = rewriteCalls(q, "notEmpty")(a => s"(length(${a(0)}) > 0)")
+    q = rewriteCalls(q, "avgWeighted")(a => s"(sum((${a(0)}) * (${a(1)})) / sum(${a(1)}))")
+    q = rewriteCalls(q, "arrayUniq")(a => s"size(array_distinct(${a(0)}))")
+    q = rewriteCalls(q, "bitHammingDistance")(a => s"bit_count((${a(0)}) ^ (${a(1)}))")
+    q = rewriteCalls(q, "range")(a =>
+      if (a.length == 1) s"sequence(0, (${a(0)}) - 1)" else s"sequence(${a(0)}, (${a(1)}) - 1)")
+    // parameterized-aggregate syntax quantile[Exact](0.5)(x) -> percentile(x, 0.5)
+    q = q.replaceAll("""\bquantile(?:Exact)?\(([0-9.]+)\)\s*\(""", "__QUANTILE__$1(")
+    for (p <- Seq("0.5", "0.25", "0.75", "0.9", "0.95", "0.99"))
+      q = rewriteCalls(q, s"__QUANTILE__$p")(a => s"percentile(${a(0)}, $p)")
+    q = rewriteCalls(q, "quantileExact")(a => s"percentile(${a(0)}, 0.5)")
+
+    // plain 1:1 aliases (word-boundary)
+    for ((ch, sp) <- aliases if !Set("splitByChar", "multiIf", "avgWeighted",
+        "arrayUniq", "bitHammingDistance", "uniqExact", "quantileExact",
+        "arrayStringConcat", "topK", "arrayCumSum").contains(ch)) {
+      q = q.replaceAll(s"""\\b$ch\\s*\\(""", sp + "(")
+    }
+
+    // FINAL modifier: our catalog views are already merge-final
+    q = q.replaceAll("""(?i)\bFINAL\b""", "")
+
+    // PREWHERE -> WHERE (merge with existing WHERE if both present)
+    if (q.matches("(?is).*\\bPREWHERE\\b.*\\bWHERE\\b.*")) {
+      // PREWHERE p ... WHERE w  ->  WHERE (p) AND (w)
+      val m = java.util.regex.Pattern
+        .compile("(?is)PREWHERE(.*?)WHERE(.*?)(GROUP BY|ORDER BY|LIMIT|QUALIFY|$)")
+        .matcher(q)
+      if (m.find())
+        q = q.substring(0, m.start) + "WHERE (" + m.group(1).trim + ") AND (" +
+          m.group(2).trim + ") " + q.substring(m.start(3))
+    } else q = q.replaceAll("""(?i)\bPREWHERE\b""", "WHERE")
+
+    // QUALIFY cond -> wrap as subquery filter (cond must reference
+    // select-list aliases, the common CH usage)
+    val qual = java.util.regex.Pattern
+      .compile("(?is)(.*)\\bQUALIFY\\b(.*?)(ORDER BY.*|LIMIT.*|$)").matcher(q)
+    if (qual.matches()) {
+      val (body, cond, tail) = (qual.group(1).trim, qual.group(2).trim, qual.group(3).trim)
+      q = s"SELECT * FROM ($body) WHERE $cond $tail"
+    }
+
+    // LIMIT n BY (cols): keep first n rows per key in current order
+    val lby = java.util.regex.Pattern
+      .compile("(?is)(.*?)\\bLIMIT\\s+(\\d+)\\s+BY\\s+\\(?([\\w, ]+?)\\)?\\s*(ORDER BY.*|LIMIT.*|$)")
+      .matcher(q)
+    if (lby.matches()) {
+      val (body, n, cols, tail) = (lby.group(1).trim, lby.group(2), lby.group(3).trim, lby.group(4).trim)
+      // order within groups: the query's ORDER BY if present in body, else cols
+      val ord = {
+        val om = java.util.regex.Pattern.compile("(?is)ORDER BY\\s+(.*)$").matcher(body)
+        if (om.find()) om.group(1) else cols
+      }
+      val bodyNoOrd = body.replaceAll("(?is)ORDER BY\\s+.*$", "")
+      q = s"""SELECT * EXCEPT (__rn) FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY $cols ORDER BY $ord) AS __rn
+             |  FROM ($bodyNoOrd)) WHERE __rn <= $n $tail""".stripMargin
+    }
+
+    q.trim
+  }
+
+  /** Run a ClickHouse-flavoured query against the fixture catalog. */
+  def sql(spark: SparkSession, dir: String, chQuery: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(rewrite(chQuery))
+  }
+}

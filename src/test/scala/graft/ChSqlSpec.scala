@@ -1,0 +1,98 @@
+package graft
+
+import graft.sqlfront.ChSql
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives ClickHouse-flavoured SQL through the dialect layer and checks
+  * results against directly-built DataFrame equivalents. Query shapes
+  * modelled on the reference's stateless tests
+  * (/root/reference/tests/queries/0_stateless/). */
+class ChSqlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  def ch(q: String) = ChSql.sql(spark, sf, q)
+
+  test("count() and toYear alias") {
+    val got = ch("SELECT toYear(o_orderdate) AS y, count() AS n FROM orders GROUP BY y ORDER BY y")
+      .collect()
+    assert(got.nonEmpty && got.forall(_.getLong(1) > 0))
+    val direct = graft.core.Tables.t(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).as("y")).count().orderBy("y").collect()
+    assert(got.map(_.getLong(1)).toSeq == direct.map(_.getLong(1)).toSeq)
+  }
+
+  test("sumIf / countIf combinators") {
+    val r = ch("""SELECT sumIf(l_quantity, l_discount > 0.05) AS s,
+                 |countIf(l_quantity > 30) AS c FROM lineitem""".stripMargin).collect()(0)
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+    val s = li.filter(col("l_discount") > 0.05).agg(sum("l_quantity")).collect()(0).getDouble(0)
+    val c = li.filter(col("l_quantity") > 30).count()
+    assert(math.abs(r.getDouble(0) - s) < 1e-6 && r.getLong(1) == c)
+  }
+
+  test("quantile parameterized syntax") {
+    val r = ch("SELECT quantile(0.5)(l_quantity) AS med FROM lineitem").collect()(0)
+    assert(r.getDouble(0) > 0)
+  }
+
+  test("FINAL and PREWHERE are absorbed") {
+    val r = ch("""SELECT count() AS n FROM orders FINAL PREWHERE o_totalprice > 100000""")
+      .collect()(0).getLong(0)
+    val direct = graft.core.Tables.t(spark, sf, "orders")
+      .filter(col("o_totalprice") > 100000).count()
+    assert(r == direct)
+  }
+
+  test("PREWHERE merges with WHERE") {
+    val r = ch("""SELECT count() AS n FROM orders PREWHERE o_totalprice > 100000
+                 |WHERE o_orderstatus = 'F'""".stripMargin).collect()(0).getLong(0)
+    val direct = graft.core.Tables.t(spark, sf, "orders")
+      .filter(col("o_totalprice") > 100000 && col("o_orderstatus") === "F").count()
+    assert(r == direct)
+  }
+
+  test("LIMIT n BY rewrites to per-group top-n") {
+    val df = ch("""SELECT o_custkey, o_orderkey FROM orders
+                  |ORDER BY o_custkey, o_orderkey LIMIT 2 BY o_custkey""".stripMargin)
+    val over = df.groupBy("o_custkey").count().filter(col("count") > 2).count()
+    assert(over == 0 && df.count() > 0)
+  }
+
+  test("QUALIFY filters on window alias") {
+    val df = ch("""SELECT o_custkey, o_orderkey,
+                  |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+                  |FROM orders QUALIFY rn = 1""".stripMargin)
+    val n = df.count()
+    val users = graft.core.Tables.t(spark, sf, "orders")
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(n == users)
+  }
+
+  test("array functions: arrayJoin/splitByChar/has") {
+    val df = ch("""SELECT doc_id, arrayJoin(splitByChar(' ', text)) AS tok
+                  |FROM documents WHERE doc_id < 5""".stripMargin)
+    assert(df.count() > 5)
+    val df2 = ch("SELECT count() AS n FROM documents WHERE has(splitByChar(' ', text), 'data')")
+    assert(df2.collect()(0).getLong(0) > 0)
+  }
+
+  test("multiIf becomes CASE chain") {
+    val df = ch("""SELECT multiIf(o_totalprice > 300000, 'high',
+                  |  o_totalprice > 100000, 'mid', 'low') AS b, count() AS n
+                  |FROM orders GROUP BY b ORDER BY b""".stripMargin)
+    assert(df.collect().map(_.getString(0)).toSet.subsetOf(Set("high", "mid", "low")))
+  }
+
+  test("argMax / groupArray / uniqExact aliases") {
+    val r = ch("""SELECT argMax(o_custkey, o_orderkey) AS amax,
+                 |  uniqExact(o_orderstatus) AS u FROM orders""".stripMargin).collect()(0)
+    assert(r.getLong(1) == 3)
+  }
+
+  test("date helpers: toStartOfMonth / dateDiff") {
+    val df = ch("""SELECT toStartOfMonth(o_orderdate) AS m, count() AS n
+                  |FROM orders GROUP BY m ORDER BY m""".stripMargin)
+    assert(df.count() > 12)
+  }
+}
