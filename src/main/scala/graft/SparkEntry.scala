@@ -23,7 +23,8 @@ object SparkEntry {
       (graft.queries.LlmOps.queries, graft.queries.LlmOps.oracleSql),
       (graft.queries.Engines.queries, graft.queries.Engines.oracleSql),
       (graft.queries.Streaming.queries, graft.queries.Streaming.oracleSql),
-      (graft.queries.Functions2.queries, graft.queries.Functions2.oracleSql)
+      (graft.queries.Functions2.queries, graft.queries.Functions2.oracleSql),
+      (graft.queries.Misc.queries, graft.queries.Misc.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
