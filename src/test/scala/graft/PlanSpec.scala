@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions: the engine's custom optimizer rule fires and
+  * the headline plans have the shape we designed for scale (pushdown,
+  * broadcast, no stray shuffles). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("DatePreimageRule: year(ts)=y becomes a pushed range predicate") {
+    val o = graft.core.Tables.t(spark, sf, "orders")
+    val df = o.filter(year(col("o_orderdate")) === 1997).select(col("o_orderkey"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      (physical.contains("GreaterThanOrEqual(o_orderdate") ||
+       physical.contains("IsNotNull(o_orderdate)")),
+      s"expected pushed range filter, got:\n$physical")
+    // the rewritten predicate must NOT appear as a post-scan year() filter
+    assert(!df.queryExecution.optimizedPlan.toString.contains("year("),
+      "year() survived optimization")
+    // and results must be identical to the unrewritten semantics
+    val expect = o.collect().count(_.getAs[java.time.LocalDateTime]("o_orderdate").getYear == 1997)
+    assert(df.count() == expect)
+  }
+
+  test("year(ts) < y also rewrites") {
+    val o = graft.core.Tables.t(spark, sf, "orders")
+    val df = o.filter(year(col("o_orderdate")) < 1997)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("year("))
+    val expect = o.collect().count(_.getAs[java.time.LocalDateTime]("o_orderdate").getYear < 1997)
+    assert(df.count() == expect)
+  }
+
+  test("q5 plan broadcasts the small dimensions") {
+    val plan = SparkEntry.queries("q5_local_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in q5 plan")
+  }
+
+  test("q1 filter is pushed to the parquet scan") {
+    val plan = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("projection pruning reaches the scan (2-column read)") {
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+    val plan = li.select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning failed:\n$plan")
+  }
+}
