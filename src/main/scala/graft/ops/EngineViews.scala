@@ -45,6 +45,14 @@ object EngineViews {
     latestPlus.join(net, keys, "left_semi")
   }
 
+  /** VersionedCollapsingMergeTree FINAL: collapsing where "latest" is
+    * decided by an explicit version column (reference
+    * VersionedCollapsingSortedAlgorithm) — same plan as collapsing with
+    * the version leading the order. */
+  def versionedCollapsingFinal(df: DataFrame, keys: Seq[String], sign: Column,
+                               version: Column): DataFrame =
+    collapsingFinal(df, keys, sign, Seq(version))
+
   /** AggregatingMergeTree FINAL: caller-supplied aggregate columns merged
     * per key — identical contract to partial-state merge (reference
     * AggregatingSortedAlgorithm; Spark's partial/final agg IS this). */

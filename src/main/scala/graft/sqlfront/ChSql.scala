@@ -238,9 +238,17 @@ object ChSql {
     q.trim
   }
 
-  /** Run a ClickHouse-flavoured query against the fixture catalog. */
+  /** Run a ClickHouse-flavoured query against the fixture catalog.
+    * Also provides the reference's `system.numbers` / `system.one`
+    * virtual tables (src/TableFunctions + system tables used throughout
+    * the reference's stateless tests). */
   def sql(spark: SparkSession, dir: String, chQuery: String): DataFrame = {
     Tables.registerAll(spark, dir)
-    spark.sql(rewrite(chQuery))
+    spark.range(0, 100000000L).toDF("number").createOrReplaceTempView("system_numbers")
+    spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
+    val q = rewrite(chQuery)
+      .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
+      .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
+    spark.sql(q)
   }
 }

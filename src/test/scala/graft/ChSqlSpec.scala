@@ -90,6 +90,21 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3)
   }
 
+  test("system.numbers virtual table (reference 00002_system_numbers)") {
+    assert(ch("SELECT * FROM system.numbers LIMIT 3").count() == 3)
+    val r = ch("SELECT number FROM system.numbers WHERE number >= 5 LIMIT 2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(5L, 6L))
+    assert(ch("SELECT count() AS n FROM (SELECT * FROM system.numbers LIMIT 1000)")
+      .collect()(0).getLong(0) == 1000)
+  }
+
+  test("arrayJoin over literal array (reference 00008_array_join)") {
+    val r = ch("SELECT arrayJoin(array('Hello', 'Goodbye')) AS x")
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("Hello", "Goodbye"))
+  }
+
   test("date helpers: toStartOfMonth / dateDiff") {
     val df = ch("""SELECT toStartOfMonth(o_orderdate) AS m, count() AS n
                   |FROM orders GROUP BY m ORDER BY m""".stripMargin)
