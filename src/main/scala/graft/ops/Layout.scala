@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for cluster-scale joins (SURVEY.md §4.2 /
+  * the 100 TB posture): bucketed co-located joins (the Spark analog of
+  * the reference's pre-sorted MergeTree parts feeding merge joins without
+  * re-sort) and salting for skewed keys (reference distributes skew via
+  * sharded hash joins; AQE skew-split covers most cases, salting covers
+  * pathological single-key skew).
+  */
+object Layout {
+
+  /** Persist a DataFrame as a bucketed+sorted table: joins/aggregations on
+    * the bucket keys then run WITHOUT an Exchange (asserted in PlanSpec). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Salted equi-join for pathological key skew: the skewed (left) side
+    * gets a random salt in [0, salts); the right side is replicated
+    * `salts` times; the join key becomes (key, salt). Row multiplicity is
+    * preserved exactly — each left row joins one replica. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt", (rand(seed = 42) * salts).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle Exchange") {
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+    val o = graft.core.Tables.t(spark, sf, "orders")
+    Layout.writeBucketed(li.select("l_orderkey", "l_quantity"), "li_b", 4, Seq("l_orderkey"))
+    Layout.writeBucketed(o.select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "o_b", 4, Seq("l_orderkey"))
+    val joined = spark.table("li_b").join(spark.table("o_b"), "l_orderkey")
+    // disable auto-broadcast so the bucket layout (not broadcast) is what
+    // avoids the exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = spark.table("li_b").join(spark.table("o_b"), "l_orderkey")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(joined.count() > 0)
+  }
+
+  test("saltedJoin preserves exact join multiplicity") {
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+    val o = graft.core.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, "l_orderkey").count()
+    val salted = Layout.saltedJoin(li, o, "l_orderkey", salts = 8).count()
+    assert(plain == salted)
+  }
+}
