@@ -27,7 +27,8 @@ object SparkEntry {
       (graft.queries.Misc.queries, graft.queries.Misc.oracleSql),
       (graft.queries.Functions3.queries, graft.queries.Functions3.oracleSql),
       (graft.queries.Misc2.queries, graft.queries.Misc2.oracleSql),
-      (graft.queries.Functions4.queries, graft.queries.Functions4.oracleSql)
+      (graft.queries.Functions4.queries, graft.queries.Functions4.oracleSql),
+      (graft.queries.Misc3.queries, graft.queries.Misc3.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

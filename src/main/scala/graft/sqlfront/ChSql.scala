@@ -141,9 +141,92 @@ object ChSql {
     sb.toString
   }
 
+  /** CH array literals `[a, b]` -> `array(a, b)`, leaving subscripts
+    * (`expr[1]`) untouched: a bracket is a literal iff the previous
+    * non-space char is not an identifier char, ')' or ']'. */
+  private[sqlfront] def rewriteArrayLiterals(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c == '[') {
+        // subscript only when the bracket DIRECTLY follows an expression
+        // (identifier char, ')' or ']'); whitespace before '[' => literal
+        val prev = if (sb.nonEmpty) sb.charAt(sb.length - 1) else ' '
+        val isSubscript = Character.isLetterOrDigit(prev) || prev == '_' ||
+          prev == ')' || prev == ']'
+        if (isSubscript) {
+          // CH subscripts are 1-based; Spark's [] is 0-based. Rewrite
+          // `prim[idx]` -> `element_at(prim, idx)` by backtracking to the
+          // start of the preceding primary expression.
+          var depth = 0; var j = i; var end = -1; var s2 = false
+          while (j < sql.length && end < 0) {
+            val ch = sql.charAt(j)
+            if (s2) { if (ch == '\'') s2 = false }
+            else if (ch == '\'') s2 = true
+            else if (ch == '[') depth += 1
+            else if (ch == ']') { depth -= 1; if (depth == 0) end = j }
+            j += 1
+          }
+          if (end < 0) { sb.append(c); i += 1 }
+          else {
+            val idx = rewriteArrayLiterals(sql.substring(i + 1, end))
+            // backtrack over the primary expression in sb
+            var k = sb.length - 1
+            def matchBack(open: Char, close: Char): Unit = {
+              var d = 0
+              while (k >= 0) {
+                val ch = sb.charAt(k)
+                if (ch == close) d += 1
+                else if (ch == open) { d -= 1; if (d == 0) { k -= 1; return } }
+                k -= 1
+              }
+            }
+            if (sb.charAt(k) == ')') matchBack('(', ')')
+            else if (sb.charAt(k) == ']') matchBack('[', ']')
+            while (k >= 0 && (Character.isLetterOrDigit(sb.charAt(k)) || sb.charAt(k) == '_' || sb.charAt(k) == '.'))
+              k -= 1
+            val prim = sb.substring(k + 1)
+            sb.setLength(k + 1)
+            sb.append("element_at(").append(prim).append(", ").append(idx).append(")")
+            i = end + 1
+          }
+        }
+        else {
+          // find matching ] at depth 0
+          var depth = 0; var j = i; var end = -1; var s2 = false
+          while (j < sql.length && end < 0) {
+            val ch = sql.charAt(j)
+            if (s2) { if (ch == '\'') s2 = false }
+            else if (ch == '\'') s2 = true
+            else if (ch == '[') depth += 1
+            else if (ch == ']') { depth -= 1; if (depth == 0) end = j }
+            j += 1
+          }
+          if (end < 0) { sb.append(c); i += 1 }
+          else {
+            val innerRewritten = rewriteArrayLiterals(sql.substring(i + 1, end))
+            sb.append("array(").append(innerRewritten).append(")")
+            i = end + 1
+          }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Apply all rewrites to a ClickHouse-flavoured SELECT. */
   def rewrite(chSql: String): String = {
     var q = chSql
+
+    // trailing FORMAT clause (output format is the writer's concern here)
+    q = q.replaceAll("""(?is)\bFORMAT\s+\w+\s*;?\s*$""", "")
+
+    // array literals before anything else
+    q = rewriteArrayLiterals(q)
 
     // count() -> count(*)
     q = q.replaceAll("""\bcount\(\s*\)""", "count(*)")

@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.Tables
+import java.nio.file.{Files, Paths}
+
+/** Writes PLANS.md — formatted physical plans of the headline queries, so
+  * plan quality (pushdown, broadcast, exchange count) is reviewable as an
+  * artifact. Usage: runMain graft.tools.DumpPlans [sfDir] [outFile]. */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = Tables.session("local[4]", 4)
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+      "q_asof_join", "q_dedup_minhash_lsh", "q_sim_topk",
+      "q_window_session", "q_win_running")
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans (headline queries, ")
+      .append(sfDir).append(")\n\n")
+    sb.append("Things to check per plan: `PushedFilters` / `ReadSchema` on the\n")
+    sb.append("scan (pushdown + pruning), `BroadcastHashJoin` for dim joins,\n")
+    sb.append("exchange count (one per semantic shuffle, none extra).\n")
+    headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // force AQE final plan
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

@@ -105,6 +105,20 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq("Hello", "Goodbye"))
   }
 
+  test("array literals rewrite; subscripts untouched (reference 00007_array)") {
+    val r = ch("SELECT ['Hello', 'Goodbye'] AS a").collect()(0).getSeq[String](0)
+    assert(r == Seq("Hello", "Goodbye"))
+    val r2 = ch("SELECT [1, 2, 3][2] AS x").collect()(0)
+    assert(r2.getInt(0) == 2)
+    val r3 = ch("SELECT arrayJoin(['a', 'b']) AS x FROM system.one").collect().map(_.getString(0))
+    assert(r3.toSeq == Seq("a", "b"))
+  }
+
+  test("FORMAT clause is stripped (reference 00017 FORMAT JSON)") {
+    val r = ch("SELECT count() AS n FROM nation FORMAT JSON").collect()(0).getLong(0)
+    assert(r == 25)
+  }
+
   test("date helpers: toStartOfMonth / dateDiff") {
     val df = ch("""SELECT toStartOfMonth(o_orderdate) AS m, count() AS n
                   |FROM orders GROUP BY m ORDER BY m""".stripMargin)
