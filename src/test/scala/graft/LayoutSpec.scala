@@ -9,6 +9,12 @@ class LayoutSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("bucketed tables join without a shuffle Exchange") {
+    // clean any stale warehouse locations from earlier JVMs
+    for (t <- Seq("li_b", "o_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
     val li = graft.core.Tables.t(spark, sf, "lineitem")
     val o = graft.core.Tables.t(spark, sf, "orders")
     Layout.writeBucketed(li.select("l_orderkey", "l_quantity"), "li_b", 4, Seq("l_orderkey"))
