@@ -301,6 +301,19 @@ object ChSql {
       q = s"SELECT * FROM ($body) WHERE $cond $tail"
     }
 
+    // ORDER BY col WITH FILL FROM a TO b STEP s  (reference
+    // FillingTransform): generate the grid, left-join the query, order.
+    // Missing measure columns stay NULL here (Fill.withFillLong offers
+    // default-fill/carry semantics on the DataFrame side).
+    val wf = java.util.regex.Pattern
+      .compile("(?is)(.*)\\bORDER BY\\s+(\\w+)\\s+WITH FILL\\s+FROM\\s+(\\S+)\\s+TO\\s+(\\S+)\\s+STEP\\s+(\\S+)\\s*$")
+      .matcher(q)
+    if (wf.matches()) {
+      val (body, c, a, b, st) = (wf.group(1).trim, wf.group(2), wf.group(3), wf.group(4), wf.group(5))
+      q = s"""SELECT * FROM (SELECT explode(sequence($a, $b, $st)) AS $c) __grid
+             |LEFT JOIN ($body) USING ($c) ORDER BY $c""".stripMargin
+    }
+
     // LIMIT n BY (cols): keep first n rows per key in current order
     val lby = java.util.regex.Pattern
       .compile("(?is)(.*?)\\bLIMIT\\s+(\\d+)\\s+BY\\s+\\(?([\\w, ]+?)\\)?\\s*(ORDER BY.*|LIMIT.*|$)")

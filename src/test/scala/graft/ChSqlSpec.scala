@@ -119,6 +119,15 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == 25)
   }
 
+  test("ORDER BY WITH FILL generates the gap rows") {
+    val df = ch("""SELECT n_regionkey AS k, count() AS n FROM nation
+                  |GROUP BY k ORDER BY k WITH FILL FROM 0 TO 9 STEP 1""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 9))
+    assert(rows.count(_.isNullAt(1)) == 5) // filled rows have NULL measure
+  }
+
   test("date helpers: toStartOfMonth / dateDiff") {
     val df = ch("""SELECT toStartOfMonth(o_orderdate) AS m, count() AS n
                   |FROM orders GROUP BY m ORDER BY m""".stripMargin)
