@@ -82,6 +82,25 @@ object Ops {
     l.join(r, "__idx").drop("__idx")
   }
 
+  /** GROUPS window frame (reference WindowDescription.h:30-44 — frame
+    * unit GROUPS, which Spark lacks): emulated exactly by ranking peer
+    * groups with dense_rank and running a RANGE frame over that rank.
+    * Rows with equal order keys share a dense_rank, so the RANGE
+    * [-nPreceding, nFollowing] over ranks spans whole peer groups —
+    * precisely GROUPS BETWEEN n PRECEDING AND m FOLLOWING.
+    *
+    * Returns df + `out` column = agg over the groups frame. */
+  def groupsFrameAgg(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+                     nPreceding: Int, nFollowing: Int,
+                     agg: Column => Column, valueCol: Column, out: String): DataFrame = {
+    val rankW = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    val frameW = Window.partitionBy(partitionBy: _*).orderBy(col("__dr"))
+      .rangeBetween(-nPreceding.toLong, nFollowing.toLong)
+    df.withColumn("__dr", dense_rank().over(rankW))
+      .withColumn(out, agg(valueCol).over(frameW))
+      .drop("__dr")
+  }
+
   /** WITH TOTALS (reference: src/Processors/Transforms/TotalsHavingTransform.cpp):
     * grouped aggregate unioned with the grand-total row, group keys nulled.
     * `agg` maps a grouped/global frame to aggregated columns. */

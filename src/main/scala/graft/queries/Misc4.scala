@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** transform() value remap + regexp counting (SURVEY.md §2.8
+  * introspection/regex rows). */
+object Misc4 {
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame = Tables.t(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // transform(x, [from...], [to...], default) (reference transform.cpp)
+    // == lookup in a literal map with a default.
+    "q_fn_value_remap" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+      val m = map_from_arrays(
+        array(lit("click"), lit("view"), lit("purchase")),
+        array(lit(10), lit(20), lit(30)))
+      ordered(e.select(coalesce(element_at(m, col("event_type")), lit(-1)).as("code"))
+        .groupBy(col("code")).agg(count(lit(1)).as("n")))
+    },
+
+    // countMatches / regexp_extract_all / regexp_instr-style position.
+    "q_fn_regex_count" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      ordered(d.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[aeiou]{2}")).as("n_double_vowel"),
+        size(regexp_extract_all(col("text"), lit("\\b\\w{5}\\b"), lit(0))).as("n_five_letter"),
+        regexp_count(col("text"), lit("row")).as("n_row")))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_fn_value_remap" ->
+      """SELECT code, count(*) AS n FROM (
+        |  SELECT CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 20
+        |    WHEN 'purchase' THEN 30 ELSE -1 END AS code
+        |  FROM events)
+        |GROUP BY code ORDER BY code NULLS FIRST, n NULLS FIRST""".stripMargin,
+    "q_fn_regex_count" ->
+      """SELECT doc_id,
+        |  cast(len(regexp_extract_all(text, '[aeiou]{2}')) AS bigint) AS n_double_vowel,
+        |  cast(len(regexp_extract_all(text, '\b\w{5}\b')) AS int) AS n_five_letter,
+        |  cast(len(regexp_extract_all(text, 'row')) AS bigint) AS n_row
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+  )
+}

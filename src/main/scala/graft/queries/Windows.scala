@@ -117,6 +117,20 @@ object Windows {
       ordered(Ops.limitWithTies(li.select(col("l_quantity")), Seq(col("l_quantity").desc), 100))
     },
 
+    // GROUPS frame (reference WindowDescription.h frame-type GROUPS; no
+    // native Spark support — Ops.groupsFrameAgg emulates via dense_rank +
+    // RANGE; oracle uses DuckDB's NATIVE GROUPS frame).
+    "q_win_groups_frame" -> { (s, dir) =>
+      val li = T(s, dir)("lineitem").filter(col("l_orderkey") < 2000)
+      ordered(Ops.groupsFrameAgg(li,
+          partitionBy = Seq(col("l_returnflag")),
+          orderBy = Seq(col("l_quantity")),
+          nPreceding = 1, nFollowing = 1,
+          agg = sum, valueCol = col("l_extendedprice"), out = "grp_sum")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("grp_sum")))
+    },
+
     // nonNegativeDerivative (reference WindowTransform.cpp:2570): rate of
     // change of `value` per user over event time, clamped at 0.
     "q_win_derivative" -> { (s, dir) =>
@@ -195,6 +209,16 @@ object Windows {
         |  SELECT l_quantity, rank() OVER (ORDER BY l_quantity DESC) AS rk
         |  FROM lineitem) WHERE rk <= 100
         |ORDER BY l_quantity NULLS FIRST""".stripMargin,
+    "q_win_groups_frame" ->
+      """WITH r AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice,
+        |    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS dr
+        |  FROM lineitem WHERE l_orderkey < 2000)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  sum(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY dr
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_sum
+        |FROM r
+        |ORDER BY l_returnflag NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_quantity NULLS FIRST, grp_sum NULLS FIRST""".stripMargin,
     "q_win_derivative" ->
       """SELECT user_id, event_id,
         |  CASE WHEN dt > 0 THEN greatest(dv / dt, 0.0) END AS nn_deriv
