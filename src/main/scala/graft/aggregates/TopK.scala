@@ -59,8 +59,30 @@ class TopKAggregator(k: Int, loadFactor: Int = 10)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }
 
+/** topKWeighted (reference AggregateFunctionTopK.cpp weighted variant):
+  * SpaceSaving where each occurrence adds `weight` instead of 1. */
+class TopKWeightedAggregator(k: Int, loadFactor: Int = 10)
+    extends Aggregator[(String, Long), mutable.Map[String, Long], Seq[String]] {
+  private val inner = new TopKAggregator(k, loadFactor)
+  def zero: mutable.Map[String, Long] = inner.zero
+  def reduce(b: mutable.Map[String, Long], v: (String, Long)): mutable.Map[String, Long] = {
+    if (v._1 != null) inner.merge(b, mutable.Map(v._1 -> v._2))
+    b
+  }
+  def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] =
+    inner.merge(a, b)
+  def finish(b: mutable.Map[String, Long]): Seq[String] = inner.finish(b)
+  def bufferEncoder: Encoder[mutable.Map[String, Long]] = inner.bufferEncoder
+  def outputEncoder: Encoder[Seq[String]] = inner.outputEncoder
+}
+
 object TopK {
   /** Untyped column form: topK(k) over a string column. */
   def topK(col: Column, k: Int): Column =
     udaf(new TopKAggregator(k), Encoders.STRING).apply(col)
+
+  /** topKWeighted(k) over (value, weight) columns. */
+  def topKWeighted(value: Column, weight: Column, k: Int): Column =
+    udaf(new TopKWeightedAggregator(k),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)).apply(value, weight)
 }

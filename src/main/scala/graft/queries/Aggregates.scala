@@ -37,6 +37,15 @@ object Aggregates {
         .agg(concat_ws(",", TopK.topK(col("event_type"), 3)).as("top3")))
     },
 
+    // topKWeighted: by summed integer weight (exact here — capacity
+    // exceeds distinct values).
+    "q_topk_weighted" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+      ordered(e.groupBy(col("user_id"))
+        .agg(concat_ws(",", TopK.topKWeighted(col("event_type"),
+          floor(col("value")).cast("long"), 3)).as("top3w")))
+    },
+
     // windowFunnel: signup -> click -> purchase within 7 days, per user.
     "q_window_funnel" -> { (s, dir) =>
       val e = T(s, dir)("events")
@@ -66,6 +75,26 @@ object Aggregates {
         .select(col("user_id"),
           (col("first_signup").isNotNull && col("last_purchase").isNotNull &&
             col("first_signup") < col("last_purchase")).as("matched")))
+    },
+
+    // sequenceCount('(?1).*(?2)') (reference sequenceCount): number of
+    // NON-OVERLAPPING signup->purchase chains per user = count of
+    // purchases (in time order, i-th) with at least i signups before
+    // them (greedy earliest matching).
+    "q_sequence_count" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withCums = e
+        .withColumn("cum_signup",
+          sum(when(col("event_type") === "signup", 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("event_type") === "purchase")
+      val wp = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ordered(withCums
+        .withColumn("i", row_number().over(wp))
+        .groupBy(col("user_id"))
+        .agg(sum(when(coalesce(col("cum_signup"), lit(0)) >= col("i"), 1).otherwise(0))
+          .cast("long").as("n_chains")))
     },
 
     // deltaSum (reference AggregateFunctionDeltaSum): sum of positive
@@ -176,6 +205,16 @@ object Aggregates {
         |WHERE rn <= 3
         |GROUP BY user_id
         |ORDER BY user_id NULLS FIRST, top3 NULLS FIRST""".stripMargin,
+    "q_topk_weighted" ->
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY w DESC, event_type) AS top3w
+        |FROM (
+        |  SELECT user_id, event_type, sum(cast(floor(value) AS bigint)) AS w,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY sum(cast(floor(value) AS bigint)) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rn <= 3
+        |GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST, top3w NULLS FIRST""".stripMargin,
     "q_window_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
@@ -210,6 +249,20 @@ object Aggregates {
         |    < max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END), false) AS matched
         |FROM events GROUP BY user_id
         |ORDER BY user_id NULLS FIRST, matched NULLS FIRST""".stripMargin,
+    "q_sequence_count" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_signup
+        |  FROM events),
+        |pp AS (SELECT user_id, coalesce(cum_signup, 0) AS cs,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+        |  FROM p WHERE event_type = 'purchase')
+        |SELECT user_id,
+        |  cast(sum(CASE WHEN cs >= i THEN 1 ELSE 0 END) AS bigint) AS n_chains
+        |FROM pp GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST, n_chains NULLS FIRST""".stripMargin,
     "q_delta_sum" ->
       """SELECT user_id,
         |  sum(CASE WHEN d > 0 THEN d ELSE 0.0 END) AS delta_sum

@@ -231,6 +231,10 @@ object ChSql {
     // count() -> count(*)
     q = q.replaceAll("""\bcount\(\s*\)""", "count(*)")
 
+    // GLOBAL IN / GLOBAL JOIN are distribution hints in the reference;
+    // Spark's optimizer owns distribution — drop the modifier.
+    q = q.replaceAll("""(?i)\bGLOBAL\s+(IN|NOT\s+IN|JOIN|ANY|ALL)\b""", "$1")
+
     // templates (argument-restructuring rewrites) — before plain aliases
     q = rewriteCalls(q, "sumIf")(a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "countIf")(a => s"count(CASE WHEN ${a(0)} THEN 1 END)")
