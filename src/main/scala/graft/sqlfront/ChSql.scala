@@ -40,7 +40,7 @@ object ChSql {
     "trimBoth" -> "trim", "trimLeft" -> "ltrim", "trimRight" -> "rtrim",
     "leftPad" -> "lpad", "rightPad" -> "rpad",
     // math / misc
-    "intDiv" -> "div", "modulo" -> "mod", "plus" -> "try_add",
+    "modulo" -> "mod", "plus" -> "try_add",
     "ln" -> "ln", "log2" -> "log2", "log10" -> "log10",
     "roundBankers" -> "bround", "cbrt" -> "cbrt",
     "bitCount" -> "bit_count",
@@ -70,8 +70,7 @@ object ChSql {
     "arrayReverse" -> "reverse", "arrayFlatten" -> "flatten",
     "arrayCompact" -> "array_compact", "arrayZip" -> "arrays_zip",
     "indexOf" -> "array_position", "arrayElement" -> "element_at",
-    "arrayMap" -> "transform", "arrayFilter" -> "filter",
-    "arrayExists" -> "exists", "arrayAll" -> "forall",
+    
     "arrayCumSum" -> "array_cum_sum", // no direct; leave template-less
     "arrayStringConcat" -> "array_join", "emptyArrayString" -> "array",
     // json
@@ -235,7 +234,25 @@ object ChSql {
     // Spark's optimizer owns distribution — drop the modifier.
     q = q.replaceAll("""(?i)\bGLOBAL\s+(IN|NOT\s+IN|JOIN|ANY|ALL)\b""", "$1")
 
+    // ALL JOIN strictness modifier (reference Joins.h All) is Spark's
+    // default join semantics — drop it.
+    q = q.replaceAll("""(?i)\bALL\s+(INNER|LEFT|RIGHT|FULL)\b""", "$1")
+
     // templates (argument-restructuring rewrites) — before plain aliases
+    // CH higher-order fns take the LAMBDA first; Spark takes the array first.
+    q = rewriteCalls(q, "arrayMap")(a => s"transform(${a(1)}, ${a(0)})")
+    q = rewriteCalls(q, "arrayFilter")(a => s"filter(${a(1)}, ${a(0)})")
+    q = rewriteCalls(q, "arrayExists")(a =>
+      if (a.length == 2) s"exists(${a(1)}, ${a(0)})" else s"exists(${a(0)}, x -> x)")
+    q = rewriteCalls(q, "arrayAll")(a =>
+      if (a.length == 2) s"forall(${a(1)}, ${a(0)})" else s"forall(${a(0)}, x -> x)")
+    q = rewriteCalls(q, "arrayCount")(a =>
+      if (a.length == 2) s"size(filter(${a(1)}, ${a(0)}))" else s"size(filter(${a(0)}, x -> x))")
+    q = rewriteCalls(q, "arraySum")(a =>
+      if (a.length == 2) s"aggregate(${a(1)}, CAST(0 AS DOUBLE), (acc, x) -> acc + ${a(0)}(x))"
+      else s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    q = rewriteCalls(q, "intDiv")(a => s"((${a(0)}) div (${a(1)}))")
+    q = rewriteCalls(q, "position")(a => s"instr(${a(0)}, ${a(1)})")
     q = rewriteCalls(q, "sumIf")(a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "countIf")(a => s"count(CASE WHEN ${a(0)} THEN 1 END)")
     q = rewriteCalls(q, "avgIf")(a => s"avg(CASE WHEN ${a(1)} THEN ${a(0)} END)")

@@ -128,6 +128,27 @@ class ChSqlSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(1)) == 5) // filled rows have NULL measure
   }
 
+  test("lambda-first higher-order fns (reference 00022)") {
+    val r = ch("SELECT arrayExists(x -> position(x, 'a') > 0, ['a']) AS e").collect()(0)
+    assert(r.getBoolean(0))
+    val r2 = ch("SELECT arrayMap(x -> x * 2, [1, 2, 3]) AS m").collect()(0).getSeq[Int](0)
+    assert(r2 == Seq(2, 4, 6))
+    val r3 = ch("SELECT arrayCount(x -> x > 1, [1, 2, 3]) AS c").collect()(0).getInt(0)
+    assert(r3 == 2)
+  }
+
+  test("ALL INNER JOIN + intDiv (reference 00053_all_inner_join)") {
+    val df = ch("""SELECT a.k AS k, b.joined AS joined FROM
+                  |( SELECT number AS k FROM system.numbers LIMIT 10 ) AS a
+                  |ALL INNER JOIN
+                  |( SELECT intDiv(number, 2) AS k, number AS joined
+                  |  FROM system.numbers LIMIT 10 ) AS b
+                  |ON a.k = b.k ORDER BY k, joined""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 10) // keys 0..4 each match 2 rows
+    assert(rows.head.getLong(0) == 0L)
+  }
+
   test("date helpers: toStartOfMonth / dateDiff") {
     val df = ch("""SELECT toStartOfMonth(o_orderdate) AS m, count() AS n
                   |FROM orders GROUP BY m ORDER BY m""".stripMargin)
