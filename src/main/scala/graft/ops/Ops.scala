@@ -82,6 +82,18 @@ object Ops {
     l.join(r, "__idx").drop("__idx")
   }
 
+  /** dictGet (reference FunctionsExternalDictionaries.h / Dictionaries):
+    * enrich `df` with attribute columns looked up from a dimension table
+    * by key — implemented as a broadcast left join, the Spark-native
+    * dictionary: the dimension ships to every executor once, the fact
+    * table never shuffles. */
+  def dictGet(df: DataFrame, dict: DataFrame, dfKey: Column, dictKey: Column,
+              attrs: (Column, String)*): DataFrame = {
+    val dim = broadcast(dict.select((dictKey.as("__dk") +: attrs.map {
+      case (c, name) => c.as(name) }): _*))
+    df.join(dim, dfKey === col("__dk"), "left").drop("__dk")
+  }
+
   /** GROUPS window frame (reference WindowDescription.h:30-44 — frame
     * unit GROUPS, which Spark lacks): emulated exactly by ranking peer
     * groups with dense_rank and running a RANGE frame over that rank.

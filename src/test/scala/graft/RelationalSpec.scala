@@ -46,3 +46,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 }
+
+class DictGetSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  test("dictGet enriches facts via broadcast without shuffling the fact side") {
+    import org.apache.spark.sql.functions._
+    val o = graft.core.Tables.t(spark, sf, "orders")
+    val c = graft.core.Tables.t(spark, sf, "customer")
+    val got = graft.ops.Ops.dictGet(o, c, col("o_custkey"), col("c_custkey"),
+      (col("c_name"), "cust_name"), (col("c_mktsegment"), "segment"))
+    assert(got.count() == o.count())           // left join: no row loss
+    assert(got.filter(col("cust_name").isNull).count() == 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dictGet not broadcast:\n$plan")
+  }
+}
