@@ -252,6 +252,13 @@ object ChSql {
       if (a.length == 2) s"aggregate(${a(1)}, CAST(0 AS DOUBLE), (acc, x) -> acc + ${a(0)}(x))"
       else s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
     q = rewriteCalls(q, "intDiv")(a => s"((${a(0)}) div (${a(1)}))")
+    // CH divide(): float division, x/0 -> ±Inf, 0/0 -> NaN (never error)
+    q = rewriteCalls(q, "divide")(a =>
+      s"(CASE WHEN CAST(${a(1)} AS DOUBLE) = 0.0 THEN " +
+        s"CASE WHEN CAST(${a(0)} AS DOUBLE) > 0.0 THEN CAST('Infinity' AS DOUBLE) " +
+        s"WHEN CAST(${a(0)} AS DOUBLE) < 0.0 THEN CAST('-Infinity' AS DOUBLE) " +
+        s"ELSE CAST('NaN' AS DOUBLE) END " +
+        s"ELSE CAST(${a(0)} AS DOUBLE) / CAST(${a(1)} AS DOUBLE) END)")
     q = rewriteCalls(q, "position")(a => s"instr(${a(0)}, ${a(1)})")
     q = rewriteCalls(q, "sumIf")(a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "countIf")(a => s"count(CASE WHEN ${a(0)} THEN 1 END)")
