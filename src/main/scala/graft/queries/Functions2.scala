@@ -70,9 +70,11 @@ object Functions2 {
     "q_fn_struct" -> { (s, dir) =>
       val c = T(s, dir)("customer").filter(col("c_custkey") < 300)
       val st = struct(col("c_custkey"), col("c_mktsegment"))
+      // struct serialized as canonical JSON text so the comparison is a
+      // plain string on both engines
       ordered(c.select(
         col("c_custkey"),
-        st.as("tup"),
+        to_json(st).as("tup"),
         st.getField("c_mktsegment").as("seg_from_tup")))
     },
 
@@ -184,7 +186,7 @@ object Functions2 {
         |FROM u ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q_fn_struct" ->
       """SELECT c_custkey,
-        |  {'c_custkey': c_custkey, 'c_mktsegment': c_mktsegment} AS tup,
+        |  '{"c_custkey":' || c_custkey || ',"c_mktsegment":"' || c_mktsegment || '"}' AS tup,
         |  c_mktsegment AS seg_from_tup
         |FROM customer WHERE c_custkey < 300
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,

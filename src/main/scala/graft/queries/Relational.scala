@@ -96,6 +96,15 @@ object Relational {
              coalesce(sum(col("o_totalprice")), lit(0.0)).as("total_spent")))
     },
 
+    // Right outer join: all orders kept, optional high-value lineitem agg.
+    "q_join_right" -> { (s, dir) =>
+      val li = T(s, dir)("lineitem").filter(col("l_quantity") > 48)
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("big_qty"))
+      val o = T(s, dir)("orders")
+      ordered(li.join(o, col("l_orderkey") === col("o_orderkey"), "right")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("big_qty")))
+    },
+
     // Full outer join of two aggregated sides (nation-level customer vs
     // supplier balance).
     "q_join_full" -> { (s, dir) =>
@@ -329,6 +338,12 @@ object Relational {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST, n_orders NULLS FIRST, total_spent NULLS FIRST""".stripMargin,
+    "q_join_right" ->
+      """SELECT o_orderkey, o_orderstatus, big_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS big_qty
+        |      FROM lineitem WHERE l_quantity > 48 GROUP BY l_orderkey) li
+        |RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY o_orderkey NULLS FIRST, o_orderstatus NULLS FIRST, big_qty NULLS FIRST""".stripMargin,
     "q_join_full" ->
       """SELECT nk, cust_bal, supp_bal FROM
         |  (SELECT c_nationkey AS nk, sum(c_acctbal) AS cust_bal FROM customer GROUP BY 1) c

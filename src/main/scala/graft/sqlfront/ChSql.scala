@@ -52,7 +52,7 @@ object ChSql {
     "uniq" -> "approx_count_distinct", "uniqHLL12" -> "approx_count_distinct",
     "uniqCombined" -> "approx_count_distinct", "uniqExact" -> "count_distinct",
     "groupArray" -> "collect_list", "groupUniqArray" -> "collect_set",
-    "anyLast" -> "last", "any" -> "first",
+    "anyLast" -> "last", "any" -> "first", "anyHeavy" -> "mode",
     "argMin" -> "min_by", "argMax" -> "max_by",
     "avgWeighted" -> "avg_weighted", // template below
     "varPop" -> "var_pop", "varSamp" -> "var_samp",
