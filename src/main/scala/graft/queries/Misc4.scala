@@ -21,6 +21,26 @@ object Misc4 {
         .groupBy(col("code")).agg(count(lit(1)).as("n")))
     },
 
+    // arrayDifference / arrayCumSum (reference array/arrayDifference.cpp,
+    // arrayCumSum.cpp) over the 64-dim embeddings — emitted as scalar
+    // checksums of the result arrays (sum/first/last) for comparison
+    // stability.
+    "q_fn_array_scan" -> { (s, dir) =>
+      val e = T(s, dir)("embeddings")
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      val n = size(vd)
+      val diff = transform(sequence(lit(1), n), i =>
+        when(i === 1, lit(0.0)).otherwise(
+          element_at(vd, i) - element_at(vd, i - 1)))
+      val cums = transform(sequence(lit(1), n), i =>
+        aggregate(slice(vd, lit(1), i), lit(0.0), (a, x) => a + x))
+      ordered(e.select(
+        col("vec_id"),
+        aggregate(diff, lit(0.0), (a, x) => a + abs(x)).as("diff_l1"),
+        element_at(cums, 1).as("cum_first"),
+        element_at(cums, -1).as("cum_last")))
+    },
+
     // countMatches / regexp_extract_all / regexp_instr-style position.
     "q_fn_regex_count" -> { (s, dir) =>
       val d = T(s, dir)("documents")
@@ -39,6 +59,22 @@ object Misc4 {
         |    WHEN 'purchase' THEN 30 ELSE -1 END AS code
         |  FROM events)
         |GROUP BY code ORDER BY code NULLS FIRST, n NULLS FIRST""".stripMargin,
+    "q_fn_array_scan" ->
+      """WITH t AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, vd,
+        |    list_transform(range(1, len(vd) + 1),
+        |      i -> CASE WHEN i = 1 THEN 0.0 ELSE vd[i] - vd[i-1] END) AS diff,
+        |    list_transform(range(1, len(vd) + 1),
+        |      i -> list_sum(vd[1:i])) AS cums
+        |  FROM t)
+        |SELECT vec_id,
+        |  list_sum(list_transform(diff, x -> abs(x))) AS diff_l1,
+        |  cums[1] AS cum_first,
+        |  cums[-1] AS cum_last
+        |FROM d
+        |ORDER BY vec_id NULLS FIRST""".stripMargin,
     "q_fn_regex_count" ->
       """SELECT doc_id,
         |  cast(len(regexp_extract_all(text, '[aeiou]{2}')) AS bigint) AS n_double_vowel,

@@ -34,6 +34,15 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == expect)
   }
 
+  test("DatePreimageRule handles DateType columns") {
+    import spark.implicits._
+    val df = Seq("1996-05-01", "1997-06-01", "1998-07-01").toDF("s")
+      .select(to_date(col("s")).as("d"))
+    val filtered = df.filter(year(col("d")) === 1997)
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("year("))
+    assert(filtered.count() == 1)
+  }
+
   test("q5 plan broadcasts the small dimensions") {
     val plan = SparkEntry.queries("q5_local_supplier")(spark, sf)
       .queryExecution.executedPlan.toString
