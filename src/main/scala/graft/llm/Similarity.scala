@@ -84,10 +84,14 @@ object Similarity {
     * bucket first for the scale path. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // norms computed once per ROW (not per pair) — the quadratic part is
+    // a single dot-product kernel; values are bit-identical to
+    // dot/(sqrt(ssa)*sqrt(ssb)) computed pairwise.
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        cosine(col("x.v"), col("y.v")).as("cos"))
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
