@@ -35,6 +35,17 @@ object VectorKernels {
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  // Ragged/corrupt embedding data must surface as an error, not be
+  // silently averaged over a common prefix (reference arrayDistance /
+  // arrayDotProduct raise on mismatched sizes too).
+  private def checkSameLength(a: ArrayData, b: ArrayData): Int = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (na != nb)
+      throw new IllegalArgumentException(
+        s"vector kernel: mismatched array lengths $na vs $nb")
+    na
+  }
+
   /** cosine(a, b) = dot / (|a| * |b|), one pass. */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -42,7 +53,7 @@ object VectorKernels {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
       val (ta, tb) = (elemType(left), elemType(right))
-      val n = math.min(a.numElements(), b.numElements())
+      val n = checkSameLength(a, b)
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < n) {
         val x = toDouble(a, i, ta); val y = toDouble(b, i, tb)
@@ -60,7 +71,7 @@ object VectorKernels {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
       val (ta, tb) = (elemType(left), elemType(right))
-      val n = math.min(a.numElements(), b.numElements())
+      val n = checkSameLength(a, b)
       var dot = 0.0; var i = 0
       while (i < n) { dot += toDouble(a, i, ta) * toDouble(b, i, tb); i += 1 }
       dot

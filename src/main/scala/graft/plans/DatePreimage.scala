@@ -27,7 +27,10 @@ object DatePreimageRule extends Rule[LogicalPlan] {
   private def boundary(year: Int, dt: DataType): Option[Literal] = dt match {
     case DateType =>
       Some(Literal(java.time.LocalDate.of(year, 1, 1).toEpochDay.toInt, DateType))
-    case TimestampType =>
+    // TimestampType year() follows the SESSION time zone; the UTC-instant
+    // boundary below is only its preimage when that zone is UTC. DateType /
+    // TimestampNTZ are zone-independent, so they rewrite unconditionally.
+    case TimestampType if conf.sessionLocalTimeZone == "UTC" =>
       val micros = java.time.LocalDate.of(year, 1, 1)
         .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
       Some(Literal(micros, TimestampType))

@@ -70,14 +70,16 @@ object Functions {
         round(x, 1).as("round1"),
         floor(x).as("fl"),
         ceil(x).as("ce"),
-        sqrt(x).as("sq"),
-        exp(x / 100000).as("ex"),
-        log(x).as("ln_x"),
-        log10(x).as("lg"),
-        pow(x, 0.5).as("pw"),
-        sin(x / 1000).as("sn"),
-        cos(x / 1000).as("cs"),
-        atan(x / 1000).as("at"),
+        // Transcendentals rounded to 6 decimals on BOTH sides: JVM libm and
+        // DuckDB libm differ in the last ULP, which fails an exact hash.
+        round(sqrt(x), 6).as("sq"),
+        round(exp(x / 100000), 6).as("ex"),
+        round(log(x), 6).as("ln_x"),
+        round(log10(x), 6).as("lg"),
+        round(pow(x, 0.5), 6).as("pw"),
+        round(sin(x / 1000), 6).as("sn"),
+        round(cos(x / 1000), 6).as("cs"),
+        round(atan(x / 1000), 6).as("at"),
         signum(x - 30000).as("sg"),
         (pmod(col("l_orderkey"), lit(7))).as("pm")))
     },
@@ -261,14 +263,14 @@ object Functions {
         |  round(l_extendedprice, 1) AS round1,
         |  floor(l_extendedprice) AS fl,
         |  ceil(l_extendedprice) AS ce,
-        |  sqrt(l_extendedprice) AS sq,
-        |  exp(l_extendedprice / 100000) AS ex,
-        |  ln(l_extendedprice) AS ln_x,
-        |  log10(l_extendedprice) AS lg,
-        |  pow(l_extendedprice, 0.5) AS pw,
-        |  sin(l_extendedprice / 1000) AS sn,
-        |  cos(l_extendedprice / 1000) AS cs,
-        |  atan(l_extendedprice / 1000) AS at,
+        |  round(sqrt(l_extendedprice), 6) AS sq,
+        |  round(exp(l_extendedprice / 100000), 6) AS ex,
+        |  round(ln(l_extendedprice), 6) AS ln_x,
+        |  round(log10(l_extendedprice), 6) AS lg,
+        |  round(pow(l_extendedprice, 0.5), 6) AS pw,
+        |  round(sin(l_extendedprice / 1000), 6) AS sn,
+        |  round(cos(l_extendedprice / 1000), 6) AS cs,
+        |  round(atan(l_extendedprice / 1000), 6) AS at,
         |  CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS sg,
         |  l_orderkey % 7 AS pm
         |FROM lineitem WHERE l_orderkey < 300

@@ -19,17 +19,18 @@ object ChSql {
     "toYear" -> "year", "toMonth" -> "month", "toDayOfMonth" -> "day",
     "toHour" -> "hour", "toMinute" -> "minute", "toSecond" -> "second",
     "toDayOfYear" -> "dayofyear", "toQuarter" -> "quarter",
-    "toISOWeek" -> "weekofyear", "toDayOfWeek" -> "dayofweek",
+    "toISOWeek" -> "weekofyear",
+    "toDayOfWeek" -> "iso_weekday", // template below: CH is Mon=1..Sun=7 (ISO)
     "toUnixTimestamp" -> "unix_timestamp",
     "fromUnixTimestamp" -> "from_unixtime",
     "formatDateTime" -> "date_format",
-    "dateDiff" -> "timestampdiff", "date_diff" -> "timestampdiff",
+    "dateDiff" -> "timestampdiff", "date_diff" -> "timestampdiff", // templates below: unit quotes stripped
     "addDays" -> "date_add", "subtractDays" -> "date_sub",
     "makeDate" -> "make_date",
     // string
     "lengthUTF8" -> "length", "lowerUTF8" -> "lower", "upperUTF8" -> "upper",
     "substringUTF8" -> "substring", "mid" -> "substring",
-    "positionCaseInsensitive" -> "instr",
+    "positionCaseInsensitive" -> "instr_ci", // template below: lower() both sides
     "concatWithSeparator" -> "concat_ws",
     "splitByChar" -> "split_by_char", // handled by template below
     "match" -> "rlike", "extract" -> "regexp_extract",
@@ -259,6 +260,15 @@ object ChSql {
         s"WHEN CAST(${a(0)} AS DOUBLE) < 0.0 THEN CAST('-Infinity' AS DOUBLE) " +
         s"ELSE CAST('NaN' AS DOUBLE) END " +
         s"ELSE CAST(${a(0)} AS DOUBLE) / CAST(${a(1)} AS DOUBLE) END)")
+    // CH toDayOfWeek default mode is ISO Monday=1..Sunday=7; Spark's
+    // dayofweek is Sunday=1 — use weekday() (Monday=0) + 1 instead.
+    q = rewriteCalls(q, "toDayOfWeek")(a => s"(weekday(${a(0)}) + 1)")
+    q = rewriteCalls(q, "positionCaseInsensitive")(a => s"instr(lower(${a(0)}), lower(${a(1)}))")
+    // CH dateDiff('day', a, b): unit arrives as a string literal; Spark's
+    // timestampdiff needs a bare unit identifier.
+    val stripUnit = (u: String) => u.replaceAll("'", "").trim.toUpperCase
+    q = rewriteCalls(q, "dateDiff")(a => s"timestampdiff(${stripUnit(a(0))}, ${a(1)}, ${a(2)})")
+    q = rewriteCalls(q, "date_diff")(a => s"timestampdiff(${stripUnit(a(0))}, ${a(1)}, ${a(2)})")
     q = rewriteCalls(q, "position")(a => s"instr(${a(0)}, ${a(1)})")
     q = rewriteCalls(q, "sumIf")(a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "countIf")(a => s"count(CASE WHEN ${a(0)} THEN 1 END)")
@@ -302,7 +312,8 @@ object ChSql {
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !Set("splitByChar", "multiIf", "avgWeighted",
         "arrayUniq", "bitHammingDistance", "uniqExact", "quantileExact",
-        "arrayStringConcat", "topK", "arrayCumSum").contains(ch)) {
+        "arrayStringConcat", "topK", "arrayCumSum",
+        "toDayOfWeek", "positionCaseInsensitive", "dateDiff", "date_diff").contains(ch)) {
       q = q.replaceAll(s"""\\b$ch\\s*\\(""", sp + "(")
     }
 
