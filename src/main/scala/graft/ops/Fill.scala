@@ -7,35 +7,76 @@ import org.apache.spark.sql.functions._
 /** ORDER BY ... WITH FILL / INTERPOLATE (reference:
   * src/Processors/Transforms/FillingTransform.cpp — generates missing
   * rows on an arithmetic grid and interpolates other columns).
+  *
+  * Carry-forward is computed per coarse grid BUCKET plus one tiny
+  * boundary pass, never through a single global window: each bucket
+  * forward-fills locally, the per-bucket final values (a ≤`nBuckets`-row
+  * table) turn into per-bucket incoming values via an O(B²) theta-join,
+  * and `coalesce(local, incoming)` completes the fill. All heavy stages
+  * are partitioned by bucket, so the operator scales with the grid.
   */
 object Fill {
 
+  /** Buckets in the fill grid — bounded so the boundary table is trivially
+    * broadcastable; each bucket still holds grid/nBuckets points, keeping
+    * all heavy work partitioned. */
+  private val nBuckets = 64L
+
+  /** Shared bucketed carry: `joined` must contain `keyCol` (orderable
+    * numeric/timestamp), `gridIdx` = 0-based grid position of the row. */
+  private def bucketedCarry(joined: DataFrame, keyCol: String, gridIdx: Column,
+                            totalPoints: Long, carryCols: Seq[String]): DataFrame = {
+    if (carryCols.isEmpty) return joined
+    val bucketSize = math.max(1L, (totalPoints + nBuckets - 1) / nBuckets)
+    val withB = joined.withColumn("__b", (gridIdx / bucketSize).cast("long"))
+    val wLocal = Window.partitionBy(col("__b")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = carryCols.foldLeft(withB) { (acc, c) =>
+      acc.withColumn(s"__loc_$c", last(col(c), ignoreNulls = true).over(wLocal))
+    }
+    // Final non-null value per bucket per carry column (null keys are
+    // ignored by max_by, so an all-null bucket yields null).
+    val finalAggs = carryCols.map(c =>
+      max_by(col(c), when(col(c).isNotNull, col(keyCol))).as(c))
+    val finals = withB.groupBy(col("__b")).agg(finalAggs.head, finalAggs.tail: _*)
+    // Incoming value for bucket b = latest non-null final among buckets < b.
+    // O(B²) on a ≤nBuckets-row table — no unpartitioned window anywhere.
+    val inAggs = carryCols.map(c =>
+      max_by(col(s"b.$c"), when(col(s"b.$c").isNotNull, col("b.__b"))).as(s"__in_$c"))
+    val incoming = finals.as("a")
+      .join(finals.as("b"), col("b.__b") < col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(inAggs.head, inAggs.tail: _*)
+    val merged = local.join(broadcast(incoming), Seq("__b"), "left")
+    carryCols.foldLeft(merged) { (acc, c) =>
+      acc.withColumn(c, coalesce(col(s"__loc_$c"), col(s"__in_$c")))
+        .drop(s"__loc_$c", s"__in_$c")
+    }.drop("__b")
+  }
+
   /** Fill integer gaps in `keyCol` on [from, to] step `step`: generate the
-    * grid with sequence+explode (distributed — no driver loop), left-join
-    * the data, and forward-fill `carryCols` with last(ignoreNulls) —
+    * grid with spark.range (distributed — no driver loop), left-join the
+    * data, and forward-fill `carryCols` with last(ignoreNulls) —
     * matching the reference's INTERPOLATE (col AS prev value) mode. */
   def withFillLong(spark: SparkSession, df: DataFrame, keyCol: String,
                    from: Long, to: Long, step: Long,
                    carryCols: Seq[String]): DataFrame = {
-    val grid = spark.range(0, (to - from) / step + 1)
+    val points = (to - from) / step + 1
+    val grid = spark.range(0, points)
       .select((col("id") * step + from).as(keyCol))
     val joined = grid.join(df, Seq(keyCol), "left")
-    val w = Window.orderBy(col(keyCol)).rowsBetween(Window.unboundedPreceding, 0)
-    carryCols.foldLeft(joined) { (acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    bucketedCarry(joined, keyCol, (col(keyCol) - from) / step, points, carryCols)
   }
 
   /** Same grid-fill for timestamps with a fixed interval (microseconds). */
   def withFillTimestamp(spark: SparkSession, df: DataFrame, tsCol: String,
                         fromMicros: Long, toMicros: Long, stepMicros: Long,
                         carryCols: Seq[String]): DataFrame = {
-    val grid = spark.range(0, (toMicros - fromMicros) / stepMicros + 1)
+    val points = (toMicros - fromMicros) / stepMicros + 1
+    val grid = spark.range(0, points)
       .select(timestamp_micros(col("id") * stepMicros + fromMicros).as(tsCol))
     val joined = grid.join(df, Seq(tsCol), "left")
-    val w = Window.orderBy(col(tsCol)).rowsBetween(Window.unboundedPreceding, 0)
-    carryCols.foldLeft(joined) { (acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    bucketedCarry(joined, tsCol,
+      (unix_micros(col(tsCol)) - fromMicros) / stepMicros, points, carryCols)
   }
 }

@@ -31,10 +31,24 @@ object Ops {
     limitBy(df, on, order, 1).drop("rn")
 
   /** LIMIT n WITH TIES (reference: src/Processors/LimitTransform.h:27) —
-    * keep all rows tied with the n-th on `order`. */
-  def limitWithTies(df: DataFrame, order: Seq[Column], n: Int): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    df.withColumn("__rk", rank().over(w)).filter(col("__rk") <= n).drop("__rk")
+    * keep all rows tied with the n-th on `order`.
+    *
+    * Scale-safe formulation (no global window): a row survives iff its
+    * order-key tuple appears among the first n rows' tuples — every tuple
+    * strictly before the n-th is fully inside the top n, and the n-th
+    * tuple itself is present there. `orderBy().limit(n)` is a
+    * TakeOrderedAndProject (per-partition top-n, driver merge of n rows),
+    * and the ≤n distinct tuples broadcast into a semi-join, so the full
+    * input is never moved to one task.
+    *
+    * `order` gives the sort (may carry .desc); `keys` the same expressions
+    * bare, used for the tie-equality test. */
+  def limitWithTies(df: DataFrame, order: Seq[Column], keys: Seq[Column], n: Int): DataFrame = {
+    val top = df.orderBy(order: _*).limit(n)
+      .select(keys.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
+      .distinct()
+    val cond = keys.zipWithIndex.map { case (c, i) => c <=> col(s"__k$i") }.reduce(_ && _)
+    df.join(broadcast(top), cond, "left_semi")
   }
 
   /** ANY JOIN — first/any match per left row, no row multiplication
@@ -61,14 +75,44 @@ object Ops {
     *
     * `leftId` must be a unique key of `left` (used to re-group matches). */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
-               leftOn: Column, rightOn: Column, leftId: Column,
+               leftOn: Column, rightOn: Column,
                direction: String = "backward"): DataFrame = {
-    val cond = if (direction == "backward") rightOn <= leftOn else rightOn >= leftOn
-    val ord = if (direction == "backward") rightOn.desc else rightOn.asc
-    val joined = left.join(right, by.map(k => left(k) === right(k)).reduce(_ && _) && cond, "left")
-    val w = Window.partitionBy(leftId).orderBy(ord)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // Union-sort formulation: tag both sides, sort by (by, ts, side) so a
+    // window `last(right payload, ignoreNulls)` carries the nearest right
+    // row onto each left row. One shuffle on `by`, O(n) intermediate — no
+    // join-then-filter row multiplication when per-key history is dense
+    // (the old left-join + top-1 materialized EVERY earlier right row per
+    // left row first).
+    //
+    // Determinism contract (unchanged): right must be unique per
+    // (by, rightOn); ties among right rows at equal ts are otherwise
+    // carried arbitrarily.
+    //
+    // Output = all left columns ++ right columns minus `by` (right's key
+    // cols would duplicate left's; matched ts arrives via rightOn's col).
+    val rPayload = right.columns.filterNot(by.contains)
+    val rStruct = struct(rPayload.map(right(_)): _*)
+    val lStruct = struct(left.columns.map(left(_)): _*)
+    val rType = right.select(rStruct.as("s")).schema.head.dataType
+    val lType = left.select(lStruct.as("s")).schema.head.dataType
+    val l = left.select(
+      by.map(k => left(k).as(s"__by_$k")) ++ Seq(
+        leftOn.as("__t"), lit(1).as("__side"),
+        lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val r = right.select(
+      by.map(k => right(k).as(s"__by_$k")) ++ Seq(
+        rightOn.as("__t"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
+    val u = l.unionByName(r)
+    val ord =
+      if (direction == "backward") Seq(col("__t").asc, col("__side").asc)
+      else Seq(col("__t").desc, col("__side").asc)
+    val w = Window.partitionBy(by.map(k => col(s"__by_$k")): _*)
+      .orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+        rPayload.map(c => col(s"__match.$c").as(c)): _*)
   }
 
   /** PASTE JOIN — positional (row-number) join, no key (reference:
@@ -77,9 +121,59 @@ object Ops {
     * window row_numbers + an equi-join on the index. */
   def pasteJoin(left: DataFrame, right: DataFrame,
                 leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
-    val l = left.withColumn("__idx", row_number().over(Window.orderBy(leftOrder: _*)))
-    val r = right.withColumn("__idx", row_number().over(Window.orderBy(rightOrder: _*)))
+    val l = withGlobalIndex(left, leftOrder, "__idx")
+    val r = withGlobalIndex(right, rightOrder, "__idx")
     l.join(r, "__idx").drop("__idx")
+  }
+
+  /** 1-based contiguous global index in `order` without a global window —
+    * the zipWithIndex pattern in DataFrame terms: range-partition + local
+    * sort, per-partition base via monotonically_increasing_id (pid<<33 +
+    * local offset, so `mid - min(mid)` is the local row number), then a
+    * tiny per-partition count table turned into cumulative offsets with an
+    * O(P²) theta-join (P = #partitions, so trivially small) and broadcast
+    * back. Every stage is parallel; no task ever sees the whole input.
+    *
+    * `order` must be a total order (include a unique tie-breaker) for the
+    * index to be deterministic. */
+  private def withGlobalIndex(df: DataFrame, order: Seq[Column], idxName: String): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val counts = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__base"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"), col("a.__base").as("__base"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+    sorted.join(broadcast(offsets), "__pid")
+      .withColumn(idxName, col("__mid") - col("__base") + col("__off") + 1)
+      .drop("__pid", "__mid", "__base", "__off")
+  }
+
+  /** Scale-safe global running total of `value` in `order`, EXCLUSIVE of
+    * the current row — sum() OVER (ORDER BY order ROWS UNBOUNDED
+    * PRECEDING TO 1 PRECEDING) without the single-partition window:
+    * range-partition on `order`, cumulate locally, then add per-partition
+    * prefix offsets computed on the tiny (#partitions-row) count table
+    * via an O(P²) theta-join and broadcast back.
+    *
+    * `order` values must be distinct per row (rows tied on `order` could
+    * otherwise split across range-partition boundaries and see different
+    * prefixes). */
+  def runningTotalExclusive(df: DataFrame, order: Column, value: Column,
+                            out: String): DataFrame = {
+    val parted = df.repartitionByRange(order).withColumn("__pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("__loc", sum(value).over(wLoc))
+    val tots = parted.groupBy(col("__pid")).agg(sum(value).as("__tot"))
+    val offs = tots.as("a")
+      .join(tots.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid")).agg(sum(col("b.__tot")).as("__off"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn(out, coalesce(col("__loc"), lit(0)) + coalesce(col("__off"), lit(0)))
+      .drop("__pid", "__loc", "__off")
   }
 
   /** dictGet (reference FunctionsExternalDictionaries.h / Dictionaries):

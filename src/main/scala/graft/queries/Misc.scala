@@ -71,16 +71,18 @@ object Misc {
       val byVal = li.groupBy(col("x"))
         .agg(count(lit(1)).as("c"),
           sum(when(col("g") === "A", 1).otherwise(0)).as("ca"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("x")).rowsBetween(Long.MinValue, -1)
-      val ranked = byVal
-        .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      // Rank prefix via the scale-safe running total (x is distinct after
+      // the groupBy, so the range-partition prefix is well-defined); the
+      // u statistic rounds to 3 decimals on both sides since the
+      // distributed fold order of the final double sum is not the
+      // oracle's sequential one.
+      val ranked = graft.ops.Ops.runningTotalExclusive(byVal, col("x"), col("c"), "cum_before")
         .withColumn("midrank", col("cum_before") + (col("c") + 1) / 2.0)
       ranked.agg(
         (sum(col("midrank") * col("ca"))).as("rank_sum_a"),
         sum(col("ca")).as("n_a"))
         .select(
-          (col("rank_sum_a") - col("n_a") * (col("n_a") + 1) / 2.0).as("u_stat"),
+          round(col("rank_sum_a") - col("n_a") * (col("n_a") + 1) / 2.0, 3).as("u_stat"),
           col("n_a").cast("long").as("n_a"))
     }
   )
@@ -120,8 +122,8 @@ object Misc {
         |    coalesce(sum(c) OVER (ORDER BY x
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
         |  FROM bv)
-        |SELECT sum((cum_before + (c+1)/2.0) * ca)
-        |    - sum(ca) * (sum(ca)+1) / 2.0 AS u_stat,
+        |SELECT round(sum((cum_before + (c+1)/2.0) * ca)
+        |    - sum(ca) * (sum(ca)+1) / 2.0, 3) AS u_stat,
         |  cast(sum(ca) AS bigint) AS n_a
         |FROM rk""".stripMargin
   )

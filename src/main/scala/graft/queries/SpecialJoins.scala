@@ -25,10 +25,8 @@ object SpecialJoins {
         .groupBy(col("user_id"), col("ts").as("click_ts"))
         .agg(max(col("value")).as("click_value"))
       ordered(Ops.asofJoin(errors, clicks, Seq("user_id"),
-          leftOn = col("ts"), rightOn = col("click_ts"),
-          leftId = col("event_id"), direction = "backward")
-        .select(errors("user_id").as("user_id"), col("event_id"),
-          col("value"), col("click_value")))
+          leftOn = col("ts"), rightOn = col("click_ts"), direction = "backward")
+        .select(col("user_id"), col("event_id"), col("value"), col("click_value")))
     },
 
     // ASOF forward: for each 'signup', the next 'purchase' value by user.
@@ -40,10 +38,8 @@ object SpecialJoins {
         .groupBy(col("user_id"), col("ts").as("p_ts"))
         .agg(max(col("value")).as("purchase_value"))
       ordered(Ops.asofJoin(signups, purchases, Seq("user_id"),
-          leftOn = col("ts"), rightOn = col("p_ts"),
-          leftId = col("event_id"), direction = "forward")
-        .select(signups("user_id").as("user_id"), col("event_id"),
-          col("purchase_value")))
+          leftOn = col("ts"), rightOn = col("p_ts"), direction = "forward")
+        .select(col("user_id"), col("event_id"), col("purchase_value")))
     },
 
     // ANY INNER join: each order joined to exactly its first lineitem

@@ -91,13 +91,17 @@ object Windows {
         cume_dist().over(w).as("cd")))
     },
 
-    // Global (unpartitioned) window: share-of-total.
+    // Share-of-total (semantically a global window). Computed as a
+    // partial-aggregated grand total broadcast back via cross join — the
+    // scale-safe form of sum() OVER (): no single-partition WindowExec.
+    // Both sides round to 12 decimals because the distributed partial-sum
+    // fold order differs from the oracle's sequential one at the last ULP.
     "q_win_share" -> { (s, dir) =>
       val o = T(s, dir)("orders")
-      val w = Window.partitionBy()
-      ordered(o.select(
+      val total = o.agg(sum(col("o_totalprice")).as("__tot"))
+      ordered(o.crossJoin(broadcast(total)).select(
         col("o_orderkey"),
-        (col("o_totalprice") / sum(col("o_totalprice")).over(w)).as("share")))
+        round(col("o_totalprice") / col("__tot"), 12).as("share")))
     },
 
     // QUALIFY (reference ParserSelectQuery.cpp:298): latest order per
@@ -114,7 +118,8 @@ object Windows {
     // on raw column values (bit-identical across engines).
     "q_limit_with_ties" -> { (s, dir) =>
       val li = T(s, dir)("lineitem")
-      ordered(Ops.limitWithTies(li.select(col("l_quantity")), Seq(col("l_quantity").desc), 100))
+      ordered(Ops.limitWithTies(li.select(col("l_quantity")),
+        Seq(col("l_quantity").desc), Seq(col("l_quantity")), 100))
     },
 
     // GROUPS frame (reference WindowDescription.h frame-type GROUPS; no
@@ -195,7 +200,7 @@ object Windows {
         |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey)
         |ORDER BY c_mktsegment NULLS FIRST, c_custkey NULLS FIRST, quartile NULLS FIRST, cd NULLS FIRST""".stripMargin,
     "q_win_share" ->
-      """SELECT o_orderkey, o_totalprice / sum(o_totalprice) OVER () AS share
+      """SELECT o_orderkey, round(o_totalprice / sum(o_totalprice) OVER (), 12) AS share
         |FROM orders
         |ORDER BY o_orderkey NULLS FIRST, share NULLS FIRST""".stripMargin,
     "q_qualify" ->

@@ -56,6 +56,32 @@ class PlanSpec extends AnyFunSuite {
       s"shipdate filter not pushed:\n${plan.take(2000)}")
   }
 
+  test("no unpartitioned Window in the de-weaked operators") {
+    // These used to funnel all rows through one task via a global Window;
+    // the scale-safe rewrites must keep every WindowExec partitioned
+    // (tiny broadcast/offset sides may legitimately be SinglePartition,
+    // so the Window operator is the right thing to assert on).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.simpleStringWithNodeId())
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(globalWindows)
+    }
+    for (q <- Seq("q_limit_with_ties", "q_paste_join", "q_asof_join",
+                  "q_asof_forward", "q_win_share", "q_mann_whitney", "q_with_fill")) {
+      val bad = globalWindows(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
+      assert(bad.isEmpty, s"$q has unpartitioned Window(s): ${bad.mkString("; ")}")
+    }
+  }
+
   test("projection pruning reaches the scan (2-column read)") {
     val li = graft.core.Tables.t(spark, sf, "lineitem")
     val plan = li.select(col("l_orderkey"), col("l_quantity"))
