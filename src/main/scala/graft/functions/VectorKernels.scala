@@ -164,6 +164,58 @@ object VectorKernels {
     override protected def withNewChildInternal(c: Expression): MinHashTokensSig = copy(child = c)
   }
 
+  /** Random-hyperplane band signatures for cosine LSH (banded like
+    * MinHash-LSH: `bands` independent buckets, each the sign pattern of
+    * `planesPerBand` hyperplane dots). Near-parallel vectors agree on all
+    * signs of some band with high probability, so joining on
+    * (band, signature) generates near-dup candidate pairs WITHOUT an
+    * all-pairs join. Plane components are a deterministic splitmix64 of
+    * (plane, dim) mapped to [-1, 1) — no RNG, reproducible across runs.
+    * One pass per row; components are memoized per dimension count. */
+  case class HyperplaneBandSigs(child: Expression, bands: Int, planesPerBand: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private def comp(plane: Int, dim: Int): Double = {
+      var z = plane.toLong * 131071L + dim.toLong + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.floorMod(z, 2000001L) - 1000000L) / 1000000.0
+    }
+
+    @transient private lazy val planesCache =
+      new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+    private def planes(nDims: Int): Array[Array[Double]] =
+      planesCache.computeIfAbsent(nDims, n =>
+        Array.tabulate(bands * planesPerBand, n)((pl, d) => comp(pl, d)))
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val n = arr.numElements()
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) { x(i) = toDouble(arr, i, et); i += 1 }
+      val pl = planes(n)
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var bits = 0L; var p = 0
+        while (p < planesPerBand) {
+          val row = pl(b * planesPerBand + p)
+          var d = 0.0; var j = 0
+          while (j < n) { d += x(j) * row(j); j += 1 }
+          if (d > 0) bits |= (1L << p)
+          p += 1
+        }
+        out(b) = bits; b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneBandSigs = copy(child = c)
+  }
+
   /** Sorted distinct FNV-1a hashes of the character n-grams of a string —
     * reduces a document to a compact numeric set ONCE, so quadratic
     * pair-verification never touches strings. */
@@ -228,4 +280,6 @@ object VectorKernels {
     column(CharNgramHashes(expression(text), n))
   def jaccard_sorted_longs(a: Column, b: Column): Column =
     column(JaccardSortedLongs(expression(a), expression(b)))
+  def hyperplane_band_sigs(vec: Column, bands: Int, planesPerBand: Int): Column =
+    column(HyperplaneBandSigs(expression(vec), bands, planesPerBand))
 }

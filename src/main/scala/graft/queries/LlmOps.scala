@@ -64,6 +64,23 @@ object LlmOps {
       ordered(Similarity.cosinePairs(T(s, dir)("embeddings"), "vec_id", "embedding", 0.45))
     },
 
+    // Embedding near-dup via banded hyperplane LSH — the corpus-scale
+    // path: candidates from an equi-join on (band, signature), exact
+    // cosine verification on candidates only; NO all-pairs join in the
+    // plan (asserted in PlanSpec/LlmSpec). The fixture has no vectors
+    // above a realistic near-dup threshold, so the query unions in
+    // deterministically perturbed copies (first component ×1.5 ⇒
+    // cosine ≥ 0.98 to the original by construction) and both engines
+    // build the same input.
+    "q_dedup_embedding_lsh" -> { (s, dir) =>
+      val base = T(s, dir)("embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val pert = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          concat(array(element_at(col("v"), 1) * 1.5), slice(col("v"), 2, 63)).as("v"))
+      ordered(Similarity.cosinePairsBucketed(base.unionAll(pert), "vec_id", "v", 0.9))
+    },
+
     // Brute-force cosine top-10 neighbours of vec_id = 0.
     "q_sim_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(T(s, dir)("embeddings"), "vec_id", "embedding",
@@ -166,6 +183,21 @@ object LlmOps {
         |         * sqrt(list_sum(list_transform(y.v, t -> t * t)))) AS cos
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |WHERE cos >= 0.45
+        |ORDER BY a NULLS FIRST, b NULLS FIRST, cos NULLS FIRST""".stripMargin,
+    "q_dedup_embedding_lsh" ->
+      """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, v FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 100000, list_prepend(v[1] * 1.5, v[2:]) FROM base
+        |      WHERE vec_id < 50)
+        |SELECT a, b, cos FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+        |      / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
+        |         * sqrt(list_sum(list_transform(y.v, t -> t * t)))) AS cos
+        |  FROM u x JOIN u y ON x.vec_id < y.vec_id)
+        |WHERE cos >= 0.9
         |ORDER BY a NULLS FIRST, b NULLS FIRST, cos NULLS FIRST""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -82,6 +82,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_embedding_lsh plan has no all-pairs join") {
+    // The LSH path must generate candidates via an equi-join on
+    // (band, signature), never a cartesian/theta product over the corpus.
+    val plan = SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into the LSH plan:\n${plan.take(3000)}")
+  }
+
   test("projection pruning reaches the scan (2-column read)") {
     val li = graft.core.Tables.t(spark, sf, "lineitem")
     val plan = li.select(col("l_orderkey"), col("l_quantity"))
