@@ -35,7 +35,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Print first AND persist: a tail-only capture of the process output
+    // must never lose the round's bench line.
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), json + "\n")
     spark.stop()
   }
 }

@@ -251,6 +251,26 @@ object VectorKernels {
     override protected def withNewChildInternal(c: Expression): CharNgramHashes = copy(child = c)
   }
 
+  /** Exact |A ∩ B| of two SORTED distinct long arrays via linear merge —
+    * integer result so downstream similarity ratios can be computed with
+    * identical operands on any engine (no float fold-order hazards). */
+  case class IntersectCountSortedLongs(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val (na, nb) = (a.numElements(), b.numElements())
+      var i = 0; var j = 0; var inter = 0L
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1 else j += 1
+      }
+      inter
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
   /** Jaccard of two SORTED distinct long arrays via linear merge. */
   case class JaccardSortedLongs(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -280,6 +300,8 @@ object VectorKernels {
     column(CharNgramHashes(expression(text), n))
   def jaccard_sorted_longs(a: Column, b: Column): Column =
     column(JaccardSortedLongs(expression(a), expression(b)))
+  def intersect_count_sorted_longs(a: Column, b: Column): Column =
+    column(IntersectCountSortedLongs(expression(a), expression(b)))
   def hyperplane_band_sigs(vec: Column, bands: Int, planesPerBand: Int): Column =
     column(HyperplaneBandSigs(expression(vec), bands, planesPerBand))
 }

@@ -80,5 +80,6 @@ object DatePreimageRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DatePreimageRule)
+    GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -1,0 +1,51 @@
+package graft.plans
+
+import graft.functions.{Codecs, IdGen, VectorKernels}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration of the engine's custom kernels, so the dialect layer
+  * (and plain spark.sql) can call them by name (reference analog:
+  * src/Functions/registerFunctions.cpp — every C++ function registers
+  * into the shared factory; here SparkSessionExtensions.injectFunction
+  * plays that role). */
+object GraftFunctions {
+
+  private def info(name: String) =
+    new ExpressionInfo(getClass.getName.stripSuffix("$"), name)
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("ipv6_string_to_num"), info("ipv6_string_to_num"),
+      (es: Seq[Expression]) => Codecs.Ipv6StringToNum(es.head)),
+    (FunctionIdentifier("ipv6_num_to_string"), info("ipv6_num_to_string"),
+      (es: Seq[Expression]) => Codecs.Ipv6NumToString(es.head)),
+    (FunctionIdentifier("geohash_encode"), info("geohash_encode"),
+      (es: Seq[Expression]) =>
+        Codecs.GeohashEncode(es(0), es(1),
+          if (es.length > 2) intLit(es(2), "geohash precision") else 12)),
+    (FunctionIdentifier("geohash_decode"), info("geohash_decode"),
+      (es: Seq[Expression]) => Codecs.GeohashDecode(es.head)),
+    (FunctionIdentifier("generate_uuid_v7"), info("generate_uuid_v7"),
+      (_: Seq[Expression]) => IdGen.UuidV7()),
+    (FunctionIdentifier("generate_snowflake_id"), info("generate_snowflake_id"),
+      (_: Seq[Expression]) => IdGen.SnowflakeId()),
+    (FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+      (es: Seq[Expression]) => VectorKernels.CosineSim(es(0), es(1))),
+    (FunctionIdentifier("dot_product"), info("dot_product"),
+      (es: Seq[Expression]) => VectorKernels.DotProduct(es(0), es(1))),
+    (FunctionIdentifier("jaccard_sim"), info("jaccard_sim"),
+      (es: Seq[Expression]) => VectorKernels.JaccardSim(es(0), es(1))),
+    (FunctionIdentifier("char_ngram_hashes"), info("char_ngram_hashes"),
+      (es: Seq[Expression]) =>
+        VectorKernels.CharNgramHashes(es(0), intLit(es(1), "ngram size"))),
+    (FunctionIdentifier("intersect_count_sorted_longs"), info("intersect_count_sorted_longs"),
+      (es: Seq[Expression]) => VectorKernels.IntersectCountSortedLongs(es(0), es(1)))
+  )
+}

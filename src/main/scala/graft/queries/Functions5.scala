@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.{Codecs, IdGen, VectorKernels}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Function surface batch 5 (VERDICT round-1 "What's missing" #1/#2/#8):
+  * multiSearch* / hasToken (reference src/Functions/multiSearchAny.cpp,
+  * hasToken.cpp), ngramDistance/ngramSearch
+  * (FunctionsStringSimilarity.cpp:559-567), toStartOfInterval +
+  * parseDateTimeBestEffort (parseDateTimeBestEffort.cpp), UUID/snowflake
+  * generation (generateUUIDv4.cpp, generateUUIDv7.cpp,
+  * generateSnowflakeID.cpp), IPv6 codecs (FunctionsCodingIP.cpp), geohash
+  * (geohashEncode.cpp).
+  */
+object Functions5 {
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame = Tables.t(s, dir, n)
+
+  /** toStartOfInterval(ts, step in seconds) — epoch-aligned bucket
+    * (reference toStartOfInterval.cpp). */
+  private def toStartOfInterval(ts: Column, stepSeconds: Long): Column = {
+    val us = unix_micros(ts)
+    val step = lit(stepSeconds * 1000000L)
+    timestamp_micros(us - pmod(us, step))
+  }
+
+  /** parseDateTimeBestEffort (reference parseDateTimeBestEffort.cpp):
+    * try the common formats in a fixed order, first hit wins. */
+  private def parseBestEffort(s: Column): Column = coalesce(
+    try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")),
+    try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss")),
+    try_to_timestamp(s, lit("dd/MM/yyyy HH:mm:ss")),
+    try_to_timestamp(s, lit("dd/MM/yyyy")),
+    try_to_timestamp(s, lit("yyyy-MM-dd")))
+
+  private val needles = Seq("data", "row", "key", "spark")
+
+  val queries: Map[String, Q] = Map(
+    // multiSearch family + hasToken over the documents corpus.
+    "q_fn_multisearch" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      val pos = array(needles.map(n => instr(col("text"), n)): _*)
+      val posPositive = filter(pos, _ > 0)
+      val firstPos = coalesce(array_min(posPositive), lit(0))
+      ordered(d.select(
+        col("doc_id"),
+        needles.map(n => col("text").contains(n)).reduce(_ || _).as("ms_any"),
+        firstPos.as("ms_first_pos"),
+        when(firstPos === 0, 0)
+          .otherwise(array_position(pos, firstPos).cast("int")).as("ms_first_idx"),
+        upper(col("text")).contains("DATA").as("ms_any_ci"),
+        col("text").rlike("(^|[^A-Za-z0-9])data([^A-Za-z0-9]|$)").as("has_tok"),
+        col("text").rlike("(^|[^A-Za-z0-9])dat([^A-Za-z0-9]|$)").as("has_tok_partial")))
+    },
+
+    // ngramDistance / ngramSearch on overlapping slices of each document:
+    // distinct char-4-gram sets reduced to sorted hashes ONCE per row
+    // (CharNgramHashes kernel), similarity ratios computed from exact
+    // integer counts so both engines see identical operands.
+    "q_fn_ngram_sim" -> { (s, dir) =>
+      val d = T(s, dir)("documents").filter(length(col("text")) >= 120)
+      val a = substring(col("text"), 1, 60)
+      val b = substring(col("text"), 31, 60)
+      val ha = VectorKernels.char_ngram_hashes(a, 4)
+      val hb = VectorKernels.char_ngram_hashes(b, 4)
+      val inter = VectorKernels.intersect_count_sorted_longs(ha, hb)
+      val na = size(ha).cast("long"); val nb = size(hb).cast("long")
+      ordered(d.select(
+        col("doc_id"),
+        inter.as("n_shared"),
+        na.as("n_a"), nb.as("n_b"),
+        (lit(1.0) - (lit(2.0) * inter) / (na + nb)).as("ngram_dist"),
+        (inter.cast("double") / nb).as("ngram_search")))
+    },
+
+    // toStartOfInterval 15-minute and 6-hour buckets + best-effort parse
+    // of three text formats round-tripped from the same timestamp.
+    "q_fn_interval_parse" -> { (s, dir) =>
+      val e = T(s, dir)("events").filter(col("event_id") < 2000)
+      ordered(e.select(
+        col("event_id"),
+        toStartOfInterval(col("ts"), 900L).as("b15m"),
+        toStartOfInterval(col("ts"), 21600L).as("b6h"),
+        parseBestEffort(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("p_iso"),
+        parseBestEffort(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss")).as("p_isot"),
+        parseBestEffort(date_format(col("ts"), "dd/MM/yyyy")).as("p_dmy"),
+        parseBestEffort(lit("not a date")).as("p_bad")))
+    },
+
+    // UUID v4/v7 + snowflake: values are inherently random / time-based,
+    // so the oracle checks the STRUCTURAL contract (format, version and
+    // variant nibbles, embedded-time sanity) as booleans that must agree.
+    "q_fn_uuid_ids" -> { (s, dir) =>
+      val c = T(s, dir)("customer").filter(col("c_custkey") <= 200)
+      val u4 = expr("uuid()")
+      val u7 = IdGen.generate_uuid_v7()
+      val sf = IdGen.generate_snowflake_id()
+      val sfMs = IdGen.snowflake_to_millis(sf)
+      // embedded times must land between 2020-01-01 and 2040-01-01
+      val (loMs, hiMs) = (1577836800000L, 2208988800000L)
+      val u7Ms = conv(concat(substring(u7, 1, 8), substring(u7, 10, 4)), 16, 10).cast("long")
+      ordered(c.select(
+        col("c_custkey"),
+        (length(u4) === 36).as("u4_len"),
+        u4.rlike("^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$").as("u4_v4"),
+        u7.rlike("^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$").as("u7_v7"),
+        (u7Ms >= loMs && u7Ms < hiMs).as("u7_time_sane"),
+        (sf > 0L && sfMs >= loMs && sfMs < hiMs).as("sf_time_sane")))
+    },
+
+    // IPv6 codec roundtrips (golden — DuckDB core has no inet functions;
+    // RFC 5952 vectors pinned in CodecsSpec).
+    "q_ipv6_codec" -> { (s, dir) =>
+      val c = T(s, dir)("customer").filter(col("c_custkey") <= 500)
+      val addr = when(pmod(col("c_custkey"), lit(5)) === 0, lit("::1"))
+        .when(pmod(col("c_custkey"), lit(5)) === 1,
+          format_string("2001:db8:%x::%x", col("c_custkey"), col("c_custkey") * 7))
+        .when(pmod(col("c_custkey"), lit(5)) === 2,
+          format_string("2001:0db8:0000:0000:0000:ff00:0042:%04x", col("c_custkey")))
+        .when(pmod(col("c_custkey"), lit(5)) === 3,
+          format_string("::ffff:10.0.%d.%d",
+            pmod(col("c_custkey"), lit(256)), pmod(col("c_custkey") * 3, lit(256))))
+        .otherwise(lit("not-an-ip"))
+      val num = Codecs.ipv6_string_to_num(addr)
+      ordered(c.select(
+        col("c_custkey"), addr.as("addr"),
+        hex(num).as("addr_hex"),
+        Codecs.ipv6_num_to_string(num).as("canonical")))
+    },
+
+    // Geohash encode/decode roundtrip on deterministic synthetic coords
+    // (golden — public vectors pinned in CodecsSpec).
+    "q_fn_geohash" -> { (s, dir) =>
+      val c = T(s, dir)("customer").filter(col("c_custkey") <= 500)
+      val lat = (pmod(col("c_custkey"), lit(180)) - 90.0 + 0.25).cast("double")
+      val lon = (pmod(col("c_custkey") * 7, lit(360)) - 180.0 + 0.25).cast("double")
+      val gh = Codecs.geohash_encode(lon, lat, 8)
+      val dec = Codecs.geohash_decode(gh)
+      ordered(c.select(
+        col("c_custkey"), gh.as("gh8"),
+        // cell at precision 8: ~0.000343° lon, ~0.000172° lat — decode
+        // must land inside half a cell of the input.
+        (abs(element_at(dec, 1) - lon) < 0.0002).as("lon_ok"),
+        (abs(element_at(dec, 2) - lat) < 0.0001).as("lat_ok")))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_fn_multisearch" ->
+      """WITH p AS (SELECT doc_id, text,
+        |    [instr(text,'data'), instr(text,'row'), instr(text,'key'), instr(text,'spark')] AS pos
+        |  FROM documents),
+        |q AS (SELECT doc_id, text, pos,
+        |    coalesce(list_min(list_filter(pos, x -> x > 0)), 0) AS fp FROM p)
+        |SELECT doc_id,
+        |  (contains(text,'data') OR contains(text,'row') OR contains(text,'key')
+        |    OR contains(text,'spark')) AS ms_any,
+        |  cast(fp AS int) AS ms_first_pos,
+        |  cast(CASE WHEN fp = 0 THEN 0 ELSE list_position(pos, fp) END AS int) AS ms_first_idx,
+        |  contains(upper(text), 'DATA') AS ms_any_ci,
+        |  regexp_matches(text, '(^|[^A-Za-z0-9])data([^A-Za-z0-9]|$)') AS has_tok,
+        |  regexp_matches(text, '(^|[^A-Za-z0-9])dat([^A-Za-z0-9]|$)') AS has_tok_partial
+        |FROM q
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_fn_ngram_sim" ->
+      """WITH s AS (SELECT doc_id,
+        |    substring(text, 1, 60) AS a, substring(text, 31, 60) AS b
+        |  FROM documents WHERE length(text) >= 120),
+        |g AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(a) - 2), i -> a[i:i+3])) AS ga,
+        |    list_distinct(list_transform(range(1, length(b) - 2), i -> b[i:i+3])) AS gb
+        |  FROM s),
+        |m AS (SELECT doc_id,
+        |    cast(len(list_filter(ga, x -> list_contains(gb, x))) AS bigint) AS n_shared,
+        |    cast(len(ga) AS bigint) AS n_a, cast(len(gb) AS bigint) AS n_b
+        |  FROM g)
+        |SELECT doc_id, n_shared, n_a, n_b,
+        |  1.0 - (2.0 * n_shared) / (n_a + n_b) AS ngram_dist,
+        |  cast(n_shared AS double) / n_b AS ngram_search
+        |FROM m
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_fn_interval_parse" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_id < 2000)
+        |SELECT event_id,
+        |  make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000) AS b15m,
+        |  make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS b6h,
+        |  coalesce(try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS p_iso,
+        |  coalesce(try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')) AS p_isot,
+        |  coalesce(try_strptime(strftime(ts, '%d/%m/%Y'), '%d/%m/%Y')) AS p_dmy,
+        |  try_strptime('not a date', '%Y-%m-%d') AS p_bad
+        |FROM e
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
+    "q_fn_uuid_ids" ->
+      """SELECT c_custkey,
+        |  true AS u4_len, true AS u4_v4, true AS u7_v7,
+        |  true AS u7_time_sane, true AS sf_time_sane
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin
+  )
+}

@@ -84,8 +84,127 @@ object ChSql {
     "halfMD5" -> "xxhash64", "MD5" -> "md5",
     "hex" -> "hex", "unhex" -> "unhex",
     "base64Encode" -> "base64", "base64Decode" -> "unbase64",
-    "bitHammingDistance" -> "bit_hamming" // template below
+    "bitHammingDistance" -> "bit_hamming", // template below
+
+    // ---- extended surface (round 2; reference src/Functions/*) ----
+    // date/time
+    "toDateTime" -> "to_timestamp", "toDate32" -> "to_date",
+    "toLastDayOfMonth" -> "last_day",
+    "now" -> "current_timestamp", "today" -> "current_date",
+    "toDateTimeOrNull" -> "t", "monthName" -> "t", "toMonday" -> "t",
+    "addHours" -> "t", "addMinutes" -> "t", "addSeconds" -> "t", // templates
+    "addMonths" -> "t", "addYears" -> "t", "addWeeks" -> "t",
+    "subtractHours" -> "t", "subtractMinutes" -> "t", "subtractSeconds" -> "t",
+    "subtractMonths" -> "t", "subtractYears" -> "t", "subtractWeeks" -> "t",
+    "toYYYYMM" -> "t", "toYYYYMMDD" -> "t", "yesterday" -> "t",
+    "toStartOfFiveMinutes" -> "t", "toStartOfTenMinutes" -> "t",
+    "toStartOfFifteenMinutes" -> "t", "toStartOfInterval" -> "t",
+    "toStartOfMinute" -> "t", "timeSlot" -> "t", "toRelativeDayNum" -> "t",
+    "fromUnixTimestamp64Milli" -> "timestamp_millis",
+    "toUnixTimestamp64Milli" -> "t",
+    "parseDateTimeBestEffort" -> "t", "parseDateTimeBestEffortOrNull" -> "t",
+    "dateAdd" -> "t", "dateSub" -> "t",
+    // string
+    "lcase" -> "lower", "ucase" -> "upper",
+    "char_length" -> "length", "character_length" -> "length",
+    "reverseUTF8" -> "reverse", "format" -> "format_string",
+    "concatAssumeInjective" -> "concat", "substringIndex" -> "substring_index",
+    "initcapUTF8" -> "initcap", "isValidUTF8" -> "is_valid_utf8",
+    "countMatches" -> "regexp_count", "regexpExtract" -> "regexp_extract",
+    "translateUTF8" -> "translate",
+    "appendTrailingCharIfAbsent" -> "t", "tokens" -> "t", "alphaTokens" -> "t",
+    "splitByWhitespace" -> "t", "splitByString" -> "t", "extractAll" -> "t",
+    "ngramDistance" -> "t", "ngramSearch" -> "t",
+    "multiSearchAny" -> "t", "multiSearchFirstPosition" -> "t",
+    "multiSearchFirstIndex" -> "t", "multiSearchAnyCaseInsensitive" -> "t",
+    "hasToken" -> "t", "hasTokenCaseInsensitive" -> "t",
+    "positionUTF8" -> "instr", "firstLine" -> "t",
+    // hash / encoding
+    "SHA1" -> "sha1", "SHA224" -> "t", "SHA256" -> "t", "SHA384" -> "t",
+    "SHA512" -> "t", "murmurHash3_32" -> "hash", "murmurHash2_64" -> "xxhash64",
+    "murmurHash3_64" -> "xxhash64", "farmHash64" -> "xxhash64",
+    "metroHash64" -> "xxhash64", "intHash64" -> "xxhash64",
+    "CRC32" -> "crc32",
+    "encodeURLComponent" -> "url_encode", "decodeURLComponent" -> "url_decode",
+    // URL
+    "protocol" -> "t", "domain" -> "t", "domainWithoutWWW" -> "t",
+    "topLevelDomain" -> "t", "pathOnly" -> "t", "queryString" -> "t",
+    "fragment" -> "t", "extractURLParameter" -> "t", "cutQueryString" -> "t",
+    // JSON
+    "JSONExtractInt" -> "t", "JSONExtractFloat" -> "t", "JSONExtractBool" -> "t",
+    "JSONExtractRaw" -> "get_json_object", "JSONHas" -> "t",
+    "JSONExtractKeys" -> "json_object_keys", "JSONArrayLength" -> "json_array_length",
+    "isValidJSON" -> "t",
+    // arrays
+    "arrayPushBack" -> "array_append", "arrayPushFront" -> "array_prepend",
+    "arrayPopBack" -> "t", "arrayPopFront" -> "t",
+    "arrayIntersect" -> "array_intersect", "arrayUnion" -> "array_union",
+    "hasAll" -> "t", "hasAny" -> "arrays_overlap",
+    "arrayFirst" -> "t", "arrayLast" -> "t", "arrayFirstIndex" -> "t",
+    "arrayMin" -> "array_min", "arrayMax" -> "array_max",
+    "arrayAvg" -> "t", "arrayProduct" -> "t", "arrayWithConstant" -> "t",
+    "arrayEnumerate" -> "t", "arrayReverseSort" -> "t", "countEqual" -> "t",
+    "arrayElementOrNull" -> "try_element_at",
+    // map
+    "mapKeys" -> "map_keys", "mapValues" -> "map_values",
+    "mapContains" -> "map_contains_key", "mapFromArrays" -> "map_from_arrays",
+    // math
+    "sqr" -> "t", "sigmoid" -> "t", "exp2" -> "t", "exp10" -> "t",
+    "intExp2" -> "t", "intExp10" -> "t", "roundToExp2" -> "t",
+    "min2" -> "least", "max2" -> "greatest",
+    "isFinite" -> "t", "isInfinite" -> "t", "isNaN" -> "isnan",
+    "log1p" -> "log1p", "expm1" -> "expm1", "hypot" -> "hypot",
+    // bits
+    "bitAnd" -> "t", "bitOr" -> "t", "bitXor" -> "t", "bitNot" -> "t",
+    "bitShiftLeft" -> "shiftleft", "bitShiftRight" -> "shiftright",
+    "bitTest" -> "t",
+    // null / comparison
+    "isNull" -> "isnull", "isNotNull" -> "isnotnull",
+    "isNotDistinctFrom" -> "t", "isDistinctFrom" -> "t",
+    "ifNotFinite" -> "t", "toNullable" -> "t",
+    // type conversion
+    "toInt8" -> "t", "toInt16" -> "t", "toUInt8" -> "t", "toUInt16" -> "t",
+    "toUInt32" -> "t", "toUInt64" -> "t", "toFloat32" -> "t",
+    "toInt32OrNull" -> "t", "toFloat64OrNull" -> "t", "toDateOrNull" -> "t",
+    "toTypeName" -> "typeof",
+    // aggregates
+    "boolAnd" -> "bool_and", "boolOr" -> "bool_or",
+    "groupBitAnd" -> "bit_and", "groupBitOr" -> "bit_or",
+    "groupBitXor" -> "bit_xor", "sumKahan" -> "sum",
+    "stddevPopStable" -> "stddev_pop", "varPopStable" -> "var_pop",
+    "groupArrayArray" -> "t",
+    // ids / random
+    "generateUUIDv4" -> "uuid", "generateUUIDv7" -> "generate_uuid_v7",
+    "generateSnowflakeID" -> "generate_snowflake_id",
+    "rand" -> "t", "rand64" -> "t", "randCanonical" -> "t",
+    "randUniform" -> "t", "randNormal" -> "t",
+    // IP / geo (custom kernels registered via GraftExtensions)
+    "IPv4NumToString" -> "t", "IPv4StringToNum" -> "t",
+    "IPv6StringToNum" -> "ipv6_string_to_num",
+    "IPv6NumToString" -> "ipv6_num_to_string",
+    "toIPv6" -> "ipv6_string_to_num",
+    "isIPv4String" -> "t", "isIPv6String" -> "t",
+    "geohashEncode" -> "geohash_encode", "geohashDecode" -> "geohash_decode",
+    // misc
+    "currentDatabase" -> "current_database", "currentUser" -> "current_user",
+    "version" -> "version", "materialize" -> "t", "identity" -> "t"
   )
+
+  /** Names whose call convention needs restructuring — handled by the
+    * rewriteCalls templates in rewrite(), NOT by plain alias substitution
+    * (the map above keeps them for surface inventory; value "t" = template). */
+  private val templated: Set[String] = Set(
+    "splitByChar", "multiIf", "avgWeighted", "arrayUniq", "bitHammingDistance",
+    "uniqExact", "quantileExact", "arrayStringConcat", "topK", "arrayCumSum",
+    "toDayOfWeek", "positionCaseInsensitive", "dateDiff", "date_diff") ++
+    aliases.collect { case (k, "t") => k }
+
+  /** CH JSON functions address by KEY NAME; get_json_object wants a
+    * JSONPath — prefix '$.' unless the caller already passed a path. */
+  private def jsonPath(a: Seq[String]): String = {
+    val k = a(1).trim
+    if (k.startsWith("'$")) k else s"concat('$$.', $k)"
+  }
 
   /** Split a function-argument string on top-level commas. */
   private[sqlfront] def splitArgs(s: String): Seq[String] = {
@@ -218,12 +337,75 @@ object ChSql {
     sb.toString
   }
 
+  // ------------------------------------------------------- SQL lambda UDFs
+  // CREATE FUNCTION f AS (x, y) -> expr   (reference:
+  // src/Functions/UserDefined/UserDefinedSQLFunctionFactory.cpp). Macros
+  // expand textually at rewrite time, BEFORE templates/aliases, so bodies
+  // may use the full CH dialect (and other macros, up to depth 10).
+  private val createFnPattern = java.util.regex.Pattern.compile(
+    """(?is)CREATE\s+FUNCTION\s+(\w+)\s+AS\s*(?:\(([\w\s,]*)\)|(\w+))\s*->\s*(.+?)\s*(?:;|$)""")
+
+  private val registeredFns =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[String], String)]
+
+  /** Register a SQL lambda UDF for all subsequent `sql`/`rewrite` calls.
+    * Returns the function name. */
+  def createFunction(ddl: String): String = {
+    val m = createFnPattern.matcher(ddl)
+    require(m.find(), s"not a CREATE FUNCTION statement: $ddl")
+    val params =
+      if (m.group(2) != null) splitArgs(m.group(2)).filter(_.nonEmpty)
+      else Seq(m.group(3))
+    registeredFns.put(m.group(1), (params, m.group(4)))
+    m.group(1)
+  }
+
+  def dropFunction(name: String): Unit = registeredFns.remove(name)
+
+  /** Expand macro calls (session-registered + any CREATE FUNCTION
+    * statements prefixed to the query itself). */
+  private def expandMacros(sql: String): String = {
+    var q = sql
+    val local = scala.collection.mutable.Map.empty[String, (Seq[String], String)]
+    val m = createFnPattern.matcher(q)
+    while (m.find()) {
+      val params =
+        if (m.group(2) != null) splitArgs(m.group(2)).filter(_.nonEmpty)
+        else Seq(m.group(3))
+      local.put(m.group(1), (params, m.group(4)))
+    }
+    q = createFnPattern.matcher(q).replaceAll("")
+    val fns = registeredFns.toMap ++ local
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 10) {
+      changed = false
+      for ((name, (params, body)) <- fns) {
+        val before = q
+        q = rewriteCalls(q, name) { args =>
+          var b = body
+          params.zip(args).foreach { case (p, a) =>
+            b = b.replaceAll("\\b" + java.util.regex.Pattern.quote(p) + "\\b",
+              java.util.regex.Matcher.quoteReplacement(s"($a)"))
+          }
+          s"($b)"
+        }
+        if (q != before) changed = true
+      }
+      rounds += 1
+    }
+    q
+  }
+
   /** Apply all rewrites to a ClickHouse-flavoured SELECT. */
   def rewrite(chSql: String): String = {
     var q = chSql
 
     // trailing FORMAT clause (output format is the writer's concern here)
     q = q.replaceAll("""(?is)\bFORMAT\s+\w+\s*;?\s*$""", "")
+
+    // SQL lambda UDF macros first — bodies then flow through the dialect
+    q = expandMacros(q)
 
     // array literals before anything else
     q = rewriteArrayLiterals(q)
@@ -303,6 +485,185 @@ object ChSql {
     q = rewriteCalls(q, "bitHammingDistance")(a => s"bit_count((${a(0)}) ^ (${a(1)}))")
     q = rewriteCalls(q, "range")(a =>
       if (a.length == 1) s"sequence(0, (${a(0)}) - 1)" else s"sequence(${a(0)}, (${a(1)}) - 1)")
+    // ---- extended templates (round 2) ----
+    // date/time
+    for ((n, u) <- Seq("addHours" -> "HOUR", "addMinutes" -> "MINUTE",
+        "addSeconds" -> "SECOND", "addMonths" -> "MONTH", "addYears" -> "YEAR",
+        "addWeeks" -> "WEEK"))
+      q = rewriteCalls(q, n)(a => s"(${a(0)} + INTERVAL ${a(1)} $u)")
+    for ((n, u) <- Seq("subtractHours" -> "HOUR", "subtractMinutes" -> "MINUTE",
+        "subtractSeconds" -> "SECOND", "subtractMonths" -> "MONTH",
+        "subtractYears" -> "YEAR", "subtractWeeks" -> "WEEK"))
+      q = rewriteCalls(q, n)(a => s"(${a(0)} - INTERVAL ${a(1)} $u)")
+    q = rewriteCalls(q, "dateAdd")(a => s"(${a(2)} + INTERVAL ${a(1)} ${stripUnit(a(0))})")
+    q = rewriteCalls(q, "dateSub")(a => s"(${a(2)} - INTERVAL ${a(1)} ${stripUnit(a(0))})")
+    q = rewriteCalls(q, "toYYYYMM")(a => s"CAST(date_format(${a(0)}, 'yyyyMM') AS INT)")
+    q = rewriteCalls(q, "toYYYYMMDD")(a => s"CAST(date_format(${a(0)}, 'yyyyMMdd') AS INT)")
+    q = rewriteCalls(q, "yesterday")(_ => "(current_date() - 1)")
+    q = rewriteCalls(q, "monthName")(a => s"date_format(${a(0)}, 'MMMM')")
+    q = rewriteCalls(q, "toMonday")(a => s"CAST(date_trunc('week', ${a(0)}) AS DATE)")
+    for ((n, secs) <- Seq("toStartOfFiveMinutes" -> 300L, "toStartOfTenMinutes" -> 600L,
+        "toStartOfFifteenMinutes" -> 900L, "toStartOfMinute" -> 60L, "timeSlot" -> 1800L))
+      q = rewriteCalls(q, n)(a =>
+        s"timestamp_micros(unix_micros(${a(0)}) - pmod(unix_micros(${a(0)}), ${secs * 1000000L}))")
+    q = rewriteCalls(q, "toStartOfInterval") { a =>
+      // toStartOfInterval(ts, INTERVAL n unit) — epoch-aligned bucket
+      val m = java.util.regex.Pattern.compile("(?i)INTERVAL\\s+(\\d+)\\s+(\\w+)").matcher(a(1))
+      if (!m.find()) s"date_trunc('day', ${a(0)})"
+      else {
+        val n = m.group(1).toLong
+        val micros = m.group(2).toUpperCase match {
+          case "SECOND" | "SECONDS" => n * 1000000L
+          case "MINUTE" | "MINUTES" => n * 60000000L
+          case "HOUR" | "HOURS" => n * 3600000000L
+          case "DAY" | "DAYS" => n * 86400000000L
+          case _ => n * 1000000L
+        }
+        s"timestamp_micros(unix_micros(${a(0)}) - pmod(unix_micros(${a(0)}), ${micros}L))"
+      }
+    }
+    q = rewriteCalls(q, "toRelativeDayNum")(a => s"datediff(${a(0)}, DATE '1970-01-01')")
+    q = rewriteCalls(q, "toUnixTimestamp64Milli")(a => s"unix_millis(${a(0)})")
+    val bestEffort = (s: String) =>
+      s"coalesce(try_to_timestamp($s, 'yyyy-MM-dd HH:mm:ss'), " +
+        s"try_to_timestamp($s, \"yyyy-MM-dd'T'HH:mm:ss\"), " +
+        s"try_to_timestamp($s, 'dd/MM/yyyy HH:mm:ss'), " +
+        s"try_to_timestamp($s, 'dd/MM/yyyy'), try_to_timestamp($s, 'yyyy-MM-dd'))"
+    q = rewriteCalls(q, "parseDateTimeBestEffortOrNull")(a => bestEffort(a(0)))
+    q = rewriteCalls(q, "parseDateTimeBestEffort")(a => bestEffort(a(0)))
+    q = rewriteCalls(q, "toDateTimeOrNull")(a => s"try_cast(${a(0)} AS TIMESTAMP)")
+    // string
+    q = rewriteCalls(q, "appendTrailingCharIfAbsent")(a =>
+      s"(CASE WHEN endswith(${a(0)}, ${a(1)}) THEN ${a(0)} ELSE concat(${a(0)}, ${a(1)}) END)")
+    q = rewriteCalls(q, "tokens")(a => s"split(${a(0)}, '[^A-Za-z0-9]+')")
+    q = rewriteCalls(q, "alphaTokens")(a => s"split(${a(0)}, '[^A-Za-z]+')")
+    q = rewriteCalls(q, "splitByWhitespace")(a => s"split(${a(0)}, '\\\\s+')")
+    q = rewriteCalls(q, "splitByString")(a =>
+      s"split(${a(1)}, concat('\\\\Q', ${a(0)}, '\\\\E'))")
+    q = rewriteCalls(q, "extractAll")(a => s"regexp_extract_all(${a(0)}, ${a(1)}, 0)")
+    q = rewriteCalls(q, "firstLine")(a => s"element_at(split(${a(0)}, '\\\\n'), 1)")
+    val ngramParts = (x: String) => s"char_ngram_hashes($x, 4)"
+    q = rewriteCalls(q, "ngramDistance")(a =>
+      s"(CAST(1 AS DOUBLE) - (CAST(2 AS DOUBLE) * intersect_count_sorted_longs(${ngramParts(a(0))}, ${ngramParts(a(1))})) " +
+        s"/ (size(${ngramParts(a(0))}) + size(${ngramParts(a(1))})))")
+    q = rewriteCalls(q, "ngramSearch")(a =>
+      s"(CAST(intersect_count_sorted_longs(${ngramParts(a(0))}, ${ngramParts(a(1))}) AS DOUBLE) " +
+        s"/ size(${ngramParts(a(1))}))")
+    q = rewriteCalls(q, "multiSearchAnyCaseInsensitive")(a =>
+      s"exists(${a(1)}, __n -> instr(lower(${a(0)}), lower(__n)) > 0)")
+    q = rewriteCalls(q, "multiSearchFirstPosition")(a =>
+      s"coalesce(array_min(filter(transform(${a(1)}, __n -> instr(${a(0)}, __n)), __p -> __p > 0)), 0)")
+    q = rewriteCalls(q, "multiSearchFirstIndex")(a =>
+      s"coalesce(array_position(transform(${a(1)}, __n -> instr(${a(0)}, __n)), " +
+        s"array_min(filter(transform(${a(1)}, __n -> instr(${a(0)}, __n)), __p -> __p > 0))), 0)")
+    q = rewriteCalls(q, "multiSearchAny")(a =>
+      s"exists(${a(1)}, __n -> instr(${a(0)}, __n) > 0)")
+    q = rewriteCalls(q, "hasTokenCaseInsensitive")(a =>
+      s"(lower(${a(0)}) RLIKE concat('(^|[^a-z0-9])', lower(${a(1)}), '([^a-z0-9]|$$)'))")
+    q = rewriteCalls(q, "hasToken")(a =>
+      s"(${a(0)} RLIKE concat('(^|[^A-Za-z0-9])', ${a(1)}, '([^A-Za-z0-9]|$$)'))")
+    // hash
+    for ((n, bits) <- Seq("SHA224" -> 224, "SHA256" -> 256, "SHA384" -> 384, "SHA512" -> 512))
+      q = rewriteCalls(q, n)(a => s"sha2(${a(0)}, $bits)")
+    // URL
+    q = rewriteCalls(q, "protocol")(a => s"lower(parse_url(${a(0)}, 'PROTOCOL'))")
+    q = rewriteCalls(q, "domainWithoutWWW")(a =>
+      s"regexp_replace(parse_url(${a(0)}, 'HOST'), '^www\\\\.', '')")
+    q = rewriteCalls(q, "domain")(a => s"parse_url(${a(0)}, 'HOST')")
+    q = rewriteCalls(q, "topLevelDomain")(a =>
+      s"regexp_extract(parse_url(${a(0)}, 'HOST'), '\\\\.([^.]+)$$', 1)")
+    q = rewriteCalls(q, "pathOnly")(a => s"parse_url(${a(0)}, 'PATH')")
+    q = rewriteCalls(q, "queryString")(a => s"parse_url(${a(0)}, 'QUERY')")
+    q = rewriteCalls(q, "fragment")(a => s"parse_url(${a(0)}, 'REF')")
+    q = rewriteCalls(q, "extractURLParameter")(a => s"parse_url(${a(0)}, 'QUERY', ${a(1)})")
+    q = rewriteCalls(q, "cutQueryString")(a => s"regexp_replace(${a(0)}, '\\\\?.*$$', '')")
+    // JSON
+    q = rewriteCalls(q, "JSONExtractInt")(a =>
+      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT)")
+    q = rewriteCalls(q, "JSONExtractFloat")(a =>
+      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS DOUBLE)")
+    q = rewriteCalls(q, "JSONExtractBool")(a =>
+      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BOOLEAN)")
+    q = rewriteCalls(q, "JSONHas")(a =>
+      s"(get_json_object(${a(0)}, ${jsonPath(a)}) IS NOT NULL)")
+    q = rewriteCalls(q, "isValidJSON")(a =>
+      s"(get_json_object(${a(0)}, '$$') IS NOT NULL)")
+    // arrays
+    q = rewriteCalls(q, "arrayPopBack")(a => s"slice(${a(0)}, 1, size(${a(0)}) - 1)")
+    q = rewriteCalls(q, "arrayPopFront")(a => s"slice(${a(0)}, 2, size(${a(0)}) - 1)")
+    q = rewriteCalls(q, "hasAll")(a => s"(size(array_except(${a(1)}, ${a(0)})) = 0)")
+    q = rewriteCalls(q, "arrayFirstIndex")(a =>
+      s"coalesce(array_position(transform(${a(1)}, ${a(0)}), true), 0)")
+    q = rewriteCalls(q, "arrayFirst")(a => s"element_at(filter(${a(1)}, ${a(0)}), 1)")
+    q = rewriteCalls(q, "arrayLast")(a => s"element_at(filter(${a(1)}, ${a(0)}), -1)")
+    q = rewriteCalls(q, "arrayAvg")(a =>
+      s"(aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) / size(${a(0)}))")
+    q = rewriteCalls(q, "arrayProduct")(a =>
+      s"aggregate(${a(0)}, CAST(1 AS DOUBLE), (__a, __x) -> __a * __x)")
+    q = rewriteCalls(q, "arrayWithConstant")(a => s"array_repeat(${a(1)}, ${a(0)})")
+    q = rewriteCalls(q, "arrayEnumerate")(a => s"sequence(1, size(${a(0)}))")
+    q = rewriteCalls(q, "arrayReverseSort")(a =>
+      if (a.length == 1) s"reverse(array_sort(${a(0)}))"
+      else s"reverse(array_sort(transform(${a(1)}, ${a(0)})))")
+    q = rewriteCalls(q, "countEqual")(a => s"size(filter(${a(0)}, __x -> __x <=> ${a(1)}))")
+    q = rewriteCalls(q, "groupArrayArray")(a => s"flatten(collect_list(${a(0)}))")
+    // math
+    q = rewriteCalls(q, "sqr")(a => s"((${a(0)}) * (${a(0)}))")
+    q = rewriteCalls(q, "sigmoid")(a => s"(1.0 / (1.0 + exp(-(${a(0)}))))")
+    q = rewriteCalls(q, "exp2")(a => s"pow(2.0, ${a(0)})")
+    q = rewriteCalls(q, "exp10")(a => s"pow(10.0, ${a(0)})")
+    q = rewriteCalls(q, "intExp2")(a => s"shiftleft(CAST(1 AS BIGINT), ${a(0)})")
+    q = rewriteCalls(q, "intExp10")(a => s"CAST(round(pow(10.0, ${a(0)})) AS BIGINT)")
+    q = rewriteCalls(q, "roundToExp2")(a => s"pow(2.0, floor(log2(${a(0)})))")
+    q = rewriteCalls(q, "isFinite")(a =>
+      s"(NOT isnan(CAST(${a(0)} AS DOUBLE)) AND abs(CAST(${a(0)} AS DOUBLE)) != CAST('Infinity' AS DOUBLE))")
+    q = rewriteCalls(q, "isInfinite")(a => s"(abs(CAST(${a(0)} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))")
+    // bits
+    q = rewriteCalls(q, "bitAnd")(a => s"((${a(0)}) & (${a(1)}))")
+    q = rewriteCalls(q, "bitOr")(a => s"((${a(0)}) | (${a(1)}))")
+    q = rewriteCalls(q, "bitXor")(a => s"((${a(0)}) ^ (${a(1)}))")
+    q = rewriteCalls(q, "bitNot")(a => s"(~(${a(0)}))")
+    q = rewriteCalls(q, "bitTest")(a => s"((shiftright(${a(0)}, ${a(1)})) & 1)")
+    // null / comparison
+    q = rewriteCalls(q, "isNotDistinctFrom")(a => s"((${a(0)}) <=> (${a(1)}))")
+    q = rewriteCalls(q, "isDistinctFrom")(a => s"(NOT ((${a(0)}) <=> (${a(1)})))")
+    q = rewriteCalls(q, "ifNotFinite")(a =>
+      s"(CASE WHEN isnan(CAST(${a(0)} AS DOUBLE)) OR abs(CAST(${a(0)} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) THEN ${a(1)} ELSE ${a(0)} END)")
+    q = rewriteCalls(q, "toNullable")(a => s"(${a(0)})")
+    q = rewriteCalls(q, "materialize")(a => s"(${a(0)})")
+    q = rewriteCalls(q, "identity")(a => s"(${a(0)})")
+    // type conversion
+    q = rewriteCalls(q, "toInt8")(a => s"CAST(${a(0)} AS TINYINT)")
+    q = rewriteCalls(q, "toInt16")(a => s"CAST(${a(0)} AS SMALLINT)")
+    q = rewriteCalls(q, "toUInt8")(a => s"CAST(${a(0)} AS INT)")
+    q = rewriteCalls(q, "toUInt16")(a => s"CAST(${a(0)} AS INT)")
+    q = rewriteCalls(q, "toUInt32")(a => s"CAST(${a(0)} AS BIGINT)")
+    q = rewriteCalls(q, "toUInt64")(a => s"CAST(${a(0)} AS BIGINT)")
+    q = rewriteCalls(q, "toFloat32")(a => s"CAST(${a(0)} AS FLOAT)")
+    q = rewriteCalls(q, "toInt32OrNull")(a => s"try_cast(${a(0)} AS INT)")
+    q = rewriteCalls(q, "toFloat64OrNull")(a => s"try_cast(${a(0)} AS DOUBLE)")
+    q = rewriteCalls(q, "toDateOrNull")(a => s"try_cast(${a(0)} AS DATE)")
+    // random (CH rand() is UInt32; emit RAND() uppercase so the rand
+    // template below never touches expansions from these)
+    q = rewriteCalls(q, "randCanonical")(_ => "RAND()")
+    q = rewriteCalls(q, "randUniform")(a => s"(${a(0)} + RAND() * ((${a(1)}) - (${a(0)})))")
+    q = rewriteCalls(q, "randNormal")(a => s"(${a(0)} + RANDN() * (${a(1)}))")
+    q = rewriteCalls(q, "rand64")(_ => "CAST(RAND() * 9.223372036854775e18 AS BIGINT)")
+    q = rewriteCalls(q, "rand")(_ => "CAST(RAND() * 4294967296 AS BIGINT)")
+    // IP
+    q = rewriteCalls(q, "IPv4NumToString")(a =>
+      s"concat_ws('.', CAST((shiftright(${a(0)}, 24)) & 255 AS STRING), " +
+        s"CAST((shiftright(${a(0)}, 16)) & 255 AS STRING), " +
+        s"CAST((shiftright(${a(0)}, 8)) & 255 AS STRING), CAST(${a(0)} & 255 AS STRING))")
+    q = rewriteCalls(q, "IPv4StringToNum")(a =>
+      s"(CAST(element_at(split(${a(0)}, '\\\\.'), 1) AS BIGINT) * 16777216 + " +
+        s"CAST(element_at(split(${a(0)}, '\\\\.'), 2) AS BIGINT) * 65536 + " +
+        s"CAST(element_at(split(${a(0)}, '\\\\.'), 3) AS BIGINT) * 256 + " +
+        s"CAST(element_at(split(${a(0)}, '\\\\.'), 4) AS BIGINT))")
+    q = rewriteCalls(q, "isIPv4String")(a =>
+      s"(${a(0)} RLIKE '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$$')")
+    q = rewriteCalls(q, "isIPv6String")(a => s"(ipv6_string_to_num(${a(0)}) IS NOT NULL)")
+
     // parameterized-aggregate syntax quantile[Exact](0.5)(x) -> percentile(x, 0.5)
     q = q.replaceAll("""\bquantile(?:Exact)?\(([0-9.]+)\)\s*\(""", "__QUANTILE__$1(")
     for (p <- Seq("0.5", "0.25", "0.75", "0.9", "0.95", "0.99"))
@@ -310,10 +671,7 @@ object ChSql {
     q = rewriteCalls(q, "quantileExact")(a => s"percentile(${a(0)}, 0.5)")
 
     // plain 1:1 aliases (word-boundary)
-    for ((ch, sp) <- aliases if !Set("splitByChar", "multiIf", "avgWeighted",
-        "arrayUniq", "bitHammingDistance", "uniqExact", "quantileExact",
-        "arrayStringConcat", "topK", "arrayCumSum",
-        "toDayOfWeek", "positionCaseInsensitive", "dateDiff", "date_diff").contains(ch)) {
+    for ((ch, sp) <- aliases if !templated.contains(ch)) {
       q = q.replaceAll(s"""\\b$ch\\s*\\(""", sp + "(")
     }
 

@@ -10,7 +10,8 @@ import java.nio.file.{Files, Paths}
   * columns sorted by name, floats at 10 significant digits, rows in
   * query order, TSV. */
 object DumpGoldens {
-  val goldenQueries = Seq("q_dedup_simhash", "q_sim_ann_lsh", "q_fingerprint")
+  val goldenQueries = Seq("q_dedup_simhash", "q_sim_ann_lsh", "q_fingerprint",
+    "q_ipv6_codec", "q_fn_geohash")
 
   def canon(df: org.apache.spark.sql.DataFrame): String = {
     val cols = df.columns.sorted

@@ -154,4 +154,104 @@ class ChSqlSpec extends AnyFunSuite {
                   |FROM orders GROUP BY m ORDER BY m""".stripMargin)
     assert(df.count() > 12)
   }
+
+  test("toDayOfWeek is ISO (Monday=1), dateDiff takes a unit literal") {
+    // 2024-01-15 was a Monday
+    val r = ch("SELECT toDayOfWeek(CAST('2024-01-15' AS DATE)) AS dw, " +
+      "dateDiff('day', CAST('2024-01-01' AS DATE), CAST('2024-01-15' AS DATE)) AS dd").collect()(0)
+    assert(r.getInt(0) == 1, "Monday must be 1 (ISO)")
+    assert(r.getLong(1) == 14L)
+  }
+
+  test("positionCaseInsensitive folds case") {
+    val r = ch("SELECT positionCaseInsensitive('Hello', 'hello') AS p").collect()(0)
+    assert(r.getInt(0) == 1)
+  }
+
+  test("multiSearch family + hasToken") {
+    val r = ch("""SELECT multiSearchAny('the quick fox', ['cat', 'fox']) AS a,
+                 |multiSearchFirstPosition('the quick fox', ['fox', 'quick']) AS p,
+                 |multiSearchFirstIndex('the quick fox', ['fox', 'quick']) AS i,
+                 |hasToken('a quick fox', 'quick') AS t1,
+                 |hasToken('a quickfox', 'quick') AS t2""".stripMargin).collect()(0)
+    assert(r.getBoolean(0))
+    assert(r.getInt(1) == 5)  // 'quick' at 5 beats 'fox' at 11
+    assert(r.getLong(2) == 2) // needle index of 'quick'
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+  }
+
+  test("ngramDistance: identical 0, disjoint 1") {
+    val r = ch("SELECT ngramDistance('abcdef', 'abcdef') AS same, " +
+      "ngramDistance('aaaaaa', 'zzzzzz') AS diff").collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0)
+  }
+
+  test("toStartOfInterval + toStartOfFifteenMinutes") {
+    val r = ch("SELECT toStartOfInterval(CAST('2024-01-15 10:37:22' AS TIMESTAMP), INTERVAL 15 MINUTE) AS b, " +
+      "toStartOfFifteenMinutes(CAST('2024-01-15 10:37:22' AS TIMESTAMP)) AS b2").collect()(0)
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-15 10:30:00"))
+    assert(r.getTimestamp(0) == r.getTimestamp(1))
+  }
+
+  test("parseDateTimeBestEffort picks a working format") {
+    val r = ch("SELECT parseDateTimeBestEffort('15/01/2024') AS a, " +
+      "parseDateTimeBestEffort('2024-01-15T10:30:00') AS b, " +
+      "parseDateTimeBestEffortOrNull('garbage') AS c").collect()(0)
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-15 00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-15 10:30"))
+    assert(r.isNullAt(2))
+  }
+
+  test("UUID/snowflake generation surface") {
+    val r = ch("SELECT generateUUIDv4() AS u4, generateUUIDv7() AS u7, " +
+      "generateSnowflakeID() AS sf").collect()(0)
+    assert(r.getString(0).length == 36)
+    assert(r.getString(1).charAt(14) == '7')
+    assert(r.getLong(2) > 0)
+  }
+
+  test("IPv6 + IPv4 codecs and geohash through the dialect") {
+    val r = ch("SELECT IPv6NumToString(IPv6StringToNum('2001:0db8:0:0:0:0:0:1')) AS c, " +
+      "IPv4NumToString(IPv4StringToNum('10.1.2.3')) AS v4, " +
+      "isIPv4String('10.1.2.3') AS ok4, isIPv6String('::1') AS ok6, " +
+      "geohashEncode(-5.60302734375, 42.60498046875, 5) AS gh").collect()(0)
+    assert(r.getString(0) == "2001:db8::1")
+    assert(r.getString(1) == "10.1.2.3")
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getString(4) == "ezs42")
+  }
+
+  test("array tail: pushBack/popBack/first/avg/hasAll") {
+    val r = ch("SELECT arrayPushBack([1, 2], 3) AS pb, arrayPopBack([1, 2, 3]) AS pop, " +
+      "arrayFirst(x -> x > 1, [1, 2, 3]) AS f, arrayAvg([1, 2, 3]) AS av, " +
+      "hasAll([1, 2, 3], [1, 3]) AS ha, countEqual([1, 2, 1], 1) AS ce").collect()(0)
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](1) == Seq(1, 2))
+    assert(r.getInt(2) == 2)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-9)
+    assert(r.getBoolean(4) && r.getInt(5) == 2)
+  }
+
+  test("bit/math/type templates") {
+    val r = ch("SELECT bitAnd(12, 10) AS ba, bitTest(5, 0) AS bt, sqr(7) AS sq, " +
+      "intExp2(10) AS e2, toInt16('42') AS i16, toFloat64OrNull('x') AS bad").collect()(0)
+    assert(r.getInt(0) == 8 && r.getInt(1) == 1 && r.getInt(2) == 49)
+    assert(r.getLong(3) == 1024L && r.getShort(4) == 42)
+    assert(r.isNullAt(5))
+  }
+
+  test("CREATE FUNCTION macro expands inline and via registry") {
+    val r = ch("""CREATE FUNCTION linear AS (x, k, b) -> k*x + b;
+                 |SELECT linear(2, 3, 1) AS y""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 7)
+    // single-param form + macro calling a dialect function
+    val r2 = ch("""CREATE FUNCTION norm_text AS s -> lower(trimBoth(s));
+                  |SELECT norm_text('  HeLLo  ') AS t""".stripMargin).collect()(0)
+    assert(r2.getString(0) == "hello")
+    // registry persists across calls
+    graft.sqlfront.ChSql.createFunction("CREATE FUNCTION double_it AS (x) -> x * 2")
+    val r3 = ch("SELECT double_it(21) AS v").collect()(0)
+    assert(r3.getInt(0) == 42)
+    graft.sqlfront.ChSql.dropFunction("double_it")
+  }
 }
