@@ -36,4 +36,38 @@ class AggregatesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
+
+  test("LTTB keeps endpoints and the dominant spike") {
+    import spark.implicits._
+    val lttb = udaf(new graft.aggregates.LttbAggregator(5))
+    // flat line with a spike at x=50
+    val pts = (0 until 100).map(i => (i.toDouble, if (i == 50) 100.0 else 1.0))
+    val got = pts.toDF("x", "y").agg(lttb(col("x"), col("y")).as("p"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got.length == 5)
+    assert(got.head == (0.0, 1.0) && got.last == (99.0, 1.0), "endpoints kept")
+    assert(got.exists(_ == (50.0, 100.0)), "spike survives downsampling")
+    assert(got.map(_._1) == got.map(_._1).sorted, "x stays ordered")
+  }
+
+  test("LTTB returns all points when n >= series length") {
+    import spark.implicits._
+    val lttb = udaf(new graft.aggregates.LttbAggregator(10))
+    val pts = (0 until 6).map(i => (i.toDouble, i.toDouble * 2))
+    val got = pts.toDF("x", "y").agg(lttb(col("x"), col("y")).as("p"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(got.length == 6)
+  }
+
+  test("KMV sketch: exact under k, within 10% over k, deterministic") {
+    import spark.implicits._
+    val kmv = udaf(new graft.aggregates.KmvDistinctAggregator(1024))
+    val small = (1L to 500L).toDF("v").agg(kmv(col("v"))).collect()(0).getLong(0)
+    assert(small == 500L, "below k the sketch is exact")
+    val big1 = (1L to 50000L).toDF("v").agg(kmv(col("v"))).collect()(0).getLong(0)
+    val big2 = (1L to 50000L).toDF("v").agg(kmv(col("v"))).collect()(0).getLong(0)
+    assert(big1 == big2, "deterministic")
+    assert(math.abs(big1 - 50000.0) / 50000.0 < 0.1, s"estimate $big1 within 10%")
+  }
 }
