@@ -80,6 +80,7 @@ object DatePreimageRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DatePreimageRule)
+    ext.injectOptimizerRule(_ => ProjectionRouting.Route)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -49,10 +49,66 @@ object Misc4 {
         regexp_count(col("text"), lit("[aeiou]{2}")).as("n_double_vowel"),
         size(regexp_extract_all(col("text"), lit("\\b\\w{5}\\b"), lit(0))).as("n_five_letter"),
         regexp_count(col("text"), lit("row")).as("n_row")))
+    },
+
+    // ORDER BY ... COLLATE (reference src/Columns/Collator.h,
+    // IColumn.h:364). Spark 4 collations make the round-1 "ICU absent"
+    // gap obsolete: UTF8_LCASE == lowercase-then-binary, which is exactly
+    // DuckDB's NOCASE on this ASCII fixture. The collated ORDER is
+    // captured as a per-segment rank (partitioned window, tie-broken
+    // binary) so the oracle can verify the ordering itself, not just the
+    // row set.
+    "q_collate" -> { (s, dir) =>
+      val c = T(s, dir)("customer").filter(col("c_custkey") <= 1000)
+      val mixed = when(pmod(col("c_custkey"), lit(3)) === 0, lower(col("c_name")))
+        .when(pmod(col("c_custkey"), lit(3)) === 1, upper(col("c_name")))
+        .otherwise(col("c_name"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(collate(mixed, "UTF8_LCASE"), mixed)
+      ordered(c.select(col("c_mktsegment"), mixed.as("name_mixed"),
+        row_number().over(w).as("ci_rank")))
+    },
+
+    // Aggregate-projection routing (reference
+    // optimizeUseAggregateProjection.cpp): the query aggregates the FACT
+    // table, but the optimizer rule reroutes the scan to a materialized
+    // per-(returnflag, linestatus) summary and re-aggregates partials.
+    // Results are exact (sum/count decompose); sum stays on the integral
+    // l_quantity so re-aggregation is FP-exact too. Scan switch asserted
+    // in PlanSpec.
+    "q_projection_route" -> { (s, dir) =>
+      val fact = T(s, dir)("lineitem")
+      val summaryPath = s"/tmp/graft_projections/${new java.io.File(dir).getName}_li_rf_ls"
+      graft.plans.ProjectionRouting.ensureSummary(
+        s, s"$dir/lineitem.parquet", fact,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), summaryPath)
+      ordered(fact.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_projection_route" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, sum_qty NULLS FIRST, n NULLS FIRST""".stripMargin,
+    "q_collate" ->
+      """SELECT c_mktsegment, name_mixed, cast(ci_rank AS int) AS ci_rank FROM (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
+        |         WHEN c_custkey % 3 = 1 THEN upper(c_name)
+        |         ELSE c_name END AS name_mixed,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY (CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
+        |                     WHEN c_custkey % 3 = 1 THEN upper(c_name)
+        |                     ELSE c_name END) COLLATE NOCASE,
+        |        CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
+        |             WHEN c_custkey % 3 = 1 THEN upper(c_name)
+        |             ELSE c_name END) AS ci_rank
+        |  FROM customer WHERE c_custkey <= 1000)
+        |ORDER BY c_mktsegment NULLS FIRST, name_mixed NULLS FIRST, ci_rank NULLS FIRST""".stripMargin,
     "q_fn_value_remap" ->
       """SELECT code, count(*) AS n FROM (
         |  SELECT CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 20

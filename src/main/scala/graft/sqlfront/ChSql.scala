@@ -675,6 +675,28 @@ object ChSql {
       q = q.replaceAll(s"""\\b$ch\\s*\\(""", sp + "(")
     }
 
+    // ORDER BY x COLLATE 'name' (reference src/Columns/Collator.h — ICU
+    // locale collations): map onto Spark 4 collation names. Locales map
+    // to UNICODE (CH collations are locale-aware, case-sensitive);
+    // *_ci names to UNICODE_CI; binary/nocase to the UTF8 collations.
+    {
+      val m = java.util.regex.Pattern
+        .compile("(?i)(\\w+)\\s+COLLATE\\s+'([\\w.-]+)'").matcher(q)
+      val sb = new StringBuffer
+      while (m.find()) {
+        val target = m.group(2).toLowerCase match {
+          case "binary" => "UTF8_BINARY"
+          case "nocase" | "lcase" => "UTF8_LCASE"
+          case n if n.endsWith("_ci") => "UNICODE_CI"
+          case _ => "UNICODE"
+        }
+        m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(s"collate(${m.group(1)}, '$target')"))
+      }
+      m.appendTail(sb)
+      q = sb.toString
+    }
+
     // FINAL modifier: our catalog views are already merge-final
     q = q.replaceAll("""(?i)\bFINAL\b""", "")
 

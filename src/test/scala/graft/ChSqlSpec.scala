@@ -240,6 +240,13 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.isNullAt(5))
   }
 
+  test("ORDER BY ... COLLATE maps onto Spark 4 collations") {
+    val rows = ch("""SELECT c FROM VALUES ('b'), ('A'), ('a'), ('B') AS t(c)
+                    |ORDER BY c COLLATE 'en_ci', c""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("A", "a", "B", "b"), s"got ${rows.toSeq}")
+  }
+
   test("CREATE FUNCTION macro expands inline and via registry") {
     val r = ch("""CREATE FUNCTION linear AS (x, k, b) -> k*x + b;
                  |SELECT linear(2, 3, 1) AS y""".stripMargin).collect()(0)

@@ -91,6 +91,36 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs join leaked into the LSH plan:\n${plan.take(3000)}")
   }
 
+  test("projection routing reroutes a matching aggregate to the summary scan") {
+    import graft.plans.ProjectionRouting
+    val fact = graft.core.Tables.t(spark, sf, "lineitem")
+    val summaryPath = "/tmp/graft_projections/planspec_li_rf_ls"
+    ProjectionRouting.ensureSummary(spark, s"$sf/lineitem.parquet", fact,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), summaryPath)
+    val routed = fact.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
+    val opt = routed.queryExecution.optimizedPlan.toString
+    assert(opt.contains("sum(sum_l_quantity") && opt.contains("sum(cnt"),
+      s"aggregate not rewritten to re-aggregation:\n$opt")
+    val physical = routed.queryExecution.executedPlan.toString
+    assert(physical.contains("planspec_li_rf_ls"), s"scan not rerouted:\n${physical.take(3000)}")
+    assert(!physical.contains("lineitem.parquet"), "fact scan survived")
+    // a query with an UNREGISTERED measure must NOT reroute
+    val unrouted = fact.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice")).as("s"))
+    assert(!unrouted.queryExecution.optimizedPlan.toString.contains("sum_l_quantity"))
+    // results must equal the unrouted computation (clear the registry so
+    // the baseline really scans the fact table)
+    val got = routed.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    ProjectionRouting.clear()
+    try {
+      val direct = fact.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), count(lit(1)))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got == direct)
+    } finally ProjectionRouting.clear()
+  }
+
   test("projection pruning reaches the scan (2-column read)") {
     val li = graft.core.Tables.t(spark, sf, "lineitem")
     val plan = li.select(col("l_orderkey"), col("l_quantity"))
