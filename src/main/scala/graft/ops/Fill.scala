@@ -68,6 +68,47 @@ object Fill {
     bucketedCarry(joined, keyCol, (col(keyCol) - from) / step, points, carryCols)
   }
 
+  /** WITH FILL ... INTERPOLATE (col AS expr) — EXPRESSION mode (reference
+    * FillingTransform.cpp: the interpolate expression is evaluated on the
+    * previous OUTPUT row, so consecutive gap rows compound it). The
+    * sequential chain is expressed declaratively: carry (last real grid
+    * index, last real value) with the bucketed carry, then fold the
+    * expression `distance` times with `aggregate(sequence(1, d), v0, f)`
+    * — an O(gap) per-row loop inside codegen, never a sequential pass
+    * over the whole grid.
+    *
+    * `interp` maps column name -> (previous-value Column => next Column).
+    */
+  def withFillInterpolate(spark: SparkSession, df: DataFrame, keyCol: String,
+                          from: Long, to: Long, step: Long,
+                          interp: Map[String, Column => Column],
+                          timestampKey: Boolean = false): DataFrame = {
+    val points = (to - from) / step + 1
+    val gridExpr =
+      if (timestampKey) timestamp_micros(col("id") * step + from)
+      else col("id") * step + from
+    val grid = spark.range(0, points).select(gridExpr.as(keyCol))
+    val idxExpr =
+      if (timestampKey) (unix_micros(col(keyCol)) - from) / step
+      else (col(keyCol) - from) / step
+    val joined = grid.join(df, Seq(keyCol), "left")
+      .withColumn("__gi", idxExpr.cast("long"))
+    val withStructs = interp.keys.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"__s_$c",
+        when(col(c).isNotNull, struct(col("__gi").as("i"), col(c).as("v"))))
+    }
+    val carried = bucketedCarry(withStructs, keyCol, col("__gi"), points,
+      interp.keys.map(c => s"__s_$c").toSeq)
+    interp.foldLeft(carried) { case (acc, (c, f)) =>
+      val s = col(s"__s_$c")
+      val dist = (col("__gi") - s.getField("i")).cast("int")
+      val filled = aggregate(sequence(lit(1), dist), s.getField("v"), (a, _) => f(a))
+      acc.withColumn(c,
+        coalesce(col(c), when(s.isNotNull && dist > 0, filled)))
+        .drop(s"__s_$c")
+    }.drop("__gi")
+  }
+
   /** Same grid-fill for timestamps with a fixed interval (microseconds). */
   def withFillTimestamp(spark: SparkSession, df: DataFrame, tsCol: String,
                         fromMicros: Long, toMicros: Long, stepMicros: Long,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Codecs, IdGen, VectorKernels}
+import graft.functions.{Codecs, IdGen, Stemmer, VectorKernels}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
@@ -46,6 +46,8 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         VectorKernels.CharNgramHashes(es(0), intLit(es(1), "ngram size"))),
     (FunctionIdentifier("intersect_count_sorted_longs"), info("intersect_count_sorted_longs"),
-      (es: Seq[Expression]) => VectorKernels.IntersectCountSortedLongs(es(0), es(1)))
+      (es: Seq[Expression]) => VectorKernels.IntersectCountSortedLongs(es(0), es(1))),
+    (FunctionIdentifier("porter_stem"), info("porter_stem"),
+      (es: Seq[Expression]) => Stemmer.PorterStem(es.head))
   )
 }

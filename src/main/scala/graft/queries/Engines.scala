@@ -52,6 +52,23 @@ object Engines {
         coalesce(col("n"), lit(0L)).as("n_filled")))
     },
 
+    // WITH FILL ... INTERPOLATE (n AS n + 3) — expression mode
+    // (reference FillingTransform.cpp): gap days compound the previous
+    // OUTPUT row's value, so a 3-day hole yields +3, +6, +9. The affine
+    // expression keeps arithmetic exact (long adds), so the DuckDB
+    // closed form (last + 3*distance) hash-matches the fold.
+    "q_with_fill_interp" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+      val daily = e.filter(col("event_type") === "signup" && col("user_id") === 7)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val from = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000
+      val to = java.time.Instant.parse("2024-01-30T00:00:00Z").toEpochMilli * 1000
+      val filled = Fill.withFillInterpolate(s, daily, "day", from, to, 86400L * 1000000,
+        Map("n" -> (prev => prev + lit(3L))), timestampKey = true)
+      ordered(filled.select(col("day"), col("n").as("n_interp")))
+    },
+
     // Deterministic SAMPLE BY key (reference MergeTree sampling key
     // semantics: stable subset by key arithmetic, not RNG).
     "q_sample_by_key" -> { (s, dir) =>
@@ -96,6 +113,24 @@ object Engines {
         |SELECT g.day AS day, coalesce(d.n, 0) AS n_filled
         |FROM grid g LEFT JOIN daily d USING (day)
         |ORDER BY day NULLS FIRST, n_filled NULLS FIRST""".stripMargin,
+    "q_with_fill_interp" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |    cast(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'signup' AND user_id = 7
+        |  GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day),
+        |j AS (SELECT g.day AS day, d.n FROM grid g LEFT JOIN daily d USING (day)),
+        |c AS (SELECT day, n,
+        |    last_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (ORDER BY day) AS src_day,
+        |    last_value(n IGNORE NULLS) OVER (ORDER BY day) AS src_n
+        |  FROM j)
+        |SELECT day,
+        |  coalesce(n, src_n + 3 * date_diff('day', src_day, day)) AS n_interp
+        |FROM c
+        |ORDER BY day NULLS FIRST, n_interp NULLS FIRST""".stripMargin,
     "q_sample_by_key" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 3

@@ -81,6 +81,28 @@ object LlmOps {
       ordered(Similarity.cosinePairsBucketed(base.unionAll(pert), "vec_id", "v", 0.9))
     },
 
+    // hasToken via the inverted posting index (reference
+    // MergeTreeIndexGin.cpp): build the (token, doc_id) index, look up a
+    // token, semi-join back — must equal the direct text-split predicate,
+    // which is exactly what the DuckDB oracle computes.
+    "q_has_token_index" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      val path = s"/tmp/graft_invidx/${new java.io.File(dir).getName}_documents"
+      graft.ops.InvertedIndex.build(d, "doc_id", "text", path)
+      ordered(graft.ops.InvertedIndex.hasTokenViaIndex(d, "doc_id", s, path, "data")
+        .select(col("doc_id"), col("source")))
+    },
+
+    // Porter stemming (reference src/Functions/stem.cpp; golden — DuckDB
+    // core lacks a stemmer; algorithm vectors pinned in StemmerSpec).
+    "q_text_stem" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      ordered(d.select(
+        col("doc_id"),
+        array_join(transform(slice(split(col("text"), " "), 1, 5),
+          t => graft.functions.Stemmer.porter_stem(t)), " ").as("stemmed_head")))
+    },
+
     // Brute-force cosine top-10 neighbours of vec_id = 0.
     "q_sim_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(T(s, dir)("embeddings"), "vec_id", "embedding",
@@ -184,6 +206,10 @@ object LlmOps {
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |WHERE cos >= 0.45
         |ORDER BY a NULLS FIRST, b NULLS FIRST, cos NULLS FIRST""".stripMargin,
+    "q_has_token_index" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'data')
+        |ORDER BY doc_id NULLS FIRST, source NULLS FIRST""".stripMargin,
     "q_dedup_embedding_lsh" ->
       """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

@@ -185,6 +185,7 @@ object ChSql {
     "toIPv6" -> "ipv6_string_to_num",
     "isIPv4String" -> "t", "isIPv6String" -> "t",
     "geohashEncode" -> "geohash_encode", "geohashDecode" -> "geohash_decode",
+    "stem" -> "t", // template: CH stem('en', s) takes the language FIRST
     // misc
     "currentDatabase" -> "current_database", "currentUser" -> "current_user",
     "version" -> "version", "materialize" -> "t", "identity" -> "t"
@@ -663,6 +664,8 @@ object ChSql {
     q = rewriteCalls(q, "isIPv4String")(a =>
       s"(${a(0)} RLIKE '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$$')")
     q = rewriteCalls(q, "isIPv6String")(a => s"(ipv6_string_to_num(${a(0)}) IS NOT NULL)")
+    q = rewriteCalls(q, "stem")(a =>
+      if (a.length == 2) s"porter_stem(${a(1)})" else s"porter_stem(${a(0)})")
 
     // parameterized-aggregate syntax quantile[Exact](0.5)(x) -> percentile(x, 0.5)
     q = q.replaceAll("""\bquantile(?:Exact)?\(([0-9.]+)\)\s*\(""", "__QUANTILE__$1(")
