@@ -19,42 +19,73 @@ import scala.collection.mutable
   * keeps the partial-aggregation (map-side combine) property Spark's
   * hash aggregation expects: each partition builds a small sketch, the
   * shuffle moves only k*loadFactor counters per group.
+  *
+  * Eviction is O(log capacity) via a lazily built (count -> values)
+  * ordered index (the reference keeps an intrusive min-structure for the
+  * same reason); the index is transient — it is rebuilt on first eviction
+  * after deserialization and maintained incrementally afterwards, and
+  * never built at all for under-capacity groups.
   */
+class SpaceSavingBuffer extends Serializable {
+  val counts: mutable.Map[String, Long] = mutable.Map.empty
+  // count -> sorted values at that count; deterministic min = (firstKey, first value)
+  @transient private var index: java.util.TreeMap[Long, java.util.TreeSet[String]] = _
+
+  private def indexAdd(v: String, c: Long): Unit = {
+    val set = index.computeIfAbsent(c, _ => new java.util.TreeSet[String]())
+    set.add(v)
+  }
+  private def indexRemove(v: String, c: Long): Unit = {
+    val set = index.get(c)
+    if (set != null) { set.remove(v); if (set.isEmpty) index.remove(c) }
+  }
+  private def ensureIndex(): Unit = if (index == null) {
+    index = new java.util.TreeMap[Long, java.util.TreeSet[String]]()
+    counts.foreach { case (v, c) => indexAdd(v, c) }
+  }
+
+  def add(v: String, n: Long, capacity: Int): Unit = counts.get(v) match {
+    case Some(c) =>
+      counts.update(v, c + n)
+      if (index != null) { indexRemove(v, c); indexAdd(v, c + n) }
+    case None =>
+      if (counts.size < capacity) {
+        counts.update(v, n)
+        if (index != null) indexAdd(v, n)
+      } else {
+        // SpaceSaving eviction: replace the min counter, inherit count.
+        ensureIndex()
+        val minC = index.firstKey()
+        val minV = index.get(minC).first()
+        counts.remove(minV)
+        indexRemove(minV, minC)
+        counts.update(v, minC + n)
+        indexAdd(v, minC + n)
+      }
+  }
+}
+
 class TopKAggregator(k: Int, loadFactor: Int = 10)
-    extends Aggregator[String, mutable.Map[String, Long], Seq[String]] {
+    extends Aggregator[String, SpaceSavingBuffer, Seq[String]] {
   private val capacity = k * loadFactor
 
-  def zero: mutable.Map[String, Long] = mutable.Map.empty
+  def zero: SpaceSavingBuffer = new SpaceSavingBuffer
 
-  def reduce(b: mutable.Map[String, Long], v: String): mutable.Map[String, Long] = {
-    if (v != null) add(b, v, 1L)
+  def reduce(b: SpaceSavingBuffer, v: String): SpaceSavingBuffer = {
+    if (v != null) b.add(v, 1L, capacity)
     b
   }
 
-  private def add(b: mutable.Map[String, Long], v: String, n: Long): Unit =
-    b.get(v) match {
-      case Some(c) => b.update(v, c + n)
-      case None =>
-        if (b.size < capacity) b.update(v, n)
-        else {
-          // SpaceSaving eviction: replace the min counter, inherit count.
-          val (minV, minC) = b.minBy { case (value, c) => (c, value) }
-          b.remove(minV)
-          b.update(v, minC + n)
-        }
-    }
-
-  def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
-    b.foreach { case (v, n) => add(a, v, n) }
+  def merge(a: SpaceSavingBuffer, b: SpaceSavingBuffer): SpaceSavingBuffer = {
+    b.counts.foreach { case (v, n) => a.add(v, n, capacity) }
     a
   }
 
   /** Top-k values by (count desc, value asc) — deterministic tie-break. */
-  def finish(b: mutable.Map[String, Long]): Seq[String] =
-    b.toSeq.sortBy { case (v, c) => (-c, v) }.take(k).map(_._1)
+  def finish(b: SpaceSavingBuffer): Seq[String] =
+    b.counts.toSeq.sortBy { case (v, c) => (-c, v) }.take(k).map(_._1)
 
-  def bufferEncoder: Encoder[mutable.Map[String, Long]] =
-    Encoders.kryo[mutable.Map[String, Long]]
+  def bufferEncoder: Encoder[SpaceSavingBuffer] = Encoders.kryo[SpaceSavingBuffer]
   def outputEncoder: Encoder[Seq[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }
@@ -62,17 +93,18 @@ class TopKAggregator(k: Int, loadFactor: Int = 10)
 /** topKWeighted (reference AggregateFunctionTopK.cpp weighted variant):
   * SpaceSaving where each occurrence adds `weight` instead of 1. */
 class TopKWeightedAggregator(k: Int, loadFactor: Int = 10)
-    extends Aggregator[(String, Long), mutable.Map[String, Long], Seq[String]] {
+    extends Aggregator[(String, Long), SpaceSavingBuffer, Seq[String]] {
   private val inner = new TopKAggregator(k, loadFactor)
-  def zero: mutable.Map[String, Long] = inner.zero
-  def reduce(b: mutable.Map[String, Long], v: (String, Long)): mutable.Map[String, Long] = {
-    if (v._1 != null) inner.merge(b, mutable.Map(v._1 -> v._2))
+  private val capacity = k * loadFactor
+  def zero: SpaceSavingBuffer = inner.zero
+  def reduce(b: SpaceSavingBuffer, v: (String, Long)): SpaceSavingBuffer = {
+    if (v._1 != null) b.add(v._1, v._2, capacity)
     b
   }
-  def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] =
+  def merge(a: SpaceSavingBuffer, b: SpaceSavingBuffer): SpaceSavingBuffer =
     inner.merge(a, b)
-  def finish(b: mutable.Map[String, Long]): Seq[String] = inner.finish(b)
-  def bufferEncoder: Encoder[mutable.Map[String, Long]] = inner.bufferEncoder
+  def finish(b: SpaceSavingBuffer): Seq[String] = inner.finish(b)
+  def bufferEncoder: Encoder[SpaceSavingBuffer] = inner.bufferEncoder
   def outputEncoder: Encoder[Seq[String]] = inner.outputEncoder
 }
 

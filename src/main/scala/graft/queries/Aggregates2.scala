@@ -129,6 +129,31 @@ object Aggregates2 {
           p => lit(blocks).substr(p.getField("level"), lit(1))), "").as("bar")))
     },
 
+    // sumForEach combinator: elementwise sums of the 64-dim embeddings
+    // per vec_id%5 group (reference AggregateFunctionForEach.cpp).
+    // Rounded to 6 decimals on both sides (distributed vs sequential
+    // float fold order).
+    "q_sum_foreach" -> { (s, dir) =>
+      val e = T(s, dir)("embeddings")
+        .select(pmod(col("vec_id"), lit(5)).as("g"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val summed = graft.ops.Combinators.sumForEach(e, Seq(col("g")), col("v"), "sums")
+      ordered(summed.select(col("g"),
+        transform(col("sums"), x => round(x, 6)).as("sums")))
+    },
+
+    // sumResample combinator: per return flag, revenue resampled into 5
+    // quantity buckets [1,51) step 10 (reference
+    // AggregateFunctionResample.cpp); empty buckets 0, rounded to 4.
+    "q_sum_resample" -> { (s, dir) =>
+      val li = T(s, dir)("lineitem")
+      val res = graft.ops.Combinators.sumResample(li,
+        Seq(col("l_returnflag").as("g")), col("l_extendedprice"), col("l_quantity"),
+        start = 1L, end = 51L, step = 10L, out = "sums")
+      ordered(res.select(col("g"),
+        transform(col("sums"), x => round(x, 4)).as("sums")))
+    },
+
     // largestTriangleThreeBuckets: downsample each event type's
     // (ts, value) series to 9 shape-preserving points (golden — the
     // sequential selection has no SQL analog; algorithm vectors pinned
@@ -205,6 +230,28 @@ object Aggregates2 {
         |  FROM s WHERE event_type = 'view' AND e1 = 'click')
         |SELECT user_id, e2 AS next_node FROM m WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, next_node NULLS FIRST""".stripMargin,
+    "q_sum_foreach" ->
+      """WITH x AS (SELECT vec_id % 5 AS g,
+        |    list_transform(embedding, t -> CAST(t AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT g, i, sum(v[i]) AS s
+        |  FROM x, unnest(range(1, 65)) AS r(i) GROUP BY g, i)
+        |SELECT g, list(round(s, 6) ORDER BY i) AS sums
+        |FROM e GROUP BY g
+        |ORDER BY g NULLS FIRST""".stripMargin,
+    "q_sum_resample" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(floor((l_quantity - 1) / 10) AS INT) AS bk,
+        |    sum(l_extendedprice) AS s
+        |  FROM lineitem WHERE l_quantity >= 1 AND l_quantity < 51
+        |  GROUP BY 1, 2),
+        |groups AS (SELECT DISTINCT g FROM b),
+        |grid AS (SELECT g, unnest(range(0, 5)) AS bk FROM groups),
+        |f AS (SELECT grid.g, grid.bk, coalesce(s, 0) AS s
+        |  FROM grid LEFT JOIN b ON b.g = grid.g AND b.bk = grid.bk)
+        |SELECT g, list(round(s, 4) ORDER BY bk) AS sums
+        |FROM f GROUP BY g
+        |ORDER BY g NULLS FIRST""".stripMargin,
     "q_uniq_theta" ->
       """SELECT l_returnflag,
         |  cast(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
