@@ -117,6 +117,8 @@ object ChSql {
     "ngramDistance" -> "t", "ngramSearch" -> "t",
     "multiSearchAny" -> "t", "multiSearchFirstPosition" -> "t",
     "multiSearchFirstIndex" -> "t", "multiSearchAnyCaseInsensitive" -> "t",
+    "multiMatchAny" -> "t", "multiMatchAnyIndex" -> "t",
+    "encrypt" -> "t", "decrypt" -> "t", "tryDecrypt" -> "t",
     "hasToken" -> "t", "hasTokenCaseInsensitive" -> "t",
     "positionUTF8" -> "instr", "firstLine" -> "t",
     // hash / encoding
@@ -559,6 +561,22 @@ object ChSql {
         s"array_min(filter(transform(${a(1)}, __n -> instr(${a(0)}, __n)), __p -> __p > 0))), 0)")
     q = rewriteCalls(q, "multiSearchAny")(a =>
       s"exists(${a(1)}, __n -> instr(${a(0)}, __n) > 0)")
+    // multiMatchAny: any of several REGEX patterns matches (reference
+    // multiMatchAny.cpp — hyperscan there; per-pattern rlike here).
+    q = rewriteCalls(q, "multiMatchAny")(a =>
+      s"exists(${a(1)}, __p -> ${a(0)} RLIKE __p)")
+    q = rewriteCalls(q, "multiMatchAnyIndex")(a =>
+      s"coalesce(array_position(transform(${a(1)}, __p -> ${a(0)} RLIKE __p), true), 0)")
+    // CH encrypt('mode', plain, key[, iv]) -> Spark aes_encrypt(plain,
+    // key, MODE). CH mode strings like 'aes-128-ecb'.
+    val aesMode = (m: String) => {
+      val lower = m.replaceAll("'", "").toLowerCase
+      if (lower.endsWith("gcm")) "'GCM'" else if (lower.endsWith("cbc")) "'CBC'" else "'ECB'"
+    }
+    q = rewriteCalls(q, "encrypt")(a => s"aes_encrypt(${a(1)}, ${a(2)}, ${aesMode(a(0))})")
+    q = rewriteCalls(q, "tryDecrypt")(a =>
+      s"try_aes_decrypt(${a(1)}, ${a(2)}, ${aesMode(a(0))})")
+    q = rewriteCalls(q, "decrypt")(a => s"aes_decrypt(${a(1)}, ${a(2)}, ${aesMode(a(0))})")
     q = rewriteCalls(q, "hasTokenCaseInsensitive")(a =>
       s"(lower(${a(0)}) RLIKE concat('(^|[^a-z0-9])', lower(${a(1)}), '([^a-z0-9]|$$)'))")
     q = rewriteCalls(q, "hasToken")(a =>

@@ -247,6 +247,28 @@ class ChSqlSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("A", "a", "B", "b"), s"got ${rows.toSeq}")
   }
 
+  test("multiMatchAny regex family") {
+    val r = ch("""SELECT multiMatchAny('error: disk full', ['^warn', 'disk [a-z]+$']) AS m,
+                 |multiMatchAnyIndex('error: disk full', ['^warn', 'disk [a-z]+$']) AS i,
+                 |multiMatchAny('ok', ['^warn', 'disk']) AS n""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && r.getLong(1) == 2 && !r.getBoolean(2))
+  }
+
+  test("encrypt/decrypt map onto aes_encrypt/aes_decrypt") {
+    // NIST AES-128-ECB vector: K=2b7e...4f3c, P=6bc1...172a, C=3ad7...ef97
+    val r = ch("""SELECT hex(encrypt('aes-128-ecb', unhex('6BC1BEE22E409F96E93D7E117393172A'),
+                 |  unhex('2B7E151628AED2A6ABF7158809CF4F3C'))) AS c,
+                 |CAST(decrypt('aes-128-ecb',
+                 |  encrypt('aes-128-ecb', 'round trip', 'sixteen byte key'),
+                 |  'sixteen byte key') AS STRING) AS rt,
+                 |tryDecrypt('aes-128-ecb', unhex('00'), 'sixteen byte key') AS bad""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0).startsWith("3AD77BB40D7A3660A89ECAF32466EF97"),
+      s"NIST vector mismatch: ${r.getString(0)}")
+    assert(r.getString(1) == "round trip")
+    assert(r.isNullAt(2))
+  }
+
   test("CREATE FUNCTION macro expands inline and via registry") {
     val r = ch("""CREATE FUNCTION linear AS (x, k, b) -> k*x + b;
                  |SELECT linear(2, 3, 1) AS y""".stripMargin).collect()(0)
