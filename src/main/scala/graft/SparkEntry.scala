@@ -32,7 +32,8 @@ object SparkEntry {
       (graft.queries.Misc4.queries, graft.queries.Misc4.oracleSql),
       (graft.queries.Functions5.queries, graft.queries.Functions5.oracleSql),
       (graft.queries.Aggregates2.queries, graft.queries.Aggregates2.oracleSql),
-      (graft.queries.Aggregates3.queries, graft.queries.Aggregates3.oracleSql)
+      (graft.queries.Aggregates3.queries, graft.queries.Aggregates3.oracleSql),
+      (graft.queries.TimeSeries.queries, graft.queries.TimeSeries.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
