@@ -65,18 +65,24 @@ object Dedup {
     *
     * Returns (a, b, jaccard) with a < b, jaccard >= threshold.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+  /** (id, band, bh) band-signature rows — the only thing LSH shuffles.
+    * Signature straight from tokens; no shingle strings materialized. */
+  private def bandSignatureRows(docs: DataFrame, idCol: String, textCol: String,
+                                k: Int, bands: Int, shingleN: Int): DataFrame = {
     val rows = k / bands
-    // signature straight from tokens — no shingle strings materialized
     val sig = docs.select(col(idCol).as("id"),
       graft.functions.VectorKernels.minhash_tokens_sig(
         split(col(textCol), " "), shingleN, k).as("sig"))
-    val bandRows = sig.select(col("id"), explode(array((0 until bands).map(b =>
+    sig.select(col("id"), explode(array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*).as("bh"))): _*)).as("s"))
       .select(col("id"), col("s.band"), col("s.bh"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+    val bandRows = bandSignatureRows(docs, idCol, textCol, k, bands, shingleN)
     val cand = bandRows.groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -145,6 +151,61 @@ object Dedup {
         TextHashes.hamming64(col("p.ha"), col("p.hb")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental (streaming-intake) MinHash-LSH dedup — call per
+    * microbatch (e.g. from foreachBatch). Finds near-dup pairs of the
+    * batch against EVERYTHING SEEN SO FAR plus intra-batch pairs, then
+    * appends the batch's signatures and text to the state store.
+    *
+    * Scale shape: per batch the join touches only buckets the batch's
+    * band hashes land in (shuffle ∝ batch, history side prunes on the
+    * band/bh join keys); the state store holds (id, band, bh) postings
+    * and (id, text) — text is read back ONLY for verified candidates.
+    * This is the streaming analog of minhashLshPairs: work per batch
+    * never grows with corpus size, only candidate count.
+    *
+    * Returns verified (a, b, jaccard) with a = earlier id, b = batch id.
+    */
+  def incrementalLshDedup(batch: DataFrame, idCol: String, textCol: String,
+                          statePath: String, k: Int = 32, bands: Int = 8,
+                          shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val spark = batch.sparkSession
+    val bandsPath = s"$statePath/bands"
+    val docsPath = s"$statePath/docs"
+    val newBands = bandSignatureRows(batch, idCol, textCol, k, bands, shingleN)
+    val newDocs = batch.select(col(idCol).as("id"), col(textCol).as("t"))
+
+    val histExists = new java.io.File(bandsPath).exists()
+    // cross-batch candidates: batch band rows joined to historical postings
+    val crossCand =
+      if (!histExists) spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
+      else newBands.join(
+          spark.read.parquet(bandsPath).select(
+            col("id").as("hist_id"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .select(col("hist_id").as("a"), col("id").as("b")).distinct()
+    // intra-batch candidates: same in-bucket pair generation as the batch path
+    val intraCand = newBands.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b")).distinct()
+    val cand = crossCand.unionByName(intraCand).distinct()
+
+    val histText =
+      if (!histExists) newDocs else spark.read.parquet(docsPath).unionByName(newDocs)
+    val verified = cand
+      .join(histText.select(col("id").as("a"), col("t").as("ta")), "a")
+      .join(newDocs.select(col("id").as("b"), col("t").as("tb")), "b")
+      .select(col("a"), col("b"),
+        jaccard(wordShingles(col("ta"), shingleN), wordShingles(col("tb"), shingleN)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .cache()
+    verified.count() // materialize before mutating state
+    newBands.write.mode("append").parquet(bandsPath)
+    newDocs.write.mode("append").parquet(docsPath)
+    verified
   }
 
   /** Exact duplicate groups by full-text hash (the trivial-but-essential

@@ -81,4 +81,41 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(mv == truth)
   }
+
+  test("incremental LSH dedup finds cross-batch near-dups exactly once") {
+    import spark.implicits._
+    val statePath = "/tmp/graft_inc_lsh_" + System.nanoTime()
+    // 80 distinct tokens => ~78 distinct 3-gram shingles; a one-word edit
+    // keeps jaccard ≈ 0.93
+    val base = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok79", "tok79x")
+    val unrelated = (0 until 80).map(i => s"other$i").mkString(" ")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pairs = graft.llm.Dedup.incrementalLshDedup(
+          batch, "doc_id", "text", statePath, threshold = 0.7)
+        found.synchronized {
+          found ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    // batch 1: two intra-batch near-dups + one unrelated
+    mem.addData((1L, base), (2L, nearDup), (10L, unrelated))
+    q.processAllAvailable()
+    val afterB1 = found.toSet
+    assert(afterB1 == Set((1L, 2L)), s"batch1 pairs: $afterB1")
+    // batch 2: a new near-dup of doc 1 -> cross-batch pairs only
+    mem.addData((3L, base + "omega"))
+    q.processAllAvailable()
+    q.stop()
+    val afterB2 = found.toSet
+    assert(afterB2.contains((1L, 3L)) && afterB2.contains((2L, 3L)),
+      s"cross-batch near-dup missed: $afterB2")
+    assert(afterB2.count(p => p == (1L, 2L)) == 1, "batch-1 pair re-emitted")
+    assert(!afterB2.exists(p => p._1 == 10L || p._2 == 10L), "unrelated doc matched")
+  }
 }
