@@ -15,7 +15,10 @@ object DumpPlans {
     val headline = Seq(
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
       "q_asof_join", "q_dedup_minhash_lsh", "q_sim_topk",
-      "q_window_session", "q_win_running")
+      "q_window_session", "q_win_running",
+      // round-2 scale rewrites — verify no single-partition stages
+      "q_limit_with_ties", "q_paste_join", "q_with_fill",
+      "q_dedup_embedding_lsh", "q_projection_route", "q_has_token_index")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
