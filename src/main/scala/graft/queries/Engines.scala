@@ -37,6 +37,40 @@ object Engines {
         .select(col("user_id"), col("event_id"), col("value")))
     },
 
+    // VersionedCollapsingMergeTree FINAL (reference
+    // VersionedCollapsingSortedAlgorithm): sign from event_id%3, version
+    // = event_id (unique => deterministic "latest"); a key survives iff
+    // net sign > 0 and keeps its highest-version +1 row.
+    "q_engine_versioned" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+        .withColumn("sgn", when(pmod(col("event_id"), lit(3)) === 0, -1).otherwise(1))
+      ordered(EngineViews.versionedCollapsingFinal(
+          e, Seq("user_id", "event_type"), col("sgn"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value")))
+    },
+
+    // Input/output format round-trip (reference src/Formats — CSV and
+    // JSONEachRow): write a slice as CSV and as JSON, read both back,
+    // aggregate; results must equal the parquet-side oracle exactly
+    // (shortest-roundtrip float formatting survives both formats).
+    "q_format_roundtrip" -> { (s, dir) =>
+      val o = T(s, dir)("orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val base = s"/tmp/graft_formats/${new java.io.File(dir).getName}"
+      o.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      o.write.mode("overwrite").json(s"$base/json")
+      val fromCsv = s.read.option("header", "true").schema(o.schema).csv(s"$base/csv")
+      val fromJson = s.read.schema(o.schema).json(s"$base/json")
+      def summ(df: DataFrame, fmt: String) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"),
+            min(col("o_orderkey")).as("min_key"), max(col("o_custkey")).as("max_cust"))
+          .withColumn("fmt", lit(fmt))
+      ordered(summ(fromCsv, "csv").unionByName(summ(fromJson, "json"))
+        .select(col("fmt"), col("o_orderstatus"), col("n"), col("total"),
+          col("min_key"), col("max_cust")))
+    },
+
     // WITH FILL: daily signup counts on a gap-free January 2024 grid,
     // missing days as 0, plus INTERPOLATE-style carry of the last count.
     "q_with_fill" -> { (s, dir) =>
@@ -102,6 +136,29 @@ object Engines {
         |SELECT l.user_id AS user_id, l.event_id AS event_id, l.value AS value
         |FROM latest l JOIN alive a USING (user_id)
         |ORDER BY l.user_id NULLS FIRST, l.event_id NULLS FIRST, l.value NULLS FIRST""".stripMargin,
+    "q_engine_versioned" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, value,
+        |    CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sgn FROM events),
+        |net AS (SELECT user_id, event_type FROM e GROUP BY 1, 2 HAVING sum(sgn) > 0),
+        |plus AS (SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM e WHERE sgn = 1)
+        |SELECT p.user_id AS user_id, p.event_type AS event_type,
+        |  p.event_id AS event_id, p.value AS value
+        |FROM plus p JOIN net USING (user_id, event_type) WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, event_id NULLS FIRST, value NULLS FIRST""".stripMargin,
+    "q_format_roundtrip" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey < 2000),
+        |s AS (SELECT o_orderstatus, cast(count(*) AS BIGINT) n,
+        |    round(sum(o_totalprice), 4) total,
+        |    min(o_orderkey) min_key, max(o_custkey) max_cust
+        |  FROM o GROUP BY 1)
+        |SELECT fmt, o_orderstatus, n, total, min_key, max_cust FROM (
+        |  SELECT 'csv' AS fmt, * FROM s UNION ALL SELECT 'json' AS fmt, * FROM s)
+        |ORDER BY fmt NULLS FIRST, o_orderstatus NULLS FIRST, n NULLS FIRST,
+        |  total NULLS FIRST, min_key NULLS FIRST, max_cust NULLS FIRST""".stripMargin,
     "q_with_fill" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

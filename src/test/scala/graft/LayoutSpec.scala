@@ -42,4 +42,19 @@ class LayoutSpec extends AnyFunSuite {
     val salted = Layout.saltedJoin(li, o, "l_orderkey", salts = 8).count()
     assert(plain == salted)
   }
+
+  test("hive-partitioned write prunes partitions at the scan (PARTITION BY analog)") {
+    // MergeTree PARTITION BY analog: a partitioned parquet layout turns an
+    // equality filter on the partition key into directory pruning — the
+    // scan's PartitionFilters, not a post-scan filter.
+    val e = graft.core.Tables.t(spark, sf, "events")
+    val path = "/tmp/graft_layout/events_by_type"
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val df = spark.read.parquet(path).filter(col("event_type") === "click")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"no partition pruning:\n${plan.take(2000)}")
+    val direct = e.filter(col("event_type") === "click").count()
+    assert(df.count() == direct)
+  }
 }
