@@ -109,6 +109,27 @@ object Aggregates3 {
           p => p.getField("msum")).as("moving_sums")))
     },
 
+    // groupBitmapOr / groupBitmapAnd cardinalities (reference
+    // AggregateFunctionGroupBitmap — RoaringBitmap there; the set
+    // SEMANTICS expressed declaratively here): per event type over the
+    // first week of Jan 2024, |union of daily user sets| and
+    // |intersection of daily user sets| (= users active every day).
+    "q_bitmap_ops" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .select(col("event_type"), col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+      val nDays = e.select(col("event_type").as("et"), col("day")).distinct()
+        .groupBy(col("et")).agg(countDistinct(col("day")).as("nd"))
+      val perUser = e.select(col("event_type"), col("user_id"), col("day")).distinct()
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(countDistinct(col("day")).as("days_active"))
+      ordered(perUser.join(nDays, perUser("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("bitmap_or_card"),
+          sum(when(col("days_active") === col("nd"), 1).otherwise(0)).as("bitmap_and_card")))
+    },
+
     // Approximate quantile accuracy contract (reference QuantileTDigest):
     // percentile_approx must land within 2% relative of the exact median.
     "q_quantile_approx" -> { (s, dir) =>
@@ -177,6 +198,19 @@ object Aggregates3 {
         |SELECT user_id, list(msum ORDER BY ts, event_id) AS moving_sums
         |FROM m GROUP BY user_id
         |ORDER BY user_id NULLS FIRST""".stripMargin,
+    "q_bitmap_ops" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'),
+        |nd AS (SELECT event_type, count(DISTINCT day) AS ndays FROM e GROUP BY 1),
+        |pu AS (SELECT event_type, user_id, count(DISTINCT day) AS days_active
+        |  FROM e GROUP BY 1, 2)
+        |SELECT pu.event_type AS event_type,
+        |  cast(count(*) AS BIGINT) AS bitmap_or_card,
+        |  cast(sum(CASE WHEN days_active = ndays THEN 1 ELSE 0 END) AS BIGINT) AS bitmap_and_card
+        |FROM pu JOIN nd ON pu.event_type = nd.event_type
+        |GROUP BY pu.event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_quantile_approx" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_med,

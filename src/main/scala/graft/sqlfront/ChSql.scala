@@ -190,7 +190,28 @@ object ChSql {
     "stem" -> "t", // template: CH stem('en', s) takes the language FIRST
     // misc
     "currentDatabase" -> "current_database", "currentUser" -> "current_user",
-    "version" -> "version", "materialize" -> "t", "identity" -> "t"
+    "version" -> "version", "materialize" -> "t", "identity" -> "t",
+    // ---- batch 3 ----
+    "toStartOfSecond" -> "t", "age" -> "t", "timeDiff" -> "t",
+    "toWeek" -> "weekofyear", "nowInBlock" -> "current_timestamp",
+    "timezone" -> "t", "serverTimezone" -> "t",
+    "fromUnixTimestamp64Micro" -> "timestamp_micros",
+    "fromUnixTimestamp64Nano" -> "t",
+    "toUnixTimestamp64Micro" -> "unix_micros", "toUnixTimestamp64Nano" -> "t",
+    "dateName" -> "t",
+    "startsWithUTF8" -> "startswith", "endsWithUTF8" -> "endswith",
+    "leftUTF8" -> "left", "rightUTF8" -> "right",
+    "substringIndexUTF8" -> "substring_index",
+    "countSubstringsCaseInsensitive" -> "t",
+    "notLike" -> "t", "notILike" -> "t",
+    "zeroIfNull" -> "t", "nullIfZero" -> "t",
+    "intDivOrZero" -> "t", "moduloOrZero" -> "t", "negate" -> "t",
+    "toDecimal32" -> "t", "toDecimal64" -> "t", "toDecimal128" -> "t",
+    "mapConcat" -> "map_concat",
+    "transform" -> "t", // 4-arg value-remap form; 2-arg HOF passes through
+    "arrayResize" -> "t", "arrayFlatten" -> "flatten",
+    "bitTestAll" -> "t", "bitTestAny" -> "t",
+    "halfMD5Hex" -> "t", "hexMD5" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -684,6 +705,55 @@ object ChSql {
     q = rewriteCalls(q, "isIPv6String")(a => s"(ipv6_string_to_num(${a(0)}) IS NOT NULL)")
     q = rewriteCalls(q, "stem")(a =>
       if (a.length == 2) s"porter_stem(${a(1)})" else s"porter_stem(${a(0)})")
+    // ---- batch 3 templates ----
+    q = rewriteCalls(q, "toStartOfSecond")(a => s"date_trunc('second', ${a(0)})")
+    q = rewriteCalls(q, "age")(a => s"timestampdiff(${stripUnit(a(0))}, ${a(1)}, ${a(2)})")
+    q = rewriteCalls(q, "timeDiff")(a => s"(unix_timestamp(${a(1)}) - unix_timestamp(${a(0)}))")
+    q = rewriteCalls(q, "timezone")(_ => "'UTC'") // session zone is pinned UTC
+    q = rewriteCalls(q, "serverTimezone")(_ => "'UTC'")
+    q = rewriteCalls(q, "fromUnixTimestamp64Nano")(a => s"timestamp_micros((${a(0)}) div 1000)")
+    q = rewriteCalls(q, "toUnixTimestamp64Nano")(a => s"(unix_micros(${a(0)}) * 1000)")
+    q = rewriteCalls(q, "dateName") { a =>
+      val fmt = a(0).replaceAll("'", "").toLowerCase match {
+        case "year" => "yyyy"
+        case "month" => "MMMM"
+        case "weekday" => "EEEE"
+        case "quarter" => "QQQ"
+        case _ => "yyyy-MM-dd"
+      }
+      s"date_format(${a(1)}, '$fmt')"
+    }
+    q = rewriteCalls(q, "countSubstringsCaseInsensitive")(a =>
+      s"regexp_count(lower(${a(0)}), lower(${a(1)}))")
+    q = rewriteCalls(q, "notLike")(a => s"(NOT (${a(0)} LIKE ${a(1)}))")
+    q = rewriteCalls(q, "notILike")(a => s"(NOT (${a(0)} ILIKE ${a(1)}))")
+    q = rewriteCalls(q, "zeroIfNull")(a => s"coalesce(${a(0)}, 0)")
+    q = rewriteCalls(q, "nullIfZero")(a => s"nullif(${a(0)}, 0)")
+    q = rewriteCalls(q, "intDivOrZero")(a =>
+      s"(CASE WHEN (${a(1)}) = 0 THEN 0 ELSE (${a(0)}) div (${a(1)}) END)")
+    q = rewriteCalls(q, "moduloOrZero")(a =>
+      s"(CASE WHEN (${a(1)}) = 0 THEN 0 ELSE (${a(0)}) % (${a(1)}) END)")
+    q = rewriteCalls(q, "negate")(a => s"(-(${a(0)}))")
+    q = rewriteCalls(q, "toDecimal32")(a => s"CAST(${a(0)} AS DECIMAL(9, ${a(1)}))")
+    q = rewriteCalls(q, "toDecimal64")(a => s"CAST(${a(0)} AS DECIMAL(18, ${a(1)}))")
+    q = rewriteCalls(q, "toDecimal128")(a => s"CAST(${a(0)} AS DECIMAL(38, ${a(1)}))")
+    // CH transform(x, [from], [to], default) — only the 4-arg form; the
+    // 2-arg higher-order transform passes through to Spark's own.
+    q = rewriteCalls(q, "transform")(a =>
+      if (a.length == 4)
+        s"coalesce(element_at(map_from_arrays(${a(1)}, ${a(2)}), ${a(0)}), ${a(3)})"
+      else s"transform(${a.mkString(", ")})")
+    q = rewriteCalls(q, "arrayResize")(a =>
+      if (a.length == 3)
+        s"(CASE WHEN size(${a(0)}) >= ${a(1)} THEN slice(${a(0)}, 1, ${a(1)}) " +
+          s"ELSE concat(${a(0)}, array_repeat(${a(2)}, (${a(1)}) - size(${a(0)}))) END)"
+      else s"slice(${a(0)}, 1, ${a(1)})")
+    q = rewriteCalls(q, "bitTestAll")(a =>
+      a.drop(1).map(b => s"((shiftright(${a(0)}, $b) & 1) = 1)").mkString("(", " AND ", ")"))
+    q = rewriteCalls(q, "bitTestAny")(a =>
+      a.drop(1).map(b => s"((shiftright(${a(0)}, $b) & 1) = 1)").mkString("(", " OR ", ")"))
+    q = rewriteCalls(q, "halfMD5Hex")(a => s"substring(md5(${a(0)}), 1, 16)")
+    q = rewriteCalls(q, "hexMD5")(a => s"upper(md5(${a(0)}))")
 
     // parameterized-aggregate syntax quantile[Exact](0.5)(x) -> percentile(x, 0.5)
     q = q.replaceAll("""\bquantile(?:Exact)?\(([0-9.]+)\)\s*\(""", "__QUANTILE__$1(")

@@ -269,6 +269,25 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("batch-3 templates: transform/4, dateName, arrayResize, intDivOrZero") {
+    val r = ch("""SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], 'z') AS t4,
+                 |transform(9, [1, 2], ['a', 'b'], 'z') AS t4d,
+                 |arrayMap(x -> x * 2, [1, 2]) AS hof,
+                 |dateName('weekday', CAST('2024-01-15' AS DATE)) AS dn,
+                 |arrayResize([1, 2, 3], 2) AS shrink,
+                 |arrayResize([1, 2], 4, 0) AS grow,
+                 |intDivOrZero(7, 0) AS dz,
+                 |timeDiff(CAST('2024-01-15 10:00:00' AS TIMESTAMP),
+                 |  CAST('2024-01-15 10:01:30' AS TIMESTAMP)) AS td""".stripMargin).collect()(0)
+    assert(r.getString(0) == "b" && r.getString(1) == "z")
+    assert(r.getSeq[Int](2) == Seq(2, 4))
+    assert(r.getString(3) == "Monday")
+    assert(r.getSeq[Int](4) == Seq(1, 2))
+    assert(r.getSeq[Int](5) == Seq(1, 2, 0, 0))
+    assert(r.getLong(6) == 0L)
+    assert(r.getLong(7) == 90L)
+  }
+
   test("CREATE FUNCTION macro expands inline and via registry") {
     val r = ch("""CREATE FUNCTION linear AS (x, k, b) -> k*x + b;
                  |SELECT linear(2, 3, 1) AS y""".stripMargin).collect()(0)
