@@ -79,6 +79,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the corpus PARTITIONED BY its LSH bucket id — the layout
+    * annTopK describes: a query then reads exactly one partition
+    * directory (PartitionFilters pruning), so lookup cost is
+    * corpus/2^nPlanes regardless of corpus size. */
+  def writeBucketedCorpus(emb: DataFrame, idCol: String, vecCol: String,
+                          path: String, nPlanes: Int = 8): Unit =
+    emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN top-k against a bucketed corpus written by writeBucketedCorpus:
+    * compute the query's bucket, scan ONLY that partition, rank by the
+    * exact cosine kernel. */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, vecCol: String,
+                     queryVec: Seq[Double], k: Int, nPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.{array => arr}
+    val qv = arr(queryVec.map(lit): _*)
+    val corpus = spark.read.parquet(path)
+    // the query's bucket: one deterministic scalar, evaluated on a 1-row
+    // frame (never touches the corpus)
+    val qBucket = spark.range(1)
+      .select(lshBucket(qv, nPlanes).as("qb")).collect()(0).getLong(0)
+    corpus.filter(col("bucket") === qBucket)
+      .select(col(idCol), cosine(col(vecCol), qv).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All vector pairs with cosine >= threshold — LSH-bucketed scale path.
     * Each vector gets `bands` independent sign-pattern signatures
     * (VectorKernels.HyperplaneBandSigs); candidate pairs are generated by

@@ -74,4 +74,23 @@ class LlmSpec extends AnyFunSuite {
     assert(feats.rdd.getNumPartitions == 5)
     assert(feats.count() == docs.count())
   }
+
+  test("bucketed ANN corpus prunes to one partition and matches in-memory ANN") {
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val path = "/tmp/graft_ann/bucketed_corpus"
+    Similarity.writeBucketedCorpus(emb, "vec_id", "embedding", path, nPlanes = 6)
+    // query = vector 0's embedding
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble)
+    val indexed = Similarity.annTopKIndexed(spark, path, "vec_id", "embedding",
+      qv, k = 11, nPlanes = 6)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket not pruned at partition level:\n${plan.take(2000)}")
+    // same candidates as the in-memory ANN path (minus the self-match id 0)
+    val mem = Similarity.annTopK(emb, "vec_id", "embedding", queryId = 0L,
+      k = 10, nPlanes = 6).collect().map(_.getLong(0)).toSet
+    val idx = indexed.collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSet
+    assert(idx == mem, s"indexed $idx vs in-memory $mem")
+  }
 }
