@@ -192,8 +192,11 @@ object ChSql {
     "currentDatabase" -> "current_database", "currentUser" -> "current_user",
     "version" -> "version", "materialize" -> "t", "identity" -> "t",
     // ---- batch 3 ----
+    // NOTE: no toWeek alias — CH default mode 0 is Sunday-first 0..53,
+    // which weekofyear (ISO) would silently misnumber; toISOWeek covers
+    // the ISO form.
     "toStartOfSecond" -> "t", "age" -> "t", "timeDiff" -> "t",
-    "toWeek" -> "weekofyear", "nowInBlock" -> "current_timestamp",
+    "nowInBlock" -> "current_timestamp",
     "timezone" -> "t", "serverTimezone" -> "t",
     "fromUnixTimestamp64Micro" -> "timestamp_micros",
     "fromUnixTimestamp64Nano" -> "t",
@@ -210,8 +213,7 @@ object ChSql {
     "mapConcat" -> "map_concat",
     "transform" -> "t", // 4-arg value-remap form; 2-arg HOF passes through
     "arrayResize" -> "t", "arrayFlatten" -> "flatten",
-    "bitTestAll" -> "t", "bitTestAny" -> "t",
-    "halfMD5Hex" -> "t", "hexMD5" -> "t"
+    "bitTestAll" -> "t", "bitTestAny" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -471,10 +473,18 @@ object ChSql {
     q = rewriteCalls(q, "toDayOfWeek")(a => s"(weekday(${a(0)}) + 1)")
     q = rewriteCalls(q, "positionCaseInsensitive")(a => s"instr(lower(${a(0)}), lower(${a(1)}))")
     // CH dateDiff('day', a, b): unit arrives as a string literal; Spark's
-    // timestampdiff needs a bare unit identifier.
+    // timestampdiff needs a bare unit identifier. CH counts unit-BOUNDARY
+    // crossings while timestampdiff counts full elapsed units, so both
+    // sides are truncated to the unit first ('2024-01-01 23:00' ->
+    // '2024-01-02 01:00' must be 1 day, not 0). CH age() IS the
+    // elapsed-units semantics, so it maps to bare timestampdiff.
     val stripUnit = (u: String) => u.replaceAll("'", "").trim.toUpperCase
-    q = rewriteCalls(q, "dateDiff")(a => s"timestampdiff(${stripUnit(a(0))}, ${a(1)}, ${a(2)})")
-    q = rewriteCalls(q, "date_diff")(a => s"timestampdiff(${stripUnit(a(0))}, ${a(1)}, ${a(2)})")
+    val ddiff = (a: Seq[String]) => {
+      val u = stripUnit(a(0))
+      s"timestampdiff($u, date_trunc('$u', ${a(1)}), date_trunc('$u', ${a(2)}))"
+    }
+    q = rewriteCalls(q, "dateDiff")(ddiff)
+    q = rewriteCalls(q, "date_diff")(ddiff)
     q = rewriteCalls(q, "position")(a => s"instr(${a(0)}, ${a(1)})")
     q = rewriteCalls(q, "sumIf")(a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "countIf")(a => s"count(CASE WHEN ${a(0)} THEN 1 END)")
@@ -675,9 +685,11 @@ object ChSql {
     // type conversion
     q = rewriteCalls(q, "toInt8")(a => s"CAST(${a(0)} AS TINYINT)")
     q = rewriteCalls(q, "toInt16")(a => s"CAST(${a(0)} AS SMALLINT)")
-    q = rewriteCalls(q, "toUInt8")(a => s"CAST(${a(0)} AS INT)")
-    q = rewriteCalls(q, "toUInt16")(a => s"CAST(${a(0)} AS INT)")
-    q = rewriteCalls(q, "toUInt32")(a => s"CAST(${a(0)} AS BIGINT)")
+    // CH unsigned casts WRAP on overflow; pmod reproduces that for
+    // non-negative widths (toUInt64 can only map to BIGINT — documented).
+    q = rewriteCalls(q, "toUInt8")(a => s"pmod(CAST(${a(0)} AS BIGINT), 256)")
+    q = rewriteCalls(q, "toUInt16")(a => s"pmod(CAST(${a(0)} AS BIGINT), 65536)")
+    q = rewriteCalls(q, "toUInt32")(a => s"pmod(CAST(${a(0)} AS BIGINT), 4294967296)")
     q = rewriteCalls(q, "toUInt64")(a => s"CAST(${a(0)} AS BIGINT)")
     q = rewriteCalls(q, "toFloat32")(a => s"CAST(${a(0)} AS FLOAT)")
     q = rewriteCalls(q, "toInt32OrNull")(a => s"try_cast(${a(0)} AS INT)")
@@ -747,13 +759,14 @@ object ChSql {
       if (a.length == 3)
         s"(CASE WHEN size(${a(0)}) >= ${a(1)} THEN slice(${a(0)}, 1, ${a(1)}) " +
           s"ELSE concat(${a(0)}, array_repeat(${a(2)}, (${a(1)}) - size(${a(0)}))) END)"
-      else s"slice(${a(0)}, 1, ${a(1)})")
+      else
+        // 2-arg form must also EXTEND (CH pads with the type default; we
+        // pad with NULL via try_element_at — truncate-only would be wrong)
+        s"transform(sequence(1, ${a(1)}), __i -> try_element_at(${a(0)}, __i))")
     q = rewriteCalls(q, "bitTestAll")(a =>
       a.drop(1).map(b => s"((shiftright(${a(0)}, $b) & 1) = 1)").mkString("(", " AND ", ")"))
     q = rewriteCalls(q, "bitTestAny")(a =>
       a.drop(1).map(b => s"((shiftright(${a(0)}, $b) & 1) = 1)").mkString("(", " OR ", ")"))
-    q = rewriteCalls(q, "halfMD5Hex")(a => s"substring(md5(${a(0)}), 1, 16)")
-    q = rewriteCalls(q, "hexMD5")(a => s"upper(md5(${a(0)}))")
 
     // parameterized-aggregate syntax quantile[Exact](0.5)(x) -> percentile(x, 0.5)
     q = q.replaceAll("""\bquantile(?:Exact)?\(([0-9.]+)\)\s*\(""", "__QUANTILE__$1(")

@@ -155,6 +155,19 @@ class ChSqlSpec extends AnyFunSuite {
     assert(df.count() > 12)
   }
 
+  test("dateDiff counts boundary crossings; age counts elapsed units; toUInt8 wraps") {
+    val r = ch("""SELECT dateDiff('day', CAST('2024-01-01 23:00:00' AS TIMESTAMP),
+                 |    CAST('2024-01-02 01:00:00' AS TIMESTAMP)) AS dd,
+                 |  age('day', CAST('2024-01-01 23:00:00' AS TIMESTAMP),
+                 |    CAST('2024-01-02 01:00:00' AS TIMESTAMP)) AS ag,
+                 |  toUInt8(300) AS w8, toUInt16(70000) AS w16,
+                 |  arrayResize([1, 2], 4) AS padded""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 1L, "2h across midnight crosses one day boundary")
+    assert(r.getLong(1) == 0L, "but zero FULL days elapsed")
+    assert(r.getLong(2) == 44L && r.getLong(3) == 4464L, "unsigned casts wrap")
+    assert(r.getSeq[Integer](4) == Seq(1, 2, null, null), "2-arg resize extends")
+  }
+
   test("toDayOfWeek is ISO (Monday=1), dateDiff takes a unit literal") {
     // 2024-01-15 was a Monday
     val r = ch("SELECT toDayOfWeek(CAST('2024-01-15' AS DATE)) AS dw, " +
