@@ -70,6 +70,17 @@ object Misc4 {
         row_number().over(w).as("ci_rank")))
     },
 
+    // dictGet (reference FunctionsExternalDictionaries.h): enrich facts
+    // with dimension attributes via the broadcast-dictionary join — the
+    // dimension ships once, the fact side never shuffles.
+    "q_dict_get" -> { (s, dir) =>
+      val c = T(s, dir)("customer").filter(col("c_custkey") <= 2000)
+      val n = T(s, dir)("nation")
+      ordered(graft.ops.Ops.dictGet(c, n, col("c_nationkey"), col("n_nationkey"),
+          (col("n_name"), "nation_name"), (col("n_regionkey"), "region_key"))
+        .select(col("c_custkey"), col("nation_name"), col("region_key")))
+    },
+
     // Aggregate-projection routing (reference
     // optimizeUseAggregateProjection.cpp): the query aggregates the FACT
     // table, but the optimizer rule reroutes the scan to a materialized
@@ -89,6 +100,11 @@ object Misc4 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dict_get" ->
+      """SELECT c_custkey, n_name AS nation_name, n_regionkey AS region_key
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey <= 2000
+        |ORDER BY c_custkey NULLS FIRST, nation_name NULLS FIRST, region_key NULLS FIRST""".stripMargin,
     "q_projection_route" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty, count(*) AS n
