@@ -32,13 +32,23 @@ object VectorKernels {
     case _ => throw new IllegalArgumentException(s"unsupported element type $et")
   }
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+  // Element-type tags for the static codegen entry points (a generated
+  // call site can't pattern-match on DataType).
+  private def typeTag(et: DataType): Int = et match {
+    case FloatType => 0
+    case DoubleType => 1
+    case LongType => 2
+    case IntegerType => 3
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+  private def get(arr: ArrayData, i: Int, tag: Int): Double = tag match {
+    case 0 => arr.getFloat(i).toDouble
+    case 1 => arr.getDouble(i)
+    case 2 => arr.getLong(i).toDouble
+    case _ => arr.getInt(i).toDouble
+  }
 
-  // Ragged/corrupt embedding data must surface as an error, not be
-  // silently averaged over a common prefix (reference arrayDistance /
-  // arrayDotProduct raise on mismatched sizes too).
-  private def checkSameLength(a: ArrayData, b: ArrayData): Int = {
+  private def requireSameLength(a: ArrayData, b: ArrayData): Int = {
     val (na, nb) = (a.numElements(), b.numElements())
     if (na != nb)
       throw new IllegalArgumentException(
@@ -46,36 +56,70 @@ object VectorKernels {
     na
   }
 
-  /** cosine(a, b) = dot / (|a| * |b|), one pass. */
-  case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
-    override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-      val (ta, tb) = (elemType(left), elemType(right))
-      val n = checkSameLength(a, b)
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) {
-        val x = toDouble(a, i, ta); val y = toDouble(b, i, tb)
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+  /** Static entry points — called from BOTH the interpreted eval and the
+    * generated code, so whole-stage codegen stays unbroken in the
+    * quadratic pair loops and results are identical by construction
+    * (same sequential fold in double). */
+  def dotEval(a: ArrayData, b: ArrayData, ta: Int, tb: Int): Double = {
+    val n = requireSameLength(a, b)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += get(a, i, ta) * get(b, i, tb); i += 1 }
+    dot
+  }
+
+  def cosineEval(a: ArrayData, b: ArrayData, ta: Int, tb: Int): Double = {
+    val n = requireSameLength(a, b)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = get(a, i, ta); val y = get(b, i, tb)
+      dot += x * y; na += x * x; nb += y * y; i += 1
     }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def jaccardSortedEval(a: ArrayData, b: ArrayData): Double = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1 else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** cosine(a, b) = dot / (|a| * |b|), one pass. Codegen calls the
+    * static kernel directly, so whole-stage codegen is never broken. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      cosineEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+        typeTag(elemType(left)), typeTag(elemType(right)))
+    override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                     ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.cosineEval($a, $b, " +
+          s"${typeTag(elemType(left))}, ${typeTag(elemType(right))});")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
-  /** dot(a, b), one pass in double. */
+  /** dot(a, b), one pass in double — codegen via the static kernel. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-      val (ta, tb) = (elemType(left), elemType(right))
-      val n = checkSameLength(a, b)
-      var dot = 0.0; var i = 0
-      while (i < n) { dot += toDouble(a, i, ta) * toDouble(b, i, tb); i += 1 }
-      dot
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      dotEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+        typeTag(elemType(left)), typeTag(elemType(right)))
+    override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                     ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.dotEval($a, $b, " +
+          s"${typeTag(elemType(left))}, ${typeTag(elemType(right))});")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
@@ -271,22 +315,17 @@ object VectorKernels {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
-  /** Jaccard of two SORTED distinct long arrays via linear merge. */
+  /** Jaccard of two SORTED distinct long arrays via linear merge —
+    * codegen via the static kernel. */
   case class JaccardSortedLongs(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-      val (na, nb) = (a.numElements(), b.numElements())
-      var i = 0; var j = 0; var inter = 0
-      while (i < na && j < nb) {
-        val x = a.getLong(i); val y = b.getLong(j)
-        if (x == y) { inter += 1; i += 1; j += 1 }
-        else if (x < y) i += 1 else j += 1
-      }
-      val union = na + nb - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      jaccardSortedEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                     ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.jaccardSortedEval($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
