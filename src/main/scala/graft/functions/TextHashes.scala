@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,14 +32,37 @@ object Fnv64 {
   * bits (compare with hamming distance / bitXor+bit_count).
   *
   * Evaluated per-row over the token array — O(tokens * 64) with no state,
-  * so it runs map-side anywhere in the plan. CodegenFallback keeps it out
-  * of whole-stage codegen; acceptable because it's one expression, not a
-  * per-row interpreter for the whole projection.
+  * so it runs map-side anywhere in the plan. Codegen calls the static
+  * kernel in TextHashes, so whole-stage codegen is never broken.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.simHash64Eval(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashes.simHash64Eval($a);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+}
+
+/** Polynomial rolling-hash fingerprint of a string (reference:
+  * document fingerprinting à la Rabin-Karp; normalizes nothing — callers
+  * lower/strip first if wanted). h = h*1315423911 xor c, over UTF-8 bytes. */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.rollingHash64Eval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashes.rollingHash64Eval($a);")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 = copy(newChild)
+}
+
+object TextHashes {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  /** Static entry points shared by interpreted eval and generated code. */
+  def simHash64Eval(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -58,26 +81,14 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
     out
   }
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
-}
 
-/** Polynomial rolling-hash fingerprint of a string (reference:
-  * document fingerprinting à la Rabin-Karp; normalizes nothing — callers
-  * lower/strip first if wanted). h = h*1315423911 xor c, over UTF-8 bytes. */
-case class RollingHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def rollingHash64Eval(s: UTF8String): Long = {
+    val bytes = s.getBytes
     var h = 0L
     var i = 0
     while (i < bytes.length) { h = h * 1315423911L ^ (bytes(i) & 0xffL); i += 1 }
     h
   }
-  override protected def withNewChildInternal(newChild: Expression): RollingHash64 = copy(newChild)
-}
-
-object TextHashes {
-  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def sim_hash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def rolling_hash64(text: Column): Column = column(RollingHash64(expression(text)))
 

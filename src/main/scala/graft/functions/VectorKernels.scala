@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -89,6 +89,140 @@ object VectorKernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  def intersectCountSortedEval(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1 else j += 1
+    }
+    inter
+  }
+
+  def jaccardStringsEval(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getUTF8String(i).toString); i += 1 }
+    val sb = new java.util.HashSet[String](b.numElements() * 2)
+    var inter = 0; var j = 0
+    while (j < b.numElements()) {
+      val s = b.getUTF8String(j).toString
+      if (sb.add(s) && sa.contains(s)) inter += 1
+      j += 1
+    }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  def minhashSigEval(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h0 = Fnv64.hash(arr.getUTF8String(i).getBytes)
+      var p = 0
+      while (p < k) {
+        // distinct odd multiplier + offset per permutation
+        val h = h0 * (2L * p + 0x9e3779b97f4a7c15L) + (p * 0xc2b2ae3d27d4eb4fL)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhashTokensSigEval(arr: ArrayData, n: Int, k: Int): ArrayData = {
+    val m = arr.numElements()
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { th(i) = Fnv64.hash(arr.getUTF8String(i).getBytes); i += 1 }
+    val mins = Array.fill(k)(Long.MaxValue)
+    val nWindows = math.max(m - n + 1, if (m > 0) 1 else 0)
+    var w = 0
+    while (w < nWindows) {
+      var h0 = th(w)
+      var j = 1
+      while (j < n && w + j < m) { h0 = h0 * Fnv64.PRIME ^ th(w + j); j += 1 }
+      var p = 0
+      while (p < k) {
+        val h = h0 * (2L * p + 0x9e3779b97f4a7c15L) + (p * 0xc2b2ae3d27d4eb4fL)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def charNgramHashesEval(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val m = bytes.length
+    val out =
+      if (m <= n) Array(Fnv64.hash(bytes))
+      else {
+        val hs = new Array[Long](m - n + 1)
+        var i = 0
+        while (i <= m - n) {
+          var h = Fnv64.OFFSET
+          var j = i
+          while (j < i + n) { h ^= (bytes(j) & 0xffL); h *= Fnv64.PRIME; j += 1 }
+          hs(i) = h
+          i += 1
+        }
+        java.util.Arrays.sort(hs)
+        // dedup in place
+        var w = 0; var r = 0
+        while (r < hs.length) {
+          if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(hs, w)
+      }
+    new GenericArrayData(out)
+  }
+
+  /** Hyperplane components: a deterministic splitmix64 of (plane, dim)
+    * mapped to [-1, 1) — no RNG, reproducible across runs and engines. */
+  private def planeComp(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 131071L + dim.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (java.lang.Math.floorMod(z, 2000001L) - 1000000L) / 1000000.0
+  }
+
+  // Memoized per (bands, planesPerBand, nDims) — shared by every task in
+  // the executor JVM, so the O(planes * dims) tabulation happens once.
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  private def planes(bands: Int, planesPerBand: Int, nDims: Int): Array[Array[Double]] =
+    planesCache.computeIfAbsent(
+      (bands.toLong << 42) | (planesPerBand.toLong << 21) | nDims.toLong,
+      _ => Array.tabulate(bands * planesPerBand, nDims)((pl, d) => planeComp(pl, d)))
+
+  def hyperplaneBandSigsEval(arr: ArrayData, tag: Int, bands: Int, planesPerBand: Int): ArrayData = {
+    val n = arr.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = get(arr, i, tag); i += 1 }
+    val pl = planes(bands, planesPerBand, n)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bits = 0L; var p = 0
+      while (p < planesPerBand) {
+        val row = pl(b * planesPerBand + p)
+        var d = 0.0; var j = 0
+        while (j < n) { d += x(j) * row(j); j += 1 }
+        if (d > 0) bits |= (1L << p)
+        p += 1
+      }
+      out(b) = bits; b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -100,8 +234,7 @@ object VectorKernels {
     override def nullSafeEval(l: Any, r: Any): Any =
       cosineEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
         typeTag(elemType(left)), typeTag(elemType(right)))
-    override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-                                     ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"${ev.value} = graft.functions.VectorKernels.cosineEval($a, $b, " +
           s"${typeTag(elemType(left))}, ${typeTag(elemType(right))});")
@@ -115,8 +248,7 @@ object VectorKernels {
     override def nullSafeEval(l: Any, r: Any): Any =
       dotEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
         typeTag(elemType(left)), typeTag(elemType(right)))
-    override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-                                     ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"${ev.value} = graft.functions.VectorKernels.dotEval($a, $b, " +
           s"${typeTag(elemType(left))}, ${typeTag(elemType(right))});")
@@ -125,23 +257,13 @@ object VectorKernels {
 
   /** Exact Jaccard similarity of two string arrays (treated as sets). */
   case class JaccardSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-      val sa = new java.util.HashSet[String](a.numElements() * 2)
-      var i = 0
-      while (i < a.numElements()) { sa.add(a.getUTF8String(i).toString); i += 1 }
-      val sb = new java.util.HashSet[String](b.numElements() * 2)
-      var inter = 0; var j = 0
-      while (j < b.numElements()) {
-        val s = b.getUTF8String(j).toString
-        if (sb.add(s) && sa.contains(s)) inter += 1
-        j += 1
-      }
-      val union = sa.size + sb.size - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      jaccardStringsEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.jaccardStringsEval($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
@@ -150,25 +272,13 @@ object VectorKernels {
     * odd multipliers derived from i (standard affine rehash family —
     * cf. one-permutation hashing literature). Returns array<long>. */
   case class MinHashSig(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val mins = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < arr.numElements()) {
-        val h0 = Fnv64.hash(arr.getUTF8String(i).getBytes)
-        var p = 0
-        while (p < k) {
-          // distinct odd multiplier + offset per permutation
-          val h = h0 * (2L * p + 0x9e3779b97f4a7c15L) + (p * 0xc2b2ae3d27d4eb4fL)
-          if (h < mins(p)) mins(p) = h
-          p += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minhashSigEval(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.minhashSigEval($a, $k);")
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   }
 
@@ -180,31 +290,13 @@ object VectorKernels {
     * so no distinct pass is needed. This is the map-side cost of LSH
     * dedup — at corpus scale it's the dominant term, hence the kernel. */
   case class MinHashTokensSig(child: Expression, n: Int, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val th = new Array[Long](m)
-      var i = 0
-      while (i < m) { th(i) = Fnv64.hash(arr.getUTF8String(i).getBytes); i += 1 }
-      val mins = Array.fill(k)(Long.MaxValue)
-      val nWindows = math.max(m - n + 1, if (m > 0) 1 else 0)
-      var w = 0
-      while (w < nWindows) {
-        var h0 = th(w)
-        var j = 1
-        while (j < n && w + j < m) { h0 = h0 * Fnv64.PRIME ^ th(w + j); j += 1 }
-        var p = 0
-        while (p < k) {
-          val h = h0 * (2L * p + 0x9e3779b97f4a7c15L) + (p * 0xc2b2ae3d27d4eb4fL)
-          if (h < mins(p)) mins(p) = h
-          p += 1
-        }
-        w += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minhashTokensSigEval(input.asInstanceOf[ArrayData], n, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.minhashTokensSigEval($a, $n, $k);")
     override protected def withNewChildInternal(c: Expression): MinHashTokensSig = copy(child = c)
   }
 
@@ -217,46 +309,15 @@ object VectorKernels {
     * (plane, dim) mapped to [-1, 1) — no RNG, reproducible across runs.
     * One pass per row; components are memoized per dimension count. */
   case class HyperplaneBandSigs(child: Expression, bands: Int, planesPerBand: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-    private def comp(plane: Int, dim: Int): Double = {
-      var z = plane.toLong * 131071L + dim.toLong + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (java.lang.Math.floorMod(z, 2000001L) - 1000000L) / 1000000.0
-    }
-
-    @transient private lazy val planesCache =
-      new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
-    private def planes(nDims: Int): Array[Array[Double]] =
-      planesCache.computeIfAbsent(nDims, n =>
-        Array.tabulate(bands * planesPerBand, n)((pl, d) => comp(pl, d)))
-
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val et = child.dataType.asInstanceOf[ArrayType].elementType
-      val n = arr.numElements()
-      val x = new Array[Double](n)
-      var i = 0
-      while (i < n) { x(i) = toDouble(arr, i, et); i += 1 }
-      val pl = planes(n)
-      val out = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var bits = 0L; var p = 0
-        while (p < planesPerBand) {
-          val row = pl(b * planesPerBand + p)
-          var d = 0.0; var j = 0
-          while (j < n) { d += x(j) * row(j); j += 1 }
-          if (d > 0) bits |= (1L << p)
-          p += 1
-        }
-        out(b) = bits; b += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      hyperplaneBandSigsEval(input.asInstanceOf[ArrayData],
+        typeTag(elemType(child)), bands, planesPerBand)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.hyperplaneBandSigsEval($a, " +
+          s"${typeTag(elemType(child))}, $bands, $planesPerBand);")
     override protected def withNewChildInternal(c: Expression): HyperplaneBandSigs = copy(child = c)
   }
 
@@ -264,34 +325,13 @@ object VectorKernels {
     * reduces a document to a compact numeric set ONCE, so quadratic
     * pair-verification never touches strings. */
   case class CharNgramHashes(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      val m = bytes.length
-      val out =
-        if (m <= n) Array(Fnv64.hash(bytes))
-        else {
-          val hs = new Array[Long](m - n + 1)
-          var i = 0
-          while (i <= m - n) {
-            var h = Fnv64.OFFSET
-            var j = i
-            while (j < i + n) { h ^= (bytes(j) & 0xffL); h *= Fnv64.PRIME; j += 1 }
-            hs(i) = h
-            i += 1
-          }
-          java.util.Arrays.sort(hs)
-          // dedup in place
-          var w = 0; var r = 0
-          while (r < hs.length) {
-            if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
-            r += 1
-          }
-          java.util.Arrays.copyOf(hs, w)
-        }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      charNgramHashesEval(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.charNgramHashesEval($a, $n);")
     override protected def withNewChildInternal(c: Expression): CharNgramHashes = copy(child = c)
   }
 
@@ -299,19 +339,13 @@ object VectorKernels {
     * integer result so downstream similarity ratios can be computed with
     * identical operands on any engine (no float fold-order hazards). */
   case class IntersectCountSortedLongs(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-      val (na, nb) = (a.numElements(), b.numElements())
-      var i = 0; var j = 0; var inter = 0L
-      while (i < na && j < nb) {
-        val x = a.getLong(i); val y = b.getLong(j)
-        if (x == y) { inter += 1; i += 1; j += 1 }
-        else if (x < y) i += 1 else j += 1
-      }
-      inter
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      intersectCountSortedEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.intersectCountSortedEval($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
@@ -322,8 +356,7 @@ object VectorKernels {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any =
       jaccardSortedEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-    override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-                                     ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"${ev.value} = graft.functions.VectorKernels.jaccardSortedEval($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
