@@ -28,6 +28,32 @@ object Combinators {
         p => p.getField("__s")).as(out))
   }
 
+  /** groupArrayInsertAt(default, size)(value, pos): per group, an array
+    * with a[pos] = value (reference
+    * src/AggregateFunctions/AggregateFunctionGroupArrayInsertAt.h — it
+    * keeps an arbitrary value on position collisions; here collisions
+    * resolve to the MINIMUM so results are deterministic on any engine).
+    * Missing positions get `default`; length is `size` when given, else
+    * max(pos) + 1 per group. Shape: hash-agg on (group, pos) with
+    * map-side combine, then one hash-agg per group building the array
+    * from a position map — both shuffles keyed at or finer than the
+    * group, no single-task stage, no window. */
+  def groupArrayInsertAt(df: DataFrame, groupCols: Seq[Column], value: Column, pos: Column,
+                         default: Column, size: Option[Int], out: String): DataFrame = {
+    val base = df.select(groupCols :+ value.as("__v") :+ pos.cast("int").as("__p"): _*)
+    val capped = size.map(n => base.filter(col("__p") < n)).getOrElse(base)
+    val names = capped.columns.dropRight(2)
+    val perPos = capped.groupBy((names.map(col) :+ col("__p")): _*)
+      .agg(min(col("__v")).as("__m"))
+    val lenExpr = size.map(n => lit(n)).getOrElse(max(col("__p")) + 1)
+    perPos.groupBy(names.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__p"), col("__m")))).as("__map"),
+        lenExpr.as("__n"))
+      .select(names.map(col) :+
+        transform(sequence(lit(0), col("__n") - 1),
+          i => coalesce(element_at(col("__map"), i), default)).as(out): _*)
+  }
+
   /** sumResample(start, end, step)(value, key): per group, an array of
     * `(end-start)/step` bucket sums of `value` where `key` falls in
     * [start + i*step, start + (i+1)*step); empty buckets are 0. */
