@@ -34,6 +34,7 @@ object SparkEntry {
       (graft.queries.Aggregates2.queries, graft.queries.Aggregates2.oracleSql),
       (graft.queries.Aggregates3.queries, graft.queries.Aggregates3.oracleSql),
       (graft.queries.Aggregates4.queries, graft.queries.Aggregates4.oracleSql),
+      (graft.queries.Aggregates5.queries, graft.queries.Aggregates5.oracleSql),
       (graft.queries.TimeSeries.queries, graft.queries.TimeSeries.oracleSql),
       (graft.queries.LlmOps2.queries, graft.queries.LlmOps2.oracleSql)
     )
