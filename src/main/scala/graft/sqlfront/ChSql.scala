@@ -213,7 +213,35 @@ object ChSql {
     "mapConcat" -> "map_concat",
     "transform" -> "t", // 4-arg value-remap form; 2-arg HOF passes through
     "arrayResize" -> "t", "arrayFlatten" -> "flatten",
-    "bitTestAll" -> "t", "bitTestAny" -> "t"
+    "bitTestAll" -> "t", "bitTestAny" -> "t",
+    // ---- batch 4 ----
+    // identity names (CH and Spark agree exactly)
+    "repeat" -> "repeat", "space" -> "space", "soundex" -> "soundex",
+    "ascii" -> "ascii", "left" -> "left", "right" -> "right",
+    "ilike" -> "ilike", "degrees" -> "degrees", "radians" -> "radians",
+    "sign" -> "sign",
+    "toValidUTF8" -> "make_valid_utf8",
+    "sumWithOverflow" -> "sum", "corrStable" -> "corr",
+    "covarPopStable" -> "covar_pop",
+    // templated (call-convention or semantics restructuring)
+    "char" -> "t", // CH char(c1, c2, …) concatenates code points
+    "mapFilter" -> "t", "mapExists" -> "t", // CH map HOFs take lambda FIRST
+    "mapAdd" -> "t", "mapSubtract" -> "t",
+    "clamp" -> "t", "normalizeQuery" -> "t",
+    "addQuarters" -> "t", "subtractQuarters" -> "t",
+    "addMilliseconds" -> "t", "subtractMilliseconds" -> "t",
+    "toRelativeHourNum" -> "t", "toRelativeMinuteNum" -> "t",
+    "toRelativeSecondNum" -> "t", "toTime" -> "t",
+    "toIntervalSecond" -> "t", "toIntervalMinute" -> "t",
+    "toIntervalHour" -> "t", "toIntervalDay" -> "t", "toIntervalWeek" -> "t",
+    "toIntervalMonth" -> "t", "toIntervalQuarter" -> "t", "toIntervalYear" -> "t",
+    "bitRotateLeft" -> "t", "bitRotateRight" -> "t",
+    "arrayRotateLeft" -> "t", "arrayRotateRight" -> "t", "arrayShingles" -> "t",
+    "simpleJSONExtractString" -> "t", "simpleJSONExtractInt" -> "t",
+    "simpleJSONHas" -> "t",
+    "port" -> "t", "cutFragment" -> "t", "cutWWW" -> "t",
+    "quantileTDigest" -> "t", "quantileBFloat16" -> "t",
+    "quantileTiming" -> "t", "quantilesExact" -> "t", "quantiles" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -767,6 +795,80 @@ object ChSql {
       a.drop(1).map(b => s"((shiftright(${a(0)}, $b) & 1) = 1)").mkString("(", " AND ", ")"))
     q = rewriteCalls(q, "bitTestAny")(a =>
       a.drop(1).map(b => s"((shiftright(${a(0)}, $b) & 1) = 1)").mkString("(", " OR ", ")"))
+    // ---- batch 4 templates ----
+    // CH char(c1, c2, …) builds a string from code points; Spark char is 1-arg
+    q = rewriteCalls(q, "char")(a =>
+      if (a.length == 1) s"char(${a(0)})"
+      else a.map(x => s"char($x)").mkString("concat(", ", ", ")"))
+    // CH map HOFs take the lambda first (like the array family)
+    q = rewriteCalls(q, "mapFilter")(a => s"map_filter(${a(1)}, ${a(0)})")
+    q = rewriteCalls(q, "mapExists")(a => s"(cardinality(map_filter(${a(1)}, ${a(0)})) > 0)")
+    // mapAdd/mapSubtract merge by key, missing keys count as 0
+    q = rewriteCalls(q, "mapAdd")(a =>
+      s"map_zip_with(${a(0)}, ${a(1)}, (__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0))")
+    q = rewriteCalls(q, "mapSubtract")(a =>
+      s"map_zip_with(${a(0)}, ${a(1)}, (__k, __a, __b) -> coalesce(__a, 0) - coalesce(__b, 0))")
+    q = rewriteCalls(q, "clamp")(a => s"least(greatest(${a(0)}, ${a(1)}), ${a(2)})")
+    // normalizeQuery: replace quoted strings and bare numbers with '?'
+    // (reference src/Functions/normalizeQuery.cpp; simple-literal subset)
+    q = rewriteCalls(q, "normalizeQuery")(a =>
+      s"regexp_replace(regexp_replace(${a(0)}, \"'[^']*'\", '?'), '\\\\b[0-9]+\\\\b', '?')")
+    q = rewriteCalls(q, "addQuarters")(a => s"(${a(0)} + make_interval(0, 3 * (${a(1)})))")
+    q = rewriteCalls(q, "subtractQuarters")(a => s"(${a(0)} - make_interval(0, 3 * (${a(1)})))")
+    q = rewriteCalls(q, "addMilliseconds")(a =>
+      s"timestamp_micros(unix_micros(${a(0)}) + (${a(1)}) * 1000)")
+    q = rewriteCalls(q, "subtractMilliseconds")(a =>
+      s"timestamp_micros(unix_micros(${a(0)}) - (${a(1)}) * 1000)")
+    q = rewriteCalls(q, "toRelativeHourNum")(a => s"(unix_timestamp(${a(0)}) div 3600)")
+    q = rewriteCalls(q, "toRelativeMinuteNum")(a => s"(unix_timestamp(${a(0)}) div 60)")
+    q = rewriteCalls(q, "toRelativeSecondNum")(a => s"unix_timestamp(${a(0)})")
+    // toTime: keep time-of-day, move the date to 1970-01-02 (reference doc)
+    q = rewriteCalls(q, "toTime")(a =>
+      s"timestamp_micros(86400000000 + pmod(unix_micros(${a(0)}), 86400000000))")
+    for ((n, tpl) <- Seq(
+        "toIntervalYear" -> "make_interval(%s)",
+        "toIntervalQuarter" -> "make_interval(0, 3 * (%s))",
+        "toIntervalMonth" -> "make_interval(0, %s)",
+        "toIntervalWeek" -> "make_interval(0, 0, %s)",
+        "toIntervalDay" -> "make_interval(0, 0, 0, %s)",
+        "toIntervalHour" -> "make_interval(0, 0, 0, 0, %s)",
+        "toIntervalMinute" -> "make_interval(0, 0, 0, 0, 0, %s)",
+        "toIntervalSecond" -> "make_interval(0, 0, 0, 0, 0, 0, %s)"))
+      q = rewriteCalls(q, n)(a => tpl.format(a(0)))
+    // 64-bit rotates (CH rotates at argument width; BIGINT here)
+    q = rewriteCalls(q, "bitRotateLeft")(a =>
+      s"(shiftleft(CAST(${a(0)} AS BIGINT), ${a(1)}) | " +
+        s"shiftrightunsigned(CAST(${a(0)} AS BIGINT), 64 - (${a(1)})))")
+    q = rewriteCalls(q, "bitRotateRight")(a =>
+      s"(shiftrightunsigned(CAST(${a(0)} AS BIGINT), ${a(1)}) | " +
+        s"shiftleft(CAST(${a(0)} AS BIGINT), 64 - (${a(1)})))")
+    q = rewriteCalls(q, "arrayRotateLeft")(a =>
+      s"concat(slice(${a(0)}, pmod(${a(1)}, size(${a(0)})) + 1, " +
+        s"size(${a(0)}) - pmod(${a(1)}, size(${a(0)}))), " +
+        s"slice(${a(0)}, 1, pmod(${a(1)}, size(${a(0)}))))")
+    q = rewriteCalls(q, "arrayRotateRight")(a =>
+      s"concat(slice(${a(0)}, pmod(-(${a(1)}), size(${a(0)})) + 1, " +
+        s"size(${a(0)}) - pmod(-(${a(1)}), size(${a(0)}))), " +
+        s"slice(${a(0)}, 1, pmod(-(${a(1)}), size(${a(0)}))))")
+    q = rewriteCalls(q, "arrayShingles")(a =>
+      s"transform(sequence(1, size(${a(0)}) - (${a(1)}) + 1), __i -> slice(${a(0)}, __i, ${a(1)}))")
+    q = rewriteCalls(q, "simpleJSONExtractString")(a =>
+      s"get_json_object(${a(0)}, ${jsonPath(a)})")
+    q = rewriteCalls(q, "simpleJSONExtractInt")(a =>
+      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT)")
+    q = rewriteCalls(q, "simpleJSONHas")(a =>
+      s"(get_json_object(${a(0)}, ${jsonPath(a)}) IS NOT NULL)")
+    q = rewriteCalls(q, "port")(a =>
+      s"coalesce(try_cast(regexp_extract(${a(0)}, '://[^/?#]*:([0-9]+)', 1) AS INT), 0)")
+    q = rewriteCalls(q, "cutFragment")(a => s"regexp_replace(${a(0)}, '#.*$$', '')")
+    q = rewriteCalls(q, "cutWWW")(a => s"regexp_replace(${a(0)}, '(://)www\\\\.', '$$1')")
+    // parameterized quantile sketch variants -> percentile_approx; the
+    // multi-level quantiles[Exact](p1, p2, …)(x) forms -> array results
+    q = q.replaceAll("""\bquantilesExact\(([^)]*)\)\s*\(([^)]*)\)""", "percentile($2, array($1))")
+    q = q.replaceAll("""\bquantiles\(([^)]*)\)\s*\(([^)]*)\)""", "percentile_approx($2, array($1))")
+    q = q.replaceAll(
+      """\bquantile(?:TDigest|BFloat16|Timing)\(([0-9.]+)\)\s*\(([^)]*)\)""",
+      "percentile_approx($2, $1)")
 
     // parameterized-aggregate syntax quantile[Exact](0.5)(x) -> percentile(x, 0.5)
     q = q.replaceAll("""\bquantile(?:Exact)?\(([0-9.]+)\)\s*\(""", "__QUANTILE__$1(")

@@ -301,6 +301,62 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getLong(7) == 90L)
   }
 
+  test("batch-4 templates: maps, rotates, shingles, clamp, intervals") {
+    val r = ch("""SELECT mapAdd(map('a', 1, 'b', 2), map('b', 10)) AS ma,
+                 |mapSubtract(map('a', 5), map('a', 2)) AS ms,
+                 |mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf,
+                 |mapExists((k, v) -> v > 10, map('a', 1)) AS me,
+                 |arrayRotateLeft([1, 2, 3, 4, 5], 2) AS rl,
+                 |arrayRotateRight([1, 2, 3, 4, 5], 2) AS rr,
+                 |arrayShingles([1, 2, 3, 4], 3) AS sh,
+                 |clamp(17, 1, 10) AS cl,
+                 |char(72, 105) AS ch2,
+                 |bitRotateLeft(1, 63) AS brl""".stripMargin).collect()(0)
+    assert(r.getMap[String, Int](0) == Map("a" -> 1, "b" -> 12))
+    assert(r.getMap[String, Int](1) == Map("a" -> 3))
+    assert(r.getMap[String, Int](2) == Map("b" -> 2))
+    assert(!r.getBoolean(3))
+    assert(r.getSeq[Int](4) == Seq(3, 4, 5, 1, 2))
+    assert(r.getSeq[Int](5) == Seq(4, 5, 1, 2, 3))
+    assert(r.getSeq[Seq[Int]](6) == Seq(Seq(1, 2, 3), Seq(2, 3, 4)))
+    assert(r.getInt(7) == 10)
+    assert(r.getString(8) == "Hi")
+    assert(r.getLong(9) == Long.MinValue)
+  }
+
+  test("batch-4 templates: dates, json, url, quantile variants") {
+    val r = ch("""SELECT addQuarters(CAST('2024-01-15' AS DATE), 2) AS aq,
+                 |addMilliseconds(CAST('2024-01-15 00:00:00' AS TIMESTAMP), 1500) AS ams,
+                 |toRelativeHourNum(CAST('1970-01-02 01:00:00' AS TIMESTAMP)) AS rh,
+                 |toTime(CAST('2024-03-05 07:08:09' AS TIMESTAMP)) AS tt,
+                 |CAST('2024-01-01 00:00:00' AS TIMESTAMP) + toIntervalDay(3) AS ivd,
+                 |simpleJSONExtractString('{"k": "v"}', 'k') AS js,
+                 |simpleJSONExtractInt('{"n": 42}', 'n') AS jn,
+                 |port('https://example.com:8443/x') AS pt,
+                 |cutFragment('http://a/b#frag') AS cf,
+                 |cutWWW('https://www.example.com/p') AS cw,
+                 |normalizeQuery('SELECT 12 FROM t WHERE s = ''x''') AS nq,
+                 |quantilesExact(0.0, 1.0)(l_quantity) AS qs,
+                 |quantileTDigest(0.5)(l_quantity) AS qtd,
+                 |soundex('Robert') AS sx,
+                 |toValidUTF8('ok') AS vu
+                 |FROM lineitem""".stripMargin).collect()(0)
+    assert(r.getDate(0).toString == "2024-07-15")
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-15 00:00:01.5"))
+    assert(r.getLong(2) == 25L)
+    assert(r.getTimestamp(3).toString.startsWith("1970-01-02 07:08:09"))
+    assert(r.getTimestamp(4).toString.startsWith("2024-01-04"))
+    assert(r.getString(5) == "v" && r.getLong(6) == 42L)
+    assert(r.getInt(7) == 8443)
+    assert(r.getString(8) == "http://a/b")
+    assert(r.getString(9) == "https://example.com/p")
+    assert(r.getString(10) == "SELECT ? FROM t WHERE s = ?")
+    assert(r.getSeq[Double](11).head >= 1.0 && r.getSeq[Double](11).last >= 40.0)
+    assert(r.getDouble(12) > 0)
+    assert(r.getString(13) == "R163")
+    assert(r.getString(14) == "ok")
+  }
+
   test("CREATE FUNCTION macro expands inline and via registry") {
     val r = ch("""CREATE FUNCTION linear AS (x, k, b) -> k*x + b;
                  |SELECT linear(2, 3, 1) AS y""".stripMargin).collect()(0)
