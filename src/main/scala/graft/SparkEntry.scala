@@ -37,7 +37,8 @@ object SparkEntry {
       (graft.queries.Aggregates5.queries, graft.queries.Aggregates5.oracleSql),
       (graft.queries.TimeSeries.queries, graft.queries.TimeSeries.oracleSql),
       (graft.queries.Geo.queries, graft.queries.Geo.oracleSql),
-      (graft.queries.LlmOps2.queries, graft.queries.LlmOps2.oracleSql)
+      (graft.queries.LlmOps2.queries, graft.queries.LlmOps2.oracleSql),
+      (graft.queries.LlmOps3.queries, graft.queries.LlmOps3.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
