@@ -241,7 +241,14 @@ object ChSql {
     "simpleJSONHas" -> "t",
     "port" -> "t", "cutFragment" -> "t", "cutWWW" -> "t",
     "quantileTDigest" -> "t", "quantileBFloat16" -> "t",
-    "quantileTiming" -> "t", "quantilesExact" -> "t", "quantiles" -> "t"
+    "quantileTiming" -> "t", "quantilesExact" -> "t", "quantiles" -> "t",
+    // vector distances (reference src/Functions/array/arrayDistance.cpp;
+    // cosine_sim/dot_product are the graft codegen kernels)
+    "arrayDotProduct" -> "t", "dotProduct" -> "t",
+    "cosineDistance" -> "t", "arrayCosineDistance" -> "t",
+    "L1Distance" -> "t", "L2Distance" -> "t", "L2SquaredDistance" -> "t",
+    "LinfDistance" -> "t", "L1Norm" -> "t", "L2Norm" -> "t",
+    "arrayJaccardIndex" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -862,6 +869,31 @@ object ChSql {
       s"coalesce(try_cast(regexp_extract(${a(0)}, '://[^/?#]*:([0-9]+)', 1) AS INT), 0)")
     q = rewriteCalls(q, "cutFragment")(a => s"regexp_replace(${a(0)}, '#.*$$', '')")
     q = rewriteCalls(q, "cutWWW")(a => s"regexp_replace(${a(0)}, '(://)www\\\\.', '$$1')")
+    // vector distances over double arrays (sequential fold = kernel order);
+    // explicit ARRAY<DOUBLE> casts so decimal/int literals reach the kernels
+    val vecD = (x: String) => s"CAST($x AS ARRAY<DOUBLE>)"
+    q = rewriteCalls(q, "cosineDistance")(a => s"(1.0 - cosine_sim(${vecD(a(0))}, ${vecD(a(1))}))")
+    q = rewriteCalls(q, "arrayCosineDistance")(a => s"(1.0 - cosine_sim(${vecD(a(0))}, ${vecD(a(1))}))")
+    q = rewriteCalls(q, "arrayDotProduct")(a => s"dot_product(${vecD(a(0))}, ${vecD(a(1))})")
+    q = rewriteCalls(q, "dotProduct")(a => s"dot_product(${vecD(a(0))}, ${vecD(a(1))})")
+    q = rewriteCalls(q, "L1Distance")(a =>
+      s"aggregate(zip_with(${vecD(a(0))}, ${vecD(a(1))}, (__x, __y) -> abs(__x - __y)), " +
+        s"CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)")
+    q = rewriteCalls(q, "L2SquaredDistance")(a =>
+      s"aggregate(zip_with(${vecD(a(0))}, ${vecD(a(1))}, (__x, __y) -> (__x - __y) * (__x - __y)), " +
+        s"CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)")
+    q = rewriteCalls(q, "L2Distance")(a =>
+      s"sqrt(aggregate(zip_with(${vecD(a(0))}, ${vecD(a(1))}, (__x, __y) -> (__x - __y) * (__x - __y)), " +
+        s"CAST(0 AS DOUBLE), (__a, __v) -> __a + __v))")
+    q = rewriteCalls(q, "LinfDistance")(a =>
+      s"array_max(zip_with(${vecD(a(0))}, ${vecD(a(1))}, (__x, __y) -> abs(__x - __y)))")
+    q = rewriteCalls(q, "L1Norm")(a =>
+      s"aggregate(${vecD(a(0))}, CAST(0 AS DOUBLE), (__a, __v) -> __a + abs(__v))")
+    q = rewriteCalls(q, "L2Norm")(a =>
+      s"sqrt(aggregate(${vecD(a(0))}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v * __v))")
+    q = rewriteCalls(q, "arrayJaccardIndex")(a =>
+      s"(CAST(size(array_intersect(${a(0)}, ${a(1)})) AS DOUBLE) " +
+        s"/ size(array_union(${a(0)}, ${a(1)})))")
     // parameterized quantile sketch variants -> percentile_approx; the
     // multi-level quantiles[Exact](p1, p2, …)(x) forms -> array results
     q = q.replaceAll("""\bquantilesExact\(([^)]*)\)\s*\(([^)]*)\)""", "percentile($2, array($1))")

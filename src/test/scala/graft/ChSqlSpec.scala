@@ -357,6 +357,22 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getString(14) == "ok")
   }
 
+  test("vector distance dialect names map onto the codegen kernels") {
+    val r = ch("""SELECT L2Distance([1.0, 2.0], [4.0, 6.0]) AS l2,
+                 |L1Distance([1.0, 2.0], [4.0, 6.0]) AS l1,
+                 |LinfDistance([1.0, 2.0], [4.0, 6.0]) AS linf,
+                 |L2SquaredDistance([0.0], [3.0]) AS l2s,
+                 |L2Norm([3.0, 4.0]) AS n2,
+                 |L1Norm([-3.0, 4.0]) AS n1,
+                 |arrayDotProduct([1.0, 2.0], [3.0, 4.0]) AS dp,
+                 |cosineDistance([1.0, 0.0], [1.0, 0.0]) AS cd,
+                 |arrayJaccardIndex([1, 2, 3], [2, 3, 4]) AS jc""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 7.0 && r.getDouble(2) == 4.0)
+    assert(r.getDouble(3) == 9.0 && r.getDouble(4) == 5.0 && r.getDouble(5) == 7.0)
+    assert(r.getDouble(6) == 11.0 && math.abs(r.getDouble(7)) < 1e-12)
+    assert(r.getDouble(8) == 0.5)
+  }
+
   test("CREATE FUNCTION macro expands inline and via registry") {
     val r = ch("""CREATE FUNCTION linear AS (x, k, b) -> k*x + b;
                  |SELECT linear(2, 3, 1) AS y""".stripMargin).collect()(0)
