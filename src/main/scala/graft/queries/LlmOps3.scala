@@ -61,6 +61,32 @@ object LlmOps3 {
           phoneRe, "<PHONE>").as("redacted")))
     },
 
+    // Benchmark decontamination: flag corpus documents sharing any word
+    // 5-gram with a (small) benchmark set — the standard eval-overlap
+    // check before training. Benchmark grams are distinct'd then
+    // broadcast; the corpus side is a map-side explode + one doc_id agg,
+    // so nothing large ever shuffles. (At 100 TB the join key would be a
+    // 64-bit gram hash instead of the gram string — same plan shape.)
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = T(s, dir)("documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - 4),
+          i => concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*)))
+          .as("gram"))
+      val bench = grams(docs.filter(col("doc_id") % 50 === 0))
+        .select(col("gram")).distinct()
+      val corpus = grams(docs.filter(col("doc_id") % 50 =!= 0))
+      val hits = corpus.join(broadcast(bench), Seq("gram"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      val base = docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+      ordered(base.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated")))
+    },
+
     // Deterministic train/val/test split: md5 over a salted doc key,
     // first-two-hex-chars ranges give a reproducible ~81/10/9 split that
     // is stable across engines, partitionings and reruns.
@@ -108,6 +134,22 @@ object LlmOps3 {
         |    '[0-9]{3}-[0-9]{4,}', '<PHONE>', 'g') AS redacted
         |FROM d
         |ORDER BY doc_id NULLS FIRST, n_emails NULLS FIRST, redacted NULLS FIRST""".stripMargin,
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+        |    AS gram FROM d),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+        |hits AS (SELECT doc_id, count(*) AS n_overlap FROM corpus
+        |  WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  cast(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  coalesce(n_overlap, 0) > 0 AS contaminated
+        |FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY doc_id NULLS FIRST, n_overlap NULLS FIRST, contaminated NULLS FIRST""".stripMargin,
     "q_train_split" ->
       """WITH d AS (SELECT doc_id, n_chars,
         |    substring(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
