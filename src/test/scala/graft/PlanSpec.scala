@@ -91,6 +91,26 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs join leaked into the LSH plan:\n${plan.take(3000)}")
   }
 
+  test("decontamination plan broadcasts the benchmark grams (semi join)") {
+    // The corpus side must stream map-side against a broadcast benchmark
+    // set — a shuffled or nested-loop join would move the whole corpus.
+    val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark side not broadcast-semi-joined:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), "cartesian leaked into decontamination")
+  }
+
+  test("point-in-polygon plan broadcasts the edge table") {
+    // 8 edges x N points: the edge side must be the broadcast build side;
+    // the crossing count is a hash-agg on the streaming point side.
+    val plan = SparkEntry.queries("q_point_in_polygon")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"edge table not broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"), "crossing parity should be a hash-agg")
+  }
+
   test("projection routing reroutes a matching aggregate to the summary scan") {
     import graft.plans.ProjectionRouting
     val fact = graft.core.Tables.t(spark, sf, "lineitem")
