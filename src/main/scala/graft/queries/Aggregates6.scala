@@ -51,6 +51,23 @@ object Aggregates6 {
         .select(col("cat"), round((gf - bf) * log(gf / bf), 9).as("woe_term")))
     },
 
+    // windowFunnel strict modes: strict_order (any intervening event
+    // interrupts — so the matched chain is consecutive in the per-user
+    // sequence, which is exactly what the lead()-based oracle checks)
+    // and strict_increase (strictly increasing timestamps).
+    "q_window_funnel_strict" -> { (s, dir) =>
+      val e = T(s, dir)("events")
+      val week = 604800000000L
+      val steps = Seq("view", "click", "purchase")
+      ordered(e.groupBy(col("user_id")).agg(
+        graft.aggregates.Funnel.windowFunnelModes(
+          unix_micros(col("ts")), col("event_id"), col("event_type"),
+          week, steps, Set("strict_order")).as("strict_order_level"),
+        graft.aggregates.Funnel.windowFunnelModes(
+          unix_micros(col("ts")), col("event_id"), col("event_type"),
+          week, steps, Set("strict_increase")).as("strict_increase_level")))
+    },
+
     // cramersVBiasCorrected (Bergsma 2013): phi2' = max(0, phi2 -
     // (r-1)(c-1)/(n-1)), r' = r - (r-1)^2/(n-1), c' likewise,
     // V = sqrt(phi2' / min(r'-1, c'-1)). Same contingency machinery as
@@ -101,6 +118,43 @@ object Aggregates6 {
         |    * ln((CAST(gi AS DOUBLE)/gt) / (CAST(bi AS DOUBLE)/bt)), 9) AS woe_term
         |FROM per CROSS JOIN t
         |ORDER BY cat NULLS FIRST, woe_term NULLS FIRST""".stripMargin,
+    "q_window_funnel_strict" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |seq AS (SELECT user_id, event_type, us,
+        |    lead(event_type, 1) OVER w AS e1, lead(us, 1) OVER w AS us1,
+        |    lead(event_type, 2) OVER w AS e2, lead(us, 2) OVER w AS us2
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id AS user_id,
+        |  CASE
+        |    WHEN EXISTS (SELECT 1 FROM seq s WHERE s.user_id = u.user_id
+        |      AND s.event_type = 'view' AND s.e1 = 'click' AND s.e2 = 'purchase'
+        |      AND s.us2 - s.us <= 604800000000) THEN 3
+        |    WHEN EXISTS (SELECT 1 FROM seq s WHERE s.user_id = u.user_id
+        |      AND s.event_type = 'view' AND s.e1 = 'click'
+        |      AND s.us1 - s.us <= 604800000000) THEN 2
+        |    WHEN EXISTS (SELECT 1 FROM ev s WHERE s.user_id = u.user_id
+        |      AND s.event_type = 'view') THEN 1
+        |    ELSE 0 END AS strict_order_level,
+        |  CASE
+        |    WHEN EXISTS (SELECT 1 FROM ev v, ev c, ev p
+        |      WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |        AND p.user_id = u.user_id
+        |        AND v.event_type = 'view' AND c.event_type = 'click'
+        |        AND p.event_type = 'purchase'
+        |        AND c.us > v.us AND p.us > c.us
+        |        AND p.us - v.us <= 604800000000) THEN 3
+        |    WHEN EXISTS (SELECT 1 FROM ev v, ev c
+        |      WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |        AND v.event_type = 'view' AND c.event_type = 'click'
+        |        AND c.us > v.us AND c.us - v.us <= 604800000000) THEN 2
+        |    WHEN EXISTS (SELECT 1 FROM ev s WHERE s.user_id = u.user_id
+        |      AND s.event_type = 'view') THEN 1
+        |    ELSE 0 END AS strict_increase_level
+        |FROM u
+        |ORDER BY user_id NULLS FIRST, strict_order_level NULLS FIRST,
+        |  strict_increase_level NULLS FIRST""".stripMargin,
     "q_cramers_bias_corrected" ->
       """WITH cells AS (SELECT l_returnflag a, l_linestatus b, count(*) nij
         |  FROM lineitem GROUP BY 1, 2),

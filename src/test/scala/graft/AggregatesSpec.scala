@@ -37,6 +37,33 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
 
+  test("windowFunnel strict modes: order, dedup, increase") {
+    import spark.implicits._
+    val day = 86400000000L
+    // user 1: A,B,D,C — strict_order stops at D (level 2), default gives 3.
+    // user 2: A,B,A,C — strict_dedup stops at the repeated A (level 2).
+    // user 3: A,B at the SAME timestamp, then C — strict_increase can
+    //         never advance past A (level 1); default gives 3.
+    val df = Seq(
+      (1L, 1L, 0L * day, "A"), (1L, 2L, 1L * day, "B"),
+      (1L, 3L, 2L * day, "D"), (1L, 4L, 3L * day, "C"),
+      (2L, 5L, 0L * day, "A"), (2L, 6L, 1L * day, "B"),
+      (2L, 7L, 2L * day, "A"), (2L, 8L, 3L * day, "C"),
+      (3L, 9L, 0L * day, "A"), (3L, 10L, 0L * day, "B"), (3L, 11L, 1L * day, "C")
+    ).toDF("u", "id", "ts", "ev")
+    def funnel(modes: Set[String]) = Funnel.windowFunnelModes(
+      col("ts"), col("id"), col("ev"), 10L * day, Seq("A", "B", "C"), modes)
+    val r = df.groupBy("u").agg(
+        funnel(Set.empty).as("plain"),
+        funnel(Set("strict_order")).as("so"),
+        funnel(Set("strict_dedup")).as("sd"),
+        funnel(Set("strict_increase")).as("si"))
+      .orderBy("u").collect()
+    assert(r(0).getInt(1) == 3 && r(0).getInt(2) == 2) // u1 plain=3, strict_order=2
+    assert(r(1).getInt(1) == 3 && r(1).getInt(3) == 2) // u2 plain=3, strict_dedup=2
+    assert(r(2).getInt(1) == 3 && r(2).getInt(4) == 1) // u3 plain=3, strict_increase=1
+  }
+
   test("LTTB keeps endpoints and the dominant spike") {
     import spark.implicits._
     val lttb = udaf(new graft.aggregates.LttbAggregator(5))
