@@ -22,14 +22,24 @@ object Tables {
     * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a
     * raw nanosecond long (legacy conf) and convert to a microsecond
     * TimestampType with exact integer arithmetic — matching how DuckDB
-    * truncates ns→µs, so oracle comparisons agree. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
-  }
+    * truncates ns→µs, so oracle comparisons agree.
+    *
+    * The resolved DataFrame (schema + file listing, no data) is memoized
+    * per (session, dir, name): fixture dirs are immutable, and re-listing
+    * + schema-reading parquet footers on every call is pure per-query
+    * driver overhead — the same catalog-cache role the reference's
+    * IStorage registry plays. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    resolved.computeIfAbsent((spark, dir, name), { _ =>
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   /** Register every fixture table as a temp view so `spark.sql` works on
     * the same names the DuckDB oracle sees. */
