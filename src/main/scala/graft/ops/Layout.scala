@@ -22,6 +22,28 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact a parquet directory's small files (reference OPTIMIZE TABLE
+    * ... FINAL — MergeTree background merges; the lakehouse small-files
+    * problem at 100 TB). Rewrites to ~`targetRows`-row files, range-
+    * partitioned on `sortKeys` so every output file covers a contiguous
+    * key range (data-skipping min/max stays tight), then atomically
+    * swaps the directory — same copy-on-write discipline as Mutations. */
+  def compact(spark: SparkSession, dir: String, sortKeys: Seq[String],
+              targetRows: Long): Unit = {
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    val tmp = dir + "__compact_tmp"
+    df.repartitionByRange(files, sortKeys.map(col): _*)
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Salted equi-join for pathological key skew: the skewed (left) side
     * gets a random salt in [0, salts); the right side is replicated
     * `salts` times; the join key becomes (key, salt). Row multiplicity is

@@ -110,6 +110,22 @@ object Engines {
       ordered(li.filter(pmod(col("l_orderkey"), lit(10)) === 3)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty")))
+    },
+
+    // groupArraySample analog: k rows per group, uniform AND reproducible —
+    // rank by a salted md5 of the row key instead of an RNG (reference
+    // AggregateFunctionGroupArraySample.h is seeded-RNG reservoir; the
+    // hash-rank formulation gives the same uniform-subset contract but is
+    // stable across engines, partitionings and reruns).
+    "q_group_array_sample" -> { (s, dir) =>
+      val o = T(s, dir)("orders")
+        .withColumn("hk", md5(concat(lit("sample-v1:"), col("o_orderkey").cast("string"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority")).orderBy(col("hk"), col("o_orderkey"))
+      ordered(o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("o_orderpriority"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("sampled_keys")))
     }
   )
 
@@ -192,6 +208,16 @@ object Engines {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 3
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST, sum_qty NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST, sum_qty NULLS FIRST""".stripMargin,
+    "q_group_array_sample" ->
+      """WITH h AS (SELECT o_orderpriority, o_orderkey,
+        |    md5('sample-v1:' || CAST(o_orderkey AS VARCHAR)) AS hk
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, o_orderkey, row_number() OVER
+        |    (PARTITION BY o_orderpriority ORDER BY hk, o_orderkey) AS rn
+        |  FROM h)
+        |SELECT o_orderpriority, list(o_orderkey ORDER BY o_orderkey) AS sampled_keys
+        |FROM r WHERE rn <= 5 GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
   )
 }

@@ -34,6 +34,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("compact merges small files into range-partitioned ones, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    li.repartition(24).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val rows = spark.read.parquet(dir).count()
+    val checksum = spark.read.parquet(dir)
+      .agg(sum(col("l_orderkey") * col("l_quantity"))).collect()(0).getDouble(0)
+    Layout.compact(spark, dir, Seq("l_orderkey"), targetRows = rows / 2 + 1)
+    val after = parquetFiles
+    assert(before >= 20 && after <= 4, s"files $before -> $after")
+    val df2 = spark.read.parquet(dir)
+    assert(df2.count() == rows)
+    assert(df2.agg(sum(col("l_orderkey") * col("l_quantity")))
+      .collect()(0).getDouble(0) == checksum)
+  }
+
   test("saltedJoin preserves exact join multiplicity") {
     val li = graft.core.Tables.t(spark, sf, "lineitem")
     val o = graft.core.Tables.t(spark, sf, "orders")
