@@ -33,13 +33,29 @@ object Bench {
     names.foreach(run) // warm-up pass (discarded)
     val results = names.map(n => n -> run(n))
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double) = f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Print first AND persist: a tail-only capture of the process output
-    // must never lose the round's bench line.
+    // The driver captures only the TAIL of process output (~4 KB): a
+    // 180-entry per-query map overflows it and the line arrives unparseable
+    // (BENCH_r01/r02 both had "parsed": null). stdout gets a compact line
+    // with a headline subset; the full per-query map goes to
+    // BENCH_local.json.
+    val headline = Seq(
+      "q1_pricing_summary", "q2_filter_project", "q3_shipping_priority",
+      "q5_local_supplier", "q6_forecast_revenue", "q_dedup_exact",
+      "q_dedup_minhash_lsh", "q_dedup_embedding_lsh", "q_sim_topk",
+      "q_asof_join", "q_window_funnel", "q_quantiles", "q_topk",
+      "q_any_join", "q_limit_by", "q_text_stats", "q_window_tumble",
+      "q_rollup", "q_train_split", "q_uniq_approx")
+    val rmap = results.toMap
+    val qs = headline.flatMap(n => rmap.get(n).filter(_ >= 0).map(v =>
+      "\"" + n + "\":" + fmt(v))).mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), fullJson + "\n")
     println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), json + "\n")
     spark.stop()
   }
 }

@@ -138,8 +138,13 @@ object Aggregates2 {
         .select(pmod(col("vec_id"), lit(5)).as("g"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
       val summed = graft.ops.Combinators.sumForEach(e, Seq(col("g")), col("v"), "sums")
-      ordered(summed.select(col("g"),
-        transform(col("sums"), x => round(x, 6)).as("sums")))
+      // Exploded to scalar rows (the driver's comparator can't sort ARRAY
+      // columns); 1-based idx matches DuckDB list indexing. Scaled-long
+      // emission (floor(v*1e6+0.5)) is bit-exact across engines where
+      // round() is not.
+      ordered(summed.select(col("g"), posexplode(col("sums")).as(Seq("i0", "s")))
+        .select(col("g"), (col("i0") + 1).as("i"),
+          floor(col("s") * 1e6 + 0.5).as("s6")))
     },
 
     // sumResample combinator: per return flag, revenue resampled into 5
@@ -150,8 +155,10 @@ object Aggregates2 {
       val res = graft.ops.Combinators.sumResample(li,
         Seq(col("l_returnflag").as("g")), col("l_extendedprice"), col("l_quantity"),
         start = 1L, end = 51L, step = 10L, out = "sums")
-      ordered(res.select(col("g"),
-        transform(col("sums"), x => round(x, 4)).as("sums")))
+      // Exploded to (g, bucket, whole-unit sum) scalar rows for the driver's
+      // comparator; floor(s+0.5) keeps the value integral and bit-exact.
+      ordered(res.select(col("g"), posexplode(col("sums")).as(Seq("bk", "s")))
+        .select(col("g"), col("bk"), floor(col("s") + 0.5).as("s0")))
     },
 
     // largestTriangleThreeBuckets: downsample each event type's
@@ -236,9 +243,9 @@ object Aggregates2 {
         |  FROM embeddings),
         |e AS (SELECT g, i, sum(v[i]) AS s
         |  FROM x, unnest(range(1, 65)) AS r(i) GROUP BY g, i)
-        |SELECT g, list(round(s, 6) ORDER BY i) AS sums
-        |FROM e GROUP BY g
-        |ORDER BY g NULLS FIRST""".stripMargin,
+        |SELECT g, CAST(i AS INT) AS i, CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS s6
+        |FROM e
+        |ORDER BY g NULLS FIRST, i NULLS FIRST, s6 NULLS FIRST""".stripMargin,
     "q_sum_resample" ->
       """WITH b AS (SELECT l_returnflag AS g,
         |    CAST(floor((l_quantity - 1) / 10) AS INT) AS bk,
@@ -249,9 +256,9 @@ object Aggregates2 {
         |grid AS (SELECT g, unnest(range(0, 5)) AS bk FROM groups),
         |f AS (SELECT grid.g, grid.bk, coalesce(s, 0) AS s
         |  FROM grid LEFT JOIN b ON b.g = grid.g AND b.bk = grid.bk)
-        |SELECT g, list(round(s, 4) ORDER BY bk) AS sums
-        |FROM f GROUP BY g
-        |ORDER BY g NULLS FIRST""".stripMargin,
+        |SELECT g, CAST(bk AS INT) AS bk, CAST(floor(s + 0.5) AS BIGINT) AS s0
+        |FROM f
+        |ORDER BY g NULLS FIRST, bk NULLS FIRST, s0 NULLS FIRST""".stripMargin,
     "q_uniq_theta" ->
       """SELECT l_returnflag,
         |  cast(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,

@@ -102,11 +102,11 @@ object Aggregates3 {
       val e = T(s, dir)("events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-2, 0)
-      val withM = e.withColumn("msum", round(sum(col("value")).over(w), 6))
-      ordered(withM.groupBy(col("user_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id"), col("msum")))),
-          p => p.getField("msum")).as("moving_sums")))
+      // Per-row scalar output (the driver's comparator can't sort ARRAY
+      // columns); scaled-long emission is bit-exact where round() is not.
+      val withM = e.withColumn("msum", sum(col("value")).over(w))
+      ordered(withM.select(col("user_id"), col("event_id"),
+        floor(col("msum") * 1e6 + 0.5).as("ms6")))
     },
 
     // groupBitmapOr / groupBitmapAnd cardinalities (reference
@@ -191,13 +191,13 @@ object Aggregates3 {
         |    - tp * (tp + 1) / 2.0) / (tp * tn), 9) AS auc, tp, tn
         |FROM c, t GROUP BY tp, tn""".stripMargin,
     "q_moving_sum" ->
-      """WITH m AS (SELECT user_id, ts, event_id,
-        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS msum
+      """WITH m AS (SELECT user_id, event_id,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS msum
         |  FROM events)
-        |SELECT user_id, list(msum ORDER BY ts, event_id) AS moving_sums
-        |FROM m GROUP BY user_id
-        |ORDER BY user_id NULLS FIRST""".stripMargin,
+        |SELECT user_id, event_id, CAST(floor(msum * 1e6 + 0.5) AS BIGINT) AS ms6
+        |FROM m
+        |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, ms6 NULLS FIRST""".stripMargin,
     "q_bitmap_ops" ->
       """WITH e AS (SELECT event_type, user_id,
         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day

@@ -20,10 +20,13 @@ object Aggregates4 {
     // placed at their line positions, gaps filled with 0.
     "q_group_array_insert_at" -> { (s, dir) =>
       val li = T(s, dir)("lineitem")
+      // Exploded to (key, position, value) scalar rows — the driver's
+      // comparator can't sort ARRAY columns; all values are integral.
       ordered(Combinators.groupArrayInsertAt(
-        li, Seq(col("l_orderkey")),
-        floor(col("l_quantity")).cast("long"), col("l_linenumber") - 1,
-        lit(0L), None, "qty_at"))
+          li, Seq(col("l_orderkey")),
+          floor(col("l_quantity")).cast("long"), col("l_linenumber") - 1,
+          lit(0L), None, "qty_at")
+        .select(col("l_orderkey"), posexplode(col("qty_at")).as(Seq("i", "v"))))
     },
 
     // STL-style decomposition with a LOESS trend: for each point, a
@@ -76,9 +79,9 @@ object Aggregates4 {
         |grid AS (SELECT l_orderkey, unnest(range(n)) AS i FROM lens),
         |filled AS (SELECT g.l_orderkey AS okey, g.i AS i, coalesce(p.m, 0) AS v
         |  FROM grid g LEFT JOIN perpos p ON p.l_orderkey = g.l_orderkey AND p.p = g.i)
-        |SELECT okey AS l_orderkey, list(v ORDER BY i) AS qty_at
-        |FROM filled GROUP BY 1
-        |ORDER BY l_orderkey NULLS FIRST, qty_at NULLS FIRST""".stripMargin,
+        |SELECT okey AS l_orderkey, CAST(i AS INT) AS i, v
+        |FROM filled
+        |ORDER BY l_orderkey NULLS FIRST, i NULLS FIRST, v NULLS FIRST""".stripMargin,
     "q_series_decompose_stl" ->
       """WITH d AS (SELECT event_type,
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

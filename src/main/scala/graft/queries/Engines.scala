@@ -122,10 +122,11 @@ object Engines {
         .withColumn("hk", md5(concat(lit("sample-v1:"), col("o_orderkey").cast("string"))))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderpriority")).orderBy(col("hk"), col("o_orderkey"))
+      // Sampled keys as scalar rows (the driver's comparator can't sort
+      // ARRAY columns).
       ordered(o.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
-        .groupBy(col("o_orderpriority"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("sampled_keys")))
+        .select(col("o_orderpriority"), col("o_orderkey")))
     }
   )
 
@@ -216,8 +217,8 @@ object Engines {
         |r AS (SELECT o_orderpriority, o_orderkey, row_number() OVER
         |    (PARTITION BY o_orderpriority ORDER BY hk, o_orderkey) AS rn
         |  FROM h)
-        |SELECT o_orderpriority, list(o_orderkey ORDER BY o_orderkey) AS sampled_keys
-        |FROM r WHERE rn <= 5 GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+        |SELECT o_orderpriority, o_orderkey
+        |FROM r WHERE rn <= 5
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
   )
 }

@@ -64,22 +64,25 @@ object Functions {
     "q_fn_math" -> { (s, dir) =>
       val li = T(s, dir)("lineitem").filter(col("l_orderkey") < 300)
       val x = col("l_extendedprice")
+      // Float outputs are emitted as SCALED LONGS — floor(f*1e6 + 0.5) — not
+      // round(): Spark's round (BigDecimal HALF_UP) and DuckDB's round
+      // (scale-multiply) can disagree on half-way doubles, while multiply and
+      // floor are IEEE-exact and bit-identical across engines.
+      def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5)
       ordered(li.select(
         col("l_orderkey"), col("l_linenumber"), x.as("x"),
         abs(-x).as("abs_x"),
-        round(x, 1).as("round1"),
+        floor(x * 10 + 0.5).as("round1"),
         floor(x).as("fl"),
         ceil(x).as("ce"),
-        // Transcendentals rounded to 6 decimals on BOTH sides: JVM libm and
-        // DuckDB libm differ in the last ULP, which fails an exact hash.
-        round(sqrt(x), 6).as("sq"),
-        round(exp(x / 100000), 6).as("ex"),
-        round(log(x), 6).as("ln_x"),
-        round(log10(x), 6).as("lg"),
-        round(pow(x, 0.5), 6).as("pw"),
-        round(sin(x / 1000), 6).as("sn"),
-        round(cos(x / 1000), 6).as("cs"),
-        round(atan(x / 1000), 6).as("at"),
+        s6(sqrt(x)).as("sq"),
+        s6(exp(x / 100000)).as("ex"),
+        s6(log(x)).as("ln_x"),
+        s6(log10(x)).as("lg"),
+        s6(pow(x, 0.5)).as("pw"),
+        s6(sin(x / 1000)).as("sn"),
+        s6(cos(x / 1000)).as("cs"),
+        s6(atan(x / 1000)).as("at"),
         signum(x - 30000).as("sg"),
         (pmod(col("l_orderkey"), lit(7))).as("pm")))
     },
@@ -260,17 +263,17 @@ object Functions {
     "q_fn_math" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS x,
         |  abs(-l_extendedprice) AS abs_x,
-        |  round(l_extendedprice, 1) AS round1,
-        |  floor(l_extendedprice) AS fl,
-        |  ceil(l_extendedprice) AS ce,
-        |  round(sqrt(l_extendedprice), 6) AS sq,
-        |  round(exp(l_extendedprice / 100000), 6) AS ex,
-        |  round(ln(l_extendedprice), 6) AS ln_x,
-        |  round(log10(l_extendedprice), 6) AS lg,
-        |  round(pow(l_extendedprice, 0.5), 6) AS pw,
-        |  round(sin(l_extendedprice / 1000), 6) AS sn,
-        |  round(cos(l_extendedprice / 1000), 6) AS cs,
-        |  round(atan(l_extendedprice / 1000), 6) AS at,
+        |  CAST(floor(l_extendedprice * 10 + 0.5) AS BIGINT) AS round1,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  CAST(floor(sqrt(l_extendedprice) * 1e6 + 0.5) AS BIGINT) AS sq,
+        |  CAST(floor(exp(l_extendedprice / 100000) * 1e6 + 0.5) AS BIGINT) AS ex,
+        |  CAST(floor(ln(l_extendedprice) * 1e6 + 0.5) AS BIGINT) AS ln_x,
+        |  CAST(floor(log10(l_extendedprice) * 1e6 + 0.5) AS BIGINT) AS lg,
+        |  CAST(floor(pow(l_extendedprice, 0.5) * 1e6 + 0.5) AS BIGINT) AS pw,
+        |  CAST(floor(sin(l_extendedprice / 1000) * 1e6 + 0.5) AS BIGINT) AS sn,
+        |  CAST(floor(cos(l_extendedprice / 1000) * 1e6 + 0.5) AS BIGINT) AS cs,
+        |  CAST(floor(atan(l_extendedprice / 1000) * 1e6 + 0.5) AS BIGINT) AS at,
         |  CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS sg,
         |  l_orderkey % 7 AS pm
         |FROM lineitem WHERE l_orderkey < 300
