@@ -176,6 +176,44 @@ object Ops {
       .drop("__pid", "__loc", "__off")
   }
 
+  /** Scale-safe KEYED running total: sum(value) OVER (PARTITION BY keys
+    * ORDER BY order) without putting each whole group through one task.
+    * With few heavy groups (the common OLAP case) a plain keyed window
+    * serializes ~n/|keys| rows per task; here rows range-partition on
+    * (keys, order) so every core gets a slice, local cumsums run per
+    * (keys, partition), and the cross-partition offsets come from a tiny
+    * (#keys × #partitions)-row table via an O(P²) theta-join broadcast
+    * back (same two-phase shape as runningTotalExclusive).
+    *
+    * (keys, order) must be unique per row — ties could split across a
+    * range boundary and see different prefixes. `inclusive` selects
+    * ROWS UNBOUNDED PRECEDING..CURRENT ROW vs ..1 PRECEDING. */
+  def keyedRunningTotal(df: DataFrame, keys: Seq[Column], order: Column,
+                        value: Column, out: String,
+                        inclusive: Boolean = true): DataFrame = {
+    val parted = df.repartitionByRange(keys :+ order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val hi = if (inclusive) 0L else -1L
+    val wLoc = Window.partitionBy(keys :+ col("__pid"): _*).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val local = parted.withColumn("__loc", sum(value).over(wLoc))
+    val keyNames = keys.indices.map(i => s"__k$i")
+    val tots = parted.groupBy(keys.zip(keyNames).map { case (k, n) => k.as(n) } :+
+        col("__pid").as("__pid2"): _*)
+      .agg(sum(value).as("__tot"))
+    val offs = tots.as("a")
+      .join(tots.as("b"),
+        keyNames.map(n => col(s"a.$n") <=> col(s"b.$n"))
+          .reduce(_ && _) && col("b.__pid2") < col("a.__pid2"), "left")
+      .groupBy(keyNames.map(n => col(s"a.$n")) :+ col("a.__pid2").as("__pid"): _*)
+      .agg(sum(col("b.__tot")).as("__off"))
+    val joinCond = keys.zip(keyNames).map { case (k, n) => k <=> col(n) }
+      .reduce(_ && _) && col("__pid") === col("__pid_o")
+    local.join(broadcast(offs.withColumnRenamed("__pid", "__pid_o")), joinCond)
+      .withColumn(out, coalesce(col("__loc"), lit(0)) + coalesce(col("__off"), lit(0)))
+      .drop("__pid" :: "__pid_o" :: "__loc" :: "__off" :: keyNames.toList: _*)
+  }
+
   /** dictGet (reference FunctionsExternalDictionaries.h / Dictionaries):
     * enrich `df` with attribute columns looked up from a dimension table
     * by key — implemented as a broadcast left join, the Spark-native

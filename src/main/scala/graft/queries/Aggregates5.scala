@@ -27,13 +27,22 @@ object Aggregates5 {
       val li = T(s, dir)("lineitem")
         .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
           col("l_extendedprice").as("y"))
-      val rx = rank().over(Window.partitionBy(col("g")).orderBy(col("x")))
-      val cx = count(lit(1)).over(Window.partitionBy(col("g"), col("x")))
-      val ry = rank().over(Window.partitionBy(col("g")).orderBy(col("y")))
-      val cy = count(lit(1)).over(Window.partitionBy(col("g"), col("y")))
+      // Midranks from distinct-value count tables + two-phase prefix sums:
+      // rank() OVER (PARTITION BY g ...) would serialize each group (only
+      // 3 of them) through one task. midrank(v) = (#rows < v) + (c+1)/2
+      // where c = #rows equal to v — identical values, no global window.
+      def midranks(v: String, out: String) = {
+        val byV = li.groupBy(col("g"), col(v)).agg(count(lit(1)).as("c"))
+        graft.ops.Ops.keyedRunningTotal(
+            byV, Seq(col("g")), col(v), col("c"), "cb", inclusive = false)
+          .select(col("g").as(s"g_$v"), col(v).as(s"v_$v"),
+            (col("cb") + (col("c") + 1) / 2.0).as(out))
+      }
       val ranked = li
-        .withColumn("mrx", rx + (cx - 1) / 2.0)
-        .withColumn("mry", ry + (cy - 1) / 2.0)
+        .join(midranks("x", "mrx"),
+          col("g") === col("g_x") && col("x") === col("v_x"))
+        .join(midranks("y", "mry"),
+          col("g") === col("g_y") && col("y") === col("v_y"))
       ordered(ranked.groupBy(col("g"))
         .agg(round(corr(col("mrx"), col("mry")), 6).as("rank_corr")))
     },
@@ -82,9 +91,10 @@ object Aggregates5 {
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
           floor(col("l_quantity")).cast("long").as("w"))
       val byVal = li.groupBy(col("g"), col("x")).agg(sum(col("w")).as("w"))
-      val cum = byVal.withColumn("cw",
-        sum(col("w")).over(Window.partitionBy(col("g")).orderBy(col("x"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+      // Two-phase cumulative weight: a plain window PARTITION BY g would
+      // serialize each group (only 3 of them) through one task.
+      val cum = graft.ops.Ops.keyedRunningTotal(
+        byVal, Seq(col("g")), col("x"), col("w"), "cw")
       val tot = byVal.groupBy(col("g").as("g2")).agg(sum(col("w")).as("tw"))
       ordered(cum.join(broadcast(tot), col("g") === col("g2"))
         .groupBy(col("g"))

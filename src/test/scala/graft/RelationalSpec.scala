@@ -61,4 +61,28 @@ class DictGetSpec extends org.scalatest.funsuite.AnyFunSuite {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"dictGet not broadcast:\n$plan")
   }
+
+  test("keyedRunningTotal matches a plain keyed window, both modes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      .agg(sum(col("l_quantity")).as("w"))
+    for (inclusive <- Seq(true, false)) {
+      val hi = if (inclusive) 0L else -1L
+      val want = li.withColumn("cw",
+        coalesce(sum(col("w")).over(Window.partitionBy(col("g")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, hi)), lit(0.0)))
+        .select("g", "x", "cw").collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val got = graft.ops.Ops.keyedRunningTotal(
+        li, Seq(col("g")), col("x"), col("w"), "cw", inclusive)
+        .select("g", "x", "cw").collect()
+      assert(got.length == want.size)
+      got.foreach { r =>
+        val k = (r.getString(0), r.getDouble(1))
+        assert(r.getDouble(2) == want(k), s"mismatch at $k (inclusive=$inclusive)")
+      }
+    }
+  }
 }
