@@ -144,6 +144,26 @@ object Functions2 {
               slice(col("vs"), lit(2), size(col("vs")) - 1),
               element_at(col("vs"), 1),
               (acc, x) => acc * 0.9 + x * 0.1)).as("ema")))
+    },
+
+    // mapApply / mapUpdate / mapPopulateSeries (reference
+    // src/Functions/map.cpp): per-user day-of-month count map, counts
+    // doubled (mapApply), day 1 overridden to 0 (mapUpdate), gaps in
+    // min(key)..max(key) filled with 0 (mapPopulateSeries); exploded to
+    // scalar rows for the comparator.
+    "q_fn_map_apply" -> { (s, dir) =>
+      import graft.ops.MapOps
+      val e = T(s, dir)("events").filter(col("user_id") < 30)
+        .groupBy(col("user_id"), dayofmonth(col("ts")).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val m0 = e.groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("k"), col("cnt")))).as("m"))
+      val m3 = m0.select(col("user_id"),
+        MapOps.mapPopulateSeries(
+          MapOps.mapUpdate(
+            MapOps.mapApply(col("m"), (k, v) => (k, v * 2)),
+            map(lit(1), lit(0L)))).as("m"))
+      ordered(m3.select(col("user_id"), explode(col("m")).as(Seq("k", "v"))))
     }
   )
 
@@ -226,6 +246,17 @@ object Functions2 {
         |  list_reduce(list(value ORDER BY ts, event_id),
         |    (acc, x) -> acc * 0.9 + x * 0.1) AS ema
         |FROM events GROUP BY user_id
-        |ORDER BY user_id NULLS FIRST, ema NULLS FIRST""".stripMargin
+        |ORDER BY user_id NULLS FIRST, ema NULLS FIRST""".stripMargin,
+    "q_fn_map_apply" ->
+      """WITH c AS (SELECT user_id, day(CAST(ts AS TIMESTAMP)) AS k, count(*) AS cnt
+        |    FROM events WHERE user_id < 30 GROUP BY 1, 2),
+        |b AS (SELECT user_id, least(min(k), 1) AS mn, greatest(max(k), 1) AS mx
+        |    FROM c GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS k FROM b),
+        |j AS (SELECT g.user_id, g.k,
+        |    CASE WHEN g.k = 1 THEN 0 ELSE coalesce(2 * c.cnt, 0) END AS v
+        |  FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.k = g.k)
+        |SELECT user_id, CAST(k AS INT) AS k, CAST(v AS BIGINT) AS v FROM j
+        |ORDER BY user_id NULLS FIRST, k NULLS FIRST, v NULLS FIRST""".stripMargin
   )
 }

@@ -248,7 +248,17 @@ object ChSql {
     "cosineDistance" -> "t", "arrayCosineDistance" -> "t",
     "L1Distance" -> "t", "L2Distance" -> "t", "L2SquaredDistance" -> "t",
     "LinfDistance" -> "t", "L1Norm" -> "t", "L2Norm" -> "t",
-    "arrayJaccardIndex" -> "t"
+    "arrayJaccardIndex" -> "t",
+    // ---- batch 5 ----
+    "mapApply" -> "t", "mapUpdate" -> "t", "mapPopulateSeries" -> "t",
+    "arrayDifference" -> "t", "arrayEnumerateDense" -> "t",
+    "arrayReduce" -> "t",
+    "toStartOfDay" -> "t", "toStartOfHour" -> "t", "toStartOfWeek" -> "t",
+    "toStartOfQuarter" -> "t", "toStartOfYear" -> "t",
+    "tupleElement" -> "t", "tuple" -> "struct", "e" -> "t",
+    "netloc" -> "t", "queryStringAndFragment" -> "t",
+    "cutQueryStringAndFragment" -> "t", "extractURLParameters" -> "t",
+    "regexpQuoteMeta" -> "t", "roundDuration" -> "t", "roundAge" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -539,7 +549,11 @@ object ChSql {
     q = rewriteCalls(q, "toStartOfMonth")(a => s"date_trunc('month', ${a(0)})")
     q = rewriteCalls(q, "toStartOfQuarter")(a => s"date_trunc('quarter', ${a(0)})")
     q = rewriteCalls(q, "toStartOfYear")(a => s"date_trunc('year', ${a(0)})")
-    q = rewriteCalls(q, "toStartOfWeek")(a => s"date_trunc('week', ${a(0)})")
+    // toStartOfWeek default mode 0 = SUNDAY start returning Date (reference
+    // src/Functions/toStartOfWeek — date_trunc('week') would be the mode-1
+    // Monday variant); weekday(): Monday=0..Sunday=6.
+    q = rewriteCalls(q, "toStartOfWeek")(a =>
+      s"date_sub(CAST(${a(0)} AS DATE), (weekday(${a(0)}) + 1) % 7)")
     q = rewriteCalls(q, "splitByChar")(a => s"split(${a(1)}, ${a(0)})")
     q = rewriteCalls(q, "arrayStringConcat")(a =>
       if (a.length > 1) s"array_join(${a(0)}, ${a(1)})" else s"array_join(${a(0)}, '')")
@@ -907,6 +921,84 @@ object ChSql {
     for (p <- Seq("0.5", "0.25", "0.75", "0.9", "0.95", "0.99"))
       q = rewriteCalls(q, s"__QUANTILE__$p")(a => s"percentile(${a(0)}, $p)")
     q = rewriteCalls(q, "quantileExact")(a => s"percentile(${a(0)}, 0.5)")
+
+    // ---- batch 5 templates ----
+    // mapApply((k, v) -> (k', v'), m): tuple lambda -> entry transform.
+    // The lambda variables are substituted textually (word-boundary) into
+    // the entry-struct expression.
+    q = rewriteCalls(q, "mapApply") { a =>
+      val lam = """(?s)\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*\((.+)\)\s*""".r
+      a(0).trim match {
+        case lam(k, v, body) =>
+          val parts = splitArgs(body)
+          def sub(s: String) = s
+            .replaceAll(s"\\b$k\\b", "(__e.key)")
+            .replaceAll(s"\\b$v\\b", "(__e.value)")
+          s"map_from_entries(transform(map_entries(${a(1)}), " +
+            s"__e -> named_struct('key', ${sub(parts(0))}, 'value', ${sub(parts(1))})))"
+        case other => s"mapApply($other, ${a(1)})" // unrecognized: leave as-is
+      }
+    }
+    // mapUpdate(m1, m2): m2 wins on key collision
+    q = rewriteCalls(q, "mapUpdate")(a =>
+      s"map_concat(map_filter(${a(0)}, (__k, __v) -> NOT map_contains_key(${a(1)}, __k)), ${a(1)})")
+    // mapPopulateSeries(m[, max]): fill integer keys min..max with 0 default
+    q = rewriteCalls(q, "mapPopulateSeries") { a =>
+      val m = a(0)
+      val hi = if (a.length > 1) a(1) else s"array_max(map_keys($m))"
+      s"map_from_entries(transform(sequence(array_min(map_keys($m)), $hi), " +
+        s"__k -> named_struct('key', __k, 'value', coalesce(element_at($m, __k), 0))))"
+    }
+    // arrayDifference: [0, a2-a1, a3-a2, …]
+    q = rewriteCalls(q, "arrayDifference")(a =>
+      s"transform(${a(0)}, (__x, __i) -> CASE WHEN __i = 0 THEN 0 " +
+        s"ELSE __x - element_at(${a(0)}, __i) END)")
+    // arrayEnumerateDense: 1-based rank of first appearance
+    q = rewriteCalls(q, "arrayEnumerateDense")(a =>
+      s"transform(${a(0)}, __x -> array_position(array_distinct(${a(0)}), __x))")
+    // arrayReduce('agg', arr): dispatch the (quoted) aggregate name
+    q = rewriteCalls(q, "arrayReduce") { a =>
+      val arr = a(1)
+      a(0).replaceAll("'", "").trim.toLowerCase match {
+        case "max" => s"array_max($arr)"
+        case "min" => s"array_min($arr)"
+        case "count" => s"size($arr)"
+        case "avg" =>
+          s"(aggregate($arr, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) / size($arr))"
+        case "uniq" | "uniqexact" => s"size(array_distinct($arr))"
+        case "any" => s"element_at($arr, 1)"
+        case "anylast" => s"element_at($arr, -1)"
+        case _ => s"aggregate($arr, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)" // sum
+      }
+    }
+    // tupleElement(t, N) / tupleElement(t, 'name'); struct() names are colN
+    q = rewriteCalls(q, "tupleElement") { a =>
+      val idx = a(1).trim
+      if (idx.matches("[0-9]+")) s"(${a(0)}).col$idx"
+      else s"(${a(0)}).${idx.replaceAll("'", "")}"
+    }
+    q = rewriteCalls(q, "e")(_ => "exp(1)")
+    q = rewriteCalls(q, "netloc")(a => s"parse_url(${a(0)}, 'AUTHORITY')")
+    q = rewriteCalls(q, "queryStringAndFragment")(a =>
+      s"concat_ws('#', parse_url(${a(0)}, 'QUERY'), parse_url(${a(0)}, 'REF'))")
+    q = rewriteCalls(q, "cutQueryStringAndFragment")(a =>
+      s"regexp_replace(${a(0)}, '[?#].*$$', '')")
+    q = rewriteCalls(q, "extractURLParameters")(a =>
+      s"split(parse_url(${a(0)}, 'QUERY'), '&')")
+    q = rewriteCalls(q, "regexpQuoteMeta")(a =>
+      s"regexp_replace(${a(0)}, '([.^$$|?*+()\\\\[\\\\]{}\\\\\\\\])', '\\\\\\\\$$1')")
+    q = rewriteCalls(q, "roundDuration") { a =>
+      val b = Seq(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600,
+        7200, 18000, 36000)
+      val whens = s"WHEN ${a(0)} < 1 THEN 0 " +
+        b.init.zip(b.tail).map { case (lo, hi) =>
+          s"WHEN ${a(0)} < $hi THEN $lo" }.mkString(" ")
+      s"(CASE $whens ELSE 36000 END)"
+    }
+    q = rewriteCalls(q, "roundAge")(a =>
+      s"(CASE WHEN ${a(0)} < 1 THEN 0 WHEN ${a(0)} < 18 THEN 17 " +
+        s"WHEN ${a(0)} < 25 THEN 18 WHEN ${a(0)} < 35 THEN 25 " +
+        s"WHEN ${a(0)} < 45 THEN 35 WHEN ${a(0)} < 55 THEN 45 ELSE 55 END)")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

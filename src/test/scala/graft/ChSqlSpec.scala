@@ -373,6 +373,51 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getDouble(8) == 0.5)
   }
 
+  test("batch-5 templates: map transforms, array diffs, date starts") {
+    val r = ch("""SELECT mapApply((k, v) -> (k, v * 2), map('a', 1, 'b', 2)) AS ma,
+                 |mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mu,
+                 |mapPopulateSeries(map(1, 10, 4, 40)) AS mp,
+                 |arrayDifference([1, 4, 9, 16]) AS ad,
+                 |arrayEnumerateDense([30, 10, 30, 20]) AS ae,
+                 |arrayReduce('max', [3, 7, 2]) AS arx,
+                 |arrayReduce('uniq', [1, 1, 2]) AS aru,
+                 |toStartOfDay(CAST('2024-03-05 07:08:09' AS TIMESTAMP)) AS sd,
+                 |toStartOfWeek(CAST('2024-03-05' AS DATE)) AS sw,
+                 |toStartOfQuarter(CAST('2024-05-20' AS DATE)) AS sq,
+                 |tupleElement(tuple(7, 'x'), 2) AS te,
+                 |round(e(), 6) AS ee""".stripMargin).collect()(0)
+    assert(r.getMap[String, Int](0) == Map("a" -> 2, "b" -> 4))
+    assert(r.getMap[String, Int](1) == Map("a" -> 1, "b" -> 9, "c" -> 3))
+    assert(r.getMap[Int, Int](2) == Map(1 -> 10, 2 -> 0, 3 -> 0, 4 -> 40))
+    assert(r.getSeq[Int](3) == Seq(0, 3, 5, 7))
+    assert(r.getSeq[Long](4) == Seq(1L, 2L, 1L, 3L))
+    assert(r.getInt(5) == 7 && r.getInt(6) == 2)
+    assert(r.getTimestamp(7).toString.startsWith("2024-03-05 00:00:00"))
+    assert(r.getDate(8).toString == "2024-03-03") // Sunday before Tue Mar 5
+    assert(r.getTimestamp(9).toString.startsWith("2024-04-01")) // date_trunc -> ts
+    assert(r.getString(10) == "x")
+    assert(r.getDouble(11) == 2.718282)
+  }
+
+  test("batch-5 templates: url tail, regexpQuoteMeta, round sets") {
+    val r = ch("""SELECT netloc('https://example.com:8443/p?a=1#f') AS nl,
+                 |queryStringAndFragment('https://e.com/p?a=1&b=2#frag') AS qf,
+                 |cutQueryStringAndFragment('https://e.com/p?a=1#frag') AS cq,
+                 |extractURLParameters('https://e.com/p?a=1&b=2') AS ps,
+                 |regexpQuoteMeta('a.b*c') AS rq,
+                 |roundDuration(95) AS rd,
+                 |roundDuration(0) AS rd0,
+                 |roundAge(31) AS ra,
+                 |roundAge(12) AS ra2""".stripMargin).collect()(0)
+    assert(r.getString(0) == "example.com:8443")
+    assert(r.getString(1) == "a=1&b=2#frag")
+    assert(r.getString(2) == "https://e.com/p")
+    assert(r.getSeq[String](3) == Seq("a=1", "b=2"))
+    assert(r.getString(4) == "a\\.b\\*c")
+    assert(r.getInt(5) == 60 && r.getInt(6) == 0)
+    assert(r.getInt(7) == 25 && r.getInt(8) == 17)
+  }
+
   test("CREATE FUNCTION macro expands inline and via registry") {
     val r = ch("""CREATE FUNCTION linear AS (x, k, b) -> k*x + b;
                  |SELECT linear(2, 3, 1) AS y""".stripMargin).collect()(0)
