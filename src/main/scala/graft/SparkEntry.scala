@@ -39,7 +39,8 @@ object SparkEntry {
       (graft.queries.TimeSeries.queries, graft.queries.TimeSeries.oracleSql),
       (graft.queries.Geo.queries, graft.queries.Geo.oracleSql),
       (graft.queries.LlmOps2.queries, graft.queries.LlmOps2.oracleSql),
-      (graft.queries.LlmOps3.queries, graft.queries.LlmOps3.oracleSql)
+      (graft.queries.LlmOps3.queries, graft.queries.LlmOps3.oracleSql),
+      (graft.queries.LlmOps4.queries, graft.queries.LlmOps4.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

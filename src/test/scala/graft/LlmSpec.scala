@@ -93,4 +93,25 @@ class LlmSpec extends AnyFunSuite {
     val idx = indexed.collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSet
     assert(idx == mem, s"indexed $idx vs in-memory $mem")
   }
+
+  test("Corpus: rebalance caps groups, packing bins respect the budget") {
+    val d = graft.core.Tables.t(spark, sf, "documents")
+    val kept = graft.llm.Corpus.rebalance(d, col("lang"), col("doc_id"), 10)
+    val over = kept.groupBy(col("lang")).count().filter(col("count") > 10).count()
+    assert(over == 0)
+    // deterministic: same subsample on a second run
+    val kept2 = graft.llm.Corpus.rebalance(d, col("lang"), col("doc_id"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == kept2)
+
+    val toks = d.select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
+    val packed = graft.llm.Corpus.packSequences(toks, col("doc_id"), col("tok"), 1000L)
+    // each bin's exclusive-prefix span stays under budget + one max doc
+    val maxTok = toks.agg(max(col("tok"))).collect()(0).getInt(0)
+    val spans = packed.groupBy(col("bin")).agg(sum(col("tok")).as("s")).collect()
+    assert(spans.forall(_.getLong(1) <= 1000L + maxTok))
+    // bins are contiguous from 0
+    val bins = spans.map(_.getLong(0)).sorted
+    assert(bins.head == 0L && bins.zipWithIndex.forall { case (b, i) => b == i })
+  }
 }
