@@ -258,7 +258,21 @@ object ChSql {
     "tupleElement" -> "t", "tuple" -> "struct", "e" -> "t",
     "netloc" -> "t", "queryStringAndFragment" -> "t",
     "cutQueryStringAndFragment" -> "t", "extractURLParameters" -> "t",
-    "regexpQuoteMeta" -> "t", "roundDuration" -> "t", "roundAge" -> "t"
+    "regexpQuoteMeta" -> "t", "roundDuration" -> "t", "roundAge" -> "t",
+    // ---- batch 6 ----
+    "visitParamExtractString" -> "t", "visitParamExtractInt" -> "t",
+    "visitParamHas" -> "t",
+    "toDate" -> "t", "toYYYYMMDDhhmmss" -> "t", "timeSlots" -> "t",
+    "arrayAUC" -> "t", "range" -> "t",
+    "minus" -> "t", "multiply" -> "t", "negate" -> "t",
+    "isZeroOrNull" -> "t", "ignore" -> "t",
+    "formatReadableSize" -> "t", "formatReadableQuantity" -> "t",
+    "formatReadableDecimalSize" -> "t",
+    "emptyArrayUInt8" -> "t", "emptyArrayInt64" -> "t",
+    "emptyArrayFloat64" -> "t", "emptyArrayString" -> "t",
+    "emptyArrayDate" -> "t",
+    // identity names (CH and Spark agree exactly)
+    "abs" -> "abs", "greatest" -> "greatest", "least" -> "least"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -566,8 +580,14 @@ object ChSql {
     q = rewriteCalls(q, "avgWeighted")(a => s"(sum((${a(0)}) * (${a(1)})) / sum(${a(1)}))")
     q = rewriteCalls(q, "arrayUniq")(a => s"size(array_distinct(${a(0)}))")
     q = rewriteCalls(q, "bitHammingDistance")(a => s"bit_count((${a(0)}) ^ (${a(1)}))")
-    q = rewriteCalls(q, "range")(a =>
-      if (a.length == 1) s"sequence(0, (${a(0)}) - 1)" else s"sequence(${a(0)}, (${a(1)}) - 1)")
+    // range is end-EXCLUSIVE (Spark sequence is inclusive); the 1-arg
+    // form guards n=0 (sequence(0, -1) would DESCEND), 3-arg keeps step
+    q = rewriteCalls(q, "range") { a =>
+      if (a.length == 1)
+        s"slice(sequence(0, greatest((${a(0)}) - 1, 0)), 1, greatest(${a(0)}, 0))"
+      else if (a.length == 2) s"sequence(${a(0)}, (${a(1)}) - 1)"
+      else s"sequence(${a(0)}, (${a(1)}) - 1, ${a(2)})"
+    }
     // ---- extended templates (round 2) ----
     // date/time
     for ((n, u) <- Seq("addHours" -> "HOUR", "addMinutes" -> "MINUTE",
@@ -999,6 +1019,66 @@ object ChSql {
       s"(CASE WHEN ${a(0)} < 1 THEN 0 WHEN ${a(0)} < 18 THEN 17 " +
         s"WHEN ${a(0)} < 25 THEN 18 WHEN ${a(0)} < 35 THEN 25 " +
         s"WHEN ${a(0)} < 45 THEN 35 WHEN ${a(0)} < 55 THEN 45 ELSE 55 END)")
+
+    // ---- batch 6 templates ----
+    // visitParam* are the legacy names of the simpleJSON* family
+    q = rewriteCalls(q, "visitParamExtractString")(a =>
+      s"get_json_object(${a(0)}, ${jsonPath(a)})")
+    q = rewriteCalls(q, "visitParamExtractInt")(a =>
+      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT)")
+    q = rewriteCalls(q, "visitParamHas")(a =>
+      s"(get_json_object(${a(0)}, ${jsonPath(a)}) IS NOT NULL)")
+    q = rewriteCalls(q, "toDate")(a => s"CAST(${a(0)} AS DATE)")
+    q = rewriteCalls(q, "toYYYYMMDDhhmmss")(a =>
+      s"CAST(date_format(${a(0)}, 'yyyyMMddHHmmss') AS BIGINT)")
+    // timeSlots(start, duration[, size]): every size-second window the
+    // interval [start, start+duration] touches
+    q = rewriteCalls(q, "timeSlots") { a =>
+      val sz = if (a.length > 2) a(2) else "1800"
+      s"transform(sequence(CAST(floor(unix_timestamp(${a(0)}) / ($sz)) AS BIGINT), " +
+        s"CAST(floor((unix_timestamp(${a(0)}) + (${a(1)})) / ($sz)) AS BIGINT)), " +
+        s"__i -> timestamp_seconds(__i * ($sz)))"
+    }
+    // arrayAUC(scores, labels): midrank formula with tie handling —
+    // (sum of positive midranks - P(P+1)/2) / (P*N); O(n^2) per row,
+    // intended for per-row arrays (reference src/Functions/array/arrayAUC.cpp)
+    q = rewriteCalls(q, "arrayAUC") { a =>
+      val (s0, l0) = (a(0), a(1))
+      val p = s"size(filter($l0, __l -> __l = 1))"
+      val sumRanks = s"aggregate(zip_with($s0, $l0, (__s, __l) -> " +
+        s"CASE WHEN __l = 1 THEN (size(filter($s0, __x -> __x < __s)) + " +
+        s"size(filter($s0, __x -> __x <= __s)) + 1) / 2.0 " +
+        s"ELSE CAST(0 AS DOUBLE) END), CAST(0 AS DOUBLE), (__a2, __x2) -> __a2 + __x2)"
+      s"(($sumRanks - $p * ($p + 1) / 2.0) / ($p * (size($l0) - $p)))"
+    }
+    q = rewriteCalls(q, "minus")(a => s"((${a(0)}) - (${a(1)}))")
+    q = rewriteCalls(q, "multiply")(a => s"((${a(0)}) * (${a(1)}))")
+    q = rewriteCalls(q, "negate")(a => s"(-(${a(0)}))")
+    q = rewriteCalls(q, "isZeroOrNull")(a =>
+      s"((${a(0)}) = 0 OR (${a(0)}) IS NULL)")
+    q = rewriteCalls(q, "ignore")(_ => "0")
+    q = rewriteCalls(q, "formatReadableSize") { a =>
+      val x = s"CAST(${a(0)} AS DOUBLE)"
+      val ui = s"CAST(floor(log(greatest($x, 1.0)) / log(1024.0)) AS INT)"
+      s"format_string('%.2f %s', $x / power(1024.0, $ui), " +
+        s"element_at(array('B', 'KiB', 'MiB', 'GiB', 'TiB', 'PiB'), $ui + 1))"
+    }
+    q = rewriteCalls(q, "formatReadableDecimalSize") { a =>
+      val x = s"CAST(${a(0)} AS DOUBLE)"
+      val ui = s"CAST(floor(log(greatest($x, 1.0)) / log(1000.0)) AS INT)"
+      s"format_string('%.2f %s', $x / power(1000.0, $ui), " +
+        s"element_at(array('B', 'KB', 'MB', 'GB', 'TB', 'PB'), $ui + 1))"
+    }
+    q = rewriteCalls(q, "formatReadableQuantity") { a =>
+      val x = s"CAST(${a(0)} AS DOUBLE)"
+      val ui = s"CAST(floor(log(greatest($x, 1.0)) / log(1000.0)) AS INT)"
+      s"trim(format_string('%.2f %s', $x / power(1000.0, $ui), " +
+        s"element_at(array('', 'thousand', 'million', 'billion', 'trillion'), $ui + 1)))"
+    }
+    for ((n, t) <- Seq("emptyArrayUInt8" -> "SMALLINT", "emptyArrayInt64" -> "BIGINT",
+        "emptyArrayFloat64" -> "DOUBLE", "emptyArrayString" -> "STRING",
+        "emptyArrayDate" -> "DATE"))
+      q = rewriteCalls(q, n)(_ => s"CAST(array() AS ARRAY<$t>)")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

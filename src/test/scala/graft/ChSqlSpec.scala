@@ -418,6 +418,38 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getInt(7) == 25 && r.getInt(8) == 17)
   }
 
+  test("batch-6 templates: visitParam, ranges, AUC, readable formats") {
+    val r = ch("""SELECT visitParamExtractString('{"k": "v"}', 'k') AS vs,
+                 |visitParamExtractInt('{"n": 42}', 'n') AS vi,
+                 |visitParamHas('{"n": 42}', 'z') AS vh,
+                 |toDate('2024-03-05 07:08:09') AS td,
+                 |toYYYYMMDDhhmmss(CAST('2024-03-05 07:08:09' AS TIMESTAMP)) AS ymdh,
+                 |timeSlots(CAST('2024-01-01 00:10:00' AS TIMESTAMP), 3600) AS ts,
+                 |arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS auc,
+                 |range(4) AS r1, range(0) AS r0, range(2, 8, 3) AS r3,
+                 |minus(10, 4) AS mn, multiply(6, 7) AS ml, negate(5) AS ng,
+                 |isZeroOrNull(0) AS iz, ignore('x', 1) AS ig,
+                 |formatReadableSize(1536) AS fs,
+                 |formatReadableQuantity(1234567) AS fq,
+                 |formatReadableDecimalSize(2500000) AS fd,
+                 |emptyArrayInt64() AS ea""".stripMargin).collect()(0)
+    assert(r.getString(0) == "v" && r.getLong(1) == 42L && !r.getBoolean(2))
+    assert(r.getDate(3).toString == "2024-03-05")
+    assert(r.getLong(4) == 20240305070809L)
+    assert(r.getSeq[java.sql.Timestamp](5).map(_.toString.substring(11, 16)) ==
+      Seq("00:00", "00:30", "01:00"))
+    assert(r.getDouble(6) == 0.75)
+    assert(r.getSeq[Int](7) == Seq(0, 1, 2, 3))
+    assert(r.getSeq[Int](8) == Seq.empty)
+    assert(r.getSeq[Int](9) == Seq(2, 5))
+    assert(r.getInt(10) == 6 && r.getInt(11) == 42 && r.getInt(12) == -5)
+    assert(r.getBoolean(13) && r.getInt(14) == 0)
+    assert(r.getString(15) == "1.50 KiB")
+    assert(r.getString(16) == "1.23 million")
+    assert(r.getString(17) == "2.50 MB")
+    assert(r.getSeq[Long](18) == Seq.empty)
+  }
+
   test("CREATE FUNCTION macro expands inline and via registry") {
     val r = ch("""CREATE FUNCTION linear AS (x, k, b) -> k*x + b;
                  |SELECT linear(2, 3, 1) AS y""".stripMargin).collect()(0)
