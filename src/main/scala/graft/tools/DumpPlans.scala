@@ -18,7 +18,9 @@ object DumpPlans {
       "q_window_session", "q_win_running",
       // round-2 scale rewrites — verify no single-partition stages
       "q_limit_with_ties", "q_paste_join", "q_with_fill",
-      "q_dedup_embedding_lsh", "q_projection_route", "q_has_token_index")
+      "q_dedup_embedding_lsh", "q_projection_route", "q_has_token_index",
+      // round-3 additions — two-phase running totals + corpus ops
+      "q_quantile_exact_weighted", "q_rank_corr", "q_bm25", "q_seq_packing")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
