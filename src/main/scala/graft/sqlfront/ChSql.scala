@@ -272,7 +272,13 @@ object ChSql {
     "emptyArrayFloat64" -> "t", "emptyArrayString" -> "t",
     "emptyArrayDate" -> "t",
     // identity names (CH and Spark agree exactly)
-    "abs" -> "abs", "greatest" -> "greatest", "least" -> "least"
+    "abs" -> "abs", "greatest" -> "greatest", "least" -> "least",
+    // ---- batch 7: aggregate-combinator tail ----
+    // -OrNull variants return NULL on empty input — which IS Spark's
+    // default aggregate behavior, so they map 1:1
+    "sumOrNull" -> "sum", "minOrNull" -> "min", "maxOrNull" -> "max",
+    "avgOrNull" -> "avg",
+    "sumCount" -> "t", "uniqCombined64" -> "t", "quantileGK" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1079,6 +1085,14 @@ object ChSql {
         "emptyArrayFloat64" -> "DOUBLE", "emptyArrayString" -> "STRING",
         "emptyArrayDate" -> "DATE"))
       q = rewriteCalls(q, n)(_ => s"CAST(array() AS ARRAY<$t>)")
+    // ---- batch 7 templates ----
+    q = rewriteCalls(q, "sumCount")(a =>
+      s"named_struct('sum', sum(${a(0)}), 'count', count(${a(0)}))")
+    q = rewriteCalls(q, "uniqCombined64")(a =>
+      s"approx_count_distinct(${a.mkString(", ")})")
+    // quantileGK(accuracy)(x): Spark's approx_percentile IS Greenwald-Khanna
+    q = q.replaceAll("""\bquantileGK\(([0-9]+)\)\s*\(([^)]*)\)""",
+      "approx_percentile($2, 0.5, $1)")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -450,6 +450,19 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getSeq[Long](18) == Seq.empty)
   }
 
+  test("batch-7: combinator tail sumCount/OrNull/uniqCombined64/quantileGK") {
+    val r = ch("""SELECT sumCount(l_quantity) AS sc,
+                 |sumOrNull(CASE WHEN l_quantity < 0 THEN l_quantity END) AS sn,
+                 |uniqCombined64(l_returnflag) AS uc,
+                 |quantileGK(100)(l_quantity) AS qg
+                 |FROM lineitem""".stripMargin).collect()(0)
+    val sc = r.getStruct(0)
+    assert(sc.getDouble(0) > 0 && sc.getLong(1) > 0)
+    assert(r.isNullAt(1)) // no negative quantities -> empty agg -> NULL
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) >= 1.0 && r.getDouble(3) <= 50.0)
+  }
+
   test("CREATE FUNCTION macro expands inline and via registry") {
     val r = ch("""CREATE FUNCTION linear AS (x, k, b) -> k*x + b;
                  |SELECT linear(2, 3, 1) AS y""".stripMargin).collect()(0)
