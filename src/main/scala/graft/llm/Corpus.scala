@@ -26,11 +26,14 @@ object Corpus {
            terms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = docs.select(idCol.as("doc_id"), tokensCol.as("toks"))
       .withColumn("dl", size(col("toks")))
+    // Broadcast-filter the exploded corpus to the term set BEFORE any
+    // aggregation: the tf/df shuffles then carry only term hits (tiny),
+    // never the full corpus vocabulary.
     val words = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("word"))
+      .join(broadcast(terms.select(col("word"))), Seq("word"))
     val tf = words.groupBy(col("doc_id"), col("dl"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      .join(broadcast(terms.select(col("word"))), Seq("word"))
     val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val contrib = tf.join(broadcast(df), Seq("word"))
       .crossJoin(broadcast(stats))

@@ -96,6 +96,22 @@ object Misc4 {
         Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), summaryPath)
       ordered(fact.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+    },
+
+    // End-to-end dialect run: a ClickHouse-flavoured query (toYear /
+    // toStartOfDay / countIf / sumIf / uniqExact) through ChSql.sql,
+    // oracle-checked against plain SQL in DuckDB. Proves the rewrite
+    // pipeline itself, not just individual templates.
+    "q_ch_dialect_e2e" -> { (s, dir) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT toStartOfDay(o_orderdate) AS day,
+          |  countIf(o_orderstatus = 'F') AS n_f,
+          |  uniqExact(o_custkey) AS nc,
+          |  CAST(floor(sumIf(o_totalprice, o_orderpriority = '1-URGENT') + 0.5) AS BIGINT) AS urgent_rev
+          |FROM orders
+          |WHERE toYear(o_orderdate) = 1997
+          |GROUP BY day
+          |ORDER BY day NULLS FIRST, n_f NULLS FIRST, nc NULLS FIRST, urgent_rev NULLS FIRST""".stripMargin)
     }
   )
 
@@ -153,6 +169,15 @@ object Misc4 {
         |  cast(len(regexp_extract_all(text, '\b\w{5}\b')) AS int) AS n_five_letter,
         |  cast(len(regexp_extract_all(text, 'row')) AS bigint) AS n_row
         |FROM documents
-        |ORDER BY doc_id NULLS FIRST""".stripMargin
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_ch_dialect_e2e" ->
+      """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |  cast(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |  cast(count(DISTINCT o_custkey) AS BIGINT) AS nc,
+        |  CAST(floor(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) + 0.5) AS BIGINT) AS urgent_rev
+        |FROM orders
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY 1
+        |ORDER BY day NULLS FIRST, n_f NULLS FIRST, nc NULLS FIRST, urgent_rev NULLS FIRST""".stripMargin
   )
 }
