@@ -100,6 +100,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-table fuzzy join (entity resolution / incremental dedup): all
+    * (left, right) pairs with word-shingle Jaccard >= threshold, found by
+    * an equi-join of per-side MinHash band signatures on (band, bandhash)
+    * — the standard "dedup a new crawl batch against the existing corpus"
+    * operator. Shuffles carry only (id, band, bh) rows; degenerate
+    * buckets are bounded per side by `maxBucket` before the join
+    * (LSH skew guard); candidates are verified EXACTLY, so precision is 1
+    * and only recall is probabilistic (same bound as minhashLshPairs). */
+  def minhashLshJoin(left: DataFrame, right: DataFrame,
+                     idCol: String, textCol: String,
+                     k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                     threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+    def bounded(b: DataFrame) = {
+      val cnt = b.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__c"))
+      b.join(cnt.filter(col("__c") <= maxBucket), Seq("band", "bh")).drop("__c")
+    }
+    val lb = bounded(bandSignatureRows(left, idCol, textCol, k, bands, shingleN))
+    val rb = bounded(bandSignatureRows(right, idCol, textCol, k, bands, shingleN))
+    val cand = lb.select(col("band"), col("bh"), col("id").as("a"))
+      .join(rb.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
+      .select(col("a"), col("b")).distinct()
+    val lt = left.select(col(idCol).as("a"), col(textCol).as("ta"))
+    val rt = right.select(col(idCol).as("b"), col(textCol).as("tb"))
+    cand.join(lt, "a").join(rt, "b")
+      .select(col("a"), col("b"),
+        jaccard(wordShingles(col("ta"), shingleN),
+          wordShingles(col("tb"), shingleN)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact all-pairs char-n-gram Jaccard over HASHED shingle sets
     * (quadratic — for bounded subsets; each doc is reduced to a sorted
     * long array once, so the pair loop is a pure numeric merge). */

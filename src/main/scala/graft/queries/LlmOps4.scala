@@ -61,6 +61,17 @@ object LlmOps4 {
       val tot = d.groupBy(col("lang").as("l2")).agg(count(lit(1)).as("n_total"))
       ordered(kept.join(tot, col("lang") === col("l2"))
         .select(col("lang"), col("n_kept"), col("n_total")))
+    },
+
+    // Cross-table fuzzy join: near-duplicate pairs between the even-id
+    // "corpus" and odd-id "new batch" halves via banded MinHash + exact
+    // verification — oracle is the exact O(n^2) cross Jaccard.
+    "q_fuzzy_join" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      val corpus = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      ordered(graft.llm.Dedup.minhashLshJoin(
+        corpus, batch, "doc_id", "text", threshold = 0.7))
     }
   )
 
@@ -108,6 +119,18 @@ object LlmOps4 {
         |  WHERE rn <= 80 GROUP BY lang),
         |t AS (SELECT lang, cast(count(*) AS BIGINT) AS n_total FROM documents GROUP BY lang)
         |SELECT k.lang AS lang, n_kept, n_total FROM k JOIN t ON k.lang = t.lang
-        |ORDER BY lang NULLS FIRST, n_kept NULLS FIRST, n_total NULLS FIRST""".stripMargin
+        |ORDER BY lang NULLS FIRST, n_kept NULLS FIRST, n_total NULLS FIRST""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS g FROM d)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    len(list_intersect(x.g, y.g))::DOUBLE / len(list_distinct(x.g || y.g)) AS jaccard
+        |  FROM sh x JOIN sh y ON x.doc_id % 2 = 0 AND y.doc_id % 2 = 1)
+        |WHERE jaccard >= 0.7
+        |ORDER BY a NULLS FIRST, b NULLS FIRST, jaccard NULLS FIRST""".stripMargin
   )
 }
