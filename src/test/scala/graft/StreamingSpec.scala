@@ -118,4 +118,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterB2.count(p => p == (1L, 2L)) == 1, "batch-1 pair re-emitted")
     assert(!afterB2.exists(p => p._1 == 10L || p._2 == 10L), "unrelated doc matched")
   }
+
+  test("corpus intake stream: stratified sampling is map-side streamable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // md5-threshold sampling is a pure projection/filter — it runs inside
+    // a streaming micro-batch with no state, watermark, or shuffle.
+    val q = graft.llm.Corpus.stratifiedSample(
+        mem.toDF().toDF("doc_id", "lang"), col("lang"), col("doc_id"),
+        Map("en" -> 0.5), 0.25)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getLong(0)) }; ()
+      }.start()
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    // deterministic: matches the batch run exactly
+    val batch = graft.llm.Corpus.stratifiedSample(
+        rows.toDF("doc_id", "lang"), col("lang"), col("doc_id"),
+        Map("en" -> 0.5), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.toSet == batch && batch.nonEmpty)
+  }
 }
