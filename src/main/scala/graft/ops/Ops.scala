@@ -187,12 +187,21 @@ object Ops {
     *
     * (keys, order) must be unique per row — ties could split across a
     * range boundary and see different prefixes. `inclusive` selects
-    * ROWS UNBOUNDED PRECEDING..CURRENT ROW vs ..1 PRECEDING. */
+    * ROWS UNBOUNDED PRECEDING..CURRENT ROW vs ..1 PRECEDING.
+    *
+    * Pass `bucket` (any cheap expression MONOTONE in `order`, e.g.
+    * floor(order/1000) for a known value range) to slice groups without
+    * repartitionByRange — range partitioning runs a sampling job that
+    * recomputes the whole upstream plan, which `bucket` avoids. */
   def keyedRunningTotal(df: DataFrame, keys: Seq[Column], order: Column,
                         value: Column, out: String,
-                        inclusive: Boolean = true): DataFrame = {
-    val parted = df.repartitionByRange(keys :+ order: _*)
-      .withColumn("__pid", spark_partition_id())
+                        inclusive: Boolean = true,
+                        bucket: Option[Column] = None): DataFrame = {
+    val parted = bucket match {
+      case Some(b) => df.withColumn("__pid", b.cast("long"))
+      case None => df.repartitionByRange(keys :+ order: _*)
+        .withColumn("__pid", spark_partition_id())
+    }
     val hi = if (inclusive) 0L else -1L
     val wLoc = Window.partitionBy(keys :+ col("__pid"): _*).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, hi)

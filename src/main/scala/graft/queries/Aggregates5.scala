@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,17 +31,18 @@ object Aggregates5 {
       // rank() OVER (PARTITION BY g ...) would serialize each group (only
       // 3 of them) through one task. midrank(v) = (#rows < v) + (c+1)/2
       // where c = #rows equal to v — identical values, no global window.
-      def midranks(v: String, out: String) = {
+      def midranks(v: String, out: String, bucket: Column) = {
         val byV = li.groupBy(col("g"), col(v)).agg(count(lit(1)).as("c"))
         graft.ops.Ops.keyedRunningTotal(
-            byV, Seq(col("g")), col(v), col("c"), "cb", inclusive = false)
+            byV, Seq(col("g")), col(v), col("c"), "cb", inclusive = false,
+            bucket = Some(bucket))
           .select(col("g").as(s"g_$v"), col(v).as(s"v_$v"),
             (col("cb") + (col("c") + 1) / 2.0).as(out))
       }
       val ranked = li
-        .join(midranks("x", "mrx"),
+        .join(midranks("x", "mrx", floor(col("x") / 2)),
           col("g") === col("g_x") && col("x") === col("v_x"))
-        .join(midranks("y", "mry"),
+        .join(midranks("y", "mry", floor(col("y") / 2000)),
           col("g") === col("g_y") && col("y") === col("v_y"))
       ordered(ranked.groupBy(col("g"))
         .agg(round(corr(col("mrx"), col("mry")), 6).as("rank_corr")))
@@ -92,9 +93,11 @@ object Aggregates5 {
           floor(col("l_quantity")).cast("long").as("w"))
       val byVal = li.groupBy(col("g"), col("x")).agg(sum(col("w")).as("w"))
       // Two-phase cumulative weight: a plain window PARTITION BY g would
-      // serialize each group (only 3 of them) through one task.
+      // serialize each group (only 3 of them) through one task. The
+      // price-range bucket avoids the range-partition sampling pass.
       val cum = graft.ops.Ops.keyedRunningTotal(
-        byVal, Seq(col("g")), col("x"), col("w"), "cw")
+        byVal, Seq(col("g")), col("x"), col("w"), "cw",
+        bucket = Some(floor(col("x") / 2000)))
       val tot = byVal.groupBy(col("g").as("g2")).agg(sum(col("w")).as("tw"))
       ordered(cum.join(broadcast(tot), col("g") === col("g2"))
         .groupBy(col("g"))

@@ -68,7 +68,8 @@ class DictGetSpec extends org.scalatest.funsuite.AnyFunSuite {
     val li = graft.core.Tables.t(spark, sf, "lineitem")
       .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
       .agg(sum(col("l_quantity")).as("w"))
-    for (inclusive <- Seq(true, false)) {
+    for (inclusive <- Seq(true, false);
+         bucket <- Seq(None, Some(floor(col("x") / 2000)))) {
       val hi = if (inclusive) 0L else -1L
       val want = li.withColumn("cw",
         coalesce(sum(col("w")).over(Window.partitionBy(col("g")).orderBy(col("x"))
@@ -76,12 +77,13 @@ class DictGetSpec extends org.scalatest.funsuite.AnyFunSuite {
         .select("g", "x", "cw").collect()
         .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
       val got = graft.ops.Ops.keyedRunningTotal(
-        li, Seq(col("g")), col("x"), col("w"), "cw", inclusive)
+        li, Seq(col("g")), col("x"), col("w"), "cw", inclusive, bucket)
         .select("g", "x", "cw").collect()
       assert(got.length == want.size)
       got.foreach { r =>
         val k = (r.getString(0), r.getDouble(1))
-        assert(r.getDouble(2) == want(k), s"mismatch at $k (inclusive=$inclusive)")
+        assert(r.getDouble(2) == want(k),
+          s"mismatch at $k (inclusive=$inclusive, bucket=${bucket.isDefined})")
       }
     }
   }
