@@ -40,7 +40,8 @@ object SparkEntry {
       (graft.queries.Geo.queries, graft.queries.Geo.oracleSql),
       (graft.queries.LlmOps2.queries, graft.queries.LlmOps2.oracleSql),
       (graft.queries.LlmOps3.queries, graft.queries.LlmOps3.oracleSql),
-      (graft.queries.LlmOps4.queries, graft.queries.LlmOps4.oracleSql)
+      (graft.queries.LlmOps4.queries, graft.queries.LlmOps4.oracleSql),
+      (graft.queries.TpchMore.queries, graft.queries.TpchMore.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
