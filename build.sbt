@@ -14,7 +14,8 @@ run / fork := true
 // Pass forked-run output straight through (no "[info] " logger prefix):
 // the driver tail-parses Bench's one-line JSON from stdout, and the sbt
 // log decoration broke that parse in BENCH_r01..r03 ("parsed": null).
-outputStrategy := Some(StdoutOutput)
+// Scoped to `run` only so forked tests keep sbt's buffered logging.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,7 +41,9 @@ object SparkEntry {
       (graft.queries.LlmOps2.queries, graft.queries.LlmOps2.oracleSql),
       (graft.queries.LlmOps3.queries, graft.queries.LlmOps3.oracleSql),
       (graft.queries.LlmOps4.queries, graft.queries.LlmOps4.oracleSql),
-      (graft.queries.TpchMore.queries, graft.queries.TpchMore.oracleSql)
+      (graft.queries.TpchMore.queries, graft.queries.TpchMore.oracleSql),
+      (graft.queries.Functions6.queries, graft.queries.Functions6.oracleSql),
+      (graft.queries.LlmOps5.queries, graft.queries.LlmOps5.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -15,6 +15,66 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Boilerplate detection, CCNet-flavored (Wenzek et al., "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data" —
+    * shared-shingle filtering): a token trigram occurring in more than
+    * `docFrac` of all documents is boilerplate; a document whose distinct
+    * trigrams are mostly boilerplate is template/chrome content and gets
+    * dropped.
+    *
+    * Shape: map-side trigram explode → distinct (doc, trigram) → trigram
+    * document-frequency (map-side combinable) → join hits back → per-doc
+    * fraction. The corpus-wide doc count is a 1-row broadcast. Returns
+    * (doc_id, n_tri, n_freq, frac_ppm, kept) — integer/ppm outputs so the
+    * result is engine-exact. */
+  def boilerplateStats(docs: DataFrame, idCol: Column, tokensCol: Column,
+                       docFrac: Double = 0.3,
+                       keepBelowPpm: Long = 800000L): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), tokensCol.as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val tri = base.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 2), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("tri"))
+      .distinct()
+    val nDocs = base.select(count(lit(1)).as("n_docs"))
+    val freq = tri.groupBy(col("tri")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tri"), (col("df") > col("n_docs") * docFrac).as("is_freq"))
+    tri.join(freq, "tri")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("is_freq"), 1L).otherwise(0L)).as("n_freq"))
+      .withColumn("frac_ppm",
+        floor(lit(1000000L) * col("n_freq") / col("n_tri")).cast("long"))
+      .withColumn("kept", col("frac_ppm") <= keepBelowPpm)
+  }
+
+  /** Corpus vocabulary coverage: token frequencies ranked by count, with
+    * the cumulative share of all token occurrences each vocabulary prefix
+    * covers (the curve a BPE/vocab-size decision reads). The running
+    * total uses the two-phase keyed formulation (no global single-
+    * partition window): the monotone bucket is the negated count, so
+    * partial sums compose per count-band. */
+  def vocabCoverage(docs: DataFrame, tokensCol: Column, topK: Int): DataFrame = {
+    val freq = docs.select(explode(tokensCol).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ord = struct((-col("cnt")).as("nc"), col("tok").as("t"))
+    val bucket = Some(-col("cnt"))
+    val withCum = graft.ops.Ops.keyedRunningTotal(
+      freq, Seq(lit(0)), ord, col("cnt"), "cum_cnt", bucket = bucket)
+    val withRank = graft.ops.Ops.keyedRunningTotal(
+      withCum, Seq(lit(0)), ord, lit(1L), "rnk", bucket = bucket)
+    val total = freq.select(sum(col("cnt")).as("total_cnt"))
+    withRank.filter(col("rnk") <= topK)
+      .crossJoin(broadcast(total))
+      .select(col("rnk").cast("long"), col("tok"), col("cnt"),
+        col("cum_cnt").cast("long"),
+        floor(lit(1000000L) * col("cum_cnt") / col("total_cnt"))
+          .cast("long").as("covered_ppm"))
+  }
+
   /** Okapi BM25 scores for every document against a term set.
     *
     * `terms` must be a small DataFrame with a `word` column (it is

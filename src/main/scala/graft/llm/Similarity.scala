@@ -107,6 +107,79 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  /** Deterministic IVF "training": the centroid set is a hash-ranked
+    * sample of the corpus itself (the nlist vectors with the smallest
+    * xxhash64(id) — uniform over the corpus, reproducible across runs,
+    * no RNG, no iterative k-means pass). nlist stays driver-sized
+    * (~hundreds to ~10⁴) exactly like a real IVF codebook. */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int): Seq[Array[Double]] =
+    emb.select(col(vecCol).cast("array<double>").as("v"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"), col("v")(0))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .toSeq
+
+  /** Map-side nearest-centroid (max cosine, lowest cell on ties): the
+    * codebook ships as a literal, assignment is a fold over it — no
+    * shuffle, no join, O(nlist) kernel calls per row, which IS the IVF
+    * assignment cost. */
+  def ivfCell(vecCol: Column, cents: Seq[Array[Double]]): Column = {
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val idxs = sequence(lit(0), lit(cents.size - 1))
+    aggregate(idxs,
+      struct(lit(-2.0).as("s"), lit(-1).as("c")),
+      (acc, i) => {
+        val s = cosine(vecCol, element_at(centLit, i + 1))
+        when(s > acc.getField("s"),
+          struct(s.as("s"), i.cast("int").as("c"))).otherwise(acc)
+      }).getField("c")
+  }
+
+  /** Driver-side probe order: cells of the nprobe centroids nearest to
+    * the query vector (plain Scala — the codebook is local). */
+  private[llm] def probeCells(q: Array[Double], cents: Seq[Array[Double]],
+                              nprobe: Int): Seq[Int] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cents.zipWithIndex.map { case (c, i) => (cos(q, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+  }
+
+  /** IVF ANN top-k (reference: MergeTreeIndexVectorSimilarity.h's
+    * index-then-rerank shape; IVF per Jégou et al., "Product
+    * quantization for nearest neighbor search", §IV-A inverted file).
+    * Search scans only the nprobe cells nearest the query — expected
+    * cost corpus*nprobe/nlist — and reranks with the exact cosine
+    * kernel. nprobe = nlist degenerates to exact brute force (the
+    * oracle-checked configuration); nprobe < nlist trades recall for a
+    * pruned scan (recall asserted vs brute force in LlmSpec). At cluster
+    * scale the corpus would be written partitioned by cell (same layout
+    * as writeBucketedCorpus) so probes become partition-pruned reads. */
+  def annTopKIvf(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int, nlist: Int = 16,
+                 nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, nlist)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val cells = probeCells(q, cents, nprobe)
+    val qv = array(q.map(lit): _*)
+    emb.withColumn("cell", ivfCell(col(vecCol), cents))
+      .filter(col("cell").isin(cells: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), qv).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All vector pairs with cosine >= threshold — LSH-bucketed scale path.
     * Each vector gets `bands` independent sign-pattern signatures
     * (VectorKernels.HyperplaneBandSigs); candidate pairs are generated by

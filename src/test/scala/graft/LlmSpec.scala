@@ -47,6 +47,24 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("ivf ann: exhaustive probe == brute force; pruned probe keeps recall") {
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.annTopKIvf(emb, "vec_id", "embedding", 1L, 10,
+        nlist = 16, nprobe = 16)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, "nprobe = nlist must degenerate to exact brute force")
+    val pruned = Similarity.annTopKIvf(emb, "vec_id", "embedding", 1L, 10,
+        nlist = 16, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(pruned) / 10.0
+    assert(recall >= 0.3, s"ivf recall too low: $recall")
+    // every pruned result must also rank by true cosine: it's a subset
+    // scanned with the exact kernel
+    assert(pruned.subsetOf(emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet))
+  }
+
   test("ann lsh returns valid bucket-local neighbours, bounded by exact top-1") {
     val emb = graft.core.Tables.t(spark, sf, "embeddings")
     val bfTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1)
