@@ -15,6 +15,10 @@ object GraftFunctions {
   private def info(name: String) =
     new ExpressionInfo(getClass.getName.stripSuffix("$"), name)
 
+  private def asLong(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.LongType)
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(i: Int, IntegerType) => i
     case other => throw new IllegalArgumentException(
@@ -48,6 +52,22 @@ object GraftFunctions {
     (FunctionIdentifier("intersect_count_sorted_longs"), info("intersect_count_sorted_longs"),
       (es: Seq[Expression]) => VectorKernels.IntersectCountSortedLongs(es(0), es(1))),
     (FunctionIdentifier("porter_stem"), info("porter_stem"),
-      (es: Seq[Expression]) => Stemmer.PorterStem(es.head))
+      (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
+    (FunctionIdentifier("gcd"), info("gcd"),
+      (es: Seq[Expression]) => graft.functions.Gcd(asLong(es(0)), asLong(es(1)))),
+    (FunctionIdentifier("lcm"), info("lcm"),
+      (es: Seq[Expression]) => graft.functions.Lcm(asLong(es(0)), asLong(es(1)))),
+    (FunctionIdentifier("morton_encode"), info("morton_encode"),
+      (es: Seq[Expression]) => graft.functions.MortonEncode2(asLong(es(0)), asLong(es(1)),
+        if (es.length > 2) intLit(es(2), "morton bits") else 16)),
+    (FunctionIdentifier("morton_decode"), info("morton_decode"),
+      (es: Seq[Expression]) => graft.functions.MortonDecode2(asLong(es(0)),
+        if (es.length > 1) intLit(es(1), "morton bits") else 16)),
+    (FunctionIdentifier("hilbert_encode"), info("hilbert_encode"),
+      (es: Seq[Expression]) => graft.functions.HilbertEncode2(asLong(es(0)), asLong(es(1)),
+        if (es.length > 2) intLit(es(2), "hilbert bits") else 16)),
+    (FunctionIdentifier("hilbert_decode"), info("hilbert_decode"),
+      (es: Seq[Expression]) => graft.functions.HilbertDecode2(asLong(es(0)),
+        if (es.length > 1) intLit(es(1), "hilbert bits") else 16))
   )
 }

@@ -278,7 +278,18 @@ object ChSql {
     // default aggregate behavior, so they map 1:1
     "sumOrNull" -> "sum", "minOrNull" -> "min", "maxOrNull" -> "max",
     "avgOrNull" -> "avg",
-    "sumCount" -> "t", "uniqCombined64" -> "t", "quantileGK" -> "t"
+    "sumCount" -> "t", "uniqCombined64" -> "t", "quantileGK" -> "t",
+    // ---- batch 8: integer math, space-filling curves, JSON tail ----
+    // gcd/lcm and the curve codecs are custom kernels registered as SQL
+    // functions in GraftFunctions (snake_case names)
+    "gcd" -> "gcd", "lcm" -> "lcm",
+    "mortonEncode" -> "morton_encode", "mortonDecode" -> "morton_decode",
+    "hilbertEncode" -> "hilbert_encode", "hilbertDecode" -> "hilbert_decode",
+    "JSONExtractKeys" -> "t", "JSONLength" -> "t", "JSONType" -> "t",
+    "JSONExtractArrayRaw" -> "t",
+    // simpleJSON* are the modern names of the visitParam* family
+    "simpleJSONExtractString" -> "t", "simpleJSONExtractInt" -> "t",
+    "simpleJSONHas" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1093,6 +1104,36 @@ object ChSql {
     // quantileGK(accuracy)(x): Spark's approx_percentile IS Greenwald-Khanna
     q = q.replaceAll("""\bquantileGK\(([0-9]+)\)\s*\(([^)]*)\)""",
       "approx_percentile($2, 0.5, $1)")
+
+    // ---- batch 8 templates ----
+    // JSON introspection (reference src/Functions/FunctionsJSON.cpp).
+    // One optional trailing key addresses into the document, as in the
+    // simpleJSON family; deeper CH index paths are out of scope.
+    def jsonAt(a: Seq[String]): String =
+      if (a.length > 1) s"get_json_object(${a(0)}, ${jsonPath(a)})" else a(0)
+    q = rewriteCalls(q, "JSONExtractKeys")(a => s"json_object_keys(${jsonAt(a)})")
+    q = rewriteCalls(q, "JSONLength")(a => s"json_array_length(${jsonAt(a)})")
+    // JSONType classification from the raw extract. Caveat (documented):
+    // get_json_object dequotes scalars, so a string of digits classifies
+    // as Number — containers/bools/nulls are exact.
+    q = rewriteCalls(q, "JSONType") { a =>
+      val v = jsonAt(a)
+      s"(CASE WHEN ($v) IS NULL THEN 'Null' " +
+        s"WHEN substring(trim($v), 1, 1) = '{' THEN 'Object' " +
+        s"WHEN substring(trim($v), 1, 1) = '[' THEN 'Array' " +
+        s"WHEN ($v) IN ('true', 'false') THEN 'Bool' " +
+        s"WHEN try_cast($v AS DOUBLE) IS NOT NULL THEN 'Number' " +
+        s"ELSE 'String' END)"
+    }
+    // raw elements of a scalar JSON array
+    q = rewriteCalls(q, "JSONExtractArrayRaw")(a =>
+      s"from_json(${jsonAt(a)}, 'ARRAY<STRING>')")
+    q = rewriteCalls(q, "simpleJSONExtractString")(a =>
+      s"get_json_object(${a(0)}, ${jsonPath(a)})")
+    q = rewriteCalls(q, "simpleJSONExtractInt")(a =>
+      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT)")
+    q = rewriteCalls(q, "simpleJSONHas")(a =>
+      s"(get_json_object(${a(0)}, ${jsonPath(a)}) IS NOT NULL)")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -477,4 +477,35 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r3.getInt(0) == 42)
     graft.sqlfront.ChSql.dropFunction("double_it")
   }
+
+  test("batch-8: gcd/lcm and space-filling-curve kernels by CH name") {
+    val r = ch("""SELECT gcd(12, 18) AS g, lcm(4, 6) AS l,
+                 |mortonEncode(5, 3) AS m,
+                 |mortonDecode(27)[1] AS mx, mortonDecode(27)[2] AS my,
+                 |hilbertDecode(hilbertEncode(123, 456))[1] AS hx,
+                 |hilbertDecode(hilbertEncode(123, 456))[2] AS hy""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 6 && r.getLong(1) == 12)
+    assert(r.getLong(2) == 27)
+    assert(r.getLong(3) == 5 && r.getLong(4) == 3)
+    assert(r.getLong(5) == 123 && r.getLong(6) == 456)
+  }
+
+  test("batch-8: JSON introspection tail") {
+    val j = """'{"a": 1, "arr": [1, 2, 3], "s": "x", "b": true}'"""
+    val r = ch(s"""SELECT JSONExtractKeys($j) AS ks,
+                  |JSONLength($j, 'arr') AS n,
+                  |JSONType($j) AS t_root, JSONType($j, 'arr') AS t_arr,
+                  |JSONType($j, 'b') AS t_b, JSONType($j, 'a') AS t_a,
+                  |JSONExtractArrayRaw($j, 'arr') AS raw,
+                  |simpleJSONExtractInt($j, 'a') AS a,
+                  |simpleJSONHas($j, 'zz') AS has_zz""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == Seq("a", "arr", "s", "b"))
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2) == "Object" && r.getString(3) == "Array")
+    assert(r.getString(4) == "Bool" && r.getString(5) == "Number")
+    assert(r.getSeq[String](6) == Seq("1", "2", "3"))
+    assert(r.getLong(7) == 1L)
+    assert(!r.getBoolean(8))
+  }
 }
