@@ -43,7 +43,8 @@ object SparkEntry {
       (graft.queries.LlmOps4.queries, graft.queries.LlmOps4.oracleSql),
       (graft.queries.TpchMore.queries, graft.queries.TpchMore.oracleSql),
       (graft.queries.Functions6.queries, graft.queries.Functions6.oracleSql),
-      (graft.queries.LlmOps5.queries, graft.queries.LlmOps5.oracleSql)
+      (graft.queries.LlmOps5.queries, graft.queries.LlmOps5.oracleSql),
+      (graft.queries.Aggregates7.queries, graft.queries.Aggregates7.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
