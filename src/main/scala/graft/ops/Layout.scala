@@ -22,6 +22,30 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Persist parquet with per-column BLOOM FILTERS (reference:
+    * MergeTreeIndexBloomFilter.cpp / bloom_filter skip indexes — the
+    * point-lookup pruning a sort key can't give). parquet-mr stores the
+    * bloom per row group; an equality probe on `bloomCols` then skips
+    * row groups whose filter rejects the value — same effect as the
+    * reference's granule-skipping index, no Spark-side code needed at
+    * read time (parquet row-group filtering applies it under pushdown).
+    * LayoutSpec asserts the filters are really in the file footers. */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+                            bloomCols: Seq[String],
+                            expectedNdv: Long = 100000L): Unit = {
+    // parquet-mr only materializes a bloom for pages that fall back from
+    // dictionary encoding (a fully dict-encoded chunk already filters
+    // exactly). The bloom columns are the high-NDV point-lookup keys —
+    // exactly the ones where dictionary encoding breaks down at scale —
+    // so disable dictionary for them and let the bloom do its job.
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    w.parquet(path)
+  }
+
   /** Compact a parquet directory's small files (reference OPTIMIZE TABLE
     * ... FINAL — MergeTree background merges; the lakehouse small-files
     * problem at 100 TB). Rewrites to ~`targetRows`-row files, range-

@@ -77,4 +77,37 @@ class LayoutSpec extends AnyFunSuite {
     val direct = e.filter(col("event_type") === "click").count()
     assert(df.count() == direct)
   }
+
+  test("bloom-filtered parquet stores per-row-group blooms; probe filters pushed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/t"
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Layout.writeWithBloomFilters(li, dir, Seq("l_partkey"), expectedNdv = 10000L)
+    // footer really contains a bloom filter for l_partkey
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head.getAbsolutePath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val rg = reader.getRowGroups.asScala.head
+      val colMeta = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "l_partkey").get
+      assert(colMeta.getBloomFilterOffset > 0,
+        "no bloom filter written for l_partkey")
+      val bf = reader.readBloomFilter(colMeta)
+      assert(bf != null)
+      // a present key must pass the filter (blooms have no false negatives)
+      val some = li.select("l_partkey").head().getLong(0)
+      assert(bf.findHash(bf.hash(some)), "present key rejected by bloom")
+    } finally reader.close()
+    // the equality probe that benefits reaches the scan as a pushed filter
+    val probe = spark.read.parquet(dir).filter(col("l_partkey") === 42L)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("EqualTo(l_partkey,42)"), s"probe not pushed down:\n$scan")
+    // data intact
+    assert(spark.read.parquet(dir).count() == li.count())
+  }
 }
