@@ -66,6 +66,42 @@ object TimeSeries {
       ordered(corrs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("event_type"), col("lag").as("best_lag"), col("ac").as("best_ac")))
+    },
+
+    // PromQL-style regridding (reference: the timeSeriesRateToGrid /
+    // timeSeriesLastToGrid aggregate group,
+    // src/AggregateFunctions/AggregateFunctionTimeseries*.h): align
+    // irregular samples onto a fixed-step grid. Per (event_type, grid
+    // point): value = most recent sample within a 2 h staleness window
+    // (ASOF-backward carry — the scale-safe union-sort formulation),
+    // rate = clamped forward difference / step. Oracle: DuckDB's native
+    // ASOF JOIN on a generate_series grid.
+    "q_ts_regrid" -> { (s, dir) =>
+      val step = 3600L // 1 h grid
+      val stale = 7200L // 2 h staleness horizon
+      val e = T(s, dir)("events")
+      // dedup equal-ts samples deterministically (max value wins)
+      val samples = e.groupBy(col("event_type"), col("ts").as("s_ts"))
+        .agg(max(col("value")).as("s_val"))
+      val types = e.select(col("event_type")).distinct()
+      val grid = types.select(col("event_type"),
+        explode(sequence(
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-07 23:00:00").cast("timestamp"),
+          expr(s"INTERVAL $step SECONDS"))).as("g_ts"))
+      val joined = graft.ops.Ops.asofJoin(grid, samples, Seq("event_type"),
+        leftOn = col("g_ts"), rightOn = col("s_ts"), direction = "backward")
+      val fresh = joined.withColumn("v",
+        when(col("s_ts").isNotNull &&
+          unix_micros(col("g_ts")) - unix_micros(col("s_ts")) <= stale * 1000000L,
+          col("s_val")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("g_ts"))
+      ordered(fresh
+        .withColumn("d", col("v") - lag(col("v"), 1).over(w))
+        .select(col("event_type"), col("g_ts"),
+          floor(col("v") * 1000000).cast("long").as("v_ppm"),
+          floor(when(col("d") > 0, col("d")).otherwise(0.0) / step * 1000000000)
+            .cast("long").as("rate_ppb")))
     }
   )
 
@@ -98,6 +134,29 @@ object TimeSeries {
         |JOIN sm ON t2.event_type = sm.event_type
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST, y NULLS FIRST,
         |  trend NULLS FIRST, seasonal NULLS FIRST, residual NULLS FIRST""".stripMargin,
+    "q_ts_regrid" ->
+      """WITH samples AS (SELECT event_type, ts AS s_ts, max(value) AS s_val
+        |    FROM events GROUP BY event_type, ts),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT event_type, g_ts FROM types,
+        |    generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |      TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR) AS t(g_ts)),
+        |j AS (SELECT g.event_type, g.g_ts, s.s_ts, s.s_val
+        |    FROM grid g ASOF LEFT JOIN samples s
+        |      ON g.event_type = s.event_type AND g.g_ts >= s.s_ts),
+        |f AS (SELECT event_type, g_ts,
+        |    CASE WHEN s_ts IS NOT NULL
+        |      AND epoch_us(g_ts) - epoch_us(s_ts) <= 7200000000 THEN s_val END AS v
+        |  FROM j),
+        |d AS (SELECT event_type, g_ts, v,
+        |    v - lag(v) OVER (PARTITION BY event_type ORDER BY g_ts) AS d FROM f)
+        |SELECT event_type, g_ts,
+        |  CAST(floor(v * 1000000) AS BIGINT) AS v_ppm,
+        |  CAST(floor((CASE WHEN d > 0 THEN d ELSE 0.0 END) / 3600 * 1000000000) AS BIGINT)
+        |    AS rate_ppb
+        |FROM d
+        |ORDER BY event_type NULLS FIRST, g_ts NULLS FIRST, v_ppm NULLS FIRST,
+        |  rate_ppb NULLS FIRST""".stripMargin,
     "q_series_period" ->
       """WITH d AS (SELECT event_type,
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
