@@ -20,7 +20,10 @@ object DumpPlans {
       "q_limit_with_ties", "q_paste_join", "q_with_fill",
       "q_dedup_embedding_lsh", "q_projection_route", "q_has_token_index",
       // round-3 additions — two-phase running totals + corpus ops
-      "q_quantile_exact_weighted", "q_rank_corr", "q_bm25", "q_seq_packing")
+      "q_quantile_exact_weighted", "q_rank_corr", "q_bm25", "q_seq_packing",
+      // round-6 additions — IVF ANN, exec UDF, boilerplate, regrid
+      "q_sim_ann_ivf", "q_exec_udf", "q_boilerplate_filter",
+      "q_vocab_coverage", "q_ts_regrid", "q_fn_space_curves")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
