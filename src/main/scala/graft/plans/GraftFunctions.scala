@@ -68,6 +68,14 @@ object GraftFunctions {
         if (es.length > 2) intLit(es(2), "hilbert bits") else 16)),
     (FunctionIdentifier("hilbert_decode"), info("hilbert_decode"),
       (es: Seq[Expression]) => graft.functions.HilbertDecode2(asLong(es(0)),
-        if (es.length > 1) intLit(es(1), "hilbert bits") else 16))
+        if (es.length > 1) intLit(es(1), "hilbert bits") else 16)),
+    (FunctionIdentifier("base58_encode"), info("base58_encode"),
+      (es: Seq[Expression]) => graft.functions.Base58Encode(es.head)),
+    (FunctionIdentifier("base58_decode"), info("base58_decode"),
+      (es: Seq[Expression]) => graft.functions.Base58Decode(es.head)),
+    (FunctionIdentifier("idna_encode"), info("idna_encode"),
+      (es: Seq[Expression]) => graft.functions.IdnaEncode(es.head)),
+    (FunctionIdentifier("idna_decode"), info("idna_decode"),
+      (es: Seq[Expression]) => graft.functions.IdnaDecode(es.head))
   )
 }

@@ -68,6 +68,22 @@ object Functions6 {
           .otherwise(lit("Scalar")).as("arr_type")))
     },
 
+    // base58Encode/Decode + idnaEncode (reference
+    // src/Functions/FunctionBase58Conversion.cpp, idna.cpp). The decode∘
+    // encode roundtrip and the encoded length arithmetic are both
+    // oracle-checkable; exact encoded values are pinned against public
+    // vectors in CodecsSpec.
+    "q_fn_base58" -> { (s, dir) =>
+      import graft.functions.Encodings
+      val c = T(s, dir)("customer").filter(col("c_custkey") <= 2000)
+      val enc = Encodings.base58Encode(col("c_name"))
+      ordered(c.select(
+        col("c_custkey"), col("c_name"),
+        Encodings.base58Decode(enc).as("roundtrip"),
+        Encodings.idnaEncode(concat(lower(regexp_replace(col("c_name"),
+          "[^A-Za-z0-9]", "")), lit(".example.com"))).as("idna")))
+    },
+
     // encrypt / decrypt (reference src/Functions/FunctionsAES.h — CH
     // encrypt('aes-128-ecb', plain, key)). Spark's aes_encrypt in ECB
     // mode is deterministic, so the ciphertext length and the
@@ -134,6 +150,13 @@ object Functions6 {
         |FROM t
         |ORDER BY o_orderkey NULLS FIRST, n_keys NULLS FIRST, keys_csv NULLS FIRST,
         |  arr_len NULLS FIRST, arr0 NULLS FIRST, nest_s NULLS FIRST, arr_type NULLS FIRST""".stripMargin,
+    "q_fn_base58" ->
+      """SELECT c_custkey, c_name,
+        |  c_name AS roundtrip,
+        |  lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '.example.com' AS idna
+        |FROM customer WHERE c_custkey <= 2000
+        |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST, roundtrip NULLS FIRST,
+        |  idna NULLS FIRST""".stripMargin,
     "q_fn_encrypt" ->
       """SELECT doc_id,
         |  substr(text, 1, 24) AS snippet,

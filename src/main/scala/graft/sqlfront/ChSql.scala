@@ -289,7 +289,14 @@ object ChSql {
     "JSONExtractArrayRaw" -> "t",
     // simpleJSON* are the modern names of the visitParam* family
     "simpleJSONExtractString" -> "t", "simpleJSONExtractInt" -> "t",
-    "simpleJSONHas" -> "t"
+    "simpleJSONHas" -> "t",
+    // base58 / IDNA codecs (custom kernels, snake_case SQL names)
+    "base58Encode" -> "base58_encode", "base58Decode" -> "base58_decode",
+    "tryBase58Decode" -> "base58_decode",
+    "idnaEncode" -> "idna_encode", "idnaDecode" -> "idna_decode",
+    "tryIdnaEncode" -> "idna_encode",
+    // CH window-function spellings (Spark lag/lead are frame-bound)
+    "lagInFrame" -> "lag", "leadInFrame" -> "lead"
   )
 
   /** Names whose call convention needs restructuring — handled by the

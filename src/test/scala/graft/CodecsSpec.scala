@@ -66,4 +66,46 @@ class CodecsSpec extends AnyFunSuite {
     val ms = rows.map(r => (r.getLong(1) >> 22) + 1288834974657L)
     assert(ms.forall(m => math.abs(m - now) < 3600L * 1000), "snowflake time sane")
   }
+
+  test("base58 matches public Bitcoin-alphabet vectors; decode is inverse") {
+    import graft.functions.Encodings
+    import org.apache.spark.unsafe.types.UTF8String
+    // vectors from the btc reference test set (public knowledge)
+    val cases = Seq(
+      "Hello World!" -> "2NEpo7TZRRrLZSi2U",
+      "The quick brown fox jumps over the lazy dog." ->
+        "USm3fpXnKG5EUBx2ndxBDMPVciP5hGey2Jh4NDv6gmeo1LkMeiKrLJUUBk6Z",
+      "" -> "")
+    for ((plain, enc) <- cases) {
+      assert(Encodings.base58EncodeEval(UTF8String.fromString(plain)).toString == enc,
+        s"encode($plain)")
+      assert(Encodings.base58DecodeEval(UTF8String.fromString(enc)).toString == plain,
+        s"decode($enc)")
+    }
+    // leading zero bytes -> leading '1's
+    assert(Encodings.base58EncodeEval(
+      UTF8String.fromBytes(Array[Byte](0, 0, 1))).toString == "112")
+    // invalid alphabet char -> null
+    assert(Encodings.base58DecodeEval(UTF8String.fromString("0OIl")) == null)
+  }
+
+  test("idna encode/decode matches java.net.IDN pipeline") {
+    import graft.functions.Encodings
+    import org.apache.spark.unsafe.types.UTF8String
+    def enc(s: String) = Encodings.idnaEncodeEval(UTF8String.fromString(s)).toString
+    def dec(s: String) = Encodings.idnaDecodeEval(UTF8String.fromString(s)).toString
+    assert(enc("münchen.de") == "xn--mnchen-3ya.de")
+    assert(dec("xn--mnchen-3ya.de") == "münchen.de")
+    assert(enc("plain.example.com") == "plain.example.com")
+  }
+
+  test("base58/idna via SQL registration and CH dialect names") {
+    val r = graft.sqlfront.ChSql.sql(spark, "/root/testdata/sf0.001",
+      """SELECT base58Encode('Hello World!') AS e,
+        |base58Decode(base58Encode('round trip')) AS rt,
+        |idnaEncode('münchen.de') AS i""".stripMargin).collect()(0)
+    assert(r.getString(0) == "2NEpo7TZRRrLZSi2U")
+    assert(r.getString(1) == "round trip")
+    assert(r.getString(2) == "xn--mnchen-3ya.de")
+  }
 }
