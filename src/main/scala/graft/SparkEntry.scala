@@ -44,7 +44,8 @@ object SparkEntry {
       (graft.queries.TpchMore.queries, graft.queries.TpchMore.oracleSql),
       (graft.queries.Functions6.queries, graft.queries.Functions6.oracleSql),
       (graft.queries.LlmOps5.queries, graft.queries.LlmOps5.oracleSql),
-      (graft.queries.Aggregates7.queries, graft.queries.Aggregates7.oracleSql)
+      (graft.queries.Aggregates7.queries, graft.queries.Aggregates7.oracleSql),
+      (graft.queries.TpchMore2.queries, graft.queries.TpchMore2.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
