@@ -75,6 +75,41 @@ object Aggregates7 {
           count(lit(1)).as("n")))
     },
 
+    // quantileInterpolatedWeighted (reference
+    // AggregateFunctionQuantileInterpolatedWeighted.cpp — the Wikipedia
+    // weighted-percentile method): distinct values get cumulative-weight
+    // positions p_i = (cum_i - w_i/2) / W; the level is linearly
+    // interpolated between the bracketing positions. p is monotone in the
+    // value, so the brackets are plain conditional min/max — no structs,
+    // no global window (two-phase running total).
+    "q_quantile_interp_weighted" -> { (s, dir) =>
+      val li = T(s, dir)("lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("x"),
+          (pmod(col("l_suppkey"), lit(10)) + 1).cast("long").as("w"))
+      val byVal = li.groupBy(col("g"), col("x")).agg(sum(col("w")).as("w"))
+      val cum = graft.ops.Ops.keyedRunningTotal(
+        byVal, Seq(col("g")), col("x"), col("w"), "cw",
+        bucket = Some(floor(col("x") / 10)))
+      val tot = byVal.groupBy(col("g").as("g2")).agg(sum(col("w")).as("tw"))
+      val withP = cum.join(broadcast(tot), col("g") === col("g2"))
+        .withColumn("p", (col("cw") - col("w") * 0.5) / col("tw"))
+      def interp(q: Double) = {
+        val lp = max(when(col("p") <= q, col("p")))
+        val lx = max(when(col("p") <= q, col("x")))
+        val up = min(when(col("p") >= q, col("p")))
+        val ux = min(when(col("p") >= q, col("x")))
+        val v = when(lp.isNull, ux.cast("double"))
+          .when(up.isNull, lx.cast("double"))
+          .when(up === lp, lx.cast("double"))
+          .otherwise(lx + (ux - lx) * (lit(q) - lp) / (up - lp))
+        floor(v * 1000000).cast("long")
+      }
+      ordered(withP.groupBy(col("g")).agg(
+        interp(0.25).as("wq25_ppm"), interp(0.5).as("wq50_ppm"),
+        interp(0.75).as("wq75_ppm")))
+    },
+
     // Two-feature OLS with intercept via the normal equations — the
     // deterministic analog of stochasticLinearRegression (reference
     // AggregateFunctionMLMethod.cpp; closed form instead of SGD, exact
@@ -154,6 +189,54 @@ object Aggregates7 {
         |FROM orders WHERE o_custkey <= 500
         |GROUP BY o_custkey
         |ORDER BY o_custkey NULLS FIRST, svon NULLS FIRST, n NULLS FIRST""".stripMargin,
+    "q_quantile_interp_weighted" ->
+      """WITH li AS (SELECT l_returnflag g, CAST(l_quantity AS BIGINT) x,
+        |    CAST(l_suppkey % 10 + 1 AS BIGINT) w FROM lineitem),
+        |bv AS (SELECT g, x, sum(w) w FROM li GROUP BY g, x),
+        |c AS (SELECT g, x, w, sum(w) OVER (PARTITION BY g ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cw FROM bv),
+        |t AS (SELECT g, sum(w) tw FROM bv GROUP BY g),
+        |p AS (SELECT c.g, x, (cw - w * 0.5) / tw AS p FROM c JOIN t ON c.g = t.g)
+        |SELECT g,
+        |  CAST(floor(1000000 * (CASE
+        |    WHEN max(CASE WHEN p <= 0.25 THEN p END) IS NULL
+        |      THEN CAST(min(CASE WHEN p >= 0.25 THEN x END) AS DOUBLE)
+        |    WHEN min(CASE WHEN p >= 0.25 THEN p END) IS NULL
+        |      THEN CAST(max(CASE WHEN p <= 0.25 THEN x END) AS DOUBLE)
+        |    WHEN min(CASE WHEN p >= 0.25 THEN p END) = max(CASE WHEN p <= 0.25 THEN p END)
+        |      THEN CAST(max(CASE WHEN p <= 0.25 THEN x END) AS DOUBLE)
+        |    ELSE max(CASE WHEN p <= 0.25 THEN x END)
+        |      + (min(CASE WHEN p >= 0.25 THEN x END) - max(CASE WHEN p <= 0.25 THEN x END))
+        |        * (0.25 - max(CASE WHEN p <= 0.25 THEN p END))
+        |        / (min(CASE WHEN p >= 0.25 THEN p END) - max(CASE WHEN p <= 0.25 THEN p END))
+        |  END)) AS BIGINT) AS wq25_ppm,
+        |  CAST(floor(1000000 * (CASE
+        |    WHEN max(CASE WHEN p <= 0.5 THEN p END) IS NULL
+        |      THEN CAST(min(CASE WHEN p >= 0.5 THEN x END) AS DOUBLE)
+        |    WHEN min(CASE WHEN p >= 0.5 THEN p END) IS NULL
+        |      THEN CAST(max(CASE WHEN p <= 0.5 THEN x END) AS DOUBLE)
+        |    WHEN min(CASE WHEN p >= 0.5 THEN p END) = max(CASE WHEN p <= 0.5 THEN p END)
+        |      THEN CAST(max(CASE WHEN p <= 0.5 THEN x END) AS DOUBLE)
+        |    ELSE max(CASE WHEN p <= 0.5 THEN x END)
+        |      + (min(CASE WHEN p >= 0.5 THEN x END) - max(CASE WHEN p <= 0.5 THEN x END))
+        |        * (0.5 - max(CASE WHEN p <= 0.5 THEN p END))
+        |        / (min(CASE WHEN p >= 0.5 THEN p END) - max(CASE WHEN p <= 0.5 THEN p END))
+        |  END)) AS BIGINT) AS wq50_ppm,
+        |  CAST(floor(1000000 * (CASE
+        |    WHEN max(CASE WHEN p <= 0.75 THEN p END) IS NULL
+        |      THEN CAST(min(CASE WHEN p >= 0.75 THEN x END) AS DOUBLE)
+        |    WHEN min(CASE WHEN p >= 0.75 THEN p END) IS NULL
+        |      THEN CAST(max(CASE WHEN p <= 0.75 THEN x END) AS DOUBLE)
+        |    WHEN min(CASE WHEN p >= 0.75 THEN p END) = max(CASE WHEN p <= 0.75 THEN p END)
+        |      THEN CAST(max(CASE WHEN p <= 0.75 THEN x END) AS DOUBLE)
+        |    ELSE max(CASE WHEN p <= 0.75 THEN x END)
+        |      + (min(CASE WHEN p >= 0.75 THEN x END) - max(CASE WHEN p <= 0.75 THEN x END))
+        |        * (0.75 - max(CASE WHEN p <= 0.75 THEN p END))
+        |        / (min(CASE WHEN p >= 0.75 THEN p END) - max(CASE WHEN p <= 0.75 THEN p END))
+        |  END)) AS BIGINT) AS wq75_ppm
+        |FROM p GROUP BY g
+        |ORDER BY g NULLS FIRST, wq25_ppm NULLS FIRST, wq50_ppm NULLS FIRST,
+        |  wq75_ppm NULLS FIRST""".stripMargin,
     "q_linreg_multi" ->
       """WITH m AS (SELECT
         |    CAST(count(*) AS DOUBLE) AS n,
