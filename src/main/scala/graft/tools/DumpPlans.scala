@@ -23,7 +23,9 @@ object DumpPlans {
       "q_quantile_exact_weighted", "q_rank_corr", "q_bm25", "q_seq_packing",
       // round-6 additions — IVF ANN, exec UDF, boilerplate, regrid
       "q_sim_ann_ivf", "q_exec_udf", "q_boilerplate_filter",
-      "q_vocab_coverage", "q_ts_regrid", "q_fn_space_curves")
+      "q_vocab_coverage", "q_ts_regrid", "q_fn_space_curves",
+      // TPC-H tail — EXISTS/NOT-EXISTS chain + market-share ratio
+      "q21_waiting_supplier", "q8_market_share")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
