@@ -68,6 +68,32 @@ object Functions6 {
           .otherwise(lit("Scalar")).as("arr_type")))
     },
 
+    // Bitmap family end-to-end through the dialect (reference
+    // FunctionsBitmap.h / AggregateFunctionGroupBitmap.cpp — set algebra
+    // over sorted-distinct arrays; see ChSql batch 9). Per user: the code
+    // set, plus intersection / difference cardinalities of the even- and
+    // odd-event sub-bitmaps. Oracle recomputes with two-level distinct
+    // aggregation.
+    "q_fn_bitmap" -> { (s, dir) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT user_id,
+          |  bitmapCardinality(bitmapBuild(groupArray(code))) AS card,
+          |  bitmapAndCardinality(bitmapBuild(groupArray(code_even)),
+          |    bitmapBuild(groupArray(code_odd))) AS n_and,
+          |  bitmapAndnotCardinality(bitmapBuild(groupArray(code_even)),
+          |    bitmapBuild(groupArray(code_odd))) AS n_even_only,
+          |  bitmapMin(bitmapBuild(groupArray(code))) AS mn,
+          |  bitmapMax(bitmapBuild(groupArray(code))) AS mx
+          |FROM (SELECT user_id,
+          |    CAST(event_id % 50 AS BIGINT) AS code,
+          |    CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 50 AS BIGINT) END AS code_even,
+          |    CASE WHEN event_id % 2 = 1 THEN CAST(event_id % 50 AS BIGINT) END AS code_odd
+          |  FROM events)
+          |GROUP BY user_id
+          |ORDER BY user_id NULLS FIRST, card NULLS FIRST, n_and NULLS FIRST,
+          |  n_even_only NULLS FIRST, mn NULLS FIRST, mx NULLS FIRST""".stripMargin)
+    },
+
     // base58Encode/Decode + idnaEncode (reference
     // src/Functions/FunctionBase58Conversion.cpp, idna.cpp). The decode∘
     // encode roundtrip and the encoded length arithmetic are both
@@ -150,6 +176,20 @@ object Functions6 {
         |FROM t
         |ORDER BY o_orderkey NULLS FIRST, n_keys NULLS FIRST, keys_csv NULLS FIRST,
         |  arr_len NULLS FIRST, arr0 NULLS FIRST, nest_s NULLS FIRST, arr_type NULLS FIRST""".stripMargin,
+    "q_fn_bitmap" ->
+      """WITH b AS (SELECT user_id, CAST(event_id % 50 AS BIGINT) AS code,
+        |    max(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS has_even,
+        |    max(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS has_odd
+        |  FROM events GROUP BY user_id, event_id % 50)
+        |SELECT user_id,
+        |  CAST(count(*) AS INT) AS card,
+        |  CAST(sum(CASE WHEN has_even = 1 AND has_odd = 1 THEN 1 ELSE 0 END) AS INT) AS n_and,
+        |  CAST(sum(CASE WHEN has_even = 1 AND has_odd = 0 THEN 1 ELSE 0 END) AS INT)
+        |    AS n_even_only,
+        |  min(code) AS mn, max(code) AS mx
+        |FROM b GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST, card NULLS FIRST, n_and NULLS FIRST,
+        |  n_even_only NULLS FIRST, mn NULLS FIRST, mx NULLS FIRST""".stripMargin,
     "q_fn_base58" ->
       """SELECT c_custkey, c_name,
         |  c_name AS roundtrip,

@@ -287,16 +287,22 @@ object ChSql {
     "hilbertEncode" -> "hilbert_encode", "hilbertDecode" -> "hilbert_decode",
     "JSONExtractKeys" -> "t", "JSONLength" -> "t", "JSONType" -> "t",
     "JSONExtractArrayRaw" -> "t",
-    // simpleJSON* are the modern names of the visitParam* family
-    "simpleJSONExtractString" -> "t", "simpleJSONExtractInt" -> "t",
-    "simpleJSONHas" -> "t",
     // base58 / IDNA codecs (custom kernels, snake_case SQL names)
     "base58Encode" -> "base58_encode", "base58Decode" -> "base58_decode",
     "tryBase58Decode" -> "base58_decode",
     "idnaEncode" -> "idna_encode", "idnaDecode" -> "idna_decode",
     "tryIdnaEncode" -> "idna_encode",
     // CH window-function spellings (Spark lag/lead are frame-bound)
-    "lagInFrame" -> "lag", "leadInFrame" -> "lead"
+    "lagInFrame" -> "lag", "leadInFrame" -> "lead",
+    // ---- batch 9: bitmap family over sorted-distinct arrays ----
+    "bitmapBuild" -> "t", "bitmapToArray" -> "t", "bitmapCardinality" -> "t",
+    "bitmapMin" -> "t", "bitmapMax" -> "t",
+    "bitmapAnd" -> "t", "bitmapOr" -> "t", "bitmapXor" -> "t",
+    "bitmapAndnot" -> "t", "bitmapContains" -> "t",
+    "bitmapHasAny" -> "t", "bitmapHasAll" -> "t",
+    "bitmapAndCardinality" -> "t", "bitmapOrCardinality" -> "t",
+    "bitmapXorCardinality" -> "t", "bitmapAndnotCardinality" -> "t",
+    "groupBitmap" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1135,12 +1141,41 @@ object ChSql {
     // raw elements of a scalar JSON array
     q = rewriteCalls(q, "JSONExtractArrayRaw")(a =>
       s"from_json(${jsonAt(a)}, 'ARRAY<STRING>')")
-    q = rewriteCalls(q, "simpleJSONExtractString")(a =>
-      s"get_json_object(${a(0)}, ${jsonPath(a)})")
-    q = rewriteCalls(q, "simpleJSONExtractInt")(a =>
-      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT)")
-    q = rewriteCalls(q, "simpleJSONHas")(a =>
-      s"(get_json_object(${a(0)}, ${jsonPath(a)}) IS NOT NULL)")
+
+    // ---- batch 9 templates ----
+    // Bitmap family (reference src/Functions/FunctionsBitmap.h,
+    // AggregateFunctionGroupBitmap.cpp). The reference's RoaringBitmap is a
+    // storage encoding; the SEMANTICS are set algebra, emulated here on a
+    // canonical sorted-distinct array. Same results for every query-level
+    // use; the binary State form is out of scope (documented).
+    q = rewriteCalls(q, "bitmapBuild")(a => s"array_sort(array_distinct(${a(0)}))")
+    q = rewriteCalls(q, "bitmapToArray")(a => a(0))
+    q = rewriteCalls(q, "bitmapCardinality")(a => s"size(${a(0)})")
+    q = rewriteCalls(q, "bitmapMin")(a => s"array_min(${a(0)})")
+    q = rewriteCalls(q, "bitmapMax")(a => s"array_max(${a(0)})")
+    q = rewriteCalls(q, "bitmapAnd")(a =>
+      s"array_sort(array_intersect(${a(0)}, ${a(1)}))")
+    q = rewriteCalls(q, "bitmapOr")(a =>
+      s"array_sort(array_union(${a(0)}, ${a(1)}))")
+    q = rewriteCalls(q, "bitmapXor")(a =>
+      s"array_sort(array_except(array_union(${a(0)}, ${a(1)}), " +
+        s"array_intersect(${a(0)}, ${a(1)})))")
+    q = rewriteCalls(q, "bitmapAndnot")(a =>
+      s"array_sort(array_except(${a(0)}, ${a(1)}))")
+    q = rewriteCalls(q, "bitmapContains")(a => s"array_contains(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "bitmapHasAny")(a => s"arrays_overlap(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "bitmapHasAll")(a =>
+      s"(size(array_except(${a(1)}, ${a(0)})) = 0)")
+    q = rewriteCalls(q, "bitmapAndCardinality")(a =>
+      s"size(array_intersect(${a(0)}, ${a(1)}))")
+    q = rewriteCalls(q, "bitmapOrCardinality")(a =>
+      s"size(array_union(${a(0)}, ${a(1)}))")
+    q = rewriteCalls(q, "bitmapXorCardinality")(a =>
+      s"size(array_except(array_union(${a(0)}, ${a(1)}), " +
+        s"array_intersect(${a(0)}, ${a(1)})))")
+    q = rewriteCalls(q, "bitmapAndnotCardinality")(a =>
+      s"size(array_except(${a(0)}, ${a(1)}))")
+    q = rewriteCalls(q, "groupBitmap")(a => s"count(DISTINCT ${a(0)})")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -491,6 +491,29 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getLong(5) == 123 && r.getLong(6) == 456)
   }
 
+  test("batch-9: bitmap family over sorted-distinct arrays") {
+    val r = ch("""SELECT
+                 |bitmapCardinality(bitmapBuild([1, 2, 2, 3])) AS card,
+                 |bitmapMin(bitmapBuild([3, 1, 2])) AS mn,
+                 |bitmapMax(bitmapBuild([3, 1, 2])) AS mx,
+                 |bitmapToArray(bitmapAnd(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3, 4]))) AS band,
+                 |bitmapToArray(bitmapOr(bitmapBuild([1, 2]), bitmapBuild([2, 3]))) AS bor,
+                 |bitmapToArray(bitmapXor(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3, 4]))) AS bxor,
+                 |bitmapToArray(bitmapAndnot(bitmapBuild([1, 2, 3]), bitmapBuild([2]))) AS bnot,
+                 |bitmapContains(bitmapBuild([1, 2]), 2) AS has2,
+                 |bitmapHasAny(bitmapBuild([1, 2]), bitmapBuild([2, 9])) AS anyc,
+                 |bitmapHasAll(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3])) AS allc,
+                 |bitmapAndCardinality(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3, 4])) AS nand
+                 |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 1 && r.getInt(2) == 3)
+    assert(r.getSeq[Int](3) == Seq(2, 3))
+    assert(r.getSeq[Int](4) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](5) == Seq(1, 4))
+    assert(r.getSeq[Int](6) == Seq(1, 3))
+    assert(r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9))
+    assert(r.getInt(10) == 2)
+  }
+
   test("batch-8: JSON introspection tail") {
     val j = """'{"a": 1, "arr": [1, 2, 3], "s": "x", "b": true}'"""
     val r = ch(s"""SELECT JSONExtractKeys($j) AS ks,
