@@ -302,7 +302,9 @@ object ChSql {
     "bitmapHasAny" -> "t", "bitmapHasAll" -> "t",
     "bitmapAndCardinality" -> "t", "bitmapOrCardinality" -> "t",
     "bitmapXorCardinality" -> "t", "bitmapAndnotCardinality" -> "t",
-    "groupBitmap" -> "t"
+    "groupBitmap" -> "t",
+    "arrayFold" -> "t", "arrayPartialSort" -> "t",
+    "arraySymmetricDifference" -> "t", "arrayEnumerateUniq" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1176,6 +1178,22 @@ object ChSql {
     q = rewriteCalls(q, "bitmapAndnotCardinality")(a =>
       s"size(array_except(${a(0)}, ${a(1)}))")
     q = rewriteCalls(q, "groupBitmap")(a => s"count(DISTINCT ${a(0)})")
+    // array tail: fold / partial sort / symmetric difference / enumerate
+    // (reference src/Functions/array/arrayFold.cpp etc.)
+    q = rewriteCalls(q, "arrayFold")(a =>
+      s"aggregate(${a(1)}, ${a(2)}, ${a(0)})")
+    // CH leaves the tail beyond `limit` in unspecified order — a fully
+    // sorted array satisfies the contract
+    q = rewriteCalls(q, "arrayPartialSort")(a => s"array_sort(${a(1)})")
+    q = rewriteCalls(q, "arraySymmetricDifference")(a =>
+      s"array_sort(array_except(array_union(${a(0)}, ${a(1)}), " +
+        s"array_intersect(${a(0)}, ${a(1)})))")
+    // 1-based occurrence index of each element among its equals
+    q = rewriteCalls(q, "arrayEnumerateUniq") { a =>
+      val arr = a(0)
+      s"transform(sequence(1, size($arr)), __i -> " +
+        s"size(filter(slice($arr, 1, __i), __x -> __x = element_at($arr, __i))))"
+    }
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

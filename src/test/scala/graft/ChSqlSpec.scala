@@ -514,6 +514,19 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getInt(10) == 2)
   }
 
+  test("batch-9: array tail — fold, partial sort, symmetric diff, enumerate") {
+    val r = ch("""SELECT
+                 |arrayFold((acc, x) -> acc + x, [1, 2, 3], 10) AS fold,
+                 |arrayPartialSort(2, [3, 1, 2]) AS psort,
+                 |arraySymmetricDifference([1, 2, 3], [2, 3, 4]) AS symdiff,
+                 |arrayEnumerateUniq([10, 20, 10, 30, 10]) AS enum""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 16)
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](2) == Seq(1, 4))
+    assert(r.getSeq[Int](3) == Seq(1, 1, 2, 1, 3))
+  }
+
   test("batch-8: JSON introspection tail") {
     val j = """'{"a": 1, "arr": [1, 2, 3], "s": "x", "b": true}'"""
     val r = ch(s"""SELECT JSONExtractKeys($j) AS ks,
