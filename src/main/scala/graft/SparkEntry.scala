@@ -45,7 +45,9 @@ object SparkEntry {
       (graft.queries.Functions6.queries, graft.queries.Functions6.oracleSql),
       (graft.queries.LlmOps5.queries, graft.queries.LlmOps5.oracleSql),
       (graft.queries.Aggregates7.queries, graft.queries.Aggregates7.oracleSql),
-      (graft.queries.TpchMore2.queries, graft.queries.TpchMore2.oracleSql)
+      (graft.queries.TpchMore2.queries, graft.queries.TpchMore2.oracleSql),
+      (graft.queries.Functions7.queries, graft.queries.Functions7.oracleSql),
+      (graft.queries.LlmOps6.queries, graft.queries.LlmOps6.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -226,4 +226,104 @@ object Similarity {
         (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // ------------------------------------------- clustering / semantic dedup
+
+  /** Nearest-seed assignment by max cosine (lowest seed id on ties /
+    * first-win strict compare). `seeds` are (sid, vector) pairs sorted by
+    * sid; they ship as a literal fold — map-side, no join, no shuffle. */
+  def nearestSeed(vecCol: Column, seeds: Seq[(Long, Array[Double])]): Column = {
+    val sorted = seeds.sortBy(_._1)
+    val centLit = array(sorted.map(_._2).map(c => array(c.map(lit): _*)): _*)
+    val sidLit = array(sorted.map(_._1).map(lit): _*)
+    val idxs = sequence(lit(0), lit(sorted.size - 1))
+    aggregate(idxs,
+      struct(lit(-2.0).as("s"), lit(-1L).as("c")),
+      (acc, i) => {
+        val s = cosine(vecCol, element_at(centLit, i + 1))
+        when(s > acc.getField("s"),
+          struct(s.as("s"), element_at(sidLit, i + 1).as("c"))).otherwise(acc)
+      }).getField("c")
+  }
+
+  /** Collect (sid, vector-as-double) seed pairs from a DataFrame filter —
+    * the codebook is driver-sized by construction, like an IVF codebook. */
+  def collectSeeds(emb: DataFrame, idCol: String, vecCol: String,
+                   pred: Column): Seq[(Long, Array[Double])] =
+    emb.filter(pred)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toSeq
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then inside each cluster drop every vector that has a
+    * lower-id near-duplicate (cosine >= threshold); the lowest id of each
+    * near-dup group survives. The in-cluster pair join is the algorithm's
+    * own cost model — clusters are corpus/nlist sized, so the quadratic
+    * term is (corpus/nlist)² per cluster, embarrassingly parallel across
+    * clusters; nothing global is quadratic. Returns (id, cell, keep). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    seeds: Seq[(Long, Array[Double])],
+                    threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      nearestSeed(col(vecCol), seeds).as("cell"))
+    val dropped = e.as("x").join(e.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .filter(cosine(col("x.v"), col("y.v")) >= threshold)
+      .select(col("y.id").as("id")).distinct()
+      .withColumn("dropped", lit(true))
+    e.select(col("id"), col("cell"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"), coalesce(!col("dropped"), lit(true)).as("keep"))
+  }
+
+  /** Lloyd's k-means over the embedding column (cosine-normalized L2 =
+    * spherical k-means when inputs are normalized; plain L2 here).
+    * Deterministic: seeds = the k lowest-id vectors; each iteration is
+    * one map-side assignment fold (broadcast centroids as literals) plus
+    * one groupBy(cell) partial-mean — a single shuffle of k×dim partial
+    * sums per executor, never the vectors themselves. Returns the final
+    * (cell -> centroid) list; assignment of the corpus is one more
+    * map-side pass with `nearestSeed`-style fold. */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    var cents = collectSeeds(
+      emb.orderBy(col(idCol)).limit(k), idCol, vecCol, lit(true))
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.select(col(vecCol).cast("array<double>").as("v"),
+        nearestSeed(col(vecCol), cents).as("cell"))
+      val dim = cents.head._2.length
+      val sums = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(d =>
+            sum(element_at(col("v"), d + 1))): _*).as("s"))
+        .collect()
+      val updated = sums.map { r =>
+        val cell = r.getLong(0); val n = r.getLong(1)
+        val s = r.getSeq[Double](2)
+        (cell, s.map(_ / n).toArray)
+      }.sortBy(_._1).toSeq
+      // empty cells keep their previous centroid
+      val have = updated.map(_._1).toSet
+      cents = (updated ++ cents.filterNot(c => have.contains(c._1))).sortBy(_._1)
+      it += 1
+    }
+    cents
+  }
+
+  /** Within-cluster inertia (sum of squared L2 to the assigned centroid)
+    * — the quantity Lloyd iterations are non-increasing on. */
+  def kmeansInertia(emb: DataFrame, vecCol: String,
+                    cents: Seq[(Long, Array[Double])]): Double = {
+    val sorted = cents.sortBy(_._1)
+    val centLit = array(sorted.map(_._2).map(c => array(c.map(lit): _*)): _*)
+    val cell = nearestSeed(col(vecCol), sorted)
+    emb.select(
+        pow(l2Distance(col(vecCol), element_at(centLit, cell.cast("int") + 1)), 2).as("d2"))
+      .agg(sum("d2")).collect()(0).getDouble(0)
+  }
 }

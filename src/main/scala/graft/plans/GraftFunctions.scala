@@ -76,6 +76,16 @@ object GraftFunctions {
     (FunctionIdentifier("idna_encode"), info("idna_encode"),
       (es: Seq[Expression]) => graft.functions.IdnaEncode(es.head)),
     (FunctionIdentifier("idna_decode"), info("idna_decode"),
-      (es: Seq[Expression]) => graft.functions.IdnaDecode(es.head))
+      (es: Seq[Expression]) => graft.functions.IdnaDecode(es.head)),
+    (FunctionIdentifier("damerau_levenshtein"), info("damerau_levenshtein"),
+      (es: Seq[Expression]) => graft.functions.StringDistances.DamerauLevenshtein(es(0), es(1))),
+    (FunctionIdentifier("jaro_similarity"), info("jaro_similarity"),
+      (es: Seq[Expression]) => graft.functions.StringDistances.JaroSim(es(0), es(1))),
+    (FunctionIdentifier("jaro_winkler_similarity"), info("jaro_winkler_similarity"),
+      (es: Seq[Expression]) => graft.functions.StringDistances.JaroWinklerSim(es(0), es(1))),
+    (FunctionIdentifier("byte_hamming_distance"), info("byte_hamming_distance"),
+      (es: Seq[Expression]) => graft.functions.StringDistances.ByteHammingDistance(es(0), es(1))),
+    (FunctionIdentifier("string_jaccard_index"), info("string_jaccard_index"),
+      (es: Seq[Expression]) => graft.functions.StringDistances.StringJaccardIndex(es(0), es(1)))
   )
 }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.StringDistances
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 string-distance tail (reference
+  * src/Functions/FunctionsStringDistance.cpp: damerauLevenshteinDistance,
+  * jaroSimilarity, jaroWinklerSimilarity, byteHammingDistance,
+  * stringJaccardIndex). Oracle: DuckDB's native damerau_levenshtein /
+  * jaro(_winkler)_similarity / hamming / jaccard.
+  */
+object Functions7 {
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame = Tables.t(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    "q_fn_string_distance" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      val t = col("text")
+      val s1 = substring(t, 1, 12)
+      // first-two-character swap of s1: a pure transposition case where
+      // Damerau < Levenshtein
+      val s2 = concat(substring(t, 2, 1), substring(t, 1, 1), substring(t, 3, 10))
+      val s3 = substring(t, 5, 12)
+      val s4 = substring(t, 1, 20)
+      // shares an 8-char prefix with s1: exercises the Winkler boost path
+      val s5 = concat(substring(t, 1, 8), lit("zzzz"))
+      ordered(d.select(
+        col("doc_id"),
+        levenshtein(s1, s3).as("lev"),
+        StringDistances.damerau_levenshtein(s1, s2).as("dl_swap"),
+        StringDistances.damerau_levenshtein(s1, s3).as("dl"),
+        round(StringDistances.jaro_similarity(s1, s3), 9).as("jaro"),
+        round(StringDistances.jaro_winkler_similarity(s1, s3), 9).as("jw"),
+        round(StringDistances.jaro_winkler_similarity(s1, s5), 9).as("jw_boost"),
+        StringDistances.byte_hamming(s1, s2).as("bh"),
+        StringDistances.byte_hamming(s3, s4).as("bh_unequal"),
+        round(StringDistances.string_jaccard(s1, s3), 9).as("jac")))
+    },
+
+    // extractTextFromHTML (reference src/Functions/extractTextFromHTML.cpp):
+    // both engines build the same HTML document from row data, then run
+    // the identical strip chain (two script/style passes, comments,
+    // CDATA, tags, entity decode, whitespace collapse).
+    "q_fn_html_extract" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("<style>p { color: red }</style></head><body><h1>"),
+        col("source"), lit("</h1><!-- doc "), col("doc_id").cast("string"),
+        lit(" --><p>"), substring(col("text"), 1, 80),
+        lit(" &amp; more &lt;stuff&gt; &quot;quoted&quot;&nbsp;end</p>"),
+        lit("<![CDATA[raw <bytes>]]></body></html>"))
+      ordered(d.select(col("doc_id"),
+        graft.functions.Html.extract_text_from_html(html).as("txt")))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_fn_string_distance" ->
+      """WITH d AS (SELECT doc_id,
+        |    substring(text, 1, 12) AS s1,
+        |    substring(text, 2, 1) || substring(text, 1, 1) || substring(text, 3, 10) AS s2,
+        |    substring(text, 5, 12) AS s3,
+        |    substring(text, 1, 20) AS s4,
+        |    substring(text, 1, 8) || 'zzzz' AS s5
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(levenshtein(s1, s3) AS int) AS lev,
+        |  cast(damerau_levenshtein(s1, s2) AS int) AS dl_swap,
+        |  cast(damerau_levenshtein(s1, s3) AS int) AS dl,
+        |  round(jaro_similarity(s1, s3), 9) AS jaro,
+        |  round(jaro_winkler_similarity(s1, s3), 9) AS jw,
+        |  round(jaro_winkler_similarity(s1, s5), 9) AS jw_boost,
+        |  cast(hamming(s1, s2) AS int) AS bh,
+        |  cast(hamming(s3, substring(s4, 1, 12)) + 8 AS int) AS bh_unequal,
+        |  round(jaccard(s1, s3), 9) AS jac
+        |FROM d
+        |ORDER BY doc_id NULLS FIRST, lev NULLS FIRST, dl_swap NULLS FIRST, dl NULLS FIRST,
+        |  jaro NULLS FIRST, jw NULLS FIRST, jw_boost NULLS FIRST, bh NULLS FIRST,
+        |  bh_unequal NULLS FIRST, jac NULLS FIRST""".stripMargin,
+    "q_fn_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+        |  || '<style>p { color: red }</style></head><body><h1>'
+        |  || source || '</h1><!-- doc ' || doc_id
+        |  || ' --><p>' || substring(text, 1, 80)
+        |  || ' &amp; more &lt;stuff&gt; &quot;quoted&quot;&nbsp;end</p>'
+        |  || '<![CDATA[raw <bytes>]]></body></html>' AS x
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      x, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<!\[CDATA\[.*?\]\]>', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g'),
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS txt
+        |FROM h
+        |ORDER BY doc_id NULLS FIRST, txt NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.llm.{Dedup, Similarity}
+import graft.ops.Graphs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 LLM-pipeline additions: duplicate-CLUSTER extraction
+  * (LSH pairs -> connected components -> canonical doc) and semantic
+  * dedup / clustering over the embedding space (SemDeDup shape).
+  */
+object LlmOps6 {
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame = Tables.t(s, dir, n)
+
+  private def seeds(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    Similarity.collectSeeds(T(s, dir)("embeddings"), "vec_id", "embedding",
+      col("vec_id") < 8)
+
+  val queries: Map[String, Q] = Map(
+    // LSH near-dup PAIRS -> duplicate CLUSTERS via distributed connected
+    // components (alternating large-star/small-star, O(log^2 n) rounds),
+    // -> every document mapped to the canonical (minimum) id of its
+    // cluster. Oracle: the exact-Jaccard pair set + a recursive-CTE
+    // min-label closure in DuckDB.
+    "q_dedup_components" -> { (s, dir) =>
+      val docs = T(s, dir)("documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 32, bands = 8, shingleN = 3, threshold = 0.7)
+      ordered(Graphs.canonicalAssignment(docs, "doc_id", pairs, "a", "b"))
+    },
+
+    // SemDeDup: cluster embeddings around 8 fixed seed vectors
+    // (vec_id < 8 — reproducible on both engines), drop any vector with
+    // a lower-id in-cluster near-duplicate at cosine >= 0.3.
+    "q_semantic_dedup" -> { (s, dir) =>
+      ordered(Similarity.semanticDedup(T(s, dir)("embeddings"),
+        "vec_id", "embedding", seeds(s, dir), threshold = 0.3))
+    },
+
+    // Exact-substring duplication: token 8-gram spans present in >= 2
+    // distinct documents (Lee et al. 2021 suffix-array dedup, n-gram
+    // approximation — see Dedup.duplicateSpans for the at-scale hashed
+    // variant of the same plan).
+    "q_dup_ngram_spans" -> { (s, dir) =>
+      ordered(Dedup.duplicateSpans(T(s, dir)("documents"), "doc_id", "text",
+        n = 8, minDocs = 2))
+    },
+
+    // One k-means Lloyd UPDATE step from the same fixed seeds: per-cell
+    // population and mean of the first coordinate (the reduce side of
+    // kmeansFit — partial sums per cell, never vectors).
+    "q_cluster_stats" -> { (s, dir) =>
+      val e = T(s, dir)("embeddings")
+      val cells = e.select(
+        Similarity.nearestSeed(col("embedding"), seeds(s, dir)).as("cell"),
+        element_at(col("embedding").cast("array<double>"), 1).as("x1"))
+      ordered(cells.groupBy("cell")
+        .agg(count(lit(1)).as("n"), round(avg(col("x1")), 6).as("c1")))
+    }
+  )
+
+  /** Shared oracle CTEs: double-cast vectors, the 8 seed vectors, and the
+    * deterministic nearest-seed cell assignment (max cosine, lowest seed
+    * on ties — row_number mirrors the Spark fold's strict compare). */
+  private val assignCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 8),
+      |scored AS (SELECT e.vec_id, e.v, s.sid,
+      |    list_sum(list_transform(range(1, 65), i -> e.v[i] * s.sv[i]))
+      |      / (sqrt(list_sum(list_transform(e.v, t -> t * t)))
+      |         * sqrt(list_sum(list_transform(s.sv, t -> t * t)))) AS cos
+      |  FROM e CROSS JOIN seeds s),
+      |assign AS (SELECT vec_id, v, sid AS cell FROM (
+      |    SELECT vec_id, v, sid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rn
+      |    FROM scored) WHERE rn = 1)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_components" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS g FROM d),
+        |p AS (SELECT a, b FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    len(list_intersect(x.g, y.g))::DOUBLE / len(list_distinct(x.g || y.g)) AS jaccard
+        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+        |  WHERE jaccard >= 0.7),
+        |sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |walk(id, lbl) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT sym.b, w.lbl FROM walk w JOIN sym ON sym.a = w.id),
+        |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+        |SELECT doc_id AS id, coalesce(component, doc_id) AS canonical
+        |FROM documents LEFT JOIN comp ON documents.doc_id = comp.id
+        |ORDER BY id NULLS FIRST, canonical NULLS FIRST""".stripMargin,
+    "q_dup_ngram_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+        |    list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' '))
+        |    ELSE []::VARCHAR[] END) AS gram FROM d)
+        |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY gram NULLS FIRST, n_docs NULLS FIRST, n_occurrences NULLS FIRST""".stripMargin,
+    "q_semantic_dedup" ->
+      s"""WITH $assignCte,
+        |drops AS (SELECT DISTINCT y.vec_id AS id
+        |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+        |      / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
+        |         * sqrt(list_sum(list_transform(y.v, t -> t * t)))) >= 0.3)
+        |SELECT a.vec_id AS id, a.cell, (d.id IS NULL) AS keep
+        |FROM assign a LEFT JOIN drops d ON a.vec_id = d.id
+        |ORDER BY id NULLS FIRST, cell NULLS FIRST, keep NULLS FIRST""".stripMargin,
+    "q_cluster_stats" ->
+      s"""WITH $assignCte
+        |SELECT cell, count(*) AS n, round(avg(v[1]), 6) AS c1
+        |FROM assign GROUP BY cell
+        |ORDER BY cell NULLS FIRST, n NULLS FIRST, c1 NULLS FIRST""".stripMargin
+  )
+}

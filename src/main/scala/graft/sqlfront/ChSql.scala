@@ -37,6 +37,11 @@ object ChSql {
     "replaceAll" -> "replace", "replaceRegexpAll" -> "regexp_replace",
     "countSubstrings" -> "regexp_count",
     "editDistance" -> "levenshtein", "levenshteinDistance" -> "levenshtein",
+    "damerauLevenshteinDistance" -> "damerau_levenshtein",
+    "jaroSimilarity" -> "jaro_similarity",
+    "jaroWinklerSimilarity" -> "jaro_winkler_similarity",
+    "byteHammingDistance" -> "byte_hamming_distance",
+    "stringJaccardIndex" -> "string_jaccard_index",
     "startsWith" -> "startswith", "endsWith" -> "endswith",
     "trimBoth" -> "trim", "trimLeft" -> "ltrim", "trimRight" -> "rtrim",
     "leftPad" -> "lpad", "rightPad" -> "rpad",

@@ -357,6 +357,22 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getString(14) == "ok")
   }
 
+  test("string distance dialect names map onto the distance kernels") {
+    val r = ch("""SELECT damerauLevenshteinDistance('ca', 'abc') AS dl,
+                 |jaroSimilarity('martha', 'marhta') AS j,
+                 |jaroWinklerSimilarity('martha', 'marhta') AS jw,
+                 |byteHammingDistance('abcd', 'abcf') AS bh,
+                 |stringJaccardIndex('abc', 'abd') AS sj,
+                 |editDistance('kitten', 'sitting') AS ed
+                 |FROM lineitem LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2)
+    assert(math.abs(r.getDouble(1) - 17.0 / 18) < 1e-12)
+    assert(math.abs(r.getDouble(2) - (17.0 / 18 + 0.3 * (1 - 17.0 / 18))) < 1e-12)
+    assert(r.getInt(3) == 1)
+    assert(r.getDouble(4) == 0.5)
+    assert(r.getInt(5) == 3)
+  }
+
   test("vector distance dialect names map onto the codegen kernels") {
     val r = ch("""SELECT L2Distance([1.0, 2.0], [4.0, 6.0]) AS l2,
                  |L1Distance([1.0, 2.0], [4.0, 6.0]) AS l1,
