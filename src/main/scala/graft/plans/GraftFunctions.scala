@@ -86,6 +86,8 @@ object GraftFunctions {
     (FunctionIdentifier("byte_hamming_distance"), info("byte_hamming_distance"),
       (es: Seq[Expression]) => graft.functions.StringDistances.ByteHammingDistance(es(0), es(1))),
     (FunctionIdentifier("string_jaccard_index"), info("string_jaccard_index"),
-      (es: Seq[Expression]) => graft.functions.StringDistances.StringJaccardIndex(es(0), es(1)))
+      (es: Seq[Expression]) => graft.functions.StringDistances.StringJaccardIndex(es(0), es(1))),
+    (FunctionIdentifier("extract_text_from_html"), info("extract_text_from_html"),
+      (es: Seq[Expression]) => graft.functions.Html.ExtractTextFromHtml(es.head))
   )
 }

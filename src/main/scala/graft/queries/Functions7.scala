@@ -54,6 +54,33 @@ object Functions7 {
         lit("<![CDATA[raw <bytes>]]></body></html>"))
       ordered(d.select(col("doc_id"),
         graft.functions.Html.extract_text_from_html(html).as("txt")))
+    },
+
+    // widthBucket (reference src/Functions/widthBucket.cpp): Spark's
+    // native width_bucket vs an independent closed-form emulation in
+    // DuckDB — equal-width histogram bucketing incl. the out-of-range
+    // buckets 0 and n+1.
+    "q_fn_width_bucket" -> { (s, dir) =>
+      val l = T(s, dir)("lineitem").filter(col("l_orderkey") <= 2000)
+      ordered(l.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        width_bucket(col("l_extendedprice"), lit(0.0), lit(100000.0), lit(20)).as("wb"),
+        width_bucket(col("l_discount"), lit(0.02), lit(0.08), lit(6)).as("wb_edge"),
+        width_bucket(col("l_quantity"), lit(100.0), lit(0.0), lit(10)).as("wb_desc")))
+    },
+
+    // Exact Decimal aggregation (reference Decimal32/64/128 sum semantics
+    // — DataTypeDecimalBase): fixed-point sums are EXACT, no FP drift,
+    // any partial-aggregation order gives the identical result. Spark's
+    // Tungsten decimal sum vs DuckDB's DECIMAL(38,2) sum.
+    "q_agg_decimal_exact" -> { (s, dir) =>
+      val l = T(s, dir)("lineitem")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      ordered(l.groupBy(col("l_returnflag")).agg(
+        sum(price).cast("decimal(38,2)").as("s_price"),
+        sum(price * disc).cast("decimal(38,4)").as("s_disc"),
+        count(price).as("n")))
     }
   )
 
@@ -100,6 +127,29 @@ object Functions7 {
         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
         |  '\s+', ' ', 'g')) AS txt
         |FROM h
-        |ORDER BY doc_id NULLS FIRST, txt NULLS FIRST""".stripMargin
+        |ORDER BY doc_id NULLS FIRST, txt NULLS FIRST""".stripMargin,
+    "q_fn_width_bucket" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(CASE WHEN l_extendedprice < 0.0 THEN 0
+        |    WHEN l_extendedprice >= 100000.0 THEN 21
+        |    ELSE floor(20 * (l_extendedprice - 0.0) / (100000.0 - 0.0)) + 1 END AS BIGINT) AS wb,
+        |  CAST(CASE WHEN l_discount < 0.02 THEN 0
+        |    WHEN l_discount >= 0.08 THEN 7
+        |    ELSE floor(6 * (l_discount - 0.02) / (0.08 - 0.02)) + 1 END AS BIGINT) AS wb_edge,
+        |  CAST(CASE WHEN l_quantity > 100.0 THEN 0
+        |    WHEN l_quantity <= 0.0 THEN 11
+        |    ELSE floor(10 * (100.0 - l_quantity) / (100.0 - 0.0)) + 1 END AS BIGINT) AS wb_desc
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |  l_extendedprice NULLS FIRST, wb NULLS FIRST, wb_edge NULLS FIRST,
+        |  wb_desc NULLS FIRST""".stripMargin,
+    "q_agg_decimal_exact" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s_disc,
+        |  count(l_extendedprice) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST, s_price NULLS FIRST,
+        |  s_disc NULLS FIRST, n NULLS FIRST""".stripMargin
   )
 }

@@ -309,7 +309,13 @@ object ChSql {
     "bitmapXorCardinality" -> "t", "bitmapAndnotCardinality" -> "t",
     "groupBitmap" -> "t",
     "arrayFold" -> "t", "arrayPartialSort" -> "t",
-    "arraySymmetricDifference" -> "t", "arrayEnumerateUniq" -> "t"
+    "arraySymmetricDifference" -> "t", "arrayEnumerateUniq" -> "t",
+    // ---- batch 10: subsequence/groups/shifts, HTML text, width bucket ----
+    "widthBucket" -> "width_bucket",
+    "extractTextFromHTML" -> "extract_text_from_html",
+    "hasSubsequence" -> "t", "hasSubsequenceCaseInsensitive" -> "t",
+    "extractGroups" -> "t", "arrayShiftLeft" -> "t", "arrayShiftRight" -> "t",
+    "toDecimalString" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1199,6 +1205,54 @@ object ChSql {
       s"transform(sequence(1, size($arr)), __i -> " +
         s"size(filter(slice($arr, 1, __i), __x -> __x = element_at($arr, __i))))"
     }
+
+    // ---- batch 10 templates ----
+    // hasSubsequence (reference src/Functions/hasSubsequence.cpp): fold
+    // over haystack chars advancing a needle pointer — declarative, stays
+    // in codegen.
+    def subseq(h: String, n: String): String =
+      s"(aggregate(split($h, ''), 0, (__p, __c) -> " +
+        s"IF(__p < length($n) AND __c = substring($n, __p + 1, 1), __p + 1, __p)) " +
+        s"= length($n))"
+    q = rewriteCalls(q, "hasSubsequenceCaseInsensitive")(a =>
+      subseq(s"lower(${a(0)})", s"lower(${a(1)})"))
+    q = rewriteCalls(q, "hasSubsequence")(a => subseq(a(0), a(1)))
+    // extractGroups (reference src/Functions/extractGroups.cpp): all
+    // capture groups of the FIRST match; empty array when no match.
+    // Group count is read from the pattern literal.
+    q = rewriteCalls(q, "extractGroups") { a =>
+      val pat = a(1).trim
+      val inner = pat.stripPrefix("'").stripSuffix("'")
+      var groups = 0
+      var i = 0
+      while (i < inner.length) {
+        if (inner.charAt(i) == '(' && (i == 0 || inner.charAt(i - 1) != '\\') &&
+          (i + 1 >= inner.length || inner.charAt(i + 1) != '?')) groups += 1
+        i += 1
+      }
+      val extracts = (1 to groups)
+        .map(g => s"regexp_extract(${a(0)}, $pat, $g)").mkString(", ")
+      s"IF(${a(0)} RLIKE $pat, array($extracts), CAST(array() AS ARRAY<STRING>))"
+    }
+    // arrayShiftLeft/Right (reference src/Functions/array/arrayShift*):
+    // length-preserving shift, fill with the given default (typed NULL
+    // when omitted — CH fills the type's default value there).
+    def typedNull(arr: String): String =
+      s"nullif(element_at($arr, 1), element_at($arr, 1))"
+    q = rewriteCalls(q, "arrayShiftLeft") { a =>
+      val d = if (a.length > 2) a(2) else typedNull(a(0))
+      s"concat(slice(${a(0)}, (${a(1)}) + 1, greatest(size(${a(0)}) - (${a(1)}), 0)), " +
+        s"array_repeat($d, least(${a(1)}, size(${a(0)}))))"
+    }
+    q = rewriteCalls(q, "arrayShiftRight") { a =>
+      val d = if (a.length > 2) a(2) else typedNull(a(0))
+      s"concat(array_repeat($d, least(${a(1)}, size(${a(0)}))), " +
+        s"slice(${a(0)}, 1, greatest(size(${a(0)}) - (${a(1)}), 0)))"
+    }
+    // toDecimalString (reference src/Functions/toDecimalString.cpp):
+    // fixed-scale decimal rendering; scale must be a literal.
+    q = rewriteCalls(q, "toDecimalString")(a =>
+      s"format_string('%.${a(1).trim}f', CAST(${a(0)} AS DOUBLE))")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -99,4 +99,28 @@ object Streams {
     df.groupBy(keys.map(col): _*)
       .agg(sum(col(df.columns.last)).as(df.columns.last))
   }
+
+  /** Stream-stream event-time interval join: rows of `right` join rows of
+    * `left` with the same `key` whose right timestamp falls in
+    * [leftTs, leftTs + within]. Both sides are watermarked, and the range
+    * condition is what lets Spark BOUND the join state — buffered rows
+    * are evicted once the watermark passes their reachable window, so
+    * state is O(rate × (watermark + within)), not O(stream). The
+    * reference pairs a stream against tables/MVs (StorageKafka → MV
+    * joins); joining two live streams with bounded state is the Spark
+    * superset of that surface. joinType "leftOuter" emits the unmatched
+    * left rows (with null right columns) only after the watermark closes
+    * their window — same late-data discipline as append-mode aggregation. */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   key: String, within: String,
+                   joinType: String = "inner",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.$rightTs >= l.$leftTs " +
+        s"AND r.$rightTs <= l.$leftTs + interval $within"),
+      joinType)
+  }
 }

@@ -25,7 +25,9 @@ object DumpPlans {
       "q_sim_ann_ivf", "q_exec_udf", "q_boilerplate_filter",
       "q_vocab_coverage", "q_ts_regrid", "q_fn_space_curves",
       // TPC-H tail — EXISTS/NOT-EXISTS chain + market-share ratio
-      "q21_waiting_supplier", "q8_market_share")
+      "q21_waiting_supplier", "q8_market_share",
+      // round-6 session 2 — cluster extraction + semantic dedup
+      "q_dedup_components", "q_semantic_dedup", "q_dup_ngram_spans")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")

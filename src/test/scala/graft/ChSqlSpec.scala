@@ -373,6 +373,28 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getInt(5) == 3)
   }
 
+  test("batch-10 names: subsequence, extractGroups, array shifts, decimal string, html") {
+    val r = ch("""SELECT hasSubsequence('garbage', 'gbg') AS hs,
+                 |hasSubsequence('garbage', 'gbx') AS hs0,
+                 |hasSubsequenceCaseInsensitive('Garbage', 'gAr') AS hsci,
+                 |extractGroups('key=value pairs', '(\\w+)=(\\w+)') AS eg,
+                 |extractGroups('no match here', '(\\d+)-(\\d+)') AS eg0,
+                 |arrayShiftLeft(array(1, 2, 3, 4, 5), 2) AS sl,
+                 |arrayShiftRight(array(1, 2, 3, 4, 5), 2, 0) AS sr,
+                 |toDecimalString(3.14159, 2) AS ds,
+                 |widthBucket(7.0, 0.0, 10.0, 5) AS wb,
+                 |extractTextFromHTML('<p>hi <b>there</b></p><script>x</script>') AS ht
+                 |FROM lineitem LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getSeq[String](3) == Seq("key", "value"))
+    assert(r.getSeq[String](4) == Seq.empty)
+    assert(r.getSeq[Any](5) == Seq(3, 4, 5, null, null))
+    assert(r.getSeq[Any](6) == Seq(0, 0, 1, 2, 3))
+    assert(r.getString(7) == "3.14")
+    assert(r.getLong(8) == 4L)
+    assert(r.getString(9) == "hi there")
+  }
+
   test("vector distance dialect names map onto the codegen kernels") {
     val r = ch("""SELECT L2Distance([1.0, 2.0], [4.0, 6.0]) AS l2,
                  |L1Distance([1.0, 2.0], [4.0, 6.0]) AS l1,

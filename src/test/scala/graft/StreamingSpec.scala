@@ -143,4 +143,56 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(out.toSet == batch && batch.nonEmpty)
   }
+
+  test("stream-stream interval join matches in-window pairs with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = Streams.intervalJoin(
+      imps.toDF().toDF("its", "k"), "its",
+      clicks.toDF().toDF("cts", "k2").withColumnRenamed("k2", "k"), "cts",
+      "k", "30 minutes", watermark = "10 minutes")
+      .select(col("l.k").as("k"), col("its"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    imps.addData((t(0), 1L), (t(0), 2L), (t(5), 3L))
+    clicks.addData((t(10), 1L),  // in window for k=1
+      (t(50), 2L),               // OUTSIDE [t0, t0+30] for k=2
+      (t(20), 3L), (t(25), 3L))  // two clicks in window for k=3
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+    assert(got == Set((1L, t(10)), (3L, t(20)), (3L, t(25))))
+  }
+
+  test("stream-stream leftOuter join emits unmatched rows after watermark closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = Streams.intervalJoin(
+      imps.toDF().toDF("its", "k"), "its",
+      clicks.toDF().toDF("cts", "k2").withColumnRenamed("k2", "k"), "cts",
+      "k", "10 minutes", joinType = "leftOuter", watermark = "5 minutes")
+      .select(col("l.k").as("k"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    imps.addData((t(0), 1L), (t(0), 2L))
+    clicks.addData((t(5), 1L)) // k=1 matches; k=2 never clicked
+    q.processAllAvailable()
+    // advance BOTH watermarks far past k=2's join window
+    imps.addData((t(120), 9L))
+    clicks.addData((t(120), 8L))
+    q.processAllAvailable()
+    imps.addData((t(180), 9L)) // one more advance so the outer row flushes
+    clicks.addData((t(180), 8L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj_outer").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(rows(1L).contains(t(5)))
+    assert(rows.contains(2L) && rows(2L).isEmpty, "unmatched left row must flush with null right")
+  }
 }
