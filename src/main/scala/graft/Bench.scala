@@ -29,7 +29,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional args: bench only these queries (local iteration; the
+    // driver passes none and times the full inventory).
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     names.foreach(run) // warm-up pass (discarded)
     val results = names.map(n => n -> run(n))
 

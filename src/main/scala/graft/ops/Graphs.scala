@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an edge list — the clustering
   * step of a near-duplicate pipeline (LSH emits PAIRS; turning pairs into
@@ -75,14 +74,19 @@ object Graphs {
 
     var cur = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a") =!= col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var sig = checksum(cur)
+      .localCheckpoint(false)
+    // Sentinel start signature: round 1 computes the input (through its
+    // checkpoint) inside its own single job — no separate priming action.
+    var sig = (-1L, -1L)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      // localCheckpoint cuts the growing lineage so round N's plan does
-      // not replay rounds 1..N-1 (essential once rounds stack up).
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // LAZY localCheckpoint: truncates the logical plan immediately
+      // (symmetrize embeds the prior round TWICE, so without truncation
+      // plans double every round and Catalyst compile time explodes),
+      // while the actual materialization rides the checksum aggregate —
+      // exactly ONE job per round.
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nsig = checksum(next)
       cur.unpersist(false)
       cur = next

@@ -1345,9 +1345,30 @@ object ChSql {
     Tables.registerAll(spark, dir)
     spark.range(0, 100000000L).toDF("number").createOrReplaceTempView("system_numbers")
     spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
-    val q = rewrite(chQuery)
-      .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
-      .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
-    spark.sql(q)
+    // EXPLAIN [SYNTAX|PLAN|PIPELINE|...] (reference
+    // src/Interpreters/InterpreterExplainQuery.cpp): SYNTAX returns the
+    // dialect-rewritten Spark SQL text (the analog of CH's rewritten
+    // AST); the plan variants return the formatted Catalyst plan.
+    val explainRe = "(?is)^\\s*EXPLAIN(\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE))?\\s+(.*)$".r
+    chQuery match {
+      case explainRe(_, mode, inner) =>
+        import spark.implicits._
+        val rewritten = rewrite(inner)
+          .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
+          .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
+        if (mode != null && mode.equalsIgnoreCase("SYNTAX"))
+          Seq(rewritten).toDF("explain")
+        else {
+          val mode2 = if (mode != null && mode.equalsIgnoreCase("PIPELINE"))
+            org.apache.spark.sql.execution.ExtendedMode
+          else org.apache.spark.sql.execution.FormattedMode
+          Seq(spark.sql(rewritten).queryExecution.explainString(mode2)).toDF("explain")
+        }
+      case _ =>
+        val q = rewrite(chQuery)
+          .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
+          .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
+        spark.sql(q)
+    }
   }
 }
