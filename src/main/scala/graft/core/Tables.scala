@@ -43,8 +43,22 @@ object Tables {
 
   /** Register every fixture table as a temp view so `spark.sql` works on
     * the same names the DuckDB oracle sees. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
     all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    registerUdafs(spark)
+  }
+
+  /** SQL names for the custom Aggregators (Expression-based kernels go
+    * through GraftExtensions.injectFunction; Aggregators need the udf
+    * registry). Idempotent — re-registering replaces the same function. */
+  def registerUdafs(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.udaf
+    import org.apache.spark.sql.Encoders
+    spark.udf.register("uniq_theta",
+      udaf(new graft.aggregates.KmvDistinctAggregator(), Encoders.scalaLong))
+    spark.udf.register("top_k",
+      udaf(new graft.aggregates.TopKAggregator(10), Encoders.STRING))
+  }
 
   /** Session defaults for local[32] iteration; the same settings scale to a
     * real cluster (AQE re-plans partitions at runtime). */

@@ -140,4 +140,34 @@ object Corpus {
     graft.ops.Ops.limitBy(df, Seq(group), Seq(hk, idCol), cap, "__rn")
       .drop("__rn")
   }
+
+  /** Data-mixture planning: apportion an integer token `budget` across
+    * groups proportionally to their weights, with the largest-remainder
+    * (Hamilton) method — allocations are integers, sum EXACTLY to the
+    * budget, and the rounding is deterministic (remainder desc, key asc).
+    * All arithmetic is exact fixed-point (DECIMAL(38,0)), so results are
+    * engine-independent. The distributed phase is the per-group weight
+    * aggregation over the corpus; apportionment itself runs on the tiny
+    * per-group table (one row per source/language — driver-scale by
+    * construction, like an IVF codebook). */
+  def apportionBudget(docs: DataFrame, group: Column, weight: Column,
+                      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.groupBy(group.as("grp"))
+      .agg(sum(weight.cast("decimal(38,0)")).as("w"))
+    val tot = w.agg(sum(col("w")).cast("decimal(38,0)").as("tw"))
+    val b = lit(budget).cast("decimal(38,0)")
+    val scored = w.crossJoin(broadcast(tot))
+      .withColumn("base", floor((b * col("w")) / col("tw")).cast("decimal(38,0)"))
+      .withColumn("rem", b * col("w") - col("base") * col("tw"))
+    // tiny table: the global window is over one row per group
+    val win = Window.orderBy(col("rem").desc, col("grp"))
+    val winAll = Window.partitionBy(lit(1))
+    scored
+      .withColumn("rk", row_number().over(win))
+      .withColumn("leftover", (b - sum(col("base")).over(winAll)).cast("long"))
+      .select(col("grp"), col("w").cast("long").as("w"),
+        (col("base").cast("long") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+  }
 }

@@ -47,6 +47,15 @@ object LlmOps6 {
         n = 8, minDocs = 2))
     },
 
+    // Data-mixture budget: Hamilton largest-remainder apportionment of a
+    // 1,000,003-token budget across sources by character mass — integer
+    // allocations that sum exactly to the budget, exact DECIMAL(38,0)
+    // arithmetic on both engines.
+    "q_mixture_budget" -> { (s, dir) =>
+      ordered(graft.llm.Corpus.apportionBudget(T(s, dir)("documents"),
+        col("source"), col("n_chars"), 1000003L))
+    },
+
     // One k-means Lloyd UPDATE step from the same fixed seeds: per-cell
     // population and mean of the first coordinate (the reduce side of
     // kmeansFit — partial sums per cell, never vectors).
@@ -107,6 +116,20 @@ object LlmOps6 {
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY gram NULLS FIRST, n_docs NULLS FIRST, n_occurrences NULLS FIRST""".stripMargin,
+    "q_mixture_budget" ->
+      """WITH w AS (SELECT source AS grp, CAST(sum(n_chars) AS HUGEINT) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM w),
+        |s AS (SELECT grp, w, CAST(1000003 AS HUGEINT) * w AS bw, tw
+        |  FROM w CROSS JOIN t),
+        |sc AS (SELECT grp, w, bw // tw AS base, bw - (bw // tw) * tw AS rem, tw FROM s),
+        |r AS (SELECT grp, w, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, grp) AS rk,
+        |    CAST(1000003 AS HUGEINT) - sum(base) OVER () AS leftover FROM sc)
+        |SELECT grp, CAST(w AS BIGINT) AS w,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r
+        |ORDER BY grp NULLS FIRST, w NULLS FIRST, alloc NULLS FIRST""".stripMargin,
     "q_semantic_dedup" ->
       s"""WITH $assignCte,
         |drops AS (SELECT DISTINCT y.vec_id AS id

@@ -315,7 +315,11 @@ object ChSql {
     "extractTextFromHTML" -> "extract_text_from_html",
     "hasSubsequence" -> "t", "hasSubsequenceCaseInsensitive" -> "t",
     "extractGroups" -> "t", "arrayShiftLeft" -> "t", "arrayShiftRight" -> "t",
-    "toDecimalString" -> "t"
+    "toDecimalString" -> "t",
+    "sumDistinct" -> "t", "avgDistinct" -> "t", "countDistinct" -> "t",
+    "argMinIf" -> "t", "argMaxIf" -> "t",
+    "quantileDeterministic" -> "t",
+    "uniqTheta" -> "uniq_theta"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -978,6 +982,12 @@ object ChSql {
     q = q.replaceAll(
       """\bquantile(?:TDigest|BFloat16|Timing)\(([0-9.]+)\)\s*\(([^)]*)\)""",
       "percentile_approx($2, $1)")
+    // quantileDeterministic(p)(x, determinator): the determinator only
+    // fixes sub-sampling reproducibility in the reference; the estimate
+    // itself is the sketch quantile of x.
+    q = q.replaceAll(
+      """\bquantileDeterministic\(([0-9.]+)\)\s*\(([^,)]+)[^)]*\)""",
+      "percentile_approx($2, $1)")
 
     // parameterized-aggregate syntax quantile[Exact](0.5)(x) -> percentile(x, 0.5)
     q = q.replaceAll("""\bquantile(?:Exact)?\(([0-9.]+)\)\s*\(""", "__QUANTILE__$1(")
@@ -1253,6 +1263,17 @@ object ChSql {
     // fixed-scale decimal rendering; scale must be a literal.
     q = rewriteCalls(q, "toDecimalString")(a =>
       s"format_string('%.${a(1).trim}f', CAST(${a(0)} AS DOUBLE))")
+    // -Distinct combinator (reference AggregateFunctionDistinct.cpp)
+    q = rewriteCalls(q, "sumDistinct")(a => s"sum(DISTINCT ${a(0)})")
+    q = rewriteCalls(q, "avgDistinct")(a => s"avg(DISTINCT ${a(0)})")
+    q = rewriteCalls(q, "countDistinct")(a =>
+      s"count(DISTINCT ${a.mkString(", ")})")
+    // argMin/argMax with the -If combinator: rows failing the predicate
+    // get a NULL ordering value, which min_by/max_by ignore.
+    q = rewriteCalls(q, "argMinIf")(a =>
+      s"min_by(${a(0)}, CASE WHEN ${a(2)} THEN ${a(1)} END)")
+    q = rewriteCalls(q, "argMaxIf")(a =>
+      s"max_by(${a(0)}, CASE WHEN ${a(2)} THEN ${a(1)} END)")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -395,6 +395,32 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getString(9) == "hi there")
   }
 
+  test("distinct/if combinators, quantileDeterministic, uniqTheta sketch") {
+    val r = ch("""SELECT sumDistinct(l_linenumber) AS sd,
+                 |countDistinct(l_returnflag, l_linestatus) AS cd,
+                 |argMinIf(l_orderkey, l_quantity, l_quantity > 10) AS ami,
+                 |quantileDeterministic(0.5)(l_quantity, l_orderkey) AS qd,
+                 |uniqTheta(l_orderkey) AS ut
+                 |FROM lineitem""".stripMargin).collect()(0)
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+    val sd = li.select(col("l_linenumber")).distinct()
+      .agg(sum("l_linenumber")).collect()(0).getLong(0)
+    assert(r.getLong(0) == sd)
+    val cd = li.select("l_returnflag", "l_linestatus").distinct().count()
+    assert(r.getLong(1) == cd)
+    // min_by ties are arbitrary among rows sharing the min quantity — the
+    // result must be one of the orderkeys at the predicate-filtered min
+    val amiQty = li.filter(col("l_quantity") > 10)
+      .agg(min("l_quantity")).collect()(0).getDouble(0)
+    val candidates = li.filter(col("l_quantity") === amiQty)
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    assert(candidates.contains(r.getLong(2)), s"argMinIf ${r.getLong(2)} not at min qty $amiQty")
+    assert(r.getDouble(3) > 0)
+    val exact = li.select("l_orderkey").distinct().count()
+    assert(math.abs(r.getLong(4) - exact).toDouble / exact < 0.1,
+      s"uniqTheta ${r.getLong(4)} vs exact $exact")
+  }
+
   test("EXPLAIN SYNTAX returns the rewritten SQL; EXPLAIN returns the plan") {
     val syn = ch("EXPLAIN SYNTAX SELECT toYear(o_orderdate) AS y, count() AS n FROM orders GROUP BY y")
       .collect()(0).getString(0)

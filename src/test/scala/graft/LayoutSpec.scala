@@ -52,6 +52,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(df2.count() == rows)
     assert(df2.agg(sum(col("l_orderkey") * col("l_quantity")))
       .collect()(0).getDouble(0) == checksum)
+    // MergeTree ORDER BY layout contract: each compacted file covers a
+    // contiguous, pairwise-DISJOINT key range, so a point/range predicate
+    // prunes whole files from their min/max stats alone.
+    val ranges = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file key ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
   }
 
   test("saltedJoin preserves exact join multiplicity") {
