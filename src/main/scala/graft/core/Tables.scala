@@ -70,6 +70,10 @@ object Tables {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // trivial-count/min/max from parquet footer statistics (reference
+      // optimize_trivial_count_query + MergeTree count() from metadata):
+      // bare COUNT/MIN/MAX over a scan never touches row data.
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1305,6 +1305,24 @@ object ChSql {
     // FINAL modifier: our catalog views are already merge-final
     q = q.replaceAll("""(?i)\bFINAL\b""", "")
 
+    // GROUP BY ... WITH TOTALS (reference TotalsHavingTransform.cpp):
+    // the per-group rows plus one grand-total row — exactly GROUPING
+    // SETS ((keys), ()); the totals row carries NULL keys (the
+    // reference emits type defaults there — same row, different
+    // placeholder, documented).
+    {
+      val m = java.util.regex.Pattern
+        .compile("(?is)GROUP BY\\s+(.*?)\\s+WITH\\s+TOTALS").matcher(q)
+      val sb = new StringBuffer
+      while (m.find()) {
+        val keys = m.group(1).trim
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+          s"GROUP BY GROUPING SETS (($keys), ())"))
+      }
+      m.appendTail(sb)
+      q = sb.toString
+    }
+
     // PREWHERE -> WHERE (merge with existing WHERE if both present)
     if (q.matches("(?is).*\\bPREWHERE\\b.*\\bWHERE\\b.*")) {
       // PREWHERE p ... WHERE w  ->  WHERE (p) AND (w)

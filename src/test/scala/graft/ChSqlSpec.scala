@@ -421,6 +421,18 @@ class ChSqlSpec extends AnyFunSuite {
       s"uniqTheta ${r.getLong(4)} vs exact $exact")
   }
 
+  test("GROUP BY WITH TOTALS adds the grand-total row") {
+    val rows = ch("""SELECT l_returnflag, sum(l_quantity) AS s
+                    |FROM lineitem GROUP BY l_returnflag WITH TOTALS""".stripMargin)
+      .collect()
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+    val flags = li.select("l_returnflag").distinct().count()
+    assert(rows.length == flags + 1)
+    val total = li.agg(sum("l_quantity")).collect()(0).getDouble(0)
+    val totalsRow = rows.filter(_.isNullAt(0))
+    assert(totalsRow.length == 1 && math.abs(totalsRow(0).getDouble(1) - total) < 1e-6)
+  }
+
   test("EXPLAIN SYNTAX returns the rewritten SQL; EXPLAIN returns the plan") {
     val syn = ch("EXPLAIN SYNTAX SELECT toYear(o_orderdate) AS y, count() AS n FROM orders GROUP BY y")
       .collect()(0).getString(0)

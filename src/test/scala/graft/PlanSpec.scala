@@ -148,4 +148,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"column pruning failed:\n$plan")
   }
+
+  test("bare COUNT/MIN/MAX are answered from parquet footer statistics") {
+    // reference optimize_trivial_count_query / MergeTree metadata count:
+    // the scan node must carry PushedAggregation and read no row groups.
+    // Footer-stat aggregation is a DSv2 scan capability, so the v2 parquet
+    // path is enabled for this plan (v1 is the suite-wide default).
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val df = li.agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("lo"),
+        max(col("l_orderkey")).as("hi"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]"),
+        s"aggregate pushdown missing:\n$plan")
+      val r = df.collect()(0)
+      val rows = li.count()
+      assert(r.getLong(0) == rows && r.getLong(1) <= r.getLong(2))
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+    }
+  }
 }
