@@ -57,4 +57,23 @@ object Multimodal {
       .as[Asset]
       .mapPartitions(_.map(decodeStub))
   }
+
+  case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Video-analog frame sampling: one row per sampled frame. The STUB
+    * "demuxer" emits every stride-th byte window of length frameSize (a
+    * real one would seek keyframes); the plumbing — row-expanding
+    * flatMap, frames stay with their asset's partition, no shuffle — is
+    * exactly what a production frame sampler does. */
+  def sampleFrames(spark: SparkSession, assets: DataFrame,
+                   frameSize: Int, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = if (bytes.length < frameSize) 0
+                else (bytes.length - frameSize) / stride + 1
+        (0 until n).iterator.map(i =>
+          Frame(id, i, java.util.Arrays.copyOfRange(bytes, i * stride, i * stride + frameSize)))
+      }
+  }
 }

@@ -47,6 +47,17 @@ object LlmOps6 {
         n = 8, minDocs = 2))
     },
 
+    // Video-analog frame sampling: binary assets -> one row per sampled
+    // frame (flatMap demuxer stub; real plumbing — see Multimodal).
+    // Frames rendered as hex so both engines compare byte-exactly.
+    "q_multimodal_frames" -> { (s, dir) =>
+      val assets = graft.llm.Multimodal.assetsFromText(
+        T(s, dir)("documents"), "doc_id", "text")
+      val frames = graft.llm.Multimodal.sampleFrames(s, assets, 16, 32)
+      ordered(frames.toDF().select(col("asset_id"), col("frame_idx"),
+        hex(col("frame")).as("fhex")))
+    },
+
     // Data-mixture budget: Hamilton largest-remainder apportionment of a
     // 1,000,003-token budget across sources by character mass — integer
     // allocations that sum exactly to the budget, exact DECIMAL(38,0)
@@ -116,6 +127,12 @@ object LlmOps6 {
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY gram NULLS FIRST, n_docs NULLS FIRST, n_occurrences NULLS FIRST""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH a AS (SELECT doc_id AS asset_id, text AS s FROM documents)
+        |SELECT asset_id, CAST(f AS INT) AS frame_idx,
+        |  hex(CAST(substring(s, 1 + f * 32, 16) AS BLOB)) AS fhex
+        |FROM a, unnest(range(0, greatest((length(s) - 16) // 32 + 1, 0))) AS t(f)
+        |ORDER BY asset_id NULLS FIRST, frame_idx NULLS FIRST, fhex NULLS FIRST""".stripMargin,
     "q_mixture_budget" ->
       """WITH w AS (SELECT source AS grp, CAST(sum(n_chars) AS HUGEINT) AS w
         |  FROM documents GROUP BY source),

@@ -132,4 +132,38 @@ class LlmSpec extends AnyFunSuite {
     val bins = spans.map(_.getLong(0)).sorted
     assert(bins.head == 0L && bins.zipWithIndex.forall { case (b, i) => b == i })
   }
+
+  test("duplicateSpans finds shared token 8-grams and only those") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy"
+    val docs = Seq(
+      (1L, s"alpha $shared beta gamma delta epsilon zeta"),
+      (2L, s"one two $shared three four five six seven"),
+      (3L, "completely different words with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    val spans = graft.llm.Dedup.duplicateSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(spans.contains(shared), s"shared span missing: ${spans.keys}")
+    assert(spans(shared) == 2L)
+    assert(spans.keys.forall(_.split(" ").length == 8))
+    // doc 3 contributes nothing
+    assert(!spans.keys.exists(_.contains("different")))
+  }
+
+  test("sampleFrames: stride windows, short assets yield zero frames") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, "0123456789abcdef0123456789abcdefXXXXXXXXXXXXXXXX"), // 48 bytes -> 2 frames
+      (2L, "short") // < frameSize -> none
+    ).toDF("doc_id", "text")
+    val frames = graft.llm.Multimodal.sampleFrames(spark,
+      graft.llm.Multimodal.assetsFromText(assets, "doc_id", "text"), 16, 32)
+      .collect()
+    assert(frames.count(_.asset_id == 1L) == 2)
+    assert(!frames.exists(_.asset_id == 2L))
+    val f0 = frames.find(f => f.asset_id == 1L && f.frame_idx == 0).get
+    assert(new String(f0.frame) == "0123456789abcdef")
+    val f1 = frames.find(f => f.asset_id == 1L && f.frame_idx == 1).get
+    assert(new String(f1.frame) == "XXXXXXXXXXXXXXXX")
+  }
 }
