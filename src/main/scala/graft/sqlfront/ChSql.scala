@@ -1384,6 +1384,85 @@ object ChSql {
     Tables.registerAll(spark, dir)
     spark.range(0, 100000000L).toDF("number").createOrReplaceTempView("system_numbers")
     spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
+
+    // ---- DDL / DML surface (reference src/Parsers/ParserCreateQuery.cpp,
+    // ParserInsertQuery.cpp; SURVEY §3.2). Session-scoped tables as temp
+    // views; ENGINE/ORDER BY/PARTITION BY clauses are storage hints our
+    // layout ops own (Layout.writeBucketed/compact), absorbed here.
+    val createRe =
+      "(?is)^\\s*CREATE\\s+(TABLE|VIEW|MATERIALIZED\\s+VIEW)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)(.*?)\\bAS\\b\\s+(SELECT.*)$".r
+    val dropRe = "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
+    val insertSelRe = "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s+(SELECT.*)$".r
+    val insertValRe = "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s+VALUES\\s*(.*)$".r
+    // lightweight mutations on session tables (reference
+    // MutationsInterpreter.cpp; parquet-backed tables use ops.Mutations)
+    val alterDelRe = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DELETE\\s+WHERE\\s+(.*?);?\\s*$".r
+    val alterUpdRe = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+UPDATE\\s+(.*?)\\s+WHERE\\s+(.*?);?\\s*$".r
+    val truncateRe = "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
+    val optimizeRe = "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+(\\w+).*$".r
+    val ddl: Option[DataFrame] = chQuery match {
+      case createRe(kind, name, _, inner) =>
+        val df = sql(spark, dir, inner)
+        val out = if (kind.toUpperCase.startsWith("MATERIALIZED")) {
+          // materialized: compute & persist the RESULT, not the query
+          val m = df.persist()
+          m.count()
+          m
+        } else df
+        out.createOrReplaceTempView(name)
+        Some(out)
+      case dropRe(name) =>
+        spark.catalog.dropTempView(name)
+        Some(spark.range(0).toDF("dropped"))
+      case insertSelRe(name, inner) =>
+        val existing = spark.table(name)
+        val appended = existing.unionByName(
+          sql(spark, dir, inner).toDF(existing.columns: _*))
+        appended.createOrReplaceTempView(name)
+        Some(appended)
+      case insertValRe(name, values) =>
+        val existing = spark.table(name)
+        val cols = existing.columns.mkString(", ")
+        val appended = existing.unionByName(
+          spark.sql(s"SELECT * FROM (VALUES ${rewrite(values)}) AS __v($cols)"))
+        appended.createOrReplaceTempView(name)
+        Some(appended)
+      case alterDelRe(name, pred) =>
+        val kept = spark.table(name)
+          .filter(s"NOT (${rewrite(pred)})")
+        kept.createOrReplaceTempView(name)
+        Some(kept)
+      case alterUpdRe(name, assigns, pred) =>
+        val t = spark.table(name)
+        // col = expr pairs, split at paren-depth 0
+        val updates = splitArgs(assigns).map { a =>
+          val i = a.indexOf('=')
+          a.take(i).trim -> rewrite(a.drop(i + 1).trim)
+        }.toMap
+        val p = rewrite(pred)
+        val projected = t.columns.map { c =>
+          updates.get(c) match {
+            case Some(e) => s"CASE WHEN ($p) THEN ($e) ELSE $c END AS $c"
+            case None => c
+          }
+        }.mkString(", ")
+        val updated = spark.sql(s"SELECT $projected FROM $name")
+        updated.createOrReplaceTempView(name)
+        Some(updated)
+      case truncateRe(name) =>
+        val empty = spark.table(name).limit(0)
+        empty.createOrReplaceTempView(name)
+        Some(empty)
+      case optimizeRe(name) =>
+        // merges/FINAL are a no-op here: session tables have no parts;
+        // parquet-backed layouts use Layout.compact
+        Some(spark.table(name))
+      case _ => None
+    }
+    ddl match {
+      case Some(df) => return df
+      case None => ()
+    }
     // EXPLAIN [SYNTAX|PLAN|PIPELINE|...] (reference
     // src/Interpreters/InterpreterExplainQuery.cpp): SYNTAX returns the
     // dialect-rewritten Spark SQL text (the analog of CH's rewritten

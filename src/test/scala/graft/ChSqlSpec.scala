@@ -421,6 +421,45 @@ class ChSqlSpec extends AnyFunSuite {
       s"uniqTheta ${r.getLong(4)} vs exact $exact")
   }
 
+  test("DDL surface: CREATE TABLE AS / MATERIALIZED VIEW / INSERT / DROP") {
+    ch("""CREATE TABLE t_sess ENGINE = MergeTree ORDER BY o_orderkey AS
+         |SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000""".stripMargin)
+    val n0 = ch("SELECT count() AS n FROM t_sess").collect()(0).getLong(0)
+    assert(n0 > 0)
+    ch("INSERT INTO t_sess SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 100000")
+    val total = graft.core.Tables.t(spark, sf, "orders").count()
+    assert(ch("SELECT count() AS n FROM t_sess").collect()(0).getLong(0) == total)
+    ch("INSERT INTO t_sess VALUES (999999, 1.5), (999998, 2.5)")
+    assert(ch("SELECT count() AS n FROM t_sess").collect()(0).getLong(0) == total + 2)
+    assert(ch("SELECT o_totalprice AS p FROM t_sess WHERE o_orderkey = 999999")
+      .collect()(0).getDouble(0) == 1.5)
+    ch("""CREATE MATERIALIZED VIEW mv_sess AS
+         |SELECT count() AS n FROM t_sess""".stripMargin)
+    assert(ch("SELECT n FROM mv_sess").collect()(0).getLong(0) == total + 2)
+    ch("DROP TABLE t_sess")
+    assert(!spark.catalog.tableExists("t_sess"))
+    ch("DROP VIEW mv_sess")
+  }
+
+  test("ALTER TABLE UPDATE/DELETE, TRUNCATE, OPTIMIZE on session tables") {
+    ch("CREATE TABLE t_mut AS SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders")
+    val total = graft.core.Tables.t(spark, sf, "orders").count()
+    ch("ALTER TABLE t_mut DELETE WHERE o_totalprice < 50000")
+    val kept = ch("SELECT count() AS n FROM t_mut").collect()(0).getLong(0)
+    val expectKept = graft.core.Tables.t(spark, sf, "orders")
+      .filter(col("o_totalprice") >= 50000).count()
+    assert(kept == expectKept && kept < total)
+    ch("ALTER TABLE t_mut UPDATE o_orderstatus = 'X', o_totalprice = o_totalprice * 2 WHERE o_orderkey % 2 = 0")
+    val r = ch("""SELECT countIf(o_orderstatus = 'X') AS x,
+                 |countIf(o_orderkey % 2 = 0) AS even FROM t_mut""".stripMargin).collect()(0)
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(0) > 0)
+    ch("OPTIMIZE TABLE t_mut FINAL")
+    assert(ch("SELECT count() AS n FROM t_mut").collect()(0).getLong(0) == kept)
+    ch("TRUNCATE TABLE t_mut")
+    assert(ch("SELECT count() AS n FROM t_mut").collect()(0).getLong(0) == 0L)
+    ch("DROP TABLE t_mut")
+  }
+
   test("GROUP BY WITH TOTALS adds the grand-total row") {
     val rows = ch("""SELECT l_returnflag, sum(l_quantity) AS s
                     |FROM lineitem GROUP BY l_returnflag WITH TOTALS""".stripMargin)
