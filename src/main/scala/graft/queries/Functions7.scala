@@ -81,6 +81,21 @@ object Functions7 {
         sum(price).cast("decimal(38,2)").as("s_price"),
         sum(price * disc).cast("decimal(38,4)").as("s_disc"),
         count(price).as("n")))
+    },
+
+    // hasSubsequence (reference src/Functions/hasSubsequence.cpp) — the
+    // codegen fold the ChSql template emits, oracle-checked against an
+    // INDEPENDENT formulation (DuckDB regex with '.*'-joined chars; the
+    // fixture text is [a-zA-Z0-9 ] only, so needles are regex-safe).
+    "q_fn_subsequence" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      def subseq(n: String) =
+        s"aggregate(split(text, ''), 0, (p, c) -> " +
+          s"IF(p < length($n) AND c = substring($n, p + 1, 1), p + 1, p)) = length($n)"
+      ordered(d.selectExpr("doc_id",
+        subseq("substring(text, 5, 3)") + " AS s_in",
+        subseq("reverse(substring(text, 1, 4))") + " AS s_rev",
+        subseq("'zqxjkw'") + " AS s_rare"))
     }
   )
 
@@ -150,6 +165,14 @@ object Functions7 {
         |  count(l_extendedprice) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST, s_price NULLS FIRST,
-        |  s_disc NULLS FIRST, n NULLS FIRST""".stripMargin
+        |  s_disc NULLS FIRST, n NULLS FIRST""".stripMargin,
+    "q_fn_subsequence" ->
+      """SELECT doc_id,
+        |  regexp_matches(text, array_to_string(string_split(substring(text, 5, 3), ''), '.*')) AS s_in,
+        |  regexp_matches(text, array_to_string(string_split(reverse(substring(text, 1, 4)), ''), '.*')) AS s_rev,
+        |  regexp_matches(text, 'z.*q.*x.*j.*k.*w') AS s_rare
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST, s_in NULLS FIRST, s_rev NULLS FIRST,
+        |  s_rare NULLS FIRST""".stripMargin
   )
 }
