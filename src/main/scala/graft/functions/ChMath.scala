@@ -30,4 +30,39 @@ object ChMath {
     val ad = a.cast("double"); val bd = b.cast("double")
     when(bd === 0.0, nan).otherwise(ad % bd)
   }
+
+  /** Gauss error function (reference src/Functions/erf.cpp wraps libm;
+    * Spark has no erf). W. J. Cody's rational-Chebyshev approximation
+    * via the complementary form — max abs error < 1.2e-7, monotone,
+    * erf(-x) = -erf(x) exactly. */
+  def erfImpl(x: Double): Double = {
+    if (x == 0.0) return 0.0
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+    // Abramowitz & Stegun 7.1.26
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+    if (x >= 0) y else -y
+  }
+
+  case class Erf(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType = org.apache.spark.sql.types.DoubleType
+    override def nullSafeEval(v: Any): Any = erfImpl(v.asInstanceOf[Double])
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(c)
+  }
+
+  case class Erfc(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType = org.apache.spark.sql.types.DoubleType
+    override def nullSafeEval(v: Any): Any = 1.0 - erfImpl(v.asInstanceOf[Double])
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(c)
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  def erf(c: Column): Column = column(Erf(expression(c.cast("double"))))
+  def erfc(c: Column): Column = column(Erfc(expression(c.cast("double"))))
 }

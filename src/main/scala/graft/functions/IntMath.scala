@@ -24,6 +24,18 @@ case class Gcd(left: Expression, right: Expression) extends BinaryExpression {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** byteSwap (reference src/Functions/byteSwap.cpp): reverse the byte
+  * order of the 64-bit value — codegen'd straight to the JDK intrinsic. */
+case class ByteSwap(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.reverseBytes(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = java.lang.Long.reverseBytes($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 case class Lcm(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(l: Any, r: Any): Any =
@@ -55,4 +67,7 @@ object IntMath {
 
   def lcm(a: Column, b: Column): Column =
     column(Lcm(expression(a.cast("long")), expression(b.cast("long"))))
+
+  def byteSwap(a: Column): Column =
+    column(ByteSwap(expression(a.cast("long"))))
 }

@@ -19,6 +19,10 @@ object GraftFunctions {
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.LongType)
 
+  private def asDouble(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DoubleType)
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(i: Int, IntegerType) => i
     case other => throw new IllegalArgumentException(
@@ -88,6 +92,12 @@ object GraftFunctions {
     (FunctionIdentifier("string_jaccard_index"), info("string_jaccard_index"),
       (es: Seq[Expression]) => graft.functions.StringDistances.StringJaccardIndex(es(0), es(1))),
     (FunctionIdentifier("extract_text_from_html"), info("extract_text_from_html"),
-      (es: Seq[Expression]) => graft.functions.Html.ExtractTextFromHtml(es.head))
+      (es: Seq[Expression]) => graft.functions.Html.ExtractTextFromHtml(es.head)),
+    (FunctionIdentifier("erf"), info("erf"),
+      (es: Seq[Expression]) => graft.functions.ChMath.Erf(asDouble(es.head))),
+    (FunctionIdentifier("erfc"), info("erfc"),
+      (es: Seq[Expression]) => graft.functions.ChMath.Erfc(asDouble(es.head))),
+    (FunctionIdentifier("byte_swap"), info("byte_swap"),
+      (es: Seq[Expression]) => graft.functions.ByteSwap(asLong(es.head)))
   )
 }

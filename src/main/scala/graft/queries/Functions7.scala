@@ -96,6 +96,18 @@ object Functions7 {
         subseq("substring(text, 5, 3)") + " AS s_in",
         subseq("reverse(substring(text, 1, 4))") + " AS s_rev",
         subseq("'zqxjkw'") + " AS s_rare"))
+    },
+
+    // End-to-end DIALECT date math (batch-11 templates through
+    // ChSql.sql): Modified-Julian-Day round trip + changeYear, vs
+    // DuckDB's native date arithmetic.
+    "q_fn_mjd" -> { (s, dir) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT o_orderkey,
+          |  toModifiedJulianDay(o_orderdate) AS mjd,
+          |  fromModifiedJulianDay(toModifiedJulianDay(o_orderdate) + 10) AS d10,
+          |  changeYear(o_orderdate, 2000) AS cy
+          |FROM orders WHERE o_orderkey < 500""".stripMargin))
     }
   )
 
@@ -173,6 +185,14 @@ object Functions7 {
         |  regexp_matches(text, 'z.*q.*x.*j.*k.*w') AS s_rare
         |FROM documents
         |ORDER BY doc_id NULLS FIRST, s_in NULLS FIRST, s_rev NULLS FIRST,
-        |  s_rare NULLS FIRST""".stripMargin
+        |  s_rare NULLS FIRST""".stripMargin,
+    "q_fn_mjd" ->
+      """SELECT o_orderkey,
+        |  CAST(datediff('day', DATE'1858-11-17', CAST(o_orderdate AS DATE)) AS INT) AS mjd,
+        |  CAST(o_orderdate AS DATE) + 10 AS d10,
+        |  make_date(2000, month(o_orderdate), day(o_orderdate)) AS cy
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey NULLS FIRST, mjd NULLS FIRST, d10 NULLS FIRST,
+        |  cy NULLS FIRST""".stripMargin
   )
 }

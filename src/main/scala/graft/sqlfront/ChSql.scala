@@ -319,7 +319,15 @@ object ChSql {
     "sumDistinct" -> "t", "avgDistinct" -> "t", "countDistinct" -> "t",
     "argMinIf" -> "t", "argMaxIf" -> "t",
     "quantileDeterministic" -> "t",
-    "uniqTheta" -> "uniq_theta"
+    "uniqTheta" -> "uniq_theta",
+    // ---- batch 11: math/date/encoding tail ----
+    "byteSwap" -> "byte_swap",
+    "toModifiedJulianDay" -> "t", "fromModifiedJulianDay" -> "t",
+    "changeYear" -> "t", "changeMonth" -> "t", "changeDay" -> "t",
+    "countDigits" -> "t",
+    "encodeXMLComponent" -> "t", "decodeXMLComponent" -> "t",
+    "base64URLEncode" -> "t", "base64URLDecode" -> "t",
+    "bar" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1274,6 +1282,40 @@ object ChSql {
       s"min_by(${a(0)}, CASE WHEN ${a(2)} THEN ${a(1)} END)")
     q = rewriteCalls(q, "argMaxIf")(a =>
       s"max_by(${a(0)}, CASE WHEN ${a(2)} THEN ${a(1)} END)")
+    // ---- batch 11 templates ----
+    // Modified Julian Day epoch = 1858-11-17 (reference
+    // fromModifiedJulianDay.cpp)
+    q = rewriteCalls(q, "toModifiedJulianDay")(a =>
+      s"datediff(CAST(${a(0)} AS DATE), DATE'1858-11-17')")
+    q = rewriteCalls(q, "fromModifiedJulianDay")(a =>
+      s"date_add(DATE'1858-11-17', CAST(${a(0)} AS INT))")
+    // changeDate family (reference changeDate.cpp): swap one component
+    q = rewriteCalls(q, "changeYear")(a =>
+      s"make_date(${a(1)}, month(${a(0)}), day(${a(0)}))")
+    q = rewriteCalls(q, "changeMonth")(a =>
+      s"make_date(year(${a(0)}), ${a(1)}, day(${a(0)}))")
+    q = rewriteCalls(q, "changeDay")(a =>
+      s"make_date(year(${a(0)}), month(${a(0)}), ${a(1)})")
+    q = rewriteCalls(q, "countDigits")(a =>
+      s"length(CAST(abs(${a(0)}) AS STRING))")
+    // XML entity codec (reference encodeXMLComponent.cpp) — ordered
+    // replace chains; decode reverses with &amp; LAST
+    q = rewriteCalls(q, "encodeXMLComponent")(a =>
+      s"replace(replace(replace(replace(replace(${a(0)}, " +
+        "'&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), \"'\", '&apos;')")
+    q = rewriteCalls(q, "decodeXMLComponent")(a =>
+      s"replace(replace(replace(replace(replace(${a(0)}, " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', \"'\"), '&amp;', '&')")
+    // URL-safe base64 alphabet (reference base64URLEncode.cpp)
+    q = rewriteCalls(q, "base64URLEncode")(a =>
+      s"translate(base64(CAST(${a(0)} AS BINARY)), '+/', '-_')")
+    q = rewriteCalls(q, "base64URLDecode")(a =>
+      s"CAST(unbase64(translate(${a(0)}, '-_', '+/')) AS STRING)")
+    // bar(x, min, max, width) — full blocks only (the reference also
+    // emits eighth-blocks for the fractional tail)
+    q = rewriteCalls(q, "bar")(a =>
+      s"repeat('█', CAST(greatest((${a(0)} - (${a(1)})) * ${a(3)} " +
+        s"/ ((${a(2)}) - (${a(1)})), 0) AS INT))")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

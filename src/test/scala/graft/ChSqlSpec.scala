@@ -460,6 +460,36 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_mut")
   }
 
+  test("batch-11 names: erf, byteSwap, MJD, changeDate, XML codec, base64URL, bar") {
+    val r = ch("""SELECT round(erf(1.0), 5) AS e1, round(erfc(1.0), 5) AS ec1,
+                 |erf(0.0) AS e0,
+                 |byteSwap(1) AS bs,
+                 |toModifiedJulianDay(DATE'1858-11-17') AS mjd0,
+                 |toModifiedJulianDay(DATE'2024-01-01') AS mjd,
+                 |fromModifiedJulianDay(60310) AS d,
+                 |changeYear(DATE'2024-03-15', 2020) AS cy,
+                 |changeMonth(DATE'2024-03-15', 7) AS cm,
+                 |countDigits(12345) AS cd, countDigits(0) AS cd0,
+                 |encodeXMLComponent('a<b & "c"') AS ex,
+                 |decodeXMLComponent('a&lt;b &amp; &quot;c&quot;') AS dx,
+                 |base64URLDecode(base64URLEncode('graft?engine>v1')) AS rt,
+                 |bar(15, 0, 20, 10) AS br
+                 |FROM system.one""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.8427) < 2e-4) // A&S approx, |err|<1.5e-7... rounded
+    assert(math.abs(r.getDouble(0) + r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getLong(3) == 72057594037927936L) // 1L << 56
+    assert(r.getInt(4) == 0 && r.getInt(5) == 60310)
+    assert(r.getDate(6).toString == "2024-01-01")
+    assert(r.getDate(7).toString == "2020-03-15")
+    assert(r.getDate(8).toString == "2024-07-15")
+    assert(r.getInt(9) == 5 && r.getInt(10) == 1)
+    assert(r.getString(11) == "a&lt;b &amp; &quot;c&quot;")
+    assert(r.getString(12) == "a<b & \"c\"")
+    assert(r.getString(13) == "graft?engine>v1")
+    assert(r.getString(14) == "█" * 7) // floor(15*10/20)
+  }
+
   test("GROUP BY WITH TOTALS adds the grand-total row") {
     val rows = ch("""SELECT l_returnflag, sum(l_quantity) AS s
                     |FROM lineitem GROUP BY l_returnflag WITH TOTALS""".stripMargin)
