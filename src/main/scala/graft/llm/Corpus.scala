@@ -141,6 +141,32 @@ object Corpus {
       .drop("__rn")
   }
 
+  /** Perplexity-proxy quality score (the CCNet/KenLM filter shape,
+    * Wenzek et al. 2020): train a token-bigram LM on the corpus itself,
+    * score each document by its mean bigram log-probability
+    * ln c(w1,w2)/c(w1). Low scores = improbable token sequences =
+    * gibberish/boilerplate candidates. Two groupBys build the model
+    * (observed bigrams only — O(corpus tokens), never vocab²); scoring
+    * is one join from a doc's bigrams to the model. Self-trained, so
+    * every bigram is observed (no smoothing needed) and the whole thing
+    * is deterministic and engine-exact up to the final mean. */
+  def bigramLogProb(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = split(textCol, " ")
+    val pairs = docs.select(idCol.as("id"),
+        posexplode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+      .select(col("id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = bi.join(uni, "w1")
+      .select(col("w1"), col("w2"), log(col("c12").cast("double") / col("c1")).as("lp"))
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy("id")
+      .agg(round(avg(col("lp")), 6).as("avg_logp"), count(lit(1)).as("n_pairs"))
+  }
+
   /** Data-mixture planning: apportion an integer token `budget` across
     * groups proportionally to their weights, with the largest-remainder
     * (Hamilton) method — allocations are integers, sum EXACTLY to the

@@ -47,6 +47,13 @@ object LlmOps6 {
         n = 8, minDocs = 2))
     },
 
+    // Perplexity-proxy quality scoring: self-trained token-bigram LM,
+    // per-doc mean log-probability (the CCNet/KenLM filter shape).
+    "q_lm_logprob" -> { (s, dir) =>
+      ordered(graft.llm.Corpus.bigramLogProb(T(s, dir)("documents"),
+        col("doc_id"), col("text")))
+    },
+
     // Video-analog frame sampling: binary assets -> one row per sampled
     // frame (flatMap demuxer stub; real plumbing — see Multimodal).
     // Frames rendered as hex so both engines compare byte-exactly.
@@ -127,6 +134,20 @@ object LlmOps6 {
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY gram NULLS FIRST, n_docs NULLS FIRST, n_occurrences NULLS FIRST""".stripMargin,
+    "q_lm_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |    list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})
+        |    ELSE [] END) AS pr FROM d),
+        |pairs AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+        |model AS (SELECT bi.w1, bi.w2, ln(CAST(c12 AS DOUBLE) / c1) AS lp
+        |  FROM bi JOIN uni ON bi.w1 = uni.w1)
+        |SELECT doc_id AS id, round(avg(lp), 6) AS avg_logp, count(*) AS n_pairs
+        |FROM pairs JOIN model ON pairs.w1 = model.w1 AND pairs.w2 = model.w2
+        |GROUP BY doc_id
+        |ORDER BY id NULLS FIRST, avg_logp NULLS FIRST, n_pairs NULLS FIRST""".stripMargin,
     "q_multimodal_frames" ->
       """WITH a AS (SELECT doc_id AS asset_id, text AS s FROM documents)
         |SELECT asset_id, CAST(f AS INT) AS frame_idx,
