@@ -158,13 +158,19 @@ object Corpus {
             i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
       .select(col("id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
-    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // ONE pass over the exploded pairs: per-doc bigram multiplicities.
+    // Bigram totals roll up from that, unigram totals roll up from the
+    // bigram totals (c1 = Σ_w2 c12) — the raw pairs are never re-scanned.
+    val pairAgg = pairs.groupBy("id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .persist()
+    val bi = pairAgg.groupBy("w1", "w2").agg(sum("m").as("c12"))
+    val uni = bi.groupBy("w1").agg(sum("c12").as("c1"))
     val model = bi.join(uni, "w1")
       .select(col("w1"), col("w2"), log(col("c12").cast("double") / col("c1")).as("lp"))
-    pairs.join(model, Seq("w1", "w2"))
+    pairAgg.join(model, Seq("w1", "w2"))
       .groupBy("id")
-      .agg(round(avg(col("lp")), 6).as("avg_logp"), count(lit(1)).as("n_pairs"))
+      .agg(round(sum(col("m") * col("lp")) / sum(col("m")), 6).as("avg_logp"),
+        sum(col("m")).as("n_pairs"))
   }
 
   /** Data-mixture planning: apportion an integer token `budget` across
