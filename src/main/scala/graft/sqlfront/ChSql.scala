@@ -327,7 +327,7 @@ object ChSql {
     "countDigits" -> "t",
     "encodeXMLComponent" -> "t", "decodeXMLComponent" -> "t",
     "base64URLEncode" -> "t", "base64URLDecode" -> "t",
-    "bar" -> "t"
+    "bar" -> "t", "extractKeyValuePairs" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1316,6 +1316,14 @@ object ChSql {
     q = rewriteCalls(q, "bar")(a =>
       s"repeat('█', CAST(greatest((${a(0)} - (${a(1)})) * ${a(3)} " +
         s"/ ((${a(2)}) - (${a(1)})), 0) AS INT))")
+    // extractKeyValuePairs (reference extractKeyValuePairs.cpp): CH takes
+    // (data[, kvDelim[, pairDelims]]); Spark's str_to_map wants
+    // (data, pairDelim, kvDelim) with regex delimiters
+    q = rewriteCalls(q, "extractKeyValuePairs") { a =>
+      val kv = if (a.length > 1) a(1) else "':'"
+      val pair = if (a.length > 2) s"concat('[', ${a(2)}, ']+')" else "'[,;] *'"
+      s"str_to_map(${a(0)}, $pair, $kv)"
+    }
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -488,6 +488,9 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getString(12) == "a<b & \"c\"")
     assert(r.getString(13) == "graft?engine>v1")
     assert(r.getString(14) == "█" * 7) // floor(15*10/20)
+    val kv = ch("SELECT extractKeyValuePairs('name:neo, role:the one') AS m FROM system.one")
+      .collect()(0).getMap[String, String](0)
+    assert(kv("name") == "neo" && kv("role") == "the one")
   }
 
   test("GROUP BY WITH TOTALS adds the grand-total row") {
