@@ -30,6 +30,15 @@ object LlmOps6 {
       ordered(Graphs.canonicalAssignment(docs, "doc_id", pairs, "a", "b"))
     },
 
+    // Connected components over a SECOND edge source — embedding cosine
+    // pairs (>= 0.45, the q_dedup_embedding pair set): semantic
+    // duplicate clusters with the min vec_id as canonical.
+    "q_semantic_components" -> { (s, dir) =>
+      val emb = T(s, dir)("embeddings")
+      val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      ordered(Graphs.canonicalAssignment(emb, "vec_id", pairs, "a", "b"))
+    },
+
     // SemDeDup: cluster embeddings around 8 fixed seed vectors
     // (vec_id < 8 — reproducible on both engines), drop any vector with
     // a lower-id in-cluster near-duplicate at cosine >= 0.3.
@@ -134,6 +143,25 @@ object LlmOps6 {
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY gram NULLS FIRST, n_docs NULLS FIRST, n_occurrences NULLS FIRST""".stripMargin,
+    "q_semantic_components" ->
+      """WITH RECURSIVE e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a, b FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+        |      / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
+        |         * sqrt(list_sum(list_transform(y.v, t -> t * t)))) AS cos
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        |  WHERE cos >= 0.45),
+        |sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |walk(id, lbl) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT sym.b, w.lbl FROM walk w JOIN sym ON sym.a = w.id),
+        |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+        |SELECT vec_id AS id, coalesce(component, vec_id) AS canonical
+        |FROM embeddings LEFT JOIN comp ON embeddings.vec_id = comp.id
+        |ORDER BY id NULLS FIRST, canonical NULLS FIRST""".stripMargin,
     "q_lm_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |p AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
