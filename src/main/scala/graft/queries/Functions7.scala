@@ -72,14 +72,17 @@ object Functions7 {
     // Exact Decimal aggregation (reference Decimal32/64/128 sum semantics
     // — DataTypeDecimalBase): fixed-point sums are EXACT, no FP drift,
     // any partial-aggregation order gives the identical result. Spark's
-    // Tungsten decimal sum vs DuckDB's DECIMAL(38,2) sum.
+    // Tungsten decimal sum vs DuckDB's DECIMAL(38,2) sum. The final
+    // decimals are rendered as fixed-scale STRINGS on both sides so the
+    // compare is engine-stable (decimal value canonicalization differs
+    // between arrow/duckdb renderers; the string form pins scale).
     "q_agg_decimal_exact" -> { (s, dir) =>
       val l = T(s, dir)("lineitem")
       val price = col("l_extendedprice").cast("decimal(18,2)")
       val disc = col("l_discount").cast("decimal(18,2)")
       ordered(l.groupBy(col("l_returnflag")).agg(
-        sum(price).cast("decimal(38,2)").as("s_price"),
-        sum(price * disc).cast("decimal(38,4)").as("s_disc"),
+        sum(price).cast("decimal(38,2)").cast("string").as("s_price"),
+        sum(price * disc).cast("decimal(38,4)").cast("string").as("s_disc"),
         count(price).as("n")))
     },
 
@@ -172,8 +175,8 @@ object Functions7 {
         |  wb_desc NULLS FIRST""".stripMargin,
     "q_agg_decimal_exact" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s_disc,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS s_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS s_disc,
         |  count(l_extendedprice) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST, s_price NULLS FIRST,
