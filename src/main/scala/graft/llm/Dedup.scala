@@ -242,22 +242,22 @@ object Dedup {
     * exact-substring duplication signal (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better"; suffix-array spans
     * approximated by fixed-length token n-grams). One explode + one
-    * groupBy; the shuffle carries (gram, id) pairs. At 100 TB the group
-    * key would be the 8-byte rolling hash of the gram (shuffle = hashes,
-    * ~16 B/row — TextHashes.RollingHash64 is that kernel); grouping on
-    * the gram string keeps this oracle-checkable and the plan shape is
-    * identical. Returns (gram, n_docs, n_occurrences). */
+    * groupBy KEYED ON the 8-byte xxhash64 of the gram, so the
+    * count-distinct shuffle carries (hash, id) = 16 B/row instead of the
+    * full ~n-word string (~8x the text bytes at corpus scale); the gram
+    * string itself survives only as one `first(gram)` representative per
+    * group for reporting (hash collisions merging two distinct grams are
+    * the standard accepted risk of hash-keyed span dedup, ~2^-64 per
+    * pair). Returns (gram, n_docs, n_occurrences). */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = graft.functions.TextHashes.token_ngrams(split(col(textCol), " "), n)
     docs.select(col(idCol).as("id"), explode(grams).as("gram"))
-      .groupBy("gram")
-      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .groupBy(xxhash64(col("gram")).as("gh"))
+      .agg(first(col("gram")).as("gram"),
+        countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
+      .select("gram", "n_docs", "n_occurrences")
   }
 
   /** Exact duplicate groups by full-text hash (the trivial-but-essential

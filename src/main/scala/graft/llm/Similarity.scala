@@ -190,23 +190,34 @@ object Similarity {
     * band; for near-parallel vectors that chance is (1-p1^r)^bands with
     * p1 = 1 - θ/π). Defaults (12 bands × 8 planes) put the miss chance
     * below 1e-4 for cosine ≥ 0.98 while bucketing ~96% of unrelated pairs
-    * apart. Deterministic hash planes — same candidates every run. */
+    * apart; for LOWER thresholds shorten the bands and widen the count
+    * (at t the collision rate is p1 = 1 - acos(t)/π; pick r, b so
+    * (1-p1^r)^b is negligible). Deterministic hash planes — same
+    * candidates every run.
+    *
+    * Shuffle discipline: the band self-join carries ONLY (id, band, sig)
+    * — 24 bytes per signature, never the vectors — so candidate
+    * generation's shuffle volume is bands×24 B/vector regardless of
+    * dimensionality; the exact-verify step then fetches the two vectors
+    * back by id with hash joins keyed on the (already shuffled-small)
+    * candidate list. */
   def cosinePairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, bands: Int = 12,
                           planesPerBand: Int = 8): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"))
-    val banded = e.select(col("id"), col("v"), col("nrm"),
+    val banded = e.select(col("id"),
       posexplode(graft.functions.VectorKernels.hyperplane_band_sigs(
         col("v"), bands, planesPerBand)).as(Seq("band", "bh")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.v").as("va"), col("y.v").as("vb"),
-        col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .dropDuplicates("a", "b")
-    cand.select(col("a"), col("b"),
+    val va = e.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = e.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }

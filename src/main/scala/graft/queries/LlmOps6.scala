@@ -32,10 +32,17 @@ object LlmOps6 {
 
     // Connected components over a SECOND edge source — embedding cosine
     // pairs (>= 0.45, the q_dedup_embedding pair set): semantic
-    // duplicate clusters with the min vec_id as canonical.
+    // duplicate clusters with the min vec_id as canonical. Edge
+    // generation is the BUCKETED path (band equi-join + exact verify —
+    // no cartesian self-join in the plan, asserted in PlanSpec); the
+    // exact quadratic pair set lives only in the oracle SQL. Band shape
+    // is threshold-adapted: at t=0.45 the per-plane collision rate is
+    // p1 = 1 - acos(0.45)/pi = 0.649, so 16 bands x 2 planes put the
+    // per-pair miss chance at (1 - p1^2)^16 < 2e-4.
     "q_semantic_components" -> { (s, dir) =>
       val emb = T(s, dir)("embeddings")
-      val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      val pairs = Similarity.cosinePairsBucketed(emb, "vec_id", "embedding",
+        0.45, bands = 16, planesPerBand = 2)
       ordered(Graphs.canonicalAssignment(emb, "vec_id", pairs, "a", "b"))
     },
 
@@ -49,8 +56,8 @@ object LlmOps6 {
 
     // Exact-substring duplication: token 8-gram spans present in >= 2
     // distinct documents (Lee et al. 2021 suffix-array dedup, n-gram
-    // approximation — see Dedup.duplicateSpans for the at-scale hashed
-    // variant of the same plan).
+    // approximation). The groupBy is keyed on xxhash64(gram) — the
+    // shuffle carries 16-byte (hash, id) rows, not the 8-word strings.
     "q_dup_ngram_spans" -> { (s, dir) =>
       ordered(Dedup.duplicateSpans(T(s, dir)("documents"), "doc_id", "text",
         n = 8, minDocs = 2))

@@ -91,6 +91,25 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs join leaked into the LSH plan:\n${plan.take(3000)}")
   }
 
+  test("q_semantic_components edge generation has no all-pairs join") {
+    // Edges for the component pass come from the banded-LSH equi-join +
+    // exact verify (fetch-by-id hash joins); the exact quadratic pair
+    // join exists only in the DuckDB oracle. A cartesian/theta self-join
+    // here would be the 100x-scale killer. The assertion targets the
+    // edge-list plan directly because connectedComponents immediately
+    // localCheckpoints its input (plan truncation), which would make a
+    // full-query plan check vacuously pass.
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val plan = graft.llm.Similarity.cosinePairsBucketed(
+        emb, "vec_id", "embedding", 0.45, bands = 16, planesPerBand = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into the semantic-components edge plan:\n${plan.take(3000)}")
+    assert(plan.contains("xxhash64") || plan.contains("hyperplane") ||
+      plan.contains("HyperplaneBandSigs"),
+      s"expected banded-signature generation in the plan:\n${plan.take(3000)}")
+  }
+
   test("decontamination plan broadcasts the benchmark grams (semi join)") {
     // The corpus side must stream map-side against a broadcast benchmark
     // set — a shuffled or nested-loop join would move the whole corpus.
