@@ -47,7 +47,8 @@ object SparkEntry {
       (graft.queries.Aggregates7.queries, graft.queries.Aggregates7.oracleSql),
       (graft.queries.TpchMore2.queries, graft.queries.TpchMore2.oracleSql),
       (graft.queries.Functions7.queries, graft.queries.Functions7.oracleSql),
-      (graft.queries.LlmOps6.queries, graft.queries.LlmOps6.oracleSql)
+      (graft.queries.LlmOps6.queries, graft.queries.LlmOps6.oracleSql),
+      (graft.queries.NlpTail.queries, graft.queries.NlpTail.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

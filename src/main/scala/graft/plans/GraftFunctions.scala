@@ -29,6 +29,18 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Catalyst-level dictionary lookup with identity/default fallback:
+    * coalesce(element_at(mapLit, lower(x)), orElse(lower(x))). Built from
+    * raw Catalyst nodes — a Column built via the public functions API
+    * stays a ColumnNodeExpression (unevaluable) inside a FunctionBuilder,
+    * so the composite must be assembled at the Expression layer here. */
+  private def dictLookup(mapLit: Expression, word: Expression,
+                         orElse: Expression => Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, ElementAt, Lower}
+    val lw = Lower(word)
+    Coalesce(Seq(ElementAt(mapLit, lw), orElse(lw)))
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("ipv6_string_to_num"), info("ipv6_string_to_num"),
       (es: Seq[Expression]) => Codecs.Ipv6StringToNum(es.head)),
@@ -98,6 +110,27 @@ object GraftFunctions {
     (FunctionIdentifier("erfc"), info("erfc"),
       (es: Seq[Expression]) => graft.functions.ChMath.Erfc(asDouble(es.head))),
     (FunctionIdentifier("byte_swap"), info("byte_swap"),
-      (es: Seq[Expression]) => graft.functions.ByteSwap(asLong(es.head)))
+      (es: Seq[Expression]) => graft.functions.ByteSwap(asLong(es.head))),
+    (FunctionIdentifier("lemmatize_dict"), info("lemmatize_dict"),
+      (es: Seq[Expression]) => dictLookup(
+        Literal.create(graft.llm.Nlp.lemmaDict.toMap,
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+        es.head, identity)),
+    (FunctionIdentifier("synonyms_dict"), info("synonyms_dict"),
+      (es: Seq[Expression]) => dictLookup(
+        Literal.create(graft.llm.Nlp.synonymSets.flatMap(s => s.map(w => w -> s)).toMap,
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))),
+        es.head,
+        _ => Literal.create(Seq.empty[String],
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))),
+    (FunctionIdentifier("token_ngrams"), info("token_ngrams"),
+      (es: Seq[Expression]) =>
+        graft.functions.TokenNgrams(es(0), intLit(es(1), "ngram size")))
   )
 }

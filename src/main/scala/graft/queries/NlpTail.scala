@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.llm.Nlp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 NLP-classification tail (reference src/Functions/lemmatize.cpp,
+  * synonyms.cpp, FunctionsTonalityClassification.cpp,
+  * FunctionsProgrammingClassification.cpp): dictionary lemmatization,
+  * synonym sets, sentiment and programming-language classification. The
+  * oracle dictionaries are rendered from the SAME Scala data (Nlp.sqlMap*)
+  * so both engines share one dictionary source. */
+object NlpTail {
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame = Tables.t(s, dir, n)
+
+  /** Fixed inflected sample run through the lemmatizer on every row:
+    * irregulars, generated regular forms, and unknowns (identity). */
+  private val lemmaSample = Seq("went", "mice", "children", "running",
+    "tables", "queries", "merged", "scanning", "batches", "keys", "sorted",
+    "joining", "thes", "zzz")
+
+  val queries: Map[String, Q] = Map(
+    // Dictionary lemmatization over the leading tokens of each document
+    // plus a fixed inflected sample (irregular + regular + unknown forms).
+    "q_fn_lemmatize" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      val head = slice(split(col("text"), " "), 1, 6)
+      val sample = array(lemmaSample.map(lit): _*)
+      ordered(d.select(
+        col("doc_id"),
+        array_join(transform(head, t => Nlp.lemmatize(t)), " ").as("lemma_head"),
+        array_join(transform(sample, t => Nlp.lemmatize(t)), " ").as("lemma_sample")))
+    },
+
+    // Synonym-set lookup for the 3rd token of each document (full set
+    // returned, unknown -> empty array — reference synonyms.cpp contract).
+    "q_fn_synonyms" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      val w = element_at(split(col("text"), " "), 3)
+      ordered(d.select(
+        col("doc_id"), w.as("w"), Nlp.synonyms(w).as("syns")))
+    },
+
+    // Sentiment: average emotional-dictionary weight of matched words,
+    // rescaled to [-1, 1] (positive /6, negative /12 — the reference's
+    // asymmetric -12..6 dictionary range), 0 when nothing matches.
+    "q_fn_tonality" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      ordered(d.select(
+        col("doc_id"), Nlp.detectTonality(col("text")).as("tone")))
+    },
+
+    // Programming-language profile vote: keyword token hits per profile,
+    // max wins (earlier profile on ties), no hits -> 'undefined'.
+    "q_fn_prog_lang" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      ordered(d.select(
+        col("doc_id"),
+        Nlp.detectProgrammingLanguage(col("text")).as("lang")))
+    }
+  )
+
+  private val lemmaSampleSql = Nlp.sqlList(lemmaSample)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_fn_lemmatize" ->
+      s"""WITH m AS (SELECT ${Nlp.sqlMap(Nlp.lemmaDict)} AS dict)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(string_split(text, ' ')[1:6],
+         |    t -> coalesce(map_extract(dict, lower(t))[1], lower(t))), ' ') AS lemma_head,
+         |  array_to_string(list_transform($lemmaSampleSql,
+         |    t -> coalesce(map_extract(dict, lower(t))[1], lower(t))), ' ') AS lemma_sample
+         |FROM documents CROSS JOIN m
+         |ORDER BY doc_id NULLS FIRST, lemma_head NULLS FIRST,
+         |  lemma_sample NULLS FIRST""".stripMargin,
+    "q_fn_synonyms" ->
+      s"""WITH m AS (SELECT ${Nlp.sqlMapList(Nlp.synPairs)} AS dict)
+         |SELECT doc_id, string_split(text, ' ')[3] AS w,
+         |  coalesce(map_extract(dict, lower(string_split(text, ' ')[3]))[1],
+         |    []::VARCHAR[]) AS syns
+         |FROM documents CROSS JOIN m
+         |ORDER BY doc_id NULLS FIRST, w NULLS FIRST, syns NULLS FIRST""".stripMargin,
+    "q_fn_tonality" ->
+      s"""WITH m AS (SELECT ${Nlp.sqlMapInt(Nlp.tonalityDict)} AS dict),
+         |t AS (SELECT doc_id,
+         |    list_filter(list_transform(
+         |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+         |      x -> map_extract(dict, x)[1]), v -> v IS NOT NULL) AS ws
+         |  FROM documents CROSS JOIN m)
+         |SELECT doc_id,
+         |  CASE WHEN len(ws) = 0 THEN 0.0
+         |       WHEN list_sum(ws) > 0 THEN CAST(list_sum(ws) AS DOUBLE) / len(ws) / 6.0
+         |       ELSE CAST(list_sum(ws) AS DOUBLE) / len(ws) / 12.0 END AS tone
+         |FROM t
+         |ORDER BY doc_id NULLS FIRST, tone NULLS FIRST""".stripMargin,
+    "q_fn_prog_lang" -> {
+      val hits = Nlp.progKeywords.map { case (lang, kws) =>
+        s"len(list_filter(toks, x -> list_contains(${Nlp.sqlList(kws)}, x))) AS c_$lang"
+      }.mkString(",\n         |    ")
+      val langs = Nlp.progKeywords.map(_._1)
+      val branches = langs.zipWithIndex.map { case (lang, i) =>
+        val later = langs.drop(i + 1).map(o => s"c_$lang >= c_$o")
+        val cond = (s"c_$lang > 0" +: later).mkString(" AND ")
+        s"WHEN $cond THEN '$lang'"
+      }.mkString("\n         |    ")
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    $hits
+         |  FROM t)
+         |SELECT doc_id, CASE
+         |    $branches
+         |    ELSE 'undefined' END AS lang
+         |FROM c
+         |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST""".stripMargin
+    }
+  )
+}

@@ -193,9 +193,15 @@ object ChSql {
     "isIPv4String" -> "t", "isIPv6String" -> "t",
     "geohashEncode" -> "geohash_encode", "geohashDecode" -> "geohash_decode",
     "stem" -> "t", // template: CH stem('en', s) takes the language FIRST
+    // NLP classification (dictionary-backed kernels — llm.Nlp)
+    "lemmatize" -> "t", "synonyms" -> "t",
+    "detectTonality" -> "t", "detectProgrammingLanguage" -> "t",
     // misc
     "currentDatabase" -> "current_database", "currentUser" -> "current_user",
     "version" -> "version", "materialize" -> "t", "identity" -> "t",
+    "now64" -> "t", "runningAccumulate" -> "t",
+    "firstSignificantSubdomain" -> "t", "cutToFirstSignificantSubdomain" -> "t",
+    "dictGet" -> "t", "dictGetOrDefault" -> "t",
     // ---- batch 3 ----
     // NOTE: no toWeek alias — CH default mode 0 is Sunday-first 0..53,
     // which weekofyear (ISO) would silently misnumber; toISOWeek covers
@@ -344,6 +350,41 @@ object ChSql {
   private def jsonPath(a: Seq[String]): String = {
     val k = a(1).trim
     if (k.startsWith("'$")) k else s"concat('$$.', $k)"
+  }
+
+  /** Strip surrounding single quotes from a name-valued argument
+    * (dictGet-style calls pass table/column names as string literals). */
+  private def stripName(s: String): String = s.trim.stripPrefix("'").stripSuffix("'")
+
+  /** detectTonality(x) as SQL text: mean emotional-dictionary weight of
+    * matched words rescaled to [-1,1] (positive /6, negative /12 — the
+    * dictionary range is -12..6), 0 when nothing matches. Dictionary
+    * rendered from llm.Nlp.tonalityDict (one source of truth). */
+  private def tonalitySqlExpr(x: String): String = {
+    val mapLit = graft.llm.Nlp.tonalityDict
+      .map { case (w, v) => s"'$w',$v" }.mkString("map(", ",", ")")
+    val ws = s"filter(transform(filter(split(lower($x), '[^a-z0-9]+'), " +
+      s"__t -> __t != ''), __t -> element_at($mapLit, __t)), __v -> __v IS NOT NULL)"
+    val sum = s"CAST(aggregate($ws, 0L, (__a, __v) -> __a + __v) AS DOUBLE)"
+    s"(CASE WHEN size($ws) = 0 THEN CAST(0.0 AS DOUBLE) " +
+      s"WHEN $sum > 0 THEN $sum / size($ws) / 6.0 " +
+      s"ELSE $sum / size($ws) / 12.0 END)"
+  }
+
+  /** detectProgrammingLanguage(x) as SQL text: keyword token hits per
+    * profile, max wins (earlier profile on ties), no hits -> 'undefined'.
+    * Profiles rendered from llm.Nlp.progKeywords. */
+  private def progLangSqlExpr(x: String): String = {
+    val toks = s"filter(split(lower($x), '[^a-z0-9]+'), __t -> __t != '')"
+    val counts = graft.llm.Nlp.progKeywords.map { case (lang, kws) =>
+      lang -> s"size(filter($toks, __t -> __t IN (${kws.map(k => s"'$k'").mkString(",")})))"
+    }
+    val branches = counts.zipWithIndex.map { case ((lang, c), i) =>
+      val later = counts.drop(i + 1).map(_._2)
+      val cond = (s"$c > 0" +: later.map(o => s"$c >= $o")).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+    s"(CASE $branches ELSE 'undefined' END)"
   }
 
   /** Split a function-argument string on top-level commas. */
@@ -1148,6 +1189,13 @@ object ChSql {
     // quantileGK(accuracy)(x): Spark's approx_percentile IS Greenwald-Khanna
     q = q.replaceAll("""\bquantileGK\(([0-9]+)\)\s*\(([^)]*)\)""",
       "approx_percentile($2, 0.5, $1)")
+    // quantileDD(relative_accuracy[, level])(x) (reference DDSketch,
+    // AggregateFunctionDDSketch.cpp): served by the same GK sketch —
+    // relative accuracy eps maps to GK accuracy ceil(1/eps)
+    q = q.replaceAll("""\bquantileDD\(([0-9.]+)\s*,\s*([0-9.]+)\)\s*\(([^)]*)\)""",
+      "approx_percentile($3, $2, CAST(ceil(1.0/$1) AS INT))")
+    q = q.replaceAll("""\bquantileDD\(([0-9.]+)\)\s*\(([^)]*)\)""",
+      "approx_percentile($2, 0.5, CAST(ceil(1.0/$1) AS INT))")
 
     // ---- batch 8 templates ----
     // JSON introspection (reference src/Functions/FunctionsJSON.cpp).
@@ -1324,6 +1372,52 @@ object ChSql {
       val pair = if (a.length > 2) s"concat('[', ${a(2)}, ']+')" else "'[,;] *'"
       s"str_to_map(${a(0)}, $pair, $kv)"
     }
+    // ---- batch 12 templates ----
+    // lemmatize/synonyms: CH passes the dictionary/extension name first;
+    // our embedded-dictionary kernels take only the word
+    q = rewriteCalls(q, "lemmatize")(a =>
+      if (a.length == 2) s"lemmatize_dict(${a(1)})" else s"lemmatize_dict(${a(0)})")
+    q = rewriteCalls(q, "synonyms")(a =>
+      if (a.length == 2) s"synonyms_dict(${a(1)})" else s"synonyms_dict(${a(0)})")
+    // detectTonality / detectProgrammingLanguage expand to SQL with the
+    // dictionaries rendered inline from the SAME llm.Nlp data the
+    // DataFrame kernels use (SQL lambdas resolve natively in the parser)
+    q = rewriteCalls(q, "detectTonality")(a => tonalitySqlExpr(a(0)))
+    q = rewriteCalls(q, "detectProgrammingLanguage")(a => progLangSqlExpr(a(0)))
+    // now64([precision[, tz]]) — session is pinned to UTC microseconds
+    q = rewriteCalls(q, "now64")(_ => "current_timestamp()")
+    // runningAccumulate(x[, ord]): CH accumulates in block order; a
+    // deterministic engine needs an explicit order — 2-arg form takes the
+    // ordering column, 1-arg falls back to input order via
+    // monotonically_increasing_id (the honest analog of block order)
+    q = rewriteCalls(q, "runningAccumulate")(a =>
+      if (a.length >= 2)
+        s"sum(${a(0)}) OVER (ORDER BY ${a(1)} " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      else
+        s"sum(${a(0)}) OVER (ORDER BY monotonically_increasing_id() " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    // firstSignificantSubdomain / cutToFirstSignificantSubdomain
+    // (reference src/Functions/URL/): public-suffix logic approximated by
+    // the common two-level ccTLD families
+    q = rewriteCalls(q, "firstSignificantSubdomain")(a =>
+      s"regexp_extract(parse_url(${a(0)}, 'HOST'), " +
+        "'([^.]+)\\\\.(?:(?:com|net|org|co|gov|edu|ac)\\\\.[a-z]{2}|[^.]+)$$', 1)")
+    q = rewriteCalls(q, "cutToFirstSignificantSubdomain")(a =>
+      s"regexp_extract(parse_url(${a(0)}, 'HOST'), " +
+        "'([^.]+\\\\.(?:(?:com|net|org|co|gov|edu|ac)\\\\.[a-z]{2}|[^.]+))$$', 1)")
+    // dictGet / dictGetOrDefault (reference
+    // FunctionsExternalDictionaries.h): dictionaries here are plain
+    // registered tables, so the key COLUMN is explicit —
+    // dictGet('dict', 'attr', 'keyCol', keyExpr[, default]); renders as a
+    // scalar subquery, which Catalyst rewrites into a (broadcastable)
+    // left outer join
+    q = rewriteCalls(q, "dictGet")(a =>
+      s"(SELECT ${stripName(a(1))} FROM ${stripName(a(0))} " +
+        s"WHERE ${stripName(a(2))} = ${a(3)})")
+    q = rewriteCalls(q, "dictGetOrDefault")(a =>
+      s"coalesce((SELECT ${stripName(a(1))} FROM ${stripName(a(0))} " +
+        s"WHERE ${stripName(a(2))} = ${a(3)}), ${a(4)})")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

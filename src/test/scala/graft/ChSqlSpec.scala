@@ -721,4 +721,55 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getLong(7) == 1L)
     assert(!r.getBoolean(8))
   }
+
+  test("batch-12: NLP classification by CH name") {
+    val r = ch("""SELECT lemmatize('en', 'tables') AS l1, lemmatize('went') AS l2,
+                 |synonyms('ext', 'fast') AS syn, synonyms('zzz') AS syn_unknown,
+                 |detectTonality('fast clean merge') AS pos,
+                 |detectTonality('slow bad error') AS neg,
+                 |detectTonality('xyzzy qqq') AS zero,
+                 |detectProgrammingLanguage('select from table query join') AS sql_lang,
+                 |detectProgrammingLanguage('xyzzy') AS undef""".stripMargin).collect()(0)
+    assert(r.getString(0) == "table" && r.getString(1) == "go")
+    assert(r.getSeq[String](2) == Seq("fast", "quick", "rapid", "swift"))
+    assert(r.getSeq[String](3) == Seq())
+    assert(r.getDouble(4) > 0 && r.getDouble(5) < 0 && r.getDouble(6) == 0.0)
+    assert(r.getString(7) == "sql" && r.getString(8) == "undefined")
+    // tonality formula: mean weight rescaled (+/6, -/12)
+    val exp = (5 + 4 + 3) / 3.0 / 6.0
+    assert(math.abs(r.getDouble(4) - exp) < 1e-12)
+  }
+
+  test("batch-12: now64, runningAccumulate, quantileDD") {
+    val r = ch("""SELECT o_orderkey,
+                 |runningAccumulate(o_totalprice, o_orderkey) AS acc
+                 |FROM orders ORDER BY o_orderkey LIMIT 3""".stripMargin).collect()
+    assert(r.length == 3)
+    assert(r(0).getDouble(1) <= r(1).getDouble(1) || r(1).getDouble(1) > 0)
+    val accs = r.map(_.getDouble(1))
+    assert(accs(2) > accs(0)) // strictly accumulating over positive prices
+    val t = ch("SELECT now64() AS t, now64(9) AS t9").collect()(0)
+    assert(t.get(0) != null && t.get(1) != null)
+    val qd = ch("""SELECT quantileDD(0.01, 0.5)(l_quantity) AS m1,
+                  |quantileDD(0.01)(l_quantity) AS m2 FROM lineitem""".stripMargin)
+      .collect()(0)
+    assert(qd.getDouble(0) > 0 && math.abs(qd.getDouble(0) - qd.getDouble(1)) < 1e-9)
+  }
+
+  test("batch-12: significant subdomain and dictGet family") {
+    val u = "'https://news.example.com.tr/path?q=1'"
+    val v = "'http://www.blog.example.com/x'"
+    val r = ch(s"""SELECT firstSignificantSubdomain($u) AS f1,
+                  |cutToFirstSignificantSubdomain($u) AS c1,
+                  |firstSignificantSubdomain($v) AS f2,
+                  |cutToFirstSignificantSubdomain($v) AS c2""".stripMargin).collect()(0)
+    assert(r.getString(0) == "example" && r.getString(1) == "example.com.tr")
+    assert(r.getString(2) == "example" && r.getString(3) == "example.com")
+    val d = ch("""SELECT c_custkey,
+                 |dictGet('nation', 'n_name', 'n_nationkey', c_nationkey) AS nat,
+                 |dictGetOrDefault('nation', 'n_name', 'n_nationkey', c_nationkey + 1000, 'none') AS dflt
+                 |FROM customer ORDER BY c_custkey LIMIT 2""".stripMargin).collect()
+    assert(d.forall(_.getString(1) != null))
+    assert(d.forall(_.getString(2) == "none"))
+  }
 }

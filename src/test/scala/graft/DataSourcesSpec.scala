@@ -58,4 +58,62 @@ class DataSourcesSpec extends AnyFunSuite {
     val m2 = Seq((3, "c")).toDF("k", "v")
     assert(m1.unionByName(m2).count() == 3)
   }
+
+  test("avro container round-trip (AvroIO over avro-mapred)") {
+    val d = graft.core.Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("r"))
+    val dir = tmp() + "/avro"
+    graft.sources.AvroIO.write(d, dir)
+    // on-disk files are standard Avro object container files (magic "Obj\1")
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val magic = java.nio.file.Files.readAllBytes(part.toPath).take(4)
+    assert(magic.sameElements(Array[Byte]('O', 'b', 'j', 1)))
+    val back = graft.sources.AvroIO.read(spark, dir, d.schema)
+    assert(back.count() == 25)
+    val a = d.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val b = back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.sameElements(b))
+  }
+
+  test("proto3 wire vectors match the public encoding spec") {
+    import org.apache.spark.sql.types._
+    // sint32 field1 = 1 -> tag 0x08, zigzag(1)=2  (protobuf.dev encoding
+    // guide, signed-integer section); sint32 field1 = -1 -> varint 1
+    val s1 = StructType(Seq(StructField("a", IntegerType)))
+    assert(graft.sources.ProtoWire.encodeRow(org.apache.spark.sql.Row(1), s1)
+      .sameElements(Array[Byte](0x08, 0x02)))
+    assert(graft.sources.ProtoWire.encodeRow(org.apache.spark.sql.Row(-1), s1)
+      .sameElements(Array[Byte](0x08, 0x01)))
+    // string field2 = "testing" -> tag 0x12, len 7 (guide's LEN example)
+    val s2 = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val enc = graft.sources.ProtoWire.encodeRow(org.apache.spark.sql.Row(0, "testing"), s2)
+    assert(enc.sameElements(Array[Byte](0x12, 0x07) ++ "testing".getBytes("UTF-8")))
+    // proto3 default elision: zeros/empty encode to nothing and decode back
+    val zero = graft.sources.ProtoWire.encodeRow(org.apache.spark.sql.Row(0, ""), s2)
+    assert(zero.isEmpty)
+    val back = graft.sources.ProtoWire.decodeRow(enc, 0, enc.length, s2)
+    assert(back.getInt(0) == 0 && back.getString(1) == "testing")
+    // unknown-field skip: decode a 3-field message with a 2-field schema
+    val s3 = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType),
+      StructField("c", DoubleType)))
+    val enc3 = graft.sources.ProtoWire.encodeRow(
+      org.apache.spark.sql.Row(5, "x", 2.5), s3)
+    val back2 = graft.sources.ProtoWire.decodeRow(enc3, 0, enc3.length, s2)
+    assert(back2.getInt(0) == 5 && back2.getString(1) == "x")
+  }
+
+  test("protobuf length-delimited round-trip through SequenceFile") {
+    val d = graft.core.Tables.t(spark, sf, "supplier")
+      .select(col("s_suppkey").cast("long").as("k"), col("s_name").as("name"),
+        col("s_acctbal").cast("double").as("bal"))
+    val dir = tmp() + "/proto"
+    graft.sources.ProtoWire.write(d, dir)
+    val back = graft.sources.ProtoWire.read(spark, dir, d.schema)
+    assert(back.count() == d.count())
+    val a = d.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val b = back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+  }
 }
