@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,6 +32,63 @@ case class Base58Decode(child: Expression) extends UnaryExpression {
       ${ev.value} = graft.functions.Encodings.base58DecodeEval($a);
       ${ev.isNull} = (${ev.value} == null);""")
   override protected def withNewChildInternal(c: Expression): Base58Decode = copy(c)
+}
+
+/** RFC 4648 base32 (reference src/Functions/ FunctionBase32Conversion
+  * family): standard alphabet A-Z2-7 with '=' padding. */
+case class Base32Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Encodings.base32EncodeEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Encodings.base32EncodeEval($a);")
+  override protected def withNewChildInternal(c: Expression): Base32Encode = copy(c)
+}
+
+case class Base32Decode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    Encodings.base32DecodeEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.Encodings.base32DecodeEval($a);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(c: Expression): Base32Decode = copy(c)
+}
+
+/** Bech32 / bech32m segwit-address codec (reference
+  * src/Functions/bech32.cpp; algorithm from the public BIP-0173/0350
+  * specifications): encode(hrp, programBytes, witver) emits
+  * hrp + '1' + base32(witver :: 5-bit groups) + 6-symbol checksum;
+  * witver 0 uses the bech32 checksum constant, >0 the bech32m constant.
+  * Decode verifies the checksum and returns 'hrp:witver:hex(program)';
+  * NULL on any malformed input. */
+case class Bech32Encode(left: Expression, right: Expression, witver: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(hrp: Any, data: Any): Any =
+    Encodings.bech32EncodeEval(hrp.asInstanceOf[UTF8String], data, witver)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.Encodings.bech32EncodeEval($a, $b, $witver);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class Bech32Decode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    Encodings.bech32DecodeEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.Encodings.bech32DecodeEval($a);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(c: Expression): Bech32Decode = copy(c)
 }
 
 case class IdnaEncode(child: Expression) extends UnaryExpression {
@@ -135,6 +192,164 @@ object Encodings {
     UTF8String.fromBytes(res)
   }
 
+  // ------------------------------------------------------------ base32
+
+  private val b32Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+  private val b32Index: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    b32Alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  /** RFC 4648 §6 base32 of the UTF-8 bytes (8 symbols per 5-byte group,
+    * '=' padding; §10 test vectors pinned in CodecsSpec). */
+  def base32EncodeEval(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val out = new java.lang.StringBuilder((b.length + 4) / 5 * 8)
+    var i = 0
+    while (i < b.length) {
+      val chunk = math.min(5, b.length - i)
+      var acc = 0L
+      var j = 0
+      while (j < chunk) { acc = (acc << 8) | (b(i + j) & 0xffL); j += 1 }
+      acc <<= 8 * (5 - chunk)
+      val symbols = (chunk * 8 + 4) / 5
+      var k = 0
+      while (k < 8) {
+        if (k < symbols) out.append(b32Alphabet(((acc >>> (35 - 5 * k)) & 31).toInt))
+        else out.append('=')
+        k += 1
+      }
+      i += chunk
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** Inverse of base32EncodeEval; null on non-alphabet characters or
+    * non-canonical length. */
+  def base32DecodeEval(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val body = str.indexOf('=') match {
+      case -1 => str
+      case p => if (str.substring(p).forall(_ == '=')) str.substring(0, p) else return null
+    }
+    if (str.nonEmpty && str.length % 8 != 0) return null
+    var acc = 0L
+    var bits = 0
+    val out = new java.io.ByteArrayOutputStream
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      val d = if (c < 128) b32Index(c.toInt) else -1
+      if (d < 0) return null
+      acc = (acc << 5) | d
+      bits += 5
+      if (bits >= 8) {
+        bits -= 8
+        out.write(((acc >>> bits) & 0xff).toInt)
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  // ------------------------------------------------------ bech32/bech32m
+
+  private val bechCharset = "qpzry9x8gf2tvdw0s3jn54khce6mua7l"
+  private val bechIndex: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    bechCharset.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+  private val bechGen = Array(0x3b6a57b2, 0x26508e6d, 0x1ea119fa, 0x3d4233dd, 0x2a1462b3)
+  private final val Bech32mConst = 0x2bc830a3
+
+  private def bechPolymod(values: Seq[Int]): Int = {
+    var chk = 1
+    for (v <- values) {
+      val b = chk >>> 25
+      chk = ((chk & 0x1ffffff) << 5) ^ v
+      var i = 0
+      while (i < 5) { if (((b >>> i) & 1) != 0) chk ^= bechGen(i); i += 1 }
+    }
+    chk
+  }
+
+  private def bechHrpExpand(hrp: String): Seq[Int] =
+    hrp.map(c => (c >> 5).toInt) ++ Seq(0) ++ hrp.map(c => (c & 31).toInt)
+
+  /** General power-of-two base conversion (BIP-0173 reference algorithm);
+    * null when strict (pad=false) and leftover bits are non-canonical. */
+  private def convertBits(data: Seq[Int], from: Int, to: Int,
+                          pad: Boolean): Option[Seq[Int]] = {
+    var acc = 0
+    var bits = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val maxv = (1 << to) - 1
+    for (v <- data) {
+      if (v < 0 || (v >>> from) != 0) return None
+      acc = (acc << from) | v
+      bits += from
+      while (bits >= to) { bits -= to; out += (acc >>> bits) & maxv }
+    }
+    if (pad) { if (bits > 0) out += (acc << (to - bits)) & maxv }
+    else if (bits >= from || ((acc << (to - bits)) & maxv) != 0) return None
+    Some(out.toSeq)
+  }
+
+  def bech32EncodeEval(hrp: UTF8String, data: Any, witver: Int): UTF8String = {
+    val h = hrp.toString.toLowerCase
+    if (h.isEmpty || h.length > 83 || h.exists(c => c < 33 || c > 126)) return null
+    val bytes = data match {
+      case b: Array[Byte] => b
+      case s: UTF8String => s.getBytes
+      case _ => return null
+    }
+    convertBits(bytes.map(_ & 0xff).toSeq, 8, 5, pad = true) match {
+      case None => null
+      case Some(groups) =>
+        val payload = witver +: groups
+        val const = if (witver == 0) 1 else Bech32mConst
+        val pm = bechPolymod(bechHrpExpand(h) ++ payload ++ Seq(0, 0, 0, 0, 0, 0)) ^ const
+        val checksum = (0 until 6).map(i => (pm >>> (5 * (5 - i))) & 31)
+        val sb = new java.lang.StringBuilder(h).append('1')
+        (payload ++ checksum).foreach(v => sb.append(bechCharset(v)))
+        if (sb.length() > 90) null else UTF8String.fromString(sb.toString)
+    }
+  }
+
+  /** Decode to 'hrp:witver:hex(program)'; null on bad charset, checksum,
+    * or non-canonical padding. */
+  def bech32DecodeEval(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str != str.toLowerCase && str != str.toUpperCase) return null
+    val lower = str.toLowerCase
+    val sep = lower.lastIndexOf('1')
+    if (sep < 1 || sep + 7 > lower.length || lower.length > 90) return null
+    val hrp = lower.substring(0, sep)
+    if (hrp.exists(c => c < 33 || c > 126)) return null
+    val dataPart = lower.substring(sep + 1)
+    val values = new Array[Int](dataPart.length)
+    var i = 0
+    while (i < dataPart.length) {
+      val c = dataPart.charAt(i)
+      val d = if (c < 128) bechIndex(c.toInt) else -1
+      if (d < 0) return null
+      values(i) = d
+      i += 1
+    }
+    val pm = bechPolymod(bechHrpExpand(hrp) ++ values.toSeq)
+    val witver = values(0)
+    val expected = if (witver == 0) 1 else Bech32mConst
+    if (pm != expected) return null
+    convertBits(values.slice(1, values.length - 6).toSeq, 5, 8, pad = false) match {
+      case None => null
+      case Some(bytes) =>
+        val hex = bytes.map(b => f"$b%02x").mkString
+        UTF8String.fromString(s"$hrp:$witver:$hex")
+    }
+  }
+
   /** IDNA ToASCII of a dotted domain (java.net.IDN — the same RFC 3490
     * pipeline the reference wraps); null on labels IDNA rejects. */
   def idnaEncodeEval(s: UTF8String): UTF8String =
@@ -147,6 +362,11 @@ object Encodings {
 
   def base58Encode(c: Column): Column = column(Base58Encode(expression(c)))
   def base58Decode(c: Column): Column = column(Base58Decode(expression(c)))
+  def base32Encode(c: Column): Column = column(Base32Encode(expression(c)))
+  def base32Decode(c: Column): Column = column(Base32Decode(expression(c)))
+  def bech32Encode(hrp: Column, data: Column, witver: Int = 0): Column =
+    column(Bech32Encode(expression(hrp), expression(data), witver))
+  def bech32Decode(c: Column): Column = column(Bech32Decode(expression(c)))
   def idnaEncode(c: Column): Column = column(IdnaEncode(expression(c)))
   def idnaDecode(c: Column): Column = column(IdnaDecode(expression(c)))
 }

@@ -75,10 +75,60 @@ case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** sparseGrams (reference src/Functions/sparseGrams.cpp): all substrings
+  * of minimal length n whose border (n-1)-gram hashes strictly dominate
+  * every interior (n-1)-gram hash — a content-defined, shift-invariant
+  * substring sample (the anchor set used for fuzzy text indexing). The
+  * reference hashes with its internal weak crc32; ours uses the engine's
+  * FNV-1a so values stay self-contained — the SELECTION ALGORITHM is the
+  * same, the sampled set differs by hash choice (documented; pinned by
+  * golden + property tests, not a cross-engine oracle). Bounded by the
+  * same max substring length 100 as the reference. */
+case class SparseGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.sparseGramsEval(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashes.sparseGramsEval($a, $n);")
+  override protected def withNewChildInternal(c: Expression): SparseGrams =
+    copy(child = c)
+}
+
 object TextHashes {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   private val SPACE = UTF8String.fromString(" ")
+
+  private final val MaxSparseGramLen = 100
+
+  def sparseGramsEval(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val k = n - 1
+    if (k < 1 || str.length < n) return new GenericArrayData(Array.empty[Any])
+    val nGrams = str.length - k + 1
+    val h = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) { h(i) = Fnv64.hashString(str.substring(i, i + k)); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < nGrams) {
+      // walk right borders while the interior max stays below BOTH
+      // borders; stop once an interior gram reaches h(i) (no later right
+      // border can dominate it) or the length bound is hit
+      var maxInterior = Long.MinValue
+      var j = i + 1
+      var go = true
+      while (go && j < nGrams && (j + k - i) <= MaxSparseGramLen) {
+        if (h(i) > maxInterior && h(j) > maxInterior)
+          out += UTF8String.fromString(str.substring(i, j + k))
+        if (h(j) >= h(i)) go = false
+        else { if (h(j) > maxInterior) maxInterior = h(j); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 
   def tokenNgramsEval(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
@@ -132,6 +182,8 @@ object TextHashes {
   def rolling_hash64(text: Column): Column = column(RollingHash64(expression(text)))
   def token_ngrams(tokens: Column, n: Int): Column =
     column(TokenNgrams(expression(tokens), n))
+  def sparse_grams(text: Column, n: Int = 3): Column =
+    column(SparseGrams(expression(text), n))
 
   /** bitHammingDistance (reference bitHammingDistance.cpp) composed from
     * built-ins: popcount(a xor b). */

@@ -131,6 +131,18 @@ object GraftFunctions {
             org.apache.spark.sql.types.StringType)))),
     (FunctionIdentifier("token_ngrams"), info("token_ngrams"),
       (es: Seq[Expression]) =>
-        graft.functions.TokenNgrams(es(0), intLit(es(1), "ngram size")))
+        graft.functions.TokenNgrams(es(0), intLit(es(1), "ngram size"))),
+    (FunctionIdentifier("base32_encode"), info("base32_encode"),
+      (es: Seq[Expression]) => graft.functions.Base32Encode(es.head)),
+    (FunctionIdentifier("base32_decode"), info("base32_decode"),
+      (es: Seq[Expression]) => graft.functions.Base32Decode(es.head)),
+    (FunctionIdentifier("bech32_encode"), info("bech32_encode"),
+      (es: Seq[Expression]) => graft.functions.Bech32Encode(es(0), es(1),
+        if (es.length > 2) intLit(es(2), "witness version") else 0)),
+    (FunctionIdentifier("bech32_decode"), info("bech32_decode"),
+      (es: Seq[Expression]) => graft.functions.Bech32Decode(es.head)),
+    (FunctionIdentifier("sparse_grams"), info("sparse_grams"),
+      (es: Seq[Expression]) => graft.functions.SparseGrams(es.head,
+        if (es.length > 1) intLit(es(1), "min ngram length") else 3))
   )
 }

@@ -101,6 +101,23 @@ object Functions7 {
         subseq("'zqxjkw'") + " AS s_rare"))
     },
 
+    // base32 (RFC 4648) + bech32 (BIP-0173) codec tail: decode∘encode
+    // round trips and the encoded-length arithmetic are oracle-checkable;
+    // exact encoded vectors are pinned in CodecsSpec (RFC §10 strings,
+    // the BIP-0173 P2WPKH address). bech32Decode renders
+    // 'hrp:witver:hex(program)' — reproduced exactly in DuckDB.
+    "q_fn_codec_tail" -> { (s, dir) =>
+      import graft.functions.Encodings
+      val c = T(s, dir)("customer").filter(col("c_custkey") <= 2000)
+      val b32 = Encodings.base32Encode(col("c_name"))
+      ordered(c.select(
+        col("c_custkey"), col("c_name"),
+        Encodings.base32Decode(b32).as("rt32"),
+        length(b32).cast("int").as("b32_len"),
+        Encodings.bech32Decode(Encodings.bech32Encode(
+          lit("bc"), substring(col("c_name"), 1, 10))).as("bech_rt")))
+    },
+
     // End-to-end DIALECT date math (batch-11 templates through
     // ChSql.sql): Modified-Julian-Day round trip + changeYear, vs
     // DuckDB's native date arithmetic.
@@ -196,6 +213,14 @@ object Functions7 {
         |  make_date(2000, month(o_orderdate), day(o_orderdate)) AS cy
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey NULLS FIRST, mjd NULLS FIRST, d10 NULLS FIRST,
-        |  cy NULLS FIRST""".stripMargin
+        |  cy NULLS FIRST""".stripMargin,
+    "q_fn_codec_tail" ->
+      """SELECT c_custkey, c_name,
+        |  c_name AS rt32,
+        |  CAST(8 * ceil(length(c_name) / 5.0) AS INT) AS b32_len,
+        |  'bc:0:' || lower(hex(CAST(substring(c_name, 1, 10) AS BLOB))) AS bech_rt
+        |FROM customer WHERE c_custkey <= 2000
+        |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST, rt32 NULLS FIRST,
+        |  b32_len NULLS FIRST, bech_rt NULLS FIRST""".stripMargin
   )
 }

