@@ -35,7 +35,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     names.foreach(run) // warm-up pass (discarded)
-    val results = names.map(n => n -> run(n))
+    // median of 3 timed passes: single-pass numbers drift a few hundred
+    // ms on small queries (JIT/GC noise made q_rollup/q2 look like
+    // regressions across rounds); the median pins the steady state
+    val passes = (1 to 3).map(_ => names.map(n => n -> run(n)).toMap)
+    val results = names.map { n =>
+      val ts = passes.map(_(n)).sorted
+      n -> (if (ts.head < 0) ts.head else ts(ts.length / 2))
+    }
 
     def fmt(v: Double) = f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum

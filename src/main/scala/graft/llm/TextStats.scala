@@ -33,6 +33,18 @@ object TextStats {
   private val deStop = Seq("der", "die", "das", "und", "ist", "von", "mit", "auf", "nicht", "ein")
   private val frStop = Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des")
 
+  /** Stopword profiles for the Latin-script languages the detector
+    * votes over, in tie-break order (first declared wins). Shared with
+    * the q_lang_id oracle via [[langStopProfiles]]. */
+  val langStopProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> enStop,
+    "de" -> deStop,
+    "fr" -> frStop,
+    "es" -> Seq("el", "los", "las", "y", "es", "en", "por", "para", "con", "una"),
+    "it" -> Seq("il", "lo", "gli", "di", "che", "per", "sono", "non", "come", "anche"),
+    "pt" -> Seq("o", "os", "as", "um", "uma", "em", "que", "com", "para", "mais"),
+    "nl" -> Seq("de", "het", "een", "van", "op", "met", "niet", "voor", "zijn", "naar"))
+
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
 
@@ -59,16 +71,23 @@ object TextStats {
     (lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3)
   }
 
-  /** Stopword-vote language ID over {en, de, fr}; ties and zero hits
-    * resolve to 'und' (undetermined). */
+  /** Language ID (reference FunctionsLanguageClassification.cpp /
+    * FunctionsCharsetClassification.cpp shape): a Han-script character
+    * ratio short-circuits to 'zh' (script detection beats stopwords for
+    * CJK — there are no space-delimited stopwords to vote on), then a
+    * stopword vote across the 7 Latin-script profiles in
+    * [[langStopProfiles]]; first profile with the max hit count wins,
+    * zero hits everywhere resolves to 'und'. */
   def languageId(text: Column): Column = {
+    val hanChars = length(regexp_replace(text, "[^\\p{IsHan}]", ""))
     val t = tokens(text)
-    val en = hitCount(t, enStop)
-    val de = hitCount(t, deStop)
-    val fr = hitCount(t, frStop)
-    when(en >= de && en >= fr && en > 0, "en")
-      .when(de >= fr && de > 0, "de")
-      .when(fr > 0, "fr")
-      .otherwise("und")
+    val counts = langStopProfiles.map { case (lang, ws) => lang -> hitCount(t, ws) }
+    val vote = counts.zipWithIndex.map { case ((lang, c), i) =>
+      val later = counts.drop(i + 1).map(_._2)
+      (later.foldLeft(c > 0)((acc, o) => acc && c >= o), lang)
+    }.foldRight(lit("und")) { case ((cond, lang), rest) =>
+      when(cond, lit(lang)).otherwise(rest)
+    }
+    when(hanChars * 3 > length(text), "zh").otherwise(vote)
   }
 }

@@ -78,6 +78,44 @@ object Geo {
         round(abs(sum(col("x") * col("yn") - col("xn") * col("y"))) / 2.0, 6).as("area"),
         round(sum(sqrt(pow(col("xn") - col("x"), 2) + pow(col("yn") - col("y"), 2))), 6)
           .as("perimeter")))
+    },
+
+    // WKT render + parse round trip (reference src/Functions/wkt.cpp,
+    // readWKT*): the parabola polygons render as 'POLYGON((x y, ...))',
+    // get parsed BACK from the string, and the shoelace area is computed
+    // from the PARSED coordinates — so the oracle pins rendering and
+    // parsing end-to-end. All coordinates are exact binary fractions
+    // (quarters), so double->string rendering is identical across
+    // engines.
+    "q_fn_wkt" -> { (s, dir) =>
+      val n = T(s, dir)("nation")
+        .select(col("n_nationkey"), (lit(4) + col("n_nationkey") % 4).as("k"),
+          col("n_regionkey").cast("double").as("dy"))
+      val verts = n.select(col("n_nationkey"), col("k"), col("dy"),
+          posexplode(sequence(lit(0), col("k") - 1)).as(Seq("i", "dummy")))
+        .withColumn("x", col("i").cast("double") - (col("k") - 1).cast("double") / 2.0)
+        .withColumn("y", col("x") * col("x") / 4.0 + col("dy"))
+      val wkt = verts.groupBy("n_nationkey").agg(
+        concat(lit("POLYGON(("),
+          array_join(
+            transform(array_sort(collect_list(struct(col("i"), col("x"), col("y")))),
+              v => concat(v.getField("x").cast("string"), lit(" "),
+                v.getField("y").cast("string"))), ", "),
+          lit("))")).as("wkt"))
+      val inner = regexp_extract(col("wkt"), "^POLYGON\\(\\((.*)\\)\\)$", 1)
+      val pts = transform(split(inner, ", "), p => struct(
+        element_at(split(p, " "), 1).cast("double").as("x"),
+        element_at(split(p, " "), 2).cast("double").as("y")))
+      val m = size(col("pts"))
+      val cross = aggregate(sequence(lit(1), m), lit(0.0), (acc, i) => {
+        val a = element_at(col("pts"), i)
+        val b = element_at(col("pts"), (i % m) + 1)
+        acc + a.getField("x") * b.getField("y") - b.getField("x") * a.getField("y")
+      })
+      ordered(wkt.withColumn("pts", pts).select(
+        col("n_nationkey"), col("wkt"),
+        round(abs(cross) / 2.0, 6).as("area_rt"),
+        m.cast("int").as("n_pts")))
     }
   )
 
@@ -115,6 +153,33 @@ object Geo {
         |  round(abs(sum(x * yn - xn * y)) / 2.0, 6) AS area,
         |  round(sum(sqrt(pow(xn - x, 2) + pow(yn - y, 2))), 6) AS perimeter
         |FROM wr GROUP BY n_nationkey
-        |ORDER BY n_nationkey NULLS FIRST, area NULLS FIRST, perimeter NULLS FIRST""".stripMargin
+        |ORDER BY n_nationkey NULLS FIRST, area NULLS FIRST, perimeter NULLS FIRST""".stripMargin,
+    "q_fn_wkt" ->
+      """WITH n AS (SELECT n_nationkey, 4 + n_nationkey % 4 AS k,
+        |    CAST(n_regionkey AS DOUBLE) AS dy FROM nation),
+        |v AS (SELECT n_nationkey, k, dy, unnest(range(k)) AS i FROM n),
+        |xy AS (SELECT n_nationkey, i,
+        |    CAST(i AS DOUBLE) - CAST(k - 1 AS DOUBLE) / 2.0 AS x,
+        |    (CAST(i AS DOUBLE) - CAST(k - 1 AS DOUBLE) / 2.0)
+        |      * (CAST(i AS DOUBLE) - CAST(k - 1 AS DOUBLE) / 2.0) / 4.0 + dy AS y
+        |  FROM v),
+        |w AS (SELECT n_nationkey,
+        |    'POLYGON((' || string_agg(CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR),
+        |      ', ' ORDER BY i) || '))' AS wkt
+        |  FROM xy GROUP BY n_nationkey),
+        |p AS (SELECT n_nationkey, wkt,
+        |    list_transform(string_split(regexp_extract(wkt,
+        |        '^POLYGON\(\((.*)\)\)$', 1), ', '),
+        |      s -> {'x': CAST(string_split(s, ' ')[1] AS DOUBLE),
+        |            'y': CAST(string_split(s, ' ')[2] AS DOUBLE)}) AS pts
+        |  FROM w)
+        |SELECT n_nationkey, wkt,
+        |  round(abs(list_sum(list_transform(range(1, len(pts) + 1),
+        |    i -> pts[i].x * pts[i % len(pts) + 1].y
+        |       - pts[i % len(pts) + 1].x * pts[i].y))) / 2.0, 6) AS area_rt,
+        |  CAST(len(pts) AS INT) AS n_pts
+        |FROM p
+        |ORDER BY n_nationkey NULLS FIRST, wkt NULLS FIRST, area_rt NULLS FIRST,
+        |  n_pts NULLS FIRST""".stripMargin
   )
 }

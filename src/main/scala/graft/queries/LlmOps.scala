@@ -154,19 +154,30 @@ object LlmOps {
         |    + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.3 AS quality
         |FROM s
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
-    "q_lang_id" ->
-      """WITH t AS (SELECT string_split_regex(text, '\s+') AS toks FROM documents),
-        |v AS (SELECT
-        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS en,
-        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','auf','nicht','ein'))) AS de,
-        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','dans','pour','que','une','des'))) AS fr
+    "q_lang_id" -> {
+      // mirror of TextStats.languageId, generated from the SAME profile
+      // data: Han-ratio short-circuit, then first-max stopword vote
+      val profiles = TextStats.langStopProfiles
+      val hits = profiles.map { case (lang, ws) =>
+        s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS c_$lang"
+      }.mkString(",\n        |  ")
+      val branches = profiles.zipWithIndex.map { case ((lang, _), i) =>
+        val later = profiles.drop(i + 1).map(o => s"c_$lang >= c_${o._1}")
+        val cond = (s"c_$lang > 0" +: later).mkString(" AND ")
+        s"WHEN $cond THEN '$lang'"
+      }.mkString("\n        |            ")
+      s"""WITH t AS (SELECT text, string_split_regex(text, '\\s+') AS toks FROM documents),
+        |v AS (SELECT text,
+        |  $hits
         |FROM t)
-        |SELECT CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
-        |            WHEN de >= fr AND de > 0 THEN 'de'
-        |            WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred,
+        |SELECT CASE
+        |  WHEN length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) * 3 > length(text) THEN 'zh'
+        |            $branches
+        |            ELSE 'und' END AS lang_pred,
         |  count(*) AS n
         |FROM v GROUP BY 1
-        |ORDER BY lang_pred NULLS FIRST, n NULLS FIRST""".stripMargin,
+        |ORDER BY lang_pred NULLS FIRST, n NULLS FIRST""".stripMargin
+    },
     "q_dedup_exact" ->
       """SELECT count(DISTINCT text) AS n_distinct, count(*) AS n_docs,
         |  count(*) - count(DISTINCT text) AS n_redundant

@@ -166,4 +166,25 @@ class LlmSpec extends AnyFunSuite {
     val f1 = frames.find(f => f.asset_id == 1L && f.frame_idx == 1).get
     assert(new String(f1.frame) == "XXXXXXXXXXXXXXXX")
   }
+
+  test("languageId: 7 Latin profiles + Han-script short-circuit") {
+    import spark.implicits._
+    import graft.llm.TextStats
+    import org.apache.spark.sql.functions.col
+    val samples = Seq(
+      ("the cat sat on the mat and looked to the door", "en"),
+      ("der hund ist mit der katze auf das feld und nicht allein", "de"),
+      ("le chat est dans la maison pour que les souris dorment", "fr"),
+      ("el perro es grande y los gatos en la casa para todos con una luz", "es"),
+      ("il gatto che dorme per ore non sono come anche il cane", "it"),
+      ("o menino viu um gato em que os amigos estavam com mais calma para todos", "pt"),
+      ("de jongen ging met het meisje van de stad op weg naar huis niet voor lang", "nl"),
+      ("\u8fd9\u662f\u4e00\u6bb5\u4e2d\u6587\u6587\u672c\u7528\u4e8e\u6d4b\u8bd5", "zh"),
+      ("xyzzy plugh 12345", "und"))
+    val got = samples.toDF("text", "expect")
+      .select(col("expect"), TextStats.languageId(col("text")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"expected ${r.getString(0)}, got ${r.getString(1)}"))
+  }
 }
