@@ -31,19 +31,33 @@ object LlmOps6 {
     },
 
     // Connected components over a SECOND edge source — embedding cosine
-    // pairs (>= 0.45, the q_dedup_embedding pair set): semantic
-    // duplicate clusters with the min vec_id as canonical. Edge
-    // generation is the BUCKETED path (band equi-join + exact verify —
-    // no cartesian self-join in the plan, asserted in PlanSpec); the
-    // exact quadratic pair set lives only in the oracle SQL. Band shape
-    // is threshold-adapted: at t=0.45 the per-plane collision rate is
-    // p1 = 1 - acos(0.45)/pi = 0.649, so 16 bands x 2 planes put the
-    // per-pair miss chance at (1 - p1^2)^16 < 2e-4.
+    // near-dup pairs at the SEMANTIC-DUP threshold 0.9, over the corpus
+    // plus two planted perturbations of each of the first 50 vectors
+    // (the q_dedup_embedding_lsh construction, twice): each base vector
+    // becomes a 3-node duplicate cluster whose canonical is the base id.
+    // Edge generation is the BUCKETED path (band equi-join + exact
+    // verify — no cartesian self-join, asserted in PlanSpec); the exact
+    // quadratic pair set lives only in the oracle SQL. At cosine >= 0.9
+    // the default 12x8 banding prunes ~99.6% of unrelated pairs — a LOW
+    // threshold (like 0.45 on this near-orthogonal corpus) is
+    // information-theoretically dense (nearly every pair collides in
+    // some band) and belongs to the exact/verification path, not here.
+    // CC is robust to a missed intra-cluster edge: the cluster stays
+    // connected through the base vector, so the component assignment
+    // still matches the exact-pair oracle closure.
     "q_semantic_components" -> { (s, dir) =>
-      val emb = T(s, dir)("embeddings")
-      val pairs = Similarity.cosinePairsBucketed(emb, "vec_id", "embedding",
-        0.45, bands = 16, planesPerBand = 2)
-      ordered(Graphs.canonicalAssignment(emb, "vec_id", pairs, "a", "b"))
+      val base = T(s, dir)("embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val pert1 = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          concat(array(element_at(col("v"), 1) * 1.5), slice(col("v"), 2, 63)).as("v"))
+      val pert2 = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          concat(slice(col("v"), 1, 1), array(element_at(col("v"), 2) * 1.5),
+            slice(col("v"), 3, 62)).as("v"))
+      val all = base.unionAll(pert1).unionAll(pert2)
+      val pairs = Similarity.cosinePairsBucketed(all, "vec_id", "v", 0.9)
+      ordered(Graphs.canonicalAssignment(all, "vec_id", pairs, "a", "b"))
     },
 
     // SemDeDup: cluster embeddings around 8 fixed seed vectors
@@ -151,23 +165,30 @@ object LlmOps6 {
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY gram NULLS FIRST, n_docs NULLS FIRST, n_occurrences NULLS FIRST""".stripMargin,
     "q_semantic_components" ->
-      """WITH RECURSIVE e AS (SELECT vec_id,
+      """WITH RECURSIVE base AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 100000, list_prepend(v[1] * 1.5, v[2:]) FROM base
+        |      WHERE vec_id < 50
+        |      UNION ALL
+        |      SELECT vec_id + 200000, list_prepend(v[1], list_prepend(v[2] * 1.5, v[3:]))
+        |      FROM base WHERE vec_id < 50),
         |p AS (SELECT a, b FROM (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
         |    list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
         |      / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
         |         * sqrt(list_sum(list_transform(y.v, t -> t * t)))) AS cos
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
-        |  WHERE cos >= 0.45),
+        |  WHERE cos >= 0.9),
         |sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
         |walk(id, lbl) AS (
         |  SELECT a, a FROM sym
         |  UNION
         |  SELECT sym.b, w.lbl FROM walk w JOIN sym ON sym.a = w.id),
         |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
-        |SELECT vec_id AS id, coalesce(component, vec_id) AS canonical
-        |FROM embeddings LEFT JOIN comp ON embeddings.vec_id = comp.id
+        |SELECT e.vec_id AS id, coalesce(component, e.vec_id) AS canonical
+        |FROM e LEFT JOIN comp ON e.vec_id = comp.id
         |ORDER BY id NULLS FIRST, canonical NULLS FIRST""".stripMargin,
     "q_lm_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

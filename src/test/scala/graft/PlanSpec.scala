@@ -101,7 +101,7 @@ class PlanSpec extends AnyFunSuite {
     // full-query plan check vacuously pass.
     val emb = graft.core.Tables.t(spark, sf, "embeddings")
     val plan = graft.llm.Similarity.cosinePairsBucketed(
-        emb, "vec_id", "embedding", 0.45, bands = 16, planesPerBand = 2)
+        emb, "vec_id", "embedding", 0.9)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join leaked into the semantic-components edge plan:\n${plan.take(3000)}")
