@@ -58,6 +58,14 @@ object Tables {
       udaf(new graft.aggregates.KmvDistinctAggregator(), Encoders.scalaLong))
     spark.udf.register("top_k",
       udaf(new graft.aggregates.TopKAggregator(10), Encoders.STRING))
+    // quantile_dd_<pct> at the reference's default 0.01 relative accuracy
+    // (alpha/level are constructor params — the udf registry has no
+    // parameterized-aggregate syntax, so common levels get fixed names)
+    Seq(50, 90, 99).foreach { pct =>
+      spark.udf.register(s"quantile_dd_$pct",
+        udaf(new graft.aggregates.DDSketchAggregator(0.01, pct / 100.0),
+          Encoders.scalaDouble))
+    }
   }
 
   /** Session defaults for local[32] iteration; the same settings scale to a

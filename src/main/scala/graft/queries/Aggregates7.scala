@@ -141,6 +141,23 @@ object Aggregates7 {
         floor(b0 / det * 1000000).cast("long").as("intercept_ppm"),
         floor(b1 / det * 1000000).cast("long").as("coef_qty_ppm"),
         floor(b2 / det * 1000000).cast("long").as("coef_disc_ppm"))
+    },
+
+    // quantileDD — REAL DDSketch (reference
+    // AggregateFunctionDDSketch.cpp; Masson et al. VLDB 2019): log-spaced
+    // buckets i = ceil(log_gamma(x)), gamma = (1+a)/(1-a), estimate =
+    // gamma-midpoint of the bucket holding rank floor(q*(n-1)). The
+    // DuckDB oracle rebuilds the SAME sketch relationally (bucket
+    // groupBy + running count), so the relative-error estimates compare
+    // exactly — only ln/ceil/pow on identical doubles.
+    "q_quantile_dd" -> { (s, dir) =>
+      import graft.aggregates.DDSketch.quantileDD
+      val l = T(s, dir)("lineitem")
+      ordered(l.groupBy(col("l_returnflag")).agg(
+        round(quantileDD(col("l_quantity"), 0.01, 0.5), 9).as("dd_p50"),
+        round(quantileDD(col("l_quantity"), 0.01, 0.9), 9).as("dd_p90"),
+        round(quantileDD(col("l_extendedprice"), 0.01, 0.99), 9).as("dd_p99_price"),
+        count(lit(1)).as("n")))
     }
   )
 
@@ -260,6 +277,28 @@ object Aggregates7 {
         |  CAST(floor((n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))
         |    / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))
         |    * 1000000) AS BIGINT) AS coef_disc_ppm
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q_quantile_dd" -> {
+      // one sketch column rebuilt relationally: bucket -> count ->
+      // running count -> first bucket past rank floor(q*(n-1)) -> the
+      // gamma-midpoint. gamma = 1.01/0.99 (alpha = 0.01), same doubles.
+      def dd(x: String, q: String) =
+        s"""(SELECT round(2*pow(1.01/0.99, i)/(1.01/0.99 + 1), 9) FROM (
+           |    SELECT i, sum(cnt) OVER (ORDER BY i) AS cum,
+           |           sum(cnt) OVER () AS tot
+           |    FROM (SELECT CAST(ceil(ln($x)/ln(1.01/0.99)) AS INT) AS i,
+           |                 count(*) AS cnt
+           |          FROM lineitem li2 WHERE li2.l_returnflag = g.l_returnflag
+           |            AND $x > 0 GROUP BY 1))
+           |  WHERE cum > floor($q*(tot-1)) ORDER BY i LIMIT 1)""".stripMargin
+      s"""SELECT l_returnflag,
+         |  ${dd("l_quantity", "0.5")} AS dd_p50,
+         |  ${dd("l_quantity", "0.9")} AS dd_p90,
+         |  ${dd("l_extendedprice", "0.99")} AS dd_p99_price,
+         |  count(*) AS n
+         |FROM lineitem g GROUP BY l_returnflag
+         |ORDER BY l_returnflag NULLS FIRST, dd_p50 NULLS FIRST,
+         |  dd_p90 NULLS FIRST, dd_p99_price NULLS FIRST, n NULLS FIRST""".stripMargin
+    }
   )
 }

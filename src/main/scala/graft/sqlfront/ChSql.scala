@@ -1193,12 +1193,19 @@ object ChSql {
     q = q.replaceAll("""\bquantileGK\(([0-9]+)\)\s*\(([^)]*)\)""",
       "approx_percentile($2, 0.5, $1)")
     // quantileDD(relative_accuracy[, level])(x) (reference DDSketch,
-    // AggregateFunctionDDSketch.cpp): served by the same GK sketch —
-    // relative accuracy eps maps to GK accuracy ceil(1/eps)
-    q = q.replaceAll("""\bquantileDD\(([0-9.]+)\s*,\s*([0-9.]+)\)\s*\(([^)]*)\)""",
-      "approx_percentile($3, $2, CAST(ceil(1.0/$1) AS INT))")
-    q = q.replaceAll("""\bquantileDD\(([0-9.]+)\)\s*\(([^)]*)\)""",
-      "approx_percentile($2, 0.5, CAST(ceil(1.0/$1) AS INT))")
+    // AggregateFunctionDDSketch.cpp): the REAL log-bucket sketch
+    // (aggregates.DDSketchAggregator) serves the registered
+    // (alpha=0.01, level in {.5,.9,.99}) configurations; other shapes
+    // fall back to GK with accuracy ceil(1/alpha)
+    q = """\bquantileDD\(([0-9.]+)(?:\s*,\s*([0-9.]+))?\)\s*\(([^)]*)\)""".r
+      .replaceAllIn(q, m => {
+        val acc = m.group(1).toDouble
+        val level = Option(m.group(2)).map(_.toDouble).getOrElse(0.5)
+        val pct = math.round(level * 100).toInt
+        val arg = java.util.regex.Matcher.quoteReplacement(m.group(3))
+        if (acc == 0.01 && Set(50, 90, 99)(pct)) s"quantile_dd_$pct($arg)"
+        else s"approx_percentile($arg, $level, ${math.ceil(1.0 / acc).toInt})"
+      })
 
     // ---- batch 8 templates ----
     // JSON introspection (reference src/Functions/FunctionsJSON.cpp).
