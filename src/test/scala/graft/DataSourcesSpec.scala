@@ -104,6 +104,36 @@ class DataSourcesSpec extends AnyFunSuite {
     assert(back2.getInt(0) == 5 && back2.getString(1) == "x")
   }
 
+  test("RowBinary round-trip; byte layout matches the reference format") {
+    import org.apache.spark.sql.types._
+    // byte-level pin: Int64 1 LE, then varint-length 'ab', then Float64
+    // 1.5 LE (0x3FF8000000000000) — the exact stream the reference's
+    // RowBinary reader expects for (Int64, String, Float64)
+    val s = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("d", DoubleType)))
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.sources.RowBinary.encodeRow(bos, org.apache.spark.sql.Row(1L, "ab", 1.5), s)
+    val expect = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0, 2, 'a', 'b',
+      0, 0, 0, 0, 0, 0, 0xF8.toByte, 0x3F)
+    assert(bos.toByteArray.sameElements(expect),
+      s"got ${bos.toByteArray.map(b => f"$b%02x").mkString(" ")}")
+    // long varint: 300-byte string length encodes as AC 02
+    val bos2 = new java.io.ByteArrayOutputStream()
+    graft.sources.RowBinary.writeVarint(bos2, 300L)
+    assert(bos2.toByteArray.sameElements(Array[Byte](0xAC.toByte, 0x02)))
+    // distributed round trip over real .bin files
+    val d = graft.core.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey").cast("long").as("k"), col("c_name").as("name"),
+        col("c_acctbal").cast("double").as("bal"))
+    val dir = tmp() + "/rowbinary"
+    graft.sources.RowBinary.write(d, dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".bin")))
+    val back = graft.sources.RowBinary.read(spark, dir, d.schema)
+    val a = d.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val b = back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+  }
+
   test("protobuf length-delimited round-trip through SequenceFile") {
     val d = graft.core.Tables.t(spark, sf, "supplier")
       .select(col("s_suppkey").cast("long").as("k"), col("s_name").as("name"),
