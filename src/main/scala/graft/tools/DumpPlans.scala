@@ -27,7 +27,9 @@ object DumpPlans {
       // TPC-H tail — EXISTS/NOT-EXISTS chain + market-share ratio
       "q21_waiting_supplier", "q8_market_share",
       // round-6 session 2 — cluster extraction + semantic dedup
-      "q_dedup_components", "q_semantic_dedup", "q_dup_ngram_spans")
+      "q_dedup_components", "q_semantic_dedup", "q_dup_ngram_spans",
+      // round-7 — hashed spans kernel, DDSketch, WKT, codec/NLP tails
+      "q_quantile_dd", "q_fn_wkt", "q_fn_tonality", "q_fn_codec_tail")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
