@@ -134,6 +134,41 @@ class DataSourcesSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("MsgPack wire vectors match the public spec; round-trip holds") {
+    import org.apache.spark.sql.types._
+    val s = StructType(Seq(StructField("k", LongType), StructField("s", StringType),
+      StructField("d", DoubleType), StructField("b", BooleanType)))
+    val bos = new java.io.ByteArrayOutputStream()
+    // spec vectors: fixarray(4), positive fixint 1, fixstr "abc",
+    // float64 1.5 (big-endian 3FF8...), true
+    graft.sources.MsgPack.encodeRow(bos, org.apache.spark.sql.Row(1L, "abc", 1.5, true), s)
+    val expect = Array[Byte](0x94.toByte, 0x01, 0xa3.toByte, 'a', 'b', 'c',
+      0xcb.toByte, 0x3F, 0xF8.toByte, 0, 0, 0, 0, 0, 0, 0xc3.toByte)
+    assert(bos.toByteArray.sameElements(expect),
+      s"got ${bos.toByteArray.map(b => f"$b%02x").mkString(" ")}")
+    // negative fixint and int boundaries
+    def enc(v: Long): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); graft.sources.MsgPack.writeInt(o, v)
+      o.toByteArray
+    }
+    assert(enc(-1L).sameElements(Array[Byte](0xff.toByte)))
+    assert(enc(-32L).sameElements(Array[Byte](0xe0.toByte)))
+    assert(enc(128L).sameElements(Array[Byte](0xcc.toByte, 0x80.toByte)))
+    assert(enc(256L).sameElements(Array[Byte](0xcd.toByte, 0x01, 0x00)))
+    assert(enc(-33L).sameElements(Array[Byte](0xd0.toByte, 0xdf.toByte)))
+    // round trip with nulls through real files
+    val d = graft.core.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_name")).as("name"),
+        col("c_acctbal").cast("double").as("bal"))
+    val dir = tmp() + "/msgpack"
+    graft.sources.MsgPack.write(d, dir)
+    val back = graft.sources.MsgPack.read(spark, dir, d.schema)
+    val a = d.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val b = back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+  }
+
   test("protobuf length-delimited round-trip through SequenceFile") {
     val d = graft.core.Tables.t(spark, sf, "supplier")
       .select(col("s_suppkey").cast("long").as("k"), col("s_name").as("name"),
