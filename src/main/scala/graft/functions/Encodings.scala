@@ -91,6 +91,21 @@ case class Bech32Decode(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Bech32Decode = copy(c)
 }
 
+/** detectCharset (reference FunctionsCharsetClassification.cpp — byte
+  * 2-gram frequency model there; here a decode-based heuristic over the
+  * raw bytes): all bytes < 0x80 -> US-ASCII, strictly-valid UTF-8 ->
+  * UTF-8, anything else -> ISO-8859-1 (every byte string decodes as
+  * Latin-1, the standard fallback). */
+case class DetectCharset(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Encodings.detectCharsetEval(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Encodings.detectCharsetEval($a);")
+  override protected def withNewChildInternal(c: Expression): DetectCharset = copy(c)
+}
+
 case class IdnaEncode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -348,6 +363,19 @@ object Encodings {
         val hex = bytes.map(b => f"$b%02x").mkString
         UTF8String.fromString(s"$hrp:$witver:$hex")
     }
+  }
+
+  def detectCharsetEval(bytes: Array[Byte]): UTF8String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { if ((bytes(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) return UTF8String.fromString("US-ASCII")
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try { dec.decode(java.nio.ByteBuffer.wrap(bytes)); UTF8String.fromString("UTF-8") }
+    catch { case _: java.nio.charset.CharacterCodingException =>
+      UTF8String.fromString("ISO-8859-1") }
   }
 
   /** IDNA ToASCII of a dotted domain (java.net.IDN — the same RFC 3490

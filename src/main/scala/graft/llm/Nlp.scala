@@ -154,6 +154,22 @@ object Nlp {
     }
   }
 
+  // ------------------------------------------------------ query normalization
+
+  /** normalizeQuery (reference src/Functions/normalizeQuery.cpp /
+    * Parsers/queryNormalization.h): replace string and numeric literals
+    * with '?', collapse literal lists to '?..' — the fingerprint used to
+    * group query-log entries. Pure regexp chain (same regexes run in the
+    * DuckDB oracle). */
+  def normalizeQuery(q: Column): Column = {
+    val noStr = regexp_replace(q, "'([^'\\\\]|\\\\.)*'", "?")
+    val noNum = regexp_replace(noStr, "\\b[0-9]+(\\.[0-9]+)?\\b", "?")
+    regexp_replace(noNum, "\\?(\\s*,\\s*\\?)+", "?..")
+  }
+
+  /** normalizedQueryHash — 64-bit fingerprint of the normalized text. */
+  def normalizedQueryHash(q: Column): Column = xxhash64(normalizeQuery(q))
+
   // --------------------------------------------------- oracle SQL rendering
 
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"

@@ -143,6 +143,32 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.functions.Bech32Decode(es.head)),
     (FunctionIdentifier("sparse_grams"), info("sparse_grams"),
       (es: Seq[Expression]) => graft.functions.SparseGrams(es.head,
-        if (es.length > 1) intLit(es(1), "min ngram length") else 3))
+        if (es.length > 1) intLit(es(1), "min ngram length") else 3)),
+    (FunctionIdentifier("detect_charset"), info("detect_charset"),
+      (es: Seq[Expression]) => graft.functions.DetectCharset(
+        org.apache.spark.sql.catalyst.expressions.Cast(es.head,
+          org.apache.spark.sql.types.BinaryType))),
+    (FunctionIdentifier("normalize_query"), info("normalize_query"),
+      (es: Seq[Expression]) => normalizeQueryExpr(es.head)),
+    (FunctionIdentifier("normalized_query_hash"), info("normalized_query_hash"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(normalizeQueryExpr(es.head)), 42L))
   )
+
+  /** Literal-erasure regexp chain of llm.Nlp.normalizeQuery at the
+    * Catalyst layer (see dictLookup for why builders can't reuse the
+    * Column form). */
+  private def normalizeQueryExpr(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}
+    val noStr = RegExpReplace(e, L.create("'([^'\\\\]|\\\\.)*'",
+      org.apache.spark.sql.types.StringType), L.create("?",
+      org.apache.spark.sql.types.StringType))
+    val noNum = RegExpReplace(noStr, L.create("\\b[0-9]+(\\.[0-9]+)?\\b",
+      org.apache.spark.sql.types.StringType), L.create("?",
+      org.apache.spark.sql.types.StringType))
+    RegExpReplace(noNum, L.create("\\?(\\s*,\\s*\\?)+",
+      org.apache.spark.sql.types.StringType), L.create("?..",
+      org.apache.spark.sql.types.StringType))
+  }
 }

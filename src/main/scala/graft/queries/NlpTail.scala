@@ -69,6 +69,19 @@ object NlpTail {
       ordered(d.select(col("doc_id"),
         graft.functions.TextHashes.sparse_grams(
           substring(col("text"), 1, 24), 3).as("grams")))
+    },
+
+    // normalizeQuery (reference src/Functions/normalizeQuery.cpp):
+    // literal erasure for query-log fingerprinting — string literals and
+    // numbers become '?', literal lists collapse to '?..'. The same
+    // regexp chain runs in DuckDB (the 64-bit fingerprint hash is
+    // engine-specific xxhash64, pinned in ChSqlSpec instead).
+    "q_fn_normalize_query" -> { (s, dir) =>
+      val d = T(s, dir)("documents")
+      val qstr = concat(lit("SELECT * FROM t WHERE id = "), col("doc_id"),
+        lit(" AND src = '"), col("source"),
+        lit("' AND x IN (1, 2, 3) AND w = 'a b c' LIMIT 5"))
+      ordered(d.select(col("doc_id"), Nlp.normalizeQuery(qstr).as("nq")))
     }
   )
 
@@ -126,6 +139,18 @@ object NlpTail {
          |    ELSE 'undefined' END AS lang
          |FROM c
          |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST""".stripMargin
-    }
+    },
+    "q_fn_normalize_query" ->
+      """WITH q AS (SELECT doc_id,
+        |    'SELECT * FROM t WHERE id = ' || doc_id || ' AND src = ''' || source
+        |    || ''' AND x IN (1, 2, 3) AND w = ''a b c'' LIMIT 5' AS qs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(qs,
+        |    '''([^''\\]|\\.)*''', '?', 'g'),
+        |    '\b[0-9]+(\.[0-9]+)?\b', '?', 'g'),
+        |    '\?(\s*,\s*\?)+', '?..', 'g') AS nq
+        |FROM q
+        |ORDER BY doc_id NULLS FIRST, nq NULLS FIRST""".stripMargin
   )
 }

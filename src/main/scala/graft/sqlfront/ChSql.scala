@@ -196,6 +196,11 @@ object ChSql {
     // NLP classification (dictionary-backed kernels — llm.Nlp)
     "lemmatize" -> "t", "synonyms" -> "t",
     "detectTonality" -> "t", "detectProgrammingLanguage" -> "t",
+    "detectCharset" -> "detect_charset",
+    "normalizeQuery" -> "normalize_query",
+    "normalizeQueryKeepNames" -> "normalize_query",
+    "normalizedQueryHash" -> "normalized_query_hash",
+    "normalizedQueryHashKeepNames" -> "normalized_query_hash",
     // misc
     "currentDatabase" -> "current_database", "currentUser" -> "current_user",
     "version" -> "version", "materialize" -> "t", "identity" -> "t",
@@ -238,7 +243,7 @@ object ChSql {
     "char" -> "t", // CH char(c1, c2, …) concatenates code points
     "mapFilter" -> "t", "mapExists" -> "t", // CH map HOFs take lambda FIRST
     "mapAdd" -> "t", "mapSubtract" -> "t",
-    "clamp" -> "t", "normalizeQuery" -> "t",
+    "clamp" -> "t",
     "addQuarters" -> "t", "subtractQuarters" -> "t",
     "addMilliseconds" -> "t", "subtractMilliseconds" -> "t",
     "toRelativeHourNum" -> "t", "toRelativeMinuteNum" -> "t",
@@ -949,10 +954,9 @@ object ChSql {
     q = rewriteCalls(q, "mapSubtract")(a =>
       s"map_zip_with(${a(0)}, ${a(1)}, (__k, __a, __b) -> coalesce(__a, 0) - coalesce(__b, 0))")
     q = rewriteCalls(q, "clamp")(a => s"least(greatest(${a(0)}, ${a(1)}), ${a(2)})")
-    // normalizeQuery: replace quoted strings and bare numbers with '?'
-    // (reference src/Functions/normalizeQuery.cpp; simple-literal subset)
-    q = rewriteCalls(q, "normalizeQuery")(a =>
-      s"regexp_replace(regexp_replace(${a(0)}, \"'[^']*'\", '?'), '\\\\b[0-9]+\\\\b', '?')")
+    // normalizeQuery now resolves via the plain alias to the injected
+    // normalize_query kernel (literal erasure + IN-list collapse) — the
+    // old inline regexp template lacked the '?..' list collapse
     q = rewriteCalls(q, "addQuarters")(a => s"(${a(0)} + make_interval(0, 3 * (${a(1)})))")
     q = rewriteCalls(q, "subtractQuarters")(a => s"(${a(0)} - make_interval(0, 3 * (${a(1)})))")
     q = rewriteCalls(q, "addMilliseconds")(a =>

@@ -740,6 +740,22 @@ class ChSqlSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - exp) < 1e-12)
   }
 
+  test("batch-12: detectCharset, normalizeQuery, normalizedQueryHash") {
+    val r = ch("""SELECT detectCharset('plain ascii') AS a,
+                 |detectCharset(concat('utf8: ', char(50089))) AS u,
+                 |detectCharset(unhex('FFFE41')) AS l,
+                 |normalizeQuery('SELECT a FROM t WHERE x = 42 AND s = ''q'' AND k IN (1, 2, 3)') AS nq,
+                 |normalizedQueryHash('SELECT 1') = normalizedQueryHash('SELECT 2') AS same_shape,
+                 |normalizedQueryHash('SELECT 1') = normalizedQueryHash('SELECT a') AS diff_shape""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "US-ASCII")
+    assert(r.getString(1) == "UTF-8")
+    assert(r.getString(2) == "ISO-8859-1")
+    assert(r.getString(3) == "SELECT a FROM t WHERE x = ? AND s = ? AND k IN (?..)")
+    assert(r.getBoolean(4))   // literals erased -> same fingerprint
+    assert(!r.getBoolean(5))  // different shape -> different fingerprint
+  }
+
   test("batch-12: now64, runningAccumulate, quantileDD") {
     val r = ch("""SELECT o_orderkey,
                  |runningAccumulate(o_totalprice, o_orderkey) AS acc
