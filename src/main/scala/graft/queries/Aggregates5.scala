@@ -21,29 +21,50 @@ object Aggregates5 {
 
   val queries: Map[String, Q] = Map(
     // rankCorr: Spearman rank correlation = Pearson corr of midranks.
-    // Midrank for ties = min-rank + (tie-count - 1)/2 — identical windows
-    // on both engines, then corr, rounded 6.
+    // Midrank for ties = (#rows < v) + (ties + 1)/2 — identical values on
+    // both engines, then corr, rounded 6.
+    //
+    // Midranks are computed DIRECTLY on the fact rows with RANGE-frame
+    // windows over value buckets (ties share a bucket by construction):
+    // bucket-local (#rows <= v) and (#rows = v) come from two frames of
+    // one window sort, the cross-bucket offset is a tiny per-(g, bucket)
+    // count table broadcast back. No per-group global window (buckets
+    // keep partitions fine-grained at any scale), no groupBy(g, v)
+    // distinct-value table, and no 600k-row broadcast of a midrank
+    // table — the previous join-back formulation paid one extra shuffle
+    // plus a driver-sized broadcast per rank column.
     "q_rank_corr" -> { (s, dir) =>
       val li = T(s, dir)("lineitem")
         .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
           col("l_extendedprice").as("y"))
-      // Midranks from distinct-value count tables + two-phase prefix sums:
-      // rank() OVER (PARTITION BY g ...) would serialize each group (only
-      // 3 of them) through one task. midrank(v) = (#rows < v) + (c+1)/2
-      // where c = #rows equal to v — identical values, no global window.
-      def midranks(v: String, out: String, bucket: Column) = {
-        val byV = li.groupBy(col("g"), col(v)).agg(count(lit(1)).as("c"))
-        graft.ops.Ops.keyedRunningTotal(
-            byV, Seq(col("g")), col(v), col("c"), "cb", inclusive = false,
-            bucket = Some(bucket))
-          .select(col("g").as(s"g_$v"), col(v).as(s"v_$v"),
-            (col("cb") + (col("c") + 1) / 2.0).as(out))
+      def withMidrank(df: DataFrame, v: String, out: String,
+                      bucket: Column): DataFrame = {
+        val pid = s"__pid_$v"
+        val withPid = df.withColumn(pid, bucket.cast("long"))
+        val wLeq = Window.partitionBy(col("g"), col(pid)).orderBy(col(v))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val wEq = Window.partitionBy(col("g"), col(pid)).orderBy(col(v))
+          .rangeBetween(Window.currentRow, Window.currentRow)
+        val local = withPid
+          .withColumn("__leq", count(lit(1)).over(wLeq))
+          .withColumn("__eq", count(lit(1)).over(wEq))
+        val tots = withPid.groupBy(col("g").as("__g"), col(pid).as("__p"))
+          .agg(count(lit(1)).as("__n"))
+        val offs = tots.as("a")
+          .join(tots.as("b"),
+            col("a.__g") === col("b.__g") && col("b.__p") < col("a.__p"), "left")
+          .groupBy(col("a.__g").as("__g"), col("a.__p").as("__p"))
+          .agg(sum(col("b.__n")).as("__off"))
+        local.join(broadcast(offs),
+            col("g") === col("__g") && col(pid) === col("__p"))
+          .withColumn(out,
+            (coalesce(col("__off"), lit(0L)) + col("__leq") - col("__eq") +
+              (col("__eq") + 1) / 2.0))
+          .drop("__g", "__p", "__off", "__leq", "__eq", pid)
       }
-      val ranked = li
-        .join(midranks("x", "mrx", floor(col("x") / 2)),
-          col("g") === col("g_x") && col("x") === col("v_x"))
-        .join(midranks("y", "mry", floor(col("y") / 2000)),
-          col("g") === col("g_y") && col("y") === col("v_y"))
+      val ranked = withMidrank(
+        withMidrank(li, "x", "mrx", floor(col("x") / 2)),
+        "y", "mry", floor(col("y") / 2000))
       ordered(ranked.groupBy(col("g"))
         .agg(round(corr(col("mrx"), col("mry")), 6).as("rank_corr")))
     },
