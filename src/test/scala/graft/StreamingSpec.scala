@@ -195,4 +195,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1L).contains(t(5)))
     assert(rows.contains(2L) && rows(2L).isEmpty, "unmatched left row must flush with null right")
   }
+
+  test("DDSketch quantile aggregates incrementally over a stream") {
+    // the sketch is fully mergeable, so streaming partial aggregation
+    // (arbitrary batch splits) must land on the identical estimate the
+    // one-shot batch computes
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.udaf
+    val dd = udaf(new graft.aggregates.DDSketchAggregator(0.01, 0.5),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val mem = MemoryStream[(String, Double)]
+    val agg = mem.toDF().toDF("g", "x").groupBy($"g").agg(dd($"x").as("p50"))
+    val q = agg.writeStream.format("memory").queryName("dd_out")
+      .outputMode("complete").start()
+    val values = (1 to 500).map(i => ("a", (i % 97 + 1).toDouble))
+    values.grouped(111).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("dd_out").collect()(0).getDouble(1)
+    val batch = values.toDF("g", "x").groupBy($"g").agg(dd($"x")).collect()(0).getDouble(1)
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // and the estimate respects the 1% relative-error contract vs exact
+    val exact = values.map(_._2).sorted.apply((0.5 * (values.size - 1)).toInt)
+    assert(math.abs(streamed - exact) / exact <= 0.011,
+      s"estimate $streamed vs exact $exact")
+  }
 }
