@@ -116,6 +116,26 @@ object Geo {
         col("n_nationkey"), col("wkt"),
         round(abs(cross) / 2.0, 6).as("area_rt"),
         m.cast("int").as("n_pts")))
+    },
+
+    // SVG rendering (reference src/Functions/svg.cpp): geometry ->
+    // '<polygon points="x,y x,y ..."/>' over the same parabola polygons —
+    // pure string building, reproduced exactly in DuckDB.
+    "q_fn_svg" -> { (s, dir) =>
+      val n = T(s, dir)("nation")
+        .select(col("n_nationkey"), (lit(4) + col("n_nationkey") % 4).as("k"),
+          col("n_regionkey").cast("double").as("dy"))
+      val verts = n.select(col("n_nationkey"), col("k"), col("dy"),
+          posexplode(sequence(lit(0), col("k") - 1)).as(Seq("i", "dummy")))
+        .withColumn("x", col("i").cast("double") - (col("k") - 1).cast("double") / 2.0)
+        .withColumn("y", col("x") * col("x") / 4.0 + col("dy"))
+      ordered(verts.groupBy("n_nationkey").agg(
+        concat(lit("<polygon points=\""),
+          array_join(
+            transform(array_sort(collect_list(struct(col("i"), col("x"), col("y")))),
+              v => concat(v.getField("x").cast("string"), lit(","),
+                v.getField("y").cast("string"))), " "),
+          lit("\"/>")).as("svg")))
     }
   )
 
@@ -180,6 +200,20 @@ object Geo {
         |  CAST(len(pts) AS INT) AS n_pts
         |FROM p
         |ORDER BY n_nationkey NULLS FIRST, wkt NULLS FIRST, area_rt NULLS FIRST,
-        |  n_pts NULLS FIRST""".stripMargin
+        |  n_pts NULLS FIRST""".stripMargin,
+    "q_fn_svg" ->
+      """WITH n AS (SELECT n_nationkey, 4 + n_nationkey % 4 AS k,
+        |    CAST(n_regionkey AS DOUBLE) AS dy FROM nation),
+        |v AS (SELECT n_nationkey, k, dy, unnest(range(k)) AS i FROM n),
+        |xy AS (SELECT n_nationkey, i,
+        |    CAST(i AS DOUBLE) - CAST(k - 1 AS DOUBLE) / 2.0 AS x,
+        |    (CAST(i AS DOUBLE) - CAST(k - 1 AS DOUBLE) / 2.0)
+        |      * (CAST(i AS DOUBLE) - CAST(k - 1 AS DOUBLE) / 2.0) / 4.0 + dy AS y
+        |  FROM v)
+        |SELECT n_nationkey,
+        |  '<polygon points="' || string_agg(CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR),
+        |    ' ' ORDER BY i) || '"/>' AS svg
+        |FROM xy GROUP BY n_nationkey
+        |ORDER BY n_nationkey NULLS FIRST, svg NULLS FIRST""".stripMargin
   )
 }

@@ -207,6 +207,7 @@ object ChSql {
     "now64" -> "t", "runningAccumulate" -> "t",
     "firstSignificantSubdomain" -> "t", "cutToFirstSignificantSubdomain" -> "t",
     "dictGet" -> "t", "dictGetOrDefault" -> "t",
+    "wkt" -> "t", "svg" -> "t", "readWKTPolygon" -> "t",
     // ---- batch 3 ----
     // NOTE: no toWeek alias — CH default mode 0 is Sunday-first 0..53,
     // which weekofyear (ISO) would silently misnumber; toISOWeek covers
@@ -1432,6 +1433,18 @@ object ChSql {
     q = rewriteCalls(q, "dictGetOrDefault")(a =>
       s"coalesce((SELECT ${stripName(a(1))} FROM ${stripName(a(0))} " +
         s"WHERE ${stripName(a(2))} = ${a(3)}), ${a(4)})")
+    // geometry text renderers (reference src/Functions/wkt.cpp, svg.cpp):
+    // polygons here are array<struct<x,y>> (SURVEY §1.2 geo mapping)
+    q = rewriteCalls(q, "wkt")(a =>
+      s"concat('POLYGON((', array_join(transform(${a(0)}, " +
+        "__p -> concat(cast(__p.x AS STRING), ' ', cast(__p.y AS STRING))), ', '), '))')")
+    q = rewriteCalls(q, "svg")(a =>
+      s"""concat('<polygon points="', array_join(transform(${a(0)}, """ +
+        """__p -> concat(cast(__p.x AS STRING), ',', cast(__p.y AS STRING))), ' '), '"/>')""")
+    q = rewriteCalls(q, "readWKTPolygon")(a =>
+      s"transform(split(regexp_extract(${a(0)}, '^POLYGON\\\\(\\\\((.*)\\\\)\\\\)$$', 1), ', '), " +
+        "__s -> named_struct('x', cast(element_at(split(__s, ' '), 1) AS DOUBLE), " +
+        "'y', cast(element_at(split(__s, ' '), 2) AS DOUBLE)))")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

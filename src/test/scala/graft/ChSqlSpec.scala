@@ -772,6 +772,17 @@ class ChSqlSpec extends AnyFunSuite {
     assert(qd.getDouble(0) > 0 && math.abs(qd.getDouble(0) - qd.getDouble(1)) < 1e-9)
   }
 
+  test("batch-12: wkt/svg/readWKTPolygon over array<struct<x,y>> geometry") {
+    val poly = "array(named_struct('x', 0.0D, 'y', 0.0D), " +
+      "named_struct('x', 2.0D, 'y', 0.0D), named_struct('x', 1.0D, 'y', 1.5D))"
+    val r = ch(s"""SELECT wkt($poly) AS w, svg($poly) AS s,
+                  |readWKTPolygon(wkt($poly)) AS rt""".stripMargin).collect()(0)
+    assert(r.getString(0) == "POLYGON((0.0 0.0, 2.0 0.0, 1.0 1.5))")
+    assert(r.getString(1) == "<polygon points=\"0.0,0.0 2.0,0.0 1.0,1.5\"/>")
+    val rt = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(rt.size == 3 && rt(2).getDouble(0) == 1.0 && rt(2).getDouble(1) == 1.5)
+  }
+
   test("batch-12: significant subdomain and dictGet family") {
     val u = "'https://news.example.com.tr/path?q=1'"
     val v = "'http://www.blog.example.com/x'"
