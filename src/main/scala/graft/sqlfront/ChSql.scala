@@ -538,6 +538,12 @@ object ChSql {
   private val registeredFns =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[String], String)]
 
+  /** CREATE DICTIONARY registry: dictionary name -> (source table, key
+    * column) — gives dictGet its CH-native 3-argument form (reference
+    * declares the key in the dictionary DDL the same way). */
+  private val registeredDicts =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   /** Register a SQL lambda UDF for all subsequent `sql`/`rewrite` calls.
     * Returns the function name. */
   def createFunction(ddl: String): String = {
@@ -1422,17 +1428,28 @@ object ChSql {
       s"regexp_extract(parse_url(${a(0)}, 'HOST'), " +
         "'([^.]+\\\\.(?:(?:com|net|org|co|gov|edu|ac)\\\\.[a-z]{2}|[^.]+))$$', 1)")
     // dictGet / dictGetOrDefault (reference
-    // FunctionsExternalDictionaries.h): dictionaries here are plain
-    // registered tables, so the key COLUMN is explicit —
-    // dictGet('dict', 'attr', 'keyCol', keyExpr[, default]); renders as a
-    // scalar subquery, which Catalyst rewrites into a (broadcastable)
-    // left outer join
-    q = rewriteCalls(q, "dictGet")(a =>
-      s"(SELECT ${stripName(a(1))} FROM ${stripName(a(0))} " +
-        s"WHERE ${stripName(a(2))} = ${a(3)})")
+    // FunctionsExternalDictionaries.h): the CH-arity 3-arg form
+    // dictGet('dict', 'attr', key) works for dictionaries declared with
+    // CREATE DICTIONARY ... PRIMARY KEY k SOURCE(... TABLE ') (key column
+    // from the registry); the 4-arg form names the key column explicitly.
+    // Both render as a scalar subquery, which Catalyst rewrites into a
+    // (broadcastable) left outer join
+    def dictLookupSql(a: Seq[String], defaultExpr: Option[String]): String = {
+      val (table, attr, keyCol, keyExpr) =
+        if (a.length == 3) {
+          val name = stripName(a(0))
+          val (t, k) = registeredDicts.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"dictGet: no CREATE DICTIONARY named '$name' " +
+                "(or pass the key column explicitly as the 3rd argument)"))
+          (t, stripName(a(1)), k, a(2))
+        } else (stripName(a(0)), stripName(a(1)), stripName(a(2)), a(3))
+      val sub = s"(SELECT $attr FROM $table WHERE $keyCol = $keyExpr)"
+      defaultExpr.map(d => s"coalesce($sub, $d)").getOrElse(sub)
+    }
+    q = rewriteCalls(q, "dictGet")(a => dictLookupSql(a, None))
     q = rewriteCalls(q, "dictGetOrDefault")(a =>
-      s"coalesce((SELECT ${stripName(a(1))} FROM ${stripName(a(0))} " +
-        s"WHERE ${stripName(a(2))} = ${a(3)}), ${a(4)})")
+      dictLookupSql(a.dropRight(1), Some(a.last)))
     // geometry text renderers (reference src/Functions/wkt.cpp, svg.cpp):
     // polygons here are array<struct<x,y>> (SURVEY §1.2 geo mapping)
     q = rewriteCalls(q, "wkt")(a =>
@@ -1571,7 +1588,20 @@ object ChSql {
     val alterUpdRe = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+UPDATE\\s+(.*?)\\s+WHERE\\s+(.*?);?\\s*$".r
     val truncateRe = "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
     val optimizeRe = "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+(\\w+).*$".r
+    // CREATE DICTIONARY d (...) PRIMARY KEY k SOURCE(...(TABLE 't'...)...)
+    // (reference src/Storages/StorageDictionary.h / getDictionaryConfigurationFromAST):
+    // attribute list and LAYOUT/LIFETIME clauses are accepted and ignored
+    // (every table here is an in-memory view — the hashed layout analog).
+    val createDictRe = ("(?is)^\\s*CREATE\\s+DICTIONARY\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)" +
+      ".*?PRIMARY\\s+KEY\\s+(\\w+).*?TABLE\\s+'?(\\w+)'?.*$").r
+    val dropDictRe = "(?is)^\\s*DROP\\s+DICTIONARY\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
     val ddl: Option[DataFrame] = chQuery match {
+      case createDictRe(name, key, table) =>
+        registeredDicts.put(name, (table, key))
+        Some(spark.table(table).limit(0))
+      case dropDictRe(name) if registeredDicts.contains(name) =>
+        registeredDicts.remove(name)
+        Some(spark.range(0).toDF("dropped"))
       case createRe(kind, name, _, inner) =>
         val df = sql(spark, dir, inner)
         val out = if (kind.toUpperCase.startsWith("MATERIALIZED")) {

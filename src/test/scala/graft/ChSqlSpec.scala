@@ -798,5 +798,15 @@ class ChSqlSpec extends AnyFunSuite {
                  |FROM customer ORDER BY c_custkey LIMIT 2""".stripMargin).collect()
     assert(d.forall(_.getString(1) != null))
     assert(d.forall(_.getString(2) == "none"))
+    // CREATE DICTIONARY declares the key -> CH-native 3-arg dictGet
+    ch("""CREATE DICTIONARY nat_dict (n_nationkey UInt64, n_name String)
+         |PRIMARY KEY n_nationkey
+         |SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(HASHED()) LIFETIME(0)""".stripMargin)
+    val d3 = ch("""SELECT c_custkey, dictGet('nat_dict', 'n_name', c_nationkey) AS nat,
+                  |dictGetOrDefault('nat_dict', 'n_name', c_nationkey + 1000, 'none') AS dflt
+                  |FROM customer ORDER BY c_custkey LIMIT 2""".stripMargin).collect()
+    assert(d3.forall(_.getString(1) != null))
+    assert(d3.forall(_.getString(2) == "none"))
+    ch("DROP DICTIONARY nat_dict")
   }
 }
