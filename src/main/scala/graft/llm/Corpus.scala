@@ -32,11 +32,12 @@ object Corpus {
                        keepBelowPpm: Long = 800000L): DataFrame = {
     val base = docs.select(idCol.as("doc_id"), tokensCol.as("toks"))
       .filter(size(col("toks")) >= 3)
+    // trigram construction through the TokenNgrams codegen kernel — the
+    // transform(sequence, i -> concat_ws(...)) composition runs an
+    // interpreted lambda per position (HigherOrderFunction =
+    // CodegenFallback) and dominated this query's profile
     val tri = base.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 2), i =>
-          concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))).as("tri"))
+        explode(graft.functions.TextHashes.token_ngrams(col("toks"), 3)).as("tri"))
       .distinct()
     val nDocs = base.select(count(lit(1)).as("n_docs"))
     val freq = tri.groupBy(col("tri")).agg(count(lit(1)).as("df"))
@@ -151,13 +152,13 @@ object Corpus {
     * every bigram is observed (no smoothing needed) and the whole thing
     * is deterministic and engine-exact up to the final mean. */
   def bigramLogProb(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = split(textCol, " ")
-    val pairs = docs.select(idCol.as("id"),
-        posexplode(when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
-      .select(col("id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+    // bigrams through the TokenNgrams codegen kernel (space-joined, then
+    // split at the single separator — tokens are space-free by
+    // construction); the per-position struct lambda was interpreted
+    val grams = graft.functions.TextHashes.token_ngrams(split(textCol, " "), 2)
+    val pairs = docs.select(idCol.as("id"), explode(grams).as("g"))
+      .select(col("id"), substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
     // ONE pass over the exploded pairs: per-doc bigram multiplicities.
     // Bigram totals roll up from that, unigram totals roll up from the
     // bigram totals (c1 = Σ_w2 c12) — the raw pairs are never re-scanned.
