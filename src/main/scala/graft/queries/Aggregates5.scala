@@ -106,20 +106,32 @@ object Aggregates5 {
 
     // quantileExactWeighted(w)(x, q): per return flag, the smallest price
     // whose cumulative quantity-weight reaches q * totalWeight, for
-    // q in {0.25, 0.5, 0.75}. Exact: integer weights, binary-exact q,
-    // per-group (never global) running window over distinct values.
+    // q in {0.25, 0.5, 0.75}. Exact: integer weights, binary-exact q.
+    // Cumulative weights come from a RANGE-frame window over price
+    // buckets directly on the fact rows (a RANGE frame gives every tied
+    // value the full tie weight, so no distinct-value groupBy is needed)
+    // plus the tiny cross-bucket offset broadcast — one shuffle fewer
+    // than the previous groupBy(g, x) + running-total formulation, and
+    // never a per-group global window.
     "q_quantile_exact_weighted" -> { (s, dir) =>
       val li = T(s, dir)("lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
           floor(col("l_quantity")).cast("long").as("w"))
-      val byVal = li.groupBy(col("g"), col("x")).agg(sum(col("w")).as("w"))
-      // Two-phase cumulative weight: a plain window PARTITION BY g would
-      // serialize each group (only 3 of them) through one task. The
-      // price-range bucket avoids the range-partition sampling pass.
-      val cum = graft.ops.Ops.keyedRunningTotal(
-        byVal, Seq(col("g")), col("x"), col("w"), "cw",
-        bucket = Some(floor(col("x") / 2000)))
-      val tot = byVal.groupBy(col("g").as("g2")).agg(sum(col("w")).as("tw"))
+      val withPid = li.withColumn("__pid", floor(col("x") / 2000).cast("long"))
+      val wCum = Window.partitionBy(col("g"), col("__pid")).orderBy(col("x"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = withPid.withColumn("__cwl", sum(col("w")).over(wCum))
+      val tots = withPid.groupBy(col("g").as("__g"), col("__pid").as("__p"))
+        .agg(sum(col("w")).as("__n"))
+      val offs = tots.as("a")
+        .join(tots.as("b"),
+          col("a.__g") === col("b.__g") && col("b.__p") < col("a.__p"), "left")
+        .groupBy(col("a.__g").as("__g"), col("a.__p").as("__p"))
+        .agg(sum(col("b.__n")).as("__off"))
+      val tot = withPid.groupBy(col("g").as("g2")).agg(sum(col("w")).as("tw"))
+      val cum = local.join(broadcast(offs),
+          col("g") === col("__g") && col("__pid") === col("__p"))
+        .withColumn("cw", coalesce(col("__off"), lit(0L)) + col("__cwl"))
       ordered(cum.join(broadcast(tot), col("g") === col("g2"))
         .groupBy(col("g"))
         .agg(
