@@ -148,6 +148,14 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.functions.DetectCharset(
         org.apache.spark.sql.catalyst.expressions.Cast(es.head,
           org.apache.spark.sql.types.BinaryType))),
+    (FunctionIdentifier("detect_language"), info("detect_language"),
+      (es: Seq[Expression]) => graft.functions.DetectLanguage(es.head)),
+    (FunctionIdentifier("normalize_utf8"), info("normalize_utf8"),
+      (es: Seq[Expression]) => graft.functions.NormalizeUtf8(es(0), es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString.toUpperCase
+        case other => throw new IllegalArgumentException(
+          s"normalization form must be a string literal, got $other")
+      })),
     (FunctionIdentifier("normalize_query"), info("normalize_query"),
       (es: Seq[Expression]) => normalizeQueryExpr(es.head)),
     (FunctionIdentifier("normalized_query_hash"), info("normalized_query_hash"),

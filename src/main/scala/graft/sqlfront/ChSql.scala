@@ -208,6 +208,34 @@ object ChSql {
     "firstSignificantSubdomain" -> "t", "cutToFirstSignificantSubdomain" -> "t",
     "dictGet" -> "t", "dictGetOrDefault" -> "t",
     "wkt" -> "t", "svg" -> "t", "readWKTPolygon" -> "t",
+    // ---- batch 13 ----
+    "detectLanguage" -> "detect_language",
+    "detectLanguageUnknown" -> "detect_language",
+    "normalizeUTF8NFC" -> "t", "normalizeUTF8NFD" -> "t",
+    "normalizeUTF8NFKC" -> "t", "normalizeUTF8NFKD" -> "t",
+    "makeDateTime" -> "t", "makeDateTime64" -> "t",
+    "parseDateTime" -> "t", "parseDateTimeInJodaSyntax" -> "t",
+    "formatDateTimeInJodaSyntax" -> "t", "YYYYMMDDhhmmssToDateTime" -> "t",
+    "dateTrunc" -> "date_trunc",
+    "fromUTCTimestamp" -> "from_utc_timestamp",
+    "toUTCTimestamp" -> "to_utc_timestamp",
+    "UTCTimestamp" -> "t",
+    "hasSubstr" -> "t", "ngrams" -> "t",
+    "arrayFirstOrNull" -> "t", "arrayLastOrNull" -> "t",
+    "arrayShuffle" -> "shuffle", "arrayRandomSample" -> "t",
+    "arrayCumSumNonNegative" -> "t",
+    "mapContainsKey" -> "map_contains_key", "mapContainsValue" -> "t",
+    "mapSort" -> "t", "mapReverseSort" -> "t", "mapExtractKeyLike" -> "t",
+    "IPv4ToIPv6" -> "t", "IPv4CIDRToRange" -> "t",
+    "MACStringToNum" -> "t", "MACNumToString" -> "t", "MACStringToOUI" -> "t",
+    "cutURLParameter" -> "t", "extractURLParameterNames" -> "t",
+    "encodeURLFormComponent" -> "url_encode",
+    "decodeURLFormComponent" -> "url_decode",
+    "neighbor" -> "t", "positiveModulo" -> "pmod", "positive_modulo" -> "pmod",
+    "intDivOrNull" -> "t", "modOrNull" -> "t", "divideOrNull" -> "t",
+    "multiplyDecimal" -> "t", "divideDecimal" -> "t",
+    "CRC32IEEE" -> "crc32",
+    "randomPrintableASCII" -> "t", "randomString" -> "t",
     // ---- batch 3 ----
     // NOTE: no toWeek alias — CH default mode 0 is Sunday-first 0..53,
     // which weekofyear (ISO) would silently misnumber; toISOWeek covers
@@ -605,6 +633,17 @@ object ChSql {
 
     // array literals before anything else
     q = rewriteArrayLiterals(q)
+
+    // MySQL-compat / composite IP names canonicalize to their CH forms
+    // BEFORE the IP templates fire (rewrites run in source order)
+    for ((compat, chName) <- Seq(
+        "INET_ATON" -> "IPv4StringToNum", "INET_NTOA" -> "IPv4NumToString",
+        "INET6_ATON" -> "IPv6StringToNum", "INET6_NTOA" -> "IPv6NumToString"))
+      q = q.replaceAll(s"\\b$compat\\s*\\(", chName + "(")
+    // IPv4ToIPv6(num): the IPv4-mapped ::ffff:a.b.c.d address — emit
+    // IPv4NumToString(...) so the later template expands it
+    q = rewriteCalls(q, "IPv4ToIPv6")(a =>
+      s"ipv6_string_to_num(concat('::ffff:', IPv4NumToString(${a(0)})))")
 
     // count() -> count(*)
     q = q.replaceAll("""\bcount\(\s*\)""", "count(*)")
@@ -1462,6 +1501,100 @@ object ChSql {
       s"transform(split(regexp_extract(${a(0)}, '^POLYGON\\\\(\\\\((.*)\\\\)\\\\)$$', 1), ', '), " +
         "__s -> named_struct('x', cast(element_at(split(__s, ' '), 1) AS DOUBLE), " +
         "'y', cast(element_at(split(__s, ' '), 2) AS DOUBLE)))")
+    // ---- batch 13 templates ----
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD"))
+      q = rewriteCalls(q, s"normalizeUTF8$form")(a =>
+        s"normalize_utf8(${a(0)}, '$form')")
+    q = rewriteCalls(q, "makeDateTime")(a =>
+      s"make_timestamp(${a.take(6).mkString(", ")})")
+    q = rewriteCalls(q, "makeDateTime64")(a =>
+      s"make_timestamp(${a.take(6).mkString(", ")})")
+    // parseDateTime: MySQL-style format (reference parseDateTime.cpp) —
+    // literal formats translate token-by-token to Spark patterns
+    def mysqlFmt(f: String): String = f
+      .replace("%Y", "yyyy").replace("%y", "yy").replace("%m", "MM")
+      .replace("%d", "dd").replace("%H", "HH").replace("%i", "mm")
+      .replace("%s", "ss").replace("%M", "MMMM").replace("%e", "d")
+      .replace("%j", "DDD").replace("%T", "HH:mm:ss")
+    q = rewriteCalls(q, "parseDateTime")(a =>
+      if (a.length >= 2) s"to_timestamp(${a(0)}, '${mysqlFmt(stripName(a(1)))}')"
+      else s"to_timestamp(${a(0)})")
+    q = rewriteCalls(q, "parseDateTimeInJodaSyntax")(a =>
+      if (a.length >= 2) s"to_timestamp(${a(0)}, ${a(1)})" else s"to_timestamp(${a(0)})")
+    q = rewriteCalls(q, "formatDateTimeInJodaSyntax")(a =>
+      s"date_format(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "YYYYMMDDhhmmssToDateTime")(a =>
+      s"to_timestamp(lpad(cast(cast(${a(0)} AS BIGINT) AS STRING), 14, '0'), 'yyyyMMddHHmmss')")
+    q = rewriteCalls(q, "UTCTimestamp")(_ => "current_timestamp()")
+    // hasSubstr(haystack, needle): contiguous subsequence of an array
+    q = rewriteCalls(q, "hasSubstr")(a =>
+      s"(size(${a(1)}) = 0 OR exists(sequence(1, greatest(size(${a(0)}) - size(${a(1)}) + 1, 0)), " +
+        s"__i -> slice(${a(0)}, __i, size(${a(1)})) = ${a(1)}))")
+    // ngrams(s, n): character n-grams (reference src/Functions/ngrams.cpp)
+    q = rewriteCalls(q, "ngrams")(a =>
+      s"transform(sequence(1, greatest(length(${a(0)}) - ${a(1)} + 1, 0)), " +
+        s"__i -> substring(${a(0)}, __i, ${a(1)}))")
+    // CH array HOFs take the lambda FIRST
+    q = rewriteCalls(q, "arrayFirstOrNull")(a =>
+      s"try_element_at(filter(${a(1)}, ${a(0)}), 1)")
+    q = rewriteCalls(q, "arrayLastOrNull")(a =>
+      s"try_element_at(filter(${a(1)}, ${a(0)}), -1)")
+    q = rewriteCalls(q, "arrayRandomSample")(a =>
+      s"slice(shuffle(${a(0)}), 1, ${a(1)})")
+    // running sum that clamps negative partials to 0 (reference
+    // arrayCumSumNonNegative.cpp); emitted as BIGINT
+    q = rewriteCalls(q, "arrayCumSumNonNegative")(a =>
+      s"aggregate(${a(0)}, named_struct('a', CAST(array() AS ARRAY<BIGINT>)," +
+        " 's', CAST(0 AS BIGINT)), (__ac, __v) -> named_struct(" +
+        "'a', concat(__ac.a, array(greatest(__ac.s + __v, CAST(0 AS BIGINT)))), " +
+        "'s', greatest(__ac.s + __v, CAST(0 AS BIGINT))), __ac -> __ac.a)")
+    q = rewriteCalls(q, "mapContainsValue")(a =>
+      s"array_contains(map_values(${a(0)}), ${a(1)})")
+    q = rewriteCalls(q, "mapSort")(a =>
+      s"map_from_entries(array_sort(map_entries(${a(0)})))")
+    q = rewriteCalls(q, "mapReverseSort")(a =>
+      s"map_from_entries(reverse(array_sort(map_entries(${a(0)}))))")
+    q = rewriteCalls(q, "mapExtractKeyLike")(a =>
+      s"map_filter(${a(0)}, (__k, __v) -> __k LIKE ${a(1)})")
+    // IPv4CIDRToRange(num, prefix) -> numeric (lower, upper) bounds
+    q = rewriteCalls(q, "IPv4CIDRToRange")(a =>
+      s"named_struct('lower', ${a(0)} & (4294967295 - (shiftleft(1, 32 - ${a(1)}) - 1)), " +
+        s"'upper', ${a(0)} | (shiftleft(1, 32 - ${a(1)}) - 1))")
+    q = rewriteCalls(q, "MACStringToNum")(a =>
+      s"CAST(conv(replace(${a(0)}, ':', ''), 16, 10) AS BIGINT)")
+    q = rewriteCalls(q, "MACNumToString")(a =>
+      s"lower(regexp_replace(lpad(hex(${a(0)}), 12, '0'), '(..)(?!$$)', '$$1:'))")
+    q = rewriteCalls(q, "MACStringToOUI")(a =>
+      s"CAST(conv(substring(replace(${a(0)}, ':', ''), 1, 6), 16, 10) AS BIGINT)")
+    q = rewriteCalls(q, "cutURLParameter")(a =>
+      s"regexp_replace(regexp_replace(${a(0)}, " +
+        s"concat('([?&])', ${a(1)}, '=[^&#]*&'), '$$1'), " +
+        s"concat('[?&]', ${a(1)}, '=[^&#]*'), '')")
+    q = rewriteCalls(q, "extractURLParameterNames")(a =>
+      s"regexp_extract_all(coalesce(parse_url(${a(0)}, 'QUERY'), ''), '([^=&]+)=', 1)")
+    // neighbor(x, offset, ord): deterministic engines need the explicit
+    // order column (reference block-order semantics)
+    q = rewriteCalls(q, "neighbor") { a =>
+      val ord = if (a.length >= 3) a(2) else "monotonically_increasing_id()"
+      val off = a(1).trim
+      if (off.startsWith("-")) s"lag(${a(0)}, ${off.drop(1)}) OVER (ORDER BY $ord)"
+      else s"lead(${a(0)}, $off) OVER (ORDER BY $ord)"
+    }
+    q = rewriteCalls(q, "intDivOrNull")(a =>
+      s"(CASE WHEN (${a(1)}) = 0 THEN NULL ELSE (${a(0)}) div (${a(1)}) END)")
+    q = rewriteCalls(q, "modOrNull")(a =>
+      s"(CASE WHEN (${a(1)}) = 0 THEN NULL ELSE (${a(0)}) % (${a(1)}) END)")
+    q = rewriteCalls(q, "divideOrNull")(a =>
+      s"(CASE WHEN (${a(1)}) = 0 THEN NULL ELSE (${a(0)}) / (${a(1)}) END)")
+    q = rewriteCalls(q, "multiplyDecimal")(a =>
+      s"CAST((${a(0)}) * (${a(1)}) AS DECIMAL(38, ${if (a.length > 2) a(2) else "0"}))")
+    q = rewriteCalls(q, "divideDecimal")(a =>
+      s"CAST((${a(0)}) / (${a(1)}) AS DECIMAL(38, ${if (a.length > 2) a(2) else "0"}))")
+    // random strings (no-oracle by design, like rand*): printable ASCII
+    q = rewriteCalls(q, "randomPrintableASCII")(a =>
+      s"array_join(transform(sequence(1, ${a(0)}), __i -> char(32 + CAST(rand() * 95 AS INT))), '')")
+    q = rewriteCalls(q, "randomString")(a =>
+      s"array_join(transform(sequence(1, ${a(0)}), __i -> char(32 + CAST(rand() * 95 AS INT))), '')")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -740,6 +740,85 @@ class ChSqlSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - exp) < 1e-12)
   }
 
+  test("batch-13: detectLanguage, normalizeUTF8 forms") {
+    val r = ch("""SELECT detectLanguage('the cat is on the mat and in the box') AS en,
+                 |detectLanguage('le chat est dans la maison pour les souris') AS fr,
+                 |detectLanguageUnknown('xyzzy qqq') AS und,
+                 |normalizeUTF8NFC('é') AS nfc,
+                 |normalizeUTF8NFD('é') AS nfd,
+                 |length(normalizeUTF8NFC('é')) AS nfc_len,
+                 |length(normalizeUTF8NFD('é')) AS nfd_len""".stripMargin).collect()(0)
+    assert(r.getString(0) == "en" && r.getString(1) == "fr" && r.getString(2) == "und")
+    assert(r.getInt(5) == 1 && r.getInt(6) == 2) // composed vs decomposed
+  }
+
+  test("batch-13: date tail — makeDateTime, parseDateTime, Joda pair, packed digits") {
+    val r = ch("""SELECT makeDateTime(2024, 3, 5, 7, 8, 9) AS mk,
+                 |parseDateTime('2024-03-05 07:08:09', '%Y-%m-%d %H:%i:%s') AS pd,
+                 |parseDateTimeInJodaSyntax('2024-03-05', 'yyyy-MM-dd') AS pj,
+                 |formatDateTimeInJodaSyntax(CAST('2024-03-05 07:08:09' AS TIMESTAMP), 'yyyy/MM/dd') AS fj,
+                 |YYYYMMDDhhmmssToDateTime(20240305070809) AS yd,
+                 |dateTrunc('month', CAST('2024-03-05' AS TIMESTAMP)) AS dt""".stripMargin)
+      .collect()(0)
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-05 07:08:09"))
+    assert(r.getTimestamp(1) == r.getTimestamp(0))
+    assert(r.getTimestamp(2).toString.startsWith("2024-03-05 00:00"))
+    assert(r.getString(3) == "2024/03/05")
+    assert(r.getTimestamp(4) == r.getTimestamp(0))
+    assert(r.getTimestamp(5).toString.startsWith("2024-03-01"))
+  }
+
+  test("batch-13: array/map tail — hasSubstr, ngrams, cumsum clamp, map sort/filter") {
+    val r = ch("""SELECT hasSubstr([1, 2, 3, 4], [2, 3]) AS h1,
+                 |hasSubstr([1, 2, 3], [3, 2]) AS h2,
+                 |ngrams('abcd', 2) AS ng,
+                 |arrayFirstOrNull(x -> x > 1, [1, 2, 3]) AS fo,
+                 |arrayLastOrNull(x -> x > 9, [1, 2, 3]) AS lo,
+                 |arrayCumSumNonNegative([1, -3, 4, -1]) AS cs,
+                 |mapContainsValue(map('a', 1, 'b', 2), 2) AS mv,
+                 |map_keys(mapSort(map('b', 2, 'a', 1))) AS mk,
+                 |map_keys(mapExtractKeyLike(map('aa', 1, 'bb', 2), 'a%')) AS ml""".stripMargin)
+      .collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getSeq[String](2) == Seq("ab", "bc", "cd"))
+    assert(r.getInt(3) == 2 && r.isNullAt(4))
+    assert(r.getSeq[Long](5) == Seq(1L, 0L, 4L, 3L))
+    assert(r.getBoolean(6))
+    assert(r.getSeq[String](7) == Seq("a", "b"))
+    assert(r.getSeq[String](8) == Seq("aa"))
+  }
+
+  test("batch-13: IP/MAC/URL/misc tail") {
+    val r = ch("""SELECT INET_ATON('1.2.3.4') AS ia,
+                 |INET_NTOA(16909060) AS na,
+                 |IPv4CIDRToRange(16909060, 24).lower AS lo,
+                 |IPv4CIDRToRange(16909060, 24).upper AS hi,
+                 |MACStringToNum('00:11:22:33:44:55') AS mn,
+                 |MACNumToString(73588229205) AS ms,
+                 |MACStringToOUI('00:11:22:33:44:55') AS oui,
+                 |cutURLParameter('http://a/b?x=1&y=2', 'x') AS cu,
+                 |extractURLParameterNames('http://a/b?x=1&y=2') AS names,
+                 |positiveModulo(-3, 5) AS pm,
+                 |intDivOrNull(5, 0) AS dz,
+                 |multiplyDecimal(1.5, 2.5, 2) AS md,
+                 |length(randomPrintableASCII(7)) AS rl,
+                 |CRC32IEEE('abc') AS crc""".stripMargin).collect()(0)
+    def n(i: Int) = r.getAs[Number](i).longValue
+    assert(n(0) == 16909060L)
+    assert(r.getString(1) == "1.2.3.4")
+    assert(n(2) == 16909056L && n(3) == 16909311L)
+    assert(n(4) == 0x001122334455L)
+    assert(r.getString(5) == "00:11:22:33:44:55")
+    assert(n(6) == 0x001122L)
+    assert(r.getString(7) == "http://a/b?y=2")
+    assert(r.getSeq[String](8) == Seq("x", "y"))
+    assert(r.getInt(9) == 2)
+    assert(r.isNullAt(10))
+    assert(r.getDecimal(11).toString == "3.75")
+    assert(r.getInt(12) == 7)
+    assert(n(13) == 891568578L) // public CRC-32 vector for "abc"
+  }
+
   test("batch-12: detectCharset, normalizeQuery, normalizedQueryHash") {
     val r = ch("""SELECT detectCharset('plain ascii') AS a,
                  |detectCharset(concat('utf8: ', char(50089))) AS u,
