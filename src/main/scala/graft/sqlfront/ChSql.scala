@@ -222,6 +222,7 @@ object ChSql {
     "UTCTimestamp" -> "t",
     "hasSubstr" -> "t", "ngrams" -> "t",
     "arrayFirstOrNull" -> "t", "arrayLastOrNull" -> "t",
+    "arrayFill" -> "t", "arrayReverseFill" -> "t",
     "arrayShuffle" -> "shuffle", "arrayRandomSample" -> "t",
     "arrayCumSumNonNegative" -> "t",
     "mapContainsKey" -> "map_contains_key", "mapContainsValue" -> "t",
@@ -1548,6 +1549,22 @@ object ChSql {
         " 's', CAST(0 AS BIGINT)), (__ac, __v) -> named_struct(" +
         "'a', concat(__ac.a, array(greatest(__ac.s + __v, CAST(0 AS BIGINT)))), " +
         "'s', greatest(__ac.s + __v, CAST(0 AS BIGINT))), __ac -> __ac.a)")
+    // arrayFill(f, arr): forward-fill — where f(x) is false, carry the
+    // last element for which f held (the first element always stays).
+    // f is applied to a scalar via size(filter(array(v), f)) = 1 (the
+    // dialect's lambdas are SQL text, so there is no direct apply);
+    // slice(arr, 1, 0) is the []-of-the-right-type literal.
+    // (reverse form first: it emits arrayFill(...), which the arrayFill
+    // pass below then expands — rewrites run in source order)
+    q = rewriteCalls(q, "arrayReverseFill")(a =>
+      s"reverse(arrayFill(${a(0)}, reverse(${a(1)})))")
+    q = rewriteCalls(q, "arrayFill")(a =>
+      s"aggregate(${a(1)}, named_struct('o', slice(${a(1)}, 1, 0), 'p', try_element_at(${a(1)}, 1)), " +
+        s"(__ac, __v) -> named_struct(" +
+        s"'o', concat(__ac.o, array(CASE WHEN size(filter(array(__v), ${a(0)})) = 1 " +
+        s"OR size(__ac.o) = 0 THEN __v ELSE __ac.p END)), " +
+        s"'p', CASE WHEN size(filter(array(__v), ${a(0)})) = 1 OR size(__ac.o) = 0 " +
+        s"THEN __v ELSE __ac.p END), __ac -> __ac.o)")
     q = rewriteCalls(q, "mapContainsValue")(a =>
       s"array_contains(map_values(${a(0)}), ${a(1)})")
     q = rewriteCalls(q, "mapSort")(a =>

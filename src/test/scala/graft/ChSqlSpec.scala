@@ -786,6 +786,12 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getBoolean(6))
     assert(r.getSeq[String](7) == Seq("a", "b"))
     assert(r.getSeq[String](8) == Seq("aa"))
+    // forward/backward fill: zeros carry the last non-zero neighbor
+    val f = ch("""SELECT arrayFill(x -> x != 0, [1, 0, 0, 5, 0]) AS ff,
+                 |arrayReverseFill(x -> x != 0, [0, 0, 3, 0, 7]) AS bf""".stripMargin)
+      .collect()(0)
+    assert(f.getSeq[Int](0) == Seq(1, 1, 1, 5, 5))
+    assert(f.getSeq[Int](1) == Seq(3, 3, 3, 7, 7))
   }
 
   test("batch-13: IP/MAC/URL/misc tail") {
