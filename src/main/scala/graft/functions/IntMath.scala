@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Integer arithmetic tail (reference: src/Functions/gcd.cpp,
   * src/Functions/lcm.cpp — both instantiate GCDLCMImpl.h). Stateless
@@ -34,6 +34,22 @@ case class ByteSwap(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = java.lang.Long.reverseBytes($a);")
   override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** jumpConsistentHash(key, buckets) (reference
+  * src/Functions/jumpConsistentHash.cpp; published algorithm: Lamping &
+  * Veach, "A Fast, Minimal Memory, Consistent Hash Algorithm", 2014):
+  * maps a 64-bit key onto [0, buckets) such that growing the bucket
+  * count moves only ~1/n of the keys — the shard-routing primitive. */
+case class JumpConsistentHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(k: Any, b: Any): Any =
+    IntMath.jumpConsistentHashEval(k.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntMath.jumpConsistentHashEval($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 case class Lcm(left: Expression, right: Expression) extends BinaryExpression {
@@ -70,4 +86,21 @@ object IntMath {
 
   def byteSwap(a: Column): Column =
     column(ByteSwap(expression(a.cast("long"))))
+
+  /** Lamping-Veach LCG walk: the last jump landing below `buckets`. */
+  def jumpConsistentHashEval(key0: Long, buckets: Int): Int = {
+    var key = key0
+    var b = -1L
+    var j = 0L
+    while (j < buckets) {
+      b = j
+      key = key * 2862933555777941757L + 1
+      j = ((b + 1) * (2147483648.0 / (((key >>> 33) + 1).toDouble))).toLong
+    }
+    b.toInt
+  }
+
+  def jumpConsistentHash(k: Column, buckets: Column): Column =
+    column(JumpConsistentHash(expression(k.cast("long")),
+      expression(buckets.cast("int"))))
 }

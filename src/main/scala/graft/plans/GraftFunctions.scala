@@ -148,6 +148,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.functions.DetectCharset(
         org.apache.spark.sql.catalyst.expressions.Cast(es.head,
           org.apache.spark.sql.types.BinaryType))),
+    (FunctionIdentifier("jump_consistent_hash"), info("jump_consistent_hash"),
+      (es: Seq[Expression]) => graft.functions.JumpConsistentHash(asLong(es(0)),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1),
+          org.apache.spark.sql.types.IntegerType))),
     (FunctionIdentifier("detect_language"), info("detect_language"),
       (es: Seq[Expression]) => graft.functions.DetectLanguage(es.head)),
     (FunctionIdentifier("normalize_utf8"), info("normalize_utf8"),

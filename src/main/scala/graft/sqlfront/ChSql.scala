@@ -237,6 +237,14 @@ object ChSql {
     "multiplyDecimal" -> "t", "divideDecimal" -> "t",
     "CRC32IEEE" -> "crc32",
     "randomPrintableASCII" -> "t", "randomString" -> "t",
+    // ---- batch 14 ----
+    "jumpConsistentHash" -> "jump_consistent_hash",
+    "greatCircleDistance" -> "t", "geoDistance" -> "t", "greatCircleAngle" -> "t",
+    "pointInEllipses" -> "t",
+    "bitmaskToArray" -> "t", "bitPositionsToArray" -> "t", "bitmaskToList" -> "t",
+    "proportionsZTest" -> "t",
+    "formatReadableTimeDelta" -> "t",
+    "URLHierarchy" -> "t", "URLPathHierarchy" -> "t",
     // ---- batch 3 ----
     // NOTE: no toWeek alias — CH default mode 0 is Sunday-first 0..53,
     // which weekofyear (ISO) would silently misnumber; toISOWeek covers
@@ -1612,6 +1620,76 @@ object ChSql {
       s"array_join(transform(sequence(1, ${a(0)}), __i -> char(32 + CAST(rand() * 95 AS INT))), '')")
     q = rewriteCalls(q, "randomString")(a =>
       s"array_join(transform(sequence(1, ${a(0)}), __i -> char(32 + CAST(rand() * 95 AS INT))), '')")
+    // ---- batch 14 templates ----
+    // great-circle (haversine, Earth radius 6371000 m — reference
+    // greatCircleDistance.cpp) and the central angle in degrees
+    def haversineSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
+      def rad(x: String) = s"radians($x)"
+      s"(2 * asin(sqrt(pow(sin((${rad(lat2)} - ${rad(lat1)}) / 2), 2) + " +
+        s"cos(${rad(lat1)}) * cos(${rad(lat2)}) * " +
+        s"pow(sin((${rad(lon2)} - ${rad(lon1)}) / 2), 2))))"
+    }
+    for (n <- Seq("greatCircleDistance", "geoDistance"))
+      q = rewriteCalls(q, n)(a =>
+        s"(6371000.0 * ${haversineSql(a(0), a(1), a(2), a(3))})")
+    q = rewriteCalls(q, "greatCircleAngle")(a =>
+      s"degrees(${haversineSql(a(0), a(1), a(2), a(3))})")
+    // pointInEllipses(x, y, cx1, cy1, a1, b1, ...): inside ANY ellipse
+    q = rewriteCalls(q, "pointInEllipses") { a =>
+      val checks = a.drop(2).grouped(4).collect { case Seq(cx, cy, ea, eb) =>
+        s"(pow((${a(0)} - ($cx)) / ($ea), 2) + pow((${a(1)} - ($cy)) / ($eb), 2) <= 1.0)"
+      }.toSeq
+      checks.mkString("(", " OR ", ")")
+    }
+    q = rewriteCalls(q, "bitmaskToArray")(a =>
+      s"filter(transform(sequence(0, 63), __i -> shiftleft(CAST(1 AS BIGINT), __i)), " +
+        s"__m -> (CAST(${a(0)} AS BIGINT) & __m) != 0)")
+    q = rewriteCalls(q, "bitPositionsToArray")(a =>
+      s"filter(sequence(0, 63), __i -> (shiftrightunsigned(CAST(${a(0)} AS BIGINT), __i) & 1) = 1)")
+    q = rewriteCalls(q, "bitmaskToList")(a =>
+      s"array_join(filter(transform(sequence(0, 63), __i -> shiftleft(CAST(1 AS BIGINT), __i)), " +
+        s"__m -> (CAST(${a(0)} AS BIGINT) & __m) != 0), ',')")
+    // proportionsZTest(successes1, successes2, trials1, trials2[, conf]):
+    // pooled two-proportion z and the two-sided p-value via the erfc
+    // kernel (the reference also returns a CI, which needs the inverse
+    // normal — out of scope, documented)
+    q = rewriteCalls(q, "proportionsZTest")(a =>
+      s"named_struct('z_stat', " +
+        s"((${a(0)}) / (${a(2)}) - (${a(1)}) / (${a(3)})) / " +
+        s"sqrt(((${a(0)} + ${a(1)}) / (${a(2)} + ${a(3)})) * " +
+        s"(1.0 - (${a(0)} + ${a(1)}) / (${a(2)} + ${a(3)})) * " +
+        s"(1.0 / (${a(2)}) + 1.0 / (${a(3)}))), " +
+        s"'p_value', erfc(abs(((${a(0)}) / (${a(2)}) - (${a(1)}) / (${a(3)})) / " +
+        s"sqrt(((${a(0)} + ${a(1)}) / (${a(2)} + ${a(3)})) * " +
+        s"(1.0 - (${a(0)} + ${a(1)}) / (${a(2)} + ${a(3)})) * " +
+        s"(1.0 / (${a(2)}) + 1.0 / (${a(3)})))) / sqrt(2.0)))")
+    // formatReadableTimeDelta(seconds): '2 days, 3 hours, 4 minutes, 5 seconds'
+    q = rewriteCalls(q, "formatReadableTimeDelta")(a =>
+      s"array_join(filter(array(" +
+        s"IF(CAST(${a(0)} AS BIGINT) div 86400 > 0, concat(CAST(${a(0)} AS BIGINT) div 86400, ' days'), NULL), " +
+        s"IF(CAST(${a(0)} AS BIGINT) % 86400 div 3600 > 0, concat(CAST(${a(0)} AS BIGINT) % 86400 div 3600, ' hours'), NULL), " +
+        s"IF(CAST(${a(0)} AS BIGINT) % 3600 div 60 > 0, concat(CAST(${a(0)} AS BIGINT) % 3600 div 60, ' minutes'), NULL), " +
+        s"IF(CAST(${a(0)} AS BIGINT) % 60 > 0 OR CAST(${a(0)} AS BIGINT) = 0, concat(CAST(${a(0)} AS BIGINT) % 60, ' seconds'), NULL)" +
+        s"), __x -> __x IS NOT NULL), ', ')")
+    // URLHierarchy / URLPathHierarchy (reference src/Functions/URL/
+    // URLHierarchy.cpp): growing prefixes — simplified to the
+    // protocol+host root plus each cumulative path segment, full URL
+    // last when a query string is present
+    q = rewriteCalls(q, "URLHierarchy")(a =>
+      s"concat(aggregate(filter(split(coalesce(parse_url(${a(0)}, 'PATH'), ''), '/'), " +
+        s"__s -> __s != ''), " +
+        s"named_struct('o', array(concat(regexp_extract(${a(0)}, '^([a-z]+://[^/?#]+)', 1), '/')), " +
+        s"'p', regexp_extract(${a(0)}, '^([a-z]+://[^/?#]+)', 1)), " +
+        s"(__ac, __seg) -> named_struct('o', concat(__ac.o, array(concat(__ac.p, '/', __seg, '/'))), " +
+        s"'p', concat(__ac.p, '/', __seg)), __ac -> __ac.o), " +
+        s"IF(parse_url(${a(0)}, 'QUERY') IS NOT NULL, array(${a(0)}), " +
+        s"CAST(array() AS ARRAY<STRING>)))")
+    q = rewriteCalls(q, "URLPathHierarchy")(a =>
+      s"aggregate(filter(split(coalesce(parse_url(${a(0)}, 'PATH'), ''), '/'), " +
+        s"__s -> __s != ''), " +
+        s"named_struct('o', CAST(array() AS ARRAY<STRING>), 'p', ''), " +
+        s"(__ac, __seg) -> named_struct('o', concat(__ac.o, array(concat(__ac.p, '/', __seg, '/'))), " +
+        s"'p', concat(__ac.p, '/', __seg)), __ac -> __ac.o)")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -825,6 +825,35 @@ class ChSqlSpec extends AnyFunSuite {
     assert(n(13) == 891568578L) // public CRC-32 vector for "abc"
   }
 
+  test("batch-14: jumpConsistentHash, geo, bitmask, ztest, time delta, URL hierarchy") {
+    val r = ch("""SELECT jumpConsistentHash(42, 8) AS jh,
+                 |jumpConsistentHash(42, 8) = jumpConsistentHash(42, 8) AS stable,
+                 |round(greatCircleDistance(-86.67, 36.12, -118.40, 33.94), 0) AS gc,
+                 |round(greatCircleAngle(0.0, 0.0, 90.0, 0.0), 6) AS ga,
+                 |pointInEllipses(1.0, 1.0, 0.0, 0.0, 2.0, 2.0) AS pe_in,
+                 |pointInEllipses(3.0, 3.0, 0.0, 0.0, 2.0, 2.0) AS pe_out,
+                 |bitmaskToArray(50) AS bm,
+                 |bitPositionsToArray(50) AS bp,
+                 |proportionsZTest(10, 11, 100, 101).p_value AS pz,
+                 |formatReadableTimeDelta(93784) AS td,
+                 |URLHierarchy('https://example.com/a/b?k=1') AS uh,
+                 |URLPathHierarchy('https://example.com/a/b?k=1') AS uph""".stripMargin)
+      .collect()(0)
+    val jh = r.getInt(0)
+    assert(jh >= 0 && jh < 8 && r.getBoolean(1))
+    // classic haversine example: BNA -> LAX ~ 2886.4 km at R=6371 km
+    assert(math.abs(r.getDouble(2) - 2886449.0) < 2000)
+    assert(math.abs(r.getDouble(3) - 90.0) < 1e-6)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getSeq[Long](6) == Seq(2L, 16L, 32L))
+    assert(r.getSeq[Int](7) == Seq(1, 4, 5))
+    assert(r.getDouble(8) > 0.5) // 10/100 vs 11/101: clearly no difference
+    assert(r.getString(9) == "1 days, 2 hours, 3 minutes, 4 seconds")
+    assert(r.getSeq[String](10) == Seq("https://example.com/",
+      "https://example.com/a/", "https://example.com/a/b/", "https://example.com/a/b?k=1"))
+    assert(r.getSeq[String](11) == Seq("/a/", "/a/b/"))
+  }
+
   test("batch-12: detectCharset, normalizeQuery, normalizedQueryHash") {
     val r = ch("""SELECT detectCharset('plain ascii') AS a,
                  |detectCharset(concat('utf8: ', char(50089))) AS u,
