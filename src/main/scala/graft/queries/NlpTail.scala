@@ -71,6 +71,20 @@ object NlpTail {
           substring(col("text"), 1, 24), 3).as("grams")))
     },
 
+    // End-to-end DIALECT tail (batches 13/14 through ChSql.sql):
+    // hasSubstr over token arrays, character ngrams, bit positions,
+    // readable time deltas — each independently reproduced in DuckDB.
+    "q_fn_dialect_tail" -> { (s, dir) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT doc_id,
+          |  hasSubstr(splitByChar(' ', text), arraySlice(splitByChar(' ', text), 3, 2)) AS hs,
+          |  hasSubstr(splitByChar(' ', text), ['zzz_not_there']) AS hs_no,
+          |  ngrams(substring(text, 1, 8), 3) AS ng,
+          |  bitPositionsToArray(n_chars) AS bp,
+          |  formatReadableTimeDelta(n_chars) AS td
+          |FROM documents WHERE doc_id < 200""".stripMargin))
+    },
+
     // normalizeQuery (reference src/Functions/normalizeQuery.cpp):
     // literal erasure for query-log fingerprinting — string literals and
     // numbers become '?', literal lists collapse to '?..'. The same
@@ -140,6 +154,26 @@ object NlpTail {
          |FROM c
          |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST""".stripMargin
     },
+    "q_fn_dialect_tail" ->
+      """WITH d AS (SELECT doc_id, text, n_chars,
+        |    string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, text, n_chars, toks, toks[3:4] AS sub FROM d)
+        |SELECT doc_id,
+        |  len(list_filter(range(1, len(toks) - len(sub) + 2),
+        |    i -> toks[i:i+len(sub)-1] = sub)) > 0 AS hs,
+        |  FALSE AS hs_no,
+        |  list_transform(range(1, greatest(length(substring(text, 1, 8)) - 1, 0)),
+        |    i -> substring(substring(text, 1, 8), CAST(i AS INT), 3)) AS ng,
+        |  list_filter(range(0, 64), i -> (CAST(n_chars AS BIGINT) >> i) & 1 = 1) AS bp,
+        |  array_to_string(list_filter([
+        |    CASE WHEN n_chars // 86400 > 0 THEN (n_chars // 86400) || ' days' END,
+        |    CASE WHEN n_chars % 86400 // 3600 > 0 THEN (n_chars % 86400 // 3600) || ' hours' END,
+        |    CASE WHEN n_chars % 3600 // 60 > 0 THEN (n_chars % 3600 // 60) || ' minutes' END,
+        |    CASE WHEN n_chars % 60 > 0 OR n_chars = 0 THEN (n_chars % 60) || ' seconds' END],
+        |    x -> x IS NOT NULL), ', ') AS td
+        |FROM s
+        |ORDER BY doc_id NULLS FIRST, hs NULLS FIRST, hs_no NULLS FIRST,
+        |  ng NULLS FIRST, bp NULLS FIRST, td NULLS FIRST""".stripMargin,
     "q_fn_normalize_query" ->
       """WITH q AS (SELECT doc_id,
         |    'SELECT * FROM t WHERE id = ' || doc_id || ' AND src = ''' || source
