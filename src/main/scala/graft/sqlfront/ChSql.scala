@@ -245,6 +245,11 @@ object ChSql {
     "proportionsZTest" -> "t",
     "formatReadableTimeDelta" -> "t",
     "URLHierarchy" -> "t", "URLPathHierarchy" -> "t",
+    // ---- batch 15 ----
+    "multiSearchAllPositions" -> "t",
+    "multiSearchAllPositionsCaseInsensitive" -> "t",
+    "arraySplit" -> "t", "arrayReverseSplit" -> "t",
+    "parseReadableSize" -> "t", "parseReadableSizeOrZero" -> "t",
     // ---- batch 3 ----
     // NOTE: no toWeek alias — CH default mode 0 is Sunday-first 0..53,
     // which weekofyear (ISO) would silently misnumber; toISOWeek covers
@@ -653,6 +658,14 @@ object ChSql {
     // IPv4NumToString(...) so the later template expands it
     q = rewriteCalls(q, "IPv4ToIPv6")(a =>
       s"ipv6_string_to_num(concat('::ffff:', IPv4NumToString(${a(0)})))")
+    // UTF8-suffixed variants canonicalize to the base names (Spark
+    // strings are Unicode — char semantics ARE the UTF8 semantics);
+    // runs before templates so template-backed bases still expand
+    for (base <- Seq("substring", "reverse", "left", "right", "editDistance",
+        "levenshteinDistance", "hasSubsequence", "hasSubsequenceCaseInsensitive",
+        "multiSearchAny", "ngramDistance", "ngramSearch",
+        "positionCaseInsensitive", "countSubstrings", "splitByChar"))
+      q = q.replaceAll(s"\\b${base}UTF8\\s*\\(", base + "(")
 
     // count() -> count(*)
     q = q.replaceAll("""\bcount\(\s*\)""", "count(*)")
@@ -1690,6 +1703,38 @@ object ChSql {
         s"named_struct('o', CAST(array() AS ARRAY<STRING>), 'p', ''), " +
         s"(__ac, __seg) -> named_struct('o', concat(__ac.o, array(concat(__ac.p, '/', __seg, '/'))), " +
         s"'p', concat(__ac.p, '/', __seg)), __ac -> __ac.o)")
+    // ---- batch 15 templates ----
+    // multiSearchAllPositions(haystack, [needles]): first 1-based
+    // position of each needle, 0 when absent (CH contract = Spark locate)
+    q = rewriteCalls(q, "multiSearchAllPositions")(a =>
+      s"transform(${a(1)}, __n -> position(__n, ${a(0)}))")
+    q = rewriteCalls(q, "multiSearchAllPositionsCaseInsensitive")(a =>
+      s"transform(${a(1)}, __n -> position(lower(__n), lower(${a(0)})))")
+    // arraySplit(f, arr): cut BEFORE every element where f holds (the
+    // first element never opens a new chunk); reverse form cuts AFTER —
+    // composed through the forward pass (reverse form FIRST so its
+    // emitted arraySplit is expanded by the pass below)
+    q = rewriteCalls(q, "arrayReverseSplit")(a =>
+      s"reverse(transform(arraySplit(${a(0)}, reverse(${a(1)})), __c -> reverse(__c)))")
+    q = rewriteCalls(q, "arraySplit")(a =>
+      s"aggregate(${a(1)}, " +
+        s"named_struct('o', slice(array(${a(1)}), 1, 0), 'c', slice(${a(1)}, 1, 0)), " +
+        s"(__ac, __v) -> IF(size(filter(array(__v), ${a(0)})) = 1 AND size(__ac.c) > 0, " +
+        s"named_struct('o', concat(__ac.o, array(__ac.c)), 'c', array(__v)), " +
+        s"named_struct('o', __ac.o, 'c', concat(__ac.c, array(__v)))), " +
+        s"__ac -> IF(size(__ac.c) = 0, __ac.o, concat(__ac.o, array(__ac.c))))")
+    // parseReadableSize('1.5 KiB') (reference parseReadableSize.cpp):
+    // binary (KiB..TiB) and decimal (KB..TB) units
+    def readableSize(x: String): String =
+      s"(try_cast(regexp_extract(${x}, '^\\\\s*([0-9.]+)', 1) AS DOUBLE) * " +
+        s"CASE trim(regexp_extract(${x}, '([A-Za-z]+)\\\\s*$$', 1)) " +
+        s"WHEN 'B' THEN 1 WHEN 'KiB' THEN 1024 WHEN 'MiB' THEN 1048576 " +
+        s"WHEN 'GiB' THEN 1073741824 WHEN 'TiB' THEN 1099511627776 " +
+        s"WHEN 'KB' THEN 1000 WHEN 'MB' THEN 1000000 WHEN 'GB' THEN 1000000000 " +
+        s"WHEN 'TB' THEN 1000000000000 END)"
+    q = rewriteCalls(q, "parseReadableSize")(a => readableSize(a(0)))
+    q = rewriteCalls(q, "parseReadableSizeOrZero")(a =>
+      s"coalesce(${readableSize(a(0))}, 0.0)")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -854,6 +854,22 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getSeq[String](11) == Seq("/a/", "/a/b/"))
   }
 
+  test("batch-15: UTF8 canonicalization, multiSearchAllPositions, arraySplit, readable size") {
+    val r = ch("""SELECT lengthUTF8('abc') AS l, substringUTF8('abcdef', 2, 3) AS s,
+                 |editDistanceUTF8('kitten', 'sitting') AS ed,
+                 |multiSearchAllPositions('hello world', ['world', 'zzz', 'hello']) AS msp,
+                 |arraySplit(x -> x = 1, [5, 1, 2, 1, 3]) AS sp,
+                 |arrayReverseSplit(x -> x = 1, [5, 1, 2, 1, 3]) AS rsp,
+                 |parseReadableSize('1.5 KiB') AS pk,
+                 |parseReadableSize('2 MB') AS pm,
+                 |parseReadableSizeOrZero('oops') AS pz""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 3 && r.getString(1) == "bcd" && r.getInt(2) == 3)
+    assert(r.getSeq[Int](3) == Seq(7, 0, 1))
+    assert(r.getSeq[Seq[Int]](4) == Seq(Seq(5), Seq(1, 2), Seq(1, 3)))
+    assert(r.getSeq[Seq[Int]](5) == Seq(Seq(5, 1), Seq(2, 1), Seq(3)))
+    assert(r.getDouble(6) == 1536.0 && r.getDouble(7) == 2000000.0 && r.getDouble(8) == 0.0)
+  }
+
   test("batch-12: detectCharset, normalizeQuery, normalizedQueryHash") {
     val r = ch("""SELECT detectCharset('plain ascii') AS a,
                  |detectCharset(concat('utf8: ', char(50089))) AS u,
