@@ -241,7 +241,10 @@ object Encodings {
   }
 
   /** Inverse of base32EncodeEval; null on non-alphabet characters or
-    * non-canonical length. */
+    * non-canonical input: the final group's symbol count must be one an
+    * encoder can produce (2, 4, 5, 7, or 8 — 'M=======' with 1 symbol is
+    * rejected) and its leftover low bits must be zero (RFC 4648 §3.5
+    * canonical-encoding check; round-7 advice). */
   def base32DecodeEval(s: UTF8String): UTF8String = {
     val str = s.toString
     val body = str.indexOf('=') match {
@@ -249,6 +252,9 @@ object Encodings {
       case p => if (str.substring(p).forall(_ == '=')) str.substring(0, p) else return null
     }
     if (str.nonEmpty && str.length % 8 != 0) return null
+    // Valid symbol counts mod 8: 0 (full group) or 2/4/5/7 (1/2/3/4 bytes).
+    val tail = body.length % 8
+    if (tail == 1 || tail == 3 || tail == 6) return null
     var acc = 0L
     var bits = 0
     val out = new java.io.ByteArrayOutputStream
@@ -265,6 +271,8 @@ object Encodings {
       }
       i += 1
     }
+    // Canonical: any bits left over in the final partial group must be 0.
+    if (bits > 0 && (acc & ((1L << bits) - 1)) != 0) return null
     UTF8String.fromBytes(out.toByteArray)
   }
 

@@ -80,24 +80,28 @@ object TextStats {
     * zero hits everywhere resolves to 'und'.
     *
     * All 7 hit counts come from ONE pass over the tokens: each stopword
-    * maps to a bitmask with one count-byte per language (a word shared
-    * by two profiles sets both bytes), so the fold does a single map
-    * lookup per token instead of 7 interpreted filter lambdas x 10
+    * maps to a bitmask with one 9-bit count field per language (a word
+    * shared by two profiles sets both fields), so the fold does a single
+    * map lookup per token instead of 7 interpreted filter lambdas x 10
     * comparisons (HigherOrderFunctions are CodegenFallback — this is the
-    * difference between ~1.3s and ~0.4s on the sf0.1 corpus). Counts cap
-    * at 255 per language per document (documents are ~50 tokens). The
+    * difference between ~1.3s and ~0.4s on the sf0.1 corpus). The vote
+    * runs over the FIRST 511 tokens (7 fields x 9 bits = 63 bits; 511
+    * hits is the 9-bit max, so a field can never carry into its
+    * neighbour — the round-7 advice found the old 8-bit packing silently
+    * overflowed on ~2500-token documents). The oracle applies the same
+    * 511-token cap, so both engines vote on identical evidence. The
     * packed accumulator is evaluated once via a 1-element transform
     * (interpreted aggregates get no common-subexpression elimination). */
   def languageId(text: Column): Column = {
     val maskOf: Map[String, Long] = langStopProfiles.zipWithIndex
-      .flatMap { case ((_, ws), i) => ws.map(w => w -> (1L << (8 * i))) }
+      .flatMap { case ((_, ws), i) => ws.map(w => w -> (1L << (9 * i))) }
       .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
     val maskLit = typedLit(maskOf)
-    val packed = aggregate(tokens(text), lit(0L),
+    val packed = aggregate(slice(tokens(text), 1, 511), lit(0L),
       (acc, t) => acc + coalesce(element_at(maskLit, t), lit(0L)))
     def voteOn(p: Column): Column = {
       val counts = langStopProfiles.zipWithIndex.map { case ((lang, _), i) =>
-        lang -> shiftrightunsigned(p, 8 * i).bitwiseAND(lit(255L))
+        lang -> shiftrightunsigned(p, 9 * i).bitwiseAND(lit(511L))
       }
       counts.zipWithIndex.map { case ((lang, c), i) =>
         val later = counts.drop(i + 1).map(_._2)

@@ -166,7 +166,8 @@ object LlmOps {
         val cond = (s"c_$lang > 0" +: later).mkString(" AND ")
         s"WHEN $cond THEN '$lang'"
       }.mkString("\n        |            ")
-      s"""WITH t AS (SELECT text, string_split_regex(text, '\\s+') AS toks FROM documents),
+      s"""WITH t AS (SELECT text,
+        |  string_split_regex(text, '\\s+')[1:511] AS toks FROM documents),
         |v AS (SELECT text,
         |  $hits
         |FROM t)

@@ -35,11 +35,14 @@ object NlpTail {
 
     // Synonym-set lookup for the 3rd token of each document (full set
     // returned, unknown -> empty array — reference synonyms.cpp contract).
+    // The set is rendered as a ','-joined string: the driver comparator
+    // only handles scalar columns (round-7 verdict — array columns break
+    // its pandas sort), so both engines emit the same stable rendering.
     "q_fn_synonyms" -> { (s, dir) =>
       val d = T(s, dir)("documents")
       val w = element_at(split(col("text"), " "), 3)
       ordered(d.select(
-        col("doc_id"), w.as("w"), Nlp.synonyms(w).as("syns")))
+        col("doc_id"), w.as("w"), array_join(Nlp.synonyms(w), ",").as("syns")))
     },
 
     // Sentiment: average emotional-dictionary weight of matched words,
@@ -67,20 +70,24 @@ object NlpTail {
     "q_fn_sparse_grams" -> { (s, dir) =>
       val d = T(s, dir)("documents")
       ordered(d.select(col("doc_id"),
-        graft.functions.TextHashes.sparse_grams(
-          substring(col("text"), 1, 24), 3).as("grams")))
+        array_join(graft.functions.TextHashes.sparse_grams(
+          substring(col("text"), 1, 24), 3), ",").as("grams")))
     },
 
     // End-to-end DIALECT tail (batches 13/14 through ChSql.sql):
     // hasSubstr over token arrays, character ngrams, bit positions,
     // readable time deltas — each independently reproduced in DuckDB.
     "q_fn_dialect_tail" -> { (s, dir) =>
+      // arrayStringConcat renders the array results as scalar strings:
+      // the driver comparator only handles scalar columns (round-7
+      // verdict), and the rendering itself exercises two more dialect
+      // names (arrayStringConcat, arrayMap) end-to-end.
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT doc_id,
           |  hasSubstr(splitByChar(' ', text), arraySlice(splitByChar(' ', text), 3, 2)) AS hs,
           |  hasSubstr(splitByChar(' ', text), ['zzz_not_there']) AS hs_no,
-          |  ngrams(substring(text, 1, 8), 3) AS ng,
-          |  bitPositionsToArray(n_chars) AS bp,
+          |  arrayStringConcat(ngrams(substring(text, 1, 8), 3), ',') AS ng,
+          |  arrayStringConcat(arrayMap(x -> toString(x), bitPositionsToArray(n_chars)), ',') AS bp,
           |  formatReadableTimeDelta(n_chars) AS td
           |FROM documents WHERE doc_id < 200""".stripMargin))
     },
@@ -115,8 +122,9 @@ object NlpTail {
     "q_fn_synonyms" ->
       s"""WITH m AS (SELECT ${Nlp.sqlMapList(Nlp.synPairs)} AS dict)
          |SELECT doc_id, string_split(text, ' ')[3] AS w,
-         |  coalesce(map_extract(dict, lower(string_split(text, ' ')[3]))[1],
-         |    []::VARCHAR[]) AS syns
+         |  coalesce(array_to_string(
+         |    map_extract(dict, lower(string_split(text, ' ')[3]))[1],
+         |    ','), '') AS syns
          |FROM documents CROSS JOIN m
          |ORDER BY doc_id NULLS FIRST, w NULLS FIRST, syns NULLS FIRST""".stripMargin,
     "q_fn_tonality" ->
@@ -162,9 +170,12 @@ object NlpTail {
         |  len(list_filter(range(1, len(toks) - len(sub) + 2),
         |    i -> toks[i:i+len(sub)-1] = sub)) > 0 AS hs,
         |  FALSE AS hs_no,
-        |  list_transform(range(1, greatest(length(substring(text, 1, 8)) - 1, 0)),
-        |    i -> substring(substring(text, 1, 8), CAST(i AS INT), 3)) AS ng,
-        |  list_filter(range(0, 64), i -> (CAST(n_chars AS BIGINT) >> i) & 1 = 1) AS bp,
+        |  array_to_string(list_transform(
+        |    range(1, greatest(length(substring(text, 1, 8)) - 1, 0)),
+        |    i -> substring(substring(text, 1, 8), CAST(i AS INT), 3)), ',') AS ng,
+        |  array_to_string(list_transform(
+        |    list_filter(range(0, 64), i -> (CAST(n_chars AS BIGINT) >> i) & 1 = 1),
+        |    x -> CAST(x AS VARCHAR)), ',') AS bp,
         |  array_to_string(list_filter([
         |    CASE WHEN n_chars // 86400 > 0 THEN (n_chars // 86400) || ' days' END,
         |    CASE WHEN n_chars % 86400 // 3600 > 0 THEN (n_chars % 86400 // 3600) || ' hours' END,

@@ -12,7 +12,11 @@ import org.apache.spark.sql.types._
   * = position in the schema + 1; wire type from the Spark type:
   * long/int/bool -> varint (0), double -> I64 (1), string/binary -> LEN
   * (2). Missing/default values are omitted on encode (proto3 semantics)
-  * and decode to null for strings / 0 for numerics absent from the wire.
+  * and decode to the proto3 DEFAULT — "" for strings, 0 for numerics,
+  * empty bytes for binary. This is lossy for nulls: a null value written
+  * through this sink round-trips to the type's default, exactly as proto3
+  * scalar fields do (there is no field presence here). Schemas that must
+  * distinguish null from default should not use this format.
   *
   * Integer fields use the ZIGZAG varint flavour — i.e. proto3 `sint64`/
   * `sint32`, the efficient-negative encoding — not plain `int64`; the

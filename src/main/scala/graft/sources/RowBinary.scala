@@ -29,6 +29,9 @@ object RowBinary {
   def encodeRow(out: java.io.OutputStream, row: Row, schema: StructType): Unit = {
     var i = 0
     while (i < schema.length) {
+      if (row.isNullAt(i)) throw new IllegalArgumentException(
+        s"RowBinary has no null representation (reference BinaryRowOutputFormat " +
+          s"writes non-Nullable columns only): column '${schema.fields(i).name}' is null")
       schema.fields(i).dataType match {
         case LongType => writeLe(out, row.getLong(i), 8)
         case IntegerType => writeLe(out, row.getInt(i).toLong, 4)

@@ -1594,10 +1594,13 @@ object ChSql {
       s"map_from_entries(reverse(array_sort(map_entries(${a(0)}))))")
     q = rewriteCalls(q, "mapExtractKeyLike")(a =>
       s"map_filter(${a(0)}, (__k, __v) -> __k LIKE ${a(1)})")
-    // IPv4CIDRToRange(num, prefix) -> numeric (lower, upper) bounds
+    // IPv4CIDRToRange(num, prefix) -> numeric (lower, upper) bounds.
+    // The shifted 1 must be BIGINT: int shiftleft is mod-32, so prefix 0
+    // (1 << 32) would collapse the range to (num, num) instead of the
+    // full address space (round-7 advice).
     q = rewriteCalls(q, "IPv4CIDRToRange")(a =>
-      s"named_struct('lower', ${a(0)} & (4294967295 - (shiftleft(1, 32 - ${a(1)}) - 1)), " +
-        s"'upper', ${a(0)} | (shiftleft(1, 32 - ${a(1)}) - 1))")
+      s"named_struct('lower', ${a(0)} & (4294967295 - (shiftleft(CAST(1 AS BIGINT), 32 - ${a(1)}) - 1)), " +
+        s"'upper', ${a(0)} | (shiftleft(CAST(1 AS BIGINT), 32 - ${a(1)}) - 1))")
     q = rewriteCalls(q, "MACStringToNum")(a =>
       s"CAST(conv(replace(${a(0)}, ':', ''), 16, 10) AS BIGINT)")
     q = rewriteCalls(q, "MACNumToString")(a =>

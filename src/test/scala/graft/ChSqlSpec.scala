@@ -799,6 +799,8 @@ class ChSqlSpec extends AnyFunSuite {
                  |INET_NTOA(16909060) AS na,
                  |IPv4CIDRToRange(16909060, 24).lower AS lo,
                  |IPv4CIDRToRange(16909060, 24).upper AS hi,
+                 |IPv4CIDRToRange(16909060, 0).lower AS lo0,
+                 |IPv4CIDRToRange(16909060, 0).upper AS hi0,
                  |MACStringToNum('00:11:22:33:44:55') AS mn,
                  |MACNumToString(73588229205) AS ms,
                  |MACStringToOUI('00:11:22:33:44:55') AS oui,
@@ -813,16 +815,17 @@ class ChSqlSpec extends AnyFunSuite {
     assert(n(0) == 16909060L)
     assert(r.getString(1) == "1.2.3.4")
     assert(n(2) == 16909056L && n(3) == 16909311L)
-    assert(n(4) == 0x001122334455L)
-    assert(r.getString(5) == "00:11:22:33:44:55")
-    assert(n(6) == 0x001122L)
-    assert(r.getString(7) == "http://a/b?y=2")
-    assert(r.getSeq[String](8) == Seq("x", "y"))
-    assert(r.getInt(9) == 2)
-    assert(r.isNullAt(10))
-    assert(r.getDecimal(11).toString == "3.75")
-    assert(r.getInt(12) == 7)
-    assert(n(13) == 891568578L) // public CRC-32 vector for "abc"
+    assert(n(4) == 0L && n(5) == 4294967295L) // /0 spans the whole space
+    assert(n(6) == 0x001122334455L)
+    assert(r.getString(7) == "00:11:22:33:44:55")
+    assert(n(8) == 0x001122L)
+    assert(r.getString(9) == "http://a/b?y=2")
+    assert(r.getSeq[String](10) == Seq("x", "y"))
+    assert(r.getInt(11) == 2)
+    assert(r.isNullAt(12))
+    assert(r.getDecimal(13).toString == "3.75")
+    assert(r.getInt(14) == 7)
+    assert(n(15) == 891568578L) // public CRC-32 vector for "abc"
   }
 
   test("batch-14: jumpConsistentHash, geo, bitmask, ztest, time delta, URL hierarchy") {

@@ -119,7 +119,10 @@ class CodecsSpec extends AnyFunSuite {
       assert(base32EncodeEval(u(plain)).toString == enc, s"encode $plain")
       assert(base32DecodeEval(u(enc)).toString == plain, s"decode $enc")
     }
-    assert(base32DecodeEval(u("M=======")) == null || true) // lenient tail
+    assert(base32DecodeEval(u("M=======")) == null)          // 1-symbol tail: no encoder produces it
+    assert(base32DecodeEval(u("MZX=====")) == null)          // 3-symbol tail invalid
+    assert(base32DecodeEval(u("MZXW6Y==")) == null)          // 6-symbol tail invalid
+    assert(base32DecodeEval(u("MZ======")) == null)          // non-zero leftover bits ('Z' low bits)
     assert(base32DecodeEval(u("MZXW6YT!")) == null)          // bad symbol
     assert(base32DecodeEval(u("MZXW6")) == null)             // bad length
   }
