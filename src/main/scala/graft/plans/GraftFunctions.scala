@@ -69,6 +69,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => VectorKernels.IntersectCountSortedLongs(es(0), es(1))),
     (FunctionIdentifier("porter_stem"), info("porter_stem"),
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
+    (FunctionIdentifier("ch_length"), info("ch_length"),
+      (es: Seq[Expression]) => graft.functions.ChLength(es.head)),
     (FunctionIdentifier("gcd"), info("gcd"),
       (es: Seq[Expression]) => graft.functions.Gcd(asLong(es(0)), asLong(es(1)))),
     (FunctionIdentifier("lcm"), info("lcm"),

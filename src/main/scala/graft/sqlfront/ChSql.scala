@@ -483,7 +483,14 @@ object ChSql {
         }
         if (end < 0) { sb.append(sql.substring(idx)); i = sql.length }
         else {
+          // recurse into the args first: the same name may be NESTED
+          // inside its own arguments (splitByChar(' ', …splitByChar…)),
+          // and the outer splice would otherwise skip the inner call
+          // unrewritten (found by the dialect fuzzer). f's OUTPUT is
+          // deliberately not rescanned — templates may emit the Spark
+          // name of the function they translate (substring -> substring).
           val args = splitArgs(sql.substring(idx + name.length + 1, end))
+            .map(a => rewriteCalls(a, name)(f))
           sb.append(f(args))
           i = end + 1
         }
@@ -667,6 +674,13 @@ object ChSql {
         "positionCaseInsensitive", "countSubstrings", "splitByChar"))
       q = q.replaceAll(s"\\b${base}UTF8\\s*\\(", base + "(")
 
+    // CH length() is polymorphic over String AND Array/Map (reference
+    // src/Functions/array/length.cpp); Spark splits it into length/size.
+    // ch_length (a RuntimeReplaceable) dispatches on the resolved type.
+    // Runs early, on the user's text only — Spark-native length() emitted
+    // by later templates is untouched. Found by the dialect fuzzer.
+    q = rewriteCalls(q, "length")(a => s"ch_length(${a(0)})")
+
     // count() -> count(*)
     q = q.replaceAll("""\bcount\(\s*\)""", "count(*)")
 
@@ -747,8 +761,9 @@ object ChSql {
       val cases = a.dropRight(1).grouped(2).map(p => s"WHEN ${p(0)} THEN ${p(1)}").mkString(" ")
       s"CASE $cases ELSE ${a.last} END"
     }
-    q = rewriteCalls(q, "empty")(a => s"(length(${a(0)}) = 0)")
-    q = rewriteCalls(q, "notEmpty")(a => s"(length(${a(0)}) > 0)")
+    // ch_length so empty/notEmpty stay polymorphic over strings AND arrays
+    q = rewriteCalls(q, "empty")(a => s"(ch_length(${a(0)}) = 0)")
+    q = rewriteCalls(q, "notEmpty")(a => s"(ch_length(${a(0)}) > 0)")
     q = rewriteCalls(q, "avgWeighted")(a => s"(sum((${a(0)}) * (${a(1)})) / sum(${a(1)}))")
     q = rewriteCalls(q, "arrayUniq")(a => s"size(array_distinct(${a(0)}))")
     q = rewriteCalls(q, "bitHammingDistance")(a => s"bit_count((${a(0)}) ^ (${a(1)}))")

@@ -1,0 +1,227 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import scala.util.Random
+
+/** Differential dialect fuzzer (reference src/Client/QueryFuzzer/
+  * QueryFuzzer.cpp idea, re-aimed): generate deterministic random TYPED
+  * expression trees over the ClickHouse-dialect surface, render each tree
+  * twice — once in CH-dialect SQL (evaluated through ChSql on Spark) and
+  * once in DuckDB SQL — and diff the results row-by-row. Composition is
+  * the residual risk the per-name oracle rows can't see (precedence, null
+  * propagation, type coercion across ~600 rewrites); this covers it.
+  *
+  * Grammar notes (each op's cross-engine semantics pinned before
+  * inclusion):
+  *  - intDiv: CH truncates toward zero, DuckDB `//` floors — numerators
+  *    are wrapped in abs() so the two agree; denominators are `x%7+1`.
+  *  - modulo: both engines take the dividend's sign — negatives allowed.
+  *  - arrayStringConcat([]) = '' on Spark but array_to_string([]) = NULL
+  *    on DuckDB — the duck rendering wraps in coalesce(..., '').
+  *  - multiply operands are reduced mod 1000 so deep products stay in
+  *    int64.
+  *  - No floats in v1: integer/string/array/bool ops only, so compares
+  *    are exact (FP rounding/rendering differs across engines).
+  */
+object FuzzDialect {
+  sealed trait Tpe
+  case object TInt extends Tpe
+  case object TStr extends Tpe
+  case object TArr extends Tpe // array<string>
+  case object TBool extends Tpe
+
+  /** One generated expression, rendered for both engines. */
+  final case class Fz(ch: String, duck: String, tpe: Tpe)
+
+  private val strTokens = Seq("row", "key", "scan", "hash", "the", "zz")
+
+  final class Gen(seed: Long) {
+    private val rnd = new Random(seed)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    private def lit(t: Tpe): Fz = t match {
+      case TInt =>
+        if (rnd.nextBoolean()) {
+          val v = rnd.nextInt(19) - 9
+          Fz(v.toString, v.toString, TInt)
+        } else pick(Seq(
+          Fz("doc_id", "doc_id", TInt),
+          Fz("n_chars", "n_chars", TInt)))
+      case TStr =>
+        if (rnd.nextBoolean()) {
+          val v = pick(strTokens)
+          Fz(s"'$v'", s"'$v'", TStr)
+        } else pick(Seq(
+          Fz("substring(text, 1, 16)", "substring(text, 1, 16)", TStr),
+          Fz("lang", "lang", TStr),
+          Fz("source", "source", TStr)))
+      case TArr =>
+        val s = gen(TStr, 0)
+        Fz(s"splitByChar(' ', ${s.ch})", s"string_split(${s.duck}, ' ')", TArr)
+      case TBool => genBool(0)
+    }
+
+    private def genInt(d: Int): Fz = {
+      val a = gen(TInt, d); val b = gen(TInt, d)
+      pick(Seq[() => Fz](
+        () => Fz(s"plus(${a.ch}, ${b.ch})", s"(${a.duck} + ${b.duck})", TInt),
+        () => Fz(s"minus(${a.ch}, ${b.ch})", s"(${a.duck} - ${b.duck})", TInt),
+        () => Fz(s"multiply(modulo(${a.ch}, 1000), modulo(${b.ch}, 1000))",
+                 s"((${a.duck} % 1000) * (${b.duck} % 1000))", TInt),
+        () => Fz(s"intDiv(abs(${a.ch}), plus(modulo(abs(${b.ch}), 7), 1))",
+                 s"(abs(${a.duck}) // ((abs(${b.duck}) % 7) + 1))", TInt),
+        () => Fz(s"modulo(${a.ch}, plus(modulo(abs(${b.ch}), 7), 1))",
+                 s"(${a.duck} % ((abs(${b.duck}) % 7) + 1))", TInt),
+        () => Fz(s"abs(${a.ch})", s"abs(${a.duck})", TInt),
+        () => Fz(s"greatest(${a.ch}, ${b.ch})", s"greatest(${a.duck}, ${b.duck})", TInt),
+        () => Fz(s"least(${a.ch}, ${b.ch})", s"least(${a.duck}, ${b.duck})", TInt),
+        () => { val s = gen(TStr, d); Fz(s"length(${s.ch})", s"length(${s.duck})", TInt) },
+        () => { val r = gen(TArr, d); Fz(s"length(${r.ch})", s"len(${r.duck})", TInt) },
+        () => { val s = gen(TStr, d); val t = pick(strTokens)
+                Fz(s"position(${s.ch}, '$t')", s"strpos(${s.duck}, '$t')", TInt) },
+        () => { val c = genBool(d)
+                Fz(s"if(${c.ch}, ${a.ch}, ${b.ch})",
+                   s"(CASE WHEN ${c.duck} THEN ${a.duck} ELSE ${b.duck} END)", TInt) }
+      ))()
+    }
+
+    private def genStr(d: Int): Fz = {
+      val a = gen(TStr, d)
+      pick(Seq[() => Fz](
+        () => Fz(s"lower(${a.ch})", s"lower(${a.duck})", TStr),
+        () => Fz(s"upper(${a.ch})", s"upper(${a.duck})", TStr),
+        () => Fz(s"reverse(${a.ch})", s"reverse(${a.duck})", TStr),
+        () => Fz(s"trim(${a.ch})", s"trim(${a.duck})", TStr),
+        () => { val b = gen(TStr, d)
+                Fz(s"concat(${a.ch}, ${b.ch})", s"(${a.duck} || ${b.duck})", TStr) },
+        () => { val p = rnd.nextInt(5) + 1; val l = rnd.nextInt(9)
+                Fz(s"substring(${a.ch}, $p, $l)", s"substring(${a.duck}, $p, $l)", TStr) },
+        () => { val n = rnd.nextInt(4)
+                Fz(s"repeat(substring(${a.ch}, 1, 4), $n)",
+                   s"repeat(substring(${a.duck}, 1, 4), $n)", TStr) },
+        () => { val i = gen(TInt, d)
+                Fz(s"toString(${i.ch})", s"CAST(${i.duck} AS VARCHAR)", TStr) },
+        () => { val r = gen(TArr, d)
+                Fz(s"arrayStringConcat(${r.ch}, ',')",
+                   s"coalesce(array_to_string(${r.duck}, ','), '')", TStr) },
+        () => { val c = genBool(d); val b = gen(TStr, d)
+                Fz(s"if(${c.ch}, ${a.ch}, ${b.ch})",
+                   s"(CASE WHEN ${c.duck} THEN ${a.duck} ELSE ${b.duck} END)", TStr) }
+      ))()
+    }
+
+    private def genArr(d: Int): Fz = {
+      val a = gen(TArr, d)
+      pick(Seq[() => Fz](
+        () => Fz(s"arraySort(${a.ch})", s"list_sort(${a.duck})", TArr),
+        () => Fz(s"arrayReverse(${a.ch})", s"list_reverse(${a.duck})", TArr),
+        () => Fz(s"arrayDistinct(arraySort(${a.ch}))",
+                 s"list_sort(list_distinct(${a.duck}))", TArr),
+        () => { val b = gen(TArr, d)
+                Fz(s"arrayConcat(${a.ch}, ${b.ch})",
+                   s"list_concat(${a.duck}, ${b.duck})", TArr) },
+        () => { val o = rnd.nextInt(4) + 1; val l = rnd.nextInt(5)
+                Fz(s"arraySlice(${a.ch}, $o, $l)",
+                   s"(${a.duck})[$o:${o + l - 1}]", TArr) }
+      ))()
+    }
+
+    private def genBool(d: Int): Fz = {
+      val cmp = Seq(("=", "="), ("!=", "<>"), ("<", "<"), (">", ">"),
+        ("<=", "<="), (">=", ">="))
+      pick(Seq[() => Fz](
+        () => { val a = gen(TInt, d); val b = gen(TInt, d); val (c1, c2) = pick(cmp)
+                Fz(s"(${a.ch} $c1 ${b.ch})", s"(${a.duck} $c2 ${b.duck})", TBool) },
+        () => { val a = gen(TStr, d); val b = gen(TStr, d); val (c1, c2) = pick(cmp)
+                Fz(s"(${a.ch} $c1 ${b.ch})", s"(${a.duck} $c2 ${b.duck})", TBool) },
+        () => { val r = gen(TArr, d); val t = pick(strTokens)
+                Fz(s"has(${r.ch}, '$t')", s"list_contains(${r.duck}, '$t')", TBool) },
+        () => { val s = gen(TStr, d); val t = pick(strTokens)
+                Fz(s"startsWith(${s.ch}, '$t')", s"starts_with(${s.duck}, '$t')", TBool) },
+        () => { if (d >= 3) { val a = gen(TInt, d); Fz(s"(${a.ch} > 0)", s"(${a.duck} > 0)", TBool) }
+                else { val a = genBool(d + 1); val b = genBool(d + 1)
+                val op = pick(Seq("AND", "OR"))
+                Fz(s"(${a.ch} $op ${b.ch})", s"(${a.duck} $op ${b.duck})", TBool) } },
+        () => { if (d >= 3) { val a = gen(TInt, d); Fz(s"(${a.ch} = 0)", s"(${a.duck} = 0)", TBool) }
+                else { val a = genBool(d + 1); Fz(s"(NOT ${a.ch})", s"(NOT ${a.duck})", TBool) } }
+      ))()
+    }
+
+    def gen(t: Tpe, d: Int): Fz =
+      if (d >= 3 || rnd.nextInt(10) < 2 + d) lit(t)
+      else t match {
+        case TInt => genInt(d + 1)
+        case TStr => genStr(d + 1)
+        case TArr => genArr(d + 1)
+        case TBool => genBool(d + 1)
+      }
+
+    /** A finished top-level expression: arrays are rendered to strings so
+      * both engines emit comparable scalars. */
+    def top(): Fz = {
+      val t = pick(Seq(TInt, TStr, TArr, TBool))
+      val e = gen(t, 0)
+      if (e.tpe == TArr)
+        Fz(s"arrayStringConcat(${e.ch}, '|')",
+           s"coalesce(array_to_string(${e.duck}, '|'), '')", TStr)
+      else e
+    }
+  }
+
+  def exprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new Gen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
+  /** Batch k expressions into one SELECT (c0..c{k-1}) over documents. */
+  def chSelect(batch: Seq[Fz], filter: String): String =
+    s"SELECT doc_id, ${batch.zipWithIndex.map { case (e, i) => s"${e.ch} AS c$i" }.mkString(", ")} " +
+      s"FROM documents WHERE $filter ORDER BY doc_id"
+
+  def duckSelect(batch: Seq[Fz], filter: String): String =
+    s"SELECT doc_id, ${batch.zipWithIndex.map { case (e, i) => s"${e.duck} AS c$i" }.mkString(", ")} " +
+      s"FROM documents WHERE $filter ORDER BY doc_id"
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** main: evaluate `n` expressions through ChSql/Spark in batches of 25,
+    * write each batch's result parquet + a manifest with the DuckDB SQL
+    * for tools/fuzz_check.py to replay. Args: [seed] [n] [sfDir] [outDir]. */
+  def main(args: Array[String]): Unit = {
+    val seed = args.headOption.map(_.toLong).getOrElse(8L)
+    val n = args.lift(1).map(_.toInt).getOrElse(1000)
+    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(3).getOrElse("/tmp/fuzz_out")
+    val filter = "doc_id < 100"
+    val spark = graft.core.Tables.session("local[8]", 8)
+    val all = exprs(seed, n)
+    val batches = all.grouped(25).toSeq
+    val manifest = new StringBuilder("[")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df: DataFrame =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] batch $i FAILED translating/analyzing:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch_$i")
+      if (i > 0) manifest.append(",")
+      manifest.append(s"""{"batch":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+      println(s"[fuzz] batch $i: ${b.length} exprs evaluated")
+    }
+    manifest.append("]")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest.toString)
+    println(s"[fuzz] wrote $outDir/manifest.json (${batches.size} batches, $n exprs)")
+    spark.stop()
+  }
+}

@@ -181,4 +181,55 @@ class DataSourcesSpec extends AnyFunSuite {
     val b = back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(a.sameElements(b))
   }
+
+  test("RowBinary rejects null values with a clear message, not an NPE") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("s", StringType, nullable = true)))
+    val row = org.apache.spark.sql.Row(null)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.RowBinary.encodeRow(new java.io.ByteArrayOutputStream, row, schema)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("Pretty output format: box table, numeric right-align, full-data widths") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (22L, "bb"), (333L, "long-tail")).toDF("k", "s")
+    val got = graft.sources.TextFormats.pretty(d.orderBy("k"), maxRows = 2)
+    val expect =
+      """┌─────┬───────────┐
+        |│ k   │ s         │
+        |├─────┼───────────┤
+        |│   1 │ a         │
+        |│  22 │ bb        │
+        |└─────┴───────────┘""".stripMargin
+    assert(got == expect) // widths reflect row 3 even though only 2 shown
+  }
+
+  test("Markdown output format matches the GitHub-table shape") {
+    import spark.implicits._
+    val d = Seq((1L, "plain"), (2L, "pipe|br")).toDF("n", "txt")
+    val got = graft.sources.TextFormats.markdown(d.orderBy("n"))
+    val expect = "| n | txt |\n| ---: | --- |\n| 1 | plain |\n| 2 | pipe\\|br |"
+    assert(got == expect)
+  }
+
+  test("SQLInsert output format: quoting, NULL, batching") {
+    import spark.implicits._
+    val d = Seq((1L, Some("it's"), Some(2.5)), (2L, None, None),
+      (3L, Some("x"), Some(1.0))).toDF("id", "s", "v")
+    val got = graft.sources.TextFormats.sqlInsert(d.orderBy("id"), "t", batchRows = 2)
+    val expect =
+      "INSERT INTO t (id, s, v) VALUES (1, 'it''s', 2.5), (2, NULL, NULL);\n" +
+        "INSERT INTO t (id, s, v) VALUES (3, 'x', 1.0);"
+    assert(got == expect)
+  }
+
+  test("markdown/sqlInsert distributed line renderers run in executors") {
+    val d = graft.core.Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    assert(graft.sources.TextFormats.markdownLines(d).count() == 25)
+    val lines = graft.sources.TextFormats.sqlInsertLines(d.orderBy("k")).collect()
+    assert(lines.length == 25 && lines.head.startsWith("(0, '"))
+  }
 }

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Replay the DuckDB side of the dialect fuzzer and diff against Spark.
+
+Usage: python3 tools/fuzz_check.py <sfDir> <fuzzOutDir>
+(run `sbt "runMain graft.tools.FuzzDialect <seed> <n> <sfDir> <fuzzOutDir>"`
+first). Exit 0 iff every expression column matches on every row.
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fuzz_out"
+
+con = duckdb.connect()
+con.execute(
+    f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+)
+
+manifest = json.load(open(f"{out}/manifest.json"))
+n_expr = 0
+failures = []
+for entry in manifest:
+    i = entry["batch"]
+    oracle = con.execute(entry["duck"]).fetchdf()
+    spark = pd.concat(
+        [pd.read_parquet(f) for f in sorted(glob.glob(f"{out}/batch_{i}/*.parquet"))]
+    )
+    spark = spark.sort_values("doc_id").reset_index(drop=True)
+    oracle = oracle.sort_values("doc_id").reset_index(drop=True)
+    if len(spark) != len(oracle):
+        failures.append(f"batch {i}: row count {len(spark)} vs {len(oracle)}")
+        continue
+    for c in [c for c in oracle.columns if c != "doc_id"]:
+        n_expr += 1
+        a, b = spark[c], oracle[c]
+        # engine-neutral compare: bools/ints may come back as different
+        # numpy dtypes; strings compare directly
+        eq = a.astype(str).fillna("\\N").eq(b.astype(str).fillna("\\N"))
+        if not eq.all():
+            j = int(eq.idxmin())
+            failures.append(
+                f"batch {i} col {c} row {j} (doc_id={spark['doc_id'][j]}): "
+                f"spark={a[j]!r} duck={b[j]!r}"
+            )
+
+if failures:
+    print(f"== FUZZ: {len(failures)} mismatching expressions of {n_expr} ==")
+    for f in failures[:40]:
+        print("FAIL", f)
+    sys.exit(1)
+print(f"== FUZZ: all {n_expr} expressions match across engines ==")
