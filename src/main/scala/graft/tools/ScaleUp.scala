@@ -64,15 +64,24 @@ object ScaleUp {
       shift("user_id", 100000L), col("event_type"), col("value"),
       col("props")), "events")
 
-    // Documents: rotate the token sequence by __c positions per copy —
-    // same tokens and length, decorrelated n-gram shingles.
+    // Documents: per-copy deterministic token PERMUTATION (sort by
+    // xxhash64(token, position, copy)) — preserves the token multiset
+    // (quality stats, language ID, BM25 term frequencies) while
+    // destroying n-gram shingle correlation across copies. NOT rotation:
+    // a rotation keeps the shingle SET nearly intact (only the wrap
+    // boundary changes), which made every doc a 10-clique of
+    // LSH near-duplicates and blew the dedup workload up quadratically
+    // (q_dedup_minhash_lsh 0.9 s -> 37 s on the first fixture attempt).
+    // Exact within-copy duplicates stay exact duplicates (same tokens ->
+    // same permutation); copy 0 keeps the original near-dup structure.
     val toks = split(col("text"), " ")
-    val n = size(toks)
-    val rot = pmod(col("__c"), greatest(n, lit(1)))
-    val rotated = concat(slice(toks, rot + 1, n - rot), slice(toks, lit(1), rot))
+    val permuted = transform(
+      array_sort(zip_with(toks, sequence(lit(1), size(toks)),
+        (t, i) => struct(xxhash64(t, i, col("__c")).as("h"), t.as("t")))),
+      s => s.getField("t"))
     wr(rep("documents").select(shift("doc_id", 100000L),
       when(col("__c") === 0, col("text"))
-        .otherwise(array_join(rotated, " ")).as("text"),
+        .otherwise(array_join(permuted, " ")).as("text"),
       col("lang"), col("source"), col("n_chars")), "documents")
 
     // Embeddings: rotate the vector by __c dims — norm-preserving,
