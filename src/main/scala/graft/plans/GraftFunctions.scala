@@ -71,6 +71,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
     (FunctionIdentifier("ch_length"), info("ch_length"),
       (es: Seq[Expression]) => graft.functions.ChLength(es.head)),
+    (FunctionIdentifier("geohash_kring"), info("geohash_kring"),
+      (es: Seq[Expression]) =>
+        graft.functions.GeoCells.GeohashKRing(es(0), intLit(es(1), "kRing k"))),
+    (FunctionIdentifier("geohashes_in_box"), info("geohashes_in_box"),
+      (es: Seq[Expression]) =>
+        graft.functions.GeoCells.GeohashesInBox(es.slice(0, 4),
+          intLit(es(4), "geohashesInBox precision"))),
     (FunctionIdentifier("gcd"), info("gcd"),
       (es: Seq[Expression]) => graft.functions.Gcd(asLong(es(0)), asLong(es(1)))),
     (FunctionIdentifier("lcm"), info("lcm"),

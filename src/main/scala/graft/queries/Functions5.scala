@@ -143,6 +143,25 @@ object Functions5 {
         // must land inside half a cell of the input.
         (abs(element_at(dec, 1) - lon) < 0.0002).as("lon_ok"),
         (abs(element_at(dec, 2) - lat) < 0.0001).as("lat_ok")))
+    },
+
+    // Geo cell indexing (h3kRing/geohashesInBox analog family, reference
+    // src/Functions/h3kRing.cpp + geohashesInBox.cpp): per-point cell at
+    // precision 4, its 3x3 kRing (rendered as a ','-joined string — the
+    // driver comparator takes scalars only), and the size of the
+    // precision-3 cell cover of a 2°x2° box around the point. Golden —
+    // no geohash in DuckDB; kernels are unit-pinned in CodecsSpec.
+    "q_geo_cells" -> { (s, dir) =>
+      import graft.functions.GeoCells
+      val c = T(s, dir)("customer").filter(col("c_custkey") <= 300)
+      val lat = (pmod(col("c_custkey"), lit(160)) - 80.0 + 0.25).cast("double")
+      val lon = (pmod(col("c_custkey") * 7, lit(360)) - 180.0 + 0.25).cast("double")
+      val cell = Codecs.geohash_encode(lon, lat, 4)
+      ordered(c.select(
+        col("c_custkey"), cell.as("cell"),
+        array_join(GeoCells.geohash_kring(cell, 1), ",").as("ring"),
+        size(GeoCells.geohashes_in_box(lon - 1.0, lat - 1.0, lon + 1.0, lat + 1.0, 3))
+          .as("n_box_cells")))
     }
   )
 

@@ -192,6 +192,7 @@ object ChSql {
     "toIPv6" -> "ipv6_string_to_num",
     "isIPv4String" -> "t", "isIPv6String" -> "t",
     "geohashEncode" -> "geohash_encode", "geohashDecode" -> "geohash_decode",
+    "geohashesInBox" -> "geohashes_in_box", "geohashKRing" -> "geohash_kring",
     "stem" -> "t", // template: CH stem('en', s) takes the language FIRST
     // NLP classification (dictionary-backed kernels — llm.Nlp)
     "lemmatize" -> "t", "synonyms" -> "t",

@@ -54,6 +54,55 @@ class CodecsSpec extends AnyFunSuite {
     assert(math.abs(u4(1) - 57.64911) < 1e-4 && math.abs(u4(0) - 10.40744) < 1e-4)
   }
 
+  test("geohash kRing: (2k+1)^2 distinct neighbors, all adjacent, contains self") {
+    import graft.functions.GeoCells
+    val cells = Seq(("ezs42", 0)).toDF("gh", "i")
+      .select(GeoCells.geohash_kring(col("gh"), 1).as("ring"))
+      .head().getSeq[String](0)
+    assert(cells.length == 9 && cells.contains("ezs42"))
+    // every neighbor decodes within 1.5 cell sizes of the center
+    val (w, h) = GeoCells.cellSize(5)
+    val (clon, clat) = graft.functions.GeoCells.decodeCenter("ezs42").get
+    cells.foreach { c =>
+      val (lon, lat) = graft.functions.GeoCells.decodeCenter(c).get
+      assert(math.abs(lon - clon) <= 1.5 * w && math.abs(lat - clat) <= 1.5 * h, c)
+    }
+    // k=2 block is 25; kRing is closed under expansion (ring1 subset ring2)
+    val ring2 = GeoCells.kRingEval("ezs42", 2).get
+    assert(ring2.length == 25 && cells.forall(ring2.contains))
+  }
+
+  test("geohashesInBox covers the box, only the box, hierarchically") {
+    import graft.functions.GeoCells
+    // precision-3 cells: 1.40625 x 1.40625 degrees
+    val cells = GeoCells.inBoxEval(-6.0, 42.0, -4.0, 43.5, 3)
+    assert(cells.nonEmpty && cells.distinct.length == cells.length)
+    val (w, h) = GeoCells.cellSize(3)
+    cells.foreach { c =>
+      val (lon, lat) = graft.functions.GeoCells.decodeCenter(c).get
+      assert(lon >= -6.0 - w && lon <= -4.0 + w && lat >= 42.0 - h && lat <= 43.5 + h, c)
+    }
+    // the classic vector's cell is inside this box at every precision
+    assert(cells.contains("ezs"))
+    assert(GeoCells.inBoxEval(-6.0, 42.0, -4.0, 43.5, 4).contains("ezs4"))
+    // geohash hierarchy: every precision-4 cell in the box has its
+    // precision-3 parent PREFIX in the box cover (h3ToParent analog)
+    val p4 = GeoCells.inBoxEval(-6.0, 42.0, -4.0, 43.5, 4)
+    assert(p4.map(_.take(3)).toSet.subsetOf(cells.toSet))
+    // inverted box -> empty (reference geohashesInBox contract)
+    assert(GeoCells.inBoxEval(1.0, 1.0, 0.0, 0.0, 3).isEmpty)
+  }
+
+  test("geo cell functions via SQL registration and CH dialect names") {
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val r = graft.sqlfront.ChSql.sql(spark, "/root/testdata/sf0.001",
+      """SELECT arrayStringConcat(geohashKRing('ezs42', 1), ',') AS ring,
+        |length(geohashesInBox(-6.0, 42.0, -4.0, 43.5, 3)) AS nbox""".stripMargin)
+      .head()
+    assert(r.getString(0).split(",").length == 9)
+    assert(r.getAs[Number](1).longValue > 0)
+  }
+
   test("uuid v7 is version 7, variant 10, time-ordered; snowflake embeds now") {
     val df = spark.range(0, 1000)
       .select(IdGen.generate_uuid_v7().as("u7"), IdGen.generate_snowflake_id().as("sf"))
