@@ -222,6 +222,99 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // ------------------------------------------------- partitioned NSW ANN
+
+  /** Graph-index ANN: partitioned NSW — navigable-small-world graphs
+    * (Malkov et al., "Approximate nearest neighbor algorithm based on
+    * navigable small world graphs", Inf. Systems 2014; HNSW's base
+    * layer), the reference's vector-similarity index family
+    * (src/Storages/MergeTree/MergeTreeIndexVectorSimilarity.h:33 wraps
+    * usearch-HNSW per data part — the SAME shard-local-graph shape used
+    * here: one graph per partition, scatter-gather merge).
+    *
+    * Build: vectors hash-partitioned into `parts` shards; inside each
+    * shard (one mapPartitions pass, no shuffle) nodes are inserted in id
+    * order, each linked bidirectionally to its `m` beam-searched nearest
+    * predecessors. Deterministic: hash partitioning, id-sorted
+    * insertion, (dist, id) tie-breaks — same graph every run.
+    *
+    * Search: a beam of width `efSearch` walks each shard's graph from
+    * its entry node (~efSearch·log n distance evaluations instead of a
+    * shard scan); the per-shard top-k candidates (parts×k rows TOTAL,
+    * driver-tiny) merge to the exact global top-k. Recall is
+    * probabilistic per shard (asserted vs brute force in LlmSpec);
+    * precision on returned distances is exact. At cluster scale each
+    * shard's graph build is an independent executor task and the index
+    * would persist per-partition — queries then touch every shard at
+    * graph-walk (not scan) cost, the standard distributed-HNSW layout. */
+  def annTopKNsw(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int, m: Int = 8, efSearch: Int = 48,
+                 parts: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val base = emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .repartition(parts, pmod(xxhash64(col("id")), lit(parts)))
+      .as[(Long, Seq[Double])]
+    val mm = m; val ef = efSearch; val kk = k // stable lambda captures
+    val perShard = base.mapPartitions { iter =>
+      val nodes = iter.map { case (id, v) => (id, v.toArray) }.toArray.sortBy(_._1)
+      if (nodes.isEmpty) Iterator.empty
+      else {
+        val vecs = nodes.map(_._2)
+        val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+        def cosTo(target: Array[Double], tNorm: Double, i: Int): Double = {
+          var d = 0.0; var j = 0; val v = vecs(i)
+          while (j < v.length) { d += v(j) * target(j); j += 1 }
+          d / (norms(i) * tNorm)
+        }
+        val adj = Array.fill(nodes.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        // beam search over the first `bound` inserted nodes
+        def beam(target: Array[Double], tNorm: Double, bound: Int, width: Int): Seq[(Double, Int)] = {
+          val visited = new java.util.BitSet(bound)
+          // best-first frontier: highest cosine first, id tie-break
+          val ord = Ordering.by[(Double, Int), (Double, Int)] { case (c, i) => (c, -i) }
+          val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+          val result = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+          val start = 0
+          val c0 = cosTo(target, tNorm, start)
+          visited.set(start); frontier.enqueue((c0, start)); result.enqueue((c0, start))
+          while (frontier.nonEmpty) {
+            val (c, n) = frontier.dequeue()
+            // min of result when full — stop expanding beyond the beam
+            if (result.size >= width && c < result.head._1) frontier.clear()
+            else adj(n).foreach { nb =>
+              if (nb < bound && !visited.get(nb)) {
+                visited.set(nb)
+                val cn = cosTo(target, tNorm, nb)
+                if (result.size < width || cn > result.head._1) {
+                  frontier.enqueue((cn, nb)); result.enqueue((cn, nb))
+                  if (result.size > width) result.dequeue()
+                }
+              }
+            }
+          }
+          result.toSeq.sortBy { case (c, i) => (-c, i) }
+        }
+        var i = 1
+        while (i < nodes.length) {
+          val links = beam(vecs(i), norms(i), i, math.max(ef, mm)).take(mm)
+          links.foreach { case (_, nb) => adj(i) += nb; adj(nb) += i }
+          i += 1
+        }
+        val qNorm = math.sqrt(q.map(x => x * x).sum)
+        beam(q, qNorm, nodes.length, math.max(ef, kk)).take(kk)
+          .map { case (c, n) => (nodes(n)._1, c) }.iterator
+      }
+    }.toDF("id", "cos")
+    perShard.orderBy(col("cos").desc, col("id")).limit(k)
+      .select(col("id").as(idCol), col("cos"))
+  }
+
   /** All vector pairs with cosine >= threshold (embedding near-dup).
     * Exact quadratic implementation — the verification/bounded-subset
     * path; use cosinePairsBucketed for the corpus-scale path. */

@@ -116,6 +116,14 @@ object LlmOps {
         queryId = 0L, k = 10, nPlanes = 6)
     },
 
+    // Partitioned-NSW graph ANN top-10 (the HNSW-family index path;
+    // deterministic shard graphs, golden-pinned; recall vs brute force
+    // asserted in LlmSpec).
+    "q_sim_ann_nsw" -> { (s, dir) =>
+      Similarity.annTopKNsw(T(s, dir)("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    },
+
     // Document fingerprints: rolling hash + simhash (custom Catalyst
     // expressions; values asserted in LlmSpec goldens).
     "q_fingerprint" -> { (s, dir) =>

@@ -174,7 +174,7 @@ object Misc4 {
       """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
         |  cast(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
         |  cast(count(DISTINCT o_custkey) AS BIGINT) AS nc,
-        |  CAST(floor(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) + 0.5) AS BIGINT) AS urgent_rev
+        |  CAST(floor(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 0) + 0.5) AS BIGINT) AS urgent_rev
         |FROM orders
         |WHERE year(o_orderdate) = 1997
         |GROUP BY 1

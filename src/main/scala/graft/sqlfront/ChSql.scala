@@ -732,9 +732,18 @@ object ChSql {
     q = rewriteCalls(q, "dateDiff")(ddiff)
     q = rewriteCalls(q, "date_diff")(ddiff)
     q = rewriteCalls(q, "position")(a => s"instr(${a(0)}, ${a(1)})")
-    q = rewriteCalls(q, "sumIf")(a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)")
+    // CH *If combinators return the TYPE DEFAULT on an empty match set
+    // (reference AggregateFunctionIf: non-Nullable result), not NULL:
+    // sumIf -> 0, avgIf -> nan. Mirrored for the numeric combinators
+    // (found by the aggregate fuzzer: sumIf over a no-match group
+    // returned NULL). minIf/maxIf keep SQL NULL — the CH default (0/'')
+    // is type-dependent and not expressible in a text template; this is
+    // a documented deliberate divergence.
+    q = rewriteCalls(q, "sumIf")(a =>
+      s"coalesce(sum(CASE WHEN ${a(1)} THEN ${a(0)} END), 0)")
     q = rewriteCalls(q, "countIf")(a => s"count(CASE WHEN ${a(0)} THEN 1 END)")
-    q = rewriteCalls(q, "avgIf")(a => s"avg(CASE WHEN ${a(1)} THEN ${a(0)} END)")
+    q = rewriteCalls(q, "avgIf")(a =>
+      s"coalesce(avg(CASE WHEN ${a(1)} THEN ${a(0)} END), CAST('NaN' AS DOUBLE))")
     q = rewriteCalls(q, "minIf")(a => s"min(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "maxIf")(a => s"max(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "uniqExact")(a => s"count(DISTINCT ${a.mkString(", ")})")

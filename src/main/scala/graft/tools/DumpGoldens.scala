@@ -12,7 +12,7 @@ import java.nio.file.{Files, Paths}
 object DumpGoldens {
   val goldenQueries = Seq("q_dedup_simhash", "q_sim_ann_lsh", "q_fingerprint",
     "q_ipv6_codec", "q_fn_geohash", "q_geo_cells", "q_lttb", "q_text_stem",
-    "q_fn_sparse_grams")
+    "q_fn_sparse_grams", "q_sim_ann_nsw")
 
   def canon(df: org.apache.spark.sql.DataFrame): String = {
     val cols = df.columns.sorted

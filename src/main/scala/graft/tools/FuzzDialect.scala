@@ -173,6 +173,59 @@ object FuzzDialect {
     (0 until n).map(_ => g.top())
   }
 
+  /** One fuzzed GROUP BY aggregate: (chAgg, duckAgg) column pairs over
+    * generated int expressions with a generated group key. Aggregate
+    * names exercise the CH dialect's agg surface (sum/min/max/countIf/
+    * sumIf/uniqExact/groupBit*); DuckDB sums are cast back to BIGINT
+    * (DuckDB sum(BIGINT) widens to HUGEINT, Spark stays LongType). */
+  final case class AggFz(chCols: Seq[String], duckCols: Seq[String],
+                         chKey: String, duckKey: String)
+
+  final class AggGen(seed: Long) {
+    private val g = new Gen(seed)
+    private val rnd = new Random(seed * 31 + 7)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    def one(nCols: Int): AggFz = {
+      val keys = Seq(
+        ("lang", "lang"),
+        ("source", "source"),
+        ("modulo(doc_id, 7)", "(doc_id % 7)"),
+        ("substring(lang, 1, 1)", "substring(lang, 1, 1)"))
+      val (chKey, duckKey) = pick(keys)
+      val cols = (0 until nCols).map { i =>
+        val e = g.gen(TInt, 0)
+        val b = g.gen(TBool, 1)
+        val alias = s"a$i"
+        pick(Seq[() => (String, String)](
+          () => (s"sum(${e.ch})", s"CAST(sum(${e.duck}) AS BIGINT)"),
+          () => (s"min(${e.ch})", s"min(${e.duck})"),
+          () => (s"max(${e.ch})", s"max(${e.duck})"),
+          () => (s"count(*)", s"count(*)"),
+          () => (s"countIf(${b.ch})", s"CAST(count(*) FILTER (WHERE ${b.duck}) AS BIGINT)"),
+          () => (s"sumIf(${e.ch}, ${b.ch})",
+                 s"CAST(coalesce(sum(${e.duck}) FILTER (WHERE ${b.duck}), 0) AS BIGINT)"),
+          () => (s"uniqExact(${e.ch})", s"CAST(count(DISTINCT ${e.duck}) AS BIGINT)"),
+          () => (s"groupBitOr(abs(${e.ch}))", s"bit_or(abs(${e.duck}))"),
+          () => (s"groupBitAnd(abs(${e.ch}))", s"bit_and(abs(${e.duck}))"),
+          () => (s"groupBitXor(abs(${e.ch}))", s"bit_xor(abs(${e.duck}))")
+        ))() match { case (c, d) => (s"$c AS $alias", s"$d AS $alias") }
+      }
+      AggFz(cols.map(_._1), cols.map(_._2), chKey, duckKey)
+    }
+  }
+
+  def aggQueries(seed: Long, n: Int): Seq[AggFz] = {
+    val g = new AggGen(seed)
+    (0 until n).map(_ => g.one(4))
+  }
+
+  def chAggSelect(a: AggFz): String =
+    s"SELECT ${a.chKey} AS k, ${a.chCols.mkString(", ")} FROM documents GROUP BY ${a.chKey} ORDER BY k"
+
+  def duckAggSelect(a: AggFz): String =
+    s"SELECT ${a.duckKey} AS k, ${a.duckCols.mkString(", ")} FROM documents GROUP BY ${a.duckKey} ORDER BY k"
+
   /** Batch k expressions into one SELECT (c0..c{k-1}) over documents. */
   def chSelect(batch: Seq[Fz], filter: String): String =
     s"SELECT doc_id, ${batch.zipWithIndex.map { case (e, i) => s"${e.ch} AS c$i" }.mkString(", ")} " +
@@ -217,11 +270,28 @@ object FuzzDialect {
       manifest.append(s"""{"batch":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
       println(s"[fuzz] batch $i: ${b.length} exprs evaluated")
     }
+    // GROUP BY aggregate fuzzing: n/10 queries, 4 agg columns each, over
+    // the dialect agg surface (sum/min/max/countIf/sumIf/uniqExact/
+    // groupBit*) — order-independent aggregates only, so compares are
+    // exact. Scalar-expression arguments come from the same generator.
+    val aggs = aggQueries(seed * 17 + 3, math.max(1, n / 10))
+    aggs.zipWithIndex.foreach { case (a, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chAggSelect(a))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] agg $i FAILED: ${chAggSelect(a)}")
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/agg_$i")
+      manifest.append(",")
+      manifest.append(s"""{"agg":$i,"duck":${jsonStr(duckAggSelect(a))},"ch":${jsonStr(chAggSelect(a))}}""")
+    }
+    println(s"[fuzz] ${aggs.size} agg queries evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest.toString)
-    println(s"[fuzz] wrote $outDir/manifest.json (${batches.size} batches, $n exprs)")
+    println(s"[fuzz] wrote $outDir/manifest.json (${batches.size} scalar batches + ${aggs.size} agg queries, $n exprs)")
     spark.stop()
   }
 }

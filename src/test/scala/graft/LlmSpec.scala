@@ -65,6 +65,24 @@ class LlmSpec extends AnyFunSuite {
     assert(pruned.subsetOf(emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet))
   }
 
+  test("partitioned NSW ann: deterministic, high recall vs brute force") {
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    def run() = Similarity.annTopKNsw(emb, "vec_id", "embedding", 1L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val a = run(); val b = run()
+    assert(a.sameElements(b), "NSW graph build/search must be deterministic")
+    val recall = exact.count(a.map(_._1).toSet) / 10.0
+    assert(recall >= 0.8, s"nsw recall too low: $recall (got ${a.map(_._1).toSeq})")
+    // returned cosines are EXACT (graph prunes candidates, never distances):
+    // each returned cosine must match the brute-force kernel's value
+    val returned = a.map(_._1).toSet
+    val check = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1L, 2000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach { case (id, c) => assert(math.abs(check(id) - c) < 1e-12, s"cos drift for $id") }
+  }
+
   test("ann lsh returns valid bucket-local neighbours, bounded by exact top-1") {
     val emb = graft.core.Tables.t(spark, sf, "embeddings")
     val bfTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1)

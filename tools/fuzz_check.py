@@ -24,17 +24,21 @@ manifest = json.load(open(f"{out}/manifest.json"))
 n_expr = 0
 failures = []
 for entry in manifest:
-    i = entry["batch"]
+    is_agg = "agg" in entry
+    i = entry["agg"] if is_agg else entry["batch"]
+    tag = f"agg {i}" if is_agg else f"batch {i}"
+    key = "k" if is_agg else "doc_id"
+    d = f"{out}/agg_{i}" if is_agg else f"{out}/batch_{i}"
     oracle = con.execute(entry["duck"]).fetchdf()
     spark = pd.concat(
-        [pd.read_parquet(f) for f in sorted(glob.glob(f"{out}/batch_{i}/*.parquet"))]
+        [pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))]
     )
-    spark = spark.sort_values("doc_id").reset_index(drop=True)
-    oracle = oracle.sort_values("doc_id").reset_index(drop=True)
+    spark = spark.sort_values(key).reset_index(drop=True)
+    oracle = oracle.sort_values(key).reset_index(drop=True)
     if len(spark) != len(oracle):
-        failures.append(f"batch {i}: row count {len(spark)} vs {len(oracle)}")
+        failures.append(f"{tag}: row count {len(spark)} vs {len(oracle)}")
         continue
-    for c in [c for c in oracle.columns if c != "doc_id"]:
+    for c in [c for c in oracle.columns if c != key]:
         n_expr += 1
         a, b = spark[c], oracle[c]
         # engine-neutral compare: bools/ints may come back as different
@@ -43,7 +47,7 @@ for entry in manifest:
         if not eq.all():
             j = int(eq.idxmin())
             failures.append(
-                f"batch {i} col {c} row {j} (doc_id={spark['doc_id'][j]}): "
+                f"{tag} col {c} row {j} ({key}={spark[key][j]}): "
                 f"spark={a[j]!r} duck={b[j]!r}"
             )
 
