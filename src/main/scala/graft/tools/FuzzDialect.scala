@@ -220,6 +220,70 @@ object FuzzDialect {
     (0 until n).map(_ => g.one(4))
   }
 
+  /** Date/time expression fuzzing over `orders.o_orderdate` — the classic
+    * cross-engine drift area (week-start, diff-boundary, trunc-vs-round).
+    * Cross-engine semantics pinned per op:
+    *  - addDays routes through Spark date_add which returns DATE (drops
+    *    time-of-day) — the DuckDB mirror is CAST(x AS DATE) + k;
+    *  - toDayOfWeek is CH ISO Mon=1..Sun=7 — DuckDB isodow;
+    *  - dateDiff counts UNIT-BOUNDARY crossings (CH truncs both sides) —
+    *    DuckDB date_diff has the same contract;
+    *  - date-typed results render as yyyy-MM-dd strings via toDate+
+    *    toString both sides (timestamp rendering differs). */
+  final class DateGen(seed: Long) {
+    private val rnd = new Random(seed * 13 + 5)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    def genDate(d: Int): Fz = {
+      if (d >= 3 || rnd.nextInt(10) < 3)
+        Fz("o_orderdate", "o_orderdate", TStr)
+      else pick(Seq[() => Fz](
+        () => { val a = genDate(d + 1)
+                Fz(s"toStartOfDay(${a.ch})", s"date_trunc('day', ${a.duck})", TStr) },
+        () => { val a = genDate(d + 1)
+                Fz(s"toStartOfMonth(${a.ch})", s"date_trunc('month', ${a.duck})", TStr) },
+        () => { val a = genDate(d + 1)
+                Fz(s"toStartOfYear(${a.ch})", s"date_trunc('year', ${a.duck})", TStr) },
+        () => { val a = genDate(d + 1); val k = rnd.nextInt(200) - 100
+                Fz(s"addDays(${a.ch}, $k)", s"(CAST(${a.duck} AS DATE) + $k)", TStr) }
+      ))()
+    }
+
+    def genInt(): Fz = {
+      val a = genDate(0); val b = genDate(0)
+      pick(Seq[() => Fz](
+        () => Fz(s"toYear(${a.ch})", s"CAST(year(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toMonth(${a.ch})", s"CAST(month(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toDayOfMonth(${a.ch})", s"CAST(day(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toDayOfWeek(${a.ch})", s"CAST(isodow(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toDayOfYear(${a.ch})", s"CAST(dayofyear(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toQuarter(${a.ch})", s"CAST(quarter(${a.duck}) AS BIGINT)", TInt),
+        () => { val u = pick(Seq("day", "month", "year"))
+                Fz(s"dateDiff('$u', ${a.ch}, ${b.ch})",
+                   s"CAST(date_diff('$u', CAST(${a.duck} AS TIMESTAMP), CAST(${b.duck} AS TIMESTAMP)) AS BIGINT)", TInt) }
+      ))()
+    }
+
+    /** Top-level: int expression, or a date rendered as yyyy-MM-dd. */
+    def top(): Fz =
+      if (rnd.nextBoolean()) genInt()
+      else { val a = genDate(0)
+        Fz(s"toString(toDate(${a.ch}))", s"CAST(CAST(${a.duck} AS DATE) AS VARCHAR)", TStr) }
+  }
+
+  def dateExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new DateGen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
+  def chDateSelect(batch: Seq[Fz], filter: String): String =
+    s"SELECT o_orderkey, ${batch.zipWithIndex.map { case (e, i) => s"${e.ch} AS c$i" }.mkString(", ")} " +
+      s"FROM orders WHERE $filter ORDER BY o_orderkey"
+
+  def duckDateSelect(batch: Seq[Fz], filter: String): String =
+    s"SELECT o_orderkey, ${batch.zipWithIndex.map { case (e, i) => s"${e.duck} AS c$i" }.mkString(", ")} " +
+      s"FROM orders WHERE $filter ORDER BY o_orderkey"
+
   def chAggSelect(a: AggFz): String =
     s"SELECT ${a.chKey} AS k, ${a.chCols.mkString(", ")} FROM documents GROUP BY ${a.chKey} ORDER BY k"
 
@@ -287,6 +351,22 @@ object FuzzDialect {
       manifest.append(s"""{"agg":$i,"duck":${jsonStr(duckAggSelect(a))},"ch":${jsonStr(chAggSelect(a))}}""")
     }
     println(s"[fuzz] ${aggs.size} agg queries evaluated")
+    // date/time expression fuzzing over orders (n/4 exprs, batches of 25)
+    val dates = dateExprs(seed * 7 + 11, math.max(1, n / 4)).grouped(25).toSeq
+    val dateFilter = "o_orderkey < 400"
+    dates.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chDateSelect(b, dateFilter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] date batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/date_$i")
+      manifest.append(",")
+      manifest.append(s"""{"date":$i,"duck":${jsonStr(duckDateSelect(b, dateFilter))},"ch":${jsonStr(chDateSelect(b, dateFilter))}}""")
+    }
+    println(s"[fuzz] ${dates.map(_.size).sum} date exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

@@ -25,4 +25,21 @@ class FuzzDialectSpec extends AnyFunSuite {
       assert(rows.length == 20, s"batch $i returned ${rows.length} rows")
     }
   }
+
+  test("fuzzed aggregate and date queries translate, evaluate, and are deterministic") {
+    val aggs = graft.tools.FuzzDialect.aggQueries(seed = 8L, n = 20)
+    assert(aggs == graft.tools.FuzzDialect.aggQueries(seed = 8L, n = 20))
+    aggs.take(5).foreach { a =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chAggSelect(a)).collect()
+      assert(rows.nonEmpty)
+    }
+    val dates = graft.tools.FuzzDialect.dateExprs(seed = 8L, n = 100)
+    assert(dates == graft.tools.FuzzDialect.dateExprs(seed = 8L, n = 100))
+    dates.grouped(25).foreach { b =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chDateSelect(b, "o_orderkey < 50")).collect()
+      assert(rows.nonEmpty)
+    }
+  }
 }

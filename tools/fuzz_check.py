@@ -16,19 +16,21 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fuzz_out"
 
 con = duckdb.connect()
-con.execute(
-    f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
-)
+for t in ("documents", "orders"):
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+    )
 
 manifest = json.load(open(f"{out}/manifest.json"))
 n_expr = 0
 failures = []
 for entry in manifest:
-    is_agg = "agg" in entry
-    i = entry["agg"] if is_agg else entry["batch"]
-    tag = f"agg {i}" if is_agg else f"batch {i}"
-    key = "k" if is_agg else "doc_id"
-    d = f"{out}/agg_{i}" if is_agg else f"{out}/batch_{i}"
+    if "agg" in entry:
+        i, tag, key, d = entry["agg"], f"agg {entry['agg']}", "k", f"{out}/agg_{entry['agg']}"
+    elif "date" in entry:
+        i, tag, key, d = entry["date"], f"date {entry['date']}", "o_orderkey", f"{out}/date_{entry['date']}"
+    else:
+        i, tag, key, d = entry["batch"], f"batch {entry['batch']}", "doc_id", f"{out}/batch_{entry['batch']}"
     oracle = con.execute(entry["duck"]).fetchdf()
     spark = pd.concat(
         [pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))]
