@@ -182,6 +182,30 @@ class DataSourcesSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("npy round-trip: embeddings matrix + id sidecar, spec-exact header") {
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val dir = tmp() + "/npy"
+    graft.sources.NpyIO.write(emb, "vec_id", "embedding", dir)
+    // header bytes follow the public numpy.lib.format v1.0 layout
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.toString.matches(".*part-\\d+\\.npy")).findFirst().get()
+    val head = java.nio.file.Files.readAllBytes(f)
+    assert(head(0) == 0x93.toByte && new String(head, 1, 5) == "NUMPY")
+    assert(head(6) == 1 && head(7) == 0) // v1.0
+    val hlen = (head(8) & 0xff) | ((head(9) & 0xff) << 8)
+    assert((10 + hlen) % 64 == 0, "header padded to 64-byte boundary")
+    val dict = new String(head, 10, hlen)
+    assert(dict.contains("'descr': '<f4'") && dict.contains("'fortran_order': False"))
+    // round trip: same ids, same vectors (float32-exact: source is float)
+    val back = graft.sources.NpyIO.read(spark, dir)
+    assert(back.count() == emb.count())
+    val a = emb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val b = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(a.sameElements(b))
+  }
+
   test("RowBinary rejects null values with a clear message, not an NPE") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("s", StringType, nullable = true)))
