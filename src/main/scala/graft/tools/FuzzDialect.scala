@@ -79,6 +79,16 @@ object FuzzDialect {
         () => { val r = gen(TArr, d); Fz(s"length(${r.ch})", s"len(${r.duck})", TInt) },
         () => { val s = gen(TStr, d); val t = pick(strTokens)
                 Fz(s"position(${s.ch}, '$t')", s"strpos(${s.duck}, '$t')", TInt) },
+        () => Fz(s"bitAnd(${a.ch}, ${b.ch})", s"(${a.duck} & ${b.duck})", TInt),
+        () => Fz(s"bitOr(${a.ch}, ${b.ch})", s"(${a.duck} | ${b.duck})", TInt),
+        () => Fz(s"bitXor(${a.ch}, ${b.ch})", s"xor(${a.duck}, ${b.duck})", TInt),
+        // DuckDB rejects shifting a negative number; Spark wraps — abs both
+        () => { val k = rnd.nextInt(9)
+                Fz(s"bitShiftLeft(modulo(abs(${a.ch}), 1000), $k)",
+                   s"((abs(${a.duck}) % 1000) << $k)", TInt) },
+        () => Fz(s"gcd(${a.ch}, ${b.ch})", s"gcd(${a.duck}, ${b.duck})", TInt),
+        () => Fz(s"lcm(modulo(${a.ch}, 100), modulo(${b.ch}, 100))",
+                 s"lcm((${a.duck} % 100), (${b.duck} % 100))", TInt),
         () => { val c = genBool(d)
                 Fz(s"if(${c.ch}, ${a.ch}, ${b.ch})",
                    s"(CASE WHEN ${c.duck} THEN ${a.duck} ELSE ${b.duck} END)", TInt) }
@@ -104,6 +114,17 @@ object FuzzDialect {
         () => { val r = gen(TArr, d)
                 Fz(s"arrayStringConcat(${r.ch}, ',')",
                    s"coalesce(array_to_string(${r.duck}, ','), '')", TStr) },
+        () => Fz(s"hex(${a.ch})", s"hex(${a.duck})", TStr),
+        () => Fz(s"base64Encode(${a.ch})", s"to_base64(CAST(${a.duck} AS BLOB))", TStr),
+        () => Fz(s"base64Decode(base64Encode(${a.ch}))",
+                 s"CAST(from_base64(to_base64(CAST(${a.duck} AS BLOB))) AS VARCHAR)", TStr),
+        () => { val n = rnd.nextInt(11); val p = pick(Seq(".", "*", "ab"))
+                Fz(s"leftPad(${a.ch}, $n, '$p')", s"lpad(${a.duck}, $n, '$p')", TStr) },
+        () => { val n = rnd.nextInt(11); val p = pick(Seq(".", "*", "ab"))
+                Fz(s"rightPad(${a.ch}, $n, '$p')", s"rpad(${a.duck}, $n, '$p')", TStr) },
+        () => { val t = pick(strTokens)
+                Fz(s"replaceAll(${a.ch}, '$t', '_')",
+                   s"replace(${a.duck}, '$t', '_')", TStr) },
         () => { val c = genBool(d); val b = gen(TStr, d)
                 Fz(s"if(${c.ch}, ${a.ch}, ${b.ch})",
                    s"(CASE WHEN ${c.duck} THEN ${a.duck} ELSE ${b.duck} END)", TStr) }
@@ -138,6 +159,10 @@ object FuzzDialect {
                 Fz(s"has(${r.ch}, '$t')", s"list_contains(${r.duck}, '$t')", TBool) },
         () => { val s = gen(TStr, d); val t = pick(strTokens)
                 Fz(s"startsWith(${s.ch}, '$t')", s"starts_with(${s.duck}, '$t')", TBool) },
+        () => { val s = gen(TStr, d); val t = pick(strTokens)
+                Fz(s"endsWith(${s.ch}, '$t')", s"ends_with(${s.duck}, '$t')", TBool) },
+        () => { val s = gen(TStr, d); val t = pick(strTokens)
+                Fz(s"(${s.ch} LIKE '%$t%')", s"(${s.duck} LIKE '%$t%')", TBool) },
         () => { if (d >= 3) { val a = gen(TInt, d); Fz(s"(${a.ch} > 0)", s"(${a.duck} > 0)", TBool) }
                 else { val a = genBool(d + 1); val b = genBool(d + 1)
                 val op = pick(Seq("AND", "OR"))
