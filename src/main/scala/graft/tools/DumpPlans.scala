@@ -29,7 +29,9 @@ object DumpPlans {
       // round-6 session 2 — cluster extraction + semantic dedup
       "q_dedup_components", "q_semantic_dedup", "q_dup_ngram_spans",
       // round-7 — hashed spans kernel, DDSketch, WKT, codec/NLP tails
-      "q_quantile_dd", "q_fn_wkt", "q_fn_tonality", "q_fn_codec_tail")
+      "q_quantile_dd", "q_fn_wkt", "q_fn_tonality", "q_fn_codec_tail",
+      // round-8 — geo cells (map-side), partitioned NSW graph ANN
+      "q_geo_cells", "q_sim_ann_nsw")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")

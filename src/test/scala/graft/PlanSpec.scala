@@ -190,4 +190,25 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
     }
   }
+
+  test("q_geo_cells is map-side: no join, no aggregate shuffle") {
+    // cell/kRing/inBox are per-row scalar kernels — the only exchange
+    // allowed is the deterministic output sort.
+    val plan = SparkEntry.queries("q_geo_cells")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"geo cell plan grew a join:\n${plan.take(2000)}")
+    assert(!plan.contains("hashpartitioning"),
+      s"geo cell plan shuffles beyond the output sort:\n${plan.take(2000)}")
+  }
+
+  test("q_sim_ann_nsw shuffles once into shards, never joins the corpus") {
+    // NSW: one repartition into shard graphs, per-shard candidates merge
+    // via global top-k — no corpus-wide join and no cartesian product.
+    val plan = SparkEntry.queries("q_sim_ann_nsw")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"NSW plan joined the corpus:\n${plan.take(2000)}")
+    val shuffles = "hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"NSW plan has $shuffles hash shuffles (expected 1):\n${plan.take(2000)}")
+  }
 }
