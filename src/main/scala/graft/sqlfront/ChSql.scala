@@ -500,6 +500,36 @@ object ChSql {
     sb.toString
   }
 
+  private val floatLitRe =
+    """(?<![\w.])(\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)(?![\w.])""".r
+
+  /** Suffix bare fractional / exponent numeric literals with `D` (Spark's
+    * double-literal marker) outside string literals, so they type as
+    * DOUBLE like ClickHouse's Float64 literals instead of Spark's
+    * DECIMAL default. */
+  private[graft] def rewriteFloatLiterals(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var segStart = 0
+    var inStr = false
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        if (!inStr) {
+          sb.append(floatLitRe.replaceAllIn(sql.substring(segStart, i), m => m.group(1) + "D"))
+          segStart = i
+        } else {
+          sb.append(sql.substring(segStart, i + 1))
+          segStart = i + 1
+        }
+        inStr = !inStr
+      }
+      i += 1
+    }
+    if (inStr) sb.append(sql.substring(segStart))
+    else sb.append(floatLitRe.replaceAllIn(sql.substring(segStart), m => m.group(1) + "D"))
+    sb.toString
+  }
+
   /** CH array literals `[a, b]` -> `array(a, b)`, leaving subscripts
     * (`expr[1]`) untouched: a bracket is a literal iff the previous
     * non-space char is not an identifier char, ')' or ']'. */
@@ -1861,6 +1891,17 @@ object ChSql {
              |  SELECT *, row_number() OVER (PARTITION BY $cols ORDER BY $ord) AS __rn
              |  FROM ($bodyNoOrd)) WHERE __rn <= $n $tail""".stripMargin
     }
+
+    // LAST: CH floating literals are Float64 (reference
+    // src/Parsers/Lexer.cpp number tokens; docs: fractional literals are
+    // Float64); Spark parses 7.0 as DECIMAL(2,1), silently turning n/7.0
+    // into scale-6 decimal division (found by the float fuzzer:
+    // 157/7.0 returned 22.428571 instead of 22.42857142857…). Suffix
+    // fractional/exponent literals with D so Spark types them DOUBLE.
+    // Runs after every template so parameterized-aggregate syntax
+    // (quantile(0.5)(x)) and literal-parsing templates see plain numbers;
+    // D on template-emitted literals inside CASTs is value-preserving.
+    q = rewriteFloatLiterals(q)
 
     q.trim
   }

@@ -301,6 +301,67 @@ object FuzzDialect {
     (0 until n).map(_ => g.top())
   }
 
+  /** Float expression fuzzing — exercises the CH math templates where the
+    * engines genuinely diverge and the dialect layer must paper over it:
+    *  - CH divide(): x/0 -> ±Inf, 0/0 -> NaN (never error); DuckDB's own
+    *    division returns NULL on /0, so the duck mirror spells the CH
+    *    contract out with a CASE;
+    *  - sqrt(-x) ERRORS in DuckDB (CH: nan) — arguments are abs-guarded;
+    *  - ln(0) ERRORS in DuckDB (CH: -inf) — arguments are +1-shifted;
+    *  - exp is magnitude-clamped so chains stay finite.
+    * Results compare with relative tolerance in fuzz_check.py (1e-9),
+    * inf/NaN compare by identity. */
+  final class FloatGen(seed: Long) {
+    private val rnd = new Random(seed * 19 + 23)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    def gen(d: Int): Fz = {
+      if (d >= 3 || rnd.nextInt(10) < 2 + d)
+        pick(Seq(
+          Fz("(n_chars / 7.0)", "(n_chars / 7.0)", TInt),
+          Fz("(doc_id / 3.0)", "(doc_id / 3.0)", TInt),
+          Fz("2.5", "2.5", TInt), Fz("0.25", "0.25", TInt),
+          Fz("-1.5", "-1.5", TInt), Fz("9.75", "9.75", TInt)))
+      else {
+        val a = gen(d + 1); val b = gen(d + 1)
+        pick(Seq[() => Fz](
+          () => Fz(s"plus(${a.ch}, ${b.ch})", s"(${a.duck} + ${b.duck})", TInt),
+          () => Fz(s"minus(${a.ch}, ${b.ch})", s"(${a.duck} - ${b.duck})", TInt),
+          () => Fz(s"multiply(${a.ch}, ${b.ch})", s"(${a.duck} * ${b.duck})", TInt),
+          () => Fz(s"divide(${a.ch}, ${b.ch})",
+            s"(CASE WHEN CAST(${b.duck} AS DOUBLE) = 0.0 THEN " +
+              s"(CASE WHEN CAST(${a.duck} AS DOUBLE) > 0.0 THEN 'infinity'::DOUBLE " +
+              s"WHEN CAST(${a.duck} AS DOUBLE) < 0.0 THEN '-infinity'::DOUBLE " +
+              s"ELSE 'nan'::DOUBLE END) " +
+              s"ELSE CAST(${a.duck} AS DOUBLE) / CAST(${b.duck} AS DOUBLE) END)", TInt),
+          () => Fz(s"sqrt(abs(${a.ch}))", s"sqrt(abs(${a.duck}))", TInt),
+          () => Fz(s"ln(plus(abs(${a.ch}), 1.0))", s"ln(abs(${a.duck}) + 1.0)", TInt),
+          () => Fz(s"log2(plus(abs(${a.ch}), 1.0))", s"log2(abs(${a.duck}) + 1.0)", TInt),
+          () => Fz(s"log10(plus(abs(${a.ch}), 1.0))", s"log10(abs(${a.duck}) + 1.0)", TInt),
+          () => Fz(s"exp(least(abs(${a.ch}), 20.0))",
+                   s"exp(least(abs(${a.duck}), 20.0))", TInt),
+          () => Fz(s"pow(plus(abs(${a.ch}), 0.5), least(abs(${b.ch}), 3.0))",
+                   s"power(abs(${a.duck}) + 0.5, least(abs(${b.duck}), 3.0))", TInt),
+          () => Fz(s"greatest(${a.ch}, ${b.ch})", s"greatest(${a.duck}, ${b.duck})", TInt),
+          () => Fz(s"least(${a.ch}, ${b.ch})", s"least(${a.duck}, ${b.duck})", TInt)
+        ))()
+      }
+    }
+  }
+
+  def floatExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new FloatGen(seed)
+    (0 until n).map(_ => g.gen(0))
+  }
+
+  def chFloatSelect(batch: Seq[Fz], filter: String): String =
+    s"SELECT doc_id, ${batch.zipWithIndex.map { case (e, i) => s"CAST(${e.ch} AS DOUBLE) AS c$i" }.mkString(", ")} " +
+      s"FROM documents WHERE $filter ORDER BY doc_id"
+
+  def duckFloatSelect(batch: Seq[Fz], filter: String): String =
+    s"SELECT doc_id, ${batch.zipWithIndex.map { case (e, i) => s"CAST(${e.duck} AS DOUBLE) AS c$i" }.mkString(", ")} " +
+      s"FROM documents WHERE $filter ORDER BY doc_id"
+
   def chDateSelect(batch: Seq[Fz], filter: String): String =
     s"SELECT o_orderkey, ${batch.zipWithIndex.map { case (e, i) => s"${e.ch} AS c$i" }.mkString(", ")} " +
       s"FROM orders WHERE $filter ORDER BY o_orderkey"
@@ -392,6 +453,21 @@ object FuzzDialect {
       manifest.append(s"""{"date":$i,"duck":${jsonStr(duckDateSelect(b, dateFilter))},"ch":${jsonStr(chDateSelect(b, dateFilter))}}""")
     }
     println(s"[fuzz] ${dates.map(_.size).sum} date exprs evaluated")
+    // float expression fuzzing (n/4 exprs, tolerance-compared)
+    val floats = floatExprs(seed * 29 + 1, math.max(1, n / 4)).grouped(25).toSeq
+    floats.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chFloatSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] float batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/float_$i")
+      manifest.append(",")
+      manifest.append(s"""{"float":$i,"duck":${jsonStr(duckFloatSelect(b, filter))},"ch":${jsonStr(chFloatSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${floats.map(_.size).sum} float exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

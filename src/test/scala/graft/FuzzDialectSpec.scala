@@ -42,4 +42,30 @@ class FuzzDialectSpec extends AnyFunSuite {
       assert(rows.nonEmpty)
     }
   }
+
+  test("fuzzed float expressions translate, evaluate, and are deterministic") {
+    val floats = graft.tools.FuzzDialect.floatExprs(seed = 8L, n = 100)
+    assert(floats == graft.tools.FuzzDialect.floatExprs(seed = 8L, n = 100))
+    floats.grouped(25).foreach { b =>
+      val df = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chFloatSelect(b, "doc_id < 20"))
+      // every fuzzed column must come back DOUBLE (the CH Float64
+      // contract) — a DECIMAL here means a literal escaped the rewrite
+      df.schema.fields.drop(1).foreach(f =>
+        assert(f.dataType == org.apache.spark.sql.types.DoubleType, f.name))
+      assert(df.collect().length == 20)
+    }
+  }
+
+  test("rewriteFloatLiterals suffixes fractional literals outside strings only") {
+    val r = graft.sqlfront.ChSql.rewriteFloatLiterals _
+    assert(r("SELECT 7.0, x / 2.5") == "SELECT 7.0D, x / 2.5D")
+    assert(r("1e3 + 2.5E-2") == "1e3D + 2.5E-2D")
+    assert(r("SELECT '7.0', a") == "SELECT '7.0', a")          // string literal untouched
+    assert(r("substr('a.b 1.2', 1, 3.5)") == "substr('a.b 1.2', 1, 3.5D)")
+    assert(r("SELECT 42, arr[1]") == "SELECT 42, arr[1]")      // ints untouched
+    assert(r("v1.2.3") == "v1.2.3")                            // dotted tokens untouched
+    assert(r("CAST(1.5 AS DECIMAL(10,2))") == "CAST(1.5D AS DECIMAL(10,2))")
+    assert(r("'it''s 1.5' || 2.5") == "'it''s 1.5' || 2.5D")   // escaped quote = two strings
+  }
 }

@@ -25,10 +25,13 @@ manifest = json.load(open(f"{out}/manifest.json"))
 n_expr = 0
 failures = []
 for entry in manifest:
+    is_float = "float" in entry
     if "agg" in entry:
         i, tag, key, d = entry["agg"], f"agg {entry['agg']}", "k", f"{out}/agg_{entry['agg']}"
     elif "date" in entry:
         i, tag, key, d = entry["date"], f"date {entry['date']}", "o_orderkey", f"{out}/date_{entry['date']}"
+    elif is_float:
+        i, tag, key, d = entry["float"], f"float {entry['float']}", "doc_id", f"{out}/float_{entry['float']}"
     else:
         i, tag, key, d = entry["batch"], f"batch {entry['batch']}", "doc_id", f"{out}/batch_{entry['batch']}"
     oracle = con.execute(entry["duck"]).fetchdf()
@@ -43,9 +46,18 @@ for entry in manifest:
     for c in [c for c in oracle.columns if c != key]:
         n_expr += 1
         a, b = spark[c], oracle[c]
-        # engine-neutral compare: bools/ints may come back as different
-        # numpy dtypes; strings compare directly
-        eq = a.astype(str).fillna("\\N").eq(b.astype(str).fillna("\\N"))
+        if is_float:
+            # tolerance compare; isclose treats inf==inf, equal_nan=True
+            import numpy as np
+            eq = pd.Series(
+                np.isclose(a.astype(float), b.astype(float),
+                           rtol=1e-9, atol=1e-12, equal_nan=True),
+                index=a.index,
+            )
+        else:
+            # engine-neutral compare: bools/ints may come back as different
+            # numpy dtypes; strings compare directly
+            eq = a.astype(str).fillna("\\N").eq(b.astype(str).fillna("\\N"))
         if not eq.all():
             j = int(eq.idxmin())
             failures.append(
