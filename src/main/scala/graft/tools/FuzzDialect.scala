@@ -362,6 +362,132 @@ object FuzzDialect {
     s"SELECT doc_id, ${batch.zipWithIndex.map { case (e, i) => s"CAST(${e.duck} AS DOUBLE) AS c$i" }.mkString(", ")} " +
       s"FROM documents WHERE $filter ORDER BY doc_id"
 
+  /** NULL-propagation fuzzing — nullable leaves (`nullIf` over real
+    * columns, conditional NULL injection) flow through the dialect
+    * templates. Any template that papers over a function-name difference
+    * with a CASE/coalesce rewrite can silently change NULL behavior;
+    * this mode is aimed exactly there. Cross-engine semantics pinned:
+    *  - modern CH least/greatest IGNORE row-level NULLs
+    *    (LeastGreatestGeneric.h:72 skips onlyNull args, and the
+    *    null_direction_hint in compareAt makes NULL rows lose), same as
+    *    Spark's greatest/least and DuckDB/Postgres — direct mapping;
+    *  - CH if()/multiIf treat a NULL condition as false (else branch) —
+    *    identical to CASE WHEN in both engines;
+    *  - ordinary functions (arithmetic, string ops, comparisons)
+    *    NULL-propagate identically in all three engines;
+    *  - AND/OR are three-valued identically;
+    *  - DuckDB concat() SKIPS NULLs, so the duck mirror uses `||`
+    *    (NULL-propagating, matching CH concat). */
+  final class NullGen(seed: Long) {
+    private val rnd = new Random(seed * 37 + 3)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    private def intLeaf(): Fz = pick(Seq(
+      Fz("nullIf(modulo(doc_id, 5), 2)", "nullif((doc_id % 5), 2)", TInt),
+      Fz("nullIf(modulo(n_chars, 7), 0)", "nullif((n_chars % 7), 0)", TInt),
+      Fz("doc_id", "doc_id", TInt),
+      Fz("if(modulo(doc_id, 3) = 0, NULL, doc_id)",
+         "(CASE WHEN (doc_id % 3) = 0 THEN NULL ELSE doc_id END)", TInt)))
+
+    private def strLeaf(): Fz = pick(Seq(
+      Fz("nullIf(lang, 'en')", "nullif(lang, 'en')", TStr),
+      Fz("nullIf(source, 'src3')", "nullif(source, 'src3')", TStr),
+      Fz("lang", "lang", TStr),
+      Fz("if(modulo(doc_id, 4) = 1, NULL, substring(text, 1, 8))",
+         "(CASE WHEN (doc_id % 4) = 1 THEN NULL ELSE substring(text, 1, 8) END)", TStr)))
+
+    private def genInt(d: Int): Fz = {
+      val a = gen(TInt, d); val b = gen(TInt, d)
+      pick(Seq[() => Fz](
+        () => Fz(s"plus(${a.ch}, ${b.ch})", s"(${a.duck} + ${b.duck})", TInt),
+        () => Fz(s"minus(${a.ch}, ${b.ch})", s"(${a.duck} - ${b.duck})", TInt),
+        () => Fz(s"multiply(modulo(${a.ch}, 1000), modulo(${b.ch}, 1000))",
+                 s"((${a.duck} % 1000) * (${b.duck} % 1000))", TInt),
+        () => Fz(s"intDiv(abs(${a.ch}), plus(modulo(abs(${b.ch}), 7), 1))",
+                 s"(abs(${a.duck}) // ((abs(${b.duck}) % 7) + 1))", TInt),
+        () => Fz(s"abs(${a.ch})", s"abs(${a.duck})", TInt),
+        () => Fz(s"greatest(${a.ch}, ${b.ch})", s"greatest(${a.duck}, ${b.duck})", TInt),
+        () => Fz(s"least(${a.ch}, ${b.ch})", s"least(${a.duck}, ${b.duck})", TInt),
+        () => Fz(s"ifNull(${a.ch}, ${b.ch})", s"coalesce(${a.duck}, ${b.duck})", TInt),
+        () => Fz(s"nullIf(${a.ch}, ${b.ch})", s"nullif(${a.duck}, ${b.duck})", TInt),
+        () => { val s = gen(TStr, d); Fz(s"length(${s.ch})", s"length(${s.duck})", TInt) },
+        () => { val s = gen(TStr, d); val t = pick(strTokens)
+                Fz(s"position(${s.ch}, '$t')", s"strpos(${s.duck}, '$t')", TInt) },
+        () => { val c = genBool(d)
+                Fz(s"if(${c.ch}, ${a.ch}, ${b.ch})",
+                   s"(CASE WHEN ${c.duck} THEN ${a.duck} ELSE ${b.duck} END)", TInt) }
+      ))()
+    }
+
+    private def genStr(d: Int): Fz = {
+      val a = gen(TStr, d)
+      pick(Seq[() => Fz](
+        () => Fz(s"lower(${a.ch})", s"lower(${a.duck})", TStr),
+        () => Fz(s"upper(${a.ch})", s"upper(${a.duck})", TStr),
+        () => Fz(s"reverse(${a.ch})", s"reverse(${a.duck})", TStr),
+        () => Fz(s"trim(${a.ch})", s"trim(${a.duck})", TStr),
+        () => { val b = gen(TStr, d)
+                Fz(s"concat(${a.ch}, ${b.ch})", s"(${a.duck} || ${b.duck})", TStr) },
+        () => { val p = rnd.nextInt(5) + 1; val l = rnd.nextInt(9)
+                Fz(s"substring(${a.ch}, $p, $l)", s"substring(${a.duck}, $p, $l)", TStr) },
+        () => { val b = gen(TStr, d)
+                Fz(s"ifNull(${a.ch}, ${b.ch})", s"coalesce(${a.duck}, ${b.duck})", TStr) },
+        () => { val b = gen(TStr, d)
+                Fz(s"nullIf(${a.ch}, ${b.ch})", s"nullif(${a.duck}, ${b.duck})", TStr) },
+        () => { val i = gen(TInt, d)
+                Fz(s"toString(${i.ch})", s"CAST(${i.duck} AS VARCHAR)", TStr) },
+        () => { val c = genBool(d); val b = gen(TStr, d)
+                Fz(s"if(${c.ch}, ${a.ch}, ${b.ch})",
+                   s"(CASE WHEN ${c.duck} THEN ${a.duck} ELSE ${b.duck} END)", TStr) }
+      ))()
+    }
+
+    private def genBool(d: Int): Fz = {
+      val cmp = Seq(("=", "="), ("!=", "<>"), ("<", "<"), (">", ">"))
+      pick(Seq[() => Fz](
+        () => { val a = gen(TInt, d); val b = gen(TInt, d); val (c1, c2) = pick(cmp)
+                Fz(s"(${a.ch} $c1 ${b.ch})", s"(${a.duck} $c2 ${b.duck})", TBool) },
+        () => { val a = gen(TStr, d); val b = gen(TStr, d); val (c1, c2) = pick(cmp)
+                Fz(s"(${a.ch} $c1 ${b.ch})", s"(${a.duck} $c2 ${b.duck})", TBool) },
+        () => { val a = gen(TInt, d)
+                Fz(s"isNull(${a.ch})", s"(${a.duck} IS NULL)", TBool) },
+        () => { val a = gen(TStr, d)
+                Fz(s"isNotNull(${a.ch})", s"(${a.duck} IS NOT NULL)", TBool) },
+        () => { val s = gen(TStr, d); val t = pick(strTokens)
+                Fz(s"startsWith(${s.ch}, '$t')", s"starts_with(${s.duck}, '$t')", TBool) },
+        () => { val s = gen(TStr, d); val t = pick(strTokens)
+                Fz(s"endsWith(${s.ch}, '$t')", s"ends_with(${s.duck}, '$t')", TBool) },
+        () => { val s = gen(TStr, d); val t = pick(strTokens)
+                Fz(s"(${s.ch} LIKE '%$t%')", s"(${s.duck} LIKE '%$t%')", TBool) },
+        () => { if (d >= 3) { val a = gen(TInt, d); Fz(s"(${a.ch} > 0)", s"(${a.duck} > 0)", TBool) }
+                else { val a = genBool(d + 1); val b = genBool(d + 1)
+                val op = pick(Seq("AND", "OR"))
+                Fz(s"(${a.ch} $op ${b.ch})", s"(${a.duck} $op ${b.duck})", TBool) } },
+        () => { if (d >= 3) { val a = gen(TInt, d); Fz(s"(${a.ch} = 0)", s"(${a.duck} = 0)", TBool) }
+                else { val a = genBool(d + 1); Fz(s"(NOT ${a.ch})", s"(NOT ${a.duck})", TBool) } }
+      ))()
+    }
+
+    def gen(t: Tpe, d: Int): Fz =
+      if (d >= 3 || rnd.nextInt(10) < 2 + d) (t match {
+        case TInt => intLeaf()
+        case TStr => strLeaf()
+        case _ => genBool(3)
+      })
+      else t match {
+        case TInt => genInt(d + 1)
+        case TStr => genStr(d + 1)
+        case _ => genBool(d + 1)
+      }
+
+    def top(): Fz = gen(pick(Seq(TInt, TStr, TBool)), 0)
+  }
+
+  def nullExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new NullGen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
   def chDateSelect(batch: Seq[Fz], filter: String): String =
     s"SELECT o_orderkey, ${batch.zipWithIndex.map { case (e, i) => s"${e.ch} AS c$i" }.mkString(", ")} " +
       s"FROM orders WHERE $filter ORDER BY o_orderkey"
@@ -468,6 +594,21 @@ object FuzzDialect {
       manifest.append(s"""{"float":$i,"duck":${jsonStr(duckFloatSelect(b, filter))},"ch":${jsonStr(chFloatSelect(b, filter))}}""")
     }
     println(s"[fuzz] ${floats.map(_.size).sum} float exprs evaluated")
+    // NULL-propagation fuzzing (n/4 exprs, exact-compared)
+    val nulls = nullExprs(seed * 41 + 13, math.max(1, n / 4)).grouped(25).toSeq
+    nulls.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] null batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/null_$i")
+      manifest.append(",")
+      manifest.append(s"""{"null":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${nulls.map(_.size).sum} null exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

@@ -57,6 +57,16 @@ class FuzzDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed NULL-propagation expressions translate, evaluate, and are deterministic") {
+    val nulls = graft.tools.FuzzDialect.nullExprs(seed = 8L, n = 100)
+    assert(nulls == graft.tools.FuzzDialect.nullExprs(seed = 8L, n = 100))
+    nulls.grouped(25).foreach { b =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chSelect(b, "doc_id < 20")).collect()
+      assert(rows.length == 20)
+    }
+  }
+
   test("rewriteFloatLiterals suffixes fractional literals outside strings only") {
     val r = graft.sqlfront.ChSql.rewriteFloatLiterals _
     assert(r("SELECT 7.0, x / 2.5") == "SELECT 7.0D, x / 2.5D")

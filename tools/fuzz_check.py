@@ -32,6 +32,8 @@ for entry in manifest:
         i, tag, key, d = entry["date"], f"date {entry['date']}", "o_orderkey", f"{out}/date_{entry['date']}"
     elif is_float:
         i, tag, key, d = entry["float"], f"float {entry['float']}", "doc_id", f"{out}/float_{entry['float']}"
+    elif "null" in entry:
+        i, tag, key, d = entry["null"], f"null {entry['null']}", "doc_id", f"{out}/null_{entry['null']}"
     else:
         i, tag, key, d = entry["batch"], f"batch {entry['batch']}", "doc_id", f"{out}/batch_{entry['batch']}"
     oracle = con.execute(entry["duck"]).fetchdf()
@@ -56,8 +58,21 @@ for entry in manifest:
             )
         else:
             # engine-neutral compare: bools/ints may come back as different
-            # numpy dtypes; strings compare directly
-            eq = a.astype(str).fillna("\\N").eq(b.astype(str).fillna("\\N"))
+            # numpy dtypes, and NULLs as None (object) vs NaN (float) —
+            # normalize nulls BEFORE stringifying (astype(str) would bake
+            # them into "None"/"nan")
+            def norm(v):
+                try:
+                    if pd.isna(v):
+                        return "\\N"
+                except (TypeError, ValueError):
+                    pass  # list-like: not null
+                if isinstance(v, float) and v.is_integer():
+                    return str(int(v))  # 3.0 (nullable-int col) == 3
+                if isinstance(v, bytes):
+                    return v.decode("utf-8", "replace")  # BINARY vs VARCHAR
+                return str(v)
+            eq = a.map(norm).eq(b.map(norm))
         if not eq.all():
             j = int(eq.idxmin())
             failures.append(
