@@ -77,7 +77,7 @@ object ChSql {
     "arrayCompact" -> "array_compact", "arrayZip" -> "arrays_zip",
     "indexOf" -> "array_position", "arrayElement" -> "element_at",
     
-    "arrayCumSum" -> "array_cum_sum", // no direct; leave template-less
+    "arrayCumSum" -> "t",
     "arrayStringConcat" -> "array_join", "emptyArrayString" -> "array",
     // json
     "JSONExtractString" -> "get_json_object",
@@ -812,7 +812,10 @@ object ChSql {
     q = rewriteCalls(q, "range") { a =>
       if (a.length == 1)
         s"slice(sequence(0, greatest((${a(0)}) - 1, 0)), 1, greatest(${a(0)}, 0))"
-      else if (a.length == 2) s"sequence(${a(0)}, (${a(1)}) - 1)"
+      else if (a.length == 2)
+        // CH range(s, e) is [] when e <= s; Spark sequence would DESCEND
+        s"if((${a(1)}) <= (${a(0)}), slice(sequence(${a(0)}, ${a(0)}), 1, 0), " +
+          s"sequence(${a(0)}, (${a(1)}) - 1))"
       else s"sequence(${a(0)}, (${a(1)}) - 1, ${a(2)})"
     }
     // ---- extended templates (round 2) ----
@@ -935,8 +938,12 @@ object ChSql {
     q = rewriteCalls(q, "isValidJSON")(a =>
       s"(get_json_object(${a(0)}, '$$') IS NOT NULL)")
     // arrays
-    q = rewriteCalls(q, "arrayPopBack")(a => s"slice(${a(0)}, 1, size(${a(0)}) - 1)")
-    q = rewriteCalls(q, "arrayPopFront")(a => s"slice(${a(0)}, 2, size(${a(0)}) - 1)")
+    // greatest(..., 0): Spark slice ERRORS on negative length, CH pops
+    // of an empty array return []
+    q = rewriteCalls(q, "arrayPopBack")(a =>
+      s"slice(${a(0)}, 1, greatest(size(${a(0)}) - 1, 0))")
+    q = rewriteCalls(q, "arrayPopFront")(a =>
+      s"slice(${a(0)}, 2, greatest(size(${a(0)}) - 1, 0))")
     q = rewriteCalls(q, "hasAll")(a => s"(size(array_except(${a(1)}, ${a(0)})) = 0)")
     q = rewriteCalls(q, "arrayFirstIndex")(a =>
       s"coalesce(array_position(transform(${a(1)}, ${a(0)}), true), 0)")
@@ -947,7 +954,10 @@ object ChSql {
     q = rewriteCalls(q, "arrayProduct")(a =>
       s"aggregate(${a(0)}, CAST(1 AS DOUBLE), (__a, __x) -> __a * __x)")
     q = rewriteCalls(q, "arrayWithConstant")(a => s"array_repeat(${a(1)}, ${a(0)})")
-    q = rewriteCalls(q, "arrayEnumerate")(a => s"sequence(1, size(${a(0)}))")
+    // sequence(1, 0) would DESCEND on empty arrays — build [0..size] and
+    // drop the leading 0 instead (slice of an ascending sequence)
+    q = rewriteCalls(q, "arrayEnumerate")(a =>
+      s"slice(sequence(0, size(${a(0)})), 2, size(${a(0)}))")
     q = rewriteCalls(q, "arrayReverseSort")(a =>
       if (a.length == 1) s"reverse(array_sort(${a(0)}))"
       else s"reverse(array_sort(transform(${a(1)}, ${a(0)})))")
@@ -1057,8 +1067,10 @@ object ChSql {
           s"ELSE concat(${a(0)}, array_repeat(${a(2)}, (${a(1)}) - size(${a(0)}))) END)"
       else
         // 2-arg form must also EXTEND (CH pads with the type default; we
-        // pad with NULL via try_element_at — truncate-only would be wrong)
-        s"transform(sequence(1, ${a(1)}), __i -> try_element_at(${a(0)}, __i))")
+        // pad with NULL via try_element_at — truncate-only would be wrong).
+        // sequence(1, 0) would descend on n=0 — ascending slice instead.
+        s"transform(slice(sequence(0, ${a(1)}), 2, ${a(1)}), " +
+          s"__i -> try_element_at(${a(0)}, __i))")
     q = rewriteCalls(q, "bitTestAll")(a =>
       a.drop(1).map(b => s"((shiftright(${a(0)}, $b) & 1) = 1)").mkString("(", " AND ", ")"))
     q = rewriteCalls(q, "bitTestAny")(a =>
@@ -1109,16 +1121,25 @@ object ChSql {
     q = rewriteCalls(q, "bitRotateRight")(a =>
       s"(shiftrightunsigned(CAST(${a(0)} AS BIGINT), ${a(1)}) | " +
         s"shiftleft(CAST(${a(0)} AS BIGINT), 64 - (${a(1)})))")
+    // empty-array guard: pmod(k, 0) is NULL, which would NULL the whole
+    // rotate; CH rotates of [] are []
     q = rewriteCalls(q, "arrayRotateLeft")(a =>
-      s"concat(slice(${a(0)}, pmod(${a(1)}, size(${a(0)})) + 1, " +
+      s"(CASE WHEN size(${a(0)}) = 0 THEN ${a(0)} ELSE " +
+        s"concat(slice(${a(0)}, pmod(${a(1)}, size(${a(0)})) + 1, " +
         s"size(${a(0)}) - pmod(${a(1)}, size(${a(0)}))), " +
-        s"slice(${a(0)}, 1, pmod(${a(1)}, size(${a(0)}))))")
+        s"slice(${a(0)}, 1, pmod(${a(1)}, size(${a(0)})))) END)")
     q = rewriteCalls(q, "arrayRotateRight")(a =>
-      s"concat(slice(${a(0)}, pmod(-(${a(1)}), size(${a(0)})) + 1, " +
+      s"(CASE WHEN size(${a(0)}) = 0 THEN ${a(0)} ELSE " +
+        s"concat(slice(${a(0)}, pmod(-(${a(1)}), size(${a(0)})) + 1, " +
         s"size(${a(0)}) - pmod(-(${a(1)}), size(${a(0)}))), " +
-        s"slice(${a(0)}, 1, pmod(-(${a(1)}), size(${a(0)}))))")
+        s"slice(${a(0)}, 1, pmod(-(${a(1)}), size(${a(0)})))) END)")
+    // size < shingle length is an error in CH (arrayShingles.cpp:66);
+    // a template can't throw, so yield [] instead of letting
+    // sequence(1, n<=0) descend into nonsense windows
     q = rewriteCalls(q, "arrayShingles")(a =>
-      s"transform(sequence(1, size(${a(0)}) - (${a(1)}) + 1), __i -> slice(${a(0)}, __i, ${a(1)}))")
+      s"transform(slice(sequence(0, greatest(size(${a(0)}) - (${a(1)}) + 1, 0)), " +
+        s"2, greatest(size(${a(0)}) - (${a(1)}) + 1, 0)), " +
+        s"__i -> slice(${a(0)}, __i, ${a(1)}))")
     q = rewriteCalls(q, "simpleJSONExtractString")(a =>
       s"get_json_object(${a(0)}, ${jsonPath(a)})")
     q = rewriteCalls(q, "simpleJSONExtractInt")(a =>
@@ -1405,7 +1426,7 @@ object ChSql {
     // 1-based occurrence index of each element among its equals
     q = rewriteCalls(q, "arrayEnumerateUniq") { a =>
       val arr = a(0)
-      s"transform(sequence(1, size($arr)), __i -> " +
+      s"transform(slice(sequence(0, size($arr)), 2, size($arr)), __i -> " +
         s"size(filter(slice($arr, 1, __i), __x -> __x = element_at($arr, __i))))"
     }
 
@@ -1618,6 +1639,17 @@ object ChSql {
       s"try_element_at(filter(${a(1)}, ${a(0)}), -1)")
     q = rewriteCalls(q, "arrayRandomSample")(a =>
       s"slice(shuffle(${a(0)}), 1, ${a(1)})")
+    // running (prefix) sums (reference arrayCumSum in arrayCumSum.cpp);
+    // emitted as BIGINT — integer-array semantics (CH widens ints to
+    // (U)Int64; float arrays would need a typed zero a text template
+    // can't produce). Optional leading lambda like the reference.
+    q = rewriteCalls(q, "arrayCumSum")(a => {
+      val arr = if (a.length == 2) s"transform(${a(1)}, ${a(0)})" else a(0)
+      s"aggregate($arr, named_struct('a', CAST(array() AS ARRAY<BIGINT>)," +
+        " 's', CAST(0 AS BIGINT)), (__ac, __v) -> named_struct(" +
+        "'a', concat(__ac.a, array(__ac.s + __v)), " +
+        "'s', __ac.s + __v), __ac -> __ac.a)"
+    })
     // running sum that clamps negative partials to 0 (reference
     // arrayCumSumNonNegative.cpp); emitted as BIGINT
     q = rewriteCalls(q, "arrayCumSumNonNegative")(a =>

@@ -362,6 +362,149 @@ object FuzzDialect {
     s"SELECT doc_id, ${batch.zipWithIndex.map { case (e, i) => s"CAST(${e.duck} AS DOUBLE) AS c$i" }.mkString(", ")} " +
       s"FROM documents WHERE $filter ORDER BY doc_id"
 
+  /** Array / higher-order-function fuzzing over Int64 arrays — the
+    * lambda templates are the most restructuring-heavy rewrites in the
+    * dialect (CH takes the lambda FIRST, Spark/DuckDB take the array
+    * first), and building this mode flushed out six template bugs:
+    * arrayCumSum had no template at all, and range(s,e)/arrayEnumerate/
+    * arrayResize/arrayShingles/arrayEnumerateUniq all rode Spark's
+    * sequence(1, n<=0), which DESCENDS ([1,0]) instead of being empty;
+    * arrayPopBack/Front errored on [] (negative slice length) and
+    * arrayRotate* NULLed on [] (pmod by zero). Mirrors pinned:
+    *  - CH arraySum([]) = 0 — duck list_sum([]) is NULL, coalesced;
+    *  - arrayMin/Max are fed a concatenated sentinel so arrays are
+    *    never empty (empty-array reduce diverges by engine);
+    *  - arrayAll(p, A) mirrored as len(list_filter) = len(A) — sound
+    *    because elements are never NULL by construction;
+    *  - arrayCumSum mirrored as prefix list_sums over generate_series;
+    *  - lambda variables are depth-unique (v0, v1, …) so nested
+    *    lambdas never shadow. */
+  final class ArrGen(seed: Long) {
+    private val rnd = new Random(seed * 43 + 29)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    /** (ch, duck) int->int lambda bodies over variable v. */
+    private def lam(v: String): (String, String) = {
+      val k = rnd.nextInt(5)
+      pick(Seq(
+        (s"$v -> plus($v, $k)", s"$v -> ($v + $k)"),
+        (s"$v -> multiply($v, 2)", s"$v -> ($v * 2)"),
+        (s"$v -> abs(minus($v, $k))", s"$v -> abs($v - $k)"),
+        (s"$v -> modulo($v, ${k + 2})", s"$v -> ($v % ${k + 2})")))
+    }
+
+    /** (ch, duck) int->bool predicate bodies over variable v. */
+    private def pred(v: String): (String, String) = {
+      val k = rnd.nextInt(4)
+      pick(Seq(
+        (s"$v -> (modulo($v, ${k + 2}) = ${k % 2})", s"$v -> (($v % ${k + 2}) = ${k % 2})"),
+        (s"$v -> ($v > $k)", s"$v -> ($v > $k)"),
+        (s"$v -> ($v != $k)", s"$v -> ($v <> $k)")))
+    }
+
+    private def leaf(): Fz = pick(Seq(
+      Fz("[modulo(doc_id, 5), 3, modulo(n_chars, 7), 1]",
+         "[(doc_id % 5), 3, (n_chars % 7), 1]", TArr),
+      Fz("range(modulo(doc_id, 6))", "range(doc_id % 6)", TArr),
+      Fz("range(modulo(doc_id, 4), modulo(n_chars, 8))",
+         "range(doc_id % 4, n_chars % 8)", TArr),
+      Fz("arrayMap(v9 -> length(v9), splitByChar(' ', substring(text, 1, 24)))",
+         "list_transform(string_split(substring(text, 1, 24), ' '), v9 -> length(v9))",
+         TArr)))
+
+    private def genArr(d: Int): Fz = {
+      if (d >= 3 || rnd.nextInt(10) < 2 + 2 * d) return leaf()
+      val v = s"v$d"
+      pick(Seq[() => Fz](
+        () => { val a = genArr(d + 1); val (cl, dl) = lam(v)
+                Fz(s"arrayMap($cl, ${a.ch})", s"list_transform(${a.duck}, $dl)", TArr) },
+        () => { val a = genArr(d + 1); val (cp, dp) = pred(v)
+                Fz(s"arrayFilter($cp, ${a.ch})", s"list_filter(${a.duck}, $dp)", TArr) },
+        () => { val a = genArr(d + 1)
+                Fz(s"arraySort(${a.ch})", s"list_sort(${a.duck})", TArr) },
+        () => { val a = genArr(d + 1)
+                Fz(s"arrayReverseSort(${a.ch})",
+                   s"list_reverse(list_sort(${a.duck}))", TArr) },
+        () => { val a = genArr(d + 1)
+                Fz(s"arrayReverse(${a.ch})", s"list_reverse(${a.duck})", TArr) },
+        () => { val a = genArr(d + 1)
+                Fz(s"arraySort(arrayDistinct(${a.ch}))",
+                   s"list_sort(list_distinct(${a.duck}))", TArr) },
+        () => { val a = genArr(d + 1); val b = genArr(d + 1)
+                Fz(s"arrayConcat(${a.ch}, ${b.ch})",
+                   s"list_concat(${a.duck}, ${b.duck})", TArr) },
+        () => { val a = genArr(d + 1); val o = rnd.nextInt(3) + 1; val l = rnd.nextInt(4)
+                Fz(s"arraySlice(${a.ch}, $o, $l)",
+                   s"(${a.duck})[$o:${o + l - 1}]", TArr) },
+        () => { val a = genArr(d + 1)
+                Fz(s"arrayPopBack(${a.ch})",
+                   s"(${a.duck})[1:greatest(len(${a.duck}) - 1, 0)]", TArr) },
+        () => { val a = genArr(d + 1)
+                Fz(s"arrayPopFront(${a.ch})", s"(${a.duck})[2:len(${a.duck})]", TArr) },
+        () => { val a = genArr(d + 1)
+                Fz(s"arrayCumSum(${a.ch})",
+                   s"list_transform(generate_series(1, len(${a.duck})), " +
+                     s"__i -> CAST(list_sum((${a.duck})[1:__i]) AS BIGINT))", TArr) },
+        () => { val a = genArr(d + 1)
+                Fz(s"arrayEnumerate(${a.ch})",
+                   s"generate_series(1, len(${a.duck}))", TArr) }
+      ))()
+    }
+
+    private def genInt(d: Int): Fz = {
+      val a = genArr(d); val v = s"v$d"
+      pick(Seq[() => Fz](
+        () => Fz(s"toInt64(arraySum(${a.ch}))",
+                 s"CAST(coalesce(list_sum(${a.duck}), 0) AS BIGINT)", TInt),
+        () => Fz(s"length(${a.ch})", s"len(${a.duck})", TInt),
+        () => Fz(s"arrayUniq(${a.ch})", s"len(list_distinct(${a.duck}))", TInt),
+        () => { val (cp, dp) = pred(v)
+                Fz(s"arrayCount($cp, ${a.ch})",
+                   s"len(list_filter(${a.duck}, $dp))", TInt) },
+        () => { val (cp, dp) = pred(v)
+                Fz(s"arrayFirstIndex($cp, ${a.ch})",
+                   s"coalesce(list_position(list_transform(${a.duck}, $dp), true), 0)", TInt) },
+        () => Fz(s"arrayMin(arrayConcat(${a.ch}, [9]))",
+                 s"list_min(list_concat(${a.duck}, [9]))", TInt),
+        () => Fz(s"arrayMax(arrayConcat(${a.ch}, [9]))",
+                 s"list_max(list_concat(${a.duck}, [9]))", TInt)
+      ))()
+    }
+
+    private def genBool(d: Int): Fz = {
+      val a = genArr(d); val v = s"v$d"; val k = rnd.nextInt(5)
+      pick(Seq[() => Fz](
+        () => Fz(s"has(${a.ch}, $k)", s"list_contains(${a.duck}, $k)", TBool),
+        () => { val (cp, dp) = pred(v)
+                Fz(s"arrayExists($cp, ${a.ch})",
+                   s"(len(list_filter(${a.duck}, $dp)) > 0)", TBool) },
+        () => { val (cp, dp) = pred(v)
+                Fz(s"arrayAll($cp, ${a.ch})",
+                   s"(len(list_filter(${a.duck}, $dp)) = len(${a.duck}))", TBool) },
+        () => { val b = genArr(d)
+                Fz(s"hasAll(${a.ch}, ${b.ch})",
+                   s"(len(list_filter(${b.duck}, v8 -> NOT list_contains(${a.duck}, v8))) = 0)",
+                   TBool) }
+      ))()
+    }
+
+    /** Top level: arrays render as '|'-joined strings via an arrayMap
+      * toString (exercising one more lambda), scalars render directly. */
+    def top(): Fz = rnd.nextInt(4) match {
+      case 0 => genInt(0)
+      case 1 => genBool(0)
+      case _ =>
+        val a = genArr(0)
+        Fz(s"arrayStringConcat(arrayMap(v7 -> toString(v7), ${a.ch}), '|')",
+           s"coalesce(array_to_string(${a.duck}, '|'), '')", TStr)
+    }
+  }
+
+  def arrExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new ArrGen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
   /** NULL-propagation fuzzing — nullable leaves (`nullIf` over real
     * columns, conditional NULL injection) flow through the dialect
     * templates. Any template that papers over a function-name difference
@@ -609,6 +752,21 @@ object FuzzDialect {
       manifest.append(s"""{"null":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
     }
     println(s"[fuzz] ${nulls.map(_.size).sum} null exprs evaluated")
+    // array / higher-order-function fuzzing (n/4 exprs, exact-compared)
+    val arrs = arrExprs(seed * 47 + 5, math.max(1, n / 4)).grouped(25).toSeq
+    arrs.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] arr batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/arr_$i")
+      manifest.append(",")
+      manifest.append(s"""{"arr":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${arrs.map(_.size).sum} array exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

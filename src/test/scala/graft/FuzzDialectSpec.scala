@@ -67,6 +67,16 @@ class FuzzDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed array/lambda expressions translate, evaluate, and are deterministic") {
+    val arrs = graft.tools.FuzzDialect.arrExprs(seed = 8L, n = 100)
+    assert(arrs == graft.tools.FuzzDialect.arrExprs(seed = 8L, n = 100))
+    arrs.grouped(25).foreach { b =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chSelect(b, "doc_id < 20")).collect()
+      assert(rows.length == 20)
+    }
+  }
+
   test("rewriteFloatLiterals suffixes fractional literals outside strings only") {
     val r = graft.sqlfront.ChSql.rewriteFloatLiterals _
     assert(r("SELECT 7.0, x / 2.5") == "SELECT 7.0D, x / 2.5D")

@@ -34,6 +34,8 @@ for entry in manifest:
         i, tag, key, d = entry["float"], f"float {entry['float']}", "doc_id", f"{out}/float_{entry['float']}"
     elif "null" in entry:
         i, tag, key, d = entry["null"], f"null {entry['null']}", "doc_id", f"{out}/null_{entry['null']}"
+    elif "arr" in entry:
+        i, tag, key, d = entry["arr"], f"arr {entry['arr']}", "doc_id", f"{out}/arr_{entry['arr']}"
     else:
         i, tag, key, d = entry["batch"], f"batch {entry['batch']}", "doc_id", f"{out}/batch_{entry['batch']}"
     oracle = con.execute(entry["duck"]).fetchdf()
