@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, Length, Size}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, ElementAt, Expression, Length, Literal, Size}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
 import org.apache.spark.sql.types.{ArrayType, MapType}
@@ -19,5 +19,27 @@ case class ChLength(child: Expression) extends RuntimeReplaceable
     case _ => Length(child)
   }
   override protected def withNewChildInternal(newChild: Expression): ChLength =
+    copy(child = newChild)
+}
+
+/** First/last element of an array with the ELEMENT-TYPE DEFAULT (0, '',
+  * [], false…) when the array is empty or NULL — the reference
+  * `arrayFirst`/`arrayLast` contract
+  * (src/Functions/array/arrayFirstLast.cpp:187,195 use
+  * ElementNotExistsStrategy::Default via insertDefault; only the
+  * `OrNull` variants return NULL). Catalyst's `Literal.default` yields
+  * the same per-type defaults. The dialect template passes the
+  * already-filtered array. */
+case class ChFirstLastDefault(child: Expression, last: Boolean)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(et, _) =>
+      Coalesce(Seq(
+        ElementAt(child, Literal(if (last) -1 else 1), None, failOnError = false),
+        Literal.default(et)))
+    case _ => child
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): ChFirstLastDefault =
     copy(child = newChild)
 }

@@ -71,6 +71,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
     (FunctionIdentifier("ch_length"), info("ch_length"),
       (es: Seq[Expression]) => graft.functions.ChLength(es.head)),
+    (FunctionIdentifier("ch_first_default"), info("ch_first_default"),
+      (es: Seq[Expression]) => graft.functions.ChFirstLastDefault(es.head, last = false)),
+    (FunctionIdentifier("ch_last_default"), info("ch_last_default"),
+      (es: Seq[Expression]) => graft.functions.ChFirstLastDefault(es.head, last = true)),
     (FunctionIdentifier("geohash_kring"), info("geohash_kring"),
       (es: Seq[Expression]) =>
         graft.functions.GeoCells.GeohashKRing(es(0), intLit(es(1), "kRing k"))),

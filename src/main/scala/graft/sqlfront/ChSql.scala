@@ -947,8 +947,11 @@ object ChSql {
     q = rewriteCalls(q, "hasAll")(a => s"(size(array_except(${a(1)}, ${a(0)})) = 0)")
     q = rewriteCalls(q, "arrayFirstIndex")(a =>
       s"coalesce(array_position(transform(${a(1)}, ${a(0)}), true), 0)")
-    q = rewriteCalls(q, "arrayFirst")(a => s"element_at(filter(${a(1)}, ${a(0)}), 1)")
-    q = rewriteCalls(q, "arrayLast")(a => s"element_at(filter(${a(1)}, ${a(0)}), -1)")
+    // no-match yields the ELEMENT-TYPE DEFAULT (0/''/[]), not NULL —
+    // reference arrayFirstLast.cpp:187,195 (only the OrNull variants
+    // return NULL); ch_first/last_default dispatch on the element type
+    q = rewriteCalls(q, "arrayFirst")(a => s"ch_first_default(filter(${a(1)}, ${a(0)}))")
+    q = rewriteCalls(q, "arrayLast")(a => s"ch_last_default(filter(${a(1)}, ${a(0)}))")
     q = rewriteCalls(q, "arrayAvg")(a =>
       s"(aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) / size(${a(0)}))")
     q = rewriteCalls(q, "arrayProduct")(a =>

@@ -467,7 +467,14 @@ object FuzzDialect {
         () => Fz(s"arrayMin(arrayConcat(${a.ch}, [9]))",
                  s"list_min(list_concat(${a.duck}, [9]))", TInt),
         () => Fz(s"arrayMax(arrayConcat(${a.ch}, [9]))",
-                 s"list_max(list_concat(${a.duck}, [9]))", TInt)
+                 s"list_max(list_concat(${a.duck}, [9]))", TInt),
+        // no-match returns the element-type DEFAULT (0), not NULL
+        () => { val (cp, dp) = pred(v)
+                Fz(s"arrayFirst($cp, ${a.ch})",
+                   s"coalesce((list_filter(${a.duck}, $dp))[1], 0)", TInt) },
+        () => { val (cp, dp) = pred(v)
+                Fz(s"arrayLast($cp, ${a.ch})",
+                   s"coalesce((list_filter(${a.duck}, $dp))[-1], 0)", TInt) }
       ))()
     }
 
