@@ -88,7 +88,7 @@ object ChSql {
     "cityHash64" -> "xxhash64", "sipHash64" -> "xxhash64",
     "halfMD5" -> "xxhash64", "MD5" -> "md5",
     "hex" -> "hex", "unhex" -> "unhex",
-    "base64Encode" -> "base64", "base64Decode" -> "unbase64",
+    "base64Encode" -> "base64", "base64Decode" -> "t",
     "bitHammingDistance" -> "bit_hamming", // template below
 
     // ---- extended surface (round 2; reference src/Functions/*) ----
@@ -1515,6 +1515,11 @@ object ChSql {
     q = rewriteCalls(q, "decodeXMLComponent")(a =>
       s"replace(replace(replace(replace(replace(${a(0)}, " +
         "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', \"'\"), '&amp;', '&')")
+    // CH base64Decode returns String, Spark unbase64 returns BINARY —
+    // without the cast any string function over the result fails
+    // analysis (found by the fuzzer: toInt64OrZero(base64Decode(...)))
+    q = rewriteCalls(q, "base64Decode")(a =>
+      s"CAST(unbase64(${a(0)}) AS STRING)")
     // URL-safe base64 alphabet (reference base64URLEncode.cpp)
     q = rewriteCalls(q, "base64URLEncode")(a =>
       s"translate(base64(CAST(${a(0)} AS BINARY)), '+/', '-_')")

@@ -79,6 +79,15 @@ object FuzzDialect {
         () => { val r = gen(TArr, d); Fz(s"length(${r.ch})", s"len(${r.duck})", TInt) },
         () => { val s = gen(TStr, d); val t = pick(strTokens)
                 Fz(s"position(${s.ch}, '$t')", s"strpos(${s.duck}, '$t')", TInt) },
+        () => { val s = gen(TStr, d); val t = pick(strTokens)
+                Fz(s"countSubstrings(${s.ch}, '$t')",
+                   s"((length(${s.duck}) - length(replace(${s.duck}, '$t', ''))) // ${t.length})", TInt) },
+        () => { val s = gen(TStr, d); val t = pick(Seq("Row", "KEY", "The"))
+                Fz(s"positionCaseInsensitive(${s.ch}, '$t')",
+                   s"strpos(lower(${s.duck}), lower('$t'))", TInt) },
+        () => { val s = gen(TStr, d)
+                Fz(s"toInt64OrZero(${s.ch})",
+                   s"coalesce(try_cast(${s.duck} AS BIGINT), 0)", TInt) },
         () => Fz(s"bitAnd(${a.ch}, ${b.ch})", s"(${a.duck} & ${b.duck})", TInt),
         () => Fz(s"bitOr(${a.ch}, ${b.ch})", s"(${a.duck} | ${b.duck})", TInt),
         () => Fz(s"bitXor(${a.ch}, ${b.ch})", s"xor(${a.duck}, ${b.duck})", TInt),
@@ -125,6 +134,31 @@ object FuzzDialect {
         () => { val t = pick(strTokens)
                 Fz(s"replaceAll(${a.ch}, '$t', '_')",
                    s"replace(${a.duck}, '$t', '_')", TStr) },
+        () => Fz(s"trimLeft(${a.ch})", s"ltrim(${a.duck})", TStr),
+        () => Fz(s"trimRight(${a.ch})", s"rtrim(${a.duck})", TStr),
+        // equal-length from/to maps only (CH translate requires it;
+        // Spark/DuckDB would DELETE chars for a shorter `to`)
+        () => Fz(s"translate(${a.ch}, 'aeo', 'xyz')",
+                 s"translate(${a.duck}, 'aeo', 'xyz')", TStr),
+        () => { val n = rnd.nextInt(3) + 1
+                Fz(s"substringIndex(${a.ch}, 'a', $n)",
+                   s"array_to_string((string_split(${a.duck}, 'a'))[1:$n], 'a')", TStr) },
+        // capture-group patterns only: CH extract returns group 1 when
+        // present, which is also Spark regexp_extract's default idx
+        () => { val p = pick(Seq("(e.)", "(k.y)", "(r[ow]+)"))
+                Fz(s"extract(${a.ch}, '$p')",
+                   s"regexp_extract(${a.duck}, '$p', 1)", TStr) },
+        () => { val b = gen(TStr, d)
+                Fz(s"concatWithSeparator('-', ${a.ch}, ${b.ch})",
+                   s"concat_ws('-', ${a.duck}, ${b.duck})", TStr) },
+        () => { val n = rnd.nextInt(5)
+                Fz(s"left(${a.ch}, $n)", s"left(${a.duck}, $n)", TStr) },
+        () => { val n = rnd.nextInt(5)
+                Fz(s"right(${a.ch}, $n)", s"right(${a.duck}, $n)", TStr) },
+        // UTF8-suffixed aliases are byte-identical on ASCII inputs —
+        // covers the alias wiring, not the unicode path
+        () => Fz(s"lowerUTF8(upperUTF8(${a.ch}))", s"lower(upper(${a.duck}))", TStr),
+        () => Fz(s"reverseUTF8(${a.ch})", s"reverse(${a.duck})", TStr),
         () => { val c = genBool(d); val b = gen(TStr, d)
                 Fz(s"if(${c.ch}, ${a.ch}, ${b.ch})",
                    s"(CASE WHEN ${c.duck} THEN ${a.duck} ELSE ${b.duck} END)", TStr) }
@@ -143,7 +177,10 @@ object FuzzDialect {
                    s"list_concat(${a.duck}, ${b.duck})", TArr) },
         () => { val o = rnd.nextInt(4) + 1; val l = rnd.nextInt(5)
                 Fz(s"arraySlice(${a.ch}, $o, $l)",
-                   s"(${a.duck})[$o:${o + l - 1}]", TArr) }
+                   s"(${a.duck})[$o:${o + l - 1}]", TArr) },
+        () => { val s = gen(TStr, d) // CH takes the SEPARATOR first
+                Fz(s"splitByString('ab', ${s.ch})",
+                   s"string_split(${s.duck}, 'ab')", TArr) }
       ))()
     }
 
@@ -163,6 +200,13 @@ object FuzzDialect {
                 Fz(s"endsWith(${s.ch}, '$t')", s"ends_with(${s.duck}, '$t')", TBool) },
         () => { val s = gen(TStr, d); val t = pick(strTokens)
                 Fz(s"(${s.ch} LIKE '%$t%')", s"(${s.duck} LIKE '%$t%')", TBool) },
+        () => { val s = gen(TStr, d); val t1 = pick(strTokens); val t2 = pick(strTokens)
+                Fz(s"multiSearchAny(${s.ch}, ['$t1', '$t2'])",
+                   s"((${s.duck} LIKE '%$t1%') OR (${s.duck} LIKE '%$t2%'))", TBool) },
+        // simple alternation/anchor patterns valid in both regex dialects
+        () => { val s = gen(TStr, d); val p = pick(Seq("ro|zz", "^k", "w$", "[aeo]s"))
+                Fz(s"match(${s.ch}, '$p')",
+                   s"regexp_matches(${s.duck}, '$p')", TBool) },
         () => { if (d >= 3) { val a = gen(TInt, d); Fz(s"(${a.ch} > 0)", s"(${a.duck} > 0)", TBool) }
                 else { val a = genBool(d + 1); val b = genBool(d + 1)
                 val op = pick(Seq("AND", "OR"))
