@@ -71,6 +71,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
     (FunctionIdentifier("ch_length"), info("ch_length"),
       (es: Seq[Expression]) => graft.functions.ChLength(es.head)),
+    (FunctionIdentifier("ch_element_at"), info("ch_element_at"),
+      (es: Seq[Expression]) => graft.functions.ChElementAt(es(0), es(1))),
     (FunctionIdentifier("ch_first_default"), info("ch_first_default"),
       (es: Seq[Expression]) => graft.functions.ChFirstLastDefault(es.head, last = false)),
     (FunctionIdentifier("ch_last_default"), info("ch_last_default"),

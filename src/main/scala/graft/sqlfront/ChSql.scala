@@ -75,7 +75,7 @@ object ChSql {
     "arrayDistinct" -> "array_distinct", "arraySort" -> "array_sort",
     "arrayReverse" -> "reverse", "arrayFlatten" -> "flatten",
     "arrayCompact" -> "array_compact", "arrayZip" -> "arrays_zip",
-    "indexOf" -> "array_position", "arrayElement" -> "element_at",
+    "indexOf" -> "array_position", "arrayElement" -> "ch_element_at",
     
     "arrayCumSum" -> "t",
     "arrayStringConcat" -> "array_join", "emptyArrayString" -> "array",
@@ -580,7 +580,9 @@ object ChSql {
               k -= 1
             val prim = sb.substring(k + 1)
             sb.setLength(k + 1)
-            sb.append("element_at(").append(prim).append(", ").append(idx).append(")")
+            // ch_element_at: CH out-of-bounds / missing-key access
+            // returns the element-type DEFAULT, not NULL
+            sb.append("ch_element_at(").append(prim).append(", ").append(idx).append(")")
             i = end + 1
           }
         }

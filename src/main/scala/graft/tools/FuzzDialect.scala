@@ -512,6 +512,9 @@ object FuzzDialect {
                  s"list_min(list_concat(${a.duck}, [9]))", TInt),
         () => Fz(s"arrayMax(arrayConcat(${a.ch}, [9]))",
                  s"list_max(list_concat(${a.duck}, [9]))", TInt),
+        // subscript: out-of-bounds returns the element-type DEFAULT (0)
+        () => { val k = pick(Seq(-1, 1, 2, 3, 4, 5))
+                Fz(s"(${a.ch})[$k]", s"coalesce((${a.duck})[$k], 0)", TInt) },
         // no-match returns the element-type DEFAULT (0), not NULL
         () => { val (cp, dp) = pred(v)
                 Fz(s"arrayFirst($cp, ${a.ch})",
@@ -553,6 +556,74 @@ object FuzzDialect {
 
   def arrExprs(seed: Long, n: Int): Seq[Fz] = {
     val g = new ArrGen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
+  /** Map(String, Int64) fuzzing — CH map HOFs take the lambda FIRST and
+    * tuple lambdas `(k, v) -> …`; DuckDB has no map lambdas at all, so
+    * mirrors go through map_entries/list_* and back via
+    * map_from_entries. Key-ORDER is never compared: mapUpdate keeps the
+    * collision key at its original position in DuckDB but appends it in
+    * our rewrite (both orders are valid — CH hash maps don't promise
+    * one), so every rendering sorts keys first. Missing-key access
+    * returns the VALUE-TYPE DEFAULT (arrayElement.cpp Zero mode), which
+    * ch_element_at implements. */
+  final class MapGen(seed: Long) {
+    private val rnd = new Random(seed * 53 + 17)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    private def leaf(): Fz = pick(Seq(
+      Fz("map('l', modulo(doc_id, 5), 's', modulo(n_chars, 7))",
+         "MAP {'l': (doc_id % 5), 's': (n_chars % 7)}", TStr),
+      Fz("map('a', 1, 'b', modulo(doc_id, 3))",
+         "MAP {'a': 1, 'b': (doc_id % 3)}", TStr),
+      Fz("mapFromArrays(['x', 'l'], [modulo(n_chars, 4), 2])",
+         "map(['x', 'l'], [(n_chars % 4), 2])", TStr)))
+
+    private def genMap(d: Int): Fz = {
+      if (d >= 2 || rnd.nextInt(10) < 3 + 2 * d) return leaf()
+      pick(Seq[() => Fz](
+        () => { val m1 = genMap(d + 1); val m2 = genMap(d + 1)
+                Fz(s"mapUpdate(${m1.ch}, ${m2.ch})",
+                   s"map_concat(${m1.duck}, ${m2.duck})", TStr) },
+        () => { val m = genMap(d + 1); val k = rnd.nextInt(4)
+                Fz(s"mapFilter((k, v) -> (v > $k), ${m.ch})",
+                   s"map_from_entries(list_filter(map_entries(${m.duck}), __e -> __e.value > $k))",
+                   TStr) },
+        () => { val m = genMap(d + 1); val k = rnd.nextInt(3) + 1
+                Fz(s"mapApply((k, v) -> (k, v * $k), ${m.ch})",
+                   s"map_from_entries(list_transform(map_entries(${m.duck}), __e -> row(__e.key, __e.value * $k)))",
+                   TStr) }
+      ))()
+    }
+
+    /** Scalar render: maps always sorted by key first. */
+    def top(): Fz = {
+      val m = genMap(0)
+      rnd.nextInt(5) match {
+        case 0 => Fz(s"length(${m.ch})", s"CAST(cardinality(${m.duck}) AS BIGINT)", TInt)
+        case 1 => val k = pick(Seq("l", "s", "a", "zz"))
+          Fz(s"mapContains(${m.ch}, '$k')",
+             s"(len(element_at(${m.duck}, '$k')) > 0)", TBool)
+        case 2 => val k = pick(Seq("l", "s", "a", "b", "zz"))
+          // missing key -> value-type default (0), not NULL
+          Fz(s"(${m.ch})['$k']",
+             s"coalesce((element_at(${m.duck}, '$k'))[1], 0)", TInt)
+        case 3 =>
+          Fz(s"arrayStringConcat(arraySort(mapKeys(${m.ch})), ',')",
+             s"coalesce(array_to_string(list_sort(map_keys(${m.duck})), ','), '')", TStr)
+        case _ =>
+          Fz(s"arrayStringConcat(arrayMap(__k -> concatWithSeparator(':', __k, " +
+               s"toString((${m.ch})[__k])), arraySort(mapKeys(${m.ch}))), '|')",
+             s"coalesce(array_to_string(list_transform(list_sort(map_keys(${m.duck})), " +
+               s"__k -> __k || ':' || CAST((element_at(${m.duck}, __k))[1] AS VARCHAR)), '|'), '')",
+             TStr)
+      }
+    }
+  }
+
+  def mapExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new MapGen(seed)
     (0 until n).map(_ => g.top())
   }
 
@@ -818,6 +889,21 @@ object FuzzDialect {
       manifest.append(s"""{"arr":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
     }
     println(s"[fuzz] ${arrs.map(_.size).sum} array exprs evaluated")
+    // map fuzzing (n/4 exprs, exact-compared, key-sorted renderings)
+    val maps = mapExprs(seed * 59 + 7, math.max(1, n / 4)).grouped(25).toSeq
+    maps.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] map batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/map_$i")
+      manifest.append(",")
+      manifest.append(s"""{"map":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${maps.map(_.size).sum} map exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

@@ -77,6 +77,32 @@ class FuzzDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed map expressions translate, evaluate, and are deterministic") {
+    val maps = graft.tools.FuzzDialect.mapExprs(seed = 8L, n = 100)
+    assert(maps == graft.tools.FuzzDialect.mapExprs(seed = 8L, n = 100))
+    maps.grouped(25).foreach { b =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chSelect(b, "doc_id < 20")).collect()
+      assert(rows.length == 20)
+    }
+  }
+
+  test("ch_element_at returns CH type defaults on out-of-bounds/missing keys") {
+    import org.apache.spark.sql.Row
+    val r = graft.sqlfront.ChSql.sql(spark, sf,
+      "SELECT [1, 2][9] AS a, ['x'][5] AS b, map('k', 7)['z'] AS c, " +
+        "[[1], [2]][7] AS d, arrayElement([5, 6], 0) AS e, " +
+        "arrayElementOrNull([5, 6], 9) AS f, [1, 2][NULL] AS g " +
+        "FROM documents LIMIT 1").collect()(0)
+    assert(r.getAs[Any]("a") == 0)       // int default
+    assert(r.getAs[Any]("b") == "")      // string default
+    assert(r.getAs[Any]("c") == 0)       // map missing key
+    assert(r.getAs[scala.collection.Seq[_]]("d").isEmpty) // nested array default
+    assert(r.getAs[Any]("e") == 0)       // index 0 (CH non-const-0 contract)
+    assert(r.isNullAt(r.fieldIndex("f"))) // OrNull variant stays NULL
+    assert(r.isNullAt(r.fieldIndex("g"))) // NULL index propagates
+  }
+
   test("rewriteFloatLiterals suffixes fractional literals outside strings only") {
     val r = graft.sqlfront.ChSql.rewriteFloatLiterals _
     assert(r("SELECT 7.0, x / 2.5") == "SELECT 7.0D, x / 2.5D")
