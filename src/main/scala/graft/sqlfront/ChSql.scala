@@ -80,7 +80,7 @@ object ChSql {
     "arrayCumSum" -> "t",
     "arrayStringConcat" -> "array_join", "emptyArrayString" -> "array",
     // json
-    "JSONExtractString" -> "get_json_object",
+    "JSONExtractString" -> "t",
     "JSONLength" -> "json_array_length",
     "toJSONString" -> "to_json",
     "visitParamExtractRaw" -> "get_json_object",
@@ -397,11 +397,19 @@ object ChSql {
     "toDayOfWeek", "positionCaseInsensitive", "dateDiff", "date_diff") ++
     aliases.collect { case (k, "t") => k }
 
-  /** CH JSON functions address by KEY NAME; get_json_object wants a
-    * JSONPath — prefix '$.' unless the caller already passed a path. */
+  /** CH JSON functions address by KEY NAME (variadic: each further
+    * argument descends one level); get_json_object wants a JSONPath —
+    * chain every key after '$.' unless the caller already passed a
+    * path. Integer arguments are CH 1-based array indexes → [i-1]. */
   private def jsonPath(a: Seq[String]): String = {
-    val k = a(1).trim
-    if (k.startsWith("'$")) k else s"concat('$$.', $k)"
+    val keys = a.drop(1).map(_.trim)
+    if (keys.head.startsWith("'$") && keys.length == 1) keys.head
+    else {
+      val parts = keys.map { k =>
+        if (k.matches("-?\\d+")) s"'[${k.toLong - 1}]'" else s"'.', $k"
+      }
+      s"concat('$$', ${parts.mkString(", ")})"
+    }
   }
 
   /** Strip surrounding single quotes from a name-valued argument
@@ -928,13 +936,25 @@ object ChSql {
     q = rewriteCalls(q, "fragment")(a => s"parse_url(${a(0)}, 'REF')")
     q = rewriteCalls(q, "extractURLParameter")(a => s"parse_url(${a(0)}, 'QUERY', ${a(1)})")
     q = rewriteCalls(q, "cutQueryString")(a => s"regexp_replace(${a(0)}, '\\\\?.*$$', '')")
-    // JSON
+    // JSON — missing key / wrong type yields the RESULT-TYPE DEFAULT
+    // (0, 0.0, false, ''), not NULL: reference FunctionsJSON.cpp:167
+    // "We add default value (=null or zero) if something goes wrong, we
+    // don't throw exceptions in these JSON functions." A NULL json
+    // argument still propagates NULL.
+    // try_cast everywhere: a wrong-typed element must yield the default,
+    // not an ANSI cast error (CH never throws from JSON functions)
     q = rewriteCalls(q, "JSONExtractInt")(a =>
-      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT)")
+      s"(CASE WHEN ${a(0)} IS NULL THEN NULL ELSE " +
+        s"coalesce(try_cast(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT), 0) END)")
     q = rewriteCalls(q, "JSONExtractFloat")(a =>
-      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS DOUBLE)")
+      s"(CASE WHEN ${a(0)} IS NULL THEN NULL ELSE " +
+        s"coalesce(try_cast(get_json_object(${a(0)}, ${jsonPath(a)}) AS DOUBLE), CAST(0 AS DOUBLE)) END)")
     q = rewriteCalls(q, "JSONExtractBool")(a =>
-      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BOOLEAN)")
+      s"(CASE WHEN ${a(0)} IS NULL THEN NULL ELSE " +
+        s"coalesce(try_cast(get_json_object(${a(0)}, ${jsonPath(a)}) AS BOOLEAN), false) END)")
+    q = rewriteCalls(q, "JSONExtractString")(a =>
+      s"(CASE WHEN ${a(0)} IS NULL THEN NULL ELSE " +
+        s"coalesce(get_json_object(${a(0)}, ${jsonPath(a)}), '') END)")
     q = rewriteCalls(q, "JSONHas")(a =>
       s"(get_json_object(${a(0)}, ${jsonPath(a)}) IS NOT NULL)")
     q = rewriteCalls(q, "isValidJSON")(a =>
@@ -1145,10 +1165,14 @@ object ChSql {
       s"transform(slice(sequence(0, greatest(size(${a(0)}) - (${a(1)}) + 1, 0)), " +
         s"2, greatest(size(${a(0)}) - (${a(1)}) + 1, 0)), " +
         s"__i -> slice(${a(0)}, __i, ${a(1)}))")
+    // simpleJSON* share the JSONExtract default contract (visitParam*
+    // legacy family): missing -> '' / 0, NULL input -> NULL
     q = rewriteCalls(q, "simpleJSONExtractString")(a =>
-      s"get_json_object(${a(0)}, ${jsonPath(a)})")
+      s"(CASE WHEN ${a(0)} IS NULL THEN NULL ELSE " +
+        s"coalesce(get_json_object(${a(0)}, ${jsonPath(a)}), '') END)")
     q = rewriteCalls(q, "simpleJSONExtractInt")(a =>
-      s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT)")
+      s"(CASE WHEN ${a(0)} IS NULL THEN NULL ELSE " +
+        s"coalesce(try_cast(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT), 0) END)")
     q = rewriteCalls(q, "simpleJSONHas")(a =>
       s"(get_json_object(${a(0)}, ${jsonPath(a)}) IS NOT NULL)")
     q = rewriteCalls(q, "port")(a =>
@@ -1366,8 +1390,14 @@ object ChSql {
     // simpleJSON family; deeper CH index paths are out of scope.
     def jsonAt(a: Seq[String]): String =
       if (a.length > 1) s"get_json_object(${a(0)}, ${jsonPath(a)})" else a(0)
-    q = rewriteCalls(q, "JSONExtractKeys")(a => s"json_object_keys(${jsonAt(a)})")
-    q = rewriteCalls(q, "JSONLength")(a => s"json_array_length(${jsonAt(a)})")
+    // missing path -> type default ([] / 0), matching the JSONExtract
+    // contract (FunctionsJSON.cpp:167); NULL json still propagates
+    q = rewriteCalls(q, "JSONExtractKeys")(a =>
+      s"(CASE WHEN ${a(0)} IS NULL THEN NULL ELSE " +
+        s"coalesce(json_object_keys(${jsonAt(a)}), array()) END)")
+    q = rewriteCalls(q, "JSONLength")(a =>
+      s"(CASE WHEN ${a(0)} IS NULL THEN NULL ELSE " +
+        s"coalesce(json_array_length(${jsonAt(a)}), 0) END)")
     // JSONType classification from the raw extract. Caveat (documented):
     // get_json_object dequotes scalars, so a string of digits classifies
     // as Number — containers/bools/nulls are exact.

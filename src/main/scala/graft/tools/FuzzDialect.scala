@@ -627,6 +627,59 @@ object FuzzDialect {
     (0 until n).map(_ => g.top())
   }
 
+  /** JSON-function fuzzing — CH JSONExtract* and simpleJSON* return the
+    * RESULT-TYPE DEFAULT (0 / '' / false) on missing keys or wrong
+    * types (FunctionsJSON.cpp:167), never NULL or an error. The JSON
+    * documents are assembled identically on both sides from row data
+    * (only alphanumeric columns — no quoting hazards); mirrors use
+    * DuckDB json_extract/json_extract_string with TRY_CAST (plain CAST
+    * of json '"hello"' to BIGINT errors in DuckDB) and coalesce to the
+    * CH defaults. */
+  final class JsonGen(seed: Long) {
+    private val rnd = new Random(seed * 61 + 11)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    /** One json document, rendered for both engines. */
+    private def doc(): (String, String) = pick(Seq(
+      (s"""concat('{"a": ', toString(modulo(doc_id, 5)), ', "s": "', lang, '", "arr": [1, 2, 3], "b": ', if(modulo(doc_id, 2) = 0, 'true', 'false'), '}')""",
+       s"""('{"a": ' || CAST((doc_id % 5) AS VARCHAR) || ', "s": "' || lang || '", "arr": [1, 2, 3], "b": ' || (CASE WHEN (doc_id % 2) = 0 THEN 'true' ELSE 'false' END) || '}')"""),
+      (s"""concat('{"n": {"x": ', toString(modulo(n_chars, 9)), '}, "s": "', source, '"}')""",
+       s"""('{"n": {"x": ' || CAST((n_chars % 9) AS VARCHAR) || '}, "s": "' || source || '"}')""")))
+
+    def top(): Fz = {
+      val (cj, dj) = doc()
+      val miss = rnd.nextBoolean()
+      rnd.nextInt(7) match {
+        case 0 => val k = if (miss) "z" else "a"
+          Fz(s"JSONExtractInt($cj, '$k')",
+             s"coalesce(TRY_CAST(json_extract($dj, '$$.$k') AS BIGINT), 0)", TInt)
+        case 1 => val k = if (miss) "z" else "s"
+          Fz(s"JSONExtractString($cj, '$k')",
+             s"coalesce(json_extract_string($dj, '$$.$k'), '')", TStr)
+        case 2 => val k = if (miss) "z" else "b"
+          Fz(s"JSONExtractBool($cj, '$k')",
+             s"coalesce(TRY_CAST(json_extract($dj, '$$.$k') AS BOOLEAN), false)", TBool)
+        case 3 => val k = pick(Seq("a", "s", "z", "arr"))
+          Fz(s"JSONHas($cj, '$k')",
+             s"(json_extract($dj, '$$.$k') IS NOT NULL)", TBool)
+        case 4 =>
+          Fz(s"JSONLength($cj, 'arr')",
+             s"coalesce(json_array_length($dj, '$$.arr'), 0)", TInt)
+        case 5 => val k = if (miss) "z" else "a"
+          Fz(s"simpleJSONExtractInt($cj, '$k')",
+             s"coalesce(TRY_CAST(json_extract($dj, '$$.$k') AS BIGINT), 0)", TInt)
+        case _ => // nested path: CH varargs keys -> $.n.x
+          Fz(s"JSONExtractInt($cj, 'n', 'x')",
+             s"coalesce(TRY_CAST(json_extract($dj, '$$.n.x') AS BIGINT), 0)", TInt)
+      }
+    }
+  }
+
+  def jsonExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new JsonGen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
   /** NULL-propagation fuzzing — nullable leaves (`nullIf` over real
     * columns, conditional NULL injection) flow through the dialect
     * templates. Any template that papers over a function-name difference
@@ -904,6 +957,21 @@ object FuzzDialect {
       manifest.append(s"""{"map":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
     }
     println(s"[fuzz] ${maps.map(_.size).sum} map exprs evaluated")
+    // JSON-function fuzzing (n/4 exprs, exact-compared)
+    val jsons = jsonExprs(seed * 67 + 19, math.max(1, n / 4)).grouped(25).toSeq
+    jsons.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] json batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/json_$i")
+      manifest.append(",")
+      manifest.append(s"""{"json":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${jsons.map(_.size).sum} json exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

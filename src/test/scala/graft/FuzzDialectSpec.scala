@@ -87,6 +87,35 @@ class FuzzDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed json expressions translate, evaluate, and are deterministic") {
+    val jsons = graft.tools.FuzzDialect.jsonExprs(seed = 8L, n = 100)
+    assert(jsons == graft.tools.FuzzDialect.jsonExprs(seed = 8L, n = 100))
+    jsons.grouped(25).foreach { b =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chSelect(b, "doc_id < 20")).collect()
+      assert(rows.length == 20)
+    }
+  }
+
+  test("JSON extract defaults: missing key and wrong type never NULL or throw") {
+    val r = graft.sqlfront.ChSql.sql(spark, sf,
+      """SELECT JSONExtractInt('{"a": 3}', 'z') AS a,
+        |JSONExtractString('{"a": 3}', 'z') AS b,
+        |JSONExtractInt('{"a": "hello"}', 'a') AS c,
+        |JSONExtractInt('{"n": {"x": 4}}', 'n', 'x') AS d,
+        |JSONExtractInt('{"b": [7, 8]}', 'b', 2) AS e,
+        |JSONLength('{"a": 1}', 'z') AS f,
+        |JSONExtractInt(NULL, 'a') AS g
+        |FROM documents LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getAs[Any]("a") == 0)
+    assert(r.getAs[Any]("b") == "")
+    assert(r.getAs[Any]("c") == 0)   // wrong type -> default, no ANSI throw
+    assert(r.getAs[Any]("d") == 4)   // variadic key path
+    assert(r.getAs[Any]("e") == 8)   // CH 1-based array index
+    assert(r.getAs[Any]("f") == 0)
+    assert(r.isNullAt(r.fieldIndex("g"))) // NULL json propagates
+  }
+
   test("ch_element_at returns CH type defaults on out-of-bounds/missing keys") {
     import org.apache.spark.sql.Row
     val r = graft.sqlfront.ChSql.sql(spark, sf,

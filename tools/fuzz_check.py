@@ -38,6 +38,8 @@ for entry in manifest:
         i, tag, key, d = entry["arr"], f"arr {entry['arr']}", "doc_id", f"{out}/arr_{entry['arr']}"
     elif "map" in entry:
         i, tag, key, d = entry["map"], f"map {entry['map']}", "doc_id", f"{out}/map_{entry['map']}"
+    elif "json" in entry:
+        i, tag, key, d = entry["json"], f"json {entry['json']}", "doc_id", f"{out}/json_{entry['json']}"
     else:
         i, tag, key, d = entry["batch"], f"batch {entry['batch']}", "doc_id", f"{out}/batch_{entry['batch']}"
     oracle = con.execute(entry["duck"]).fetchdf()
