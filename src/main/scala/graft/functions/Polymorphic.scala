@@ -1,9 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, ElementAt, EqualTo, Expression, If, IsNull, Length, Literal, Or, Size}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, ElementAt, EqualTo, Expression, If, IsNull, Length, Literal, OctetLength, Or, Reverse, Size, UnaryExpression}
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, NullType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, NullType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Polymorphic length (reference src/Functions/array/length.cpp +
   * src/Functions/lengthUTF8.cpp registration: ClickHouse `length` accepts
@@ -11,14 +13,56 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, NullT
   * `size` (collections); this RuntimeReplaceable dispatches on the
   * resolved child type so dialect queries can stay polymorphic. Found by
   * the dialect fuzzer (FuzzDialect): `length(splitByChar(...))` used to
-  * fail analysis after translating to Spark's string-only `length`. */
+  * fail analysis after translating to Spark's string-only `length`.
+  * On String the reference counts BYTES (only lengthUTF8 counts code
+  * points), so the string branch is OctetLength, not Length. */
 case class ChLength(child: Expression) extends RuntimeReplaceable
     with UnaryLike[Expression] {
   override lazy val replacement: Expression = child.dataType match {
     case _: ArrayType | _: MapType => Size(child, legacySizeOfNull = false)
+    case StringType => OctetLength(child)
     case _ => Length(child)
   }
   override protected def withNewChildInternal(newChild: Expression): ChLength =
+    copy(child = newChild)
+}
+
+/** Reverse a string as a SEQUENCE OF BYTES — the reference `reverse`
+  * contract for String (src/Functions/reverse.cpp: ReverseImpl copies
+  * bytes back-to-front; only reverseUTF8 reverses code points). A
+  * mid-string multi-byte char therefore comes back as reversed raw
+  * bytes, exactly like the reference. */
+case class ChByteReverse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    ChBytes.reverseEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ChBytes.reverseEval($a);")
+  override protected def withNewChildInternal(c: Expression): ChByteReverse = copy(c)
+}
+
+object ChBytes {
+  def reverseEval(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val out = new Array[Byte](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(b.length - 1 - i); i += 1 }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** Polymorphic reverse (reference src/Functions/reverse.cpp:52 accepts
+  * String, FixedString, Array or Tuple): arrays go to Spark's Reverse,
+  * strings to the byte-reversing kernel above. */
+case class ChReverse(child: Expression) extends RuntimeReplaceable
+    with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: ArrayType => Reverse(child)
+    case StringType => ChByteReverse(child)
+    case _ => ChByteReverse(Cast(child, StringType))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ChReverse =
     copy(child = newChild)
 }
 

@@ -71,6 +71,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
     (FunctionIdentifier("ch_length"), info("ch_length"),
       (es: Seq[Expression]) => graft.functions.ChLength(es.head)),
+    (FunctionIdentifier("ch_reverse"), info("ch_reverse"),
+      (es: Seq[Expression]) => graft.functions.ChReverse(es.head)),
     (FunctionIdentifier("ch_element_at"), info("ch_element_at"),
       (es: Seq[Expression]) => graft.functions.ChElementAt(es(0), es(1))),
     (FunctionIdentifier("ch_first_default"), info("ch_first_default"),

@@ -29,7 +29,7 @@ object ChSql {
     "makeDate" -> "make_date",
     // string
     "lengthUTF8" -> "length", "lowerUTF8" -> "lower", "upperUTF8" -> "upper",
-    "substringUTF8" -> "substring", "mid" -> "substring",
+    "substringUTF8" -> "substring", // base substring/mid/substr are BYTE-based (template)
     "positionCaseInsensitive" -> "instr_ci", // template below: lower() both sides
     "concatWithSeparator" -> "concat_ws",
     "splitByChar" -> "split_by_char", // handled by template below
@@ -110,7 +110,7 @@ object ChSql {
     "parseDateTimeBestEffort" -> "t", "parseDateTimeBestEffortOrNull" -> "t",
     "dateAdd" -> "t", "dateSub" -> "t",
     // string
-    "lcase" -> "lower", "ucase" -> "upper",
+    // lcase/ucase are aliases of lower/upper (ASCII-only; template below)
     "char_length" -> "length", "character_length" -> "length",
     "reverseUTF8" -> "reverse", "format" -> "format_string",
     "concatAssumeInjective" -> "concat", "substringIndex" -> "substring_index",
@@ -706,14 +706,59 @@ object ChSql {
     // IPv4NumToString(...) so the later template expands it
     q = rewriteCalls(q, "IPv4ToIPv6")(a =>
       s"ipv6_string_to_num(concat('::ffff:', IPv4NumToString(${a(0)})))")
-    // UTF8-suffixed variants canonicalize to the base names (Spark
-    // strings are Unicode — char semantics ARE the UTF8 semantics);
-    // runs before templates so template-backed bases still expand
-    for (base <- Seq("substring", "reverse", "left", "right", "editDistance",
+    // UTF8-suffixed variants whose base name shares the same Spark
+    // rendering canonicalize to the base (occurrence counts, token
+    // splits and distance metrics are the same in bytes or code points
+    // on the inputs both engines accept); runs before templates so
+    // template-backed bases still expand. substring/reverse/left/right/
+    // position* are NOT here: their base names are BYTE-based in the
+    // reference and the UTF8 variants char-based, so each side gets its
+    // own rewrite below.
+    for (base <- Seq("editDistance",
         "levenshteinDistance", "hasSubsequence", "hasSubsequenceCaseInsensitive",
         "multiSearchAny", "ngramDistance", "ngramSearch",
-        "positionCaseInsensitive", "countSubstrings", "splitByChar"))
+        "countSubstrings", "splitByChar"))
       q = q.replaceAll(s"\\b${base}UTF8\\s*\\(", base + "(")
+
+    // CH base string ops act on BYTES; only the *UTF8 variants measure
+    // code points (reference src/Functions/substring.cpp:34 "If
+    // 'is_utf8' - measure offset and length in code points instead of
+    // bytes"; position.cpp likewise; reverse.cpp reverses raw bytes —
+    // ch_reverse; length.cpp counts bytes — ch_length's string branch)
+    // and upper/lower fold ASCII 'a'..'z' ONLY (LowerUpperImpl.h:31
+    // flip_case_mask over the bounded range; upperUTF8/lowerUTF8 are the
+    // Unicode folds). Spark strings are char-based, so the byte ops go
+    // through BINARY casts, ASCII translate, and byte-counting rewrites.
+    // On pure ASCII both coincide; the utf8 fuzz mode diffs the rest.
+    // These run on the user's text only, BEFORE any template emits
+    // Spark-native substring/lower/... (rewriteCalls never rescans
+    // template output).
+    val asciiLower = (x: String) =>
+      s"translate($x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+    val asciiUpper = (x: String) =>
+      s"translate($x, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')"
+    for (n <- Seq("lower", "lcase")) q = rewriteCalls(q, n)(a => asciiLower(a(0)))
+    for (n <- Seq("upper", "ucase")) q = rewriteCalls(q, n)(a => asciiUpper(a(0)))
+    val byteSubstr = (a: Seq[String]) => {
+      val bin = s"cast(cast(${a(0)} AS STRING) AS BINARY)"
+      if (a.length >= 3) s"cast(substring($bin, ${a(1)}, ${a(2)}) AS STRING)"
+      else s"cast(substring($bin, ${a(1)}) AS STRING)"
+    }
+    for (n <- Seq("substring", "substr", "mid")) q = rewriteCalls(q, n)(byteSubstr)
+    // left/right count bytes; a negative n drops |n| bytes from the
+    // other end (reference src/Functions/LeftRight.h)
+    q = rewriteCalls(q, "left")(a => {
+      val s = s"cast(${a(0)} AS STRING)"
+      s"cast(substring(cast($s AS BINARY), 1, CASE WHEN ${a(1)} >= 0 THEN ${a(1)} " +
+        s"ELSE greatest(octet_length($s) + ${a(1)}, 0) END) AS STRING)"
+    })
+    q = rewriteCalls(q, "right")(a => {
+      val s = s"cast(${a(0)} AS STRING)"
+      val r = s"(CASE WHEN ${a(1)} >= 0 THEN least(${a(1)}, octet_length($s)) " +
+        s"ELSE greatest(octet_length($s) + ${a(1)}, 0) END)"
+      s"cast(substring(cast($s AS BINARY), octet_length($s) - $r + 1, $r) AS STRING)"
+    })
+    q = rewriteCalls(q, "reverse")(a => s"ch_reverse(${a(0)})")
 
     // CH length() is polymorphic over String AND Array/Map (reference
     // src/Functions/array/length.cpp); Spark splits it into length/size.
@@ -757,7 +802,18 @@ object ChSql {
     // CH toDayOfWeek default mode is ISO Monday=1..Sunday=7; Spark's
     // dayofweek is Sunday=1 — use weekday() (Monday=0) + 1 instead.
     q = rewriteCalls(q, "toDayOfWeek")(a => s"(weekday(${a(0)}) + 1)")
-    q = rewriteCalls(q, "positionCaseInsensitive")(a => s"instr(lower(${a(0)}), lower(${a(1)}))")
+    // position* return BYTE offsets (reference src/Functions/position.cpp
+    // vs positionUTF8.cpp): find the char position, then count the bytes
+    // of the char prefix before the match. Case-insensitive variant folds
+    // ASCII only (byte widths preserved, so the prefix count stays valid).
+    val bytePos = (h: String, n: String, fold: String => String) => {
+      val at = s"instr(${fold(h)}, ${fold(n)})"
+      s"(CASE WHEN $at = 0 THEN 0 ELSE octet_length(substring($h, 1, $at - 1)) + 1 END)"
+    }
+    q = rewriteCalls(q, "positionCaseInsensitive")(a =>
+      bytePos(a(0), a(1), asciiLower))
+    q = rewriteCalls(q, "positionCaseInsensitiveUTF8")(a =>
+      s"instr(lower(${a(0)}), lower(${a(1)}))")
     // CH dateDiff('day', a, b): unit arrives as a string literal; Spark's
     // timestampdiff needs a bare unit identifier. CH counts unit-BOUNDARY
     // crossings while timestampdiff counts full elapsed units, so both
@@ -771,7 +827,7 @@ object ChSql {
     }
     q = rewriteCalls(q, "dateDiff")(ddiff)
     q = rewriteCalls(q, "date_diff")(ddiff)
-    q = rewriteCalls(q, "position")(a => s"instr(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "position")(a => bytePos(a(0), a(1), identity))
     // CH *If combinators return the TYPE DEFAULT on an empty match set
     // (reference AggregateFunctionIf: non-Nullable result), not NULL:
     // sumIf -> 0, avgIf -> nan. Mirrored for the numeric combinators
@@ -1652,11 +1708,22 @@ object ChSql {
     def mysqlFmt(f: String): String = f
       .replace("%Y", "yyyy").replace("%y", "yy").replace("%m", "MM")
       .replace("%d", "dd").replace("%H", "HH").replace("%i", "mm")
-      .replace("%s", "ss").replace("%M", "MMMM").replace("%e", "d")
-      .replace("%j", "DDD").replace("%T", "HH:mm:ss")
+      .replace("%s", "ss").replace("%S", "ss").replace("%M", "MMMM")
+      .replace("%e", "d").replace("%j", "DDD").replace("%T", "HH:mm:ss")
+      .replace("%F", "yyyy-MM-dd").replace("%R", "HH:mm")
     q = rewriteCalls(q, "parseDateTime")(a =>
       if (a.length >= 2) s"to_timestamp(${a(0)}, '${mysqlFmt(stripName(a(1)))}')"
       else s"to_timestamp(${a(0)})")
+    // formatDateTime also takes the MySQL-style format (reference
+    // src/Functions/formatDateTime.cpp) — a bare alias to date_format
+    // would pass '%Y-%m-%d' through as a literal Java pattern. Literal
+    // formats convert token-by-token; non-literal formats pass through
+    // (found while building the timestamp fuzz mode).
+    q = rewriteCalls(q, "formatDateTime")(a =>
+      if (a.length >= 2 && a(1).trim.startsWith("'"))
+        s"date_format(${a(0)}, '${mysqlFmt(stripName(a(1)))}')"
+      else if (a.length >= 2) s"date_format(${a(0)}, ${a(1)})"
+      else s"date_format(${a(0)}, 'yyyy-MM-dd HH:mm:ss')")
     q = rewriteCalls(q, "parseDateTimeInJodaSyntax")(a =>
       if (a.length >= 2) s"to_timestamp(${a(0)}, ${a(1)})" else s"to_timestamp(${a(0)})")
     q = rewriteCalls(q, "formatDateTimeInJodaSyntax")(a =>

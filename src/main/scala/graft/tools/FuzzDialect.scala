@@ -680,6 +680,212 @@ object FuzzDialect {
     (0 until n).map(_ => g.top())
   }
 
+  /** UTF-8 byte-semantics fuzzing — the base CH string ops act on BYTES
+    * (substring.cpp non-UTF8 path, position.cpp, reverse.cpp,
+    * LowerUpperImpl.h ASCII-only fold, length.cpp) while the *UTF8
+    * variants measure code points. Literals are precomposed-only (NFC)
+    * with 1:1 case maps (no ß/İ) so DuckDB's grapheme-aware reverse and
+    * Unicode upper/lower agree with Spark's code-point versions on the
+    * UTF8-variant mirrors. Byte-based ops mirror in DuckDB as:
+    *  - length -> strlen; position -> strlen of the char prefix + 1;
+    *  - upper/lower -> translate over the ASCII alphabet;
+    *  - byte substring: the GENERATOR knows each literal's per-char byte
+    *    widths and only emits char-boundary-aligned (offset, len) pairs,
+    *    mirrored with char-based substring (mid-char cuts are pinned in
+    *    ChSqlSpec instead — their results are not valid UTF-8, which
+    *    parquet/pandas can't round-trip);
+    *  - byte reverse: hex(reverse(lit)) against a hex constant the
+    *    generator computes by reversing the literal's UTF-8 bytes. */
+  final class Utf8Gen(seed: Long) {
+    private val rnd = new Random(seed * 73 + 41)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    private val lits = Seq("héllo", "wörld", "日本語テキスト", "naïve",
+      "Привет мир", "mix日本ascii", "Ärger im Büro", "café au lait")
+    private val needles = Seq("é", "本", "ï", "и", "ll", "ö", "ca", "zz")
+
+    private def leaf(): Fz =
+      if (rnd.nextInt(10) < 7) { val v = pick(lits); Fz(s"'$v'", s"'$v'", TStr) }
+      else pick(Seq(
+        Fz("lang", "lang", TStr),
+        Fz("substringUTF8(text, 1, 12)", "substring(text, 1, 12)", TStr)))
+
+    private val az = "abcdefghijklmnopqrstuvwxyz"
+    private def duckAsciiLower(x: String) =
+      s"translate($x, '${az.toUpperCase}', '$az')"
+    private def duckAsciiUpper(x: String) =
+      s"translate($x, '$az', '${az.toUpperCase}')"
+
+    private def genStr(d: Int): Fz = {
+      if (d >= 2 || rnd.nextInt(10) < 3 + 2 * d) return leaf()
+      val a = genStr(d + 1)
+      pick(Seq[() => Fz](
+        () => { val b = genStr(d + 1)
+                Fz(s"concat(${a.ch}, ${b.ch})", s"(${a.duck} || ${b.duck})", TStr) },
+        () => Fz(s"lower(${a.ch})", duckAsciiLower(a.duck), TStr),
+        () => Fz(s"upper(${a.ch})", duckAsciiUpper(a.duck), TStr),
+        () => Fz(s"lowerUTF8(${a.ch})", s"lower(${a.duck})", TStr),
+        () => Fz(s"upperUTF8(${a.ch})", s"upper(${a.duck})", TStr),
+        () => Fz(s"reverseUTF8(${a.ch})", s"reverse(${a.duck})", TStr),
+        () => { val p = rnd.nextInt(3) + 1; val l = rnd.nextInt(5)
+                Fz(s"substringUTF8(${a.ch}, $p, $l)",
+                   s"substring(${a.duck}, $p, $l)", TStr) },
+        () => Fz(s"trim(${a.ch})", s"trim(${a.duck})", TStr)
+      ))()
+    }
+
+    /** Char-boundary-aligned byte substring / hex byte-reverse over a
+      * known literal. */
+    private def litByteOp(): Fz = {
+      val v = pick(lits)
+      // BMP-only literals: one Scala char == one code point
+      val widths = v.map(c => c.toString.getBytes("UTF-8").length)
+      if (rnd.nextBoolean()) {
+        val c1 = rnd.nextInt(v.length) + 1
+        val span = rnd.nextInt(v.length - c1 + 2) // 0..len-c1+1
+        val byteOff = 1 + widths.take(c1 - 1).sum
+        val byteLen = widths.slice(c1 - 1, c1 - 1 + span).sum
+        Fz(s"substring('$v', $byteOff, $byteLen)",
+           s"substring('$v', $c1, $span)", TStr)
+      } else {
+        val hexRev = v.getBytes("UTF-8").reverse
+          .map(b => f"${b & 0xff}%02X").mkString
+        Fz(s"hex(reverse('$v'))", s"'$hexRev'", TStr)
+      }
+    }
+
+    private def genInt(): Fz = {
+      val a = genStr(0)
+      pick(Seq[() => Fz](
+        () => Fz(s"length(${a.ch})", s"strlen(${a.duck})", TInt),
+        () => Fz(s"lengthUTF8(${a.ch})", s"length(${a.duck})", TInt),
+        () => { val t = pick(needles)
+                Fz(s"positionUTF8(${a.ch}, '$t')", s"strpos(${a.duck}, '$t')", TInt) },
+        () => { val t = pick(needles); val at = s"strpos(${a.duck}, '$t')"
+                Fz(s"position(${a.ch}, '$t')",
+                   s"(CASE WHEN $at = 0 THEN 0 ELSE strlen(substring(${a.duck}, 1, $at - 1)) + 1 END)",
+                   TInt) },
+        () => { val t = pick(Seq("LL", "CA", "MIX", "AU")) // ASCII-cased needles
+                val at = s"strpos(${duckAsciiLower(a.duck)}, ${duckAsciiLower(s"'$t'")})"
+                Fz(s"positionCaseInsensitive(${a.ch}, '$t')",
+                   s"(CASE WHEN $at = 0 THEN 0 ELSE strlen(substring(${a.duck}, 1, $at - 1)) + 1 END)",
+                   TInt) }
+      ))()
+    }
+
+    private def genBool(): Fz = {
+      val a = genStr(0); val t = pick(needles)
+      pick(Seq[() => Fz](
+        () => Fz(s"startsWith(${a.ch}, '$t')", s"starts_with(${a.duck}, '$t')", TBool),
+        () => Fz(s"endsWith(${a.ch}, '$t')", s"ends_with(${a.duck}, '$t')", TBool),
+        () => Fz(s"(${a.ch} LIKE '%$t%')", s"(${a.duck} LIKE '%$t%')", TBool),
+        () => { val b = genStr(0)
+                Fz(s"(${a.ch} = ${b.ch})", s"(${a.duck} = ${b.duck})", TBool) }
+      ))()
+    }
+
+    def top(): Fz = rnd.nextInt(5) match {
+      case 0 => genInt()
+      case 1 => genBool()
+      case 2 => litByteOp()
+      case _ => genStr(0)
+    }
+  }
+
+  def utf8Exprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new Utf8Gen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
+  /** Timestamp fuzzing over `events.ts` (microsecond TIMESTAMP) — the
+    * sub-day time surface the date mode can't reach: toStartOfHour/
+    * Minute/FifteenMinutes/FiveMinutes/TenMinutes/timeSlot bucketing,
+    * add/subtract Hours/Minutes/Seconds, toHour/toMinute/toSecond,
+    * toUnixTimestamp, toRelativeHour/MinuteNum, sub-day dateDiff, and
+    * formatDateTime's MySQL-style format tokens. Both sessions run UTC
+    * (Tables.session sets spark.sql.session.timeZone=UTC; DuckDB
+    * timestamps are naive). Mirrors pinned:
+    *  - epoch-bucket truncs (900/300/600/1800 s) mirror via
+    *    make_timestamp(floor(epoch)::BIGINT // k * k * 1e6) — duck CAST
+    *    to BIGINT ROUNDS, so floor() first (to_timestamp would return
+    *    TIMESTAMPTZ, make_timestamp stays naive);
+    *  - toUnixTimestamp truncates the fraction: floor(epoch(t));
+    *  - dateDiff counts unit-boundary crossings on both engines;
+    *  - renderings go through formatDateTime('%Y-%m-%d %H:%i:%S') vs
+    *    strftime, dropping the µs fraction identically on both sides. */
+  final class TsGen(seed: Long) {
+    private val rnd = new Random(seed * 79 + 37)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    private def bucket(ch: String, secs: Long, a: Fz): Fz =
+      Fz(s"$ch(${a.ch})",
+         s"make_timestamp(((CAST(floor(epoch(${a.duck})) AS BIGINT) // $secs) * $secs) * 1000000)",
+         TStr)
+
+    def genTs(d: Int): Fz = {
+      if (d >= 3 || rnd.nextInt(10) < 3) return Fz("ts", "ts", TStr)
+      val a = genTs(d + 1)
+      pick(Seq[() => Fz](
+        () => Fz(s"toStartOfDay(${a.ch})", s"date_trunc('day', ${a.duck})", TStr),
+        () => Fz(s"toStartOfHour(${a.ch})", s"date_trunc('hour', ${a.duck})", TStr),
+        () => bucket("toStartOfMinute", 60L, a),
+        () => bucket("toStartOfFiveMinutes", 300L, a),
+        () => bucket("toStartOfTenMinutes", 600L, a),
+        () => bucket("toStartOfFifteenMinutes", 900L, a),
+        () => bucket("timeSlot", 1800L, a),
+        () => { val k = rnd.nextInt(200) - 100
+                Fz(s"addHours(${a.ch}, $k)", s"(${a.duck} + to_hours(CAST($k AS BIGINT)))", TStr) },
+        () => { val k = rnd.nextInt(2000) - 1000
+                Fz(s"addMinutes(${a.ch}, $k)", s"(${a.duck} + to_minutes(CAST($k AS BIGINT)))", TStr) },
+        () => { val k = rnd.nextInt(20000) - 10000
+                Fz(s"addSeconds(${a.ch}, $k)", s"(${a.duck} + to_seconds(CAST($k AS BIGINT)))", TStr) },
+        () => { val k = rnd.nextInt(200) - 100
+                Fz(s"subtractHours(${a.ch}, $k)", s"(${a.duck} - to_hours(CAST($k AS BIGINT)))", TStr) },
+        () => { val k = rnd.nextInt(2000) - 1000
+                Fz(s"subtractMinutes(${a.ch}, $k)", s"(${a.duck} - to_minutes(CAST($k AS BIGINT)))", TStr) },
+        () => { val k = rnd.nextInt(20000) - 10000
+                Fz(s"subtractSeconds(${a.ch}, $k)", s"(${a.duck} - to_seconds(CAST($k AS BIGINT)))", TStr) }
+      ))()
+    }
+
+    def genInt(): Fz = {
+      val a = genTs(0); val b = genTs(0)
+      pick(Seq[() => Fz](
+        () => Fz(s"toHour(${a.ch})", s"CAST(hour(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toMinute(${a.ch})", s"CAST(minute(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toSecond(${a.ch})", s"CAST(second(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toUnixTimestamp(${a.ch})",
+                 s"CAST(floor(epoch(${a.duck})) AS BIGINT)", TInt),
+        () => Fz(s"toRelativeHourNum(${a.ch})",
+                 s"(CAST(floor(epoch(${a.duck})) AS BIGINT) // 3600)", TInt),
+        () => Fz(s"toRelativeMinuteNum(${a.ch})",
+                 s"(CAST(floor(epoch(${a.duck})) AS BIGINT) // 60)", TInt),
+        () => { val u = pick(Seq("hour", "minute", "second", "day"))
+                Fz(s"dateDiff('$u', ${a.ch}, ${b.ch})",
+                   s"CAST(date_diff('$u', ${a.duck}, ${b.duck}) AS BIGINT)", TInt) }
+      ))()
+    }
+
+    def top(): Fz =
+      if (rnd.nextBoolean()) genInt()
+      else { val a = genTs(0)
+        Fz(s"formatDateTime(${a.ch}, '%Y-%m-%d %H:%i:%S')",
+           s"strftime(${a.duck}, '%Y-%m-%d %H:%M:%S')", TStr) }
+  }
+
+  def tsExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new TsGen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
+  def chTsSelect(batch: Seq[Fz], filter: String): String =
+    s"SELECT event_id, ${batch.zipWithIndex.map { case (e, i) => s"${e.ch} AS c$i" }.mkString(", ")} " +
+      s"FROM events WHERE $filter ORDER BY event_id"
+
+  def duckTsSelect(batch: Seq[Fz], filter: String): String =
+    s"SELECT event_id, ${batch.zipWithIndex.map { case (e, i) => s"${e.duck} AS c$i" }.mkString(", ")} " +
+      s"FROM events WHERE $filter ORDER BY event_id"
+
   /** NULL-propagation fuzzing — nullable leaves (`nullIf` over real
     * columns, conditional NULL injection) flow through the dialect
     * templates. Any template that papers over a function-name difference
@@ -972,6 +1178,37 @@ object FuzzDialect {
       manifest.append(s"""{"json":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
     }
     println(s"[fuzz] ${jsons.map(_.size).sum} json exprs evaluated")
+    // UTF-8 byte-semantics fuzzing (n/4 exprs, exact-compared)
+    val utf8s = utf8Exprs(seed * 71 + 23, math.max(1, n / 4)).grouped(25).toSeq
+    utf8s.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] utf8 batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/utf8_$i")
+      manifest.append(",")
+      manifest.append(s"""{"utf8":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${utf8s.map(_.size).sum} utf8 exprs evaluated")
+    // timestamp fuzzing over events (n/4 exprs, exact-compared)
+    val tss = tsExprs(seed * 83 + 29, math.max(1, n / 4)).grouped(25).toSeq
+    val tsFilter = "event_id < 400"
+    tss.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chTsSelect(b, tsFilter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] ts batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/ts_$i")
+      manifest.append(",")
+      manifest.append(s"""{"ts":$i,"duck":${jsonStr(duckTsSelect(b, tsFilter))},"ch":${jsonStr(chTsSelect(b, tsFilter))}}""")
+    }
+    println(s"[fuzz] ${tss.map(_.size).sum} ts exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

@@ -749,7 +749,8 @@ class ChSqlSpec extends AnyFunSuite {
                  |length(normalizeUTF8NFC('é')) AS nfc_len,
                  |length(normalizeUTF8NFD('é')) AS nfd_len""".stripMargin).collect()(0)
     assert(r.getString(0) == "en" && r.getString(1) == "fr" && r.getString(2) == "und")
-    assert(r.getInt(5) == 1 && r.getInt(6) == 2) // composed vs decomposed
+    // CH length() counts BYTES: NFC é = 2 (C3 A9), NFD e+◌́ = 3 (65 CC 81)
+    assert(r.getInt(5) == 2 && r.getInt(6) == 3)
   }
 
   test("batch-13: date tail — makeDateTime, parseDateTime, Joda pair, packed digits") {
@@ -941,5 +942,37 @@ class ChSqlSpec extends AnyFunSuite {
     assert(d3.forall(_.getString(1) != null))
     assert(d3.forall(_.getString(2) == "none"))
     ch("DROP DICTIONARY nat_dict")
+  }
+
+  test("byte semantics: base string ops count bytes, *UTF8 count code points") {
+    // reference src/Functions/substring.cpp:34 (non-UTF8 = bytes),
+    // position.cpp, reverse.cpp, LowerUpperImpl.h (ASCII-only fold)
+    val r = ch("""SELECT length('日') AS b3,
+                 |lengthUTF8('日本') AS cp2,
+                 |substring('aéb', 2, 2) AS sub_e,
+                 |hex(substring('é', 1, 1)) AS cut,
+                 |substringUTF8('aéb', 2, 1) AS sub_cp,
+                 |upper('Grüße') AS up_ascii,
+                 |upperUTF8('grüße') AS up_utf8_u,
+                 |lower('ÉE') AS lo_ascii,
+                 |position('xéy', 'y') AS pos_b,
+                 |positionUTF8('xéy', 'y') AS pos_cp,
+                 |positionCaseInsensitive('xéY', 'y') AS posci_b,
+                 |hex(reverse('aé')) AS rev_b,
+                 |reverseUTF8('aé') AS rev_cp,
+                 |left('aéb', 3) AS left_b,
+                 |right('aéb', 3) AS right_b,
+                 |left('abcd', -1) AS left_neg,
+                 |right('abcd', -1) AS right_neg""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+    assert(r.getString(2) == "é" && r.getString(3) == "C3" && r.getString(4) == "é")
+    assert(r.getString(5) == "GRüßE") // ü/ß untouched by ASCII fold
+    assert(r.getString(6).startsWith("GRÜ")) // Unicode fold
+    assert(r.getString(7) == "Ée")
+    assert(r.getInt(8) == 4 && r.getInt(9) == 3 && r.getInt(10) == 4)
+    assert(r.getString(11) == "A9C361") // bytes 61 C3 A9 reversed
+    assert(r.getString(12) == "éa")
+    assert(r.getString(13) == "aé" && r.getString(14) == "éb")
+    assert(r.getString(15) == "abc" && r.getString(16) == "bcd")
   }
 }

@@ -97,6 +97,35 @@ class FuzzDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed utf8 byte-semantics expressions translate, evaluate, and are deterministic") {
+    val utf8s = graft.tools.FuzzDialect.utf8Exprs(seed = 8L, n = 100)
+    assert(utf8s == graft.tools.FuzzDialect.utf8Exprs(seed = 8L, n = 100))
+    utf8s.grouped(25).foreach { b =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chSelect(b, "doc_id < 20")).collect()
+      assert(rows.length == 20)
+    }
+  }
+
+  test("fuzzed timestamp expressions translate, evaluate, and are deterministic") {
+    val tss = graft.tools.FuzzDialect.tsExprs(seed = 8L, n = 100)
+    assert(tss == graft.tools.FuzzDialect.tsExprs(seed = 8L, n = 100))
+    tss.grouped(25).foreach { b =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chTsSelect(b, "event_id < 50")).collect()
+      assert(rows.length == 50)
+    }
+  }
+
+  test("formatDateTime converts MySQL-style tokens (literal formats)") {
+    val r = graft.sqlfront.ChSql.sql(spark, sf,
+      """SELECT formatDateTime(CAST('2024-03-05 07:08:09' AS TIMESTAMP), '%Y-%m-%d %H:%i:%S') AS a,
+        |formatDateTime(CAST('2024-03-05 07:08:09' AS TIMESTAMP), '%F %R') AS b
+        |FROM documents LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getString(0) == "2024-03-05 07:08:09")
+    assert(r.getString(1) == "2024-03-05 07:08")
+  }
+
   test("JSON extract defaults: missing key and wrong type never NULL or throw") {
     val r = graft.sqlfront.ChSql.sql(spark, sf,
       """SELECT JSONExtractInt('{"a": 3}', 'z') AS a,

@@ -16,7 +16,7 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fuzz_out"
 
 con = duckdb.connect()
-for t in ("documents", "orders"):
+for t in ("documents", "orders", "events"):
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
     )
@@ -40,6 +40,10 @@ for entry in manifest:
         i, tag, key, d = entry["map"], f"map {entry['map']}", "doc_id", f"{out}/map_{entry['map']}"
     elif "json" in entry:
         i, tag, key, d = entry["json"], f"json {entry['json']}", "doc_id", f"{out}/json_{entry['json']}"
+    elif "utf8" in entry:
+        i, tag, key, d = entry["utf8"], f"utf8 {entry['utf8']}", "doc_id", f"{out}/utf8_{entry['utf8']}"
+    elif "ts" in entry:
+        i, tag, key, d = entry["ts"], f"ts {entry['ts']}", "event_id", f"{out}/ts_{entry['ts']}"
     else:
         i, tag, key, d = entry["batch"], f"batch {entry['batch']}", "doc_id", f"{out}/batch_{entry['batch']}"
     oracle = con.execute(entry["duck"]).fetchdf()
