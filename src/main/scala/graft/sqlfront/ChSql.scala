@@ -172,7 +172,18 @@ object ChSql {
     // type conversion
     "toInt8" -> "t", "toInt16" -> "t", "toUInt8" -> "t", "toUInt16" -> "t",
     "toUInt32" -> "t", "toUInt64" -> "t", "toFloat32" -> "t",
-    "toInt32OrNull" -> "t", "toFloat64OrNull" -> "t", "toDateOrNull" -> "t",
+    "toInt8OrNull" -> "t", "toInt16OrNull" -> "t",
+    "toInt32OrNull" -> "t",
+    "toInt8OrZero" -> "t", "toInt16OrZero" -> "t", "toInt32OrZero" -> "t",
+    "toUInt8OrNull" -> "t", "toUInt16OrNull" -> "t", "toUInt32OrNull" -> "t",
+    "toUInt64OrNull" -> "t",
+    "toUInt8OrZero" -> "t", "toUInt16OrZero" -> "t", "toUInt32OrZero" -> "t",
+    "toUInt64OrZero" -> "t",
+    "toFloat32OrNull" -> "t", "toFloat32OrZero" -> "t",
+    "toFloat64OrNull" -> "t", "toFloat64OrZero" -> "t",
+    "toInt32OrDefault" -> "t", "toInt64OrDefault" -> "t",
+    "toUInt64OrDefault" -> "t", "toFloat64OrDefault" -> "t",
+    "toDateOrNull" -> "t",
     "toTypeName" -> "typeof",
     // aggregates
     "boolAnd" -> "bool_and", "boolOr" -> "bool_or",
@@ -847,8 +858,73 @@ object ChSql {
     q = rewriteCalls(q, "toInt64")(a => s"cast(${a(0)} AS bigint)")
     q = rewriteCalls(q, "toInt32")(a => s"cast(${a(0)} AS int)")
     q = rewriteCalls(q, "toFloat64")(a => s"cast(${a(0)} AS double)")
-    q = rewriteCalls(q, "toInt64OrNull")(a => s"try_cast(${a(0)} AS bigint)")
-    q = rewriteCalls(q, "toInt64OrZero")(a => s"coalesce(try_cast(${a(0)} AS bigint), 0)")
+    // CH String->number parsing (reference src/Functions/FunctionsConversion.h
+    // ConvertThroughParsing + src/IO/ReadHelpers.h:353 readIntTextImpl,
+    // src/IO/readFloatText.h:324): the OrZero/OrNull family requires FULL
+    // consumption (isAllRead at FunctionsConversion.h:1100) with NO
+    // whitespace skip, a single optional sign, and CHECKED overflow
+    // (tryReadIntText defaults CHECK_OVERFLOW). Spark's try_cast trims
+    // whitespace, truncates '12.5' to 12, and accepts Java float forms
+    // ('1.5d', hex floats) — so every template guards with the exact CH
+    // grammar first. Floats add [eE][+-]digits exponents and
+    // case-insensitive inf/infinity/nan. Documented divergences: CH's
+    // degenerate zero-forms ('.', 'e5', '1e+') parse as 0.0 there but
+    // fail the guard here (identical under OrZero, NULL vs 0.0 under
+    // OrNull); UInt64 values above 2^63-1 exceed the BIGINT domain (NULL
+    // here, same declared clamp as toUInt64); numeric arguments are an
+    // ILLEGAL TYPE in CH (throws) but render through STRING here.
+    val chIntRe = "^[+-]?[0-9]+$"
+    val chUIntRe = "^[+]?[0-9]+$"
+    def chStr(x: String) = s"cast($x AS STRING)"
+    def intParse(x: String, sqlType: String): String = {
+      val s = chStr(x)
+      s"(CASE WHEN $s RLIKE '$chIntRe' THEN try_cast($s AS $sqlType) END)"
+    }
+    def uintParse(x: String, maxU: Option[Long]): String = {
+      val s = chStr(x)
+      val bound = maxU.map(m => s" AND try_cast($s AS BIGINT) <= ${m}L").getOrElse("")
+      s"(CASE WHEN $s RLIKE '$chUIntRe'$bound THEN try_cast($s AS BIGINT) END)"
+    }
+    val chFloatRe = "^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?$"
+    def floatParse(x: String, sqlType: String): String = {
+      val s = chStr(x)
+      s"(CASE WHEN $s RLIKE '^[+-]?(?i)inf(inity)?$$' THEN " +
+        s"CAST(CASE WHEN $s LIKE '-%' THEN '-Infinity' ELSE 'Infinity' END AS $sqlType) " +
+        s"WHEN $s RLIKE '^[+-]?(?i)nan$$' THEN CAST('NaN' AS $sqlType) " +
+        s"WHEN $s RLIKE '$chFloatRe' THEN cast($s AS $sqlType) END)"
+    }
+    def orZero(inner: String, sqlType: String): String =
+      s"CAST(coalesce($inner, 0) AS $sqlType)"
+    for ((n, t) <- Seq("toInt8OrNull" -> "TINYINT", "toInt16OrNull" -> "SMALLINT",
+        "toInt32OrNull" -> "INT", "toInt64OrNull" -> "BIGINT"))
+      q = rewriteCalls(q, n)(a => intParse(a(0), t))
+    for ((n, t) <- Seq("toInt8OrZero" -> "TINYINT", "toInt16OrZero" -> "SMALLINT",
+        "toInt32OrZero" -> "INT", "toInt64OrZero" -> "BIGINT"))
+      q = rewriteCalls(q, n)(a => orZero(intParse(a(0), t), t))
+    for ((n, m) <- Seq("toUInt8OrNull" -> Some(255L), "toUInt16OrNull" -> Some(65535L),
+        "toUInt32OrNull" -> Some(4294967295L), "toUInt64OrNull" -> None))
+      q = rewriteCalls(q, n)(a => uintParse(a(0), m))
+    for ((n, m) <- Seq("toUInt8OrZero" -> Some(255L), "toUInt16OrZero" -> Some(65535L),
+        "toUInt32OrZero" -> Some(4294967295L), "toUInt64OrZero" -> None))
+      q = rewriteCalls(q, n)(a => orZero(uintParse(a(0), m), "BIGINT"))
+    for ((n, t) <- Seq("toFloat32OrNull" -> "FLOAT", "toFloat64OrNull" -> "DOUBLE"))
+      q = rewriteCalls(q, n)(a => floatParse(a(0), t))
+    for ((n, t) <- Seq("toFloat32OrZero" -> "FLOAT", "toFloat64OrZero" -> "DOUBLE"))
+      q = rewriteCalls(q, n)(a => orZero(floatParse(a(0), t), t))
+    // OrDefault = OrNull with a caller fallback (FunctionsConversion.h
+    // FunctionCastOrDefault); one-arg form falls back to the type default
+    q = rewriteCalls(q, "toInt32OrDefault")(a =>
+      if (a.length >= 2) s"coalesce(${intParse(a(0), "INT")}, ${a(1)})"
+      else orZero(intParse(a(0), "INT"), "INT"))
+    q = rewriteCalls(q, "toInt64OrDefault")(a =>
+      if (a.length >= 2) s"coalesce(${intParse(a(0), "BIGINT")}, ${a(1)})"
+      else orZero(intParse(a(0), "BIGINT"), "BIGINT"))
+    q = rewriteCalls(q, "toUInt64OrDefault")(a =>
+      if (a.length >= 2) s"coalesce(${uintParse(a(0), None)}, ${a(1)})"
+      else orZero(uintParse(a(0), None), "BIGINT"))
+    q = rewriteCalls(q, "toFloat64OrDefault")(a =>
+      if (a.length >= 2) s"coalesce(${floatParse(a(0), "DOUBLE")}, ${a(1)})"
+      else orZero(floatParse(a(0), "DOUBLE"), "DOUBLE"))
     q = rewriteCalls(q, "toDate")(a => s"to_date(${a(0)})")
     q = rewriteCalls(q, "toStartOfDay")(a => s"date_trunc('day', ${a(0)})")
     q = rewriteCalls(q, "toStartOfHour")(a => s"date_trunc('hour', ${a(0)})")
@@ -1079,8 +1155,6 @@ object ChSql {
     q = rewriteCalls(q, "toUInt32")(a => s"pmod(CAST(${a(0)} AS BIGINT), 4294967296)")
     q = rewriteCalls(q, "toUInt64")(a => s"CAST(${a(0)} AS BIGINT)")
     q = rewriteCalls(q, "toFloat32")(a => s"CAST(${a(0)} AS FLOAT)")
-    q = rewriteCalls(q, "toInt32OrNull")(a => s"try_cast(${a(0)} AS INT)")
-    q = rewriteCalls(q, "toFloat64OrNull")(a => s"try_cast(${a(0)} AS DOUBLE)")
     q = rewriteCalls(q, "toDateOrNull")(a => s"try_cast(${a(0)} AS DATE)")
     // random (CH rand() is UInt32; emit RAND() uppercase so the rand
     // template below never touches expansions from these)

@@ -886,6 +886,100 @@ object FuzzDialect {
     s"SELECT event_id, ${batch.zipWithIndex.map { case (e, i) => s"${e.duck} AS c$i" }.mkString(", ")} " +
       s"FROM events WHERE $filter ORDER BY event_id"
 
+  /** String->number parsing fuzzing — the to*OrZero/OrNull/OrDefault
+    * family (reference FunctionsConversion.h ConvertThroughParsing:
+    * full-consumption, no whitespace skip, single sign, checked
+    * overflow; readFloatText.h exponents + case-insensitive inf/nan).
+    * The pool is adversarial: partial parses ('42abc', '12.5' for
+    * ints), whitespace, double signs, per-width overflow boundaries,
+    * Java-isms CH rejects ('1.5d', '0x10'), inf/nan casings, non-ASCII
+    * digits. The DuckDB mirror re-implements the CH contract with
+    * regexp_full_match + TRY_CAST — independently of the Spark
+    * template, so a bug in either side's guard shows as drift. NaN
+    * results conflate with NULL in the exact comparator (both render
+    * \\N) — the nan-pool rows are covered by ChSqlSpec instead. */
+  final class ConvGen(seed: Long) {
+    private val rnd = new Random(seed * 89 + 53)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    private val pool = Seq(
+      "42", "+42", "-42", "0042", "-0042", "", " 42", "42 ", "4 2",
+      "12.5", "-12.5", "12.", ".5", "-.5", "+-3", "--3", "3-", "42abc", "abc",
+      "127", "128", "-128", "-129", "255", "256", "65535", "65536",
+      "2147483647", "2147483648", "4294967295", "4294967296",
+      "9223372036854775807", "9223372036854775808", "-9223372036854775808",
+      "99999999999999999999", "1e3", "-1.5E2", "1e", "1e309", "1e-309",
+      "inf", "INF", "Infinity", "-infinity", "+inf",
+      "0x10", "1.5d", "1.5f", "½", "٤٢")
+
+    private def strE(): (String, String) = rnd.nextInt(10) match {
+      case 0 => ("toString(doc_id)", "CAST(doc_id AS VARCHAR)")
+      case 1 =>
+        val sfx = pick(Seq("", "", ".5", "e2", "abc", " "))
+        (s"concat(toString(doc_id), '$sfx')",
+         s"(CAST(doc_id AS VARCHAR) || '$sfx')")
+      case 2 => ("toString(doc_id * -7)", "CAST(doc_id * -7 AS VARCHAR)")
+      case _ => val v = pick(pool); (s"'$v'", s"'$v'")
+    }
+
+    private val intRe = "[+-]?[0-9]+"
+    private val uintRe = "[+]?[0-9]+"
+    private val fltRe = "[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?"
+    private def dInt(s: String, t: String) =
+      s"(CASE WHEN regexp_full_match($s, '$intRe') THEN TRY_CAST($s AS $t) END)"
+    private def dUInt(s: String, mx: Long) =
+      s"(CASE WHEN regexp_full_match($s, '$uintRe') AND TRY_CAST($s AS BIGINT) <= $mx " +
+        s"THEN TRY_CAST($s AS BIGINT) END)"
+    private def dFlt(s: String, t: String) =
+      s"(CASE WHEN regexp_full_match($s, '[+-]?(?i)inf(inity)?') THEN " +
+        s"(CASE WHEN $s LIKE '-%' THEN CAST('-inf' AS $t) ELSE CAST('inf' AS $t) END) " +
+        s"WHEN regexp_full_match($s, '$fltRe') THEN TRY_CAST($s AS $t) END)"
+
+    private val orNulls: Seq[(String, String => String)] = Seq(
+      "toInt8OrNull" -> (dInt(_, "TINYINT")),
+      "toInt16OrNull" -> (dInt(_, "SMALLINT")),
+      "toInt32OrNull" -> (dInt(_, "INTEGER")),
+      "toInt64OrNull" -> (dInt(_, "BIGINT")),
+      "toUInt8OrNull" -> (dUInt(_, 255L)),
+      "toUInt16OrNull" -> (dUInt(_, 65535L)),
+      "toUInt32OrNull" -> (dUInt(_, 4294967295L)),
+      "toUInt64OrNull" -> (dUInt(_, Long.MaxValue)),
+      "toFloat32OrNull" -> (dFlt(_, "REAL")),
+      "toFloat64OrNull" -> (dFlt(_, "DOUBLE")))
+    // OrZero result keeps the target width on both sides
+    private val zeroType = Map(
+      "toInt8" -> "TINYINT", "toInt16" -> "SMALLINT", "toInt32" -> "INTEGER",
+      "toInt64" -> "BIGINT", "toUInt8" -> "BIGINT", "toUInt16" -> "BIGINT",
+      "toUInt32" -> "BIGINT", "toUInt64" -> "BIGINT",
+      "toFloat32" -> "REAL", "toFloat64" -> "DOUBLE")
+
+    def top(): Fz = {
+      val (cs, ds) = strE()
+      val (name, dk) = pick(orNulls)
+      val base = name.stripSuffix("OrNull")
+      rnd.nextInt(4) match {
+        case 0 => Fz(s"$name($cs)", dk(ds), TInt)
+        case 1 =>
+          Fz(s"${base}OrZero($cs)",
+             s"CAST(coalesce(${dk(ds)}, 0) AS ${zeroType(base)})", TInt)
+        case 2 if Seq("toInt32", "toInt64", "toUInt64", "toFloat64").contains(base) =>
+          Fz(s"${base}OrDefault($cs, ${if (base == "toFloat64") "2.5" else "doc_id"})",
+             s"coalesce(${dk(ds)}, ${if (base == "toFloat64") "2.5" else "doc_id"})", TInt)
+        case _ if !base.startsWith("toFloat") =>
+          // int-only round-trip: float-to-string rendering differs by
+          // engine ('Infinity' vs 'inf')
+          Fz(s"toString(${base}OrZero($cs))",
+             s"CAST(CAST(coalesce(${dk(ds)}, 0) AS ${zeroType(base)}) AS VARCHAR)", TStr)
+        case _ => Fz(s"$name($cs)", dk(ds), TInt)
+      }
+    }
+  }
+
+  def convExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new ConvGen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
   /** NULL-propagation fuzzing — nullable leaves (`nullIf` over real
     * columns, conditional NULL injection) flow through the dialect
     * templates. Any template that papers over a function-name difference
@@ -1209,6 +1303,21 @@ object FuzzDialect {
       manifest.append(s"""{"ts":$i,"duck":${jsonStr(duckTsSelect(b, tsFilter))},"ch":${jsonStr(chTsSelect(b, tsFilter))}}""")
     }
     println(s"[fuzz] ${tss.map(_.size).sum} ts exprs evaluated")
+    // string->number conversion-parsing fuzzing (n/4 exprs, exact-compared)
+    val convs = convExprs(seed * 91 + 31, math.max(1, n / 4)).grouped(25).toSeq
+    convs.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] conv batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/conv_$i")
+      manifest.append(",")
+      manifest.append(s"""{"conv":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${convs.map(_.size).sum} conv exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

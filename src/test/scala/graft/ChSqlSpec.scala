@@ -944,6 +944,44 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP DICTIONARY nat_dict")
   }
 
+  test("strict string->number parsing: OrZero/OrNull reject junk, whitespace, partial parses") {
+    // reference FunctionsConversion.h isAllRead (full consumption),
+    // ReadHelpers.h readIntTextImpl (no ws skip, single sign, checked
+    // overflow), readFloatText.h (exponents, inf/nan case-insensitive)
+    val r = ch("""SELECT
+                 |toInt64OrZero('42') AS a, toInt64OrZero('+42') AS b,
+                 |toInt64OrZero('-0042') AS c,
+                 |toInt64OrZero('12.5') AS d, toInt64OrZero(' 42') AS e,
+                 |toInt64OrZero('42 ') AS f, toInt64OrZero('42abc') AS g,
+                 |toInt64OrZero('') AS h, toInt64OrZero('+-3') AS i,
+                 |toInt64OrZero('9223372036854775807') AS j,
+                 |toInt64OrZero('9223372036854775808') AS k,
+                 |toInt64OrNull('12.5') AS l,
+                 |toInt8OrNull('127') AS m, toInt8OrNull('128') AS n,
+                 |toUInt8OrZero('255') AS o, toUInt8OrZero('256') AS p,
+                 |toUInt32OrNull('-1') AS q2,
+                 |toFloat64OrZero('1.5e3') AS r1, toFloat64OrZero('1.5d') AS r2,
+                 |toFloat64OrZero('.5') AS r3, toFloat64OrZero('12.') AS r4,
+                 |toFloat64OrNull('INF') AS r5, toFloat64OrNull('-infinity') AS r6,
+                 |toFloat64OrNull('nan') AS r7, toFloat64OrNull('0x10') AS r8,
+                 |toFloat64OrNull(' 1.5') AS r9,
+                 |toInt64OrDefault('zzz', 7) AS s1,
+                 |toFloat64OrDefault('2.5', 9.0) AS s2""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 42L && r.getLong(1) == 42L && r.getLong(2) == -42L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L)
+    assert(r.getLong(6) == 0L && r.getLong(7) == 0L && r.getLong(8) == 0L)
+    assert(r.getLong(9) == Long.MaxValue && r.getLong(10) == 0L)
+    assert(r.isNullAt(11))
+    assert(r.getByte(12) == 127 && r.isNullAt(13))
+    assert(r.getLong(14) == 255L && r.getLong(15) == 0L)
+    assert(r.isNullAt(16))
+    assert(r.getDouble(17) == 1500.0 && r.getDouble(18) == 0.0)
+    assert(r.getDouble(19) == 0.5 && r.getDouble(20) == 12.0)
+    assert(r.getDouble(21).isPosInfinity && r.getDouble(22).isNegInfinity)
+    assert(r.getDouble(23).isNaN && r.isNullAt(24) && r.isNullAt(25))
+    assert(r.getLong(26) == 7L && r.getDouble(27) == 2.5)
+  }
+
   test("byte semantics: base string ops count bytes, *UTF8 count code points") {
     // reference src/Functions/substring.cpp:34 (non-UTF8 = bytes),
     // position.cpp, reverse.cpp, LowerUpperImpl.h (ASCII-only fold)

@@ -117,6 +117,16 @@ class FuzzDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed conversion-parsing expressions translate, evaluate, and are deterministic") {
+    val convs = graft.tools.FuzzDialect.convExprs(seed = 8L, n = 100)
+    assert(convs == graft.tools.FuzzDialect.convExprs(seed = 8L, n = 100))
+    convs.grouped(25).foreach { b =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chSelect(b, "doc_id < 20")).collect()
+      assert(rows.length == 20)
+    }
+  }
+
   test("formatDateTime converts MySQL-style tokens (literal formats)") {
     val r = graft.sqlfront.ChSql.sql(spark, sf,
       """SELECT formatDateTime(CAST('2024-03-05 07:08:09' AS TIMESTAMP), '%Y-%m-%d %H:%i:%S') AS a,
