@@ -29,6 +29,20 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  // scale literals may arrive as UnaryMinus(Literal) for negative values
+  private def scaleLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.UnaryMinus(inner, _) =>
+      -scaleLit(inner, what)
+    case Literal(i: Int, IntegerType) => i
+    case Literal(l: Long, org.apache.spark.sql.types.LongType) => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def chRound(es: Seq[Expression], mode: Int, bankers: Boolean): Expression =
+    graft.functions.ChRoundDispatch(es.head,
+      if (es.length > 1) scaleLit(es(1), "rounding scale") else 0, mode, bankers)
+
   /** Catalyst-level dictionary lookup with identity/default fallback:
     * coalesce(element_at(mapLit, lower(x)), orElse(lower(x))). Built from
     * raw Catalyst nodes — a Column built via the public functions API
@@ -71,6 +85,16 @@ object GraftFunctions {
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
     (FunctionIdentifier("ch_length"), info("ch_length"),
       (es: Seq[Expression]) => graft.functions.ChLength(es.head)),
+    (FunctionIdentifier("ch_round"), info("ch_round"),
+      (es: Seq[Expression]) => chRound(es, graft.functions.ChRoundUtil.ROUND, bankers = false)),
+    (FunctionIdentifier("ch_round_bankers"), info("ch_round_bankers"),
+      (es: Seq[Expression]) => chRound(es, graft.functions.ChRoundUtil.ROUND, bankers = true)),
+    (FunctionIdentifier("ch_floor"), info("ch_floor"),
+      (es: Seq[Expression]) => chRound(es, graft.functions.ChRoundUtil.FLOOR, bankers = false)),
+    (FunctionIdentifier("ch_ceil"), info("ch_ceil"),
+      (es: Seq[Expression]) => chRound(es, graft.functions.ChRoundUtil.CEIL, bankers = false)),
+    (FunctionIdentifier("ch_trunc"), info("ch_trunc"),
+      (es: Seq[Expression]) => chRound(es, graft.functions.ChRoundUtil.TRUNC, bankers = false)),
     (FunctionIdentifier("ch_reverse"), info("ch_reverse"),
       (es: Seq[Expression]) => graft.functions.ChReverse(es.head)),
     (FunctionIdentifier("ch_element_at"), info("ch_element_at"),

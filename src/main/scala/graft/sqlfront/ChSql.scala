@@ -48,7 +48,9 @@ object ChSql {
     // math / misc
     "modulo" -> "mod", "plus" -> "try_add",
     "ln" -> "ln", "log2" -> "log2", "log10" -> "log10",
-    "roundBankers" -> "bround", "cbrt" -> "cbrt",
+    "roundBankers" -> "t", "cbrt" -> "cbrt",
+    "round" -> "t", "floor" -> "t", "ceil" -> "t", "ceiling" -> "t",
+    "trunc" -> "t", "truncate" -> "t", "roundDown" -> "t",
     "bitCount" -> "bit_count",
     // conditionals
     "multiIf" -> "case_when_chain", // template below
@@ -925,6 +927,21 @@ object ChSql {
     q = rewriteCalls(q, "toFloat64OrDefault")(a =>
       if (a.length >= 2) s"coalesce(${floatParse(a(0), "DOUBLE")}, ${a(1)})"
       else orZero(floatParse(a(0), "DOUBLE"), "DOUBLE"))
+    // CH rounding family (reference src/Functions/FunctionsRound.h):
+    // result type = argument type, float path scales in binary FP with
+    // banker's ties, integer negative-scale is exact integer arithmetic —
+    // the ch_* dispatchers (graft.functions.ChRoundDispatch) carry the
+    // semantics. Runs BEFORE any template that emits Spark floor()/round()
+    // text, so only user-written names are captured.
+    for ((n, fn) <- Seq("roundBankers" -> "ch_round_bankers",
+        "round" -> "ch_round", "floor" -> "ch_floor", "ceil" -> "ch_ceil",
+        "ceiling" -> "ch_ceil", "truncate" -> "ch_trunc", "trunc" -> "ch_trunc"))
+      q = rewriteCalls(q, n)(a => s"$fn(${a.mkString(", ")})")
+    // roundDown(x, [a,b,...]) (reference src/Functions/roundDown.cpp):
+    // largest array element <= x; below the minimum -> the minimum
+    q = rewriteCalls(q, "roundDown")(a =>
+      s"coalesce(array_max(filter(${a(1)}, __rd -> __rd <= ${a(0)})), " +
+        s"array_min(${a(1)}))")
     q = rewriteCalls(q, "toDate")(a => s"to_date(${a(0)})")
     q = rewriteCalls(q, "toStartOfDay")(a => s"date_trunc('day', ${a(0)})")
     q = rewriteCalls(q, "toStartOfHour")(a => s"date_trunc('hour', ${a(0)})")

@@ -980,6 +980,117 @@ object FuzzDialect {
     (0 until n).map(_ => g.top())
   }
 
+  /** Rounding-family fuzzing — round/roundBankers/floor/ceil/trunc with
+    * positive and negative scales (reference FunctionsRound.h: floats
+    * scale in BINARY FP — multiply, hardware-round with ties-to-even,
+    * divide; integers use exact arithmetic with truncating division,
+    * `round` ties away from zero, `roundBankers` ties to even). The
+    * DuckDB mirror does NOT use round()/round_even() — it spells out the
+    * same IEEE/integer arithmetic (floor-based ties-to-even CASE, `//`
+    * truncating division, `& -2` parity), so both engines compute
+    * bit-identical operation sequences and any drift is a template bug,
+    * not FP noise. Pool is adversarial: representable ties (2.5, 0.125),
+    * near-tie decimals whose binary scaling crosses the tie either way
+    * (2.675*100 -> exactly 267.5, 0.29*100 -> 28.999...), magnitudes
+    * beyond 2^52, integer ties at every width. */
+  final class RoundGen(seed: Long) {
+    private val rnd = new Random(seed * 131 + 17)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    private val fg = new FloatGen(seed * 131 + 18)
+
+    private val dblPool = Seq(
+      "2.5", "-2.5", "3.5", "0.5", "1.5", "4.5", "2.675", "1.005", "0.125",
+      "0.135", "0.285", "0.29", "-2.31", "2.31", "99.995", "0.045", "-0.045",
+      "1.335", "123456789.987654", "0.0", "1e15", "-1e15", "1e-7", "7.0")
+
+    private def dblE(): (String, String) = rnd.nextInt(6) match {
+      case 0 | 1 => val v = pick(dblPool); (v, s"CAST($v AS DOUBLE)")
+      case 2 => ("(doc_id / 7.0)", "(doc_id / 7.0)")
+      case 3 => ("(n_chars / 9.0)", "(n_chars / 9.0)")
+      case 4 => ("(doc_id * 1.25 - 40.5)", "(CAST(doc_id AS DOUBLE) * 1.25 - 40.5)")
+      case _ => val t = fg.gen(1); (t.ch, s"CAST(${t.duck} AS DOUBLE)")
+    }
+
+    private def p10(k: Int): String = "1" + "0" * k + ".0"
+    // y scaled per CH FloatRoundingComputation: *s then op then /s (n>0),
+    // /s then op then *s (n<0)
+    private def scaled(x: String, n: Int, op: String => String): String =
+      if (n == 0) op(x)
+      else if (n > 0) s"(${op(s"($x * ${p10(n)})")} / ${p10(n)})"
+      else s"(${op(s"($x / ${p10(-n)})")} * ${p10(-n)})"
+    // IEEE ties-to-even integral rounding, spelled out (floor + parity)
+    private def rint(y: String): String =
+      s"(CASE WHEN ($y) - floor($y) > 0.5 THEN floor($y) + 1 " +
+        s"WHEN ($y) - floor($y) < 0.5 THEN floor($y) " +
+        s"WHEN (floor($y) % 2.0) = 0 THEN floor($y) ELSE floor($y) + 1 END)"
+
+    private val intPool = Seq("25", "-25", "35", "-35", "45", "55", "1250",
+      "12345", "99999", "123456789", "5", "-5", "0", "7", "-1050")
+    private def intE(): (String, String) = rnd.nextInt(4) match {
+      case 0 | 1 => val v = pick(intPool); (v, v)
+      case 2 => ("(doc_id * 37)", "(doc_id * 37)")
+      case _ => ("(doc_id - 50)", "(doc_id - 50)")
+    }
+
+    private def intMirror(x: String, s: Long, mode: String): String = {
+      val h = s / 2
+      def y = s"(CASE WHEN ($x) < 0 THEN ($x) - $s ELSE ($x) END)"
+      mode match {
+        case "trunc" => s"((($x) // $s) * $s)"
+        case "floor" =>
+          s"(((CASE WHEN ($x) < 0 THEN ($x) - ${s - 1} ELSE ($x) END) // $s) * $s)"
+        case "ceil" =>
+          s"(((CASE WHEN ($x) >= 0 THEN ($x) + ${s - 1} ELSE ($x) END) // $s) * $s)"
+        case "round" => s"(((($y) + $h) // $s) * $s)"
+        case _ => // bankers: q = (y+h)//s; tie -> (q + (y<0)) & ~1
+          val q = s"((($y) + $h) // $s)"
+          s"(CASE WHEN ($q) * $s = ($y) + $h THEN " +
+            s"((($q) + (CASE WHEN ($y) < 0 THEN 1 ELSE 0 END)) & CAST(-2 AS BIGINT)) * $s " +
+            s"ELSE ($q) * $s END)"
+      }
+    }
+
+    def top(): Fz = rnd.nextInt(10) match {
+      case 0 | 1 | 2 | 3 => // float path
+        val (cx, dx) = dblE()
+        val n = rnd.nextInt(11) - 4 // -4..6
+        val scaleArg = if (n == 0 && rnd.nextBoolean()) "" else s", $n"
+        rnd.nextInt(5) match {
+          case 0 => Fz(s"round($cx$scaleArg)", scaled(dx, n, rint), TInt)
+          case 1 => Fz(s"roundBankers($cx$scaleArg)", scaled(dx, n, rint), TInt)
+          case 2 => Fz(s"floor($cx$scaleArg)", scaled(dx, n, y => s"floor($y)"), TInt)
+          case 3 => Fz(s"ceil($cx$scaleArg)", scaled(dx, n, y => s"ceil($y)"), TInt)
+          case _ => Fz(s"trunc($cx$scaleArg)", scaled(dx, n, y => s"trunc($y)"), TInt)
+        }
+      case 4 | 5 | 6 | 7 => // integer negative-scale path (BIGINT-safe pool)
+        val (cx, dx) = intE()
+        val k = rnd.nextInt(4) + 1 // scale -1..-4
+        val s = math.pow(10, k).toLong
+        val mode = pick(Seq("round", "bankers", "floor", "ceil", "trunc"))
+        val chName = mode match {
+          case "bankers" => "roundBankers"
+          case "round" => "round"
+          case m => m
+        }
+        Fz(s"$chName($cx, -$k)", intMirror(dx, s, mode), TInt)
+      case 8 => // integer positive/zero scale = identity
+        val (cx, dx) = intE()
+        val n = rnd.nextInt(3)
+        Fz(s"round($cx, $n)", s"($dx)", TInt)
+      case _ => // roundDown
+        val arr = Seq("0, 5, 17, 30", "2, 40, 41", "10, 100, 1000")(rnd.nextInt(3))
+        val (cx, dx) = ("(doc_id % 77)", "(doc_id % 77)")
+        Fz(s"roundDown($cx, [$arr])",
+          s"coalesce(list_max(list_filter([$arr], __e -> __e <= $dx)), " +
+            s"list_min([$arr]))", TInt)
+    }
+  }
+
+  def roundExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new RoundGen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
   /** NULL-propagation fuzzing — nullable leaves (`nullIf` over real
     * columns, conditional NULL injection) flow through the dialect
     * templates. Any template that papers over a function-name difference
@@ -1318,6 +1429,21 @@ object FuzzDialect {
       manifest.append(s"""{"conv":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
     }
     println(s"[fuzz] ${convs.map(_.size).sum} conv exprs evaluated")
+    // rounding-family fuzzing (n/4 exprs, exact-compared)
+    val rnds = roundExprs(seed * 113 + 59, math.max(1, n / 4)).grouped(25).toSeq
+    rnds.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] rnd batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/rnd_$i")
+      manifest.append(",")
+      manifest.append(s"""{"rnd":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${rnds.map(_.size).sum} rnd exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

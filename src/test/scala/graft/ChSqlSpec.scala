@@ -982,6 +982,43 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getLong(26) == 7L && r.getDouble(27) == 2.5)
   }
 
+  test("rounding family: CH semantics (banker's float ties, FP scaling, int negative scale)") {
+    // reference src/Functions/FunctionsRound.h: floats scale in BINARY FP
+    // (round(2.675, 2) = 2.68 because 2.675*100 rounds to exactly 267.5,
+    // then ties-to-even -> 268; Spark's decimal-exact bround gives 2.67),
+    // round ties to even (round(2.5) = 2), integers round half away from
+    // zero with exact arithmetic, result type = argument type. Float
+    // vectors verified against an IEEE-exact model of the C++ path.
+    val r = ch("""SELECT
+                 |round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c,
+                 |round(2.675, 2) AS d, round(1.005, 2) AS e,
+                 |round(0.125, 2) AS f, round(0.135, 2) AS g,
+                 |round(25, -1) AS h, round(-25, -1) AS i,
+                 |roundBankers(25, -1) AS j, roundBankers(35, -1) AS k,
+                 |roundBankers(-25, -1) AS l, roundBankers(2.675, 2) AS m,
+                 |floor(2.7) AS n, floor(-2.31, 1) AS o, floor(0.29, 2) AS p,
+                 |ceil(2.31, 1) AS q2, trunc(-2.7) AS r1, trunc(-2.59, 1) AS r2,
+                 |round(5, 2) AS s1, round(toInt8(100), -3) AS s2,
+                 |trunc(29, -1) AS s3, ceil(21, -1) AS s4, ceil(-21, -1) AS s5,
+                 |floor(-21, -1) AS s6,
+                 |round(toFloat32(2.675), 2) AS f32""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 4.0 && r.getDouble(2) == -2.0)
+    assert(r.getDouble(3) == 2.68 && r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 0.12 && r.getDouble(6) == 0.14)
+    assert(r.getInt(7) == 30 && r.getInt(8) == -30)
+    assert(r.getInt(9) == 20 && r.getInt(10) == 40 && r.getInt(11) == -20)
+    assert(r.getDouble(12) == 2.68)
+    assert(r.getDouble(13) == 2.0 && r.getDouble(14) == -2.4 && r.getDouble(15) == 0.28)
+    assert(r.getDouble(16) == 2.4 && r.getDouble(17) == -2.0 && r.getDouble(18) == -2.5)
+    assert(r.getInt(19) == 5 && r.getByte(20) == 0)
+    assert(r.getInt(21) == 20 && r.getInt(22) == 30 && r.getInt(23) == -20)
+    assert(r.getInt(24) == -30)
+    assert(r.getFloat(25) == 2.68f)
+    val rd = ch("SELECT roundDown(7, [2, 5, 10]) AS a, roundDown(1, [2, 5, 10]) AS b, " +
+      "roundDown(10, [2, 5, 10]) AS c").collect()(0)
+    assert(rd.getInt(0) == 5 && rd.getInt(1) == 2 && rd.getInt(2) == 10)
+  }
+
   test("byte semantics: base string ops count bytes, *UTF8 count code points") {
     // reference src/Functions/substring.cpp:34 (non-UTF8 = bytes),
     // position.cpp, reverse.cpp, LowerUpperImpl.h (ASCII-only fold)

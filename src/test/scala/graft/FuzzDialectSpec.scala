@@ -117,6 +117,16 @@ class FuzzDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed rounding expressions translate, evaluate, and are deterministic") {
+    val rnds = graft.tools.FuzzDialect.roundExprs(seed = 8L, n = 100)
+    assert(rnds == graft.tools.FuzzDialect.roundExprs(seed = 8L, n = 100))
+    rnds.grouped(25).foreach { b =>
+      val rows = graft.sqlfront.ChSql.sql(spark, sf,
+        graft.tools.FuzzDialect.chSelect(b, "doc_id < 20")).collect()
+      assert(rows.length == 20)
+    }
+  }
+
   test("fuzzed conversion-parsing expressions translate, evaluate, and are deterministic") {
     val convs = graft.tools.FuzzDialect.convExprs(seed = 8L, n = 100)
     assert(convs == graft.tools.FuzzDialect.convExprs(seed = 8L, n = 100))

@@ -46,6 +46,8 @@ for entry in manifest:
         i, tag, key, d = entry["ts"], f"ts {entry['ts']}", "event_id", f"{out}/ts_{entry['ts']}"
     elif "conv" in entry:
         i, tag, key, d = entry["conv"], f"conv {entry['conv']}", "doc_id", f"{out}/conv_{entry['conv']}"
+    elif "rnd" in entry:
+        i, tag, key, d = entry["rnd"], f"rnd {entry['rnd']}", "doc_id", f"{out}/rnd_{entry['rnd']}"
     else:
         i, tag, key, d = entry["batch"], f"batch {entry['batch']}", "doc_id", f"{out}/batch_{entry['batch']}"
     oracle = con.execute(entry["duck"]).fetchdf()
