@@ -85,6 +85,16 @@ object GraftFunctions {
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
     (FunctionIdentifier("ch_length"), info("ch_length"),
       (es: Seq[Expression]) => graft.functions.ChLength(es.head)),
+    (FunctionIdentifier("ch_plus"), info("ch_plus"),
+      (es: Seq[Expression]) => graft.functions.ChArith(es(0), es(1), graft.functions.ChArith.PLUS)),
+    (FunctionIdentifier("ch_minus"), info("ch_minus"),
+      (es: Seq[Expression]) => graft.functions.ChArith(es(0), es(1), graft.functions.ChArith.MINUS)),
+    (FunctionIdentifier("ch_multiply"), info("ch_multiply"),
+      (es: Seq[Expression]) => graft.functions.ChArith(es(0), es(1), graft.functions.ChArith.MULTIPLY)),
+    (FunctionIdentifier("ch_abs"), info("ch_abs"),
+      (es: Seq[Expression]) => graft.functions.ChAbs(es.head)),
+    (FunctionIdentifier("ch_negate"), info("ch_negate"),
+      (es: Seq[Expression]) => graft.functions.ChNegate(es.head)),
     (FunctionIdentifier("ch_round"), info("ch_round"),
       (es: Seq[Expression]) => chRound(es, graft.functions.ChRoundUtil.ROUND, bankers = false)),
     (FunctionIdentifier("ch_round_bankers"), info("ch_round_bankers"),

@@ -46,7 +46,7 @@ object ChSql {
     "trimBoth" -> "trim", "trimLeft" -> "ltrim", "trimRight" -> "rtrim",
     "leftPad" -> "lpad", "rightPad" -> "rpad",
     // math / misc
-    "modulo" -> "mod", "plus" -> "try_add",
+    "modulo" -> "mod", "plus" -> "t",
     "ln" -> "ln", "log2" -> "log2", "log10" -> "log10",
     "roundBankers" -> "t", "cbrt" -> "cbrt",
     "round" -> "t", "floor" -> "t", "ceil" -> "t", "ceiling" -> "t",
@@ -1223,7 +1223,7 @@ object ChSql {
       s"(CASE WHEN (${a(1)}) = 0 THEN 0 ELSE (${a(0)}) div (${a(1)}) END)")
     q = rewriteCalls(q, "moduloOrZero")(a =>
       s"(CASE WHEN (${a(1)}) = 0 THEN 0 ELSE (${a(0)}) % (${a(1)}) END)")
-    q = rewriteCalls(q, "negate")(a => s"(-(${a(0)}))")
+    q = rewriteCalls(q, "negate")(a => s"ch_negate(${a(0)})")
     q = rewriteCalls(q, "toDecimal32")(a => s"CAST(${a(0)} AS DECIMAL(9, ${a(1)}))")
     q = rewriteCalls(q, "toDecimal64")(a => s"CAST(${a(0)} AS DECIMAL(18, ${a(1)}))")
     q = rewriteCalls(q, "toDecimal128")(a => s"CAST(${a(0)} AS DECIMAL(38, ${a(1)}))")
@@ -1480,9 +1480,14 @@ object ChSql {
         s"ELSE CAST(0 AS DOUBLE) END), CAST(0 AS DOUBLE), (__a2, __x2) -> __a2 + __x2)"
       s"(($sumRanks - $p * ($p + 1) / 2.0) / ($p * (size($l0) - $p)))"
     }
-    q = rewriteCalls(q, "minus")(a => s"((${a(0)}) - (${a(1)}))")
-    q = rewriteCalls(q, "multiply")(a => s"((${a(0)}) * (${a(1)}))")
-    q = rewriteCalls(q, "negate")(a => s"(-(${a(0)}))")
+    // CH integer arithmetic promotes to the next wider type (plus.cpp /
+    // NumberTraits) — ch_plus/ch_minus/ch_multiply dispatch on resolved
+    // types (graft.functions.ChArith); also covers date+int / date-date
+    q = rewriteCalls(q, "abs")(a => s"ch_abs(${a(0)})")
+    q = rewriteCalls(q, "plus")(a => s"ch_plus(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "minus")(a => s"ch_minus(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "multiply")(a => s"ch_multiply(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "negate")(a => s"ch_negate(${a(0)})")
     q = rewriteCalls(q, "isZeroOrNull")(a =>
       s"((${a(0)}) = 0 OR (${a(0)}) IS NULL)")
     q = rewriteCalls(q, "ignore")(_ => "0")

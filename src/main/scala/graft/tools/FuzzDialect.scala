@@ -41,7 +41,13 @@ object FuzzDialect {
 
     private def lit(t: Tpe): Fz = t match {
       case TInt =>
-        if (rnd.nextBoolean()) {
+        if (rnd.nextInt(10) == 0) {
+          // overflow-boundary literals: CH promotes to the next wider
+          // type (ChArith); duck mirrors cast to BIGINT before + and -
+          val v = pick(Seq("2147483647", "-2147483648", "1000000007",
+            "32767", "-32768", "127", "-129"))
+          Fz(v, v, TInt)
+        } else if (rnd.nextBoolean()) {
           val v = rnd.nextInt(19) - 9
           Fz(v.toString, v.toString, TInt)
         } else pick(Seq(
@@ -64,15 +70,17 @@ object FuzzDialect {
     private def genInt(d: Int): Fz = {
       val a = gen(TInt, d); val b = gen(TInt, d)
       pick(Seq[() => Fz](
-        () => Fz(s"plus(${a.ch}, ${b.ch})", s"(${a.duck} + ${b.duck})", TInt),
-        () => Fz(s"minus(${a.ch}, ${b.ch})", s"(${a.duck} - ${b.duck})", TInt),
+        () => Fz(s"plus(${a.ch}, ${b.ch})",
+                 s"(CAST(${a.duck} AS BIGINT) + CAST(${b.duck} AS BIGINT))", TInt),
+        () => Fz(s"minus(${a.ch}, ${b.ch})",
+                 s"(CAST(${a.duck} AS BIGINT) - CAST(${b.duck} AS BIGINT))", TInt),
         () => Fz(s"multiply(modulo(${a.ch}, 1000), modulo(${b.ch}, 1000))",
                  s"((${a.duck} % 1000) * (${b.duck} % 1000))", TInt),
         () => Fz(s"intDiv(abs(${a.ch}), plus(modulo(abs(${b.ch}), 7), 1))",
-                 s"(abs(${a.duck}) // ((abs(${b.duck}) % 7) + 1))", TInt),
+                 s"(abs(CAST(${a.duck} AS BIGINT)) // ((abs(CAST(${b.duck} AS BIGINT)) % 7) + 1))", TInt),
         () => Fz(s"modulo(${a.ch}, plus(modulo(abs(${b.ch}), 7), 1))",
-                 s"(${a.duck} % ((abs(${b.duck}) % 7) + 1))", TInt),
-        () => Fz(s"abs(${a.ch})", s"abs(${a.duck})", TInt),
+                 s"(${a.duck} % ((abs(CAST(${b.duck} AS BIGINT)) % 7) + 1))", TInt),
+        () => Fz(s"abs(${a.ch})", s"abs(CAST(${a.duck} AS BIGINT))", TInt),
         () => Fz(s"greatest(${a.ch}, ${b.ch})", s"greatest(${a.duck}, ${b.duck})", TInt),
         () => Fz(s"least(${a.ch}, ${b.ch})", s"least(${a.duck}, ${b.duck})", TInt),
         () => { val s = gen(TStr, d); Fz(s"length(${s.ch})", s"length(${s.duck})", TInt) },
@@ -87,14 +95,15 @@ object FuzzDialect {
                    s"strpos(lower(${s.duck}), lower('$t'))", TInt) },
         () => { val s = gen(TStr, d)
                 Fz(s"toInt64OrZero(${s.ch})",
-                   s"coalesce(try_cast(${s.duck} AS BIGINT), 0)", TInt) },
+                   s"coalesce(CASE WHEN regexp_full_match(${s.duck}, '[+-]?[0-9]+') " +
+                     s"THEN try_cast(${s.duck} AS BIGINT) END, 0)", TInt) },
         () => Fz(s"bitAnd(${a.ch}, ${b.ch})", s"(${a.duck} & ${b.duck})", TInt),
         () => Fz(s"bitOr(${a.ch}, ${b.ch})", s"(${a.duck} | ${b.duck})", TInt),
         () => Fz(s"bitXor(${a.ch}, ${b.ch})", s"xor(${a.duck}, ${b.duck})", TInt),
         // DuckDB rejects shifting a negative number; Spark wraps — abs both
         () => { val k = rnd.nextInt(9)
                 Fz(s"bitShiftLeft(modulo(abs(${a.ch}), 1000), $k)",
-                   s"((abs(${a.duck}) % 1000) << $k)", TInt) },
+                   s"((abs(CAST(${a.duck} AS BIGINT)) % 1000) << $k)", TInt) },
         () => Fz(s"gcd(${a.ch}, ${b.ch})", s"gcd(${a.duck}, ${b.duck})", TInt),
         () => Fz(s"lcm(modulo(${a.ch}, 100), modulo(${b.ch}, 100))",
                  s"lcm((${a.duck} % 100), (${b.duck} % 100))", TInt),
@@ -1128,8 +1137,10 @@ object FuzzDialect {
     private def genInt(d: Int): Fz = {
       val a = gen(TInt, d); val b = gen(TInt, d)
       pick(Seq[() => Fz](
-        () => Fz(s"plus(${a.ch}, ${b.ch})", s"(${a.duck} + ${b.duck})", TInt),
-        () => Fz(s"minus(${a.ch}, ${b.ch})", s"(${a.duck} - ${b.duck})", TInt),
+        () => Fz(s"plus(${a.ch}, ${b.ch})",
+                 s"(CAST(${a.duck} AS BIGINT) + CAST(${b.duck} AS BIGINT))", TInt),
+        () => Fz(s"minus(${a.ch}, ${b.ch})",
+                 s"(CAST(${a.duck} AS BIGINT) - CAST(${b.duck} AS BIGINT))", TInt),
         () => Fz(s"multiply(modulo(${a.ch}, 1000), modulo(${b.ch}, 1000))",
                  s"((${a.duck} % 1000) * (${b.duck} % 1000))", TInt),
         () => Fz(s"intDiv(abs(${a.ch}), plus(modulo(abs(${b.ch}), 7), 1))",

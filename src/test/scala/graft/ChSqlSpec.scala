@@ -619,7 +619,8 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getSeq[Int](7) == Seq(0, 1, 2, 3))
     assert(r.getSeq[Int](8) == Seq.empty)
     assert(r.getSeq[Int](9) == Seq(2, 5))
-    assert(r.getInt(10) == 6 && r.getInt(11) == 42 && r.getInt(12) == -5)
+    // minus/multiply/negate promote to the next wider type (ChArith)
+    assert(r.getLong(10) == 6L && r.getLong(11) == 42L && r.getLong(12) == -5L)
     assert(r.getBoolean(13) && r.getInt(14) == 0)
     assert(r.getString(15) == "1.50 KiB")
     assert(r.getString(16) == "1.23 million")
@@ -1017,6 +1018,28 @@ class ChSqlSpec extends AnyFunSuite {
     val rd = ch("SELECT roundDown(7, [2, 5, 10]) AS a, roundDown(1, [2, 5, 10]) AS b, " +
       "roundDown(10, [2, 5, 10]) AS c").collect()(0)
     assert(rd.getInt(0) == 5 && rd.getInt(1) == 2 && rd.getInt(2) == 10)
+  }
+
+  test("arithmetic promotes to the next wider int type; date arms; bool as UInt8") {
+    // reference src/Functions/plus.cpp via NumberTraits: Int32+Int32 ->
+    // Int64 (no 32-bit overflow), Int64 wraps; negate promotes signed
+    val r = ch("""SELECT
+                 |plus(2147483647, 1) AS a,
+                 |multiply(2147483647, 3) AS b,
+                 |minus(-2147483648, 1) AS c,
+                 |plus(9223372036854775807, 1) AS d,
+                 |plus(1 > 0, 41) AS e,
+                 |negate(toInt32(-2147483648)) AS f,
+                 |minus(toDate('2024-03-05'), toDate('2024-02-01')) AS g,
+                 |plus(toDate('2024-02-28'), 2) AS h""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 2147483648L)
+    assert(r.getLong(1) == 6442450941L)
+    assert(r.getLong(2) == -2147483649L)
+    assert(r.getLong(3) == Long.MinValue) // 64-bit wrap like the reference
+    assert(r.getLong(4) == 42L)
+    assert(r.getLong(5) == 2147483648L)
+    assert(r.getInt(6) == 33)
+    assert(r.getDate(7).toString == "2024-03-01")
   }
 
   test("byte semantics: base string ops count bytes, *UTF8 count code points") {
