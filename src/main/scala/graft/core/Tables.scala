@@ -18,12 +18,6 @@ object Tables {
   /** Read one fixture table. Column pruning + predicate pushdown reach the
     * parquet scan automatically because this is a plain declarative read.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a
-    * raw nanosecond long (legacy conf) and convert to a microsecond
-    * TimestampType with exact integer arithmetic — matching how DuckDB
-    * truncates ns→µs, so oracle comparisons agree.
-    *
     * The resolved DataFrame (schema + file listing, no data) is memoized
     * per (session, dir, name): fixture dirs are immutable, and re-listing
     * + schema-reading parquet footers on every call is pure per-query
@@ -34,12 +28,39 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     resolved.computeIfAbsent((spark, dir, name), { _ =>
-      if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      } else spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") readEvents(spark, s"$dir/$name.parquet")
+      else spark.read.parquet(s"$dir/$name.parquet")
     })
+
+  /** `events.ts` has shifted physical encodings across fixture generations:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    * outright — readable only as a raw ns long under the legacy conf) vs
+    * timestamp[us] (loaded as TIMESTAMP or TIMESTAMP_NTZ). Branch on the
+    * loaded schema so every generation resolves to the same UTC
+    * TimestampType column, and DuckDB oracle comparisons agree. */
+  private def readEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val plain =
+      try Some(spark.read.parquet(path))
+      catch { case _: Exception => None } // TIMESTAMP(NANOS) rejected at schema conversion
+    plain.map(_.schema("ts").dataType) match {
+      case Some(TimestampType)    => plain.get
+      case Some(TimestampNTZType) =>
+        // session timeZone is UTC, so NTZ wall-clock == UTC instant
+        plain.get.withColumn("ts", col("ts").cast(TimestampType))
+      case Some(LongType) =>
+        plain.get.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // ns fixture: decode as raw long, truncate ns→µs with exact integer
+        // arithmetic (matches DuckDB's ns→µs truncation). The conf must stay
+        // set for the session — parquet footers are re-read lazily at
+        // execution time, which is also why it can't be a per-read option.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
+  }
 
   /** Register every fixture table as a temp view so `spark.sql` works on
     * the same names the DuckDB oracle sees. */

@@ -16,22 +16,27 @@ import org.apache.spark.sql.Row
   */
 object Streams {
 
-  /** Streaming read of the events fixture: same ns->us normalization as
-    * the batch path, driven through readStream (file source = the
-    * S3Queue/FileLog analog). */
+  /** Streaming read of the events fixture: same schema-adaptive ts
+    * normalization as the batch path (Tables.readEvents), driven through
+    * readStream (file source = the S3Queue/FileLog analog). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.t(spark, dir, "events").schema // ts already timestamp
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" =>
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val schema =
+      try spark.read.parquet(s"$dir/events.parquet").schema
+      catch {
+        case _: Exception => // TIMESTAMP(NANOS) fixture: readable only as raw long
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$dir/events.parquet").schema
+      }
+    val raw = spark.readStream.schema(schema)
       // file source needs a directory; select just the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
   }
 
   /** Tumbling-window aggregate with watermark (WindowView tumble +
