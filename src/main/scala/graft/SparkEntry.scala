@@ -48,7 +48,8 @@ object SparkEntry {
       (graft.queries.TpchMore2.queries, graft.queries.TpchMore2.oracleSql),
       (graft.queries.Functions7.queries, graft.queries.Functions7.oracleSql),
       (graft.queries.LlmOps6.queries, graft.queries.LlmOps6.oracleSql),
-      (graft.queries.NlpTail.queries, graft.queries.NlpTail.oracleSql)
+      (graft.queries.NlpTail.queries, graft.queries.NlpTail.oracleSql),
+      (graft.queries.Functions8.queries, graft.queries.Functions8.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -217,7 +217,68 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.XxHash64(
           Seq(normalizeQueryExpr(es.head)), 42L))
-  )
+  ) ++ hashCompat
+
+  /** Reference-value-compatible hash family (functions/HashCompat.scala).
+    * Multi-arg city/sip/murmur2_64/xx64 fold per-argument hashes with the
+    * reference's combineHashes; for cityHash64 integral args use
+    * intHash64 (use_int_hash_for_pods — FunctionsHashing.h:277-279). */
+  private def hashCompat: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.{ChHash32, ChHash64, ChHash128, ChHashCombine, ChIntHash}
+    def isIntegral(e: Expression): Boolean = e.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // per-arg hash for combinable 64-bit functions, then left-fold combine
+    def fold64(algo: String, podsAsIntHash: Boolean)(es: Seq[Expression]): Expression = {
+      require(es.nonEmpty, s"$algo needs at least one argument")
+      es.map { e =>
+        if (podsAsIntHash && isIntegral(e)) ChIntHash(asLong(e), 64)
+        else ChHash64(e, algo): Expression
+      }.reduceLeft((a, b) => ChHashCombine(a, b, algo))
+    }
+    def one64(name: String, algo: String) =
+      (FunctionIdentifier(name), info(name),
+        (es: Seq[Expression]) => ChHash64(es.head, algo): Expression)
+    def one32(name: String, algo: String) =
+      (FunctionIdentifier(name), info(name),
+        (es: Seq[Expression]) => ChHash32(es.head, algo): Expression)
+    def one128(name: String, algo: String) =
+      (FunctionIdentifier(name), info(name),
+        (es: Seq[Expression]) => ChHash128(es.head, algo): Expression)
+    Seq(
+      (FunctionIdentifier("ch_cityhash64"), info("ch_cityhash64"),
+        (es: Seq[Expression]) => fold64("cityHash64", podsAsIntHash = true)(es)),
+      (FunctionIdentifier("ch_siphash64"), info("ch_siphash64"),
+        (es: Seq[Expression]) => fold64("sipHash64", podsAsIntHash = false)(es)),
+      (FunctionIdentifier("ch_murmur2_64"), info("ch_murmur2_64"),
+        (es: Seq[Expression]) => fold64("murmurHash2_64", podsAsIntHash = false)(es)),
+      (FunctionIdentifier("ch_xxhash64"), info("ch_xxhash64"),
+        (es: Seq[Expression]) => fold64("xxHash64", podsAsIntHash = false)(es)),
+      one64("ch_murmur2_32", "murmurHash2_32u"),
+      one64("ch_gcc_murmur", "gccMurmurHash"),
+      one64("ch_kafka_murmur", "kafkaMurmurHash"),
+      one64("ch_murmur3_32", "murmurHash3_32"),
+      one64("ch_murmur3_64", "murmurHash3_64"),
+      one64("ch_xxhash32", "xxHash32"),
+      one64("ch_wyhash64", "wyHash64"),
+      one64("ch_halfmd5", "halfMD5"),
+      one64("ch_crc32", "crc32"),
+      one64("ch_crc32ieee", "crc32IEEE"),
+      one64("ch_crc64", "crc64"),
+      one32("ch_javahash", "javaHash"),
+      one32("ch_javahash_utf16le", "javaHashUTF16LE"),
+      one32("ch_hivehash", "hiveHash"),
+      one128("ch_siphash128", "sipHash128"),
+      one128("ch_siphash128_reference", "sipHash128Reference"),
+      one128("ch_murmur3_128", "murmurHash3_128"),
+      (FunctionIdentifier("ch_inthash32"), info("ch_inthash32"),
+        (es: Seq[Expression]) => ChIntHash(asLong(es.head), 32)),
+      (FunctionIdentifier("ch_inthash64"), info("ch_inthash64"),
+        (es: Seq[Expression]) => ChIntHash(asLong(es.head), 64))
+    )
+  }
 
   /** Literal-erasure regexp chain of llm.Nlp.normalizeQuery at the
     * Catalyst layer (see dictLookup for why builders can't reuse the

@@ -86,9 +86,14 @@ object ChSql {
     "JSONLength" -> "json_array_length",
     "toJSONString" -> "to_json",
     "visitParamExtractRaw" -> "get_json_object",
-    // hash / encode
-    "cityHash64" -> "xxhash64", "sipHash64" -> "xxhash64",
-    "halfMD5" -> "xxhash64", "MD5" -> "md5",
+    // hash / encode — value-faithful kernels (functions/HashCompat.scala;
+    // reference src/Functions/FunctionsHashing.h): persisted hash values
+    // (SAMPLE BY cityHash64, sipHash fingerprints, Kafka partitioning)
+    // carry the reference's exact bit patterns
+    "cityHash64" -> "ch_cityhash64", "sipHash64" -> "ch_siphash64",
+    "sipHash128" -> "ch_siphash128",
+    "sipHash128Reference" -> "ch_siphash128_reference",
+    "halfMD5" -> "ch_halfmd5", "MD5" -> "md5",
     "hex" -> "hex", "unhex" -> "unhex",
     "base64Encode" -> "base64", "base64Decode" -> "t",
     "bitHammingDistance" -> "bit_hamming", // template below
@@ -130,10 +135,21 @@ object ChSql {
     "positionUTF8" -> "instr", "firstLine" -> "t",
     // hash / encoding
     "SHA1" -> "sha1", "SHA224" -> "t", "SHA256" -> "t", "SHA384" -> "t",
-    "SHA512" -> "t", "murmurHash3_32" -> "hash", "murmurHash2_64" -> "xxhash64",
-    "murmurHash3_64" -> "xxhash64", "farmHash64" -> "xxhash64",
-    "metroHash64" -> "xxhash64", "intHash64" -> "xxhash64",
-    "CRC32" -> "crc32",
+    "SHA512" -> "t",
+    // faithful murmur/xx/int/java/crc kernels (HashCompat.scala); farmHash64
+    // and metroHash64 remain xxhash64-approximated (their exact algorithms
+    // are CPU-dispatching upstream libs — documented gap, values differ)
+    "murmurHash2_32" -> "ch_murmur2_32", "murmurHash2_64" -> "ch_murmur2_64",
+    "murmurHash3_32" -> "ch_murmur3_32", "murmurHash3_64" -> "ch_murmur3_64",
+    "murmurHash3_128" -> "ch_murmur3_128",
+    "gccMurmurHash" -> "ch_gcc_murmur", "kafkaMurmurHash" -> "ch_kafka_murmur",
+    "xxHash32" -> "ch_xxhash32", "xxHash64" -> "ch_xxhash64",
+    "wyHash64" -> "ch_wyhash64",
+    "javaHash" -> "ch_javahash", "javaHashUTF16LE" -> "ch_javahash_utf16le",
+    "hiveHash" -> "ch_hivehash",
+    "intHash32" -> "ch_inthash32", "intHash64" -> "ch_inthash64",
+    "farmHash64" -> "xxhash64", "metroHash64" -> "xxhash64",
+    "CRC32" -> "ch_crc32", "CRC32IEEE" -> "ch_crc32ieee", "CRC64" -> "ch_crc64",
     "encodeURLComponent" -> "url_encode", "decodeURLComponent" -> "url_decode",
     // URL
     "protocol" -> "t", "domain" -> "t", "domainWithoutWWW" -> "t",
@@ -249,7 +265,7 @@ object ChSql {
     "neighbor" -> "t", "positiveModulo" -> "pmod", "positive_modulo" -> "pmod",
     "intDivOrNull" -> "t", "modOrNull" -> "t", "divideOrNull" -> "t",
     "multiplyDecimal" -> "t", "divideDecimal" -> "t",
-    "CRC32IEEE" -> "crc32",
+    // CRC32IEEE now maps to the faithful init-0 kernel above (HashCompat)
     "randomPrintableASCII" -> "t", "randomString" -> "t",
     // ---- batch 14 ----
     "jumpConsistentHash" -> "jump_consistent_hash",

@@ -1,0 +1,41 @@
+package graft.tools
+
+import graft.functions.HashCompat
+
+/** Prints the hash-compat oracle pin table for q_fn_hash_compat: one TSV
+  * row per probe string with every kernel's value. The DuckDB oracle for
+  * that query embeds these as literals (DuckDB cannot compute the
+  * reference hash family), so correctness runs become regression pins of
+  * the kernel outputs. Re-run after any intentional kernel change:
+  *   sbt "runMain graft.tools.HashPins"
+  */
+object HashPins {
+  val probes: Seq[String] = Seq(
+    "", "a", "abc", "message digest",
+    "The quick brown fox jumps over the lazy dog",
+    "clickhouse", "spark", "BUILDING", "Customer#000000001", "1995-01-01",
+    "dedup-minhash",
+    "0123456789abcdef0123456789abcdef0123456789abcdef0123456789abcdef!!")
+
+  def main(args: Array[String]): Unit = {
+    def b(s: String) = s.getBytes("UTF-8")
+    def hex(a: Array[Byte]) = a.map("%02x".format(_)).mkString
+    for (s <- probes) {
+      println(Seq(
+        "'" + s + "'",
+        HashCompat.cityHash64(b(s)),
+        HashCompat.sipHash64(b(s)),
+        HashCompat.xxHash32(b(s)),
+        HashCompat.xxHash64(b(s)),
+        HashCompat.murmurHash2_64(b(s)),
+        HashCompat.murmurHash3_32(b(s)),
+        HashCompat.kafkaMurmurHash(b(s)),
+        HashCompat.javaHash(b(s)),
+        HashCompat.crc32(b(s)),
+        HashCompat.crc64(b(s)),
+        HashCompat.wyHash64(b(s)),
+        HashCompat.halfMD5(b(s)),
+        "'" + hex(HashCompat.sipHash128(b(s))) + "'").mkString("\t"))
+    }
+  }
+}

@@ -827,7 +827,9 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.isNullAt(12))
     assert(r.getDecimal(13).toString == "3.75")
     assert(r.getInt(14) == 7)
-    assert(n(15) == 891568578L) // public CRC-32 vector for "abc"
+    // reference CRC32IEEE = reflected IEEE poly, init 0, NO final xor
+    // (CRC.cpp CRCImpl) — differs from zlib's 891568578 for "abc"
+    assert(n(15) == 3395655888L)
   }
 
   test("batch-14: jumpConsistentHash, geo, bitmask, ztest, time delta, URL hierarchy") {

@@ -1,0 +1,251 @@
+package graft
+
+import graft.functions.HashCompat
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.{UTF_8, UTF_16LE}
+
+/** Bit-level verification of the reference-compatible hash kernels.
+  * Where a fully independent oracle exists in the JVM it is used
+  * (String.hashCode for javaHash, java.util.zip.CRC32 for crc32, Spark's
+  * spec-verified XXH64 for xxHash64, MD5 via MessageDigest for halfMD5);
+  * SipHash is checked against the official SipHash-2-4 test vectors from
+  * the reference implementation (key 0x000102...0f); the rest pin
+  * documented constants (CityHash64("")=k2, XXH32("")=0x02CC5D05,
+  * murmur empty-input zeros) plus regression goldens. */
+class HashCompatSpec extends AnyFunSuite {
+
+  private def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+  private def hex(a: Array[Byte]): String = a.map("%02x".format(_)).mkString
+
+  // ---- javaHash: independent oracle = JVM String.hashCode ----
+
+  test("javaHash matches String.hashCode for ASCII strings") {
+    for (s <- Seq("", "a", "abc", "hello world", "Customer#000000001",
+                  "The quick brown fox jumps over the lazy dog")) {
+      assert(HashCompat.javaHash(b(s)) === s.hashCode, s"javaHash($s)")
+    }
+  }
+
+  test("javaHashUTF16LE matches String.hashCode for any string") {
+    for (s <- Seq("", "a", "abc", "héllo wörld", "日本語テキスト", "emoji 😀 tail")) {
+      assert(HashCompat.javaHashUTF16LE(s.getBytes(UTF_16LE)) === s.hashCode, s"utf16le($s)")
+    }
+  }
+
+  test("javaHashUTF16LE strips a UTF-16LE BOM and rejects odd length") {
+    val withBom = Array(0xFF.toByte, 0xFE.toByte) ++ "abc".getBytes(UTF_16LE)
+    assert(HashCompat.javaHashUTF16LE(withBom) === "abc".hashCode)
+    intercept[IllegalArgumentException](HashCompat.javaHashUTF16LE(Array[Byte](1)))
+  }
+
+  test("hiveHash is javaHash with the sign bit cleared") {
+    for (s <- Seq("", "abc", "polarity", "ÿþ"))
+      assert(HashCompat.hiveHash(b(s)) === (HashCompat.javaHash(b(s)) & 0x7FFFFFFF))
+    assert(HashCompat.hiveHash(b("")) === 0)
+  }
+
+  // ---- SipHash-2-4: official test vectors (reference C code, key 000102..0f) ----
+
+  private val sipKeyK0 = 0x0706050403020100L // bytes 00..07 little-endian
+  private val sipKeyK1 = 0x0f0e0d0c0b0a0908L // bytes 08..0f little-endian
+
+  test("sipHash64Keyed reproduces the official SipHash-2-4 vectors") {
+    // vectors[i] = SipHash-2-4(key=000102..0f, msg=00 01 .. i-1), from the
+    // reference implementation's vectors table (public domain)
+    val expected = Map(
+      0 -> 0x726fdb47dd0e0e31L,
+      1 -> 0x74f839c593dc67fdL,
+      2 -> 0x0d6c8009d9a94f5aL,
+      3 -> 0x85676696d7fb7e2dL,
+      8 -> 0x93f5f5799a932462L)
+    for ((len, want) <- expected) {
+      val msg = Array.tabulate[Byte](len)(_.toByte)
+      assert(HashCompat.sipHash64Keyed(sipKeyK0, sipKeyK1, msg) === want, s"len=$len")
+    }
+  }
+
+  test("sipHash64 (key 0) deterministic pins") {
+    // regression pins (k0=k1=0 instantiation used by the reference's sipHash64)
+    val v1 = HashCompat.sipHash64(b(""))
+    val v2 = HashCompat.sipHash64(b("a"))
+    assert(v1 !== v2)
+    assert(HashCompat.sipHash64(b("")) === v1) // stable
+    // 9-byte input exercises the word+tail path
+    assert(HashCompat.sipHash64(b("123456789")) !== HashCompat.sipHash64(b("12345678")))
+  }
+
+  test("sipHash128 layouts: CH variant vs official reference variant differ") {
+    val ch = HashCompat.sipHash128(b("abc"))
+    val ref = HashCompat.sipHash128Reference(b("abc"))
+    assert(ch.length === 16 && ref.length === 16)
+    assert(!ch.sameElements(ref))
+  }
+
+  test("sipHash128Reference reproduces the official 128-bit vectors") {
+    // vectors_sip128[i] from the reference implementation (key 000102..0f);
+    // bytes as emitted (LE lo word, LE hi word)
+    // lens 0/1 are the official vectors_sip128 table; len 8 is a computed
+    // regression pin (the shared word-processing path is already verified
+    // by the official 64-bit len-8 vector above)
+    val expected = Map(
+      0 -> "a3817f04ba25a8e66df67214c7550293",
+      1 -> "da87c1d86b99af44347659119b22fc45",
+      8 -> "3b62a9ba6258f5610f83e264f31497b4")
+    for ((len, want) <- expected) {
+      val msg = Array.tabulate[Byte](len)(_.toByte)
+      assert(hex(HashCompat.sipHash128ReferenceKeyed(sipKeyK0, sipKeyK1, msg)) === want, s"len=$len")
+    }
+  }
+
+  // ---- CityHash v1.0.2 ----
+
+  test("cityHash64 structural pins") {
+    // len 0 returns k2 directly (city.cc HashLen0to16)
+    assert(HashCompat.cityHash64(Array.emptyByteArray) === 0x9ae16a3b2f90404fL)
+    // each length-class path executes and is stable
+    for (len <- Seq(1, 3, 4, 8, 9, 16, 17, 32, 33, 64, 65, 128, 192, 1000)) {
+      val data = Array.tabulate[Byte](len)(i => (i * 131 + 7).toByte)
+      assert(HashCompat.cityHash64(data) === HashCompat.cityHash64(data.clone), s"len=$len")
+    }
+  }
+
+  // ---- murmur family ----
+
+  test("murmur empty-input zeros and seed wiring") {
+    assert(HashCompat.murmurHash2_32u(Array.emptyByteArray) === 0L)
+    assert(HashCompat.murmurHash2_64(Array.emptyByteArray) === 0L)
+    assert(HashCompat.murmurHash3_32(Array.emptyByteArray) === 0L)
+    assert(hex(HashCompat.murmurHash3_128(Array.emptyByteArray)) === "0" * 32)
+    // kafkaMurmurHash = murmur2(seed 0x9747b28c) & 0x7fffffff
+    for (s <- Seq("key", "topic-partition", ""))
+      assert(HashCompat.kafkaMurmurHash(b(s)) ===
+        (HashCompat.murmurHash2_32(b(s), 0x9747b28c) & 0x7fffffff).toLong)
+    // gccMurmurHash = MurmurHash64A(seed 0xc70f6907)
+    assert(HashCompat.gccMurmurHash(b("x")) === HashCompat.murmurHash64A(b("x"), 0xc70f6907L))
+  }
+
+  test("murmurHash3_64 is h1^h2 of the 128-bit state") {
+    for (s <- Seq("a", "0123456789abcdef", "0123456789abcdefX")) {
+      val bytes = HashCompat.murmurHash3_128(b(s))
+      val h1 = (0 until 8).map(i => (bytes(i) & 0xffL) << (8 * i)).reduce(_ | _)
+      val h2 = (0 until 8).map(i => (bytes(i + 8) & 0xffL) << (8 * i)).reduce(_ | _)
+      assert(HashCompat.murmurHash3_64(b(s)) === (h1 ^ h2))
+    }
+  }
+
+  // ---- xxHash: Spark's spec-verified XXH64 as independent oracle ----
+
+  test("xxHash64 matches Spark's internal XXH64 on random inputs and seeds") {
+    val rnd = new scala.util.Random(42)
+    for (len <- (0 to 64) ++ Seq(100, 255, 1024)) {
+      val data = new Array[Byte](len)
+      rnd.nextBytes(data)
+      for (seed <- Seq(0L, 42L, rnd.nextLong())) {
+        val expected = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          data, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, seed)
+        assert(HashCompat.xxHash64(data, seed) === expected, s"len=$len seed=$seed")
+      }
+    }
+  }
+
+  test("xxHash32 pins") {
+    // XXH32 of empty input with seed 0 — documented spec value
+    assert(HashCompat.xxHash32(Array.emptyByteArray) === 0x02CC5D05L)
+    // stability across length classes
+    for (len <- Seq(1, 3, 4, 15, 16, 17, 64, 100)) {
+      val data = Array.tabulate[Byte](len)(i => (i * 37).toByte)
+      assert(HashCompat.xxHash32(data) === HashCompat.xxHash32(data.clone), s"len=$len")
+      assert(HashCompat.xxHash32(data) >= 0 && HashCompat.xxHash32(data) <= 0xffffffffL)
+    }
+  }
+
+  // ---- halfMD5: MessageDigest oracle ----
+
+  test("halfMD5 is the first 8 MD5 bytes big-endian") {
+    // MD5("") = d41d8cd98f00b204e9800998ecf8427e
+    assert(HashCompat.halfMD5(Array.emptyByteArray) === 0xd41d8cd98f00b204L)
+    for (s <- Seq("a", "abc", "message digest")) {
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(b(s))
+      val want = (0 until 8).map(i => (md5(i) & 0xffL) << (8 * (7 - i))).reduce(_ | _)
+      assert(HashCompat.halfMD5(b(s)) === want)
+    }
+  }
+
+  // ---- CRC ----
+
+  test("crc32 equals java.util.zip.CRC32 (zlib) incl. the standard check value") {
+    assert(HashCompat.crc32(b("123456789")) === 0xCBF43926L)
+    for (s <- Seq("", "a", "hello", "x" * 1000)) {
+      val c = new java.util.zip.CRC32(); c.update(b(s))
+      assert(HashCompat.crc32(b(s)) === c.getValue)
+    }
+  }
+
+  test("crc32IEEE / crc64 use init 0 with no final xor (reference CRCImpl)") {
+    // init 0 => empty input hashes to 0 (zlib variant gives 0 too, but by ~0^~0)
+    assert(HashCompat.crc32IEEE(Array.emptyByteArray) === 0L)
+    assert(HashCompat.crc64(Array.emptyByteArray) === 0L)
+    // differs from the zlib variant on nonempty input
+    assert(HashCompat.crc32IEEE(b("abc")) !== HashCompat.crc32(b("abc")))
+    // stability + range
+    val v = HashCompat.crc32IEEE(b("123456789"))
+    assert(v >= 0 && v <= 0xffffffffL)
+    assert(HashCompat.crc64(b("123456789")) === HashCompat.crc64(b("123456789")))
+  }
+
+  // ---- intHash ----
+
+  test("intHash64 is murmur-finalizer over salted input; intHash32 is 32-bit") {
+    assert(HashCompat.intHash64(0L) !== 0L)
+    assert(HashCompat.intHash64(1L) !== HashCompat.intHash64(2L))
+    for (x <- Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 123456789L)) {
+      val v32 = HashCompat.intHash32(x)
+      assert(v32 >= 0 && v32 <= 0xffffffffL, s"intHash32($x) in unsigned range")
+    }
+  }
+
+  // ---- wyhash ----
+
+  test("wyHash64 stability across size-class paths") {
+    for (len <- Seq(0, 1, 2, 3, 4, 7, 8, 15, 16, 17, 47, 48, 49, 100, 1000)) {
+      val data = Array.tabulate[Byte](len)(i => (i * 53 + 11).toByte)
+      assert(HashCompat.wyHash64(data) === HashCompat.wyHash64(data.clone), s"len=$len")
+    }
+    assert(HashCompat.wyHash64(b("a")) !== HashCompat.wyHash64(b("b")))
+  }
+
+  // ---- SQL wiring (expressions through the session) ----
+
+  test("hash kernels are callable from SQL and codegen") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq("alpha", "beta", "", "The quick brown fox").toDF("s")
+    df.createOrReplaceTempView("hc_in")
+    val rows = spark.sql(
+      """SELECT s, ch_cityhash64(s) c, ch_siphash64(s) p, ch_xxhash32(s) x,
+        |       ch_javahash(s) j, hex(ch_siphash128(s)) h128, ch_crc32(s) crc
+        |FROM hc_in ORDER BY s""".stripMargin).collect()
+    assert(rows.length === 4)
+    for (r <- rows) {
+      val s = r.getString(0)
+      assert(r.getLong(1) === HashCompat.cityHash64(b(s)))
+      assert(r.getLong(2) === HashCompat.sipHash64(b(s)))
+      assert(r.getLong(3) === HashCompat.xxHash32(b(s)))
+      assert(r.getInt(4) === HashCompat.javaHash(b(s)))
+      assert(r.getString(5).toLowerCase === hex(HashCompat.sipHash128(b(s))))
+      assert(r.getLong(6) === HashCompat.crc32(b(s)))
+    }
+  }
+
+  test("multi-arg cityHash64/sipHash64 fold via reference combine") {
+    val spark = SparkTestSession.spark
+    val r = spark.sql(
+      "SELECT ch_cityhash64('a', 'b') c2, ch_siphash64('a', 'b') s2").collect()(0)
+    val ca = HashCompat.cityHash64(b("a"))
+    val cb = HashCompat.cityHash64(b("b"))
+    assert(r.getLong(0) === HashCompat.cityCombine(ca, cb))
+    val sa = HashCompat.sipHash64(b("a"))
+    val sb = HashCompat.sipHash64(b("b"))
+    assert(r.getLong(1) === HashCompat.sipCombine(sa, sb))
+  }
+}
