@@ -276,7 +276,13 @@ object GraftFunctions {
       (FunctionIdentifier("ch_inthash32"), info("ch_inthash32"),
         (es: Seq[Expression]) => ChIntHash(asLong(es.head), 32)),
       (FunctionIdentifier("ch_inthash64"), info("ch_inthash64"),
-        (es: Seq[Expression]) => ChIntHash(asLong(es.head), 64))
+        (es: Seq[Expression]) => ChIntHash(asLong(es.head), 64)),
+      (FunctionIdentifier("string_bytes_uniq"), info("string_bytes_uniq"),
+        (es: Seq[Expression]) => graft.functions.StringBytesUniq(es.head)),
+      (FunctionIdentifier("string_bytes_entropy"), info("string_bytes_entropy"),
+        (es: Seq[Expression]) => graft.functions.StringBytesEntropy(es.head)),
+      (FunctionIdentifier("ch_replace_regexp_one"), info("ch_replace_regexp_one"),
+        (es: Seq[Expression]) => graft.functions.ChReplaceRegexpOne(es(0), es(1), es(2)))
     )
   }
 

@@ -414,7 +414,59 @@ object ChSql {
     "countDigits" -> "t",
     "encodeXMLComponent" -> "t", "decodeXMLComponent" -> "t",
     "base64URLEncode" -> "t", "base64URLDecode" -> "t",
-    "bar" -> "t", "extractKeyValuePairs" -> "t"
+    "bar" -> "t", "extractKeyValuePairs" -> "t",
+    // ---- batch 16 (round 9): dialect gap fill ----
+    // string
+    "splitByAlpha" -> "t", "splitByNonAlpha" -> "t", "splitByRegexp" -> "t",
+    "replaceOne" -> "t", "replaceRegexpOne" -> "t",
+    "mismatches" -> "byte_hamming_distance",
+    "toStringCutToZero" -> "t",
+    "stringBytesUniq" -> "string_bytes_uniq",
+    "stringBytesEntropy" -> "string_bytes_entropy",
+    "countMatchesCaseInsensitive" -> "t",
+    "countSubstringsCaseInsensitiveUTF8" -> "t",
+    "hasSubsequenceUTF8" -> "t", "hasSubsequenceCaseInsensitiveUTF8" -> "t",
+    "editDistanceUTF8" -> "levenshtein", "levenshteinDistanceUTF8" -> "levenshtein",
+    "hasTokenOrNull" -> "t", "hasTokenCaseInsensitiveOrNull" -> "t",
+    // date/time
+    "toISOYear" -> "t", "toLastDayOfWeek" -> "t", "toStartOfFiveMinute" -> "t",
+    "toStartOfMillisecond" -> "t", "toStartOfMicrosecond" -> "t",
+    "toStartOfNanosecond" -> "t", "toMillisecond" -> "t",
+    "toRelativeYearNum" -> "t", "toRelativeQuarterNum" -> "t",
+    "toRelativeMonthNum" -> "t", "toRelativeWeekNum" -> "t",
+    "toDaysSinceYearZero" -> "t", "fromDaysSinceYearZero" -> "t",
+    "fromDaysSinceYearZero32" -> "t",
+    "toMonthNumSinceEpoch" -> "t", "toYearNumSinceEpoch" -> "t",
+    "addMicroseconds" -> "t", "subtractMicroseconds" -> "t",
+    "addNanoseconds" -> "t", "subtractNanoseconds" -> "t",
+    "changeHour" -> "t", "changeMinute" -> "t", "changeSecond" -> "t",
+    "timestampDiff" -> "t", "timestamp_diff" -> "t",
+    "parseDateTimeOrNull" -> "t", "parseDateTimeOrZero" -> "t",
+    "parseDateTimeBestEffortOrZero" -> "t",
+    "parseDateTime32BestEffort" -> "t", "parseDateTime32BestEffortOrNull" -> "t",
+    "parseDateTime32BestEffortOrZero" -> "t",
+    // snowflake / ULID / UUID id-time codecs
+    "snowflakeToDateTime" -> "t", "snowflakeToDateTime64" -> "t",
+    "dateTimeToSnowflake" -> "t", "dateTime64ToSnowflake" -> "t",
+    "snowflakeIDToDateTime" -> "t", "snowflakeIDToDateTime64" -> "t",
+    "dateTimeToSnowflakeID" -> "t", "dateTime64ToSnowflakeID" -> "t",
+    "UUIDv7ToDateTime" -> "t", "ULIDStringToDateTime" -> "t",
+    "UUIDStringToNum" -> "t", "UUIDNumToString" -> "t", "UUIDToNum" -> "t",
+    // map / array
+    "mapContainsKeyLike" -> "t", "mapContainsValueLike" -> "t",
+    "mapExtractKeyLike" -> "t", "mapExtractValueLike" -> "t",
+    "indexOfAssumeSorted" -> "array_position",
+    // vector-alias surface (normL*/distanceL*/scalarProduct = the L*Norm/
+    // L*Distance/dotProduct family already templated above)
+    "normL1" -> "t", "normL2" -> "t", "normL2Squared" -> "t",
+    "normLinf" -> "t", "distanceL1" -> "t", "distanceL2" -> "t",
+    "distanceL2Squared" -> "t", "distanceLinf" -> "t",
+    "LinfNorm" -> "t", "scalarProduct" -> "t",
+    // simpleJSON / visitParam tail
+    "simpleJSONExtractBool" -> "t", "simpleJSONExtractFloat" -> "t",
+    "simpleJSONExtractUInt" -> "t", "simpleJSONExtractRaw" -> "get_json_object",
+    "visitParamExtractBool" -> "t", "visitParamExtractFloat" -> "t",
+    "visitParamExtractUInt" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -856,6 +908,9 @@ object ChSql {
     }
     q = rewriteCalls(q, "dateDiff")(ddiff)
     q = rewriteCalls(q, "date_diff")(ddiff)
+    // exact aliases of dateDiff in the reference (dateDiff.cpp:469-471)
+    q = rewriteCalls(q, "timestampDiff")(ddiff)
+    q = rewriteCalls(q, "timestamp_diff")(ddiff)
     q = rewriteCalls(q, "position")(a => bytePos(a(0), a(1), identity))
     // CH *If combinators return the TYPE DEFAULT on an empty match set
     // (reference AggregateFunctionIf: non-Nullable result), not NULL:
@@ -993,6 +1048,34 @@ object ChSql {
           s"sequence(${a(0)}, (${a(1)}) - 1))"
       else s"sequence(${a(0)}, (${a(1)}) - 1, ${a(2)})"
     }
+    // ---- batch-16 alias canonicalization (round 9) ----
+    // these rewrite synonym names into the canonical CH names whose
+    // templates run LATER in this method — must fire first, because each
+    // rewriteCalls pass deliberately does not rescan emitted text
+    q = rewriteCalls(q, "countSubstringsCaseInsensitiveUTF8")(a =>
+      s"countSubstringsCaseInsensitive(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "hasSubsequenceCaseInsensitiveUTF8")(a =>
+      s"hasSubsequenceCaseInsensitive(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "hasSubsequenceUTF8")(a =>
+      s"hasSubsequence(${a(0)}, ${a(1)})")
+    // hasToken*OrNull: NULL (not error) when the needle itself contains
+    // token separators (reference hasTokenOrNull registration)
+    q = rewriteCalls(q, "hasTokenCaseInsensitiveOrNull")(a =>
+      s"(CASE WHEN ${a(1)} rlike '[^A-Za-z0-9]' THEN NULL " +
+        s"ELSE hasTokenCaseInsensitive(${a(0)}, ${a(1)}) END)")
+    q = rewriteCalls(q, "hasTokenOrNull")(a =>
+      s"(CASE WHEN ${a(1)} rlike '[^A-Za-z0-9]' THEN NULL " +
+        s"ELSE hasToken(${a(0)}, ${a(1)}) END)")
+    // norm*/distance* synonyms of the L*Norm/L*Distance family
+    q = rewriteCalls(q, "normL2Squared")(a => s"L2SquaredNorm(${a(0)})")
+    q = rewriteCalls(q, "normL1")(a => s"L1Norm(${a(0)})")
+    q = rewriteCalls(q, "normL2")(a => s"L2Norm(${a(0)})")
+    q = rewriteCalls(q, "normLinf")(a => s"LinfNorm(${a(0)})")
+    q = rewriteCalls(q, "distanceL2Squared")(a => s"L2SquaredDistance(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "distanceL1")(a => s"L1Distance(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "distanceL2")(a => s"L2Distance(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "distanceLinf")(a => s"LinfDistance(${a(0)}, ${a(1)})")
+
     // ---- extended templates (round 2) ----
     // date/time
     for ((n, u) <- Seq("addHours" -> "HOUR", "addMinutes" -> "MINUTE",
@@ -2044,6 +2127,169 @@ object ChSql {
     q = rewriteCalls(q, "parseReadableSize")(a => readableSize(a(0)))
     q = rewriteCalls(q, "parseReadableSizeOrZero")(a =>
       s"coalesce(${readableSize(a(0))}, 0.0)")
+
+    // ---- batch 16 templates (round 9) ----
+    // split family (splitByRegexp.cpp, splitByAlpha = alphaTokens,
+    // splitByNonAlpha = tokens-with-punctuation): CH arg order (sep, s)
+    q = rewriteCalls(q, "splitByRegexp")(a => s"split(${a(1)}, ${a(0)})")
+    q = rewriteCalls(q, "splitByAlpha")(a => s"split(${a(0)}, '[^A-Za-z]+')")
+    q = rewriteCalls(q, "splitByNonAlpha")(a => s"split(${a(0)}, '[^A-Za-z0-9]+')")
+    // replaceOne (ReplaceStringImpl Replace::First): splice at first instr
+    q = rewriteCalls(q, "replaceOne")(a =>
+      s"(CASE WHEN instr(${a(0)}, ${a(1)}) > 0 THEN concat(" +
+        s"substr(${a(0)}, 1, instr(${a(0)}, ${a(1)}) - 1), ${a(2)}, " +
+        s"substr(${a(0)}, instr(${a(0)}, ${a(1)}) + length(${a(1)}))) " +
+        s"ELSE ${a(0)} END)")
+    // replaceRegexpOne: first-match-only kernel; the reference uses \\1
+    // backrefs, Java uses $1 — convert inside literal replacement strings
+    q = rewriteCalls(q, "replaceRegexpOne")(a => {
+      val rep =
+        if (a(2).trim.startsWith("'")) a(2).replaceAll("""\\\\(\d)""", """\$$$1""")
+        else a(2)
+      s"ch_replace_regexp_one(${a(0)}, ${a(1)}, $rep)"
+    })
+    q = rewriteCalls(q, "toStringCutToZero")(a =>
+      s"(CASE WHEN instr(${a(0)}, chr(0)) > 0 " +
+        s"THEN substr(${a(0)}, 1, instr(${a(0)}, chr(0)) - 1) ELSE ${a(0)} END)")
+    q = rewriteCalls(q, "countMatchesCaseInsensitive")(a =>
+      s"regexp_count(${a(0)}, concat('(?i)', ${a(1)}))")
+    // date/time tail (DateLUTImpl.h formulas; Spark weekday() is 0=Monday)
+    q = rewriteCalls(q, "toISOYear")(a => // year of the Thursday of x's week
+      s"year(date_add(CAST(${a(0)} AS DATE), 3 - weekday(${a(0)})))")
+    q = rewriteCalls(q, "toLastDayOfWeek")(a => // Sunday of x's Mon-Sun week
+      s"date_add(CAST(${a(0)} AS DATE), 6 - weekday(${a(0)}))")
+    q = rewriteCalls(q, "toStartOfFiveMinute")(a =>
+      s"timestamp_seconds((unix_timestamp(${a(0)}) div 300) * 300)")
+    q = rewriteCalls(q, "toStartOfMillisecond")(a =>
+      s"timestamp_micros((unix_micros(CAST(${a(0)} AS TIMESTAMP)) div 1000) * 1000)")
+    q = rewriteCalls(q, "toStartOfMicrosecond")(a =>
+      s"timestamp_micros(unix_micros(CAST(${a(0)} AS TIMESTAMP)))")
+    q = rewriteCalls(q, "toStartOfNanosecond")(a =>
+      s"timestamp_micros(unix_micros(CAST(${a(0)} AS TIMESTAMP)))")
+    q = rewriteCalls(q, "toMillisecond")(a =>
+      s"((unix_micros(CAST(${a(0)} AS TIMESTAMP)) % 1000000) div 1000)")
+    q = rewriteCalls(q, "toRelativeYearNum")(a => s"year(${a(0)})")
+    q = rewriteCalls(q, "toRelativeQuarterNum")(a =>
+      s"(year(${a(0)}) * 4 + (month(${a(0)}) - 1) div 3)")
+    q = rewriteCalls(q, "toRelativeMonthNum")(a =>
+      s"(year(${a(0)}) * 12 + month(${a(0)}))")
+    q = rewriteCalls(q, "toRelativeWeekNum")(a => // Monday-based week count
+      s"((datediff(CAST(${a(0)} AS DATE), DATE '1970-01-01') + 7 - weekday(${a(0)})) div 7)")
+    // days since 0000-01-01 (proleptic Gregorian; 719528 days to epoch)
+    q = rewriteCalls(q, "toDaysSinceYearZero")(a =>
+      s"(datediff(CAST(${a(0)} AS DATE), DATE '1970-01-01') + 719528)")
+    q = rewriteCalls(q, "fromDaysSinceYearZero32")(a =>
+      s"date_add(DATE '1970-01-01', CAST(${a(0)} AS INT) - 719528)")
+    q = rewriteCalls(q, "fromDaysSinceYearZero")(a =>
+      s"date_add(DATE '1970-01-01', CAST(${a(0)} AS INT) - 719528)")
+    q = rewriteCalls(q, "toMonthNumSinceEpoch")(a =>
+      s"((year(${a(0)}) - 1970) * 12 + month(${a(0)}) - 1)")
+    q = rewriteCalls(q, "toYearNumSinceEpoch")(a => s"(year(${a(0)}) - 1970)")
+    q = rewriteCalls(q, "addMicroseconds")(a =>
+      s"timestamp_micros(unix_micros(CAST(${a(0)} AS TIMESTAMP)) + CAST(${a(1)} AS BIGINT))")
+    q = rewriteCalls(q, "subtractMicroseconds")(a =>
+      s"timestamp_micros(unix_micros(CAST(${a(0)} AS TIMESTAMP)) - CAST(${a(1)} AS BIGINT))")
+    // ns arith truncates to the engine's us precision
+    q = rewriteCalls(q, "addNanoseconds")(a =>
+      s"timestamp_micros(unix_micros(CAST(${a(0)} AS TIMESTAMP)) + (CAST(${a(1)} AS BIGINT) div 1000))")
+    q = rewriteCalls(q, "subtractNanoseconds")(a =>
+      s"timestamp_micros(unix_micros(CAST(${a(0)} AS TIMESTAMP)) - (CAST(${a(1)} AS BIGINT) div 1000))")
+    q = rewriteCalls(q, "changeHour")(a =>
+      s"make_timestamp(year(${a(0)}), month(${a(0)}), day(${a(0)}), ${a(1)}, " +
+        s"minute(${a(0)}), second(${a(0)}))")
+    q = rewriteCalls(q, "changeMinute")(a =>
+      s"make_timestamp(year(${a(0)}), month(${a(0)}), day(${a(0)}), hour(${a(0)}), " +
+        s"${a(1)}, second(${a(0)}))")
+    q = rewriteCalls(q, "changeSecond")(a =>
+      s"make_timestamp(year(${a(0)}), month(${a(0)}), day(${a(0)}), hour(${a(0)}), " +
+        s"minute(${a(0)}), ${a(1)})")
+    q = rewriteCalls(q, "parseDateTimeOrNull")(a =>
+      if (a.length > 1) s"try_to_timestamp(${a(0)}, '${mysqlFmt(stripName(a(1)))}')"
+      else s"try_cast(${a(0)} AS TIMESTAMP)")
+    q = rewriteCalls(q, "parseDateTimeOrZero")(a =>
+      if (a.length > 1)
+        s"coalesce(try_to_timestamp(${a(0)}, '${mysqlFmt(stripName(a(1)))}'), TIMESTAMP '1970-01-01 00:00:00')"
+      else s"coalesce(try_cast(${a(0)} AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')")
+    q = rewriteCalls(q, "parseDateTimeBestEffortOrZero")(a =>
+      s"coalesce(${bestEffort(a(0))}, TIMESTAMP '1970-01-01 00:00:00')")
+    q = rewriteCalls(q, "parseDateTime32BestEffortOrNull")(a => bestEffort(a(0)))
+    q = rewriteCalls(q, "parseDateTime32BestEffortOrZero")(a =>
+      s"coalesce(${bestEffort(a(0))}, TIMESTAMP '1970-01-01 00:00:00')")
+    q = rewriteCalls(q, "parseDateTime32BestEffort")(a => bestEffort(a(0)))
+    // snowflake codecs (snowflake.cpp legacy: Twitter epoch baked in;
+    // snowflakeIDToDateTime.cpp: epoch arg, default 0)
+    q = rewriteCalls(q, "snowflakeToDateTime")(a =>
+      s"timestamp_seconds(((shiftright(CAST(${a(0)} AS BIGINT), 22)) + 1288834974657) div 1000)")
+    q = rewriteCalls(q, "snowflakeToDateTime64")(a =>
+      s"timestamp_millis(shiftright(CAST(${a(0)} AS BIGINT), 22) + 1288834974657)")
+    q = rewriteCalls(q, "dateTimeToSnowflake")(a =>
+      s"shiftleft(unix_seconds(CAST(${a(0)} AS TIMESTAMP)) * 1000 - 1288834974657, 22)")
+    q = rewriteCalls(q, "dateTime64ToSnowflake")(a =>
+      s"shiftleft(unix_millis(CAST(${a(0)} AS TIMESTAMP)) - 1288834974657, 22)")
+    q = rewriteCalls(q, "snowflakeIDToDateTime64")(a =>
+      if (a.length > 1)
+        s"timestamp_millis(shiftright(CAST(${a(0)} AS BIGINT), 22) + CAST(${a(1)} AS BIGINT))"
+      else s"timestamp_millis(shiftright(CAST(${a(0)} AS BIGINT), 22))")
+    q = rewriteCalls(q, "snowflakeIDToDateTime")(a =>
+      if (a.length > 1)
+        s"timestamp_seconds((shiftright(CAST(${a(0)} AS BIGINT), 22) + CAST(${a(1)} AS BIGINT)) div 1000)"
+      else s"timestamp_seconds(shiftright(CAST(${a(0)} AS BIGINT), 22) div 1000)")
+    q = rewriteCalls(q, "dateTimeToSnowflakeID")(a =>
+      if (a.length > 1)
+        s"shiftleft(unix_seconds(CAST(${a(0)} AS TIMESTAMP)) * 1000 - CAST(${a(1)} AS BIGINT), 22)"
+      else s"shiftleft(unix_seconds(CAST(${a(0)} AS TIMESTAMP)) * 1000, 22)")
+    q = rewriteCalls(q, "dateTime64ToSnowflakeID")(a =>
+      if (a.length > 1)
+        s"shiftleft(unix_millis(CAST(${a(0)} AS TIMESTAMP)) - CAST(${a(1)} AS BIGINT), 22)"
+      else s"shiftleft(unix_millis(CAST(${a(0)} AS TIMESTAMP)), 22)")
+    // UUIDv7: first 48 bits = unix ms (UUIDv7ToDateTime.cpp)
+    q = rewriteCalls(q, "UUIDv7ToDateTime")(a =>
+      s"timestamp_millis(CAST(conv(substr(replace(CAST(${a(0)} AS STRING), '-', ''), 1, 12), 16, 10) AS BIGINT))")
+    // ULID: first 10 Crockford-base32 chars = unix ms (ULIDStringToDateTime)
+    q = rewriteCalls(q, "ULIDStringToDateTime")(a =>
+      s"timestamp_millis(aggregate(sequence(1, 10), CAST(0 AS BIGINT), " +
+        s"(__a, __i) -> __a * 32 + CAST(position(substr(upper(${a(0)}), __i, 1), " +
+        s"'0123456789ABCDEFGHJKMNPQRSTVWXYZ') - 1 AS BIGINT)))")
+    // UUID string <-> 16-byte binary (UUIDStringToNum variant 1 = as-is)
+    q = rewriteCalls(q, "UUIDStringToNum")(a =>
+      s"unhex(replace(CAST(${a(0)} AS STRING), '-', ''))")
+    q = rewriteCalls(q, "UUIDToNum")(a =>
+      s"unhex(replace(CAST(${a(0)} AS STRING), '-', ''))")
+    q = rewriteCalls(q, "UUIDNumToString")(a => {
+      val h = s"lower(hex(${a(0)}))"
+      s"concat_ws('-', substr($h, 1, 8), substr($h, 9, 4), substr($h, 13, 4), " +
+        s"substr($h, 17, 4), substr($h, 21, 12))"
+    })
+    // map *Like probes (mapContainsKeyLike.cpp family)
+    q = rewriteCalls(q, "mapContainsKeyLike")(a =>
+      s"exists(map_keys(${a(0)}), __k -> __k LIKE ${a(1)})")
+    q = rewriteCalls(q, "mapContainsValueLike")(a =>
+      s"exists(map_values(${a(0)}), __v -> __v LIKE ${a(1)})")
+    q = rewriteCalls(q, "mapExtractKeyLike")(a =>
+      s"map_filter(${a(0)}, (__k, __v) -> __k LIKE ${a(1)})")
+    q = rewriteCalls(q, "mapExtractValueLike")(a =>
+      s"map_filter(${a(0)}, (__k, __v) -> __v LIKE ${a(1)})")
+    // LinfNorm/L2SquaredNorm canonical forms (the norm*/distance* aliases
+    // are canonicalized early, before the L*Norm/L*Distance templates)
+    q = rewriteCalls(q, "LinfNorm")(a =>
+      s"array_max(transform(${a(0)}, __x -> abs(CAST(__x AS DOUBLE))))")
+    q = rewriteCalls(q, "L2SquaredNorm")(a =>
+      s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (__s, __x) -> __s + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))")
+    q = rewriteCalls(q, "scalarProduct")(a => s"dot_product(${a(0)}, ${a(1)})")
+    // simpleJSON / visitParam numeric-ish tail (non-strict parser in the
+    // reference; equal on well-formed JSON)
+    q = rewriteCalls(q, "simpleJSONExtractBool")(a =>
+      s"(get_json_object(${a(0)}, concat('$$.', ${a(1)})) = 'true')")
+    q = rewriteCalls(q, "simpleJSONExtractFloat")(a =>
+      s"coalesce(try_cast(get_json_object(${a(0)}, concat('$$.', ${a(1)})) AS DOUBLE), 0.0)")
+    q = rewriteCalls(q, "simpleJSONExtractUInt")(a =>
+      s"coalesce(try_cast(try_cast(get_json_object(${a(0)}, concat('$$.', ${a(1)})) AS DOUBLE) AS BIGINT), 0)")
+    q = rewriteCalls(q, "visitParamExtractBool")(a =>
+      s"(get_json_object(${a(0)}, concat('$$.', ${a(1)})) = 'true')")
+    q = rewriteCalls(q, "visitParamExtractFloat")(a =>
+      s"coalesce(try_cast(get_json_object(${a(0)}, concat('$$.', ${a(1)})) AS DOUBLE), 0.0)")
+    q = rewriteCalls(q, "visitParamExtractUInt")(a =>
+      s"coalesce(try_cast(try_cast(get_json_object(${a(0)}, concat('$$.', ${a(1)})) AS DOUBLE) AS BIGINT), 0)")
 
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {

@@ -1075,4 +1075,111 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getString(13) == "aé" && r.getString(14) == "éb")
     assert(r.getString(15) == "abc" && r.getString(16) == "bcd")
   }
+
+  test("batch-16: split/replace/string-stats gap fill") {
+    val r = ch("""SELECT splitByRegexp('[0-9]+', 'a1b22c') AS sr,
+                 |splitByAlpha('ab12cd') AS sa,
+                 |splitByNonAlpha('a-b c.d') AS sn,
+                 |replaceOne('aabbaa', 'aa', 'X') AS r1,
+                 |replaceRegexpOne('a1b2', '[0-9]', 'X') AS rr1,
+                 |toStringCutToZero(concat('ab', char(0), 'cd')) AS cz,
+                 |mismatches('abcd', 'abXd') AS mm,
+                 |stringBytesUniq('aabbc') AS sbu,
+                 |stringBytesEntropy('aabb') AS sbe,
+                 |countMatchesCaseInsensitive('aAbA', 'a') AS cmi,
+                 |hasSubsequenceUTF8('hello world', 'hlo') AS hs,
+                 |hasTokenOrNull('quick brown fox', 'brown') AS ht,
+                 |hasTokenOrNull('quick brown', 'brown fox') AS htn""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) == Seq("ab", "cd"))
+    assert(r.getSeq[String](2) == Seq("a", "b", "c", "d"))
+    assert(r.getString(3) == "Xbbaa")
+    assert(r.getString(4) == "aXb2")
+    assert(r.getString(5) == "ab")
+    assert(r.getAs[Number](6).longValue == 1L)
+    assert(r.getLong(7) == 3L)
+    assert(r.getDouble(8) == 1.0)
+    assert(r.getAs[Number](9).longValue == 3L)
+    assert(r.getBoolean(10))
+    assert(r.getBoolean(11))
+    assert(r.isNullAt(12))
+  }
+
+  test("batch-16: date/time tail incl. relative nums and days-since-year-zero") {
+    val r = ch("""SELECT toISOYear(toDate('1995-01-01')) AS iso_y,
+                 |toLastDayOfWeek(toDate('1996-01-03')) AS ldw,
+                 |toRelativeMonthNum(toDate('1996-02-15')) AS rmn,
+                 |toRelativeQuarterNum(toDate('1996-02-15')) AS rqn,
+                 |toRelativeWeekNum(toDate('1970-01-05')) AS rwn,
+                 |toDaysSinceYearZero(toDate('1970-01-01')) AS dsy,
+                 |fromDaysSinceYearZero(719528) AS fdy,
+                 |toMonthNumSinceEpoch(toDate('1970-02-01')) AS mse,
+                 |toYearNumSinceEpoch(toDate('1996-06-01')) AS yse,
+                 |addMicroseconds(toDateTime('1970-01-01 00:00:00'), 5) AS amu,
+                 |changeHour(toDateTime('1996-01-01 10:20:30'), 5) AS chh,
+                 |toMillisecond(addMicroseconds(toDateTime('1970-01-01 00:00:00'), 7000)) AS tms,
+                 |timestampDiff('day', toDate('1996-01-01'), toDate('1996-03-01')) AS td""".stripMargin)
+      .collect()(0)
+    assert(r.getAs[Number](0).intValue == 1994) // 1995-01-01: Sunday of ISO week 1994-52
+    assert(r.getDate(1).toString == "1996-01-07") // Wednesday -> that week's Sunday
+    assert(r.getAs[Number](2).intValue == 1996 * 12 + 2)
+    assert(r.getAs[Number](3).intValue == 1996 * 4 + 0)
+    assert(r.getAs[Number](4).longValue == 1L) // first Monday after epoch
+    assert(r.getAs[Number](5).longValue == 719528L)
+    assert(r.getDate(6).toString == "1970-01-01")
+    assert(r.getAs[Number](7).intValue == 1)
+    assert(r.getAs[Number](8).intValue == 26)
+    assert(r.getTimestamp(9).getNanos == 5000) // 5 us
+    assert(r.getTimestamp(10).toString.contains("05:20:30"))
+    assert(r.getAs[Number](11).longValue == 7L)
+    assert(r.getAs[Number](12).longValue == 60L)
+  }
+
+  test("batch-16: snowflake/ULID/UUID id-time codecs") {
+    val r = ch("""SELECT
+                 |snowflakeToDateTime64(dateTime64ToSnowflake(toDateTime('2020-06-15 12:34:56'))) AS rt_legacy,
+                 |snowflakeIDToDateTime64(dateTimeToSnowflakeID(toDateTime('2020-06-15 12:34:56'))) AS rt_new,
+                 |snowflakeIDToDateTime64(dateTimeToSnowflakeID(toDateTime('2020-06-15 12:34:56'), 1288834974657), 1288834974657) AS rt_epoch,
+                 |UUIDv7ToDateTime('017f22e2-79b0-7cc3-98c4-dc0c0c07398f') AS v7,
+                 |ULIDStringToDateTime('01ARZ3NDEKTSV4RRFFQ69G5FAV') AS ulid,
+                 |UUIDNumToString(UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0')) AS rt_uuid""".stripMargin)
+      .collect()(0)
+    assert(r.getTimestamp(0).toString.startsWith("2020-06-15 12:34:56"))
+    assert(r.getTimestamp(1).toString.startsWith("2020-06-15 12:34:56"))
+    assert(r.getTimestamp(2).toString.startsWith("2020-06-15 12:34:56"))
+    // RFC 9562 UUIDv7 example: ms 0x017F22E279B0 = 2022-02-22 19:22:22 UTC
+    assert(r.getTimestamp(3).toString.startsWith("2022-02-22 19:22:22"))
+    // canonical ULID README example: time part 01ARZ3NDEK = 1469922850259 ms
+    assert(r.getTimestamp(4).getTime == 1469922850259L)
+    assert(r.getString(5) == "61f0c404-5cb3-11e7-907b-a6006ad3dba0")
+  }
+
+  test("batch-16: map-like probes, vector aliases, simpleJSON tail") {
+    val r = ch("""SELECT mapContainsKeyLike(map('abc', 1, 'def', 2), 'a%') AS mk,
+                 |mapContainsValueLike(map('k1', 'abc'), 'ab%') AS mv,
+                 |mapExtractKeyLike(map('abc', 1, 'def', 2), 'd%') AS mek,
+                 |indexOfAssumeSorted([10, 20, 30], 20) AS ioa,
+                 |normL2([3.0, 4.0]) AS n2,
+                 |normL1([1.0, -2.0]) AS n1,
+                 |normLinf([1.0, -5.0, 3.0]) AS ninf,
+                 |normL2Squared([3.0, 4.0]) AS n2s,
+                 |distanceL1([1.0, 2.0], [4.0, 6.0]) AS d1,
+                 |distanceL2([0.0, 0.0], [3.0, 4.0]) AS d2,
+                 |scalarProduct([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]) AS sp,
+                 |simpleJSONExtractUInt('{"a": 7}', 'a') AS ju,
+                 |simpleJSONExtractFloat('{"a": 1.5}', 'a') AS jf,
+                 |simpleJSONExtractBool('{"a": true}', 'a') AS jb,
+                 |parseDateTimeOrZero('nonsense') AS pz,
+                 |parseDateTimeOrNull('nonsense') AS pn""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getMap[String, Int](2) == Map("def" -> 2))
+    assert(r.getAs[Number](3).longValue == 2L)
+    assert(r.getDouble(4) == 5.0 && r.getDouble(5) == 3.0 && r.getDouble(6) == 5.0)
+    assert(r.getDouble(7) == 25.0)
+    assert(r.getDouble(8) == 7.0 && r.getDouble(9) == 5.0)
+    assert(r.getDouble(10) == 32.0)
+    assert(r.getLong(11) == 7L && r.getDouble(12) == 1.5 && r.getBoolean(13))
+    assert(r.getTimestamp(14).toString.startsWith("1970-01-01 00:00:00"))
+    assert(r.isNullAt(15))
+  }
 }
