@@ -283,6 +283,47 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.StringBytesEntropy(es.head)),
       (FunctionIdentifier("ch_replace_regexp_one"), info("ch_replace_regexp_one"),
         (es: Seq[Expression]) => graft.functions.ChReplaceRegexpOne(es(0), es(1), es(2)))
+    ) ++ stringShingles
+  }
+
+  /** ngram/wordShingle SimHash + MinHash family (functions/
+    * StringShingles.scala; reference FunctionsStringHash.cpp). Optional
+    * literal args: shingle size (default 3) and, for minhash, num_hashes
+    * (default 6) — FunctionsStringHash.h:33-34. */
+  private def stringShingles: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.{ChStringMinHash, ChStringMinHashArg, ChStringSimHash}
+    def nArg(es: Seq[Expression]): Int =
+      if (es.length > 1) scaleLit(es(1), "shingle size") else 3
+    def kArg(es: Seq[Expression]): Int =
+      if (es.length > 2) scaleLit(es(2), "num hashes") else 6
+    def sim(name: String, ci: Boolean, utf8: Boolean, ngram: Boolean) =
+      (FunctionIdentifier(name), info(name), (es: Seq[Expression]) =>
+        ChStringSimHash(es.head, nArg(es), ci, utf8, ngram): Expression)
+    def mh(name: String, ci: Boolean, utf8: Boolean, ngram: Boolean) =
+      (FunctionIdentifier(name), info(name), (es: Seq[Expression]) =>
+        ChStringMinHash(es.head, nArg(es), kArg(es), ci, utf8, ngram): Expression)
+    def mha(name: String, ci: Boolean, utf8: Boolean, ngram: Boolean) =
+      (FunctionIdentifier(name), info(name), (es: Seq[Expression]) =>
+        ChStringMinHashArg(es.head, nArg(es), kArg(es), ci, utf8, ngram): Expression)
+    Seq(
+      sim("ch_ngram_simhash", ci = false, utf8 = false, ngram = true),
+      sim("ch_ngram_simhash_ci", ci = true, utf8 = false, ngram = true),
+      sim("ch_ngram_simhash_utf8", ci = false, utf8 = true, ngram = true),
+      sim("ch_ngram_simhash_ci_utf8", ci = true, utf8 = true, ngram = true),
+      sim("ch_wordshingle_simhash", ci = false, utf8 = false, ngram = false),
+      sim("ch_wordshingle_simhash_ci", ci = true, utf8 = false, ngram = false),
+      mh("ch_ngram_minhash", ci = false, utf8 = false, ngram = true),
+      mh("ch_ngram_minhash_ci", ci = true, utf8 = false, ngram = true),
+      mh("ch_ngram_minhash_utf8", ci = false, utf8 = true, ngram = true),
+      mh("ch_ngram_minhash_ci_utf8", ci = true, utf8 = true, ngram = true),
+      mh("ch_wordshingle_minhash", ci = false, utf8 = false, ngram = false),
+      mh("ch_wordshingle_minhash_ci", ci = true, utf8 = false, ngram = false),
+      mha("ch_ngram_minhash_arg", ci = false, utf8 = false, ngram = true),
+      mha("ch_ngram_minhash_arg_ci", ci = true, utf8 = false, ngram = true),
+      mha("ch_ngram_minhash_arg_utf8", ci = false, utf8 = true, ngram = true),
+      mha("ch_ngram_minhash_arg_ci_utf8", ci = true, utf8 = true, ngram = true),
+      mha("ch_wordshingle_minhash_arg", ci = false, utf8 = false, ngram = false),
+      mha("ch_wordshingle_minhash_arg_ci", ci = true, utf8 = false, ngram = false)
     )
   }
 

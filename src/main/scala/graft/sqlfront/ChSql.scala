@@ -466,7 +466,34 @@ object ChSql {
     "simpleJSONExtractBool" -> "t", "simpleJSONExtractFloat" -> "t",
     "simpleJSONExtractUInt" -> "t", "simpleJSONExtractRaw" -> "get_json_object",
     "visitParamExtractBool" -> "t", "visitParamExtractFloat" -> "t",
-    "visitParamExtractUInt" -> "t"
+    "visitParamExtractUInt" -> "t",
+    // ngram/wordShingle SimHash + MinHash fingerprints (StringShingles.scala;
+    // reference FunctionsStringHash.cpp — exact CRC32C shingle semantics).
+    // *UTF8 word-shingle names are the identical kernel in the reference.
+    "ngramSimHash" -> "ch_ngram_simhash",
+    "ngramSimHashCaseInsensitive" -> "ch_ngram_simhash_ci",
+    "ngramSimHashUTF8" -> "ch_ngram_simhash_utf8",
+    "ngramSimHashCaseInsensitiveUTF8" -> "ch_ngram_simhash_ci_utf8",
+    "wordShingleSimHash" -> "ch_wordshingle_simhash",
+    "wordShingleSimHashCaseInsensitive" -> "ch_wordshingle_simhash_ci",
+    "wordShingleSimHashUTF8" -> "ch_wordshingle_simhash",
+    "wordShingleSimHashCaseInsensitiveUTF8" -> "ch_wordshingle_simhash_ci",
+    "ngramMinHash" -> "ch_ngram_minhash",
+    "ngramMinHashCaseInsensitive" -> "ch_ngram_minhash_ci",
+    "ngramMinHashUTF8" -> "ch_ngram_minhash_utf8",
+    "ngramMinHashCaseInsensitiveUTF8" -> "ch_ngram_minhash_ci_utf8",
+    "wordShingleMinHash" -> "ch_wordshingle_minhash",
+    "wordShingleMinHashCaseInsensitive" -> "ch_wordshingle_minhash_ci",
+    "wordShingleMinHashUTF8" -> "ch_wordshingle_minhash",
+    "wordShingleMinHashCaseInsensitiveUTF8" -> "ch_wordshingle_minhash_ci",
+    "ngramMinHashArg" -> "ch_ngram_minhash_arg",
+    "ngramMinHashArgCaseInsensitive" -> "ch_ngram_minhash_arg_ci",
+    "ngramMinHashArgUTF8" -> "ch_ngram_minhash_arg_utf8",
+    "ngramMinHashArgCaseInsensitiveUTF8" -> "ch_ngram_minhash_arg_ci_utf8",
+    "wordShingleMinHashArg" -> "ch_wordshingle_minhash_arg",
+    "wordShingleMinHashArgCaseInsensitive" -> "ch_wordshingle_minhash_arg_ci",
+    "wordShingleMinHashArgUTF8" -> "ch_wordshingle_minhash_arg",
+    "wordShingleMinHashArgCaseInsensitiveUTF8" -> "ch_wordshingle_minhash_arg_ci"
   )
 
   /** Names whose call convention needs restructuring — handled by the

@@ -17,9 +17,35 @@ object HashPins {
     "dedup-minhash",
     "0123456789abcdef0123456789abcdef0123456789abcdef0123456789abcdef!!")
 
+  /** Probe strings for the shingle-fingerprint pin table
+    * (q_fn_shingle_hash). */
+  val shingleProbes: Seq[String] = Seq(
+    "", "ab", "abc", "abcd", "hello world",
+    "The quick brown foxes jumped over the lazy dogs",
+    "Data deduplication finds near duplicate documents quickly",
+    "ClickHouse is a column oriented database management system",
+    "über straße naïve café", // multi-byte UTF8
+    "short a bb ccc words")
+
   def main(args: Array[String]): Unit = {
     def b(s: String) = s.getBytes("UTF-8")
     def hex(a: Array[Byte]) = a.map("%02x".format(_)).mkString
+    if (args.headOption.contains("shingles")) {
+      import graft.functions.StringShingles
+      for (s <- shingleProbes) {
+        val mh = StringShingles.minHashPair(b(s), 3, 6, ci = false, utf8 = false, ngram = true)
+        val wmh = StringShingles.minHashPair(b(s), 3, 6, ci = false, utf8 = false, ngram = false)
+        println(Seq(
+          "'" + s + "'",
+          StringShingles.ngramSimHash(b(s), 3, ci = false, utf8 = false),
+          StringShingles.ngramSimHash(b(s), 3, ci = true, utf8 = false),
+          StringShingles.ngramSimHash(b(s), 3, ci = false, utf8 = true),
+          StringShingles.wordShingleSimHash(b(s), 3, ci = false),
+          StringShingles.wordShingleSimHash(b(s), 3, ci = true),
+          mh._1, mh._2, wmh._1, wmh._2).mkString("\t"))
+      }
+      return
+    }
     for (s <- probes) {
       println(Seq(
         "'" + s + "'",
