@@ -283,8 +283,18 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.StringBytesEntropy(es.head)),
       (FunctionIdentifier("ch_replace_regexp_one"), info("ch_replace_regexp_one"),
         (es: Seq[Expression]) => graft.functions.ChReplaceRegexpOne(es(0), es(1), es(2)))
-    ) ++ stringShingles
+    ) ++ stringShingles ++ reinterprets
   }
+
+  /** reinterpretAs* family (functions/Reinterpret.scala). One SQL name per
+    * target; the dialect maps reinterpretAsUInt32 -> ch_reinterpret_u32. */
+  private def reinterprets: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq("u8", "u16", "u32", "u64", "i8", "i16", "i32", "i64",
+        "f32", "f64", "date", "datetime", "string").map { t =>
+      val name = s"ch_reinterpret_$t"
+      (FunctionIdentifier(name), info(name),
+        (es: Seq[Expression]) => graft.functions.ChReinterpret(es.head, t): Expression)
+    }
 
   /** ngram/wordShingle SimHash + MinHash family (functions/
     * StringShingles.scala; reference FunctionsStringHash.cpp). Optional

@@ -470,6 +470,22 @@ object ChSql {
     // ngram/wordShingle SimHash + MinHash fingerprints (StringShingles.scala;
     // reference FunctionsStringHash.cpp — exact CRC32C shingle semantics).
     // *UTF8 word-shingle names are the identical kernel in the reference.
+    // reinterpretAs* (Reinterpret.scala; Int128/256/UUID targets are a
+    // documented gap). The generic reinterpret(x, 'T') is a template.
+    "reinterpretAsUInt8" -> "ch_reinterpret_u8",
+    "reinterpretAsUInt16" -> "ch_reinterpret_u16",
+    "reinterpretAsUInt32" -> "ch_reinterpret_u32",
+    "reinterpretAsUInt64" -> "ch_reinterpret_u64",
+    "reinterpretAsInt8" -> "ch_reinterpret_i8",
+    "reinterpretAsInt16" -> "ch_reinterpret_i16",
+    "reinterpretAsInt32" -> "ch_reinterpret_i32",
+    "reinterpretAsInt64" -> "ch_reinterpret_i64",
+    "reinterpretAsFloat32" -> "ch_reinterpret_f32",
+    "reinterpretAsFloat64" -> "ch_reinterpret_f64",
+    "reinterpretAsDate" -> "ch_reinterpret_date",
+    "reinterpretAsDateTime" -> "ch_reinterpret_datetime",
+    "reinterpretAsString" -> "ch_reinterpret_string",
+    "reinterpret" -> "t",
     "ngramSimHash" -> "ch_ngram_simhash",
     "ngramSimHashCaseInsensitive" -> "ch_ngram_simhash_ci",
     "ngramSimHashUTF8" -> "ch_ngram_simhash_utf8",
@@ -2156,6 +2172,27 @@ object ChSql {
       s"coalesce(${readableSize(a(0))}, 0.0)")
 
     // ---- batch 16 templates (round 9) ----
+    // generic reinterpret(x, 'T') routes to the typed kernel
+    q = rewriteCalls(q, "reinterpret")(a => {
+      val t = stripName(a(1)).replaceAll("[^A-Za-z0-9]", "") match {
+        case "UInt8" => "u8"
+        case "UInt16" => "u16"
+        case "UInt32" => "u32"
+        case "UInt64" => "u64"
+        case "Int8" => "i8"
+        case "Int16" => "i16"
+        case "Int32" => "i32"
+        case "Int64" => "i64"
+        case "Float32" => "f32"
+        case "Float64" => "f64"
+        case "Date" => "date"
+        case "DateTime" => "datetime"
+        case "String" => "string"
+        case other => throw new IllegalArgumentException(
+          s"reinterpret: unsupported target type $other")
+      }
+      s"ch_reinterpret_$t(${a(0)})"
+    })
     // split family (splitByRegexp.cpp, splitByAlpha = alphaTokens,
     // splitByNonAlpha = tokens-with-punctuation): CH arg order (sep, s)
     q = rewriteCalls(q, "splitByRegexp")(a => s"split(${a(1)}, ${a(0)})")

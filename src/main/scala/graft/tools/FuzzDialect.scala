@@ -323,7 +323,15 @@ object FuzzDialect {
         () => { val a = genDate(d + 1)
                 Fz(s"toStartOfYear(${a.ch})", s"date_trunc('year', ${a.duck})", TStr) },
         () => { val a = genDate(d + 1); val k = rnd.nextInt(200) - 100
-                Fz(s"addDays(${a.ch}, $k)", s"(CAST(${a.duck} AS DATE) + $k)", TStr) }
+                Fz(s"addDays(${a.ch}, $k)", s"(CAST(${a.duck} AS DATE) + $k)", TStr) },
+        // batch-16 (round 9): Sunday of the Mon-Sun week
+        () => { val a = genDate(d + 1)
+                Fz(s"toLastDayOfWeek(${a.ch})",
+                   s"CAST(date_trunc('week', CAST(${a.duck} AS DATE)) + INTERVAL 6 DAY AS DATE)", TStr) },
+        // days-since-year-zero roundtrip is the identity on dates
+        () => { val a = genDate(d + 1)
+                Fz(s"fromDaysSinceYearZero(toDaysSinceYearZero(${a.ch}))",
+                   s"CAST(${a.duck} AS DATE)", TStr) }
       ))()
     }
 
@@ -338,7 +346,22 @@ object FuzzDialect {
         () => Fz(s"toQuarter(${a.ch})", s"CAST(quarter(${a.duck}) AS BIGINT)", TInt),
         () => { val u = pick(Seq("day", "month", "year"))
                 Fz(s"dateDiff('$u', ${a.ch}, ${b.ch})",
-                   s"CAST(date_diff('$u', CAST(${a.duck} AS TIMESTAMP), CAST(${b.duck} AS TIMESTAMP)) AS BIGINT)", TInt) }
+                   s"CAST(date_diff('$u', CAST(${a.duck} AS TIMESTAMP), CAST(${b.duck} AS TIMESTAMP)) AS BIGINT)", TInt) },
+        // batch-16 (round 9) relative-num / since-epoch surface
+        () => Fz(s"toISOYear(${a.ch})", s"CAST(isoyear(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toRelativeMonthNum(${a.ch})",
+                 s"CAST(year(${a.duck}) * 12 + month(${a.duck}) AS BIGINT)", TInt),
+        () => Fz(s"toRelativeQuarterNum(${a.ch})",
+                 s"CAST(year(${a.duck}) * 4 + (month(${a.duck}) - 1) // 3 AS BIGINT)", TInt),
+        () => Fz(s"toRelativeWeekNum(${a.ch})",
+                 s"CAST((datediff('day', DATE '1970-01-01', CAST(${a.duck} AS DATE)) + 7 - " +
+                   s"(isodow(${a.duck}) - 1)) // 7 AS BIGINT)", TInt),
+        () => Fz(s"toDaysSinceYearZero(${a.ch})",
+                 s"CAST(datediff('day', DATE '1970-01-01', CAST(${a.duck} AS DATE)) + 719528 AS BIGINT)", TInt),
+        () => Fz(s"toMonthNumSinceEpoch(${a.ch})",
+                 s"CAST((year(${a.duck}) - 1970) * 12 + month(${a.duck}) - 1 AS BIGINT)", TInt),
+        () => Fz(s"toYearNumSinceEpoch(${a.ch})",
+                 s"CAST(year(${a.duck}) - 1970 AS BIGINT)", TInt)
       ))()
     }
 

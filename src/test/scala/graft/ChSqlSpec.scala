@@ -1182,4 +1182,29 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getTimestamp(14).toString.startsWith("1970-01-01 00:00:00"))
     assert(r.isNullAt(15))
   }
+
+  test("batch-16: reinterpretAs* bit-level semantics") {
+    val r = ch("""SELECT reinterpretAsUInt32('abc') AS u32,
+                 |reinterpretAsUInt8('abc') AS u8,
+                 |reinterpretAsInt8(reinterpretAsString(255)) AS i8neg,
+                 |reinterpretAsUInt64('a') AS u64pad,
+                 |reinterpretAsString(65) AS s65,
+                 |reinterpretAsString(16706) AS sab,
+                 |reinterpretAsUInt32(reinterpretAsString(123456)) AS rt,
+                 |reinterpretAsFloat64(reinterpretAsUInt64(toFloat64(2.5))) AS f_rt,
+                 |reinterpretAsDate(reinterpretAsString(1)) AS d1,
+                 |reinterpretAsDateTime(reinterpretAsString(86400)) AS dt1,
+                 |reinterpret('abc', 'UInt32') AS gen""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 0x636261L) // 'a'=0x61 LSB first
+    assert(r.getInt(1) == 0x61)
+    assert(r.getByte(2) == -1) // 0xFF as Int8
+    assert(r.getLong(3) == 0x61L) // zero-padded to 8 bytes
+    assert(r.getString(4) == "A")
+    assert(r.getString(5) == "BA") // 16706 = 0x4142 -> LE bytes 'B','A'
+    assert(r.getLong(6) == 123456L)
+    assert(r.getDouble(7) == 2.5)
+    assert(r.getDate(8).toString == "1970-01-02") // day 1
+    assert(r.getTimestamp(9).toString.startsWith("1970-01-02 00:00:00"))
+    assert(r.getLong(10) == 0x636261L)
+  }
 }
