@@ -283,8 +283,28 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.StringBytesEntropy(es.head)),
       (FunctionIdentifier("ch_replace_regexp_one"), info("ch_replace_regexp_one"),
         (es: Seq[Expression]) => graft.functions.ChReplaceRegexpOne(es(0), es(1), es(2)))
-    ) ++ stringShingles ++ reinterprets
+    ) ++ stringShingles ++ reinterprets ++ batch17
   }
+
+  /** Round-9 batch 17 (functions/Batch17.scala). */
+  private def batch17: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("min_sample_size_continuous"), info("min_sample_size_continuous"),
+      (es: Seq[Expression]) => graft.functions.ChMinSampleSize(es.map(asDouble), continuous = true)),
+    (FunctionIdentifier("min_sample_size_conversion"), info("min_sample_size_conversion"),
+      (es: Seq[Expression]) => graft.functions.ChMinSampleSize(es.map(asDouble), continuous = false)),
+    (FunctionIdentifier("array_normalized_gini"), info("array_normalized_gini"),
+      (es: Seq[Expression]) => graft.functions.ChNormalizedGini(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))),
+    (FunctionIdentifier("json_merge_patch"), info("json_merge_patch"),
+      (es: Seq[Expression]) => es.reduceLeft((a, b) => graft.functions.ChJsonMergePatch(a, b))),
+    (FunctionIdentifier("punycode_encode"), info("punycode_encode"),
+      (es: Seq[Expression]) => graft.functions.PunycodeEncode(es.head)),
+    (FunctionIdentifier("punycode_decode"), info("punycode_decode"),
+      (es: Seq[Expression]) => graft.functions.PunycodeDecode(es.head, nullOnError = false)),
+    (FunctionIdentifier("try_punycode_decode"), info("try_punycode_decode"),
+      (es: Seq[Expression]) => graft.functions.PunycodeDecode(es.head, nullOnError = true))
+  )
 
   /** reinterpretAs* family (functions/Reinterpret.scala). One SQL name per
     * target; the dialect maps reinterpretAsUInt32 -> ch_reinterpret_u32. */

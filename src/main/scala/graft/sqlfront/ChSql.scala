@@ -472,6 +472,17 @@ object ChSql {
     // *UTF8 word-shingle names are the identical kernel in the reference.
     // reinterpretAs* (Reinterpret.scala; Int128/256/UUID targets are a
     // documented gap). The generic reinterpret(x, 'T') is a template.
+    // batch 17: A/B sample sizing, normalized Gini, JSON merge patch,
+    // raw punycode; extractAllGroups* are templates (literal regex only)
+    "minSampleSizeContinuous" -> "min_sample_size_continuous",
+    "minSampleSizeContinous" -> "min_sample_size_continuous", // reference alias (typo kept)
+    "minSampleSizeConversion" -> "min_sample_size_conversion",
+    "arrayNormalizedGini" -> "array_normalized_gini",
+    "jsonMergePatch" -> "json_merge_patch", "JSONMergePatch" -> "json_merge_patch",
+    "punycodeEncode" -> "punycode_encode", "punycodeDecode" -> "punycode_decode",
+    "tryPunycodeDecode" -> "try_punycode_decode",
+    "extractAllGroupsVertical" -> "t", "extractAllGroupsHorizontal" -> "t",
+    "extractAllGroups" -> "t",
     "reinterpretAsUInt8" -> "ch_reinterpret_u8",
     "reinterpretAsUInt16" -> "ch_reinterpret_u16",
     "reinterpretAsUInt32" -> "ch_reinterpret_u32",
@@ -2170,6 +2181,35 @@ object ChSql {
     q = rewriteCalls(q, "parseReadableSize")(a => readableSize(a(0)))
     q = rewriteCalls(q, "parseReadableSizeOrZero")(a =>
       s"coalesce(${readableSize(a(0))}, 0.0)")
+
+    // ---- batch 17 templates (round 9) ----
+    // extractAllGroups{Vertical,Horizontal}(s, 're'): group count read
+    // from the literal pattern (capturing '(' not escaped, not '(?')
+    def countGroups(re: String): Int = {
+      var c = 0
+      var i = 0
+      while (i < re.length) {
+        if (re(i) == '(' && (i == 0 || re(i - 1) != '\\') &&
+            (i + 1 >= re.length || re(i + 1) != '?')) c += 1
+        i += 1
+      }
+      math.max(c, 1)
+    }
+    def vertical(a: Seq[String]): String = {
+      val g = countGroups(stripName(a(1)))
+      val g1 = s"regexp_extract_all(${a(0)}, ${a(1)}, 1)"
+      s"(CASE WHEN size($g1) = 0 THEN array() ELSE " +
+        s"transform(sequence(1, size($g1)), __i -> array(" +
+        (1 to g).map(i => s"element_at(regexp_extract_all(${a(0)}, ${a(1)}, $i), __i)")
+          .mkString(", ") + ")) END)"
+    }
+    q = rewriteCalls(q, "extractAllGroupsHorizontal")(a => {
+      val g = countGroups(stripName(a(1)))
+      "array(" + (1 to g).map(i => s"regexp_extract_all(${a(0)}, ${a(1)}, $i)")
+        .mkString(", ") + ")"
+    })
+    q = rewriteCalls(q, "extractAllGroupsVertical")(vertical)
+    q = rewriteCalls(q, "extractAllGroups")(vertical)
 
     // ---- batch 16 templates (round 9) ----
     // generic reinterpret(x, 'T') routes to the typed kernel

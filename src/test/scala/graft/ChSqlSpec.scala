@@ -1207,4 +1207,43 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getTimestamp(9).toString.startsWith("1970-01-02 00:00:00"))
     assert(r.getLong(10) == 0x636261L)
   }
+
+  test("batch-17: normal quantile from first principles hits published values") {
+    import graft.functions.Batch17
+    assert(math.abs(Batch17.normQuantile(0.975) - 1.959963984540054) < 1e-12)
+    assert(math.abs(Batch17.normQuantile(0.8) - 0.8416212335729143) < 1e-12)
+    assert(math.abs(Batch17.normQuantile(0.5)) < 1e-12)
+    assert(math.abs(Batch17.normQuantile(0.0013498980316300946) + 3.0) < 1e-10) // Phi(-3)
+    assert(Batch17.normQuantile(0.0).isNaN)
+  }
+
+  test("batch-17: minSampleSize, gini, jsonMergePatch, punycode, extractAllGroups") {
+    val r = ch("""SELECT
+                 |round(minSampleSizeContinuous(100.0, 20.0, 0.05, 0.8, 0.05)._1, 4) AS mss,
+                 |minSampleSizeContinuous(100.0, 20.0, 0.05, 0.8, 0.05)._2 AS mss_lo,
+                 |round(minSampleSizeConversion(0.1, 0.02, 0.8, 0.05)._1, 4) AS msc,
+                 |round(arrayNormalizedGini([0.9, 0.3, 0.8, 0.35], [1.0, 0.0, 1.0, 0.0])._3, 9) AS gini,
+                 |jsonMergePatch('{"a":1,"b":{"x":1,"y":2}}', '{"b":{"y":null,"z":3},"c":4}') AS jmp,
+                 |punycodeEncode('München') AS pe,
+                 |punycodeDecode('Mnchen-3ya') AS pd,
+                 |tryPunycodeDecode('???') AS tpd,
+                 |arrayStringConcat(arrayMap(__x -> arrayStringConcat(__x, ':'),
+                 |  extractAllGroupsVertical('k1=v1, k2=v2', '(\\w+)=(\\w+)')), '|') AS gv,
+                 |arrayStringConcat(arrayMap(__x -> arrayStringConcat(__x, ':'),
+                 |  extractAllGroupsHorizontal('k1=v1, k2=v2', '(\\w+)=(\\w+)')), '|') AS gh""".stripMargin)
+      .collect()(0)
+    // 2*sigma^2*(z(0.975)+z(0.8))^2/delta^2 = 2*400*7.849/25 = 251.1685...
+    assert(math.abs(r.getDouble(0) - 251.1657) < 0.01)
+    assert(r.getDouble(1) === 95.0)
+    // conversion formula at p1=.1, mde=.02
+    assert(r.getDouble(2) > 3000 && r.getDouble(2) < 4500)
+    // perfect ranking (descending prediction = descending label) -> gini_normalized 1.0
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    assert(r.getString(4) == """{"a":1,"b":{"x":1,"z":3},"c":4}""")
+    assert(r.getString(5) == "Mnchen-3ya")
+    assert(r.getString(6) == "München")
+    assert(r.isNullAt(7))
+    assert(r.getString(8) == "k1:v1|k2:v2")
+    assert(r.getString(9) == "k1:k2|v1:v2")
+  }
 }
