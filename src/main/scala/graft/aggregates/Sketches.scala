@@ -64,3 +64,66 @@ class KmvDistinctAggregator(k: Int = 1024)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
+
+/** uniqTheta set algebra (reference src/Functions/UniqTheta/
+  * FunctionsUniqTheta.cpp — uniqThetaUnion/Intersect/Not over theta
+  * sketch states; the reference wraps the DataSketches ops, here the
+  * same estimator algebra runs over our KMV state from
+  * KmvDistinctAggregator / the uniq_theta_state udaf):
+  *  - theta(sketch) = 1 when unsaturated, else the k-th smallest hash as
+  *    a fraction of the hash space;
+  *  - union: cap-k merge of the two sorted buffers (a new valid state);
+  *  - intersect/not: count surviving hashes below min(thetaA, thetaB),
+  *    scaled by 1/theta.
+  * Counts are EXACT whenever both sketches are unsaturated (< k distinct
+  * values) — the oracle query exploits that. */
+object ThetaSetOps {
+  final val K = 1024
+
+  private def frac(h: Long): Double =
+    (h.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+
+  def thetaOf(b: Array[Long]): Double =
+    if (b.length < K) 1.0 else frac(b(b.length - 1))
+
+  /** Cap-k sorted distinct merge — a valid KMV state for composition. */
+  def union(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val merged = (a ++ b).distinct
+    java.util.Arrays.sort(merged)
+    if (merged.length <= K) merged else java.util.Arrays.copyOf(merged, K)
+  }
+
+  def unionCount(a: Array[Long], b: Array[Long]): Long = estimate(union(a, b))
+
+  def intersectCount(a: Array[Long], b: Array[Long]): Long = {
+    val theta = math.min(thetaOf(a), thetaOf(b))
+    val bs = b.toSet
+    val n = a.count(h => bs.contains(h) && (theta == 1.0 || frac(h) < theta))
+    if (theta == 1.0) n.toLong else math.round(n / theta)
+  }
+
+  def notCount(a: Array[Long], b: Array[Long]): Long = {
+    val theta = math.min(thetaOf(a), thetaOf(b))
+    val bs = b.toSet
+    val n = a.count(h => !bs.contains(h) && (theta == 1.0 || frac(h) < theta))
+    if (theta == 1.0) n.toLong else math.round(n / theta)
+  }
+
+  def estimate(b: Array[Long]): Long =
+    if (b.length < K) b.length.toLong
+    else math.round((K - 1) / frac(b(K - 1)))
+}
+
+/** -State form of uniq_theta: the raw KMV buffer as array<bigint>, for
+  * the theta set-op functions (uniqThetaState analog). */
+class KmvStateAggregator(k: Int = ThetaSetOps.K)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val inner = new KmvDistinctAggregator(k)
+  def zero: Array[Long] = inner.zero
+  def reduce(b: Array[Long], v: Long): Array[Long] = inner.reduce(b, v)
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  def finish(b: Array[Long]): Array[Long] = b
+  def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+  def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -77,6 +77,9 @@ object Tables {
     import org.apache.spark.sql.Encoders
     spark.udf.register("uniq_theta",
       udaf(new graft.aggregates.KmvDistinctAggregator(), Encoders.scalaLong))
+    // -State form: raw KMV buffer for the uniqTheta set-op functions
+    spark.udf.register("uniq_theta_state",
+      udaf(new graft.aggregates.KmvStateAggregator(), Encoders.scalaLong))
     spark.udf.register("top_k",
       udaf(new graft.aggregates.TopKAggregator(10), Encoders.STRING))
     // quantile_dd_<pct> at the reference's default 0.01 relative accuracy

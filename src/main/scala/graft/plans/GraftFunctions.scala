@@ -303,7 +303,17 @@ object GraftFunctions {
     (FunctionIdentifier("punycode_decode"), info("punycode_decode"),
       (es: Seq[Expression]) => graft.functions.PunycodeDecode(es.head, nullOnError = false)),
     (FunctionIdentifier("try_punycode_decode"), info("try_punycode_decode"),
-      (es: Seq[Expression]) => graft.functions.PunycodeDecode(es.head, nullOnError = true))
+      (es: Seq[Expression]) => graft.functions.PunycodeDecode(es.head, nullOnError = true)),
+    (FunctionIdentifier("uniq_theta_union"), info("uniq_theta_union"),
+      (es: Seq[Expression]) => graft.functions.ThetaSetOpExpr(es(0), es(1), "union")),
+    (FunctionIdentifier("uniq_theta_union_count"), info("uniq_theta_union_count"),
+      (es: Seq[Expression]) => graft.functions.ThetaSetOpExpr(es(0), es(1), "union_count")),
+    (FunctionIdentifier("uniq_theta_intersect_count"), info("uniq_theta_intersect_count"),
+      (es: Seq[Expression]) => graft.functions.ThetaSetOpExpr(es(0), es(1), "intersect_count")),
+    (FunctionIdentifier("uniq_theta_not_count"), info("uniq_theta_not_count"),
+      (es: Seq[Expression]) => graft.functions.ThetaSetOpExpr(es(0), es(1), "not_count")),
+    (FunctionIdentifier("uniq_theta_estimate"), info("uniq_theta_estimate"),
+      (es: Seq[Expression]) => graft.functions.ThetaEstimate(es.head))
   )
 
   /** reinterpretAs* family (functions/Reinterpret.scala). One SQL name per

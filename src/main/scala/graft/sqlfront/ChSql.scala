@@ -474,6 +474,16 @@ object ChSql {
     // documented gap). The generic reinterpret(x, 'T') is a template.
     // batch 17: A/B sample sizing, normalized Gini, JSON merge patch,
     // raw punycode; extractAllGroups* are templates (literal regex only)
+    // uniqTheta set algebra (aggregates.ThetaSetOps). uniqThetaUnion
+    // returns a composable state like the reference; Intersect/Not return
+    // the estimate directly (our KMV state cannot carry a reduced theta),
+    // so finalizeAggregation over them is the identity and over a
+    // union/uniqThetaState state is the KMV estimate.
+    "uniqThetaUnion" -> "uniq_theta_union",
+    "uniqThetaIntersect" -> "uniq_theta_intersect_count",
+    "uniqThetaNot" -> "uniq_theta_not_count",
+    "uniqThetaState" -> "uniq_theta_state",
+    "finalizeAggregation" -> "uniq_theta_estimate",
     "minSampleSizeContinuous" -> "min_sample_size_continuous",
     "minSampleSizeContinous" -> "min_sample_size_continuous", // reference alias (typo kept)
     "minSampleSizeConversion" -> "min_sample_size_conversion",

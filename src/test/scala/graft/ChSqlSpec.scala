@@ -1246,4 +1246,25 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getString(8) == "k1:v1|k2:v2")
     assert(r.getString(9) == "k1:k2|v1:v2")
   }
+
+  test("batch-17: theta set ops are exact unsaturated and ~2% accurate saturated") {
+    import graft.aggregates.{KmvDistinctAggregator, ThetaSetOps}
+    val agg = new KmvDistinctAggregator(ThetaSetOps.K)
+    def sketch(xs: Range): Array[Long] = xs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v.toLong))
+    // unsaturated: exact
+    val sa = sketch(0 until 600)
+    val sb = sketch(300 until 900)
+    assert(ThetaSetOps.unionCount(sa, sb) === 900L)
+    assert(ThetaSetOps.intersectCount(sa, sb) === 300L)
+    assert(ThetaSetOps.notCount(sa, sb) === 300L)
+    // saturated: within a few percent (k=1024)
+    val la = sketch(0 until 50000)
+    val lb = sketch(25000 until 75000)
+    val u = ThetaSetOps.unionCount(la, lb).toDouble
+    val i = ThetaSetOps.intersectCount(la, lb).toDouble
+    val d = ThetaSetOps.notCount(la, lb).toDouble
+    assert(math.abs(u - 75000) / 75000 < 0.1, s"union $u")
+    assert(math.abs(i - 25000) / 25000 < 0.15, s"intersect $i")
+    assert(math.abs(d - 25000) / 25000 < 0.15, s"not $d")
+  }
 }
