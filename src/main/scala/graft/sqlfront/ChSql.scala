@@ -479,6 +479,18 @@ object ChSql {
     // the estimate directly (our KMV state cannot carry a reduced theta),
     // so finalizeAggregation over them is the identity and over a
     // union/uniqThetaState state is the KMV estimate.
+    // batch 18: small date/array tail
+    "arrayLastIndex" -> "t", "YYYYMMDDToDate" -> "t", "str_to_date" -> "t",
+    "addDate" -> "t", "subDate" -> "t", "time_bucket" -> "t", "date_bin" -> "t",
+    "toStartOfISOYear" -> "t", "toWeekOfWeekYear" -> "t", "toWeekYear" -> "t",
+    "fromUnixTimestamp64Second" -> "t", "toUnixTimestamp64Second" -> "t",
+    "fromUnixTimestamp64Nano" -> "t", "toUnixTimestamp64Nano" -> "t",
+    "UTC_timestamp" -> "t", "curdate" -> "t",
+    "parseDateTime64" -> "t", "parseDateTime64OrNull" -> "t",
+    "parseDateTime64OrZero" -> "t", "parseDateTime64BestEffort" -> "t",
+    "parseDateTime64BestEffortOrNull" -> "t",
+    "parseDateTime64BestEffortOrZero" -> "t",
+    "toDateTime64" -> "t", "toDateTime32" -> "t",
     "uniqThetaUnion" -> "uniq_theta_union",
     "uniqThetaIntersect" -> "uniq_theta_intersect_count",
     "uniqThetaNot" -> "uniq_theta_not_count",
@@ -1130,6 +1142,10 @@ object ChSql {
     q = rewriteCalls(q, "hasTokenOrNull")(a =>
       s"(CASE WHEN ${a(1)} rlike '[^A-Za-z0-9]' THEN NULL " +
         s"ELSE hasToken(${a(0)}, ${a(1)}) END)")
+    // time_bucket/date_bin are toStartOfInterval spellings (canonicalized
+    // here so the later toStartOfInterval template fires)
+    q = rewriteCalls(q, "time_bucket")(a => s"toStartOfInterval(${a(1)}, ${a(0)})")
+    q = rewriteCalls(q, "date_bin")(a => s"toStartOfInterval(${a(1)}, ${a(0)})")
     // norm*/distance* synonyms of the L*Norm/L*Distance family
     q = rewriteCalls(q, "normL2Squared")(a => s"L2SquaredNorm(${a(0)})")
     q = rewriteCalls(q, "normL1")(a => s"L1Norm(${a(0)})")
@@ -2191,6 +2207,52 @@ object ChSql {
     q = rewriteCalls(q, "parseReadableSize")(a => readableSize(a(0)))
     q = rewriteCalls(q, "parseReadableSizeOrZero")(a =>
       s"coalesce(${readableSize(a(0))}, 0.0)")
+
+    // ---- batch 18 templates (round 9): small date/array tail ----
+    // arrayLastIndex: last 1-based index where the lambda holds
+    q = rewriteCalls(q, "arrayLastIndex")(a => {
+      val marks = s"transform(${a(1)}, ${a(0)})"
+      s"(CASE WHEN array_position(reverse($marks), true) IS NULL OR " +
+        s"array_position(reverse($marks), true) = 0 THEN 0 " +
+        s"ELSE size($marks) - array_position(reverse($marks), true) + 1 END)"
+    })
+    q = rewriteCalls(q, "YYYYMMDDToDate")(a =>
+      s"to_date(CAST(CAST(${a(0)} AS BIGINT) AS STRING), 'yyyyMMdd')")
+    q = rewriteCalls(q, "str_to_date")(a =>
+      s"try_to_timestamp(${a(0)}, '${mysqlFmt(stripName(a(1)))}')")
+    q = rewriteCalls(q, "addDate")(a => s"(${a(0)} + ${a(1)})")
+    q = rewriteCalls(q, "subDate")(a => s"(${a(0)} - ${a(1)})")
+    // ISO-year start: Monday of the week containing Jan 4 of isoYear(x)
+    q = rewriteCalls(q, "toStartOfISOYear")(a => {
+      val jan4 = s"make_date(year(date_add(CAST(${a(0)} AS DATE), 3 - weekday(${a(0)}))), 1, 4)"
+      s"date_sub($jan4, weekday($jan4))"
+    })
+    q = rewriteCalls(q, "toWeekOfWeekYear")(a => s"weekofyear(${a(0)})")
+    q = rewriteCalls(q, "toWeekYear")(a =>
+      s"year(date_add(CAST(${a(0)} AS DATE), 3 - weekday(${a(0)})))")
+    q = rewriteCalls(q, "fromUnixTimestamp64Second")(a =>
+      s"timestamp_seconds(CAST(${a(0)} AS BIGINT))")
+    q = rewriteCalls(q, "toUnixTimestamp64Second")(a =>
+      s"unix_seconds(CAST(${a(0)} AS TIMESTAMP))")
+    q = rewriteCalls(q, "fromUnixTimestamp64Nano")(a =>
+      s"timestamp_micros(CAST(${a(0)} AS BIGINT) div 1000)")
+    q = rewriteCalls(q, "toUnixTimestamp64Nano")(a =>
+      s"(unix_micros(CAST(${a(0)} AS TIMESTAMP)) * 1000)")
+    q = rewriteCalls(q, "UTC_timestamp")(_ => "current_timestamp()")
+    q = rewriteCalls(q, "curdate")(_ => "current_date()")
+    // parseDateTime64* = the DateTime64 spellings of the parse family
+    q = rewriteCalls(q, "parseDateTime64BestEffortOrNull")(a => bestEffort(a(0)))
+    q = rewriteCalls(q, "parseDateTime64BestEffortOrZero")(a =>
+      s"coalesce(${bestEffort(a(0))}, TIMESTAMP '1970-01-01 00:00:00')")
+    q = rewriteCalls(q, "parseDateTime64BestEffort")(a => bestEffort(a(0)))
+    q = rewriteCalls(q, "parseDateTime64OrNull")(a =>
+      s"try_cast(${a(0)} AS TIMESTAMP)")
+    q = rewriteCalls(q, "parseDateTime64OrZero")(a =>
+      s"coalesce(try_cast(${a(0)} AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')")
+    q = rewriteCalls(q, "parseDateTime64")(a =>
+      s"CAST(${a(0)} AS TIMESTAMP)")
+    q = rewriteCalls(q, "toDateTime64")(a => s"CAST(${a(0)} AS TIMESTAMP)")
+    q = rewriteCalls(q, "toDateTime32")(a => s"CAST(${a(0)} AS TIMESTAMP)")
 
     // ---- batch 17 templates (round 9) ----
     // extractAllGroups{Vertical,Horizontal}(s, 're'): group count read

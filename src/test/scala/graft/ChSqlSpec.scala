@@ -1267,4 +1267,37 @@ class ChSqlSpec extends AnyFunSuite {
     assert(math.abs(i - 25000) / 25000 < 0.15, s"intersect $i")
     assert(math.abs(d - 25000) / 25000 < 0.15, s"not $d")
   }
+
+  test("batch-18: date/array tail") {
+    val r = ch("""SELECT arrayLastIndex(__x -> __x > 1, [0, 2, 1, 3, 1]) AS ali,
+                 |arrayLastIndex(__x -> __x > 9, [1, 2]) AS ali0,
+                 |YYYYMMDDToDate(19960215) AS ymd,
+                 |toString(toDate(str_to_date('15/02/1996', '%d/%m/%Y'))) AS std,
+                 |addDate(toDate('1996-01-01'), INTERVAL 1 MONTH) AS ad,
+                 |subDate(toDate('1996-03-01'), INTERVAL 29 DAY) AS sd,
+                 |time_bucket(INTERVAL 15 MINUTE, toDateTime('1996-01-01 10:23:45')) AS tb,
+                 |toStartOfISOYear(toDate('1996-06-15')) AS isoys,
+                 |toStartOfISOYear(toDate('1995-01-01')) AS isoys_prev,
+                 |toWeekYear(toDate('1995-01-01')) AS wy,
+                 |toUnixTimestamp64Second(toDateTime('1970-01-02 00:00:00')) AS uts,
+                 |fromUnixTimestamp64Second(86400) AS futs,
+                 |parseDateTime64BestEffortOrNull('1996-02-15 10:00:00') AS p64,
+                 |parseDateTime64OrZero('garbage') AS p64z""".stripMargin).collect()(0)
+    assert(r.getAs[Number](0).longValue == 4L)
+    assert(r.getAs[Number](1).longValue == 0L)
+    assert(r.getDate(2).toString == "1996-02-15")
+    assert(r.getString(3) == "1996-02-15")
+    assert(r.getDate(4).toString == "1996-02-01")
+    assert(r.getDate(5).toString == "1996-02-01")
+    assert(r.getTimestamp(6).toString.startsWith("1996-01-01 10:15:00"))
+    // 1996 ISO week 1 starts Monday 1996-01-01
+    assert(r.getDate(7).toString == "1996-01-01")
+    // 1995-01-01 is in ISO year 1994, which starts Monday 1994-01-03
+    assert(r.getDate(8).toString == "1994-01-03")
+    assert(r.getAs[Number](9).intValue == 1994)
+    assert(r.getAs[Number](10).longValue == 86400L)
+    assert(r.getTimestamp(11).toString.startsWith("1970-01-02 00:00:00"))
+    assert(r.getTimestamp(12).toString.startsWith("1996-02-15 10:00:00"))
+    assert(r.getTimestamp(13).toString.startsWith("1970-01-01 00:00:00"))
+  }
 }
