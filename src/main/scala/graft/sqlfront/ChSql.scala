@@ -480,6 +480,10 @@ object ChSql {
     // so finalizeAggregation over them is the identity and over a
     // union/uniqThetaState state is the KMV estimate.
     // batch 18: small date/array tail
+    "bitmapSubsetInRange" -> "t", "bitmapSubsetLimit" -> "t",
+    "subBitmap" -> "t", "bitmapTransform" -> "t",
+    "moduloOrNull" -> "t", "positiveModuloOrNull" -> "t",
+    "pmodOrNull" -> "t", "positive_modulo_or_null" -> "t",
     "arrayLastIndex" -> "t", "YYYYMMDDToDate" -> "t", "str_to_date" -> "t",
     "addDate" -> "t", "subDate" -> "t", "time_bucket" -> "t", "date_bin" -> "t",
     "toStartOfISOYear" -> "t", "toWeekOfWeekYear" -> "t", "toWeekYear" -> "t",
@@ -1766,6 +1770,17 @@ object ChSql {
     q = rewriteCalls(q, "bitmapAndnot")(a =>
       s"array_sort(array_except(${a(0)}, ${a(1)}))")
     q = rewriteCalls(q, "bitmapContains")(a => s"array_contains(${a(0)}, ${a(1)})")
+    // subset ops (reference bitmapSubsetInRange/Limit, subBitmap,
+    // bitmapTransform over our sorted-distinct-array representation)
+    q = rewriteCalls(q, "bitmapSubsetInRange")(a =>
+      s"filter(${a(0)}, __x -> __x >= ${a(1)} AND __x < ${a(2)})")
+    q = rewriteCalls(q, "bitmapSubsetLimit")(a =>
+      s"slice(filter(${a(0)}, __x -> __x >= ${a(1)}), 1, ${a(2)})")
+    q = rewriteCalls(q, "subBitmap")(a =>
+      s"slice(${a(0)}, CAST(${a(1)} AS INT) + 1, CAST(${a(2)} AS INT))")
+    q = rewriteCalls(q, "bitmapTransform")(a =>
+      s"array_sort(array_distinct(transform(${a(0)}, " +
+        s"__x -> coalesce(element_at(map_from_arrays(${a(1)}, ${a(2)}), __x), __x))))")
     q = rewriteCalls(q, "bitmapHasAny")(a => s"arrays_overlap(${a(0)}, ${a(1)})")
     q = rewriteCalls(q, "bitmapHasAll")(a =>
       s"(size(array_except(${a(1)}, ${a(0)})) = 0)")
@@ -2238,6 +2253,14 @@ object ChSql {
       s"timestamp_micros(CAST(${a(0)} AS BIGINT) div 1000)")
     q = rewriteCalls(q, "toUnixTimestamp64Nano")(a =>
       s"(unix_micros(CAST(${a(0)} AS TIMESTAMP)) * 1000)")
+    q = rewriteCalls(q, "moduloOrNull")(a =>
+      s"(CASE WHEN (${a(1)}) = 0 THEN NULL ELSE (${a(0)}) % (${a(1)}) END)")
+    q = rewriteCalls(q, "positiveModuloOrNull")(a =>
+      s"(CASE WHEN (${a(1)}) = 0 THEN NULL ELSE pmod(${a(0)}, ${a(1)}) END)")
+    q = rewriteCalls(q, "pmodOrNull")(a =>
+      s"(CASE WHEN (${a(1)}) = 0 THEN NULL ELSE pmod(${a(0)}, ${a(1)}) END)")
+    q = rewriteCalls(q, "positive_modulo_or_null")(a =>
+      s"(CASE WHEN (${a(1)}) = 0 THEN NULL ELSE pmod(${a(0)}, ${a(1)}) END)")
     q = rewriteCalls(q, "UTC_timestamp")(_ => "current_timestamp()")
     q = rewriteCalls(q, "curdate")(_ => "current_date()")
     // parseDateTime64* = the DateTime64 spellings of the parse family

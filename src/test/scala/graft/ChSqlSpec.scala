@@ -1300,4 +1300,21 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getTimestamp(12).toString.startsWith("1996-02-15 10:00:00"))
     assert(r.getTimestamp(13).toString.startsWith("1970-01-01 00:00:00"))
   }
+
+  test("batch-18: bitmap subsets and OrNull modulo") {
+    val r = ch("""SELECT bitmapSubsetInRange(bitmapBuild([1,5,9,13,17]), 5, 14) AS sir,
+                 |bitmapSubsetLimit(bitmapBuild([1,5,9,13,17]), 5, 2) AS sl,
+                 |subBitmap(bitmapBuild([1,5,9,13,17]), 1, 3) AS sub,
+                 |bitmapToArray(bitmapTransform(bitmapBuild([1,5,9]), [5], [50])) AS bt,
+                 |moduloOrNull(7, 0) AS m0,
+                 |moduloOrNull(7, 3) AS m3,
+                 |positiveModuloOrNull(-7, 3) AS pm""".stripMargin).collect()(0)
+    assert(r.getSeq[Int](0) == Seq(5, 9, 13))
+    assert(r.getSeq[Int](1) == Seq(5, 9))
+    assert(r.getSeq[Int](2) == Seq(5, 9, 13))
+    assert(r.getSeq[Int](3) == Seq(1, 9, 50))
+    assert(r.isNullAt(4))
+    assert(r.getAs[Number](5).intValue == 1)
+    assert(r.getAs[Number](6).intValue == 2)
+  }
 }
