@@ -56,6 +56,22 @@ class PlanSpec extends AnyFunSuite {
       s"shipdate filter not pushed:\n${plan.take(2000)}")
   }
 
+  test("hash-compat kernels stay inside whole-stage codegen") {
+    // the faithful hash family (HashCompat) emits a single static call in
+    // doGenCode — a projection using them must land inside a
+    // WholeStageCodegen span, not fall back to interpreted evaluation
+    val df = graft.core.Tables.t(spark, sf, "customer")
+      .selectExpr("ch_cityhash64(c_name) AS h1", "ch_siphash64(c_name) AS h2",
+        "ch_xxhash32(c_name) AS h3", "ch_inthash64(c_custkey) AS h4")
+    val rows = df.collect() // force execution so AQE finalizes the stages
+    assert(rows.nonEmpty && rows.exists(r => r.getLong(0) != 0L))
+    val plan = df.queryExecution.executedPlan.toString
+    // the Project carrying the hash calls is starred = inside a
+    // WholeStageCodegen span (no CodegenFallback interpretation)
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.toLowerCase.contains("cityhash64")),
+      s"hash projection not codegen'd:\n${plan.take(2000)}")
+  }
+
   test("no unpartitioned Window in the de-weaked operators") {
     // These used to funnel all rows through one task via a global Window;
     // the scale-safe rewrites must keep every WindowExec partitioned
