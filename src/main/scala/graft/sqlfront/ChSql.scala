@@ -480,6 +480,7 @@ object ChSql {
     // so finalizeAggregation over them is the identity and over a
     // union/uniqThetaState state is the KMV estimate.
     // batch 18: small date/array tail
+    "toWeek" -> "t", "toYearWeek" -> "t", "week" -> "t", "yearweek" -> "t",
     "bitmapSubsetInRange" -> "t", "bitmapSubsetLimit" -> "t",
     "subBitmap" -> "t", "bitmapTransform" -> "t",
     "moduloOrNull" -> "t", "positiveModuloOrNull" -> "t",
@@ -2224,6 +2225,44 @@ object ChSql {
       s"coalesce(${readableSize(a(0))}, 0.0)")
 
     // ---- batch 18 templates (round 9): small date/array tail ----
+    // toWeek/toYearWeek (MySQL WEEK()/YEARWEEK() semantics, reference
+    // DateLUTImpl toWeek): mode 0 (default) = Sunday-first weeks 0-53,
+    // week 1 starting at the year's first Sunday; mode 3 = ISO. Other
+    // modes are rejected at rewrite time.
+    def firstSunday(yearExpr: String): String = {
+      val jan1 = s"make_date($yearExpr, 1, 1)"
+      s"date_add($jan1, (8 - dayofweek($jan1)) % 7)"
+    }
+    def weekMode(a: Seq[String]): Int =
+      if (a.length > 1) stripName(a(1)).trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException("toWeek mode must be a literal"))
+      else 0
+    q = rewriteCalls(q, "yearweek")(a => s"toYearWeek(${a.mkString(", ")})")
+    q = rewriteCalls(q, "week")(a => s"toWeek(${a.mkString(", ")})")
+    q = rewriteCalls(q, "toYearWeek")(a => {
+      weekMode(a) match {
+        case 0 =>
+          val d = s"CAST(${a(0)} AS DATE)"
+          val fsThis = firstSunday(s"year($d)")
+          val fsPrev = firstSunday(s"(year($d) - 1)")
+          s"(CASE WHEN $d >= $fsThis THEN year($d) * 100 + (datediff($d, $fsThis) div 7) + 1 " +
+            s"ELSE (year($d) - 1) * 100 + (datediff($d, $fsPrev) div 7) + 1 END)"
+        case 3 =>
+          s"(year(date_add(CAST(${a(0)} AS DATE), 3 - weekday(${a(0)}))) * 100 + weekofyear(${a(0)}))"
+        case m => throw new IllegalArgumentException(s"toYearWeek mode $m unsupported (0 and 3 are)")
+      }
+    })
+    q = rewriteCalls(q, "toWeek")(a => {
+      weekMode(a) match {
+        case 0 =>
+          val d = s"CAST(${a(0)} AS DATE)"
+          val fs = firstSunday(s"year($d)")
+          s"(CASE WHEN $d < $fs THEN 0 ELSE (datediff($d, $fs) div 7) + 1 END)"
+        case 3 => s"weekofyear(${a(0)})"
+        case m => throw new IllegalArgumentException(s"toWeek mode $m unsupported (0 and 3 are)")
+      }
+    })
+
     // arrayLastIndex: last 1-based index where the lambda holds
     q = rewriteCalls(q, "arrayLastIndex")(a => {
       val marks = s"transform(${a(1)}, ${a(0)})"

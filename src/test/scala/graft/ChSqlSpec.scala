@@ -1317,4 +1317,30 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getAs[Number](5).intValue == 1)
     assert(r.getAs[Number](6).intValue == 2)
   }
+
+  test("batch-18: toWeek/toYearWeek MySQL modes 0 and 3") {
+    val r = ch("""SELECT toWeek(toDate('1996-01-01')) AS w_jan1,
+                 |toWeek(toDate('1996-01-07')) AS w_firstsun,
+                 |toWeek(toDate('1996-07-04')) AS w_jul4,
+                 |toWeek(toDate('1996-01-01'), 3) AS w_iso,
+                 |toYearWeek(toDate('1996-01-01')) AS yw_jan1,
+                 |toYearWeek(toDate('1996-01-07')) AS yw_firstsun,
+                 |toYearWeek(toDate('1996-01-01'), 3) AS yw_iso,
+                 |week(toDate('1996-01-07')) AS w_alias,
+                 |yearweek(toDate('1996-01-07')) AS yw_alias""".stripMargin).collect()(0)
+    // 1996-01-01 is a Monday; first Sunday of 1996 is Jan 7 -> week 0
+    assert(r.getAs[Number](0).intValue == 0)
+    assert(r.getAs[Number](1).intValue == 1)
+    // Jan 7 + 25 full weeks = Jul 4 week 26 (MySQL WEEK('1996-07-04') = 26)
+    assert(r.getAs[Number](2).intValue == 26)
+    // ISO week of Monday Jan 1 1996 = 1
+    assert(r.getAs[Number](3).intValue == 1)
+    // YEARWEEK mode 0: Jan 1 1996 belongs to 1995's week 53 (first Sunday
+    // of 1995 was Jan 1 1995; 365 days later = week 53)
+    assert(r.getAs[Number](4).intValue == 199553)
+    assert(r.getAs[Number](5).intValue == 199601)
+    assert(r.getAs[Number](6).intValue == 199601)
+    assert(r.getAs[Number](7).intValue == 1)
+    assert(r.getAs[Number](8).intValue == 199601)
+  }
 }
