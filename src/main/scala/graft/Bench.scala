@@ -8,6 +8,39 @@ import org.apache.spark.sql.SparkSession
   * Per BASELINE.md the JVM is warmed first (full pass, discarded) so the
   * timed pass measures steady-state plan execution, not codegen/JIT. */
 object Bench {
+
+  /** Environment self-certification (VERDICT r9 §wrong-1): driver-side runs
+    * have shown 2.7–4.2× inflation on CPU-bound kernels for three rounds,
+    * caused by sibling JVMs (sbt, other builds) competing for cores. The
+    * bench can't fix that, but it can make it visible: record 1-min loadavg
+    * and the number of OTHER java processes before the timed passes, and
+    * emit both in the JSON. A run with `contended:true` is self-declared
+    * untrustworthy for cross-round comparison. */
+  case class EnvCert(loadavg: Double, siblingJvms: Int, contended: Boolean) {
+    def json: String =
+      s""""env":{"loadavg":$loadavg,"sibling_jvms":$siblingJvms,"contended":$contended}"""
+  }
+
+  def certifyEnv(cpus: Int): EnvCert = {
+    val load =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val self = ProcessHandle.current().pid()
+    val siblings =
+      try {
+        import scala.jdk.CollectionConverters._
+        ProcessHandle.allProcesses().iterator().asScala.count { p =>
+          p.pid() != self &&
+            p.info().command().map[Boolean](_.endsWith("java")).orElse(false)
+        }
+      } catch { case _: Throwable => -1 }
+    // Contended = measurable pre-existing load (other work already holding
+    // cores when we start) or any sibling JVM alive. loadavg includes this
+    // process's own startup, so require a margin above 2 cores.
+    EnvCert(load, siblings, contended = load > 2.0 || siblings > 0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,6 +67,12 @@ object Bench {
     val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+    val env = certifyEnv(cpus.toInt)
+    if (env.contended)
+      System.err.println(s"[bench] WARNING: environment contended " +
+        s"(loadavg=${env.loadavg}, sibling JVMs=${env.siblingJvms}); " +
+        "timings below are tagged contended:true and not comparable " +
+        "to clean-run baselines")
     names.foreach(run) // warm-up pass (discarded)
     // median of 3 timed passes: single-pass numbers drift a few hundred
     // ms on small queries (JIT/GC noise made q_rollup/q2 look like
@@ -61,10 +100,10 @@ object Bench {
     val rmap = results.toMap
     val qs = headline.flatMap(n => rmap.get(n).filter(_ >= 0).map(v =>
       "\"" + n + "\":" + fmt(v))).mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},${env.json},"queries":$qs,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},${env.json},"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), fullJson + "\n")
     println(json)
     spark.stop()

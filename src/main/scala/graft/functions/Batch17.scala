@@ -243,15 +243,22 @@ object Batch17 {
   }
 
   def punycodeDecode(s: String): String = {
+    // RFC 3492 §3.1: the basic string is everything before the LAST
+    // delimiter — which may be at index 0 ("-abc" = empty basic part), so
+    // the split test is >= 0, not > 0. §6.2's overflow checks are
+    // mandatory: without them malformed digit strings wrap Int and decode
+    // to garbage instead of failing (tryPunycodeDecode relies on the
+    // IllegalArgumentException to return NULL).
+    val MaxInt = Int.MaxValue
     val lastDash = s.lastIndexOf('-')
     val output = new java.util.ArrayList[Integer]()
-    val basicEnd = if (lastDash > 0) lastDash else 0
+    val basicEnd = if (lastDash >= 0) lastDash else 0
     for (i <- 0 until basicEnd) {
       val c = s.charAt(i)
       if (c >= 128) throw new IllegalArgumentException("non-basic code point")
       output.add(c.toInt)
     }
-    var in = if (lastDash > 0) lastDash + 1 else 0
+    var in = if (lastDash >= 0) lastDash + 1 else 0
     var n = InitialN
     var i = 0
     var bias = InitialBias
@@ -265,15 +272,22 @@ object Batch17 {
         if (in >= s.length) throw new IllegalArgumentException("truncated punycode")
         val digit = digitVal(s.charAt(in))
         in += 1
+        if (digit > (MaxInt - i) / w) throw new IllegalArgumentException("punycode overflow")
         i += digit * w
         val t = if (k <= bias) TMin else if (k >= bias + TMax) TMax else k - bias
         if (digit < t) done = true
-        else { w *= Base - t; k += Base }
+        else {
+          if (w > MaxInt / (Base - t)) throw new IllegalArgumentException("punycode overflow")
+          w *= Base - t
+          k += Base
+        }
       }
       bias = adapt(i - oldi, output.size + 1, first)
       first = false
+      if (i / (output.size + 1) > MaxInt - n) throw new IllegalArgumentException("punycode overflow")
       n += i / (output.size + 1)
       i %= output.size + 1
+      if (!Character.isValidCodePoint(n)) throw new IllegalArgumentException(s"invalid code point $n")
       output.add(i, n)
       i += 1
     }

@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Value-faithful reimplementations of the reference's non-cryptographic
@@ -702,36 +703,107 @@ object HashCompat {
 
   // ---------- combine (multi-arg fold, per reference combineHashesFunc) ----------
 
-  /** cityHash64 combine: Hash128to64(h1, h2) (FunctionsHashing.h:621). */
+  /** cityHash64 combine: Hash128to64(h1, h2) (FunctionsHashing.h:621);
+    * also the reference's combine for xxHash64 (:705), metroHash64 (:656)
+    * and farmHash64 (:645). */
   def cityCombine(h1: Long, h2: Long): Long = hash128to64(h1, h2)
 
-  /** Generic combine for sip/murmur64/xx64: hash of the two LE words
+  /** Generic combine for sip/wy/halfMD5: hash of the two LE words
     * (combineHashesFunc, FunctionsHashing.h:193-199). */
   def sipCombine(h1: Long, h2: Long): Long = sipHash64(le8(h1) ++ le8(h2))
+  def wy64Combine(h1: Long, h2: Long): Long = wyHash64(le8(h1) ++ le8(h2))
+  def halfMD5Combine(h1: Long, h2: Long): Long = halfMD5(le8(h1) ++ le8(h2))
+  /** murmur2_64 / gccMurmur / murmur3_64 combine (FunctionsHashing.h:400,419,489). */
   def murmur2_64Combine(h1: Long, h2: Long): Long = intHash64(h1) ^ h2
+  /** 32-bit-space combine: murmur2_32/kafka/murmur3_32/xxHash32
+    * (FunctionsHashing.h:382,441,465,688). */
+  def int32XorCombine(h1: Long, h2: Long): Long = (intHash32(h1) ^ h2) & 0xffffffffL
   def xx64Combine(h1: Long, h2: Long): Long = xxHash64(le8(h1) ++ le8(h2))
+
+  // ---------- POD (non-string) inputs ----------
+
+  /** LE bytes of a value at the given byte width. The reference hashes a
+    * numeric column's native little-endian layout at its own width
+    * (FunctionsHashing.h:904-910 — apply(reinterpret_cast, sizeof)); used
+    * by the hash expressions for numeric/date/bool children. */
+  def leBytesW(x: Long, width: Int): Array[Byte] = {
+    val b = new Array[Byte](width)
+    var i = 0
+    while (i < width) { b(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+}
+
+/** Shared input handling for the ChHash* expressions. Strings hash their
+  * UTF-8 bytes and binaries their raw bytes; numeric/bool/date children
+  * hash the value's native little-endian byte layout at its own width,
+  * matching the reference's POD path (FunctionsHashing.h:904-910:
+  * apply(reinterpret_cast<const char*>(&v), sizeof(v))). Widths follow
+  * the reference column types: Date = UInt16 days (2), Timestamp =
+  * DateTime64(6) Int64 micros (8), Float32/64 = raw IEEE bits at 4/8.
+  * Unsupported types fail at analysis time, not with a runtime
+  * MatchError. */
+private[functions] object HashInput {
+  val supported: Set[DataType] = Set(
+    StringType, BinaryType, ByteType, ShortType, IntegerType, LongType,
+    FloatType, DoubleType, BooleanType, DateType, TimestampType,
+    TimestampNTZType)
+
+  def check(dt: DataType, name: String): TypeCheckResult =
+    if (supported(dt)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name does not support ${dt.sql} input; cast to string/binary or a numeric type")
+
+  /** Eval-path bytes for a non-null input of declared type dt. */
+  def bytes(input: Any, dt: DataType): Array[Byte] = dt match {
+    case StringType => input.asInstanceOf[UTF8String].getBytes
+    case BinaryType => input.asInstanceOf[Array[Byte]]
+    case ByteType => HashCompat.leBytesW(input.asInstanceOf[Byte].toLong, 1)
+    case ShortType => HashCompat.leBytesW(input.asInstanceOf[Short].toLong, 2)
+    case IntegerType => HashCompat.leBytesW(input.asInstanceOf[Int].toLong, 4)
+    case LongType => HashCompat.leBytesW(input.asInstanceOf[Long], 8)
+    case BooleanType =>
+      HashCompat.leBytesW(if (input.asInstanceOf[Boolean]) 1L else 0L, 1)
+    case DateType => HashCompat.leBytesW(input.asInstanceOf[Int].toLong, 2)
+    case TimestampType | TimestampNTZType =>
+      HashCompat.leBytesW(input.asInstanceOf[Long], 8)
+    case FloatType => HashCompat.leBytesW(
+      java.lang.Float.floatToRawIntBits(input.asInstanceOf[Float]).toLong & 0xffffffffL, 4)
+    case DoubleType => HashCompat.leBytesW(
+      java.lang.Double.doubleToRawLongBits(input.asInstanceOf[Double]), 8)
+  }
+
+  /** Codegen fragment producing byte[] from the child's value variable. */
+  def genBytes(a: String, dt: DataType): String = dt match {
+    case StringType => s"$a.getBytes()"
+    case BinaryType => a
+    case ByteType => s"graft.functions.HashCompat.leBytesW((long)$a, 1)"
+    case ShortType => s"graft.functions.HashCompat.leBytesW((long)$a, 2)"
+    case IntegerType => s"graft.functions.HashCompat.leBytesW((long)$a, 4)"
+    case LongType => s"graft.functions.HashCompat.leBytesW($a, 8)"
+    case BooleanType => s"graft.functions.HashCompat.leBytesW($a ? 1L : 0L, 1)"
+    case DateType => s"graft.functions.HashCompat.leBytesW((long)$a, 2)"
+    case TimestampType | TimestampNTZType =>
+      s"graft.functions.HashCompat.leBytesW($a, 8)"
+    case FloatType =>
+      s"graft.functions.HashCompat.leBytesW(((long)Float.floatToRawIntBits($a)) & 0xffffffffL, 4)"
+    case DoubleType =>
+      s"graft.functions.HashCompat.leBytesW(Double.doubleToRawLongBits($a), 8)"
+  }
 }
 
 /** Unary byte-hash returning Long: algo is a static-method name on
   * HashCompat, dispatched by generated code directly (stays inside
-  * whole-stage codegen). Input String hashes its UTF-8 bytes; Binary
-  * hashes raw bytes. */
+  * whole-stage codegen). */
 case class ChHash64(child: Expression, algo: String) extends UnaryExpression {
   override def dataType: DataType = LongType
-  private def bytesOf(input: Any): Array[Byte] = input match {
-    case s: UTF8String => s.getBytes
-    case b: Array[Byte] => b
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashInput.check(child.dataType, algo)
   override def nullSafeEval(input: Any): Any =
-    ChHash64.invoke(algo, bytesOf(input))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val get = child.dataType match {
-      case BinaryType => (a: String) => a
-      case _ => (a: String) => s"$a.getBytes()"
-    }
+    ChHash64.invoke(algo, HashInput.bytes(input, child.dataType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.HashCompat.$algo(${get(a)});")
-  }
+      s"${ev.value} = graft.functions.HashCompat.$algo(${HashInput.genBytes(a, child.dataType)});")
   override protected def withNewChildInternal(newChild: Expression): ChHash64 =
     copy(child = newChild)
 }
@@ -759,23 +831,19 @@ object ChHash64 {
 /** Unary byte-hash returning Int (javaHash family — reference Int32). */
 case class ChHash32(child: Expression, algo: String) extends UnaryExpression {
   override def dataType: DataType = IntegerType
-  private def bytesOf(input: Any): Array[Byte] = input match {
-    case s: UTF8String => s.getBytes
-    case b: Array[Byte] => b
-  }
-  override def nullSafeEval(input: Any): Any = algo match {
-    case "javaHash" => HashCompat.javaHash(bytesOf(input))
-    case "javaHashUTF16LE" => HashCompat.javaHashUTF16LE(bytesOf(input))
-    case "hiveHash" => HashCompat.hiveHash(bytesOf(input))
-  }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val get = child.dataType match {
-      case BinaryType => (a: String) => a
-      case _ => (a: String) => s"$a.getBytes()"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashInput.check(child.dataType, algo)
+  override def nullSafeEval(input: Any): Any = {
+    val b = HashInput.bytes(input, child.dataType)
+    algo match {
+      case "javaHash" => HashCompat.javaHash(b)
+      case "javaHashUTF16LE" => HashCompat.javaHashUTF16LE(b)
+      case "hiveHash" => HashCompat.hiveHash(b)
     }
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.HashCompat.$algo(${get(a)});")
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashCompat.$algo(${HashInput.genBytes(a, child.dataType)});")
   override protected def withNewChildInternal(newChild: Expression): ChHash32 =
     copy(child = newChild)
 }
@@ -784,25 +852,51 @@ case class ChHash32(child: Expression, algo: String) extends UnaryExpression {
   * murmurHash3_128) in the reference's memory order. */
 case class ChHash128(child: Expression, algo: String) extends UnaryExpression {
   override def dataType: DataType = BinaryType
-  private def bytesOf(input: Any): Array[Byte] = input match {
-    case s: UTF8String => s.getBytes
-    case b: Array[Byte] => b
-  }
-  override def nullSafeEval(input: Any): Any = algo match {
-    case "sipHash128" => HashCompat.sipHash128(bytesOf(input))
-    case "sipHash128Reference" => HashCompat.sipHash128Reference(bytesOf(input))
-    case "murmurHash3_128" => HashCompat.murmurHash3_128(bytesOf(input))
-  }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val get = child.dataType match {
-      case BinaryType => (a: String) => a
-      case _ => (a: String) => s"$a.getBytes()"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashInput.check(child.dataType, algo)
+  override def nullSafeEval(input: Any): Any = {
+    val b = HashInput.bytes(input, child.dataType)
+    algo match {
+      case "sipHash128" => HashCompat.sipHash128(b)
+      case "sipHash128Reference" => HashCompat.sipHash128Reference(b)
+      case "murmurHash3_128" => HashCompat.murmurHash3_128(b)
     }
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.HashCompat.$algo(${get(a)});")
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashCompat.$algo(${HashInput.genBytes(a, child.dataType)});")
   override protected def withNewChildInternal(newChild: Expression): ChHash128 =
     copy(child = newChild)
+}
+
+/** 128-bit two-hash combine (combineHashesFunc<UInt128> —
+  * FunctionsHashing.h:193-199,290,325,507): the two 16-byte LE states are
+  * concatenated and re-hashed with the same algorithm. Lets multi-arg
+  * sipHash128(a, b, …) fold like the reference instead of dropping
+  * arguments. */
+case class Ch128Combine(left: Expression, right: Expression, algo: String)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Ch128Combine.invoke(algo, l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"""${ev.value} = graft.functions.Ch128Combine.invoke("$algo", $l, $r);""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Ch128Combine =
+    copy(left = l, right = r)
+}
+
+object Ch128Combine {
+  def invoke(algo: String, a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val cat = new Array[Byte](a.length + b.length)
+    System.arraycopy(a, 0, cat, 0, a.length)
+    System.arraycopy(b, 0, cat, a.length, b.length)
+    algo match {
+      case "sipHash128" => HashCompat.sipHash128(cat)
+      case "sipHash128Reference" => HashCompat.sipHash128Reference(cat)
+      case "murmurHash3_128" => HashCompat.murmurHash3_128(cat)
+    }
+  }
 }
 
 /** Two-hash combine for multi-argument hash calls, per the reference's
@@ -811,29 +905,46 @@ case class ChHash128(child: Expression, algo: String) extends UnaryExpression {
   * calls fold left over per-argument hashes with this. */
 case class ChHashCombine(left: Expression, right: Expression, algo: String)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private val method = ChHashCombine.methodFor(algo)
   override def dataType: DataType = LongType
   override def nullSafeEval(l: Any, r: Any): Any = {
     val h1 = l.asInstanceOf[Long]
     val h2 = r.asInstanceOf[Long]
-    algo match {
-      case "cityHash64" => HashCompat.cityCombine(h1, h2)
-      case "sipHash64" => HashCompat.sipCombine(h1, h2)
-      case "murmurHash2_64" => HashCompat.murmur2_64Combine(h1, h2)
-      case "xxHash64" => HashCompat.xx64Combine(h1, h2)
+    method match {
+      case "cityCombine" => HashCompat.cityCombine(h1, h2)
+      case "sipCombine" => HashCompat.sipCombine(h1, h2)
+      case "murmur2_64Combine" => HashCompat.murmur2_64Combine(h1, h2)
+      case "int32XorCombine" => HashCompat.int32XorCombine(h1, h2)
+      case "wy64Combine" => HashCompat.wy64Combine(h1, h2)
+      case "halfMD5Combine" => HashCompat.halfMD5Combine(h1, h2)
+      case "xx64Combine" => HashCompat.xx64Combine(h1, h2)
     }
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = algo match {
-      case "cityHash64" => "cityCombine"
-      case "sipHash64" => "sipCombine"
-      case "murmurHash2_64" => "murmur2_64Combine"
-      case "xxHash64" => "xx64Combine"
-    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.functions.HashCompat.$m($l, $r);")
-  }
+      s"${ev.value} = graft.functions.HashCompat.$method($l, $r);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ChHashCombine =
     copy(left = l, right = r)
+}
+
+object ChHashCombine {
+  /** Per-algorithm combine from the reference (FunctionsHashing.h line in
+    * each combine method's doc). Algos absent here (javaHash family, CRC)
+    * throw NOT_IMPLEMENTED in the reference for multi-arg calls too. */
+  def methodFor(algo: String): String = algo match {
+    // farmhash defines Fingerprint(uint128) == Hash128to64, so
+    // farmFingerprint64's combine is also cityCombine (farmhash.h)
+    case "cityHash64" | "xxHash64" | "metroHash64" | "farmHash64" |
+         "farmFingerprint64" => "cityCombine"
+    case "sipHash64" => "sipCombine"
+    case "murmurHash2_64" | "gccMurmurHash" | "murmurHash3_64" => "murmur2_64Combine"
+    case "murmurHash2_32u" | "kafkaMurmurHash" | "murmurHash3_32" |
+         "xxHash32" => "int32XorCombine"
+    case "wyHash64" => "wy64Combine"
+    case "halfMD5" => "halfMD5Combine"
+  }
+  def combinable(algo: String): Boolean =
+    try { methodFor(algo); true } catch { case _: MatchError => false }
 }
 
 /** intHash32/intHash64 over an integer input (Long-typed). */

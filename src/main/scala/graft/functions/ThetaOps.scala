@@ -26,12 +26,29 @@ case class ThetaSetOpExpr(left: Expression, right: Expression, op: String)
     copy(left = l, right = r)
 }
 
-/** Estimate of a KMV state (finalizeAggregation over a theta state). */
+/** Estimate of a KMV state (finalizeAggregation over a theta state).
+  *
+  * Two input shapes (the promise at ChSql's uniqTheta alias block):
+  *  - array<bigint> KMV state (uniqThetaState / uniqThetaUnion) → estimate;
+  *  - bigint (uniqThetaIntersect / uniqThetaNot already return counts here)
+  *    → identity, so the reference's idiomatic
+  *    finalizeAggregation(uniqThetaIntersect(a, b)) composes instead of
+  *    class-cast-crashing on a Long. */
 case class ThetaEstimate(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  private val passThrough = child.dataType == LongType
   override def nullSafeEval(input: Any): Any =
-    ThetaSetOps.estimate(input.asInstanceOf[ArrayData].toLongArray())
+    if (passThrough) input
+    else ThetaSetOps.estimate(input.asInstanceOf[ArrayData].toLongArray())
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case LongType | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"uniq_theta_estimate expects BIGINT or ARRAY<BIGINT> state, got ${other.sql}")
+    }
+  }
   override protected def withNewChildInternal(c: Expression): ThetaEstimate =
     copy(child = c)
 }

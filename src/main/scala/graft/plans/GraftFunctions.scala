@@ -225,28 +225,62 @@ object GraftFunctions {
     * intHash64 (use_int_hash_for_pods — FunctionsHashing.h:277-279). */
   private def hashCompat: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     import graft.functions.{ChHash32, ChHash64, ChHash128, ChHashCombine, ChIntHash}
+    // POD per the reference's use_int_hash_for_pods branch: fixed-width
+    // numerics, bools and dates (FunctionsHashing.h:895-901). Timestamps
+    // stay on the byte path (documented at HashInput: DateTime64(6)).
     def isIntegral(e: Expression): Boolean = e.dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           IntegerType | org.apache.spark.sql.types.LongType => true
+           IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.DateType => true
       case _ => false
     }
+    // POD bits for use_int_hash_for_pods algos: the reference bit_casts at
+    // the value's ORIGINAL width into a zeroed UInt64 (zero-extension —
+    // FunctionsHashing.h:898 bit_cast<UInt64>), so Int32 -1 hashes as
+    // 0xFFFFFFFF, not sign-extended. ChReinterpret("u64") is exactly that
+    // zero-extending bit_cast for every numeric width incl. floats.
+    // (Contrast intHash32/intHash64 the SQL functions, which convert via
+    // C++ implicit UInt64 conversion — sign-extending — h:177,188; those
+    // keep the plain Cast below.)
+    def podBits(e: Expression): Expression =
+      graft.functions.ChReinterpret(e, "u64")
     // per-arg hash for combinable 64-bit functions, then left-fold combine
     def fold64(algo: String, podsAsIntHash: Boolean)(es: Seq[Expression]): Expression = {
       require(es.nonEmpty, s"$algo needs at least one argument")
       es.map { e =>
-        if (podsAsIntHash && isIntegral(e)) ChIntHash(asLong(e), 64)
+        if (podsAsIntHash && isIntegral(e)) ChIntHash(podBits(e), 64)
         else ChHash64(e, algo): Expression
       }.reduceLeft((a, b) => ChHashCombine(a, b, algo))
     }
+    // Multi-arg calls fold per-argument hashes with the reference's
+    // per-function combineHashes (ChHashCombine.methodFor); functions the
+    // reference declares non-combinable (javaHash family, CRC) fail loudly
+    // instead of silently hashing only the first argument.
     def one64(name: String, algo: String) =
       (FunctionIdentifier(name), info(name),
-        (es: Seq[Expression]) => ChHash64(es.head, algo): Expression)
+        (es: Seq[Expression]) =>
+          if (graft.functions.ChHashCombine.combinable(algo))
+            fold64(algo, podsAsIntHash = false)(es)
+          else {
+            require(es.length == 1,
+              s"$name is not combineable for multiple arguments")
+            ChHash64(es.head, algo): Expression
+          })
     def one32(name: String, algo: String) =
       (FunctionIdentifier(name), info(name),
-        (es: Seq[Expression]) => ChHash32(es.head, algo): Expression)
+        (es: Seq[Expression]) => {
+          require(es.length == 1,
+            s"$name is not combineable for multiple arguments")
+          ChHash32(es.head, algo): Expression
+        })
     def one128(name: String, algo: String) =
       (FunctionIdentifier(name), info(name),
-        (es: Seq[Expression]) => ChHash128(es.head, algo): Expression)
+        (es: Seq[Expression]) => {
+          require(es.nonEmpty, s"$name needs at least one argument")
+          es.map(e => ChHash128(e, algo): Expression)
+            .reduceLeft((a, b) => graft.functions.Ch128Combine(a, b, algo))
+        })
     Seq(
       (FunctionIdentifier("ch_cityhash64"), info("ch_cityhash64"),
         (es: Seq[Expression]) => fold64("cityHash64", podsAsIntHash = true)(es)),

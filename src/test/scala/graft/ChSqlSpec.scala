@@ -1247,6 +1247,32 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getString(9) == "k1:k2|v1:v2")
   }
 
+  test("punycode: delimiter at index 0 splits an empty basic part; overflow returns NULL via try") {
+    // RFC 3492 §3.1: "-<encoded>" has an empty basic string. Round-trip a
+    // pure-non-ASCII label (its encoding starts with no basic part).
+    val r = ch("""SELECT punycodeEncode('日本') AS pe,
+                 |punycodeDecode(punycodeEncode('日本')) AS pd,
+                 |tryPunycodeDecode('-') AS dash,
+                 |tryPunycodeDecode('99999999b') AS ovf""".stripMargin).collect()(0)
+    assert(r.getString(0) === "wgv71a") // no leading dash when basic part empty
+    assert(r.getString(1) === "日本")
+    assert(r.getString(2) === "") // "-" = empty basic part, empty encoded part
+    // digit string driving i past Int range must NULL (not wrap to garbage)
+    assert(r.isNullAt(3))
+  }
+
+  test("finalizeAggregation over intersect/not counts is the identity (composes like the reference)") {
+    val r = ch(
+      """WITH a AS (SELECT uniqThetaState(c_custkey) AS st FROM customer WHERE c_custkey < 100),
+        |     b AS (SELECT uniqThetaState(c_custkey) AS st FROM customer WHERE c_custkey >= 50 AND c_custkey < 150)
+        |SELECT finalizeAggregation(uniqThetaIntersect(a.st, b.st)) AS i,
+        |       uniqThetaIntersect(a.st, b.st) AS i_raw,
+        |       finalizeAggregation(uniqThetaNot(a.st, b.st)) AS d
+        |FROM a, b""".stripMargin).collect()(0)
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(0) > 0 && r.getLong(2) > 0)
+  }
+
   test("batch-17: theta set ops are exact unsaturated and ~2% accurate saturated") {
     import graft.aggregates.{KmvDistinctAggregator, ThetaSetOps}
     val agg = new KmvDistinctAggregator(ThetaSetOps.K)

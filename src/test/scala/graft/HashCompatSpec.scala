@@ -248,4 +248,77 @@ class HashCompatSpec extends AnyFunSuite {
     val sb = HashCompat.sipHash64(b("b"))
     assert(r.getLong(1) === HashCompat.sipCombine(sa, sb))
   }
+
+  test("multi-arg murmur3_64/xxHash32/halfMD5/wyHash64/sipHash128 fold per reference combine") {
+    val spark = SparkTestSession.spark
+    val r = spark.sql(
+      """SELECT ch_murmur3_64('a', 'b') m, ch_xxhash32('a', 'b') x,
+        |       ch_halfmd5('a', 'b') h, ch_wyhash64('a', 'b') w,
+        |       ch_siphash128('a', 'b') s128""".stripMargin).collect()(0)
+    def m64(s: String) = HashCompat.murmurHash3_64(b(s))
+    // murmur3_64 combine = intHash64(h1) ^ h2 (FunctionsHashing.h:489)
+    assert(r.getLong(0) === (HashCompat.intHash64(m64("a")) ^ m64("b")))
+    // 32-bit space combine = (intHash32(h1) ^ h2) & 0xffffffff (h:688)
+    val xa = HashCompat.xxHash32(b("a")); val xb = HashCompat.xxHash32(b("b"))
+    assert(r.getLong(1) === ((HashCompat.intHash32(xa) ^ xb) & 0xffffffffL))
+    // halfMD5 / wyHash64 combine = hash of the two LE words (h:193-199)
+    assert(r.getLong(2) === HashCompat.halfMD5Combine(
+      HashCompat.halfMD5(b("a")), HashCompat.halfMD5(b("b"))))
+    assert(r.getLong(3) === HashCompat.wy64Combine(
+      HashCompat.wyHash64(b("a")), HashCompat.wyHash64(b("b"))))
+    // 128-bit combine = rehash of the 32-byte concatenation
+    val s128 = graft.functions.Ch128Combine.invoke("sipHash128",
+      HashCompat.sipHash128(b("a")), HashCompat.sipHash128(b("b")))
+    assert(r.getAs[Array[Byte]](4).toSeq === s128.toSeq)
+  }
+
+  test("non-combinable hashes reject multiple arguments loudly") {
+    val spark = SparkTestSession.spark
+    for (fn <- Seq("ch_javahash", "ch_hivehash", "ch_crc32", "ch_crc64")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $fn('a', 'b')").collect())
+      assert(e.getMessage.contains("not combineable"), s"$fn: ${e.getMessage}")
+    }
+  }
+
+  test("numeric children hash their native LE byte layout at source width") {
+    val spark = SparkTestSession.spark
+    val r = spark.sql(
+      """SELECT ch_siphash64(CAST(258 AS INT)) i32,
+        |       ch_siphash64(CAST(258 AS BIGINT)) i64,
+        |       ch_siphash64(CAST(258 AS SMALLINT)) i16,
+        |       ch_xxhash64(CAST(-2.5 AS DOUBLE)) f64,
+        |       ch_siphash64(DATE'1995-01-27') d""".stripMargin).collect()(0)
+    assert(r.getLong(0) === HashCompat.sipHash64(HashCompat.leBytesW(258L, 4)))
+    assert(r.getLong(1) === HashCompat.sipHash64(HashCompat.leBytesW(258L, 8)))
+    assert(r.getLong(2) === HashCompat.sipHash64(HashCompat.leBytesW(258L, 2)))
+    assert(r.getLong(3) === HashCompat.xxHash64(HashCompat.leBytesW(
+      java.lang.Double.doubleToRawLongBits(-2.5), 8)))
+    // Date = UInt16 days in the reference (2 LE bytes)
+    val days = java.time.LocalDate.of(1995, 1, 27).toEpochDay
+    assert(r.getLong(4) === HashCompat.sipHash64(HashCompat.leBytesW(days, 2)))
+  }
+
+  test("cityHash64 POD path zero-extends at source width (bit_cast, not sign-extend)") {
+    val spark = SparkTestSession.spark
+    val r = spark.sql(
+      """SELECT ch_cityhash64(CAST(-1 AS INT)) i32,
+        |       ch_cityhash64(CAST(-1 AS BIGINT)) i64,
+        |       ch_inthash64(CAST(-1 AS INT)) ih""".stripMargin).collect()(0)
+    // bit_cast<UInt64>(Int32 -1) = 0xFFFFFFFF (FunctionsHashing.h:898)
+    assert(r.getLong(0) === HashCompat.intHash64(0xffffffffL))
+    assert(r.getLong(1) === HashCompat.intHash64(-1L))
+    assert(r.getLong(0) !== r.getLong(1))
+    // but the intHash64 SQL function converts via C++ implicit UInt64
+    // conversion — sign-extending (h:188 apply(UInt64 x) called with Int32)
+    assert(r.getLong(2) === HashCompat.intHash64(-1L))
+  }
+
+  test("unsupported hash input types fail at analysis, not MatchError") {
+    val spark = SparkTestSession.spark
+    val e = intercept[Exception](
+      spark.sql("SELECT ch_siphash64(array(1, 2))").collect())
+    assert(e.getMessage.toLowerCase.contains("does not support") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"),
+      e.getMessage)
+  }
 }
