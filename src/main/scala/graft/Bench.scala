@@ -26,19 +26,28 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    val self = ProcessHandle.current().pid()
+    // The bench itself is launched through sbt, so the sbt launcher JVM is
+    // always our ancestor — exclude the whole ancestor chain (it idles
+    // while the run executes); only UNRELATED JVMs signal contention.
+    val excluded = {
+      var ids = Set(ProcessHandle.current().pid())
+      var p = ProcessHandle.current().parent()
+      while (p.isPresent) { ids += p.get.pid(); p = p.get.parent() }
+      ids
+    }
     val siblings =
       try {
         import scala.jdk.CollectionConverters._
         ProcessHandle.allProcesses().iterator().asScala.count { p =>
-          p.pid() != self &&
+          !excluded(p.pid()) &&
             p.info().command().map[Boolean](_.endsWith("java")).orElse(false)
         }
       } catch { case _: Throwable => -1 }
-    // Contended = measurable pre-existing load (other work already holding
-    // cores when we start) or any sibling JVM alive. loadavg includes this
-    // process's own startup, so require a margin above 2 cores.
-    EnvCert(load, siblings, contended = load > 2.0 || siblings > 0)
+    // Contended = any unrelated JVM alive, or pre-existing load well past
+    // what our own sbt compile + JVM startup leave in the 1-min average
+    // (~2-3 on this 32-core box). The raw numbers are emitted either way
+    // so a reader can judge borderline runs.
+    EnvCert(load, siblings, contended = load > 8.0 || siblings > 0)
   }
 
   def main(args: Array[String]): Unit = {
