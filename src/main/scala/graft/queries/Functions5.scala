@@ -109,8 +109,9 @@ object Functions5 {
         (sf > 0L && sfMs >= loMs && sfMs < hiMs).as("sf_time_sane")))
     },
 
-    // IPv6 codec roundtrips (golden — DuckDB core has no inet functions;
-    // RFC 5952 vectors pinned in CodecsSpec).
+    // IPv6 codec roundtrips, oracle-checked: the five generated address
+    // templates let the oracle regenerate hex layout + RFC 5952 canonical
+    // per template in SQL (RFC vectors additionally pinned in CodecsSpec).
     "q_ipv6_codec" -> { (s, dir) =>
       val c = T(s, dir)("customer").filter(col("c_custkey") <= 500)
       val addr = when(pmod(col("c_custkey"), lit(5)) === 0, lit("::1"))
@@ -129,8 +130,9 @@ object Functions5 {
         Codecs.ipv6_num_to_string(num).as("canonical")))
     },
 
-    // Geohash encode/decode roundtrip on deterministic synthetic coords
-    // (golden — public vectors pinned in CodecsSpec).
+    // Geohash encode/decode roundtrip on deterministic synthetic coords,
+    // oracle-checked via exact integer bit-interleaving in SQL (the 0.25
+    // grid makes the bisection exact; public vectors also in CodecsSpec).
     "q_fn_geohash" -> { (s, dir) =>
       val c = T(s, dir)("customer").filter(col("c_custkey") <= 500)
       val lat = (pmod(col("c_custkey"), lit(180)) - 90.0 + 0.25).cast("double")
@@ -166,6 +168,58 @@ object Functions5 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The five address templates are enumerable from c_custkey, so the
+    // oracle regenerates parse + RFC 5952 canonical form per template from
+    // first principles (printf), independent of the Scala codec.
+    "q_ipv6_codec" ->
+      """SELECT c_custkey,
+        |  CASE c_custkey % 5
+        |    WHEN 0 THEN '::1'
+        |    WHEN 1 THEN printf('2001:db8:%x::%x', c_custkey, c_custkey*7)
+        |    WHEN 2 THEN printf('2001:0db8:0000:0000:0000:ff00:0042:%04x', c_custkey)
+        |    WHEN 3 THEN printf('::ffff:10.0.%d.%d', c_custkey % 256, (c_custkey*3) % 256)
+        |    ELSE 'not-an-ip' END AS addr,
+        |  CASE c_custkey % 5
+        |    WHEN 0 THEN '00000000000000000000000000000001'
+        |    WHEN 1 THEN upper(printf('20010db8%04x0000000000000000%04x', c_custkey, c_custkey*7))
+        |    WHEN 2 THEN upper(printf('20010db8000000000000ff000042%04x', c_custkey))
+        |    WHEN 3 THEN upper(printf('00000000000000000000ffff0a00%02x%02x', c_custkey % 256, (c_custkey*3)%256))
+        |    ELSE NULL END AS addr_hex,
+        |  CASE c_custkey % 5
+        |    WHEN 0 THEN '::1'
+        |    WHEN 1 THEN printf('2001:db8:%x::%x', c_custkey, c_custkey*7)
+        |    WHEN 2 THEN printf('2001:db8::ff00:42:%x', c_custkey)
+        |    WHEN 3 THEN printf('::ffff:10.0.%d.%d', c_custkey % 256, (c_custkey*3)%256)
+        |    ELSE NULL END AS canonical
+        |FROM customer WHERE c_custkey <= 500
+        |ORDER BY c_custkey NULLS FIRST, addr NULLS FIRST, addr_hex NULLS FIRST, canonical NULLS FIRST""".stripMargin,
+    // The 0.25-offset grid makes 4*(lon+180) and 4*(lat+90) exact
+    // integers, so the bisection encode reduces to exact integer
+    // floor-scaling: lonb = floor(n*2^20/1440) — the oracle interleaves
+    // those bits and base32-encodes with no floating point at all.
+    "q_fn_geohash" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    4*((c_custkey*7) % 360) + 1 AS nlon,
+        |    4*(c_custkey % 180) + 1 AS nlat
+        |  FROM customer WHERE c_custkey <= 500),
+        |b AS (
+        |  SELECT c_custkey,
+        |    (nlon * 1048576) // 1440 AS lonb,
+        |    (nlat * 1048576) // 720 AS latb
+        |  FROM pts),
+        |inter AS (
+        |  SELECT c_custkey, lonb, latb,
+        |    list_sum(list_transform(range(20), j ->
+        |      (((lonb >> (19-j)) & 1) << (39-2*j)) + (((latb >> (19-j)) & 1) << (38-2*j)))) AS bit40
+        |  FROM b)
+        |SELECT c_custkey,
+        |  list_aggregate(list_transform(range(8), k ->
+        |    substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((bit40 >> (35-5*k)) & 31) AS INT) + 1, 1)), 'string_agg', '') AS gh8,
+        |  abs((-180.0 + (2*lonb+1) * 360.0 / 2097152.0) - ((c_custkey*7) % 360 - 180 + 0.25)) < 0.0002 AS lon_ok,
+        |  abs((-90.0 + (2*latb+1) * 180.0 / 2097152.0) - (c_custkey % 180 - 90 + 0.25)) < 0.0001 AS lat_ok
+        |FROM inter
+        |ORDER BY c_custkey NULLS FIRST, gh8 NULLS FIRST, lon_ok NULLS FIRST, lat_ok NULLS FIRST""".stripMargin,
     "q_fn_multisearch" ->
       """WITH p AS (SELECT doc_id, text,
         |    [instr(text,'data'), instr(text,'row'), instr(text,'key'), instr(text,'spark')] AS pos

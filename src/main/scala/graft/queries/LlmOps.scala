@@ -53,8 +53,8 @@ object LlmOps {
       ordered(Dedup.exactCharNgramPairs(d, "doc_id", "text", n = 8, threshold = 0.6))
     },
 
-    // SimHash near-dup pairs (no DuckDB analog -> rows-only check; exact
-    // semantics covered by LlmSpec golden tests).
+    // SimHash near-dup pairs, verified against an exhaustive SQL-computed
+    // hamming-threshold oracle (FNV-1a + bit-voting re-derived in DuckDB).
     "q_dedup_simhash" -> { (s, dir) =>
       ordered(Dedup.simhashPairs(T(s, dir)("documents"), "doc_id", "text", maxHamming = 3))
     },
@@ -143,6 +143,44 @@ object LlmOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Exhaustive O(n²) hamming-threshold oracle over SQL-computed
+    // fingerprints: FNV-1a per word (HUGEINT arithmetic, byte loop via
+    // list_reduce) then Charikar bit-voting — fully independent of the
+    // Scala kernels. Banding (hamming ≤ 3 ⇒ one of four 16-bit bands
+    // equal) is guaranteed complete by pigeonhole, so the candidate-based
+    // Spark result must equal the exhaustive pair set.
+    "q_dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(octet_length(encode(w))),
+        |          i -> (16*(strpos('0123456789ABCDEF', substr(hex(encode(w)), 2*i+1, 1))-1)
+        |                + strpos('0123456789ABCDEF', substr(hex(encode(w)), 2*i+2, 1))-1)::HUGEINT)),
+        |      (h, b) -> (((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    ) AS h
+        |  FROM words
+        |),
+        |bits AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM hashed, (SELECT unnest(range(64)) AS bit) b
+        |  GROUP BY doc_id, bit
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END)
+        |         - CASE WHEN MAX(CASE WHEN vote > 0 AND bit = 63 THEN 1 ELSE 0 END) = 1
+        |                THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS h
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.h, y.h)) <= 3
+        |ORDER BY a NULLS FIRST, b NULLS FIRST, hamming NULLS FIRST""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, text, toks,
