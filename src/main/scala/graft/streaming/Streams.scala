@@ -49,6 +49,53 @@ object Streams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Kafka-family live source (reference src/Storages/Kafka/StorageKafka.h:37
+    * — kafka_broker_list / kafka_topic_list / kafka_group_name settings):
+    * the production readStream reader, exactly as it would run against a
+    * broker. This sandbox ships neither a broker nor the
+    * spark-sql-kafka connector jar (zero egress), so `load()` cannot
+    * succeed HERE — the spec asserts (1) this reader's declared source is
+    * the real `kafka` format with the right option set, (2) load()
+    * resolves the genuine kafka DataSource (its lookup failure names it),
+    * and (3) the downstream topology end-to-end over a live TCP feed
+    * (`parseKafkaFeed` below — shared with the socket e2e test). */
+  def kafkaReader(spark: SparkSession, brokers: String, topic: String,
+                  opts: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.DataStreamReader = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      // sane production defaults, overridable through opts
+      .option("startingOffsets", opts.getOrElse("startingOffsets", "latest"))
+      .option("failOnDataLoss", opts.getOrElse("failOnDataLoss", "false"))
+    opts.foldLeft(base) { case (acc, (k, v)) => acc.option(k, v) }
+  }
+
+  /** The topology a Kafka feed runs after load(): broker `value` bytes
+    * are `ts,user,value` CSV lines (the same wire format the socket e2e
+    * test pushes), parsed then watermark-windowed — the StorageKafka →
+    * materialized-view chain. Source-agnostic: any DataFrame with a
+    * binary/string `value` column (kafka, socket, memory) drives it. */
+  def parseKafkaFeed(raw: DataFrame, watermark: String = "5 minutes",
+                     window_ : String = "10 minutes"): DataFrame = {
+    val parsed = raw.select(col("value").cast("string").as("line"))
+      .select(split(col("line"), ",").as("f"))
+      .select(element_at(col("f"), 1).cast("timestamp").as("ts"),
+        element_at(col("f"), 2).as("user"),
+        element_at(col("f"), 3).cast("double").as("v"))
+    parsed.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("window.start").as("w_start"), col("user"),
+        col("n"), col("sv"))
+  }
+
+  /** Full Kafka intake: reader + parse/window topology. Runs verbatim on
+    * a cluster with the kafka connector on the classpath. */
+  def kafkaIntake(spark: SparkSession, brokers: String, topic: String,
+                  opts: Map[String, String] = Map.empty): DataFrame =
+    parseKafkaFeed(kafkaReader(spark, brokers, topic, opts).load())
+
   /** Hopping (sliding) window counts. */
   def hoppingCounts(events: DataFrame, size: String = "2 days",
                     slide: String = "1 day", watermark: String = "1 day"): DataFrame =
