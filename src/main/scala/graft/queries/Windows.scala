@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
 object Windows {
   private def T(s: SparkSession, dir: String)(n: String): DataFrame = Tables.t(s, dir, n)
 
+  /** GROUPS-frame property sweep (reference WindowDescription.h:30-44
+    * FrameType::Groups): 55 deterministic random frame specs — lower/upper
+    * bounds in peer-group offsets, negatives and empty-capable frames
+    * included — generated from a fixed seed so the Spark query and the
+    * DuckDB oracle derive from the SAME list. The oracle does not use
+    * window frames at all (DuckDB 1.0 lacks GROUPS mode): it re-derives
+    * the semantics from first principles as a rank-range join over
+    * per-peer-group rows, which is an independent construction from our
+    * RANGE-over-dense_rank implementation in Ops.groupsFrameAgg. */
+  private[queries] case class GSpec(id: Int, lower: Int, upper: Int, agg: String)
+  private[queries] val groupsSweepSpecs: Seq[GSpec] = {
+    val rnd = new scala.util.Random(20260814L)
+    val aggs = Seq("sum", "count", "min", "max", "avg")
+    (0 until 55).map { i =>
+      val l = rnd.nextInt(9) - 4 // [-4, 4]
+      val u = l + rnd.nextInt(6) // [l, l+5]
+      GSpec(i, l, u, aggs(i % aggs.length))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // rank / dense_rank / percent_rank over ties + row_number over a
     // fully-deterministic order (reference WindowTransform.cpp:1495,1513).
@@ -136,6 +156,37 @@ object Windows {
           col("l_quantity"), col("grp_sum")))
     },
 
+    // GROUPS-frame sweep: every spec in groupsSweepSpecs evaluated over
+    // the same base frame in ONE pass (all windows share the partition +
+    // dense-rank order, so Spark plans a single exchange/sort with
+    // chained window nodes), then unpivoted to (spec, u, k, v, out).
+    "q_groups_frame_sweep" -> { (s, dir) =>
+      val base = T(s, dir)("events").filter(col("user_id") < 8)
+        .select(col("user_id").as("u"),
+          date_trunc("day", col("ts")).cast("date").as("k"),
+          floor(col("value")).cast("long").as("v"))
+      val withDr = base.withColumn("__dr",
+        dense_rank().over(Window.partitionBy(col("u")).orderBy(col("k"))))
+      val withOuts = groupsSweepSpecs.foldLeft(withDr) { (acc, sp) =>
+        val w = Window.partitionBy(col("u")).orderBy(col("__dr"))
+          .rangeBetween(sp.lower.toLong, sp.upper.toLong)
+        val a = sp.agg match {
+          case "sum"   => sum(col("v"))
+          case "count" => count(col("v"))
+          case "min"   => min(col("v"))
+          case "max"   => max(col("v"))
+          case "avg"   => avg(col("v"))
+        }
+        acc.withColumn(s"out_${sp.id}", a.over(w).cast("double"))
+      }
+      val stackExpr = "stack(" + groupsSweepSpecs.length + ", " +
+        groupsSweepSpecs.map(sp => s"${sp.id}, out_${sp.id}").mkString(", ") +
+        ") as (spec, out)"
+      ordered(withOuts
+        .select(col("u"), col("k"), col("v"), expr(stackExpr))
+        .select(col("spec"), col("u"), col("k"), col("v"), col("out")))
+    },
+
     // nonNegativeDerivative (reference WindowTransform.cpp:2570): rate of
     // change of `value` per user over event time, clamped at 0.
     "q_win_derivative" -> { (s, dir) =>
@@ -224,6 +275,27 @@ object Windows {
         |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_sum
         |FROM r
         |ORDER BY l_returnflag NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_quantity NULLS FIRST, grp_sum NULLS FIRST""".stripMargin,
+    "q_groups_frame_sweep" -> {
+      val selects = groupsSweepSpecs.map { sp =>
+        val fn = s"${sp.agg}(g.v)"
+        s"""SELECT ${sp.id} AS spec, r.u, r.k, r.v, CAST($fn AS DOUBLE) AS out
+           |FROM ranked r LEFT JOIN ranked g
+           |  ON g.u = r.u AND g.dr BETWEEN r.dr + (${sp.lower}) AND r.dr + (${sp.upper})
+           |GROUP BY r.u, r.k, r.v, r.rn""".stripMargin
+      }
+      s"""WITH base AS (
+         |  SELECT user_id AS u,
+         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS k,
+         |    CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE user_id < 8),
+         |ranked AS (
+         |  SELECT u, k, v,
+         |    dense_rank() OVER (PARTITION BY u ORDER BY k) AS dr,
+         |    row_number() OVER (PARTITION BY u ORDER BY k) AS rn
+         |  FROM base)
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY spec NULLS FIRST, u NULLS FIRST, k NULLS FIRST, v NULLS FIRST, out NULLS FIRST""".stripMargin
+    },
     "q_win_derivative" ->
       """SELECT user_id, event_id,
         |  CASE WHEN dt > 0 THEN greatest(dv / dt, 0.0) END AS nn_deriv
