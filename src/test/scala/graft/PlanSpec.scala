@@ -98,6 +98,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_limit_by plan: double WindowGroupLimit around a single hash exchange") {
+    // LIMIT n BY must plan as per-partition top-n (Partial WindowGroupLimit)
+    // -> ONE hash exchange on the group key -> Final WindowGroupLimit.
+    // This is the shape that scales: each mapper emits at most n rows per
+    // group before the shuffle. A regression to a bare Window would move
+    // every row of every group through the exchange.
+    val plan = SparkEntry.queries("q_limit_by")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial") &&
+      plan.contains("Final"),
+      s"expected Partial+Final WindowGroupLimit:\n${plan.take(3000)}")
+    assert("WindowGroupLimit".r.findAllIn(plan).length === 2,
+      s"expected exactly 2 WindowGroupLimit nodes:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"expected exactly one hash exchange (plus the output-order range " +
+        s"exchange):\n${plan.take(3000)}")
+  }
+
+  test("q_any_join plan: right side dedups BEFORE the join") {
+    // ANY JOIN = dedup right side on the join key, then a plain equi-join.
+    // The dedup (top-1 WindowGroupLimit + rn=1 filter) must sit INSIDE a
+    // join child subtree — deduping after the join would be semantically
+    // wrong, and a missing dedup would fan out matches.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def collect[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case _ => p.children
+      }
+      (if (f.isDefinedAt(p)) Seq(f(p)) else Seq.empty) ++ kids.flatMap(collect(_)(f))
+    }
+    val root = SparkEntry.queries("q_any_join")(spark, sf)
+      .queryExecution.executedPlan
+    val joins = collect(root) { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"no join node:\n${root.toString.take(2000)}")
+    val dedupInsideJoinChild = joins.exists(_.children.exists(
+      _.toString.contains("WindowGroupLimit")))
+    assert(dedupInsideJoinChild,
+      s"right-side top-1 dedup not inside a join child:\n${root.toString.take(3000)}")
+  }
+
   test("q_dedup_embedding_lsh plan has no all-pairs join") {
     // The LSH path must generate candidates via an equi-join on
     // (band, signature), never a cartesian/theta product over the corpus.
