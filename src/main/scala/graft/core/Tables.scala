@@ -28,9 +28,67 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     resolved.computeIfAbsent((spark, dir, name), { _ =>
-      if (name == "events") readEvents(spark, s"$dir/$name.parquet")
-      else spark.read.parquet(s"$dir/$name.parquet")
+      guardSchema(name,
+        if (name == "events") readEvents(spark, s"$dir/$name.parquet")
+        else spark.read.parquet(s"$dir/$name.parquet"))
     })
+
+  /** Expected fixture dtypes (TESTDATA.md / FIXTURES.md), checked once at
+    * first load of each table. A regenerated fixture whose schema drifted
+    * should fail HERE with a one-line diagnosis, not 50 queries deep in
+    * hash mismatches (the round-8 events.ts incident — its ns/NTZ/us
+    * drift is the one legitimate variation, which readEvents normalizes
+    * BEFORE this guard sees the frame). `timestamp` accepts TZ and NTZ
+    * loads: the parquet writer flips between them across generations and
+    * every consumer casts through the session-UTC equivalence. */
+  private val expected: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
+      "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+      "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
+  private def guardSchema(name: String, df: DataFrame): DataFrame = {
+    expected.get(name).foreach { cols =>
+      val actual = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+      cols.foreach { case (c, want) =>
+        actual.get(c) match {
+          case None => throw new IllegalStateException(
+            s"fixture schema drift: $name has no column $c (expected $want); " +
+              s"present: ${df.columns.mkString(", ")} — regenerated fixture? " +
+              "adapt the loader (cf. readEvents) or update Tables.expected")
+          case Some(got) =>
+            val ok = got == want ||
+              (want == "timestamp" && got == "timestamp_ntz")
+            if (!ok) throw new IllegalStateException(
+              s"fixture schema drift: $name.$c is $got, expected $want — " +
+                "regenerated fixture? adapt the loader (cf. readEvents) " +
+                "or update Tables.expected")
+        }
+      }
+    }
+    df
+  }
 
   /** `events.ts` has shifted physical encodings across fixture generations:
     * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects

@@ -12,6 +12,24 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("fixture schema guard: green on real fixtures, loud one-line diagnosis on drift") {
+    // all 10 tables load clean through the guard
+    Tables.all.foreach(n => Tables.t(spark, sf, n))
+    // a synthetic wrong-schema fixture fails AT LOAD, naming the column
+    val dir = java.nio.file.Files.createTempDirectory("fixguard").toString
+    spark.range(3)
+      .selectExpr("CAST(id AS STRING) AS r_regionkey", "'x' AS r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val e = intercept[IllegalStateException](Tables.t(spark, dir, "region"))
+    assert(e.getMessage.contains("region.r_regionkey") &&
+      e.getMessage.contains("is string, expected int"), e.getMessage)
+    // a missing column is also diagnosed by name
+    spark.range(3).selectExpr("CAST(id AS INT) AS n_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val e2 = intercept[IllegalStateException](Tables.t(spark, dir, "nation"))
+    assert(e2.getMessage.contains("no column n_name"), e2.getMessage)
+  }
+
   test("every declared query runs and has a matching oracle or none") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
