@@ -490,6 +490,318 @@ object HashCompat {
       hashLen16(v._2, w._2) + x)
   }
 
+  // ---------- FarmHash 1.1 (farmHash64 / farmFingerprint64) ----------
+  // Reference: FunctionsHashing.h:637-668 over contrib libfarmhash
+  // (FarmHash 1.1, frozen). Fingerprint64 == farmhashna::Hash64 for every
+  // length and is the upstream-documented STABLE variant. Hash64 is
+  // build-dependent upstream: an SSE4.2 build (the reference's default)
+  // routes through farmhashte, which equals the scalar farmhashxo for
+  // inputs < 512 bytes and switches to a SIMD Hash64Long at >= 512 —
+  // where even two reference builds (with/without -msse4.2) disagree.
+  // This scalar implementation is farmhashxo: bit-exact with a stock
+  // reference build for all inputs < 512 bytes; >= 512 it produces the
+  // scalar-build value (pinned in HashCompatSpec with both facts).
+  // Constants k0..k2 are CityHash's (K0..K2 above).
+
+  @inline private def farmHashLen16(u: Long, v: Long, mul: Long): Long = {
+    var a = (u ^ v) * mul
+    a ^= a >>> 47
+    var b = (v ^ a) * mul
+    b ^= b >>> 47
+    b * mul
+  }
+
+  private def farmHashLen0to16(s: Array[Byte], off: Int, len: Int): Long = {
+    if (len >= 8) {
+      val mul = K2 + len * 2L
+      val a = load64LE(s, off) + K2
+      val b = load64LE(s, off + len - 8)
+      val c = cityRotateAtLeast1(b, 37) * mul + a
+      val d = (cityRotateAtLeast1(a, 25) + b) * mul
+      farmHashLen16(c, d, mul)
+    } else if (len >= 4) {
+      val mul = K2 + len * 2L
+      val a = load32LE(s, off) & 0xffffffffL
+      farmHashLen16(len + (a << 3), load32LE(s, off + len - 4) & 0xffffffffL, mul)
+    } else if (len > 0) {
+      val a = s(off) & 0xff
+      val b = s(off + (len >> 1)) & 0xff
+      val c = s(off + len - 1) & 0xff
+      val y = (a + (b << 8)) & 0xffffffffL
+      val z = (len + (c << 2)) & 0xffffffffL
+      shiftMix(y * K2 ^ z * K0) * K2
+    } else K2
+  }
+
+  private def farmHashLen17to32(s: Array[Byte], off: Int, len: Int): Long = {
+    val mul = K2 + len * 2L
+    val a = load64LE(s, off) * K1
+    val b = load64LE(s, off + 8)
+    val c = load64LE(s, off + len - 8) * mul
+    val d = load64LE(s, off + len - 16) * K2
+    farmHashLen16(
+      cityRotateAtLeast1(a + b, 43) + cityRotateAtLeast1(c, 30) + d,
+      a + cityRotateAtLeast1(b + K2, 18) + c, mul)
+  }
+
+  private def farmNaHashLen33to64(s: Array[Byte], off: Int, len: Int): Long = {
+    val mul = K2 + len * 2L
+    val a = load64LE(s, off) * K2
+    val b = load64LE(s, off + 8)
+    val c = load64LE(s, off + len - 8) * mul
+    val d = load64LE(s, off + len - 16) * K2
+    val y = cityRotateAtLeast1(a + b, 43) + cityRotateAtLeast1(c, 30) + d
+    val z = farmHashLen16(y, a + cityRotateAtLeast1(b + K2, 18) + c, mul)
+    val e = load64LE(s, off + 16) * mul
+    val f = load64LE(s, off + 24)
+    val g = (y + load64LE(s, off + len - 32)) * mul
+    val h = (z + load64LE(s, off + len - 24)) * mul
+    farmHashLen16(
+      cityRotateAtLeast1(e + f, 43) + cityRotateAtLeast1(g, 30) + h,
+      e + cityRotateAtLeast1(f + a, 18) + g, mul)
+  }
+
+  /** farmhashna::Hash64 — also Fingerprint64, the stable variant. */
+  def farmFingerprint64(bytes: Array[Byte]): Long =
+    farmNaHash64(bytes, 0, bytes.length)
+
+  private def farmNaHash64(s: Array[Byte], off: Int, len: Int): Long = {
+    val seed = 81L
+    if (len <= 32) {
+      if (len <= 16) return farmHashLen0to16(s, off, len)
+      else return farmHashLen17to32(s, off, len)
+    } else if (len <= 64) return farmNaHashLen33to64(s, off, len)
+
+    var x = seed
+    var y = seed * K1 + 113L
+    var z = shiftMix(y * K2 + 113L) * K2
+    var v = (0L, 0L)
+    var w = (0L, 0L)
+    x = x * K2 + load64LE(s, off)
+
+    val endOff = off + ((len - 1) / 64) * 64
+    val last64 = off + len - 64
+    var p = off
+    while (p != endOff) {
+      x = cityRotateAtLeast1(x + y + v._1 + load64LE(s, p + 8), 37) * K1
+      y = cityRotateAtLeast1(y + v._2 + load64LE(s, p + 48), 42) * K1
+      x ^= w._2
+      y += v._1 + load64LE(s, p + 40)
+      z = cityRotateAtLeast1(z + w._1, 33) * K1
+      v = weakHash(s, p, v._2 * K1, x + w._1)
+      w = weakHash(s, p + 32, z + w._2, y + load64LE(s, p + 16))
+      val t = z; z = x; x = t
+      p += 64
+    }
+    val mul = K1 + ((z & 0xff) << 1)
+    p = last64
+    var w1 = w._1 + ((len - 1) & 63)
+    var v1 = v._1 + w1
+    w1 += v1
+    x = cityRotateAtLeast1(x + y + v1 + load64LE(s, p + 8), 37) * mul
+    y = cityRotateAtLeast1(y + v._2 + load64LE(s, p + 48), 42) * mul
+    x ^= w._2 * 9L
+    y += v1 * 9L + load64LE(s, p + 40)
+    z = cityRotateAtLeast1(z + w1, 33) * mul
+    val v2 = weakHash(s, p, v._2 * mul, x + w1)
+    val w2 = weakHash(s, p + 32, z + w._2, y + load64LE(s, p + 16))
+    val t = z; z = x; x = t
+    farmHashLen16(
+      farmHashLen16(v2._1, w2._1, mul) + shiftMix(y) * K0 + z,
+      farmHashLen16(v2._2, w2._2, mul) + x, mul)
+  }
+
+  private def farmNaHash64WithSeeds(s: Array[Byte], off: Int, len: Int,
+                                    seed0: Long, seed1: Long): Long =
+    hashLen16(farmNaHash64(s, off, len) - seed0, seed1)
+
+  @inline private def farmUoH(x: Long, y: Long, mul: Long, r: Int): Long = {
+    var a = (x ^ y) * mul
+    a ^= a >>> 47
+    val b = (y ^ a) * mul
+    cityRotateAtLeast1(b, r) * mul
+  }
+
+  private def farmUoHash64WithSeeds(s: Array[Byte], off: Int, len: Int,
+                                    seed0: Long, seed1: Long): Long = {
+    if (len <= 64) return farmNaHash64WithSeeds(s, off, len, seed0, seed1)
+    var x = seed0
+    var y = seed1 * K2 + 113L
+    var z = shiftMix(y * K2) * K2
+    var v1 = seed0; var v2 = seed1
+    var w1 = 0L; var w2 = 0L
+    var u = x - z
+    x *= K2
+    val mul = K2 + (u & 0x82L)
+
+    val endOff = off + ((len - 1) / 64) * 64
+    val last64 = off + len - 64
+    var p = off
+    while (p != endOff) {
+      val a0 = load64LE(s, p)
+      val a1 = load64LE(s, p + 8)
+      val a2 = load64LE(s, p + 16)
+      val a3 = load64LE(s, p + 24)
+      val a4 = load64LE(s, p + 32)
+      val a5 = load64LE(s, p + 40)
+      val a6 = load64LE(s, p + 48)
+      val a7 = load64LE(s, p + 56)
+      x += a0 + a1
+      y += a2
+      z += a3
+      v1 += a4
+      v2 += a5 + a1
+      w1 += a6
+      w2 += a7
+
+      x = cityRotateAtLeast1(x, 26)
+      x *= 9L
+      y = cityRotateAtLeast1(y, 29)
+      z *= mul
+      v1 = cityRotateAtLeast1(v1, 33)
+      v2 = cityRotateAtLeast1(v2, 30)
+      w1 ^= x
+      w1 *= 9L
+      z = cityRotateAtLeast1(z, 32)
+      z += w2
+      w2 += z
+      z *= 9L
+      val t0 = u; u = y; y = t0
+
+      z += a0 + a6
+      v1 += a2
+      v2 += a3
+      w1 += a4
+      w2 += a5 + a6
+      x += a1
+      y += a7
+
+      y += v1
+      v1 += x - y
+      v2 += w1
+      w1 += v2
+      w2 += x - y
+      x += w2
+      w2 = cityRotateAtLeast1(w2, 34)
+      val t1 = u; u = z; z = t1
+      p += 64
+    }
+    p = last64
+    u *= 9L
+    v2 = cityRotateAtLeast1(v2, 28)
+    v1 = cityRotateAtLeast1(v1, 20)
+    w1 += ((len - 1) & 63)
+    u += y
+    y += u
+    x = cityRotateAtLeast1(y - x + v1 + load64LE(s, p + 8), 37) * mul
+    y = cityRotateAtLeast1(y ^ v2 ^ load64LE(s, p + 48), 42) * mul
+    x ^= w2 * 9L
+    y += v1 + load64LE(s, p + 40)
+    z = cityRotateAtLeast1(z + w1, 33) * mul
+    val vv = weakHash(s, p, v2 * mul, x + w1)
+    val ww = weakHash(s, p + 32, z + w2, y + load64LE(s, p + 16))
+    farmUoH(
+      farmHashLen16(vv._1 + x, ww._1 ^ y, mul) + z - u,
+      farmUoH(vv._2 + y, ww._2 + z, K2, 30) ^ x,
+      K2, 31)
+  }
+
+  private def farmXoH32(s: Array[Byte], off: Int, len: Int, mul: Long,
+                        seed0: Long = 0L, seed1: Long = 0L): Long = {
+    val a = load64LE(s, off) * K1
+    val b = load64LE(s, off + 8)
+    val c = load64LE(s, off + len - 8) * mul
+    val d = load64LE(s, off + len - 16) * K2
+    val u = cityRotateAtLeast1(a + b, 43) + cityRotateAtLeast1(c, 30) + d + seed0
+    val v = a + cityRotateAtLeast1(b + K2, 18) + c + seed1
+    val a2 = shiftMix((u ^ v) * mul)
+    shiftMix((v ^ a2) * mul)
+  }
+
+  private def farmXoHashLen33to64(s: Array[Byte], off: Int, len: Int): Long = {
+    val mul0 = K2 - 30L
+    val mul1 = K2 - 30L + 2L * len
+    val h0 = farmXoH32(s, off, 32, mul0)
+    val h1 = farmXoH32(s, off + len - 32, 32, mul1)
+    ((h1 * mul1) + h0) * mul1
+  }
+
+  private def farmXoHashLen65to96(s: Array[Byte], off: Int, len: Int): Long = {
+    val mul0 = K2 - 114L
+    val mul1 = K2 - 114L + 2L * len
+    val h0 = farmXoH32(s, off, 32, mul0)
+    val h1 = farmXoH32(s, off + 32, 32, mul1)
+    val h2 = farmXoH32(s, off + len - 32, 32, mul1, h0, h1)
+    (h2 * 9L + (h0 >>> 17) + (h1 >>> 21)) * mul1
+  }
+
+  /** farmhashxo::Hash64 — equals a stock (SSE4.2) reference build for all
+    * inputs < 512 bytes; >= 512 pins the scalar-build value (see header). */
+  def farmHash64(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    if (len <= 32) {
+      if (len <= 16) farmHashLen0to16(bytes, 0, len)
+      else farmHashLen17to32(bytes, 0, len)
+    } else if (len <= 64) farmXoHashLen33to64(bytes, 0, len)
+    else if (len <= 96) farmXoHashLen65to96(bytes, 0, len)
+    else if (len <= 256) farmNaHash64(bytes, 0, len)
+    else farmUoHash64WithSeeds(bytes, 0, len, 81L, 0L)
+  }
+
+  // ---------- metroHash64 (metrohash64_1, seed 0) ----------
+  // Reference: FunctionsHashing.h:651-671 over contrib libmetrohash.
+
+  def metroHash64(b: Array[Byte]): Long = {
+    val k0 = 0xC83A91E1L; val k1 = 0x8648DBDBL
+    val k2 = 0x7BDEC03BL; val k3 = 0x2F5870A5L
+    val len = b.length
+    var p = 0
+    var hash = (0L + k2) * k0 + len
+    if (len >= 32) {
+      var v0 = hash; var v1 = hash; var v2 = hash; var v3 = hash
+      while (len - p >= 32) {
+        v0 += load64LE(b, p) * k0; p += 8; v0 = java.lang.Long.rotateRight(v0, 29) + v2
+        v1 += load64LE(b, p) * k1; p += 8; v1 = java.lang.Long.rotateRight(v1, 29) + v3
+        v2 += load64LE(b, p) * k2; p += 8; v2 = java.lang.Long.rotateRight(v2, 29) + v0
+        v3 += load64LE(b, p) * k3; p += 8; v3 = java.lang.Long.rotateRight(v3, 29) + v1
+      }
+      v2 ^= java.lang.Long.rotateRight((v0 + v3) * k0 + v1, 33) * k1
+      v3 ^= java.lang.Long.rotateRight((v1 + v2) * k1 + v0, 33) * k0
+      v0 ^= java.lang.Long.rotateRight((v0 + v2) * k0 + v3, 33) * k1
+      v1 ^= java.lang.Long.rotateRight((v1 + v3) * k1 + v2, 33) * k0
+      hash += v0 ^ v1
+    }
+    if (len - p >= 16) {
+      var v0 = hash + load64LE(b, p) * k0; p += 8
+      v0 = java.lang.Long.rotateRight(v0, 33) * k1
+      var v1 = hash + load64LE(b, p) * k1; p += 8
+      v1 = java.lang.Long.rotateRight(v1, 33) * k2
+      v0 ^= java.lang.Long.rotateRight(v0 * k0, 35) + v1
+      v1 ^= java.lang.Long.rotateRight(v1 * k3, 35) + v0
+      hash += v1
+    }
+    if (len - p >= 8) {
+      hash += load64LE(b, p) * k3; p += 8
+      hash ^= java.lang.Long.rotateRight(hash, 33) * k1
+    }
+    if (len - p >= 4) {
+      hash += (load32LE(b, p) & 0xffffffffL) * k3; p += 4
+      hash ^= java.lang.Long.rotateRight(hash, 15) * k1
+    }
+    if (len - p >= 2) {
+      hash += ((b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8)) * k3; p += 2
+      hash ^= java.lang.Long.rotateRight(hash, 13) * k1
+    }
+    if (len - p >= 1) {
+      hash += (b(p) & 0xffL) * k3
+      hash ^= java.lang.Long.rotateRight(hash, 25) * k1
+    }
+    hash ^= java.lang.Long.rotateRight(hash, 33)
+    hash *= k0
+    hash ^= java.lang.Long.rotateRight(hash, 33)
+    hash
+  }
+
   // ---------- xxHash32 / xxHash64 ----------
 
   def xxHash32(b: Array[Byte], seed: Int): Long = {
@@ -821,6 +1133,9 @@ object ChHash64 {
     case "xxHash32" => HashCompat.xxHash32(b)
     case "xxHash64" => HashCompat.xxHash64(b)
     case "wyHash64" => HashCompat.wyHash64(b)
+    case "farmHash64" => HashCompat.farmHash64(b)
+    case "farmFingerprint64" => HashCompat.farmFingerprint64(b)
+    case "metroHash64" => HashCompat.metroHash64(b)
     case "halfMD5" => HashCompat.halfMD5(b)
     case "crc32" => HashCompat.crc32(b)
     case "crc32IEEE" => HashCompat.crc32IEEE(b)

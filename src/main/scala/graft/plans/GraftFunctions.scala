@@ -290,6 +290,13 @@ object GraftFunctions {
         (es: Seq[Expression]) => fold64("murmurHash2_64", podsAsIntHash = false)(es)),
       (FunctionIdentifier("ch_xxhash64"), info("ch_xxhash64"),
         (es: Seq[Expression]) => fold64("xxHash64", podsAsIntHash = false)(es)),
+      // farm/metro are use_int_hash_for_pods=true like city (h:642,656,672)
+      (FunctionIdentifier("ch_farmhash64"), info("ch_farmhash64"),
+        (es: Seq[Expression]) => fold64("farmHash64", podsAsIntHash = true)(es)),
+      (FunctionIdentifier("ch_farmfingerprint64"), info("ch_farmfingerprint64"),
+        (es: Seq[Expression]) => fold64("farmFingerprint64", podsAsIntHash = true)(es)),
+      (FunctionIdentifier("ch_metrohash64"), info("ch_metrohash64"),
+        (es: Seq[Expression]) => fold64("metroHash64", podsAsIntHash = true)(es)),
       one64("ch_murmur2_32", "murmurHash2_32u"),
       one64("ch_gcc_murmur", "gccMurmurHash"),
       one64("ch_kafka_murmur", "kafkaMurmurHash"),

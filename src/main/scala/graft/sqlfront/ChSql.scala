@@ -136,9 +136,11 @@ object ChSql {
     // hash / encoding
     "SHA1" -> "sha1", "SHA224" -> "t", "SHA256" -> "t", "SHA384" -> "t",
     "SHA512" -> "t",
-    // faithful murmur/xx/int/java/crc kernels (HashCompat.scala); farmHash64
-    // and metroHash64 remain xxhash64-approximated (their exact algorithms
-    // are CPU-dispatching upstream libs — documented gap, values differ)
+    // faithful murmur/xx/int/java/crc/farm/metro kernels (HashCompat.scala);
+    // farmHash64 matches a stock (SSE4.2) reference build for inputs
+    // < 512 B, the scalar build above that (upstream Hash64 is
+    // build-dependent there — see HashCompat header); farmFingerprint64
+    // and metroHash64 are exact at every length
     "murmurHash2_32" -> "ch_murmur2_32", "murmurHash2_64" -> "ch_murmur2_64",
     "murmurHash3_32" -> "ch_murmur3_32", "murmurHash3_64" -> "ch_murmur3_64",
     "murmurHash3_128" -> "ch_murmur3_128",
@@ -148,7 +150,8 @@ object ChSql {
     "javaHash" -> "ch_javahash", "javaHashUTF16LE" -> "ch_javahash_utf16le",
     "hiveHash" -> "ch_hivehash",
     "intHash32" -> "ch_inthash32", "intHash64" -> "ch_inthash64",
-    "farmHash64" -> "xxhash64", "metroHash64" -> "xxhash64",
+    "farmHash64" -> "ch_farmhash64", "metroHash64" -> "ch_metrohash64",
+    "farmFingerprint64" -> "ch_farmfingerprint64",
     "CRC32" -> "ch_crc32", "CRC32IEEE" -> "ch_crc32ieee", "CRC64" -> "ch_crc64",
     "encodeURLComponent" -> "url_encode", "decodeURLComponent" -> "url_decode",
     // URL

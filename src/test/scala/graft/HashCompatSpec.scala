@@ -313,6 +313,49 @@ class HashCompatSpec extends AnyFunSuite {
     assert(r.getLong(2) === HashCompat.intHash64(-1L))
   }
 
+  test("farmHash64/farmFingerprint64/metroHash64 match the frozen upstream releases") {
+    // Vectors generated from the frozen public FarmHash 1.1 and metrohash
+    // releases compiled with -msse4.2 (the reference's default build).
+    // (string, farmHash64, farmFingerprint64, metroHash64)
+    val vectors: Seq[(String, BigInt, BigInt, BigInt)] = Seq(
+      ("", BigInt("11160318154034397263"), BigInt("11160318154034397263"), BigInt("13381918016739805347")),
+      ("a", BigInt("12917804110809363939"), BigInt("12917804110809363939"), BigInt("6759146875928959315")),
+      ("ab", BigInt("12289600257749001502"), BigInt("12289600257749001502"), BigInt("49750629974897604")),
+      ("abc", BigInt("2640714258260161385"), BigInt("2640714258260161385"), BigInt("983152225323542437")),
+      ("abcd", BigInt("1897425971756105985"), BigInt("1897425971756105985"), BigInt("4667164229471598727")),
+      ("abcde", BigInt("13992479962126222548"), BigInt("13992479962126222548"), BigInt("12517636428584013018")),
+      ("abcdefg", BigInt("4341691227789030229"), BigInt("4341691227789030229"), BigInt("7751156642027746054")),
+      ("abcdefgh", BigInt("18368443631171807497"), BigInt("18368443631171807497"), BigInt("8704738076503638852")),
+      ("hello world", BigInt("6381520714923946011"), BigInt("6381520714923946011"), BigInt("5622782129197849471")),
+      ("Customer#000000001", BigInt("4836775216308497900"), BigInt("4836775216308497900"), BigInt("7862749644928039882")),
+      ("The quick brown fox jumps over the lazy dog", BigInt("520327665418357475"), BigInt("12375473906752639284"), BigInt("1903055355638576177")),
+      ("x" * 33, BigInt("3225574219046200002"), BigInt("12270365409943098935"), BigInt("17414952361832086686")),
+      ("y" * 64, BigInt("10048284390872456791"), BigInt("4471793200125962424"), BigInt("4177405457164117443")),
+      ("q" * 65, BigInt("10758875187042131804"), BigInt("7692644312256273193"), BigInt("14209873327624787529")),
+      ("r" * 96, BigInt("6859715178188438641"), BigInt("4985552264574026254"), BigInt("3074741415244522985")),
+      ("s" * 97, BigInt("10756293363628568559"), BigInt("10756293363628568559"), BigInt("16491897176065582247")),
+      ("t" * 200, BigInt("8825874646112917581"), BigInt("8825874646112917581"), BigInt("11183718253489825475")),
+      ("u" * 256, BigInt("1535437278319264220"), BigInt("1535437278319264220"), BigInt("13644076732819941757")),
+      ("v" * 257, BigInt("18366202923869967020"), BigInt("10716549465033799440"), BigInt("1081359873785791937")),
+      ("w" * 400, BigInt("8615256361411806086"), BigInt("14418921870709742056"), BigInt("3057572229206422045")),
+      ("z" * 511, BigInt("6808849036888636962"), BigInt("6361547530206103046"), BigInt("962282188900279643")))
+    for ((s, farm, fp, metro) <- vectors) {
+      assert(HashCompat.farmHash64(b(s)) === farm.toLong, s"farm len=${s.length}")
+      assert(HashCompat.farmFingerprint64(b(s)) === fp.toLong, s"fp len=${s.length}")
+      assert(HashCompat.metroHash64(b(s)) === metro.toLong, s"metro len=${s.length}")
+    }
+    // >= 512 bytes upstream Hash64 is BUILD-DEPENDENT (the SSE4.2 build
+    // switches to SIMD Hash64Long; a scalar build stays on farmhashuo —
+    // the two reference builds themselves disagree here). We pin the
+    // scalar-build value; Fingerprint64 and metroHash64 stay exact.
+    assert(HashCompat.farmHash64(b("Z" * 512)) === BigInt("8880134267725970819").toLong)
+    assert(HashCompat.farmFingerprint64(b("Z" * 512)) === BigInt("1251352370610971363").toLong)
+    assert(HashCompat.metroHash64(b("Z" * 512)) === BigInt("961613628651834552").toLong)
+    assert(HashCompat.farmHash64(b("L" * 1000)) === BigInt("9817676874887778825").toLong)
+    assert(HashCompat.farmFingerprint64(b("L" * 1000)) === BigInt("6155063760537458818").toLong)
+    assert(HashCompat.metroHash64(b("L" * 1000)) === BigInt("17594509391910046544").toLong)
+  }
+
   test("unsupported hash input types fail at analysis, not MatchError") {
     val spark = SparkTestSession.spark
     val e = intercept[Exception](
