@@ -125,7 +125,8 @@ object LlmOps {
     },
 
     // Document fingerprints: rolling hash + simhash (custom Catalyst
-    // expressions; values asserted in LlmSpec goldens).
+    // expressions), oracle-checked — both hashes recomputed from scratch
+    // in DuckDB SQL (HUGEINT modular arithmetic).
     "q_fingerprint" -> { (s, dir) =>
       val d = T(s, dir)("documents")
       ordered(d.select(
@@ -181,6 +182,57 @@ object LlmOps {
         |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.h, y.h)) <= 3
         |ORDER BY a NULLS FIRST, b NULLS FIRST, hamming NULLS FIRST""".stripMargin,
+    // Both fingerprints recomputed from scratch in SQL: the rolling hash
+    // is h = h*1315423911 ^ byte over the UTF-8 bytes (HUGEINT modular
+    // arithmetic, xor via low-byte decomposition), the simhash as in
+    // q_dedup_simhash's oracle.
+    "q_fingerprint" ->
+      """WITH bytes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(octet_length(encode(text))),
+        |      i -> (16*(strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i+1, 1))-1)
+        |            + strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1))-1)::HUGEINT) AS bs
+        |  FROM documents),
+        |roll AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::HUGEINT, bs),
+        |      (h, b) -> ((h * 1315423911::HUGEINT) % 18446744073709551616::HUGEINT)
+        |                - (((h * 1315423911::HUGEINT) % 18446744073709551616::HUGEINT) % 256)
+        |                + xor((((h * 1315423911::HUGEINT) % 18446744073709551616::HUGEINT) % 256)::BIGINT, b::BIGINT)::HUGEINT
+        |    ) AS h
+        |  FROM bytes),
+        |words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(octet_length(encode(w))),
+        |          i -> (16*(strpos('0123456789ABCDEF', substr(hex(encode(w)), 2*i+1, 1))-1)
+        |                + strpos('0123456789ABCDEF', substr(hex(encode(w)), 2*i+2, 1))-1)::HUGEINT)),
+        |      (h, b) -> (((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    ) AS h
+        |  FROM words
+        |),
+        |bits AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM hashed, (SELECT unnest(range(64)) AS bit) b
+        |  GROUP BY doc_id, bit
+        |),
+        |shash AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END)
+        |         - CASE WHEN MAX(CASE WHEN vote > 0 AND bit = 63 THEN 1 ELSE 0 END) = 1
+        |                THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS h
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT r.doc_id,
+        |  CAST(r.h - CASE WHEN r.h >= 9223372036854775808::HUGEINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS fp,
+        |  shash.h AS sh
+        |FROM roll r JOIN shash ON r.doc_id = shash.doc_id
+        |ORDER BY r.doc_id NULLS FIRST, fp NULLS FIRST, sh NULLS FIRST""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, text, toks,
