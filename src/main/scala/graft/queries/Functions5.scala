@@ -151,8 +151,9 @@ object Functions5 {
     // src/Functions/h3kRing.cpp + geohashesInBox.cpp): per-point cell at
     // precision 4, its 3x3 kRing (rendered as a ','-joined string — the
     // driver comparator takes scalars only), and the size of the
-    // precision-3 cell cover of a 2°x2° box around the point. Golden —
-    // no geohash in DuckDB; kernels are unit-pinned in CodecsSpec.
+    // precision-3 cell cover of a 2°x2° box around the point.
+    // Oracle-checked via exact integer cell-index arithmetic in SQL
+    // (see the oracle entry); kernels also unit-pinned in CodecsSpec.
     "q_geo_cells" -> { (s, dir) =>
       import graft.functions.GeoCells
       val c = T(s, dir)("customer").filter(col("c_custkey") <= 300)
@@ -220,6 +221,56 @@ object Functions5 {
         |  abs((-90.0 + (2*latb+1) * 180.0 / 2097152.0) - (c_custkey % 180 - 90 + 0.25)) < 0.0001 AS lat_ok
         |FROM inter
         |ORDER BY c_custkey NULLS FIRST, gh8 NULLS FIRST, lon_ok NULLS FIRST, lat_ok NULLS FIRST""".stripMargin,
+    // Exact integer re-derivation of the whole cell family: cell ids via
+    // bit-interleaving (the 0.25 grid makes the bisection exact, as in
+    // q_fn_geohash), the 3x3 kRing via (lonb±1 mod 2^10, latb±1 clamped)
+    // in index space with row-major keep-first dedup, and the box-cover
+    // size as a closed-form floor-count of intersecting cell centers
+    // (capped at the lon<180 / lat<=90 iteration bounds).
+    "q_geo_cells" ->
+      """WITH pts AS (
+        |  SELECT c_custkey, (c_custkey*7) % 360 AS lonm, c_custkey % 160 AS latm
+        |  FROM customer WHERE c_custkey <= 300),
+        |cells AS (
+        |  SELECT c_custkey, lonm, latm,
+        |    ((4*lonm + 1) * 1024) // 1440 AS lonb,
+        |    ((4*latm + 41) * 1024) // 720 AS latb
+        |  FROM pts),
+        |offs AS (
+        |  SELECT (dy+1)*3 + (dx+1) AS ord, dx, dy
+        |  FROM (SELECT unnest([-1,0,1]) AS dy), (SELECT unnest([-1,0,1]) AS dx)),
+        |ring_cells AS (
+        |  SELECT c.c_custkey, d.ord,
+        |    (c.lonb + d.dx + 1024) % 1024 AS nlonb,
+        |    greatest(0, least(1023, c.latb + d.dy)) AS nlatb
+        |  FROM cells c, offs d),
+        |ring_enc AS (
+        |  SELECT c_custkey, ord,
+        |    list_sum(list_transform(range(10), j ->
+        |      (((nlonb >> (9-j)) & 1) << (19-2*j)) + (((nlatb >> (9-j)) & 1) << (18-2*j)))) AS bit20
+        |  FROM ring_cells),
+        |ring_str AS (
+        |  SELECT c_custkey, ord,
+        |    list_aggregate(list_transform(range(4), kk ->
+        |      substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((bit20 >> (15-5*kk)) & 31) AS INT) + 1, 1)), 'string_agg', '') AS cell
+        |  FROM ring_enc),
+        |ring_dedup AS (
+        |  SELECT c_custkey, cell, min(ord) AS o FROM ring_str GROUP BY c_custkey, cell),
+        |ring_join AS (
+        |  SELECT c_custkey, string_agg(cell, ',' ORDER BY o) AS ring FROM ring_dedup GROUP BY c_custkey),
+        |boxn AS (
+        |  SELECT c_custkey,
+        |    (least((((4*lonm + 5)*8 + 45000)//45) - 1000, 255)
+        |      - ((((4*lonm - 3)*8 + 45000)//45) - 1000) + 1) AS nlon,
+        |    (least((((4*latm + 45)*8 + 45000)//45) - 1000, 127)
+        |      - ((((4*latm + 37)*8 + 45000)//45) - 1000) + 1) AS nlat
+        |  FROM pts)
+        |SELECT p.c_custkey, m.cell, r.ring, CAST(b.nlon * b.nlat AS INT) AS n_box_cells
+        |FROM pts p
+        |JOIN (SELECT c_custkey, cell FROM ring_str WHERE ord = 4) m USING (c_custkey)
+        |JOIN ring_join r USING (c_custkey)
+        |JOIN boxn b USING (c_custkey)
+        |ORDER BY p.c_custkey NULLS FIRST, cell NULLS FIRST, ring NULLS FIRST, n_box_cells NULLS FIRST""".stripMargin,
     "q_fn_multisearch" ->
       """WITH p AS (SELECT doc_id, text,
         |    [instr(text,'data'), instr(text,'row'), instr(text,'key'), instr(text,'spark')] AS pos
