@@ -162,9 +162,9 @@ object Aggregates2 {
     },
 
     // largestTriangleThreeBuckets: downsample each event type's
-    // (ts, value) series to 9 shape-preserving points (golden — the
-    // sequential selection has no SQL analog; algorithm vectors pinned
-    // in AggregatesSpec).
+    // (ts, value) series to 9 shape-preserving points. Oracle-checked
+    // (round 10): the sequential selection is re-derived in DuckDB as a
+    // recursive CTE; algorithm vectors also pinned in AggregatesSpec.
     "q_lttb" -> { (s, dir) =>
       import s.implicits._
       val lttb = udaf(new graft.aggregates.LttbAggregator(9))
@@ -179,6 +179,60 @@ object Aggregates2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // LTTB re-derived in SQL: the sequential bucket walk becomes a
+    // recursive CTE carrying only the previously-selected index; the
+    // argmax and bucket boundaries replicate the kernel's double
+    // arithmetic exactly (floor = toInt for positive doubles, ORDER BY
+    // area DESC, idx ASC = strict-> keep-first), and centroids use
+    // order-pinned list sums so FP summation order matches the kernel's
+    // idx-ascending loop. Assumes every series has > n points (true for
+    // the events fixture at every gate SF).
+    "q_lttb" ->
+      """WITH RECURSIVE
+        |base AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP))::DOUBLE AS x, value AS y
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, x, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY x, y) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM base),
+        |series AS (SELECT DISTINCT event_type, m FROM pts),
+        |sel AS (
+        |  SELECT event_type, -1 AS i, 0::BIGINT AS a, m FROM series
+        |  UNION ALL
+        |  SELECT s.event_type, s.i + 1,
+        |    (SELECT p.idx FROM pts p
+        |     WHERE p.event_type = s.event_type
+        |       AND p.idx >= CAST(floor((s.i+1) * ((s.m-2)::DOUBLE / 7)) AS BIGINT) + 1
+        |       AND p.idx < least(CAST(floor((s.i+2) * ((s.m-2)::DOUBLE / 7)) AS BIGINT) + 1, s.m - 1)
+        |     ORDER BY abs(
+        |        ((SELECT q.x FROM pts q WHERE q.event_type = s.event_type AND q.idx = s.a)
+        |          - (SELECT CASE WHEN count(*) = 0 THEN (SELECT z.x FROM pts z WHERE z.event_type = s.event_type AND z.idx = s.m-1)
+        |                    ELSE list_sum(list(r.x ORDER BY r.idx)) / count(*) END
+        |             FROM pts r WHERE r.event_type = s.event_type
+        |               AND r.idx >= least(CAST(floor((s.i+2) * ((s.m-2)::DOUBLE / 7)) AS BIGINT) + 1, s.m - 1)
+        |               AND r.idx < least(CAST(floor((s.i+3) * ((s.m-2)::DOUBLE / 7)) AS BIGINT) + 1, s.m)))
+        |        * (p.y - (SELECT q.y FROM pts q WHERE q.event_type = s.event_type AND q.idx = s.a))
+        |        - ((SELECT q.x FROM pts q WHERE q.event_type = s.event_type AND q.idx = s.a) - p.x)
+        |        * ((SELECT CASE WHEN count(*) = 0 THEN (SELECT z.y FROM pts z WHERE z.event_type = s.event_type AND z.idx = s.m-1)
+        |                   ELSE list_sum(list(r.y ORDER BY r.idx)) / count(*) END
+        |            FROM pts r WHERE r.event_type = s.event_type
+        |              AND r.idx >= least(CAST(floor((s.i+2) * ((s.m-2)::DOUBLE / 7)) AS BIGINT) + 1, s.m - 1)
+        |              AND r.idx < least(CAST(floor((s.i+3) * ((s.m-2)::DOUBLE / 7)) AS BIGINT) + 1, s.m))
+        |           - (SELECT q.y FROM pts q WHERE q.event_type = s.event_type AND q.idx = s.a))
+        |     ) DESC, p.idx ASC
+        |     LIMIT 1) AS a, s.m
+        |  FROM sel s WHERE s.i < 6
+        |),
+        |chosen AS (
+        |  SELECT event_type, a AS idx FROM sel
+        |  UNION ALL
+        |  SELECT event_type, m - 1 FROM series
+        |)
+        |SELECT p.event_type, p.x, round(p.y, 6) AS y
+        |FROM chosen c JOIN pts p ON p.event_type = c.event_type AND p.idx = c.idx
+        |ORDER BY p.event_type NULLS FIRST, p.x NULLS FIRST, y NULLS FIRST""".stripMargin,
     "q_covar_matrix" ->
       """WITH w AS (SELECT
         |  covar_samp(l_quantity, l_quantity) AS c11, covar_samp(l_quantity, l_extendedprice) AS c12,

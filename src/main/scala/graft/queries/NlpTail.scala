@@ -64,9 +64,10 @@ object NlpTail {
     },
 
     // sparseGrams (reference src/Functions/sparseGrams.cpp): content-
-    // defined substring anchors. Hash-dependent selection -> no DuckDB
-    // oracle; pinned by GoldenSpec + the border-domination property test
-    // in CodecsSpec.
+    // defined substring anchors. Oracle-checked (round 10): the FNV
+    // hashes and the border-domination selection are re-derived
+    // declaratively in DuckDB; also pinned by GoldenSpec + the
+    // border-domination property test in CodecsSpec.
     "q_fn_sparse_grams" -> { (s, dir) =>
       val d = T(s, dir)("documents")
       ordered(d.select(col("doc_id"),
@@ -109,6 +110,44 @@ object NlpTail {
   private val lemmaSampleSql = Nlp.sqlList(lemmaSample)
 
   val oracleSql: Map[String, String] = Map(
+    // Full re-derivation of the sparseGrams anchor set in SQL: FNV-1a of
+    // every (n-1)-gram via HUGEINT arithmetic (as in q_fingerprint's
+    // oracle), then the declarative form of the selection — a substring
+    // [i, j+k) is an anchor iff BOTH border gram hashes strictly exceed
+    // every interior gram hash (signed 64-bit compare, matching the
+    // kernel's Long semantics). The kernel's early-stop walk is a pure
+    // optimization of this condition, so the sets are identical.
+    "q_fn_sparse_grams" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
+        |gi AS (SELECT doc_id, s, unnest(range(greatest(length(s)-1, 0))) AS i FROM t),
+        |g0 AS (
+        |  SELECT doc_id, s, i,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(octet_length(encode(substr(s, CAST(i AS INT)+1, 2)))),
+        |          x -> (16*(strpos('0123456789ABCDEF', substr(hex(encode(substr(s, CAST(i AS INT)+1, 2))), 2*x+1, 1))-1)
+        |                + strpos('0123456789ABCDEF', substr(hex(encode(substr(s, CAST(i AS INT)+1, 2))), 2*x+2, 1))-1)::HUGEINT)),
+        |      (h, b) -> (((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    ) AS hu
+        |  FROM gi),
+        |g AS (
+        |  SELECT doc_id, s, i,
+        |    CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS h
+        |  FROM g0),
+        |pairs AS (
+        |  SELECT a.doc_id, a.s, a.i AS i, b.i AS j
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i > a.i
+        |  WHERE least(a.h, b.h) > COALESCE(
+        |    (SELECT max(c.h) FROM g c WHERE c.doc_id = a.doc_id AND c.i > a.i AND c.i < b.i),
+        |    -9223372036854775807 - 1)
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(substr(s, CAST(i AS INT)+1, CAST(j - i AS INT) + 2), ',' ORDER BY i, j) AS grams
+        |  FROM pairs GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.grams, '') AS grams
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST, grams NULLS FIRST""".stripMargin,
     "q_fn_lemmatize" ->
       s"""WITH m AS (SELECT ${Nlp.sqlMap(Nlp.lemmaDict)} AS dict)
          |SELECT doc_id,
