@@ -1247,6 +1247,20 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getString(9) == "k1:k2|v1:v2")
   }
 
+  test("dialect farmHash64/metroHash64/farmFingerprint64 route to the faithful kernels") {
+    import graft.functions.HashCompat
+    val r = ch("""SELECT farmHash64('abc') AS f, metroHash64('abc') AS m,
+                 |farmFingerprint64('abc') AS fp, farmHash64('a', 'b') AS f2""".stripMargin)
+      .collect()(0)
+    def b(s: String) = s.getBytes("UTF-8")
+    assert(r.getLong(0) === HashCompat.farmHash64(b("abc")))
+    assert(r.getLong(1) === HashCompat.metroHash64(b("abc")))
+    assert(r.getLong(2) === HashCompat.farmFingerprint64(b("abc")))
+    // multi-arg folds with Hash128to64 (the reference's farm combine)
+    assert(r.getLong(3) === HashCompat.cityCombine(
+      HashCompat.farmHash64(b("a")), HashCompat.farmHash64(b("b"))))
+  }
+
   test("punycode: delimiter at index 0 splits an empty basic part; overflow returns NULL via try") {
     // RFC 3492 §3.1: "-<encoded>" has an empty basic string. Round-trip a
     // pure-non-ASCII label (its encoding starts with no basic part).
