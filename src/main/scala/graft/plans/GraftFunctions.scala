@@ -324,8 +324,26 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.StringBytesEntropy(es.head)),
       (FunctionIdentifier("ch_replace_regexp_one"), info("ch_replace_regexp_one"),
         (es: Seq[Expression]) => graft.functions.ChReplaceRegexpOne(es(0), es(1), es(2)))
-    ) ++ stringShingles ++ reinterprets ++ batch17
+    ) ++ stringShingles ++ reinterprets ++ batch17 ++ batch20
   }
+
+  /** Round-10 batch 20 (functions/Batch20.scala). */
+  private def batch20: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("fuzzy_substr_dist"), info("fuzzy_substr_dist"),
+      (es: Seq[Expression]) => graft.functions.SubstrEditDistance(es(0), es(1))),
+    (FunctionIdentifier("compare_substrings"), info("compare_substrings"),
+      (es: Seq[Expression]) => graft.functions.ChCompareSubstrings(es)),
+    (FunctionIdentifier("bit_slice"), info("bit_slice"),
+      (es: Seq[Expression]) => graft.functions.BitSliceExpr(es)),
+    (FunctionIdentifier("ch_bin"), info("ch_bin"),
+      (es: Seq[Expression]) => graft.functions.ChBin(es.head)),
+    (FunctionIdentifier("ch_unbin"), info("ch_unbin"),
+      (es: Seq[Expression]) => graft.functions.ChUnbin(es.head)),
+    (FunctionIdentifier("decode_html_component"), info("decode_html_component"),
+      (es: Seq[Expression]) => graft.functions.DecodeHtmlComponent(es.head)),
+    (FunctionIdentifier("string_jaccard_chars"), info("string_jaccard_chars"),
+      (es: Seq[Expression]) => graft.functions.JaccardCharsUTF8(es(0), es(1)))
+  )
 
   /** Round-9 batch 17 (functions/Batch17.scala). */
   private def batch17: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

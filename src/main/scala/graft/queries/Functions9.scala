@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-10 batch 19: the conversion tail (reference
+  * src/Functions/FunctionsConversion.h — the OrNull/OrZero/OrDefault
+  * spellings over UUID/IPv4/IPv6/Bool/FixedString/Decimal/Int128+
+  * targets, accurateCast) and the functional operator forms
+  * (FunctionsComparison.cpp / FunctionsLogical.cpp). Every probe string
+  * is derived from fixture columns so the DuckDB oracle can re-derive
+  * the identical inputs in plain SQL.
+  */
+object Functions9 {
+
+  val queries: Map[String, Q] = Map(
+    "q_fn_conversion3" -> { (s: SparkSession, dir: String) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey,
+          |  toInt8OrDefault(toString(p_partkey), 7) AS i8_d,
+          |  toUInt16OrDefault(p_type, 42) AS u16_d,
+          |  toUInt32OrDefault(toString(p_partkey), 0) AS u32_d,
+          |  toFloat32OrDefault(concat(toString(p_partkey), '.5'), toFloat32(0)) AS f32_d,
+          |  toDateOrZero(concat('2020-', leftPad(toString(1 + p_partkey % 12), 2, '0'), '-15')) AS d_ok,
+          |  toDateOrZero(p_type) AS d_zero,
+          |  toDateOrDefault(p_type, toDate('1999-12-31')) AS d_def,
+          |  toDate32OrNull(concat('2500-01-0', toString(1 + p_partkey % 9))) AS d32_sat,
+          |  toDateTimeOrZero(concat('2020-01-01 00:00:', leftPad(toString(p_partkey % 60), 2, '0'))) AS dt_ok,
+          |  toDateTime64OrNull(p_type, 3) AS dt64_null,
+          |  toUUIDOrNull(concat(substring(MD5(p_name), 1, 8), '-',
+          |    substring(MD5(p_name), 9, 4), '-',
+          |    substring(MD5(p_name), 13, 4), '-',
+          |    substring(MD5(p_name), 17, 4), '-',
+          |    substring(MD5(p_name), 21, 12))) AS uuid_ok,
+          |  toUUIDOrZero(p_type) AS uuid_zero,
+          |  toIPv4OrZero(concat(toString(p_partkey % 300), '.1.2.3')) AS ip4,
+          |  toIPv6OrNull(concat('2001:db8::', toString(1 + p_partkey % 99))) AS ip6,
+          |  toBool(element_at(['true','no','ON','2','xx'], CAST(1 + p_partkey % 5 AS INT))) AS b,
+          |  octet_length(toFixedString(p_brand, 12)) AS fx_len,
+          |  replaceAll(toFixedString(p_brand, 12), char(0), '.') AS fx,
+          |  toDecimal64OrNull(concat(toString(p_partkey), '.25'), 2) AS dec64,
+          |  toDecimal32OrZero(p_type, 3) AS dec32_z,
+          |  toDecimal128OrDefault(toString(p_partkey), 4, CAST(-1 AS DECIMAL(38,4))) AS dec128_d,
+          |  toInt128OrNull(concat('-', toString(p_partkey))) AS i128,
+          |  toUInt256OrZero(p_type) AS u256_z,
+          |  toUInt128('12345678901234567890123') AS u128_lit,
+          |  accurateCastOrNull(p_partkey, 'UInt8') AS acc_u8,
+          |  accurateCast(p_size, 'Int64') AS acc_i64,
+          |  toLowCardinality(p_brand) AS lc,
+          |  timeZone() AS tz,
+          |  timeZoneOffset(toDateTime('2020-06-01 12:00:00')) AS tz_off,
+          |  toModifiedJulianDayOrNull(concat('2020-', leftPad(toString(1 + p_partkey % 12), 2, '0'), '-01')) AS mjd,
+          |  toModifiedJulianDayOrNull(p_type) AS mjd_null,
+          |  fromModifiedJulianDayOrNull(toInt32(p_partkey)) AS from_mjd
+          |FROM part WHERE p_partkey < 400""".stripMargin))
+    },
+
+    // Round-10 batch 20: search-family tail (reference multiSearch*/
+    // multiMatch*/multiFuzzyMatch*/compareSubstrings/decodeHTMLComponent/
+    // stringJaccardIndexUTF8/bin/byteSlice via functions/Batch20.scala).
+    // The fuzzy oracle re-derives the Sellers substring distance in
+    // DuckDB as min(levenshtein) over all substrings whose length is
+    // within +-1 of the pattern (edit distance >= length difference, so
+    // the window is exhaustive for threshold 1).
+    "q_fn_search_tail" -> { (s: SparkSession, dir: String) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey,
+          |  multiSearchFirstPositionCaseInsensitive(p_name, ['METAL', 'spring', 'TOMATO']) AS msp_ci,
+          |  multiMatchAllIndices(p_name, ['^a', 'metallic', 'ic$']) AS mm_all,
+          |  multiFuzzyMatchAny(p_name, 0, ['metallic']) AS fz0,
+          |  multiFuzzyMatchAny(p_name, 1, ['metallik']) AS fz1,
+          |  compareSubstrings(p_name, p_type, 0, 0, 4) AS cmp,
+          |  decodeHTMLComponent(concat('&lt;', p_brand, '&gt; &#', toString(48 + p_partkey % 10), '; &amp; &unknown;')) AS dec,
+          |  stringJaccardIndexUTF8(p_name, p_type) AS jac,
+          |  byteSlice(p_name, 3, 5) AS bysl,
+          |  bin(p_size) AS bin_sz,
+          |  unbin(bin(p_size)) AS ub
+          |FROM part WHERE p_partkey < 400""".stripMargin))
+    },
+
+    "q_fn_op_forms" -> { (s: SparkSession, dir: String) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey,
+          |  equals(p_size, 7) AS eq7,
+          |  notEquals(p_brand, 'Brand#13') AS ne_m1,
+          |  less(p_retailprice, 1500.0) AS lt_price,
+          |  greater(p_size, 25) AS gt_sz,
+          |  lessOrEquals(p_partkey % 10, 4) AS le_mod,
+          |  greaterOrEquals(p_size, 40) AS ge_sz,
+          |  and(equals(p_size % 2, 0), less(p_partkey % 7, 3), greater(p_size, 5)) AS and3,
+          |  or(equals(p_brand, 'Brand#22'), greaterOrEquals(p_retailprice, 1800.0)) AS or2,
+          |  not(equals(p_size, 7)) AS not_eq7,
+          |  xor(greater(p_size, 10), equals(p_partkey % 2, 0)) AS xor2
+          |FROM part WHERE p_partkey < 600""".stripMargin))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_fn_conversion3" ->
+      """SELECT p_partkey,
+        |  CASE WHEN regexp_matches(cast(p_partkey AS VARCHAR), '^[+-]?[0-9]+$') THEN coalesce(try_cast(cast(p_partkey AS VARCHAR) AS TINYINT), 7) ELSE 7 END AS i8_d,
+        |  42 AS u16_d,
+        |  CASE WHEN regexp_matches(cast(p_partkey AS VARCHAR), '^[+]?[0-9]+$') AND try_cast(cast(p_partkey AS VARCHAR) AS BIGINT) <= 4294967295 THEN cast(p_partkey AS BIGINT) ELSE 0 END AS u32_d,
+        |  cast(cast(p_partkey AS VARCHAR) || '.5' AS REAL) AS f32_d,
+        |  cast('2020-' || lpad(cast(1 + p_partkey % 12 AS VARCHAR), 2, '0') || '-15' AS DATE) AS d_ok,
+        |  DATE '1970-01-01' AS d_zero,
+        |  DATE '1999-12-31' AS d_def,
+        |  DATE '2299-12-31' AS d32_sat,
+        |  cast('2020-01-01 00:00:' || lpad(cast(p_partkey % 60 AS VARCHAR), 2, '0') AS TIMESTAMP) AS dt_ok,
+        |  cast(NULL AS TIMESTAMP) AS dt64_null,
+        |  substring(md5(p_name), 1, 8) || '-' || substring(md5(p_name), 9, 4) || '-' ||
+        |    substring(md5(p_name), 13, 4) || '-' || substring(md5(p_name), 17, 4) || '-' ||
+        |    substring(md5(p_name), 21, 12) AS uuid_ok,
+        |  '00000000-0000-0000-0000-000000000000' AS uuid_zero,
+        |  CASE WHEN p_partkey % 300 <= 255 THEN cast(p_partkey % 300 AS VARCHAR) || '.1.2.3' ELSE '0.0.0.0' END AS ip4,
+        |  '2001:db8::' || cast(1 + p_partkey % 99 AS VARCHAR) AS ip6,
+        |  CASE 1 + p_partkey % 5 WHEN 1 THEN true WHEN 2 THEN false WHEN 3 THEN true WHEN 4 THEN true ELSE NULL END AS b,
+        |  12 AS fx_len,
+        |  p_brand || repeat('.', 12 - length(p_brand)) AS fx,
+        |  cast(cast(p_partkey AS VARCHAR) || '.25' AS DECIMAL(18,2)) AS dec64,
+        |  cast(0 AS DECIMAL(9,3)) AS dec32_z,
+        |  cast(p_partkey AS DECIMAL(38,4)) AS dec128_d,
+        |  cast(-p_partkey AS DECIMAL(38,0)) AS i128,
+        |  cast(0 AS DECIMAL(38,0)) AS u256_z,
+        |  cast('12345678901234567890123' AS DECIMAL(38,0)) AS u128_lit,
+        |  CASE WHEN p_partkey BETWEEN 0 AND 255 THEN cast(p_partkey AS BIGINT) END AS acc_u8,
+        |  cast(p_size AS BIGINT) AS acc_i64,
+        |  p_brand AS lc,
+        |  'UTC' AS tz,
+        |  cast(0 AS BIGINT) AS tz_off,
+        |  cast(datediff('day', DATE '1858-11-17', cast('2020-' || lpad(cast(1 + p_partkey % 12 AS VARCHAR), 2, '0') || '-01' AS DATE)) AS INTEGER) AS mjd,
+        |  cast(NULL AS INTEGER) AS mjd_null,
+        |  DATE '1858-11-17' + cast(p_partkey AS INTEGER) AS from_mjd
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    "q_fn_search_tail" ->
+      """WITH probes AS (
+        |  SELECT p_partkey, p_name, p_type, p_brand, p_size,
+        |    nullif(strpos(lower(p_name), 'metal'), 0) AS pos1,
+        |    nullif(strpos(lower(p_name), 'spring'), 0) AS pos2,
+        |    nullif(strpos(lower(p_name), 'tomato'), 0) AS pos3
+        |  FROM part WHERE p_partkey < 400)
+        |SELECT p_partkey,
+        |  cast(coalesce(least(pos1, pos2, pos3), 0) AS INTEGER) AS msp_ci,
+        |  list_filter([CASE WHEN regexp_matches(p_name, '^a') THEN CAST(1 AS BIGINT) END,
+        |    CASE WHEN regexp_matches(p_name, 'metallic') THEN CAST(2 AS BIGINT) END,
+        |    CASE WHEN regexp_matches(p_name, 'ic$') THEN CAST(3 AS BIGINT) END],
+        |    x -> x IS NOT NULL) AS mm_all,
+        |  contains(p_name, 'metallic') AS fz0,
+        |  (least(
+        |    coalesce(list_min(list_transform(range(1, greatest(length(p_name) - 5, 1)),
+        |      i -> levenshtein(substring(p_name, CAST(i AS INTEGER), 7), 'metallik'))), 99),
+        |    coalesce(list_min(list_transform(range(1, greatest(length(p_name) - 6, 1)),
+        |      i -> levenshtein(substring(p_name, CAST(i AS INTEGER), 8), 'metallik'))), 99),
+        |    coalesce(list_min(list_transform(range(1, greatest(length(p_name) - 7, 1)),
+        |      i -> levenshtein(substring(p_name, CAST(i AS INTEGER), 9), 'metallik'))), 99)) <= 1) AS fz1,
+        |  CASE WHEN substring(p_name, 1, 4) < substring(p_type, 1, 4) THEN -1
+        |       WHEN substring(p_name, 1, 4) > substring(p_type, 1, 4) THEN 1
+        |       ELSE 0 END AS cmp,
+        |  '<' || p_brand || '> ' || chr(CAST(48 + p_partkey % 10 AS INTEGER)) || ' & &unknown;' AS dec,
+        |  jaccard(p_name, p_type) AS jac,
+        |  substring(p_name, 3, 5) AS bysl,
+        |  lpad(bin(p_size), 8, '0') AS bin_sz,
+        |  chr(CAST(p_size AS INTEGER)) AS ub
+        |FROM probes
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    "q_fn_op_forms" ->
+      """SELECT p_partkey,
+        |  p_size = 7 AS eq7,
+        |  p_brand <> 'Brand#13' AS ne_m1,
+        |  p_retailprice < 1500.0 AS lt_price,
+        |  p_size > 25 AS gt_sz,
+        |  p_partkey % 10 <= 4 AS le_mod,
+        |  p_size >= 40 AS ge_sz,
+        |  (p_size % 2 = 0 AND p_partkey % 7 < 3 AND p_size > 5) AS and3,
+        |  (p_brand = 'Brand#22' OR p_retailprice >= 1800.0) AS or2,
+        |  NOT (p_size = 7) AS not_eq7,
+        |  (p_size > 10) <> (p_partkey % 2 = 0) AS xor2
+        |FROM part WHERE p_partkey < 600
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin
+  )
+}

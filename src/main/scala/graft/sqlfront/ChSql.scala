@@ -550,7 +550,75 @@ object ChSql {
     "wordShingleMinHashArg" -> "ch_wordshingle_minhash_arg",
     "wordShingleMinHashArgCaseInsensitive" -> "ch_wordshingle_minhash_arg_ci",
     "wordShingleMinHashArgUTF8" -> "ch_wordshingle_minhash_arg",
-    "wordShingleMinHashArgCaseInsensitiveUTF8" -> "ch_wordshingle_minhash_arg_ci"
+    "wordShingleMinHashArgCaseInsensitiveUTF8" -> "ch_wordshingle_minhash_arg_ci",
+
+    // ---- round-10 batch 19: conversion tail + functional operator forms
+    // (reference src/Functions/FunctionsConversion.h remaining spellings;
+    // FunctionsComparison.cpp / FunctionsLogical.cpp operator functions) ----
+    "toInt8OrDefault" -> "t", "toInt16OrDefault" -> "t",
+    "toUInt8OrDefault" -> "t", "toUInt16OrDefault" -> "t",
+    "toUInt32OrDefault" -> "t", "toFloat32OrDefault" -> "t",
+    "toDateOrZero" -> "t", "toDateOrDefault" -> "t",
+    "toDate32OrNull" -> "t", "toDate32OrZero" -> "t", "toDate32OrDefault" -> "t",
+    "toDateTimeOrZero" -> "t", "toDateTimeOrDefault" -> "t",
+    "toDateTime64OrNull" -> "t", "toDateTime64OrZero" -> "t",
+    "toDateTime64OrDefault" -> "t",
+    "toUUID" -> "t", "toUUIDOrNull" -> "t", "toUUIDOrZero" -> "t",
+    "toUUIDOrDefault" -> "t",
+    "toIPv4" -> "t", "toIPv4OrNull" -> "t", "toIPv4OrZero" -> "t",
+    "toIPv4OrDefault" -> "t",
+    "toIPv6" -> "t", "toIPv6OrNull" -> "t", "toIPv6OrZero" -> "t",
+    "toIPv6OrDefault" -> "t",
+    "toBool" -> "t", "toFixedString" -> "t",
+    "toDecimal32OrNull" -> "t", "toDecimal32OrZero" -> "t",
+    "toDecimal32OrDefault" -> "t",
+    "toDecimal64OrNull" -> "t", "toDecimal64OrZero" -> "t",
+    "toDecimal64OrDefault" -> "t",
+    "toDecimal128OrNull" -> "t", "toDecimal128OrZero" -> "t",
+    "toDecimal128OrDefault" -> "t",
+    "toDecimal256" -> "t", "toDecimal256OrNull" -> "t",
+    "toDecimal256OrZero" -> "t", "toDecimal256OrDefault" -> "t",
+    "toInt128" -> "t", "toInt128OrNull" -> "t", "toInt128OrZero" -> "t",
+    "toInt128OrDefault" -> "t",
+    "toInt256" -> "t", "toInt256OrNull" -> "t", "toInt256OrZero" -> "t",
+    "toInt256OrDefault" -> "t",
+    "toUInt128" -> "t", "toUInt128OrNull" -> "t", "toUInt128OrZero" -> "t",
+    "toUInt128OrDefault" -> "t",
+    "toUInt256" -> "t", "toUInt256OrNull" -> "t", "toUInt256OrZero" -> "t",
+    "toUInt256OrDefault" -> "t",
+    "accurateCast" -> "t", "accurateCastOrNull" -> "t",
+    "accurateCastOrDefault" -> "t",
+    "toLowCardinality" -> "t", "toTimeZone" -> "t", "toTimezone" -> "t",
+    "timeZone" -> "t", "serverTimeZone" -> "t",
+    "timeZoneOf" -> "t", "timezoneOf" -> "t",
+    "timeZoneOffset" -> "t", "timezoneOffset" -> "t",
+    "toModifiedJulianDayOrNull" -> "t", "fromModifiedJulianDayOrNull" -> "t",
+    "concatWithSeparatorAssumeInjective" -> "concat_ws",
+    "equals" -> "t", "notEquals" -> "t", "less" -> "t", "greater" -> "t",
+    "lessOrEquals" -> "t", "greaterOrEquals" -> "t",
+    "and" -> "t", "or" -> "t", "not" -> "t", "xor" -> "t",
+
+    // ---- round-10 batch 20: search-family tail ----
+    "multiSearchAnyUTF8" -> "t", "multiSearchAnyCaseInsensitiveUTF8" -> "t",
+    "multiSearchFirstIndexUTF8" -> "t",
+    "multiSearchFirstIndexCaseInsensitive" -> "t",
+    "multiSearchFirstIndexCaseInsensitiveUTF8" -> "t",
+    "multiSearchFirstPositionUTF8" -> "t",
+    "multiSearchFirstPositionCaseInsensitive" -> "t",
+    "multiSearchFirstPositionCaseInsensitiveUTF8" -> "t",
+    "multiSearchAllPositionsUTF8" -> "t",
+    "multiSearchAllPositionsCaseInsensitiveUTF8" -> "t",
+    "ngramDistanceUTF8" -> "t", "ngramDistanceCaseInsensitive" -> "t",
+    "ngramDistanceCaseInsensitiveUTF8" -> "t",
+    "ngramSearchUTF8" -> "t", "ngramSearchCaseInsensitive" -> "t",
+    "ngramSearchCaseInsensitiveUTF8" -> "t",
+    "multiMatchAllIndices" -> "t",
+    "multiFuzzyMatchAny" -> "t", "multiFuzzyMatchAnyIndex" -> "t",
+    "multiFuzzyMatchAllIndices" -> "t",
+    "compareSubstrings" -> "t", "decodeHTMLComponent" -> "t",
+    "stringJaccardIndexUTF8" -> "t",
+    "byteSlice" -> "t", "bitSlice" -> "t",
+    "bin" -> "t", "unbin" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -882,7 +950,17 @@ object ChSql {
     for (base <- Seq("editDistance",
         "levenshteinDistance", "hasSubsequence", "hasSubsequenceCaseInsensitive",
         "multiSearchAny", "ngramDistance", "ngramSearch",
-        "countSubstrings", "splitByChar"))
+        "countSubstrings", "splitByChar",
+        // round-10 batch 20: the remaining *UTF8 spellings whose base is
+        // position-free or whose positions are char-based already
+        // (multiSearch* positions are code points in the UTF8 variants —
+        // Spark's instr counts chars, so the UTF8 spelling is the native
+        // one and the canonicalization is exact on ASCII)
+        "multiSearchAnyCaseInsensitive", "multiSearchFirstIndex",
+        "multiSearchFirstIndexCaseInsensitive", "multiSearchFirstPosition",
+        "multiSearchFirstPositionCaseInsensitive", "multiSearchAllPositions",
+        "multiSearchAllPositionsCaseInsensitive",
+        "ngramDistanceCaseInsensitive", "ngramSearchCaseInsensitive"))
       q = q.replaceAll(s"\\b${base}UTF8\\s*\\(", base + "(")
 
     // CH base string ops act on BYTES; only the *UTF8 variants measure
@@ -1082,6 +1160,273 @@ object ChSql {
     q = rewriteCalls(q, "toFloat64OrDefault")(a =>
       if (a.length >= 2) s"coalesce(${floatParse(a(0), "DOUBLE")}, ${a(1)})"
       else orZero(floatParse(a(0), "DOUBLE"), "DOUBLE"))
+
+    // ---- round-10 batch 19: the remaining conversion spellings ----
+    // (reference FunctionsConversion.h: FunctionCastOrDefault /
+    // ConvertThroughParsing over the targets not yet covered above)
+    // complete the narrow OrDefault grid (2-arg = caller default,
+    // 1-arg = the type default, i.e. the OrZero value)
+    for ((n, t) <- Seq("toInt8OrDefault" -> "TINYINT",
+        "toInt16OrDefault" -> "SMALLINT"))
+      q = rewriteCalls(q, n)(a =>
+        if (a.length >= 2) s"coalesce(${intParse(a(0), t)}, ${a(1)})"
+        else orZero(intParse(a(0), t), t))
+    for ((n, m) <- Seq("toUInt8OrDefault" -> Some(255L),
+        "toUInt16OrDefault" -> Some(65535L),
+        "toUInt32OrDefault" -> Some(4294967295L)))
+      q = rewriteCalls(q, n)(a =>
+        if (a.length >= 2) s"coalesce(${uintParse(a(0), m)}, ${a(1)})"
+        else orZero(uintParse(a(0), m), "BIGINT"))
+    q = rewriteCalls(q, "toFloat32OrDefault")(a =>
+      if (a.length >= 2) s"coalesce(${floatParse(a(0), "FLOAT")}, ${a(1)})"
+      else orZero(floatParse(a(0), "FLOAT"), "FLOAT"))
+    // CH date/datetime string parse (src/IO/ReadHelpers.h readDateText /
+    // readDateTimeText: strict 'YYYY-MM-DD[ hh:mm:ss[.frac]]', full
+    // consumption) with the reference's SATURATING range semantics
+    // (FunctionsConversion.h date_time_overflow_behavior = saturate:
+    // Date clamps to [1970-01-01, 2149-06-06], Date32 to
+    // [1900-01-01, 2299-12-31], DateTime to [1970, 2106-02-07 06:28:15])
+    val chDateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+    val chDateTimeRe =
+      "^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?$"
+    def dateParse(x: String, lo: String, hi: String): String = {
+      val s = chStr(x)
+      s"(CASE WHEN $s RLIKE '$chDateRe' THEN " +
+        s"least(greatest(try_cast($s AS DATE), DATE'$lo'), DATE'$hi') END)"
+    }
+    def dateTimeParse(x: String): String = {
+      val s = chStr(x)
+      s"(CASE WHEN $s RLIKE '$chDateTimeRe' OR $s RLIKE '$chDateRe' THEN " +
+        s"least(greatest(try_cast($s AS TIMESTAMP), " +
+        s"TIMESTAMP'1970-01-01 00:00:00'), TIMESTAMP'2106-02-07 06:28:15') END)"
+    }
+    q = rewriteCalls(q, "toDateOrZero")(a =>
+      s"coalesce(${dateParse(a(0), "1970-01-01", "2149-06-06")}, DATE'1970-01-01')")
+    q = rewriteCalls(q, "toDateOrDefault")(a =>
+      if (a.length >= 2)
+        s"coalesce(${dateParse(a(0), "1970-01-01", "2149-06-06")}, ${a(1)})"
+      else s"coalesce(${dateParse(a(0), "1970-01-01", "2149-06-06")}, DATE'1970-01-01')")
+    q = rewriteCalls(q, "toDate32OrNull")(a =>
+      dateParse(a(0), "1900-01-01", "2299-12-31"))
+    q = rewriteCalls(q, "toDate32OrZero")(a =>
+      s"coalesce(${dateParse(a(0), "1900-01-01", "2299-12-31")}, DATE'1900-01-01')")
+    q = rewriteCalls(q, "toDate32OrDefault")(a =>
+      if (a.length >= 2)
+        s"coalesce(${dateParse(a(0), "1900-01-01", "2299-12-31")}, ${a(1)})"
+      else s"coalesce(${dateParse(a(0), "1900-01-01", "2299-12-31")}, DATE'1900-01-01')")
+    q = rewriteCalls(q, "toDateTimeOrZero")(a =>
+      s"coalesce(${dateTimeParse(a(0))}, TIMESTAMP'1970-01-01 00:00:00')")
+    q = rewriteCalls(q, "toDateTimeOrDefault")(a =>
+      if (a.length >= 2) s"coalesce(${dateTimeParse(a(0))}, ${a(1)})"
+      else s"coalesce(${dateTimeParse(a(0))}, TIMESTAMP'1970-01-01 00:00:00')")
+    // DateTime64 lands on Spark's microsecond TIMESTAMP; a scale argument
+    // beyond 6 cannot add precision (documented clamp, same as the
+    // parseDateTime64 family). Signatures: (s[, scale[, tz]]) /
+    // OrDefault(s, scale, default).
+    q = rewriteCalls(q, "toDateTime64OrNull")(a => dateTimeParse(a(0)))
+    q = rewriteCalls(q, "toDateTime64OrZero")(a =>
+      s"coalesce(${dateTimeParse(a(0))}, TIMESTAMP'1970-01-01 00:00:00')")
+    q = rewriteCalls(q, "toDateTime64OrDefault")(a =>
+      if (a.length >= 3) s"coalesce(${dateTimeParse(a(0))}, ${a(2)})"
+      else s"coalesce(${dateTimeParse(a(0))}, TIMESTAMP'1970-01-01 00:00:00')")
+    // UUID: canonical lowercase 8-4-4-4-12; the all-zero UUID is the
+    // type default (reference src/IO/ReadHelpers.h readUUIDTextImpl)
+    val uuidRe = "^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-" +
+      "[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+    def uuidParse(x: String): String = {
+      val s = chStr(x)
+      s"(CASE WHEN $s RLIKE '$uuidRe' THEN lower($s) END)"
+    }
+    val zeroUuid = "'00000000-0000-0000-0000-000000000000'"
+    q = rewriteCalls(q, "toUUIDOrNull")(a => uuidParse(a(0)))
+    q = rewriteCalls(q, "toUUIDOrZero")(a =>
+      s"coalesce(${uuidParse(a(0))}, $zeroUuid)")
+    q = rewriteCalls(q, "toUUIDOrDefault")(a =>
+      if (a.length >= 2) s"coalesce(${uuidParse(a(0))}, ${a(1)})"
+      else s"coalesce(${uuidParse(a(0))}, $zeroUuid)")
+    q = rewriteCalls(q, "toUUID")(a =>
+      s"(CASE WHEN ${uuidParse(a(0))} IS NOT NULL THEN ${uuidParse(a(0))} " +
+        s"ELSE raise_error(concat('toUUID: cannot parse ', ${chStr(a(0))})) END)")
+    // IPv4/IPv6 values render as canonical strings in this engine (the
+    // numeric view stays explicit via IPv4StringToNum; reference
+    // DataTypeIPv4/IPv6 are value types with canonical text form)
+    def ip4Canon(x: String): String = {
+      val s = chStr(x)
+      val oct = (i: Int) => s"try_cast(element_at(split($s, '\\\\.'), $i) AS INT)"
+      s"(CASE WHEN $s RLIKE '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$$' " +
+        s"AND ${oct(1)} <= 255 AND ${oct(2)} <= 255 AND ${oct(3)} <= 255 " +
+        s"AND ${oct(4)} <= 255 THEN concat_ws('.', CAST(${oct(1)} AS STRING), " +
+        s"CAST(${oct(2)} AS STRING), CAST(${oct(3)} AS STRING), " +
+        s"CAST(${oct(4)} AS STRING)) END)"
+    }
+    q = rewriteCalls(q, "toIPv4OrNull")(a => ip4Canon(a(0)))
+    q = rewriteCalls(q, "toIPv4OrZero")(a =>
+      s"coalesce(${ip4Canon(a(0))}, '0.0.0.0')")
+    q = rewriteCalls(q, "toIPv4OrDefault")(a =>
+      if (a.length >= 2) s"coalesce(${ip4Canon(a(0))}, ${a(1)})"
+      else s"coalesce(${ip4Canon(a(0))}, '0.0.0.0')")
+    q = rewriteCalls(q, "toIPv4")(a =>
+      s"(CASE WHEN ${ip4Canon(a(0))} IS NOT NULL THEN ${ip4Canon(a(0))} " +
+        s"ELSE raise_error(concat('toIPv4: cannot parse ', ${chStr(a(0))})) END)")
+    def ip6Canon(x: String): String =
+      s"ipv6_num_to_string(ipv6_string_to_num(${chStr(x)}))"
+    q = rewriteCalls(q, "toIPv6OrNull")(a => ip6Canon(a(0)))
+    q = rewriteCalls(q, "toIPv6OrZero")(a => s"coalesce(${ip6Canon(a(0))}, '::')")
+    q = rewriteCalls(q, "toIPv6OrDefault")(a =>
+      if (a.length >= 2) s"coalesce(${ip6Canon(a(0))}, ${a(1)})"
+      else s"coalesce(${ip6Canon(a(0))}, '::')")
+    q = rewriteCalls(q, "toIPv6")(a =>
+      s"coalesce(${ip6Canon(a(0))}, " +
+        s"raise_error(concat('toIPv6: cannot parse ', ${chStr(a(0))})))")
+    // toBool (reference parseBoolText: the word spellings; numerics are
+    // x != 0 via the implicit conversion)
+    q = rewriteCalls(q, "toBool")(a => {
+      val s = chStr(a(0))
+      s"(CASE WHEN lower($s) IN ('true','t','yes','y','on','enable','enabled','1') THEN true " +
+        s"WHEN lower($s) IN ('false','f','no','n','off','disable','disabled','0') THEN false " +
+        s"WHEN try_cast($s AS DOUBLE) IS NOT NULL THEN try_cast($s AS DOUBLE) <> 0.0 END)"
+    })
+    // toFixedString(s, n): NUL-pad to n, throw when longer (reference
+    // FunctionToFixedString). rpad counts chars — identical to the
+    // reference's bytes on ASCII; multibyte divergence documented.
+    q = rewriteCalls(q, "toFixedString")(a => {
+      val s = chStr(a(0))
+      s"(CASE WHEN octet_length($s) > ${a(1)} THEN " +
+        s"raise_error('toFixedString: value too long') " +
+        s"ELSE rpad($s, ${a(1)}, chr(0)) END)"
+    })
+    // Decimal targets: DECIMAL(9|18|38, s). Decimal256's 76 digits exceed
+    // Spark's maximum precision — renders at DECIMAL(38, s) (documented
+    // best-effort, same declared clamp as the 128/256-bit integers below).
+    for ((n, p) <- Seq("toDecimal32" -> 9, "toDecimal64" -> 18,
+        "toDecimal128" -> 38, "toDecimal256" -> 38)) {
+      q = rewriteCalls(q, n + "OrNull")(a =>
+        s"try_cast(${chStr(a(0))} AS DECIMAL($p, ${a(1)}))")
+      q = rewriteCalls(q, n + "OrZero")(a =>
+        s"coalesce(try_cast(${chStr(a(0))} AS DECIMAL($p, ${a(1)})), " +
+          s"CAST(0 AS DECIMAL($p, ${a(1)})))")
+      q = rewriteCalls(q, n + "OrDefault")(a =>
+        if (a.length >= 3)
+          s"coalesce(try_cast(${chStr(a(0))} AS DECIMAL($p, ${a(1)})), ${a(2)})"
+        else s"coalesce(try_cast(${chStr(a(0))} AS DECIMAL($p, ${a(1)})), " +
+          s"CAST(0 AS DECIMAL($p, ${a(1)})))")
+    }
+    q = rewriteCalls(q, "toDecimal256")(a => s"CAST(${a(0)} AS DECIMAL(38, ${a(1)}))")
+    // 128/256-bit integers land on DECIMAL(38,0) — exact to 10^38-1
+    // (SURVEY §1 "UInt128/256 best-effort"); the CH parse grammar guard
+    // matches the narrow-integer family above
+    def wideIntParse(x: String, unsigned: Boolean): String = {
+      val s = chStr(x)
+      val re = if (unsigned) chUIntRe else chIntRe
+      s"(CASE WHEN $s RLIKE '$re' THEN try_cast($s AS DECIMAL(38,0)) END)"
+    }
+    for (n <- Seq("toInt128", "toInt256")) {
+      q = rewriteCalls(q, n + "OrNull")(a => wideIntParse(a(0), unsigned = false))
+      q = rewriteCalls(q, n + "OrZero")(a =>
+        orZero(wideIntParse(a(0), unsigned = false), "DECIMAL(38,0)"))
+      q = rewriteCalls(q, n + "OrDefault")(a =>
+        if (a.length >= 2)
+          s"coalesce(${wideIntParse(a(0), unsigned = false)}, ${a(1)})"
+        else orZero(wideIntParse(a(0), unsigned = false), "DECIMAL(38,0)"))
+      q = rewriteCalls(q, n)(a => s"CAST(${a(0)} AS DECIMAL(38,0))")
+    }
+    for (n <- Seq("toUInt128", "toUInt256")) {
+      q = rewriteCalls(q, n + "OrNull")(a => wideIntParse(a(0), unsigned = true))
+      q = rewriteCalls(q, n + "OrZero")(a =>
+        orZero(wideIntParse(a(0), unsigned = true), "DECIMAL(38,0)"))
+      q = rewriteCalls(q, n + "OrDefault")(a =>
+        if (a.length >= 2)
+          s"coalesce(${wideIntParse(a(0), unsigned = true)}, ${a(1)})"
+        else orZero(wideIntParse(a(0), unsigned = true), "DECIMAL(38,0)"))
+      q = rewriteCalls(q, n)(a => s"CAST(${a(0)} AS DECIMAL(38,0))")
+    }
+    // accurateCast family (FunctionsConversion.h accurate::convertNumeric):
+    // out-of-range THROWS (accurateCast) or yields NULL/default — never
+    // the wrapping toInt* truncation. Spark 4's ANSI CAST already throws
+    // on numeric narrowing overflow, so the signed targets map directly;
+    // the unsigned targets add an explicit range guard. Float->Int
+    // truncation-vs-throw divergence is documented (ANSI truncates).
+    def accCast(x: String, tArg: String, orNull: Boolean): String = {
+      val ty = tArg.replaceAll("'", "").trim
+      val (sqlT, loHi) = ty match {
+        case "Int8" => ("TINYINT", None)
+        case "Int16" => ("SMALLINT", None)
+        case "Int32" => ("INT", None)
+        case "Int64" => ("BIGINT", None)
+        case "UInt8" => ("BIGINT", Some((0L, 255L)))
+        case "UInt16" => ("BIGINT", Some((0L, 65535L)))
+        case "UInt32" => ("BIGINT", Some((0L, 4294967295L)))
+        case "UInt64" => ("DECIMAL(20,0)", None)
+        case "Float32" => ("FLOAT", None)
+        case "Float64" => ("DOUBLE", None)
+        case "String" => ("STRING", None)
+        case "Date" => ("DATE", None)
+        case "DateTime" => ("TIMESTAMP", None)
+        case d if d.startsWith("Decimal(") => (d.replace("Decimal", "DECIMAL"), None)
+        case _ => ("STRING", None) // unmapped target renders via STRING
+      }
+      (loHi, orNull) match {
+        case (None, true) => s"try_cast($x AS $sqlT)"
+        case (None, false) => s"CAST($x AS $sqlT)"
+        case (Some((lo, hi)), true) =>
+          s"(CASE WHEN try_cast($x AS BIGINT) BETWEEN $lo AND $hi " +
+            s"THEN try_cast($x AS $sqlT) END)"
+        case (Some((lo, hi)), false) =>
+          s"(CASE WHEN CAST($x AS BIGINT) BETWEEN $lo AND $hi " +
+            s"THEN CAST($x AS $sqlT) " +
+            s"ELSE raise_error('accurateCast: value out of range') END)"
+      }
+    }
+    q = rewriteCalls(q, "accurateCastOrNull")(a => accCast(a(0), a(1), orNull = true))
+    q = rewriteCalls(q, "accurateCastOrDefault")(a =>
+      if (a.length >= 3) s"coalesce(${accCast(a(0), a(1), orNull = true)}, ${a(2)})"
+      else accCast(a(0), a(1), orNull = true))
+    q = rewriteCalls(q, "accurateCast")(a => accCast(a(0), a(1), orNull = false))
+    // representation-metadata-only conversions are the identity here:
+    // Spark has no LowCardinality dictionary type, and timestamps are
+    // instants rendered in the session zone (toTimeZone changes display
+    // metadata, not the instant — reference src/Functions/toTimezone.cpp)
+    q = rewriteCalls(q, "toLowCardinality")(a => s"(${a(0)})")
+    for (n <- Seq("toTimeZone", "toTimezone"))
+      q = rewriteCalls(q, n)(a => s"(${a(0)})")
+    for (n <- Seq("timeZone", "timezone", "serverTimeZone"))
+      q = rewriteCalls(q, n)(_ => "current_timezone()")
+    for (n <- Seq("timeZoneOf", "timezoneOf"))
+      q = rewriteCalls(q, n)(_ => "current_timezone()")
+    // offset (seconds east of UTC) of the session zone at the instant;
+    // to_utc_timestamp subtracts the zone offset, so the difference IS
+    // the offset (0 under the engine's UTC default)
+    for (n <- Seq("timeZoneOffset", "timezoneOffset"))
+      q = rewriteCalls(q, n)(a =>
+        s"CAST(unix_timestamp(CAST(${a(0)} AS TIMESTAMP)) - " +
+          s"unix_timestamp(to_utc_timestamp(CAST(${a(0)} AS TIMESTAMP), " +
+          s"current_timezone())) AS BIGINT)")
+    q = rewriteCalls(q, "toModifiedJulianDayOrNull")(a =>
+      s"datediff(try_cast(${chStr(a(0))} AS DATE), DATE'1858-11-17')")
+    q = rewriteCalls(q, "fromModifiedJulianDayOrNull")(a =>
+      s"date_add(DATE'1858-11-17', try_cast(${chStr(a(0))} AS INT))")
+    // functional operator forms (FunctionsComparison.cpp registers
+    // equals/notEquals/less/...; FunctionsLogical.cpp and/or/not/xor —
+    // the reference parser itself folds infix `=` into equals())
+    q = rewriteCalls(q, "equals")(a => s"(${a(0)} = ${a(1)})")
+    q = rewriteCalls(q, "notEquals")(a => s"(${a(0)} <> ${a(1)})")
+    q = rewriteCalls(q, "lessOrEquals")(a => s"(${a(0)} <= ${a(1)})")
+    q = rewriteCalls(q, "greaterOrEquals")(a => s"(${a(0)} >= ${a(1)})")
+    q = rewriteCalls(q, "less")(a => s"(${a(0)} < ${a(1)})")
+    q = rewriteCalls(q, "greater")(a => s"(${a(0)} > ${a(1)})")
+    // and()/or() rewrite only at >=2 args: a 1-arg match is more likely
+    // the infix keyword written without a space (`x=1 and(y=2)`) than
+    // the degenerate variadic call, and CH itself requires >=2
+    q = rewriteCalls(q, "and")(a =>
+      if (a.length >= 2) "(" + a.mkString(" AND ") + ")"
+      else s"and(${a.mkString(", ")})")
+    q = rewriteCalls(q, "or")(a =>
+      if (a.length >= 2) "(" + a.mkString(" OR ") + ")"
+      else s"or(${a.mkString(", ")})")
+    q = rewriteCalls(q, "not")(a => s"(NOT (${a(0)}))")
+    q = rewriteCalls(q, "xor")(a =>
+      a.map(x => s"CAST($x AS BOOLEAN)").reduce((l, r) => s"($l <> $r)"))
+
     // CH rounding family (reference src/Functions/FunctionsRound.h):
     // result type = argument type, float path scales in binary FP with
     // banker's ties, integer negative-scale is exact integer arithmetic —
@@ -1243,6 +1588,56 @@ object ChSql {
       s"exists(${a(1)}, __p -> ${a(0)} RLIKE __p)")
     q = rewriteCalls(q, "multiMatchAnyIndex")(a =>
       s"coalesce(array_position(transform(${a(1)}, __p -> ${a(0)} RLIKE __p), true), 0)")
+    // ---- round-10 batch 20: search-family tail ----
+    // CaseInsensitive spellings of the position/index searches: lower
+    // both sides (byte-fold is ASCII-only in the reference — identical)
+    q = rewriteCalls(q, "multiSearchFirstPositionCaseInsensitive")(a =>
+      s"coalesce(array_min(filter(transform(${a(1)}, " +
+        s"__n -> instr(lower(${a(0)}), lower(__n))), __p -> __p > 0)), 0)")
+    q = rewriteCalls(q, "multiSearchFirstIndexCaseInsensitive")(a =>
+      s"coalesce(array_position(transform(${a(1)}, __n -> instr(lower(${a(0)}), lower(__n))), " +
+        s"array_min(filter(transform(${a(1)}, __n -> instr(lower(${a(0)}), lower(__n))), " +
+        s"__p -> __p > 0))), 0)")
+    q = rewriteCalls(q, "ngramDistanceCaseInsensitive")(a =>
+      s"(CAST(1 AS DOUBLE) - (CAST(2 AS DOUBLE) * " +
+        s"intersect_count_sorted_longs(${ngramParts(s"lower(${a(0)})")}, ${ngramParts(s"lower(${a(1)})")})) " +
+        s"/ (size(${ngramParts(s"lower(${a(0)})")}) + size(${ngramParts(s"lower(${a(1)})")})))")
+    q = rewriteCalls(q, "ngramSearchCaseInsensitive")(a =>
+      s"(CAST(intersect_count_sorted_longs(${ngramParts(s"lower(${a(0)})")}, " +
+        s"${ngramParts(s"lower(${a(1)})")}) AS DOUBLE) / size(${ngramParts(s"lower(${a(1)})")}))")
+    // multiMatchAllIndices (multiMatchAllIndices.cpp): 1-based indices of
+    // every matching pattern, in pattern order
+    q = rewriteCalls(q, "multiMatchAllIndices")(a =>
+      s"filter(transform(${a(1)}, (__p, __i) -> " +
+        s"CASE WHEN ${a(0)} RLIKE __p THEN CAST(__i + 1 AS BIGINT) END), " +
+        s"__x -> __x IS NOT NULL)")
+    // multiFuzzyMatch* (MultiMatchAnyImpl.h — hyperscan edit-distance
+    // matching there; LITERAL patterns only here via the Sellers kernel,
+    // regex metacharacters rejected at eval): (haystack, distance, [p...])
+    q = rewriteCalls(q, "multiFuzzyMatchAny")(a =>
+      s"exists(${a(2)}, __p -> fuzzy_substr_dist(${a(0)}, __p) <= ${a(1)})")
+    q = rewriteCalls(q, "multiFuzzyMatchAnyIndex")(a =>
+      s"coalesce(array_position(transform(${a(2)}, " +
+        s"__p -> fuzzy_substr_dist(${a(0)}, __p) <= ${a(1)}), true), 0)")
+    q = rewriteCalls(q, "multiFuzzyMatchAllIndices")(a =>
+      s"filter(transform(${a(2)}, (__p, __i) -> " +
+        s"CASE WHEN fuzzy_substr_dist(${a(0)}, __p) <= ${a(1)} " +
+        s"THEN CAST(__i + 1 AS BIGINT) END), __x -> __x IS NOT NULL)")
+    // compareSubstrings(s1, s2, off1, off2, n): zero-based offsets,
+    // bytewise memcmp clipped to the available bytes (compareSubstrings.cpp)
+    q = rewriteCalls(q, "compareSubstrings")(a =>
+      s"compare_substrings(${a(0)}, ${a(1)}, ${a(2)}, ${a(3)}, ${a(4)})")
+    q = rewriteCalls(q, "decodeHTMLComponent")(a =>
+      s"decode_html_component(${a(0)})")
+    q = rewriteCalls(q, "stringJaccardIndexUTF8")(a =>
+      s"string_jaccard_chars(${a(0)}, ${a(1)})")
+    // byteSlice = the byte-based substring (byteSlice.cpp shares
+    // GatherUtils sliceFromLeft/Right with substring's byte branch)
+    q = rewriteCalls(q, "byteSlice")(a => byteSubstr(a))
+    q = rewriteCalls(q, "bitSlice")(a =>
+      s"bit_slice(${a.mkString(", ")})")
+    q = rewriteCalls(q, "bin")(a => s"ch_bin(${a(0)})")
+    q = rewriteCalls(q, "unbin")(a => s"ch_unbin(${a(0)})")
     // CH encrypt('mode', plain, key[, iv]) -> Spark aes_encrypt(plain,
     // key, MODE). CH mode strings like 'aes-128-ecb'.
     val aesMode = (m: String) => {

@@ -1383,4 +1383,122 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getAs[Number](7).intValue == 1)
     assert(r.getAs[Number](8).intValue == 199601)
   }
+
+  test("batch-19: conversion tail — UUID/IPv4/IPv6/Bool/FixedString") {
+    val r = ch("""SELECT toUUIDOrNull('A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11') AS u,
+                 |toUUIDOrNull('not-a-uuid') AS u_bad,
+                 |toUUIDOrZero('nope') AS u_zero,
+                 |toIPv4OrNull('192.168.001.1') AS ip_canon,
+                 |toIPv4OrNull('256.1.1.1') AS ip_bad,
+                 |toIPv4OrZero('x') AS ip_zero,
+                 |toIPv6OrNull('2001:0DB8:0000:0000:0000:0000:0000:0001') AS ip6,
+                 |toIPv6OrNull('not::an::ip::addr') AS ip6_bad,
+                 |toBool('Yes') AS b_yes, toBool('off') AS b_off,
+                 |toBool('2') AS b_two, toBool('junk') AS b_bad,
+                 |octet_length(toFixedString('ab', 5)) AS fx_len,
+                 |toLowCardinality('x') AS lc""".stripMargin).collect()(0)
+    assert(r.getString(0) == "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "00000000-0000-0000-0000-000000000000")
+    assert(r.getString(3) == "192.168.1.1")
+    assert(r.isNullAt(4))
+    assert(r.getString(5) == "0.0.0.0")
+    assert(r.getString(6) == "2001:db8::1")
+    assert(r.isNullAt(7))
+    assert(r.getBoolean(8) && !r.getBoolean(9) && r.getBoolean(10))
+    assert(r.isNullAt(11))
+    assert(r.getAs[Number](12).intValue == 5)
+    assert(r.getString(13) == "x")
+  }
+
+  test("batch-19: conversion tail — dates, decimals, wide ints, accurateCast") {
+    val r = ch("""SELECT toDateOrZero('bogus') AS d_zero,
+                 |toDateOrZero('2500-01-01') AS d_sat,
+                 |toDate32OrNull('1850-06-01') AS d32_sat_lo,
+                 |toDateTimeOrZero('2020-05-06 07:08:09') AS dt,
+                 |toDecimal64OrNull('12.345', 2) AS dec_ok,
+                 |toDecimal32OrZero('zz', 3) AS dec_zero,
+                 |toInt128OrNull('-170141183460469231731687303715884105') AS i128,
+                 |toUInt256OrZero('bad') AS u256,
+                 |accurateCastOrNull(300, 'UInt8') AS acc_over,
+                 |accurateCastOrNull(200, 'UInt8') AS acc_ok,
+                 |timeZone() AS tz,
+                 |timeZoneOffset(toDateTime('2020-06-01 00:00:00')) AS tzo,
+                 |toModifiedJulianDayOrNull('1858-11-18') AS mjd1,
+                 |fromModifiedJulianDayOrNull('1') AS from_mjd""".stripMargin).collect()(0)
+    assert(r.getDate(0).toString == "1970-01-01")
+    assert(r.getDate(1).toString == "2149-06-06")
+    assert(r.getDate(2).toString == "1900-01-01")
+    assert(r.getTimestamp(3).toString.startsWith("2020-05-06 07:08:09"))
+    assert(r.getDecimal(4).toString == "12.34" || r.getDecimal(4).toString == "12.35")
+    assert(r.getDecimal(5).intValue == 0)
+    assert(r.getDecimal(6).toString == "-170141183460469231731687303715884105")
+    assert(r.getDecimal(7).intValue == 0)
+    assert(r.isNullAt(8))
+    assert(r.getAs[Number](9).longValue == 200L)
+    assert(r.getString(10) == "UTC")
+    assert(r.getAs[Number](11).longValue == 0L)
+    assert(r.getAs[Number](12).intValue == 1)
+    assert(r.getDate(13).toString == "1858-11-18")
+  }
+
+  test("batch-19: functional operator forms") {
+    val r = ch("""SELECT equals(1 + 1, 2) AS eq, notEquals(3, 4) AS ne,
+                 |less(1, 2) AS lt, greater(2, 1) AS gt,
+                 |lessOrEquals(2, 2) AS le, greaterOrEquals(1, 2) AS ge,
+                 |and(equals(1, 1), less(0, 1), greater(5, 4)) AS a3,
+                 |or(equals(1, 2), equals(2, 2)) AS o2,
+                 |not(equals(1, 2)) AS n,
+                 |xor(equals(1, 1), equals(2, 3)) AS x""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9))
+    // the infix keyword written without a space must NOT be mangled
+    val n = ch("SELECT count() AS n FROM orders WHERE o_orderkey > 0 and(o_orderkey % 2) = 0")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
+  test("batch-20: fuzzy match, multiMatchAllIndices, compareSubstrings") {
+    val r = ch("""SELECT multiFuzzyMatchAny('hello world', 1, ['wprld']) AS f1,
+                 |multiFuzzyMatchAny('hello world', 0, ['wprld']) AS f0,
+                 |multiFuzzyMatchAny('hello world', 2, ['xxxxx']) AS fno,
+                 |multiFuzzyMatchAnyIndex('hello world', 1, ['zzz', 'wprld']) AS fi,
+                 |multiFuzzyMatchAllIndices('banana bread', 1, ['banana', 'bananna', 'xyzzy']) AS fall,
+                 |multiMatchAllIndices('abcdef', ['^a', 'xyz', 'def$']) AS mm,
+                 |compareSubstrings('abcdef', 'abcxef', 0, 0, 3) AS c_eq,
+                 |compareSubstrings('abcdef', 'abcxef', 0, 0, 4) AS c_lt,
+                 |compareSubstrings('xbc', 'abc', 0, 0, 1) AS c_gt,
+                 |compareSubstrings('ab', 'abc', 0, 0, 5) AS c_clip""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getAs[Number](3).intValue == 2)
+    assert(r.getSeq[Long](4) == Seq(1L, 2L))
+    assert(r.getSeq[Long](5) == Seq(1L, 3L))
+    assert(r.getAs[Number](6).intValue == 0)
+    assert(r.getAs[Number](7).intValue == -1)
+    assert(r.getAs[Number](8).intValue == 1)
+    assert(r.getAs[Number](9).intValue == -1)
+  }
+
+  test("batch-20: bin/unbin, bitSlice, byteSlice, decodeHTML, jaccardUTF8") {
+    val r = ch("""SELECT bin(toUInt8(5)) AS b8,
+                 |bin('a') AS bs,
+                 |bin(260) AS b260,
+                 |unbin('0011000100110010') AS ub,
+                 |unbin('0110') AS ub_pad,
+                 |byteSlice('hello world', 7, 5) AS bysl,
+                 |bitSlice('a', 1, 4) AS bitsl_hi,
+                 |decodeHTMLComponent('&lt;b&gt; &amp; &#65;&#x42; &unknown; &copy;') AS dec,
+                 |stringJaccardIndexUTF8('abc', 'bcd') AS jac""".stripMargin).collect()(0)
+    assert(r.getString(0) == "00000101")
+    assert(r.getString(1) == "01100001")
+    assert(r.getString(2) == "0000000100000100") // 260 = 0x0104, two bytes
+    assert(r.getString(3) == "12")
+    assert(r.getString(4).getBytes("ISO-8859-1").toSeq == Seq(6.toByte))
+    assert(r.getString(5) == "world")
+    // 'a' = 01100001; first 4 bits 0110, zero-padded -> 01100000 = 0x60
+    assert(r.getString(6).getBytes("ISO-8859-1").toSeq == Seq(0x60.toByte))
+    assert(r.getString(7) == "<b> & AB &unknown; ©")
+    assert(math.abs(r.getDouble(8) - 0.5) < 1e-12)
+  }
 }
