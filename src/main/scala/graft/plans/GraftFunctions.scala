@@ -324,7 +324,41 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.StringBytesEntropy(es.head)),
       (FunctionIdentifier("ch_replace_regexp_one"), info("ch_replace_regexp_one"),
         (es: Seq[Expression]) => graft.functions.ChReplaceRegexpOne(es(0), es(1), es(2)))
-    ) ++ stringShingles ++ reinterprets ++ batch17 ++ batch20
+    ) ++ stringShingles ++ reinterprets ++ batch17 ++ batch20 ++ batch21
+  }
+
+  /** Round-10 batch 21 (functions/Batch21.scala): tuple/vector arithmetic
+    * and the array tail. */
+  private def batch21: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    val tupleOps = Seq("plus", "minus", "multiply", "divide", "modulo",
+      "intDiv", "intDivOrZero").flatMap { op =>
+      val snake = op.replaceAll("([A-Z])", "_$1").toLowerCase
+      Seq(
+        (FunctionIdentifier(s"tuple_$snake"), info(s"tuple_$snake"),
+          (es: Seq[Expression]) => graft.functions.TupleArith(es(0), es(1), op)),
+        (FunctionIdentifier(s"tuple_${snake}_by_number"), info(s"tuple_${snake}_by_number"),
+          (es: Seq[Expression]) => graft.functions.TupleArithByNumber(es(0), es(1), op)))
+    }
+    tupleOps ++ Seq(
+      (FunctionIdentifier("tuple_negate"), info("tuple_negate"),
+        (es: Seq[Expression]) => graft.functions.TupleNegateExpr(es.head)),
+      (FunctionIdentifier("tuple_concat"), info("tuple_concat"),
+        (es: Seq[Expression]) => graft.functions.TupleConcatExpr(es)),
+      (FunctionIdentifier("tuple_names"), info("tuple_names"),
+        (es: Seq[Expression]) => graft.functions.TupleNamesExpr(es.head)),
+      (FunctionIdentifier("tuple_to_name_value_pairs"), info("tuple_to_name_value_pairs"),
+        (es: Seq[Expression]) => graft.functions.TupleToNameValuePairsExpr(es.head)),
+      (FunctionIdentifier("tuple_hamming_distance"), info("tuple_hamming_distance"),
+        (es: Seq[Expression]) => graft.functions.TupleHammingDistanceExpr(es(0), es(1))),
+      (FunctionIdentifier("flatten_tuple"), info("flatten_tuple"),
+        (es: Seq[Expression]) => graft.functions.FlattenTupleExpr(es.head)),
+      (FunctionIdentifier("array_pr_auc"), info("array_pr_auc"),
+        (es: Seq[Expression]) => graft.functions.ChArrayPRAUC(es(0), es(1))),
+      (FunctionIdentifier("empty_array_to_single"), info("empty_array_to_single"),
+        (es: Seq[Expression]) => graft.functions.ChEmptyArrayToSingle(es.head)),
+      (FunctionIdentifier("ch_partial_shuffle"), info("ch_partial_shuffle"),
+        (es: Seq[Expression]) => graft.functions.ChPartialShuffle(es))
+    )
   }
 
   /** Round-10 batch 20 (functions/Batch20.scala). */

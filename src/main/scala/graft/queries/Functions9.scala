@@ -65,7 +65,8 @@ object Functions9 {
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT p_partkey,
           |  multiSearchFirstPositionCaseInsensitive(p_name, ['METAL', 'spring', 'TOMATO']) AS msp_ci,
-          |  multiMatchAllIndices(p_name, ['^a', 'metallic', 'ic$']) AS mm_all,
+          |  arrayStringConcat(arrayMap(__x -> toString(__x),
+          |    multiMatchAllIndices(p_name, ['^a', 'metallic', 'ic$'])), ',') AS mm_all,
           |  multiFuzzyMatchAny(p_name, 0, ['metallic']) AS fz0,
           |  multiFuzzyMatchAny(p_name, 1, ['metallik']) AS fz1,
           |  compareSubstrings(p_name, p_type, 0, 0, 4) AS cmp,
@@ -74,6 +75,36 @@ object Functions9 {
           |  byteSlice(p_name, 3, 5) AS bysl,
           |  bin(p_size) AS bin_sz,
           |  unbin(bin(p_size)) AS ub
+          |FROM part WHERE p_partkey < 400""".stripMargin))
+    },
+
+    // Round-10 batch 21: tuple/vector arithmetic + array tail (reference
+    // vectorFunctions.cpp, tuple*.cpp, arrayAUC.cpp via Batch21.scala).
+    // The PRAUC oracle values are closed-form: the four scores keep one
+    // of two orderings depending on parity, giving areas 5/6 and 29/36
+    // (right Riemann sum over Precision x TP scaled by positives).
+    "q_fn_tuple_vec" -> { (s: SparkSession, dir: String) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey,
+          |  tupleElement(tuplePlus(tuple(p_partkey, p_retailprice), tuple(p_size, 1.5)), 1) AS tp1,
+          |  tupleElement(tuplePlus(tuple(p_partkey, p_retailprice), tuple(p_size, 1.5)), 2) AS tp2,
+          |  tupleElement(tupleMultiplyByNumber(tuple(p_size, 2), 3), 1) AS tmn1,
+          |  tupleElement(tupleNegate(tuple(p_size, p_retailprice)), 2) AS tn2,
+          |  arrayStringConcat(tupleNames(tuple(p_size, p_retailprice)), ',') AS names,
+          |  tupleHammingDistance(tuple(p_size % 5, 7), tuple(p_partkey % 5, 7)) AS thd,
+          |  arrayStringConcat(arrayMap(__p -> concat(__p.name, '=',
+          |    toString(toInt64(round(__p.value * 100)))),
+          |    tupleToNameValuePairs(tuple(p_size, p_retailprice))), ';') AS nvp,
+          |  arrayPRAUC([0.1, 0.4, 0.35, 0.8], [p_partkey % 2, 0, 1, 1]) AS prauc,
+          |  arrayElement(arrayReduceInRanges('sum', [tuple(1, 2), tuple(2, 3)], [p_size, 1, 2, 3]), 1) AS rir1,
+          |  arrayElement(arrayReduceInRanges('sum', [tuple(1, 2), tuple(2, 3)], [p_size, 1, 2, 3]), 2) AS rir2,
+          |  arrayElement(emptyArrayToSingle(arrayFilter(x -> x > 1000, [p_size])), 1) AS eas1,
+          |  arrayElement(normalizeL2([toFloat64(p_size), 4.0]), 1) AS nl2_1,
+          |  arrayElement(normalizeL2([toFloat64(p_size), 4.0]), 2) AS nl2_2,
+          |  LpNorm([toFloat64(p_size), 2.0], 3) AS lp3,
+          |  mapAll((k, v) -> v > 0, map(1, p_size, 2, 7)) AS ma,
+          |  arrayStringConcat(arrayMap(__e -> concat(toString(__e.key), ':',
+          |    toString(__e.value)), map_entries(mapPartialSort(2, map(2, p_size, 1, 7)))), ',') AS mps
           |FROM part WHERE p_partkey < 400""".stripMargin))
     },
 
@@ -142,10 +173,10 @@ object Functions9 {
         |  FROM part WHERE p_partkey < 400)
         |SELECT p_partkey,
         |  cast(coalesce(least(pos1, pos2, pos3), 0) AS INTEGER) AS msp_ci,
-        |  list_filter([CASE WHEN regexp_matches(p_name, '^a') THEN CAST(1 AS BIGINT) END,
-        |    CASE WHEN regexp_matches(p_name, 'metallic') THEN CAST(2 AS BIGINT) END,
-        |    CASE WHEN regexp_matches(p_name, 'ic$') THEN CAST(3 AS BIGINT) END],
-        |    x -> x IS NOT NULL) AS mm_all,
+        |  coalesce(array_to_string(list_filter([CASE WHEN regexp_matches(p_name, '^a') THEN 1 END,
+        |    CASE WHEN regexp_matches(p_name, 'metallic') THEN 2 END,
+        |    CASE WHEN regexp_matches(p_name, 'ic$') THEN 3 END],
+        |    x -> x IS NOT NULL), ','), '') AS mm_all,
         |  contains(p_name, 'metallic') AS fz0,
         |  (least(
         |    coalesce(list_min(list_transform(range(1, greatest(length(p_name) - 5, 1)),
@@ -163,6 +194,28 @@ object Functions9 {
         |  lpad(bin(p_size), 8, '0') AS bin_sz,
         |  chr(CAST(p_size AS INTEGER)) AS ub
         |FROM probes
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    "q_fn_tuple_vec" ->
+      """SELECT p_partkey,
+        |  cast(p_partkey + p_size AS BIGINT) AS tp1,
+        |  p_retailprice + 1.5 AS tp2,
+        |  cast(p_size * 3 AS BIGINT) AS tmn1,
+        |  -p_retailprice AS tn2,
+        |  '1,2' AS names,
+        |  CASE WHEN p_size % 5 = p_partkey % 5 THEN 0 ELSE 1 END AS thd,
+        |  '1=' || cast(cast(p_size AS BIGINT) * 100 AS VARCHAR) || ';2=' ||
+        |    cast(cast(round(p_retailprice * 100) AS BIGINT) AS VARCHAR) AS nvp,
+        |  CASE WHEN p_partkey % 2 = 1 THEN 29.0/36.0 ELSE 5.0/6.0 END AS prauc,
+        |  cast(p_size + 1 AS DOUBLE) AS rir1,
+        |  cast(6 AS DOUBLE) AS rir2,
+        |  0 AS eas1,
+        |  p_size / sqrt(p_size * p_size + 16.0) AS nl2_1,
+        |  4.0 / sqrt(p_size * p_size + 16.0) AS nl2_2,
+        |  pow(p_size * p_size * p_size + 8.0, 1.0/3.0) AS lp3,
+        |  true AS ma,
+        |  '1:7,2:' || cast(p_size AS VARCHAR) AS mps
+        |FROM part WHERE p_partkey < 400
         |ORDER BY p_partkey NULLS FIRST""".stripMargin,
 
     "q_fn_op_forms" ->

@@ -618,7 +618,31 @@ object ChSql {
     "compareSubstrings" -> "t", "decodeHTMLComponent" -> "t",
     "stringJaccardIndexUTF8" -> "t",
     "byteSlice" -> "t", "bitSlice" -> "t",
-    "bin" -> "t", "unbin" -> "t"
+    "bin" -> "t", "unbin" -> "t",
+
+    // ---- round-10 batch 21: tuple/vector arithmetic + array tail ----
+    "tuplePlus" -> "t", "tupleMinus" -> "t", "tupleMultiply" -> "t",
+    "tupleDivide" -> "t", "tupleModulo" -> "t", "tupleIntDiv" -> "t",
+    "tupleIntDivOrZero" -> "t", "tupleNegate" -> "t",
+    "tuplePlusByNumber" -> "t", "tupleMinusByNumber" -> "t",
+    "tupleMultiplyByNumber" -> "t", "tupleDivideByNumber" -> "t",
+    "tupleModuloByNumber" -> "t", "tupleIntDivByNumber" -> "t",
+    "tupleIntDivOrZeroByNumber" -> "t",
+    "vectorSum" -> "t", "vectorDifference" -> "t",
+    "tupleConcat" -> "t", "tupleNames" -> "t",
+    "tupleToNameValuePairs" -> "t", "tupleHammingDistance" -> "t",
+    "flattenTuple" -> "t",
+    "addTupleOfIntervals" -> "t", "subtractTupleOfIntervals" -> "t",
+    "arrayPRAUC" -> "t", "arrayAUCPR" -> "t",
+    "emptyArrayToSingle" -> "t", "arrayPartialShuffle" -> "t",
+    "arrayPartialReverseSort" -> "t",
+    "arrayEnumerateUniqRanked" -> "t", "arrayEnumerateDenseRanked" -> "t",
+    "arrayReduceInRanges" -> "t",
+    "LpNorm" -> "t", "normLp" -> "t", "LpDistance" -> "t", "distanceLp" -> "t",
+    "normalizeL1" -> "t", "normalizeL2" -> "t", "normalizeLinf" -> "t",
+    "normalizeLp" -> "t",
+    "mapAll" -> "t", "mapPartialSort" -> "t", "mapPartialReverseSort" -> "t",
+    "moduloLegacy" -> "mod"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1930,6 +1954,32 @@ object ChSql {
       s"aggregate(${vecD(a(0))}, CAST(0 AS DOUBLE), (__a, __v) -> __a + abs(__v))")
     q = rewriteCalls(q, "L2Norm")(a =>
       s"sqrt(aggregate(${vecD(a(0))}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v * __v))")
+    // round-10 batch 21: Lp generalizations + normalize* (reference
+    // vectorFunctions.cpp TupleOrArrayFunctionLpNorm / FunctionLNormalize)
+    def lpNormBody(arr: String, p: String): String =
+      s"power(aggregate(${vecD(arr)}, CAST(0 AS DOUBLE), " +
+        s"(__a, __v) -> __a + power(abs(__v), $p)), 1.0 / ($p))"
+    q = rewriteCalls(q, "LpNorm")(a => lpNormBody(a(0), a(1)))
+    q = rewriteCalls(q, "normLp")(a => lpNormBody(a(0), a(1)))
+    q = rewriteCalls(q, "LpDistance")(a =>
+      s"power(aggregate(zip_with(${vecD(a(0))}, ${vecD(a(1))}, " +
+        s"(__x, __y) -> power(abs(__x - __y), ${a(2)})), CAST(0 AS DOUBLE), " +
+        s"(__a, __v) -> __a + __v), 1.0 / (${a(2)}))")
+    q = rewriteCalls(q, "distanceLp")(a =>
+      s"power(aggregate(zip_with(${vecD(a(0))}, ${vecD(a(1))}, " +
+        s"(__x, __y) -> power(abs(__x - __y), ${a(2)})), CAST(0 AS DOUBLE), " +
+        s"(__a, __v) -> __a + __v), 1.0 / (${a(2)}))")
+    q = rewriteCalls(q, "normalizeL1")(a =>
+      s"transform(${vecD(a(0))}, __n -> __n / " +
+        s"aggregate(${vecD(a(0))}, CAST(0 AS DOUBLE), (__a, __v) -> __a + abs(__v)))")
+    q = rewriteCalls(q, "normalizeL2")(a =>
+      s"transform(${vecD(a(0))}, __n -> __n / " +
+        s"sqrt(aggregate(${vecD(a(0))}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v * __v)))")
+    q = rewriteCalls(q, "normalizeLinf")(a =>
+      s"transform(${vecD(a(0))}, __n -> __n / " +
+        s"array_max(transform(${vecD(a(0))}, __v -> abs(__v))))")
+    q = rewriteCalls(q, "normalizeLp")(a =>
+      s"transform(${vecD(a(0))}, __n -> __n / ${lpNormBody(a(0), a(1))})")
     q = rewriteCalls(q, "arrayJaccardIndex")(a =>
       s"(CAST(size(array_intersect(${a(0)}, ${a(1)})) AS DOUBLE) " +
         s"/ size(array_union(${a(0)}, ${a(1)})))")
@@ -1987,10 +2037,11 @@ object ChSql {
     // arrayEnumerateDense: 1-based rank of first appearance
     q = rewriteCalls(q, "arrayEnumerateDense")(a =>
       s"transform(${a(0)}, __x -> array_position(array_distinct(${a(0)}), __x))")
-    // arrayReduce('agg', arr): dispatch the (quoted) aggregate name
-    q = rewriteCalls(q, "arrayReduce") { a =>
-      val arr = a(1)
-      a(0).replaceAll("'", "").trim.toLowerCase match {
+    // arrayReduce('agg', arr) / arrayReduceInRanges('agg', ranges, arr):
+    // dispatch the (quoted) aggregate name; InRanges (reference
+    // arrayReduceInRanges.cpp) applies it per (offset, length) slice
+    def reduceBody(aggName: String, arr: String): String =
+      aggName.replaceAll("'", "").trim.toLowerCase match {
         case "max" => s"array_max($arr)"
         case "min" => s"array_min($arr)"
         case "count" => s"size($arr)"
@@ -2001,7 +2052,78 @@ object ChSql {
         case "anylast" => s"element_at($arr, -1)"
         case _ => s"aggregate($arr, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)" // sum
       }
+    q = rewriteCalls(q, "arrayReduceInRanges")(a =>
+      s"transform(${a(1)}, __r -> " +
+        s"${reduceBody(a(0), s"slice(${a(2)}, __r.col1, __r.col2)")})")
+    q = rewriteCalls(q, "arrayReduce")(a => reduceBody(a(0), a(1)))
+    // ---- round-10 batch 21: tuple/vector arithmetic + array tail ----
+    // (reference src/Functions/vectorFunctions.cpp, tuple*.cpp,
+    // array/arrayAUC.cpp, emptyArrayToSingle.cpp)
+    for (op <- Seq("Plus" -> "plus", "Minus" -> "minus",
+        "Multiply" -> "multiply", "Divide" -> "divide", "Modulo" -> "modulo",
+        "IntDiv" -> "int_div", "IntDivOrZero" -> "int_div_or_zero")) {
+      q = rewriteCalls(q, s"tuple${op._1}ByNumber")(a =>
+        s"tuple_${op._2}_by_number(${a(0)}, ${a(1)})")
+      q = rewriteCalls(q, s"tuple${op._1}")(a =>
+        s"tuple_${op._2}(${a(0)}, ${a(1)})")
     }
+    q = rewriteCalls(q, "vectorSum")(a => s"tuple_plus(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "vectorDifference")(a => s"tuple_minus(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "arrayPRAUC")(a => s"array_pr_auc(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "arrayAUCPR")(a => s"array_pr_auc(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "emptyArrayToSingle")(a =>
+      s"empty_array_to_single(${a(0)})")
+    // arrayPartialShuffle(arr[, limit[, seed]]): with a seed the result
+    // is deterministic (splitmix64 Fisher-Yates — the CONTRACT of the
+    // reference's seeded shuffle; the exact permutation per seed is
+    // RNG-specific and documented non-portable)
+    q = rewriteCalls(q, "arrayPartialShuffle")(a =>
+      if (a.length >= 3) s"ch_partial_shuffle(${a.mkString(", ")})"
+      else s"shuffle(${a(0)})")
+    q = rewriteCalls(q, "arrayShuffle")(a =>
+      if (a.length >= 2) s"ch_partial_shuffle(${a(0)}, 0, ${a(1)})"
+      else s"shuffle(${a(0)})")
+    // partial sorts: the full sort is a valid refinement of "first n
+    // sorted, tail arbitrary" (arrayPartialSort above does the same)
+    q = rewriteCalls(q, "arrayPartialReverseSort")(a =>
+      s"reverse(array_sort(${a(1)}))")
+    // Ranked enumerations at depth 1 equal their base functions
+    // (arrayEnumerateRanked.h clear_depth=1); the bare-integer argument
+    // form skips the depth prefix
+    def rankedArr(a: Seq[String]): String =
+      if (a(0).trim.matches("^\\d+$") && a.length > 1) a(1) else a(0)
+    q = rewriteCalls(q, "arrayEnumerateUniqRanked") { a =>
+      val arr = rankedArr(a)
+      s"transform(slice(sequence(0, size($arr)), 2, size($arr)), __i -> " +
+        s"size(filter(slice($arr, 1, __i), __x -> __x = element_at($arr, __i))))"
+    }
+    q = rewriteCalls(q, "arrayEnumerateDenseRanked")(a =>
+      s"transform(${rankedArr(a)}, __x -> " +
+        s"array_position(array_distinct(${rankedArr(a)}), __x))")
+    for (n <- Seq("tupleConcat" -> "tuple_concat", "tupleNames" -> "tuple_names",
+        "tupleToNameValuePairs" -> "tuple_to_name_value_pairs",
+        "tupleHammingDistance" -> "tuple_hamming_distance",
+        "flattenTuple" -> "flatten_tuple", "tupleNegate" -> "tuple_negate"))
+      q = rewriteCalls(q, n._1)(a => s"${n._2}(${a.mkString(", ")})")
+    // addTupleOfIntervals(ts, (i1, i2, …)): apply the intervals left to
+    // right (reference vectorFunctions.cpp:523 chains `plus`)
+    def chainIntervals(base: String, tup: String, opSign: String): String = {
+      val inner = tup.trim.stripPrefix("tuple(").stripPrefix("struct(")
+        .stripPrefix("(").stripSuffix(")")
+      splitArgs(inner).foldLeft(s"(${base})")((acc, iv) => s"($acc $opSign $iv)")
+    }
+    q = rewriteCalls(q, "addTupleOfIntervals")(a =>
+      chainIntervals(a(0), a(1), "+"))
+    q = rewriteCalls(q, "subtractTupleOfIntervals")(a =>
+      chainIntervals(a(0), a(1), "-"))
+    // mapAll / mapPartialSort / mapPartialReverseSort (mapAll shares the
+    // HOF lambda-first convention; partial sorts refine to full sorts)
+    q = rewriteCalls(q, "mapAll")(a =>
+      s"(cardinality(map_filter(${a(1)}, ${a(0)})) = cardinality(${a(1)}))")
+    q = rewriteCalls(q, "mapPartialSort")(a =>
+      s"map_from_entries(array_sort(map_entries(${a.last})))")
+    q = rewriteCalls(q, "mapPartialReverseSort")(a =>
+      s"map_from_entries(reverse(array_sort(map_entries(${a.last}))))")
     // tupleElement(t, N) / tupleElement(t, 'name'); struct() names are colN
     q = rewriteCalls(q, "tupleElement") { a =>
       val idx = a(1).trim

@@ -1501,4 +1501,78 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getString(7) == "<b> & AB &unknown; ©")
     assert(math.abs(r.getDouble(8) - 0.5) < 1e-12)
   }
+
+  test("batch-21: tuple arithmetic and tuple introspection") {
+    val r = ch("""SELECT tuplePlus(tuple(1, 2.5), tuple(10, 0.5)) AS tp,
+                 |vectorSum(tuple(1, 2), tuple(3, 4)) AS vs,
+                 |tupleMinus(tuple(10, 10), tuple(1, 4)) AS tm,
+                 |tupleDivide(tuple(10, 9), tuple(4, 3)) AS td,
+                 |tupleIntDiv(tuple(10, 9), tuple(4, 3)) AS tid,
+                 |tupleMultiplyByNumber(tuple(2, 3), 5) AS tmn,
+                 |tupleNegate(tuple(1, -2.5)) AS tn,
+                 |tupleConcat(tuple(1, 2), tuple(3)) AS tc,
+                 |tupleNames(tuple(7, 8)) AS names,
+                 |tupleHammingDistance(tuple(1, 2, 3), tuple(1, 9, 3)) AS thd,
+                 |flattenTuple(tuple(1, tuple(2, 3))) AS ft,
+                 |tupleToNameValuePairs(tuple(5, 6)) AS nvp""".stripMargin).collect()(0)
+    assert(r.getStruct(0).getLong(0) == 11L && r.getStruct(0).getDouble(1) == 3.0)
+    assert(r.getStruct(1).getLong(0) == 4L && r.getStruct(1).getLong(1) == 6L)
+    assert(r.getStruct(2).getLong(0) == 9L && r.getStruct(2).getLong(1) == 6L)
+    assert(r.getStruct(3).getDouble(0) == 2.5 && r.getStruct(3).getDouble(1) == 3.0)
+    assert(r.getStruct(4).getLong(0) == 2L && r.getStruct(4).getLong(1) == 3L)
+    assert(r.getStruct(5).getLong(0) == 10L && r.getStruct(5).getLong(1) == 15L)
+    assert(r.getStruct(6).getLong(0) == -1L && r.getStruct(6).getDouble(1) == 2.5)
+    assert(r.getStruct(7).getAs[Number](0).longValue == 1L &&
+      r.getStruct(7).getAs[Number](2).longValue == 3L)
+    assert(r.getSeq[String](8) == Seq("1", "2"))
+    assert(r.getAs[Number](9).intValue == 1)
+    assert(r.getStruct(10).getAs[Number](0).longValue == 1L &&
+      r.getStruct(10).getAs[Number](2).longValue == 3L)
+    val nvp = r.getSeq[org.apache.spark.sql.Row](11)
+    assert(nvp.map(_.getString(0)) == Seq("1", "2"))
+    assert(nvp.map(_.getDouble(1)) == Seq(5.0, 6.0))
+  }
+
+  test("batch-21: array tail — PRAUC, reduceInRanges, normalize, shuffle") {
+    val r = ch("""SELECT arrayPRAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS prauc,
+                 |arrayReduceInRanges('sum', [tuple(1, 3), tuple(2, 4)], [1, 2, 3, 4, 5]) AS rir,
+                 |arrayReduceInRanges('max', [tuple(1, 5)], [3, 1, 4, 1, 5]) AS rirm,
+                 |emptyArrayToSingle(arrayFilter(x -> x > 99, [1, 2])) AS eas,
+                 |emptyArrayToSingle([7]) AS eas_keep,
+                 |normalizeL2([3.0, 4.0]) AS nl2,
+                 |normalizeL1([2.0, 2.0]) AS nl1,
+                 |normalizeLinf([2.0, -4.0]) AS nlinf,
+                 |LpNorm([3.0, 4.0], 2) AS lp2,
+                 |LpDistance([1.0, 2.0], [4.0, 6.0], 2) AS lpd,
+                 |array_sort(arrayPartialShuffle([1, 2, 3, 4, 5], 2, 42)) AS shuf,
+                 |arrayPartialReverseSort(2, [3, 1, 2]) AS prs,
+                 |arrayEnumerateUniqRanked([10, 20, 10]) AS eur,
+                 |mapAll((k, v) -> v > 0, map(1, 5, 2, 6)) AS ma,
+                 |mapPartialSort(2, map(2, 'b', 1, 'a')) AS mps""".stripMargin).collect()(0)
+    // reference example: arrayPRAUC([0.1,0.4,0.35,0.8],[0,0,1,1]) = 0.8333…
+    assert(math.abs(r.getDouble(0) - 0.8333333333333333) < 1e-9)
+    assert(r.getSeq[Double](1) == Seq(6.0, 14.0))
+    assert(r.getSeq[Int](2) == Seq(5))
+    assert(r.getSeq[Int](3) == Seq(0))
+    assert(r.getSeq[Int](4) == Seq(7))
+    assert(r.getSeq[Double](5) == Seq(0.6, 0.8))
+    assert(r.getSeq[Double](6) == Seq(0.5, 0.5))
+    assert(r.getSeq[Double](7) == Seq(0.5, -1.0))
+    assert(math.abs(r.getDouble(8) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(9) - 5.0) < 1e-12)
+    assert(r.getSeq[Int](10) == Seq(1, 2, 3, 4, 5))
+    assert(r.getSeq[Int](11) == Seq(3, 2, 1))
+    assert(r.getSeq[Int](12) == Seq(1, 1, 2))
+    assert(r.getBoolean(13))
+    assert(r.getMap[Int, String](14).toSeq.sorted == Seq(1 -> "a", 2 -> "b"))
+  }
+
+  test("batch-21: addTupleOfIntervals applies intervals left to right") {
+    val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
+                 |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
+                 |subtractTupleOfIntervals(toDate('2018-03-03'),
+                 |  (toIntervalDay(2), toIntervalMonth(1))) AS back""".stripMargin).collect()(0)
+    assert(r.getDate(0).toString == "2018-02-02")
+    assert(r.getDate(1).toString == "2018-02-01")
+  }
 }
