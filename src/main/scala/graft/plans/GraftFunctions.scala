@@ -324,8 +324,32 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.StringBytesEntropy(es.head)),
       (FunctionIdentifier("ch_replace_regexp_one"), info("ch_replace_regexp_one"),
         (es: Seq[Expression]) => graft.functions.ChReplaceRegexpOne(es(0), es(1), es(2)))
-    ) ++ stringShingles ++ reinterprets ++ batch17 ++ batch20 ++ batch21
+    ) ++ stringShingles ++ reinterprets ++ batch17 ++ batch20 ++ batch21 ++ batch22
   }
+
+  /** Round-10 batch 22 (functions/Batch22.scala): introspection/context. */
+  private def batch22: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("byte_size"), info("byte_size"),
+      (es: Seq[Expression]) => graft.functions.ByteSizeExpr(es.head)),
+    (FunctionIdentifier("is_nullable_col"), info("is_nullable_col"),
+      (es: Seq[Expression]) => graft.functions.IsNullableExpr(es.head)),
+    (FunctionIdentifier("is_constant_col"), info("is_constant_col"),
+      (es: Seq[Expression]) => graft.functions.IsConstantExpr(es.head)),
+    (FunctionIdentifier("default_value_of_arg"), info("default_value_of_arg"),
+      (es: Seq[Expression]) => graft.functions.DefaultValueOfArgExpr(es.head)),
+    (FunctionIdentifier("is_ip_in_range"), info("is_ip_in_range"),
+      (es: Seq[Expression]) => graft.functions.IsIpInRange(es(0), es(1))),
+    (FunctionIdentifier("parse_time_delta"), info("parse_time_delta"),
+      (es: Seq[Expression]) => graft.functions.ParseTimeDeltaExpr(es.head)),
+    (FunctionIdentifier("is_decimal_overflow"), info("is_decimal_overflow"),
+      (es: Seq[Expression]) => graft.functions.IsDecimalOverflowExpr(es)),
+    (FunctionIdentifier("ch_siphash64_keyed"), info("ch_siphash64_keyed"),
+      (es: Seq[Expression]) => graft.functions.ChSipKeyed(es, "64")),
+    (FunctionIdentifier("ch_siphash128_keyed"), info("ch_siphash128_keyed"),
+      (es: Seq[Expression]) => graft.functions.ChSipKeyed(es, "128")),
+    (FunctionIdentifier("ch_siphash128_reference_keyed"), info("ch_siphash128_reference_keyed"),
+      (es: Seq[Expression]) => graft.functions.ChSipKeyed(es, "128ref"))
+  )
 
   /** Round-10 batch 21 (functions/Batch21.scala): tuple/vector arithmetic
     * and the array tail. */

@@ -108,6 +108,30 @@ object Functions9 {
           |FROM part WHERE p_partkey < 400""".stripMargin))
     },
 
+    // Round-10 batch 22: introspection/context + URL Custom tail
+    // (reference serverConstants.cpp, byteSize.cpp, parseTimeDelta.cpp,
+    // isIPAddressContainedIn.cpp, URL/*Custom* via Batch22.scala).
+    // The custom TLD list is registered here — the reference's
+    // top_level_domains_lists config plays the same role.
+    "q_fn_introspect" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.registerTldList("q22tlds", Seq("co.uk"))
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey,
+          |  visibleWidth(p_name) AS vw,
+          |  byteSize(p_name, CAST(1 AS INT)) AS bs,
+          |  throwIf(p_size > 100, 'impossible') AS ti,
+          |  indexHint(p_size > 5) AS ih,
+          |  defaultValueOfTypeName('Int64') AS dvt,
+          |  isDecimalOverflow(toDecimal64(toString(p_partkey), 2), 4) AS ovf,
+          |  parseTimeDelta(concat(toString(p_size), 'min ', toString(p_partkey % 60), 's')) AS ptd,
+          |  isIPAddressInRange(concat('10.', toString(p_partkey % 200), '.0.1'), '10.0.0.0/10') AS ip4,
+          |  timestamp(concat('2020-0', toString(1 + p_partkey % 9), '-05'), '08:30:00') AS ts2,
+          |  cutToFirstSignificantSubdomainCustom(concat('https://a.shop', toString(p_partkey % 7), '.co.uk/p'), 'q22tlds') AS c1,
+          |  firstSignificantSubdomainCustom(concat('https://a.shop', toString(p_partkey % 7), '.co.uk/p'), 'q22tlds') AS f1,
+          |  cutToFirstSignificantSubdomainWithWWW(concat('https://www.ex', toString(p_partkey % 5), 'ample.com/')) AS www
+          |FROM part WHERE p_partkey < 400""".stripMargin))
+    },
+
     "q_fn_op_forms" -> { (s: SparkSession, dir: String) =>
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT p_partkey,
@@ -215,6 +239,23 @@ object Functions9 {
         |  pow(p_size * p_size * p_size + 8.0, 1.0/3.0) AS lp3,
         |  true AS ma,
         |  '1:7,2:' || cast(p_size AS VARCHAR) AS mps
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    "q_fn_introspect" ->
+      """SELECT p_partkey,
+        |  cast(length(p_name) AS INTEGER) AS vw,
+        |  cast(length(p_name) + 13 AS BIGINT) AS bs,
+        |  0 AS ti,
+        |  1 AS ih,
+        |  cast(0 AS BIGINT) AS dvt,
+        |  length(cast(p_partkey * 100 AS VARCHAR)) > 4 AS ovf,
+        |  cast(p_size * 60 + p_partkey % 60 AS DOUBLE) AS ptd,
+        |  (p_partkey % 200) < 64 AS ip4,
+        |  cast('2020-0' || cast(1 + p_partkey % 9 AS VARCHAR) || '-05 08:30:00' AS TIMESTAMP) AS ts2,
+        |  'shop' || cast(p_partkey % 7 AS VARCHAR) || '.co.uk' AS c1,
+        |  'shop' || cast(p_partkey % 7 AS VARCHAR) AS f1,
+        |  'www.ex' || cast(p_partkey % 5 AS VARCHAR) || 'ample.com' AS www
         |FROM part WHERE p_partkey < 400
         |ORDER BY p_partkey NULLS FIRST""".stripMargin,
 

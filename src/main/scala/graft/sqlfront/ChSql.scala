@@ -642,7 +642,42 @@ object ChSql {
     "normalizeL1" -> "t", "normalizeL2" -> "t", "normalizeLinf" -> "t",
     "normalizeLp" -> "t",
     "mapAll" -> "t", "mapPartialSort" -> "t", "mapPartialReverseSort" -> "t",
-    "moduloLegacy" -> "mod"
+    "moduloLegacy" -> "mod",
+
+    // ---- round-10 batch 22: URL RFC/Custom tail + context constants ----
+    "domainRFC" -> "t", "domainWithoutWWWRFC" -> "t",
+    "topLevelDomainRFC" -> "t", "portRFC" -> "t",
+    "firstSignificantSubdomainRFC" -> "t",
+    "firstSignificantSubdomainCustom" -> "t",
+    "firstSignificantSubdomainCustomRFC" -> "t",
+    "cutToFirstSignificantSubdomainRFC" -> "t",
+    "cutToFirstSignificantSubdomainWithWWW" -> "t",
+    "cutToFirstSignificantSubdomainWithWWWRFC" -> "t",
+    "cutToFirstSignificantSubdomainCustom" -> "t",
+    "cutToFirstSignificantSubdomainCustomRFC" -> "t",
+    "cutToFirstSignificantSubdomainCustomWithWWW" -> "t",
+    "cutToFirstSignificantSubdomainCustomWithWWWRFC" -> "t",
+    "hostName" -> "t", "hostname" -> "t", "displayName" -> "t",
+    "FQDN" -> "t", "fullHostName" -> "t", "uptime" -> "t",
+    "queryID" -> "t", "currentQueryID" -> "t", "query_id" -> "t",
+    "initialQueryID" -> "t", "initial_query_id" -> "t",
+    "tcpPort" -> "t", "shardNum" -> "t", "shardCount" -> "t",
+    "serverUUID" -> "t", "connectionId" -> "t", "connection_id" -> "t",
+    "DATABASE" -> "t", "SCHEMA" -> "t", "currentSchemas" -> "t",
+    "user" -> "t",
+    "blockNumber" -> "t", "blockSize" -> "t",
+    "rowNumberInBlock" -> "t", "rowNumberInAllBlocks" -> "t",
+    "visibleWidth" -> "t", "byteSize" -> "t",
+    "throwIf" -> "t", "indexHint" -> "t",
+    "isNullable" -> "t", "isConstant" -> "t",
+    "defaultValueOfArgumentType" -> "t", "defaultValueOfTypeName" -> "t",
+    "toColumnTypeName" -> "t", "dumpColumnStructure" -> "t",
+    "isIPAddressInRange" -> "t", "parseTimeDelta" -> "t",
+    "isDecimalOverflow" -> "t",
+    "runningDifference" -> "t", "runningDifferenceStartingWithFirstValue" -> "t",
+    "sipHash64Keyed" -> "t", "sipHash128Keyed" -> "t",
+    "sipHash128ReferenceKeyed" -> "t",
+    "timestamp" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -891,6 +926,18 @@ object ChSql {
   private val registeredDicts =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** Named custom TLD lists for the *Custom URL-subdomain functions
+    * (reference: the top_level_domains_lists server configuration that
+    * cutToFirstSignificantSubdomainCustom() et al consult). */
+  private val tldLists =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  def registerTldList(name: String, suffixes: Seq[String]): Unit =
+    tldLists(name) = suffixes
+
+  /** Stable per-process serverUUID() value (reference: the UUID the
+    * server generates on first start and persists). */
+  private lazy val serverUuid: String = java.util.UUID.randomUUID().toString
+
   /** Register a SQL lambda UDF for all subsequent `sql`/`rewrite` calls.
     * Returns the function name. */
   def createFunction(ddl: String): String = {
@@ -986,6 +1033,11 @@ object ChSql {
         "multiSearchAllPositionsCaseInsensitive",
         "ngramDistanceCaseInsensitive", "ngramSearchCaseInsensitive"))
       q = q.replaceAll(s"\\b${base}UTF8\\s*\\(", base + "(")
+    // URL RFC spellings (strict RFC 3986 host parse) canonicalize to the
+    // base parser — parse_url is URI-based already; runs early so the
+    // base templates still see them (round-10 batch 22)
+    for (base <- Seq("domainWithoutWWW", "domain", "topLevelDomain", "port"))
+      q = q.replaceAll(s"\\b${base}RFC\\s*\\(", base + "(")
 
     // CH base string ops act on BYTES; only the *UTF8 variants measure
     // code points (reference src/Functions/substring.cpp:34 "If
@@ -2464,13 +2516,148 @@ object ChSql {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     // firstSignificantSubdomain / cutToFirstSignificantSubdomain
     // (reference src/Functions/URL/): public-suffix logic approximated by
-    // the common two-level ccTLD families
-    q = rewriteCalls(q, "firstSignificantSubdomain")(a =>
-      s"regexp_extract(parse_url(${a(0)}, 'HOST'), " +
-        "'([^.]+)\\\\.(?:(?:com|net|org|co|gov|edu|ac)\\\\.[a-z]{2}|[^.]+)$$', 1)")
-    q = rewriteCalls(q, "cutToFirstSignificantSubdomain")(a =>
-      s"regexp_extract(parse_url(${a(0)}, 'HOST'), " +
-        "'([^.]+\\\\.(?:(?:com|net|org|co|gov|edu|ac)\\\\.[a-z]{2}|[^.]+))$$', 1)")
+    // the common two-level ccTLD families. The RFC spellings (strict
+    // RFC 3986 host parse) canonicalize 1:1 — parse_url is URI-based
+    // already. The Custom spellings consult a named TLD list registered
+    // via ChSql.registerTldList (reference: top_level_domains_lists
+    // server config), falling back to the default logic when the listed
+    // suffixes don't match.
+    def fssBody(x: String): String =
+      s"regexp_extract(parse_url($x, 'HOST'), " +
+        "'([^.]+)\\\\.(?:(?:com|net|org|co|gov|edu|ac)\\\\.[a-z]{2}|[^.]+)$$', 1)"
+    def cutFssBody(x: String): String =
+      s"regexp_extract(parse_url($x, 'HOST'), " +
+        "'([^.]+\\\\.(?:(?:com|net|org|co|gov|edu|ac)\\\\.[a-z]{2}|[^.]+))$$', 1)"
+    def customAlt(listName: String): String =
+      tldLists.getOrElse(listName.replaceAll("'", "").trim, Seq.empty)
+        .map(_.replace(".", "\\\\.")).mkString("|")
+    for (n <- Seq("firstSignificantSubdomainCustomRFC", "firstSignificantSubdomainCustom"))
+      q = rewriteCalls(q, n) { a =>
+        val alt = customAlt(a(1))
+        if (alt.isEmpty) fssBody(a(0))
+        else s"coalesce(nullif(regexp_extract(parse_url(${a(0)}, 'HOST'), " +
+          s"'([^.]+)\\\\.(?:$alt)$$', 1), ''), ${fssBody(a(0))})"
+      }
+    for (n <- Seq("cutToFirstSignificantSubdomainCustomWithWWWRFC",
+        "cutToFirstSignificantSubdomainCustomWithWWW"))
+      q = rewriteCalls(q, n) { a =>
+        val alt = customAlt(a(1))
+        val core = if (alt.isEmpty) cutFssBody(a(0))
+          else s"coalesce(nullif(regexp_extract(parse_url(${a(0)}, 'HOST'), " +
+            s"'([^.]+\\\\.(?:$alt))$$', 1), ''), ${cutFssBody(a(0))})"
+        s"concat(CASE WHEN parse_url(${a(0)}, 'HOST') LIKE 'www.%' " +
+          s"THEN 'www.' ELSE '' END, $core)"
+      }
+    for (n <- Seq("cutToFirstSignificantSubdomainCustomRFC",
+        "cutToFirstSignificantSubdomainCustom"))
+      q = rewriteCalls(q, n) { a =>
+        val alt = customAlt(a(1))
+        if (alt.isEmpty) cutFssBody(a(0))
+        else s"coalesce(nullif(regexp_extract(parse_url(${a(0)}, 'HOST'), " +
+          s"'([^.]+\\\\.(?:$alt))$$', 1), ''), ${cutFssBody(a(0))})"
+      }
+    for (n <- Seq("cutToFirstSignificantSubdomainWithWWWRFC",
+        "cutToFirstSignificantSubdomainWithWWW"))
+      q = rewriteCalls(q, n)(a =>
+        s"concat(CASE WHEN parse_url(${a(0)}, 'HOST') LIKE 'www.%' " +
+          s"THEN 'www.' ELSE '' END, ${cutFssBody(a(0))})")
+    q = rewriteCalls(q, "cutToFirstSignificantSubdomainRFC")(a => cutFssBody(a(0)))
+    q = rewriteCalls(q, "cutToFirstSignificantSubdomain")(a => cutFssBody(a(0)))
+    q = rewriteCalls(q, "firstSignificantSubdomainRFC")(a => fssBody(a(0)))
+    q = rewriteCalls(q, "firstSignificantSubdomain")(a => fssBody(a(0)))
+    // ---- round-10 batch 22: server/context constants + introspection ----
+    // (reference src/Functions/serverConstants.cpp and friends): rendered
+    // as literals at rewrite time — one engine, one shard, stable values.
+    for (n <- Seq("hostName", "hostname", "displayName"))
+      q = rewriteCalls(q, n)(_ =>
+        s"'${java.net.InetAddress.getLocalHost.getHostName}'")
+    for (n <- Seq("FQDN", "fullHostName"))
+      q = rewriteCalls(q, n)(_ =>
+        s"'${java.net.InetAddress.getLocalHost.getCanonicalHostName}'")
+    q = rewriteCalls(q, "uptime")(_ =>
+      s"CAST(${java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000} AS BIGINT)")
+    // one id per query — a fresh UUID at rewrite time IS the contract
+    for (n <- Seq("queryID", "currentQueryID", "query_id",
+        "initialQueryID", "initial_query_id"))
+      q = rewriteCalls(q, n)(_ => s"'${java.util.UUID.randomUUID()}'")
+    q = rewriteCalls(q, "tcpPort")(_ => "CAST(9000 AS INT)") // reference default port
+    q = rewriteCalls(q, "shardNum")(_ => "CAST(1 AS INT)")
+    q = rewriteCalls(q, "shardCount")(_ => "CAST(1 AS INT)")
+    q = rewriteCalls(q, "serverUUID")(_ => s"'$serverUuid'")
+    for (n <- Seq("connectionId", "connection_id"))
+      q = rewriteCalls(q, n)(_ => "CAST(0 AS BIGINT)")
+    for (n <- Seq("DATABASE", "SCHEMA"))
+      q = rewriteCalls(q, n)(_ => "current_database()")
+    q = rewriteCalls(q, "currentSchemas")(_ => "array(current_database())")
+    q = rewriteCalls(q, "user")(_ => "current_user()")
+    // block introspection: a "block" maps to the Spark partition
+    q = rewriteCalls(q, "blockNumber")(_ => "CAST(spark_partition_id() AS BIGINT)")
+    q = rewriteCalls(q, "rowNumberInAllBlocks")(_ =>
+      "(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)")
+    q = rewriteCalls(q, "rowNumberInBlock")(_ =>
+      "(row_number() OVER (PARTITION BY spark_partition_id() " +
+        "ORDER BY monotonically_increasing_id()) - 1)")
+    q = rewriteCalls(q, "blockSize")(_ =>
+      "count(*) OVER (PARTITION BY spark_partition_id())")
+    q = rewriteCalls(q, "visibleWidth")(a => s"length(CAST(${a(0)} AS STRING))")
+    q = rewriteCalls(q, "byteSize")(a =>
+      a.map(x => s"byte_size($x)").mkString("(", " + ", ")"))
+    q = rewriteCalls(q, "throwIf")(a =>
+      if (a.length >= 2)
+        s"(CASE WHEN ${a(0)} THEN CAST(raise_error(${a(1)}) AS INT) ELSE 0 END)"
+      else s"(CASE WHEN ${a(0)} THEN CAST(raise_error('throwIf condition met') AS INT) ELSE 0 END)")
+    q = rewriteCalls(q, "indexHint")(_ => "1")
+    q = rewriteCalls(q, "isNullable")(a => s"is_nullable_col(${a(0)})")
+    q = rewriteCalls(q, "isConstant")(a => s"is_constant_col(${a(0)})")
+    q = rewriteCalls(q, "defaultValueOfArgumentType")(a =>
+      s"default_value_of_arg(${a(0)})")
+    q = rewriteCalls(q, "defaultValueOfTypeName") { a =>
+      a(0).replaceAll("'", "").trim match {
+        case "Int8" => "CAST(0 AS TINYINT)"
+        case "Int16" => "SMALLINT '0'"
+        case "Int32" => "CAST(0 AS INT)"
+        case "Int64" => "CAST(0 AS BIGINT)"
+        case t if t.startsWith("UInt") => "CAST(0 AS BIGINT)"
+        case "Float32" => "CAST(0 AS FLOAT)"
+        case "Float64" => "CAST(0 AS DOUBLE)"
+        case "String" => "''"
+        case "Date" | "Date32" => "DATE'1970-01-01'"
+        case "DateTime" => "TIMESTAMP'1970-01-01 00:00:00'"
+        case t if t.startsWith("Nullable") => "NULL"
+        case other => s"raise_error('defaultValueOfTypeName: unmapped $other')"
+      }
+    }
+    q = rewriteCalls(q, "toColumnTypeName")(a => s"typeof(${a(0)})")
+    q = rewriteCalls(q, "dumpColumnStructure")(a => s"typeof(${a(0)})")
+    q = rewriteCalls(q, "isIPAddressInRange")(a =>
+      s"is_ip_in_range(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "parseTimeDelta")(a => s"parse_time_delta(${a(0)})")
+    q = rewriteCalls(q, "isDecimalOverflow")(a =>
+      s"is_decimal_overflow(${a.mkString(", ")})")
+    // runningDifference family (deprecated in the reference; row order =
+    // processing order there, a global monotonic order here)
+    q = rewriteCalls(q, "runningDifferenceStartingWithFirstValue")(a =>
+      s"coalesce(${a(0)} - lag(${a(0)}, 1) OVER " +
+        s"(ORDER BY monotonically_increasing_id()), ${a(0)})")
+    q = rewriteCalls(q, "runningDifference")(a =>
+      s"coalesce(${a(0)} - lag(${a(0)}, 1) OVER " +
+        s"(ORDER BY monotonically_increasing_id()), 0)")
+    // keyed SipHash: sipHash64Keyed((k0, k1), data)
+    def sipKeyed(fn: String)(a: Seq[String]): String = {
+      val inner = a(0).trim.stripPrefix("tuple(").stripPrefix("struct(")
+        .stripPrefix("(").stripSuffix(")")
+      val ks = splitArgs(inner)
+      s"$fn(${ks(0)}, ${ks(1)}, ${a(1)})"
+    }
+    q = rewriteCalls(q, "sipHash64Keyed")(sipKeyed("ch_siphash64_keyed"))
+    q = rewriteCalls(q, "sipHash128ReferenceKeyed")(sipKeyed("ch_siphash128_reference_keyed"))
+    q = rewriteCalls(q, "sipHash128Keyed")(sipKeyed("ch_siphash128_keyed"))
+    // timestamp(date[, time]): DateTime64 construction
+    q = rewriteCalls(q, "timestamp")(a =>
+      if (a.length >= 2)
+        s"timestampadd(SECOND, CAST(unix_timestamp(CAST(concat('1970-01-01 ', " +
+          s"${a(1)}) AS TIMESTAMP)) AS BIGINT), CAST(${a(0)} AS TIMESTAMP))"
+      else s"CAST(${a(0)} AS TIMESTAMP)")
     // dictGet / dictGetOrDefault (reference
     // FunctionsExternalDictionaries.h): the CH-arity 3-arg form
     // dictGet('dict', 'attr', key) works for dictionaries declared with

@@ -1567,6 +1567,83 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getMap[Int, String](14).toSeq.sorted == Seq(1 -> "a", 2 -> "b"))
   }
 
+  test("batch-22: context constants and block introspection") {
+    val r = ch("""SELECT hostName() AS h, FQDN() AS f, uptime() AS up,
+                 |queryID() AS qid, tcpPort() AS port, shardNum() AS sn,
+                 |shardCount() AS sc, serverUUID() AS suid,
+                 |DATABASE() AS db, user() AS u,
+                 |visibleWidth(12345) AS vw,
+                 |byteSize(CAST(1 AS INT)) AS bs_i,
+                 |byteSize('hello') AS bs_s,
+                 |byteSize(CAST(1 AS INT), 'hello') AS bs_2,
+                 |throwIf(1 > 2, 'nope') AS ti,
+                 |indexHint(o_orderkey > 5) AS ih,
+                 |isNullable(42) AS nn,
+                 |isConstant(42) AS const_lit,
+                 |isConstant(o_orderkey) AS const_col,
+                 |defaultValueOfArgumentType(1.5) AS dv,
+                 |defaultValueOfTypeName('Int32') AS dvt,
+                 |isDecimalOverflow(CAST(999999999.99 AS DECIMAL(18,2)), 9) AS ovf,
+                 |isDecimalOverflow(CAST(1.5 AS DECIMAL(9,2))) AS ovf_self,
+                 |parseTimeDelta('11hr 25min 3.1s') AS ptd,
+                 |parseTimeDelta('1yr2mo') AS ptd2,
+                 |isIPAddressInRange('192.168.1.5', '192.168.0.0/16') AS in4,
+                 |isIPAddressInRange('192.169.1.5', '192.168.0.0/16') AS out4,
+                 |isIPAddressInRange('2001:db8::1', '2001:db8::/32') AS in6,
+                 |isIPAddressInRange('2001:db9::1', '2001:db8::/32') AS out6,
+                 |isIPAddressInRange('192.168.1.5', '2001:db8::/32') AS cross46
+                 |FROM orders LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getString(0).nonEmpty && r.getString(1).nonEmpty)
+    assert(r.getLong(2) >= 0L)
+    assert(r.getString(3).matches("[0-9a-f-]{36}"))
+    assert(r.getInt(4) == 9000 && r.getInt(5) == 1 && r.getInt(6) == 1)
+    assert(r.getString(7).matches("[0-9a-f-]{36}"))
+    assert(r.getString(8).nonEmpty && r.getString(9).nonEmpty)
+    assert(r.getInt(10) == 5)
+    assert(r.getLong(11) == 4L && r.getLong(12) == 14L && r.getLong(13) == 18L)
+    assert(r.getInt(14) == 0)
+    assert(r.getInt(15) == 1)
+    assert(!r.getBoolean(16)) // a literal is not nullable
+    assert(r.getBoolean(17) && !r.getBoolean(18))
+    assert(r.getDouble(19) == 0.0) // non-nullable Float64 default
+    assert(r.getInt(20) == 0)
+    assert(r.getBoolean(21)) // 99999999999 unscaled = 11 digits > 9
+    assert(!r.getBoolean(22))
+    assert(math.abs(r.getDouble(23) - (11 * 3600 + 25 * 60 + 3.1)) < 1e-9)
+    assert(math.abs(r.getDouble(24) - (365 * 86400 + 2 * 30.5 * 86400)) < 1e-6)
+    assert(r.getBoolean(25) && !r.getBoolean(26))
+    assert(r.getBoolean(27) && !r.getBoolean(28) && !r.getBoolean(29))
+  }
+
+  test("batch-22: URL RFC/Custom tail, runningDifference, keyed sipHash") {
+    graft.sqlfront.ChSql.registerTldList("mytlds", Seq("co.uk", "com.au"))
+    val r = ch("""SELECT
+                 |cutToFirstSignificantSubdomainCustom('https://sub.example.co.uk/x', 'mytlds') AS c1,
+                 |firstSignificantSubdomainCustom('https://sub.example.co.uk/x', 'mytlds') AS f1,
+                 |cutToFirstSignificantSubdomainCustom('https://news.ycombinator.com/x', 'mytlds') AS c2,
+                 |cutToFirstSignificantSubdomainRFC('https://a.b.example.com/') AS rfc,
+                 |cutToFirstSignificantSubdomainWithWWW('https://www.example.com/') AS www,
+                 |domainRFC('https://x.example.org/p') AS dom,
+                 |sipHash64Keyed((0, 0), 'abc') AS sk0,
+                 |sipHash64('abc') AS s0,
+                 |sipHash64Keyed((1, 2), 'abc') AS sk12,
+                 |timestamp('2020-01-01', '10:30:00') AS ts2""".stripMargin).collect()(0)
+    assert(r.getString(0) == "example.co.uk")
+    assert(r.getString(1) == "example")
+    assert(r.getString(2) == "ycombinator.com")
+    assert(r.getString(3) == "example.com")
+    assert(r.getString(4) == "www.example.com")
+    assert(r.getString(5) == "x.example.org")
+    assert(r.getLong(6) == r.getLong(7)) // zero key == unkeyed
+    assert(r.getLong(8) != r.getLong(7))
+    assert(r.getTimestamp(9).toString.startsWith("2020-01-01 10:30:00"))
+    // runningDifference over an ordered subquery
+    val diffs = ch("""SELECT runningDifference(o_orderkey) AS d FROM
+                     |(SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(diffs.head == 0L && diffs.tail.forall(_ > 0L))
+  }
+
   test("batch-21: addTupleOfIntervals applies intervals left to right") {
     val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
                  |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
