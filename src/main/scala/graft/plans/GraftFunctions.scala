@@ -324,8 +324,24 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.StringBytesEntropy(es.head)),
       (FunctionIdentifier("ch_replace_regexp_one"), info("ch_replace_regexp_one"),
         (es: Seq[Expression]) => graft.functions.ChReplaceRegexpOne(es(0), es(1), es(2)))
-    ) ++ stringShingles ++ reinterprets ++ batch17 ++ batch20 ++ batch21 ++ batch22
+    ) ++ stringShingles ++ reinterprets ++ batch17 ++ batch20 ++ batch21 ++ batch22 ++ batch23
   }
+
+  /** Round-10 batch 23 (functions/Batch23.scala): digests + id tail. */
+  private def batch23: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq("md4", "ripemd160", "keccak256", "blake3", "sha512_256").map { algo =>
+      (FunctionIdentifier(s"ch_$algo"), info(s"ch_$algo"),
+        (es: Seq[Expression]) => graft.functions.ChDigest(es.head, algo): Expression)
+    } ++ Seq(
+      (FunctionIdentifier("kostik_consistent_hash"), info("kostik_consistent_hash"),
+        (es: Seq[Expression]) => graft.functions.KostikConsistentHashExpr(asLong(es(0)), es(1))),
+      (FunctionIdentifier("generate_ulid"), info("generate_ulid"),
+        (_: Seq[Expression]) => graft.functions.GenerateUlid()),
+      (FunctionIdentifier("generate_serial_id"), info("generate_serial_id"),
+        (es: Seq[Expression]) => graft.functions.GenerateSerialId(es.head)),
+      (FunctionIdentifier("fuzz_bits"), info("fuzz_bits"),
+        (es: Seq[Expression]) => graft.functions.FuzzBitsExpr(es(0), es(1)))
+    )
 
   /** Round-10 batch 22 (functions/Batch22.scala): introspection/context. */
   private def batch22: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

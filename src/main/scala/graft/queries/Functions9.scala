@@ -132,6 +132,26 @@ object Functions9 {
           |FROM part WHERE p_partkey < 400""".stripMargin))
     },
 
+    // Round-10 batch 23: the remaining digests + Oblakov consistent hash
+    // (reference FunctionsHashing.h keccak256/MD4/RIPEMD160/SHA512_256/
+    // BLAKE3, contrib/consistent-hashing via Batch23.scala). DuckDB
+    // cannot compute these; the oracle embeds the pin table (regenerate:
+    // sbt "runMain graft.tools.HashPins digests"). MD4/RIPEMD160/Keccak/
+    // SHA-512/256/BLAKE3 are additionally anchored against published
+    // vectors in ChSqlSpec.
+    "q_fn_digest" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val df = graft.tools.HashPins.probes.toDF("s")
+      ordered(df.selectExpr(
+        "s",
+        "lower(hex(ch_md4(s))) AS h_md4",
+        "lower(hex(ch_ripemd160(s))) AS h_rip",
+        "lower(hex(ch_keccak256(s))) AS h_kec",
+        "lower(hex(ch_blake3(s))) AS h_b3",
+        "lower(hex(ch_sha512_256(s))) AS h_sh512256",
+        "kostik_consistent_hash(ch_siphash64(s), 8) AS h_kostik"))
+    },
+
     "q_fn_op_forms" -> { (s: SparkSession, dir: String) =>
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT p_partkey,
@@ -258,6 +278,24 @@ object Functions9 {
         |  'www.ex' || cast(p_partkey % 5 AS VARCHAR) || 'ample.com' AS www
         |FROM part WHERE p_partkey < 400
         |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    "q_fn_digest" ->
+      """SELECT s, h_md4, h_rip, h_kec, h_b3, h_sh512256,
+        |  CAST(h_kostik AS INTEGER) AS h_kostik
+        |FROM (VALUES
+        |    ('', '31d6cfe0d16ae931b73c59d7e0c089c0', '9c1185a5c5e9fc54612808977ee8f548b2258d31', 'c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470', 'af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262', 'c672b8d1ef56ed28ab87c3622c5114069bdd3ad7b8f9737498d0c01ecef0967a', 7),
+        |    ('a', 'bde52cb31de33e46245e05fbdbd6fb24', '0bdc9d2d256b3ee9daae347be6f4dc835a467ffe', '3ac225168df54212a25c1c01fd35bebfea408fdac2e31ddd6f80a4bbf9a5f1cb', '17762fddd969a453925d65717ac3eea21320b66b54342fde15128d6caf21215f', '455e518824bc0601f9fb858ff5c37d417d67c2f8e0df2babe4808858aea830f8', 0),
+        |    ('abc', 'a448017aaf21d8525fc10ae87aa6729d', '8eb208f7e05d987a9b044a8e98c6b087f15a0bfc', '4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45', '6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85', '53048e2681941ef99b2e29b76b4c7dabe4c2d0c634fc6d46e0e2f13107e7af23', 6),
+        |    ('message digest', 'd9130a8164549fe818874806e1c7014b', '5d0689ef49d2fae572b881b123a85ffa21595f36', '856ab8a3ad0f6168a4d0ba8d77487243f3655db6fc5b0e1669bc05b1287e0147', '7bc2a2eeb95ddbf9b7ecf6adcb76b453091c58dc43955e1d9482b1942f08d19b', '0cf471fd17ed69d990daf3433c89b16d63dec1bb9cb42a6094604ee5d7b4e9fb', 0),
+        |    ('The quick brown fox jumps over the lazy dog', '1bee69a46ba811185c194762abaeae90', '37f332f68db77bd9d7edd4969571ad671cf9dd3b', '4d741b6f1eb29cb2a9b9911c82f56fa8d73b04959d3d9d222895df6c0b28aa15', '2f1514181aadccd913abd94cfa592701a5686ab23f8df1dff1b74710febc6d4a', 'dd9d67b371519c339ed8dbd25af90e976a1eeefd4ad3d889005e532fc5bef04d', 5),
+        |    ('clickhouse', 'a00820a4eea104dda9d3dc2308bc1b07', '7c15f69b04d81955b58afaef3e977fde1469277b', '5fcdaee28a321d616877c5a5b6c510661719bd0d7180fddb9fd253d67531315a', '9121a64d963e8a8b0a44b59b1f75207250dd7c8470f0ef8b11b666aed8921813', '446e3db34323b7315dca37dd76b940b177744847e0cb18b447460ae3d574d27b', 0),
+        |    ('spark', '198f1bce570f09208932aa6374b91a14', '41025440eb8fd4fcb1bc57b632fdc76f09dc01bb', 'f5145e320dddfef2c56c12716203dabb13746018e7100a5f2bd876e5eec97e4b', '77a2ef5377ac821f7a7684b050376ea8b25cb868e1041dbb0731f54204b45f3c', '9e37eeea4271057ae3b9b591d2d4d4ea16fb57020065f7e29908276772d20e0d', 2),
+        |    ('BUILDING', 'e78798bbc4e92b3d8d6db93e28cc91b3', 'bb7fcd17992dc74a55e8434a01a51c92a103d834', '8bf65ab33de57b2f885f87b1bc2cc8c766a1fbbbcebc38f657a6b2b13845a544', 'a8849d0ab2b6b063368fd5749021e00c19dd7b028e6e2aadb4e6aa7a590c3c62', '46059015a5d51d8e3394265d6b6dafb4342630a7bfda5098d9fcaeb26fb7bb7b', 5),
+        |    ('Customer#000000001', 'aadbf2dabc9ce59a8e3eb4938bec10d1', '27d036257e8a3eeb3a5730a104c3f8da3fc831a0', '615db391c0b78622ca2f6b6cb72f4e0674482cddcfe746e95270e602b0907783', 'f6769ccfd4779dbb33c753c469abe4b06ada42701bebb209b5ea6ac761948e8a', '936f6de4e61ba9cfe00ae1c16b7cb5309f8ba19f894b9ee7f390490d5ce15a9e', 1),
+        |    ('1995-01-01', '06cd4f5c3ca55b852cdc093b99b2888d', 'e95d9599e2c6533e9616a322897a7e6eaab8a59b', '49eacc97eeb94bc951ceb81e4f27ec4b9917334a641e736b39259dd21c422e9e', 'ba8dce008fa78f933524190494374726e920e0c07fcf4f3b719a6aeffc4b3ff5', 'c8cf8282b3eae212106cd13cd54de5d93e8c7a6dbcae4753c80f2512826f6b6a', 4),
+        |    ('dedup-minhash', 'da7e3303c2afda3bb26c59f669d56e0f', '8f9d2ebce2a30076631c14250f0ec00f70d0869b', '555b56f148d47e5d34720b198f7f5d9add7775ac81f9fbc5d2590a0570b4e546', '134672d76e4aada82d6e9f14882136814f6c778088a9be9c52ea36f011099880', 'ab1df26a7661da5a7ae6d6cd59d7d7c5ed55e60f9b753780438355a3f7b9383c', 4),
+        |    ('0123456789abcdef0123456789abcdef0123456789abcdef0123456789abcdef!!', '15149a6385d67b529dd2b77105014dd8', '08e65bf1181a8f3984794eeefd1d9a76cf0fc9e3', '957896f0c6c430699b0d5bcbd3d8bf31bd00e14588e61ec34c4221b8dd9d6043', '99d11bf87dac7dc14648042799b819fa05d369340983856f10b1e375a402de06', '7c9aa27f103c69c13da4e2440895878fe3d581bc82e13a8f598fd6a8d7dff19b', 5)) t(s, h_md4, h_rip, h_kec, h_b3, h_sh512256, h_kostik)
+        |ORDER BY s NULLS FIRST""".stripMargin,
 
     "q_fn_op_forms" ->
       """SELECT p_partkey,

@@ -677,7 +677,19 @@ object ChSql {
     "runningDifference" -> "t", "runningDifferenceStartingWithFirstValue" -> "t",
     "sipHash64Keyed" -> "t", "sipHash128Keyed" -> "t",
     "sipHash128ReferenceKeyed" -> "t",
-    "timestamp" -> "t"
+    "timestamp" -> "t",
+
+    // ---- round-10 batch 23: digests, consistent hash, random tail ----
+    "MD4" -> "ch_md4", "RIPEMD160" -> "ch_ripemd160",
+    "keccak256" -> "ch_keccak256", "BLAKE3" -> "ch_blake3",
+    "SHA512_256" -> "ch_sha512_256",
+    "kostikConsistentHash" -> "kostik_consistent_hash",
+    "yandexConsistentHash" -> "kostik_consistent_hash",
+    "generateULID" -> "generate_ulid",
+    "generateSerialID" -> "generate_serial_id",
+    "fuzzBits" -> "fuzz_bits",
+    "URLHash" -> "t", "rand32" -> "t", "randConstant" -> "t",
+    "randomFixedString" -> "t", "randomStringUTF8" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -2658,6 +2670,31 @@ object ChSql {
         s"timestampadd(SECOND, CAST(unix_timestamp(CAST(concat('1970-01-01 ', " +
           s"${a(1)}) AS TIMESTAMP)) AS BIGINT), CAST(${a(0)} AS TIMESTAMP))"
       else s"CAST(${a(0)} AS TIMESTAMP)")
+    // ---- round-10 batch 23: URLHash + random tail ----
+    // URLHash (FunctionsHashing.h URLHashImpl): cityHash64 of the URL
+    // with ONE trailing '/', '?' or '#' dropped; the 2-arg form hashes
+    // the level-N hierarchy prefix (URLHierarchy expands later in this
+    // pass, so emitting its name here still resolves)
+    q = rewriteCalls(q, "URLHash")(a =>
+      if (a.length >= 2)
+        s"ch_cityhash64(regexp_replace(element_at(URLHierarchy(${a(0)}), " +
+          s"CAST(${a(1)} AS INT) + 1), '[/?#]$$', ''))"
+      else s"ch_cityhash64(regexp_replace(${a(0)}, '[/?#]$$', ''))")
+    q = rewriteCalls(q, "rand32")(_ => "CAST(RAND() * 4294967296 AS BIGINT)")
+    // randConstant: one random value shared by every row of the query —
+    // a rewrite-time literal IS that contract
+    q = rewriteCalls(q, "randConstant")(_ =>
+      s"CAST(${(scala.util.Random.nextDouble() * 4294967296L).toLong}L AS BIGINT)")
+    // randomFixedString(n): n random bytes (Binary here; FixedString
+    // there). Bytes repeat past 16 per row — documented rand() seed width.
+    q = rewriteCalls(q, "randomFixedString")(a =>
+      s"unhex(substring(repeat(md5(CAST(rand() AS STRING)), " +
+        s"CAST(ceil((${a(0)}) / 16.0) AS INT)), 1, 2 * (${a(0)})))")
+    // randomStringUTF8(n): printable-ASCII approximation of the
+    // reference's random code points (documented)
+    q = rewriteCalls(q, "randomStringUTF8")(a =>
+      s"concat_ws('', transform(sequence(1, CAST(${a(0)} AS INT)), " +
+        s"__i -> char(CAST(rand() * 94 + 33 AS INT))))")
     // dictGet / dictGetOrDefault (reference
     // FunctionsExternalDictionaries.h): the CH-arity 3-arg form
     // dictGet('dict', 'attr', key) works for dictionaries declared with

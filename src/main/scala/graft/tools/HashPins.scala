@@ -30,6 +30,21 @@ object HashPins {
   def main(args: Array[String]): Unit = {
     def b(s: String) = s.getBytes("UTF-8")
     def hex(a: Array[Byte]) = a.map("%02x".format(_)).mkString
+    if (args.headOption.contains("digests")) {
+      // round-10 batch 23 pin table (q_fn_digest)
+      import graft.functions.{Batch23, HashCompat}
+      for (s <- probes) {
+        println(Seq(
+          "'" + s + "'",
+          "'" + hex(Batch23.md4(b(s))) + "'",
+          "'" + hex(Batch23.ripemd160(b(s))) + "'",
+          "'" + hex(Batch23.keccak256(b(s))) + "'",
+          "'" + hex(Batch23.blake3(b(s))) + "'",
+          "'" + hex(java.security.MessageDigest.getInstance("SHA-512/256").digest(b(s))) + "'",
+          Batch23.kostikConsistentHash(HashCompat.sipHash64(b(s)), 8)).mkString(", "))
+      }
+      return
+    }
     if (args.headOption.contains("shingles")) {
       import graft.functions.StringShingles
       for (s <- shingleProbes) {

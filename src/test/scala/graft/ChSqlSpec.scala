@@ -1644,6 +1644,72 @@ class ChSqlSpec extends AnyFunSuite {
     assert(diffs.head == 0L && diffs.tail.forall(_ > 0L))
   }
 
+  test("batch-23: digests pin their published test vectors") {
+    val r = ch("""SELECT lower(hex(MD4(''))) AS md4_e, lower(hex(MD4('abc'))) AS md4_abc,
+                 |lower(hex(RIPEMD160(''))) AS rip_e, lower(hex(RIPEMD160('abc'))) AS rip_abc,
+                 |lower(hex(keccak256(''))) AS kec_e, lower(hex(keccak256('abc'))) AS kec_abc,
+                 |lower(hex(SHA512_256(''))) AS sh_e,
+                 |lower(hex(BLAKE3(''))) AS b3_e,
+                 |lower(hex(BLAKE3('abc'))) AS b3_abc,
+                 |length(hex(BLAKE3(repeat('a', 5000)))) AS b3_long_len""".stripMargin).collect()(0)
+    // RFC 1320 appendix A.5
+    assert(r.getString(0) == "31d6cfe0d16ae931b73c59d7e0c089c0")
+    assert(r.getString(1) == "a448017aaf21d8525fc10ae87aa6729d")
+    // Dobbertin/Bosselaers/Preneel published vectors
+    assert(r.getString(2) == "9c1185a5c5e9fc54612808977ee8f548b2258d31")
+    assert(r.getString(3) == "8eb208f7e05d987a9b044a8e98c6b087f15a0bfc")
+    // the Keccak (pre-NIST padding) empty/abc digests
+    assert(r.getString(4) == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert(r.getString(5) == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    // FIPS 180-4 SHA-512/256("")
+    assert(r.getString(6) == "c672b8d1ef56ed28ab87c3622c5114069bdd3ad7b8f9737498d0c01ecef0967a")
+    // BLAKE3: the 'abc' assertion below anchors the implementation
+    // against the official vector; the empty-input digest is pinned as
+    // computed by the anchored core
+    assert(r.getString(7) == "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262")
+    // the official BLAKE3 'abc' vector (256-bit independent anchor)
+    assert(r.getString(8) == "6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85")
+    assert(r.getInt(9) == 64)
+  }
+
+  test("batch-23: consistent hash, URLHash, random/id tail") {
+    val r = ch("""SELECT kostikConsistentHash(7045690984833335023, 2) AS k2,
+                 |kostikConsistentHash(7045690984833335023, 32768) AS kmax,
+                 |yandexConsistentHash(0, 5) AS k0,
+                 |URLHash('http://example.com/path/') AS uh_slash,
+                 |URLHash('http://example.com/path') AS uh_plain,
+                 |cityHash64('http://example.com/path') AS ch_plain,
+                 |length(generateULID()) AS ulid_len,
+                 |generateSerialID('q23test') AS ser0,
+                 |generateSerialID('q23test') AS ser1,
+                 |length(randomFixedString(8)) AS rfs_len,
+                 |length(randomStringUTF8(12)) AS rsu_len,
+                 |octet_length(fuzzBits('aaaaaaaa', 0.0)) AS fb_len,
+                 |rand32() >= 0 AS r32""".stripMargin).collect()(0)
+    val k2 = r.getInt(0)
+    assert(k2 >= 0 && k2 < 2)
+    assert(r.getInt(1) >= 0 && r.getInt(1) < 32768)
+    assert(r.getInt(2) >= 0 && r.getInt(2) < 5)
+    // one trailing slash is dropped before hashing
+    assert(r.getLong(3) == r.getLong(5))
+    assert(r.getLong(4) == r.getLong(5))
+    assert(r.getInt(6) == 26)
+    // monotonic per-name counter
+    assert(r.getLong(8) == r.getLong(7) + 1)
+    assert(r.getInt(9) == 8)
+    assert(r.getInt(10) == 12)
+    assert(r.getInt(11) == 8)
+    assert(r.getBoolean(12))
+    // consistency property: moving n=8 -> n=16 only ever moves keys INTO
+    // the new buckets [8, 16), never between old ones
+    val moved = ch("""SELECT count() AS n FROM (
+                     |SELECT kostikConsistentHash(sipHash64(toString(number)), 8) AS b8,
+                     |       kostikConsistentHash(sipHash64(toString(number)), 16) AS b16
+                     |FROM (SELECT explode(sequence(1, 2000)) AS number)) WHERE b8 <> b16 AND b16 < 8""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(moved == 0L)
+  }
+
   test("batch-21: addTupleOfIntervals applies intervals left to right") {
     val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
                  |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
