@@ -430,6 +430,21 @@ object Batch23 {
   }
 }
 
+/** toBFloat16: round-to-nearest-even truncation of Float32 to the
+  * bfloat16 grid, returned as Float32 (reference DataTypeBFloat16 —
+  * the value set is what matters; Spark has no 16-bit float). */
+case class ToBFloat16Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = FloatType
+  override def nullSafeEval(v: Any): Any = {
+    val f = v.asInstanceOf[Number].floatValue
+    val bits = java.lang.Float.floatToIntBits(f)
+    val rounded = bits + 0x7FFF + ((bits >>> 16) & 1)
+    java.lang.Float.intBitsToFloat(rounded & 0xFFFF0000)
+  }
+  override protected def withNewChildInternal(c: Expression): ToBFloat16Expr = copy(child = c)
+}
+
 /** Digest expression over the batch-23 algorithms; returns Binary. */
 case class ChDigest(child: Expression, algo: String)
     extends UnaryExpression with CodegenFallback {

@@ -340,7 +340,9 @@ object GraftFunctions {
       (FunctionIdentifier("generate_serial_id"), info("generate_serial_id"),
         (es: Seq[Expression]) => graft.functions.GenerateSerialId(es.head)),
       (FunctionIdentifier("fuzz_bits"), info("fuzz_bits"),
-        (es: Seq[Expression]) => graft.functions.FuzzBitsExpr(es(0), es(1)))
+        (es: Seq[Expression]) => graft.functions.FuzzBitsExpr(es(0), es(1))),
+      (FunctionIdentifier("to_bfloat16"), info("to_bfloat16"),
+        (es: Seq[Expression]) => graft.functions.ToBFloat16Expr(asDouble(es.head)))
     )
 
   /** Round-10 batch 22 (functions/Batch22.scala): introspection/context. */

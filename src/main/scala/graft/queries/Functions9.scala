@@ -152,6 +152,32 @@ object Functions9 {
         "kostik_consistent_hash(ch_siphash64(s), 8) AS h_kostik"))
     },
 
+    // Round-10 batch 24: typed dictGet spellings, US/Joda parse tail,
+    // toInterval, window-view scalar forms, try-decode (reference
+    // FunctionsExternalDictionaries.h, parseDateTimeBestEffort.cpp
+    // is_us_style, FunctionsTimeWindow.cpp). The dictionary oracle is
+    // the same scalar subquery the template emits.
+    "q_fn_dict_window" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """CREATE DICTIONARY q24dict (n_nationkey UInt64, n_name String)
+          |PRIMARY KEY n_nationkey
+          |SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(HASHED()) LIFETIME(0)""".stripMargin)
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT c_custkey,
+          |  dictGetString('q24dict', 'n_name', c_nationkey) AS nat,
+          |  dictGetInt64OrDefault('q24dict', 'n_regionkey', c_custkey + 100000, -1) AS nk_d,
+          |  dictHas('q24dict', c_custkey % 30) AS has_k,
+          |  parseDateTimeBestEffortUS(concat(leftPad(toString(1 + c_custkey % 12), 2, '0'), '/15/2020')) AS us,
+          |  parseDateTimeInJodaSyntaxOrZero(c_mktsegment, 'yyyy-MM-dd') AS joda_z,
+          |  (toDate('2020-01-15') + toInterval(c_custkey % 4, 'month')) AS iv,
+          |  tumbleStart(toDateTime(concat('2020-01-01 10:', leftPad(toString(c_custkey % 60), 2, '0'), ':23')), INTERVAL 10 MINUTE) AS ts,
+          |  tumbleEnd(toDateTime(concat('2020-01-01 10:', leftPad(toString(c_custkey % 60), 2, '0'), ':23')), INTERVAL 10 MINUTE) AS te,
+          |  windowID(toDateTime(concat('2020-01-01 10:', leftPad(toString(c_custkey % 60), 2, '0'), ':23')), INTERVAL 10 MINUTE) AS wid,
+          |  tryBase64Decode(base64Encode(c_mktsegment)) AS b64,
+          |  tryBase64Decode('%%%') AS b64_bad
+          |FROM customer WHERE c_custkey < 400""".stripMargin))
+    },
+
     "q_fn_op_forms" -> { (s: SparkSession, dir: String) =>
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT p_partkey,
@@ -296,6 +322,22 @@ object Functions9 {
         |    ('dedup-minhash', 'da7e3303c2afda3bb26c59f669d56e0f', '8f9d2ebce2a30076631c14250f0ec00f70d0869b', '555b56f148d47e5d34720b198f7f5d9add7775ac81f9fbc5d2590a0570b4e546', '134672d76e4aada82d6e9f14882136814f6c778088a9be9c52ea36f011099880', 'ab1df26a7661da5a7ae6d6cd59d7d7c5ed55e60f9b753780438355a3f7b9383c', 4),
         |    ('0123456789abcdef0123456789abcdef0123456789abcdef0123456789abcdef!!', '15149a6385d67b529dd2b77105014dd8', '08e65bf1181a8f3984794eeefd1d9a76cf0fc9e3', '957896f0c6c430699b0d5bcbd3d8bf31bd00e14588e61ec34c4221b8dd9d6043', '99d11bf87dac7dc14648042799b819fa05d369340983856f10b1e375a402de06', '7c9aa27f103c69c13da4e2440895878fe3d581bc82e13a8f598fd6a8d7dff19b', 5)) t(s, h_md4, h_rip, h_kec, h_b3, h_sh512256, h_kostik)
         |ORDER BY s NULLS FIRST""".stripMargin,
+
+    "q_fn_dict_window" ->
+      """SELECT c_custkey,
+        |  cast((SELECT n_name FROM nation WHERE n_nationkey = c_nationkey) AS VARCHAR) AS nat,
+        |  cast(-1 AS BIGINT) AS nk_d,
+        |  (c_custkey % 30) < 25 AS has_k,
+        |  cast('2020-' || lpad(cast(1 + c_custkey % 12 AS VARCHAR), 2, '0') || '-15' AS TIMESTAMP) AS us,
+        |  TIMESTAMP '1970-01-01 00:00:00' AS joda_z,
+        |  cast(DATE '2020-01-15' + to_months(cast(c_custkey % 4 AS INT)) AS DATE) AS iv,
+        |  cast(to_timestamp((cast(epoch(cast('2020-01-01 10:' || lpad(cast(c_custkey % 60 AS VARCHAR), 2, '0') || ':23' AS TIMESTAMP)) AS BIGINT) // 600) * 600) AS TIMESTAMP) AS ts,
+        |  cast(to_timestamp((cast(epoch(cast('2020-01-01 10:' || lpad(cast(c_custkey % 60 AS VARCHAR), 2, '0') || ':23' AS TIMESTAMP)) AS BIGINT) // 600) * 600 + 600) AS TIMESTAMP) AS te,
+        |  (cast(epoch(cast('2020-01-01 10:' || lpad(cast(c_custkey % 60 AS VARCHAR), 2, '0') || ':23' AS TIMESTAMP)) AS BIGINT) // 600) * 600 + 600 AS wid,
+        |  c_mktsegment AS b64,
+        |  cast(NULL AS VARCHAR) AS b64_bad
+        |FROM customer WHERE c_custkey < 400
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
 
     "q_fn_op_forms" ->
       """SELECT p_partkey,

@@ -689,7 +689,37 @@ object ChSql {
     "generateSerialID" -> "generate_serial_id",
     "fuzzBits" -> "fuzz_bits",
     "URLHash" -> "t", "rand32" -> "t", "randConstant" -> "t",
-    "randomFixedString" -> "t", "randomStringUTF8" -> "t"
+    "randomFixedString" -> "t", "randomStringUTF8" -> "t",
+
+    // ---- round-10 batch 24: dict/parse/window-view tail ----
+    "dictGetString" -> "t", "dictGetInt8" -> "t", "dictGetInt16" -> "t",
+    "dictGetInt32" -> "t", "dictGetInt64" -> "t", "dictGetUInt8" -> "t",
+    "dictGetUInt16" -> "t", "dictGetUInt32" -> "t", "dictGetUInt64" -> "t",
+    "dictGetFloat32" -> "t", "dictGetFloat64" -> "t", "dictGetDate" -> "t",
+    "dictGetDateTime" -> "t", "dictGetUUID" -> "t", "dictGetIPv4" -> "t",
+    "dictGetIPv6" -> "t",
+    "dictGetStringOrDefault" -> "t", "dictGetInt8OrDefault" -> "t",
+    "dictGetInt16OrDefault" -> "t", "dictGetInt32OrDefault" -> "t",
+    "dictGetInt64OrDefault" -> "t", "dictGetUInt8OrDefault" -> "t",
+    "dictGetUInt16OrDefault" -> "t", "dictGetUInt32OrDefault" -> "t",
+    "dictGetUInt64OrDefault" -> "t", "dictGetFloat32OrDefault" -> "t",
+    "dictGetFloat64OrDefault" -> "t", "dictGetDateOrDefault" -> "t",
+    "dictGetDateTimeOrDefault" -> "t", "dictGetUUIDOrDefault" -> "t",
+    "dictGetIPv4OrDefault" -> "t", "dictGetIPv6OrDefault" -> "t",
+    "dictGetOrNull" -> "t", "dictHas" -> "t",
+    "parseDateTimeBestEffortUS" -> "t", "parseDateTimeBestEffortUSOrNull" -> "t",
+    "parseDateTimeBestEffortUSOrZero" -> "t",
+    "parseDateTime64BestEffortUS" -> "t", "parseDateTime64BestEffortUSOrNull" -> "t",
+    "parseDateTime64BestEffortUSOrZero" -> "t",
+    "parseDateTimeInJodaSyntaxOrNull" -> "t", "parseDateTimeInJodaSyntaxOrZero" -> "t",
+    "parseDateTime64InJodaSyntax" -> "t", "parseDateTime64InJodaSyntaxOrNull" -> "t",
+    "parseDateTime64InJodaSyntaxOrZero" -> "t",
+    "parseReadableSizeOrNull" -> "t", "toInterval" -> "t",
+    "toBFloat16" -> "t", "toBFloat16OrNull" -> "t", "toBFloat16OrZero" -> "t",
+    "tryBase64Decode" -> "t", "tryBase64URLDecode" -> "t",
+    "tryBase32Decode" -> "base32_decode",
+    "tumble" -> "t", "tumbleStart" -> "t", "tumbleEnd" -> "t",
+    "hop" -> "t", "hopStart" -> "t", "hopEnd" -> "t", "windowID" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1636,6 +1666,64 @@ object ChSql {
     }
     q = rewriteCalls(q, "toRelativeDayNum")(a => s"datediff(${a(0)}, DATE '1970-01-01')")
     q = rewriteCalls(q, "toUnixTimestamp64Milli")(a => s"unix_millis(${a(0)})")
+    // ---- round-10 batch 24: WindowView SQL spellings (reference
+    // src/Functions/FunctionsTimeWindow.cpp: tumble/hop + Start/End +
+    // windowID). Scalar semantics: the epoch-aligned window containing
+    // the timestamp; hop uses the LATEST window whose start <= ts
+    // (the streaming multi-assign expansion lives in
+    // graft.streaming.Streams — these are the batch-SQL forms).
+    def ivMicros(arg: String): String = {
+      val m = java.util.regex.Pattern.compile("(?i)INTERVAL\\s+'?(\\d+)'?\\s+(\\w+)").matcher(arg)
+      if (!m.find()) s"(CAST(${arg} AS BIGINT) * 1000000)" // plain seconds
+      else {
+        val n = m.group(1).toLong
+        val micros = m.group(2).toUpperCase match {
+          case "SECOND" | "SECONDS" => n * 1000000L
+          case "MINUTE" | "MINUTES" => n * 60000000L
+          case "HOUR" | "HOURS" => n * 3600000000L
+          case "DAY" | "DAYS" => n * 86400000000L
+          case "WEEK" | "WEEKS" => n * 604800000000L
+          case _ => n * 1000000L
+        }
+        micros.toString + "L"
+      }
+    }
+    def tumbleStartBody(t: String, iv: String): String = {
+      val us = ivMicros(iv)
+      s"timestamp_micros(unix_micros(CAST($t AS TIMESTAMP)) - " +
+        s"pmod(unix_micros(CAST($t AS TIMESTAMP)), $us))"
+    }
+    q = rewriteCalls(q, "tumbleStart")(a =>
+      if (a.length >= 2) tumbleStartBody(a(0), a(1)) else s"(${a(0)}.start)")
+    q = rewriteCalls(q, "tumbleEnd")(a =>
+      if (a.length >= 2)
+        s"timestamp_micros(unix_micros(${tumbleStartBody(a(0), a(1))}) + ${ivMicros(a(1))})"
+      else s"(${a(0)}.end)")
+    q = rewriteCalls(q, "tumble")(a =>
+      s"named_struct('start', ${tumbleStartBody(a(0), a(1))}, " +
+        s"'end', timestamp_micros(unix_micros(${tumbleStartBody(a(0), a(1))}) + ${ivMicros(a(1))}))")
+    def hopStartBody(t: String, slide: String): String = {
+      val us = ivMicros(slide)
+      s"timestamp_micros(unix_micros(CAST($t AS TIMESTAMP)) - " +
+        s"pmod(unix_micros(CAST($t AS TIMESTAMP)), $us))"
+    }
+    q = rewriteCalls(q, "hopStart")(a =>
+      if (a.length >= 3) hopStartBody(a(0), a(1)) else s"(${a(0)}.start)")
+    q = rewriteCalls(q, "hopEnd")(a =>
+      if (a.length >= 3)
+        s"timestamp_micros(unix_micros(${hopStartBody(a(0), a(1))}) + ${ivMicros(a(2))})"
+      else s"(${a(0)}.end)")
+    q = rewriteCalls(q, "hop")(a =>
+      s"named_struct('start', ${hopStartBody(a(0), a(1))}, " +
+        s"'end', timestamp_micros(unix_micros(${hopStartBody(a(0), a(1))}) + ${ivMicros(a(2))}))")
+    // windowID: the reference returns a deterministic id of the window —
+    // the window-end epoch seconds plays that role (unique per window)
+    q = rewriteCalls(q, "windowID")(a =>
+      if (a.length >= 3)
+        s"CAST((unix_micros(${hopStartBody(a(0), a(1))}) + ${ivMicros(a(2))}) / 1000000 AS BIGINT)"
+      else if (a.length == 2)
+        s"CAST((unix_micros(${tumbleStartBody(a(0), a(1))}) + ${ivMicros(a(1))}) / 1000000 AS BIGINT)"
+      else s"CAST(unix_micros(${a(0)}.end) / 1000000 AS BIGINT)")
     val bestEffort = (s: String) =>
       s"coalesce(try_to_timestamp($s, 'yyyy-MM-dd HH:mm:ss'), " +
         s"try_to_timestamp($s, \"yyyy-MM-dd'T'HH:mm:ss\"), " +
@@ -1643,7 +1731,50 @@ object ChSql {
         s"try_to_timestamp($s, 'dd/MM/yyyy'), try_to_timestamp($s, 'yyyy-MM-dd'))"
     q = rewriteCalls(q, "parseDateTimeBestEffortOrNull")(a => bestEffort(a(0)))
     q = rewriteCalls(q, "parseDateTimeBestEffort")(a => bestEffort(a(0)))
+    // round-10 batch 24: the US spellings prefer MM/DD over DD/MM
+    // (reference parseDateTimeBestEffortUS — parseDateTimeBestEffort.cpp
+    // is_us_style); the 64 spellings land on microsecond TIMESTAMP
+    val bestEffortUS = (s: String) =>
+      s"coalesce(try_to_timestamp($s, 'yyyy-MM-dd HH:mm:ss'), " +
+        s"try_to_timestamp($s, \"yyyy-MM-dd'T'HH:mm:ss\"), " +
+        s"try_to_timestamp($s, 'MM/dd/yyyy HH:mm:ss'), " +
+        s"try_to_timestamp($s, 'MM/dd/yyyy'), try_to_timestamp($s, 'yyyy-MM-dd'))"
+    val epochTs = "TIMESTAMP'1970-01-01 00:00:00'"
+    for (n <- Seq("parseDateTimeBestEffortUSOrNull", "parseDateTime64BestEffortUSOrNull"))
+      q = rewriteCalls(q, n)(a => bestEffortUS(a(0)))
+    for (n <- Seq("parseDateTimeBestEffortUSOrZero", "parseDateTime64BestEffortUSOrZero"))
+      q = rewriteCalls(q, n)(a => s"coalesce(${bestEffortUS(a(0))}, $epochTs)")
+    for (n <- Seq("parseDateTimeBestEffortUS", "parseDateTime64BestEffortUS"))
+      q = rewriteCalls(q, n)(a => bestEffortUS(a(0)))
+    // Joda-syntax Or* spellings (Spark's own datetime patterns ARE the
+    // Joda-style tokens — parseDateTimeInJodaSyntax below maps 1:1)
+    for (n <- Seq("parseDateTimeInJodaSyntaxOrNull", "parseDateTime64InJodaSyntaxOrNull"))
+      q = rewriteCalls(q, n)(a =>
+        if (a.length >= 2) s"try_to_timestamp(${a(0)}, ${a(1)})"
+        else s"try_to_timestamp(${a(0)})")
+    for (n <- Seq("parseDateTimeInJodaSyntaxOrZero", "parseDateTime64InJodaSyntaxOrZero"))
+      q = rewriteCalls(q, n)(a =>
+        if (a.length >= 2) s"coalesce(try_to_timestamp(${a(0)}, ${a(1)}), $epochTs)"
+        else s"coalesce(try_to_timestamp(${a(0)}), $epochTs)")
+    q = rewriteCalls(q, "parseDateTime64InJodaSyntax")(a =>
+      if (a.length >= 2) s"to_timestamp(${a(0)}, ${a(1)})" else s"to_timestamp(${a(0)})")
     q = rewriteCalls(q, "toDateTimeOrNull")(a => s"try_cast(${a(0)} AS TIMESTAMP)")
+    // toInterval(n, 'unit') — the generic spelling dispatches on the
+    // quoted unit (reference FunctionsConversion.h toIntervalT family)
+    q = rewriteCalls(q, "toInterval") { a =>
+      val n = a(0)
+      a(1).replaceAll("'", "").trim.toLowerCase match {
+        case "second" => s"make_interval(0, 0, 0, 0, 0, 0, $n)"
+        case "minute" => s"make_interval(0, 0, 0, 0, 0, $n)"
+        case "hour" => s"make_interval(0, 0, 0, 0, $n)"
+        case "day" => s"make_interval(0, 0, 0, $n)"
+        case "week" => s"make_interval(0, 0, $n)"
+        case "month" => s"make_interval(0, $n)"
+        case "quarter" => s"make_interval(0, 3 * ($n))"
+        case "year" => s"make_interval($n)"
+        case other => s"raise_error('toInterval: unsupported unit $other')"
+      }
+    }
     // string
     q = rewriteCalls(q, "appendTrailingCharIfAbsent")(a =>
       s"(CASE WHEN endswith(${a(0)}, ${a(1)}) THEN ${a(0)} ELSE concat(${a(0)}, ${a(1)}) END)")
@@ -2718,6 +2849,30 @@ object ChSql {
     q = rewriteCalls(q, "dictGet")(a => dictLookupSql(a, None))
     q = rewriteCalls(q, "dictGetOrDefault")(a =>
       dictLookupSql(a.dropRight(1), Some(a.last)))
+    // round-10 batch 24: the typed dictGet* spellings (reference
+    // FunctionsExternalDictionaries.h registers one per attribute type)
+    // — the untyped lookup plus a cast; OrDefault adds the caller
+    // fallback; dictGetOrNull is the bare lookup (NULL on miss);
+    // dictHas probes key presence on the registered source table
+    for ((chT, sqlT) <- Seq("String" -> "STRING", "Int8" -> "TINYINT",
+        "Int16" -> "SMALLINT", "Int32" -> "INT", "Int64" -> "BIGINT",
+        "UInt8" -> "BIGINT", "UInt16" -> "BIGINT", "UInt32" -> "BIGINT",
+        "UInt64" -> "BIGINT", "Float32" -> "FLOAT", "Float64" -> "DOUBLE",
+        "Date" -> "DATE", "DateTime" -> "TIMESTAMP", "UUID" -> "STRING",
+        "IPv4" -> "STRING", "IPv6" -> "STRING")) {
+      q = rewriteCalls(q, s"dictGet${chT}OrDefault")(a =>
+        s"coalesce(CAST(${dictLookupSql(a.dropRight(1), None)} AS $sqlT), ${a.last})")
+      q = rewriteCalls(q, s"dictGet$chT")(a =>
+        s"CAST(${dictLookupSql(a, None)} AS $sqlT)")
+    }
+    q = rewriteCalls(q, "dictGetOrNull")(a => dictLookupSql(a, None))
+    q = rewriteCalls(q, "dictHas") { a =>
+      val name = stripName(a(0))
+      val (t, k) = registeredDicts.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"dictHas: no CREATE DICTIONARY named '$name'"))
+      s"((SELECT count(1) FROM $t WHERE $k = ${a(1)}) > 0)"
+    }
     // geometry text renderers (reference src/Functions/wkt.cpp, svg.cpp):
     // polygons here are array<struct<x,y>> (SURVEY §1.2 geo mapping)
     q = rewriteCalls(q, "wkt")(a =>
@@ -2964,7 +3119,18 @@ object ChSql {
         s"WHEN 'GiB' THEN 1073741824 WHEN 'TiB' THEN 1099511627776 " +
         s"WHEN 'KB' THEN 1000 WHEN 'MB' THEN 1000000 WHEN 'GB' THEN 1000000000 " +
         s"WHEN 'TB' THEN 1000000000000 END)"
+    q = rewriteCalls(q, "parseReadableSizeOrNull")(a => readableSize(a(0)))
     q = rewriteCalls(q, "parseReadableSize")(a => readableSize(a(0)))
+    // round-10 batch 24: bfloat16 grid + try-decode spellings
+    q = rewriteCalls(q, "toBFloat16OrNull")(a =>
+      s"to_bfloat16(try_cast(CAST(${a(0)} AS STRING) AS DOUBLE))")
+    q = rewriteCalls(q, "toBFloat16OrZero")(a =>
+      s"to_bfloat16(coalesce(try_cast(CAST(${a(0)} AS STRING) AS DOUBLE), 0.0))")
+    q = rewriteCalls(q, "toBFloat16")(a => s"to_bfloat16(${a(0)})")
+    q = rewriteCalls(q, "tryBase64Decode")(a =>
+      s"CAST(try_to_binary(${a(0)}, 'base64') AS STRING)")
+    q = rewriteCalls(q, "tryBase64URLDecode")(a =>
+      s"CAST(try_to_binary(translate(${a(0)}, '-_', '+/'), 'base64') AS STRING)")
     q = rewriteCalls(q, "parseReadableSizeOrZero")(a =>
       s"coalesce(${readableSize(a(0))}, 0.0)")
 

@@ -1710,6 +1710,65 @@ class ChSqlSpec extends AnyFunSuite {
     assert(moved == 0L)
   }
 
+  test("batch-24: typed dictGet family and dictHas") {
+    ch("""CREATE DICTIONARY segdict (c_custkey UInt64, c_mktsegment String)
+         |PRIMARY KEY c_custkey
+         |SOURCE(CLICKHOUSE(TABLE 'customer')) LAYOUT(HASHED()) LIFETIME(0)""".stripMargin)
+    val r = ch("""SELECT dictGetString('segdict', 'c_mktsegment', 7) AS seg,
+                 |dictGetInt64('segdict', 'c_nationkey', 7) AS nk,
+                 |dictGetFloat64('segdict', 'c_acctbal', 7) AS bal,
+                 |dictGetStringOrDefault('segdict', 'c_mktsegment', -1, 'none') AS seg_d,
+                 |dictGetOrNull('segdict', 'c_mktsegment', -1) AS seg_n,
+                 |dictHas('segdict', 7) AS has7,
+                 |dictHas('segdict', -1) AS has_neg""".stripMargin).collect()(0)
+    assert(r.getString(0).nonEmpty)
+    assert(r.getLong(1) >= 0)
+    assert(r.getString(3) == "none")
+    assert(r.isNullAt(4))
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+  }
+
+  test("batch-24: BestEffortUS, Joda Or*, toInterval, bfloat16, window view") {
+    val r = ch("""SELECT parseDateTimeBestEffortUS('06/15/2020 10:30:00') AS us,
+                 |parseDateTimeBestEffortUSOrNull('junk') AS us_null,
+                 |parseDateTime64BestEffortUSOrZero('junk', 3) AS us_zero,
+                 |parseDateTimeInJodaSyntaxOrNull('2020x06x15', 'yyyy''x''MM''x''dd') AS joda,
+                 |parseDateTimeInJodaSyntaxOrNull('junk', 'yyyy-MM-dd') AS joda_null,
+                 |(toDate('2020-01-01') + toInterval(3, 'month')) AS iv_m,
+                 |toBFloat16(1.3984375) AS bf_exact,
+                 |toBFloat16(0.3) AS bf_rounded,
+                 |toBFloat16OrZero('xyz') AS bf_zero,
+                 |parseReadableSizeOrNull('2 KiB') AS prs,
+                 |parseReadableSizeOrNull('junk') AS prs_null,
+                 |tumbleStart(toDateTime('2020-01-01 10:17:23'), INTERVAL 10 MINUTE) AS ts,
+                 |tumbleEnd(toDateTime('2020-01-01 10:17:23'), INTERVAL 10 MINUTE) AS te,
+                 |tumble(toDateTime('2020-01-01 10:17:23'), INTERVAL 10 MINUTE).start AS tw_s,
+                 |hopStart(toDateTime('2020-01-01 10:17:23'), INTERVAL 5 MINUTE, INTERVAL 10 MINUTE) AS hs,
+                 |hopEnd(toDateTime('2020-01-01 10:17:23'), INTERVAL 5 MINUTE, INTERVAL 10 MINUTE) AS he,
+                 |windowID(toDateTime('2020-01-01 10:17:23'), INTERVAL 10 MINUTE) AS wid,
+                 |tryBase64Decode('aGVsbG8=') AS b64_ok,
+                 |tryBase64Decode('!!!bad') AS b64_bad""".stripMargin).collect()(0)
+    assert(r.getTimestamp(0).toString.startsWith("2020-06-15 10:30:00"))
+    assert(r.isNullAt(1))
+    assert(r.getTimestamp(2).toString.startsWith("1970-01-01 00:00:00"))
+    assert(r.getTimestamp(3).toString.startsWith("2020-06-15 00:00:00"))
+    assert(r.isNullAt(4))
+    assert(r.getDate(5).toString == "2020-04-01")
+    assert(r.getFloat(6) == 1.3984375f) // exactly representable in bf16
+    assert(r.getFloat(7) == 0.30078125f) // 0.3 rounds to the bf16 grid
+    assert(r.getFloat(8) == 0.0f)
+    assert(r.getDouble(9) == 2048.0)
+    assert(r.isNullAt(10))
+    assert(r.getTimestamp(11).toString.startsWith("2020-01-01 10:10:00"))
+    assert(r.getTimestamp(12).toString.startsWith("2020-01-01 10:20:00"))
+    assert(r.getTimestamp(13).toString.startsWith("2020-01-01 10:10:00"))
+    assert(r.getTimestamp(14).toString.startsWith("2020-01-01 10:15:00"))
+    assert(r.getTimestamp(15).toString.startsWith("2020-01-01 10:25:00"))
+    assert(r.getLong(16) == r.getTimestamp(12).getTime / 1000)
+    assert(r.getString(17) == "hello")
+    assert(r.isNullAt(18))
+  }
+
   test("batch-21: addTupleOfIntervals applies intervals left to right") {
     val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
                  |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
