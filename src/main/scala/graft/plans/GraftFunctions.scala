@@ -343,7 +343,35 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.FuzzBitsExpr(es(0), es(1))),
       (FunctionIdentifier("to_bfloat16"), info("to_bfloat16"),
         (es: Seq[Expression]) => graft.functions.ToBFloat16Expr(asDouble(es.head)))
-    )
+    ) ++ s2Family
+
+  /** Round-10 batch 25 (functions/S2Cells.scala): the real S2 id space. */
+  private def s2Family: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("geo_to_s2"), info("geo_to_s2"),
+      (es: Seq[Expression]) => graft.functions.GeoToS2(asDouble(es(0)), asDouble(es(1)))),
+    (FunctionIdentifier("s2_to_geo"), info("s2_to_geo"),
+      (es: Seq[Expression]) => graft.functions.S2ToGeo(asLong(es.head))),
+    (FunctionIdentifier("s2_get_neighbors"), info("s2_get_neighbors"),
+      (es: Seq[Expression]) => graft.functions.S2GetNeighbors(asLong(es.head))),
+    (FunctionIdentifier("s2_cells_intersect"), info("s2_cells_intersect"),
+      (es: Seq[Expression]) => graft.functions.S2CellsIntersect(asLong(es(0)), asLong(es(1)))),
+    (FunctionIdentifier("s2_cap_contains"), info("s2_cap_contains"),
+      (es: Seq[Expression]) => graft.functions.S2Op(
+        Seq(asLong(es(0)), asDouble(es(1)), asLong(es(2))), "capContains")),
+    (FunctionIdentifier("s2_cap_union"), info("s2_cap_union"),
+      (es: Seq[Expression]) => graft.functions.S2Op(
+        Seq(asLong(es(0)), asDouble(es(1)), asLong(es(2)), asDouble(es(3))), "capUnion")),
+    (FunctionIdentifier("s2_rect_contains"), info("s2_rect_contains"),
+      (es: Seq[Expression]) => graft.functions.S2Op(es.map(asLong), "rectContains")),
+    (FunctionIdentifier("s2_rect_add"), info("s2_rect_add"),
+      (es: Seq[Expression]) => graft.functions.S2Op(es.map(asLong), "rectAdd")),
+    (FunctionIdentifier("s2_rect_union"), info("s2_rect_union"),
+      (es: Seq[Expression]) => graft.functions.S2Op(es.map(asLong), "rectUnion")),
+    (FunctionIdentifier("s2_rect_intersection"), info("s2_rect_intersection"),
+      (es: Seq[Expression]) => graft.functions.S2Op(es.map(asLong), "rectIntersection")),
+    (FunctionIdentifier("s2_face_ij"), info("s2_face_ij"),
+      (es: Seq[Expression]) => graft.functions.S2Op(es.map(asDouble), "faceIJ"))
+  )
 
   /** Round-10 batch 22 (functions/Batch22.scala): introspection/context. */
   private def batch22: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -178,6 +178,21 @@ object Functions9 {
           |FROM customer WHERE c_custkey < 400""".stripMargin))
     },
 
+    // Round-10 batch 25: REAL S2 cell ids (reference geoToS2.cpp family
+    // via functions/S2Cells.scala). The DuckDB oracle re-derives the ids
+    // from first principles — unit sphere -> cube face -> quadratic ST ->
+    // a 30-step Hilbert walk as a recursive CTE over the public
+    // kIJtoPos/kPosToOrientation tables — plus the center round trip.
+    "q_geo_s2" -> { (s: SparkSession, dir: String) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT c_custkey,
+          |  geoToS2(-180 + (c_custkey * 7) % 360 + 0.5, -89 + (c_custkey * 13) % 178 + 0.25) AS id,
+          |  CAST(shiftrightunsigned(geoToS2(-180 + (c_custkey * 7) % 360 + 0.5, -89 + (c_custkey * 13) % 178 + 0.25), 61) AS INT) AS face,
+          |  round(tupleElement(s2ToGeo(geoToS2(-180 + (c_custkey * 7) % 360 + 0.5, -89 + (c_custkey * 13) % 178 + 0.25)), 1), 6) AS lon2,
+          |  round(tupleElement(s2ToGeo(geoToS2(-180 + (c_custkey * 7) % 360 + 0.5, -89 + (c_custkey * 13) % 178 + 0.25)), 2), 6) AS lat2
+          |FROM customer WHERE c_custkey < 400""".stripMargin))
+    },
+
     "q_fn_op_forms" -> { (s: SparkSession, dir: String) =>
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT p_partkey,
@@ -337,6 +352,82 @@ object Functions9 {
         |  c_mktsegment AS b64,
         |  cast(NULL AS VARCHAR) AS b64_bad
         |FROM customer WHERE c_custkey < 400
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_geo_s2" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT c_custkey,
+        |    -180 + (c_custkey * 7) % 360 + 0.5 AS lon,
+        |    -89 + (c_custkey * 13) % 178 + 0.25 AS lat
+        |  FROM customer WHERE c_custkey < 400),
+        |xyz AS (
+        |  SELECT c_custkey,
+        |    cos(radians(lat)) * cos(radians(lon)) AS x,
+        |    cos(radians(lat)) * sin(radians(lon)) AS y,
+        |    sin(radians(lat)) AS z
+        |  FROM pts),
+        |fuv AS (
+        |  SELECT *, CASE
+        |      WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+        |      WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+        |      ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+        |  FROM xyz),
+        |uv AS (
+        |  SELECT *,
+        |    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+        |              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        |    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+        |              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+        |  FROM fuv),
+        |ij AS (
+        |  SELECT c_custkey, face,
+        |    CAST(least(greatest(floor((CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END) * 1073741824), 0), 1073741823) AS BIGINT) AS i,
+        |    CAST(least(greatest(floor((CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END) * 1073741824), 0), 1073741823) AS BIGINT) AS j
+        |  FROM uv),
+        |hil AS (
+        |  SELECT c_custkey, face, i, j, 29 AS k, CAST(0 AS HUGEINT) AS pos,
+        |         face % 2 AS orient
+        |  FROM ij
+        |  UNION ALL
+        |  SELECT c_custkey, face, i, j, k - 1, pos * 4 + p,
+        |    CASE p WHEN 0 THEN xor(orient, 1) WHEN 3 THEN xor(orient, 3) ELSE orient END
+        |  FROM (
+        |    SELECT *, CASE orient
+        |        WHEN 0 THEN CASE ijb WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END
+        |        WHEN 1 THEN CASE ijb WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END
+        |        WHEN 2 THEN CASE ijb WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END
+        |        ELSE        CASE ijb WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 0 END END AS p
+        |    FROM (SELECT *, CAST(((i >> k) & 1) * 2 + ((j >> k) & 1) AS INTEGER) AS ijb
+        |          FROM hil WHERE k >= 0) q1) q2),
+        |ids AS (
+        |  SELECT h.c_custkey, h.face, h.i, h.j,
+        |    (CAST(h.face AS HUGEINT) * 1152921504606846976 + h.pos) * 2 + 1 AS uid
+        |  FROM hil h WHERE h.k = -1),
+        |ctr AS (
+        |  SELECT c_custkey, face, uid,
+        |    (2 * i + 1) / 2147483648.0 AS s,
+        |    (2 * j + 1) / 2147483648.0 AS t
+        |  FROM ids),
+        |cuv AS (
+        |  SELECT *,
+        |    CASE WHEN s >= 0.5 THEN (4*s*s - 1)/3 ELSE (1 - 4*(1-s)*(1-s))/3 END AS cu,
+        |    CASE WHEN t >= 0.5 THEN (4*t*t - 1)/3 ELSE (1 - 4*(1-t)*(1-t))/3 END AS cv
+        |  FROM ctr),
+        |cxyz AS (
+        |  SELECT c_custkey, face, uid,
+        |    CASE face WHEN 0 THEN 1 WHEN 1 THEN -cu WHEN 2 THEN -cu
+        |              WHEN 3 THEN -1 WHEN 4 THEN cv ELSE cv END AS x2,
+        |    CASE face WHEN 0 THEN cu WHEN 1 THEN 1 WHEN 2 THEN -cv
+        |              WHEN 3 THEN -cv WHEN 4 THEN -1 ELSE cu END AS y2,
+        |    CASE face WHEN 0 THEN cv WHEN 1 THEN cv WHEN 2 THEN 1
+        |              WHEN 3 THEN -cu WHEN 4 THEN -cu ELSE -1 END AS z2
+        |  FROM cuv)
+        |SELECT c_custkey,
+        |  CAST(uid - CASE WHEN uid >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS id,
+        |  face,
+        |  round(degrees(atan2(y2, x2)), 6) AS lon2,
+        |  round(degrees(atan2(z2, sqrt(x2*x2 + y2*y2))), 6) AS lat2
+        |FROM cxyz
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
 
     "q_fn_op_forms" ->

@@ -719,7 +719,16 @@ object ChSql {
     "tryBase64Decode" -> "t", "tryBase64URLDecode" -> "t",
     "tryBase32Decode" -> "base32_decode",
     "tumble" -> "t", "tumbleStart" -> "t", "tumbleEnd" -> "t",
-    "hop" -> "t", "hopStart" -> "t", "hopEnd" -> "t", "windowID" -> "t"
+    "hop" -> "t", "hopStart" -> "t", "hopEnd" -> "t", "windowID" -> "t",
+
+    // ---- round-10 batch 25: the real S2 cell-id space ----
+    "geoToS2" -> "geo_to_s2", "s2ToGeo" -> "s2_to_geo",
+    "s2GetNeighbors" -> "s2_get_neighbors",
+    "s2CellsIntersect" -> "s2_cells_intersect",
+    "s2CapContains" -> "s2_cap_contains", "s2CapUnion" -> "s2_cap_union",
+    "s2RectContains" -> "s2_rect_contains", "s2RectAdd" -> "s2_rect_add",
+    "s2RectUnion" -> "s2_rect_union",
+    "s2RectIntersection" -> "s2_rect_intersection"
   )
 
   /** Names whose call convention needs restructuring — handled by the

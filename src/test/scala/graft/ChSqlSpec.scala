@@ -1769,6 +1769,70 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.isNullAt(18))
   }
 
+  test("batch-25: S2 cell ids — faces, round trips, neighbors, caps, rects") {
+    import graft.functions.S2Cells
+    // cube-face assignment per the public scheme
+    assert((S2Cells.geoToS2(0, 0) >>> 61) == 0)
+    assert((S2Cells.geoToS2(90, 0) >>> 61) == 1)
+    assert((S2Cells.geoToS2(0, 90) >>> 61) == 2)
+    assert((S2Cells.geoToS2(180, 0) >>> 61) == 3)
+    assert((S2Cells.geoToS2(-90, 0) >>> 61) == 4)
+    assert((S2Cells.geoToS2(0, -90) >>> 61) == 5)
+    // leaf ids end in 1
+    assert((S2Cells.geoToS2(12.34, 56.78) & 1L) == 1L)
+    // round trip at leaf resolution (~1e-7 deg cell size)
+    for ((lon, lat) <- Seq((0.0, 0.0), (12.34, 56.78), (-122.41, 37.77),
+        (179.99, -45.0), (-179.99, 85.0), (44.99, 0.01), (135.0, 35.0))) {
+      val (lon2, lat2) = S2Cells.s2ToGeo(S2Cells.geoToS2(lon, lat))
+      assert(math.abs(lon2 - lon) < 1e-5 && math.abs(lat2 - lat) < 1e-5,
+        s"roundtrip drift at ($lon, $lat) -> ($lon2, $lat2)")
+    }
+    // 4 distinct adjacent edge neighbors, even across a face boundary
+    for (id <- Seq(S2Cells.geoToS2(12.34, 56.78), S2Cells.geoToS2(44.9999999, 0.0))) {
+      val ns = S2Cells.neighbors(id)
+      assert(ns.length == 4 && ns.distinct.length == 4 && !ns.contains(id))
+      for (n <- ns) assert(S2Cells.angleDeg(id, n) < 1e-5)
+    }
+    // containment-range intersection
+    val a = S2Cells.geoToS2(10, 10)
+    assert(S2Cells.cellsIntersect(a, a))
+    assert(!S2Cells.cellsIntersect(a, S2Cells.geoToS2(-100, -40)))
+    // a parent cell (level 29: clear the trailing 1, set the next lsb)
+    val parent = (a & ~3L) | 2L
+    assert(S2Cells.cellsIntersect(a, parent) && S2Cells.cellsIntersect(parent, a))
+    // caps
+    val c = S2Cells.geoToS2(20, 20)
+    val p1 = S2Cells.geoToS2(20.5, 20)
+    assert(S2Cells.capContains(c, 1.0, p1) && !S2Cells.capContains(c, 0.2, p1))
+    val (uc, ur) = S2Cells.capUnion(c, 0.3, p1, 0.3)
+    assert(ur >= 0.3 && S2Cells.capContains(uc, ur + 1e-9, c) &&
+      S2Cells.capContains(uc, ur + 1e-9, p1))
+    // rects
+    val lo = S2Cells.geoToS2(10, 10)
+    val hi = S2Cells.geoToS2(12, 13)
+    assert(S2Cells.rectContains(lo, hi, S2Cells.geoToS2(11, 12)))
+    assert(!S2Cells.rectContains(lo, hi, S2Cells.geoToS2(14, 12)))
+    val (lo2, hi2) = S2Cells.rectAdd(lo, hi, S2Cells.geoToS2(14, 9))
+    assert(S2Cells.rectContains(lo2, hi2, S2Cells.geoToS2(14, 12)))
+    assert(S2Cells.rectIntersection(lo, hi,
+      S2Cells.geoToS2(11, 11), S2Cells.geoToS2(20, 20)).isDefined)
+    assert(S2Cells.rectIntersection(lo, hi,
+      S2Cells.geoToS2(50, 50), S2Cells.geoToS2(60, 60)).isEmpty)
+    // SQL surface
+    val r = ch("""SELECT geoToS2(12.34, 56.78) AS id,
+                 |tupleElement(s2ToGeo(geoToS2(12.34, 56.78)), 1) AS lon,
+                 |size(s2GetNeighbors(geoToS2(12.34, 56.78))) AS nn,
+                 |s2CellsIntersect(geoToS2(1, 2), geoToS2(1, 2)) AS ix,
+                 |s2CapContains(geoToS2(20, 20), 1.0, geoToS2(20.5, 20)) AS cap,
+                 |tupleElement(s2CapUnion(geoToS2(20, 20), 0.3, geoToS2(20.5, 20), 0.3), 2) AS ur,
+                 |s2RectContains(geoToS2(10, 10), geoToS2(12, 13), geoToS2(11, 12)) AS rc""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == S2Cells.geoToS2(12.34, 56.78))
+    assert(math.abs(r.getDouble(1) - 12.34) < 1e-5)
+    assert(r.getInt(2) == 4 && r.getBoolean(3) && r.getBoolean(4))
+    assert(r.getDouble(5) >= 0.3 && r.getBoolean(6))
+  }
+
   test("batch-21: addTupleOfIntervals applies intervals left to right") {
     val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
                  |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
