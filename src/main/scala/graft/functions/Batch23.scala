@@ -445,6 +445,56 @@ case class ToBFloat16Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): ToBFloat16Expr = copy(child = c)
 }
 
+/** JSONAllPaths / JSONAllPathsWithTypes (reference
+  * src/Functions/JSONPaths.cpp over the dynamic JSON column type):
+  * content-derived here — dotted paths to every leaf of the document in
+  * sorted order; types render in the reference's spelling (Int64,
+  * Float64, String, Bool, Null, Array(...)). The Dynamic/SharedData
+  * spellings are column-layout introspection and stay out of scope. */
+case class JsonAllPaths(child: Expression, withTypes: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    if (withTypes) MapType(StringType, StringType, valueContainsNull = false)
+    else ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    import org.json4s._
+    val parsed =
+      try org.json4s.jackson.JsonMethods.parse(v.toString)
+      catch { case _: Exception => return null }
+    val out = scala.collection.mutable.SortedMap.empty[String, String]
+    def typeOf(j: JValue): String = j match {
+      case _: JInt => "Int64"
+      case _: JLong => "Int64"
+      case _: JDouble => "Float64"
+      case _: JDecimal => "Float64"
+      case _: JString => "String"
+      case _: JBool => "Bool"
+      case JNull => "Null"
+      case a: JArray =>
+        val inner = a.arr.headOption.map(typeOf).getOrElse("Nothing")
+        s"Array($inner)"
+      case _ => "String"
+    }
+    def walk(prefix: String, j: JValue): Unit = j match {
+      case JObject(fields) =>
+        for ((k, sub) <- fields)
+          walk(if (prefix.isEmpty) k else s"$prefix.$k", sub)
+      case other if prefix.nonEmpty => out(prefix) = typeOf(other)
+      case _ => ()
+    }
+    walk("", parsed)
+    import org.apache.spark.unsafe.types.UTF8String
+    if (withTypes)
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        out.keys.map(UTF8String.fromString).toArray[Any],
+        out.values.map(UTF8String.fromString).toArray[Any])
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.keys.map(k => UTF8String.fromString(k): Any).toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): JsonAllPaths = copy(child = c)
+}
+
 /** Digest expression over the batch-23 algorithms; returns Binary. */
 case class ChDigest(child: Expression, algo: String)
     extends UnaryExpression with CodegenFallback {

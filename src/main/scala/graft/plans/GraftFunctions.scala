@@ -342,7 +342,11 @@ object GraftFunctions {
       (FunctionIdentifier("fuzz_bits"), info("fuzz_bits"),
         (es: Seq[Expression]) => graft.functions.FuzzBitsExpr(es(0), es(1))),
       (FunctionIdentifier("to_bfloat16"), info("to_bfloat16"),
-        (es: Seq[Expression]) => graft.functions.ToBFloat16Expr(asDouble(es.head)))
+        (es: Seq[Expression]) => graft.functions.ToBFloat16Expr(asDouble(es.head))),
+      (FunctionIdentifier("json_all_paths"), info("json_all_paths"),
+        (es: Seq[Expression]) => graft.functions.JsonAllPaths(es.head, withTypes = false)),
+      (FunctionIdentifier("json_all_paths_with_types"), info("json_all_paths_with_types"),
+        (es: Seq[Expression]) => graft.functions.JsonAllPaths(es.head, withTypes = true))
     ) ++ s2Family
 
   /** Round-10 batch 25 (functions/S2Cells.scala): the real S2 id space. */

@@ -193,6 +193,24 @@ object Functions9 {
           |FROM customer WHERE c_custkey < 400""".stripMargin))
     },
 
+    // Round-10 batch 26: MySQL-compat spellings + content-derived JSON
+    // path introspection (reference: the Case::Insensitive registerAlias
+    // calls across src/Functions/*, JSONPaths.cpp).
+    "q_fn_mysql_compat" -> { (s: SparkSession, dir: String) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey,
+          |  FROM_BASE64(TO_BASE64(p_brand)) AS b64_rt,
+          |  TO_DAYS(toDate(concat('2020-', leftPad(toString(1 + p_partkey % 12), 2, '0'), '-10'))) AS td,
+          |  toString(FROM_DAYS(719528 + p_partkey % 1000)) AS fd,
+          |  REGEXP_MATCHES(p_name, '^[a-z]+ ') AS rm,
+          |  DATE_DIFF('day', toDate('2020-01-01'), toDate(concat('2020-', leftPad(toString(1 + p_partkey % 12), 2, '0'), '-10'))) AS dd,
+          |  SUBSTRING_INDEX(p_name, ' ', 2) AS si,
+          |  arrayStringConcat(JSONAllPaths(concat('{"k', toString(p_partkey % 3), '": 1, "z": {"w": "', p_brand, '"}}')), ',') AS paths,
+          |  element_at(JSONAllPathsWithTypes(concat('{"k', toString(p_partkey % 3), '": 1, "z": {"w": "', p_brand, '"}}')), 'z.w') AS ptype,
+          |  getSubcolumn(tuple(p_size, p_brand), 'p_brand') AS sub
+          |FROM part WHERE p_partkey < 400""".stripMargin))
+    },
+
     "q_fn_op_forms" -> { (s: SparkSession, dir: String) =>
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT p_partkey,
@@ -429,6 +447,22 @@ object Functions9 {
         |  round(degrees(atan2(z2, sqrt(x2*x2 + y2*y2))), 6) AS lat2
         |FROM cxyz
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_fn_mysql_compat" ->
+      """SELECT p_partkey,
+        |  p_brand AS b64_rt,
+        |  cast(datediff('day', DATE '0000-01-01', cast('2020-' || lpad(cast(1 + p_partkey % 12 AS VARCHAR), 2, '0') || '-10' AS DATE)) AS INTEGER) AS td,
+        |  cast(cast(DATE '1970-01-01' + to_days(cast(p_partkey % 1000 AS INT)) AS DATE) AS VARCHAR) AS fd,
+        |  regexp_matches(p_name, '^[a-z]+ ') AS rm,
+        |  cast(datediff('day', DATE '2020-01-01', cast('2020-' || lpad(cast(1 + p_partkey % 12 AS VARCHAR), 2, '0') || '-10' AS DATE)) AS BIGINT) AS dd,
+        |  CASE WHEN length(p_name) - length(replace(p_name, ' ', '')) >= 2
+        |       THEN substring(p_name, 1, length(string_split(p_name, ' ')[1]) + 1 + length(string_split(p_name, ' ')[2]))
+        |       ELSE p_name END AS si,
+        |  'k' || cast(p_partkey % 3 AS VARCHAR) || ',z.w' AS paths,
+        |  'String' AS ptype,
+        |  p_brand AS sub
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
 
     "q_fn_op_forms" ->
       """SELECT p_partkey,

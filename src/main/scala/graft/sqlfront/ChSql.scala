@@ -728,7 +728,19 @@ object ChSql {
     "s2CapContains" -> "s2_cap_contains", "s2CapUnion" -> "s2_cap_union",
     "s2RectContains" -> "s2_rect_contains", "s2RectAdd" -> "s2_rect_add",
     "s2RectUnion" -> "s2_rect_union",
-    "s2RectIntersection" -> "s2_rect_intersection"
+    "s2RectIntersection" -> "s2_rect_intersection",
+
+    // ---- round-10 batch 26: MySQL-compat pack + JSON paths + misc ----
+    "FORMAT_BYTES" -> "t", "FROM_BASE64" -> "t", "TO_BASE64" -> "t",
+    "FROM_DAYS" -> "t", "TO_DAYS" -> "t",
+    "FROM_UNIXTIME" -> "t", "TO_UNIXTIME" -> "t",
+    "REGEXP_MATCHES" -> "t", "DATE_DIFF" -> "t", "TIMESTAMP_DIFF" -> "t",
+    "MILLISECOND" -> "t", "SUBSTRING_INDEX" -> "t",
+    "YYYYMMDDhhmmssToDateTime64" -> "t",
+    "JSONAllPaths" -> "t", "JSONAllPathsWithTypes" -> "t",
+    "getSubcolumn" -> "t",
+    "initialQueryStartTime" -> "t", "initial_query_start_time" -> "t",
+    "file" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1055,7 +1067,21 @@ object ChSql {
     // BEFORE the IP templates fire (rewrites run in source order)
     for ((compat, chName) <- Seq(
         "INET_ATON" -> "IPv4StringToNum", "INET_NTOA" -> "IPv4NumToString",
-        "INET6_ATON" -> "IPv6StringToNum", "INET6_NTOA" -> "IPv6NumToString"))
+        "INET6_ATON" -> "IPv6StringToNum", "INET6_NTOA" -> "IPv6NumToString",
+        // round-10 batch 26: the remaining MySQL-compat (case-insensitive
+        // in the reference) spellings canonicalize to their CH names
+        // before the templates fire
+        "FORMAT_BYTES" -> "formatReadableSize",
+        "FROM_BASE64" -> "base64Decode", "TO_BASE64" -> "base64Encode",
+        "FROM_DAYS" -> "fromDaysSinceYearZero",
+        "TO_DAYS" -> "toDaysSinceYearZero",
+        "FROM_UNIXTIME" -> "fromUnixTimestamp",
+        "TO_UNIXTIME" -> "toUnixTimestamp",
+        "REGEXP_MATCHES" -> "match",
+        "DATE_DIFF" -> "dateDiff", "TIMESTAMP_DIFF" -> "dateDiff",
+        "MILLISECOND" -> "toMillisecond",
+        "SUBSTRING_INDEX" -> "substringIndex",
+        "YYYYMMDDhhmmssToDateTime64" -> "YYYYMMDDhhmmssToDateTime"))
       q = q.replaceAll(s"\\b$compat\\s*\\(", chName + "(")
     // IPv4ToIPv6(num): the IPv4-mapped ::ffff:a.b.c.d address — emit
     // IPv4NumToString(...) so the later template expands it
@@ -2781,6 +2807,24 @@ object ChSql {
     }
     q = rewriteCalls(q, "toColumnTypeName")(a => s"typeof(${a(0)})")
     q = rewriteCalls(q, "dumpColumnStructure")(a => s"typeof(${a(0)})")
+    // round-10 batch 26: JSON path introspection (content-derived),
+    // subcolumn access, query-start time, and file() (reads the file at
+    // rewrite time into a literal — the reference reads server-side
+    // user_files the same way, at query compile)
+    q = rewriteCalls(q, "JSONAllPathsWithTypes")(a =>
+      s"json_all_paths_with_types(${a(0)})")
+    q = rewriteCalls(q, "JSONAllPaths")(a => s"json_all_paths(${a(0)})")
+    q = rewriteCalls(q, "getSubcolumn")(a =>
+      s"(${a(0)}).${a(1).replaceAll("'", "").trim}")
+    for (n <- Seq("initialQueryStartTime", "initial_query_start_time",
+        "queryStartTime"))
+      q = rewriteCalls(q, n)(_ => "current_timestamp()")
+    q = rewriteCalls(q, "file") { a =>
+      val path = a(0).replaceAll("'", "").trim
+      val content = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      "'" + content.replace("'", "''") + "'"
+    }
     q = rewriteCalls(q, "isIPAddressInRange")(a =>
       s"is_ip_in_range(${a(0)}, ${a(1)})")
     q = rewriteCalls(q, "parseTimeDelta")(a => s"parse_time_delta(${a(0)})")

@@ -1833,6 +1833,38 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getDouble(5) >= 0.3 && r.getBoolean(6))
   }
 
+  test("batch-26: MySQL-compat pack, JSON paths, getSubcolumn, file()") {
+    val tmp = java.nio.file.Files.createTempFile("chsql-file", ".txt")
+    java.nio.file.Files.writeString(tmp, "it's file content")
+    val r = ch(s"""SELECT FORMAT_BYTES(1048576) AS fb,
+                 |FROM_BASE64('aGVsbG8=') AS fb64,
+                 |TO_BASE64('hello') AS tb64,
+                 |TO_DAYS(toDate('1970-01-01')) AS td,
+                 |FROM_DAYS(719528) AS fd,
+                 |REGEXP_MATCHES('abc123', '[0-9]+') AS rm,
+                 |DATE_DIFF('day', toDate('2020-01-01'), toDate('2020-02-01')) AS dd,
+                 |MILLISECOND(toDateTime64('2020-01-01 00:00:00.123', 3)) AS ms,
+                 |SUBSTRING_INDEX('a.b.c', '.', 2) AS si,
+                 |arrayStringConcat(JSONAllPaths('{"a": {"b": 1}, "c": "x"}'), ',') AS paths,
+                 |element_at(JSONAllPathsWithTypes('{"a": {"b": 1}, "c": "x"}'), 'a.b') AS ptype,
+                 |getSubcolumn(tuple(7, 8), 'col1') AS sub,
+                 |file('${tmp}') AS fc""".stripMargin).collect()(0)
+    assert(r.getString(0).contains("MiB") || r.getString(0).contains("1.00"))
+    assert(r.getString(1) == "hello")
+    assert(r.getString(2) == "aGVsbG8=")
+    assert(r.getAs[Number](3).longValue == 719528L)
+    assert(r.getDate(4).toString == "1970-01-01")
+    assert(r.getBoolean(5))
+    assert(r.getAs[Number](6).longValue == 31L)
+    assert(r.getAs[Number](7).intValue == 123)
+    assert(r.getString(8) == "a.b")
+    assert(r.getString(9) == "a.b,c")
+    assert(r.getString(10) == "Int64")
+    assert(r.getAs[Number](11).intValue == 7)
+    assert(r.getString(12) == "it's file content")
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("batch-21: addTupleOfIntervals applies intervals left to right") {
     val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
                  |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
