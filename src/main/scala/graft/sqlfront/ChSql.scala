@@ -2008,7 +2008,12 @@ object ChSql {
     q = rewriteCalls(q, "toUInt32")(a => s"pmod(CAST(${a(0)} AS BIGINT), 4294967296)")
     q = rewriteCalls(q, "toUInt64")(a => s"CAST(${a(0)} AS BIGINT)")
     q = rewriteCalls(q, "toFloat32")(a => s"CAST(${a(0)} AS FLOAT)")
-    q = rewriteCalls(q, "toDateOrNull")(a => s"try_cast(${a(0)} AS DATE)")
+    // upgraded in round 10 to the same strict CH grammar + saturation as
+    // the OrZero/OrDefault spellings (was a bare try_cast)
+    q = rewriteCalls(q, "toDateOrNull")(a =>
+      s"(CASE WHEN CAST(${a(0)} AS STRING) RLIKE '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$' THEN " +
+        s"least(greatest(try_cast(CAST(${a(0)} AS STRING) AS DATE), " +
+        s"DATE'1970-01-01'), DATE'2149-06-06') END)")
     // random (CH rand() is UInt32; emit RAND() uppercase so the rand
     // template below never touches expansions from these)
     q = rewriteCalls(q, "randCanonical")(_ => "RAND()")

@@ -1012,6 +1012,104 @@ object FuzzDialect {
     (0 until n).map(_ => g.top())
   }
 
+  /** Round-10 conversion-tail fuzzing: the UUID/IPv4/Bool/Decimal/
+    * wide-integer/accurateCast spellings added in batch 19. Every DuckDB
+    * mirror re-implements the CH contract independently of the Spark
+    * template (regexp_full_match + TRY_CAST + canonicalization), so
+    * drift on either side shows up as a row diff. */
+  final class Conv2Gen(seed: Long) {
+    private val rnd = new Random(seed * 167 + 29)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    private val uuidPool = Seq(
+      "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11",
+      "A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11",
+      "A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A1", // short
+      "a0eebc999c0b4ef8bb6d6bb9bd380a11",    // no dashes
+      "g0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", // bad hex
+      "", "not-a-uuid")
+    private val ipPool = Seq(
+      "1.2.3.4", "192.168.001.1", "255.255.255.255", "256.1.1.1",
+      "1.2.3", "1.2.3.4.5", "01.2.3.4", "x.y.z.w", "", "10.0.0.999")
+    private val boolPool = Seq(
+      "true", "TRUE", "t", "yes", "on", "enable", "1",
+      "false", "f", "no", "off", "disabled", "0",
+      "2", "-3.5", "junk", "")
+    private val decPool = Seq(
+      "12.345", "-12.345", "0.005", "42", "1e2", "abc", "", "12.",
+      "99999999999999999999", "170141183460469231731687303715884105727",
+      "-99999999999999999999999999999999999999", "+7", " 7", "7 ")
+
+    private val uuidRe =
+      "[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}"
+    private val zeroUuid = "00000000-0000-0000-0000-000000000000"
+
+    def top(): Fz = rnd.nextInt(8) match {
+      case 0 =>
+        val v = pick(uuidPool)
+        val duck = s"(CASE WHEN regexp_full_match('$v', '$uuidRe') THEN lower('$v') END)"
+        if (rnd.nextBoolean()) Fz(s"toUUIDOrNull('$v')", duck, TStr)
+        else Fz(s"toUUIDOrZero('$v')", s"coalesce($duck, '$zeroUuid')", TStr)
+      case 1 =>
+        val v = pick(ipPool)
+        val oct = (i: Int) => s"TRY_CAST(string_split('$v', '.')[$i] AS INTEGER)"
+        val duck = s"(CASE WHEN regexp_full_match('$v', '([0-9]{1,3}\\.){3}[0-9]{1,3}') " +
+          s"AND ${oct(1)} <= 255 AND ${oct(2)} <= 255 AND ${oct(3)} <= 255 AND ${oct(4)} <= 255 " +
+          s"THEN (${oct(1)} || '.' || ${oct(2)} || '.' || ${oct(3)} || '.' || ${oct(4)}) END)"
+        if (rnd.nextBoolean()) Fz(s"toIPv4OrNull('$v')", duck, TStr)
+        else Fz(s"toIPv4OrZero('$v')", s"coalesce($duck, '0.0.0.0')", TStr)
+      case 2 =>
+        val v = pick(boolPool)
+        val duck = s"(CASE WHEN lower('$v') IN ('true','t','yes','y','on','enable','enabled','1') THEN true " +
+          s"WHEN lower('$v') IN ('false','f','no','n','off','disable','disabled','0') THEN false " +
+          s"WHEN TRY_CAST('$v' AS DOUBLE) IS NOT NULL THEN TRY_CAST('$v' AS DOUBLE) <> 0.0 END)"
+        Fz(s"toBool('$v')", duck, TBool)
+      case 3 =>
+        val v = pick(decPool)
+        val scale = rnd.nextInt(4)
+        val (p, nm) = pick(Seq((9, "toDecimal32"), (18, "toDecimal64"), (38, "toDecimal128")))
+        // toString both sides: decimal rendering is digit-exact
+        Fz(s"toString(${nm}OrNull('$v', $scale))",
+           s"CAST(TRY_CAST('$v' AS DECIMAL($p, $scale)) AS VARCHAR)", TStr)
+      case 4 =>
+        val v = pick(decPool)
+        val unsigned = rnd.nextBoolean()
+        val nm = if (unsigned) pick(Seq("toUInt128", "toUInt256")) else pick(Seq("toInt128", "toInt256"))
+        val re = if (unsigned) "[+]?[0-9]+" else "[+-]?[0-9]+"
+        Fz(s"toString(${nm}OrNull('$v'))",
+           s"CAST(CASE WHEN regexp_full_match('$v', '$re') " +
+             s"THEN TRY_CAST('$v' AS DECIMAL(38, 0)) END AS VARCHAR)", TStr)
+      case 5 =>
+        val (t, lo, hi) = pick(Seq(("UInt8", 0L, 255L), ("UInt16", 0L, 65535L),
+          ("UInt32", 0L, 4294967295L)))
+        val x = pick(Seq("doc_id", "(doc_id * 9)", "(doc_id - 70)", "(doc_id * 700001)"))
+        Fz(s"accurateCastOrNull($x, '$t')",
+           s"(CASE WHEN $x BETWEEN $lo AND $hi THEN CAST($x AS BIGINT) END)", TInt)
+      case 6 =>
+        val v = pick(Seq("42", "-1", "300", "70000", "abc", ""))
+        val (nm, mx) = pick(Seq(("toUInt8", 255L), ("toUInt16", 65535L), ("toUInt32", 4294967295L)))
+        val duck = s"(CASE WHEN regexp_full_match('$v', '[+]?[0-9]+') " +
+          s"AND TRY_CAST('$v' AS BIGINT) <= $mx THEN TRY_CAST('$v' AS BIGINT) END)"
+        Fz(s"${nm}OrDefault('$v', doc_id)", s"coalesce($duck, doc_id)", TInt)
+      case _ =>
+        // saturating date parse
+        val v = pick(Seq("2020-06-15", "2500-01-01", "1800-01-01", "2020-13-40",
+          "junk", "", "2020-06-15 10:00:00"))
+        val duck = s"(CASE WHEN regexp_full_match('$v', '[0-9]{4}-[0-9]{2}-[0-9]{2}') " +
+          s"THEN least(greatest(TRY_CAST('$v' AS DATE), DATE '1970-01-01'), DATE '2149-06-06') END)"
+        if (rnd.nextBoolean())
+          Fz(s"toString(toDateOrNull('$v'))", s"CAST($duck AS VARCHAR)", TStr)
+        else
+          Fz(s"toString(toDateOrZero('$v'))",
+             s"CAST(coalesce($duck, DATE '1970-01-01') AS VARCHAR)", TStr)
+    }
+  }
+
+  def conv2Exprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new Conv2Gen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
   /** Rounding-family fuzzing — round/roundBankers/floor/ceil/trunc with
     * positive and negative scales (reference FunctionsRound.h: floats
     * scale in BINARY FP — multiply, hardware-round with ties-to-even,
@@ -1463,6 +1561,22 @@ object FuzzDialect {
       manifest.append(s"""{"conv":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
     }
     println(s"[fuzz] ${convs.map(_.size).sum} conv exprs evaluated")
+    // round-10 conversion-tail fuzzing (UUID/IPv4/Bool/Decimal/wide-int/
+    // accurateCast/saturating-date; n/4 exprs, exact-compared)
+    val conv2s = conv2Exprs(seed * 193 + 41, math.max(1, n / 4)).grouped(25).toSeq
+    conv2s.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] conv2 batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/conv2_$i")
+      manifest.append(",")
+      manifest.append(s"""{"conv2":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${conv2s.map(_.size).sum} conv2 exprs evaluated")
     // rounding-family fuzzing (n/4 exprs, exact-compared)
     val rnds = roundExprs(seed * 113 + 59, math.max(1, n / 4)).grouped(25).toSeq
     rnds.zipWithIndex.foreach { case (b, i) =>

@@ -44,6 +44,8 @@ for entry in manifest:
         i, tag, key, d = entry["utf8"], f"utf8 {entry['utf8']}", "doc_id", f"{out}/utf8_{entry['utf8']}"
     elif "ts" in entry:
         i, tag, key, d = entry["ts"], f"ts {entry['ts']}", "event_id", f"{out}/ts_{entry['ts']}"
+    elif "conv2" in entry:
+        i, tag, key, d = entry["conv2"], f"conv2 {entry['conv2']}", "doc_id", f"{out}/conv2_{entry['conv2']}"
     elif "conv" in entry:
         i, tag, key, d = entry["conv"], f"conv {entry['conv']}", "doc_id", f"{out}/conv_{entry['conv']}"
     elif "rnd" in entry:
