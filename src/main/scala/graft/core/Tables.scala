@@ -68,6 +68,11 @@ object Tables {
     "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
       "label" -> "int"))
 
+  /** For hasColumnInTable (round 10): declared-schema lookup. None when
+    * the table itself is unknown. */
+  def hasColumn(table: String, col: String): Option[Boolean] =
+    expected.get(table).map(_.exists(_._1 == col))
+
   private def guardSchema(name: String, df: DataFrame): DataFrame = {
     expected.get(name).foreach { cols =>
       val actual = df.schema.map(f => f.name -> f.dataType.simpleString).toMap

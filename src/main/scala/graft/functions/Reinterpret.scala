@@ -71,6 +71,11 @@ case class ChReinterpret(child: Expression, target: String)
     case "date" => DateType
     case "datetime" => TimestampType
     case "string" => StringType
+    // round-10 tail: 128/256-bit targets land on DECIMAL(38,0) (the
+    // engine's declared wide-integer carrier); uuid renders canonical
+    case "u128" | "i128" | "u256" | "i256" => DecimalType(38, 0)
+    case "uuid" => StringType
+    case "fixedstring" => StringType
   }
   override def nullSafeEval(input: Any): Any = {
     val b = Reinterpret.leBytes(input)
@@ -92,6 +97,32 @@ case class ChReinterpret(child: Expression, target: String)
       case "datetime" => // UInt32 epoch seconds -> Spark TimestampType (us Long)
         Reinterpret.toIntBits(b, 4, signed = false) * 1000000L
       case "string" => Reinterpret.toStringTrim(b)
+      case "u128" | "i128" | "u256" | "i256" =>
+        val width = if (target.endsWith("128")) 16 else 32
+        val signed = target.startsWith("i")
+        val le = java.util.Arrays.copyOf(b, width)
+        val be = le.reverse
+        val big =
+          if (signed) new java.math.BigInteger(be)
+          else new java.math.BigInteger(1, be)
+        // DECIMAL(38,0) carries up to 10^38-1; wider values are outside
+        // the engine's declared wide-integer domain — fail loudly
+        if (big.abs.compareTo(new java.math.BigInteger("9" * 38)) > 0)
+          throw new IllegalArgumentException(
+            s"reinterpretAs${target.toUpperCase}: value exceeds DECIMAL(38,0)")
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(big), 38, 0)
+      case "uuid" =>
+        // first 8 LE bytes -> high half, next 8 LE -> low half
+        val le = java.util.Arrays.copyOf(b, 16)
+        def half(off: Int): Long = {
+          var v = 0L
+          var i = 7
+          while (i >= 0) { v = (v << 8) | (le(off + i) & 0xFFL); i -= 1 }
+          v
+        }
+        UTF8String.fromString(new java.util.UUID(half(0), half(8)).toString)
+      case "fixedstring" => // raw bytes, NUL padding kept
+        UTF8String.fromBytes(b)
     }
   }
   override protected def withNewChildInternal(newChild: Expression): ChReinterpret =

@@ -346,7 +346,15 @@ object GraftFunctions {
       (FunctionIdentifier("json_all_paths"), info("json_all_paths"),
         (es: Seq[Expression]) => graft.functions.JsonAllPaths(es.head, withTypes = false)),
       (FunctionIdentifier("json_all_paths_with_types"), info("json_all_paths_with_types"),
-        (es: Seq[Expression]) => graft.functions.JsonAllPaths(es.head, withTypes = true))
+        (es: Seq[Expression]) => graft.functions.JsonAllPaths(es.head, withTypes = true)),
+      (FunctionIdentifier("ch_lgamma"), info("ch_lgamma"),
+        (es: Seq[Expression]) => graft.functions.GammaExpr(asDouble(es.head), logForm = true)),
+      (FunctionIdentifier("ch_tgamma"), info("ch_tgamma"),
+        (es: Seq[Expression]) => graft.functions.GammaExpr(asDouble(es.head), logForm = false)),
+      (FunctionIdentifier("convert_charset"), info("convert_charset"),
+        (es: Seq[Expression]) => graft.functions.ConvertCharsetExpr(es)),
+      (FunctionIdentifier("ipv6_cidr_to_range"), info("ipv6_cidr_to_range"),
+        (es: Seq[Expression]) => graft.functions.Ipv6CidrToRangeExpr(es(0), es(1)))
     ) ++ s2Family
 
   /** Round-10 batch 25 (functions/S2Cells.scala): the real S2 id space. */
@@ -487,7 +495,8 @@ object GraftFunctions {
     * target; the dialect maps reinterpretAsUInt32 -> ch_reinterpret_u32. */
   private def reinterprets: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq("u8", "u16", "u32", "u64", "i8", "i16", "i32", "i64",
-        "f32", "f64", "date", "datetime", "string").map { t =>
+        "f32", "f64", "date", "datetime", "string",
+        "u128", "i128", "u256", "i256", "uuid", "fixedstring").map { t =>
       val name = s"ch_reinterpret_$t"
       (FunctionIdentifier(name), info(name),
         (es: Seq[Expression]) => graft.functions.ChReinterpret(es.head, t): Expression)

@@ -211,6 +211,29 @@ object Functions9 {
           |FROM part WHERE p_partkey < 400""".stripMargin))
     },
 
+    // Round-10 batch 27: gamma functions (DuckDB's libm gamma/lgamma is
+    // the independent oracle for the Lanczos kernels), charset round
+    // trip, URL path tail, functional IN forms, wide reinterpret round
+    // trip, partitionId.
+    "q_fn_gamma_misc" -> { (s: SparkSession, dir: String) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey,
+          |  tgamma(1.0 + p_size / 10.0) AS tg,
+          |  lgamma(5.0 + p_size) AS lg,
+          |  convertCharset(convertCharset(p_name, 'UTF-8', 'ISO-8859-1'), 'ISO-8859-1', 'UTF-8') AS conv_rt,
+          |  path(concat('https://ex.com/', p_type, '/x?q=', toString(p_partkey))) AS p,
+          |  pathFull(concat('https://ex.com/', p_type, '/x?q=', toString(p_partkey))) AS pf,
+          |  basename(concat('/var/data/', p_brand, '/file.bin')) AS bn,
+          |  IPv4NumToStringClassC(3232235520 + p_partkey) AS classc,
+          |  in(p_size, (7, 14, 21)) AS fin,
+          |  notIn(p_size % 5, (0, 1)) AS fnotin,
+          |  nullIn(nullIf(p_size, 7), (NULL, 14)) AS fnullin,
+          |  toString(reinterpretAsUInt128(reinterpretAsString(p_partkey * 131))) AS r128,
+          |  partitionId(p_brand, p_size % 4) AS pid,
+          |  hasColumnInTable('default', 'part', 'p_brand') AS hc
+          |FROM part WHERE p_partkey < 400""".stripMargin))
+    },
+
     "q_fn_op_forms" -> { (s: SparkSession, dir: String) =>
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT p_partkey,
@@ -461,6 +484,24 @@ object Functions9 {
         |  'k' || cast(p_partkey % 3 AS VARCHAR) || ',z.w' AS paths,
         |  'String' AS ptype,
         |  p_brand AS sub
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    "q_fn_gamma_misc" ->
+      """SELECT p_partkey,
+        |  gamma(1.0 + p_size / 10.0) AS tg,
+        |  lgamma(5.0 + p_size) AS lg,
+        |  p_name AS conv_rt,
+        |  '/' || p_type || '/x' AS p,
+        |  '/' || p_type || '/x?q=' || cast(p_partkey AS VARCHAR) AS pf,
+        |  'file.bin' AS bn,
+        |  '192.168.' || cast((3232235520 + p_partkey) // 256 % 256 AS VARCHAR) || '.xxx' AS classc,
+        |  p_size IN (7, 14, 21) AS fin,
+        |  p_size % 5 NOT IN (0, 1) AS fnotin,
+        |  (nullif(p_size, 7) IS NOT DISTINCT FROM NULL OR nullif(p_size, 7) IS NOT DISTINCT FROM 14) AS fnullin,
+        |  cast(p_partkey * 131 AS VARCHAR) AS r128,
+        |  p_brand || '-' || cast(p_size % 4 AS VARCHAR) AS pid,
+        |  true AS hc
         |FROM part WHERE p_partkey < 400
         |ORDER BY p_partkey NULLS FIRST""".stripMargin,
 

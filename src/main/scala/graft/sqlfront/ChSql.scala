@@ -740,7 +740,31 @@ object ChSql {
     "JSONAllPaths" -> "t", "JSONAllPathsWithTypes" -> "t",
     "getSubcolumn" -> "t",
     "initialQueryStartTime" -> "t", "initial_query_start_time" -> "t",
-    "file" -> "t"
+    "file" -> "t",
+
+    // ---- round-10 batch 27: gamma/charset/IPv6-CIDR/IN-forms tail ----
+    "lgamma" -> "ch_lgamma", "tgamma" -> "ch_tgamma",
+    "convertCharset" -> "convert_charset",
+    "IPv6CIDRToRange" -> "t", "cutIPv6" -> "t",
+    "IPv4NumToStringClassC" -> "t",
+    "path" -> "t", "pathFull" -> "t", "basename" -> "t",
+    "in" -> "t", "notIn" -> "t", "nullIn" -> "t", "notNullIn" -> "t",
+    "globalIn" -> "t", "globalNotIn" -> "t", "globalNullIn" -> "t",
+    "globalNotNullIn" -> "t",
+    "inIgnoreSet" -> "t", "notInIgnoreSet" -> "t", "nullInIgnoreSet" -> "t",
+    "notNullInIgnoreSet" -> "t", "globalInIgnoreSet" -> "t",
+    "globalNotInIgnoreSet" -> "t", "globalNullInIgnoreSet" -> "t",
+    "globalNotNullInIgnoreSet" -> "t",
+    "partitionId" -> "t", "partitionID" -> "t",
+    "hasColumnInTable" -> "t",
+    "aes_encrypt_mysql" -> "t", "aes_decrypt_mysql" -> "t",
+    "extractKeyValuePairsWithEscaping" -> "t",
+    "reinterpretAsUInt128" -> "ch_reinterpret_u128",
+    "reinterpretAsInt128" -> "ch_reinterpret_i128",
+    "reinterpretAsUInt256" -> "ch_reinterpret_u256",
+    "reinterpretAsInt256" -> "ch_reinterpret_i256",
+    "reinterpretAsUUID" -> "ch_reinterpret_uuid",
+    "reinterpretAsFixedString" -> "ch_reinterpret_fixedstring"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1081,7 +1105,9 @@ object ChSql {
         "DATE_DIFF" -> "dateDiff", "TIMESTAMP_DIFF" -> "dateDiff",
         "MILLISECOND" -> "toMillisecond",
         "SUBSTRING_INDEX" -> "substringIndex",
-        "YYYYMMDDhhmmssToDateTime64" -> "YYYYMMDDhhmmssToDateTime"))
+        "YYYYMMDDhhmmssToDateTime64" -> "YYYYMMDDhhmmssToDateTime",
+        "aes_encrypt_mysql" -> "encrypt", "aes_decrypt_mysql" -> "decrypt",
+        "extractKeyValuePairsWithEscaping" -> "extractKeyValuePairs"))
       q = q.replaceAll(s"\\b$compat\\s*\\(", chName + "(")
     // IPv4ToIPv6(num): the IPv4-mapped ::ffff:a.b.c.d address — emit
     // IPv4NumToString(...) so the later template expands it
@@ -2829,6 +2855,84 @@ object ChSql {
       val content = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
       "'" + content.replace("'", "''") + "'"
+    }
+    // ---- round-10 batch 27: URL path tail, IPv6 CIDR, functional IN ----
+    q = rewriteCalls(q, "pathFull")(a =>
+      s"concat(parse_url(${a(0)}, 'PATH'), " +
+        s"coalesce(concat('?', parse_url(${a(0)}, 'QUERY')), ''))")
+    q = rewriteCalls(q, "path")(a => s"parse_url(${a(0)}, 'PATH')")
+    q = rewriteCalls(q, "basename")(a =>
+      s"element_at(split(${a(0)}, '[/\\\\\\\\]'), -1)")
+    // IPv4NumToStringClassC: last octet rendered as 'xxx'
+    q = rewriteCalls(q, "IPv4NumToStringClassC")(a =>
+      s"concat_ws('.', CAST((shiftright(${a(0)}, 24)) & 255 AS STRING), " +
+        s"CAST((shiftright(${a(0)}, 16)) & 255 AS STRING), " +
+        s"CAST((shiftright(${a(0)}, 8)) & 255 AS STRING), 'xxx')")
+    // cutIPv6(addr, bytesToCutForIPv6, bytesToCutForIPv4): zero the
+    // trailing bytes (v4-mapped addresses — canonical form contains a
+    // dot — use the v4 cut count)
+    q = rewriteCalls(q, "cutIPv6") { a =>
+      def cut(n: String) =
+        s"ipv6_num_to_string(concat(CAST(substring(ipv6_string_to_num(${a(0)}), " +
+          s"1, 16 - ($n)) AS BINARY), unhex(repeat('00', $n))))"
+      s"(CASE WHEN contains(ipv6_num_to_string(ipv6_string_to_num(${a(0)})), '.') " +
+        s"THEN ${cut(a(2))} ELSE ${cut(a(1))} END)"
+    }
+    q = rewriteCalls(q, "IPv6CIDRToRange")(a =>
+      s"ipv6_cidr_to_range(${a(0)}, ${a(1)})")
+    // functional IN family (FunctionsComparison/inFunctions): the
+    // 2-arg form with a tuple right side is the CH function; when the
+    // right side is not a tuple the match is the infix keyword written
+    // without a space — re-emit it untouched. IgnoreSet spellings are
+    // the analyzer's internal set-reuse variants — same semantics.
+    def tupleItems(arg: String): Option[Seq[String]] = {
+      val t = arg.trim
+      if (t.startsWith("(") && t.endsWith(")"))
+        Some(splitArgs(t.stripPrefix("(").stripSuffix(")")))
+      else if (t.startsWith("tuple(") && t.endsWith(")"))
+        Some(splitArgs(t.stripPrefix("tuple(").stripSuffix(")")))
+      else None
+    }
+    for (n <- Seq("globalInIgnoreSet", "globalIn", "inIgnoreSet", "in"))
+      q = rewriteCalls(q, n)(a =>
+        if (a.length == 2 && tupleItems(a(1)).isDefined)
+          s"(${a(0)} IN (${tupleItems(a(1)).get.mkString(", ")}))"
+        else s"$n (${a.mkString(", ")})")
+    for (n <- Seq("globalNotInIgnoreSet", "globalNotIn", "notInIgnoreSet", "notIn"))
+      q = rewriteCalls(q, n)(a =>
+        if (a.length == 2 && tupleItems(a(1)).isDefined)
+          s"(${a(0)} NOT IN (${tupleItems(a(1)).get.mkString(", ")}))"
+        else s"$n (${a.mkString(", ")})")
+    // nullIn: transform_null_in semantics — NULL compares equal to NULL
+    for (n <- Seq("globalNullInIgnoreSet", "globalNullIn", "nullInIgnoreSet", "nullIn"))
+      q = rewriteCalls(q, n)(a =>
+        tupleItems(a(1)) match {
+          case Some(items) =>
+            "(" + items.map(e => s"${a(0)} <=> $e").mkString(" OR ") + ")"
+          case None => s"$n (${a.mkString(", ")})"
+        })
+    for (n <- Seq("globalNotNullInIgnoreSet", "globalNotNullIn",
+        "notNullInIgnoreSet", "notNullIn"))
+      q = rewriteCalls(q, n)(a =>
+        tupleItems(a(1)) match {
+          case Some(items) =>
+            "(NOT (" + items.map(e => s"${a(0)} <=> $e").mkString(" OR ") + "))"
+          case None => s"$n (${a.mkString(", ")})"
+        })
+    // partitionId: the reference formats the partition-key values into
+    // the part-name id — rendered as the '-'-joined value list here
+    for (n <- Seq("partitionID", "partitionId"))
+      q = rewriteCalls(q, n)(a =>
+        s"concat_ws('-', ${a.map(x => s"CAST($x AS STRING)").mkString(", ")})")
+    // hasColumnInTable([host,] db, table, col): resolved at rewrite time
+    // against the declared fixture schemas
+    q = rewriteCalls(q, "hasColumnInTable") { a =>
+      val table = a(a.length - 2).replaceAll("'", "").trim
+      val col = a.last.replaceAll("'", "").trim
+      graft.core.Tables.hasColumn(table, col) match {
+        case Some(b) => b.toString
+        case None => s"raise_error('hasColumnInTable: unknown table $table')"
+      }
     }
     q = rewriteCalls(q, "isIPAddressInRange")(a =>
       s"is_ip_in_range(${a(0)}, ${a(1)})")

@@ -1865,6 +1865,51 @@ class ChSqlSpec extends AnyFunSuite {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("batch-27: gamma, charset, IPv6 CIDR, URL path tail, functional IN") {
+    val r = ch("""SELECT tgamma(5.0) AS g5,
+                 |tgamma(0.5) AS ghalf,
+                 |lgamma(100.0) AS lg100,
+                 |convertCharset('café', 'UTF-8', 'ISO-8859-1') AS conv,
+                 |convertCharset(convertCharset('café', 'UTF-8', 'ISO-8859-1'), 'ISO-8859-1', 'UTF-8') AS conv_rt,
+                 |tupleElement(IPv6CIDRToRange('2001:db8::1', 32), 1) AS cidr_lo,
+                 |tupleElement(IPv6CIDRToRange('2001:db8::1', 32), 2) AS cidr_hi,
+                 |path('https://ex.com/a/b?q=1') AS p,
+                 |pathFull('https://ex.com/a/b?q=1') AS pf,
+                 |basename('/usr/local/bin/tool') AS bn,
+                 |IPv4NumToStringClassC(3232235777) AS classc,
+                 |cutIPv6('2001:db8:1:2:3:4:5:6', 8, 2) AS cut6,
+                 |in(5, (1, 3, 5)) AS fin,
+                 |notIn(5, (1, 5)) AS fnotin,
+                 |nullIn(NULL, (1, NULL)) AS fnullin,
+                 |reinterpretAsUInt128(reinterpretAsString(42)) AS r128,
+                 |reinterpretAsUUID(rightPad('abcdefgh12345678', 16, 'x')) AS ruuid,
+                 |hasColumnInTable('default', 'part', 'p_brand') AS hc_yes,
+                 |hasColumnInTable('default', 'part', 'zz') AS hc_no,
+                 |partitionId(toDate('2020-01-15'), 7) AS pid
+                 |""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 24.0) < 1e-10) // Gamma(5) = 4!
+    assert(math.abs(r.getDouble(1) - math.sqrt(math.Pi)) < 1e-12)
+    // lgamma(100) = log(99!) = 359.1342053695754
+    assert(math.abs(r.getDouble(2) - 359.1342053695754) < 1e-9)
+    assert(r.getString(4) == "café")
+    assert(r.getString(5) == "2001:db8::")
+    assert(r.getString(6) == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    assert(r.getString(7) == "/a/b")
+    assert(r.getString(8) == "/a/b?q=1")
+    assert(r.getString(9) == "tool")
+    assert(r.getString(10) == "192.168.1.xxx")
+    assert(r.getString(11) == "2001:db8:1:2::") // last 8 bytes = 4 groups zeroed
+    assert(r.getBoolean(12) && !r.getBoolean(13) && r.getBoolean(14))
+    assert(r.getDecimal(15).longValue == 42L)
+    assert(r.getString(16).matches("[0-9a-f-]{36}"))
+    assert(r.getBoolean(17) && !r.getBoolean(18))
+    assert(r.getString(19) == "2020-01-15-7")
+    // the infix keyword written without a space keeps its meaning
+    val n = ch("SELECT count() AS n FROM orders WHERE o_orderkey in(1, 2, 3)")
+      .collect()(0).getLong(0)
+    assert(n > 0 && n <= 3)
+  }
+
   test("batch-21: addTupleOfIntervals applies intervals left to right") {
     val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
                  |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
