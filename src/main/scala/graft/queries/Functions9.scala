@@ -234,6 +234,24 @@ object Functions9 {
           |FROM part WHERE p_partkey < 400""".stripMargin))
     },
 
+    // Round-10 batch 28: hierarchical dictionaries (reference
+    // FunctionsExternalDictionaries.h dictGetHierarchy/dictIsIn/
+    // dictGetChildren over a HIERARCHICAL attribute). The nation table
+    // plays the hierarchy (n_regionkey as parent id); the oracle
+    // replicates the same depth-8 unrolled lookup chain in DuckDB.
+    "q_fn_dict_hier" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """CREATE DICTIONARY q28dict (n_nationkey UInt64, n_regionkey UInt64 HIERARCHICAL)
+          |PRIMARY KEY n_nationkey
+          |SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(HASHED()) LIFETIME(0)""".stripMargin)
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT c_custkey,
+          |  arrayStringConcat(CAST(dictGetHierarchy('q28dict', c_custkey % 25) AS ARRAY<STRING>), ',') AS h,
+          |  dictIsIn('q28dict', c_custkey % 25, 1) AS isin,
+          |  arrayStringConcat(CAST(dictGetChildren('q28dict', c_custkey % 5) AS ARRAY<STRING>), ',') AS kids
+          |FROM customer WHERE c_custkey < 200""".stripMargin))
+    },
+
     "q_fn_op_forms" -> { (s: SparkSession, dir: String) =>
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT p_partkey,
@@ -504,6 +522,16 @@ object Functions9 {
         |  true AS hc
         |FROM part WHERE p_partkey < 400
         |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    "q_fn_dict_hier" ->
+      """SELECT c_custkey,
+        |  array_to_string(list_transform(list_filter([(c_custkey % 25), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25))))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)))))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25))))))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)))))))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)))))))))], __x -> __x IS NOT NULL), __x -> cast(__x AS VARCHAR)), ',') AS h,
+        |  list_contains(list_filter([(c_custkey % 25), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25))))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)))))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25))))))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)))))))), (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (SELECT nullif(n_regionkey, 0) FROM nation WHERE n_nationkey = (c_custkey % 25)))))))))], __x -> __x IS NOT NULL), 1) AS isin,
+        |  array_to_string(list_transform(
+        |    (SELECT list_sort(list(n_nationkey)) FROM nation WHERE n_regionkey = c_custkey % 5),
+        |    __x -> cast(__x AS VARCHAR)), ',') AS kids
+        |FROM customer WHERE c_custkey < 200
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
 
     "q_fn_op_forms" ->
       """SELECT p_partkey,

@@ -764,7 +764,11 @@ object ChSql {
     "reinterpretAsUInt256" -> "ch_reinterpret_u256",
     "reinterpretAsInt256" -> "ch_reinterpret_i256",
     "reinterpretAsUUID" -> "ch_reinterpret_uuid",
-    "reinterpretAsFixedString" -> "ch_reinterpret_fixedstring"
+    "reinterpretAsFixedString" -> "ch_reinterpret_fixedstring",
+
+    // ---- round-10 batch 28: hierarchical dictionaries ----
+    "dictGetHierarchy" -> "t", "dictIsIn" -> "t",
+    "dictGetChildren" -> "t", "dictGetDescendants" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1012,6 +1016,11 @@ object ChSql {
     * declares the key in the dictionary DDL the same way). */
   private val registeredDicts =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** dictionary name -> parent column, for attributes declared
+    * HIERARCHICAL in the CREATE DICTIONARY DDL (round 10). */
+  private val dictParents =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Named custom TLD lists for the *Custom URL-subdomain functions
     * (reference: the top_level_domains_lists server configuration that
@@ -3028,6 +3037,60 @@ object ChSql {
         s"CAST(${dictLookupSql(a, None)} AS $sqlT)")
     }
     q = rewriteCalls(q, "dictGetOrNull")(a => dictLookupSql(a, None))
+    // round-10 batch 28: HIERARCHICAL dictionaries (reference
+    // FunctionsExternalDictionaries.h dictGetHierarchy/dictIsIn/
+    // dictGetChildren/dictGetDescendants over the parent column declared
+    // HIERARCHICAL in the DDL). The parent chain unrolls to a fixed
+    // depth (8 up, 4 down) — each level is a scalar subquery Catalyst
+    // turns into a broadcastable join; parent 0 terminates (the
+    // reference's null_value convention for roots).
+    def hierDict(arg: String): (String, String, String) = {
+      val name = stripName(arg)
+      val (t, k) = registeredDicts.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"hierarchical dictGet: no CREATE DICTIONARY named '$name'"))
+      val p = dictParents.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"dictionary '$name' has no HIERARCHICAL attribute"))
+      (t, k, p)
+    }
+    def hierChain(arg0: String, key: String): Seq[String] = {
+      val (t, k, p) = hierDict(arg0)
+      // each level is ONE flat self-join subquery: Catalyst only resolves
+      // outer references one subquery level deep, so the chain must not
+      // nest the key inside deeper and deeper subqueries
+      def level(n: Int): String = {
+        val joins = (2 to n).map(i =>
+          s"JOIN $t __h$i ON __h$i.$k = nullif(__h${i - 1}.$p, 0)").mkString(" ")
+        s"(SELECT nullif(__h$n.$p, 0) FROM $t __h1 $joins WHERE __h1.$k = ($key))"
+      }
+      s"($key)" +: (1 to 8).map(level)
+    }
+    // array_compact, not filter(): Spark rejects subqueries inside
+    // higher-order functions
+    q = rewriteCalls(q, "dictGetHierarchy")(a =>
+      s"array_compact(array(${hierChain(a(0), a(1)).mkString(", ")}))")
+    q = rewriteCalls(q, "dictIsIn")(a =>
+      s"array_contains(array_compact(array(${hierChain(a(0), a(1)).mkString(", ")})), ${a(2)})")
+    q = rewriteCalls(q, "dictGetChildren") { a =>
+      val (t, k, p) = hierDict(a(0))
+      s"(SELECT sort_array(collect_list($k)) FROM $t WHERE $p = ${a(1)})"
+    }
+    q = rewriteCalls(q, "dictGetDescendants") { a =>
+      val (t, k, p) = hierDict(a(0))
+      val maxLevels =
+        if (a.length >= 3 && a(2).trim.matches("\\d+") && a(2).trim.toInt > 0)
+          math.min(a(2).trim.toInt, 4)
+        else 4
+      var prev = s"(SELECT sort_array(collect_list($k)) FROM $t WHERE $p = ${a(1)})"
+      val levels = scala.collection.mutable.Buffer(prev)
+      for (_ <- 2 to maxLevels) {
+        prev = s"(SELECT sort_array(collect_list($k)) FROM $t " +
+          s"WHERE array_contains($prev, $p))"
+        levels += prev
+      }
+      s"flatten(array(${levels.mkString(", ")}))"
+    }
     q = rewriteCalls(q, "dictHas") { a =>
       val name = stripName(a(0))
       val (t, k) = registeredDicts.getOrElse(name,
@@ -3747,6 +3810,9 @@ object ChSql {
     val ddl: Option[DataFrame] = chQuery match {
       case createDictRe(name, key, table) =>
         registeredDicts.put(name, (table, key))
+        // an attribute declared HIERARCHICAL names the parent column
+        "(?is)(\\w+)\\s+\\w+\\s+HIERARCHICAL".r.findFirstMatchIn(chQuery)
+          .foreach(m => dictParents.put(name, m.group(1)))
         Some(spark.table(table).limit(0))
       case dropDictRe(name) if registeredDicts.contains(name) =>
         registeredDicts.remove(name)

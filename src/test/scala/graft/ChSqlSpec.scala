@@ -1910,6 +1910,31 @@ class ChSqlSpec extends AnyFunSuite {
     assert(n > 0 && n <= 3)
   }
 
+  test("batch-28: hierarchical dictionaries") {
+    import spark.implicits._
+    Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)).toDF("id", "parent")
+      .createOrReplaceTempView("orgtbl")
+    ch("""CREATE DICTIONARY hdict (id UInt64, parent UInt64 HIERARCHICAL)
+         |PRIMARY KEY id
+         |SOURCE(CLICKHOUSE(TABLE 'orgtbl')) LAYOUT(HASHED()) LIFETIME(0)""".stripMargin)
+    val r = ch("""SELECT dictGetHierarchy('hdict', 4) AS h4,
+                 |dictGetHierarchy('hdict', 1) AS h1,
+                 |dictIsIn('hdict', 4, 1) AS in41,
+                 |dictIsIn('hdict', 4, 3) AS in43,
+                 |dictGetChildren('hdict', 1) AS c1,
+                 |dictGetChildren('hdict', 4) AS c4,
+                 |dictGetDescendants('hdict', 1) AS d1,
+                 |dictGetDescendants('hdict', 1, 1) AS d1_lvl1""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) == Seq(4L, 2L, 1L))
+    assert(r.getSeq[Long](1) == Seq(1L))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getSeq[Long](4) == Seq(2L, 3L))
+    assert(r.getSeq[Long](5) == Seq())
+    assert(r.getSeq[Long](6).sorted == Seq(2L, 3L, 4L))
+    assert(r.getSeq[Long](7) == Seq(2L, 3L))
+    ch("DROP DICTIONARY hdict")
+  }
+
   test("batch-21: addTupleOfIntervals applies intervals left to right") {
     val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
                  |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
