@@ -39,6 +39,23 @@ case class NormalizeUtf8(child: Expression, form: String) extends UnaryExpressio
     copy(child = c)
 }
 
+/** detectLanguageMixed: Map(language -> share) over 16-word chunks. */
+case class DetectLanguageMixed(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType,
+      org.apache.spark.sql.types.FloatType, valueContainsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val (langs, shares) =
+      NlpKernels.detectLanguageMixedEval(input.asInstanceOf[UTF8String])
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      langs.asInstanceOf[Array[Any]],
+      shares.map(x => x: Any))
+  }
+  override protected def withNewChildInternal(c: Expression): DetectLanguageMixed =
+    copy(child = c)
+}
+
 object NlpKernels {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -78,6 +95,25 @@ object NlpKernels {
   def normalizeUtf8Eval(s: UTF8String, form: String): UTF8String =
     UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.valueOf(form)))
+
+  /** detectLanguageMixed (reference FunctionsLanguageDetection: language
+    * shares over the document) — the text is scored in 16-word chunks by
+    * the same classifier, shares = chunk fractions. */
+  def detectLanguageMixedEval(s: UTF8String): (Array[UTF8String], Array[Float]) = {
+    val words = s.toString.split("\\s+").filter(_.nonEmpty)
+    val chunks =
+      if (words.isEmpty) Array(s.toString)
+      else words.grouped(16).map(_.mkString(" ")).toArray
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    for (c <- chunks) {
+      val lang = detectLanguageEval(UTF8String.fromString(c)).toString
+      counts(lang) = counts.getOrElse(lang, 0) + 1
+    }
+    val total = chunks.length.toFloat
+    val sorted = counts.toSeq.sortBy { case (l, n) => (-n, l) }
+    (sorted.map(kv => UTF8String.fromString(kv._1)).toArray,
+      sorted.map(_._2 / total).toArray)
+  }
 
   def detect_language(text: Column): Column = column(DetectLanguage(expression(text)))
   def normalize_utf8(text: Column, form: String): Column =

@@ -205,6 +205,8 @@ object GraftFunctions {
           org.apache.spark.sql.types.IntegerType))),
     (FunctionIdentifier("detect_language"), info("detect_language"),
       (es: Seq[Expression]) => graft.functions.DetectLanguage(es.head)),
+    (FunctionIdentifier("detect_language_mixed"), info("detect_language_mixed"),
+      (es: Seq[Expression]) => graft.functions.DetectLanguageMixed(es.head)),
     (FunctionIdentifier("normalize_utf8"), info("normalize_utf8"),
       (es: Seq[Expression]) => graft.functions.NormalizeUtf8(es(0), es(1) match {
         case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString.toUpperCase

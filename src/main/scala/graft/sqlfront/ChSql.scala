@@ -243,6 +243,7 @@ object ChSql {
     "wkt" -> "t", "svg" -> "t", "readWKTPolygon" -> "t",
     // ---- batch 13 ----
     "detectLanguage" -> "detect_language",
+    "detectLanguageMixed" -> "detect_language_mixed",
     "detectLanguageUnknown" -> "detect_language",
     "normalizeUTF8NFC" -> "t", "normalizeUTF8NFD" -> "t",
     "normalizeUTF8NFKC" -> "t", "normalizeUTF8NFKD" -> "t",

@@ -1910,6 +1910,16 @@ class ChSqlSpec extends AnyFunSuite {
     assert(n > 0 && n <= 3)
   }
 
+  test("batch-28: detectLanguageMixed shares") {
+    val r = ch("""SELECT map_keys(detectLanguageMixed(
+                 |  'the quick brown fox and the lazy dog were friends')) AS ks,
+                 |element_at(detectLanguageMixed(
+                 |  'the quick brown fox and the lazy dog were friends'), 'en') AS en_share""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[String](0).contains("en"))
+    assert(math.abs(r.getFloat(1) - 1.0f) < 1e-6)
+  }
+
   test("batch-28: hierarchical dictionaries") {
     import spark.implicits._
     Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)).toDF("id", "parent")
