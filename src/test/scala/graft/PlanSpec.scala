@@ -270,4 +270,17 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = "hashpartitioning".r.findAllIn(plan).length
     assert(shuffles <= 1, s"NSW plan has $shuffles hash shuffles (expected 1):\n${plan.take(2000)}")
   }
+
+  test("q_fn_dict_hier: the hierarchy chain is a broadcast-join tower") {
+    // depth-8 parent chain over a 25-row dictionary: every subquery
+    // level must compile to a BROADCAST join (the dictionary bounds the
+    // tower, not the fact table) — a sort-merge join here would shuffle
+    // the customer scan once per level.
+    val plan = SparkEntry.queries("q_fn_dict_hier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins in the hierarchy tower:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"hierarchy chain fell back to sort-merge:\n${plan.take(2000)}")
+  }
 }
