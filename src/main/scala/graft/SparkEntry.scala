@@ -50,7 +50,8 @@ object SparkEntry {
       (graft.queries.LlmOps6.queries, graft.queries.LlmOps6.oracleSql),
       (graft.queries.NlpTail.queries, graft.queries.NlpTail.oracleSql),
       (graft.queries.Functions8.queries, graft.queries.Functions8.oracleSql),
-      (graft.queries.Functions9.queries, graft.queries.Functions9.oracleSql)
+      (graft.queries.Functions9.queries, graft.queries.Functions9.oracleSql),
+      (graft.queries.Functions10.queries, graft.queries.Functions10.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -18,13 +18,7 @@ import org.apache.spark.sql.expressions.Aggregator
 class KmvDistinctAggregator(k: Int = 1024)
     extends Aggregator[Long, Array[Long], Long] {
 
-  private def hash64(x: Long): Long = {
-    // splitmix64 — avalanches the raw value into a uniform 64-bit hash
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def hash64(x: Long): Long = KmvDistinctAggregator.hash64(x)
 
   def zero: Array[Long] = Array.empty
 
@@ -63,6 +57,18 @@ class KmvDistinctAggregator(k: Int = 1024)
   def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object KmvDistinctAggregator {
+  /** splitmix64 — avalanches the raw value into a uniform 64-bit hash.
+    * Shared with initializeAggregation('uniqThetaState', x) so a
+    * singleton state merges correctly with aggregated states. */
+  def hash64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 }
 
 /** uniqTheta set algebra (reference src/Functions/UniqTheta/

@@ -356,7 +356,12 @@ object GraftFunctions {
       (FunctionIdentifier("convert_charset"), info("convert_charset"),
         (es: Seq[Expression]) => graft.functions.ConvertCharsetExpr(es)),
       (FunctionIdentifier("ipv6_cidr_to_range"), info("ipv6_cidr_to_range"),
-        (es: Seq[Expression]) => graft.functions.Ipv6CidrToRangeExpr(es(0), es(1)))
+        (es: Seq[Expression]) => graft.functions.Ipv6CidrToRangeExpr(es(0), es(1))),
+      // round-10 batch 30 (functions/Batch30.scala)
+      (FunctionIdentifier("error_code_to_name"), info("error_code_to_name"),
+        (es: Seq[Expression]) => graft.functions.ErrorCodeToName(es.head)),
+      (FunctionIdentifier("uniq_theta_singleton"), info("uniq_theta_singleton"),
+        (es: Seq[Expression]) => graft.functions.ThetaSingletonState(asLong(es.head)))
     ) ++ s2Family
 
   /** Round-10 batch 25 (functions/S2Cells.scala): the real S2 id space. */

@@ -60,13 +60,13 @@ object ChSql {
     "uniq" -> "approx_count_distinct", "uniqHLL12" -> "approx_count_distinct",
     "uniqCombined" -> "approx_count_distinct", "uniqExact" -> "count_distinct",
     "groupArray" -> "collect_list", "groupUniqArray" -> "collect_set",
-    "anyLast" -> "last", "any" -> "first", "anyHeavy" -> "mode",
+    "anyHeavy" -> "mode", // any/anyLast: batch-29 templates (NULL-skipping)
     "argMin" -> "min_by", "argMax" -> "max_by",
     "avgWeighted" -> "avg_weighted", // template below
     "varPop" -> "var_pop", "varSamp" -> "var_samp",
     "stddevPop" -> "stddev_pop", "stddevSamp" -> "stddev_samp",
     "covarPop" -> "covar_pop", "covarSamp" -> "covar_samp",
-    "skewPop" -> "skewness", "kurtPop" -> "kurtosis",
+    "skewPop" -> "skewness", // kurtPop: batch-29 template (non-excess)
     "medianExact" -> "median", "quantileExact" -> "percentile",
     "quantile" -> "percentile_approx",
     "topK" -> "top_k", // template below (graft custom)
@@ -769,7 +769,67 @@ object ChSql {
 
     // ---- round-10 batch 28: hierarchical dictionaries ----
     "dictGetHierarchy" -> "t", "dictIsIn" -> "t",
-    "dictGetChildren" -> "t", "dictGetDescendants" -> "t"
+    "dictGetChildren" -> "t", "dictGetDescendants" -> "t",
+
+    // ---- round-10 batch 29: aggregate spelling tail (reference
+    // registerAggregateFunctions.cpp alias surface + the quantile
+    // median* spellings of AggregateFunctionQuantile.cpp) ----
+    "median" -> "t", "medianTDigest" -> "t", "medianBFloat16" -> "t",
+    "medianTiming" -> "t", "medianDeterministic" -> "t",
+    "medianTDigestWeighted" -> "t", "medianTimingWeighted" -> "t",
+    "medianBFloat16Weighted" -> "t", "medianGK" -> "t", "medianDD" -> "t",
+    "medianExactLow" -> "t", "medianExactHigh" -> "t",
+    "quantileExactLow" -> "t", "quantileExactHigh" -> "t",
+    "medianExactWeighted" -> "t", "quantileExactWeighted" -> "t",
+    "medianInterpolatedWeighted" -> "t", "quantileInterpolatedWeighted" -> "t",
+    "medianExactWeightedInterpolated" -> "t",
+    "quantileExactWeightedInterpolated" -> "t",
+    // RESPECT NULLS spellings: Spark first/last default ignoreNulls=false,
+    // i.e. they already respect NULLs (the reference's base any/anyLast
+    // SKIP NULLs — templated below with ignoreNulls=true)
+    "anyRespectNulls" -> "first", "any_respect_nulls" -> "first",
+    "anyValueRespectNulls" -> "first", "any_value_respect_nulls" -> "first",
+    "anyLastRespectNulls" -> "last", "anyLast_respect_nulls" -> "last",
+    "firstValueRespectNulls" -> "first", "first_value_respect_nulls" -> "first",
+    "lastValueRespectNulls" -> "last", "last_value_respect_nulls" -> "last",
+    "any" -> "t", "anyLast" -> "t", "any_value" -> "t", "anyValue" -> "t",
+    "array_agg" -> "collect_list", "array_concat_agg" -> "t",
+    "approx_top_k" -> "t", "approx_top_count" -> "t", "approx_top_sum" -> "t",
+    "groupArrayLast" -> "t",
+    "varSampStable" -> "var_samp", "stddevSampStable" -> "stddev_samp",
+    "covarSampStable" -> "covar_samp", "varPopStable" -> "var_pop",
+    "stddevPopStable" -> "stddev_pop", "covarPopStable" -> "covar_pop",
+    "corrStable" -> "corr",
+    "skewSamp" -> "t", "kurtSamp" -> "t", "kurtPop" -> "t",
+    "covarPopMatrix" -> "t", "covarSampMatrix" -> "t", "corrMatrix" -> "t",
+    "sumMap" -> "t", "minMap" -> "t", "maxMap" -> "t",
+    "sumMappedArrays" -> "t", "minMappedArrays" -> "t", "maxMappedArrays" -> "t",
+    "sumMapFiltered" -> "t", "sumMapWithOverflow" -> "t",
+    "sumMapFilteredWithOverflow" -> "t",
+    "groupBitmapXor" -> "t",
+    "distinctJSONPaths" -> "t", "distinctJSONPathsAndTypes" -> "t",
+    "distinctDynamicTypes" -> "t",
+
+    // ---- round-10 batch 30: scalar/introspection tail ----
+    // hyperbolics (reference FunctionMathUnary.h) are Spark built-ins
+    "sinh" -> "sinh", "cosh" -> "cosh", "tanh" -> "tanh",
+    "asinh" -> "asinh", "acosh" -> "acosh", "atanh" -> "atanh",
+    // CH factorial throws for n > 20; Spark's returns NULL (documented)
+    "factorial" -> "factorial",
+    "fromUnixTimestampInJodaSyntax" -> "t",
+    "kql_array_sort_asc" -> "t", "kql_array_sort_desc" -> "t",
+    "variantType" -> "t", "variantElement" -> "t",
+    "dynamicType" -> "t", "dynamicElement" -> "t",
+    "errorCodeToName" -> "error_code_to_name",
+    "revision" -> "t", "buildId" -> "t",
+    "filesystemAvailable" -> "t", "filesystemCapacity" -> "t",
+    "filesystemUnreserved" -> "t",
+    "getOSKernelVersion" -> "t",
+    "currentProfiles" -> "t", "enabledProfiles" -> "t",
+    "defaultProfiles" -> "t",
+    "current_schemas" -> "t", "currentSchemas" -> "t",
+    "current_query_id" -> "t", "currentQueryID" -> "t",
+    "initializeAggregation" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -890,6 +950,62 @@ object ChSql {
       }
     }
     sb.toString
+  }
+
+  /** Generalized `name(params)(args)` parameterized-aggregate rewriter:
+    * BOTH groups are paren-matched (params may be arbitrary expressions —
+    * array literals, casts), then f(params, args) is spliced in. A call
+    * without a second argument list is left untouched, so the plain
+    * single-group form of the same name can be handled afterwards. */
+  private def rewriteParamCalls(sql: String, name: String)(
+      f: (Seq[String], Seq[String]) => String): String = {
+    def closeParen(start: Int): Int = {
+      var depth = 0; var j = start; var end = -1; var inStr = false
+      while (j < sql.length && end < 0) {
+        val c = sql.charAt(j)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) end = j }
+        j += 1
+      }
+      end
+    }
+    val sb = new StringBuilder
+    var i = 0
+    var changed = false
+    while (i < sql.length) {
+      val idx = sql.indexOf(name + "(", i)
+      val boundaryOk = idx >= 0 &&
+        (idx == 0 || !Character.isLetterOrDigit(sql.charAt(idx - 1)) && sql.charAt(idx - 1) != '_')
+      if (idx < 0) { sb.append(sql.substring(i)); i = sql.length }
+      else if (!boundaryOk) { sb.append(sql.substring(i, idx + name.length)); i = idx + name.length }
+      else {
+        val pEnd = closeParen(idx + name.length)
+        var k = if (pEnd < 0) -1 else pEnd + 1
+        while (k > 0 && k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+        if (pEnd < 0 || k < 0 || k >= sql.length || sql.charAt(k) != '(') {
+          val stop = if (pEnd < 0) sql.length else pEnd + 1
+          sb.append(sql.substring(i, stop)); i = stop
+        } else {
+          val aEnd = closeParen(k)
+          if (aEnd < 0) { sb.append(sql.substring(i)); i = sql.length }
+          else {
+            sb.append(sql.substring(i, idx))
+            val params = splitArgs(sql.substring(idx + name.length + 1, pEnd))
+            val args = splitArgs(sql.substring(k + 1, aEnd))
+            sb.append(f(params, args))
+            changed = true
+            i = aEnd + 1
+          }
+        }
+      }
+    }
+    // params may themselves contain `name(p)(x)` (rare); one more pass
+    if (changed && sb.toString.contains(name + "(")) sb.toString match {
+      case s2 if s2 != sql => rewriteParamCalls(s2, name)(f)
+      case s2 => s2
+    } else sb.toString
   }
 
   private val floatLitRe =
@@ -1085,6 +1201,224 @@ object ChSql {
   }
 
   /** Apply all rewrites to a ClickHouse-flavoured SELECT. */
+  /** Round-10 batch 29: the aggregate alias/spelling tail of the
+    * reference's registerAggregateFunctions.cpp — median* spellings of
+    * the quantile family, NULL-handling variants of any/anyLast,
+    * approx_top_*, the sumMap spelling family, matrix covariance, and
+    * sample skew/kurtosis. The weighted-quantile and top-N spellings are
+    * single-expression HOF scans over the group's collected values —
+    * exact per the reference algorithms (QuantileExactWeighted: threshold
+    * ceil(level*W), accumulated>=threshold; InterpolatedWeighted: the
+    * Wikipedia weighted-percentile method over distinct values), meant
+    * for bounded group sizes; the scale path for huge groups is the
+    * two-phase running-total formulation in queries/Aggregates7. */
+  private def rewriteAggSpellings(q0: String): String = {
+    var q = q0
+    // any/anyValue/anyLast SKIP NULLs in the reference (Nullable inputs
+    // route through AggregateFunctionNull) — Spark's first/last need the
+    // explicit ignoreNulls flag. The *RespectNulls spellings are plain
+    // aliases (Spark's default already respects NULLs).
+    q = rewriteCalls(q, "anyValue")(a => s"first(${a(0)}, true)")
+    q = rewriteCalls(q, "any_value")(a => s"first(${a(0)}, true)")
+    q = rewriteCalls(q, "anyLast")(a => s"last(${a(0)}, true)")
+    q = rewriteCalls(q, "any")(a => s"first(${a(0)}, true)")
+
+    // median* = quantile*(0.5) (AggregateFunctionQuantile.cpp)
+    q = rewriteCalls(q, "medianDeterministic")(a =>
+      s"percentile_approx(${a(0)}, 0.5)")
+    for (n <- Seq("medianTDigestWeighted", "medianTimingWeighted",
+        "medianBFloat16Weighted"))
+      q = rewriteCalls(q, n)(a =>
+        s"percentile(${a(0)}, 0.5, CAST(${a(1)} AS BIGINT))")
+    for (n <- Seq("medianTDigest", "medianBFloat16", "medianTiming", "median"))
+      q = rewriteCalls(q, n)(a => s"percentile_approx(${a(0)}, 0.5)")
+    q = rewriteParamCalls(q, "medianGK")((p, a) =>
+      s"approx_percentile(${a(0)}, 0.5, ${p(0)})")
+    q = rewriteParamCalls(q, "medianDD")((p, a) =>
+      if (p.headOption.exists(_.trim == "0.01")) s"quantile_dd_50(${a(0)})"
+      else s"percentile_approx(${a(0)}, 0.5)")
+
+    // quantileExactLow/High (QuantileExact.h: median by index rounding;
+    // other levels truncate level*size, capped at size-1)
+    def exactLH(level: String, x: String, high: Boolean): String = {
+      val arr = s"array_sort(collect_list($x))"
+      val idx =
+        if (level.trim.toDouble == 0.5) {
+          if (high) s"CAST(floor(size($arr) / 2) AS INT)"
+          else s"IF(size($arr) % 2 = 1, CAST(floor(size($arr) / 2) AS INT), " +
+            s"CAST(size($arr) / 2 - 1 AS INT))"
+        } else s"LEAST(CAST(floor(($level) * size($arr)) AS INT), size($arr) - 1)"
+      s"element_at($arr, $idx + 1)"
+    }
+    q = rewriteParamCalls(q, "quantileExactLow")((p, a) => exactLH(p(0), a(0), high = false))
+    q = rewriteParamCalls(q, "quantileExactHigh")((p, a) => exactLH(p(0), a(0), high = true))
+    q = rewriteCalls(q, "quantileExactLow")(a => exactLH("0.5", a(0), high = false))
+    q = rewriteCalls(q, "quantileExactHigh")(a => exactLH("0.5", a(0), high = true))
+    q = rewriteCalls(q, "medianExactLow")(a => exactLH("0.5", a(0), high = false))
+    q = rewriteCalls(q, "medianExactHigh")(a => exactLH("0.5", a(0), high = true))
+
+    // quantileExactWeighted (AggregateFunctionQuantileExactWeighted.cpp:
+    // threshold = ceil(level * sum_weight); first sorted value whose
+    // accumulated weight reaches it)
+    def exactW(level: String, x: String, w: String): String = {
+      val arr = s"array_sort(collect_list(named_struct('x', CAST($x AS DOUBLE), 'w', CAST($w AS DOUBLE))))"
+      s"aggregate($arr, named_struct('cum', CAST(0 AS DOUBLE), 'ans', CAST(NULL AS DOUBLE)), " +
+        s"(__wa, __ws) -> named_struct('cum', __wa.cum + __ws.w, " +
+        s"'ans', coalesce(__wa.ans, IF(__wa.cum + __ws.w >= ceil(($level) * sum(CAST($w AS DOUBLE))), __ws.x, CAST(NULL AS DOUBLE)))), " +
+        s"__wa -> __wa.ans)"
+    }
+    q = rewriteParamCalls(q, "quantileExactWeighted")((p, a) => exactW(p(0), a(0), a(1)))
+    q = rewriteCalls(q, "quantileExactWeighted")(a => exactW("0.5", a(0), a(1)))
+    q = rewriteCalls(q, "medianExactWeighted")(a => exactW("0.5", a(0), a(1)))
+
+    // quantileInterpolatedWeighted (the Wikipedia weighted-percentile
+    // method, AggregateFunctionQuantileInterpolatedWeighted.cpp):
+    // distinct values at positions h_i = cum_i - w_i/2, linear
+    // interpolation between the bracketing positions of level*W.
+    def interpW(level: String, x: String, w: String): String = {
+      val arr = s"array_sort(collect_list(named_struct('x', CAST($x AS DOUBLE), 'w', CAST($w AS DOUBLE))))"
+      val merged = s"aggregate($arr, CAST(array() AS ARRAY<STRUCT<x: DOUBLE, w: DOUBLE>>), " +
+        s"(__ma, __ms) -> IF(size(__ma) > 0 AND element_at(__ma, -1).x = __ms.x, " +
+        s"concat(slice(__ma, 1, size(__ma) - 1), array(named_struct('x', __ms.x, 'w', element_at(__ma, -1).w + __ms.w))), " +
+        s"concat(__ma, array(__ms))))"
+      val pp = s"aggregate($merged, named_struct('cum', CAST(0 AS DOUBLE), 'out', CAST(array() AS ARRAY<STRUCT<x: DOUBLE, p: DOUBLE>>)), " +
+        s"(__pa, __ps) -> named_struct('cum', __pa.cum + __ps.w, " +
+        s"'out', concat(__pa.out, array(named_struct('x', __ps.x, 'p', __pa.cum + __ps.w / 2)))), " +
+        s"__pa -> __pa.out)"
+      val t = s"(($level) * aggregate($merged, CAST(0 AS DOUBLE), (__ta, __ts) -> __ta + __ts.w))"
+      val lp = s"array_max(transform(filter($pp, __le -> __le.p <= $t), __le -> __le.p))"
+      val lx = s"array_max(transform(filter($pp, __le -> __le.p <= $t), __le -> __le.x))"
+      val up = s"array_min(transform(filter($pp, __ue -> __ue.p >= $t), __ue -> __ue.p))"
+      val ux = s"array_min(transform(filter($pp, __ue -> __ue.p >= $t), __ue -> __ue.x))"
+      s"(CASE WHEN $lp IS NULL THEN $ux WHEN $up IS NULL THEN $lx " +
+        s"WHEN $up = $lp THEN $lx " +
+        s"ELSE $lx + ($ux - $lx) * ($t - $lp) / ($up - $lp) END)"
+    }
+    q = rewriteParamCalls(q, "quantileExactWeightedInterpolated")((p, a) => interpW(p(0), a(0), a(1)))
+    q = rewriteParamCalls(q, "quantileInterpolatedWeighted")((p, a) => interpW(p(0), a(0), a(1)))
+    q = rewriteCalls(q, "quantileExactWeightedInterpolated")(a => interpW("0.5", a(0), a(1)))
+    q = rewriteCalls(q, "quantileInterpolatedWeighted")(a => interpW("0.5", a(0), a(1)))
+    q = rewriteCalls(q, "medianExactWeightedInterpolated")(a => interpW("0.5", a(0), a(1)))
+    q = rewriteCalls(q, "medianInterpolatedWeighted")(a => interpW("0.5", a(0), a(1)))
+
+    // skewSamp/kurtSamp (AggregateFunctionStatisticsSimple.h:173,195 —
+    // population central moment over the SAMPLE variance power); kurtPop
+    // is non-excess (m4/m2²) while Spark's kurtosis subtracts 3.
+    q = rewriteCalls(q, "skewSamp") { a =>
+      val x = s"CAST(${a(0)} AS DOUBLE)"
+      s"(skewness($x) * power(var_pop($x) / var_samp($x), 1.5))"
+    }
+    q = rewriteCalls(q, "kurtSamp") { a =>
+      val x = s"CAST(${a(0)} AS DOUBLE)"
+      s"((kurtosis($x) + 3.0D) * power(var_pop($x) / var_samp($x), 2))"
+    }
+    q = rewriteCalls(q, "kurtPop")(a =>
+      s"(kurtosis(CAST(${a(0)} AS DOUBLE)) + 3.0D)")
+
+    // covarPopMatrix/covarSampMatrix/corrMatrix
+    // (AggregateFunctionVarianceMatrix.cpp: full symmetric n×n
+    // Array(Array(Float64)) — n² built-in covariance aggregates)
+    def matrixOf(fn: String, a: Seq[String]): String = {
+      val rows = a.map(i => "array(" + a.map(j =>
+        s"$fn(CAST($i AS DOUBLE), CAST($j AS DOUBLE))").mkString(", ") + ")")
+      s"array(${rows.mkString(", ")})"
+    }
+    q = rewriteCalls(q, "covarPopMatrix")(a => matrixOf("covar_pop", a))
+    q = rewriteCalls(q, "covarSampMatrix")(a => matrixOf("covar_samp", a))
+    q = rewriteCalls(q, "corrMatrix")(a => matrixOf("corr", a))
+
+    // sumMap/minMap/maxMap spelling family (AggregateFunctionSumMap.h):
+    // result = tuple(sorted distinct keys, per-key reduction). Accepts
+    // the (keys_array, values_array) pair form or a single Map column.
+    // WithOverflow keeps the input type in the reference (wrapping);
+    // here values accumulate in Float64 like the promoted base form.
+    def mapPairs(a: Seq[String], fk: Option[String]): String = {
+      val pairs0 =
+        if (a.length == 1)
+          s"flatten(collect_list(transform(map_entries(${a(0)}), __me -> named_struct('k', __me.key, 'v', CAST(__me.value AS DOUBLE)))))"
+        else
+          s"flatten(collect_list(zip_with(${a(0)}, ${a(1)}, (__zk, __zv) -> named_struct('k', __zk, 'v', CAST(__zv AS DOUBLE)))))"
+      fk.map(f => s"filter($pairs0, __fe -> array_contains($f, __fe.k))").getOrElse(pairs0)
+    }
+    def mapAgg(op: String, a: Seq[String], fk: Option[String]): String = {
+      val pairs = mapPairs(a, fk)
+      val ks = s"array_sort(array_distinct(transform($pairs, __ke -> __ke.k)))"
+      val vs = op match {
+        case "sum" => s"transform($ks, __kk -> aggregate(filter($pairs, __ve -> __ve.k <=> __kk), CAST(0 AS DOUBLE), (__va, __vv) -> __va + __vv.v))"
+        case "min" => s"transform($ks, __kk -> array_min(transform(filter($pairs, __ve -> __ve.k <=> __kk), __vv -> __vv.v)))"
+        case _ => s"transform($ks, __kk -> array_max(transform(filter($pairs, __ve -> __ve.k <=> __kk), __vv -> __vv.v)))"
+      }
+      s"named_struct('keys', $ks, 'values', $vs)"
+    }
+    q = rewriteParamCalls(q, "sumMapFilteredWithOverflow")((p, a) => mapAgg("sum", a, Some(p(0))))
+    q = rewriteParamCalls(q, "sumMapFiltered")((p, a) => mapAgg("sum", a, Some(p(0))))
+    for (n <- Seq("sumMapWithOverflow", "sumMappedArrays", "sumMap"))
+      q = rewriteCalls(q, n)(a => mapAgg("sum", a, None))
+    for (n <- Seq("minMappedArrays", "minMap"))
+      q = rewriteCalls(q, n)(a => mapAgg("min", a, None))
+    for (n <- Seq("maxMappedArrays", "maxMap"))
+      q = rewriteCalls(q, n)(a => mapAgg("max", a, None))
+
+    // groupArrayLast(N)(x): the last N values in arrival order
+    q = rewriteParamCalls(q, "groupArrayLast") { (p, a) =>
+      val arr = s"collect_list(${a(0)})"
+      s"IF(size($arr) <= ${p(0)}, $arr, slice($arr, -(${p(0)}), ${p(0)}))"
+    }
+
+    // approx_top_k/approx_top_count/approx_top_sum
+    // (registerAggregateFunctions.cpp aliases of topK/topKWeighted):
+    // Array(Tuple(value, count, error)); exact counts here (error = 0),
+    // count-desc then value-asc tie order.
+    def topN(n: String, x: String): String = {
+      val arr = s"collect_list(${x})"
+      s"slice(transform(array_sort(transform(array_distinct($arr), " +
+        s"__d -> named_struct('negc', -size(filter($arr, __te -> __te <=> __d)), 'value', __d))), " +
+        s"__s -> named_struct('value', __s.value, 'count', CAST(-__s.negc AS BIGINT), 'error', CAST(0 AS BIGINT))), 1, $n)"
+    }
+    def topNSum(n: String, x: String, w: String): String = {
+      val arr = s"collect_list(named_struct('x', ${x}, 'w', CAST($w AS DOUBLE)))"
+      s"slice(transform(array_sort(transform(array_distinct(transform($arr, __p -> __p.x)), " +
+        s"__d -> named_struct('negs', -aggregate(filter($arr, __te -> __te.x <=> __d), CAST(0 AS DOUBLE), (__ta2, __te2) -> __ta2 + __te2.w), 'value', __d))), " +
+        s"__s -> named_struct('value', __s.value, 'count', CAST(-__s.negs AS BIGINT), 'error', CAST(0 AS BIGINT))), 1, $n)"
+    }
+    for (n <- Seq("approx_top_k", "approx_top_count")) {
+      q = rewriteParamCalls(q, n)((p, a) => topN(p(0), a(0)))
+      q = rewriteCalls(q, n)(a =>
+        if (a.length > 1) topN(a(1), a(0)) else topN("10", a(0)))
+    }
+    q = rewriteParamCalls(q, "approx_top_sum")((p, a) => topNSum(p(0), a(0), a(1)))
+    q = rewriteCalls(q, "approx_top_sum")(a => topNSum("10", a(0), a(1)))
+
+    // groupBitmapXor: cardinality of the XOR-fold = values occurring an
+    // odd number of times (AggregateFunctionGroupBitmap.cpp)
+    q = rewriteCalls(q, "groupBitmapXor") { a =>
+      val arr = s"collect_list(${a(0)})"
+      s"CAST(size(filter(array_distinct($arr), __d -> size(filter($arr, __xe -> __xe <=> __d)) % 2 = 1)) AS BIGINT)"
+    }
+
+    // distinctJSONPaths/distinctJSONPathsAndTypes/distinctDynamicTypes
+    // (AggregateFunctionDistinctJSONPaths.cpp): sorted distinct leaf
+    // paths (or path:type pairs / value types) across the group's rows
+    q = rewriteCalls(q, "distinctJSONPaths")(a =>
+      s"array_sort(array_distinct(flatten(collect_list(json_all_paths(${a(0)})))))")
+    // AndTypes returns Map(path -> sorted distinct types), the
+    // reference's result shape
+    q = rewriteCalls(q, "distinctJSONPathsAndTypes") { a =>
+      val pairs = s"flatten(collect_list(map_entries(json_all_paths_with_types(${a(0)}))))"
+      val ks = s"array_sort(array_distinct(transform($pairs, __jp -> __jp.key)))"
+      s"map_from_arrays($ks, transform($ks, __jk -> " +
+        s"array_sort(array_distinct(transform(filter($pairs, __je -> __je.key = __jk), __je2 -> __je2.value)))))"
+    }
+    // distinctDynamicTypes classifies via JSONType (the later template
+    // expands it — this batch runs before the JSON templates)
+    q = rewriteCalls(q, "distinctDynamicTypes")(a =>
+      s"array_sort(array_distinct(collect_list(JSONType(${a(0)}))))")
+
+    // array_concat_agg = groupArrayArray
+    q = rewriteCalls(q, "array_concat_agg")(a => s"flatten(collect_list(${a(0)}))")
+    q
+  }
+
   def rewrite(chSql: String): String = {
     var q = chSql
 
@@ -1117,7 +1451,10 @@ object ChSql {
         "SUBSTRING_INDEX" -> "substringIndex",
         "YYYYMMDDhhmmssToDateTime64" -> "YYYYMMDDhhmmssToDateTime",
         "aes_encrypt_mysql" -> "encrypt", "aes_decrypt_mysql" -> "decrypt",
-        "extractKeyValuePairsWithEscaping" -> "extractKeyValuePairs"))
+        "extractKeyValuePairsWithEscaping" -> "extractKeyValuePairs",
+        // round-10 batch 30: registered alias of extractKeyValuePairs
+        // (reference extractKeyValuePairs.cpp:255)
+        "mapFromString" -> "extractKeyValuePairs"))
       q = q.replaceAll(s"\\b$compat\\s*\\(", chName + "(")
     // IPv4ToIPv6(num): the IPv4-mapped ::ffff:a.b.c.d address — emit
     // IPv4NumToString(...) so the later template expands it
@@ -1211,6 +1548,9 @@ object ChSql {
     q = q.replaceAll("""(?i)\bALL\s+(INNER|LEFT|RIGHT|FULL)\b""", "$1")
 
     // templates (argument-restructuring rewrites) — before plain aliases
+    // round-10 batch 29: aggregate spelling tail (runs first — its
+    // emitted Spark HOFs are names no later CH template reshapes)
+    q = rewriteAggSpellings(q)
     // CH higher-order fns take the LAMBDA first; Spark takes the array first.
     q = rewriteCalls(q, "arrayMap")(a => s"transform(${a(1)}, ${a(0)})")
     q = rewriteCalls(q, "arrayFilter")(a => s"filter(${a(1)}, ${a(0)})")

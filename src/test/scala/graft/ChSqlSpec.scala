@@ -1945,6 +1945,64 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP DICTIONARY hdict")
   }
 
+  test("batch-29: any skips NULLs, RespectNulls spellings keep them") {
+    // single partition + in-order input: first/last arrival order is the
+    // row order (reference semantics: any = first NON-NULL,
+    // anyRespectNulls = first value including NULL)
+    import spark.implicits._
+    Seq[(Int, Option[String])](
+      (1, None), (2, Some("b")), (3, Some("c")), (4, None))
+      .toDF("i", "s").coalesce(1).createOrReplaceTempView("anytbl")
+    val r = ch("""SELECT any(s) AS a, anyLast(s) AS al,
+                 |anyRespectNulls(s) AS arn, lastValueRespectNulls(s) AS lrn
+                 |FROM anytbl""".stripMargin).collect()(0)
+    assert(r.getString(0) == "b") // first non-NULL
+    assert(r.getString(1) == "c") // last non-NULL
+    assert(r.isNullAt(2)) // first row IS NULL
+    assert(r.isNullAt(3)) // last row IS NULL
+  }
+
+  test("batch-29: groupArrayLast keeps the last N in arrival order") {
+    import spark.implicits._
+    (1 to 7).map(i => (1, i * 10)).toDF("g", "x").coalesce(1)
+      .createOrReplaceTempView("galtbl")
+    val r = ch("SELECT groupArrayLast(3)(x) AS l3, groupArrayLast(9)(x) AS l9 FROM galtbl GROUP BY g")
+      .collect()(0)
+    assert(r.getSeq[Int](0) == Seq(50, 60, 70))
+    assert(r.getSeq[Int](1) == (1 to 7).map(_ * 10))
+  }
+
+  test("batch-29: exact weighted quantile spellings match first principles") {
+    // quantileExactWeighted: threshold = ceil(level * W), first sorted
+    // value whose accumulated weight reaches it
+    // (AggregateFunctionQuantileExactWeighted.cpp:165-174); values
+    // (1,w1) (2,w2) (3,w3): W=6, thr=ceil(3.0)=3 -> cum 1,3,6 -> x=2
+    import spark.implicits._
+    Seq((1, 1), (2, 2), (3, 3)).toDF("x", "w").createOrReplaceTempView("qewtbl")
+    val r = ch("""SELECT medianExactWeighted(x, w) AS m,
+                 |quantileExactWeighted(0.9)(x, w) AS q9,
+                 |toInt64(floor(medianInterpolatedWeighted(x, w) * 1000)) AS miw
+                 |FROM qewtbl""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0) // thr=ceil(5.4)=6 -> x=3
+    // Wikipedia method: p_i = (cum-w/2)/W = (.5/6, 2/6, 4.5/6);
+    // t=0.5 between p2=0.333 and p3=0.75 -> 2 + (3-2)*(.5-1/3)/(.75-1/3)
+    assert(r.getLong(2) == math.floor((2.0 + (0.5 - 2.0 / 6) / (4.5 / 6 - 2.0 / 6)) * 1000).toLong)
+  }
+
+  test("batch-29: covarPopMatrix is the full symmetric n x n matrix") {
+    import spark.implicits._
+    Seq((1.0, 2.0, 3.0), (2.0, 4.0, 5.0), (4.0, 5.0, 6.0))
+      .toDF("a", "b", "c").createOrReplaceTempView("cvmtbl")
+    val m = ch("SELECT covarPopMatrix(a, b, c) AS m FROM cvmtbl")
+      .collect()(0).getSeq[scala.collection.Seq[Double]](0)
+    assert(m.length == 3 && m.forall(_.length == 3))
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(m(i)(j) - m(j)(i)) < 1e-12)
+    // diagonal = var_pop: a = (1,2,4), mean 7/3, m2 = (16+1+25)/27
+    assert(math.abs(m(0)(0) - 42.0 / 27) < 1e-9)
+  }
+
   test("batch-21: addTupleOfIntervals applies intervals left to right") {
     val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
                  |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
