@@ -254,6 +254,39 @@ object Ops {
       .drop("__dr")
   }
 
+  /** runningConcurrency(begin, end) (reference
+    * src/Functions/runningConcurrency.cpp): rows sorted by `begin`
+    * within each key; the result for a row is the number of intervals
+    * open at its begin (ends <= begin are closed first — end exclusive).
+    *
+    * Scale shape: one union of begin/end event streams + one keyed
+    * window sort — concurrency(i) = begins-so-far - ends-so-far, with
+    * end events ordered before begin events at equal timestamps. No
+    * global sort, no self-join; `tieBreak` makes begin-ties
+    * deterministic (the reference relies on block order there). */
+  def runningConcurrency(df: DataFrame, keys: Seq[String], begin: Column,
+                         end: Column, tieBreak: Column, out: String): DataFrame = {
+    val base = df.withColumn("__rc_b", begin).withColumn("__rc_e", end)
+    val begins = base
+      .withColumn("__rc_t", col("__rc_b"))
+      .withColumn("__rc_is_end", lit(0))
+      .withColumn("__rc_tie", tieBreak)
+    val ends = base
+      .withColumn("__rc_t", col("__rc_e"))
+      .withColumn("__rc_is_end", lit(1))
+      .withColumn("__rc_tie", lit(null).cast(begins.schema("__rc_tie").dataType))
+    val union = begins.unionByName(ends)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__rc_t").asc, col("__rc_is_end").desc, col("__rc_tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    union
+      .withColumn(out,
+        (sum(lit(1) - col("__rc_is_end")).over(w) - sum(col("__rc_is_end")).over(w))
+          .cast("long"))
+      .filter(col("__rc_is_end") === 0)
+      .drop("__rc_t", "__rc_is_end", "__rc_tie", "__rc_b", "__rc_e")
+  }
+
   /** WITH TOTALS (reference: src/Processors/Transforms/TotalsHavingTransform.cpp):
     * grouped aggregate unioned with the grand-total row, group keys nulled.
     * `agg` maps a grouped/global frame to aggregated columns. */

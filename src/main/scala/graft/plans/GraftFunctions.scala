@@ -362,7 +362,25 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.ErrorCodeToName(es.head)),
       (FunctionIdentifier("uniq_theta_singleton"), info("uniq_theta_singleton"),
         (es: Seq[Expression]) => graft.functions.ThetaSingletonState(asLong(es.head)))
-    ) ++ s2Family
+    ) ++ s2Family ++ regionFamily
+
+  /** Round-10 batch 32 (functions/Batch32.scala): embedded-geobase
+    * region functions. The optional second geobase-selector argument of
+    * the reference is accepted and ignored (one loaded geobase here). */
+  private def regionFamily: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq("city", "area", "district", "country", "continent",
+        "topContinent", "population").map { kind =>
+      val n = s"region_to_${kind.toLowerCase}"
+      (FunctionIdentifier(n), info(n),
+        (es: Seq[Expression]) => graft.functions.RegionLookup(es.head, kind)
+          : Expression)
+    } ++ Seq(
+      (FunctionIdentifier("region_to_name"), info("region_to_name"),
+        (es: Seq[Expression]) => graft.functions.RegionToName(es.head): Expression),
+      (FunctionIdentifier("region_in"), info("region_in"),
+        (es: Seq[Expression]) => graft.functions.RegionIn(es(0), es(1)): Expression),
+      (FunctionIdentifier("region_hierarchy"), info("region_hierarchy"),
+        (es: Seq[Expression]) => graft.functions.RegionHierarchy(es.head): Expression))
 
   /** Round-10 batch 25 (functions/S2Cells.scala): the real S2 id space. */
   private def s2Family: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

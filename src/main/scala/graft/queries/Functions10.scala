@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Round-10 batch 29: the aggregate alias/spelling tail (reference
   * src/AggregateFunctions/registerAggregateFunctions.cpp — the median*
@@ -17,6 +18,9 @@ import org.apache.spark.sql.SparkSession
   * an order-free group (all values equal) so the slice logic is
   * verified without depending on distributed arrival order. */
 object Functions10 {
+
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.t(s, dir, n)
 
   val queries: Map[String, Q] = Map(
     "q_agg_spellings" -> { (s: SparkSession, dir: String) =>
@@ -45,22 +49,25 @@ object Functions10 {
           |FROM lineitem WHERE l_orderkey < 2000 GROUP BY g""".stripMargin))
     },
 
+    // Complex results are rendered to engine-stable strings per the
+    // driver-comparator contract (OutputSchemaSpec): integral doubles
+    // floor to BIGINT before joining so both engines print identically.
     "q_agg_spellings2" -> { (s: SparkSession, dir: String) =>
       graft.sqlfront.ChSql.sql(s, dir,
         """SELECT l_returnflag AS g,
-          |  sumMap([l_linenumber], [CAST(l_quantity AS DOUBLE)]).keys AS sm_k,
-          |  sumMap([l_linenumber], [CAST(l_quantity AS DOUBLE)]).values AS sm_v,
-          |  sumMapFiltered([1, 2])([l_linenumber], [CAST(l_quantity AS DOUBLE)]).values AS smf_v,
-          |  minMap([l_linenumber], [CAST(l_quantity AS DOUBLE)]).values AS mnm_v,
-          |  maxMappedArrays([l_linenumber], [CAST(l_quantity AS DOUBLE)]).values AS mxm_v,
-          |  approx_top_k(3)(l_linenumber) AS atk,
-          |  approx_top_sum(2)(l_linenumber, CAST(l_quantity AS DOUBLE)) AS ats,
+          |  array_join(transform(sumMap([l_linenumber], [CAST(l_quantity AS DOUBLE)]).keys, __k -> CAST(__k AS STRING)), ',') AS sm_k,
+          |  array_join(transform(sumMap([l_linenumber], [CAST(l_quantity AS DOUBLE)]).values, __v -> CAST(CAST(floor(__v) AS BIGINT) AS STRING)), ',') AS sm_v,
+          |  array_join(transform(sumMapFiltered([1, 2])([l_linenumber], [CAST(l_quantity AS DOUBLE)]).values, __v -> CAST(CAST(floor(__v) AS BIGINT) AS STRING)), ',') AS smf_v,
+          |  array_join(transform(minMap([l_linenumber], [CAST(l_quantity AS DOUBLE)]).values, __v -> CAST(CAST(floor(__v) AS BIGINT) AS STRING)), ',') AS mnm_v,
+          |  array_join(transform(maxMappedArrays([l_linenumber], [CAST(l_quantity AS DOUBLE)]).values, __v -> CAST(CAST(floor(__v) AS BIGINT) AS STRING)), ',') AS mxm_v,
+          |  array_join(transform(approx_top_k(3)(l_linenumber), __t -> concat(__t.value, ':', __t.count)), ',') AS atk,
+          |  array_join(transform(approx_top_sum(2)(l_linenumber, CAST(l_quantity AS DOUBLE)), __t -> concat(__t.value, ':', __t.count)), ',') AS ats,
           |  groupBitmapXor(l_suppkey) AS gbx,
-          |  transform(covarSampMatrix(l_quantity, l_extendedprice), __r -> transform(__r, __v -> CAST(floor(__v / 1000) AS BIGINT))) AS cvm,
-          |  transform(covarPopMatrix(l_quantity, l_extendedprice), __r -> transform(__r, __v -> CAST(floor(__v / 1000) AS BIGINT))) AS cpm,
-          |  distinctJSONPaths(concat('{"k', toString(l_linenumber), '": 1, "z": {"w": "x"}}')) AS jsd,
-          |  distinctJSONPathsAndTypes(concat('{"k', toString(l_linenumber), '": 1, "z": {"w": "x"}}')) AS jsm,
-          |  distinctDynamicTypes(element_at(['123', '"s"', 'true'], CAST(l_linenumber % 3 + 1 AS INT))) AS jdt
+          |  array_join(transform(covarSampMatrix(l_quantity, l_extendedprice), __r -> array_join(transform(__r, __v -> CAST(CAST(floor(__v / 1000) AS BIGINT) AS STRING)), ':')), '|') AS cvm,
+          |  array_join(transform(covarPopMatrix(l_quantity, l_extendedprice), __r -> array_join(transform(__r, __v -> CAST(CAST(floor(__v / 1000) AS BIGINT) AS STRING)), ':')), '|') AS cpm,
+          |  array_join(distinctJSONPaths(concat('{"k', toString(l_linenumber), '": 1, "z": {"w": "x"}}')), ',') AS jsd,
+          |  array_join(transform(map_entries(distinctJSONPathsAndTypes(concat('{"k', toString(l_linenumber), '": 1, "z": {"w": "x"}}'))), __e -> concat(__e.key, '=', array_join(__e.value, '+'))), ',') AS jsm,
+          |  array_join(distinctDynamicTypes(element_at(['123', '"s"', 'true'], CAST(l_linenumber % 3 + 1 AS INT))), ',') AS jdt
           |FROM lineitem WHERE l_orderkey < 2000 GROUP BY g ORDER BY g""".stripMargin)
     },
 
@@ -69,9 +76,103 @@ object Functions10 {
     // independent); true arrival-order semantics are pinned in ChSqlSpec.
     "q_group_array_last" -> { (s: SparkSession, dir: String) =>
       graft.sqlfront.ChSql.sql(s, dir,
-        """SELECT l_orderkey AS k, groupArrayLast(3)(l_orderkey) AS gal,
+        """SELECT l_orderkey AS k,
+          |  array_join(transform(groupArrayLast(3)(l_orderkey), __v -> CAST(__v AS STRING)), ',') AS gal,
           |  count(*) AS n
           |FROM lineitem WHERE l_orderkey < 500 GROUP BY k ORDER BY k""".stripMargin)
+    },
+
+    // Round-10 batch 30: scalar/introspection tail — hyperbolics,
+    // factorial, Joda unix render, KQL tuple sort, Dynamic/Variant
+    // probes, the full 621-entry errorCodeToName table, revision(),
+    // initializeAggregation round-trips.
+    "q_fn_scalar_tail" -> { (s: SparkSession, dir: String) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey AS k,
+          |  toInt64(floor(sinh(p_partkey % 5) * 1000000)) AS sh,
+          |  toInt64(floor(cosh(p_partkey % 5) * 1000000)) AS ch,
+          |  toInt64(floor(tanh(p_partkey % 5) * 1000000)) AS th,
+          |  toInt64(floor(asinh(p_partkey % 5) * 1000000)) AS ash,
+          |  toInt64(floor(acosh(1 + p_partkey % 5) * 1000000)) AS ach,
+          |  toInt64(floor(atanh((p_partkey % 5) / 6.0) * 1000000)) AS ath,
+          |  factorial(CAST(p_partkey % 21 AS INT)) AS fact,
+          |  fromUnixTimestampInJodaSyntax(1609459200 + p_partkey * 61, 'yyyy-MM-dd HH:mm:ss') AS joda,
+          |  array_join(transform(kql_array_sort_asc([3 * (p_partkey % 5), 3 * (p_partkey % 3) + 1, 5], [10, 20, 30]).a2, __v -> CAST(__v AS STRING)), ',') AS kqla,
+          |  array_join(transform(kql_array_sort_desc([3 * (p_partkey % 5), 3 * (p_partkey % 3) + 1, 5], [10, 20, 30]).a2, __v -> CAST(__v AS STRING)), ',') AS kqld,
+          |  dynamicType(element_at(['42', '-7', '3.5', 'true', 'word'], CAST(p_partkey % 5 + 1 AS INT))) AS dt,
+          |  dynamicElement(element_at(['42', '-7', '3.5', 'true', 'word'], CAST(p_partkey % 5 + 1 AS INT)), 'Int64') AS de,
+          |  errorCodeToName(CAST(p_partkey % 1100 AS INT)) AS ecn,
+          |  revision() AS rev,
+          |  initializeAggregation('sumState', p_partkey) AS init_sum,
+          |  finalizeAggregation(initializeAggregation('uniqThetaState', p_partkey)) AS init_theta
+          |FROM part WHERE p_partkey < 700""".stripMargin))
+    },
+
+    // Round-10 batch 31: the PromQL-style grid aggregate family
+    // (timeSeriesRate/Delta/InstantRate/InstantDelta/Resample/LastTwo —
+    // reference AggregateFunctionTimeseries*.h). Grid = 0..400 step 100,
+    // rate/delta window 200 s, staleness 150 s; samples ts = event_id
+    // (unique per key), exploded to one scalar row per grid point for
+    // the driver comparator.
+    "q_ts_grid_family" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT g, CAST(i AS BIGINT) * 100 AS gt,
+          |  toInt64(floor(z.ra * 1000000)) AS rate_ppm,
+          |  toInt64(floor(z.de * 1000000)) AS delta_ppm,
+          |  toInt64(floor(z.ir * 1000000)) AS irate_ppm,
+          |  toInt64(floor(z.idl * 1000000)) AS idelta_ppm,
+          |  toInt64(floor(z.rsm * 1000000)) AS resample_ppm,
+          |  l2t1, l2t2,
+          |  toInt64(floor(l2v1 * 1000000)) AS l2v1_ppm,
+          |  toInt64(floor(l2v2 * 1000000)) AS l2v2_ppm
+          |FROM (
+          |  SELECT event_type AS g,
+          |    timeSeriesRateToGrid(0, 400, 100, 200)(CAST(event_id % 371 AS BIGINT), value) AS ra,
+          |    timeSeriesDeltaToGrid(0, 400, 100, 200)(CAST(event_id % 371 AS BIGINT), value) AS de,
+          |    timeSeriesInstantRateToGrid(0, 400, 100, 200)(CAST(event_id % 371 AS BIGINT), value) AS ir,
+          |    timeSeriesInstantDeltaToGrid(0, 400, 100, 200)(CAST(event_id % 371 AS BIGINT), value) AS idl,
+          |    timeSeriesResampleToGridWithStaleness(0, 400, 100, 150)(CAST(event_id % 371 AS BIGINT), value) AS rsm,
+          |    try_element_at(timeSeriesLastTwoSamples(CAST(event_id % 371 AS BIGINT), value).timestamps, 1) AS l2t1,
+          |    try_element_at(timeSeriesLastTwoSamples(CAST(event_id % 371 AS BIGINT), value).timestamps, 2) AS l2t2,
+          |    try_element_at(timeSeriesLastTwoSamples(CAST(event_id % 371 AS BIGINT), value).values, 1) AS l2v1,
+          |    try_element_at(timeSeriesLastTwoSamples(CAST(event_id % 371 AS BIGINT), value).values, 2) AS l2v2
+          |  FROM events WHERE event_id < 200 GROUP BY event_type)
+          |LATERAL VIEW posexplode(arrays_zip(ra, de, ir, idl, rsm)) t AS i, z
+          |ORDER BY g, gt""".stripMargin)
+    },
+
+    // Round-10 batch 32: embedded-geobase region functions over the
+    // reference's own test geobase (tests/config/regions_hierarchy.txt);
+    // the oracle re-walks the hierarchy with a recursive CTE.
+    "q_fn_regions" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT CAST(number AS INT) AS id,
+          |  regionToCity(number) AS city,
+          |  regionToArea(number) AS area,
+          |  regionToDistrict(number) AS district,
+          |  regionToCountry(number) AS country,
+          |  regionToContinent(number) AS cont,
+          |  regionToTopContinent(number) AS topcont,
+          |  regionToPopulation(number) AS pop,
+          |  regionToName(number) AS rname,
+          |  regionIn(number, 2) AS in_usa,
+          |  regionIn(5, number) AS has5,
+          |  arrayStringConcat(arrayMap(__x -> toString(__x), regionHierarchy(number)), ',') AS hier
+          |FROM system_numbers WHERE number < 15 ORDER BY id""".stripMargin)
+    },
+
+    // runningConcurrency (reference src/Functions/runningConcurrency.cpp)
+    // via the keyed union-sweep in Ops.runningConcurrency — one window
+    // per event_type, no self-join, no global sort.
+    "q_running_concurrency" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.functions._
+      val e = T(s, dir)("events").filter(col("event_id") < 3000)
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts").cast("timestamp")).as("b"))
+        .withColumn("e", col("b") + pmod(col("event_id"), lit(7)) * 60 + 60)
+      ordered(graft.ops.Ops.runningConcurrency(
+          e, Seq("event_type"), col("b"), col("e"), col("event_id"), "conc")
+        .select(col("event_type"), col("event_id"), col("conc")))
     }
   )
 
@@ -164,13 +265,13 @@ object Functions10 {
         |    list(mnv ORDER BY ln) mnm_v,
         |    list(mxv ORDER BY ln) mxm_v
         |  FROM bykey GROUP BY g),
-        |topk AS (SELECT g, list({'value': ln, 'count': c,
-        |      'error': CAST(0 AS BIGINT)} ORDER BY c DESC, ln)
+        |topk AS (SELECT g, list(CAST(ln AS VARCHAR) || ':' || CAST(c AS VARCHAR)
+        |      ORDER BY c DESC, ln)
         |      FILTER (WHERE rc <= 3) atk
         |  FROM (SELECT g, ln, c, row_number() OVER (PARTITION BY g
         |      ORDER BY c DESC, ln) rc FROM bykey) GROUP BY g),
-        |tops AS (SELECT g, list({'value': ln, 'count': CAST(sv AS BIGINT),
-        |      'error': CAST(0 AS BIGINT)} ORDER BY sv DESC, ln)
+        |tops AS (SELECT g, list(CAST(ln AS VARCHAR) || ':' || CAST(CAST(floor(sv) AS BIGINT) AS VARCHAR)
+        |      ORDER BY sv DESC, ln)
         |      FILTER (WHERE rs <= 2) ats
         |  FROM (SELECT g, ln, sv, row_number() OVER (PARTITION BY g
         |      ORDER BY sv DESC, ln) rs FROM bykey) GROUP BY g),
@@ -178,22 +279,30 @@ object Functions10 {
         |    SELECT g, sk FROM base GROUP BY g, sk HAVING count(*) % 2 = 1)
         |  GROUP BY g),
         |cov AS (SELECT g,
-        |    [[CAST(floor(covar_samp(qty, qty) / 1000) AS BIGINT), CAST(floor(covar_samp(qty, ep) / 1000) AS BIGINT)],
-        |     [CAST(floor(covar_samp(ep, qty) / 1000) AS BIGINT), CAST(floor(covar_samp(ep, ep) / 1000) AS BIGINT)]] cvm,
-        |    [[CAST(floor(covar_pop(qty, qty) / 1000) AS BIGINT), CAST(floor(covar_pop(qty, ep) / 1000) AS BIGINT)],
-        |     [CAST(floor(covar_pop(ep, qty) / 1000) AS BIGINT), CAST(floor(covar_pop(ep, ep) / 1000) AS BIGINT)]] cpm
+        |    CAST(CAST(floor(covar_samp(qty, qty) / 1000) AS BIGINT) AS VARCHAR) || ':' || CAST(CAST(floor(covar_samp(qty, ep) / 1000) AS BIGINT) AS VARCHAR)
+        |      || '|' || CAST(CAST(floor(covar_samp(ep, qty) / 1000) AS BIGINT) AS VARCHAR) || ':' || CAST(CAST(floor(covar_samp(ep, ep) / 1000) AS BIGINT) AS VARCHAR) cvm,
+        |    CAST(CAST(floor(covar_pop(qty, qty) / 1000) AS BIGINT) AS VARCHAR) || ':' || CAST(CAST(floor(covar_pop(qty, ep) / 1000) AS BIGINT) AS VARCHAR)
+        |      || '|' || CAST(CAST(floor(covar_pop(ep, qty) / 1000) AS BIGINT) AS VARCHAR) || ':' || CAST(CAST(floor(covar_pop(ep, ep) / 1000) AS BIGINT) AS VARCHAR) cpm
         |  FROM base GROUP BY g),
         |jso AS (SELECT g,
         |    list_sort(list(DISTINCT 'k' || CAST(ln AS VARCHAR))) || ['z.w'] jsd,
-        |    map(list_sort(list(DISTINCT 'k' || CAST(ln AS VARCHAR))) || ['z.w'],
-        |        list_transform(list_sort(list(DISTINCT 'k' || CAST(ln AS VARCHAR))),
-        |          __p -> ['Int64']) || [['String']]) jsm,
+        |    array_to_string(list_transform(list_sort(list(DISTINCT 'k' || CAST(ln AS VARCHAR))),
+        |      __p -> __p || '=Int64') || ['z.w=String'], ',') jsm,
         |    list_sort(list(DISTINCT CASE ln % 3 WHEN 0 THEN 'Number'
         |      WHEN 1 THEN 'String' ELSE 'Bool' END)) jdt
         |  FROM base GROUP BY g)
-        |SELECT m.g, m.sm_k, m.sm_v, m.smf_v, m.mnm_v, m.mxm_v,
-        |  t.atk, ts.ats, coalesce(x.gbx, CAST(0 AS BIGINT)) AS gbx,
-        |  c.cvm, c.cpm, j.jsd, j.jsm, j.jdt
+        |SELECT m.g,
+        |  array_to_string(m.sm_k, ',') AS sm_k,
+        |  array_to_string(list_transform(m.sm_v, __v -> CAST(floor(__v) AS BIGINT)), ',') AS sm_v,
+        |  array_to_string(list_transform(m.smf_v, __v -> CAST(floor(__v) AS BIGINT)), ',') AS smf_v,
+        |  array_to_string(list_transform(m.mnm_v, __v -> CAST(floor(__v) AS BIGINT)), ',') AS mnm_v,
+        |  array_to_string(list_transform(m.mxm_v, __v -> CAST(floor(__v) AS BIGINT)), ',') AS mxm_v,
+        |  array_to_string(t.atk, ',') AS atk,
+        |  array_to_string(ts.ats, ',') AS ats,
+        |  coalesce(x.gbx, CAST(0 AS BIGINT)) AS gbx,
+        |  c.cvm, c.cpm,
+        |  array_to_string(j.jsd, ',') AS jsd, j.jsm,
+        |  array_to_string(j.jdt, ',') AS jdt
         |FROM maps m JOIN topk t ON m.g = t.g JOIN tops ts ON m.g = ts.g
         |LEFT JOIN xr x ON m.g = x.g JOIN cov c ON m.g = c.g
         |JOIN jso j ON m.g = j.g
@@ -201,9 +310,178 @@ object Functions10 {
 
     "q_group_array_last" ->
       """SELECT l_orderkey AS k,
-        |  list_transform(range(LEAST(count(*), 3)), __x -> l_orderkey) AS gal,
+        |  array_to_string(list_transform(range(LEAST(count(*), 3)), __x -> l_orderkey), ',') AS gal,
         |  count(*) AS n
         |FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey
-        |ORDER BY k NULLS FIRST""".stripMargin
+        |ORDER BY k NULLS FIRST""".stripMargin,
+
+    "q_fn_scalar_tail" -> s"""WITH codes(code, cname) AS (VALUES $errorCodeValues),
+        |base AS (SELECT p_partkey k, p_partkey % 5 m5, p_partkey % 3 m3,
+        |    CAST(p_partkey % 21 AS INT) m21 FROM part WHERE p_partkey < 700)
+        |SELECT k,
+        |  CAST(floor((exp(m5) - exp(-m5)) / 2 * 1000000) AS BIGINT) AS sh,
+        |  CAST(floor((exp(m5) + exp(-m5)) / 2 * 1000000) AS BIGINT) AS ch,
+        |  CAST(floor((exp(2 * m5) - 1) / (exp(2 * m5) + 1) * 1000000) AS BIGINT) AS th,
+        |  CAST(floor(ln(m5 + sqrt(m5 * m5 + 1.0)) * 1000000) AS BIGINT) AS ash,
+        |  CAST(floor(ln(1 + m5 + sqrt(CAST((1 + m5) * (1 + m5) - 1 AS DOUBLE))) * 1000000) AS BIGINT) AS ach,
+        |  CAST(floor(0.5 * ln((1 + m5 / 6.0) / (1 - m5 / 6.0)) * 1000000) AS BIGINT) AS ath,
+        |  CAST(factorial(m21) AS BIGINT) AS fact,
+        |  strftime(make_timestamp((1609459200 + k * 61) * 1000000), '%Y-%m-%d %H:%M:%S') AS joda,
+        |  array_to_string(list_transform(list_sort([{'s': 3 * m5, 'v': 10}, {'s': 3 * m3 + 1, 'v': 20}, {'s': 5, 'v': 30}]), __e -> __e.v), ',') AS kqla,
+        |  array_to_string(list_transform(list_reverse_sort([{'s': 3 * m5, 'v': 10}, {'s': 3 * m3 + 1, 'v': 20}, {'s': 5, 'v': 30}]), __e -> __e.v), ',') AS kqld,
+        |  CASE m5 WHEN 0 THEN 'Int64' WHEN 1 THEN 'Int64' WHEN 2 THEN 'Float64'
+        |    WHEN 3 THEN 'Bool' ELSE 'String' END AS dt,
+        |  CASE m5 WHEN 0 THEN '42' WHEN 1 THEN '-7' ELSE NULL END AS de,
+        |  coalesce(c.cname, '') AS ecn,
+        |  CAST(54499 AS INT) AS rev,
+        |  k AS init_sum,
+        |  CAST(1 AS BIGINT) AS init_theta
+        |FROM base LEFT JOIN codes c ON c.code = k % 1100
+        |ORDER BY k NULLS FIRST, sh NULLS FIRST, ch NULLS FIRST, th NULLS FIRST,
+        |  ash NULLS FIRST, ach NULLS FIRST, ath NULLS FIRST, fact NULLS FIRST,
+        |  joda NULLS FIRST, kqla NULLS FIRST, kqld NULLS FIRST, dt NULLS FIRST,
+        |  de NULLS FIRST, ecn NULLS FIRST, rev NULLS FIRST,
+        |  init_sum NULLS FIRST, init_theta NULLS FIRST""".stripMargin,
+
+    "q_ts_grid_family" ->
+      """WITH base AS (SELECT event_type g, CAST(event_id % 371 AS BIGINT) ts, value v
+        |  FROM events WHERE event_id < 200),
+        |grid AS (SELECT DISTINCT g, gt FROM base,
+        |  (SELECT unnest(range(0, 401, 100)) gt)),
+        |win AS (SELECT gr.g, gr.gt, b.ts, b.v FROM grid gr
+        |  JOIN base b ON b.g = gr.g AND b.ts <= gr.gt AND b.ts >= gr.gt - 200),
+        |st AS (SELECT g, gt, count(*) n, min(ts) ft, max(ts) lt,
+        |    arg_min(v, ts) fv, arg_max(v, ts) lv FROM win GROUP BY g, gt),
+        |pairs AS (SELECT g, ts, v, lag(v) OVER (PARTITION BY g ORDER BY ts) pv,
+        |    lag(ts) OVER (PARTITION BY g ORDER BY ts) pts FROM base),
+        |rsts AS (SELECT gr.g, gr.gt,
+        |    sum(CASE WHEN p.v < p.pv THEN p.pv ELSE 0 END) rs
+        |  FROM grid gr JOIN pairs p ON p.g = gr.g AND p.ts <= gr.gt
+        |    AND p.pts >= gr.gt - 200 GROUP BY gr.g, gr.gt),
+        |ext AS (SELECT st.g, st.gt, st.n,
+        |    CAST(st.lt - st.ft AS DOUBLE) si,
+        |    st.lv - st.fv + coalesce(r.rs, 0) vdr,
+        |    st.lv - st.fv vdd,
+        |    CAST(st.lt - st.ft AS DOUBLE) / (st.n - 1) adbs,
+        |    CAST(st.ft - (st.gt - 200) AS DOUBLE) dts,
+        |    CAST(st.gt - st.lt AS DOUBLE) dte, st.fv
+        |  FROM st LEFT JOIN rsts r ON st.g = r.g AND st.gt = r.gt
+        |  WHERE st.n >= 2 AND st.lt > st.ft),
+        |fin AS (SELECT g, gt,
+        |    vdr * ((si
+        |      + CASE WHEN vdr > 0 AND fv >= 0 THEN
+        |          LEAST(si * (fv / vdr),
+        |            CASE WHEN dts >= 1.1 * adbs THEN adbs / 2 ELSE dts END)
+        |        ELSE CASE WHEN dts >= 1.1 * adbs THEN adbs / 2 ELSE dts END END
+        |      + CASE WHEN dte >= 1.1 * adbs THEN adbs / 2 ELSE dte END) / si / 200) rate,
+        |    vdd * ((si
+        |      + CASE WHEN dts >= 1.1 * adbs THEN adbs / 2 ELSE dts END
+        |      + CASE WHEN dte >= 1.1 * adbs THEN adbs / 2 ELSE dte END) / si) delta
+        |  FROM ext),
+        |inst AS (SELECT gr.g, gr.gt,
+        |    arg_max(p.ts, p.ts) lts, arg_max(p.v, p.ts) lv,
+        |    arg_max(p.pts, p.ts) pts, arg_max(p.pv, p.ts) pv
+        |  FROM grid gr JOIN pairs p ON p.g = gr.g AND p.ts <= gr.gt
+        |  GROUP BY gr.g, gr.gt),
+        |instf AS (SELECT g, gt,
+        |    CASE WHEN pts IS NULL OR pts + 200 < gt OR lts = pts THEN NULL
+        |      ELSE (CASE WHEN v2 < pv2 THEN v2 ELSE v2 - pv2 END) / CAST(lts - pts AS DOUBLE) END irate,
+        |    CASE WHEN pts IS NULL OR pts + 200 < gt OR lts = pts THEN NULL
+        |      ELSE v2 - pv2 END idelta
+        |  FROM (SELECT g, gt, lts, pts, lv v2, pv pv2 FROM inst)),
+        |rsm AS (SELECT gr.g, gr.gt, arg_max(b.v, b.ts) rv, max(b.ts) rts
+        |  FROM grid gr JOIN base b ON b.g = gr.g AND b.ts <= gr.gt
+        |  GROUP BY gr.g, gr.gt),
+        |l2 AS (SELECT g, max(CASE WHEN rn = 1 THEN ts END) l2t1,
+        |    max(CASE WHEN rn = 2 THEN ts END) l2t2,
+        |    max(CASE WHEN rn = 1 THEN v END) l2v1,
+        |    max(CASE WHEN rn = 2 THEN v END) l2v2
+        |  FROM (SELECT g, ts, v, row_number() OVER (PARTITION BY g ORDER BY ts DESC) rn
+        |    FROM base) WHERE rn <= 2 GROUP BY g)
+        |SELECT gr.g, gr.gt,
+        |  CAST(floor(f.rate * 1000000) AS BIGINT) AS rate_ppm,
+        |  CAST(floor(f.delta * 1000000) AS BIGINT) AS delta_ppm,
+        |  CAST(floor(i.irate * 1000000) AS BIGINT) AS irate_ppm,
+        |  CAST(floor(i.idelta * 1000000) AS BIGINT) AS idelta_ppm,
+        |  CAST(floor(CASE WHEN r.rts IS NOT NULL AND r.rts + 150 >= gr.gt
+        |    THEN r.rv END * 1000000) AS BIGINT) AS resample_ppm,
+        |  l2.l2t1, l2.l2t2,
+        |  CAST(floor(l2.l2v1 * 1000000) AS BIGINT) AS l2v1_ppm,
+        |  CAST(floor(l2.l2v2 * 1000000) AS BIGINT) AS l2v2_ppm
+        |FROM grid gr
+        |LEFT JOIN fin f ON gr.g = f.g AND gr.gt = f.gt
+        |LEFT JOIN instf i ON gr.g = i.g AND gr.gt = i.gt
+        |LEFT JOIN rsm r ON gr.g = r.g AND gr.gt = r.gt
+        |LEFT JOIN l2 ON gr.g = l2.g
+        |ORDER BY gr.g, gr.gt""".stripMargin,
+
+    "q_fn_regions" ->
+      """WITH RECURSIVE geo(id, parent, type, pop) AS (VALUES
+        |  (1,0,0,CAST(7000000000 AS BIGINT)), (2,10,3,CAST(330000000 AS BIGINT)),
+        |  (3,2,4,CAST(5700000 AS BIGINT)), (4,3,5,CAST(330000 AS BIGINT)),
+        |  (5,4,6,CAST(100000 AS BIGINT)), (6,12,3,CAST(1500000000 AS BIGINT)),
+        |  (7,6,4,CAST(83000000 AS BIGINT)), (8,7,6,CAST(20000000 AS BIGINT)),
+        |  (9,1,1,CAST(1000000000 AS BIGINT)), (10,9,1,CAST(600000000 AS BIGINT)),
+        |  (11,1,1,CAST(5300000000 AS BIGINT)), (12,11,1,CAST(4700000000 AS BIGINT))),
+        |names(id, rname) AS (VALUES (1,'World'), (2,'USA'), (3,'Colorado'),
+        |  (4,'Boulder County'), (5,'Boulder'), (6,'China'), (7,'Sichuan'),
+        |  (8,'Chengdu'), (9,'America'), (10,'North America'), (11,'Eurasia'),
+        |  (12,'Asia')),
+        |nums AS (SELECT CAST(unnest(range(15)) AS INT) id),
+        |walk(start, cur, depth) AS (
+        |  SELECT g.id, g.id, 0 FROM geo g
+        |  UNION ALL
+        |  SELECT w.start, g.parent, w.depth + 1 FROM walk w
+        |  JOIN geo g ON g.id = w.cur WHERE g.parent <> 0),
+        |anc AS (SELECT w.start, w.cur, w.depth, g.type FROM walk w
+        |  JOIN geo g ON g.id = w.cur),
+        |lk AS (SELECT start,
+        |    coalesce(arg_min(cur, depth) FILTER (WHERE type = 6), 0) city,
+        |    coalesce(arg_min(cur, depth) FILTER (WHERE type = 5), 0) area,
+        |    coalesce(arg_min(cur, depth) FILTER (WHERE type = 4), 0) district,
+        |    coalesce(arg_min(cur, depth) FILTER (WHERE type = 3), 0) country,
+        |    coalesce(arg_min(cur, depth) FILTER (WHERE type = 1), 0) cont,
+        |    coalesce(arg_max(cur, depth) FILTER (WHERE type = 1), 0) topcont,
+        |    string_agg(CAST(cur AS VARCHAR), ',' ORDER BY depth) hier,
+        |    bool_or(cur = 2) in_usa
+        |  FROM anc GROUP BY start)
+        |SELECT n.id,
+        |  coalesce(l.city, 0) AS city, coalesce(l.area, 0) AS area,
+        |  coalesce(l.district, 0) AS district, coalesce(l.country, 0) AS country,
+        |  coalesce(l.cont, 0) AS cont, coalesce(l.topcont, 0) AS topcont,
+        |  coalesce(g.pop, 0) AS pop, coalesce(nm.rname, '') AS rname,
+        |  coalesce(l.in_usa, false) AS in_usa,
+        |  n.id IN (SELECT cur FROM anc WHERE start = 5) AS has5,
+        |  coalesce(l.hier, '') AS hier
+        |FROM nums n
+        |LEFT JOIN lk l ON l.start = n.id
+        |LEFT JOIN geo g ON g.id = n.id
+        |LEFT JOIN names nm ON nm.id = n.id
+        |ORDER BY n.id""".stripMargin,
+
+    "q_running_concurrency" ->
+      """WITH base AS (SELECT event_type, event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) b,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + (event_id % 7) * 60 + 60 e
+        |  FROM events WHERE event_id < 3000),
+        |ev AS (
+        |  SELECT event_type, event_id, b AS t, 0 AS is_end, event_id AS tie FROM base
+        |  UNION ALL
+        |  SELECT event_type, event_id, e AS t, 1 AS is_end, NULL AS tie FROM base),
+        |c AS (SELECT event_type, event_id, is_end,
+        |    sum(1 - is_end) OVER w - sum(is_end) OVER w AS conc
+        |  FROM ev WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY t, is_end DESC, tie ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, CAST(conc AS BIGINT) AS conc
+        |FROM c WHERE is_end = 0
+        |ORDER BY event_type NULLS FIRST, event_id NULLS FIRST, conc NULLS FIRST""".stripMargin
   )
+
+  /** The reference's builtin error-code registry as SQL VALUES (derived
+    * from src/Common/ErrorCodes.cpp via functions/Batch30.scala — the
+    * oracle re-checks the lookup plumbing against the same public table). */
+  private lazy val errorCodeValues: String =
+    graft.functions.Batch30.errorCodeNames.toSeq.sortBy(_._1)
+      .map { case (c, n) => s"($c, '$n')" }.mkString(", ")
 }

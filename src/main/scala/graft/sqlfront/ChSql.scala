@@ -829,7 +829,20 @@ object ChSql {
     "defaultProfiles" -> "t",
     "current_schemas" -> "t", "currentSchemas" -> "t",
     "current_query_id" -> "t", "currentQueryID" -> "t",
-    "initializeAggregation" -> "t"
+    "initializeAggregation" -> "t",
+
+    // ---- round-10 batch 31: PromQL-style grid aggregates ----
+    "timeSeriesRateToGrid" -> "t", "timeSeriesDeltaToGrid" -> "t",
+    "timeSeriesInstantRateToGrid" -> "t",
+    "timeSeriesInstantDeltaToGrid" -> "t",
+    "timeSeriesResampleToGridWithStaleness" -> "t",
+    "timeSeriesLastTwoSamples" -> "t",
+
+    // ---- round-10 batch 32: embedded-geobase region functions ----
+    "regionToCity" -> "t", "regionToArea" -> "t", "regionToDistrict" -> "t",
+    "regionToCountry" -> "t", "regionToContinent" -> "t",
+    "regionToTopContinent" -> "t", "regionToPopulation" -> "t",
+    "regionToName" -> "t", "regionIn" -> "t", "regionHierarchy" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1419,6 +1432,232 @@ object ChSql {
     q
   }
 
+  /** Round-10 batch 30: scalar/introspection tail (reference
+    * serverConstants.cpp, filesystemHelpers.cpp, Kusto/KqlArraySort.cpp,
+    * the Variant/Dynamic probe functions, initializeAggregation).
+    * Server-context values are captured once at rewrite time — the same
+    * constant-per-query behavior the reference's server constants have. */
+  private def rewriteScalarTail(q0: String): String = {
+    var q = q0
+    // fromUnixTimestampInJodaSyntax(ts, fmt[, tz]): the Joda render of
+    // the converted timestamp (later templates expand both CH names)
+    q = rewriteCalls(q, "fromUnixTimestampInJodaSyntax")(a =>
+      if (a.length == 1) s"fromUnixTimestamp(${a(0)})"
+      else s"formatDateTimeInJodaSyntax(fromUnixTimestamp(${a(0)}), ${a(1)})")
+
+    // kql_array_sort_asc/desc (KqlArraySort.cpp): zip, sort by the first
+    // array (nulls last — KQL default; the optional trailing bool flag
+    // is accepted), return the tuple of permuted arrays
+    def kqlSort(a0: Seq[String], desc: Boolean): String = {
+      val a = if (a0.length > 1 &&
+          Set("true", "false")(a0.last.trim.toLowerCase)) a0.dropRight(1) else a0
+      val (lt, gt) = if (desc) (">", "<") else ("<", ">")
+      def cmp(l: String, r: String): String =
+        s"CASE WHEN $l IS NULL AND $r IS NULL THEN 0 WHEN $l IS NULL THEN 1 " +
+          s"WHEN $r IS NULL THEN -1 WHEN $l $lt $r THEN -1 WHEN $l $gt $r THEN 1 ELSE 0 END"
+      if (a.length == 1)
+        s"named_struct('a1', array_sort(${a(0)}, (__l, __r) -> ${cmp("__l", "__r")}))"
+      else {
+        val zip = s"zip_with(${a(0)}, ${a(1)}, (__zx, __zy) -> named_struct('k', __zx, 'v', __zy))"
+        val sorted = s"array_sort($zip, (__l, __r) -> ${cmp("__l.k", "__r.k")})"
+        s"named_struct('a1', transform($sorted, __s -> __s.k), " +
+          s"'a2', transform($sorted, __s2 -> __s2.v))"
+      }
+    }
+    q = rewriteCalls(q, "kql_array_sort_asc")(a => kqlSort(a, desc = false))
+    q = rewriteCalls(q, "kql_array_sort_desc")(a => kqlSort(a, desc = true))
+
+    // Variant/Dynamic probes over the string-encoded dynamic model
+    // (reference dynamicType returns 'None' for NULL)
+    def dynType(x: String): String =
+      s"(CASE WHEN ($x) IS NULL THEN 'None' " +
+        s"WHEN CAST($x AS STRING) IN ('true', 'false') THEN 'Bool' " +
+        s"WHEN CAST($x AS STRING) RLIKE '^-?[0-9]+$$' THEN 'Int64' " +
+        s"WHEN try_cast(CAST($x AS STRING) AS DOUBLE) IS NOT NULL THEN 'Float64' " +
+        s"ELSE 'String' END)"
+    for (n <- Seq("dynamicType", "variantType"))
+      q = rewriteCalls(q, n)(a => dynType(a(0)))
+    for (n <- Seq("dynamicElement", "variantElement"))
+      q = rewriteCalls(q, n)(a =>
+        s"IF(${dynType(a(0))} = ${a(1)}, CAST(${a(0)} AS STRING), CAST(NULL AS STRING))")
+
+    // server constants (serverConstants.cpp; revision =
+    // cmake/autogenerated_versions.txt VERSION_REVISION)
+    q = rewriteCalls(q, "revision")(_ => "CAST(54499 AS INT)")
+    q = rewriteCalls(q, "buildId")(_ => s"'$buildIdHex'")
+    q = rewriteCalls(q, "getOSKernelVersion")(_ =>
+      s"'${System.getProperty("os.name")} ${System.getProperty("os.version")}'")
+    q = rewriteCalls(q, "filesystemAvailable")(_ =>
+      s"CAST(${fileStore.getUsableSpace}L AS BIGINT)")
+    q = rewriteCalls(q, "filesystemCapacity")(_ =>
+      s"CAST(${fileStore.getTotalSpace}L AS BIGINT)")
+    q = rewriteCalls(q, "filesystemUnreserved")(_ =>
+      s"CAST(${fileStore.getUnallocatedSpace}L AS BIGINT)")
+    for (n <- Seq("currentProfiles", "enabledProfiles", "defaultProfiles"))
+      q = rewriteCalls(q, n)(_ => "array('default')")
+    for (n <- Seq("current_schemas", "currentSchemas"))
+      q = rewriteCalls(q, n)(_ => "array('default')")
+    for (n <- Seq("current_query_id", "currentQueryID"))
+      q = rewriteCalls(q, n)(_ => s"'${java.util.UUID.randomUUID()}'")
+
+    // batch 32: region functions (the optional geobase-selector / lang
+    // argument of the reference is accepted and dropped — one geobase)
+    for (kind <- Seq("City", "Area", "District", "Country", "Continent",
+        "TopContinent", "Population"))
+      q = rewriteCalls(q, s"regionTo$kind")(a =>
+        s"region_to_${kind.toLowerCase}(${a(0)})")
+    q = rewriteCalls(q, "regionToName")(a => s"region_to_name(${a(0)})")
+    q = rewriteCalls(q, "regionIn")(a => s"region_in(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "regionHierarchy")(a => s"region_hierarchy(${a(0)})")
+
+    // initializeAggregation('fState', x): materialize a single-value
+    // aggregate state. Algebraic aggregates' -State here IS the value
+    // (sum/min/max/any); uniqThetaState gets a real one-hash KMV state
+    // that merges with aggregated states (Batch30.ThetaSingletonState).
+    q = rewriteCalls(q, "initializeAggregation") { a =>
+      stripName(a(0)) match {
+        case "sumState" | "minState" | "maxState" | "anyState" |
+             "anyLastState" => s"(${a(1)})"
+        case "countState" => "CAST(1 AS BIGINT)"
+        case "groupArrayState" | "groupUniqArrayState" => s"array(${a(1)})"
+        case "uniqThetaState" | "uniqState" | "uniqExactState" =>
+          s"uniq_theta_singleton(${a(1)})"
+        case other => throw new IllegalArgumentException(
+          s"initializeAggregation: unsupported state function '$other'")
+      }
+    }
+    q
+  }
+
+  /** Round-10 batch 31: the PromQL-style grid aggregate family
+    * (reference src/AggregateFunctions/AggregateFunctionTimeseries*.h —
+    * timeSeriesRateToGrid / DeltaToGrid use Prometheus' extrapolated
+    * rate, per the reference's own Apache-2.0 attribution at
+    * AggregateFunctionTimeseriesExtrapolatedValue.h:147; Instant* are
+    * irate/idelta over the last two samples; ResampleToGridWithStaleness
+    * is last-value carry). Each is a single-expression scan over the
+    * group's collected (ts, value) samples, exact per the reference's
+    * bucket-fill loops; grid parameters must be integer literals
+    * (seconds). The scale path for huge series is the ASOF-join grid
+    * formulation (queries/TimeSeries.q_ts_regrid / ops.TimeGrid). */
+  private def rewriteTimeSeriesGrid(q0: String): String = {
+    var q = q0
+    if (!q.contains("timeSeries")) return q
+    def gridParams(p: Seq[String]): (Long, Long, Long) = {
+      def plit(s: String, what: String): Long = {
+        val t = s.trim
+        if (t.matches("-?\\d+")) t.toLong
+        else throw new IllegalArgumentException(
+          s"timeSeries* grid $what must be an integer literal, got '$t'")
+      }
+      val start = plit(p(0), "start"); val end = plit(p(1), "end")
+      val step = plit(p(2), "step")
+      require(step > 0 && end >= start, "timeSeries*: bad grid parameters")
+      // the reference aligns the end down by step (Base.h:69)
+      (start, start + (end - start) / step * step, step)
+    }
+    def sortedSamples(ts: String, v: String): String =
+      s"array_sort(collect_list(named_struct('ts', CAST($ts AS BIGINT), 'v', CAST($v AS DOUBLE))))"
+    def grid(s0: Long, e0: Long, st: Long, perPoint: String): String =
+      s"transform(sequence(CAST($s0 AS BIGINT), CAST($e0 AS BIGINT), CAST($st AS BIGINT)), __gt -> $perPoint)"
+
+    // extrapolated delta/rate: window = [gt - w, gt]; needs >= 2 samples
+    // and a nonzero sampled interval; rate adds counter-reset accumulation
+    // and the zero-crossing clamp, then divides by the window length
+    def extrapolated(p: Seq[String], a: Seq[String], isRate: Boolean): String = {
+      val (s0, e0, st) = gridParams(p)
+      val w = p(3).trim.toLong
+      val arr = sortedSamples(a(0), a(1))
+      val win = s"filter($arr, __s -> __s.ts <= __gt AND __s.ts >= __gt - $w)"
+      val resets =
+        if (isRate)
+          s"aggregate(__w, named_struct('pv', CAST(NULL AS DOUBLE), 'acc', CAST(0 AS DOUBLE)), " +
+            s"(__ra, __rv) -> named_struct('pv', __rv.v, 'acc', __ra.acc + " +
+            s"IF(__ra.pv IS NOT NULL AND __rv.v < __ra.pv, __ra.pv, CAST(0 AS DOUBLE))), __ra -> __ra.acc)"
+        else "CAST(0 AS DOUBLE)"
+      val stats = s"named_struct('n', size(__w), " +
+        s"'ft', try_element_at(__w, 1).ts, 'lt', try_element_at(__w, -1).ts, " +
+        s"'fv', try_element_at(__w, 1).v, 'lv', try_element_at(__w, -1).v, 'rs', $resets)"
+      val derived = s"named_struct('si', CAST(__x.lt - __x.ft AS DOUBLE), " +
+        s"'vd', __x.lv - __x.fv + __x.rs, " +
+        s"'adbs', CAST(__x.lt - __x.ft AS DOUBLE) / (size(__w) - 1), " +
+        s"'dts', CAST(__x.ft - (__gt - $w) AS DOUBLE), " +
+        s"'dte', CAST(__gt - __x.lt AS DOUBLE), 'fv', __x.fv)"
+      val dts1 = s"IF(__y.dts >= 1.1D * __y.adbs, __y.adbs / 2, __y.dts)"
+      val dts2 =
+        if (isRate)
+          s"IF(__y.vd > 0 AND __y.fv >= 0, LEAST(__y.si * (__y.fv / __y.vd), $dts1), $dts1)"
+        else dts1
+      val dte1 = s"IF(__y.dte >= 1.1D * __y.adbs, __y.adbs / 2, __y.dte)"
+      val factor =
+        if (isRate) s"((__y.si + $dts2 + $dte1) / __y.si / $w)"
+        else s"((__y.si + $dts2 + $dte1) / __y.si)"
+      val perPoint =
+        s"try_element_at(transform(array($win), __w -> " +
+          s"CASE WHEN size(__w) < 2 THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN try_element_at(__w, -1).ts = try_element_at(__w, 1).ts THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE try_element_at(transform(array($stats), __x -> " +
+            s"try_element_at(transform(array($derived), __y -> __y.vd * $factor), 1)), 1) END), 1)"
+      grid(s0, e0, st, perPoint)
+    }
+    q = rewriteParamCalls(q, "timeSeriesRateToGrid")((p, a) => extrapolated(p, a, isRate = true))
+    q = rewriteParamCalls(q, "timeSeriesDeltaToGrid")((p, a) => extrapolated(p, a, isRate = false))
+
+    // instant rate/delta: the last two samples at each grid point, with
+    // the OLDER one still inside the window; irate clamps counter resets
+    def instant(p: Seq[String], a: Seq[String], isRate: Boolean): String = {
+      val (s0, e0, st) = gridParams(p)
+      val w = p(3).trim.toLong
+      val arr = sortedSamples(a(0), a(1))
+      val win = s"filter($arr, __s -> __s.ts <= __gt)"
+      val vd =
+        if (isRate) s"IF(__l.v < __p.v, __l.v, __l.v - __p.v)"
+        else s"(__l.v - __p.v)"
+      val res =
+        if (isRate) s"($vd / CAST(__l.ts - __p.ts AS DOUBLE))"
+        else vd
+      val perPoint =
+        s"try_element_at(transform(array($win), __w -> " +
+          s"CASE WHEN size(__w) < 2 THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN try_element_at(__w, -2).ts + $w < __gt THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN try_element_at(__w, -1).ts = try_element_at(__w, -2).ts THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE try_element_at(transform(array(try_element_at(__w, -1)), __l -> " +
+            s"try_element_at(transform(array(try_element_at(__w, -2)), __p -> $res), 1)), 1) END), 1)"
+      grid(s0, e0, st, perPoint)
+    }
+    q = rewriteParamCalls(q, "timeSeriesInstantRateToGrid")((p, a) => instant(p, a, isRate = true))
+    q = rewriteParamCalls(q, "timeSeriesInstantDeltaToGrid")((p, a) => instant(p, a, isRate = false))
+
+    // last-value carry with staleness (ToGridSparse.h:140-152)
+    q = rewriteParamCalls(q, "timeSeriesResampleToGridWithStaleness") { (p, a) =>
+      val (s0, e0, st) = gridParams(p)
+      val w = p(3).trim.toLong
+      val arr = sortedSamples(a(0), a(1))
+      val perPoint =
+        s"try_element_at(transform(array(try_element_at(filter($arr, __s -> __s.ts <= __gt), -1)), " +
+          s"__l -> IF(__l.ts + $w >= __gt, __l.v, CAST(NULL AS DOUBLE))), 1)"
+      grid(s0, e0, st, perPoint)
+    }
+
+    // debugging aggregate: the last two (ts, value) samples, newest first
+    q = rewriteCalls(q, "timeSeriesLastTwoSamples") { a =>
+      val arr = sortedSamples(a(0), a(1))
+      s"named_struct('timestamps', transform(slice(reverse($arr), 1, 2), __s -> __s.ts), " +
+        s"'values', transform(slice(reverse($arr), 1, 2), __s2 -> __s2.v))"
+    }
+    q
+  }
+
+  private lazy val fileStore =
+    java.nio.file.Files.getFileStore(java.nio.file.Paths.get("."))
+
+  /** Stable per-process build id (reference buildId() returns the ELF
+    * build-id hex of the binary; here: SHA-1 of the engine identity). */
+  private lazy val buildIdHex: String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s"graft-spark-${org.apache.spark.SPARK_VERSION}-r54499".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   def rewrite(chSql: String): String = {
     var q = chSql
 
@@ -1551,6 +1790,10 @@ object ChSql {
     // round-10 batch 29: aggregate spelling tail (runs first — its
     // emitted Spark HOFs are names no later CH template reshapes)
     q = rewriteAggSpellings(q)
+    // round-10 batch 30: scalar/introspection tail
+    q = rewriteScalarTail(q)
+    // round-10 batch 31: PromQL-style grid aggregates
+    q = rewriteTimeSeriesGrid(q)
     // CH higher-order fns take the LAMBDA first; Spark takes the array first.
     q = rewriteCalls(q, "arrayMap")(a => s"transform(${a(1)}, ${a(0)})")
     q = rewriteCalls(q, "arrayFilter")(a => s"filter(${a(1)}, ${a(0)})")

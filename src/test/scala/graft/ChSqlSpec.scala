@@ -2003,6 +2003,82 @@ class ChSqlSpec extends AnyFunSuite {
     assert(math.abs(m(0)(0) - 42.0 / 27) < 1e-9)
   }
 
+  test("batch-30: errorCodeToName covers the reference's builtin table") {
+    val r = ch("""SELECT errorCodeToName(0) AS ok, errorCodeToName(60) AS t60,
+                 |errorCodeToName(999999) AS unknown""".stripMargin).collect()(0)
+    assert(r.getString(0) == "OK")
+    assert(r.getString(1) == "UNKNOWN_TABLE") // ErrorCodes.cpp M(60, UNKNOWN_TABLE)
+    assert(r.getString(2) == "")
+    assert(graft.functions.Batch30.errorCodeNames.size > 600)
+  }
+
+  test("batch-30: initializeAggregation states merge with aggregated ones") {
+    // a singleton uniqTheta state unions with a real aggregated state
+    // and estimates the combined distinct count exactly (unsaturated)
+    val r = ch("""WITH agg AS (SELECT uniqThetaState(n_nationkey) AS st FROM nation)
+                 |SELECT finalizeAggregation(uniqThetaUnion(st,
+                 |  initializeAggregation('uniqThetaState', 999))) AS merged,
+                 |finalizeAggregation(uniqThetaUnion(st,
+                 |  initializeAggregation('uniqThetaState', 3))) AS dup
+                 |FROM agg""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 26L) // 25 nations + 1 new
+    assert(r.getLong(1) == 25L) // 3 already counted
+  }
+
+  test("batch-30: kql_array_sort permutes parallel arrays") {
+    val r = ch("""SELECT kql_array_sort_asc([3, 1, 2], ['c', 'a', 'b']) AS t,
+                 |kql_array_sort_desc([3, 1, 2]) AS d""".stripMargin).collect()(0)
+    val t = r.getStruct(0)
+    assert(t.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(t.getSeq[String](1) == Seq("a", "b", "c"))
+    assert(r.getStruct(1).getSeq[Int](0) == Seq(3, 2, 1))
+  }
+
+  test("batch-30: dynamicType classification and element extraction") {
+    val r = ch("""SELECT dynamicType('42') AS a, dynamicType('3.5') AS b,
+                 |dynamicType('true') AS c, dynamicType('hi') AS d,
+                 |dynamicType(NULL) AS e,
+                 |dynamicElement('42', 'Int64') AS f,
+                 |dynamicElement('hi', 'Int64') AS g""".stripMargin).collect()(0)
+    assert(r.getString(0) == "Int64" && r.getString(1) == "Float64")
+    assert(r.getString(2) == "Bool" && r.getString(3) == "String")
+    assert(r.getString(4) == "None")
+    assert(r.getString(5) == "42" && r.isNullAt(6))
+  }
+
+  test("batch-31: timeSeriesRateToGrid matches hand-computed Prometheus extrapolation") {
+    import spark.implicits._
+    // samples (10,1) (20,2) (30,10); grid point 30, window 30:
+    // si=20 n=3 adbs=10; dts=10 (<1.1*adbs) ; counter zero-clamp:
+    // dzero=20*1/9=2.22 < 10; dte=0; factor=(20+2.222+0)/20/30
+    // rate = 9 * 0.037037 = 1/3
+    Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 10.0))
+      .toDF("g", "ts", "v").createOrReplaceTempView("tsg")
+    val r = ch("""SELECT try_element_at(timeSeriesRateToGrid(30, 30, 10, 30)(ts, v), 1) AS ra,
+                 |try_element_at(timeSeriesDeltaToGrid(30, 30, 10, 30)(ts, v), 1) AS de,
+                 |try_element_at(timeSeriesInstantRateToGrid(30, 30, 10, 30)(ts, v), 1) AS ir,
+                 |try_element_at(timeSeriesInstantDeltaToGrid(30, 30, 10, 30)(ts, v), 1) AS idl,
+                 |try_element_at(timeSeriesResampleToGridWithStaleness(30, 30, 10, 30)(ts, v), 1) AS rs
+                 |FROM tsg GROUP BY g""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-12) // rate
+    assert(math.abs(r.getDouble(1) - 13.5) < 1e-12) // delta: 9*(20+10+0)/20
+    assert(math.abs(r.getDouble(2) - 0.8) < 1e-12) // irate: (10-2)/10
+    assert(math.abs(r.getDouble(3) - 8.0) < 1e-12) // idelta
+    assert(r.getDouble(4) == 10.0) // last value, fresh
+    // counter reset: 5 -> 2 adds 5 to the accumulated resets
+    Seq((1L, 10L, 5.0), (1L, 20L, 2.0), (1L, 30L, 4.0))
+      .toDF("g", "ts", "v").createOrReplaceTempView("tsg2")
+    val r2 = ch("""SELECT try_element_at(timeSeriesInstantRateToGrid(30, 30, 10, 30)(ts, v), 1) AS ir,
+                  |try_element_at(timeSeriesInstantDeltaToGrid(30, 30, 10, 30)(ts, v), 1) AS idl
+                  |FROM tsg2 GROUP BY g""".stripMargin).collect()(0)
+    assert(math.abs(r2.getDouble(0) - 0.2) < 1e-12) // (4-2)/10, no reset
+    assert(math.abs(r2.getDouble(1) - 2.0) < 1e-12)
+    // stale: last sample older than the staleness window -> NULL
+    val r3 = ch("""SELECT try_element_at(timeSeriesResampleToGridWithStaleness(100, 100, 10, 30)(ts, v), 1) AS rs
+                  |FROM tsg2 GROUP BY g""".stripMargin).collect()(0)
+    assert(r3.isNullAt(0))
+  }
+
   test("batch-21: addTupleOfIntervals applies intervals left to right") {
     val r = ch("""SELECT addTupleOfIntervals(toDate('2018-01-01'),
                  |  (toIntervalDay(1), toIntervalMonth(1))) AS fwd,
