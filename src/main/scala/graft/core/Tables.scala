@@ -153,6 +153,14 @@ object Tables {
         udaf(new graft.aggregates.DDSketchAggregator(0.01, pct / 100.0),
           Encoders.scalaDouble))
     }
+    // stochastic{Linear,Logistic}Regression analogs (MlMethods.scala):
+    // input = array(y, x1 .. xk), state = [tag, w1..wk, intercept]
+    val seqDoubleEnc: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    spark.udf.register("ml_linreg_state",
+      udaf(new graft.aggregates.MlRegressionAggregator(logistic = false), seqDoubleEnc))
+    spark.udf.register("ml_logreg_state",
+      udaf(new graft.aggregates.MlRegressionAggregator(logistic = true), seqDoubleEnc))
   }
 
   /** Session defaults for local[32] iteration; the same settings scale to a

@@ -362,7 +362,23 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.ErrorCodeToName(es.head)),
       (FunctionIdentifier("uniq_theta_singleton"), info("uniq_theta_singleton"),
         (es: Seq[Expression]) => graft.functions.ThetaSingletonState(asLong(es.head)))
-    ) ++ s2Family ++ regionFamily
+    ) ++ s2Family ++ regionFamily ++ h3Family
+
+  /** Round-10 batch 34 (functions/H3Cells.scala): the index-arithmetic
+    * H3 subset. */
+  private def h3Family: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq("resolution", "baseCell", "isValid", "isPentagon", "isResClassIII",
+        "toString", "stringTo", "numHexagons", "pentagonIndexes").map { kind =>
+      val n = s"h3_${kind.toLowerCase}"
+      (FunctionIdentifier(n), info(n),
+        (es: Seq[Expression]) => graft.functions.H3Unary(es.head, kind): Expression)
+    } ++ Seq("toParent", "toCenterChild", "toChildren").map { kind =>
+      val n = s"h3_${kind.toLowerCase}"
+      (FunctionIdentifier(n), info(n),
+        (es: Seq[Expression]) => graft.functions.H3WithRes(es(0), es(1), kind): Expression)
+    } ++ Seq(
+      (FunctionIdentifier("h3_res0_indexes"), info("h3_res0_indexes"),
+        (_: Seq[Expression]) => graft.functions.H3Res0Indexes(): Expression))
 
   /** Round-10 batch 32 (functions/Batch32.scala): embedded-geobase
     * region functions. The optional second geobase-selector argument of

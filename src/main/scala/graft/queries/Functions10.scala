@@ -161,6 +161,73 @@ object Functions10 {
           |FROM system_numbers WHERE number < 15 ORDER BY id""".stripMargin)
     },
 
+    // Round-10 batch 33: stochastic regression named surface — the
+    // deterministic sufficient-statistics solve (MlMethods.scala) whose
+    // 3x3 Cramer expansion the oracle mirrors operation-for-operation
+    // (moments are integral-valued, so both engines hold exact doubles
+    // and the solve is bit-identical).
+    "q_fn_ml_method" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT g,
+          |  toInt64(floor(try_element_at(lst, 2) * 1000000000)) AS lw1_n,
+          |  toInt64(floor(try_element_at(lst, 3) * 1000000000)) AS lw2_n,
+          |  toInt64(floor(try_element_at(lst, 4) * 1000000000)) AS lb_n,
+          |  toInt64(floor(evalMLMethod(lst, 10, 5) * 1000000)) AS lpred,
+          |  toInt64(floor(try_element_at(gst, 2) * 1000000000)) AS gw1_n,
+          |  toInt64(floor(try_element_at(gst, 3) * 1000000000)) AS gw2_n,
+          |  toInt64(floor(try_element_at(gst, 4) * 1000000000)) AS gb_n,
+          |  toInt64(floor(evalMLMethod(gst, 10, 5) * 1000000)) AS gpred
+          |FROM (
+          |  SELECT l_linestatus AS g,
+          |    stochasticLinearRegression(0.1, 0.0, 32, 'SGD')(
+          |      toInt64(l_extendedprice * 100 + 0.5), toInt64(l_quantity),
+          |      toInt64(l_discount * 100 + 0.5)) AS lst,
+          |    stochasticLogisticRegression(0.1, 0.0, 32, 'SGD')(
+          |      if(l_returnflag = 'R', 1, 0), toInt64(l_quantity),
+          |      toInt64(l_discount * 100 + 0.5)) AS gst
+          |  FROM lineitem GROUP BY g) ORDER BY g""".stripMargin)
+    },
+
+    // sequenceMatchEvents('(?1).*(?2)'): the matched events' timestamps
+    // (earliest cond1, earliest cond2 after it), '' when unmatched.
+    "q_sequence_match_events" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT user_id,
+          |  arrayStringConcat(arrayMap(__x -> toString(__x),
+          |    sequenceMatchEvents('(?1).*(?2)')(toUnixTimestamp(ts),
+          |      event_type = 'signup', event_type = 'purchase')), ',') AS ev
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    },
+
+    // Round-10 batch 34: H3 index arithmetic. Cells are synthesized
+    // from (base, res, digit) triples covering pentagons and invalid
+    // K-axis leads; the oracle re-derives every operation with integer
+    // arithmetic over the public H3 bit layout.
+    "q_fn_h3" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """WITH cells AS (
+          |  SELECT p_partkey AS k,
+          |    576460752303423488 + (p_partkey % 6) * 4503599627370496
+          |      + (p_partkey % 122) * 35184372088832
+          |      + (shiftLeft(CAST(1 AS BIGINT), CAST(45 - 3 * (p_partkey % 6) AS INT)) - 1)
+          |      + (p_partkey % 7) * intDiv(35184372088832 - shiftLeft(CAST(1 AS BIGINT), CAST(45 - 3 * (p_partkey % 6) AS INT)), 7) AS cell,
+          |    p_partkey % 6 AS res
+          |  FROM part WHERE p_partkey < 500)
+          |SELECT k, cell,
+          |  h3GetResolution(cell) AS res_out,
+          |  h3GetBaseCell(cell) AS bc,
+          |  h3IsValid(cell) AS valid,
+          |  h3IsPentagon(cell) AS pent,
+          |  h3IsResClassIII(cell) AS c3,
+          |  h3ToString(cell) AS hs,
+          |  stringToH3(h3ToString(cell)) AS rt,
+          |  h3ToParent(cell, greatest(res - 1, 0)) AS par,
+          |  h3ToCenterChild(cell, res + 2) AS cc,
+          |  size(h3ToChildren(cell, res + 1)) AS nchild,
+          |  h3NumHexagons(res) AS nhex
+          |FROM cells ORDER BY k""".stripMargin)
+    },
+
     // runningConcurrency (reference src/Functions/runningConcurrency.cpp)
     // via the keyed union-sweep in Ops.runningConcurrency — one window
     // per event_type, no self-join, no global sort.
@@ -458,6 +525,86 @@ object Functions10 {
         |LEFT JOIN geo g ON g.id = n.id
         |LEFT JOIN names nm ON nm.id = n.id
         |ORDER BY n.id""".stripMargin,
+
+    "q_fn_ml_method" ->
+      """WITH bb AS (SELECT l_linestatus g,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS DOUBLE) y,
+        |    CAST(floor(l_quantity) AS DOUBLE) x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS DOUBLE) x2,
+        |    CASE WHEN l_returnflag = 'R' THEN 2.0 ELSE -2.0 END t
+        |  FROM lineitem),
+        |m AS (SELECT g, count(*)::DOUBLE n, sum(x1) s1, sum(x2) s2,
+        |    sum(x1*x1) s11, sum(x1*x2) s12, sum(x2*x2) s22,
+        |    sum(y) sy, sum(x1*y) s1y, sum(x2*y) s2y,
+        |    sum(t) st, sum(x1*t) s1t, sum(x2*t) s2t
+        |  FROM bb GROUP BY g),
+        |sol AS (SELECT g,
+        |    s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - s22*s1) AS det,
+        |    s1y*(s22*n - s2*s2) - s12*(s2y*n - s2*sy) + s1*(s2y*s2 - s22*sy) AS dly1,
+        |    s11*(s2y*n - s2*sy) - s1y*(s12*n - s2*s1) + s1*(s12*sy - s2y*s1) AS dly2,
+        |    s11*(s22*sy - s2y*s2) - s12*(s12*sy - s2y*s1) + s1y*(s12*s2 - s22*s1) AS dlyb,
+        |    s1t*(s22*n - s2*s2) - s12*(s2t*n - s2*st) + s1*(s2t*s2 - s22*st) AS dgt1,
+        |    s11*(s2t*n - s2*st) - s1t*(s12*n - s2*s1) + s1*(s12*st - s2t*s1) AS dgt2,
+        |    s11*(s22*st - s2t*s2) - s12*(s12*st - s2t*s1) + s1t*(s12*s2 - s22*s1) AS dgtb
+        |  FROM m),
+        |w AS (SELECT g, dly1/det lw1, dly2/det lw2, dlyb/det lb,
+        |    dgt1/det gw1, dgt2/det gw2, dgtb/det gb FROM sol)
+        |SELECT g,
+        |  CAST(floor(lw1 * 1000000000) AS BIGINT) AS lw1_n,
+        |  CAST(floor(lw2 * 1000000000) AS BIGINT) AS lw2_n,
+        |  CAST(floor(lb * 1000000000) AS BIGINT) AS lb_n,
+        |  CAST(floor((lw1 * CAST(10 AS DOUBLE) + lw2 * CAST(5 AS DOUBLE) + lb) * 1000000) AS BIGINT) AS lpred,
+        |  CAST(floor(gw1 * 1000000000) AS BIGINT) AS gw1_n,
+        |  CAST(floor(gw2 * 1000000000) AS BIGINT) AS gw2_n,
+        |  CAST(floor(gb * 1000000000) AS BIGINT) AS gb_n,
+        |  CAST(floor(1.0 / (1.0 + exp(-(gw1 * CAST(10 AS DOUBLE) + gw2 * CAST(5 AS DOUBLE) + gb))) * 1000000) AS BIGINT) AS gpred
+        |FROM w ORDER BY g""".stripMargin,
+
+    "q_sequence_match_events" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) e, event_type
+        |  FROM events),
+        |t1 AS (SELECT user_id, min(e) FILTER (WHERE event_type = 'signup') t1
+        |  FROM b GROUP BY user_id),
+        |t2 AS (SELECT t1.user_id, max(t1.t1) t1, min(b.e) t2
+        |  FROM t1 LEFT JOIN b ON b.user_id = t1.user_id
+        |    AND b.event_type = 'purchase' AND b.e > t1.t1
+        |  GROUP BY t1.user_id)
+        |SELECT user_id,
+        |  CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+        |    THEN CAST(t1 AS VARCHAR) || ',' || CAST(t2 AS VARCHAR) ELSE '' END AS ev
+        |FROM t2 ORDER BY user_id""".stripMargin,
+
+    "q_fn_h3" ->
+      """WITH cells AS (SELECT p_partkey k,
+        |    CAST(p_partkey % 6 AS BIGINT) res,
+        |    CAST(p_partkey % 122 AS BIGINT) base,
+        |    CAST(p_partkey % 7 AS BIGINT) d
+        |  FROM part WHERE p_partkey < 500),
+        |c2 AS (SELECT k, res, base, d,
+        |    576460752303423488 + res * 4503599627370496 + base * 35184372088832
+        |      + ((1::BIGINT << (45 - 3 * res)) - 1)
+        |      + d * ((35184372088832 - (1::BIGINT << (45 - 3 * res))) // 7) cell
+        |  FROM cells),
+        |pb AS (SELECT unnest([4,14,24,38,49,58,63,72,83,97,107,117]) p)
+        |SELECT k, cell,
+        |  CAST(res AS INT) AS res_out,
+        |  CAST(base AS INT) AS bc,
+        |  NOT (base IN (SELECT p FROM pb) AND d = 1 AND res > 0) AS valid,
+        |  (base IN (SELECT p FROM pb) AND (d = 0 OR res = 0)) AS pent,
+        |  res % 2 = 1 AS c3,
+        |  printf('%x', cell) AS hs,
+        |  cell AS rt,
+        |  CASE WHEN res = 0 THEN cell ELSE
+        |    cell - 4503599627370496
+        |      + (7 - d) * (((1::BIGINT << (45 - 3 * (res - 1))) - (1::BIGINT << (45 - 3 * res))) // 7)
+        |  END AS par,
+        |  cell + 2 * 4503599627370496
+        |    - 7 * (((1::BIGINT << (45 - 3 * res)) - (1::BIGINT << (45 - 3 * (res + 2)))) // 7) AS cc,
+        |  CASE WHEN base IN (SELECT p FROM pb) AND (d = 0 OR res = 0)
+        |    THEN 6 ELSE 7 END AS nchild,
+        |  2 + 120 * CAST(pow(7, res) AS BIGINT) AS nhex
+        |FROM c2 ORDER BY k""".stripMargin,
 
     "q_running_concurrency" ->
       """WITH base AS (SELECT event_type, event_id,

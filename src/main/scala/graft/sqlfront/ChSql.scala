@@ -842,7 +842,25 @@ object ChSql {
     "regionToCity" -> "t", "regionToArea" -> "t", "regionToDistrict" -> "t",
     "regionToCountry" -> "t", "regionToContinent" -> "t",
     "regionToTopContinent" -> "t", "regionToPopulation" -> "t",
-    "regionToName" -> "t", "regionIn" -> "t", "regionHierarchy" -> "t"
+    "regionToName" -> "t", "regionIn" -> "t", "regionHierarchy" -> "t",
+
+    // ---- round-10 batch 33: ML methods + sequenceMatchEvents ----
+    "stochasticLinearRegression" -> "t",
+    "stochasticLinearRegressionState" -> "t",
+    "stochasticLogisticRegression" -> "t",
+    "stochasticLogisticRegressionState" -> "t",
+    "evalMLMethod" -> "t", "sequenceMatchEvents" -> "t",
+
+    // ---- round-10 batch 34: H3 index arithmetic (H3Cells.scala) ----
+    "h3GetResolution" -> "h3_resolution", "h3GetBaseCell" -> "h3_basecell",
+    "h3IsValid" -> "h3_isvalid", "h3IsPentagon" -> "h3_ispentagon",
+    "h3IsResClassIII" -> "h3_isresclassiii",
+    "h3ToString" -> "h3_tostring", "stringToH3" -> "h3_stringto",
+    "h3NumHexagons" -> "h3_numhexagons",
+    "h3GetPentagonIndexes" -> "h3_pentagonindexes",
+    "h3ToParent" -> "h3_toparent", "h3ToCenterChild" -> "h3_tocenterchild",
+    "h3ToChildren" -> "h3_tochildren",
+    "h3GetRes0Indexes" -> "h3_res0_indexes"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1509,6 +1527,47 @@ object ChSql {
     q = rewriteCalls(q, "regionToName")(a => s"region_to_name(${a(0)})")
     q = rewriteCalls(q, "regionIn")(a => s"region_in(${a(0)}, ${a(1)})")
     q = rewriteCalls(q, "regionHierarchy")(a => s"region_hierarchy(${a(0)})")
+
+    // batch 33: stochastic{Linear,Logistic}Regression →
+    // order-independent sufficient-statistics solve (MlMethods.scala);
+    // the SGD hyperparameters (learning rate, l2, batch size, method)
+    // select convergence behavior in the reference and are accepted and
+    // dropped here — the state is the converged solution itself.
+    def mlState(fn: String, a: Seq[String]): String =
+      s"$fn(array(${a.map(x => s"CAST($x AS DOUBLE)").mkString(", ")}))"
+    for ((n, fn) <- Seq(
+        "stochasticLinearRegressionState" -> "ml_linreg_state",
+        "stochasticLinearRegression" -> "ml_linreg_state",
+        "stochasticLogisticRegressionState" -> "ml_logreg_state",
+        "stochasticLogisticRegression" -> "ml_logreg_state")) {
+      q = rewriteParamCalls(q, n)((_, a) => mlState(fn, a))
+      q = rewriteCalls(q, n)(a => mlState(fn, a))
+    }
+    // evalMLMethod(state, x1..xk): w·[x,1], sigmoid for logistic states
+    q = rewriteCalls(q, "evalMLMethod") { a =>
+      val feats = a.tail
+      val z = feats.zipWithIndex.map { case (x, i) =>
+        s"try_element_at(__m, ${i + 2}) * CAST($x AS DOUBLE)"
+      }.mkString(" + ") + s" + try_element_at(__m, ${feats.length + 2})"
+      s"element_at(transform(array(${a(0)}), __m -> " +
+        s"IF(try_element_at(__m, 1) = CAST(1 AS DOUBLE), " +
+        s"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-($z))), $z)), 1)"
+    }
+
+    // batch 33: sequenceMatchEvents for the canonical '(?1).*(?2)'
+    // pattern (AggregateFunctionSequenceMatch.cpp:719 — the timestamps
+    // on the first successful match path: the earliest cond1 event and
+    // the earliest cond2 event after it). sequenceMatch/sequenceCount
+    // for general patterns live as DataFrame plans (queries/Aggregates).
+    q = rewriteParamCalls(q, "sequenceMatchEvents") { (p, a) =>
+      val pat = stripName(p(0))
+      require(pat == "(?1).*(?2)",
+        s"sequenceMatchEvents: only the '(?1).*(?2)' pattern is SQL-routed, got '$pat'")
+      val arr = s"array_sort(collect_list(named_struct('ts', CAST(${a(0)} AS BIGINT), 'c1', ${a(1)}, 'c2', ${a(2)})))"
+      s"element_at(transform(array(array_min(transform(filter($arr, __s -> __s.c1), __s -> __s.ts))), __t1 -> " +
+        s"element_at(transform(array(array_min(transform(filter($arr, __s2 -> __s2.c2 AND __s2.ts > __t1), __s2 -> __s2.ts))), __t2 -> " +
+        s"IF(__t1 IS NOT NULL AND __t2 IS NOT NULL, array(__t1, __t2), array())), 1)), 1)"
+    }
 
     // initializeAggregation('fState', x): materialize a single-value
     // aggregate state. Algebraic aggregates' -State here IS the value

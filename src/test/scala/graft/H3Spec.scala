@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.H3
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the H3 index-arithmetic subset against the reference's own
+  * stateless test outputs (tests/queries/0_stateless/01040/01041/01070/
+  * 02165/02212 *.reference). */
+class H3Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def ch(q: String) = graft.sqlfront.ChSql.sql(spark, "/root/testdata/sf0.001", q)
+
+  test("res0 indexes match 02212_h3_get_res0_indexes.reference") {
+    val r0 = H3.res0Indexes
+    assert(r0.length == 122)
+    assert(r0.head == 576495936675512319L)
+    assert(r0.last == 580753245698260991L)
+    assert(r0(4) == 576636674163867647L) // base cell 4 (first pentagon)
+  }
+
+  test("pentagon indexes match 02212_h3_get_pentagon_indexes.reference") {
+    assert(H3.pentagonIndexes(0).toSeq == Seq(
+      576636674163867647L, 576988517884755967L, 577340361605644287L,
+      577832942814887935L, 578219970907865087L, 578536630256664575L,
+      578712552117108735L, 579029211465908223L, 579416239558885375L,
+      579908820768129023L, 580260664489017343L, 580612508209905663L))
+    assert(H3.pentagonIndexes(1).toSeq == Seq(
+      581109487465660415L, 581461331186548735L, 581813174907437055L,
+      582305756116680703L, 582692784209657855L, 583009443558457343L,
+      583185365418901503L, 583502024767700991L, 583889052860678143L,
+      584381634069921791L, 584733477790810111L, 585085321511698431L))
+    assert(H3.pentagonIndexes(15).head == 644155484202336256L)
+    assert(H3.pentagonIndexes(15).toSeq.forall(H3.isPentagon))
+  }
+
+  test("toParent / toString / isValid / numHexagons reference pins") {
+    // 01070_h3_to_parent.reference
+    assert(H3.toParent(599405990164561919L, 3) == 590398848891879423L)
+    assert(H3.toParent(599405990164561919L, 0) == 576918149140578303L)
+    // 01070_h3_to_string.reference
+    assert(java.lang.Long.toHexString(617420388352917503L) == "89184926cdbffff")
+    assert(java.lang.Long.parseUnsignedLong("89184926cdbffff", 16) == 617420388352917503L)
+    // 01041_h3_is_valid.reference
+    assert(H3.isValid(581276613233082367L))
+    assert(H3.isValid(621807531097128959L))
+    assert(!H3.isValid(0L))
+    assert(!H3.isValid(100000000000000000L))
+    // 02165_h3_num_hexagons.reference
+    assert(Seq(0, 1, 2, 3).map(H3.numHexagons) == Seq(122L, 842L, 5882L, 41162L))
+  }
+
+  test("toChildren matches 01070_h3_to_children.reference") {
+    val h = 599405990164561919L // resolution 5
+    assert(H3.resolution(h) == 5)
+    assert(H3.toChildren(h, 3).isEmpty)
+    assert(H3.toChildren(h, 6).toSeq.sorted == Seq(
+      603909588852408319L, 603909588986626047L, 603909589120843775L,
+      603909589255061503L, 603909589389279231L, 603909589523496959L,
+      603909589657714687L))
+    val c8 = H3.toChildren(h, 8).toSeq.sorted
+    assert(c8.length == 343)
+    assert(c8.head == 612916787975028735L && c8.last == 612916788893581311L)
+  }
+
+  test("pentagon children skip the K-axis subtree") {
+    val pent1 = H3.pentagonIndexes(1).head // res-1 pentagon
+    val kids = H3.toChildren(pent1, 2)
+    assert(kids.length == 6) // pentagons have six children
+    assert(H3.isPentagon(H3.toCenterChild(pent1, 2)))
+    assert(H3.toCenterChild(pent1, 2) == kids.min)
+  }
+
+  test("dialect routing for the h3 surface") {
+    val r = ch("""SELECT h3GetResolution(599405990164561919) AS res,
+                 |h3GetBaseCell(599405990164561919) AS bc,
+                 |h3IsResClassIII(599405990164561919) AS c3,
+                 |h3ToString(617420388352917503) AS hs,
+                 |stringToH3('89184926cdbffff') AS sh,
+                 |h3NumHexagons(2) AS nh,
+                 |size(h3GetRes0Indexes()) AS n0,
+                 |size(h3ToChildren(599405990164561919, 7)) AS nc
+                 |FROM system_one""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 5 && r.getInt(1) == 12)
+    assert(r.getBoolean(2)) // res 5 is Class III
+    assert(r.getString(3) == "89184926cdbffff")
+    assert(r.getLong(4) == 617420388352917503L)
+    assert(r.getLong(5) == 5882L)
+    assert(r.getInt(6) == 122 && r.getInt(7) == 49)
+  }
+}
