@@ -378,7 +378,12 @@ object GraftFunctions {
         (es: Seq[Expression]) => graft.functions.H3WithRes(es(0), es(1), kind): Expression)
     } ++ Seq(
       (FunctionIdentifier("h3_res0_indexes"), info("h3_res0_indexes"),
-        (_: Seq[Expression]) => graft.functions.H3Res0Indexes(): Expression))
+        (_: Seq[Expression]) => graft.functions.H3Res0Indexes(): Expression),
+      // round-10 batch 35 (functions/Sqids.scala)
+      (FunctionIdentifier("sqid_encode"), info("sqid_encode"),
+        (es: Seq[Expression]) => graft.functions.SqidEncode(es): Expression),
+      (FunctionIdentifier("sqid_decode"), info("sqid_decode"),
+        (es: Seq[Expression]) => graft.functions.SqidDecode(es.head): Expression))
 
   /** Round-10 batch 32 (functions/Batch32.scala): embedded-geobase
     * region functions. The optional second geobase-selector argument of

@@ -228,6 +228,20 @@ object Functions10 {
           |FROM cells ORDER BY k""".stripMargin)
     },
 
+    // Round-10 batch 35: sqids (reference 02933_sqid test vectors pinned
+    // in H3Spec); the oracle checks the decode∘encode identity plus the
+    // canonical '86Rf07' vector.
+    "q_fn_sqid" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey AS k,
+          |  try_element_at(sqidDecode(sqidEncode(p_partkey)), 1) AS rt,
+          |  try_element_at(sqidDecode(sqidEncode(p_partkey, p_partkey % 97)), 2) AS rt2,
+          |  length(sqidEncode(p_partkey)) >= 2 AS len_ok,
+          |  sqidEncode(1, 2, 3) AS pinned,
+          |  size(sqidDecode('invalid sqid!')) AS bad
+          |FROM part WHERE p_partkey < 300 ORDER BY k""".stripMargin)
+    },
+
     // runningConcurrency (reference src/Functions/runningConcurrency.cpp)
     // via the keyed union-sweep in Ops.runningConcurrency — one window
     // per event_type, no self-join, no global sort.
@@ -605,6 +619,15 @@ object Functions10 {
         |    THEN 6 ELSE 7 END AS nchild,
         |  2 + 120 * CAST(pow(7, res) AS BIGINT) AS nhex
         |FROM c2 ORDER BY k""".stripMargin,
+
+    "q_fn_sqid" ->
+      """SELECT p_partkey AS k,
+        |  p_partkey AS rt,
+        |  p_partkey % 97 AS rt2,
+        |  true AS len_ok,
+        |  '86Rf07' AS pinned,
+        |  0 AS bad
+        |FROM part WHERE p_partkey < 300 ORDER BY k""".stripMargin,
 
     "q_running_concurrency" ->
       """WITH base AS (SELECT event_type, event_id,

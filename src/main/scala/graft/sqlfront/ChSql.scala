@@ -860,7 +860,18 @@ object ChSql {
     "h3GetPentagonIndexes" -> "h3_pentagonindexes",
     "h3ToParent" -> "h3_toparent", "h3ToCenterChild" -> "h3_tocenterchild",
     "h3ToChildren" -> "h3_tochildren",
-    "h3GetRes0Indexes" -> "h3_res0_indexes"
+    "h3GetRes0Indexes" -> "h3_res0_indexes",
+
+    // ---- round-10 batch 35: sqids + JSON dynamic-path introspection ----
+    "sqidEncode" -> "sqid_encode", "sqidDecode" -> "sqid_decode",
+    "sqid" -> "sqid_encode",
+    // our JSON model keeps every path dynamic (no shared-data demotion),
+    // so DynamicPaths = AllPaths and SharedDataPaths = [] — the
+    // max_dynamic_paths storage knob has no analog here (documented)
+    "JSONDynamicPaths" -> "t", "JSONDynamicPathsWithTypes" -> "t",
+    "JSONSharedDataPaths" -> "t", "JSONSharedDataPathsWithTypes" -> "t",
+    "isDynamicElementInSharedData" -> "t",
+    "globalVariable" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1518,6 +1529,31 @@ object ChSql {
     for (n <- Seq("current_query_id", "currentQueryID"))
       q = rewriteCalls(q, n)(_ => s"'${java.util.UUID.randomUUID()}'")
 
+    // batch 35: JSON dynamic-path introspection — every path is dynamic
+    // in this model (no shared-data demotion; the reference's
+    // max_dynamic_paths storage knob has no analog here)
+    q = rewriteCalls(q, "JSONDynamicPathsWithTypes")(a =>
+      s"json_all_paths_with_types(${a(0)})")
+    q = rewriteCalls(q, "JSONDynamicPaths")(a => s"json_all_paths(${a(0)})")
+    q = rewriteCalls(q, "JSONSharedDataPathsWithTypes")(_ =>
+      "map_from_arrays(CAST(array() AS ARRAY<STRING>), CAST(array() AS ARRAY<STRING>))")
+    q = rewriteCalls(q, "JSONSharedDataPaths")(_ => "CAST(array() AS ARRAY<STRING>)")
+    q = rewriteCalls(q, "isDynamicElementInSharedData")(_ => "false")
+    // globalVariable: the reference's hardcoded MySQL-compat defaults
+    // (globalVariable.cpp:79-87; unknown variables -> Int32 0)
+    q = rewriteCalls(q, "globalVariable") { a =>
+      stripName(a(0)).toLowerCase match {
+        case "max_allowed_packet" => "CAST(67108864 AS INT)"
+        case "version" => "'5.7.30'"
+        case "version_comment" | "session_track_system_variables" => "''"
+        case "transaction_isolation" => "'READ-UNCOMMITTED'"
+        case "sql_mode" => "'ALLOW_INVALID_DATES,ANSI_QUOTES,IGNORE_SPACE," +
+          "NO_AUTO_VALUE_ON_ZERO,NO_DIR_IN_CREATE,ONLY_FULL_GROUP_BY," +
+          "PAD_CHAR_TO_FULL_LENGTH,PIPES_AS_CONCAT,REAL_AS_FLOAT'"
+        case _ => "CAST(0 AS INT)"
+      }
+    }
+
     // batch 32: region functions (the optional geobase-selector / lang
     // argument of the reference is accepted and dropped — one geobase)
     for (kind <- Seq("City", "Area", "District", "Country", "Continent",
@@ -1598,7 +1634,7 @@ object ChSql {
     * group's collected (ts, value) samples, exact per the reference's
     * bucket-fill loops; grid parameters must be integer literals
     * (seconds). The scale path for huge series is the ASOF-join grid
-    * formulation (queries/TimeSeries.q_ts_regrid / ops.TimeGrid). */
+    * formulation (queries/TimeSeries.q_ts_regrid). */
   private def rewriteTimeSeriesGrid(q0: String): String = {
     var q = q0
     if (!q.contains("timeSeries")) return q

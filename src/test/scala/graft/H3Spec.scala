@@ -70,6 +70,25 @@ class H3Spec extends AnyFunSuite {
     assert(H3.toCenterChild(pent1, 2) == kids.min)
   }
 
+  test("sqids match 02933_sqid.reference and round-trip") {
+    import graft.functions.Sqids
+    // the reference's own test vectors (also the canonical sqids.org set)
+    assert(Sqids.encode(Seq(1L)) == "Uk")
+    assert(Sqids.encode(Seq(1L, 2L)) == "XMbT")
+    assert(Sqids.encode(Seq(1L, 2L, 3L)) == "86Rf07")
+    assert(Sqids.encode(Seq(1L, 2L, 3L, 4L)) == "Td1EnWQo")
+    assert(Sqids.decode("86Rf07") == Seq(1L, 2L, 3L))
+    assert(Sqids.decode("invalid sqid").isEmpty)
+    assert(Sqids.decode("1").isEmpty == false || Sqids.decode("1").isEmpty)
+    // property: round-trip over a spread of tuples
+    for (a <- Seq(0L, 7L, 63L, 64L, 1000003L, 987654321L); b <- Seq(0L, 61L, 99999L))
+      assert(Sqids.decode(Sqids.encode(Seq(a, b))) == Seq(a, b))
+    val r = ch("SELECT sqid(1, 2) AS s, sqidDecode(sqidEncode(5, 6))[1] AS d FROM system_one")
+      .collect()(0)
+    assert(r.getString(0) == "XMbT")
+    assert(r.getLong(1) == 5L)
+  }
+
   test("dialect routing for the h3 surface") {
     val r = ch("""SELECT h3GetResolution(599405990164561919) AS res,
                  |h3GetBaseCell(599405990164561919) AS bc,
