@@ -286,7 +286,27 @@ object FuzzDialect {
           () => (s"uniqExact(${e.ch})", s"CAST(count(DISTINCT ${e.duck}) AS BIGINT)"),
           () => (s"groupBitOr(abs(${e.ch}))", s"bit_or(abs(${e.duck}))"),
           () => (s"groupBitAnd(abs(${e.ch}))", s"bit_and(abs(${e.duck}))"),
-          () => (s"groupBitXor(abs(${e.ch}))", s"bit_xor(abs(${e.duck}))")
+          () => (s"groupBitXor(abs(${e.ch}))", s"bit_xor(abs(${e.duck}))"),
+          // round-10 batch 29 spellings: the sorted-list index formulas
+          // of QuantileExact.h mirrored verbatim on the DuckDB side
+          () => (s"medianExactLow(${e.ch})",
+                 s"(list_sort(list(${e.duck})))[(CASE WHEN count(*) % 2 = 1 " +
+                   s"THEN count(*) // 2 ELSE count(*) // 2 - 1 END) + 1]"),
+          () => (s"medianExactHigh(${e.ch})",
+                 s"(list_sort(list(${e.duck})))[count(*) // 2 + 1]"),
+          () => {
+            val lvl = pick(Seq("0.1", "0.25", "0.3", "0.6", "0.75", "0.9"))
+            (s"quantileExactLow($lvl)(${e.ch})",
+             s"(list_sort(list(${e.duck})))[LEAST(CAST(floor($lvl * count(*)) AS BIGINT), count(*) - 1) + 1]")
+          },
+          () => {
+            val lvl = pick(Seq("0.15", "0.4", "0.8", "0.95"))
+            (s"quantileExactHigh($lvl)(${e.ch})",
+             s"(list_sort(list(${e.duck})))[LEAST(CAST(floor($lvl * count(*)) AS BIGINT), count(*) - 1) + 1]")
+          },
+          () => (s"groupBitmapXor(${e.ch})",
+                 s"CAST(length(list_filter(list_distinct(list(${e.duck})), " +
+                   s"__fd -> length(list_filter(list(${e.duck}), __fx -> __fx = __fd)) % 2 = 1)) AS BIGINT)")
         ))() match { case (c, d) => (s"$c AS $alias", s"$d AS $alias") }
       }
       AggFz(cols.map(_._1), cols.map(_._2), chKey, duckKey)
