@@ -871,7 +871,14 @@ object ChSql {
     "JSONDynamicPaths" -> "t", "JSONDynamicPathsWithTypes" -> "t",
     "JSONSharedDataPaths" -> "t", "JSONSharedDataPathsWithTypes" -> "t",
     "isDynamicElementInSharedData" -> "t",
-    "globalVariable" -> "t"
+    "globalVariable" -> "t",
+    // lowCardinality dictionary probes: our LowCardinality is a no-op
+    // encoding, so keys = the values themselves (indices — a per-block
+    // physical position — has no deterministic distributed analog and
+    // stays out of scope, documented)
+    "lowCardinalityKeys" -> "t",
+    // aggThrow(p): the reference's fault-injection test aggregate
+    "aggThrow" -> "t"
   )
 
   /** Names whose call convention needs restructuring — handled by the
@@ -1553,6 +1560,12 @@ object ChSql {
         case _ => "CAST(0 AS INT)"
       }
     }
+
+    q = rewriteCalls(q, "lowCardinalityKeys")(a => s"(${a(0)})")
+    // aggThrow(p)(x...): throws with probability p per group finalize
+    // (AggregateFunctionAggThrow.cpp); p=0 -> count-like no-op
+    q = rewriteParamCalls(q, "aggThrow")((p, _) =>
+      s"IF(rand() < (${p(0)}), CAST(raise_error('aggThrow') AS BIGINT), count(*))")
 
     // batch 32: region functions (the optional geobase-selector / lang
     // argument of the reference is accepted and dropped — one geobase)
