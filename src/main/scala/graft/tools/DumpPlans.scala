@@ -31,7 +31,10 @@ object DumpPlans {
       // round-7 — hashed spans kernel, DDSketch, WKT, codec/NLP tails
       "q_quantile_dd", "q_fn_wkt", "q_fn_tonality", "q_fn_codec_tail",
       // round-8 — geo cells (map-side), partitioned NSW graph ANN
-      "q_geo_cells", "q_sim_ann_nsw")
+      "q_geo_cells", "q_sim_ann_nsw",
+      // round-10 late — keyed union-sweep concurrency, moment-solve
+      // regression (map-side only), grid-family explode shape
+      "q_running_concurrency", "q_fn_ml_method", "q_ts_grid_family")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
