@@ -127,6 +127,37 @@ object H3 {
     2L + 120L * math.pow(7, res).toLong
   }
 
+  // ---- directed (unidirectional) edges: mode 2, direction at bits
+  // 56-58, origin cell in the low 56 bits (02292_h3_unidirectional_
+  // funcs.reference pins: origin extraction does NOT validate the
+  // origin; isValid does) ----
+
+  def edgeOrigin(h: Long): Long =
+    if (((h >>> 59) & 0xF) != 2) 0L
+    else (h & ((1L << 56) - 1)) | Mode
+
+  def edgeIsValid(h: Long): Boolean = {
+    if (((h >>> 59) & 0xF) != 2) return false
+    val dir = ((h >>> 56) & 0x7).toInt
+    if (dir < 1 || dir > 6) return false
+    val origin = edgeOrigin(h)
+    if (!isValid(origin)) return false
+    !(isPentagon(origin) && dir == 1) // the deleted K-axis edge
+  }
+
+  /** The six directed edges of a cell (slot 0 is H3_NULL for the
+    * deleted K-axis edge of pentagons, like the H3 library). The
+    * reference applies the bit layout without validating the input
+    * (edgesFromHexagon of a malformed id still yields ids — pinned). */
+  def edgesFromHexagon(h: Long): Array[Long] = {
+    val low = h & ((1L << 56) - 1)
+    val pent = isPentagon((h & ((1L << 56) - 1)) | Mode)
+    (1 to 6).map { d =>
+      if (pent && d == 1) 0L
+      else (2L << 59) | (d.toLong << 56) | low
+    }.toArray
+  }
+
   def res0Indexes: Array[Long] =
     Array.tabulate(122)(b => Mode | (b.toLong << 45) | DigitsAllSeven)
 
@@ -158,10 +189,11 @@ case class H3Unary(child: Expression, kind: String)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = kind match {
     case "resolution" | "baseCell" => IntegerType
-    case "isValid" | "isPentagon" | "isResClassIII" => BooleanType
+    case "isValid" | "isPentagon" | "isResClassIII" | "edgeIsValid" => BooleanType
     case "toString" => StringType
-    case "stringTo" | "numHexagons" => LongType
-    case "pentagonIndexes" => ArrayType(LongType, containsNull = false)
+    case "stringTo" | "numHexagons" | "edgeOrigin" => LongType
+    case "pentagonIndexes" | "edgesFromHexagon" =>
+      ArrayType(LongType, containsNull = false)
     case other => throw new IllegalArgumentException(s"h3 $other")
   }
   override def nullable: Boolean = child.nullable
@@ -179,6 +211,10 @@ case class H3Unary(child: Expression, kind: String)
     case "numHexagons" => H3.numHexagons(H3Expr.toInt(v))
     case "pentagonIndexes" =>
       new GenericArrayData(H3.pentagonIndexes(H3Expr.toInt(v)).map(x => x: Any))
+    case "edgeOrigin" => H3.edgeOrigin(H3Expr.toLong(v))
+    case "edgeIsValid" => H3.edgeIsValid(H3Expr.toLong(v))
+    case "edgesFromHexagon" =>
+      new GenericArrayData(H3.edgesFromHexagon(H3Expr.toLong(v)).map(x => x: Any))
   }
   override protected def withNewChildInternal(c: Expression): H3Unary =
     copy(child = c)

@@ -368,7 +368,8 @@ object GraftFunctions {
     * H3 subset. */
   private def h3Family: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq("resolution", "baseCell", "isValid", "isPentagon", "isResClassIII",
-        "toString", "stringTo", "numHexagons", "pentagonIndexes").map { kind =>
+        "toString", "stringTo", "numHexagons", "pentagonIndexes",
+        "edgeOrigin", "edgeIsValid", "edgesFromHexagon").map { kind =>
       val n = s"h3_${kind.toLowerCase}"
       (FunctionIdentifier(n), info(n),
         (es: Seq[Expression]) => graft.functions.H3Unary(es.head, kind): Expression)

@@ -224,7 +224,15 @@ object Functions10 {
           |  h3ToParent(cell, greatest(res - 1, 0)) AS par,
           |  h3ToCenterChild(cell, res + 2) AS cc,
           |  size(h3ToChildren(cell, res + 1)) AS nchild,
-          |  h3NumHexagons(res) AS nhex
+          |  h3NumHexagons(res) AS nhex,
+          |  h3GetOriginIndexFromUnidirectionalEdge(1152921504606846976
+          |    + (1 + k % 6) * 72057594037927936
+          |    + (cell - 576460752303423488)) AS eo,
+          |  h3UnidirectionalEdgeIsValid(1152921504606846976
+          |    + (1 + k % 6) * 72057594037927936
+          |    + (cell - 576460752303423488)) AS ev,
+          |  try_element_at(h3GetUnidirectionalEdgesFromHexagon(cell), 2) AS ef2,
+          |  size(h3GetUnidirectionalEdgesFromHexagon(cell)) AS nef
           |FROM cells ORDER BY k""".stripMargin)
     },
 
@@ -617,7 +625,14 @@ object Functions10 {
         |    - 7 * (((1::BIGINT << (45 - 3 * res)) - (1::BIGINT << (45 - 3 * (res + 2)))) // 7) AS cc,
         |  CASE WHEN base IN (SELECT p FROM pb) AND (d = 0 OR res = 0)
         |    THEN 6 ELSE 7 END AS nchild,
-        |  2 + 120 * CAST(pow(7, res) AS BIGINT) AS nhex
+        |  2 + 120 * CAST(pow(7, res) AS BIGINT) AS nhex,
+        |  cell AS eo,
+        |  (NOT (base IN (SELECT p FROM pb) AND d = 1 AND res > 0))
+        |    AND NOT (base IN (SELECT p FROM pb) AND (d = 0 OR res = 0)
+        |             AND (1 + k % 6) = 1) AS ev,
+        |  1152921504606846976 + 2 * 72057594037927936
+        |    + (cell - 576460752303423488) AS ef2,
+        |  6 AS nef
         |FROM c2 ORDER BY k""".stripMargin,
 
     "q_fn_sqid" ->

@@ -861,6 +861,9 @@ object ChSql {
     "h3ToParent" -> "h3_toparent", "h3ToCenterChild" -> "h3_tocenterchild",
     "h3ToChildren" -> "h3_tochildren",
     "h3GetRes0Indexes" -> "h3_res0_indexes",
+    "h3GetOriginIndexFromUnidirectionalEdge" -> "h3_edgeorigin",
+    "h3UnidirectionalEdgeIsValid" -> "h3_edgeisvalid",
+    "h3GetUnidirectionalEdgesFromHexagon" -> "h3_edgesfromhexagon",
 
     // ---- round-10 batch 35: sqids + JSON dynamic-path introspection ----
     "sqidEncode" -> "sqid_encode", "sqidDecode" -> "sqid_decode",

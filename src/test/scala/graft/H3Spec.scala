@@ -70,6 +70,31 @@ class H3Spec extends AnyFunSuite {
     assert(H3.toCenterChild(pent1, 2) == kids.min)
   }
 
+  test("directed edges match 02292_h3_unidirectional_funcs.reference") {
+    // origin extraction does not validate; isValid does
+    assert(H3.edgeOrigin(1248204388774707199L) == 599686042433355775L)
+    assert(H3.edgeOrigin(1248204388774707197L) == 599686042433355773L)
+    assert(H3.edgeOrigin(599686042433355775L) == 0L) // a cell, not an edge
+    assert(H3.edgeIsValid(1248204388774707199L))
+    assert(!H3.edgeIsValid(1248204388774707197L)) // origin cell malformed
+    assert(!H3.edgeIsValid(599686042433355775L))
+    assert(H3.edgesFromHexagon(1248204388774707199L).toSeq == Seq(
+      1248204388774707199L, 1320261982812635135L, 1392319576850563071L,
+      1464377170888491007L, 1536434764926418943L, 1608492358964346879L))
+    assert(H3.edgesFromHexagon(599686042433355773L).toSeq == Seq(
+      1248204388774707197L, 1320261982812635133L, 1392319576850563069L,
+      1464377170888491005L, 1536434764926418941L, 1608492358964346877L))
+    assert(H3.edgesFromHexagon(java.lang.Long.parseLong("85283473ffffff", 16)).toSeq == Seq(
+      1262459476296859647L, 1334517070334787583L, 1406574664372715519L,
+      1478632258410643455L, 1550689852448571391L, 1622747446486499327L))
+    // pentagons: the K-axis edge slot is H3_NULL
+    val pent = H3.pentagonIndexes(2).head
+    val pe = H3.edgesFromHexagon(pent)
+    assert(pe(0) == 0L && pe.count(_ != 0L) == 5)
+    assert(!H3.edgeIsValid((2L << 59) | (1L << 56) | (pent & ((1L << 56) - 1))))
+    assert(H3.edgeIsValid(pe(1)))
+  }
+
   test("sqids match 02933_sqid.reference and round-trip") {
     import graft.functions.Sqids
     // the reference's own test vectors (also the canonical sqids.org set)
