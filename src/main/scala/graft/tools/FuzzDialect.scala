@@ -306,7 +306,20 @@ object FuzzDialect {
           },
           () => (s"groupBitmapXor(${e.ch})",
                  s"CAST(length(list_filter(list_distinct(list(${e.duck})), " +
-                   s"__fd -> length(list_filter(list(${e.duck}), __fx -> __fx = __fd)) % 2 = 1)) AS BIGINT)")
+                   s"__fd -> length(list_filter(list(${e.duck}), __fx -> __fx = __fd)) % 2 = 1)) AS BIGINT)"),
+          // quantileExactWeighted: threshold ceil(level*W), first sorted
+          // value whose cumulative weight reaches it — mirrored as a
+          // value-<=-cumulative lambda scan (nested-lambda capture)
+          () => {
+            val lvl = pick(Seq("0.2", "0.35", "0.5", "0.7", "0.9"))
+            val w = g.gen(TInt, 1)
+            val pairs = s"list({'x': ${e.duck}, 'w': (abs(${w.duck}) % 9 + 1)})"
+            (s"quantileExactWeighted($lvl)(${e.ch}, modulo(abs(${w.ch}), 9) + 1)",
+             s"CAST(list_min(list_transform(list_filter($pairs, " +
+               s"__qe -> list_sum(list_transform(list_filter($pairs, __q2 -> __q2.x <= __qe.x), __q2 -> __q2.w)) " +
+               s">= ceil($lvl * list_sum(list_transform($pairs, __qp -> __qp.w)))), " +
+               s"__qe -> __qe.x)) AS DOUBLE)")
+          }
         ))() match { case (c, d) => (s"$c AS $alias", s"$d AS $alias") }
       }
       AggFz(cols.map(_._1), cols.map(_._2), chKey, duckKey)
