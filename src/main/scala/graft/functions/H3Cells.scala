@@ -77,9 +77,9 @@ object H3 {
     val res = resolution(h)
     if (parentRes < 0 || parentRes > res) return 0L
     if (parentRes == res) return h
-    var out = (h & ~(0xFL << 52)) | (parentRes.toLong << 52)
+    val withRes = (h & ~(0xFL << 52)) | (parentRes.toLong << 52)
     // digits parentRes+1 .. 15 -> 7 (those past the old res already are)
-    out | ((1L << (45 - 3 * parentRes)) - 1)
+    withRes | ((1L << (45 - 3 * parentRes)) - 1)
   }
 
   def toCenterChild(h: Long, childRes: Int): Long = {
@@ -151,7 +151,7 @@ object H3 {
     * (edgesFromHexagon of a malformed id still yields ids — pinned). */
   def edgesFromHexagon(h: Long): Array[Long] = {
     val low = h & ((1L << 56) - 1)
-    val pent = isPentagon((h & ((1L << 56) - 1)) | Mode)
+    val pent = isPentagon(low | Mode)
     (1 to 6).map { d =>
       if (pent && d == 1) 0L
       else (2L << 59) | (d.toLong << 56) | low

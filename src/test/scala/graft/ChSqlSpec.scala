@@ -2003,6 +2003,26 @@ class ChSqlSpec extends AnyFunSuite {
     assert(math.abs(m(0)(0) - 42.0 / 27) < 1e-9)
   }
 
+  test("batch-29: sumMap accepts a single Map argument; bare approx_top_k defaults") {
+    import spark.implicits._
+    Seq(Map(1 -> 10.0, 2 -> 20.0), Map(2 -> 5.0, 3 -> 7.0))
+      .toDF("m").createOrReplaceTempView("smtbl")
+    val r = ch("""SELECT sumMap(m).keys AS ks, sumMap(m).values AS vs FROM smtbl""")
+      .collect()(0)
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getSeq[Double](1) == Seq(10.0, 25.0, 7.0))
+    // bare approx_top_k defaults to N=10; medianGK/medianDD route
+    Seq(1, 1, 2, 3, 3, 3).toDF("x").createOrReplaceTempView("atkbare")
+    val r2 = ch("""SELECT size(approx_top_k(x)) AS n,
+                  |try_element_at(approx_top_k(x), 1).value AS top,
+                  |medianGK(50)(x) AS mgk, medianDD(0.01)(x) AS mdd
+                  |FROM atkbare""".stripMargin).collect()(0)
+    assert(r2.getInt(0) == 3) // only 3 distinct values, N caps at 10
+    assert(r2.getInt(1) == 3) // most frequent
+    assert(r2.getInt(2) == 2)
+    assert(math.abs(r2.getDouble(3) - 2.0) < 0.05) // DDSketch at 1% accuracy
+  }
+
   test("batch-30: errorCodeToName covers the reference's builtin table") {
     val r = ch("""SELECT errorCodeToName(0) AS ok, errorCodeToName(60) AS t60,
                  |errorCodeToName(999999) AS unknown""".stripMargin).collect()(0)
