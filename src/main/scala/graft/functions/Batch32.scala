@@ -93,6 +93,9 @@ object Geobase {
       population = rows.map(r => r._1 -> r._4).toMap,
       name = names)
 
+  /** Restore the built-in default geobase (test hook). */
+  def reset(): Unit = current = fromRows(defaultHierarchy, defaultNames)
+
   /** Load a user geobase from TSV files with the reference's formats. */
   def load(hierarchyTsv: String, namesTsv: String): Unit = {
     val rows = scala.io.Source.fromFile(hierarchyTsv).getLines().flatMap { l =>

@@ -114,6 +114,27 @@ class H3Spec extends AnyFunSuite {
     assert(r.getLong(1) == 5L)
   }
 
+  test("geobase is pluggable: load a custom hierarchy, then reset") {
+    import graft.functions.Geobase
+    val dir = java.nio.file.Files.createTempDirectory("geo").toFile
+    val h = new java.io.File(dir, "hier.txt")
+    val n = new java.io.File(dir, "names.txt")
+    // 3 City(6) -> 2 Country(3) -> 1 Continent(1)
+    java.nio.file.Files.write(h.toPath,
+      "1\t0\t1\t100\n2\t1\t3\t50\n3\t2\t6\t10\n".getBytes)
+    java.nio.file.Files.write(n.toPath, "1\tPangaea\n2\tFreedonia\n3\tDuckburg\n".getBytes)
+    try {
+      Geobase.load(h.getPath, n.getPath)
+      val t = Geobase.tables
+      assert(t.ancestorOfType(3, 3, last = false) == 2) // country of city
+      assert(t.ancestorOfType(3, 1, last = true) == 1)
+      assert(t.name(3) == "Duckburg")
+      assert(t.in(3, 1) && !t.in(1, 3))
+      assert(t.hierarchy(3) == Seq(3, 2, 1))
+    } finally Geobase.reset()
+    assert(Geobase.tables.name(5) == "Boulder") // default restored
+  }
+
   test("dialect routing for the h3 surface") {
     val r = ch("""SELECT h3GetResolution(599405990164561919) AS res,
                  |h3GetBaseCell(599405990164561919) AS bc,
