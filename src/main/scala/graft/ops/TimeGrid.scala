@@ -95,6 +95,41 @@ object TimeGrid {
     joined.select(kc :+ col("__gt").as("grid_ts") :+ result.as(out): _*)
   }
 
+  /** timeSeriesInstantRateToGrid / timeSeriesInstantDeltaToGrid:
+    * irate/idelta from the LAST consecutive sample pair at each grid
+    * point, the older sample still inside the window. Shape: lag()
+    * pairs (one keyed window) + backward ASOF join of the grid onto
+    * the pairs (the union-sort trick) — no per-group collect. */
+  def instantToGrid(df: DataFrame, keys: Seq[String], ts: Column,
+                    value: Column, start: Long, end: Long, step: Long,
+                    window: Long, isRate: Boolean, out: String): DataFrame = {
+    require(step > 0 && end >= start && window >= 0)
+    val e0 = start + (end - start) / step * step
+    val kc = keys.map(col)
+    val s = df.select(kc :+ ts.cast("long").as("__ts") :+
+      value.cast("double").as("__v"): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__ts"))
+    val pairs = s
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .withColumn("__pts", lag(col("__ts"), 1).over(w))
+      .filter(col("__pts").isNotNull)
+    val grid = s.select(kc: _*).distinct()
+      .withColumn("grid_ts", explode(sequence(lit(start), lit(e0), lit(step))))
+    // latest pair whose NEWER sample is <= the grid point
+    val joined = Ops.asofJoin(grid, pairs, keys,
+      leftOn = col("grid_ts"), rightOn = col("__ts"), direction = "backward")
+    val vd =
+      if (isRate) when(col("__v") < col("__pv"), col("__v"))
+        .otherwise(col("__v") - col("__pv")) // counter reset (irate)
+      else col("__v") - col("__pv")
+    val res =
+      if (isRate) vd / (col("__ts") - col("__pts")).cast("double")
+      else vd
+    joined.select(kc :+ col("grid_ts") :+
+      when(col("__pts").isNotNull && col("__pts") + window >= col("grid_ts") &&
+        col("__ts") =!= col("__pts"), res).as(out): _*)
+  }
+
   /** timeSeriesResampleToGridWithStaleness: last-value carry via the
     * union-sort ASOF join (one keyed shuffle, no per-group collect). */
   def resampleToGrid(df: DataFrame, keys: Seq[String], ts: Column,

@@ -250,6 +250,35 @@ object Functions10 {
           |FROM part WHERE p_partkey < 300 ORDER BY k""".stripMargin)
     },
 
+    // Same grid semantics via the DISTRIBUTED path (ops/TimeGrid.scala:
+    // explode-to-grid + keyed hash agg, lag-pair ASOF for instant, grid
+    // ASOF for staleness) — the shape that scales; same parameters as
+    // q_ts_grid_family so both paths face one oracle.
+    "q_ts_grid_scale" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.functions._
+      val e = T(s, dir)("events").filter(col("event_id") < 200)
+        .select(col("event_type"), pmod(col("event_id"), lit(371)).as("ts"),
+          col("value"))
+      val keys = Seq("event_type")
+      val rate = graft.ops.TimeGrid.extrapolatedToGrid(
+        e, keys, col("ts"), col("value"), 0, 400, 100, 200, isRate = true, "ra")
+      val delta = graft.ops.TimeGrid.extrapolatedToGrid(
+        e, keys, col("ts"), col("value"), 0, 400, 100, 200, isRate = false, "de")
+      val irate = graft.ops.TimeGrid.instantToGrid(
+        e, keys, col("ts"), col("value"), 0, 400, 100, 200, isRate = true, "ir")
+      val rsm = graft.ops.TimeGrid.resampleToGrid(
+        e, keys, col("ts"), col("value"), 0, 400, 100, 150, "rs")
+      val joined = rate
+        .join(delta, Seq("event_type", "grid_ts"))
+        .join(irate, Seq("event_type", "grid_ts"))
+        .join(rsm, Seq("event_type", "grid_ts"))
+      ordered(joined.select(col("event_type").as("g"), col("grid_ts").as("gt"),
+        floor(col("ra") * 1000000).cast("long").as("rate_ppm"),
+        floor(col("de") * 1000000).cast("long").as("delta_ppm"),
+        floor(col("ir") * 1000000).cast("long").as("irate_ppm"),
+        floor(col("rs") * 1000000).cast("long").as("resample_ppm")))
+    },
+
     // runningConcurrency (reference src/Functions/runningConcurrency.cpp)
     // via the keyed union-sweep in Ops.runningConcurrency — one window
     // per event_type, no self-join, no global sort.
@@ -643,6 +672,67 @@ object Functions10 {
         |  '86Rf07' AS pinned,
         |  0 AS bad
         |FROM part WHERE p_partkey < 300 ORDER BY k""".stripMargin,
+
+    "q_ts_grid_scale" ->
+      """WITH base AS (SELECT event_type g, CAST(event_id % 371 AS BIGINT) ts, value v
+        |  FROM events WHERE event_id < 200),
+        |grid AS (SELECT DISTINCT g, gt FROM base,
+        |  (SELECT unnest(range(0, 401, 100)) gt)),
+        |win AS (SELECT gr.g, gr.gt, b.ts, b.v FROM grid gr
+        |  JOIN base b ON b.g = gr.g AND b.ts <= gr.gt AND b.ts >= gr.gt - 200),
+        |st AS (SELECT g, gt, count(*) n, min(ts) ft, max(ts) lt,
+        |    arg_min(v, ts) fv, arg_max(v, ts) lv FROM win GROUP BY g, gt),
+        |pairs AS (SELECT g, ts, v, lag(v) OVER (PARTITION BY g ORDER BY ts) pv,
+        |    lag(ts) OVER (PARTITION BY g ORDER BY ts) pts FROM base),
+        |rsts AS (SELECT gr.g, gr.gt,
+        |    sum(CASE WHEN p.v < p.pv THEN p.pv ELSE 0 END) rs
+        |  FROM grid gr JOIN pairs p ON p.g = gr.g AND p.ts <= gr.gt
+        |    AND p.pts >= gr.gt - 200 GROUP BY gr.g, gr.gt),
+        |ext AS (SELECT st.g, st.gt, st.n,
+        |    CAST(st.lt - st.ft AS DOUBLE) si,
+        |    st.lv - st.fv + coalesce(r.rs, 0) vdr,
+        |    st.lv - st.fv vdd,
+        |    CAST(st.lt - st.ft AS DOUBLE) / (st.n - 1) adbs,
+        |    CAST(st.ft - (st.gt - 200) AS DOUBLE) dts,
+        |    CAST(st.gt - st.lt AS DOUBLE) dte, st.fv
+        |  FROM st LEFT JOIN rsts r ON st.g = r.g AND st.gt = r.gt
+        |  WHERE st.n >= 2 AND st.lt > st.ft),
+        |fin AS (SELECT g, gt,
+        |    vdr * ((si
+        |      + CASE WHEN vdr > 0 AND fv >= 0 THEN
+        |          LEAST(si * (fv / vdr),
+        |            CASE WHEN dts >= 1.1 * adbs THEN adbs / 2 ELSE dts END)
+        |        ELSE CASE WHEN dts >= 1.1 * adbs THEN adbs / 2 ELSE dts END END
+        |      + CASE WHEN dte >= 1.1 * adbs THEN adbs / 2 ELSE dte END) / si / 200) rate,
+        |    vdd * ((si
+        |      + CASE WHEN dts >= 1.1 * adbs THEN adbs / 2 ELSE dts END
+        |      + CASE WHEN dte >= 1.1 * adbs THEN adbs / 2 ELSE dte END) / si) delta
+        |  FROM ext),
+        |inst AS (SELECT gr.g, gr.gt,
+        |    arg_max(p.ts, p.ts) lts, arg_max(p.v, p.ts) lv,
+        |    arg_max(p.pts, p.ts) pts, arg_max(p.pv, p.ts) pv
+        |  FROM grid gr JOIN pairs p ON p.g = gr.g AND p.ts <= gr.gt
+        |    AND p.pts IS NOT NULL
+        |  GROUP BY gr.g, gr.gt),
+        |instf AS (SELECT g, gt,
+        |    CASE WHEN pts IS NULL OR pts + 200 < gt OR lts = pts THEN NULL
+        |      ELSE (CASE WHEN lv < pv THEN lv ELSE lv - pv END) / CAST(lts - pts AS DOUBLE) END irate
+        |  FROM inst),
+        |rsm AS (SELECT gr.g, gr.gt, arg_max(b.v, b.ts) rv, max(b.ts) rts
+        |  FROM grid gr JOIN base b ON b.g = gr.g AND b.ts <= gr.gt
+        |  GROUP BY gr.g, gr.gt)
+        |SELECT gr.g, gr.gt,
+        |  CAST(floor(f.rate * 1000000) AS BIGINT) AS rate_ppm,
+        |  CAST(floor(f.delta * 1000000) AS BIGINT) AS delta_ppm,
+        |  CAST(floor(i.irate * 1000000) AS BIGINT) AS irate_ppm,
+        |  CAST(floor(CASE WHEN r.rts IS NOT NULL AND r.rts + 150 >= gr.gt
+        |    THEN r.rv END * 1000000) AS BIGINT) AS resample_ppm
+        |FROM grid gr
+        |LEFT JOIN fin f ON gr.g = f.g AND gr.gt = f.gt
+        |LEFT JOIN instf i ON gr.g = i.g AND gr.gt = i.gt
+        |LEFT JOIN rsm r ON gr.g = r.g AND gr.gt = r.gt
+        |ORDER BY gr.g NULLS FIRST, gr.gt NULLS FIRST, rate_ppm NULLS FIRST,
+        |  delta_ppm NULLS FIRST, irate_ppm NULLS FIRST, resample_ppm NULLS FIRST""".stripMargin,
 
     "q_running_concurrency" ->
       """WITH base AS (SELECT event_type, event_id,

@@ -75,6 +75,22 @@ class TimeGridSpec extends AnyFunSuite {
       assert(close(got(k), want(k)), s"$k: got ${got(k)} want ${want(k)}")
   }
 
+  test("instantToGrid(irate/idelta) matches the templates point-for-point") {
+    for ((fn, isRate) <- Seq("timeSeriesInstantRateToGrid" -> true,
+        "timeSeriesInstantDeltaToGrid" -> false)) {
+      val want = templateGrid(fn, 250)
+      val got = TimeGrid.instantToGrid(samples, Seq("event_type"),
+          col("ts"), col("value"), 0, 500, 100, 250, isRate = isRate, "v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toMap
+      assert(got.keySet == want.keySet, fn)
+      for (k <- want.keySet)
+        assert(close(got(k), want(k)), s"$fn $k: got ${got(k)} want ${want(k)}")
+    }
+  }
+
   test("the plan has no per-group collect and no global sort") {
     val plan = TimeGrid.extrapolatedToGrid(samples, Seq("event_type"),
         col("ts"), col("value"), 0, 500, 100, 200, isRate = true, "v")
