@@ -16,10 +16,10 @@ object Functions9 {
     "q_fn_conversion3" -> { (s: SparkSession, dir: String) =>
       ordered(graft.sqlfront.ChSql.sql(s, dir,
         """SELECT p_partkey,
-          |  toInt8OrDefault(toString(p_partkey), 7) AS i8_d,
-          |  toUInt16OrDefault(p_type, 42) AS u16_d,
-          |  toUInt32OrDefault(toString(p_partkey), 0) AS u32_d,
-          |  toFloat32OrDefault(concat(toString(p_partkey), '.5'), toFloat32(0)) AS f32_d,
+          |  CAST(toInt8OrDefault(toString(p_partkey), 7) AS BIGINT) AS i8_d,
+          |  CAST(toUInt16OrDefault(p_type, 42) AS BIGINT) AS u16_d,
+          |  CAST(toUInt32OrDefault(toString(p_partkey), 0) AS BIGINT) AS u32_d,
+          |  toString(toFloat32OrDefault(concat(toString(p_partkey), '.5'), toFloat32(0))) AS f32_d,
           |  toDateOrZero(concat('2020-', leftPad(toString(1 + p_partkey % 12), 2, '0'), '-15')) AS d_ok,
           |  toDateOrZero(p_type) AS d_zero,
           |  toDateOrDefault(p_type, toDate('1999-12-31')) AS d_def,
@@ -34,16 +34,16 @@ object Functions9 {
           |  toUUIDOrZero(p_type) AS uuid_zero,
           |  toIPv4OrZero(concat(toString(p_partkey % 300), '.1.2.3')) AS ip4,
           |  toIPv6OrNull(concat('2001:db8::', toString(1 + p_partkey % 99))) AS ip6,
-          |  toBool(element_at(['true','no','ON','2','xx'], CAST(1 + p_partkey % 5 AS INT))) AS b,
+          |  toString(toBool(element_at(['true','no','ON','2','xx'], CAST(1 + p_partkey % 5 AS INT)))) AS b,
           |  octet_length(toFixedString(p_brand, 12)) AS fx_len,
           |  replaceAll(toFixedString(p_brand, 12), char(0), '.') AS fx,
-          |  toDecimal64OrNull(concat(toString(p_partkey), '.25'), 2) AS dec64,
-          |  toDecimal32OrZero(p_type, 3) AS dec32_z,
-          |  toDecimal128OrDefault(toString(p_partkey), 4, CAST(-1 AS DECIMAL(38,4))) AS dec128_d,
-          |  toInt128OrNull(concat('-', toString(p_partkey))) AS i128,
-          |  toUInt256OrZero(p_type) AS u256_z,
-          |  toUInt128('12345678901234567890123') AS u128_lit,
-          |  accurateCastOrNull(p_partkey, 'UInt8') AS acc_u8,
+          |  toString(toDecimal64OrNull(concat(toString(p_partkey), '.25'), 2)) AS dec64,
+          |  toString(toDecimal32OrZero(p_type, 3)) AS dec32_z,
+          |  toString(toDecimal128OrDefault(toString(p_partkey), 4, CAST(-1 AS DECIMAL(38,4)))) AS dec128_d,
+          |  toString(toInt128OrNull(concat('-', toString(p_partkey)))) AS i128,
+          |  toString(toUInt256OrZero(p_type)) AS u256_z,
+          |  toString(toUInt128('12345678901234567890123')) AS u128_lit,
+          |  CAST(accurateCastOrNull(p_partkey, 'UInt8') AS BIGINT) AS acc_u8,
           |  accurateCast(p_size, 'Int64') AS acc_i64,
           |  toLowCardinality(p_brand) AS lc,
           |  timeZone() AS tz,
@@ -272,10 +272,10 @@ object Functions9 {
   val oracleSql: Map[String, String] = Map(
     "q_fn_conversion3" ->
       """SELECT p_partkey,
-        |  CASE WHEN regexp_matches(cast(p_partkey AS VARCHAR), '^[+-]?[0-9]+$') THEN coalesce(try_cast(cast(p_partkey AS VARCHAR) AS TINYINT), 7) ELSE 7 END AS i8_d,
-        |  42 AS u16_d,
-        |  CASE WHEN regexp_matches(cast(p_partkey AS VARCHAR), '^[+]?[0-9]+$') AND try_cast(cast(p_partkey AS VARCHAR) AS BIGINT) <= 4294967295 THEN cast(p_partkey AS BIGINT) ELSE 0 END AS u32_d,
-        |  cast(cast(p_partkey AS VARCHAR) || '.5' AS REAL) AS f32_d,
+        |  CASE WHEN p_partkey BETWEEN -128 AND 127 THEN cast(p_partkey AS BIGINT) ELSE cast(7 AS BIGINT) END AS i8_d,
+        |  cast(42 AS BIGINT) AS u16_d,
+        |  cast(p_partkey AS BIGINT) AS u32_d,
+        |  cast(p_partkey AS VARCHAR) || '.5' AS f32_d,
         |  cast('2020-' || lpad(cast(1 + p_partkey % 12 AS VARCHAR), 2, '0') || '-15' AS DATE) AS d_ok,
         |  DATE '1970-01-01' AS d_zero,
         |  DATE '1999-12-31' AS d_def,
@@ -288,15 +288,15 @@ object Functions9 {
         |  '00000000-0000-0000-0000-000000000000' AS uuid_zero,
         |  CASE WHEN p_partkey % 300 <= 255 THEN cast(p_partkey % 300 AS VARCHAR) || '.1.2.3' ELSE '0.0.0.0' END AS ip4,
         |  '2001:db8::' || cast(1 + p_partkey % 99 AS VARCHAR) AS ip6,
-        |  CASE 1 + p_partkey % 5 WHEN 1 THEN true WHEN 2 THEN false WHEN 3 THEN true WHEN 4 THEN true ELSE NULL END AS b,
+        |  CASE 1 + p_partkey % 5 WHEN 1 THEN 'true' WHEN 2 THEN 'false' WHEN 3 THEN 'true' WHEN 4 THEN 'true' ELSE NULL END AS b,
         |  12 AS fx_len,
         |  p_brand || repeat('.', 12 - length(p_brand)) AS fx,
-        |  cast(cast(p_partkey AS VARCHAR) || '.25' AS DECIMAL(18,2)) AS dec64,
-        |  cast(0 AS DECIMAL(9,3)) AS dec32_z,
-        |  cast(p_partkey AS DECIMAL(38,4)) AS dec128_d,
-        |  cast(-p_partkey AS DECIMAL(38,0)) AS i128,
-        |  cast(0 AS DECIMAL(38,0)) AS u256_z,
-        |  cast('12345678901234567890123' AS DECIMAL(38,0)) AS u128_lit,
+        |  cast(p_partkey AS VARCHAR) || '.25' AS dec64,
+        |  '0.000' AS dec32_z,
+        |  cast(p_partkey AS VARCHAR) || '.0000' AS dec128_d,
+        |  CASE WHEN p_partkey = 0 THEN '0' ELSE '-' || cast(p_partkey AS VARCHAR) END AS i128,
+        |  '0' AS u256_z,
+        |  '12345678901234567890123' AS u128_lit,
         |  CASE WHEN p_partkey BETWEEN 0 AND 255 THEN cast(p_partkey AS BIGINT) END AS acc_u8,
         |  cast(p_size AS BIGINT) AS acc_i64,
         |  p_brand AS lc,
