@@ -217,6 +217,9 @@ object ChSql {
     "generateSnowflakeID" -> "generate_snowflake_id",
     "rand" -> "t", "rand64" -> "t", "randCanonical" -> "t",
     "randUniform" -> "t", "randNormal" -> "t",
+    "randExponential" -> "t", "randChiSquared" -> "t", "randStudentT" -> "t",
+    "randFisherF" -> "t", "randBernoulli" -> "t", "randBinomial" -> "t",
+    "randNegativeBinomial" -> "t", "randPoisson" -> "t", "randLogNormal" -> "t",
     // IP / geo (custom kernels registered via GraftExtensions)
     "IPv4NumToString" -> "t", "IPv4StringToNum" -> "t",
     "IPv6StringToNum" -> "ipv6_string_to_num",
@@ -2749,6 +2752,35 @@ object ChSql {
     q = rewriteCalls(q, "randCanonical")(_ => "RAND()")
     q = rewriteCalls(q, "randUniform")(a => s"(${a(0)} + RAND() * ((${a(1)}) - (${a(0)})))")
     q = rewriteCalls(q, "randNormal")(a => s"(${a(0)} + RANDN() * (${a(1)}))")
+    // randDistribution tail (reference src/Functions/randDistribution.cpp:352-457).
+    // Exact transforms where a closed form exists (inverse-CDF exponential/
+    // geometric, Box-Muller normals via RANDN, counting folds for the
+    // discrete families — RAND() re-evaluates per lambda element, verified);
+    // chi-squared is the exact sum of dof squared normals for integer dof
+    // and the published Wilson-Hilferty cube approximation for fractional.
+    def chi2Sql(k: String): String =
+      s"(CASE WHEN ($k) >= 1 AND ($k) = FLOOR($k) THEN " +
+        s"aggregate(sequence(1, CAST($k AS INT)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + POW(RANDN(), 2)) " +
+        s"ELSE GREATEST(0.0, ($k) * POW(1.0 - 2.0/(9.0*($k)) + RANDN() * SQRT(2.0/(9.0*($k))), 3)) END)"
+    q = rewriteCalls(q, "randExponential")(a => s"(-LN(1.0 - RAND()) / (${a(0)}))")
+    q = rewriteCalls(q, "randLogNormal")(a => s"EXP((${a(0)}) + RANDN() * (${a(1)}))")
+    q = rewriteCalls(q, "randChiSquared")(a => chi2Sql(a(0)))
+    q = rewriteCalls(q, "randStudentT")(a =>
+      s"(RANDN() / SQRT(${chi2Sql(a(0))} / (${a(0)})))")
+    q = rewriteCalls(q, "randFisherF")(a =>
+      s"((${chi2Sql(a(0))} / (${a(0)})) / (${chi2Sql(a(1))} / (${a(1)})))")
+    q = rewriteCalls(q, "randBernoulli")(a => s"CAST(IF(RAND() < (${a(0)}), 1, 0) AS BIGINT)")
+    q = rewriteCalls(q, "randBinomial")(a =>
+      s"(CASE WHEN CAST(${a(0)} AS INT) < 1 THEN 0L ELSE aggregate(sequence(1, CAST(${a(0)} AS INT)), 0L, " +
+        s"(acc, x) -> acc + IF(RAND() < (${a(1)}), 1L, 0L)) END)")
+    q = rewriteCalls(q, "randNegativeBinomial")(a =>
+      s"(CASE WHEN CAST(${a(0)} AS INT) < 1 THEN 0L ELSE aggregate(sequence(1, CAST(${a(0)} AS INT)), 0L, " +
+        s"(acc, x) -> acc + CAST(FLOOR(LN(1.0 - RAND()) / LN(1.0 - (${a(1)}))) AS BIGINT)) END)")
+    q = rewriteCalls(q, "randPoisson")(a =>
+      s"(CASE WHEN CAST(${a(0)} AS INT) < 1 THEN 0L ELSE aggregate(sequence(1, CAST(${a(0)} AS INT)), 0L, " +
+        s"(acc, i) -> acc + (aggregate(sequence(1, 17), named_struct('p', CAST(1.0 AS DOUBLE), 'c', 0L), " +
+        s"(st, x) -> named_struct('p', st.p * RAND(), 'c', st.c + IF(st.p > EXP(-1.0), 1L, 0L)), " +
+        s"st -> st.c) - 1L)) END)")
     q = rewriteCalls(q, "rand64")(_ => "CAST(RAND() * 9.223372036854775e18 AS BIGINT)")
     q = rewriteCalls(q, "rand")(_ => "CAST(RAND() * 4294967296 AS BIGINT)")
     // IP
