@@ -83,6 +83,15 @@ object GraftFunctions {
       (es: Seq[Expression]) => VectorKernels.IntersectCountSortedLongs(es(0), es(1))),
     (FunctionIdentifier("porter_stem"), info("porter_stem"),
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
+    // formatQuery family (reference src/Functions/formatQuery.cpp:184-205)
+    (FunctionIdentifier("format_query"), info("format_query"),
+      (es: Seq[Expression]) => graft.functions.QueryFormat.FormatQueryExpr(es.head, singleLine = false, orNull = false)),
+    (FunctionIdentifier("format_query_or_null"), info("format_query_or_null"),
+      (es: Seq[Expression]) => graft.functions.QueryFormat.FormatQueryExpr(es.head, singleLine = false, orNull = true)),
+    (FunctionIdentifier("format_query_single_line"), info("format_query_single_line"),
+      (es: Seq[Expression]) => graft.functions.QueryFormat.FormatQueryExpr(es.head, singleLine = true, orNull = false)),
+    (FunctionIdentifier("format_query_single_line_or_null"), info("format_query_single_line_or_null"),
+      (es: Seq[Expression]) => graft.functions.QueryFormat.FormatQueryExpr(es.head, singleLine = true, orNull = true)),
     (FunctionIdentifier("ch_length"), info("ch_length"),
       (es: Seq[Expression]) => graft.functions.ChLength(es.head)),
     (FunctionIdentifier("ch_plus"), info("ch_plus"),

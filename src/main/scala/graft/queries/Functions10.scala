@@ -291,10 +291,37 @@ object Functions10 {
       ordered(graft.ops.Ops.runningConcurrency(
           e, Seq("event_type"), col("b"), col("e"), col("event_id"), "conc")
         .select(col("event_type"), col("event_id"), col("conc")))
+    },
+
+    // Round-11: formatQuery family (reference src/Functions/
+    // formatQuery.cpp:184-205; canonical shapes pinned against the 02882
+    // test anchor in QueryFormatSpec). Inputs are built per-row from
+    // fixture keys; the OrNull forms return NULL on unparseable text.
+    "q_fn_format_query" -> { (s: SparkSession, dir: String) =>
+      ordered(graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT p_partkey,
+          |  formatQuery(concat('SeLeCt ', toString(p_partkey))) AS f1,
+          |  formatQuerySingleLine(concat('select p_partkey  from part  where p_partkey < ', toString(p_partkey), ' order by p_partkey desc limit 7')) AS f2,
+          |  formatQuery(concat('select p_partkey from part where p_partkey < ', toString(p_partkey))) AS f3,
+          |  formatQueryOrNull(concat('bad ', toString(p_partkey))) AS f4,
+          |  formatQuerySingleLineOrNull('') AS f5,
+          |  formatQuery(concat('insert into t', toString(p_partkey), ' values (1, 2)')) AS f6
+          |FROM part WHERE p_partkey < 400""".stripMargin))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fn_format_query" ->
+      """SELECT p_partkey,
+        |  'SELECT ' || cast(p_partkey AS VARCHAR) AS f1,
+        |  'SELECT p_partkey FROM part WHERE p_partkey < ' || cast(p_partkey AS VARCHAR) || ' ORDER BY p_partkey DESC LIMIT 7' AS f2,
+        |  'SELECT p_partkey' || chr(10) || 'FROM part' || chr(10) || 'WHERE p_partkey < ' || cast(p_partkey AS VARCHAR) AS f3,
+        |  cast(NULL AS VARCHAR) AS f4,
+        |  cast(NULL AS VARCHAR) AS f5,
+        |  'INSERT INTO t' || cast(p_partkey AS VARCHAR) || ' FORMAT Values' AS f6
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
     "q_agg_spellings" ->
       """WITH base AS (SELECT l_returnflag g, l_linenumber ln,
         |    CAST(l_quantity AS DOUBLE) qty, l_suppkey % 5 + 1 w5

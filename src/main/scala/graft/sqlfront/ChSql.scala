@@ -154,6 +154,11 @@ object ChSql {
     "farmFingerprint64" -> "ch_farmfingerprint64",
     "CRC32" -> "ch_crc32", "CRC32IEEE" -> "ch_crc32ieee", "CRC64" -> "ch_crc64",
     "encodeURLComponent" -> "url_encode", "decodeURLComponent" -> "url_decode",
+    // query pretty-printer (reference src/Functions/formatQuery.cpp)
+    "formatQuery" -> "format_query",
+    "formatQueryOrNull" -> "format_query_or_null",
+    "formatQuerySingleLine" -> "format_query_single_line",
+    "formatQuerySingleLineOrNull" -> "format_query_single_line_or_null",
     // URL
     "protocol" -> "t", "domain" -> "t", "domainWithoutWWW" -> "t",
     "topLevelDomain" -> "t", "pathOnly" -> "t", "queryString" -> "t",
