@@ -71,6 +71,26 @@ object Functions10 {
           |FROM lineitem WHERE l_orderkey < 2000 GROUP BY g ORDER BY g""".stripMargin)
     },
 
+    // Round-11: the uppercase MySQL-compat aggregate aliases from the
+    // reference's registerAggregateFunctions.cpp alias list (BIT_AND/
+    // BIT_OR/BIT_XOR -> groupBit*, VAR_/STDDEV_/COVAR_ pairs). Spark's
+    // case-insensitive function resolution carries them; this row pins
+    // the semantics against DuckDB's same-named aggregates.
+    "q_agg_spellings3" -> { (s: SparkSession, dir: String) =>
+      graft.sqlfront.ChSql.sql(s, dir,
+        """SELECT l_returnflag AS g,
+          |  CAST(BIT_AND(l_linenumber) AS BIGINT) AS ba,
+          |  CAST(BIT_OR(l_linenumber) AS BIGINT) AS bo,
+          |  CAST(BIT_XOR(l_linenumber) AS BIGINT) AS bx,
+          |  toInt64(floor(VAR_POP(CAST(l_quantity AS DOUBLE)) * 1000000)) AS vp,
+          |  toInt64(floor(VAR_SAMP(CAST(l_quantity AS DOUBLE)) * 1000000)) AS vs,
+          |  toInt64(floor(STDDEV_POP(CAST(l_quantity AS DOUBLE)) * 1000000)) AS sp,
+          |  toInt64(floor(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) * 1000000)) AS ss,
+          |  toInt64(floor(COVAR_POP(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)) * 1000000000)) AS cp,
+          |  toInt64(floor(COVAR_SAMP(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)) * 1000000000)) AS cs
+          |FROM lineitem WHERE l_orderkey < 4000 GROUP BY g ORDER BY g""".stripMargin)
+    },
+
     // groupArrayLast slice logic over an order-free group (every value in
     // the group equals the key, so the last-N set is arrival-order
     // independent); true arrival-order semantics are pinned in ChSqlSpec.
@@ -311,6 +331,20 @@ object Functions10 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_spellings3" ->
+      """SELECT l_returnflag AS g,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS ba,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS bo,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bx,
+        |  CAST(floor(var_pop(CAST(l_quantity AS DOUBLE)) * 1000000) AS BIGINT) AS vp,
+        |  CAST(floor(var_samp(CAST(l_quantity AS DOUBLE)) * 1000000) AS BIGINT) AS vs,
+        |  CAST(floor(stddev_pop(CAST(l_quantity AS DOUBLE)) * 1000000) AS BIGINT) AS sp,
+        |  CAST(floor(stddev_samp(CAST(l_quantity AS DOUBLE)) * 1000000) AS BIGINT) AS ss,
+        |  CAST(floor(covar_pop(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)) * 1000000000) AS BIGINT) AS cp,
+        |  CAST(floor(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)) * 1000000000) AS BIGINT) AS cs
+        |FROM lineitem WHERE l_orderkey < 4000 GROUP BY g
+        |ORDER BY g NULLS FIRST""".stripMargin,
+
     "q_fn_format_query" ->
       """SELECT p_partkey,
         |  'SELECT ' || cast(p_partkey AS VARCHAR) AS f1,
