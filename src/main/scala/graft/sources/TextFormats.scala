@@ -102,6 +102,65 @@ object TextFormats {
     (markdownHeader(df.schema) +:
       markdownLines(df.limit(maxRows)).collect().toSeq).mkString("\n")
 
+  /** Distributed markdown SINK (reference output formats are streaming
+    * writers — registerFormats.cpp): the header + alignment row are
+    * prepended to the first partition and every data line renders inside
+    * its executor, so an arbitrarily large frame streams to `path` via
+    * write.text without ever collecting on the driver. */
+  def writeMarkdown(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val header = markdownHeader(df.schema).split("\n", -1).toSeq
+    val rdd = markdownLines(df).rdd
+    val out =
+      if (rdd.getNumPartitions == 0) spark.createDataset(header)
+      else spark.createDataset(rdd.mapPartitionsWithIndex { (i, it) =>
+        if (i == 0) header.iterator ++ it else it
+      })
+    out.write.mode("overwrite").text(path)
+  }
+
+  /** Distributed Pretty SINK. Column widths are a global property, so
+    * pass 1 is a distributed max-length aggregation (one 1-row collect);
+    * pass 2 renders each row in its executor with the broadcast widths.
+    * Box borders are stitched onto the first/last partitions. */
+  def writePretty(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = df.columns
+    val widthRow = df.agg(
+      max(length(format_string("%s", col(names.head)))).as("w0"),
+      names.tail.map(c => max(length(format_string("%s", col(c)))).as(s"w_$c")): _*)
+      .collect()(0)
+    val widths = names.indices.map { i =>
+      val dataW = if (widthRow.isNullAt(i)) 0 else widthRow.getAs[Number](i).intValue
+      math.max(names(i).length, math.max(dataW, 2))
+    }
+    val numeric = df.schema.fields.map(f => isNumeric(f.dataType))
+    def pad(s: String, w: Int, right: Boolean) =
+      if (right) " " * (w - s.length) + s else s + " " * (w - s.length)
+    def border(l: String, m: String, r: String) =
+      widths.map(w => "─" * (w + 2)).mkString(l, m, r)
+    val head = Seq(
+      border("┌", "┬", "┐"),
+      names.indices.map(i => s" ${pad(names(i), widths(i), right = false)} ")
+        .mkString("│", "│", "│"),
+      border("├", "┼", "┤"))
+    val bottom = border("└", "┴", "┘")
+    val n = names.length
+    val lines = df.map(r => (0 until n).map(i => cell(r.get(i))).toArray)
+      .rdd.map(cells => cells.indices.map(i =>
+        s" ${pad(cells(i), widths(i), numeric(i))} ").mkString("│", "│", "│"))
+    val parts = lines.getNumPartitions
+    val out =
+      if (parts == 0) spark.createDataset(head :+ bottom)
+      else spark.createDataset(lines.mapPartitionsWithIndex { (i, it) =>
+        val withHead = if (i == 0) head.iterator ++ it else it
+        if (i == parts - 1) withHead ++ Iterator(bottom) else withHead
+      })
+    out.write.mode("overwrite").text(path)
+  }
+
   // --------------------------------------------------------- SQLInsert
 
   private def sqlLiteral(v: Any, dt: DataType): String = (v, dt) match {
@@ -139,5 +198,19 @@ object TextFormats {
     sqlInsertLines(df.limit(maxRows)).collect().grouped(batchRows).map { batch =>
       header + " " + batch.mkString(", ") + ";"
     }.mkString("\n")
+  }
+
+  /** Distributed SQLInsert SINK: each partition batches its own rows into
+    * complete INSERT statements of `batchRows` tuples (the reference's
+    * output_format_sql_insert_max_batch_size chunking), so the script
+    * streams to `path` without a driver collect and stays valid SQL. */
+  def writeSqlInsert(df: DataFrame, table: String, path: String,
+                     batchRows: Int = 100): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val header = sqlInsertHeader(df.schema, table)
+    sqlInsertLines(df).mapPartitions { it =>
+      it.grouped(batchRows).map(b => header + " " + b.mkString(", ") + ";")
+    }.write.mode("overwrite").text(path)
   }
 }

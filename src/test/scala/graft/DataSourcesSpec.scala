@@ -256,4 +256,67 @@ class DataSourcesSpec extends AnyFunSuite {
     val lines = graft.sources.TextFormats.sqlInsertLines(d.orderBy("k")).collect()
     assert(lines.length == 25 && lines.head.startsWith("(0, '"))
   }
+
+  test("writeMarkdown: distributed sink round-trips >maxRows rows") {
+    import spark.implicits._
+    val n = 5000 // far above the driver-side markdown() default cap of 1000
+    val d = spark.range(n).select(col("id").as("k"),
+      concat(lit("row|"), col("id")).as("txt")).repartition(7)
+    val path = java.nio.file.Files.createTempDirectory("graft_md").toString
+    try {
+      graft.sources.TextFormats.writeMarkdown(d, path)
+      val back = spark.read.text(path).as[String].collect()
+      assert(back.length == n + 2, "header + alignment + one line per row")
+      assert(back.contains("| k | txt |"))
+      assert(back.contains("| ---: | --- |"))
+      // parse the data lines back and compare the full key set
+      val keys = back.filter(l => l.startsWith("| ") && !l.contains("---") &&
+          !l.contains("| k |"))
+        .map(_.stripPrefix("| ").split(" \\| ")(0).toLong).toSet
+      assert(keys == (0L until n).toSet)
+      // the pipe inside the value is escaped
+      assert(back.exists(_.contains("row\\|42")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
+  test("writePretty: distributed sink keeps global widths and box borders") {
+    import spark.implicits._
+    val n = 2500
+    val d = spark.range(n).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("s")).repartition(5)
+    val path = java.nio.file.Files.createTempDirectory("graft_pp").toString
+    try {
+      graft.sources.TextFormats.writePretty(d, path)
+      val back = spark.read.text(path).as[String].collect()
+      assert(back.length == n + 4, "top + header + sep + rows + bottom")
+      assert(back.count(_.startsWith("┌")) == 1)
+      assert(back.count(_.startsWith("└")) == 1)
+      // every line has the same display width (global two-pass widths)
+      assert(back.map(_.length).toSet.size == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
+  test("writeSqlInsert: distributed sink emits valid batched statements") {
+    import spark.implicits._
+    val n = 2000
+    val d = spark.range(n).select(col("id"),
+      concat(lit("s'"), col("id")).as("s")).repartition(4)
+    val path = java.nio.file.Files.createTempDirectory("graft_si").toString
+    try {
+      graft.sources.TextFormats.writeSqlInsert(d, "t", path, batchRows = 64)
+      val back = spark.read.text(path).as[String].collect()
+      assert(back.forall(l =>
+        l.startsWith("INSERT INTO t (id, s) VALUES (") && l.endsWith(");")))
+      // one '(' per VALUES tuple plus one in the "(id, s)" column list
+      val tuples = back.map(_.count(_ == '(') - 1).sum
+      assert(tuples == n, "every row appears in exactly one VALUES tuple")
+      assert(back.exists(_.contains("'s''42'")), "quotes escaped")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
 }
