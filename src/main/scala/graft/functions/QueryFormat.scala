@@ -10,14 +10,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * tests/queries/0_stateless/02882_formatQuery.reference for the dialect
   * subset this engine parses).
   *
-  * A small tokenizer + recursive-descent parser over the supported query
-  * subset (SELECT pipelines, INSERT…VALUES, CREATE TABLE) re-emitted in the
-  * reference's canonical style: keywords uppercased, one SELECT item per
-  * indented line when there are several, `CAST(x AS T)` -> `CAST(x, 'T')`,
-  * case-insensitive alias canonicalization (DATEDIFF -> dateDiff,
-  * POSITION -> position, SUBSTRING -> substring), `NOT(x)` -> `NOT x`,
-  * INSERT bodies collapsed to `FORMAT Values`. Unparseable input yields
-  * None (OrNull forms -> NULL, strict forms -> error, as the reference's
+  * A tokenizer + recursive-descent parser over the supported query subset
+  * — SELECT pipelines with WITH CTEs, FROM subqueries, JOIN chains
+  * (ON/USING), UNION [ALL|DISTINCT] stacks, window OVER clauses, CASE,
+  * BETWEEN, IS [NOT] NULL; INSERT…VALUES; CREATE TABLE — re-emitted in
+  * the reference's canonical style: keywords uppercased, one SELECT item
+  * per indented line when there are several, `CAST(x AS T)` ->
+  * `CAST(x, 'T')`, case-insensitive alias canonicalization (DATEDIFF ->
+  * dateDiff, POSITION -> position, SUBSTRING -> substring), `NOT(x)` ->
+  * `NOT x`, AND/OR chains flattened with parenthesized compound operands,
+  * INSERT bodies collapsed to `FORMAT Values`. Parser-level desugarings
+  * follow the reference's parser: CASE -> multiIf(...), x IS NULL ->
+  * isNull(x), BETWEEN -> paired comparisons. Unparseable input yields
+  * None (OrNull forms -> NULL, strict forms -> error, the reference's
   * SYNTAX_ERROR contract).
   */
 object QueryFormat {
@@ -84,13 +89,25 @@ object QueryFormat {
   private case class Bin(op: String, l: Expr, r: Expr) extends Expr
   private case class Un(op: String, e: Expr) extends Expr // NOT, -
   private case class CastAs(e: Expr, tpe: String) extends Expr
+  private case class SubE(q: SelectQ) extends Expr // (SELECT ...) in an expression
+  private case class OverE(fn: Call, partitionBy: Seq[Expr],
+    orderBy: Seq[OrderKey], frame: Option[String]) extends Expr
 
   private case class OrderKey(e: Expr, desc: Boolean, nulls: Option[String])
+
+  private sealed trait FromItem
+  private case class FromTable(name: String, alias: Option[String]) extends FromItem
+  private case class FromSub(q: SelectQ, alias: Option[String]) extends FromItem
+  private case class JoinItem(kind: String, left: FromItem, right: FromItem,
+    on: Option[Expr], using: Seq[String]) extends FromItem
+
   private case class SelectQ(
-    explain: Option[String], distinct: Boolean, items: Seq[(Expr, Option[String])],
-    from: Option[String], where: Option[Expr], groupBy: Seq[Expr],
+    distinct: Boolean, items: Seq[(Expr, Option[String])],
+    from: Option[FromItem], where: Option[Expr], groupBy: Seq[Expr],
     having: Option[Expr], orderBy: Seq[OrderKey], limit: Option[String],
     settings: Seq[(String, String)], fmt: Option[String])
+  private case class UnionQ(explain: Option[String],
+    ctes: Seq[(String, SelectQ)], parts: Seq[SelectQ], ops: Seq[String])
   private case class InsertQ(table: String, cols: Seq[String])
   private case class CreateQ(name: String, cols: Seq[(String, String)], engine: String,
     orderBy: Option[Expr], partitionBy: Option[Expr], settings: Seq[(String, String)])
@@ -99,6 +116,15 @@ object QueryFormat {
   // registered function's own casing (02882 reference lines)
   private val canonicalNames = Map(
     "datediff" -> "dateDiff", "position" -> "position", "substring" -> "substring")
+
+  // words that may not serve as a bare (AS-less) alias
+  private val reserved = Set(
+    "from", "where", "group", "having", "order", "limit", "offset", "settings",
+    "format", "as", "asc", "desc", "nulls", "and", "or", "not", "like", "ilike",
+    "in", "by", "union", "distinct", "all", "join", "inner", "left", "right",
+    "full", "cross", "outer", "on", "using", "over", "between", "is", "case",
+    "when", "then", "else", "end", "with", "values", "select", "insert",
+    "create", "partition", "prewhere", "qualify", "window", "rows", "range")
 
   // ---------------- parser ----------------
   private final class P(toks: Vector[Tok]) {
@@ -115,10 +141,6 @@ object QueryFormat {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"parse error at token $i: $msg")
 
-    private val sectionKw = Set("from", "where", "group", "having", "order",
-      "limit", "settings", "format", "as", "asc", "desc", "nulls", "and", "or",
-      "not", "like", "ilike", "in", "by", "offset", "union", "distinct")
-
     def ident(): String = next() match {
       case TId(t) => t
       case TBq(t) => s"`$t`"
@@ -130,6 +152,15 @@ object QueryFormat {
       while (isP(".")) { i += 1; sb.append('.').append(ident()) }
       sb.toString
     }
+
+    /** a bare alias: a plain identifier that is not a reserved word */
+    private def bareAlias(): Option[String] = peek match {
+      case Some(TId(t)) if !reserved.contains(t.toLowerCase) => i += 1; Some(t)
+      case Some(TBq(t)) => i += 1; Some(s"`$t`")
+      case _ => None
+    }
+    private def aliasOpt(): Option[String] =
+      if (takeKw("as")) Some(ident()) else bareAlias()
 
     def expr(): Expr = orE()
     private def orE(): Expr = {
@@ -157,12 +188,25 @@ object QueryFormat {
             i += 1; l = Bin(t.toUpperCase, l, addE())
           case Some(TId(t)) if t.equalsIgnoreCase("in") =>
             i += 1; l = Bin("IN", l, addE())
+          case Some(TId(t)) if t.equalsIgnoreCase("between") =>
+            i += 1
+            val lo = addE(); expectKw("and"); val hi = addE()
+            // parser-level desugaring, as the reference does
+            l = Bin("AND", Bin(">=", l, lo), Bin("<=", l, hi))
+          case Some(TId(t)) if t.equalsIgnoreCase("is") =>
+            i += 1
+            val neg = takeKw("not")
+            expectKw("null")
+            l = Call(if (neg) "isNotNull" else "isNull", Seq(l))
           case Some(TId(t)) if t.equalsIgnoreCase("not") &&
             i + 1 < toks.length && toks(i + 1).isInstanceOf[TId] &&
-            Set("like", "in").contains(toks(i + 1).text.toLowerCase) =>
+            Set("like", "in", "between").contains(toks(i + 1).text.toLowerCase) =>
             i += 1
-            val op2 = next().text.toUpperCase
-            l = Bin(s"NOT $op2", l, addE())
+            val op2 = next().text.toLowerCase
+            if (op2 == "between") {
+              val lo = addE(); expectKw("and"); val hi = addE()
+              l = Bin("OR", Bin("<", l, lo), Bin(">", l, hi))
+            } else l = Bin(s"NOT ${op2.toUpperCase}", l, addE())
           case _ => done = true
         }
       }
@@ -215,25 +259,99 @@ object QueryFormat {
       case _ => typeText()
     }
 
+    private def caseE(): Expr = {
+      // CASE [operand] WHEN c THEN v ... [ELSE e] END. The reference's
+      // parser desugars both forms into multiIf (operand form via
+      // operand = cond comparisons), so the canonical print does too.
+      val operand = if (isKw("when")) None else Some(expr())
+      val branches = scala.collection.mutable.ArrayBuffer[(Expr, Expr)]()
+      while (takeKw("when")) {
+        val c = expr(); expectKw("then"); val v = expr()
+        branches += ((c, v))
+      }
+      if (branches.isEmpty) fail("CASE needs WHEN")
+      val elseE = if (takeKw("else")) Some(expr()) else None
+      expectKw("end")
+      val conds = operand match {
+        case Some(op) => branches.map { case (c, v) => (Bin("=", op, c), v) }
+        case None => branches.toSeq
+      }
+      val flat = conds.flatMap { case (c, v) => Seq(c, v) } :+
+        elseE.getOrElse(Id("NULL"))
+      Call("multiIf", flat.toSeq)
+    }
+
+    private def overTail(fn: Call): Expr = {
+      // fn(...) OVER ( [PARTITION BY ...] [ORDER BY ...] [frame] )
+      expectP("(")
+      val pb = if (takeKw("partition")) {
+        expectKw("by")
+        val xs = scala.collection.mutable.ArrayBuffer(expr())
+        while (takeP(",")) xs += expr()
+        xs.toSeq
+      } else Nil
+      val ob = if (takeKw("order")) {
+        expectKw("by")
+        def key(): OrderKey = {
+          val e = expr()
+          val desc = if (takeKw("desc")) true else { takeKw("asc"); false }
+          val nulls = if (takeKw("nulls"))
+            Some(if (takeKw("first")) "FIRST" else { expectKw("last"); "LAST" })
+          else None
+          OrderKey(e, desc, nulls)
+        }
+        val ks = scala.collection.mutable.ArrayBuffer(key())
+        while (takeP(",")) ks += key()
+        ks.toSeq
+      } else Nil
+      val frame =
+        if (isKw("rows") || isKw("range")) {
+          val unit = next().text.toUpperCase
+          def bound(): String =
+            if (takeKw("unbounded"))
+              if (takeKw("preceding")) "UNBOUNDED PRECEDING"
+              else { expectKw("following"); "UNBOUNDED FOLLOWING" }
+            else if (takeKw("current")) { expectKw("row"); "CURRENT ROW" }
+            else {
+              val n = next() match { case TNum(t) => t; case _ => fail("frame bound") }
+              if (takeKw("preceding")) s"$n PRECEDING"
+              else { expectKw("following"); s"$n FOLLOWING" }
+            }
+          if (takeKw("between")) {
+            val a = bound(); expectKw("and"); val b = bound()
+            Some(s"$unit BETWEEN $a AND $b")
+          } else Some(s"$unit ${bound()}")
+        } else None
+      expectP(")")
+      OverE(fn, pb, ob, frame)
+    }
+
     private def primary(): Expr = next() match {
       case TNum(t) => Num(t)
       case TStr(t) => Str(t)
       case TP("*") => Star
       case TP("(") =>
-        val first = expr()
-        if (takeP(",")) {
-          val items = scala.collection.mutable.ArrayBuffer(first)
-          items += expr()
-          while (takeP(",")) items += expr()
+        if (isKw("select")) {
+          val q = selectQuery()
           expectP(")")
-          Tup(items.toSeq)
-        } else { expectP(")"); first }
+          SubE(q)
+        } else {
+          val first = expr()
+          if (takeP(",")) {
+            val items = scala.collection.mutable.ArrayBuffer(first)
+            items += expr()
+            while (takeP(",")) items += expr()
+            expectP(")")
+            Tup(items.toSeq)
+          } else { expectP(")"); first }
+        }
       case TP("[") =>
         val items = scala.collection.mutable.ArrayBuffer[Expr]()
         if (!isP("]")) { items += expr(); while (takeP(",")) items += expr() }
         expectP("]")
         Arr(items.toSeq)
       case TBq(t) => qualifiedTail(s"`$t`")
+      case TId(t) if t.equalsIgnoreCase("case") => caseE()
       case TId(t) if t.equalsIgnoreCase("cast") && isP("(") =>
         i += 1
         val e = expr()
@@ -250,7 +368,8 @@ object QueryFormat {
           val args = scala.collection.mutable.ArrayBuffer[Expr]()
           if (!isP(")")) { args += expr(); while (takeP(",")) args += expr() }
           expectP(")")
-          Call(canonicalNames.getOrElse(t.toLowerCase, t), args.toSeq)
+          val call = Call(canonicalNames.getOrElse(t.toLowerCase, t), args.toSeq)
+          if (takeKw("over")) overTail(call) else call
         } else qualifiedTail(t)
       case other => fail(s"unexpected ${other.text}")
     }
@@ -280,17 +399,58 @@ object QueryFormat {
       out.toSeq
     }
 
-    def selectQuery(explain: Option[String]): SelectQ = {
+    private def fromAtom(): FromItem =
+      if (takeP("(")) {
+        val q = selectQuery()
+        expectP(")")
+        FromSub(q, aliasOpt())
+      } else FromTable(qualified(), aliasOpt())
+
+    private def joinKind(): Option[String] = {
+      val save = i
+      if (takeKw("inner")) { expectKw("join"); Some("INNER JOIN") }
+      else if (takeKw("left")) { takeKw("outer"); expectKw("join"); Some("LEFT JOIN") }
+      else if (takeKw("right")) { takeKw("outer"); expectKw("join"); Some("RIGHT JOIN") }
+      else if (takeKw("full")) { takeKw("outer"); expectKw("join"); Some("FULL JOIN") }
+      else if (takeKw("cross")) { expectKw("join"); Some("CROSS JOIN") }
+      else if (takeKw("join")) Some("INNER JOIN")
+      else { i = save; None }
+    }
+
+    private def fromClause(): FromItem = {
+      var l = fromAtom()
+      var done = false
+      while (!done) {
+        joinKind() match {
+          case Some(kind) =>
+            val r = fromAtom()
+            if (kind != "CROSS JOIN" && takeKw("on"))
+              l = JoinItem(kind, l, r, Some(expr()), Nil)
+            else if (kind != "CROSS JOIN" && takeKw("using")) {
+              val cols = scala.collection.mutable.ArrayBuffer[String]()
+              if (takeP("(")) {
+                cols += ident(); while (takeP(",")) cols += ident()
+                expectP(")")
+              } else { cols += ident(); while (takeP(",")) cols += ident() }
+              l = JoinItem(kind, l, r, None, cols.toSeq)
+            } else if (kind == "CROSS JOIN") l = JoinItem(kind, l, r, None, Nil)
+            else fail("JOIN needs ON or USING")
+          case None => done = true
+        }
+      }
+      l
+    }
+
+    def selectQuery(): SelectQ = {
       expectKw("select")
       val distinct = takeKw("distinct")
       def item(): (Expr, Option[String]) = {
         val e = expr()
-        val alias = if (takeKw("as")) Some(ident()) else None
-        (e, alias)
+        (e, aliasOpt())
       }
       val items = scala.collection.mutable.ArrayBuffer(item())
       while (takeP(",")) items += item()
-      val from = if (takeKw("from")) Some(qualified()) else None
+      val from = if (takeKw("from")) Some(fromClause()) else None
       val where = if (takeKw("where")) Some(expr()) else None
       val groupBy = if (takeKw("group")) {
         expectKw("by")
@@ -325,7 +485,7 @@ object QueryFormat {
       } else None
       val settings = if (takeKw("settings")) settingsList() else Nil
       val fmt = if (takeKw("format")) Some(ident()) else None
-      SelectQ(explain, distinct, items.toSeq, from, where, groupBy, having,
+      SelectQ(distinct, items.toSeq, from, where, groupBy, having,
         orderBy, limit, settings, fmt)
     }
 
@@ -394,10 +554,28 @@ object QueryFormat {
         Some("EXPLAIN" + mode)
       } else None
       val st =
-        if (isKw("select")) selectQuery(explain)
-        else if (explain.isEmpty && isKw("insert")) insertQuery()
+        if (explain.isEmpty && isKw("insert")) insertQuery()
         else if (explain.isEmpty && isKw("create")) createQuery()
-        else fail("expected SELECT/INSERT/CREATE")
+        else {
+          val ctes = if (takeKw("with")) {
+            def cte(): (String, SelectQ) = {
+              val nm = ident(); expectKw("as"); expectP("(")
+              val q = selectQuery(); expectP(")")
+              (nm, q)
+            }
+            val cs = scala.collection.mutable.ArrayBuffer(cte())
+            while (takeP(",")) cs += cte()
+            cs.toSeq
+          } else Nil
+          val parts = scala.collection.mutable.ArrayBuffer(selectQuery())
+          val ops = scala.collection.mutable.ArrayBuffer[String]()
+          while (takeKw("union")) {
+            ops += (if (takeKw("all")) "UNION ALL"
+              else if (takeKw("distinct")) "UNION DISTINCT" else "UNION ALL")
+            parts += selectQuery()
+          }
+          UnionQ(explain, ctes, parts.toSeq, ops.toSeq)
+        }
       takeP(";")
       if (i != toks.length) fail("trailing tokens")
       st
@@ -435,6 +613,13 @@ object QueryFormat {
       case Arr(items) => s"[${items.map(render(_, 0)).mkString(", ")}]"
       case Tup(items) => s"(${items.map(render(_, 0)).mkString(", ")})"
       case CastAs(x, tp) => s"CAST(${render(x, 0)}, '$tp')"
+      case SubE(q) => s"(${printSelect(q, single = true, indent = 0)})"
+      case OverE(fn, pb, ob, frame) =>
+        val inner = Seq(
+          if (pb.nonEmpty) Some("PARTITION BY " + pb.map(render(_, 0)).mkString(", ")) else None,
+          if (ob.nonEmpty) Some("ORDER BY " + ob.map(renderOrderKey).mkString(", ")) else None,
+          frame).flatten.mkString(" ")
+        s"${render(fn, 0)} OVER ($inner)"
       case Un("NOT", x) => s"NOT ${render(x, 3)}"
       case Un("-", x) => s"-${render(x, 7)}"
       case Bin(op, _, _) if op == "AND" || op == "OR" =>
@@ -458,18 +643,61 @@ object QueryFormat {
     }
   }
 
+  private def renderOrderKey(k: OrderKey): String =
+    render(k.e, 0) + (if (k.desc) " DESC" else " ASC") +
+      k.nulls.map(x => s" NULLS $x").getOrElse("")
+
   private def renderItem(it: (Expr, Option[String])): String =
     render(it._1, 0) + it._2.map(a => s" AS $a").getOrElse("")
 
-  private def printSelect(q: SelectQ, single: Boolean): String = {
-    val nl = if (single) " " else "\n"
+  private def indentBlock(s: String, by: Int): String =
+    s.linesIterator.map(l => " " * by + l).mkString("\n")
+
+  /** FROM operand in single-line mode. */
+  private def fromSingle(f: FromItem): String = f match {
+    case FromTable(n, a) => n + a.map(x => s" AS $x").getOrElse("")
+    case FromSub(q, a) =>
+      s"(${printSelect(q, single = true, indent = 0)})" + a.map(x => s" AS $x").getOrElse("")
+    case JoinItem(kind, l, r, on, using) =>
+      val tail = on.map(e => s" ON ${render(e, 0)}")
+        .getOrElse(if (using.nonEmpty) s" USING (${using.mkString(", ")})" else "")
+      s"${fromSingle(l)} $kind ${fromSingle(r)}$tail"
+  }
+
+  /** FROM clause lines in multiline mode (JOINs on their own lines,
+    * subqueries in indented paren blocks, reference style). */
+  private def fromLines(f: FromItem, indent: Int): Seq[String] = f match {
+    case FromTable(n, a) => Seq(s"FROM $n" + a.map(x => s" AS $x").getOrElse(""))
+    case FromSub(q, a) =>
+      Seq("FROM", "(") ++
+        Seq(indentBlock(printSelect(q, single = false, indent = 0), 4)) ++
+        Seq(")" + a.map(x => s" AS $x").getOrElse(""))
+    case JoinItem(kind, l, r, on, using) =>
+      val tail = on.map(e => s" ON ${render(e, 0)}")
+        .getOrElse(if (using.nonEmpty) s" USING (${using.mkString(", ")})" else "")
+      val rightLines = r match {
+        case FromTable(n, a) =>
+          Seq(s"$kind $n" + a.map(x => s" AS $x").getOrElse("") + tail)
+        case FromSub(q, a) =>
+          Seq(kind, "(") ++
+            Seq(indentBlock(printSelect(q, single = false, indent = 0), 4)) ++
+            Seq(")" + a.map(x => s" AS $x").getOrElse("") + tail)
+        case j: JoinItem => // right-nested join: parenthesized single line
+          Seq(s"$kind (${fromSingle(j)})$tail")
+      }
+      fromLines(l, indent) ++ rightLines
+  }
+
+  private def printSelect(q: SelectQ, single: Boolean, indent: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()
-    q.explain.foreach(parts += _)
     val selKw = if (q.distinct) "SELECT DISTINCT" else "SELECT"
     if (q.items.length == 1) parts += s"$selKw ${renderItem(q.items.head)}"
     else if (single) parts += s"$selKw ${q.items.map(renderItem).mkString(", ")}"
     else parts += q.items.map(renderItem).mkString(s"$selKw\n    ", ",\n    ", "")
-    q.from.foreach(f => parts += s"FROM $f")
+    q.from.foreach { f =>
+      if (single) parts += s"FROM ${fromSingle(f)}"
+      else parts ++= fromLines(f, indent)
+    }
     q.where.foreach(w => parts += s"WHERE ${render(w, 0)}")
     if (q.groupBy.nonEmpty) {
       val gs = q.groupBy.map(render(_, 0))
@@ -479,10 +707,7 @@ object QueryFormat {
     }
     q.having.foreach(h => parts += s"HAVING ${render(h, 0)}")
     if (q.orderBy.nonEmpty) {
-      val ks = q.orderBy.map { k =>
-        render(k.e, 0) + (if (k.desc) " DESC" else " ASC") +
-          k.nulls.map(x => s" NULLS $x").getOrElse("")
-      }
+      val ks = q.orderBy.map(renderOrderKey)
       if (ks.length == 1) parts += s"ORDER BY ${ks.head}"
       else if (single) parts += s"ORDER BY ${ks.mkString(", ")}"
       else parts += ks.mkString("ORDER BY\n    ", ",\n    ", "")
@@ -492,7 +717,30 @@ object QueryFormat {
       parts += q.settings.map { case (k, v) => s"$k = $v" }
         .mkString("SETTINGS ", ", ", "")
     q.fmt.foreach(f => parts += s"FORMAT $f")
-    parts.mkString(nl)
+    parts.mkString(if (single) " " else "\n")
+  }
+
+  private def printUnion(u: UnionQ, single: Boolean): String = {
+    val sb = new StringBuilder
+    u.explain.foreach(e => sb.append(e).append(if (single) " " else "\n"))
+    if (u.ctes.nonEmpty) {
+      if (single) {
+        sb.append(u.ctes.map { case (n, q) =>
+          s"$n AS (${printSelect(q, single = true, indent = 0)})"
+        }.mkString("WITH ", ", ", " "))
+      } else {
+        val blocks = u.ctes.map { case (n, q) =>
+          s"$n AS\n(\n${indentBlock(printSelect(q, single = false, indent = 0), 4)}\n)"
+        }
+        sb.append("WITH ").append(blocks.mkString(",\n")).append("\n")
+      }
+    }
+    val sep = if (single) " " else "\n"
+    sb.append(printSelect(u.parts.head, single, 0))
+    u.ops.zip(u.parts.tail).foreach { case (op, p) =>
+      sb.append(sep).append(op).append(sep).append(printSelect(p, single, 0))
+    }
+    sb.toString
   }
 
   private def printCreate(q: CreateQ, single: Boolean): String = {
@@ -523,7 +771,7 @@ object QueryFormat {
       lex(sql).flatMap { toks =>
         if (toks.isEmpty) None
         else new P(toks).statement() match {
-          case q: SelectQ => Some(printSelect(q, singleLine))
+          case u: UnionQ => Some(printUnion(u, singleLine))
           case q: InsertQ =>
             val cols = if (q.cols.nonEmpty) s" (${q.cols.mkString(", ")})" else ""
             Some(s"INSERT INTO ${q.table}$cols FORMAT Values")

@@ -94,4 +94,80 @@ class QueryFormatSpec extends AnyFunSuite {
     val once = fq1(in).get
     assert(fq1(once).contains(once))
   }
+
+  test("JOIN chains: ON/USING, outer-word normalization, own lines multiline") {
+    val in = "select a, b from t1 x join t2 y on x.id = y.id left outer join t3 using (k) cross join t4"
+    assert(fq1(in).contains(
+      "SELECT a, b FROM t1 AS x INNER JOIN t2 AS y ON x.id = y.id " +
+        "LEFT JOIN t3 USING (k) CROSS JOIN t4"))
+    val multi = fq(in).get
+    assert(multi.contains("FROM t1 AS x\nINNER JOIN t2 AS y ON x.id = y.id\n" +
+      "LEFT JOIN t3 USING (k)\nCROSS JOIN t4"))
+  }
+
+  test("FROM subquery: indented paren block multiline, flat single-line") {
+    val in = "select s from (select sum(v) as s from t group by k) q where s > 0"
+    assert(fq1(in).contains(
+      "SELECT s FROM (SELECT sum(v) AS s FROM t GROUP BY k) AS q WHERE s > 0"))
+    val multi = fq(in).get
+    assert(multi.contains(
+      "SELECT s\nFROM\n(\n    SELECT sum(v) AS s\n    FROM t\n    GROUP BY k\n) AS q\nWHERE s > 0"))
+  }
+
+  test("WITH CTEs: indented blocks multiline, flat single-line") {
+    val in = "with base as (select k, v from t), agg as (select k, sum(v) s from base group by k) select k, s from agg order by k"
+    assert(fq1(in).contains(
+      "WITH base AS (SELECT k, v FROM t), agg AS (SELECT k, sum(v) AS s FROM base GROUP BY k) " +
+        "SELECT k, s FROM agg ORDER BY k ASC"))
+    val multi = fq(in).get
+    assert(multi.startsWith("WITH base AS\n(\n    SELECT\n        k,\n        v\n    FROM t\n),\nagg AS\n("))
+    assert(multi.endsWith("\nORDER BY k ASC"))
+  }
+
+  test("CASE desugars to multiIf, operand form via equality conditions") {
+    assert(fq1("select case when a > 1 then 'x' else 'y' end from t").contains(
+      "SELECT multiIf(a > 1, 'x', 'y') FROM t"))
+    assert(fq1("select case m when 1 then 'a' when 2 then 'b' end from t").contains(
+      "SELECT multiIf(m = 1, 'a', m = 2, 'b', NULL) FROM t"))
+  }
+
+  test("BETWEEN and IS [NOT] NULL desugar at the parser, reference style") {
+    assert(fq1("select a from t where a between 2 and 5").contains(
+      "SELECT a FROM t WHERE (a >= 2) AND (a <= 5)"))
+    assert(fq1("select a from t where a not between 2 and 5").contains(
+      "SELECT a FROM t WHERE (a < 2) OR (a > 5)"))
+    assert(fq1("select a from t where a is null and b is not null").contains(
+      "SELECT a FROM t WHERE isNull(a) AND isNotNull(b)"))
+  }
+
+  test("window OVER clauses: partition/order/frame canonicalized") {
+    val in = "select sum(v) over (partition by k order by ts rows between 2 preceding and current row) from t"
+    assert(fq1(in).contains(
+      "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM t"))
+    assert(fq1("select rank() over (order by v desc) from t").contains(
+      "SELECT rank() OVER (ORDER BY v DESC) FROM t"))
+  }
+
+  test("UNION stacks and IN (SELECT ...) subqueries") {
+    assert(fq1("select a from t1 union all select b from t2 union distinct select c from t3").contains(
+      "SELECT a FROM t1 UNION ALL SELECT b FROM t2 UNION DISTINCT SELECT c FROM t3"))
+    val multi = fq("select a from t1 union all select b from t2").get
+    assert(multi == "SELECT a\nFROM t1\nUNION ALL\nSELECT b\nFROM t2")
+    assert(fq1("select a from t where a in (select k from dim)").contains(
+      "SELECT a FROM t WHERE a IN (SELECT k FROM dim)"))
+  }
+
+  test("widened dialect is idempotent on its own output") {
+    val ins = Seq(
+      "select a, b from t1 x join t2 y on x.id = y.id left join t3 using (k)",
+      "with c as (select k from t) select k, row_number() over (partition by k order by k) from c",
+      "select case when a is null then 0 else a end from t where b between 1 and 9",
+      "select a from t1 union all select b from t2 order by b")
+    for (in <- ins; single <- Seq(true, false)) {
+      val once = QueryFormat.format(in, single)
+      assert(once.nonEmpty, s"must parse: $in")
+      val twice = QueryFormat.format(once.get, single)
+      assert(twice == once, s"not idempotent ($single): $in ->\n${once.get}\nvs\n$twice")
+    }
+  }
 }
