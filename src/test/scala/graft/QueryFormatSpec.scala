@@ -157,6 +157,18 @@ class QueryFormatSpec extends AnyFunSuite {
       "SELECT a FROM t WHERE a IN (SELECT k FROM dim)"))
   }
 
+  test("02882: normalizedQueryHash is stable across formatQuery spellings") {
+    // mirrors: SELECT normalizedQueryHash(formatQuery('select 1')) =
+    //          normalizedQueryHash(formatQuery('SELECT 1'))  -> 1
+    val spark = SparkTestSession.spark
+    val r = graft.sqlfront.ChSql.sql(spark, "/root/testdata/sf0.001",
+      """SELECT
+        |  normalizedQueryHash(formatQuery('select 1')) = normalizedQueryHash(formatQuery('SELECT 1')) AS h1,
+        |  formatQuerySingleLine('select 1') = formatQuerySingleLine('SeLeCt 1') AS h2
+        |FROM nation LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
   test("widened dialect is idempotent on its own output") {
     val ins = Seq(
       "select a, b from t1 x join t2 y on x.id = y.id left join t3 using (k)",
