@@ -78,6 +78,36 @@ class RandDistributionSpec extends AnyFunSuite {
     check("randNegativeBinomial", "randNegativeBinomial(5, 0.4)", 7.5, 18.75, 0.25, 2.5)
   }
 
+  test("02462_distributions anchor: ranges, Bernoulli domain, tag args accepted") {
+    val spark = SparkTestSession.spark
+    // range assertions, as in the reference's own stateless test
+    val ranges = Seq(
+      "randUniform(0, 1)" -> "x < 0 OR x > 1",
+      "randLogNormal(0, 5)" -> "x < 0",
+      "randExponential(15)" -> "x < 0",
+      "randChiSquared(3)" -> "x < 0",
+      "randFisherF(3, 4)" -> "x < 0",
+      "randBinomial(3, 0.5)" -> "x < 0",
+      "randNegativeBinomial(3, 0.5)" -> "x < 0",
+      "randPoisson(44)" -> "x < 0")
+    for ((e, bad) <- ranges) {
+      val n = graft.sqlfront.ChSql.sql(spark, sf,
+        s"SELECT count() AS n FROM (SELECT $e AS x FROM system.numbers LIMIT 5000) WHERE $bad")
+        .collect()(0).getLong(0)
+      assert(n == 0L, s"$e out of range")
+    }
+    // distinct Bernoulli values are exactly {0, 1}
+    val b = graft.sqlfront.ChSql.sql(spark, sf,
+      "SELECT DISTINCT randBernoulli(0.5) AS a FROM system.numbers LIMIT 5000")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(b == Seq(0L, 1L))
+    // the optional trailing tag argument is accepted and ignored ("No errors")
+    graft.sqlfront.ChSql.sql(spark, sf,
+      "SELECT randUniform(1, 2, 1) AS a, randNormal(0, 1, 'abacaba') AS b, " +
+        "randChiSquared(1, 1) AS c, randBernoulli(0.5, 2) AS d, " +
+        "randPoisson(4, 44) AS e FROM system.numbers LIMIT 5").collect()
+  }
+
   test("randPoisson(4): mean = var = lambda") {
     check("randPoisson", "randPoisson(4)", 4.0, 4.0, 0.12, 0.5)
     val spark = SparkTestSession.spark
