@@ -34,7 +34,9 @@ object DumpPlans {
       "q_geo_cells", "q_sim_ann_nsw",
       // round-10 late — keyed union-sweep concurrency, moment-solve
       // regression (map-side only), grid-family explode shape
-      "q_running_concurrency", "q_fn_ml_method", "q_ts_grid_family")
+      "q_running_concurrency", "q_fn_ml_method", "q_ts_grid_family",
+      // round-11 — scalar pretty-printer projection, MySQL-alias aggregates
+      "q_fn_format_query", "q_agg_spellings3")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
