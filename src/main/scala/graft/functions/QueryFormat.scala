@@ -103,8 +103,11 @@ object QueryFormat {
 
   private case class SelectQ(
     distinct: Boolean, items: Seq[(Expr, Option[String])],
-    from: Option[FromItem], where: Option[Expr], groupBy: Seq[Expr],
-    having: Option[Expr], orderBy: Seq[OrderKey], limit: Option[String],
+    from: Option[FromItem],
+    arrayJoin: Option[(Boolean, Seq[(Expr, Option[String])])], // (isLeft, items)
+    prewhere: Option[Expr], where: Option[Expr], groupBy: Seq[Expr],
+    having: Option[Expr], qualify: Option[Expr], orderBy: Seq[OrderKey],
+    limitBy: Option[(String, Seq[Expr])], limit: Option[String],
     settings: Seq[(String, String)], fmt: Option[String])
   private case class UnionQ(explain: Option[String],
     ctes: Seq[(String, SelectQ)], parts: Seq[SelectQ], ops: Seq[String])
@@ -124,7 +127,8 @@ object QueryFormat {
     "in", "by", "union", "distinct", "all", "join", "inner", "left", "right",
     "full", "cross", "outer", "on", "using", "over", "between", "is", "case",
     "when", "then", "else", "end", "with", "values", "select", "insert",
-    "create", "partition", "prewhere", "qualify", "window", "rows", "range")
+    "create", "partition", "prewhere", "qualify", "window", "rows", "range",
+    "array")
 
   // ---------------- parser ----------------
   private final class P(toks: Vector[Tok]) {
@@ -408,13 +412,17 @@ object QueryFormat {
 
     private def joinKind(): Option[String] = {
       val save = i
-      if (takeKw("inner")) { expectKw("join"); Some("INNER JOIN") }
-      else if (takeKw("left")) { takeKw("outer"); expectKw("join"); Some("LEFT JOIN") }
-      else if (takeKw("right")) { takeKw("outer"); expectKw("join"); Some("RIGHT JOIN") }
-      else if (takeKw("full")) { takeKw("outer"); expectKw("join"); Some("FULL JOIN") }
-      else if (takeKw("cross")) { expectKw("join"); Some("CROSS JOIN") }
+      // restore (not fail) when the word is not actually a join head —
+      // e.g. LEFT ARRAY JOIN belongs to the ARRAY JOIN clause
+      def finish(kind: String): Option[String] =
+        if (takeKw("join")) Some(kind) else { i = save; None }
+      if (takeKw("inner")) finish("INNER JOIN")
+      else if (takeKw("left")) { takeKw("outer"); finish("LEFT JOIN") }
+      else if (takeKw("right")) { takeKw("outer"); finish("RIGHT JOIN") }
+      else if (takeKw("full")) { takeKw("outer"); finish("FULL JOIN") }
+      else if (takeKw("cross")) finish("CROSS JOIN")
       else if (takeKw("join")) Some("INNER JOIN")
-      else { i = save; None }
+      else None
     }
 
     private def fromClause(): FromItem = {
@@ -451,6 +459,18 @@ object QueryFormat {
       val items = scala.collection.mutable.ArrayBuffer(item())
       while (takeP(",")) items += item()
       val from = if (takeKw("from")) Some(fromClause()) else None
+      // [LEFT] ARRAY JOIN arr [AS a], ...
+      val arrayJoin = {
+        val save = i
+        val left = takeKw("left")
+        if (takeKw("array")) {
+          expectKw("join")
+          val xs = scala.collection.mutable.ArrayBuffer(item())
+          while (takeP(",")) xs += item()
+          Some((left, xs.toSeq))
+        } else { i = save; None }
+      }
+      val prewhere = if (takeKw("prewhere")) Some(expr()) else None
       val where = if (takeKw("where")) Some(expr()) else None
       val groupBy = if (takeKw("group")) {
         expectKw("by")
@@ -459,6 +479,7 @@ object QueryFormat {
         gs.toSeq
       } else Nil
       val having = if (takeKw("having")) Some(expr()) else None
+      val qualify = if (takeKw("qualify")) Some(expr()) else None
       val orderBy = if (takeKw("order")) {
         expectKw("by")
         def key(): OrderKey = {
@@ -473,20 +494,29 @@ object QueryFormat {
         while (takeP(",")) ks += key()
         ks.toSeq
       } else Nil
-      val limit = if (takeKw("limit")) {
-        val a = next() match { case TNum(t) => t; case _ => fail("LIMIT count") }
-        if (takeP(",")) {
-          val b = next() match { case TNum(t) => t; case _ => fail("LIMIT count") }
-          Some(s"$b OFFSET $a")
-        } else if (takeKw("offset")) {
-          val b = next() match { case TNum(t) => t; case _ => fail("OFFSET count") }
-          Some(s"$a OFFSET $b")
-        } else Some(a)
-      } else None
+      def num(): String = next() match {
+        case TNum(t) => t; case _ => fail("LIMIT count") }
+      def limitSpec(): String = {
+        val a = num()
+        if (takeP(",")) { val b = num(); s"$b OFFSET $a" }
+        else if (takeKw("offset")) { val b = num(); s"$a OFFSET $b" }
+        else a
+      }
+      var limitBy: Option[(String, Seq[Expr])] = None
+      var limit: Option[String] = None
+      if (takeKw("limit")) {
+        val spec0 = limitSpec()
+        if (takeKw("by")) {
+          val xs = scala.collection.mutable.ArrayBuffer(expr())
+          while (takeP(",")) xs += expr()
+          limitBy = Some((spec0, xs.toSeq))
+          if (takeKw("limit")) limit = Some(limitSpec())
+        } else limit = Some(spec0)
+      }
       val settings = if (takeKw("settings")) settingsList() else Nil
       val fmt = if (takeKw("format")) Some(ident()) else None
-      SelectQ(distinct, items.toSeq, from, where, groupBy, having,
-        orderBy, limit, settings, fmt)
+      SelectQ(distinct, items.toSeq, from, arrayJoin, prewhere, where,
+        groupBy, having, qualify, orderBy, limitBy, limit, settings, fmt)
     }
 
     def insertQuery(): InsertQ = {
@@ -698,6 +728,11 @@ object QueryFormat {
       if (single) parts += s"FROM ${fromSingle(f)}"
       else parts ++= fromLines(f, indent)
     }
+    q.arrayJoin.foreach { case (left, items) =>
+      val kw = if (left) "LEFT ARRAY JOIN" else "ARRAY JOIN"
+      parts += s"$kw ${items.map(renderItem).mkString(", ")}"
+    }
+    q.prewhere.foreach(p => parts += s"PREWHERE ${render(p, 0)}")
     q.where.foreach(w => parts += s"WHERE ${render(w, 0)}")
     if (q.groupBy.nonEmpty) {
       val gs = q.groupBy.map(render(_, 0))
@@ -706,11 +741,15 @@ object QueryFormat {
       else parts += gs.mkString("GROUP BY\n    ", ",\n    ", "")
     }
     q.having.foreach(h => parts += s"HAVING ${render(h, 0)}")
+    q.qualify.foreach(x => parts += s"QUALIFY ${render(x, 0)}")
     if (q.orderBy.nonEmpty) {
       val ks = q.orderBy.map(renderOrderKey)
       if (ks.length == 1) parts += s"ORDER BY ${ks.head}"
       else if (single) parts += s"ORDER BY ${ks.mkString(", ")}"
       else parts += ks.mkString("ORDER BY\n    ", ",\n    ", "")
+    }
+    q.limitBy.foreach { case (spec, cols) =>
+      parts += s"LIMIT $spec BY ${cols.map(render(_, 0)).mkString(", ")}"
     }
     q.limit.foreach(l => parts += s"LIMIT $l")
     if (q.settings.nonEmpty)

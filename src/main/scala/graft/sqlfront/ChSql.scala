@@ -4531,6 +4531,12 @@ object ChSql {
     val alterDelRe = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DELETE\\s+WHERE\\s+(.*?);?\\s*$".r
     val alterUpdRe = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+UPDATE\\s+(.*?)\\s+WHERE\\s+(.*?);?\\s*$".r
     val truncateRe = "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
+    // OPTIMIZE ... DEDUPLICATE [BY col, ...] has real row-dropping
+    // semantics (reference InterpreterOptimizeQuery.cpp / MergeTree
+    // DEDUPLICATE merges): full-row distinct, or first-row-per-key when a
+    // BY list is given. Plain OPTIMIZE stays a no-op (no parts here).
+    val optimizeDedupRe =
+      "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+(\\w+)\\s+(?:FINAL\\s+)?DEDUPLICATE(?:\\s+BY\\s+(.+?))?\\s*;?\\s*$".r
     val optimizeRe = "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+(\\w+).*$".r
     // CREATE DICTIONARY d (...) PRIMARY KEY k SOURCE(...(TABLE 't'...)...)
     // (reference src/Storages/StorageDictionary.h / getDictionaryConfigurationFromAST):
@@ -4601,6 +4607,17 @@ object ChSql {
         val empty = spark.table(name).limit(0)
         empty.createOrReplaceTempView(name)
         Some(empty)
+      case optimizeDedupRe(name, byCols) =>
+        val t = spark.table(name)
+        val deduped = Option(byCols) match {
+          case Some(cs) =>
+            t.dropDuplicates(cs.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq)
+          case None => t.distinct()
+        }
+        val m = deduped.persist()
+        m.count()
+        m.createOrReplaceTempView(name)
+        Some(m)
       case optimizeRe(name) =>
         // merges/FINAL are a no-op here: session tables have no parts;
         // parquet-backed layouts use Layout.compact

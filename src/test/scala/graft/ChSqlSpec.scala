@@ -460,6 +460,20 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_mut")
   }
 
+  test("OPTIMIZE TABLE ... DEDUPLICATE [BY cols] drops duplicate rows") {
+    // full-row dedup: union the table with itself, OPTIMIZE restores it
+    ch("CREATE TABLE t_dd AS SELECT n_nationkey, n_regionkey FROM nation UNION ALL SELECT n_nationkey, n_regionkey FROM nation")
+    assert(ch("SELECT count() AS n FROM t_dd").collect()(0).getLong(0) == 50L)
+    ch("OPTIMIZE TABLE t_dd FINAL DEDUPLICATE")
+    assert(ch("SELECT count() AS n FROM t_dd").collect()(0).getLong(0) == 25L)
+    // keyed dedup: one row per n_regionkey survives
+    ch("OPTIMIZE TABLE t_dd DEDUPLICATE BY n_regionkey")
+    assert(ch("SELECT count() AS n FROM t_dd").collect()(0).getLong(0) == 5L)
+    assert(ch("SELECT count(DISTINCT n_regionkey) AS n FROM t_dd")
+      .collect()(0).getLong(0) == 5L)
+    ch("DROP TABLE t_dd")
+  }
+
   test("batch-11 names: erf, byteSwap, MJD, changeDate, XML codec, base64URL, bar") {
     val r = ch("""SELECT round(erf(1.0), 5) AS e1, round(erfc(1.0), 5) AS ec1,
                  |erf(0.0) AS e0,

@@ -169,12 +169,31 @@ class QueryFormatSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1))
   }
 
+  test("CH-specific clauses: PREWHERE, QUALIFY, LIMIT BY, ARRAY JOIN") {
+    assert(fq1("select a from t prewhere b > 0 where c < 5").contains(
+      "SELECT a FROM t PREWHERE b > 0 WHERE c < 5"))
+    assert(fq1("select a, rank() over (order by v) r from t qualify r <= 3").contains(
+      "SELECT a, rank() OVER (ORDER BY v ASC) AS r FROM t QUALIFY r <= 3"))
+    assert(fq1("select a from t order by a limit 2 by grp limit 10").contains(
+      "SELECT a FROM t ORDER BY a ASC LIMIT 2 BY grp LIMIT 10"))
+    assert(fq1("select a from t limit 3, 7 by grp").contains(
+      "SELECT a FROM t LIMIT 7 OFFSET 3 BY grp"))
+    assert(fq1("select x from t array join arr as x").contains(
+      "SELECT x FROM t ARRAY JOIN arr AS x"))
+    assert(fq1("select x from t left array join arr x").contains(
+      "SELECT x FROM t LEFT ARRAY JOIN arr AS x"))
+    val multi = fq("select x, n from t array join arr as x, nums n prewhere p where w").get
+    assert(multi == "SELECT\n    x,\n    n\nFROM t\nARRAY JOIN arr AS x, nums AS n\nPREWHERE p\nWHERE w")
+  }
+
   test("widened dialect is idempotent on its own output") {
     val ins = Seq(
       "select a, b from t1 x join t2 y on x.id = y.id left join t3 using (k)",
       "with c as (select k from t) select k, row_number() over (partition by k order by k) from c",
       "select case when a is null then 0 else a end from t where b between 1 and 9",
-      "select a from t1 union all select b from t2 order by b")
+      "select a from t1 union all select b from t2 order by b",
+      "select a from t prewhere p where w qualify q limit 2 by g limit 9",
+      "select x from t left array join arr as x where x > 0")
     for (in <- ins; single <- Seq(true, false)) {
       val once = QueryFormat.format(in, single)
       assert(once.nonEmpty, s"must parse: $in")
