@@ -157,6 +157,56 @@ class QueryFormatSpec extends AnyFunSuite {
       "SELECT a FROM t WHERE a IN (SELECT k FROM dim)"))
   }
 
+  test("property fuzz: 300 random dialect queries format idempotently") {
+    val rnd = new scala.util.Random(20260814L)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    // scalar expressions and boolean predicates are generated separately —
+    // `x - NOT a` is invalid in every SQL dialect, so NOT/AND/OR/IS NULL
+    // only appear in predicate positions
+    def exprStr(depth: Int): String = {
+      if (depth <= 0) pick(Seq("a", "b", "k", "v", "1", "42", "'s'", "2.5"))
+      else pick(Seq(
+        s"${exprStr(depth - 1)} ${pick(Seq("+", "-", "*"))} ${exprStr(depth - 1)}",
+        s"${pick(Seq("f", "sum", "min", "coalesce"))}(${exprStr(depth - 1)})",
+        s"case when ${boolStr(depth - 1)} then ${exprStr(depth - 1)} else ${exprStr(depth - 1)} end",
+        s"[${exprStr(depth - 1)}, ${exprStr(depth - 1)}]",
+        s"cast(${exprStr(depth - 1)} as Int64)"))
+    }
+    def boolStr(depth: Int): String = {
+      if (depth <= 0)
+        s"${pick(Seq("a", "b", "k"))} ${pick(Seq("=", "<", ">="))} ${pick(Seq("1", "42", "'s'"))}"
+      else pick(Seq(
+        s"${exprStr(depth - 1)} ${pick(Seq("=", "<", ">=", "!="))} ${exprStr(depth - 1)}",
+        s"${boolStr(depth - 1)} ${pick(Seq("and", "or"))} ${boolStr(depth - 1)}",
+        s"not ${boolStr(depth - 1)}",
+        s"${exprStr(depth - 1)} between 1 and 9",
+        s"${exprStr(depth - 1)} is null",
+        s"${exprStr(depth - 1)} in (1, 2, 3)"))
+    }
+    def queryStr(): String = {
+      val sb = new StringBuilder("select ")
+      sb.append((1 to 1 + rnd.nextInt(3)).map(_ => exprStr(2)).mkString(", "))
+      sb.append(" from t")
+      if (rnd.nextBoolean()) sb.append(s" where ${boolStr(2)}")
+      if (rnd.nextBoolean()) sb.append(" group by k")
+      if (rnd.nextBoolean()) sb.append(s" having ${boolStr(1)}")
+      if (rnd.nextBoolean()) sb.append(" order by a desc, b")
+      if (rnd.nextBoolean()) sb.append(s" limit ${1 + rnd.nextInt(99)}")
+      sb.toString
+    }
+    for (n <- 1 to 300; single <- Seq(true, false)) {
+      val in = queryStr()
+      val once = QueryFormat.format(in, single)
+      assert(once.nonEmpty, s"#$n must parse: $in")
+      val twice = QueryFormat.format(once.get, single)
+      assert(twice == once, s"#$n not idempotent ($single): $in\n-> ${once.get}\n-> ${twice.orNull}")
+      // the multiline render of the same query must also reparse
+      val multi = QueryFormat.format(in, singleLine = false).get
+      assert(QueryFormat.format(multi, singleLine = true) ==
+        QueryFormat.format(in, singleLine = true), s"#$n multi/single disagree: $in")
+    }
+  }
+
   test("02882: normalizedQueryHash is stable across formatQuery spellings") {
     // mirrors: SELECT normalizedQueryHash(formatQuery('select 1')) =
     //          normalizedQueryHash(formatQuery('SELECT 1'))  -> 1
