@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The DECODE step is a STUB — image/audio codec libraries are not in
-  * this environment. `decodeStub` computes a deterministic fake feature
-  * vector from the raw bytes. Everything around it — the binary column,
-  * the metadata struct, the mapPartitions batch shape, partition-count
-  * preservation — is the real plumbing a production decode would use
-  * (swap `decodeStub` for an actual codec call per partition, reusing a
-  * decoder instance across the partition's rows).
+  * Round 11: the image and audio halves are REAL decoders — javax.imageio
+  * (PNG/JPEG/BMP/GIF readers ship with Java SE) for images incl. a
+  * bilinear `resizeImage`, and a hand-parsed RIFF/PCM-16 walk for WAV —
+  * dispatched per-kind in `extractMediaFeatures`. Only the video demuxer
+  * stays a stub (`sampleFrames` — no container codecs in the JDK), and
+  * `decodeStub`/`extractFeatures` remain as the deterministic
+  * pseudo-feature path for opaque kinds. The Spark-side shape everywhere
+  * is mapPartitions — one decoder context per partition, streaming rows,
+  * no shuffle.
   */
 object Multimodal {
 
@@ -56,6 +58,145 @@ object Multimodal {
     assets.select(col("asset_id"), col("bytes"), col("kind"), col("n_bytes"))
       .as[Asset]
       .mapPartitions(_.map(decodeStub))
+  }
+
+  // ------------------------------------------------------------------
+  // REAL decoders — pure-JDK codecs (javax.imageio ships PNG/JPEG/BMP/GIF
+  // readers with Java SE; WAV is a hand-parsed RIFF/PCM chunk walk), so
+  // the image/audio half of the multimodal path is genuine decode, not a
+  // stub. Only video demuxing remains stubbed (no container codecs in
+  // the JDK).
+  // ------------------------------------------------------------------
+
+  case class MediaFeatures(asset_id: Long, kind: String, ok: Boolean,
+    width: Int, height: Int, channels: Int, sample_rate: Int,
+    n_frames: Long, mean_luma: Double)
+
+  /** Decode an image container (PNG/JPEG/BMP/GIF) and return
+    * (width, height, channels, mean gray value) where gray = (r+g+b)/3
+    * per pixel averaged over the raster. */
+  def decodeImageBytes(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    } catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, img.getColorModel.getNumComponents, sum / (w.toLong * h)))
+    }
+  }
+
+  /** Encode a solid-color RGB PNG (used by specs and the oracle row —
+    * PNG is lossless, so decode returns the exact color back). */
+  def encodeSolidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real resize: decode, bilinear-scale with Graphics2D, re-encode PNG. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    } catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, w, h, null)
+      g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Encode 16-bit little-endian PCM mono/stereo WAV (RIFF). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
+                     channels: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Hand-parsed RIFF/WAVE PCM-16 decode:
+    * (sampleRate, channels, nFrames, mean |amplitude|). */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int) = new String(bytes, at, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+    var pos = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length) {
+      val tag = tag4(pos)
+      val len = bb.getInt(pos + 4)
+      if (tag == "fmt ") {
+        if (bb.getShort(pos + 8) != 1) return None // PCM only
+        ch = bb.getShort(pos + 10)
+        rate = bb.getInt(pos + 12)
+        bits = bb.getShort(pos + 22)
+      } else if (tag == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1)
+    }
+    if (rate == 0 || ch == 0 || bits != 16 || dataOff < 0) return None
+    val n = math.min(dataLen, bytes.length - dataOff) / 2
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += math.abs(bb.getShort(dataOff + i * 2).toInt); i += 1 }
+    Some((rate, ch, n.toLong / ch, if (n == 0) 0.0 else sum / n))
+  }
+
+  /** Per-partition REAL feature extraction dispatched on the kind column
+    * (image kinds via ImageIO, audio/wav via the RIFF parser); undecodable
+    * or unknown kinds yield ok=false rows instead of failing the partition.
+    * Same mapPartitions shape as extractFeatures — one decoder context
+    * per partition, no shuffle. */
+  def extractMediaFeatures(spark: SparkSession, assets: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("bytes"), col("kind"), col("n_bytes"))
+      .as[Asset]
+      .mapPartitions(_.map { a =>
+        if (a.kind.startsWith("image/")) decodeImageBytes(a.bytes) match {
+          case Some((w, h, c, luma)) =>
+            MediaFeatures(a.asset_id, a.kind, ok = true, w, h, c, 0, 0L, luma)
+          case None => MediaFeatures(a.asset_id, a.kind, ok = false, 0, 0, 0, 0, 0L, 0.0)
+        } else if (a.kind.startsWith("audio/")) decodeWav(a.bytes) match {
+          case Some((rate, ch, frames, meanAbs)) =>
+            MediaFeatures(a.asset_id, a.kind, ok = true, 0, 0, ch, rate, frames, meanAbs)
+          case None => MediaFeatures(a.asset_id, a.kind, ok = false, 0, 0, 0, 0, 0L, 0.0)
+        } else MediaFeatures(a.asset_id, a.kind, ok = false, 0, 0, 0, 0, 0L, 0.0)
+      })
   }
 
   case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -140,10 +140,58 @@ object LlmOps {
     "q_multimodal_features" -> { (s, dir) =>
       val assets = Multimodal.assetsFromText(T(s, dir)("documents"), "doc_id", "text")
       ordered(Multimodal.extractFeatures(s, assets).toDF())
+    },
+
+    // Round-11: REAL codec round-trip on the executors — per row, encode
+    // a solid-color PNG and a constant-amplitude PCM-16 WAV, decode them
+    // back through javax.imageio / the RIFF parser (incl. a bilinear
+    // resize), and emit features the oracle recomputes arithmetically
+    // (PNG is lossless, bilinear resize of a uniform image is exact, WAV
+    // mean |amplitude| of a constant signal is the constant).
+    "q_multimodal_decode" -> { (s, dir) =>
+      import s.implicits._
+      val keys = T(s, dir)("part").filter(col("p_partkey") < 400)
+        .select(col("p_partkey").cast("long")).as[Long]
+      val feats = keys.mapPartitions(_.map { k =>
+        val w = (k % 17 + 4).toInt; val h = (k % 13 + 4).toInt
+        val r = (k * 37 % 256).toInt; val g = (k * 59 % 256).toInt
+        val b = (k * 83 % 256).toInt
+        val png = Multimodal.encodeSolidPng(w, h, r, g, b)
+        val (dw, dh, _, luma) = Multimodal.decodeImageBytes(png).get
+        val (rw, rh, _, rluma) =
+          Multimodal.decodeImageBytes(Multimodal.resizeImage(png, 8, 6).get).get
+        val amp = (k % 1000 * 16).toShort
+        val wav = Multimodal.encodeWavPcm16(
+          Array.fill[Short](64)(amp), (8000 + k % 100).toInt, 1)
+        val (rate, ch, frames, meanAbs) = Multimodal.decodeWav(wav).get
+        (k, dw, dh, math.floor(luma * 1000).toLong, rw, rh,
+          math.floor(rluma * 1000).toLong, rate, ch, frames,
+          math.floor(meanAbs).toLong)
+      }).toDF("p_partkey", "w", "h", "luma_k", "rw", "rh", "rluma_k",
+        "rate", "ch", "frames", "amp")
+      ordered(feats)
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Arithmetic mirror of the codec round-trip: PNG solid color decodes
+    // to its own mean gray ((r+g+b)/3, exact — lossless), the bilinear
+    // resize of a uniform image keeps it, and the constant WAV decodes to
+    // its own amplitude/rate/frame count.
+    "q_multimodal_decode" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey % 17 + 4 AS INTEGER) AS w,
+        |  CAST(p_partkey % 13 + 4 AS INTEGER) AS h,
+        |  CAST(floor(((p_partkey * 37 % 256) + (p_partkey * 59 % 256) + (p_partkey * 83 % 256)) / 3.0 * 1000) AS BIGINT) AS luma_k,
+        |  8 AS rw, 6 AS rh,
+        |  CAST(floor(((p_partkey * 37 % 256) + (p_partkey * 59 % 256) + (p_partkey * 83 % 256)) / 3.0 * 1000) AS BIGINT) AS rluma_k,
+        |  CAST(8000 + p_partkey % 100 AS INTEGER) AS rate,
+        |  1 AS ch,
+        |  CAST(64 AS BIGINT) AS frames,
+        |  CAST(p_partkey % 1000 * 16 AS BIGINT) AS amp
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
     // Exhaustive O(n²) hamming-threshold oracle over SQL-computed
     // fingerprints: FNV-1a per word (HUGEINT arithmetic, byte loop via
     // list_reduce) then Charikar bit-voting — fully independent of the

@@ -111,6 +111,67 @@ class LlmSpec extends AnyFunSuite {
     assert(feats.count() == docs.count())
   }
 
+  test("REAL image decode: PNG/JPEG/BMP via ImageIO, exact dims, PNG-exact luma") {
+    import graft.llm.Multimodal
+    // PNG is lossless: solid (40, 80, 120) -> mean gray == 80 exactly
+    val png = Multimodal.encodeSolidPng(23, 11, 40, 80, 120)
+    val Some((w, h, c, luma)) = Multimodal.decodeImageBytes(png)
+    assert(w == 23 && h == 11 && c == 3 && math.abs(luma - 80.0) < 1e-9)
+    // JPEG round-trip through the JDK encoder: dims exact, luma close
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0x646464)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val Some((jw, jh, _, jl)) = Multimodal.decodeImageBytes(jb.toByteArray)
+    assert(jw == 16 && jh == 8 && math.abs(jl - 100.0) < 3.0)
+    val bb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bb)
+    val Some((bw, bh, _, bl)) = Multimodal.decodeImageBytes(bb.toByteArray)
+    assert(bw == 16 && bh == 8 && math.abs(bl - 100.0) < 1e-9)
+    // garbage bytes decode to None, not an exception
+    assert(Multimodal.decodeImageBytes(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("REAL image resize: bilinear scale preserves solid color, dims change") {
+    import graft.llm.Multimodal
+    val png = Multimodal.encodeSolidPng(20, 20, 10, 200, 30)
+    val Some(small) = Multimodal.resizeImage(png, 7, 5)
+    val Some((w, h, _, luma)) = Multimodal.decodeImageBytes(small)
+    assert(w == 7 && h == 5 && math.abs(luma - 80.0) < 1e-9)
+  }
+
+  test("REAL WAV decode: RIFF/PCM-16 header walk, exact rate/channels/amplitude") {
+    import graft.llm.Multimodal
+    val samples = Array.fill[Short](4000)(1234)
+    val wav = Multimodal.encodeWavPcm16(samples, 16000, 2)
+    val Some((rate, ch, frames, meanAbs)) = Multimodal.decodeWav(wav)
+    assert(rate == 16000 && ch == 2 && frames == 2000 && math.abs(meanAbs - 1234.0) < 1e-9)
+    assert(Multimodal.decodeWav("nope".getBytes).isEmpty)
+  }
+
+  test("extractMediaFeatures dispatches per kind in executors, no shuffle") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val rows = (0L until 60L).map { i =>
+      if (i % 3 == 0)
+        (i, Multimodal.encodeSolidPng(8 + (i % 5).toInt, 6, 90, 90, 90), "image/png")
+      else if (i % 3 == 1)
+        (i, Multimodal.encodeWavPcm16(Array.fill[Short](100)(7), 8000, 1), "audio/wav")
+      else (i, Array[Byte](9, 9, 9), "application/unknown")
+    }
+    val assets = rows.toDF("asset_id", "bytes", "kind")
+      .withColumn("n_bytes", length(col("bytes")).cast("long")).repartition(4)
+    val feats = Multimodal.extractMediaFeatures(spark, assets).collect()
+    assert(feats.length == 60)
+    val imgs = feats.filter(_.kind == "image/png")
+    assert(imgs.forall(f => f.ok && f.height == 6 && math.abs(f.mean_luma - 90.0) < 1e-9))
+    val wavs = feats.filter(_.kind == "audio/wav")
+    assert(wavs.forall(f => f.ok && f.sample_rate == 8000 && f.n_frames == 100L &&
+      math.abs(f.mean_luma - 7.0) < 1e-9))
+    assert(feats.filter(_.kind == "application/unknown").forall(!_.ok))
+  }
+
   test("bucketed ANN corpus prunes to one partition and matches in-memory ANN") {
     val emb = graft.core.Tables.t(spark, sf, "embeddings")
     val path = "/tmp/graft_ann/bucketed_corpus"
