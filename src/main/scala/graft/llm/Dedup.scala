@@ -159,9 +159,14 @@ object Dedup {
     * 4×16-bit band buckets (hamming ≤ 3 ⇒ some band matches exactly),
     * verified by hamming distance. Same shuffle-only-ids shape as MinHash. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"),
-      TextHashes.sim_hash64(split(col(textCol), " ")).as("h"))
+                   maxHamming: Int = 3): DataFrame =
+    fingerprintPairs64(docs.select(col(idCol).as("id"),
+      TextHashes.sim_hash64(split(col(textCol), " ")).as("h")), maxHamming)
+
+  /** Near-dup pairs over ANY 64-bit fingerprint column (`id`, `h`) — the
+    * banded-hamming core shared by simhashPairs and the image dHash path:
+    * 4×16-bit band buckets, in-bucket pair generation, hamming verify. */
+  def fingerprintPairs64(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bandRows = fp.select(col("id"), col("h"), explode(array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(0xffffL).as("bh"))): _*)).as("s"))

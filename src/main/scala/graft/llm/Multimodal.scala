@@ -199,6 +199,78 @@ object Multimodal {
       })
   }
 
+  /** Encode a grayscale pixel grid (pix(y)(x), 0-255) as RGB PNG. */
+  def encodeGrayPng(pix: Array[Array[Int]]): Array[Byte] = {
+    val h = pix.length; val w = pix(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = math.max(0, math.min(255, pix(y)(x)))
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash, Krawetz's public scheme): decode,
+    * bilinear-scale the luma plane to 9x8, set bit y*8+x iff
+    * gray(x+1, y) > gray(x, y). Brightness-shift invariant (comparisons
+    * only), the standard near-duplicate key for image corpora. */
+  def imageDHash64(bytes: Array[Byte]): Option[Long] = {
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    } catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val small = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = small.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, 9, 8, null)
+      g2.dispose()
+      def gray(x: Int, y: Int): Double = {
+        val rgb = small.getRGB(x, y)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+      }
+      var hsh = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x + 1, y) > gray(x, y)) hsh |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(hsh)
+    }
+  }
+
+  /** (asset_id, h) dHash fingerprints, decoded per partition; assets that
+    * fail to decode are dropped (they cannot near-dup anything). */
+  def imageDHashes(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => imageDHash64(b).map((id, _)) })
+      .toDF("id", "h")
+  }
+
+  /** Image near-duplicate pairs: dHash fingerprints through the same
+    * banded-hamming core as text simhash (Dedup.fingerprintPairs64) —
+    * only (id, band, bandHash) shuffles, hamming-verified in-bucket. */
+  def imageNearDupPairs(spark: SparkSession, assets: DataFrame,
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.fingerprintPairs64(imageDHashes(spark, assets), maxHamming)
+
   case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Video-analog frame sampling: one row per sampled frame. The STUB

@@ -170,6 +170,45 @@ object LlmOps {
       }).toDF("p_partkey", "w", "h", "luma_k", "rw", "rh", "rluma_k",
         "rate", "ch", "frames", "amp")
       ordered(feats)
+    },
+
+    // Round-11: perceptual image hash (dHash) with a known-answer oracle.
+    // Each executor builds a 9x8 gray "walk" image whose adjacent-pixel
+    // comparisons encode the bits of K = k*2654435761+1234567 (steps of
+    // +-8), so imageDHash64 must return exactly K — and stay invariant
+    // under a +25 brightness shift and +-3 per-pixel jitter (comparisons
+    // have an 8-gray gap, jitter differences are <= 6).
+    "q_image_dhash" -> { (s, dir) =>
+      import s.implicits._
+      val keys = T(s, dir)("part").filter(col("p_partkey") < 400)
+        .select(col("p_partkey").cast("long")).as[Long]
+      val out = keys.mapPartitions(_.map { k =>
+        val kk = k * 2654435761L + 1234567L
+        def walk(jitter: (Int, Int) => Int, shift: Int): Array[Array[Int]] = {
+          val pix = Array.ofDim[Int](8, 9)
+          var y = 0
+          while (y < 8) {
+            var p = 128
+            pix(y)(0) = p + jitter(0, y) + shift
+            var x = 0
+            while (x < 8) {
+              p += (if (((kk >> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+              pix(y)(x + 1) = p + jitter(x + 1, y) + shift
+              x += 1
+            }
+            y += 1
+          }
+          pix
+        }
+        val h0 = Multimodal.imageDHash64(
+          Multimodal.encodeGrayPng(walk((_, _) => 0, 0))).get
+        val hb = Multimodal.imageDHash64(
+          Multimodal.encodeGrayPng(walk((_, _) => 0, 25))).get
+        val hn = Multimodal.imageDHash64(Multimodal.encodeGrayPng(
+          walk((x, y) => (x * 7 + y * 13 + k.toInt) % 7 - 3, 0))).get
+        (k, h0, hb == h0, hn == h0)
+      }).toDF("p_partkey", "dh", "bright_inv", "noise_inv")
+      ordered(out)
     }
   )
 
@@ -189,6 +228,16 @@ object LlmOps {
         |  1 AS ch,
         |  CAST(64 AS BIGINT) AS frames,
         |  CAST(p_partkey % 1000 * 16 AS BIGINT) AS amp
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    // the walk construction makes dHash reproduce K bit-for-bit, and the
+    // invariance columns must be uniformly true
+    "q_image_dhash" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey * 2654435761 + 1234567 AS BIGINT) AS dh,
+        |  true AS bright_inv,
+        |  true AS noise_inv
         |FROM part WHERE p_partkey < 400
         |ORDER BY p_partkey NULLS FIRST""".stripMargin,
 

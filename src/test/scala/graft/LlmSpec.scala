@@ -150,6 +150,39 @@ class LlmSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav("nope".getBytes).isEmpty)
   }
 
+  test("imageNearDupPairs: dHash + banded hamming finds noised copies only") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    // walk image for a 64-bit pattern; +-3 jitter never flips an 8-step
+    def walk(kk: Long, jitter: Int => Int): Array[Byte] = {
+      val pix = Array.ofDim[Int](8, 9)
+      for (y <- 0 until 8) {
+        var p = 128
+        pix(y)(0) = p + jitter(y)
+        for (x <- 0 until 8) {
+          p += (if (((kk >> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+          pix(y)(x + 1) = p + jitter(y + x)
+        }
+      }
+      Multimodal.encodeGrayPng(pix)
+    }
+    val k1 = 0x0F0F33CC55AA7718L
+    val assets = Seq(
+      (1L, walk(k1, _ => 0)),
+      (2L, walk(k1, i => i % 7 - 3)),        // noised copy of 1
+      (3L, walk(~k1, _ => 0)),               // complement: hamming 64 from 1
+      (4L, Array[Byte](0, 1, 2))             // undecodable, dropped
+    ).toDF("asset_id", "bytes")
+    val pairs = Multimodal.imageNearDupPairs(spark, assets, maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // the fingerprints themselves: noised == clean, complement differs
+    val hs = Multimodal.imageDHashes(spark, assets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.size == 3 && hs(1L) == hs(2L) && hs(1L) != hs(3L))
+    assert(hs(1L) == k1)
+  }
+
   test("extractMediaFeatures dispatches per kind in executors, no shuffle") {
     import spark.implicits._
     import graft.llm.Multimodal
