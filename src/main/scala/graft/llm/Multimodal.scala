@@ -254,6 +254,92 @@ object Multimodal {
     }
   }
 
+  /** In-place iterative radix-2 FFT (re/im double arrays, length a power
+    * of two) — the standard published Cooley-Tukey butterfly. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, "fft length must be a power of two")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = base + k; val b = a + len / 2
+          val xr = re(b) * cr - im(b) * ci
+          val xi = re(b) * ci + im(b) * cr
+          re(b) = re(a) - xr; im(b) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** 64-bit spectral-shape audio fingerprint over the first 1024 mono
+    * PCM-16 frames: FFT, per-bin energies E(1..65), bit m-1 set iff
+    * E(m+1) > E(m). Comparison-of-energies structure (the published
+    * Haitsma-Kalker robust-hash family), so it is exactly invariant to
+    * amplitude scaling and robust to quantization noise. */
+  def audioSpectralHash64(wavBytes: Array[Byte]): Option[Long] =
+    decodeWav(wavBytes).flatMap { case (_, channels, _, _) =>
+      val bb = java.nio.ByteBuffer.wrap(wavBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // find the data chunk again (decodeWav validated the layout)
+      def tag4(at: Int) = new String(wavBytes, at, 4, "US-ASCII")
+      var pos = 12; var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= wavBytes.length && dataOff < 0) {
+        val len = bb.getInt(pos + 4)
+        if (tag4(pos) == "data") { dataOff = pos + 8; dataLen = len }
+        else pos += 8 + len + (len & 1)
+      }
+      if (dataOff < 0) None
+      else {
+        val n = 1024
+        val re = new Array[Double](n)
+        val im = new Array[Double](n)
+        val avail = math.min(dataLen, wavBytes.length - dataOff) / 2 / channels
+        var i = 0
+        while (i < math.min(n, avail)) {
+          // average channels to mono
+          var s = 0.0
+          var c = 0
+          while (c < channels) {
+            s += bb.getShort(dataOff + (i * channels + c) * 2); c += 1
+          }
+          re(i) = s / channels
+          i += 1
+        }
+        fft(re, im)
+        def energy(m: Int) = re(m) * re(m) + im(m) * im(m)
+        var h = 0L
+        var m = 1
+        while (m <= 64) {
+          if (energy(m + 1) > energy(m)) h |= 1L << (m - 1)
+          m += 1
+        }
+        Some(h)
+      }
+    }
+
   /** (asset_id, h) dHash fingerprints, decoded per partition; assets that
     * fail to decode are dropped (they cannot near-dup anything). */
   def imageDHashes(spark: SparkSession, assets: DataFrame): DataFrame = {

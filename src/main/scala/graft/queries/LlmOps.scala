@@ -209,6 +209,40 @@ object LlmOps {
         (k, h0, hb == h0, hn == h0)
       }).toDF("p_partkey", "dh", "bright_inv", "noise_inv")
       ordered(out)
+    },
+
+    // Round-11: spectral audio fingerprint with a known-answer oracle.
+    // Each executor synthesizes 1024 PCM-16 frames as a sum of 65 exact-
+    // bin sinusoids whose amplitudes walk +-25 around 2000 following the
+    // bits of K (all positive, orthogonal bins -> energies reproduce the
+    // walk), so audioSpectralHash64 == K after a real WAV encode ->
+    // RIFF parse -> FFT pipeline, exactly invariant to halving the gain.
+    "q_audio_fp" -> { (s, dir) =>
+      import s.implicits._
+      val keys = T(s, dir)("part").filter(col("p_partkey") < 400)
+        .select(col("p_partkey").cast("long")).as[Long]
+      val out = keys.mapPartitions(_.map { k =>
+        val kk = k * 2654435761L + 9876543L
+        val amps = new Array[Double](66)
+        amps(1) = 2000.0
+        for (m <- 1 to 64)
+          amps(m + 1) = amps(m) + (if (((kk >> (m - 1)) & 1L) == 1L) 25.0 else -25.0)
+        def pcm(gain: Double): Array[Short] = Array.tabulate[Short](1024) { i =>
+          var sm = 0.0
+          var m = 1
+          while (m <= 65) {
+            sm += amps(m) / 16.0 * gain * math.sin(2.0 * math.Pi * m * i / 1024.0)
+            m += 1
+          }
+          math.round(sm).toShort
+        }
+        val h = Multimodal.audioSpectralHash64(
+          Multimodal.encodeWavPcm16(pcm(1.0), 16000, 1)).get
+        val hHalf = Multimodal.audioSpectralHash64(
+          Multimodal.encodeWavPcm16(pcm(0.5), 16000, 1)).get
+        (k, h, hHalf == h)
+      }).toDF("p_partkey", "afp", "scale_inv")
+      ordered(out)
     }
   )
 
@@ -228,6 +262,14 @@ object LlmOps {
         |  1 AS ch,
         |  CAST(64 AS BIGINT) AS frames,
         |  CAST(p_partkey % 1000 * 16 AS BIGINT) AS amp
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    // the amplitude walk makes the spectral hash reproduce K bit-for-bit
+    "q_audio_fp" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey * 2654435761 + 9876543 AS BIGINT) AS afp,
+        |  true AS scale_inv
         |FROM part WHERE p_partkey < 400
         |ORDER BY p_partkey NULLS FIRST""".stripMargin,
 

@@ -183,6 +183,37 @@ class LlmSpec extends AnyFunSuite {
     assert(hs(1L) == k1)
   }
 
+  test("FFT + audioSpectralHash64: bin peaks, gain invariance, frequency sensitivity") {
+    import graft.llm.Multimodal
+    // FFT sanity: a pure sinusoid at exact bin 5 peaks at bin 5
+    val re = Array.tabulate(256)(i => math.sin(2.0 * math.Pi * 5 * i / 256.0))
+    val im = new Array[Double](256)
+    Multimodal.fft(re, im)
+    val mags = (0 until 128).map(m => re(m) * re(m) + im(m) * im(m))
+    assert(mags.indexOf(mags.max) == 5)
+    // fingerprint over a spectrally-rich signal (every compared bin has
+    // real energy, the fingerprint's intended regime — comparisons over
+    // empty bins would measure quantization noise): gain scaling leaves
+    // it untouched, a different spectral profile moves it
+    def wavOf(seed: Int, gain: Double): Array[Byte] = {
+      val amp = (m: Int) => 120.0 + 17.0 * ((m * seed) % 13)
+      val pcm = Array.tabulate[Short](1024) { i =>
+        var sm = 0.0
+        var m = 1
+        while (m <= 66) {
+          sm += amp(m) * gain * math.sin(2.0 * math.Pi * m * i / 1024.0); m += 1
+        }
+        math.round(sm).toShort
+      }
+      Multimodal.encodeWavPcm16(pcm, 8000, 1)
+    }
+    val a = Multimodal.audioSpectralHash64(wavOf(5, 1.0)).get
+    val a2 = Multimodal.audioSpectralHash64(wavOf(5, 0.25)).get
+    val b = Multimodal.audioSpectralHash64(wavOf(8, 1.0)).get
+    assert(a == a2 && a != b)
+    assert(Multimodal.audioSpectralHash64("junk".getBytes).isEmpty)
+  }
+
   test("extractMediaFeatures dispatches per kind in executors, no shuffle") {
     import spark.implicits._
     import graft.llm.Multimodal
