@@ -357,6 +357,118 @@ object Multimodal {
                         maxHamming: Int = 3): DataFrame =
     Dedup.fingerprintPairs64(imageDHashes(spark, assets), maxHamming)
 
+  // ---------------------------------------------------------- video/AVI
+  // MJPEG-in-AVI: the one video container fully decodable with pure-JDK
+  // pieces — RIFF chunk walk (same discipline as WAV) for the container,
+  // ImageIO for each JPEG frame. This upgrades the video half from stub
+  // to real demux for MJPEG assets; other codecs remain out of scope (no
+  // codec libraries in the JDK).
+
+  /** Solid-gray JPEG frame (the MJPEG payload unit). */
+  def encodeSolidJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = math.max(0, math.min(255, gray))
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal RIFF/AVI MJPEG muxer: avih + vids strh/strf headers and a
+    * movi LIST of 00dc JPEG chunks (standard public AVI layout). */
+  def encodeMjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                     fps: Int = 10): Array[Byte] = {
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(kind.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h)
+      chunk("avih", bb.array())
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0).putInt(1).putInt(fps).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      chunk("strh", bb.array())
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      chunk("strf", bb.array())
+    }
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    out.array()
+  }
+
+  /** RIFF/AVI demux: walk to the movi LIST and return the 00dc/00db
+    * frame payloads in stream order. None if not a RIFF/AVI container. */
+  def demuxAviFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int) = new String(bytes, at, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "AVI ") return None
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val tag = tag4(pos)
+        val len = bb.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > to) return
+        if (tag == "LIST") {
+          val kind = tag4(pos + 8)
+          if (kind == "movi" || kind == "hdrl" || kind == "strl")
+            walk(pos + 12, pos + 8 + len)
+        } else if (tag == "00dc" || tag == "00db") {
+          frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        }
+        pos += 8 + len + (len & 1)
+      }
+    }
+    walk(12, bytes.length)
+    Some(frames.toSeq)
+  }
+
+  /** REAL video frame sampling for MJPEG/AVI assets: demux the container
+    * in the executor, keep every `everyN`-th frame. Same row-expanding
+    * flatMap shape as sampleFrames — frames stay with their asset's
+    * partition, no shuffle; non-AVI assets yield zero rows. */
+  def sampleVideoFrames(spark: SparkSession, assets: DataFrame,
+                        everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        demuxAviFrames(bytes).getOrElse(Seq.empty).zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (f, i) => Frame(id, i, f) }
+      }
+  }
+
   case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Video-analog frame sampling: one row per sampled frame. The STUB

@@ -243,6 +243,28 @@ object LlmOps {
         (k, h, hHalf == h)
       }).toDF("p_partkey", "afp", "scale_inv")
       ordered(out)
+    },
+
+    // Round-11: REAL video demux — per key, mux (k%5+2) solid-gray JPEG
+    // frames into an MJPEG/AVI container (RIFF writer), demux it back in
+    // the executor and decode the first frame through ImageIO. Dims and
+    // frame counts are exact (JPEG is lossy only in pixel values, never
+    // geometry), so the oracle recomputes them arithmetically.
+    "q_video_demux" -> { (s, dir) =>
+      import s.implicits._
+      val keys = T(s, dir)("part").filter(col("p_partkey") < 400)
+        .select(col("p_partkey").cast("long")).as[Long]
+      val out = keys.mapPartitions(_.map { k =>
+        val nf = (k % 5 + 2).toInt
+        val w = (k % 9 + 8).toInt; val h = (k % 7 + 8).toInt
+        val frames = (0 until nf).map(i => Multimodal.encodeSolidJpeg(w, h, 100 + i * 10))
+        val avi = Multimodal.encodeMjpegAvi(frames, w, h)
+        val demuxed = Multimodal.demuxAviFrames(avi).get
+        val (dw, dh, _, _) = Multimodal.decodeImageBytes(demuxed.head).get
+        val sampled = demuxed.zipWithIndex.count(_._2 % 2 == 0)
+        (k, demuxed.length, sampled, dw, dh)
+      }).toDF("p_partkey", "n_frames", "sampled2", "w", "h")
+      ordered(out)
     }
   )
 
@@ -262,6 +284,17 @@ object LlmOps {
         |  1 AS ch,
         |  CAST(64 AS BIGINT) AS frames,
         |  CAST(p_partkey % 1000 * 16 AS BIGINT) AS amp
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+
+    // container geometry is exact: frame count, every-2nd sample count,
+    // decoded dims
+    "q_video_demux" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey % 5 + 2 AS INTEGER) AS n_frames,
+        |  CAST((p_partkey % 5 + 2 + 1) // 2 AS INTEGER) AS sampled2,
+        |  CAST(p_partkey % 9 + 8 AS INTEGER) AS w,
+        |  CAST(p_partkey % 7 + 8 AS INTEGER) AS h
         |FROM part WHERE p_partkey < 400
         |ORDER BY p_partkey NULLS FIRST""".stripMargin,
 

@@ -214,6 +214,27 @@ class LlmSpec extends AnyFunSuite {
     assert(Multimodal.audioSpectralHash64("junk".getBytes).isEmpty)
   }
 
+  test("MJPEG/AVI mux-demux round trip and real frame sampling") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val frames = (0 until 7).map(i => Multimodal.encodeSolidJpeg(12, 10, 60 + i * 20))
+    val avi = Multimodal.encodeMjpegAvi(frames, 12, 10)
+    val Some(out) = Multimodal.demuxAviFrames(avi)
+    assert(out.length == 7)
+    // every demuxed frame is a decodable JPEG with the muxed dims and
+    // approximately the muxed gray level (JPEG is lossy in values only)
+    out.zipWithIndex.foreach { case (f, i) =>
+      val Some((w, h, _, luma)) = Multimodal.decodeImageBytes(f)
+      assert(w == 12 && h == 10 && math.abs(luma - (60 + i * 20)) < 4.0)
+    }
+    assert(Multimodal.demuxAviFrames("RIFFxxxxWAVE".getBytes).isEmpty)
+    // distributed sampling: every 3rd frame, asset-local, junk dropped
+    val assets = Seq((1L, avi), (2L, Array[Byte](1, 2, 3))).toDF("asset_id", "bytes")
+    val sampled = Multimodal.sampleVideoFrames(spark, assets, everyN = 3).collect()
+    assert(sampled.map(_.asset_id).toSet == Set(1L))
+    assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(0, 3, 6))
+  }
+
   test("extractMediaFeatures dispatches per kind in executors, no shuffle") {
     import spark.implicits._
     import graft.llm.Multimodal
