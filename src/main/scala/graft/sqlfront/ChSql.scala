@@ -4530,6 +4530,19 @@ object ChSql {
     // MutationsInterpreter.cpp; parquet-backed tables use ops.Mutations)
     val alterDelRe = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DELETE\\s+WHERE\\s+(.*?);?\\s*$".r
     val alterUpdRe = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+UPDATE\\s+(.*?)\\s+WHERE\\s+(.*?);?\\s*$".r
+    // schema mutations (reference AlterCommands.cpp ADD/DROP/RENAME
+    // COLUMN; InterpreterRenameQuery.cpp RENAME TABLE). The declared type
+    // is accepted and ignored — the DEFAULT expression's type governs, as
+    // for session tables generally.
+    val alterAddColRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "(\\w+)\\s+([\\w()0-9, ]+?)(?:\\s+DEFAULT\\s+(.*?))?;?\\s*$").r
+    val alterDropColRe =
+      "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+);?\\s*$".r
+    val alterRenColRe =
+      "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+TO\\s+(\\w+);?\\s*$".r
+    val renameTableRe =
+      "(?is)^\\s*RENAME\\s+TABLE\\s+(\\w+)\\s+TO\\s+(\\w+);?\\s*$".r
     val truncateRe = "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
     // OPTIMIZE ... DEDUPLICATE [BY col, ...] has real row-dropping
     // semantics (reference InterpreterOptimizeQuery.cpp / MergeTree
@@ -4581,6 +4594,25 @@ object ChSql {
           spark.sql(s"SELECT * FROM (VALUES ${rewrite(values)}) AS __v($cols)"))
         appended.createOrReplaceTempView(name)
         Some(appended)
+      case alterAddColRe(name, colName, declaredType, dflt) =>
+        val withCol = spark.table(name).withColumn(colName,
+          org.apache.spark.sql.functions.expr(
+            if (dflt == null) "CAST(NULL AS STRING)" else rewrite(dflt)))
+        withCol.createOrReplaceTempView(name)
+        Some(withCol)
+      case alterDropColRe(name, colName) =>
+        val dropped = spark.table(name).drop(colName)
+        dropped.createOrReplaceTempView(name)
+        Some(dropped)
+      case alterRenColRe(name, from, to) =>
+        val renamed = spark.table(name).withColumnRenamed(from, to)
+        renamed.createOrReplaceTempView(name)
+        Some(renamed)
+      case renameTableRe(from, to) =>
+        val t = spark.table(from)
+        t.createOrReplaceTempView(to)
+        spark.catalog.dropTempView(from)
+        Some(t)
       case alterDelRe(name, pred) =>
         val kept = spark.table(name)
           .filter(s"NOT (${rewrite(pred)})")

@@ -460,6 +460,25 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_mut")
   }
 
+  test("ALTER ADD/DROP/RENAME COLUMN and RENAME TABLE on session tables") {
+    ch("CREATE TABLE t_ddl AS SELECT n_nationkey, n_name FROM nation")
+    ch("ALTER TABLE t_ddl ADD COLUMN score Float64 DEFAULT n_nationkey * 2 + 1")
+    val r = ch("SELECT max(score) AS m FROM t_ddl").collect()(0)
+    assert(r.getAs[Number](0).longValue == 49L) // 24 * 2 + 1
+    ch("ALTER TABLE t_ddl ADD COLUMN tag String")
+    assert(ch("SELECT countIf(tag IS NULL) AS n FROM t_ddl")
+      .collect()(0).getLong(0) == 25L)
+    ch("ALTER TABLE t_ddl RENAME COLUMN score TO points")
+    assert(ch("SELECT sum(points) AS s FROM t_ddl").collect()(0)
+      .getAs[Number](0).longValue == (0 until 25).map(k => k * 2 + 1).sum)
+    ch("ALTER TABLE t_ddl DROP COLUMN tag")
+    assert(!ch("SELECT * FROM t_ddl").columns.contains("tag"))
+    ch("RENAME TABLE t_ddl TO t_ddl2")
+    assert(ch("SELECT count() AS n FROM t_ddl2").collect()(0).getLong(0) == 25L)
+    assert(!spark.catalog.tableExists("t_ddl"))
+    ch("DROP TABLE t_ddl2")
+  }
+
   test("OPTIMIZE TABLE ... DEDUPLICATE [BY cols] drops duplicate rows") {
     // full-row dedup: union the table with itself, OPTIMIZE restores it
     ch("CREATE TABLE t_dd AS SELECT n_nationkey, n_regionkey FROM nation UNION ALL SELECT n_nationkey, n_regionkey FROM nation")
