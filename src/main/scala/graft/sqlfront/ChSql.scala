@@ -4541,6 +4541,13 @@ object ChSql {
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+);?\\s*$".r
     val alterRenColRe =
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+TO\\s+(\\w+);?\\s*$".r
+    val alterModColRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+MODIFY\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?" +
+        "(\\w+)\\s+([\\w()0-9, ]+?)(?:\\s+DEFAULT\\s+.*?)?;?\\s*$").r
+    val alterClearColRe =
+      "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+CLEAR\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+).*$".r
+    val alterCommentColRe =
+      "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+COMMENT\\s+COLUMN\\s+.*$".r
     val renameTableRe =
       "(?is)^\\s*RENAME\\s+TABLE\\s+(\\w+)\\s+TO\\s+(\\w+);?\\s*$".r
     val truncateRe = "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
@@ -4608,6 +4615,33 @@ object ChSql {
         val renamed = spark.table(name).withColumnRenamed(from, to)
         renamed.createOrReplaceTempView(name)
         Some(renamed)
+      case alterModColRe(name, colName, chType) =>
+        val sqlT = chType.trim match {
+          case "Int8" => "TINYINT"
+          case "Int16" => "SMALLINT"
+          case "Int32" => "INT"
+          case "Int64" | "UInt32" | "UInt16" | "UInt8" => "BIGINT"
+          case "UInt64" => "DECIMAL(20,0)"
+          case "Float32" => "FLOAT"
+          case "Float64" => "DOUBLE"
+          case "Date" | "Date32" => "DATE"
+          case "DateTime" => "TIMESTAMP"
+          case d if d.startsWith("Decimal(") => d.replace("Decimal", "DECIMAL")
+          case _ => "STRING"
+        }
+        val modified = spark.table(name).withColumn(colName,
+          org.apache.spark.sql.functions.col(colName).cast(sqlT))
+        modified.createOrReplaceTempView(name)
+        Some(modified)
+      case alterClearColRe(name, colName) =>
+        val t = spark.table(name)
+        val cleared = t.withColumn(colName,
+          org.apache.spark.sql.functions.lit(null)
+            .cast(t.schema(colName).dataType))
+        cleared.createOrReplaceTempView(name)
+        Some(cleared)
+      case alterCommentColRe(name) =>
+        Some(spark.table(name)) // comments are metadata-only: no-op
       case renameTableRe(from, to) =>
         val t = spark.table(from)
         t.createOrReplaceTempView(to)

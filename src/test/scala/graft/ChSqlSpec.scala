@@ -473,6 +473,13 @@ class ChSqlSpec extends AnyFunSuite {
       .getAs[Number](0).longValue == (0 until 25).map(k => k * 2 + 1).sum)
     ch("ALTER TABLE t_ddl DROP COLUMN tag")
     assert(!ch("SELECT * FROM t_ddl").columns.contains("tag"))
+    ch("ALTER TABLE t_ddl MODIFY COLUMN points Float64")
+    assert(ch("SELECT * FROM t_ddl").schema("points").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    ch("ALTER TABLE t_ddl CLEAR COLUMN points")
+    assert(ch("SELECT countIf(points IS NULL) AS n FROM t_ddl")
+      .collect()(0).getLong(0) == 25L)
+    ch("ALTER TABLE t_ddl COMMENT COLUMN points 'scored'") // metadata no-op
     ch("RENAME TABLE t_ddl TO t_ddl2")
     assert(ch("SELECT count() AS n FROM t_ddl2").collect()(0).getLong(0) == 25L)
     assert(!spark.catalog.tableExists("t_ddl"))
