@@ -4516,6 +4516,24 @@ object ChSql {
     Tables.registerAll(spark, dir)
     spark.range(0, 100000000L).toDF("number").createOrReplaceTempView("system_numbers")
     spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
+    // system.tables / system.columns introspection (reference
+    // src/Storages/System/StorageSystemTables.cpp, StorageSystemColumns.cpp):
+    // one row per registered view; columns enumerated from each schema.
+    // Built lazily — catalog enumeration only when the query asks for it.
+    if ("(?i)system\\.(tables|columns)".r.findFirstIn(chQuery).nonEmpty) {
+      import spark.implicits._
+      val names = spark.catalog.listTables().collect()
+        .map(_.name).filter(n => n != "system_tables" && n != "system_columns")
+        .sorted
+      names.toSeq.map(n => ("default", n)).toDF("database", "name")
+        .createOrReplaceTempView("system_tables")
+      names.toSeq.flatMap { t =>
+        spark.table(t).schema.fields.zipWithIndex.map { case (f, i) =>
+          ("default", t, f.name, i + 1, f.dataType.simpleString)
+        }
+      }.toDF("database", "table", "name", "position", "type")
+        .createOrReplaceTempView("system_columns")
+    }
 
     // ---- DDL / DML surface (reference src/Parsers/ParserCreateQuery.cpp,
     // ParserInsertQuery.cpp; SURVEY §3.2). Session-scoped tables as temp
@@ -4705,6 +4723,8 @@ object ChSql {
         val rewritten = rewrite(inner)
           .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
           .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
+          .replaceAll("""(?i)\bsystem\.tables\b""", "system_tables")
+          .replaceAll("""(?i)\bsystem\.columns\b""", "system_columns")
         if (mode != null && mode.equalsIgnoreCase("SYNTAX"))
           Seq(rewritten).toDF("explain")
         else {
@@ -4717,6 +4737,8 @@ object ChSql {
         val q = rewrite(chQuery)
           .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
           .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
+          .replaceAll("""(?i)\bsystem\.tables\b""", "system_tables")
+          .replaceAll("""(?i)\bsystem\.columns\b""", "system_columns")
         spark.sql(q)
     }
   }

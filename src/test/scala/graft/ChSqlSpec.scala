@@ -486,6 +486,20 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("system.tables / system.columns introspection") {
+    val tables = ch("SELECT name FROM system.tables ORDER BY name")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("nation", "region", "customer", "lineitem").subsetOf(tables))
+    val cols = ch("""SELECT name, position, type FROM system.columns
+                    |WHERE table = 'nation' ORDER BY position""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(cols.head == ("n_nationkey", 1))
+    assert(cols.map(_._1).contains("n_name"))
+    val n = ch("SELECT count() AS n FROM system.columns WHERE table = 'region'")
+      .collect()(0).getLong(0)
+    assert(n >= 2)
+  }
+
   test("OPTIMIZE TABLE ... DEDUPLICATE [BY cols] drops duplicate rows") {
     // full-row dedup: union the table with itself, OPTIMIZE restores it
     ch("CREATE TABLE t_dd AS SELECT n_nationkey, n_regionkey FROM nation UNION ALL SELECT n_nationkey, n_regionkey FROM nation")

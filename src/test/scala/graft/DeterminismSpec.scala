@@ -29,7 +29,10 @@ class DeterminismSpec extends AnyFunSuite {
   test("representative queries identical at 2 vs 13 shuffle partitions") {
     val names = Seq("q1_pricing_summary", "q_topk", "q_window_funnel",
       "q_dedup_minhash_lsh", "q_entropy", "q_win_running", "q_engine_collapsing",
-      "q_fn_ema", "q_sim_topk")
+      "q_fn_ema", "q_sim_topk",
+      // round-11 codec rows: per-key executor work, must not depend on
+      // partitioning
+      "q_image_dhash", "q_audio_fp", "q_video_demux", "q_fn_format_query")
     val spark = SparkTestSession.spark
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {
