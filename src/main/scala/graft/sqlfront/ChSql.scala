@@ -4583,7 +4583,60 @@ object ChSql {
     val createDictRe = ("(?is)^\\s*CREATE\\s+DICTIONARY\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)" +
       ".*?PRIMARY\\s+KEY\\s+(\\w+).*?TABLE\\s+'?(\\w+)'?.*$").r
     val dropDictRe = "(?is)^\\s*DROP\\s+DICTIONARY\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
-    val ddl: Option[DataFrame] = chQuery match {
+    // interactive introspection (reference ParserShowTablesQuery.cpp,
+    // InterpreterDescribeQuery.cpp, InterpreterShowCreateQuery.cpp,
+    // InterpreterExistsQuery.cpp); types render in the reference's own
+    // spelling via chTypeName
+    val showTablesRe = "(?is)^\\s*SHOW\\s+TABLES(?:\\s+LIKE\\s+'([^']*)')?\\s*;?\\s*$".r
+    val showCreateRe = "(?is)^\\s*SHOW\\s+CREATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
+    val describeRe = "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
+    val existsRe = "(?is)^\\s*EXISTS\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
+    def chTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType => "Int8"
+        case ShortType => "Int16"
+        case IntegerType => "Int32"
+        case LongType => "Int64"
+        case FloatType => "Float32"
+        case DoubleType => "Float64"
+        case StringType => "String"
+        case BooleanType => "Bool"
+        case DateType => "Date"
+        case _: TimestampType | TimestampNTZType => "DateTime64(6)"
+        case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+        case BinaryType => "String"
+        case a: ArrayType => s"Array(${chTypeName(a.elementType)})"
+        case m: MapType => s"Map(${chTypeName(m.keyType)}, ${chTypeName(m.valueType)})"
+        case s: StructType =>
+          s"Tuple(${s.fields.map(f => s"${f.name} ${chTypeName(f.dataType)}").mkString(", ")})"
+        case other => other.simpleString
+      }
+    }
+    lazy val ddl: Option[DataFrame] = chQuery match {
+      case showTablesRe(pat) =>
+        import spark.implicits._
+        val like = Option(pat).map(_.replace("%", ".*").replace("_", "."))
+        Some(spark.catalog.listTables().collect().map(_.name).sorted.toSeq
+          .filter(n => like.forall(p => n.matches(s"(?i)$p")))
+          .toDF("name"))
+      case describeRe(name) if spark.catalog.tableExists(name) =>
+        import spark.implicits._
+        Some(spark.table(name).schema.fields.toSeq
+          .map(f => (f.name, chTypeName(f.dataType))).toDF("name", "type"))
+      case showCreateRe(name) if spark.catalog.tableExists(name) =>
+        import spark.implicits._
+        val cols = spark.table(name).schema.fields
+          .map(f => s"    `${f.name}` ${chTypeName(f.dataType)}")
+        Some(Seq(s"CREATE TABLE $name\n(\n${cols.mkString(",\n")}\n)\nENGINE = Memory")
+          .toDF("statement"))
+      case existsRe(name)
+          if !chQuery.trim.toLowerCase.startsWith("exists table (") =>
+        import spark.implicits._
+        Some(Seq(if (spark.catalog.tableExists(name)) 1 else 0).toDF("result"))
+      case _ => innerDdl(chQuery)
+    }
+    def innerDdl(chQuery: String): Option[DataFrame] = chQuery match {
       case createDictRe(name, key, table) =>
         registeredDicts.put(name, (table, key))
         // an attribute declared HIERARCHICAL names the parent column

@@ -486,6 +486,22 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("SHOW TABLES / DESCRIBE / SHOW CREATE / EXISTS introspection") {
+    val names = ch("SHOW TABLES").collect().map(_.getString(0)).toSet
+    assert(Set("nation", "lineitem").subsetOf(names))
+    val liked = ch("SHOW TABLES LIKE 'nat%'").collect().map(_.getString(0)).toSet
+    assert(liked == Set("nation"))
+    val desc = ch("DESCRIBE TABLE nation").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("n_name") == "String")
+    assert(desc("n_nationkey").startsWith("Int"))
+    val stmt = ch("SHOW CREATE TABLE region").collect()(0).getString(0)
+    assert(stmt.startsWith("CREATE TABLE region\n(\n    `r_regionkey`"))
+    assert(stmt.endsWith("ENGINE = Memory"))
+    assert(ch("EXISTS TABLE nation").collect()(0).getInt(0) == 1)
+    assert(ch("EXISTS TABLE no_such_tbl").collect()(0).getInt(0) == 0)
+  }
+
   test("system.tables / system.columns introspection") {
     val tables = ch("SELECT name FROM system.tables ORDER BY name")
       .collect().map(_.getString(0)).toSet
