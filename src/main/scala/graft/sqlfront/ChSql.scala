@@ -4508,6 +4508,84 @@ object ChSql {
     q.trim
   }
 
+  /** Column transformers `* REPLACE (expr AS col)`, `* APPLY (fn)` and
+    * `COLUMNS('regex') [APPLY (fn)]` (reference
+    * src/Parsers/ASTColumnsTransformers.cpp). These need the schema, so
+    * expansion happens against the catalog BEFORE the textual rewrite and
+    * only in an unambiguous single-FROM-table context — `* EXCEPT (cols)`
+    * needs no expansion (Spark-native). REPLACE keeps the original column
+    * order, as the reference does. */
+  private def expandColumnsTransformers(spark: SparkSession, q0: String): String = {
+    val fromRe = "(?i)\\bFROM\\s+(\\w+)".r
+    val froms = fromRe.findAllMatchIn(q0).map(_.group(1))
+      .filter(t => spark.catalog.tableExists(t)).toList.distinct
+    if (froms.size != 1) return q0
+    val cols = spark.table(froms.head).columns
+    // balanced-paren body starting at an opening paren index
+    def parenBody(s: String, open: Int): Option[(String, Int)] = {
+      var depth = 0; var i = open; var inStr = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return Some((s.substring(open + 1, i), i)) }
+        i += 1
+      }
+      None
+    }
+    // marker regexes capture a select-list prefix (SELECT or ',') in
+    // group 1, so `x * REPLACE(...)` multiplication never false-positives
+    def expandOne(q: String, marker: String, render: String => Option[String]): String = {
+      val re = ("(?is)" + marker).r
+      var changed = true
+      var out = q
+      while (changed) {
+        changed = false
+        re.findFirstMatchIn(out) match {
+          case Some(m) =>
+            val open = out.indexOf('(', m.end - 1)
+            if (open >= 0) parenBody(out, open) match {
+              case Some((body, close)) =>
+                render(body) match {
+                  case Some(repl) =>
+                    out = out.substring(0, m.start) + m.group(1) + repl +
+                      out.substring(close + 1)
+                    changed = true
+                  case None => ()
+                }
+              case None => ()
+            }
+          case None => ()
+        }
+      }
+      out
+    }
+    var q = q0
+    q = expandOne(q, "(SELECT\\s+|,\\s*)COLUMNS\\s*\\(", body => {
+      val re = body.trim.stripPrefix("'").stripSuffix("'")
+      val sel = cols.filter(_.matches(re))
+      if (sel.isEmpty) None else Some(sel.mkString(", "))
+    })
+    q = expandOne(q, "(SELECT\\s+|,\\s*)\\*\\s+REPLACE\\s*\\(", body => {
+      val parsed = splitArgs(body).map { a =>
+        val i = a.toLowerCase.lastIndexOf(" as ")
+        if (i < 0) None else Some(a.substring(i + 4).trim -> a.substring(0, i).trim)
+      }
+      if (parsed.exists(_.isEmpty)) None
+      else {
+        val repls = parsed.flatten.toMap
+        Some(cols.map(c => repls.get(c).map(e => s"($e) AS $c").getOrElse(c)).mkString(", "))
+      }
+    })
+    q = expandOne(q, "(SELECT\\s+|,\\s*)\\*\\s+APPLY\\s*\\(", body => {
+      val fn = body.trim
+      if (!fn.matches("\\w+")) None
+      else Some(cols.map(c => s"$fn($c) AS `$fn($c)`").mkString(", "))
+    })
+    q
+  }
+
   /** Run a ClickHouse-flavoured query against the fixture catalog.
     * Also provides the reference's `system.numbers` / `system.one`
     * virtual tables (src/TableFunctions + system tables used throughout
@@ -4773,7 +4851,7 @@ object ChSql {
     chQuery match {
       case explainRe(_, mode, inner) =>
         import spark.implicits._
-        val rewritten = rewrite(inner)
+        val rewritten = rewrite(expandColumnsTransformers(spark, inner))
           .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
           .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
           .replaceAll("""(?i)\bsystem\.tables\b""", "system_tables")
@@ -4787,7 +4865,7 @@ object ChSql {
           Seq(spark.sql(rewritten).queryExecution.explainString(mode2)).toDF("explain")
         }
       case _ =>
-        val q = rewrite(chQuery)
+        val q = rewrite(expandColumnsTransformers(spark, chQuery))
           .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
           .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
           .replaceAll("""(?i)\bsystem\.tables\b""", "system_tables")

@@ -486,6 +486,22 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("column transformers: * REPLACE, * APPLY, COLUMNS('regex')") {
+    // REPLACE keeps column order and swaps the expression in place
+    val r = ch("SELECT * REPLACE (n_nationkey * 100 AS n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 2")
+    assert(r.columns.head == "n_nationkey")
+    assert(r.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(0L, 100L))
+    // APPLY wraps every column; the alias carries the function name
+    val a = ch("SELECT * APPLY (max) FROM region")
+    assert(a.columns.forall(_.startsWith("max(")))
+    assert(a.count() == 1)
+    // COLUMNS('regex') expands to the matching subset, APPLY composes
+    val c = ch("SELECT COLUMNS('n_n.*') FROM nation LIMIT 1")
+    assert(c.columns.toSet == Set("n_nationkey", "n_name"))
+    val ca = ch("SELECT max(n_regionkey) AS m, count() AS n FROM nation")
+    assert(ca.collect()(0).getAs[Number](0).longValue == 4L)
+  }
+
   test("SHOW TABLES / DESCRIBE / SHOW CREATE / EXISTS introspection") {
     val names = ch("SHOW TABLES").collect().map(_.getString(0)).toSet
     assert(Set("nation", "lineitem").subsetOf(names))
