@@ -4516,9 +4516,17 @@ object ChSql {
     * needs no expansion (Spark-native). REPLACE keeps the original column
     * order, as the reference does. */
   private def expandColumnsTransformers(spark: SparkSession, q0: String): String = {
+    // fast-path: nothing to expand (markers are rare; this runs per query)
+    val lower = q0.toLowerCase
+    if (!lower.contains("columns(") && !lower.contains("columns (") &&
+        !lower.contains("replace") && !lower.contains("apply")) return q0
     val fromRe = "(?i)\\bFROM\\s+(\\w+)".r
+    // "FROM 0" (WITH FILL bounds etc.) must not reach tableExists — the
+    // catalog parses the identifier and throws on non-identifiers
     val froms = fromRe.findAllMatchIn(q0).map(_.group(1))
-      .filter(t => spark.catalog.tableExists(t)).toList.distinct
+      .filter(t => t.matches("[A-Za-z_]\\w*") &&
+        (try spark.catalog.tableExists(t) catch { case _: Exception => false }))
+      .toList.distinct
     if (froms.size != 1) return q0
     val cols = spark.table(froms.head).columns
     // balanced-paren body starting at an opening paren index
