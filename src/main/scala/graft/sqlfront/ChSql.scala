@@ -1199,6 +1199,13 @@ object ChSql {
   private val dictParents =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** table name -> TTL expression from CREATE TABLE ... TTL <expr>
+    * (reference MergeTreeData TTL; rows expire when the expression is in
+    * the past). Applied at OPTIMIZE time, like the reference's TTL merges
+    * (round 11). */
+  private val tableTtls =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Named custom TLD lists for the *Custom URL-subdomain functions
     * (reference: the top_level_domains_lists server configuration that
     * cutToFirstSignificantSubdomainCustom() et al consult). */
@@ -4732,7 +4739,7 @@ object ChSql {
       case dropDictRe(name) if registeredDicts.contains(name) =>
         registeredDicts.remove(name)
         Some(spark.range(0).toDF("dropped"))
-      case createRe(kind, name, _, inner) =>
+      case createRe(kind, name, clauses, inner) =>
         val df = sql(spark, dir, inner)
         val out = if (kind.toUpperCase.startsWith("MATERIALIZED")) {
           // materialized: compute & persist the RESULT, not the query
@@ -4740,10 +4747,16 @@ object ChSql {
           m.count()
           m
         } else df
+        // TTL <expr> among the storage clauses (terminated by the next
+        // storage keyword or the AS boundary the regex already cut)
+        "(?is)\\bTTL\\s+(.+?)(?:\\s+(?:SETTINGS|ORDER\\s+BY|PARTITION\\s+BY|PRIMARY\\s+KEY)\\b.*)?$"
+          .r.findFirstMatchIn(clauses)
+          .foreach(m => tableTtls.put(name, m.group(1).trim))
         out.createOrReplaceTempView(name)
         Some(out)
       case dropRe(name) =>
         spark.catalog.dropTempView(name)
+        tableTtls.remove(name)
         Some(spark.range(0).toDF("dropped"))
       case insertSelRe(name, inner) =>
         val existing = spark.table(name)
@@ -4803,6 +4816,7 @@ object ChSql {
         val t = spark.table(from)
         t.createOrReplaceTempView(to)
         spark.catalog.dropTempView(from)
+        tableTtls.remove(from).foreach(ttl => tableTtls.put(to, ttl))
         Some(t)
       case alterDelRe(name, pred) =>
         val kept = spark.table(name)
@@ -4842,9 +4856,19 @@ object ChSql {
         m.createOrReplaceTempView(name)
         Some(m)
       case optimizeRe(name) =>
-        // merges/FINAL are a no-op here: session tables have no parts;
-        // parquet-backed layouts use Layout.compact
-        Some(spark.table(name))
+        // merges/FINAL: apply a registered TTL (the reference drops
+        // expired rows during merges); otherwise a no-op — session
+        // tables have no parts, parquet layouts use Layout.compact
+        tableTtls.get(name) match {
+          case Some(ttl) =>
+            val kept = spark.table(name)
+              .filter(s"NOT ((${rewrite(ttl)}) <= current_timestamp())")
+            val m = kept.persist()
+            m.count()
+            m.createOrReplaceTempView(name)
+            Some(m)
+          case None => Some(spark.table(name))
+        }
       case _ => None
     }
     ddl match {

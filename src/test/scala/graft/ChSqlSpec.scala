@@ -486,6 +486,26 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("TTL expression drops expired rows at OPTIMIZE, survives RENAME") {
+    ch("""CREATE TABLE t_ttl ENGINE = MergeTree ORDER BY o_orderkey
+         |TTL toDateTime(o_orderdate) + INTERVAL 30 YEAR
+         |AS SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    val before = ch("SELECT count() AS n FROM t_ttl").collect()(0).getLong(0)
+    // expected survivors: order date + 30y still in the future
+    val expected = ch(
+      """SELECT count() AS n FROM orders
+        |WHERE o_orderkey < 2000 AND toDateTime(o_orderdate) + INTERVAL 30 YEAR > now()""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(expected > 0 && expected < before, "fixture must straddle the TTL horizon")
+    ch("OPTIMIZE TABLE t_ttl FINAL")
+    assert(ch("SELECT count() AS n FROM t_ttl").collect()(0).getLong(0) == expected)
+    // TTL follows RENAME; re-OPTIMIZE is idempotent
+    ch("RENAME TABLE t_ttl TO t_ttl2")
+    ch("OPTIMIZE TABLE t_ttl2 FINAL")
+    assert(ch("SELECT count() AS n FROM t_ttl2").collect()(0).getLong(0) == expected)
+    ch("DROP TABLE t_ttl2")
+  }
+
   test("column transformers: * REPLACE, * APPLY, COLUMNS('regex')") {
     // REPLACE keeps column order and swaps the expression in place
     val r = ch("SELECT * REPLACE (n_nationkey * 100 AS n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 2")
