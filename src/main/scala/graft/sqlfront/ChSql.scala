@@ -1784,11 +1784,62 @@ object ChSql {
       .digest(s"graft-spark-${org.apache.spark.SPARK_VERSION}-r54499".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** CH scalar/expression WITH aliases (reference ParserWithElement /
+    * ApplyWithSubqueryVisitor — `WITH 5 AS x SELECT x + 1`,
+    * `WITH n * 2 AS d SELECT d FROM t`, `WITH (SELECT max(k) FROM t) AS m
+    * SELECT ...`): substitute each alias through the remainder of the
+    * query, the textual analog of the reference's AST substitution.
+    * Standard `name AS (SELECT …)` CTEs are left in place; mixed lists
+    * keep their CTE items. */
+  private def rewriteScalarWith(q0: String): String = {
+    if (!"(?is)^\\s*WITH\\b".r.findFirstIn(q0).isDefined) return q0
+    val start = "(?is)^\\s*WITH\\b".r.findFirstMatchIn(q0).get.end
+    // find the SELECT that terminates the WITH list (depth 0, word start)
+    var i = start; var depth = 0; var inStr = false; var selAt = -1
+    while (i < q0.length && selAt < 0) {
+      val c = q0.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (c == 'S' || c == 's') &&
+        q0.regionMatches(true, i, "SELECT", 0, 6) &&
+        !Character.isLetterOrDigit(q0.charAt(i - 1)) && q0.charAt(i - 1) != '_')
+        selAt = i
+      i += 1
+    }
+    if (selAt < 0) return q0
+    val items = splitArgs(q0.substring(start, selAt))
+    val cteRe = "(?is)^[A-Za-z_]\\w*\\s+AS\\s*\\(\\s*SELECT.*".r
+    val scalarRe = "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_]\\w*)$".r
+    val keep = scala.collection.mutable.ArrayBuffer[String]()
+    val subs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    items.map(_.trim).filter(_.nonEmpty).foreach {
+      case it if cteRe.pattern.matcher(it).matches => keep += it
+      case scalarRe(expr0, alias) =>
+        // earlier aliases may appear inside later expressions
+        val expr = subs.foldLeft(expr0) { case (e, (a, x)) =>
+          e.replaceAll(s"\\b$a\\b", java.util.regex.Matcher.quoteReplacement(x))
+        }
+        subs += ((alias, s"($expr)"))
+      case it => keep += it // unrecognized item: leave for the CTE path
+    }
+    if (subs.isEmpty) return q0
+    val rest0 = q0.substring(selAt)
+    val rest = subs.foldLeft(rest0) { case (r, (a, x)) =>
+      r.replaceAll(s"\\b$a\\b", java.util.regex.Matcher.quoteReplacement(x))
+    }
+    if (keep.isEmpty) rest else s"WITH ${keep.mkString(", ")} $rest"
+  }
+
   def rewrite(chSql: String): String = {
     var q = chSql
 
     // trailing FORMAT clause (output format is the writer's concern here)
     q = q.replaceAll("""(?is)\bFORMAT\s+\w+\s*;?\s*$""", "")
+
+    // CH scalar WITH aliases before anything else sees the query
+    q = rewriteScalarWith(q)
 
     // SQL lambda UDF macros first — bodies then flow through the dialect
     q = expandMacros(q)

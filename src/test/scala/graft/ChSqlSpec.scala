@@ -486,6 +486,24 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("scalar WITH aliases: literals, expressions, scalar subqueries, mixed CTEs") {
+    assert(ch("WITH 5 AS x SELECT x + 1 AS y").collect()(0).getAs[Number](0).intValue == 6)
+    val r = ch("""WITH n_nationkey * 2 AS dbl
+                 |SELECT n_name, dbl FROM nation ORDER BY n_nationkey LIMIT 2""".stripMargin)
+      .collect()
+    assert(r.map(_.getAs[Number](1).longValue).toSeq == Seq(0L, 2L))
+    // scalar subquery alias, used twice
+    val m = ch("""WITH (SELECT max(n_nationkey) FROM nation) AS mx
+                 |SELECT count() AS n FROM nation WHERE n_nationkey > mx - 3 AND n_nationkey <= mx""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(m == 3L)
+    // aliases chaining + a real CTE in the same WITH list
+    val c = ch("""WITH 10 AS base, base * 2 AS dbl,
+                 |top AS (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)
+                 |SELECT count() AS n, max(dbl) AS d FROM top""".stripMargin).collect()(0)
+    assert(c.getLong(0) == 5L && c.getAs[Number](1).intValue == 20)
+  }
+
   test("TTL expression drops expired rows at OPTIMIZE, survives RENAME") {
     ch("""CREATE TABLE t_ttl ENGINE = MergeTree ORDER BY o_orderkey
          |TTL toDateTime(o_orderdate) + INTERVAL 30 YEAR
