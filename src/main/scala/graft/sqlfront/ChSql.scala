@@ -1832,14 +1832,75 @@ object ChSql {
     if (keep.isEmpty) rest else s"WITH ${keep.mkString(", ")} $rest"
   }
 
+  /** SQL-level ASOF JOIN spelling (reference ParserJoin ASOF strictness;
+    * the API-level scale path is Ops.asofJoin). Rewritten to a correlated
+    * LATERAL top-1 subquery: the equality conjuncts filter, the single
+    * inequality picks the scan direction (right side at-or-before ->
+    * latest DESC; at-or-after -> earliest ASC). The right table must be a
+    * plain named table and the inequality must qualify its column. */
+  private def rewriteAsofJoin(q0: String): String = {
+    val re = "(?is)\\bASOF\\s+(LEFT\\s+|INNER\\s+)?JOIN\\s+(\\w+)(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+ON\\s+".r
+    val m = re.findFirstMatchIn(q0).getOrElse(return q0)
+    val left = Option(m.group(1)).exists(_.trim.equalsIgnoreCase("LEFT"))
+    val table = m.group(2)
+    val alias = Option(m.group(3)).getOrElse(table)
+    // condition runs to the next clause keyword at paren depth 0
+    var i = m.end; var depth = 0; var inStr = false; var end = q0.length
+    val stops = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+      "SETTINGS", "QUALIFY")
+    while (i < q0.length && end == q0.length) {
+      val c = q0.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && Character.isLetter(c) &&
+        !Character.isLetterOrDigit(q0.charAt(i - 1)) && q0.charAt(i - 1) != '_' &&
+        stops.exists(k => q0.regionMatches(true, i, k, 0, k.length)))
+        end = i
+      i += 1
+    }
+    val cond = q0.substring(m.end, end).trim
+    val conjuncts = cond.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
+    val ineqRe = "(?s)^(.*?)(<=|>=|<|>)(.*)$".r
+    val (ineqs, eqs) = conjuncts.partition(c => ineqRe.pattern.matcher(c).matches)
+    if (ineqs.length != 1) return q0
+    val ineqRe(lhs0, op, rhs0) = ineqs.head
+    val (lhs, rhs) = (lhs0.trim, rhs0.trim)
+    val refsRight = (e: String) => s"(?i)\\b$alias\\.".r.findFirstIn(e).isDefined
+    val (rightExpr, desc) =
+      if (refsRight(rhs) && !refsRight(lhs))
+        // cond: left OP right — right at-or-before when OP is >=/>
+        (rhs, op == ">=" || op == ">")
+      else if (refsRight(lhs) && !refsRight(rhs))
+        // cond: right OP left — right at-or-before when OP is <=/<
+        (lhs, op == "<=" || op == "<")
+      else return q0
+    val dir = if (desc) "DESC" else "ASC"
+    val lateral =
+      s"(SELECT * FROM $table AS $alias WHERE ${eqs.mkString(" AND ")} " +
+        s"AND ${ineqs.head} ORDER BY $rightExpr $dir LIMIT 1) AS $alias"
+    val joined =
+      if (left) s" LEFT OUTER JOIN LATERAL $lateral ON true "
+      else s" JOIN LATERAL $lateral "
+    q0.substring(0, m.start) + joined + q0.substring(end)
+  }
+
   def rewrite(chSql: String): String = {
     var q = chSql
 
     // trailing FORMAT clause (output format is the writer's concern here)
     q = q.replaceAll("""(?is)\bFORMAT\s+\w+\s*;?\s*$""", "")
 
+    // per-query SETTINGS tail is a hint surface — absorbed (the reference
+    // applies them to its own execution; Spark confs are session-level)
+    q = q.replaceAll("""(?is)\bSETTINGS\s+\w+\s*=\s*\S+(\s*,\s*\w+\s*=\s*\S+)*\s*;?\s*$""", "")
+
     // CH scalar WITH aliases before anything else sees the query
     q = rewriteScalarWith(q)
+
+    // SQL-level ASOF JOIN before FROM-clause text is touched
+    q = rewriteAsofJoin(q)
 
     // SQL lambda UDF macros first — bodies then flow through the dialect
     q = expandMacros(q)

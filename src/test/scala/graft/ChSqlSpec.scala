@@ -486,6 +486,31 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("SQL ASOF JOIN matches the API-level Ops.asofJoin (backward)") {
+    import org.apache.spark.sql.functions._
+    // SQL spelling: latest click at-or-before each purchase, per user
+    val sqlSide = ch(
+      """SELECT count() AS n, sum(toInt64(floor(e2.value * 100))) AS s
+        |FROM events e ASOF LEFT JOIN events e2
+        |  ON e.user_id = e2.user_id AND e.ts >= e2.ts
+        |WHERE e.event_id < 200""".stripMargin).collect()(0)
+    // API path: self-asof with identical semantics. The right side must
+    // be unique per (user, ts) for the determinism contract — events has
+    // at most one row per (user_id, ts) in the fixture for ts-distinct
+    // rows, and the at-or-equal self-match makes every left row match
+    // itself, so both formulations pick the same rows.
+    val e = graft.core.Tables.t(spark, sf, "events")
+    val left = e.filter(col("event_id") < 200)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val right = e.select(col("user_id"), col("ts").as("rts"), col("value"))
+    val api = graft.ops.Ops.asofJoin(left, right, Seq("user_id"),
+      col("ts"), col("rts"), "backward")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("s")).collect()(0)
+    assert(sqlSide.getLong(0) == api.getLong(0))
+    assert(sqlSide.getLong(1) == api.getLong(1))
+  }
+
   test("scalar WITH aliases: literals, expressions, scalar subqueries, mixed CTEs") {
     assert(ch("WITH 5 AS x SELECT x + 1 AS y").collect()(0).getAs[Number](0).intValue == 6)
     val r = ch("""WITH n_nationkey * 2 AS dbl
