@@ -356,7 +356,7 @@ object ChSql {
     "arrayReduce" -> "t",
     "toStartOfDay" -> "t", "toStartOfHour" -> "t", "toStartOfWeek" -> "t",
     "toStartOfQuarter" -> "t", "toStartOfYear" -> "t",
-    "tupleElement" -> "t", "tuple" -> "struct", "e" -> "t",
+    "tupleElement" -> "t", "tuple" -> "struct", "e" -> "t", "untuple" -> "t",
     "netloc" -> "t", "queryStringAndFragment" -> "t",
     "cutQueryStringAndFragment" -> "t", "extractURLParameters" -> "t",
     "regexpQuoteMeta" -> "t", "roundDuration" -> "t", "roundAge" -> "t",
@@ -3226,6 +3226,10 @@ object ChSql {
         "tupleHammingDistance" -> "tuple_hamming_distance",
         "flattenTuple" -> "flatten_tuple", "tupleNegate" -> "tuple_negate"))
       q = rewriteCalls(q, n._1)(a => s"${n._2}(${a.mkString(", ")})")
+    // untuple(t) expands the tuple into one column per element (reference
+    // src/Functions/untuple — ASTFunction special form); Spark's inline
+    // generator over a one-struct array produces exactly that shape
+    q = rewriteCalls(q, "untuple")(a => s"inline(array(${a(0)}))")
     // addTupleOfIntervals(ts, (i1, i2, …)): apply the intervals left to
     // right (reference vectorFunctions.cpp:523 chains `plus`)
     def chainIntervals(base: String, tup: String, opSign: String): String = {
@@ -4792,6 +4796,25 @@ object ChSql {
     // InterpreterDescribeQuery.cpp, InterpreterShowCreateQuery.cpp,
     // InterpreterExistsQuery.cpp); types render in the reference's own
     // spelling via chTypeName
+    // SELECT ... INTO OUTFILE 'path' [FORMAT fmt] (reference
+    // ParserQueryWithOutput / WriteBufferFromFile sink): the distributed
+    // analog writes a directory of parts via the DataFrame writers
+    // (TabSeparated default, CSV[WithNames], JSONEachRow).
+    val outfileRe =
+      "(?is)^(.*?)\\bINTO\\s+OUTFILE\\s+'([^']+)'(?:\\s+FORMAT\\s+(\\w+))?\\s*;?\\s*$".r
+    chQuery match {
+      case outfileRe(inner, path, fmt) =>
+        val df = sql(spark, dir, inner)
+        Option(fmt).map(_.toLowerCase).getOrElse("tabseparated") match {
+          case "csv" => df.write.mode("overwrite").csv(path)
+          case "csvwithnames" =>
+            df.write.mode("overwrite").option("header", "true").csv(path)
+          case "jsoneachrow" => df.write.mode("overwrite").json(path)
+          case _ => df.write.mode("overwrite").option("sep", "\t").csv(path)
+        }
+        return df
+      case _ => ()
+    }
     val showTablesRe = "(?is)^\\s*SHOW\\s+TABLES(?:\\s+LIKE\\s+'([^']*)')?\\s*;?\\s*$".r
     val showCreateRe = "(?is)^\\s*SHOW\\s+CREATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
     val describeRe = "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r

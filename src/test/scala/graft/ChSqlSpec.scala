@@ -486,6 +486,23 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("INTO OUTFILE writes through the DataFrame sinks; untuple expands") {
+    val path = java.nio.file.Files.createTempDirectory("graft_outfile").toString
+    try {
+      ch(s"SELECT n_nationkey, n_name FROM nation INTO OUTFILE '$path/t1' FORMAT CSVWithNames")
+      val back = spark.read.option("header", "true").csv(s"$path/t1")
+      assert(back.count() == 25 && back.columns.toSeq == Seq("n_nationkey", "n_name"))
+      ch(s"SELECT n_name FROM nation INTO OUTFILE '$path/t2'") // TabSeparated default
+      assert(spark.read.text(s"$path/t2").count() == 25)
+      ch(s"SELECT n_nationkey AS k FROM nation INTO OUTFILE '$path/t3' FORMAT JSONEachRow")
+      assert(spark.read.json(s"$path/t3").count() == 25)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+    val u = ch("SELECT untuple(tuple(7, 'x')) FROM system.one").collect()(0)
+    assert(u.getInt(0) == 7 && u.getString(1) == "x")
+  }
+
   test("SQL ASOF JOIN matches the API-level Ops.asofJoin (backward)") {
     import org.apache.spark.sql.functions._
     // SQL spelling: latest click at-or-before each purchase, per user
