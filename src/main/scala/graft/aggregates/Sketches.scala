@@ -122,6 +122,21 @@ object ThetaSetOps {
 
 /** -State form of uniq_theta: the raw KMV buffer as array<bigint>, for
   * the theta set-op functions (uniqThetaState analog). */
+/** -Merge half of uniq[Theta]State (reference AggregateFunctionMerge.h):
+  * unions KMV state buffers produced by uniq_theta_state and finalizes
+  * to the distinct estimate — the two-level aggregation contract. */
+class KmvMergeAggregator(k: Int = ThetaSetOps.K)
+    extends Aggregator[Array[Long], Array[Long], Long] {
+  private val inner = new KmvDistinctAggregator(k)
+  def zero: Array[Long] = inner.zero
+  def reduce(b: Array[Long], st: Array[Long]): Array[Long] =
+    inner.merge(b, if (st == null) Array.empty else st)
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  def finish(b: Array[Long]): Long = inner.finish(b)
+  def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+  def outputEncoder: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+}
+
 class KmvStateAggregator(k: Int = ThetaSetOps.K)
     extends Aggregator[Long, Array[Long], Array[Long]] {
   private val inner = new KmvDistinctAggregator(k)

@@ -143,6 +143,11 @@ object Tables {
     // -State form: raw KMV buffer for the uniqTheta set-op functions
     spark.udf.register("uniq_theta_state",
       udaf(new graft.aggregates.KmvStateAggregator(), Encoders.scalaLong))
+    // -Merge form: two-level aggregation over persisted states
+    val arrLongEnc: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    spark.udf.register("uniq_theta_merge",
+      udaf(new graft.aggregates.KmvMergeAggregator(), arrLongEnc))
     spark.udf.register("top_k",
       udaf(new graft.aggregates.TopKAggregator(10), Encoders.STRING))
     // quantile_dd_<pct> at the reference's default 0.01 relative accuracy

@@ -512,6 +512,12 @@ object ChSql {
     "uniqThetaIntersect" -> "uniq_theta_intersect_count",
     "uniqThetaNot" -> "uniq_theta_not_count",
     "uniqThetaState" -> "uniq_theta_state",
+    "uniqState" -> "t", "uniqMerge" -> "t", "uniqThetaMerge" -> "t",
+    "uniqExactState" -> "t", "uniqExactMerge" -> "t",
+    "sumState" -> "t", "sumMerge" -> "t", "minState" -> "t", "minMerge" -> "t",
+    "maxState" -> "t", "maxMerge" -> "t", "countState" -> "t",
+    "countMerge" -> "t", "avgState" -> "t", "avgMerge" -> "t",
+    "groupArrayState" -> "t", "groupArrayMerge" -> "t",
     "finalizeAggregation" -> "uniq_theta_estimate",
     "minSampleSizeContinuous" -> "min_sample_size_continuous",
     "minSampleSizeContinous" -> "min_sample_size_continuous", // reference alias (typo kept)
@@ -1281,6 +1287,34 @@ object ChSql {
     * two-phase running-total formulation in queries/Aggregates7. */
   private def rewriteAggSpellings(q0: String): String = {
     var q = q0
+    // -State / -Merge two-level aggregation (reference
+    // AggregateFunctionState.h / AggregateFunctionMerge.h): algebraic
+    // aggregates' state IS their value (merge = re-aggregate); count
+    // states merge by summing; avg keeps a (sum, count) pair; exact-set
+    // states are arrays merged by flatten+distinct; uniq rides the real
+    // mergeable KMV state (uniq_theta_state / uniq_theta_merge).
+    for ((st, fn) <- Seq("sumState" -> "sum", "minState" -> "min",
+        "maxState" -> "max"))
+      q = rewriteCalls(q, st)(a => s"$fn(${a(0)})")
+    for ((mg, fn) <- Seq("sumMerge" -> "sum", "minMerge" -> "min",
+        "maxMerge" -> "max"))
+      q = rewriteCalls(q, mg)(a => s"$fn(${a(0)})")
+    q = rewriteCalls(q, "countState")(a =>
+      if (a.forall(_.trim.isEmpty)) "count(1)" else s"count(${a(0)})")
+    q = rewriteCalls(q, "countMerge")(a => s"CAST(sum(${a(0)}) AS BIGINT)")
+    q = rewriteCalls(q, "avgState")(a =>
+      s"named_struct('s', sum(CAST(${a(0)} AS DOUBLE)), 'c', count(${a(0)}))")
+    q = rewriteCalls(q, "avgMerge")(a =>
+      s"(sum((${a(0)}).s) / sum((${a(0)}).c))")
+    q = rewriteCalls(q, "groupArrayState")(a => s"collect_list(${a(0)})")
+    q = rewriteCalls(q, "groupArrayMerge")(a =>
+      s"flatten(collect_list(${a(0)}))")
+    q = rewriteCalls(q, "uniqExactState")(a => s"collect_set(${a(0)})")
+    q = rewriteCalls(q, "uniqExactMerge")(a =>
+      s"CAST(size(array_distinct(flatten(collect_list(${a(0)})))) AS BIGINT)")
+    q = rewriteCalls(q, "uniqState")(a => s"uniq_theta_state(${a(0)})")
+    q = rewriteCalls(q, "uniqMerge")(a => s"CAST(uniq_theta_merge(${a(0)}) AS BIGINT)")
+    q = rewriteCalls(q, "uniqThetaMerge")(a => s"CAST(uniq_theta_merge(${a(0)}) AS BIGINT)")
     // any/anyValue/anyLast SKIP NULLs in the reference (Nullable inputs
     // route through AggregateFunctionNull) — Spark's first/last need the
     // explicit ignoreNulls flag. The *RespectNulls spellings are plain

@@ -486,6 +486,36 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("-State/-Merge two-level aggregation: algebraic, count, avg, exact, KMV uniq") {
+    // level 1 per region, level 2 merged across regions == direct aggregate
+    val direct = ch("""SELECT count() AS c, sum(o_totalprice) AS s,
+                      |toInt64(floor(avg(o_totalprice))) AS a,
+                      |uniqExact(o_custkey) AS ue, uniqTheta(o_custkey) AS u
+                      |FROM orders WHERE o_orderkey < 4000""".stripMargin).collect()(0)
+    val merged = ch(
+      """SELECT countMerge(cs) AS c, sumMerge(ss) AS s,
+        |  toInt64(floor(avgMerge(avs))) AS a,
+        |  uniqExactMerge(ues) AS ue, uniqMerge(us) AS u
+        |FROM (
+        |  SELECT o_orderkey % 7 AS shard,
+        |    countState() AS cs, sumState(o_totalprice) AS ss,
+        |    avgState(o_totalprice) AS avs,
+        |    uniqExactState(o_custkey) AS ues, uniqState(o_custkey) AS us
+        |  FROM orders WHERE o_orderkey < 4000 GROUP BY shard)""".stripMargin)
+      .collect()(0)
+    assert(merged.getLong(0) == direct.getLong(0))
+    assert(math.abs(merged.getDouble(1) - direct.getDouble(1)) < 1e-6)
+    assert(merged.getLong(2) == direct.getLong(2))
+    assert(merged.getLong(3) == direct.getLong(3))
+    assert(merged.getLong(4) == direct.getLong(4), "KMV state merge must equal one-level uniqTheta")
+    // groupArrayMerge flattens the per-shard arrays
+    val ga = ch(
+      """SELECT size(groupArrayMerge(g)) AS n FROM (
+        |  SELECT n_regionkey, groupArrayState(n_nationkey) AS g
+        |  FROM nation GROUP BY n_regionkey)""".stripMargin).collect()(0)
+    assert(ga.getInt(0) == 25)
+  }
+
   test("INTO OUTFILE writes through the DataFrame sinks; untuple expands") {
     val path = java.nio.file.Files.createTempDirectory("graft_outfile").toString
     try {
