@@ -1920,6 +1920,60 @@ object ChSql {
     q0.substring(0, m.start) + joined + q0.substring(end)
   }
 
+  /** `primary :: Type` (ParserCastOperator) -> to<Type>(primary). The
+    * primary is the adjacent token run: a quoted literal, an identifier /
+    * number, or a balanced paren group (with any attached call name). */
+  private def rewriteColonCast(q0: String): String = {
+    var q = q0
+    var idx = q.indexOf("::")
+    var guard = 0
+    while (idx > 0 && guard < 100) {
+      guard += 1
+      // never touch :: inside a string literal (IPv6 text like '::ffff:…')
+      var quotes = 0; var p = 0
+      while (p < idx) { if (q.charAt(p) == '\'') quotes += 1; p += 1 }
+      // type name after :: (None also when inside a string)
+      val tm =
+        if (quotes % 2 == 1) None
+        else "^::\\s*([A-Za-z_]\\w*)".r.findFirstMatchIn(q.substring(idx))
+      tm match {
+        case None => idx = q.indexOf("::", idx + 2)
+        case Some(m) =>
+          val tpe = m.group(1)
+          val afterEnd = idx + m.end
+          // primary before ::
+          var s = idx - 1
+          while (s >= 0 && q.charAt(s).isWhitespace) s -= 1
+          var start = -1
+          if (s >= 0 && q.charAt(s) == '\'') {
+            var j = s - 1
+            while (j >= 0 && !(q.charAt(j) == '\'' && (j == 0 || q.charAt(j - 1) != '\\'))) j -= 1
+            start = j
+          } else if (s >= 0 && q.charAt(s) == ')') {
+            var depth = 0; var j = s
+            while (j >= 0 && start < 0) {
+              if (q.charAt(j) == ')') depth += 1
+              else if (q.charAt(j) == '(') { depth -= 1; if (depth == 0) start = j }
+              j -= 1
+            }
+            // attached call name
+            while (start > 0 && (q.charAt(start - 1).isLetterOrDigit || q.charAt(start - 1) == '_')) start -= 1
+          } else if (s >= 0 && (q.charAt(s).isLetterOrDigit || q.charAt(s) == '_' || q.charAt(s) == '.')) {
+            var j = s
+            while (j >= 0 && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_' || q.charAt(j) == '.')) j -= 1
+            start = j + 1
+          }
+          if (start < 0) idx = q.indexOf("::", afterEnd)
+          else {
+            val prim = q.substring(start, s + 1)
+            q = q.substring(0, start) + s"to$tpe($prim)" + q.substring(afterEnd)
+            idx = q.indexOf("::")
+          }
+      }
+    }
+    q
+  }
+
   def rewrite(chSql: String): String = {
     var q = chSql
 
@@ -1935,6 +1989,22 @@ object ChSql {
 
     // SQL-level ASOF JOIN before FROM-clause text is touched
     q = rewriteAsofJoin(q)
+
+    // `expr :: Type` postfix cast (reference ParserCastOperator): binds to
+    // the adjacent primary; routed through the to<Type> conversion
+    // templates so CH numeric semantics (UInt wrapping etc.) apply
+    q = rewriteColonCast(q)
+
+    // table functions view(...) / numbers(...) (reference
+    // src/TableFunctions/TableFunctionView.cpp, TableFunctionNumbers.cpp)
+    q = rewriteCalls(q, "view")(a => s"(${a.mkString(", ")})")
+    for (n <- Seq("numbers", "numbers_mt"))
+      q = rewriteCalls(q, n)(a =>
+        if (a.length >= 2)
+          s"(SELECT id + (${a(0)}) AS number FROM RANGE(${a(1)}))"
+        else s"(SELECT id AS number FROM RANGE(${a(0)}))")
+    // (RANGE uppercase: Spark resolves case-insensitively while the CH
+    // array-function `range` template matches lowercase only)
 
     // SQL lambda UDF macros first — bodies then flow through the dialect
     q = expandMacros(q)
@@ -4676,7 +4746,8 @@ object ChSql {
     // fast-path: nothing to expand (markers are rare; this runs per query)
     val lower = q0.toLowerCase
     if (!lower.contains("columns(") && !lower.contains("columns (") &&
-        !lower.contains("replace") && !lower.contains("apply")) return q0
+        !lower.contains("replace") && !lower.contains("apply") &&
+        !lower.contains("except")) return q0
     val fromRe = "(?i)\\bFROM\\s+(\\w+)".r
     // "FROM 0" (WITH FILL bounds etc.) must not reach tableExists — the
     // catalog parses the identifier and throws on non-identifiers
@@ -4727,6 +4798,43 @@ object ChSql {
       out
     }
     var q = q0
+    // * EXCEPT ('regex' | cols) [APPLY (fn)] — the regex form and APPLY
+    // chaining need the schema; the plain list form without APPLY is
+    // Spark-native and left untouched
+    locally {
+      val exRe = "(?is)(SELECT\\s+|,\\s*)\\*\\s+EXCEPT\\s*\\(".r
+      var changed = true
+      while (changed) {
+        changed = false
+        exRe.findFirstMatchIn(q).foreach { m =>
+          parenBody(q, q.indexOf('(', m.end - 1)).foreach { case (body, close) =>
+            val after = q.substring(close + 1)
+            val applyM = "(?is)^\\s*APPLY\\s*\\(\\s*(\\w+)\\s*\\)".r.findFirstMatchIn(after)
+            val isRegex = body.trim.startsWith("'")
+            if (isRegex || applyM.isDefined) {
+              val excluded: Set[String] =
+                if (isRegex) {
+                  val re = body.trim.stripPrefix("'").stripSuffix("'")
+                  cols.filter(_.matches(re)).toSet
+                } else splitArgs(body).map(_.trim).toSet
+              val kept = cols.filterNot(excluded)
+              if (kept.nonEmpty) {
+                val rendered = applyM match {
+                  case Some(am) =>
+                    val fn = am.group(1)
+                    kept.map(c => s"$fn($c) AS `$fn($c)`").mkString(", ")
+                  case None => kept.mkString(", ")
+                }
+                val afterEnd = close + 1 + applyM.map(_.end).getOrElse(0)
+                q = q.substring(0, m.start) + m.group(1) + rendered +
+                  q.substring(afterEnd)
+                changed = true
+              }
+            }
+          }
+        }
+      }
+    }
     q = expandOne(q, "(SELECT\\s+|,\\s*)COLUMNS\\s*\\(", body => {
       val re = body.trim.stripPrefix("'").stripSuffix("'")
       val sel = cols.filter(_.matches(re))

@@ -486,6 +486,25 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("view()/numbers() table functions, :: casts, EXCEPT regex/APPLY chains") {
+    assert(ch("SELECT count() AS n FROM view(SELECT n_nationkey FROM nation WHERE n_nationkey < 5)")
+      .collect()(0).getLong(0) == 5L)
+    val nb = ch("SELECT min(number) AS a, max(number) AS b, count() AS n FROM numbers(10, 20)").collect()(0)
+    assert(nb.getLong(0) == 10L && nb.getLong(1) == 29L && nb.getLong(2) == 20L)
+    assert(ch("SELECT count() AS n FROM numbers(7)").collect()(0).getLong(0) == 7L)
+    // :: postfix cast routes through the to<Type> templates (CH wrapping)
+    assert(ch("SELECT '5'::Int64 + 1 AS x").collect()(0).getLong(0) == 6L)
+    assert(ch("SELECT 300::UInt8 AS x").collect()(0).getLong(0) == 44L)
+    assert(ch("SELECT (2 + 3)::Float64 / 2 AS x").collect()(0).getDouble(0) == 2.5)
+    // :: inside string literals is untouched (IPv6-style text)
+    assert(ch("SELECT length('a::ffff:b') AS n").collect()(0).getAs[Number](0).intValue == 9)
+    // EXCEPT regex form and EXCEPT+APPLY chaining expand against the schema
+    val er = ch("SELECT * EXCEPT ('n_n.*') FROM nation LIMIT 1")
+    assert(!er.columns.contains("n_nationkey") && !er.columns.contains("n_name"))
+    val ea = ch("SELECT * EXCEPT (n_name) APPLY (max) FROM nation")
+    assert(ea.columns.toSet == Set("max(n_nationkey)", "max(n_regionkey)"))
+  }
+
   test("-State/-Merge two-level aggregation: algebraic, count, avg, exact, KMV uniq") {
     // level 1 per region, level 2 merged across regions == direct aggregate
     val direct = ch("""SELECT count() AS c, sum(o_totalprice) AS s,
