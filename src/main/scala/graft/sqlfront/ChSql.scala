@@ -1995,6 +1995,34 @@ object ChSql {
     // templates so CH numeric semantics (UInt wrapping etc.) apply
     q = rewriteColonCast(q)
 
+    // CH's two-argument CAST(x, 'Type') spelling (FunctionsConversion.h
+    // CastOverloadResolver) — routed through accurateCast's type map;
+    // the standard CAST(x AS T) single-argument form passes through
+    for (cname <- Seq("CAST", "cast"))
+      q = rewriteCalls(q, cname)(a =>
+        if (a.length == 2 && a(1).trim.startsWith("'")) {
+          val tpe = a(1).trim.stripPrefix("'").stripSuffix("'").trim
+          // CH CAST wraps integers (toUInt8(300)=44) — the accurate
+          // variant is the separate accurateCast; simple types route
+          // through the to<Type> templates, parameterized ones through
+          // accurateCast's type map
+          if (tpe.matches("[A-Za-z]\\w*")) s"to$tpe(${a(0)})"
+          else s"accurateCast(${a(0)}, ${a(1)})"
+        } else s"CAST(${a.mkString(", ")})")
+
+    // SAMPLE k clause (reference MergeTreeDataSelectExecutor sampling):
+    // fraction -> Bernoulli percent, integer -> row bound. The
+    // deterministic-by-key formulation lives in Ops.sampleByKey
+    // (q_sample_by_key); the SQL clause maps to Spark's native sampler.
+    q = "(?i)\\bSAMPLE\\s+(\\d+(?:\\.\\d+)?)".r.replaceAllIn(q, m => {
+      val v = m.group(1).toDouble
+      // BUCKET form keeps the emitted literals integral (the float-literal
+      // pass would D-suffix a decimal percent into invalid syntax)
+      if (v > 0 && v < 1)
+        s"TABLESAMPLE (BUCKET ${math.round(v * 1000000)} OUT OF 1000000)"
+      else s"TABLESAMPLE (${v.toLong} ROWS)"
+    })
+
     // table functions view(...) / numbers(...) (reference
     // src/TableFunctions/TableFunctionView.cpp, TableFunctionNumbers.cpp)
     q = rewriteCalls(q, "view")(a => s"(${a.mkString(", ")})")

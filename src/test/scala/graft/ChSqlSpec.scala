@@ -486,6 +486,18 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("SAMPLE clause and two-argument CAST spelling") {
+    // fraction -> Bernoulli bucket sample: nondeterministic size, bounded
+    val n = ch("SELECT count() AS n FROM lineitem SAMPLE 0.5").collect()(0).getLong(0)
+    val total = ch("SELECT count() AS n FROM lineitem").collect()(0).getLong(0)
+    assert(n > total / 4 && n < total * 3 / 4, s"sample $n of $total")
+    // integer -> row bound (exact)
+    assert(ch("SELECT count() AS n FROM lineitem SAMPLE 1000")
+      .collect()(0).getLong(0) == 1000L)
+    assert(ch("SELECT CAST('42', 'Int64') + 1 AS x").collect()(0).getLong(0) == 43L)
+    assert(ch("SELECT CAST(300, 'UInt8') AS x").collect()(0).getLong(0) == 44L)
+  }
+
   test("view()/numbers() table functions, :: casts, EXCEPT regex/APPLY chains") {
     assert(ch("SELECT count() AS n FROM view(SELECT n_nationkey FROM nation WHERE n_nationkey < 5)")
       .collect()(0).getLong(0) == 5L)
