@@ -89,6 +89,21 @@ object ScaleSweep {
         .collect()(0).get(0)
     }
 
+    // 5. Codec family linearity: dHash over synthesized PNGs at two
+    // sizes in ONE run (the registered codec rows are key-bounded, so
+    // this is their scale evidence — pure per-row executor CPU, no
+    // shuffle; the ratio should track the size ratio).
+    for (n <- Seq(20000L, 100000L)) {
+      time(s"dhash_${n / 1000}k_images") {
+        import spark.implicits._
+        spark.range(n).as[Long].mapPartitions(_.map { k =>
+          val pix = Array.tabulate(8, 9)((y, x) => 64 + ((k + x * 7 + y * 13) % 128).toInt)
+          graft.llm.Multimodal.imageDHash64(
+            graft.llm.Multimodal.encodeGrayPng(pix)).getOrElse(0L) & 0xffffL
+        }).agg(sum(col("value"))).collect()(0).get(0)
+      }
+    }
+
     spark.stop()
   }
 }

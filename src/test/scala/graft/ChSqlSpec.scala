@@ -607,6 +607,26 @@ class ChSqlSpec extends AnyFunSuite {
     assert(c.getLong(0) == 5L && c.getAs[Number](1).intValue == 20)
   }
 
+  test("scalar WITH substitution equals manual inlining (randomized)") {
+    val rnd = new scala.util.Random(7L)
+    def expr(depth: Int): String =
+      if (depth <= 0)
+        Seq("n_nationkey", "n_regionkey", "3", "7")(rnd.nextInt(4))
+      else Seq(
+        s"(${expr(depth - 1)} + ${expr(depth - 1)})",
+        s"(${expr(depth - 1)} * ${expr(depth - 1)})",
+        s"greatest(${expr(depth - 1)}, ${expr(depth - 1)})",
+        s"(${expr(depth - 1)} % 11)")(rnd.nextInt(4))
+    for (_ <- 1 to 40) {
+      val e = expr(2)
+      val via = ch(s"WITH $e AS v SELECT sum(v + v * 2) AS s FROM nation")
+        .collect()(0).getAs[Number](0).longValue
+      val manual = ch(s"SELECT sum(($e) + ($e) * 2) AS s FROM nation")
+        .collect()(0).getAs[Number](0).longValue
+      assert(via == manual, s"WITH substitution diverged for: $e")
+    }
+  }
+
   test("TTL expression drops expired rows at OPTIMIZE, survives RENAME") {
     ch("""CREATE TABLE t_ttl ENGINE = MergeTree ORDER BY o_orderkey
          |TTL toDateTime(o_orderdate) + INTERVAL 30 YEAR
