@@ -83,6 +83,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => VectorKernels.IntersectCountSortedLongs(es(0), es(1))),
     (FunctionIdentifier("porter_stem"), info("porter_stem"),
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
+    // positional tuple element (reference tupleElement by index — CH
+    // tuples are positional; Spark SQL has no ordinal struct accessor, so
+    // this builds GetStructField directly)
+    (FunctionIdentifier("tuple_element_at"), info("tuple_element_at"),
+      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.GetStructField(
+        es.head, intLit(es(1), "tuple element index") - 1, None)),
     // formatQuery family (reference src/Functions/formatQuery.cpp:184-205)
     (FunctionIdentifier("format_query"), info("format_query"),
       (es: Seq[Expression]) => graft.functions.QueryFormat.FormatQueryExpr(es.head, singleLine = false, orNull = false)),

@@ -1990,6 +1990,32 @@ object ChSql {
     // SQL-level ASOF JOIN before FROM-clause text is touched
     q = rewriteAsofJoin(q)
 
+    // CH tuple dot-number access: ident.1 -> tupleElement(ident, 1)
+    // (float literals never match — the left side must be an identifier;
+    // matches inside string literals are skipped via quote parity)
+    locally {
+      val re = "\\b([A-Za-z_]\\w*)\\.(\\d+)\\b".r
+      val ms = re.findAllMatchIn(q).toList
+      if (ms.nonEmpty) {
+        val sb = new StringBuilder
+        var last = 0
+        for (m <- ms) {
+          val inStr = q.substring(0, m.start).count(_ == '\'') % 2 == 1
+          sb.append(q.substring(last, m.start))
+          if (inStr) sb.append(m.matched)
+          else sb.append(s"tupleElement(${m.group(1)}, ${m.group(2)})")
+          last = m.end
+        }
+        sb.append(q.substring(last))
+        q = sb.toString
+      }
+    }
+
+    // bare USING k[, k2] -> USING (k, k2) (CH allows the paren-less list)
+    q = "(?is)\\bUSING\\s+(?!\\()([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)".r
+      .replaceAllIn(q, m => "USING (" +
+        java.util.regex.Matcher.quoteReplacement(m.group(1)) + ")")
+
     // `expr :: Type` postfix cast (reference ParserCastOperator): binds to
     // the adjacent primary; routed through the to<Type> conversion
     // templates so CH numeric semantics (UInt wrapping etc.) apply
@@ -3384,7 +3410,9 @@ object ChSql {
     // tupleElement(t, N) / tupleElement(t, 'name'); struct() names are colN
     q = rewriteCalls(q, "tupleElement") { a =>
       val idx = a(1).trim
-      if (idx.matches("[0-9]+")) s"(${a(0)}).col$idx"
+      // numeric index = POSITIONAL access (CH tuples are positional;
+      // struct field names vary with how the tuple was built)
+      if (idx.matches("[0-9]+")) s"tuple_element_at(${a(0)}, $idx)"
       else s"(${a(0)}).${idx.replaceAll("'", "")}"
     }
     q = rewriteCalls(q, "e")(_ => "exp(1)")

@@ -486,6 +486,17 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("positional tuple access: x.1 / tupleElement(x, N) by ordinal") {
+    // mixed-name struct: positional access must ignore field names
+    // (reference 00027_argMinMax shape)
+    val r = ch("""SELECT argMin(x.1, x.2) AS a, argMax(x.1, x.2) AS b
+                 |FROM (SELECT (number, number + 1) AS x FROM numbers(10))""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 9L)
+    val s = ch("SELECT tupleElement((7, 'x', 9), 3) AS e").collect()(0)
+    assert(s.getAs[Number](0).intValue == 9)
+  }
+
   test("SAMPLE clause and two-argument CAST spelling") {
     // fraction -> Bernoulli bucket sample: nondeterministic size, bounded
     val n = ch("SELECT count() AS n FROM lineitem SAMPLE 0.5").collect()(0).getLong(0)
