@@ -1990,6 +1990,16 @@ object ChSql {
     // SQL-level ASOF JOIN before FROM-clause text is touched
     q = rewriteAsofJoin(q)
 
+    // toDateTime(x, 'tz'): the second argument is ALWAYS a timezone in CH
+    // (never a format) and affects only rendering — the stored instant is
+    // the same, so the value maps to a plain timestamp cast (epoch for
+    // numerics, parse for strings). Single-arg form flows to the alias
+    // rename (to_timestamp) untouched.
+    q = rewriteCalls(q, "toDateTime")(a =>
+      if (a.length == 2 && a(1).trim.matches("'[A-Za-z][\\w/+-]*'"))
+        s"CAST((${a(0)}) AS TIMESTAMP)"
+      else s"toDateTime(${a.mkString(", ")})")
+
     // CH tuple dot-number access: ident.1 -> tupleElement(ident, 1)
     // (float literals never match — the left side must be an identifier;
     // matches inside string literals are skipped via quote parity)

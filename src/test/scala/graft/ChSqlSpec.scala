@@ -486,6 +486,15 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_ddl2")
   }
 
+  test("toDateTime(x, 'tz'): second arg is a timezone, value is the instant") {
+    val r = ch("""SELECT toDateTime(0, 'UTC') AS a,
+                 |toDateTime(86400, 'UTC') AS b,
+                 |toDateTime('2020-06-01 12:00:00', 'UTC') AS c""".stripMargin).collect()(0)
+    assert(r.getTimestamp(0).toInstant.getEpochSecond == 0L)
+    assert(r.getTimestamp(1).toInstant.getEpochSecond == 86400L)
+    assert(r.getTimestamp(2).toInstant.toString.startsWith("2020-06-01T12:00:00"))
+  }
+
   test("positional tuple access: x.1 / tupleElement(x, N) by ordinal") {
     // mixed-name struct: positional access must ignore field names
     // (reference 00027_argMinMax shape)

@@ -73,9 +73,10 @@ class ReferenceAnchorSpec extends AnyFunSuite {
     "00021_sorting_arrays",
     "00022_func_higher_order_and_constants",
     "00023_agg_select_agg_subquery",
-    // 00027_argMinMax exercises positional tuple access (now supported —
-    // pinned in ChSqlSpec) but later statements need toDateTime(num, tz)
-    // epoch semantics; excluded until that form lands.
+    // 00027_argMinMax: positional tuple access and toDateTime(num, 'tz')
+    // both land this round (pinned in ChSqlSpec), but the test also leans
+    // on CH's DateTime + Int seconds arithmetic — excluded until typed
+    // datetime arithmetic is worth a general rewrite.
     // 00169_join_constant_keys: CH silently resolves the ambiguous
     // duplicated column to the left table; Spark raises
     // AMBIGUOUS_REFERENCE — a name-resolution policy difference.
