@@ -81,6 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DatePreimageRule)
     ext.injectOptimizerRule(_ => ProjectionRouting.Route)
+    ext.injectResolutionRule(_ => ChTimestampArith)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

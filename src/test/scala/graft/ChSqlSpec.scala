@@ -495,6 +495,18 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getTimestamp(2).toInstant.toString.startsWith("2020-06-01T12:00:00"))
   }
 
+  test("DateTime +- Int arithmetic means seconds (resolution rule)") {
+    val r = ch("""SELECT toDateTime(100, 'UTC') + 60 AS a,
+                 |5 + toDateTime(100, 'UTC') AS b,
+                 |toDateTime(100, 'UTC') - 40 AS c""".stripMargin).collect()(0)
+    assert(r.getTimestamp(0).toInstant.getEpochSecond == 160L)
+    assert(r.getTimestamp(1).toInstant.getEpochSecond == 105L)
+    assert(r.getTimestamp(2).toInstant.getEpochSecond == 60L)
+    // Date + Int stays days (Spark-native, same as the reference)
+    assert(ch("SELECT toDate('2020-01-01') + 31 AS d").collect()(0)
+      .getDate(0).toString == "2020-02-01")
+  }
+
   test("positional tuple access: x.1 / tupleElement(x, N) by ordinal") {
     // mixed-name struct: positional access must ignore field names
     // (reference 00027_argMinMax shape)

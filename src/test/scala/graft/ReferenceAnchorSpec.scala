@@ -73,10 +73,9 @@ class ReferenceAnchorSpec extends AnyFunSuite {
     "00021_sorting_arrays",
     "00022_func_higher_order_and_constants",
     "00023_agg_select_agg_subquery",
-    // 00027_argMinMax: positional tuple access and toDateTime(num, 'tz')
-    // both land this round (pinned in ChSqlSpec), but the test also leans
-    // on CH's DateTime + Int seconds arithmetic — excluded until typed
-    // datetime arithmetic is worth a general rewrite.
+    // 00027_argMinMax: positional tuple access, toDateTime(num,'tz') and
+    // DateTime+Int all land this round (pinned in ChSqlSpec); the
+    // remaining blocker is toDate(num) days-since-epoch semantics.
     // 00169_join_constant_keys: CH silently resolves the ambiguous
     // duplicated column to the left table; Spark raises
     // AMBIGUOUS_REFERENCE — a name-resolution policy difference.
