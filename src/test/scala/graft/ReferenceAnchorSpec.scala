@@ -66,27 +66,56 @@ class ReferenceAnchorSpec extends AnyFunSuite {
   private val curated = Seq(
     "00001_select_1",
     "00002_system_numbers",
+    "00003_reinterpret_as_string",
     "00007_array",
     "00008_array_join",
     "00009_array_join_subquery",
+    "00018_distinct_in_subquery",
     "00020_sorting_arrays",
     "00021_sorting_arrays",
     "00022_func_higher_order_and_constants",
     "00023_agg_select_agg_subquery",
-    // 00027_argMinMax: positional tuple access, toDateTime(num,'tz') and
-    // DateTime+Int all land this round (pinned in ChSqlSpec); the
-    // remaining blocker is toDate(num) days-since-epoch semantics.
-    // 00169_join_constant_keys: CH silently resolves the ambiguous
-    // duplicated column to the left table; Spark raises
-    // AMBIGUOUS_REFERENCE — a name-resolution policy difference.
+    "00024_unused_array_join_in_subquery",
+    "00025_implicitly_used_subquery_column",
+    "00027_distinct_and_order_by",
+    "00034_fixed_string_to_number",
     "00041_aggregation_remap",
+    "00042_set",
     "00044_sorting_by_string_descending",
-    // 00052_all_left_join is excluded: its expected output assumes
-    // join_use_nulls=0 (unmatched columns become type defaults, CH's
-    // legacy default); this engine consistently uses NULL semantics —
-    // the join_use_nulls=1 mode — like every other SQL engine.
-    "00053_all_inner_join")
-
+    "00045_sorting_by_fixed_string_descending",
+    "00053_all_inner_join",
+    "00060_date_lut",
+    "00072_in_types",
+    "00077_set_keys_fit_128_bits_many_blocks",
+    "00078_string_concat",
+    "00087_distinct_of_empty_arrays",
+    "00098_6_union_all",
+    "00098_7_union_all",
+    "00098_8_union_all",
+    "00098_9_union_all",
+    "00098_a_union_all",
+    "00098_b_union_all",
+    "00098_g_union_all",
+    "00098_h_union_all",
+    "00114_float_type_result_of_division",
+    "00125_array_element_of_array_of_tuple",
+    "00127_group_by_concat",
+    "00128_group_by_number_and_fixed_string",
+    "00131_set_hashed",
+    "00144_empty_regexp",
+    "00145_empty_likes",
+    "00151_tuple_with_array",
+    "00156_array_map_to_constant",
+    "00157_aliases_and_lambda_formal_parameters",
+    "00166_functions_of_aggregation_states",
+    "00173_compare_date_time_with_constant_string",
+    "00174_compare_date_time_with_constant_string_in_in",
+    "00175_counting_resources_in_subqueries",
+    "00187_like_regexp_prefix",
+    "00188_constants_as_arguments_of_aggregate_functions",
+    "00196_float32_formatting",
+    "00204_extract_url_parameter",
+    "00218_like_regexp_newline")
   for (name <- curated)
     test(s"reference stateless $name matches its .reference output") {
       runTest(name)
