@@ -33,3 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The test fork runs 500+ Spark queries across 28 suites in ONE JVM
+// (anchor suite + dialect suites); 8g leaves no headroom for the
+// accumulated session state on this 128 GiB host. Last -Xmx wins.
+Test / javaOptions += "-Xmx24g"

@@ -183,6 +183,14 @@ object Tables {
       // bare COUNT/MIN/MAX over a scan never touches row data.
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
+      // long sessions run thousands of queries whose rewritten plans are
+      // LARGE strings; the status store's default 1000 retained
+      // executions holds them all on the driver heap (observed: OOM in
+      // the forked test JVM once the suite crossed ~500 queries)
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -61,6 +61,9 @@ class ReferenceAnchorSpec extends AnyFunSuite {
     }.mkString("\n")
     assert(out == expected,
       s"\n== $name ==\n-- got --\n$out\n-- expected --\n$expected")
+    // anchor DDL paths persist() materialized views; release them so the
+    // shared test JVM's heap doesn't accumulate cached blocks
+    spark.catalog.clearCache()
   }
 
   private val curated = Seq(
@@ -135,11 +138,8 @@ class ReferenceAnchorSpec extends AnyFunSuite {
     "00647_select_numbers_with_offset",
     "00667_compare_arrays_of_different_types",
     "00680_duplicate_columns_inside_union_all",
-    "00696_system_columns_limit",
-    "00701_context_use_after_free",
     "00710_array_enumerate_dense",
     "00711_array_enumerate_variants",
-    "00723_remerge_sort",
     "00741_client_comment_multiline",
     "00752_low_cardinality_array_result",
     "00753_with_with_single_alias",
@@ -150,8 +150,6 @@ class ReferenceAnchorSpec extends AnyFunSuite {
     "00814_parsing_ub",
     "00817_with_simple",
     "00822_array_insert_default",
-    "00824_filesystem",
-    "00833_sleep_overflow",
     "00834_date_datetime_cmp",
     "00836_numbers_table_function_zero",
     "00842_array_with_constant_overflow",
@@ -215,9 +213,7 @@ class ReferenceAnchorSpec extends AnyFunSuite {
     "01548_uncomparable_columns_in_keys",
     "01548_with_totals_having",
     "01561_aggregate_functions_of_key_with_join",
-    "01581_to_int_inf_nan",
-    "01586_columns_pruning",
-    "01598_memory_limit_zeros")
+    "01581_to_int_inf_nan")
   for (name <- curated)
     test(s"reference stateless $name matches its .reference output") {
       runTest(name)
