@@ -119,3 +119,42 @@ case class ChElementAt(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ChElementAt =
     copy(left = newLeft, right = newRight)
 }
+
+/** CH toDate over ANY input type (reference FunctionsConversion.h):
+  * integrals are DAYS SINCE EPOCH (the Date domain is day numbers),
+  * strings parse (date-only or full datetime, date part taken),
+  * timestamps truncate, dates pass through. Round 11 — unlocks the
+  * reference's toDate(number) test idiom. */
+case class ChToDate(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
+
+  override def dataType: DataType = DateType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private lazy val utc = java.time.ZoneId.of("UTC")
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      v.asInstanceOf[Number].intValue
+    case FloatType | DoubleType =>
+      v.asInstanceOf[Number].doubleValue.toInt
+    case _: DecimalType =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toInt
+    case DateType => v
+    case _: TimestampType | TimestampNTZType =>
+      DateTimeUtils.microsToDays(v.asInstanceOf[Long], utc)
+    case _ =>
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      DateTimeUtils.stringToDate(s)
+        .orElse(DateTimeUtils.stringToTimestamp(s, utc)
+          .map(us => DateTimeUtils.microsToDays(us, utc)))
+        .orNull
+  }
+  override protected def withNewChildInternal(c: Expression): ChToDate =
+    copy(child = c)
+}

@@ -83,6 +83,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => VectorKernels.IntersectCountSortedLongs(es(0), es(1))),
     (FunctionIdentifier("porter_stem"), info("porter_stem"),
       (es: Seq[Expression]) => Stemmer.PorterStem(es.head)),
+    // CH toDate over any input type (integrals = days since epoch)
+    (FunctionIdentifier("ch_to_date"), info("ch_to_date"),
+      (es: Seq[Expression]) => graft.functions.ChToDate(es.head)),
     // positional tuple element (reference tupleElement by index — CH
     // tuples are positional; Spark SQL has no ordinal struct accessor, so
     // this builds GetStructField directly)

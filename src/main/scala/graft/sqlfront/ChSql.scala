@@ -1287,6 +1287,22 @@ object ChSql {
     * two-phase running-total formulation in queries/Aggregates7. */
   private def rewriteAggSpellings(q0: String): String = {
     var q = q0
+    // argMin/argMax -Array combinator (reference
+    // AggregateFunctionArray.h over argMin): the aggregate runs over the
+    // ELEMENTS of the array arguments across the group — zip the arrays
+    // per row, flatten across the group, pick the row at the extreme key
+    // (first occurrence on ties, as the reference does).
+    def argArr(vx: String, ky: String, maxSide: Boolean): String = {
+      val pairs = s"flatten(collect_list(zip_with($vx, $ky, " +
+        s"(__av, __ak) -> named_struct('v', __av, 'k', __ak))))"
+      val keyAgg = if (maxSide) s"array_max(flatten(collect_list($ky)))"
+        else s"array_min(flatten(collect_list($ky)))"
+      val cmp = if (maxSide) ">=" else "<="
+      s"element_at(filter($pairs, __as -> __as.k $cmp $keyAgg), 1).v"
+    }
+    q = rewriteCalls(q, "argMinArray")(a => argArr(a(0), a(1), maxSide = false))
+    q = rewriteCalls(q, "argMaxArray")(a => argArr(a(0), a(1), maxSide = true))
+
     // -State / -Merge two-level aggregation (reference
     // AggregateFunctionState.h / AggregateFunctionMerge.h): algebraic
     // aggregates' state IS their value (merge = re-aggregate); count
@@ -2620,7 +2636,7 @@ object ChSql {
     q = rewriteCalls(q, "roundDown")(a =>
       s"coalesce(array_max(filter(${a(1)}, __rd -> __rd <= ${a(0)})), " +
         s"array_min(${a(1)}))")
-    q = rewriteCalls(q, "toDate")(a => s"to_date(${a(0)})")
+    q = rewriteCalls(q, "toDate")(a => s"ch_to_date(${a(0)})")
     q = rewriteCalls(q, "toStartOfDay")(a => s"date_trunc('day', ${a(0)})")
     q = rewriteCalls(q, "toStartOfHour")(a => s"date_trunc('hour', ${a(0)})")
     q = rewriteCalls(q, "toStartOfMonth")(a => s"date_trunc('month', ${a(0)})")
@@ -3456,7 +3472,7 @@ object ChSql {
       s"CAST(get_json_object(${a(0)}, ${jsonPath(a)}) AS BIGINT)")
     q = rewriteCalls(q, "visitParamHas")(a =>
       s"(get_json_object(${a(0)}, ${jsonPath(a)}) IS NOT NULL)")
-    q = rewriteCalls(q, "toDate")(a => s"CAST(${a(0)} AS DATE)")
+    q = rewriteCalls(q, "toDate")(a => s"ch_to_date(${a(0)})")
     q = rewriteCalls(q, "toYYYYMMDDhhmmss")(a =>
       s"CAST(date_format(${a(0)}, 'yyyyMMddHHmmss') AS BIGINT)")
     // timeSlots(start, duration[, size]): every size-second window the

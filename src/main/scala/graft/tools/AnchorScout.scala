@@ -18,6 +18,13 @@ object AnchorScout {
       case r: org.apache.spark.sql.Row =>
         (0 until r.length).map(i => renderNested(r.get(i))).mkString("(", ",", ")")
       case b: Boolean => if (b) "1" else "0"
+      // the reference's TSV trims trailing decimal zeros (0.00 -> 0)
+      case d: java.math.BigDecimal =>
+        val t = d.stripTrailingZeros
+        if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
+      case d: scala.math.BigDecimal =>
+        val t = d.underlying.stripTrailingZeros
+        if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
       case x => x.toString
     }
     def renderNested(v: Any): String = v match {
@@ -60,7 +67,7 @@ object AnchorScout {
         val dir = new java.io.File(base)
         dir.listFiles().map(_.getName).filter(_.endsWith(".sql"))
           .map(_.stripSuffix(".sql"))
-          .filter(_.matches("0[3-9]\\d\\d\\d_.*|[1-9]\\d\\d\\d\\d_.*")).sorted.toSeq
+          .filter(_.matches("0\\d\\d\\d\\d?_.*")).sorted.toSeq
       }
     var pass = 0
     names.foreach { n =>

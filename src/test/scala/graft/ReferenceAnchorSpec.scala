@@ -25,6 +25,13 @@ class ReferenceAnchorSpec extends AnyFunSuite {
     case r: org.apache.spark.sql.Row =>
       (0 until r.length).map(i => renderNested(r.get(i))).mkString("(", ",", ")")
     case b: Boolean => if (b) "1" else "0"
+    // the reference's TSV trims trailing decimal zeros (0.00 -> 0)
+    case d: java.math.BigDecimal =>
+      val t = d.stripTrailingZeros
+      if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
+    case d: scala.math.BigDecimal =>
+      val t = d.underlying.stripTrailingZeros
+      if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
     case x => x.toString
   }
   private def renderNested(v: Any): String = v match {
