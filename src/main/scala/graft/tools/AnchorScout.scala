@@ -67,7 +67,7 @@ object AnchorScout {
         val dir = new java.io.File(base)
         dir.listFiles().map(_.getName).filter(_.endsWith(".sql"))
           .map(_.stripSuffix(".sql"))
-          .filter(_.matches("0\\d\\d\\d\\d?_.*")).sorted.toSeq
+          .filter(_.matches("00[3-9]\\d\\d_.*")).sorted.toSeq
       }
     var pass = 0
     names.foreach { n =>
