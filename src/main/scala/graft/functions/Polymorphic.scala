@@ -138,13 +138,21 @@ case class ChToDate(child: Expression)
 
   private lazy val utc = java.time.ZoneId.of("UTC")
 
+  /** Reference ToDateTransform32Or64 (FunctionsConversion.h): values in
+    * [0, 65535] are day numbers; larger values are unix-timestamp seconds
+    * (converted to days); negatives saturate to day 0. */
+  private def numToDays(l: Long): Int =
+    if (l < 0L) 0
+    else if (l <= 65535L) l.toInt
+    else math.floorDiv(l, 86400L).toInt
+
   override def nullSafeEval(v: Any): Any = child.dataType match {
     case ByteType | ShortType | IntegerType | LongType =>
-      v.asInstanceOf[Number].intValue
+      numToDays(v.asInstanceOf[Number].longValue)
     case FloatType | DoubleType =>
-      v.asInstanceOf[Number].doubleValue.toInt
+      numToDays(v.asInstanceOf[Number].doubleValue.toLong)
     case _: DecimalType =>
-      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toInt
+      numToDays(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toLong)
     case DateType => v
     case _: TimestampType | TimestampNTZType =>
       DateTimeUtils.microsToDays(v.asInstanceOf[Long], utc)

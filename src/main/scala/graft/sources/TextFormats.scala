@@ -128,17 +128,20 @@ object TextFormats {
     val spark = df.sparkSession
     import spark.implicits._
     val names = df.columns
-    val widthRow = df.agg(
-      max(length(format_string("%s", col(names.head)))).as("w0"),
-      names.tail.map(c => max(length(format_string("%s", col(c)))).as(s"w_$c")): _*)
-      .collect()(0)
+    val nCols = names.length
+    // widths must come from the SAME cell() rendering used in pass 2 —
+    // format_string("%s", ...) diverges on nulls/dates/decimals/binary and
+    // would mis-size the box. One distributed max-reduce, 1 array collect.
+    val cellLens = df.map(r => (0 until nCols).map(i => cell(r.get(i)).length).toArray)
+      .rdd.fold(Array.fill(nCols)(0))((a, b) => a.zip(b).map(t => math.max(t._1, t._2)))
     val widths = names.indices.map { i =>
-      val dataW = if (widthRow.isNullAt(i)) 0 else widthRow.getAs[Number](i).intValue
-      math.max(names(i).length, math.max(dataW, 2))
+      math.max(names(i).length, math.max(cellLens(i), 2))
     }
     val numeric = df.schema.fields.map(f => isNumeric(f.dataType))
-    def pad(s: String, w: Int, right: Boolean) =
-      if (right) " " * (w - s.length) + s else s + " " * (w - s.length)
+    def pad(s: String, w: Int, right: Boolean) = {
+      val fill = " " * math.max(0, w - s.length)
+      if (right) fill + s else s + fill
+    }
     def border(l: String, m: String, r: String) =
       widths.map(w => "─" * (w + 2)).mkString(l, m, r)
     val head = Seq(

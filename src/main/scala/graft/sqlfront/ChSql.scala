@@ -1868,18 +1868,32 @@ object ChSql {
       case it if cteRe.pattern.matcher(it).matches => keep += it
       case scalarRe(expr0, alias) =>
         // earlier aliases may appear inside later expressions
-        val expr = subs.foldLeft(expr0) { case (e, (a, x)) =>
-          e.replaceAll(s"\\b$a\\b", java.util.regex.Matcher.quoteReplacement(x))
-        }
+        val expr = subs.foldLeft(expr0) { case (e, (a, x)) => substIdent(e, a, x) }
         subs += ((alias, s"($expr)"))
       case it => keep += it // unrecognized item: leave for the CTE path
     }
     if (subs.isEmpty) return q0
     val rest0 = q0.substring(selAt)
-    val rest = subs.foldLeft(rest0) { case (r, (a, x)) =>
-      r.replaceAll(s"\\b$a\\b", java.util.regex.Matcher.quoteReplacement(x))
-    }
+    val rest = subs.foldLeft(rest0) { case (r, (a, x)) => substIdent(r, a, x) }
     if (keep.isEmpty) rest else s"WITH ${keep.mkString(", ")} $rest"
+  }
+
+  /** Whole-identifier substitution that skips qualified references (t.x)
+    * and occurrences inside single-quoted string literals. */
+  private def substIdent(text: String, ident: String, repl: String): String = {
+    val re = s"\\b${java.util.regex.Pattern.quote(ident)}\\b".r
+    val sb = new StringBuilder; var last = 0
+    for (m <- re.findAllMatchIn(text)) {
+      val inStr = text.substring(0, m.start).count(_ == '\'') % 2 == 1
+      val qualified = m.start > 0 && text.charAt(m.start - 1) == '.'
+      // an alias-definition site ("AS x") must keep its name
+      val isAliasDef = text.substring(0, m.start)
+        .matches("(?is).*\\bAS\\s*$")
+      sb.append(text.substring(last, m.start))
+      sb.append(if (inStr || qualified || isAliasDef) m.matched else repl)
+      last = m.end
+    }
+    sb.append(text.substring(last)); sb.toString
   }
 
   /** SQL-level ASOF JOIN spelling (reference ParserJoin ASOF strictness;
@@ -1914,7 +1928,9 @@ object ChSql {
     val conjuncts = cond.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
     val ineqRe = "(?s)^(.*?)(<=|>=|<|>)(.*)$".r
     val (ineqs, eqs) = conjuncts.partition(c => ineqRe.pattern.matcher(c).matches)
-    if (ineqs.length != 1) return q0
+    // the reference requires at least one equi-conjunct besides the
+    // inequality (CH: "ASOF join needs at least one equi-condition")
+    if (ineqs.length != 1 || eqs.isEmpty) return q0
     val ineqRe(lhs0, op, rhs0) = ineqs.head
     val (lhs, rhs) = (lhs0.trim, rhs0.trim)
     val refsRight = (e: String) => s"(?i)\\b$alias\\.".r.findFirstIn(e).isDefined
@@ -2007,14 +2023,20 @@ object ChSql {
     q = rewriteAsofJoin(q)
 
     // toDateTime(x, 'tz'): the second argument is ALWAYS a timezone in CH
-    // (never a format) and affects only rendering — the stored instant is
-    // the same, so the value maps to a plain timestamp cast (epoch for
-    // numerics, parse for strings). Single-arg form flows to the alias
-    // rename (to_timestamp) untouched.
+    // (never a format). CH stores an instant but RENDERS in tz; this engine
+    // renders in UTC, so for byte parity we store the tz wall-clock:
+    //  - string input: parse-in-tz then render-in-tz is identity → plain CAST
+    //  - numeric/other input: epoch instant shifted to tz wall-clock via
+    //    from_utc_timestamp. 'UTC' (and fixed UTC spellings) stay a bare cast.
     q = rewriteCalls(q, "toDateTime")(a =>
-      if (a.length == 2 && a(1).trim.matches("'[A-Za-z][\\w/+-]*'"))
-        s"CAST((${a(0)}) AS TIMESTAMP)"
-      else s"toDateTime(${a.mkString(", ")})")
+      if (a.length == 2 && a(1).trim.matches("'[A-Za-z][\\w/+-]*'")) {
+        val tz = a(1).trim
+        val isUtc = tz.equalsIgnoreCase("'UTC'") || tz.equalsIgnoreCase("'Etc/UTC'") ||
+          tz.equalsIgnoreCase("'GMT'") || tz.equalsIgnoreCase("'Zulu'")
+        val isStrLit = a(0).trim.startsWith("'")
+        if (isUtc || isStrLit) s"CAST((${a(0)}) AS TIMESTAMP)"
+        else s"from_utc_timestamp(CAST((${a(0)}) AS TIMESTAMP), $tz)"
+      } else s"toDateTime(${a.mkString(", ")})")
 
     // CH tuple dot-number access: ident.1 -> tupleElement(ident, 1)
     // (float literals never match — the left side must be an identifier;

@@ -2386,4 +2386,45 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getDate(0).toString == "2018-02-02")
     assert(r.getDate(1).toString == "2018-02-01")
   }
+
+  test("r12: toDate integral split — day-num vs unix seconds vs negative") {
+    // reference ToDateTransform32Or64: <=65535 day-num, >65535 seconds, <0 -> 0
+    val r = ch("""SELECT toDate(17000) AS d1, toDate(1700000000) AS d2,
+                 |toDate(-5) AS d3, toDate(65535) AS d4""".stripMargin).collect()(0)
+    assert(r.getDate(0).toString == "2016-07-18")   // day 17000
+    assert(r.getDate(1).toString == "2023-11-14")   // 1700000000 s
+    assert(r.getDate(2).toString == "1970-01-01")   // saturated
+    assert(r.getDate(3).toString == "2149-06-06")   // last day-num
+  }
+
+  test("r12: toDateTime with non-UTC tz renders the zone wall-clock") {
+    val r = ch("""SELECT toDateTime('2000-01-02 03:04:05', 'Asia/Istanbul') AS s,
+                 |toDateTime(0, 'Asia/Istanbul') AS n,
+                 |toDateTime(1, 'UTC') AS u""".stripMargin).collect()(0)
+    // string input: parse-in-tz/render-in-tz is identity
+    assert(r.getTimestamp(0).toString.startsWith("2000-01-02 03:04:05"))
+    // numeric input: instant 0 rendered in Istanbul (+02:00 in 1970)
+    assert(r.getTimestamp(1).toString.startsWith("1970-01-01 02:00:00"))
+    assert(r.getTimestamp(2).toString.startsWith("1970-01-01 00:00:01"))
+  }
+
+  test("r12: scalar WITH alias skips qualified refs and string literals") {
+    val r = ch("""WITH 5 AS x
+                 |SELECT t.x + x AS a, 'x marks' AS s
+                 |FROM (SELECT 10 AS x) AS t""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 15 && r.getString(1) == "x marks")
+  }
+
+  test("r12: ASOF JOIN without an equi-conjunct is left unrewritten") {
+    // inequality-only ON: the reference refuses it; we must not emit
+    // 'WHERE  AND ...' garbage — the rewrite returns the query unchanged
+    // and Spark raises a regular analysis error instead.
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("k", "ts").createOrReplaceTempView("asof_l")
+    Seq((1L, 5L)).toDF("k", "ts2").createOrReplaceTempView("asof_r")
+    val e = intercept[Exception] {
+      ch("SELECT * FROM asof_l ASOF JOIN asof_r ON asof_l.ts >= asof_r.ts2").collect()
+    }
+    assert(!e.getMessage.contains("WHERE  AND"))
+  }
 }

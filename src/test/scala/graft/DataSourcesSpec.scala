@@ -300,6 +300,25 @@ class DataSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("writePretty: widths survive nulls/dates/decimals (cell rendering)") {
+    import spark.implicits._
+    // format_string("%s", date) and cell(date) render differently; widths
+    // must come from cell() or the box misaligns (r11 advice)
+    val d = Seq(
+      (Some(java.sql.Date.valueOf("2024-01-31")), Option("abcdefghij")),
+      (None: Option[java.sql.Date], None: Option[String])
+    ).toDF("d", "s").repartition(2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ppw").toString
+    try {
+      graft.sources.TextFormats.writePretty(d, path)
+      val back = spark.read.text(path).as[String].collect()
+      assert(back.map(_.length).toSet.size == 1, "all lines equal width")
+      assert(back.forall(l => !l.contains("│││")), "no collapsed cells")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("writeSqlInsert: distributed sink emits valid batched statements") {
     import spark.implicits._
     val n = 2000
