@@ -2,9 +2,50 @@ package graft.tools
 
 /** Bulk-scout reference stateless tests through the anchor runner logic;
   * prints PASS/FAIL so passing tests can be curated into
-  * ReferenceAnchorSpec. Usage: runMain graft.tools.AnchorScout <names...>
-  * (or no args: scan a built-in candidate list). */
+  * ReferenceAnchorSpec.
+  *
+  * Usage:
+  *   runMain graft.tools.AnchorScout <names...>      explicit tests
+  *   runMain graft.tools.AnchorScout 03000-03099     bounded prefix range
+  *   runMain graft.tools.AnchorScout                  default 003xx-009xx
+  *
+  * Environment-class tests (memory-limit must-fails, sleeps, filesystem
+  * probes, multi-threaded zeros scans) are REJECTED before execution:
+  * 01586-class tests intentionally OOM and would kill the shared JVM,
+  * so the blocklist is enforced mechanically here, not by convention.
+  */
 object AnchorScout {
+
+  /** Markers whose presence makes a stateless test environment-bound or
+    * actively dangerous to run inside a shared JVM. Kept in sync with the
+    * curation rule: never curate env-class tests. */
+  private val envMarkers: Seq[String] = Seq(
+    "max_memory_usage", "memory_limit_exceeded",
+    "sleep(", "sleepeachrow", "remerge", "filesystem", "zeros_mt",
+    "system.zeros", "max_execution_time")
+
+  /** True when the test is environment-class and must never be curated or
+    * even executed by a sweep (crash/hang class: intentional OOMs, sleeps,
+    * unbounded scans, wall-clock assumptions). Pure so the spec pins it. */
+  def isEnvClass(name: String, sqlText: String): Boolean = {
+    val lower = sqlText.toLowerCase
+    // markers are scanned on executable text only (comments often cite
+    // dangerous queries without running them); tags live IN comments
+    val t = lower.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n")
+    envMarkers.exists(t.contains) ||
+      // unbounded system.numbers scans hang a collect()-based runner —
+      // unless the statement is a declared must-fail (it errors first).
+      // Checked per ';'-statement: LIMIT anywhere in the statement bounds it.
+      lower.replaceAll("(?m);\\s*--\\s*\\{\\s*servererror[^\\n]*", "@@mf@@;")
+        .split(";").map(_.linesIterator.filterNot(_.trim.startsWith("--"))
+          .mkString("\n"))
+        .filterNot(_.trim.endsWith("@@mf@@")).exists(st =>
+          st.contains("system.numbers") && !st.contains("limit")) ||
+      // scheduling-sensitive tag classes
+      "(?m)^--\\s*tags:.*(long|race|deadlock)".r.findFirstIn(lower).isDefined
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Tables.session("local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -36,6 +77,7 @@ object AnchorScout {
       val sqlPath = java.nio.file.Paths.get(s"$base/$name.sql")
       if (!java.nio.file.Files.exists(sqlPath)) return Left("no .sql")
       val sql = new String(java.nio.file.Files.readAllBytes(sqlPath), "UTF-8")
+      if (isEnvClass(name, sql)) return Left("ENV-CLASS (blocklisted)")
       val expected = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$base/$name.reference")), "UTF-8").stripLineEnd
       val tagged = sql.replaceAll(
@@ -56,19 +98,29 @@ object AnchorScout {
             (0 until row.length).map(i => render(row.get(i))).mkString("\t")
           }
       }.mkString("\n")
+      spark.catalog.clearCache()
       if (out == expected) Right(())
       else Left(s"diff: got ${out.take(60).replace("\n", "|")} want ${expected.take(60).replace("\n", "|")}")
     } catch { case e: Exception =>
       Left(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(100)) }
 
-    val names =
-      if (args.nonEmpty) args.toSeq
-      else {
+    val rangeRe = "^(\\d{5})-(\\d{5})$".r
+    val names: Seq[String] = args.toSeq match {
+      case Seq(rangeRe(lo, hi)) =>
+        val dir = new java.io.File(base)
+        dir.listFiles().map(_.getName).filter(_.endsWith(".sql"))
+          .map(_.stripSuffix(".sql"))
+          .filter { n =>
+            val num = n.takeWhile(_.isDigit)
+            num.length == 5 && num >= lo && num <= hi
+          }.sorted.toSeq
+      case s if s.nonEmpty => s
+      case _ =>
         val dir = new java.io.File(base)
         dir.listFiles().map(_.getName).filter(_.endsWith(".sql"))
           .map(_.stripSuffix(".sql"))
           .filter(_.matches("00[3-9]\\d\\d_.*")).sorted.toSeq
-      }
+    }
     var pass = 0
     names.foreach { n =>
       tryTest(n) match {

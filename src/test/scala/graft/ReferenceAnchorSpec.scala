@@ -225,4 +225,25 @@ class ReferenceAnchorSpec extends AnyFunSuite {
     test(s"reference stateless $name matches its .reference output") {
       runTest(name)
     }
+
+  test("AnchorScout blocklist rejects environment-class tests mechanically") {
+    // 01586_columns_pruning is the canonical fork-killer: a must-fail
+    // groupArray-of-1M-strings OOM. The scout must refuse to even run it.
+    val sql = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/01586_columns_pruning.sql")), "UTF-8")
+    assert(graft.tools.AnchorScout.isEnvClass("01586_columns_pruning", sql))
+    // sleeps and unbounded numbers scans are also env-class
+    assert(graft.tools.AnchorScout.isEnvClass("x", "SELECT sleep(3)"))
+    assert(graft.tools.AnchorScout.isEnvClass("x",
+      "SELECT * FROM system.numbers WHERE number = 5"))
+    // plain deterministic tests are not
+    assert(!graft.tools.AnchorScout.isEnvClass("x",
+      "SELECT number FROM system.numbers LIMIT 3"))
+    // every curated anchor stays curate-able under the blocklist
+    for (n <- curated) {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/$n.sql")), "UTF-8")
+      assert(!graft.tools.AnchorScout.isEnvClass(n, s), s"curated $n blocklisted")
+    }
+  }
 }
