@@ -105,7 +105,11 @@ object Bench {
       "q_dedup_minhash_lsh", "q_dedup_embedding_lsh", "q_sim_topk",
       "q_asof_join", "q_window_funnel", "q_quantiles", "q_topk",
       "q_any_join", "q_limit_by", "q_text_stats", "q_window_tumble",
-      "q_rollup", "q_train_split", "q_uniq_approx")
+      "q_rollup", "q_train_split", "q_uniq_approx",
+      // r12 (verdict task 7): the actually-expensive post-LLM-era operators
+      // belong in the tracked dict so regressions are headline-visible
+      "q_dedup_components", "q_semantic_components", "q_groups_frame_sweep",
+      "q_image_dhash")
     val rmap = results.toMap
     val qs = headline.flatMap(n => rmap.get(n).filter(_ >= 0).map(v =>
       "\"" + n + "\":" + fmt(v))).mkString("{", ",", "}")

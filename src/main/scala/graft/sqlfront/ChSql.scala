@@ -1212,6 +1212,23 @@ object ChSql {
   private val tableTtls =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** table name -> declared DEFAULT/MATERIALIZED/ALIAS expressions from a
+    * bare CREATE TABLE (reference ColumnsDescription defaults): unlisted
+    * columns of a subsequent INSERT are computed from these. */
+  private val tableDefaults =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  /** CH table names that are not valid unquoted Spark identifiers (the
+    * stateless tests name tables `03130_test` etc.): chName -> the safe
+    * view name actually registered. Occurrences in later statements are
+    * substituted before parsing. */
+  private val tableAliases =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def safeViewName(name: String): String =
+    if (name.matches("[A-Za-z_]\\w*")) name
+    else tableAliases.getOrElseUpdate(name, "t_" + name.replaceAll("\\W", "_"))
+
   /** Named custom TLD lists for the *Custom URL-subdomain functions
     * (reference: the top_level_domains_lists server configuration that
     * cutToFirstSignificantSubdomainCustom() et al consult). */
@@ -1841,6 +1858,104 @@ object ChSql {
     * query, the textual analog of the reference's AST substitution.
     * Standard `name AS (SELECT …)` CTEs are left in place; mixed lists
     * keep their CTE items. */
+  /** DDL validations the reference performs at CREATE time
+    * (registerStorageMergeTree / CompressionCodecFactory /
+    * MergeTreeIndexFactory checks): Summing engine args must be
+    * identifiers, Delta-family codecs need fixed-width types and legal
+    * params, bloom index params must be sane, AggregateFunction columns
+    * cannot key ORDER/PARTITION/SAMPLE BY. Throws like the reference. */
+  private def validateCreate(colList: String, rest: String): Unit = {
+    def bad(msg: String) =
+      throw new IllegalArgumentException(s"CREATE TABLE: $msg")
+    "(?is)ENGINE\\s*=?\\s*SummingMergeTree\\s*\\(([^)]*)\\)".r
+      .findFirstMatchIn(rest).foreach { m =>
+        val args = splitArgs(m.group(1)).map(_.trim).filter(_.nonEmpty)
+        if (!args.forall(_.matches("\\w+")))
+          bad(s"SummingMergeTree arguments must be column identifiers: ${m.group(1)}")
+      }
+    def intVal(s0: String): Option[Long] = {
+      val s = s0.trim
+      if (s.matches("\\d+")) Some(s.toLong)
+      else if (s.matches("(?i)0x[0-9a-f]+")) Some(java.lang.Long.parseLong(s.drop(2), 16))
+      else None
+    }
+    val aggCols = scala.collection.mutable.Set[String]()
+    for (item <- splitArgs(colList).map(_.trim)) {
+      val head = item.takeWhile(!_.isWhitespace)
+      if (head.equalsIgnoreCase("index")) {
+        "(?is)\\btype\\s+(tokenbf_v1|ngrambf_v1|bloom_filter)\\s*\\(([^)]*)\\)".r
+          .findFirstMatchIn(item).foreach { m =>
+            val args = splitArgs(m.group(2)).map(_.trim).filter(_.nonEmpty)
+            m.group(1).toLowerCase match {
+              case "tokenbf_v1" =>
+                if (args.length != 3) bad("tokenbf_v1 needs 3 arguments")
+                val vs = args.map(a => intVal(a).getOrElse(bad(s"tokenbf_v1: non-integer argument $a")))
+                if (vs(0) < 1 || vs(0) > (1L << 30)) bad("tokenbf_v1: filter size out of range")
+                if (vs(1) < 1 || vs(1) > 64) bad("tokenbf_v1: hash count out of range")
+              case "ngrambf_v1" =>
+                if (args.length != 4) bad("ngrambf_v1 needs 4 arguments")
+                val vs = args.map(a => intVal(a).getOrElse(bad(s"ngrambf_v1: non-integer argument $a")))
+                if (vs(0) < 1 || vs(1) < 1 || vs(1) > (1L << 30) || vs(2) < 1 || vs(2) > 64)
+                  bad("ngrambf_v1: arguments out of range")
+              case _ =>
+                if (args.length > 1) bad("bloom_filter takes at most one argument")
+                args.headOption.foreach { a =>
+                  val p = try a.toDouble catch { case _: Exception => bad(s"bloom_filter: bad rate $a") }
+                  if (p <= 0 || p >= 1) bad("bloom_filter: rate must be in (0, 1)")
+                }
+            }
+          }
+      } else {
+        val name = head.stripPrefix("`").stripSuffix("`")
+        val tail = item.drop(head.length).trim
+        if ("(?is)^AggregateFunction\\b".r.findFirstIn(tail).isDefined)
+          aggCols += name
+        "(?is)\\bCODEC\\s*\\((.*)\\)".r.findFirstMatchIn(item).foreach { m =>
+          val narrow = // Delta family needs a fixed width of at most 8 bytes
+            "(?is)^(`[^`]+`|\\w+)\\s+(U?Int(8|16|32|64)|Float(32|64)|Date(32)?|DateTime(64)?\\b[^ ]*|Bool|Decimal(32|64)?\\s*\\((\\s*\\d{1,2}\\s*,)?[^)]*\\)|Enum8|Enum16)"
+              .r.findFirstMatchIn(item).isDefined &&
+              !"(?is)Decimal\\s*\\(\\s*(19|[2-9]\\d)".r.findFirstIn(item).isDefined
+          for (atom <- splitArgs(m.group(1)).map(_.trim)) {
+            val cm = "(?s)^(\\w+)(?:\\((.*)\\))?$".r.findFirstMatchIn(atom)
+            cm.foreach { c =>
+              val cname = c.group(1).toLowerCase
+              val params = Option(c.group(2)).map(p => splitArgs(p).map(_.trim)).getOrElse(Seq.empty)
+              cname match {
+                case "delta" =>
+                  if (!narrow) bad("Delta codec requires a fixed-width type of at most 8 bytes")
+                  if (params.nonEmpty && !params.head.matches("[1248]"))
+                    bad("Delta codec parameter must be 1, 2, 4 or 8")
+                case "doubledelta" | "gorilla" | "fpc" =>
+                  if (!narrow) bad(s"$cname codec requires a fixed-width type of at most 8 bytes")
+                  if (params.nonEmpty && cname != "fpc")
+                    bad(s"$cname codec takes no parameters")
+                case _ => ()
+              }
+            }
+          }
+        }
+      }
+    }
+    if (aggCols.nonEmpty) {
+      val keyRegion = "(?is)\\b(?:ORDER|PARTITION|SAMPLE)\\s+BY\\b".r
+        .findFirstMatchIn(rest).map(m => rest.substring(m.start)).getOrElse("")
+      for (c <- aggCols)
+        if (s"(?i)\\b${java.util.regex.Pattern.quote(c)}\\b".r.findFirstIn(keyRegion).isDefined)
+          bad(s"AggregateFunction column $c cannot be used in a key")
+    }
+  }
+
+  /** Positional make_interval(...) argument list for one (unit, n) pair. */
+  private def unitInterval(unit: String, n: String): String = {
+    val zeros = Seq("0", "0", "0", "0", "0", "0", "0")
+    val idx = Map("year" -> 0, "month" -> 1, "week" -> 2, "day" -> 3,
+      "hour" -> 4, "minute" -> 5, "second" -> 6)
+    unit.toLowerCase match {
+      case "quarter" => zeros.updated(1, s"3 * ($n)").mkString(", ")
+      case u => zeros.updated(idx(u), s"($n)").mkString(", ")
+    }
+  }
+
   private def rewriteScalarWith(q0: String): String = {
     if (!"(?is)^\\s*WITH\\b".r.findFirstIn(q0).isDefined) return q0
     val start = "(?is)^\\s*WITH\\b".r.findFirstMatchIn(q0).get.end
@@ -2072,7 +2187,8 @@ object ChSql {
     // CH's two-argument CAST(x, 'Type') spelling (FunctionsConversion.h
     // CastOverloadResolver) — routed through accurateCast's type map;
     // the standard CAST(x AS T) single-argument form passes through
-    for (cname <- Seq("CAST", "cast"))
+    // _CAST is the analyzer's internal spelling of the same function
+    for (cname <- Seq("CAST", "cast", "_CAST", "_cast"))
       q = rewriteCalls(q, cname)(a =>
         if (a.length == 2 && a(1).trim.startsWith("'")) {
           val tpe = a(1).trim.stripPrefix("'").stripSuffix("'").trim
@@ -2083,6 +2199,28 @@ object ChSql {
           if (tpe.matches("[A-Za-z]\\w*")) s"to$tpe(${a(0)})"
           else s"accurateCast(${a(0)}, ${a(1)})"
         } else s"CAST(${a.mkString(", ")})")
+
+    // emptyArray<T>() constructors (reference src/Functions/emptyArray*.cpp)
+    if (q.contains("emptyArray")) {
+      val sparkT = Map(
+        "UInt8" -> "INT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
+        "UInt64" -> "DECIMAL(20,0)", "Int8" -> "TINYINT", "Int16" -> "SMALLINT",
+        "Int32" -> "INT", "Int64" -> "BIGINT", "Float32" -> "FLOAT",
+        "Float64" -> "DOUBLE", "String" -> "STRING", "Date" -> "DATE",
+        "DateTime" -> "TIMESTAMP")
+      q = "\\bemptyArray(\\w+)\\s*\\(\\s*\\)".r.replaceAllIn(q, mm =>
+        sparkT.get(mm.group(1))
+          .map(t => s"CAST(ARRAY() AS ARRAY<$t>)")
+          .getOrElse(mm.matched))
+    }
+
+    // CH 3-arg date_add/date_sub(unit, n, date) (reference
+    // FunctionDateOrDateTimeAddInterval); Spark's 2-arg form untouched
+    for ((nm, sign) <- Seq("date_add" -> "+", "date_sub" -> "-"))
+      q = rewriteCalls(q, nm)(a =>
+        if (a.length == 3 && a(0).trim.matches("(?i)(year|quarter|month|week|day|hour|minute|second)"))
+          s"((${a(2)}) $sign make_interval(${unitInterval(a(0).trim, a(1))}))"
+        else s"$nm(${a.mkString(", ")})")
 
     // SAMPLE k clause (reference MergeTreeDataSelectExecutor sampling):
     // fraction -> Bernoulli percent, integer -> row bound. The
@@ -4967,7 +5105,13 @@ object ChSql {
     * Also provides the reference's `system.numbers` / `system.one`
     * virtual tables (src/TableFunctions + system tables used throughout
     * the reference's stateless tests). */
-  def sql(spark: SparkSession, dir: String, chQuery: String): DataFrame = {
+  def sql(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
+    // session tables with names Spark can't parse unquoted (03130_test)
+    // were registered under a safe alias — substitute before anything
+    // else sees the text
+    val chQuery = tableAliases.foldLeft(chQuery0) { case (q, (ch, alias)) =>
+      q.replaceAll("(?<![\\w`])" + java.util.regex.Pattern.quote(ch) + "\\b", alias)
+    }
     Tables.registerAll(spark, dir)
     spark.range(0, 100000000L).toDF("number").createOrReplaceTempView("system_numbers")
     spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
@@ -4997,8 +5141,12 @@ object ChSql {
     val createRe =
       "(?is)^\\s*CREATE\\s+(TABLE|VIEW|MATERIALIZED\\s+VIEW)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)(.*?)\\bAS\\b\\s+(SELECT.*)$".r
     val dropRe = "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
-    val insertSelRe = "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s+(SELECT.*)$".r
-    val insertValRe = "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s+VALUES\\s*(.*)$".r
+    // optional (col, ...) target list (reference ParserInsertQuery.cpp):
+    // unlisted columns fill from declared DEFAULT/MATERIALIZED exprs
+    val insertSelRe =
+      "(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(\\w+)\\s*(?:\\(([\\w`,\\s]*)\\)\\s*)?((?:SELECT|WITH)\\b.*)$".r
+    val insertValRe =
+      "(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(\\w+)\\s*(?:\\(([\\w`,\\s]*)\\)\\s*)?VALUES\\s*(.*)$".r
     // lightweight mutations on session tables (reference
     // MutationsInterpreter.cpp; parquet-backed tables use ops.Mutations)
     val alterDelRe = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DELETE\\s+WHERE\\s+(.*?);?\\s*$".r
@@ -5087,6 +5235,72 @@ object ChSql {
         case other => other.simpleString
       }
     }
+    // bare CREATE TABLE name (col Type ...) ENGINE ... — no AS SELECT
+    // (reference ParserCreateQuery.cpp): an empty session view with the
+    // declared schema; ENGINE/ORDER BY/PARTITION BY are storage hints,
+    // DEFAULT/MATERIALIZED/ALIAS exprs are recorded for insert-time fills.
+    val bareCreateHead =
+      "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*\\(".r
+    def parseBareCreate(q: String): Option[DataFrame] = {
+      import org.apache.spark.sql.types._
+      val m = bareCreateHead.findFirstMatchIn(q).getOrElse(return None)
+      var i = m.end; var depth = 1; var inStr = false
+      while (i < q.length && depth > 0) {
+        val c = q.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        i += 1
+      }
+      if (depth != 0) return None
+      val rest = q.substring(i)
+      if ("(?is)^\\s*AS\\b".r.findFirstIn(rest).isDefined) return None
+      val name = safeViewName(m.group(1).stripPrefix("default."))
+      val cols =
+        try ChTypes.parseColumns(q.substring(m.end, i - 1))
+        catch { case _: IllegalArgumentException => return None }
+      if (cols.isEmpty) return None
+      val fields = cols.map { c =>
+        val dt = c.dataType match {
+          case NullType => // typeless `col DEFAULT expr`: infer from expr
+            try spark.sql(s"SELECT ${rewrite(c.defaultExpr.get)} AS x")
+              .schema.head.dataType
+            catch { case _: Exception => StringType }
+          case other => other
+        }
+        StructField(c.name, dt)
+      }
+      validateCreate(q.substring(m.end, i - 1), rest)
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), StructType(fields))
+      // DEFAULT/MATERIALIZED/ALIAS exprs must resolve against the schema
+      // at CREATE time (reference validates them then, e.g. 01024)
+      for (c <- cols; e <- c.defaultExpr)
+        empty.select(org.apache.spark.sql.functions.expr(rewrite(e)))
+      tableDefaults.put(name,
+        cols.collect { case c if c.defaultExpr.isDefined => c.name -> c.defaultExpr.get })
+      "(?is)\\bTTL\\s+(.+?)(?:\\s+(?:SETTINGS|ORDER\\s+BY|PARTITION\\s+BY|PRIMARY\\s+KEY)\\b.*)?$"
+        .r.findFirstMatchIn(rest).foreach(mm => tableTtls.put(name, mm.group(1).trim))
+      empty.createOrReplaceTempView(name)
+      Some(empty)
+    }
+    // Cast listed columns to the table's declared types and fill unlisted
+    // ones from DEFAULT exprs (NULL when none), in declared order.
+    def fitToSchema(existing: DataFrame, name: String, listed: Seq[String],
+                    incoming: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit}
+      val defaults = tableDefaults.getOrElse(name, Seq.empty).toMap
+      val fields = existing.schema.fields
+      fields.foldLeft(incoming) { (d, f) =>
+        if (listed.contains(f.name))
+          d.withColumn(f.name, fcol(s"`${f.name}`").cast(f.dataType))
+        else defaults.get(f.name) match {
+          case Some(e) => d.withColumn(f.name, fexpr(rewrite(e)).cast(f.dataType))
+          case None => d.withColumn(f.name, flit(null).cast(f.dataType))
+        }
+      }.select(fields.map(f => fcol(s"`${f.name}`")).toIndexedSeq: _*)
+    }
     lazy val ddl: Option[DataFrame] = chQuery match {
       case showTablesRe(pat) =>
         import spark.implicits._
@@ -5135,21 +5349,30 @@ object ChSql {
           .foreach(m => tableTtls.put(name, m.group(1).trim))
         out.createOrReplaceTempView(name)
         Some(out)
+      case q if parseBareCreate(q).isDefined =>
+        parseBareCreate(q)
       case dropRe(name) =>
         spark.catalog.dropTempView(name)
-        tableTtls.remove(name)
+        tableTtls.remove(name); tableDefaults.remove(name)
         Some(spark.range(0).toDF("dropped"))
-      case insertSelRe(name, inner) =>
+      case insertSelRe(name, colsOpt, inner) =>
         val existing = spark.table(name)
+        val src = sql(spark, dir, inner)
+        val listed = Option(colsOpt).map(_.trim).filter(_.nonEmpty)
+          .map(splitArgs(_).map(_.trim.stripPrefix("`").stripSuffix("`")))
+          .getOrElse(existing.columns.take(src.columns.length).toSeq)
         val appended = existing.unionByName(
-          sql(spark, dir, inner).toDF(existing.columns: _*))
+          fitToSchema(existing, name, listed, src.toDF(listed: _*)))
         appended.createOrReplaceTempView(name)
         Some(appended)
-      case insertValRe(name, values) =>
+      case insertValRe(name, colsOpt, values) =>
         val existing = spark.table(name)
-        val cols = existing.columns.mkString(", ")
-        val appended = existing.unionByName(
-          spark.sql(s"SELECT * FROM (VALUES ${rewrite(values)}) AS __v($cols)"))
+        val listed = Option(colsOpt).map(_.trim).filter(_.nonEmpty)
+          .map(splitArgs(_).map(_.trim.stripPrefix("`").stripSuffix("`")))
+          .getOrElse(existing.columns.toSeq)
+        val vdf = spark.sql(s"SELECT * FROM (VALUES ${rewrite(values)}) " +
+          s"AS __v(${listed.map(c => s"`$c`").mkString(", ")})")
+        val appended = existing.unionByName(fitToSchema(existing, name, listed, vdf))
         appended.createOrReplaceTempView(name)
         Some(appended)
       case alterAddColRe(name, colName, declaredType, dflt) =>

@@ -1,0 +1,150 @@
+package graft.sqlfront
+
+import org.apache.spark.sql.types._
+
+/** ClickHouse declared-type names -> Spark types, for the bare
+  * `CREATE TABLE t (col Type, ...) ENGINE = ...` DDL surface (reference
+  * src/DataTypes/DataTypeFactory.cpp; used throughout the stateless
+  * tests). Unsigned widths widen to the next signed Spark type that
+  * holds them (UInt64 -> DECIMAL(20,0), the engine-wide convention). */
+object ChTypes {
+  import ChSql.splitArgs
+
+  private def inner(t: String): String =
+    t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
+
+  private val simple: Map[String, DataType] = Map(
+    "int8" -> ByteType, "int16" -> ShortType, "int32" -> IntegerType,
+    "int64" -> LongType, "uint8" -> IntegerType, "uint16" -> IntegerType,
+    "uint32" -> LongType, "uint64" -> DecimalType(20, 0),
+    "int128" -> DecimalType(38, 0), "int256" -> DecimalType(38, 0),
+    "uint128" -> DecimalType(38, 0), "uint256" -> DecimalType(38, 0),
+    "float32" -> FloatType, "float64" -> DoubleType,
+    "bfloat16" -> FloatType,
+    "string" -> StringType, "uuid" -> StringType,
+    "ipv4" -> StringType, "ipv6" -> StringType,
+    "date" -> DateType, "date32" -> DateType,
+    "datetime" -> TimestampType,
+    "bool" -> BooleanType, "boolean" -> BooleanType,
+    "json" -> StringType, "dynamic" -> StringType, "variant" -> StringType,
+    "nothing" -> NullType)
+
+  /** True when `s` parses as a CH type (used to tell `name Type` tuple
+    * elements from positional ones). */
+  def isChType(s: String): Boolean =
+    try { toSpark(s); true } catch { case _: IllegalArgumentException => false }
+
+  def toSpark(t0: String): DataType = {
+    val t = t0.trim
+    val lower = t.toLowerCase
+    val head = lower.takeWhile(c => c.isLetterOrDigit || c == '_')
+    simple.get(lower).getOrElse {
+      head match {
+        case "nullable" | "lowcardinality" | "simpleaggregatefunction"
+            if t.contains('(') =>
+          val args = splitArgs(inner(t))
+          // SimpleAggregateFunction(f, T): the stored type is T
+          toSpark(args.last)
+        case "array" if t.contains('(') => ArrayType(toSpark(inner(t)))
+        case "map" if t.contains('(') =>
+          val args = splitArgs(inner(t))
+          MapType(toSpark(args(0)), toSpark(args(1)))
+        case "tuple" if t.contains('(') =>
+          val parts = splitArgs(inner(t)).map(_.trim)
+          StructType(parts.zipWithIndex.map { case (p, i) =>
+            "^(`[^`]+`|[A-Za-z_]\\w*)\\s+(.+)$".r.findFirstMatchIn(p) match {
+              case Some(m) if isChType(m.group(2)) =>
+                StructField(m.group(1).stripPrefix("`").stripSuffix("`"),
+                  toSpark(m.group(2)))
+              case _ => StructField(s"_${i + 1}", toSpark(p))
+            }
+          }.toArray)
+        case "fixedstring" => StringType
+        case "datetime" | "datetime32" => TimestampType   // DateTime('tz')
+        case "datetime64" => TimestampType
+        case "decimal" if t.contains('(') =>
+          val args = splitArgs(inner(t)).map(_.trim.toInt)
+          if (args.length == 2) DecimalType(args(0), args(1))
+          else DecimalType(args(0), 0)
+        case "decimal32" => DecimalType(9, inner(t).trim.toInt)
+        case "decimal64" => DecimalType(18, inner(t).trim.toInt)
+        case "decimal128" => DecimalType(38, inner(t).trim.toInt)
+        case "decimal256" => DecimalType(38, inner(t).trim.toInt)
+        case "enum" | "enum8" | "enum16" => StringType
+        case "aggregatefunction" => BinaryType
+        case "interval" => LongType
+        case _ =>
+          throw new IllegalArgumentException(s"unknown ClickHouse type: $t0")
+      }
+    }
+  }
+
+  /** One parsed column of a bare CREATE TABLE: name, Spark type, and the
+    * DEFAULT/MATERIALIZED/ALIAS expression if declared (computed at
+    * insert time for unlisted columns). */
+  final case class ColumnDef(name: String, dataType: DataType,
+                             defaultExpr: Option[String])
+
+  private val modifierKeywords = Set("default", "materialized", "alias",
+    "ephemeral", "comment", "codec", "ttl", "primary", "settings")
+
+  /** Parse a CREATE TABLE column list (INDEX/PROJECTION/CONSTRAINT/
+    * PRIMARY KEY entries are storage hints, skipped). */
+  def parseColumns(colList: String): Seq[ColumnDef] =
+    splitArgs(colList).map(_.trim).filter(_.nonEmpty).flatMap { item =>
+      val head = item.takeWhile(!_.isWhitespace)
+      if (Set("index", "projection", "constraint", "primary")
+          .contains(head.toLowerCase)) None
+      else {
+        val name = head.stripPrefix("`").stripSuffix("`")
+        val rest = item.drop(head.length).trim
+        // the type runs to the first top-level modifier keyword
+        var i = 0; var depth = 0; var inStr = false; var typeEnd = rest.length
+        var defaultStart = -1; var defaultKind = ""
+        while (i < rest.length && typeEnd == rest.length) {
+          val c = rest.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (depth == 0 && (i == 0 || !rest.charAt(i - 1).isLetterOrDigit)) {
+            val word = rest.drop(i).takeWhile(ch => ch.isLetter).toLowerCase
+            if (modifierKeywords.contains(word) && word.nonEmpty) {
+              typeEnd = i
+              if (Set("default", "materialized", "alias").contains(word)) {
+                defaultKind = word
+                defaultStart = i + word.length
+              }
+            }
+          }
+          i += 1
+        }
+        val typeStr = rest.take(typeEnd).trim
+        // DEFAULT expr runs to the next top-level modifier or end
+        val dflt =
+          if (defaultStart < 0) None
+          else {
+            val tail = rest.drop(defaultStart).trim
+            var j = 0; var d2 = 0; var s2 = false; var end2 = tail.length
+            while (j < tail.length && end2 == tail.length) {
+              val c = tail.charAt(j)
+              if (s2) { if (c == '\'') s2 = false }
+              else if (c == '\'') s2 = true
+              else if (c == '(') d2 += 1
+              else if (c == ')') d2 -= 1
+              else if (d2 == 0 && (j == 0 || !tail.charAt(j - 1).isLetterOrDigit)) {
+                val w = tail.drop(j).takeWhile(_.isLetter).toLowerCase
+                if (modifierKeywords.contains(w) && w.nonEmpty && j > 0) end2 = j
+              }
+              j += 1
+            }
+            Some(tail.take(end2).trim).filter(_.nonEmpty)
+          }
+        if (typeStr.isEmpty && dflt.isDefined)
+          // typeless `col DEFAULT expr`: type inferred from the expression
+          Some(ColumnDef(name, NullType, dflt))
+        else
+          Some(ColumnDef(name, toSpark(typeStr), dflt))
+      }
+    }
+}

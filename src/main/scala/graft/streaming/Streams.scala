@@ -134,14 +134,24 @@ object Streams {
     events.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        transform(batch)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("__batch_id").parquet(path)
-        ()
+        mvWriteBatch(batch, transform, path, batchId)
       }
       .trigger(Trigger.AvailableNow())
+
+  /** One MV micro-batch write: partials land in the batch's OWN partition
+    * under dynamic partition overwrite, so a batch redelivered after a
+    * crash (sink write done, checkpoint commit lost) replaces its first
+    * attempt instead of duplicating it — the idempotence that makes the
+    * chain exactly-once across restarts (reference
+    * DeduplicationTokenTransforms insert-dedup guarantee). */
+  def mvWriteBatch(batch: DataFrame, transform: DataFrame => DataFrame,
+                   path: String, batchId: Long): Unit = {
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    transform(batch)
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("__batch_id").parquet(path)
+  }
 
   /** Merge the MV's per-batch partial aggregates: keys = all columns but
     * the last measure column, which is summed. */

@@ -42,6 +42,11 @@ object AnchorScout {
           .mkString("\n"))
         .filterNot(_.trim.endsWith("@@mf@@")).exists(st =>
           st.contains("system.numbers") && !st.contains("limit")) ||
+      // generative calls with >=8-digit size literals: CH rejects them with
+      // TOO_LARGE_ARRAY_SIZE, an engine without that cap OOMs instead
+      (Seq("arraywithconstant", "repeat(", "randomstring", "randomprintable",
+        "randomfixedstring", "arrayresize", "range(")
+        .exists(t.contains) && "(?<![.\\d])\\d{8,}\\b".r.findFirstIn(t).isDefined) ||
       // scheduling-sensitive tag classes
       "(?m)^--\\s*tags:.*(long|race|deadlock)".r.findFirstIn(lower).isDefined
   }
@@ -91,7 +96,7 @@ object AnchorScout {
         val st = st0.stripSuffix("@@MUST_FAIL@@").trim
         if (mustFail) {
           try { graft.sqlfront.ChSql.sql(spark, sf, st).collect(); return Left(s"expected failure did not fail: ${st.take(60)}") }
-          catch { case _: Exception => () }
+          catch { case _: Throwable => () } // incl. OOM from absent size caps
           Seq.empty[String]
         } else
           graft.sqlfront.ChSql.sql(spark, sf, st).collect().toSeq.map { row =>
@@ -101,8 +106,10 @@ object AnchorScout {
       spark.catalog.clearCache()
       if (out == expected) Right(())
       else Left(s"diff: got ${out.take(60).replace("\n", "|")} want ${expected.take(60).replace("\n", "|")}")
-    } catch { case e: Exception =>
-      Left(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(100)) }
+    } catch { case e: Throwable => // a sweep must survive stray OOMs
+      Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.map(_.trim).filter(_.nonEmpty)
+        .take(2).mkString(" | ").take(160)) }
 
     val rangeRe = "^(\\d{5})-(\\d{5})$".r
     val names: Seq[String] = args.toSeq match {

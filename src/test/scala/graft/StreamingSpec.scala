@@ -154,6 +154,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(mv == truth)
   }
 
+  test("checkpointed MV survives a mid-stream crash: restart is exactly-once") {
+    import spark.implicits._
+    // Crash is injected AFTER the sink write of batch 1 but BEFORE its
+    // checkpoint commit — the classic double-write window. On restart from
+    // the checkpoint the batch is redelivered with the same id and must
+    // REPLACE its first attempt (dynamic partition overwrite), while
+    // already-committed batch 0 must not rerun. Reference guarantee:
+    // ObjectStorageQueue / insert-dedup survive process death.
+    val root = java.nio.file.Files.createTempDirectory("mv_restart").toString
+    val (in, mv, ckpt) = (s"$root/in", s"$root/mv", s"$root/ckpt")
+    val marker = new java.io.File(s"$root/crashed_once")
+    Seq("a", "b").toDF("k").coalesce(1).write.parquet(s"$in/f1.parquet")
+    Seq("b", "c").toDF("k").coalesce(1).write.parquet(s"$in/f2.parquet")
+    val schema = spark.read.parquet(s"$in/f1.parquet").schema
+    def writer() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.mvWriteBatch(b,
+          (d: org.apache.spark.sql.DataFrame) =>
+            d.groupBy(col("k")).agg(count(lit(1)).as("n")),
+          mv, id)
+        if (id >= 1 && !marker.exists()) {
+          marker.createNewFile()
+          throw new RuntimeException("injected crash after sink write")
+        }
+      }
+    val q1 = writer().start()
+    val died = intercept[Exception] { q1.awaitTermination() }
+    assert(died.getMessage == null || !died.getMessage.contains("impossible"))
+    assert(marker.exists(), "the injected crash fired")
+    // wave 2 lands while the pipeline is down
+    Seq("c", "d").toDF("k").coalesce(1).write.parquet(s"$in/f3.parquet")
+    val q2 = writer().start()
+    q2.awaitTermination()
+    val got = Streams.readMv(spark, mv)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row counted exactly once: the redelivered batch didn't double,
+    // the committed batch didn't rerun, the post-crash wave isn't missing
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("incremental LSH dedup finds cross-batch near-dups exactly once") {
     import spark.implicits._
     val statePath = "/tmp/graft_inc_lsh_" + System.nanoTime()
