@@ -95,8 +95,13 @@ object AnchorScout {
         val mustFail = st0.endsWith("@@MUST_FAIL@@")
         val st = st0.stripSuffix("@@MUST_FAIL@@").trim
         if (mustFail) {
-          try { graft.sqlfront.ChSql.sql(spark, sf, st).collect(); return Left(s"expected failure did not fail: ${st.take(60)}") }
-          catch { case _: Throwable => () } // incl. OOM from absent size caps
+          // NOTE: no `return` inside the try — catching Throwable would
+          // swallow Scala's NonLocalReturnControl and fake a pass
+          val failed =
+            try { graft.sqlfront.ChSql.sql(spark, sf, st).collect(); false }
+            catch { case _: Throwable => true } // incl. OOM from absent size caps
+          if (!failed)
+            return Left(s"expected failure did not fail: ${st.take(60)}")
           Seq.empty[String]
         } else
           graft.sqlfront.ChSql.sql(spark, sf, st).collect().toSeq.map { row =>
