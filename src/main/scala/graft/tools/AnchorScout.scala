@@ -1,8 +1,11 @@
 package graft.tools
 
+import org.apache.spark.sql.SparkSession
+
 /** Bulk-scout reference stateless tests through the anchor runner logic;
   * prints PASS/FAIL so passing tests can be curated into
-  * ReferenceAnchorSpec.
+  * ReferenceAnchorSpec (which calls the SAME `runTest` — one runner, two
+  * entry points).
   *
   * Usage:
   *   runMain graft.tools.AnchorScout <names...>      explicit tests
@@ -15,6 +18,8 @@ package graft.tools
   * so the blocklist is enforced mechanically here, not by convention.
   */
 object AnchorScout {
+
+  val base = "/root/reference/tests/queries/0_stateless"
 
   /** Markers whose presence makes a stateless test environment-bound or
     * actively dangerous to run inside a shared JVM. Kept in sync with the
@@ -51,70 +56,92 @@ object AnchorScout {
       "(?m)^--\\s*tags:.*(long|race|deadlock)".r.findFirstIn(lower).isDefined
   }
 
+  // ------------------------------------------------------- TSV renderer
+
+  def render(v: Any): String = v match {
+    case null => "\\N"
+    case s: String => s
+    case a: scala.collection.Seq[_] => a.map(renderNested).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => renderNested(r.get(i))).mkString("(", ",", ")")
+    case b: Boolean => if (b) "1" else "0"
+    // the reference's TSV trims trailing decimal zeros (0.00 -> 0)
+    case d: java.math.BigDecimal =>
+      val t = d.stripTrailingZeros
+      if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
+    case d: scala.math.BigDecimal =>
+      val t = d.underlying.stripTrailingZeros
+      if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
+    case x => x.toString
+  }
+  private def renderNested(v: Any): String = v match {
+    case s: String => "'" + s + "'"
+    case other => render(other)
+  }
+
+  // ------------------------------------------------------ shared runner
+
+  /** Run one reference stateless test by name; Right(()) iff the rendered
+    * TSV matches the in-tree .reference bytes and every `{ serverError }`
+    * statement raised. The single runner both the sweep main and
+    * ReferenceAnchorSpec use. */
+  def runTest(spark: SparkSession, sf: String, name: String): Either[String, Unit] = try {
+    val sqlPath = java.nio.file.Paths.get(s"$base/$name.sql")
+    if (!java.nio.file.Files.exists(sqlPath)) return Left("no .sql")
+    val sql = new String(java.nio.file.Files.readAllBytes(sqlPath), "UTF-8")
+    if (isEnvClass(name, sql)) return Left("ENV-CLASS (blocklisted)")
+    val expected = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/$name.reference")), "UTF-8").stripLineEnd
+    val tagged = sql.replaceAll(
+      "(?m);\\s*--\\s*\\{\\s*serverError[^\\n]*", " @@MUST_FAIL@@;")
+    val statements = tagged.split(";").map(_.trim)
+      .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
+      .filter(_.nonEmpty)
+      .filterNot(_.toUpperCase.startsWith("SET "))
+    val fmtRe = "(?is)^(.*?)\\bFORMAT\\s+(\\w+)\\s*$".r
+    val out = statements.flatMap { st0 =>
+      val mustFail = st0.endsWith("@@MUST_FAIL@@")
+      val st1 = st0.stripSuffix("@@MUST_FAIL@@").trim
+      // trailing FORMAT clause (clickhouse-test runs TSV by default):
+      // Null suppresses output; TabSeparated/TSV ARE the default render;
+      // anything else changes bytes we can't reproduce -> keep the clause
+      // so the statement fails loudly rather than diffing confusingly.
+      val (st, suppress) = st1 match {
+        case fmtRe(body, fmt) if fmt.equalsIgnoreCase("Null") => (body.trim, true)
+        case fmtRe(body, fmt)
+            if fmt.equalsIgnoreCase("TabSeparated") || fmt.equalsIgnoreCase("TSV") =>
+          (body.trim, false)
+        case _ => (st1, false)
+      }
+      if (mustFail) {
+        // NOTE: no `return` inside the try — catching Throwable would
+        // swallow Scala's NonLocalReturnControl and fake a pass
+        val failed =
+          try { graft.sqlfront.ChSql.sql(spark, sf, st).collect(); false }
+          catch { case _: Throwable => true } // incl. OOM from absent size caps
+        if (!failed)
+          return Left(s"expected failure did not fail: ${st.take(60)}")
+        Seq.empty[String]
+      } else {
+        val rows = graft.sqlfront.ChSql.sql(spark, sf, st).collect().toSeq
+        if (suppress) Seq.empty[String]
+        else rows.map { row =>
+          (0 until row.length).map(i => render(row.get(i))).mkString("\t")
+        }
+      }
+    }.mkString("\n")
+    spark.catalog.clearCache()
+    if (out == expected) Right(())
+    else Left(s"diff: got ${out.take(60).replace("\n", "|")} want ${expected.take(60).replace("\n", "|")}")
+  } catch { case e: Throwable => // a sweep must survive stray OOMs
+    Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+      .linesIterator.map(_.trim).filter(_.nonEmpty)
+      .take(2).mkString(" | ").take(160)) }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Tables.session("local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    val base = "/root/reference/tests/queries/0_stateless"
-
-    def render(v: Any): String = v match {
-      case null => "\\N"
-      case s: String => s
-      case a: scala.collection.Seq[_] => a.map(renderNested).mkString("[", ",", "]")
-      case r: org.apache.spark.sql.Row =>
-        (0 until r.length).map(i => renderNested(r.get(i))).mkString("(", ",", ")")
-      case b: Boolean => if (b) "1" else "0"
-      // the reference's TSV trims trailing decimal zeros (0.00 -> 0)
-      case d: java.math.BigDecimal =>
-        val t = d.stripTrailingZeros
-        if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
-      case d: scala.math.BigDecimal =>
-        val t = d.underlying.stripTrailingZeros
-        if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
-      case x => x.toString
-    }
-    def renderNested(v: Any): String = v match {
-      case s: String => "'" + s + "'"
-      case other => render(other)
-    }
-
-    def tryTest(name: String): Either[String, Unit] = try {
-      val sqlPath = java.nio.file.Paths.get(s"$base/$name.sql")
-      if (!java.nio.file.Files.exists(sqlPath)) return Left("no .sql")
-      val sql = new String(java.nio.file.Files.readAllBytes(sqlPath), "UTF-8")
-      if (isEnvClass(name, sql)) return Left("ENV-CLASS (blocklisted)")
-      val expected = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$base/$name.reference")), "UTF-8").stripLineEnd
-      val tagged = sql.replaceAll(
-        "(?m);\\s*--\\s*\\{\\s*serverError[^\\n]*", " @@MUST_FAIL@@;")
-      val statements = tagged.split(";").map(_.trim)
-        .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
-        .filter(_.nonEmpty)
-        .filterNot(_.toUpperCase.startsWith("SET "))
-      val out = statements.flatMap { st0 =>
-        val mustFail = st0.endsWith("@@MUST_FAIL@@")
-        val st = st0.stripSuffix("@@MUST_FAIL@@").trim
-        if (mustFail) {
-          // NOTE: no `return` inside the try — catching Throwable would
-          // swallow Scala's NonLocalReturnControl and fake a pass
-          val failed =
-            try { graft.sqlfront.ChSql.sql(spark, sf, st).collect(); false }
-            catch { case _: Throwable => true } // incl. OOM from absent size caps
-          if (!failed)
-            return Left(s"expected failure did not fail: ${st.take(60)}")
-          Seq.empty[String]
-        } else
-          graft.sqlfront.ChSql.sql(spark, sf, st).collect().toSeq.map { row =>
-            (0 until row.length).map(i => render(row.get(i))).mkString("\t")
-          }
-      }.mkString("\n")
-      spark.catalog.clearCache()
-      if (out == expected) Right(())
-      else Left(s"diff: got ${out.take(60).replace("\n", "|")} want ${expected.take(60).replace("\n", "|")}")
-    } catch { case e: Throwable => // a sweep must survive stray OOMs
-      Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-        .linesIterator.map(_.trim).filter(_.nonEmpty)
-        .take(2).mkString(" | ").take(160)) }
 
     val rangeRe = "^(\\d{5})-(\\d{5})$".r
     val names: Seq[String] = args.toSeq match {
@@ -135,7 +162,7 @@ object AnchorScout {
     }
     var pass = 0
     names.foreach { n =>
-      tryTest(n) match {
+      runTest(spark, sf, n) match {
         case Right(_) => pass += 1; println(s"PASS $n")
         case Left(why) => println(s"FAIL $n :: $why")
       }

@@ -18,60 +18,15 @@ class ReferenceAnchorSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val base = "/root/reference/tests/queries/0_stateless"
 
-  private def render(v: Any): String = v match {
-    case null => "\\N"
-    case s: String => s
-    case a: scala.collection.Seq[_] => a.map(renderNested).mkString("[", ",", "]")
-    case r: org.apache.spark.sql.Row =>
-      (0 until r.length).map(i => renderNested(r.get(i))).mkString("(", ",", ")")
-    case b: Boolean => if (b) "1" else "0"
-    // the reference's TSV trims trailing decimal zeros (0.00 -> 0)
-    case d: java.math.BigDecimal =>
-      val t = d.stripTrailingZeros
-      if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
-    case d: scala.math.BigDecimal =>
-      val t = d.underlying.stripTrailingZeros
-      if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
-    case x => x.toString
-  }
-  private def renderNested(v: Any): String = v match {
-    case s: String => "'" + s + "'"
-    case other => render(other)
-  }
-
-  private def runTest(name: String): Unit = {
-    val sql = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$base/$name.sql")), "UTF-8")
-    val expected = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$base/$name.reference")), "UTF-8")
-      .stripLineEnd
-    // `; -- { serverError X }` marks the statement ENDING on that line as
-    // must-fail: tag it before splitting so the annotation stays attached
-    val tagged = sql.replaceAll(
-      "(?m);\\s*--\\s*\\{\\s*serverError[^\\n]*", " @@MUST_FAIL@@;")
-    val statements = tagged.split(";").map(_.trim)
-      .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
-      .filter(_.nonEmpty)
-      .filterNot(_.toUpperCase.startsWith("SET "))
-    val out = statements.flatMap { st0 =>
-      val mustFail = st0.endsWith("@@MUST_FAIL@@")
-      val st = st0.stripSuffix("@@MUST_FAIL@@").trim
-      if (mustFail) {
-        intercept[Exception] {
-          graft.sqlfront.ChSql.sql(spark, sf, st).collect()
-        }
-        Seq.empty[String]
-      } else
-        graft.sqlfront.ChSql.sql(spark, sf, st).collect().toSeq.map { row =>
-          (0 until row.length).map(i => render(row.get(i))).mkString("\t")
-        }
-    }.mkString("\n")
-    assert(out == expected,
-      s"\n== $name ==\n-- got --\n$out\n-- expected --\n$expected")
-    // anchor DDL paths persist() materialized views; release them so the
-    // shared test JVM's heap doesn't accumulate cached blocks
-    spark.catalog.clearCache()
-  }
+  /** Delegates to the single shared runner (tools.AnchorScout.runTest):
+    * must-fail semantics, FORMAT handling, TSV rendering and the
+    * cache-release discipline all live there — the sweep and the suite
+    * can never drift apart again. */
+  private def runTest(name: String): Unit =
+    graft.tools.AnchorScout.runTest(spark, sf, name) match {
+      case Right(()) => ()
+      case Left(why) => fail(s"$name :: $why")
+    }
 
   /** The curated anchor list lives in src/test/resources/
     * reference_anchors.txt (one test name per line) — the single
