@@ -81,6 +81,11 @@ object AnchorScout {
 
   // ------------------------------------------------------ shared runner
 
+  /** Deliberate test-level failure raised from inside statement closures —
+    * a plain `return` there compiles to NonLocalReturnControl, which the
+    * outer catch-Throwable would misreport. */
+  private final case class AnchorFail(msg: String) extends RuntimeException(msg)
+
   /** Run one reference stateless test by name; Right(()) iff the rendered
     * TSV matches the in-tree .reference bytes and every `{ serverError }`
     * statement raised. The single runner both the sweep main and
@@ -114,13 +119,14 @@ object AnchorScout {
         case _ => (st1, false)
       }
       if (mustFail) {
-        // NOTE: no `return` inside the try — catching Throwable would
-        // swallow Scala's NonLocalReturnControl and fake a pass
+        // NOTE: AnchorFail is thrown OUTSIDE the inner try — a `return`
+        // here would be NonLocalReturnControl from a closure
         val failed =
           try { graft.sqlfront.ChSql.sql(spark, sf, st).collect(); false }
-          catch { case _: Throwable => true } // incl. OOM from absent size caps
+          catch { case _: AnchorFail => false
+                  case _: Throwable => true } // incl. OOM from absent size caps
         if (!failed)
-          return Left(s"expected failure did not fail: ${st.take(60)}")
+          throw AnchorFail(s"expected failure did not fail: ${st.take(60)}")
         Seq.empty[String]
       } else {
         val rows = graft.sqlfront.ChSql.sql(spark, sf, st).collect().toSeq
@@ -133,10 +139,12 @@ object AnchorScout {
     spark.catalog.clearCache()
     if (out == expected) Right(())
     else Left(s"diff: got ${out.take(60).replace("\n", "|")} want ${expected.take(60).replace("\n", "|")}")
-  } catch { case e: Throwable => // a sweep must survive stray OOMs
-    Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-      .linesIterator.map(_.trim).filter(_.nonEmpty)
-      .take(2).mkString(" | ").take(160)) }
+  } catch {
+    case AnchorFail(m) => Left(m)
+    case e: Throwable => // a sweep must survive stray OOMs
+      Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.map(_.trim).filter(_.nonEmpty)
+        .take(2).mkString(" | ").take(160)) }
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Tables.session("local[8]", 8)
