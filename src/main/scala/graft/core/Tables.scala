@@ -182,6 +182,9 @@ object Tables {
       // optimize_trivial_count_query + MergeTree count() from metadata):
       // bare COUNT/MIN/MAX over a scan never touches row data.
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // CH Map accepts duplicate keys (last write wins on lookup);
+      // Spark's default EXCEPTION policy would reject such literals
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       // long sessions run thousands of queries whose rewritten plans are
       // LARGE strings; the status store's default 1000 retained

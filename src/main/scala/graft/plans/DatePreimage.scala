@@ -82,6 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => DatePreimageRule)
     ext.injectOptimizerRule(_ => ProjectionRouting.Route)
     ext.injectResolutionRule(_ => ChTimestampArith)
+    ext.injectResolutionRule(_ => ChBooleanCoercion)
+    ext.injectResolutionRule(_ => ChFloat32Compare)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -174,7 +174,7 @@ object ChSql {
     "arrayIntersect" -> "array_intersect", "arrayUnion" -> "array_union",
     "hasAll" -> "t", "hasAny" -> "arrays_overlap",
     "arrayFirst" -> "t", "arrayLast" -> "t", "arrayFirstIndex" -> "t",
-    "arrayMin" -> "array_min", "arrayMax" -> "array_max",
+    "arrayMin" -> "t", "arrayMax" -> "t",
     "arrayAvg" -> "t", "arrayProduct" -> "t", "arrayWithConstant" -> "t",
     "arrayEnumerate" -> "t", "arrayReverseSort" -> "t", "countEqual" -> "t",
     "arrayElementOrNull" -> "try_element_at",
@@ -1107,6 +1107,164 @@ object ChSql {
   /** CH array literals `[a, b]` -> `array(a, b)`, leaving subscripts
     * (`expr[1]`) untouched: a bracket is a literal iff the previous
     * non-space char is not an identifier char, ')' or ']'. */
+  /** CH map literals `{'k': v, ...}` -> `map('k', v, ...)` (reference
+    * src/Parsers/ExpressionElementParsers.cpp ParserMapOfLiterals).
+    * Quote-aware; nested maps recurse. `{name:Type}` query-parameter
+    * placeholders (identifier key, type-name value, single entry, no
+    * quotes) are left alone. */
+  private[sqlfront] def rewriteMapLiterals(sql: String): String = {
+    if (!sql.contains('{')) return sql
+    val sb = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c == '{') {
+        var j = i + 1; var depth = 1; var s2 = false
+        while (j < sql.length && depth > 0) {
+          val ch = sql.charAt(j)
+          if (s2) { if (ch == '\'') s2 = false }
+          else if (ch == '\'') s2 = true
+          else if (ch == '{') depth += 1
+          else if (ch == '}') depth -= 1
+          j += 1
+        }
+        if (depth != 0) { sb.append(c); i += 1 }
+        else {
+          val body = sql.substring(i + 1, j - 1).trim
+          if (body.isEmpty) { sb.append("map()"); i = j }
+          else if (body.matches("[A-Za-z_]\\w*\\s*:\\s*[A-Za-z_][\\w()]*")) {
+            // query-parameter placeholder {name:Type} — not a map literal
+            sb.append(sql.substring(i, j)); i = j
+          } else {
+            // split top-level commas, then each entry at its first
+            // top-level colon
+            val entries = splitArgs(body)
+            val kvs = entries.map { e =>
+              var k = 0; var d = 0; var s3 = false; var colon = -1
+              while (k < e.length && colon < 0) {
+                val ch = e.charAt(k)
+                if (s3) { if (ch == '\'') s3 = false }
+                else ch match {
+                  case '\'' => s3 = true
+                  case '(' | '[' | '{' => d += 1
+                  case ')' | ']' | '}' => d -= 1
+                  case ':' if d == 0 => colon = k
+                  case _ =>
+                }
+                k += 1
+              }
+              if (colon < 0) null
+              else (e.substring(0, colon).trim, e.substring(colon + 1).trim)
+            }
+            if (kvs.contains(null)) { sb.append(c); i += 1 }
+            else {
+              sb.append("map(").append(kvs.map { case (k, v) =>
+                s"${rewriteMapLiterals(k)}, ${rewriteMapLiterals(v)}"
+              }.mkString(", ")).append(")")
+              i = j
+            }
+          }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** C-style ternary `cond ? a : b` -> `if(cond, a, b)` (reference
+    * ParserTernaryOperatorExpression). Operand extents are found by
+    * walking to the nearest top-level comma / unbalanced paren /
+    * clause keyword — the shapes the stateless tests use. `::` casts
+    * and quoted strings are skipped. */
+  private[sqlfront] def rewriteTernary(sql: String): String = {
+    if (!sql.contains('?')) return sql
+    // locate the first '?' outside strings
+    var qi = -1; var i = 0; var inStr = false
+    while (i < sql.length && qi < 0) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '?') qi = i
+      i += 1
+    }
+    if (qi < 0) return sql
+    // matching ':' forward at same depth (nested ternaries stack)
+    var j = qi + 1; var depth = 0; var s2 = false; var pend = 0; var ci = -1
+    while (j < sql.length && ci < 0) {
+      val c = sql.charAt(j)
+      if (s2) { if (c == '\'') s2 = false }
+      else c match {
+        case '\'' => s2 = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case '?' if depth == 0 => pend += 1
+        case ':' if depth == 0 && j + 1 < sql.length && sql.charAt(j + 1) == ':' =>
+        case ':' if depth == 0 && sql.charAt(j - 1) == ':' =>
+        case ':' if depth == 0 => if (pend == 0) ci = j else pend -= 1
+        case _ =>
+      }
+      j += 1
+    }
+    if (ci < 0) return sql
+    val kw = Set("select", "where", "having", "when", "then", "else", "on",
+      "by", "as", "and", "or", "not", "union", "all", "settings", "in")
+    // cond: walk back from '?'
+    var k = qi - 1; var d = 0; var s3 = false; var condStart = 0
+    while (k >= 0 && condStart == 0) {
+      val c = sql.charAt(k)
+      if (s3) { if (c == '\'') s3 = false }
+      else c match {
+        case '\'' => s3 = true
+        case ')' | ']' => d += 1
+        case '(' | '[' => if (d == 0) condStart = k + 1 else d -= 1
+        case ',' if d == 0 => condStart = k + 1
+        case _ =>
+      }
+      if (condStart == 0 && d == 0 && (c.isLetter || c == '_')) {
+        // a full word — stop after clause keywords
+        var w = k
+        while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_')) w -= 1
+        val word = sql.substring(w + 1, k + 1).toLowerCase
+        if (kw.contains(word) &&
+            (w < 0 || !sql.charAt(w).isLetterOrDigit && sql.charAt(w) != '_'))
+          condStart = k + 1
+        else k = w + 1
+      }
+      k -= 1
+    }
+    // else-branch: walk forward from ':'
+    var e = ci + 1; var d2 = 0; var s4 = false; var elseEnd = sql.length
+    val tailKw = Set("from", "as", "where", "group", "order", "limit",
+      "settings", "union", "having", "format", "then", "else", "end", "when")
+    while (e < sql.length && elseEnd == sql.length) {
+      val c = sql.charAt(e)
+      if (s4) { if (c == '\'') s4 = false }
+      else c match {
+        case '\'' => s4 = true
+        case '(' | '[' => d2 += 1
+        case ')' | ']' => if (d2 == 0) elseEnd = e else d2 -= 1
+        case ',' if d2 == 0 => elseEnd = e
+        case ';' if d2 == 0 => elseEnd = e
+        case _ =>
+      }
+      if (elseEnd == sql.length && d2 == 0 && (c.isLetter || c == '_') &&
+          (e == 0 || !sql.charAt(e - 1).isLetterOrDigit && sql.charAt(e - 1) != '_')) {
+        var w = e
+        while (w < sql.length && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_')) w += 1
+        if (tailKw.contains(sql.substring(e, w).toLowerCase)) elseEnd = e
+        else e = w - 1
+      }
+      e += 1
+    }
+    val cond = sql.substring(condStart, qi).trim
+    val thenB = sql.substring(qi + 1, ci).trim
+    val elseB = sql.substring(ci + 1, elseEnd).trim
+    if (cond.isEmpty || thenB.isEmpty || elseB.isEmpty) return sql
+    rewriteTernary(sql.substring(0, condStart) +
+      s" if($cond, $thenB, $elseB) " + sql.substring(elseEnd))
+  }
+
   private[sqlfront] def rewriteArrayLiterals(sql: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -1225,9 +1383,80 @@ object ChSql {
   private val tableAliases =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Distributed-engine tables: proxy name -> (underlying local table,
+    * shard count). Reads fan out over every shard (each shard is this
+    * process, so N shards re-read the underlying table N times); writes
+    * route to the underlying table (reference StorageDistributed). */
+  private val distributedTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
+
+  /** Materialized views by SOURCE table: src -> (mv name, SELECT text).
+    * The reference's MV semantics: the SELECT runs over each INSERTED
+    * block and appends to the view's storage (StorageMaterializedView) —
+    * not a recompute over the source. */
+  private val matViews =
+    scala.collection.concurrent.TrieMap.empty[String, List[(String, String)]]
+
+  /** ReplicatedMergeTree zookeeper path -> first table registered on it;
+    * later tables on the same path are replicas — reads alias the
+    * canonical table's content. */
+  private val replicaPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Columns declared Dynamic/JSON/Variant per table — the reference
+    * forbids ALTER UPDATE on them (CANNOT_UPDATE_COLUMN). */
+  private val dynamicCols =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  /** vector_similarity index declarations: table -> (column, dimension).
+    * Inserted vectors of any other size are INCORRECT_DATA (reference
+    * MergeTreeIndexVectorSimilarity insert validation). */
+  private val vectorIndexDims =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
+
   private def safeViewName(name: String): String =
     if (name.matches("[A-Za-z_]\\w*")) name
     else tableAliases.getOrElseUpdate(name, "t_" + name.replaceAll("\\W", "_"))
+
+  /** Re-register every Distributed proxy over `underlying` after its
+    * contents changed (temp views capture the plan at registration). */
+  private def refreshDistributed(spark: SparkSession, underlying: String): Unit =
+    for ((d, (u, sh)) <- distributedTables if u == underlying) {
+      val base = spark.table(u)
+      (1 until sh).foldLeft(base)((x, _) => x.unionAll(base))
+        .createOrReplaceTempView(d)
+    }
+
+  /** Vector-similarity index dimension check on an inserted block
+    * (reference: INCORRECT_DATA when an array's size differs from the
+    * index's declared dimension). */
+  private def checkVectorDims(name: String, block: DataFrame): Unit =
+    for ((col, dim) <- vectorIndexDims.get(name)
+         if block.columns.contains(col)) {
+      val badRows = block.filter(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col(col)) =!= dim).count()
+      if (badRows > 0) throw new IllegalArgumentException(
+        s"INCORRECT_DATA: $badRows vectors in $col are not of dimension $dim")
+    }
+
+  /** Push one inserted block through every materialized view on `src`
+    * (reference StorageMaterializedView: the MV SELECT runs over the
+    * inserted block, its result appends to the view's storage). */
+  private def propagateMatViews(spark: SparkSession, dir: String,
+                                src: String, block: DataFrame): Unit =
+    for ((mv, sel) <- matViews.getOrElse(src, Nil)
+         if spark.catalog.tableExists(mv)) {
+      val batchName = s"__mv_block_$src"
+      block.createOrReplaceTempView(batchName)
+      val transformed = sql(spark, dir, ("(?i)\\bFROM\\s+" +
+        java.util.regex.Pattern.quote(src) + "\\b").r
+        .replaceAllIn(sel, s"FROM $batchName"))
+      val appended = spark.table(mv).unionByName(transformed).persist()
+      appended.count()
+      appended.createOrReplaceTempView(mv)
+      spark.catalog.dropTempView(batchName)
+    }
 
   /** Named custom TLD lists for the *Custom URL-subdomain functions
     * (reference: the top_level_domains_lists server configuration that
@@ -1873,6 +2102,34 @@ object ChSql {
         if (!args.forall(_.matches("\\w+")))
           bad(s"SummingMergeTree arguments must be column identifiers: ${m.group(1)}")
       }
+    // projection PK entries must be column identifiers — a positional /
+    // constant in its ORDER BY is ILLEGAL_COLUMN (02816 anchor shape;
+    // reference ProjectionsDescription::getProjectionFromAST)
+    for (item <- splitArgs(colList).map(_.trim)
+         if item.toLowerCase.startsWith("projection");
+         om <- "(?is)\\border\\s+by\\s+\\(?([^()]+?)\\)?\\s*\\)?\\s*$".r
+           .findFirstMatchIn(item))
+      if (splitArgs(om.group(1)).map(_.trim).exists(_.matches("\\d+")))
+        bad("projection primary key cannot contain constants")
+    // Buffer(db, table, num_layers, min/max time/rows/bytes...): numeric
+    // args must be non-negative and num_layers positive (reference
+    // StorageBuffer::create BAD_ARGUMENTS)
+    "(?is)ENGINE\\s*=?\\s*Buffer\\s*\\(([^)]*)\\)".r
+      .findFirstMatchIn(rest).foreach { m =>
+        val nums = splitArgs(m.group(1)).map(_.trim).drop(2)
+        val vals = nums.map(s =>
+          try s.toDouble catch { case _: NumberFormatException =>
+            bad(s"Buffer: non-numeric argument $s") })
+        if (vals.nonEmpty && vals.head <= 0)
+          bad("Buffer: num_layers must be a positive integer")
+        if (vals.exists(_ < 0))
+          bad("Buffer: arguments must be non-negative")
+      }
+    // block-size settings must be positive (reference
+    // MergeTreeSettings validation, 03457 anchor shape)
+    ("(?i)(marks_compress_block_size|primary_key_compress_block_size|" +
+      "min_compress_block_size|max_compress_block_size)\\s*=\\s*0\\b").r
+      .findFirstMatchIn(rest).foreach(m => bad(s"${m.group(1)} cannot be 0"))
     def intVal(s0: String): Option[Long] = {
       val s = s0.trim
       if (s.matches("\\d+")) Some(s.toLong)
@@ -1977,6 +2234,197 @@ object ChSql {
       s"CAST(NULL AS ${c.dataType.sql}) AS `${c.name}`").mkString(", ")
     val sub = s"(SELECT $sel FROM system_numbers LIMIT 65536)"
     rewriteGenerateRandom(q0.substring(0, m.start) + sub + q0.substring(i))
+  }
+
+  /** `ORDER BY key [ASC|DESC] WITH FILL [FROM f] [TO t] [STEP s]
+    * [LIMIT n [WITH TIES]]` (reference
+    * src/Processors/Transforms/FillingTransform.cpp): grid points absent
+    * from the data are inserted with DEFAULT values for the other
+    * columns (0 / '' — not carry-forward), original off-grid rows are
+    * kept, TO is exclusive, and LIMIT applies after filling. Single-key
+    * numeric fills only; INTERPOLATE and multi-key shapes fall through
+    * to the DataFrame operators (ops/Fill.scala). */
+  private val withFillQueryRe =
+    ("(?is)^(.*\\S)\\s+ORDER\\s+BY\\s+([\\w`]+)(\\s+(?:ASC|DESC))?\\s+WITH\\s+FILL" +
+     "(?:\\s+FROM\\s+(\\S+))?(?:\\s+TO\\s+(\\S+))?(?:\\s+STEP\\s+(\\S+))?" +
+     "\\s*(?:LIMIT\\s+(\\d+)(\\s+WITH\\s+TIES)?)?\\s*;?\\s*$").r
+
+  private def tryWithFill(spark: SparkSession, dir: String, q: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    if ("(?i)WITH\\s+FILL".r.findFirstIn(q).isEmpty) return None
+    if ("(?i)\\bINTERPOLATE\\b".r.findFirstIn(q).isDefined) return None
+    val m = withFillQueryRe.findFirstMatchIn(q).getOrElse(return None)
+    val key = m.group(2).stripPrefix("`").stripSuffix("`")
+    val desc = m.group(3) != null && m.group(3).trim.equalsIgnoreCase("DESC")
+    val df = try sql(spark, dir, m.group(1)) catch { case _: Exception => return None }
+    if (!df.columns.contains(key)) return None
+    val kt = df.schema(key).dataType
+    val numericKey = kt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    if (!numericKey) return None
+    def evalD(s: String): Option[Double] =
+      try Some(spark.sql(s"SELECT CAST((${rewrite(s)}) AS DOUBLE)").head.getDouble(0))
+      catch { case _: Exception => None }
+    val stepAbs = m.group(6) match {
+      case null => 1.0
+      case s => evalD(s).getOrElse(return None)
+    }
+    if (stepAbs <= 0) return None
+    val step = if (desc) -stepAbs else stepAbs
+    val Array(dMin, dMax) = df.agg(
+      min(col(key)).cast("double"), max(col(key)).cast("double"))
+      .head.toSeq.map(v => Option(v).map(_.asInstanceOf[Double])).toArray
+    val fromOpt = Option(m.group(4)).flatMap(evalD)
+    val toOpt = Option(m.group(5)).flatMap(evalD)
+    val from = fromOpt.orElse(if (desc) dMax else dMin).getOrElse(return None)
+    // TO is exclusive; without TO the fill runs to the data extreme
+    // (inclusive — that extreme is itself a data row)
+    val n: Long = toOpt match {
+      case Some(t) => math.ceil((t - from) / step).toLong.max(0L)
+      case None =>
+        val ext = (if (desc) dMin else dMax).getOrElse(return None)
+        (((ext - from) / step).toLong + 1L).max(0L)
+    }
+    if (n > 10000000L) return None
+    val grid = spark.range(n)
+      .select((lit(from) + col("id") * lit(step)).cast(kt).as(key))
+    val fillRows = grid.join(df.select(col(key)), Seq(key), "left_anti")
+    val defaults = df.schema.fields.filter(_.name != key).map { f =>
+      (f.dataType match {
+        case _: NumericType => lit(0).cast(f.dataType)
+        case StringType => lit("")
+        case BooleanType => lit(false)
+        case _ => lit(null).cast(f.dataType)
+      }).as(f.name)
+    }
+    val filled = df.unionByName(
+      fillRows.select((col(key) +: defaults.toIndexedSeq): _*)
+        .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
+    val ordered = filled.orderBy(if (desc) col(key).desc else col(key).asc)
+    (Option(m.group(7)), Option(m.group(8))) match {
+      case (Some(lim), None) => Some(ordered.limit(lim.toInt))
+      case (Some(lim), Some(_)) => // LIMIT n WITH TIES: keep equal keys
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(if (desc) col(key).desc else col(key).asc)
+        Some(ordered.withColumn("__rk", rank().over(w))
+          .filter(col("__rk") <= lim.toInt).drop("__rk"))
+      case _ => Some(ordered)
+    }
+  }
+
+  /** remote/remoteSecure/cluster/clusterAllReplicas table functions
+    * (reference src/TableFunctions/TableFunctionRemote.cpp,
+    * src/Storages/StorageDistributed.cpp). Every address in the stateless
+    * suite resolves to the server itself, so the semantics that survive
+    * single-process execution are the shard MULTIPLICITY (each shard
+    * re-reads the same table — remote('127.0.0.{1,2}', t) returns t's
+    * rows twice) and the `_shard_num` virtual column (1-based, only
+    * materialized when the query mentions it, as CH virtual columns are
+    * excluded from `SELECT *`). */
+  private val testClusterShards: Map[String, (Int, Int)] = Map(
+    // cluster name -> (shards, replicas per shard), from the reference's
+    // tests/config.d remote_servers used by the stateless suite
+    "test_shard_localhost" -> (1, 1),
+    "test_cluster_two_shards" -> (2, 1),
+    "test_cluster_two_shards_localhost" -> (2, 1),
+    "test_cluster_two_shards_internal_replication" -> (2, 1),
+    "test_cluster_one_shard_two_replicas" -> (1, 2),
+    "test_cluster_one_shard_three_replicas_localhost" -> (1, 3),
+    "test_cluster_two_shard_three_replicas_localhost" -> (2, 3))
+
+  /** Number of addresses in a remote() address pattern:
+    * top-level commas separate addresses, each `{a,b,c}` (or `{1..3}`)
+    * group multiplies the count for its address. */
+  private def addressCount(addr: String): Int =
+    addr.split(",(?![^{]*})").map { part =>
+      "\\{([^}]*)\\}".r.findAllMatchIn(part).map { g =>
+        val body = g.group(1)
+        "^(\\d+)\\.\\.(\\d+)$".r.findFirstMatchIn(body) match {
+          case Some(r) => (r.group(2).toInt - r.group(1).toInt).abs + 1
+          case None => body.count(_ == ',') + 1
+        }
+      }.product
+    }.sum.max(1)
+
+  private def rewriteRemoteCluster(q0: String): String = {
+    val lower = q0.toLowerCase
+    if (!lower.contains("remote") && !lower.contains("cluster")) return q0
+    val re = "(?i)\\b(remoteSecure|remote|clusterAllReplicas|cluster)\\s*\\(".r
+    val m = re.findFirstMatchIn(q0).getOrElse(return q0)
+    var i = m.end; var depth = 1; var inStr = false
+    while (i < q0.length && depth > 0) {
+      val c = q0.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      i += 1
+    }
+    if (depth != 0) return q0
+    val fn = m.group(1).toLowerCase
+    val args = splitArgs(q0.substring(m.end, i - 1)).map(_.trim)
+    if (args.isEmpty) return q0
+    def unq(s: String) = s.stripPrefix("'").stripSuffix("'")
+    val shards: Int =
+      if (fn.startsWith("remote")) {
+        if (!args.head.startsWith("'")) return q0
+        val addr = unq(args.head)
+        // '|' separates replicas within a shard; an empty shard/replica
+        // spec is a reference-side error — leave the call unrewritten so
+        // it fails loudly (02841/03518 anchor shapes)
+        if (addr.isEmpty || addr.split("[,|]", -1).exists(_.trim.isEmpty))
+          return q0
+        addressCount(addr)
+      } else {
+        val (s, r) = testClusterShards.getOrElse(unq(args.head), (1, 1))
+        if (fn == "clusterallreplicas") s * r else s
+      }
+    // user/password tail args are string literals that are NOT table
+    // names; the table reference is args(1) (+ args(2) when a database
+    // is given first)
+    val target: String = args.drop(1).filterNot(_.isEmpty) match {
+      case Seq() => "system.one"
+      case rest =>
+        def isDbWord(s: String) = {
+          val v = unq(s).toLowerCase
+          v == "default" | v == "system" | v == "currentdatabase()"
+        }
+        val (db, tbl, used) = rest match {
+          case Seq(t) => ("", t, 1)
+          case d +: t +: _ if isDbWord(d) && !t.toLowerCase.startsWith("view(") =>
+            (unq(d).toLowerCase, t, 2)
+          case t +: _ => ("", t, 1)
+        }
+        // trailing args may only be 'user'/'password' string literals or
+        // a numeric sharding key — a bare identifier there is the
+        // reference's parameter-parsing error (02841): leave unrewritten
+        if (rest.drop(used).exists(x =>
+            !x.startsWith("'") && !x.matches("[\\d.]+") &&
+              !x.toLowerCase.matches("rand\\(\\)|\\w+\\(.*")))
+          return q0
+        val t = unq(tbl)
+        if (tbl.toLowerCase.startsWith("view(")) tbl
+        else if (db == "system" || t.toLowerCase.startsWith("system."))
+          "system." + t.stripPrefix("system.")
+        else if (db == "currentdatabase()" || db == "default" || db == "")
+          t.stripPrefix("default.")
+        else return q0
+    }
+    val withShardNum = "(?i)\\b_shard_num\\b".r.findFirstIn(q0).isDefined
+    val sub =
+      if (shards == 1 && !withShardNum) {
+        if (target.toLowerCase.startsWith("view(") ||
+            target.contains('.') || target.matches("\\w+")) target
+        else s"(SELECT * FROM $target)"
+      } else
+        (1 to shards).map { k =>
+          val shardCol = if (withShardNum) s", CAST($k AS INT) AS _shard_num" else ""
+          s"SELECT *$shardCol FROM $target"
+        }.mkString("(", " UNION ALL ", ")")
+    rewriteRemoteCluster(q0.substring(0, m.start) + sub + q0.substring(i))
   }
 
   /** Positional make_interval(...) argument list for one (unit, n) pair. */
@@ -2101,6 +2549,55 @@ object ChSql {
     q0.substring(0, m.start) + joined + q0.substring(end)
   }
 
+  /** Names that exist only in the CH type system — `CAST(x AS UInt8)`
+    * etc. must be re-spelled before Spark's parser sees them. Spark's
+    * own type names (STRING, INT, DATE, TIMESTAMP, DECIMAL...) pass
+    * through untouched. */
+  private val chOnlyTypeHeads = Set(
+    "uint8", "uint16", "uint32", "uint64", "uint128", "uint256",
+    "int8", "int16", "int32", "int64", "int128", "int256",
+    "float32", "float64", "bfloat16", "date32", "datetime", "datetime32",
+    "datetime64", "uuid", "ipv4", "ipv6", "bool", "json", "dynamic",
+    "variant", "nothing", "fixedstring", "enum8", "enum16", "enum",
+    "nullable", "lowcardinality", "decimal32", "decimal64", "decimal128",
+    "decimal256", "simpleaggregatefunction")
+
+  /** CAST(x AS <CH type>): bare CH-only names route through the
+    * to<Type> conversion templates (CH wrap/saturate semantics);
+    * parameterized CH types become a direct Spark CAST via ChTypes. */
+  private def chAsCast(arg: String): Option[String] = {
+    // last top-level ` AS ` outside strings/parens
+    var i = 0; var depth = 0; var inStr = false; var asIdx = -1
+    while (i + 4 <= arg.length) {
+      val c = arg.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case 'A' | 'a' if depth == 0 && i > 0 &&
+            arg.charAt(i - 1).isWhitespace &&
+            (arg.charAt(i + 1) == 'S' || arg.charAt(i + 1) == 's') &&
+            i + 2 < arg.length && arg.charAt(i + 2).isWhitespace =>
+          asIdx = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (asIdx < 0) return Some(s"CAST($arg)")
+    val l = arg.substring(0, asIdx).trim
+    val tpe = arg.substring(asIdx + 2).trim
+    val head = tpe.takeWhile(c => c.isLetterOrDigit || c == '_').toLowerCase
+    if (tpe.matches("[A-Za-z_]\\w*") && chOnlyTypeHeads.contains(head))
+      Some(s"to$tpe($l)")
+    else if (tpe.contains('(') &&
+        (chOnlyTypeHeads.contains(head) ||
+         Set("decimal", "array", "map", "tuple").contains(head)) &&
+        ChTypes.isChType(tpe))
+      Some(s"CAST($l AS ${ChTypes.toSpark(tpe).sql})")
+    else Some(s"CAST($arg)")
+  }
+
   /** `primary :: Type` (ParserCastOperator) -> to<Type>(primary). The
     * primary is the adjacent token run: a quoted literal, an identifier /
     * number, or a balanced paren group (with any attached call name). */
@@ -2116,11 +2613,14 @@ object ChSql {
       // type name after :: (None also when inside a string)
       val tm =
         if (quotes % 2 == 1) None
-        else "^::\\s*([A-Za-z_]\\w*)".r.findFirstMatchIn(q.substring(idx))
+        else ("^::\\s*([A-Za-z_]\\w*)" +
+          "(\\s*\\([^()]*(?:\\([^()]*\\)[^()]*)*\\))?").r
+          .findFirstMatchIn(q.substring(idx))
       tm match {
         case None => idx = q.indexOf("::", idx + 2)
         case Some(m) =>
           val tpe = m.group(1)
+          val typeArgs = Option(m.group(2)).map(_.trim).getOrElse("")
           val afterEnd = idx + m.end
           // primary before ::
           var s = idx - 1
@@ -2147,7 +2647,27 @@ object ChSql {
           if (start < 0) idx = q.indexOf("::", afterEnd)
           else {
             val prim = q.substring(start, s + 1)
-            q = q.substring(0, start) + s"to$tpe($prim)" + q.substring(afterEnd)
+            // parameterized type (Decimal(p,s), DateTime64(3), ...):
+            // direct CAST to the Spark type; bare names keep the
+            // to<Type>() spelling the conversion templates handle
+            val repl =
+              if (typeArgs.isEmpty) s"to$tpe($prim)"
+              // a value cannot be cast INTO an aggregate state
+              // (reference CastOverloadResolver ILLEGAL_TYPE_OF_ARGUMENT)
+              else if (tpe.equalsIgnoreCase("AggregateFunction"))
+                throw new IllegalArgumentException(
+                  s"ILLEGAL_TYPE_OF_ARGUMENT: cannot cast to $tpe$typeArgs")
+              else try {
+                val dt = ChTypes.toSpark(tpe + typeArgs)
+                s"CAST($prim AS ${dt.sql})"
+              } catch {
+                case _: IllegalArgumentException =>
+                  // reference rejects malformed parameterized types
+                  // (Bool(Upyachka)) and suspicious Variant targets
+                  throw new IllegalArgumentException(
+                    s"ILLEGAL_TYPE_OF_ARGUMENT: cannot cast to $tpe$typeArgs")
+              }
+            q = q.substring(0, start) + repl + q.substring(afterEnd)
             idx = q.indexOf("::")
           }
       }
@@ -2232,7 +2752,8 @@ object ChSql {
           // accurateCast's type map
           if (tpe.matches("[A-Za-z]\\w*")) s"to$tpe(${a(0)})"
           else s"accurateCast(${a(0)}, ${a(1)})"
-        } else s"CAST(${a.mkString(", ")})")
+        } else if (a.length == 1) chAsCast(a(0)).getOrElse(s"CAST(${a(0)})")
+        else s"CAST(${a.mkString(", ")})")
 
     // generic JSONExtract(json, key..., 'Type') (reference
     // src/Functions/FunctionsJSON.cpp JSONExtract): path from the middle
@@ -2312,6 +2833,8 @@ object ChSql {
 
     // array literals before anything else
     q = rewriteArrayLiterals(q)
+    q = rewriteMapLiterals(q)
+    q = rewriteTernary(q)
 
     // MySQL-compat / composite IP names canonicalize to their CH forms
     // BEFORE the IP templates fire (rewrites run in source order)
@@ -2449,6 +2972,14 @@ object ChSql {
     q = rewriteCalls(q, "arraySum")(a =>
       if (a.length == 2) s"aggregate(${a(1)}, CAST(0 AS DOUBLE), (acc, x) -> acc + ${a(0)}(x))"
       else s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    // empty arrays yield the ELEMENT-TYPE DEFAULT, not NULL (reference
+    // arrayAggregation.cpp): min/max of [] is 0 / '' / epoch
+    for ((nm, sp) <- Seq("arrayMin" -> "array_min", "arrayMax" -> "array_max"))
+      q = rewriteCalls(q, nm)(a =>
+        if (a.length == 2)
+          s"coalesce($sp(transform(${a(1)}, ${a(0)})), " +
+            s"ch_first_default(transform(${a(1)}, ${a(0)})))"
+        else s"coalesce($sp(${a(0)}), ch_first_default(${a(0)}))")
     q = rewriteCalls(q, "intDiv")(a => s"((${a(0)}) div (${a(1)}))")
     // CH divide(): float division, x/0 -> ±Inf, 0/0 -> NaN (never error)
     q = rewriteCalls(q, "divide")(a =>
@@ -3221,10 +3752,17 @@ object ChSql {
     // return NULL); ch_first/last_default dispatch on the element type
     q = rewriteCalls(q, "arrayFirst")(a => s"ch_first_default(filter(${a(1)}, ${a(0)}))")
     q = rewriteCalls(q, "arrayLast")(a => s"ch_last_default(filter(${a(1)}, ${a(0)}))")
+    // empty array -> 0 (reference arrayAggregation.cpp avg of none);
+    // CASE guards the division so ANSI mode doesn't throw on size 0
     q = rewriteCalls(q, "arrayAvg")(a =>
-      s"(aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) / size(${a(0)}))")
+      s"(CASE WHEN size(${a(0)}) = 0 THEN CAST(0 AS DOUBLE) " +
+        s"ELSE aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)" +
+        s" / size(${a(0)}) END)")
+    // empty array -> 0, matching the reference's observable output
+    // (arrayAggregation.cpp product over no elements)
     q = rewriteCalls(q, "arrayProduct")(a =>
-      s"aggregate(${a(0)}, CAST(1 AS DOUBLE), (__a, __x) -> __a * __x)")
+      s"(CASE WHEN size(${a(0)}) = 0 THEN CAST(0 AS DOUBLE) " +
+        s"ELSE aggregate(${a(0)}, CAST(1 AS DOUBLE), (__a, __x) -> __a * __x) END)")
     q = rewriteCalls(q, "arrayWithConstant")(a => s"array_repeat(${a(1)}, ${a(0)})")
     // sequence(1, 0) would DESCEND on empty arrays — build [0..size] and
     // drop the leading 0 instead (slice of an ascending sequence)
@@ -3726,6 +4264,21 @@ object ChSql {
     q = rewriteCalls(q, "negate")(a => s"ch_negate(${a(0)})")
     q = rewriteCalls(q, "isZeroOrNull")(a =>
       s"((${a(0)}) = 0 OR (${a(0)}) IS NULL)")
+    // neighbor(x, offset, ord): deterministic engines need the explicit
+    // order column (reference block-order semantics)
+    q = rewriteCalls(q, "neighbor") { a =>
+      val ord = if (a.length >= 3) a(2) else "monotonically_increasing_id()"
+      val off = a(1).trim
+      // offset must be a constant within Int64 (reference
+      // FunctionNeighbor ARGUMENT_OUT_OF_BOUND; 01353 anchor shape) —
+      // note -2^63 negates to 2^63 which is itself out of bound
+      if (!off.matches("-?\\d+") ||
+          (off.startsWith("-") && BigInt(off.drop(1)) > BigInt(Long.MaxValue)))
+        throw new IllegalArgumentException(
+          s"ARGUMENT_OUT_OF_BOUND: neighbor offset must be a bounded constant, got $off")
+      if (off.startsWith("-")) s"lag(${a(0)}, ${off.drop(1)}) OVER (ORDER BY $ord)"
+      else s"lead(${a(0)}, $off) OVER (ORDER BY $ord)"
+    }
     q = rewriteCalls(q, "ignore")(_ => "0")
     q = rewriteCalls(q, "formatReadableSize") { a =>
       val x = s"CAST(${a(0)} AS DOUBLE)"
@@ -4484,14 +5037,6 @@ object ChSql {
         s"concat('[?&]', ${a(1)}, '=[^&#]*'), '')")
     q = rewriteCalls(q, "extractURLParameterNames")(a =>
       s"regexp_extract_all(coalesce(parse_url(${a(0)}, 'QUERY'), ''), '([^=&]+)=', 1)")
-    // neighbor(x, offset, ord): deterministic engines need the explicit
-    // order column (reference block-order semantics)
-    q = rewriteCalls(q, "neighbor") { a =>
-      val ord = if (a.length >= 3) a(2) else "monotonically_increasing_id()"
-      val off = a(1).trim
-      if (off.startsWith("-")) s"lag(${a(0)}, ${off.drop(1)}) OVER (ORDER BY $ord)"
-      else s"lead(${a(0)}, $off) OVER (ORDER BY $ord)"
-    }
     q = rewriteCalls(q, "intDivOrNull")(a =>
       s"(CASE WHEN (${a(1)}) = 0 THEN NULL ELSE (${a(0)}) div (${a(1)}) END)")
     q = rewriteCalls(q, "modOrNull")(a =>
@@ -5007,6 +5552,12 @@ object ChSql {
              |LEFT JOIN ($body) USING ($c) ORDER BY $c""".stripMargin
     }
 
+    // MySQL-style LIMIT offset, count (reference ParserSelectQuery
+    // allows both spellings) — not when a BY clause follows (that is
+    // CH's LIMIT n, m BY form, handled below)
+    q = q.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)(?!\\s*BY\\b)",
+      "LIMIT $2 OFFSET $1")
+
     // LIMIT n BY (cols): keep first n rows per key in current order
     val lby = java.util.regex.Pattern
       .compile("(?is)(.*?)\\bLIMIT\\s+(\\d+)\\s+BY\\s+\\(?([\\w, ]+?)\\)?\\s*(ORDER BY.*|LIMIT.*|$)")
@@ -5191,10 +5742,10 @@ object ChSql {
     // session tables with names Spark can't parse unquoted (03130_test)
     // were registered under a safe alias — substitute before anything
     // else sees the text
-    val chQuery = rewriteGenerateRandom(
+    val chQuery = rewriteRemoteCluster(rewriteGenerateRandom(
       tableAliases.foldLeft(chQuery1) { case (q, (ch, alias)) =>
         q.replaceAll("(?<![\\w`])" + java.util.regex.Pattern.quote(ch) + "\\b", alias)
-      })
+      }))
     Tables.registerAll(spark, dir)
     spark.range(0, 100000000L).toDF("number").createOrReplaceTempView("system_numbers")
     spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
@@ -5344,6 +5895,38 @@ object ChSql {
       val rest = q.substring(i)
       if ("(?is)^\\s*AS\\b".r.findFirstIn(rest).isDefined) return None
       val name = safeViewName(m.group(1).stripPrefix("default."))
+      // ReplicatedMergeTree('path', 'replica'): tables sharing a path are
+      // replicas of one storage — later creates alias the first
+      for (rm <- "(?is)ENGINE\\s*=?\\s*ReplicatedMergeTree\\s*\\(\\s*'([^']*)'".r
+             .findFirstMatchIn(rest)) {
+        val path = rm.group(1)
+        replicaPaths.get(path) match {
+          case Some(canon) if canon != name && spark.catalog.tableExists(canon) =>
+            distributedTables.put(name, (canon, 1))
+            spark.table(canon).createOrReplaceTempView(name)
+            return Some(spark.table(canon).limit(0))
+          case _ => replicaPaths.put(path, name)
+        }
+      }
+      // ENGINE = Distributed(cluster, db, local_table[, key]): a read
+      // proxy over the local table, repeated once per shard
+      for (dm <- "(?is)ENGINE\\s*=?\\s*Distributed\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
+             .findFirstMatchIn(rest)) {
+        val dargs = splitArgs(dm.group(1)).map(_.trim)
+        if (dargs.length >= 3) {
+          val cl = dargs(0).stripPrefix("'").stripSuffix("'")
+          val und = safeViewName(dargs(2).stripPrefix("'").stripSuffix("'")
+            .stripPrefix("default.").stripPrefix("currentDatabase()."))
+          val sh = testClusterShards.getOrElse(cl, (1, 1))._1
+          if (spark.catalog.tableExists(und)) {
+            val base = spark.table(und)
+            val proxied = (1 until sh).foldLeft(base)((d, _) => d.unionAll(base))
+            distributedTables.put(name, (und, sh))
+            proxied.createOrReplaceTempView(name)
+            return Some(proxied.limit(0)) // CREATE emits no rows
+          }
+        }
+      }
       val cols =
         try ChTypes.parseColumns(q.substring(m.end, i - 1))
         catch { case _: IllegalArgumentException => return None }
@@ -5363,10 +5946,38 @@ object ChSql {
         new java.util.ArrayList[org.apache.spark.sql.Row](), StructType(fields))
       // DEFAULT/MATERIALIZED/ALIAS exprs must resolve against the schema
       // at CREATE time (reference validates them then, e.g. 01024)
-      for (c <- cols; e <- c.defaultExpr)
+      for (c <- cols; e <- c.defaultExpr) {
+        // a bare `*` inside a DEFAULT/ALIAS expression is the reference's
+        // UNKNOWN_IDENTIFIER (03443 anchor shape) — Spark would silently
+        // expand it over the columns instead
+        if ("[(,]\\s*\\*\\s*[,)]".r.findFirstIn(e).isDefined)
+          throw new IllegalArgumentException(
+            s"UNKNOWN_IDENTIFIER: * is not a column in a DEFAULT expression")
         empty.select(org.apache.spark.sql.functions.expr(rewrite(e)))
+      }
+      // column-level TTL expressions must resolve to Date/DateTime
+      // (reference TTLDescription::create rejects e.g. defaultProfiles())
+      for (item <- splitArgs(q.substring(m.end, i - 1)).map(_.trim);
+           tm <- "(?is)\\bTTL\\s+(.+)$".r.findFirstMatchIn(item)) {
+        import org.apache.spark.sql.types._
+        val dt = empty.select(
+          org.apache.spark.sql.functions.expr(rewrite(tm.group(1))))
+          .schema.head.dataType
+        dt match {
+          case DateType | _: TimestampType | TimestampNTZType => ()
+          case other => throw new IllegalArgumentException(
+            s"BAD_TTL_EXPRESSION: TTL must be Date/DateTime, got ${other.simpleString}")
+        }
+      }
       tableDefaults.put(name,
         cols.collect { case c if c.defaultExpr.isDefined => c.name -> c.defaultExpr.get })
+      dynamicCols.put(name, splitArgs(q.substring(m.end, i - 1)).flatMap { it =>
+        "(?is)^\\s*`?(\\w+)`?\\s+(Dynamic|JSON|Variant)\\b".r
+          .findFirstMatchIn(it.trim).map(_.group(1))
+      }.toSet)
+      "(?is)\\bINDEX\\s+\\w+\\s+(\\w+)\\s+TYPE\\s+vector_similarity\\s*\\([^)]*?(\\d+)\\s*\\)".r
+        .findFirstMatchIn(q.substring(m.end, i - 1))
+        .foreach(vm => vectorIndexDims.put(name, (vm.group(1), vm.group(2).toInt)))
       "(?is)\\bTTL\\s+(.+?)(?:\\s+(?:SETTINGS|ORDER\\s+BY|PARTITION\\s+BY|PRIMARY\\s+KEY)\\b.*)?$"
         .r.findFirstMatchIn(rest).foreach(mm => tableTtls.put(name, mm.group(1).trim))
       empty.createOrReplaceTempView(name)
@@ -5424,7 +6035,15 @@ object ChSql {
       case createRe(kind, name, clauses, inner) =>
         val df = sql(spark, dir, inner)
         val out = if (kind.toUpperCase.startsWith("MATERIALIZED")) {
-          // materialized: compute & persist the RESULT, not the query
+          // materialized: compute & persist the RESULT, not the query,
+          // and register for insert-block propagation (the reference's
+          // StorageMaterializedView applies the SELECT to each inserted
+          // block and appends it to the view's storage)
+          for (src <- "(?is)\\bFROM\\s+([A-Za-z_]\\w*)".r
+                 .findFirstMatchIn(inner).map(_.group(1))
+               if spark.catalog.tableExists(src))
+            matViews.put(src, (name, inner) :: matViews.getOrElse(src, Nil)
+              .filterNot(_._1 == name))
           val m = df.persist()
           m.count()
           m
@@ -5435,49 +6054,126 @@ object ChSql {
           .r.findFirstMatchIn(clauses)
           .foreach(m => tableTtls.put(name, m.group(1).trim))
         out.createOrReplaceTempView(name)
-        Some(out)
+        Some(out.limit(0))
       case q2 if systemRe.pattern.matcher(q2).matches =>
+        Some(spark.range(0).toDF("ok"))
+      // standalone CREATE/DROP FUNCTION statements (tests issue them as
+      // separate statements; the registry is session-global). Validation
+      // mirrors UserDefinedSQLFunctionFactory: no recursion, no
+      // shadowing built-ins, no double-create, no dropping built-ins.
+      case q2 if "(?is)^\\s*CREATE\\s+FUNCTION\\b.*->".r.findFirstIn(q2).isDefined &&
+          locally { // standalone only — `CREATE FUNCTION ...; SELECT ...`
+            val mm0 = createFnPattern.matcher(q2) // keeps the macro-prefix path
+            mm0.find() && q2.substring(mm0.end).trim.stripPrefix(";").trim.isEmpty
+          } =>
+        val mm = createFnPattern.matcher(q2)
+        require(mm.find(), s"cannot parse CREATE FUNCTION: $q2")
+        val nm = mm.group(1)
+        if (("(?i)\\b" + java.util.regex.Pattern.quote(nm) + "\\s*\\(").r
+            .findFirstIn(mm.group(4)).isDefined)
+          throw new IllegalArgumentException(
+            s"CANNOT_CREATE_RECURSIVE_FUNCTION: $nm")
+        if (registeredFns.contains(nm) ||
+            Set("cast", "sum", "count", "min", "max", "avg", "if")
+              .contains(nm.toLowerCase) ||
+            (try spark.catalog.functionExists(nm.toLowerCase)
+             catch { case _: Exception => false }))
+          throw new IllegalArgumentException(s"FUNCTION_ALREADY_EXISTS: $nm")
+        createFunction(q2)
+        Some(spark.range(0).toDF("ok"))
+      case q2 if "(?is)^\\s*DROP\\s+FUNCTION\\s+(?:IF\\s+EXISTS\\s+)?[\\w.]+\\s*;?\\s*$"
+          .r.pattern.matcher(q2).matches =>
+        val nm = "(?is)\\bFUNCTION\\s+(?:IF\\s+EXISTS\\s+)?([\\w.]+)".r
+          .findFirstMatchIn(q2).get.group(1)
+        val ifExists = "(?is)\\bIF\\s+EXISTS\\b".r.findFirstIn(q2).isDefined
+        if (!registeredFns.contains(nm) && !ifExists)
+          throw new IllegalArgumentException(
+            if (Set("cast", "sum", "count", "min", "max", "avg", "if")
+                  .contains(nm.toLowerCase) ||
+                (try spark.catalog.functionExists(nm.toLowerCase)
+                 catch { case _: Exception => false }))
+              s"CANNOT_DROP_FUNCTION: $nm"
+            else s"UNKNOWN_FUNCTION: $nm")
+        dropFunction(nm)
         Some(spark.range(0).toDF("ok"))
       case q if parseBareCreate(q).isDefined =>
         parseBareCreate(q)
       case dropRe(name) =>
         spark.catalog.dropTempView(name)
         tableTtls.remove(name); tableDefaults.remove(name)
+        distributedTables.remove(name)
+        matViews.remove(name)
+        for ((src, mvs) <- matViews if mvs.exists(_._1 == name))
+          matViews.put(src, mvs.filterNot(_._1 == name))
+        for ((p, c) <- replicaPaths if c == name) replicaPaths.remove(p)
         Some(spark.range(0).toDF("dropped"))
-      case insertSelRe(name, colsOpt, inner) =>
+      case insertSelRe(name0, colsOpt, inner) =>
+        // writes to a Distributed proxy land in its underlying table
+        val name = distributedTables.get(name0).map(_._1).getOrElse(name0)
         val existing = spark.table(name)
         val src = sql(spark, dir, inner)
         val listed = Option(colsOpt).map(_.trim).filter(_.nonEmpty)
           .map(splitArgs(_).map(_.trim.stripPrefix("`").stripSuffix("`")))
           .getOrElse(existing.columns.take(src.columns.length).toSeq)
-        val appended = existing.unionByName(
-          fitToSchema(existing, name, listed, src.toDF(listed: _*)))
+        val block = fitToSchema(existing, name, listed, src.toDF(listed: _*))
+        checkVectorDims(name, block)
+        val appended = existing.unionByName(block)
         appended.createOrReplaceTempView(name)
-        Some(appended)
-      case insertValRe(name, colsOpt, values) =>
+        refreshDistributed(spark, name)
+        propagateMatViews(spark, dir, name, block)
+        Some(appended.limit(0))
+      case insertValRe(name0, colsOpt, values0) =>
+        // CH accepts rows without separating commas: VALUES (1) (2) (3)
+        val values = locally {
+          val sb = new StringBuilder; var d = 0; var inS = false; var i = 0
+          while (i < values0.length) {
+            val c = values0.charAt(i)
+            sb.append(c)
+            if (inS) { if (c == '\'') inS = false }
+            else c match {
+              case '\'' => inS = true
+              case '(' => d += 1
+              case ')' =>
+                d -= 1
+                if (d == 0) {
+                  var j = i + 1
+                  while (j < values0.length && values0.charAt(j).isWhitespace) j += 1
+                  if (j < values0.length && values0.charAt(j) == '(') sb.append(',')
+                }
+              case _ =>
+            }
+            i += 1
+          }
+          sb.toString
+        }
+        val name = distributedTables.get(name0).map(_._1).getOrElse(name0)
         val existing = spark.table(name)
         val listed = Option(colsOpt).map(_.trim).filter(_.nonEmpty)
           .map(splitArgs(_).map(_.trim.stripPrefix("`").stripSuffix("`")))
           .getOrElse(existing.columns.toSeq)
         val vdf = spark.sql(s"SELECT * FROM (VALUES ${rewrite(values)}) " +
           s"AS __v(${listed.map(c => s"`$c`").mkString(", ")})")
-        val appended = existing.unionByName(fitToSchema(existing, name, listed, vdf))
+        val block = fitToSchema(existing, name, listed, vdf)
+        checkVectorDims(name, block)
+        val appended = existing.unionByName(block)
         appended.createOrReplaceTempView(name)
-        Some(appended)
+        refreshDistributed(spark, name)
+        propagateMatViews(spark, dir, name, block)
+        Some(appended.limit(0))
       case alterAddColRe(name, colName, declaredType, dflt) =>
         val withCol = spark.table(name).withColumn(colName,
           org.apache.spark.sql.functions.expr(
             if (dflt == null) "CAST(NULL AS STRING)" else rewrite(dflt)))
         withCol.createOrReplaceTempView(name)
-        Some(withCol)
+        Some(withCol.limit(0))
       case alterDropColRe(name, colName) =>
         val dropped = spark.table(name).drop(colName)
         dropped.createOrReplaceTempView(name)
-        Some(dropped)
+        Some(dropped.limit(0))
       case alterRenColRe(name, from, to) =>
         val renamed = spark.table(name).withColumnRenamed(from, to)
         renamed.createOrReplaceTempView(name)
-        Some(renamed)
+        Some(renamed.limit(0))
       case alterModColRe(name, colName, chType) =>
         val sqlT = chType.trim match {
           case "Int8" => "TINYINT"
@@ -5495,27 +6191,27 @@ object ChSql {
         val modified = spark.table(name).withColumn(colName,
           org.apache.spark.sql.functions.col(colName).cast(sqlT))
         modified.createOrReplaceTempView(name)
-        Some(modified)
+        Some(modified.limit(0))
       case alterClearColRe(name, colName) =>
         val t = spark.table(name)
         val cleared = t.withColumn(colName,
           org.apache.spark.sql.functions.lit(null)
             .cast(t.schema(colName).dataType))
         cleared.createOrReplaceTempView(name)
-        Some(cleared)
+        Some(cleared.limit(0))
       case alterCommentColRe(name) =>
-        Some(spark.table(name)) // comments are metadata-only: no-op
+        Some(spark.table(name).limit(0)) // comments are metadata-only: no-op
       case renameTableRe(from, to) =>
         val t = spark.table(from)
         t.createOrReplaceTempView(to)
         spark.catalog.dropTempView(from)
         tableTtls.remove(from).foreach(ttl => tableTtls.put(to, ttl))
-        Some(t)
+        Some(t.limit(0))
       case alterDelRe(name, pred) =>
         val kept = spark.table(name)
           .filter(s"NOT (${rewrite(pred)})")
         kept.createOrReplaceTempView(name)
-        Some(kept)
+        Some(kept.limit(0))
       case alterUpdRe(name, assigns, pred) =>
         val t = spark.table(name)
         // col = expr pairs, split at paren-depth 0
@@ -5523,6 +6219,10 @@ object ChSql {
           val i = a.indexOf('=')
           a.take(i).trim -> rewrite(a.drop(i + 1).trim)
         }.toMap
+        // the reference forbids mutating Dynamic/JSON/Variant columns
+        for (c <- updates.keys if dynamicCols.getOrElse(name, Set.empty)(c))
+          throw new IllegalArgumentException(
+            s"CANNOT_UPDATE_COLUMN: $c has a dynamic type")
         val p = rewrite(pred)
         val projected = t.columns.map { c =>
           updates.get(c) match {
@@ -5532,7 +6232,7 @@ object ChSql {
         }.mkString(", ")
         val updated = spark.sql(s"SELECT $projected FROM $name")
         updated.createOrReplaceTempView(name)
-        Some(updated)
+        Some(updated.limit(0))
       case truncateRe(name) =>
         val empty = spark.table(name).limit(0)
         empty.createOrReplaceTempView(name)
@@ -5547,7 +6247,7 @@ object ChSql {
         val m = deduped.persist()
         m.count()
         m.createOrReplaceTempView(name)
-        Some(m)
+        Some(m.limit(0))
       case optimizeRe(name) =>
         // merges/FINAL: apply a registered TTL (the reference drops
         // expired rows during merges); otherwise a no-op — session
@@ -5559,8 +6259,8 @@ object ChSql {
             val m = kept.persist()
             m.count()
             m.createOrReplaceTempView(name)
-            Some(m)
-          case None => Some(spark.table(name))
+            Some(m.limit(0))
+          case None => Some(spark.table(name).limit(0))
         }
       case _ => None
     }
@@ -5590,12 +6290,16 @@ object ChSql {
           Seq(spark.sql(rewritten).queryExecution.explainString(mode2)).toDF("explain")
         }
       case _ =>
-        val q = rewrite(expandColumnsTransformers(spark, chQuery))
-          .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
-          .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
-          .replaceAll("""(?i)\bsystem\.tables\b""", "system_tables")
-          .replaceAll("""(?i)\bsystem\.columns\b""", "system_columns")
-        spark.sql(q)
+        tryWithFill(spark, dir, chQuery) match {
+          case Some(df) => df
+          case None =>
+            val q = rewrite(expandColumnsTransformers(spark, chQuery))
+              .replaceAll("""(?i)\bsystem\.numbers\b""", "system_numbers")
+              .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
+              .replaceAll("""(?i)\bsystem\.tables\b""", "system_tables")
+              .replaceAll("""(?i)\bsystem\.columns\b""", "system_columns")
+            spark.sql(q)
+        }
     }
   }
 }

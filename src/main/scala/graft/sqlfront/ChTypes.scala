@@ -27,7 +27,22 @@ object ChTypes {
     "datetime" -> TimestampType,
     "bool" -> BooleanType, "boolean" -> BooleanType,
     "json" -> StringType, "dynamic" -> StringType, "variant" -> StringType,
-    "nothing" -> NullType)
+    "nothing" -> NullType,
+    // SQL-compat aliases (reference DataTypeFactory registerAlias calls)
+    "tinyint" -> ByteType, "int1" -> ByteType, "byte" -> ByteType,
+    "smallint" -> ShortType, "int2" -> ShortType,
+    "int" -> IntegerType, "integer" -> IntegerType, "int4" -> IntegerType,
+    "mediumint" -> IntegerType,
+    "bigint" -> LongType,
+    "float" -> FloatType, "real" -> FloatType, "single" -> FloatType,
+    "double" -> DoubleType, "double precision" -> DoubleType,
+    "text" -> StringType, "tinytext" -> StringType,
+    "mediumtext" -> StringType, "longtext" -> StringType,
+    "blob" -> StringType, "tinyblob" -> StringType,
+    "mediumblob" -> StringType, "longblob" -> StringType,
+    "char" -> StringType, "nchar" -> StringType, "clob" -> StringType,
+    "varchar" -> StringType, "binary" -> StringType, "varbinary" -> StringType,
+    "geometry" -> StringType, "year" -> ShortType, "time" -> TimestampType)
 
   /** True when `s` parses as a CH type (used to tell `name Type` tuple
     * elements from positional ones). */
@@ -59,7 +74,8 @@ object ChTypes {
               case _ => StructField(s"_${i + 1}", toSpark(p))
             }
           }.toArray)
-        case "fixedstring" => StringType
+        case "fixedstring" | "varchar" | "char" | "nchar" | "binary" |
+             "varbinary" | "bit" => StringType
         case "datetime" | "datetime32" => TimestampType   // DateTime('tz')
         case "datetime64" => TimestampType
         case "decimal" if t.contains('(') =>

@@ -120,12 +120,15 @@ class ChSqlSpec extends AnyFunSuite {
   }
 
   test("ORDER BY WITH FILL generates the gap rows") {
+    // reference FillingTransform: TO is EXCLUSIVE and gap rows carry the
+    // column DEFAULT (0), not NULL — pinned byte-identical by the
+    // 01614_with_fill_with_limit anchor
     val df = ch("""SELECT n_regionkey AS k, count() AS n FROM nation
                   |GROUP BY k ORDER BY k WITH FILL FROM 0 TO 9 STEP 1""".stripMargin)
     val rows = df.collect()
-    assert(rows.length == 10)
-    assert(rows.map(_.getInt(0)).toSeq == (0 to 9))
-    assert(rows.count(_.isNullAt(1)) == 5) // filled rows have NULL measure
+    assert(rows.length == 9)
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 8))
+    assert(rows.count(r => !r.isNullAt(1) && r.getLong(1) == 0L) == 4)
   }
 
   test("lambda-first higher-order fns (reference 00022)") {
