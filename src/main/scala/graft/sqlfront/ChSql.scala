@@ -5747,7 +5747,13 @@ object ChSql {
         q.replaceAll("(?<![\\w`])" + java.util.regex.Pattern.quote(ch) + "\\b", alias)
       }))
     Tables.registerAll(spark, dir)
-    spark.range(0, 100000000L).toDF("number").createOrReplaceTempView("system_numbers")
+    // ONE partition: the reference's system.numbers streams sequentially,
+    // so LIMIT n must yield 0..n-1 — a multi-partition range hands
+    // LocalLimit rows from EVERY partition (numbers near 10^8), which
+    // both diverges and blows up downstream per-row allocations
+    // (00198-class: range(x) over a limited scan)
+    spark.range(0, 100000000L, 1, 1).toDF("number")
+      .createOrReplaceTempView("system_numbers")
     spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
     // system.tables / system.columns introspection (reference
     // src/Storages/System/StorageSystemTables.cpp, StorageSystemColumns.cpp):

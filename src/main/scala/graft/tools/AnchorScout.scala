@@ -164,7 +164,11 @@ object AnchorScout {
         // NOTE: AnchorFail is thrown OUTSIDE the inner try — a `return`
         // here would be NonLocalReturnControl from a closure
         val failed =
-          try { graft.sqlfront.ChSql.sql(spark, sf, st).collect(); false }
+          // foreach, NOT collect: a must-fail statement that our engine
+          // wrongly accepts may be an unbounded scan — evaluating it
+          // executor-side surfaces the expected error (if any) without
+          // accumulating rows on the driver (00198-class JVM poisoning)
+          try { graft.sqlfront.ChSql.sql(spark, sf, st).foreach(_ => ()); false }
           catch { case _: AnchorFail => false
                   case _: Throwable => true } // incl. OOM from absent size caps
         if (!failed)
