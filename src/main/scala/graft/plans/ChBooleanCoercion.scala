@@ -81,3 +81,75 @@ object ChFloat32Compare extends Rule[LogicalPlan] {
         }
     }
 }
+
+/** CH's join_use_nulls=0 DEFAULT: columns of the non-matched side of an
+  * outer join are filled with the column type's DEFAULT (0 / '' / epoch
+  * / []), not NULL (reference Interpreters/join_common + the
+  * join_use_nulls setting, which the stateless suite runs with 0).
+  * Gated behind spark.graft.chJoinDefaults so only the reference-anchor
+  * runner sees it — the oracle-checked query surface keeps ANSI NULLs. */
+object ChJoinDefaults extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.{LeftOuter, RightOuter, FullOuter}
+  import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+
+  private val done = new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("chJoinDefaults")
+
+  private def default(dt: DataType): Option[Expression] = dt match {
+    case _: NumericType | BooleanType => Some(Literal.default(dt))
+    case StringType => Some(Literal.default(dt))
+    case DateType | _: TimestampType | TimestampNTZType => Some(Literal.default(dt))
+    case a: ArrayType =>
+      Some(Cast(CreateArray(Seq.empty), a))
+    case _ => None // maps/structs keep NULL
+  }
+
+  /** ExprIds of the outer (null-filled) side of `j`. */
+  private def outerSide(j: Join): Set[ExprId] = j.joinType match {
+    case LeftOuter => j.right.outputSet.map(_.exprId).toSet
+    case RightOuter => j.left.outputSet.map(_.exprId).toSet
+    case FullOuter => (j.left.outputSet ++ j.right.outputSet).map(_.exprId).toSet
+    case _ => Set.empty
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.chJoinDefaults", "false").toBoolean)
+      return plan
+    // rewrite the PROJECT directly above an outer join (the analyzer
+    // always materializes one — for USING joins it is the node carrying
+    // the key coalescing) rather than inserting a new operator, which
+    // would detach attributes operators above already resolved against
+    plan.resolveOperators {
+      case p @ Project(list, j: Join)
+          if p.resolved && outerSide(j).nonEmpty &&
+            !p.getTagValue(done).contains(true) =>
+        val nullableSide = outerSide(j)
+        // columns declared Nullable(T) in the CH DDL stay NULL even with
+        // join_use_nulls=0 — they carry ch_nullable field metadata
+        def chNullable(a: AttributeReference): Boolean =
+          a.metadata.contains("ch_nullable")
+        def fill(e: Expression): Expression = e.transformUp {
+          case a: AttributeReference if nullableSide(a.exprId) && !chNullable(a) =>
+            default(a.dataType) match {
+              case Some(d) => Coalesce(Seq(a, d))
+              case None => a
+            }
+        }
+        val newList = list.map {
+          case a: AttributeReference if nullableSide(a.exprId) && !chNullable(a) =>
+            default(a.dataType) match {
+              case Some(d) => Alias(Coalesce(Seq(a, d)), a.name)(
+                exprId = a.exprId, qualifier = a.qualifier,
+                explicitMetadata = Some(a.metadata))
+              case None => a
+            }
+          case al @ Alias(child, nm) =>
+            Alias(fill(child), nm)(exprId = al.exprId,
+              qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
+          case other => other.asInstanceOf[NamedExpression]
+        }
+        val np = Project(newList, j)
+        np.setTagValue(done, true)
+        np
+    }
+  }
+}

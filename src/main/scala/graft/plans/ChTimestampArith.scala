@@ -34,5 +34,15 @@ object ChTimestampArith extends Rule[LogicalPlan] {
       case st: org.apache.spark.sql.catalyst.expressions.SubtractTimestamps
           if isTs(st.left) && isIntegral(st.right) =>
         TimestampAdd("SECOND", UnaryMinus(st.right), st.left)
+      // CH Date ± UInt/Int of any width means days; Spark's date_add
+      // rejects BIGINT offsets (`number % 7` is LongType)
+      case da @ org.apache.spark.sql.catalyst.expressions.DateAdd(_, n)
+          if n.resolved && n.dataType == org.apache.spark.sql.types.LongType =>
+        da.copy(days = org.apache.spark.sql.catalyst.expressions.Cast(
+          n, org.apache.spark.sql.types.IntegerType))
+      case ds @ org.apache.spark.sql.catalyst.expressions.DateSub(_, n)
+          if n.resolved && n.dataType == org.apache.spark.sql.types.LongType =>
+        ds.copy(days = org.apache.spark.sql.catalyst.expressions.Cast(
+          n, org.apache.spark.sql.types.IntegerType))
     }
 }

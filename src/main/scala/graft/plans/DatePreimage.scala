@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChTimestampArith)
     ext.injectResolutionRule(_ => ChBooleanCoercion)
     ext.injectResolutionRule(_ => ChFloat32Compare)
+    ext.injectResolutionRule(_ => ChJoinDefaults)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -102,7 +102,7 @@ object ChSql {
     // date/time
     "toDateTime" -> "to_timestamp", "toDate32" -> "to_date",
     "toLastDayOfMonth" -> "last_day",
-    "now" -> "current_timestamp", "today" -> "current_date",
+    "now" -> "t", "today" -> "t",
     "toDateTimeOrNull" -> "t", "monthName" -> "t", "toMonday" -> "t",
     "addHours" -> "t", "addMinutes" -> "t", "addSeconds" -> "t", // templates
     "addMonths" -> "t", "addYears" -> "t", "addWeeks" -> "t",
@@ -1408,6 +1408,34 @@ object ChSql {
   private val dynamicCols =
     scala.collection.concurrent.TrieMap.empty[String, Set[String]]
 
+  /** One CSV line -> cells, honoring double-quoted fields with ""
+    * escapes (reference Formats/Impl CSVRowInputFormat). */
+  private[sqlfront] def splitCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0; var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          cur.append('"'); i += 1
+        } else if (c == '"') inQ = false
+        else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.map(s => if (s == "\\N") null else s).toSeq
+  }
+
+  /** DETACH TABLE stash: name -> the table's content at detach time. */
+  private val detachedTables =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** vector_similarity index declarations: table -> (column, dimension).
     * Inserted vectors of any other size are INCORRECT_DATA (reference
     * MergeTreeIndexVectorSimilarity insert validation). */
@@ -2598,6 +2626,51 @@ object ChSql {
     else Some(s"CAST($arg)")
   }
 
+  /** `ANY [LEFT|INNER] JOIN <t> [alias] USING (cols)` (reference
+    * JoinSettings any_join): at most one right-side match per key — the
+    * FIRST in block order. Rewritten by deduplicating the build side on
+    * the USING columns before a plain join; scan order approximated with
+    * monotonically_increasing_id. RIGHT/ON forms are left to the
+    * DataFrame operator (ops/Ops.anyJoin). */
+  private def rewriteAnyJoin(q0: String): String = {
+    val re = "(?i)\\bANY\\s+(LEFT|INNER)\\s+(?:OUTER\\s+)?JOIN\\s*".r
+    val m = re.findFirstMatchIn(q0).getOrElse(return q0)
+    var i = m.end
+    while (i < q0.length && q0.charAt(i).isWhitespace) i += 1
+    if (i >= q0.length) return q0
+    val tStart = i
+    if (q0.charAt(i) == '(') {
+      var depth = 0; var inStr = false
+      while (i < q0.length && (depth > 0 || i == tStart)) {
+        val c = q0.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        i += 1
+      }
+    } else {
+      while (i < q0.length && (q0.charAt(i).isLetterOrDigit ||
+        q0.charAt(i) == '_' || q0.charAt(i) == '.')) i += 1
+    }
+    val target = q0.substring(tStart, i)
+    val usingRe =
+      "(?is)^\\s*(?:AS\\s+(\\w+)\\s+|(\\w+)\\s+)??USING\\s*\\(?\\s*([\\w`]+(?:\\s*,\\s*[\\w`]+)*)\\s*\\)?".r
+    val um = usingRe.findFirstMatchIn(q0.substring(i)).getOrElse(return q0)
+    val alias = Option(um.group(1)).orElse(Option(um.group(2)))
+      .filterNot(_.equalsIgnoreCase("USING"))
+    val cols = um.group(3).split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+    val colList = cols.mkString(", ")
+    val dedupClean = s"(SELECT * EXCEPT (__any_rn, __any_ord) FROM (" +
+      s"SELECT *, row_number() OVER (PARTITION BY $colList ORDER BY __any_ord) AS __any_rn " +
+      s"FROM (SELECT *, monotonically_increasing_id() AS __any_ord FROM $target)) " +
+      s"WHERE __any_rn = 1)"
+    val aliasTxt = alias.map(a => s" AS $a").getOrElse("")
+    val rest = q0.substring(i + um.end)
+    rewriteAnyJoin(q0.substring(0, m.start) +
+      s" ${m.group(1)} JOIN $dedupClean$aliasTxt USING ($colList) " + rest)
+  }
+
   /** `primary :: Type` (ParserCastOperator) -> to<Type>(primary). The
     * primary is the adjacent token run: a quoted literal, an identifier /
     * number, or a balanced paren group (with any attached call name). */
@@ -2690,6 +2763,11 @@ object ChSql {
 
     // SQL-level ASOF JOIN before FROM-clause text is touched
     q = rewriteAsofJoin(q)
+
+    // ANY [LEFT|INNER] JOIN ... USING — dedupe the build side per key
+    q = rewriteAnyJoin(q)
+    // ALL JOIN is the default join semantics — drop the keyword
+    q = q.replaceAll("(?i)\\bALL\\s+(LEFT|RIGHT|INNER|FULL)(\\s+OUTER)?\\s+JOIN\\b", "$1$2 JOIN")
 
     // toDateTime(x, 'tz'): the second argument is ALWAYS a timezone in CH
     // (never a format). CH stores an instant but RENDERS in tz; this engine
@@ -4280,6 +4358,15 @@ object ChSql {
       else s"lead(${a(0)}, $off) OVER (ORDER BY $ord)"
     }
     q = rewriteCalls(q, "ignore")(_ => "0")
+    // now()/today() are CONSTANT for the whole query in the reference
+    // (evaluated at analysis); emitting literals also keeps them legal
+    // inside aggregates, where Spark rejects non-deterministic exprs
+    q = rewriteCalls(q, "now")(a =>
+      if (a.exists(_.trim.nonEmpty)) s"current_timestamp(${a.mkString(", ")})"
+      else "timestamp'" + java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")) + "'")
+    q = rewriteCalls(q, "today")(_ =>
+      "date'" + java.time.LocalDate.now(java.time.ZoneOffset.UTC) + "'")
     q = rewriteCalls(q, "formatReadableSize") { a =>
       val x = s"CAST(${a(0)} AS DOUBLE)"
       val ui = s"CAST(floor(log(greatest($x, 1.0)) / log(1024.0)) AS INT)"
@@ -5791,6 +5878,8 @@ object ChSql {
       "(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(\\w+)\\s*(?:\\(([\\w`,\\s]*)\\)\\s*)?((?:SELECT|WITH)\\b.*)$".r
     val insertValRe =
       "(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(\\w+)\\s*(?:\\(([\\w`,\\s]*)\\)\\s*)?VALUES\\s*(.*)$".r
+    val insertFmtRe =
+      "(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(\\w+)\\s*(?:\\(([\\w`,\\s]*)\\)\\s*)?FORMAT\\s+(\\w+)\\s*(.*)$".r
     // lightweight mutations on session tables (reference
     // MutationsInterpreter.cpp; parquet-backed tables use ops.Mutations)
     val alterDelRe = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DELETE\\s+WHERE\\s+(.*?);?\\s*$".r
@@ -5945,7 +6034,13 @@ object ChSql {
             catch { case _: Exception => StringType }
           case other => other
         }
-        StructField(c.name, dt)
+        // ch_nullable marks columns declared Nullable(T): outer-join
+        // default-filling (join_use_nulls=0) must NOT touch them
+        val md = if (c.chNullable)
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putBoolean("ch_nullable", true).build()
+        else org.apache.spark.sql.types.Metadata.empty
+        StructField(c.name, dt, metadata = md)
       }
       validateCreate(q.substring(m.end, i - 1), rest)
       val empty = spark.createDataFrame(
@@ -6063,6 +6158,41 @@ object ChSql {
         Some(out.limit(0))
       case q2 if systemRe.pattern.matcher(q2).matches =>
         Some(spark.range(0).toDF("ok"))
+      // database DDL: the session catalog is single-database (`default`)
+      // — clickhouse-test's per-test CREATE/DROP DATABASE and USE are
+      // no-ops here. Database ENGINES the reference validates still
+      // throw (MySQL needs a live server, Replicated needs zk args).
+      case q2 if "(?is)^\\s*(CREATE|DROP)\\s+DATABASE\\b.*".r
+          .pattern.matcher(q2).matches =>
+        for (em <- "(?is)\\bENGINE\\s*=?\\s*(\\w+)".r.findFirstMatchIn(q2)
+             if !Set("atomic", "ordinary", "memory", "lazy")
+               .contains(em.group(1).toLowerCase))
+          throw new IllegalArgumentException(
+            s"BAD_ARGUMENTS: database engine ${em.group(1)} is not available here")
+        Some(spark.range(0).toDF("ok"))
+      case q2 if "(?is)^\\s*USE\\s+\\w+\\s*;?\\s*$".r.pattern.matcher(q2).matches =>
+        Some(spark.range(0).toDF("ok"))
+      // DETACH TABLE stashes the table; ATTACH TABLE restores it
+      // (reference InterpreterDropQuery/InterpreterCreateQuery ATTACH)
+      case q2 if "(?is)^\\s*DETACH\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?\\w+(?:\\s+PERMANENTLY)?\\s*(?:SYNC)?\\s*;?\\s*$"
+          .r.pattern.matcher(q2).matches =>
+        val nm = "(?is)\\bTABLE\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)".r
+          .findFirstMatchIn(q2).get.group(1)
+        if (spark.catalog.tableExists(nm)) {
+          detachedTables.put(nm, spark.table(nm))
+          spark.catalog.dropTempView(nm)
+        }
+        Some(spark.range(0).toDF("ok"))
+      case q2 if "(?is)^\\s*ATTACH\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?\\w+\\s*;?\\s*$"
+          .r.pattern.matcher(q2).matches =>
+        val nm = "(?is)\\bTABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)".r
+          .findFirstMatchIn(q2).get.group(1)
+        detachedTables.remove(nm) match {
+          case Some(df) => df.createOrReplaceTempView(nm)
+          case None => throw new IllegalArgumentException(
+            s"UNKNOWN_TABLE: cannot attach $nm — never detached")
+        }
+        Some(spark.range(0).toDF("ok"))
       // standalone CREATE/DROP FUNCTION statements (tests issue them as
       // separate statements; the registry is session-global). Validation
       // mirrors UserDefinedSQLFunctionFactory: no recursion, no
@@ -6113,6 +6243,62 @@ object ChSql {
           matViews.put(src, mvs.filterNot(_._1 == name))
         for ((p, c) <- replicaPaths if c == name) replicaPaths.remove(p)
         Some(spark.range(0).toDF("dropped"))
+      // INSERT ... FORMAT <fmt> with inline data (reference
+      // ParserInsertQuery data tail). Values delegates to the VALUES
+      // path; CSV/TSV/JSONEachRow parse the trailing lines.
+      case insertFmtRe(name0, colsOpt, fmt, data0)
+          if Seq("values", "csv", "csvwithnames", "tsv", "tabseparated",
+                 "jsoneachrow").contains(fmt.toLowerCase) =>
+        val data = data0.trim
+        if (fmt.equalsIgnoreCase("Values"))
+          return Some(sql(spark, dir,
+            s"INSERT INTO $name0 ${Option(colsOpt).map(c => s"($c) ").getOrElse("")}VALUES $data"))
+        val name = distributedTables.get(name0).map(_._1).getOrElse(name0)
+        val existing = spark.table(name)
+        val listed = Option(colsOpt).map(_.trim).filter(_.nonEmpty)
+          .map(splitArgs(_).map(_.trim.stripPrefix("`").stripSuffix("`")))
+          .getOrElse(existing.columns.toSeq)
+        val lines0 = data.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        val lines =
+          if (fmt.toLowerCase == "csvwithnames") lines0.drop(1) else lines0
+        import org.apache.spark.sql.types._
+        val incoming: DataFrame = fmt.toLowerCase match {
+          case "jsoneachrow" =>
+            import spark.implicits._
+            spark.read.json(spark.createDataset(lines))
+          case f =>
+            val rows = lines.map { l =>
+              val cells =
+                if (f.startsWith("csv")) splitCsvLine(l)
+                else l.split("\t", -1).toSeq.map(c =>
+                  if (c == "\\N") null else c.replace("\\t", "\t").replace("\\\\", "\\"))
+              org.apache.spark.sql.Row(cells.padTo(listed.length, null): _*)
+            }
+            val schema = StructType(listed.map(c => StructField(c, StringType)))
+            val raw = spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+            // container-typed targets need a text parse, not a cast
+            listed.foldLeft(raw) { (d, c) =>
+              existing.schema.find(_.name == c).map(_.dataType) match {
+                case Some(mt: MapType) =>
+                  d.withColumn(c, org.apache.spark.sql.functions.expr(
+                    s"CAST(str_to_map(translate(trim(BOTH '{}' FROM `$c`), \"'\", ''), ',', ':') AS ${mt.sql})"))
+                case Some(at: ArrayType) =>
+                  d.withColumn(c, org.apache.spark.sql.functions.expr(
+                    s"CAST(split(trim(BOTH '[]' FROM translate(`$c`, \"'\", '')), ',') AS ${at.sql})"))
+                case _ => d
+              }
+            }
+        }
+        val block = fitToSchema(existing, name,
+          listed.filter(incoming.columns.contains), incoming)
+        checkVectorDims(name, block)
+        val appended = existing.unionByName(block)
+        appended.createOrReplaceTempView(name)
+        refreshDistributed(spark, name)
+        propagateMatViews(spark, dir, name, block)
+        Some(appended.limit(0))
       case insertSelRe(name0, colsOpt, inner) =>
         // writes to a Distributed proxy land in its underlying table
         val name = distributedTables.get(name0).map(_._1).getOrElse(name0)

@@ -99,7 +99,8 @@ object ChTypes {
     * DEFAULT/MATERIALIZED/ALIAS expression if declared (computed at
     * insert time for unlisted columns). */
   final case class ColumnDef(name: String, dataType: DataType,
-                             defaultExpr: Option[String])
+                             defaultExpr: Option[String],
+                             chNullable: Boolean = false)
 
   private val modifierKeywords = Set("default", "materialized", "alias",
     "ephemeral", "comment", "codec", "ttl", "primary", "settings")
@@ -160,7 +161,8 @@ object ChTypes {
           // typeless `col DEFAULT expr`: type inferred from the expression
           Some(ColumnDef(name, NullType, dflt))
         else
-          Some(ColumnDef(name, toSpark(typeStr), dflt))
+          Some(ColumnDef(name, toSpark(typeStr), dflt,
+            typeStr.trim.toLowerCase.startsWith("nullable")))
       }
     }
 }

@@ -114,7 +114,35 @@ object AnchorScout {
   }
   private def renderNested(v: Any): String = v match {
     case s: String => "'" + s + "'"
+    // dates/times quote in nested contexts (CH Map/Array/Tuple text)
+    case d: java.sql.Date => "'" + d + "'"
+    case d: java.time.LocalDate => "'" + d + "'"
+    case t: java.sql.Timestamp => "'" + render(t) + "'"
+    case t: java.time.LocalDateTime => "'" + render(t) + "'"
     case other => render(other)
+  }
+
+  /** One row as a CH CSV record: strings always double-quoted with ""
+    * escapes, containers rendered in CH text form inside quotes,
+    * numbers/dates bare (reference CSVRowOutputFormat). */
+  private def renderCsv(row: org.apache.spark.sql.Row): String = {
+    def cells(v: Any): Seq[String] = v match {
+      case null => Seq("\\N")
+      case s: String => Seq("\"" + s.replace("\"", "\"\"") + "\"")
+      // tuples flatten to adjacent CSV columns (observed in the
+      // reference's 00300_csv expected bytes)
+      case r: org.apache.spark.sql.Row =>
+        (0 until r.length).flatMap(i => cells(r.get(i)))
+      case a: scala.collection.Seq[_] =>
+        Seq("\"" + render(a).replace("\"", "\"\"") + "\"")
+      case m: scala.collection.Map[_, _] =>
+        Seq("\"" + render(m).replace("\"", "\"\"") + "\"")
+      case d: java.sql.Date => Seq("\"" + d + "\"")
+      case d: java.time.LocalDate => Seq("\"" + d + "\"")
+      case t: java.sql.Timestamp => Seq("\"" + render(t) + "\"")
+      case other => Seq(render(other))
+    }
+    (0 until row.length).flatMap(i => cells(row.get(i))).mkString(",")
   }
 
   // ------------------------------------------------------ shared runner
@@ -133,6 +161,12 @@ object AnchorScout {
     if (!java.nio.file.Files.exists(sqlPath)) return Left("no .sql")
     val sql = new String(java.nio.file.Files.readAllBytes(sqlPath), "UTF-8")
     if (isEnvClass(name, sql)) return Left("ENV-CLASS (blocklisted)")
+    // the stateless suite runs with join_use_nulls=0 (outer-join misses
+    // carry type defaults) unless the test opts into 1. Scoped to this
+    // runner only (cleared in the finally) — the oracle surface keeps
+    // ANSI NULLs.
+    val wantsNulls = "(?i)join_use_nulls\\s*=\\s*1".r.findFirstIn(sql).isDefined
+    spark.conf.set("spark.graft.chJoinDefaults", (!wantsNulls).toString)
     val expected = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/$name.reference")), "UTF-8").stripLineEnd
     val tagged = sql.replaceAll(
@@ -141,6 +175,17 @@ object AnchorScout {
       .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
       .filter(_.nonEmpty)
       .filterNot(_.toUpperCase.startsWith("SET "))
+      // INSERT ... FORMAT <fmt> inline data ends at the first blank line;
+      // the ';'-split may have glued the NEXT statement onto the chunk
+      .flatMap { st =>
+        val m = "(?is)^\\s*INSERT\\s+INTO\\b.*?\\bFORMAT\\s+(CSV\\w*|TSV|TabSeparated|JSONEachRow)\\b"
+          .r.findFirstIn(st)
+        if (m.isEmpty) Seq(st)
+        else st.split("\n\\s*\n", 2) match {
+          case Array(ins, rest) => Seq(ins.trim, rest.trim).filter(_.nonEmpty)
+          case _ => Seq(st)
+        }
+      }
     val fmtRe = "(?is)^(.*?)\\bFORMAT\\s+(\\w+)\\s*$".r
     val out = statements.flatMap { st0 =>
       val mustFail = st0.endsWith("@@MUST_FAIL@@")
@@ -157,6 +202,10 @@ object AnchorScout {
             if fmt.equalsIgnoreCase("TabSeparated") || fmt.equalsIgnoreCase("TSV") =>
           (body.trim, 0)
         case fmtRe(body, fmt) if fmt.equalsIgnoreCase("Values") => (body.trim, 2)
+        case fmtRe(body, fmt) if fmt.equalsIgnoreCase("CSV") &&
+            !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 3)
+        case fmtRe(body, fmt) if fmt.equalsIgnoreCase("CSVWithNames") &&
+            !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 4)
         case _ => (st1, 0)
       }
       val suppress = mode == 1
@@ -182,6 +231,12 @@ object AnchorScout {
             (0 until row.length).map(i => renderNested(row.get(i)))
               .mkString("(", ",", ")")
           }.mkString(","))
+        else if (mode == 3) rows.map(renderCsv) // FORMAT CSV
+        else if (mode == 4) { // FORMAT CSVWithNames: header of names
+          val hdr = graft.sqlfront.ChSql.sql(spark, sf, st).columns
+            .map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(",")
+          hdr +: rows.map(renderCsv)
+        }
         else rows.map { row =>
           (0 until row.length).map(i => render(row.get(i))).mkString("\t")
         }
@@ -195,7 +250,8 @@ object AnchorScout {
     case e: Throwable => // a sweep must survive stray OOMs
       Left(Option(e.getMessage).getOrElse(e.getClass.getName)
         .linesIterator.map(_.trim).filter(_.nonEmpty)
-        .take(2).mkString(" | ").take(160)) }
+        .take(2).mkString(" | ").take(160))
+  } finally spark.conf.set("spark.graft.chJoinDefaults", "false")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Tables.session("local[8]", 8)
