@@ -38,3 +38,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // (anchor suite + dialect suites); 8g leaves no headroom for the
 // accumulated session state on this 128 GiB host. Last -Xmx wins.
 Test / javaOptions += "-Xmx24g"
+
+// The 1,150+-test reference-anchor corpus dominates suite wall-clock
+// (~15 min serially). ReferenceAnchorSpecA–F each hold 1/6 of it; fork
+// each into its OWN JVM (own SparkSession) and run the seven groups
+// concurrently — full `sbt test` coverage at ~1/4 the wall-clock.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val baseOpts = (Test / javaOptions).value.toVector
+  // 8g OOM-killed part B at ~160 anchors in (exit 52): per-test session
+  // state accumulates across a fork's ~190 anchors, so the cap must
+  // cover END-of-fork footprint, not a single test. 24g(main)+6×12g
+  // peaks ≤ 96g of a 128 GiB host. Last -Xmx wins.
+  val anchorOpts = baseOpts :+ "-Xmx12g"
+  val (anchors, rest) = tests.partition(_.name.matches("graft\\.ReferenceAnchorSpec[A-F]"))
+  anchors.map(t => Tests.Group(t.name, Seq(t),
+    Tests.SubProcess(ForkOptions().withRunJVMOptions(anchorOpts)))) :+
+    Tests.Group("main", rest,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(baseOpts)))
+}
+Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 7))

@@ -182,8 +182,12 @@ object Tables {
       // optimize_trivial_count_query + MergeTree count() from metadata):
       // bare COUNT/MIN/MAX over a scan never touches row data.
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // CH Map accepts duplicate keys (last write wins on lookup);
-      // Spark's default EXCEPTION policy would reject such literals
+      // CH Map accepts duplicate keys, keeps them, and LOOKUP returns
+      // the FIRST match (reference arrayElement.cpp). Spark has no
+      // FIRST_WIN policy — the map-LITERAL rewrite drops later
+      // duplicate literal keys to emulate first-match; LAST_WIN here
+      // only remains reachable for runtime-computed duplicate keys,
+      // where Spark's EXCEPTION default would otherwise throw
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       // long sessions run thousands of queries whose rewritten plans are

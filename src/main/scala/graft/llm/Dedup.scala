@@ -80,9 +80,16 @@ object Dedup {
   }
 
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
-    val bandRows = bandSignatureRows(docs, idCol, textCol, k, bands, shingleN)
+                      k: Int = 0, bands: Int = 0, shingleN: Int = 3,
+                      threshold: Double = 0.7, maxBucket: Int = 10000,
+                      nHint: Long = -1L): DataFrame = {
+    // banding defaults DERIVE from corpus size (bits≈log(n) — the
+    // measured difference between near-linear and quadratic at scale);
+    // explicit k/bands still override, nHint skips the count()
+    val (kk, bb) =
+      if (k > 0 && bands > 0) (k, bands)
+      else LshDefaults.minhash(if (nHint >= 0) nHint else docs.count())
+    val bandRows = bandSignatureRows(docs, idCol, textCol, kk, bb, shingleN)
     val cand = bandRows.groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -110,14 +117,21 @@ object Dedup {
     * and only recall is probabilistic (same bound as minhashLshPairs). */
   def minhashLshJoin(left: DataFrame, right: DataFrame,
                      idCol: String, textCol: String,
-                     k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                     threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+                     k: Int = 0, bands: Int = 0, shingleN: Int = 3,
+                     threshold: Double = 0.7, maxBucket: Int = 10000,
+                     nHint: Long = -1L): DataFrame = {
+    // size-derived banding (see minhashLshPairs); the LARGER side
+    // drives bucket occupancy, so it picks the banding for both
+    val (kk, bb) =
+      if (k > 0 && bands > 0) (k, bands)
+      else LshDefaults.minhash(
+        if (nHint >= 0) nHint else math.max(left.count(), right.count()))
     def bounded(b: DataFrame) = {
       val cnt = b.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__c"))
       b.join(cnt.filter(col("__c") <= maxBucket), Seq("band", "bh")).drop("__c")
     }
-    val lb = bounded(bandSignatureRows(left, idCol, textCol, k, bands, shingleN))
-    val rb = bounded(bandSignatureRows(right, idCol, textCol, k, bands, shingleN))
+    val lb = bounded(bandSignatureRows(left, idCol, textCol, kk, bb, shingleN))
+    val rb = bounded(bandSignatureRows(right, idCol, textCol, kk, bb, shingleN))
     val cand = lb.select(col("band"), col("bh"), col("id").as("a"))
       .join(rb.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
       .select(col("a"), col("b")).distinct()
@@ -204,7 +218,20 @@ object Dedup {
     */
   def incrementalLshDedup(batch: DataFrame, idCol: String, textCol: String,
                           statePath: String, k: Int = 32, bands: Int = 8,
-                          shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+                          shingleN: Int = 3, threshold: Double = 0.7,
+                          batchId: Long = -1L): DataFrame = {
+    // NOTE: k/bands stay FIXED defaults here (not LshDefaults-derived) —
+    // band hashes must be computed identically for the LIFE of the state
+    // store or cross-batch joins silently miss; size the banding up front
+    // with LshDefaults.minhash(expected corpus size) when creating it.
+    //
+    // batchId >= 0 makes the state append IDEMPOTENT: signatures/docs
+    // land in a batch=<id> partition written with dynamic partition
+    // OVERWRITE, so a microbatch redelivered after a crash (sink write
+    // done, checkpoint commit lost — the double-write window) replaces
+    // its own partition instead of appending a second copy. Same
+    // mechanism as Streams.mvWriteBatch; reference guarantee:
+    // DeduplicationTokenTransforms insert-dedup survives process death.
     val spark = batch.sparkSession
     val bandsPath = s"$statePath/bands"
     val docsPath = s"$statePath/docs"
@@ -212,11 +239,17 @@ object Dedup {
     val newDocs = batch.select(col(idCol).as("id"), col(textCol).as("t"))
 
     val histExists = new java.io.File(bandsPath).exists()
+    // a redelivered batch must not see ITS OWN crashed first attempt as
+    // history (it would pair every batch doc with its stale copy)
+    def ownFiltered(df: DataFrame): DataFrame =
+      if (batchId >= 0 && df.columns.contains("batch"))
+        df.filter(col("batch") =!= batchId)
+      else df
     // cross-batch candidates: batch band rows joined to historical postings
     val crossCand =
       if (!histExists) spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
       else newBands.join(
-          spark.read.parquet(bandsPath).select(
+          ownFiltered(spark.read.parquet(bandsPath)).select(
             col("id").as("hist_id"), col("band"), col("bh")),
           Seq("band", "bh"))
         .select(col("hist_id").as("a"), col("id").as("b")).distinct()
@@ -229,7 +262,9 @@ object Dedup {
     val cand = crossCand.unionByName(intraCand).distinct()
 
     val histText =
-      if (!histExists) newDocs else spark.read.parquet(docsPath).unionByName(newDocs)
+      if (!histExists) newDocs
+      else ownFiltered(spark.read.parquet(docsPath))
+        .select(col("id"), col("t")).unionByName(newDocs)
     val verified = cand
       .join(histText.select(col("id").as("a"), col("t").as("ta")), "a")
       .join(newDocs.select(col("id").as("b"), col("t").as("tb")), "b")
@@ -238,8 +273,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .cache()
     verified.count() // materialize before mutating state
-    newBands.write.mode("append").parquet(bandsPath)
-    newDocs.write.mode("append").parquet(docsPath)
+    if (batchId >= 0) {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      newBands.withColumn("batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch").parquet(bandsPath)
+      newDocs.withColumn("batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch").parquet(docsPath)
+    } else {
+      newBands.write.mode("append").parquet(bandsPath)
+      newDocs.write.mode("append").parquet(docsPath)
+    }
     verified
   }
 

@@ -202,13 +202,21 @@ object Similarity {
     * back by id with hash joins keyed on the (already shuffled-small)
     * candidate list. */
   def cosinePairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
-                          threshold: Double, bands: Int = 12,
-                          planesPerBand: Int = 8): DataFrame = {
+                          threshold: Double, bands: Int = 0,
+                          planesPerBand: Int = 0,
+                          nHint: Long = -1L): DataFrame = {
+    // size-derived banding (LshDefaults.cosine, bits≈log(n)): the
+    // round-12 sweep's fixed 12×8 default ABORTED at ×100 corpus while
+    // the scaled setting stayed near-linear — so scaling IS the default
+    // now; explicit bands/planes override, nHint skips the count()
+    val (bb, pp) =
+      if (bands > 0 && planesPerBand > 0) (bands, planesPerBand)
+      else LshDefaults.cosine(if (nHint >= 0) nHint else emb.count())
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"))
     val banded = e.select(col("id"),
       posexplode(graft.functions.VectorKernels.hyperplane_band_sigs(
-        col("v"), bands, planesPerBand)).as(Seq("band", "bh")))
+        col("v"), bb, pp)).as(Seq("band", "bh")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))

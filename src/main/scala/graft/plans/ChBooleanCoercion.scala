@@ -63,8 +63,18 @@ object ChFloat32Compare extends Rule[LogicalPlan] {
         inner.dataType == FloatType => Some(inner)
     case _ => None
   }
+  // the reference's #58680 fix applies to constants PARSED FROM THE
+  // QUERY TEXT; a foldable non-literal (e.g. pi()) is compared in
+  // Float64 there, so only Literal / Cast-of-Literal / negated-Literal
+  // shapes qualify here
+  private def isQueryLiteral(e: Expression): Boolean = e match {
+    case _: Literal => true
+    case Cast(c, _, _, _) => isQueryLiteral(c)
+    case UnaryMinus(c, _) => isQueryLiteral(c)
+    case _ => false
+  }
   private def isFoldableLit(e: Expression): Boolean =
-    e.resolved && e.foldable && (e.dataType match {
+    e.resolved && isQueryLiteral(e) && (e.dataType match {
       case DoubleType | StringType => true
       case _ => false
     })
@@ -84,10 +94,20 @@ object ChFloat32Compare extends Rule[LogicalPlan] {
 
 /** CH's join_use_nulls=0 DEFAULT: columns of the non-matched side of an
   * outer join are filled with the column type's DEFAULT (0 / '' / epoch
-  * / []), not NULL (reference Interpreters/join_common + the
-  * join_use_nulls setting, which the stateless suite runs with 0).
-  * Gated behind spark.graft.chJoinDefaults so only the reference-anchor
-  * runner sees it — the oracle-checked query surface keeps ANSI NULLs. */
+  * / []) — but ONLY when the column is non-Nullable; a Nullable(T)
+  * column, whether declared in DDL or computed (`if(c, NULL, x)`),
+  * keeps NULL (reference Interpreters/join_common + the join_use_nulls
+  * setting, which the stateless suite runs with 0). The pre-join child
+  * output's Spark nullability bit is exactly CH's Nullable bit here:
+  * ChTypes maps non-Nullable DDL to nullable=false fields, and any
+  * NULL-producing expression is nullable=true.
+  *
+  * Implementation: wrap every resolved outer Join with a Project that
+  * coalesces the fillable columns under the SAME ExprIds, so operators
+  * above — including parent joins in a stacked-join query — see the
+  * filled values without any re-resolution. Gated behind
+  * spark.graft.chJoinDefaults so only the reference-anchor runner sees
+  * it — the oracle-checked query surface keeps ANSI NULLs. */
 object ChJoinDefaults extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.{LeftOuter, RightOuter, FullOuter}
   import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
@@ -103,53 +123,67 @@ object ChJoinDefaults extends Rule[LogicalPlan] {
     case _ => None // maps/structs keep NULL
   }
 
-  /** ExprIds of the outer (null-filled) side of `j`. */
-  private def outerSide(j: Join): Set[ExprId] = j.joinType match {
-    case LeftOuter => j.right.outputSet.map(_.exprId).toSet
-    case RightOuter => j.left.outputSet.map(_.exprId).toSet
-    case FullOuter => (j.left.outputSet ++ j.right.outputSet).map(_.exprId).toSet
-    case _ => Set.empty
+  /** Attributes the join null-extends that CH would default-fill:
+    * outer-side columns that were NON-nullable on the pre-join child
+    * (the child output carries the pre-join nullability bit). */
+  private def fillable(j: Join): Seq[Attribute] = j.joinType match {
+    case LeftOuter => j.right.output.filterNot(_.nullable)
+    case RightOuter => j.left.output.filterNot(_.nullable)
+    case FullOuter => (j.left.output ++ j.right.output).filterNot(_.nullable)
+    case _ => Seq.empty
   }
+
+  private def fills(j: Join): Map[ExprId, Expression] = fillable(j).flatMap { a =>
+    default(a.dataType).map(d => a.exprId -> d)
+  }.toMap
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.chJoinDefaults", "false").toBoolean)
       return plan
-    // rewrite the PROJECT directly above an outer join (the analyzer
-    // always materializes one — for USING joins it is the node carrying
-    // the key coalescing) rather than inserting a new operator, which
-    // would detach attributes operators above already resolved against
-    plan.resolveOperators {
-      case p @ Project(list, j: Join)
-          if p.resolved && outerSide(j).nonEmpty &&
-            !p.getTagValue(done).contains(true) =>
-        val nullableSide = outerSide(j)
-        // columns declared Nullable(T) in the CH DDL stay NULL even with
-        // join_use_nulls=0 — they carry ch_nullable field metadata
-        def chNullable(a: AttributeReference): Boolean =
-          a.metadata.contains("ch_nullable")
-        def fill(e: Expression): Expression = e.transformUp {
-          case a: AttributeReference if nullableSide(a.exprId) && !chNullable(a) =>
-            default(a.dataType) match {
-              case Some(d) => Coalesce(Seq(a, d))
-              case None => a
+    // Fire only once the WHOLE plan is resolved: USING-join hidden
+    // columns (qualified access like s2.x) materialize into ancestor
+    // project lists late in resolution, and rewriting the join output
+    // before that leaves dangling references the attr-mapping below
+    // cannot see. The resolution batch runs to fixpoint, so this rule
+    // still gets its turn after everything else settles.
+    if (!plan.resolved) return plan
+    // The filled columns get FRESH ExprIds and ancestors are rewritten
+    // to reference them (resolveOperatorsUpWithNewOutput): an Alias
+    // reusing its child's ExprId is regenerated by DeduplicateRelations
+    // during analysis, detaching anything resolved against it. Fresh
+    // ids also give stacked joins CH semantics for free — a parent
+    // join's ON condition is an ancestor reference, so it compares the
+    // FILLED child-join outputs, while each join's own ON stays raw.
+    plan.resolveOperatorsUpWithNewOutput {
+      case j: Join if j.resolved && !j.getTagValue(done).contains(true) &&
+          fills(j).nonEmpty =>
+        val fm = fills(j)
+        j.setTagValue(done, true)
+        // a child may legally output the same ExprId twice (CH allows
+        // `SELECT 1 AS a, a`) — fill each id ONCE (transformUpWithNewOutput
+        // asserts mapping keys unique); later duplicates reuse the new attr
+        val seen = scala.collection.mutable.LinkedHashMap.empty[ExprId, Attribute]
+        val pairs: Seq[(NamedExpression, Option[(Attribute, Attribute)])] =
+          j.output.map { a =>
+            fm.get(a.exprId) match {
+              case Some(d) =>
+                val al = Alias(Coalesce(Seq(a, d)), a.name)(
+                  qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+                // only the FIRST occurrence enters the attr mapping;
+                // later duplicate positions get their own fresh-id fill
+                // (a Project cannot reference a sibling alias)
+                if (seen.contains(a.exprId)) (al, None)
+                else { seen(a.exprId) = al.toAttribute; (al, Some(a -> al.toAttribute)) }
+              case None => (a, None)
             }
-        }
-        val newList = list.map {
-          case a: AttributeReference if nullableSide(a.exprId) && !chNullable(a) =>
-            default(a.dataType) match {
-              case Some(d) => Alias(Coalesce(Seq(a, d)), a.name)(
-                exprId = a.exprId, qualifier = a.qualifier,
-                explicitMetadata = Some(a.metadata))
-              case None => a
-            }
-          case al @ Alias(child, nm) =>
-            Alias(fill(child), nm)(exprId = al.exprId,
-              qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
-          case other => other.asInstanceOf[NamedExpression]
-        }
-        val np = Project(newList, j)
-        np.setTagValue(done, true)
-        np
+          }
+        // USING-join hidden columns resolve through metadataOutput,
+        // bypassing the projectList chain the attr-mapping rewrites —
+        // keep the raw attributes visible so such references stay
+        // bound (they read the unfilled value; only reachable via
+        // qualified hidden access, which no SELECT * ever sees).
+        val raws = pairs.collect { case (_, Some((old, _))) => old }
+        (Project(pairs.map(_._1) ++ raws, j), pairs.flatMap(_._2))
     }
   }
 }

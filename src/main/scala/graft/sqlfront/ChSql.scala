@@ -1160,7 +1160,15 @@ object ChSql {
             }
             if (kvs.contains(null)) { sb.append(c); i += 1 }
             else {
-              sb.append("map(").append(kvs.map { case (k, v) =>
+              // CH keeps duplicate map keys and LOOKUP returns the FIRST
+              // match (reference arrayElement.cpp executeMatchKeyToIndex);
+              // Spark has no FIRST_WIN dedup policy, so drop later
+              // duplicate literal keys here — first-match lookup and
+              // insertion-order rendering both come out right
+              val firstWin = kvs.foldLeft(Vector.empty[(String, String)]) {
+                (acc, kv) => if (acc.exists(_._1 == kv._1)) acc else acc :+ kv
+              }
+              sb.append("map(").append(firstWin.map { case (k, v) =>
                 s"${rewriteMapLiterals(k)}, ${rewriteMapLiterals(v)}"
               }.mkString(", ")).append(")")
               i = j
@@ -1207,8 +1215,11 @@ object ChSql {
       j += 1
     }
     if (ci < 0) return sql
+    // NOTE: no "in"/"not" here — ternary binds loosest (reference
+    // ParserTernaryOperatorExpression), so `x IN (1,2) ? a : b` takes
+    // the whole membership test as its condition
     val kw = Set("select", "where", "having", "when", "then", "else", "on",
-      "by", "as", "and", "or", "not", "union", "all", "settings", "in")
+      "by", "as", "and", "or", "union", "all", "settings")
     // cond: walk back from '?'
     var k = qi - 1; var d = 0; var s3 = false; var condStart = 0
     while (k >= 0 && condStart == 0) {
@@ -1278,7 +1289,7 @@ object ChSql {
         // (identifier char, ')' or ']'); whitespace before '[' => literal
         val prev = if (sb.nonEmpty) sb.charAt(sb.length - 1) else ' '
         val isSubscript = Character.isLetterOrDigit(prev) || prev == '_' ||
-          prev == ')' || prev == ']'
+          prev == ')' || prev == ']' || prev == '}'
         if (isSubscript) {
           // CH subscripts are 1-based; Spark's [] is 0-based. Rewrite
           // `prim[idx]` -> `element_at(prim, idx)` by backtracking to the
@@ -1308,6 +1319,7 @@ object ChSql {
             }
             if (sb.charAt(k) == ')') matchBack('(', ')')
             else if (sb.charAt(k) == ']') matchBack('[', ']')
+            else if (sb.charAt(k) == '}') matchBack('{', '}') // map literal
             while (k >= 0 && (Character.isLetterOrDigit(sb.charAt(k)) || sb.charAt(k) == '_' || sb.charAt(k) == '.'))
               k -= 1
             val prim = sb.substring(k + 1)
@@ -1410,6 +1422,33 @@ object ChSql {
 
   /** One CSV line -> cells, honoring double-quoted fields with ""
     * escapes (reference Formats/Impl CSVRowInputFormat). */
+  /** TSV field unescape in ONE left-to-right pass (the reference's
+    * Formats/TabSeparated escaping): `\\t` after `\\\\` replacement
+    * order would turn `\\\\t` into backslash+TAB instead of literal
+    * `\t`. */
+  private[sqlfront] def unescapeTsv(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb.append('\t'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '0' => sb.append('\u0000'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private[sqlfront] def splitCsvLine(line: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -6123,6 +6162,11 @@ object ChSql {
         Some(Seq(if (spark.catalog.tableExists(name)) 1 else 0).toDF("result"))
       case _ => innerDdl(chQuery)
     }
+    // extractor so the (side-effecting: temp-view registration,
+    // default/TTL recording) parse runs exactly once per statement
+    object BareCreate {
+      def unapply(q: String): Option[DataFrame] = parseBareCreate(q)
+    }
     def innerDdl(chQuery: String): Option[DataFrame] = chQuery match {
       case createDictRe(name, key, table) =>
         registeredDicts.put(name, (table, key))
@@ -6232,8 +6276,8 @@ object ChSql {
             else s"UNKNOWN_FUNCTION: $nm")
         dropFunction(nm)
         Some(spark.range(0).toDF("ok"))
-      case q if parseBareCreate(q).isDefined =>
-        parseBareCreate(q)
+      case BareCreate(df) =>
+        Some(df)
       case dropRe(name) =>
         spark.catalog.dropTempView(name)
         tableTtls.remove(name); tableDefaults.remove(name)
@@ -6271,7 +6315,7 @@ object ChSql {
               val cells =
                 if (f.startsWith("csv")) splitCsvLine(l)
                 else l.split("\t", -1).toSeq.map(c =>
-                  if (c == "\\N") null else c.replace("\\t", "\t").replace("\\\\", "\\"))
+                  if (c == "\\N") null else unescapeTsv(c))
               org.apache.spark.sql.Row(cells.padTo(listed.length, null): _*)
             }
             val schema = StructType(listed.map(c => StructField(c, StringType)))

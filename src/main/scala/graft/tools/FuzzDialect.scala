@@ -1382,6 +1382,126 @@ object FuzzDialect {
     (0 until n).map(_ => g.top())
   }
 
+  /** CH truthiness / C-ternary / map-literal / Float32-vs-literal fuzzing
+    * over the round-12 dialect surface: numeric-as-boolean through
+    * if()/AND/OR/NOT (ChBooleanCoercion), `cond ? a : b` with conditions
+    * that include IN-lists (ternary binds loosest — reference
+    * ParserTernaryOperatorExpression), map literals `{k: v}` with
+    * duplicate keys (first-match lookup, reference arrayElement.cpp) and
+    * missing-key value-type defaults, and Float32 = Float64-literal
+    * comparisons narrowed to Float32 (the reference's #58680 fix). The
+    * DuckDB mirror spells every coercion explicitly (`<>0`, CASE WHEN,
+    * CAST AS REAL). Inputs are the fixture's NON-NULL int columns so the
+    * truthiness mirror never meets three-valued logic. */
+  final class CondGen(seed: Long) {
+    private val rnd = new Random(seed * 101 + 37)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    private def num(): Fz = rnd.nextInt(4) match {
+      case 0 => val m = rnd.nextInt(6) + 2
+        Fz(s"(doc_id % $m)", s"(doc_id % $m)", TInt)
+      case 1 => val m = rnd.nextInt(6) + 2
+        Fz(s"(n_chars % $m)", s"(n_chars % $m)", TInt)
+      case 2 => val v = rnd.nextInt(5) - 2
+        Fz(v.toString, v.toString, TInt)
+      case _ => val m = rnd.nextInt(5) + 2
+        Fz(s"(doc_id % $m - 1)", s"(doc_id % $m - 1)", TInt)
+    }
+
+    private def cmp(): (String, String) = {
+      val a = num(); val b = num()
+      val op = pick(Seq("=", "<", ">", "<=", ">=", "!="))
+      (s"(${a.ch} $op ${b.ch})",
+        s"(${a.duck} ${if (op == "!=") "<>" else op} ${b.duck})")
+    }
+
+    /** A CH condition (numeric operands are truthy) and its explicit
+      * duck boolean mirror. */
+    private def cond(depth: Int): (String, String) =
+      rnd.nextInt(if (depth >= 1) 4 else 6) match {
+        case 0 => val x = num(); (x.ch, s"((${x.duck}) <> 0)")
+        case 1 => cmp()
+        case 2 =>
+          val x = num()
+          val set = (0 to rnd.nextInt(3)).map(_ => rnd.nextInt(7))
+            .distinct.mkString(", ")
+          (s"${x.ch} IN ($set)", s"(${x.duck} IN ($set))")
+        case 3 => val x = num(); (s"NOT ${x.ch}", s"(NOT ((${x.duck}) <> 0))")
+        case 4 =>
+          val (c1, d1) = cond(depth + 1); val (c2, d2) = cond(depth + 1)
+          (s"($c1 AND $c2)", s"($d1 AND $d2)")
+        case _ =>
+          val (c1, d1) = cond(depth + 1); val (c2, d2) = cond(depth + 1)
+          (s"($c1 OR $c2)", s"($d1 OR $d2)")
+      }
+
+    private val fracs = Seq("0.1", "0.2", "0.3", "0.7", "0.9")
+
+    def top(): Fz = rnd.nextInt(7) match {
+      case 0 => // if() with a truthy condition
+        val (c, d) = cond(0); val a = num(); val b = num()
+        Fz(s"if($c, ${a.ch}, ${b.ch})",
+          s"(CASE WHEN $d THEN ${a.duck} ELSE ${b.duck} END)", TInt)
+      case 1 => // C-ternary; cond binds loosest (incl. IN-list conds)
+        val (c, d) = cond(0); val a = num(); val b = num()
+        Fz(s"($c ? ${a.ch} : ${b.ch})",
+          s"(CASE WHEN $d THEN ${a.duck} ELSE ${b.duck} END)", TInt)
+      case 2 => // nested ternary in the THEN arm
+        val (c1, d1) = cond(0); val (c2, d2) = cond(1)
+        val a = num(); val b = num(); val e = num()
+        Fz(s"($c1 ? (${c2} ? ${a.ch} : ${b.ch}) : ${e.ch})",
+          s"(CASE WHEN $d1 THEN (CASE WHEN $d2 THEN ${a.duck} ELSE ${b.duck} END) ELSE ${e.duck} END)",
+          TInt)
+      case 3 => // bare logical over numerics returns a boolean column
+        val x = num(); val y = num()
+        val (chE, duE) =
+          if (rnd.nextBoolean())
+            (s"(${x.ch} AND ${y.ch})",
+              s"(((${x.duck}) <> 0) AND ((${y.duck}) <> 0))")
+          else
+            (s"(${x.ch} OR ${y.ch})",
+              s"(((${x.duck}) <> 0) OR ((${y.duck}) <> 0))")
+        Fz(chE, duE, TBool)
+      case 4 => // string-valued map literal lookup, maybe duplicate keys
+        val nEnt = rnd.nextInt(2) + 2
+        val ks = (0 until nEnt).map(_ => rnd.nextInt(4)).distinct
+        val vs = ks.map(_ => pick(strTokens))
+        val dup = rnd.nextBoolean() // duplicate of the FIRST key loses
+        val entries = ks.zip(vs) ++
+          (if (dup) Seq(ks.head -> pick(strTokens)) else Nil)
+        val m = rnd.nextInt(5) + 2
+        val keyCh = s"(n_chars % $m)"
+        val chMap = entries.map { case (k, v) => s"$k: '$v'" }.mkString(", ")
+        val duckCases = ks.zip(vs)
+          .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
+        Fz(s"{$chMap}[$keyCh]",
+          s"(CASE (n_chars % $m) $duckCases ELSE '' END)", TStr)
+      case 5 => // int-valued map literal lookup; missing key -> 0 default
+        val ks = (0 until rnd.nextInt(2) + 2).map(_ => rnd.nextInt(4)).distinct
+        val vs = ks.map(_ => rnd.nextInt(90) + 10)
+        val m = rnd.nextInt(5) + 2
+        val chMap = ks.zip(vs).map { case (k, v) => s"$k: $v" }.mkString(", ")
+        val duckCases = ks.zip(vs)
+          .map { case (k, v) => s"WHEN $k THEN $v" }.mkString(" ")
+        Fz(s"{$chMap}[(doc_id % $m)]",
+          s"(CASE (doc_id % $m) $duckCases ELSE 0 END)", TInt)
+      case _ => // Float32 column vs Float64 query literal: CH narrows the
+        // LITERAL to Float32 (#58680); duck mirrors with CAST AS REAL
+        val m = rnd.nextInt(7) + 2
+        val frac = pick(fracs)
+        val lit = s"${rnd.nextInt(m)}$frac".replace("0.", ".")
+        val op = pick(Seq("=", "!=", "<", ">="))
+        Fz(s"(toFloat32(n_chars % $m + $frac) $op $lit)",
+          s"(CAST(n_chars % $m + $frac AS REAL) ${if (op == "!=") "<>" else op} CAST($lit AS REAL))",
+          TBool)
+    }
+  }
+
+  def condExprs(seed: Long, n: Int): Seq[Fz] = {
+    val g = new CondGen(seed)
+    (0 until n).map(_ => g.top())
+  }
+
   def chDateSelect(batch: Seq[Fz], filter: String): String =
     s"SELECT o_orderkey, ${batch.zipWithIndex.map { case (e, i) => s"${e.ch} AS c$i" }.mkString(", ")} " +
       s"FROM orders WHERE $filter ORDER BY o_orderkey"
@@ -1625,6 +1745,22 @@ object FuzzDialect {
       manifest.append(s"""{"rnd":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
     }
     println(s"[fuzz] ${rnds.map(_.size).sum} rnd exprs evaluated")
+    // CH-truthiness / ternary / map-literal / Float32-compare fuzzing
+    // (n/4 exprs, exact-compared)
+    val conds = condExprs(seed * 131 + 71, math.max(1, n / 4)).grouped(25).toSeq
+    conds.zipWithIndex.foreach { case (b, i) =>
+      val df =
+        try graft.sqlfront.ChSql.sql(spark, sfDir, chSelect(b, filter))
+        catch { case e: Throwable =>
+          System.err.println(s"[fuzz] cond batch $i FAILED:")
+          b.foreach(f => System.err.println(s"  CH: ${f.ch}"))
+          throw e
+        }
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/cond_$i")
+      manifest.append(",")
+      manifest.append(s"""{"cond":$i,"duck":${jsonStr(duckSelect(b, filter))},"ch":${jsonStr(chSelect(b, filter))}}""")
+    }
+    println(s"[fuzz] ${conds.map(_.size).sum} cond exprs evaluated")
     manifest.append("]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

@@ -50,6 +50,8 @@ for entry in manifest:
         i, tag, key, d = entry["conv"], f"conv {entry['conv']}", "doc_id", f"{out}/conv_{entry['conv']}"
     elif "rnd" in entry:
         i, tag, key, d = entry["rnd"], f"rnd {entry['rnd']}", "doc_id", f"{out}/rnd_{entry['rnd']}"
+    elif "cond" in entry:
+        i, tag, key, d = entry["cond"], f"cond {entry['cond']}", "doc_id", f"{out}/cond_{entry['cond']}"
     else:
         i, tag, key, d = entry["batch"], f"batch {entry['batch']}", "doc_id", f"{out}/batch_{entry['batch']}"
     oracle = con.execute(entry["duck"]).fetchdf()
