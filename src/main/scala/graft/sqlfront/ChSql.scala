@@ -5844,6 +5844,22 @@ object ChSql {
     * virtual tables (src/TableFunctions + system tables used throughout
     * the reference's stateless tests). */
   def sql(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
+    // Flag the session as dialect-routed for the duration of query
+    // CONSTRUCTION (DataFrames analyze eagerly, so the CH-semantics
+    // resolution rules — truthiness, Float32-literal compare — fire
+    // exactly on this query's analysis). Save/restore keeps nested
+    // sql() calls (views, subquery expansion) and the flag-off default
+    // for DataFrame-path queries intact.
+    val prev = spark.conf.getOption(graft.plans.ChDialect.key)
+    spark.conf.set(graft.plans.ChDialect.key, "true")
+    try sqlImpl(spark, dir, chQuery0)
+    finally prev match {
+      case Some(v) => spark.conf.set(graft.plans.ChDialect.key, v)
+      case None => spark.conf.unset(graft.plans.ChDialect.key)
+    }
+  }
+
+  private def sqlImpl(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
     // clickhouse-test macros: {CLICKHOUSE_DATABASE:Identifier} expands to
     // the per-test database, here always `default`; the String form is
     // quoted. `default.`-qualified names then collapse to bare view names

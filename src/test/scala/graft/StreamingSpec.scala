@@ -337,4 +337,125 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(streamed - exact) / exact <= 0.011,
       s"estimate $streamed vs exact $exact")
   }
+
+  test("ingest dedup survives a mid-stream crash: state restores, restart is exactly-once") {
+    import spark.implicits._
+    // Same double-write window as the MV restart test, but for the
+    // STATEFUL path: dropDuplicatesWithinWatermark keeps seen keys in the
+    // state store. Crash after the sink write of batch 1, before its
+    // checkpoint commit. On restart the batch is redelivered: the
+    // recovered state must still suppress duplicates seen in batch 0,
+    // and the redelivered sink write must replace its first attempt.
+    // Reference guarantee: DeduplicationTokenTransforms insert dedup
+    // survives process death.
+    val root = java.nio.file.Files.createTempDirectory("dedup_restart").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val marker = new java.io.File(s"$root/crashed_once")
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    Seq((ts(0), 1L), (ts(0), 1L), (ts(1), 2L)).toDF("ts", "k")
+      .coalesce(1).write.parquet(s"$in/f1.parquet")
+    // k=1 duplicates a batch-0 key WITHIN the watermark; k=3 is new
+    Seq((ts(2), 1L), (ts(3), 3L)).toDF("ts", "k")
+      .coalesce(1).write.parquet(s"$in/f2.parquet")
+    val schema = spark.read.parquet(s"$in/f1.parquet").schema
+    def run() = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+      Streams.dedupWithinWatermark(src, Seq("k"), watermark = "1 hour")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          // idempotent sink: the batch owns its partition
+          b.sparkSession.conf
+            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          b.withColumn("__batch_id", lit(id))
+            .write.mode("overwrite").partitionBy("__batch_id").parquet(out)
+          if (id >= 1 && !marker.exists()) {
+            marker.createNewFile()
+            throw new RuntimeException("injected crash after sink write")
+          }
+        }.start()
+    }
+    val q1 = run()
+    intercept[Exception] { q1.awaitTermination() }
+    assert(marker.exists(), "the injected crash fired")
+    // wave 3 lands while the pipeline is down: another k=1 dup + k=4
+    Seq((ts(4), 1L), (ts(5), 4L)).toDF("ts", "k")
+      .coalesce(1).write.parquet(s"$in/f3.parquet")
+    val q2 = run()
+    q2.awaitTermination()
+    val ks = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // each key exactly once: batch-0 state survived the crash (k=1 from
+    // the redelivered batch stays suppressed), the redelivered batch
+    // didn't double k=3, the post-crash wave isn't missing k=4
+    assert(ks == Seq(1L, 2L, 3L, 4L), s"got $ks")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("incremental LSH intake survives a mid-stream crash: no dup pairs, no lost docs") {
+    import spark.implicits._
+    // incrementalLshDedup's parquet state (band postings + doc texts) is
+    // OUTSIDE the checkpoint, so a redelivered micro-batch would append a
+    // second copy of its own signatures and pair every doc with its stale
+    // twin. batchId-keyed dynamic-partition-overwrite appends + own-batch
+    // history exclusion make the state write idempotent. Crash after the
+    // batch-1 state write, before its checkpoint commit; restart and
+    // verify pairs AND state are exactly-once.
+    val root = java.nio.file.Files.createTempDirectory("lsh_restart").toString
+    val (in, state, pairsOut, ckpt) = (s"$root/in", s"$root/state", s"$root/pairs", s"$root/ckpt")
+    val marker = new java.io.File(s"$root/crashed_once")
+    val base = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok79", "tok79x")
+    Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f1.parquet")
+    Seq((3L, base + "omega")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f2.parquet")
+    val schema = spark.read.parquet(s"$in/f1.parquet").schema
+    def run() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val pairs = graft.llm.Dedup.incrementalLshDedup(
+          b, "doc_id", "text", state, threshold = 0.7, batchId = id)
+        // idempotent pair sink, same batch-partition scheme as the state
+        b.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        pairs.select(col("a"), col("b")).withColumn("__batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("__batch_id").parquet(pairsOut)
+        if (id >= 1 && !marker.exists()) {
+          marker.createNewFile()
+          throw new RuntimeException("injected crash after state write")
+        }
+      }.start()
+    val q1 = run()
+    intercept[Exception] { q1.awaitTermination() }
+    assert(marker.exists(), "the injected crash fired")
+    // wave 3 (a near-dup of all three docs) lands while the pipeline is down
+    Seq((4L, base.replace("tok0 ", "tok0x "))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f3.parquet")
+    val q2 = run()
+    q2.awaitTermination()
+    val got = spark.read.parquet(pairsOut).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly-once pairs: the redelivered batch's first attempt was
+    // replaced, nothing doubled, nothing lost
+    assert(got.size == got.toSet.size, s"duplicated pairs: $got")
+    assert(got.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 4L), (2L, 4L), (3L, 4L)), s"got ${got.toSet}")
+    // exactly-once state: each doc's text and signatures appear once —
+    // the crashed batch-1 attempt was overwritten, not appended to
+    val docs = spark.read.parquet(s"$root/state/docs")
+    assert(docs.count() == 4 && docs.select("id").distinct().count() == 4,
+      "state docs duplicated or lost")
+    val perDoc = spark.read.parquet(s"$root/state/bands")
+      .groupBy(col("id")).count().select("count")
+      .collect().map(_.getLong(0)).toSet
+    assert(perDoc.size == 1, s"uneven band-row counts per doc: $perDoc")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
