@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, ElementAt, EqualTo, Expression, If, IsNull, Length, Literal, OctetLength, Or, Reverse, Size, UnaryExpression}
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, NullType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, MapType, NullType, NumericType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polymorphic length (reference src/Functions/array/length.cpp +
@@ -96,23 +96,43 @@ case class ChFirstLastDefault(child: Expression, last: Boolean)
   * still yields NULL (ordinary NULL propagation). */
 case class ChElementAt(left: Expression, right: Expression)
     extends RuntimeReplaceable with BinaryLike[Expression] {
-  private def withDefault(vt: DataType, zeroIsDefault: Boolean): Expression = {
+  private def withDefault(vt: DataType, keyType: DataType,
+                          zeroIsDefault: Boolean): Expression = {
+    // Spark's ElementAt demands the EXACT map key type (and INT array
+    // ordinals) inside a RuntimeReplaceable — no implicit coercion runs
+    // on the replacement tree — while CH CONVERTS the lookup key to the
+    // container's key type (arrayElement.cpp matchKeyToIndexNumber). A
+    // numeric key that doesn't round-trip through the key type cannot
+    // match any entry (and can't legally index), so it yields the
+    // default rather than a wrapped/truncated false hit.
+    val (key, fits): (Expression, Expression) =
+      if (right.dataType == keyType) (right, Literal(true))
+      else if (right.dataType.isInstanceOf[NumericType] &&
+          keyType.isInstanceOf[NumericType])
+        (Cast(right, keyType),
+          EqualTo(Cast(Cast(right, keyType), right.dataType), right))
+      // non-numeric mismatch (e.g. String-keyed map with an Int lookup):
+      // CH rejects it (NO_COMMON_TYPE) — leave the raw key so analysis
+      // fails, as the reference's own must-fail tests expect
+      else (right, Literal(true))
+    val hit = Coalesce(Seq(
+      ElementAt(left, key, None, failOnError = false), Literal.default(vt)))
+    val guarded = if (fits == Literal(true)) hit
+      else If(fits, hit, Literal.default(vt))
     // Spark's ElementAt throws on ordinal 0 even with failOnError=false;
     // CH returns the default for a (non-constant) 0 index — guard it.
-    val hit = Coalesce(Seq(
-      ElementAt(left, right, None, failOnError = false), Literal.default(vt)))
     val body =
       if (zeroIsDefault)
-        If(EqualTo(Cast(right, LongType), Literal(0L)), Literal.default(vt), hit)
-      else hit
+        If(EqualTo(Cast(right, LongType), Literal(0L)), Literal.default(vt), guarded)
+      else guarded
     If(Or(IsNull(left), IsNull(right)), Literal(null, vt), body)
   }
   override lazy val replacement: Expression = left.dataType match {
     // a NULL-typed index can't resolve inside ElementAt — short-circuit
     case ArrayType(et, _) if right.dataType == NullType => Literal(null, et)
     case MapType(_, vt, _) if right.dataType == NullType => Literal(null, vt)
-    case ArrayType(et, _) => withDefault(et, zeroIsDefault = true)
-    case MapType(_, vt, _) => withDefault(vt, zeroIsDefault = false)
+    case ArrayType(et, _) => withDefault(et, IntegerType, zeroIsDefault = true)
+    case MapType(kt, vt, _) => withDefault(vt, kt, zeroIsDefault = false)
     case _ => ElementAt(left, right, None, failOnError = false)
   }
   override protected def withNewChildrenInternal(
