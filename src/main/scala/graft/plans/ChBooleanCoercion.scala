@@ -57,6 +57,36 @@ object ChBooleanCoercion extends Rule[LogicalPlan] {
   }
 }
 
+/** The inverse coercion: CH has no separate boolean type — comparisons
+  * and logical ops yield UInt8, so `sum(x = 1)`, `avg(x > 2)` and
+  * `n + (n = 2)` are ordinary numeric expressions (reference
+  * src/DataTypes/DataTypesNumber.h: Bool IS UInt8). Spark's BooleanType
+  * is rejected by numeric aggregates and arithmetic at analysis; this
+  * dialect-gated RESOLUTION rule inserts the 0/1 cast exactly where a
+  * numeric was required and a boolean was supplied. */
+object ChBoolAsNumeric extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
+
+  private def isBool(e: Expression): Boolean =
+    e.resolved && e.dataType == BooleanType
+  private def toNum(e: Expression): Expression =
+    if (isBool(e)) Cast(e, IntegerType) else e
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!ChDialect.on(conf)) return plan
+    plan.resolveExpressions {
+      case s @ Sum(child, _) if isBool(child) =>
+        s.copy(child = Cast(child, IntegerType))
+      case a @ Average(child, _) if isBool(child) =>
+        a.copy(child = Cast(child, IntegerType))
+      case b: BinaryArithmetic if isBool(b.left) || isBool(b.right) =>
+        b.withNewChildren(Seq(toNum(b.left), toNum(b.right)))
+      case m @ UnaryMinus(child, _) if isBool(child) =>
+        m.copy(child = Cast(child, IntegerType))
+    }
+  }
+}
+
 /** CH compares Float32 columns with literals by parsing the literal AS
   * Float32 (reference issue #58680 fix in FunctionsComparison.h), so
   * `f32 = '49.9'` matches. Spark instead widens both sides to DOUBLE,

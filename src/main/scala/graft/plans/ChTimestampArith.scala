@@ -20,6 +20,13 @@ object ChTimestampArith extends Rule[LogicalPlan] {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   })
+  // a day-count offset wider than INT: BIGINT, or the scale-0 DECIMAL
+  // that CH UInt64/Int128/UInt128 columns map to
+  private def isWideInt(e: Expression): Boolean = e.resolved && (e.dataType match {
+    case LongType => true
+    case d: DecimalType => d.scale == 0
+    case _ => false
+  })
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveExpressions {
@@ -35,13 +42,14 @@ object ChTimestampArith extends Rule[LogicalPlan] {
           if isTs(st.left) && isIntegral(st.right) =>
         TimestampAdd("SECOND", UnaryMinus(st.right), st.left)
       // CH Date ± UInt/Int of any width means days; Spark's date_add
-      // rejects BIGINT offsets (`number % 7` is LongType)
+      // rejects BIGINT offsets (`number % 7` is LongType) and the
+      // scale-0 DECIMALs that UInt64/Int128 columns map to
       case da @ org.apache.spark.sql.catalyst.expressions.DateAdd(_, n)
-          if n.resolved && n.dataType == org.apache.spark.sql.types.LongType =>
+          if isWideInt(n) =>
         da.copy(days = org.apache.spark.sql.catalyst.expressions.Cast(
           n, org.apache.spark.sql.types.IntegerType))
       case ds @ org.apache.spark.sql.catalyst.expressions.DateSub(_, n)
-          if n.resolved && n.dataType == org.apache.spark.sql.types.LongType =>
+          if isWideInt(n) =>
         ds.copy(days = org.apache.spark.sql.catalyst.expressions.Cast(
           n, org.apache.spark.sql.types.IntegerType))
     }

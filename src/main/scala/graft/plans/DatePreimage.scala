@@ -83,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => ProjectionRouting.Route)
     ext.injectResolutionRule(_ => ChTimestampArith)
     ext.injectResolutionRule(_ => ChBooleanCoercion)
+    ext.injectResolutionRule(_ => ChBoolAsNumeric)
     ext.injectResolutionRule(_ => ChFloat32Compare)
     ext.injectResolutionRule(_ => ChJoinDefaults)
     GraftFunctions.all.foreach(ext.injectFunction)

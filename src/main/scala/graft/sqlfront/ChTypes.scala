@@ -100,7 +100,17 @@ object ChTypes {
     * insert time for unlisted columns). */
   final case class ColumnDef(name: String, dataType: DataType,
                              defaultExpr: Option[String],
-                             chNullable: Boolean = false)
+                             chNullable: Boolean = false,
+                             defaultKind: String = "",
+                             chTz: Option[String] = None,
+                             chType: String = "")
+
+  /** The timezone literal of a DateTime('tz') / DateTime64(p, 'tz')
+    * declaration — needed to render type-default (epoch) fills as the
+    * column's WALL CLOCK, matching how inserted literals are stored. */
+  private def tzOf(typeStr: String): Option[String] =
+    "(?is)DateTime(?:64)?\\s*\\(\\s*(?:\\d+\\s*,\\s*)?'([\\w/+-]+)'".r
+      .findFirstMatchIn(typeStr).map(_.group(1))
 
   private val modifierKeywords = Set("default", "materialized", "alias",
     "ephemeral", "comment", "codec", "ttl", "primary", "settings")
@@ -159,10 +169,20 @@ object ChTypes {
           }
         if (typeStr.isEmpty && dflt.isDefined)
           // typeless `col DEFAULT expr`: type inferred from the expression
-          Some(ColumnDef(name, NullType, dflt))
-        else
+          Some(ColumnDef(name, NullType, dflt, defaultKind = defaultKind))
+        else if (typeStr.trim.toLowerCase.startsWith("nested")) {
+          // CH `name Nested(a T1, b T2)` is sugar for the parallel-array
+          // columns `name.a Array(T1)`, `name.b Array(T2)` (reference
+          // DataTypeNested / NestedUtils::flatten)
+          val inner = typeStr.trim.drop("nested".length).trim
+            .stripPrefix("(").stripSuffix(")")
+          parseColumns(inner).map(sub =>
+            ColumnDef(s"$name.${sub.name}", ArrayType(sub.dataType), None,
+              chType = s"Array(${sub.chType})"))
+        } else
           Some(ColumnDef(name, toSpark(typeStr), dflt,
-            typeStr.trim.toLowerCase.startsWith("nullable")))
+            typeStr.trim.toLowerCase.startsWith("nullable"), defaultKind,
+            tzOf(typeStr), typeStr.trim))
       }
     }
 }

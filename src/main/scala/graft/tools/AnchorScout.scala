@@ -244,13 +244,21 @@ object AnchorScout {
     }.mkString("\n")
     spark.catalog.clearCache()
     if (out == expected) Right(())
-    else Left(s"diff: got ${out.take(60).replace("\n", "|")} want ${expected.take(60).replace("\n", "|")}")
+    else {
+      val gl = out.linesIterator.toVector
+      val wl = expected.linesIterator.toVector
+      val i = math.max(0, gl.zipAll(wl, "<eof>", "<eof>")
+        .indexWhere { case (a, b) => a != b })
+      Left(s"diff at line ${i + 1}: got " +
+        gl.lift(i).getOrElse("<eof>").take(80) + " want " +
+        wl.lift(i).getOrElse("<eof>").take(80))
+    }
   } catch {
     case AnchorFail(m) => Left(m)
     case e: Throwable => // a sweep must survive stray OOMs
       Left(Option(e.getMessage).getOrElse(e.getClass.getName)
         .linesIterator.map(_.trim).filter(_.nonEmpty)
-        .take(2).mkString(" | ").take(160))
+        .take(4).mkString(" | ").take(320))
   } finally spark.conf.set("spark.graft.chJoinDefaults", "false")
 
   def main(args: Array[String]): Unit = {

@@ -436,7 +436,13 @@ class ChSqlSpec extends AnyFunSuite {
     assert(ch("SELECT count() AS n FROM t_sess").collect()(0).getLong(0) == total + 2)
     assert(ch("SELECT o_totalprice AS p FROM t_sess WHERE o_orderkey = 999999")
       .collect()(0).getDouble(0) == 1.5)
-    ch("""CREATE MATERIALIZED VIEW mv_sess AS
+    // without POPULATE an MV starts EMPTY (only later inserts flow in) —
+    // POPULATE computes the backfill at create
+    ch("""CREATE MATERIALIZED VIEW mv_empty AS
+         |SELECT count() AS n FROM t_sess""".stripMargin)
+    assert(ch("SELECT count() AS c FROM mv_empty").collect()(0).getLong(0) == 0L)
+    ch("DROP VIEW mv_empty")
+    ch("""CREATE MATERIALIZED VIEW mv_sess POPULATE AS
          |SELECT count() AS n FROM t_sess""".stripMargin)
     assert(ch("SELECT n FROM mv_sess").collect()(0).getLong(0) == total + 2)
     ch("DROP TABLE t_sess")
@@ -468,9 +474,15 @@ class ChSqlSpec extends AnyFunSuite {
     ch("ALTER TABLE t_ddl ADD COLUMN score Float64 DEFAULT n_nationkey * 2 + 1")
     val r = ch("SELECT max(score) AS m FROM t_ddl").collect()(0)
     assert(r.getAs[Number](0).longValue == 49L) // 24 * 2 + 1
+    // a non-Nullable String column fills with the TYPE default ''
     ch("ALTER TABLE t_ddl ADD COLUMN tag String")
-    assert(ch("SELECT countIf(tag IS NULL) AS n FROM t_ddl")
+    assert(ch("SELECT countIf(tag = '') AS n FROM t_ddl")
       .collect()(0).getLong(0) == 25L)
+    // a Nullable column fills with NULL
+    ch("ALTER TABLE t_ddl ADD COLUMN ntag Nullable(String)")
+    assert(ch("SELECT countIf(ntag IS NULL) AS n FROM t_ddl")
+      .collect()(0).getLong(0) == 25L)
+    ch("ALTER TABLE t_ddl DROP COLUMN ntag")
     ch("ALTER TABLE t_ddl RENAME COLUMN score TO points")
     assert(ch("SELECT sum(points) AS s FROM t_ddl").collect()(0)
       .getAs[Number](0).longValue == (0 until 25).map(k => k * 2 + 1).sum)
@@ -479,8 +491,9 @@ class ChSqlSpec extends AnyFunSuite {
     ch("ALTER TABLE t_ddl MODIFY COLUMN points Float64")
     assert(ch("SELECT * FROM t_ddl").schema("points").dataType ==
       org.apache.spark.sql.types.DoubleType)
+    // CLEAR COLUMN resets to the column's DEFAULT (type default 0 here)
     ch("ALTER TABLE t_ddl CLEAR COLUMN points")
-    assert(ch("SELECT countIf(points IS NULL) AS n FROM t_ddl")
+    assert(ch("SELECT countIf(points = 0) AS n FROM t_ddl")
       .collect()(0).getLong(0) == 25L)
     ch("ALTER TABLE t_ddl COMMENT COLUMN points 'scored'") // metadata no-op
     ch("RENAME TABLE t_ddl TO t_ddl2")
