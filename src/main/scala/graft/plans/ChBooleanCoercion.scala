@@ -24,6 +24,11 @@ object ChBooleanCoercion extends Rule[LogicalPlan] {
   private def toBool(e: Expression): Expression =
     Not(EqualTo(e, Cast(Literal(0), e.dataType)))
 
+  private def isIntNum(e: Expression): Boolean = e.resolved && (e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  })
+
   private def coerce(e: Expression): Expression = if (isNum(e)) toBool(e) else e
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -45,13 +50,16 @@ object ChBooleanCoercion extends Rule[LogicalPlan] {
       case i @ If(pred, _, _) if isNum(pred) => i.copy(predicate = toBool(pred))
       case cw @ CaseWhen(branches, _) if branches.exists(b => isNum(b._1)) =>
         cw.copy(branches = branches.map { case (c, v) => (coerce(c), v) })
-      case af @ ArrayFilter(_, lf @ LambdaFunction(body, _, _)) if isNum(body) =>
+      // HOF predicate lambdas accept INTEGRAL truthiness only — a
+      // Float lambda result is the reference's
+      // ILLEGAL_TYPE_OF_COLUMN_FOR_FILTER (00182 anchor shape)
+      case af @ ArrayFilter(_, lf @ LambdaFunction(body, _, _)) if isIntNum(body) =>
         af.copy(function = lf.copy(function = toBool(body)))
-      case ae @ ArrayExists(_, lf @ LambdaFunction(body, _, _), _) if isNum(body) =>
+      case ae @ ArrayExists(_, lf @ LambdaFunction(body, _, _), _) if isIntNum(body) =>
         ae.copy(function = lf.copy(function = toBool(body)))
-      case aa @ ArrayForAll(_, lf @ LambdaFunction(body, _, _)) if isNum(body) =>
+      case aa @ ArrayForAll(_, lf @ LambdaFunction(body, _, _)) if isIntNum(body) =>
         aa.copy(function = lf.copy(function = toBool(body)))
-      case mf @ MapFilter(_, lf @ LambdaFunction(body, _, _)) if isNum(body) =>
+      case mf @ MapFilter(_, lf @ LambdaFunction(body, _, _)) if isIntNum(body) =>
         mf.copy(function = lf.copy(function = toBool(body)))
     }
   }

@@ -1628,6 +1628,125 @@ object ChSql {
       }).map(_.orderBy(keys.map(c): _*))
     }
 
+  private val ajCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `FROM <src> [LEFT] ARRAY JOIN <item>[, ...]` (reference
+    * ArrayJoinAction / TranslateQualifiedNamesVisitor): the listed
+    * arrays explode in LOCKSTEP — one output row per element position,
+    * not a cross product. An UNALIASED column item is REPLACED by its
+    * element; an aliased item keeps the original array and binds the
+    * alias to the element; a bare Nested-group name zips all its
+    * sub-arrays. Plain ARRAY JOIN drops empty-array rows; LEFT keeps
+    * them with the element-type DEFAULT. Rewritten by materializing the
+    * source, exploding in the DataFrame API, and substituting a temp
+    * view for the whole clause. */
+  private def rewriteArrayJoin(spark: SparkSession, dir: String, q0: String): String = {
+    if (!"(?is)\\bARRAY\\s+JOIN\\b".r.findFirstIn(q0).isDefined) return q0
+    val re = ("(?is)\\bFROM\\s+(`?[\\w.]+`?|\\((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*\\))" +
+      "(\\s+(?:AS\\s+)?(?!LEFT\\b|ARRAY\\b)[A-Za-z_]\\w*)?\\s+(LEFT\\s+)?ARRAY\\s+JOIN\\s+").r
+    val m = re.findFirstMatchIn(q0).getOrElse(return q0)
+    // items run to the next top-level clause keyword (or end/paren close)
+    val stops = Seq("where", "prewhere", "group", "having", "order",
+      "limit", "settings", "union", "format", "qualify")
+    var i = m.end; var depth = 0; var inStr = false; var end = -1
+    while (i < q0.length && end < 0) {
+      val ch = q0.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else if (ch == '\'') inStr = true
+      else if (ch == '(') depth += 1
+      else if (ch == ')') { depth -= 1; if (depth < 0) end = i }
+      else if (depth == 0 && (i == 0 || !Character.isLetterOrDigit(q0.charAt(i - 1)))) {
+        val w = q0.substring(i).takeWhile(_.isLetter).toLowerCase
+        if (stops.contains(w)) end = i
+      }
+      i += 1
+    }
+    if (end < 0) end = q0.length
+    val items0 = splitArgs(q0.substring(m.end, end)).map(_.trim).filter(_.nonEmpty)
+    if (items0.isEmpty)
+      throw new IllegalArgumentException(
+        "NUMBER_OF_ARGUMENTS_DOESNT_MATCH: ARRAY JOIN needs at least one array")
+    val left = m.group(3) != null
+    val srcText = m.group(1)
+    import org.apache.spark.sql.functions._
+    val base = sql(spark, dir,
+      if (srcText.startsWith("(")) s"SELECT * FROM $srcText"
+      else s"SELECT * FROM $srcText")
+    val baseCols = base.columns.toIndexedSeq
+    def bt(s: String) = s.stripPrefix("`").stripSuffix("`")
+    // (array expr text, element name, shadowed base column)
+    val resolved: Seq[(String, String, Option[String])] = items0.flatMap { it =>
+      val (ex, al) = "(?is)^(.*?)\\s+AS\\s+(`?[\\w.]+`?)\\s*$".r
+        .findFirstMatchIn(it) match {
+        case Some(am) => (am.group(1).trim, Some(bt(am.group(2))))
+        case None => (it, None)
+      }
+      val exName = bt(ex)
+      if (baseCols.contains(exName))
+        Seq((s"`$exName`", al.getOrElse(exName),
+          if (al.isEmpty) Some(exName) else None))
+      else if (baseCols.exists(_.startsWith(exName + "."))) {
+        baseCols.filter(_.startsWith(exName + ".")).map { n =>
+          val sub = n.drop(exName.length + 1)
+          val out = al.map(a => s"$a.$sub").getOrElse(n)
+          (s"`$n`", out, if (al.isEmpty) Some(n) else None)
+        }
+      } else {
+        // expression item: dotted Nested names inside it need quoting
+        // before Spark parses them as struct access
+        var exq = ex
+        nestedColNames.forEach { n =>
+          exq = exq.replaceAll(
+            "(?<![\\w`.])" + java.util.regex.Pattern.quote(n) + "(?![\\w`])",
+            java.util.regex.Matcher.quoteReplacement(s"`$n`"))
+        }
+        Seq((rewrite(exq), al.getOrElse(exName), None))
+      }
+    }
+    // pre-project the arrays so arrays_zip gets stable field names
+    val pre = resolved.zipWithIndex.foldLeft(base) { case (d, ((ex, _, _), ix)) =>
+      d.withColumn(s"__ajin$ix", expr(ex))
+    }
+    val zipC = arrays_zip(resolved.indices.map(ix => col(s"__ajin$ix")): _*)
+    val exploded = pre.withColumn("__aj",
+      if (left) explode_outer(zipC) else explode(zipC))
+    def elemDefault(ix: Int): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types._
+      exploded.schema(s"__ajin$ix").dataType match {
+        case ArrayType(StringType | BinaryType, _) => lit("")
+        case ArrayType(DateType, _) => expr("DATE'1970-01-01'")
+        case ArrayType(_: TimestampType | TimestampNTZType, _) =>
+          expr("to_timestamp(0)")
+        case ArrayType(et: NumericType, _) => lit(0).cast(et)
+        case ArrayType(et, _) => lit(null).cast(et)
+        case _ => lit(null)
+      }
+    }
+    def elemCol(ix: Int): org.apache.spark.sql.Column = {
+      val f = col("__aj").getField(s"__ajin$ix")
+      if (left) coalesce(f, elemDefault(ix)) else f
+    }
+    val shadowed = resolved.flatMap(_._3).toSet
+    val byShadow = resolved.zipWithIndex
+      .collect { case ((_, out, Some(s0)), ix) => s0 -> (out, ix) }.toMap
+    // original column order, replacements in place; aliased elements append
+    val keep = baseCols.map { n =>
+      byShadow.get(n) match {
+        case Some((out, ix)) => elemCol(ix).as(out)
+        case None => col(s"`$n`")
+      }
+    }
+    val appended = resolved.zipWithIndex
+      .collect { case ((_, out, None), ix) => elemCol(ix).as(out) }
+    val result = exploded.select(keep ++ appended: _*)
+    val view = s"__aj${ajCounter.incrementAndGet()}"
+    result.createOrReplaceTempView(view)
+    result.columns.filter(_.contains('.')).foreach(nestedColNames.add)
+    val alias = Option(m.group(2)).getOrElse("")
+    rewriteArrayJoin(spark, dir,
+      q0.substring(0, m.start) + s" FROM $view$alias " + q0.substring(end))
+  }
+
   /** Distributed-engine tables: proxy name -> (underlying local table,
     * shard count). Reads fan out over every shard (each shard is this
     * process, so N shards re-read the underlying table N times); writes
@@ -6188,10 +6307,12 @@ object ChSql {
           }
         else m.matched
       })
+    // [LEFT] ARRAY JOIN clauses materialize to exploded temp views
+    val chQueryA = rewriteArrayJoin(spark, dir, chQueryF)
     // dotted Nested sub-column names parse as struct access unless
     // backtick-quoted — quote every known flattened name
-    val chQueryQ = if (nestedColNames.isEmpty) chQueryF else {
-      var qn = chQueryF
+    val chQueryQ = if (nestedColNames.isEmpty) chQueryA else {
+      var qn = chQueryA
       nestedColNames.forEach { n =>
         qn = qn.replaceAll(
           "(?<![\\w`.])" + java.util.regex.Pattern.quote(n) + "(?![\\w`])",
@@ -6233,7 +6354,7 @@ object ChSql {
     // views; ENGINE/ORDER BY/PARTITION BY clauses are storage hints our
     // layout ops own (Layout.writeBucketed/compact), absorbed here.
     val createRe =
-      "(?is)^\\s*CREATE\\s+(TABLE|VIEW|MATERIALIZED\\s+VIEW)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)(.*?)\\bAS\\b\\s+(SELECT.*)$".r
+      "(?is)^\\s*CREATE\\s+(?:TEMPORARY\\s+)?(TABLE|VIEW|MATERIALIZED\\s+VIEW)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)(.*?)\\bAS\\b\\s+(SELECT.*)$".r
     // CREATE TABLE x AS y [ENGINE = E(...)]: schema clone of a registered
     // table (reference ParserCreateQuery "AS table" form). A Buffer(db,
     // tbl) engine writes THROUGH to the underlying table — alias the new
@@ -6536,7 +6657,23 @@ object ChSql {
       def typeDefault(f: org.apache.spark.sql.types.StructField)
           : org.apache.spark.sql.Column = {
         import org.apache.spark.sql.types._
+        // an unlisted Nested sub-column with a LISTED sibling fills with
+        // element-defaults sized like the sibling (reference NestedUtils)
+        val sibling =
+          if (f.name.contains('.')) {
+            val p = f.name.takeWhile(_ != '.')
+            listed.find(_.startsWith(p + "."))
+          } else None
         if (f.metadata.contains("ch_nullable")) flit(null).cast(f.dataType)
+        else if (sibling.isDefined && f.dataType.isInstanceOf[ArrayType]) {
+          val zero = f.dataType.asInstanceOf[ArrayType].elementType match {
+            case StringType => "''"
+            case DateType => "DATE'1970-01-01'"
+            case _: TimestampType | TimestampNTZType => "to_timestamp(0)"
+            case et => s"CAST(0 AS ${et.sql})"
+          }
+          fexpr(s"transform(`${sibling.get}`, __x -> $zero)")
+        }
         else f.dataType match {
           case StringType | BinaryType => flit("").cast(f.dataType)
           case DateType => fexpr("DATE'1970-01-01'")
@@ -6925,6 +7062,14 @@ object ChSql {
         if (spark.table(name).columns.contains(colName))
           return Some(spark.range(0).toDF("ok")) // IF NOT EXISTS no-op
         if (colName.contains('.')) nestedColNames.add(colName)
+        // a new sub-column of an EXISTING Nested group defaults to an
+        // array of element-defaults sized like its siblings (reference
+        // NestedUtils consistency fill, 00147)
+        val sibling =
+          if (colName.contains('.')) {
+            val p = colName.takeWhile(_ != '.')
+            spark.table(name).columns.find(_.startsWith(p + "."))
+          } else None
         // a declared type with quoted parameters must PARSE — unknown
         // quoted types (Object('json'), 02910) are the reference's
         // SUPPORT_IS_DISABLED / ILLEGAL_COLUMN class
@@ -6938,6 +7083,21 @@ object ChSql {
         // the new column fills with its DEFAULT, else the TYPE default
         val fillExpr =
           if (dflt != null) org.apache.spark.sql.functions.expr(rewrite(dflt))
+          else if (sibling.isDefined) {
+            import org.apache.spark.sql.types._
+            val et = try ChTypes.toSpark(declaredType.trim) match {
+              case ArrayType(e0, _) => e0
+              case other => other
+            } catch { case _: IllegalArgumentException => LongType }
+            val zero = et match {
+              case StringType => "''"
+              case DateType => "DATE'1970-01-01'"
+              case _: TimestampType | TimestampNTZType => "to_timestamp(0)"
+              case _ => s"CAST(0 AS ${et.sql})"
+            }
+            org.apache.spark.sql.functions.expr(
+              s"transform(`${sibling.get}`, __x -> $zero)")
+          }
           else try {
             import org.apache.spark.sql.types._
             val dt = ChTypes.toSpark(declaredType.trim)
