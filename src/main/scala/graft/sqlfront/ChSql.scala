@@ -1367,6 +1367,25 @@ object ChSql {
   /** CREATE DICTIONARY registry: dictionary name -> (source table, key
     * column) — gives dictGet its CH-native 3-argument form (reference
     * declares the key in the dictionary DDL the same way). */
+  /** Reset every per-session dialect table/metadata registry and drop
+    * the session's temp views — the analog of clickhouse-test giving
+    * each stateless test its OWN fresh database. Called by the anchor
+    * runner between tests; the fixture views re-register on the next
+    * sql() (Tables.registerAll runs per call). Without this, aliases /
+    * engine metadata / flattened-Nested names from one test rewrite a
+    * LATER test's text (shared-JVM ordering artifacts). */
+  def resetSessionState(spark: SparkSession): Unit = {
+    registeredDicts.clear(); dictParents.clear()
+    tableTtls.clear(); tableDefaults.clear(); tableAliases.clear()
+    tableEngines.clear(); tableColTz.clear(); tableColMeta.clear()
+    alterVirtualCols.clear(); hiddenInsertCols.clear()
+    nestedColNames.clear()
+    distributedTables.clear(); matViews.clear(); replicaPaths.clear()
+    dynamicCols.clear()
+    spark.catalog.listTables().collect().map(_.name)
+      .foreach(spark.catalog.dropTempView)
+  }
+
   private val registeredDicts =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -1441,10 +1460,15 @@ object ChSql {
     * [, family params])` (reference registerStorageMergeTree.cpp,
     * allow_deprecated_syntax_for_merge_tree). */
   private def parseEngineMeta(rest: String): Option[EngineMeta] = {
-    val em = ("(?is)ENGINE\\s*=?\\s*(Replacing|Summing|Aggregating|Collapsing|" +
-      "VersionedCollapsing)MergeTree\\s*(?:\\(((?:[^()]|\\([^()]*\\))*)\\))?").r
+    val em = ("(?is)ENGINE\\s*=?\\s*(?:Replicated)?(Replacing|Summing|Aggregating|Collapsing|" +
+      "VersionedCollapsing|)MergeTree\\s*(?:\\(((?:[^()]|\\([^()]*\\))*)\\))?").r
       .findFirstMatchIn(rest).getOrElse(return None)
-    val family = em.group(1).toLowerCase
+    // plain MergeTree records the sort key only (block ordering); the
+    // merge families add their FINAL/OPTIMIZE transforms
+    val family = em.group(1).toLowerCase match {
+      case "" => "mergetree"
+      case f => f
+    }
     val args = Option(em.group(2))
       .map(a => splitArgs(a).map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
     def unt(s: String) = s.stripPrefix("`").stripSuffix("`")
@@ -1476,12 +1500,32 @@ object ChSql {
       case "versionedcollapsing" =>
         Some(EngineMeta(family, keys, params.headOption.map(unt),
           params.lift(1).map(unt), Nil))
-      case _ => None // aggregating: merge is the -State/-Merge path
+      case _ =>
+        // plain MergeTree / Aggregating: sort key recorded for block
+        // ordering; no merge transform (-State/-Merge is the agg path)
+        Some(EngineMeta(family, keys, None, None, Nil))
     }
   }
 
   /** The merged (FINAL) view of an engine table, or None when the
     * recorded key/params don't resolve against the current schema. */
+  /** A MergeTree part is SORTED by the table's sort key at write: each
+    * INSERT block reads back key-ordered (parts keep insert order, rows
+    * within a part don't — reference MergeTreeDataWriter). */
+  private def sortInsertBlock(block: DataFrame, name: String): DataFrame =
+    tableEngines.get(name) match {
+      case Some(meta) if meta.keys.nonEmpty &&
+          meta.keys.forall(k => block.columns.exists(_.equalsIgnoreCase(k))) &&
+          // maps aren't orderable in Spark (CH orders them bytewise) —
+          // leave such blocks in insertion order
+          !meta.keys.exists(k => block.schema.fields
+            .exists(f => f.name.equalsIgnoreCase(k) &&
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])) =>
+        block.orderBy(meta.keys.map(k =>
+          org.apache.spark.sql.functions.col(s"`$k`")): _*)
+      case _ => block
+    }
+
   private def engineFinalDf(spark: SparkSession, name: String): Option[DataFrame] = {
     // the merge plan builds its own outer joins whose NULL-extension is
     // coalesced HERE — the anchor runner's ChJoinDefaults rule must not
@@ -6901,6 +6945,12 @@ object ChSql {
         tableTtls.remove(name); tableDefaults.remove(name)
         distributedTables.remove(name); tableEngines.remove(name)
         matViews.remove(name)
+        // text-level aliases (Buffer write-through, unparseable names)
+        // must die with the table or they rewrite LATER sessions' texts
+        for ((k, v) <- tableAliases if k == name || v == name)
+          tableAliases.remove(k)
+        hiddenInsertCols.remove(name); tableColMeta.remove(name)
+        tableColTz.remove(name); alterVirtualCols.remove(name)
         for ((src, mvs) <- matViews if mvs.exists(_._1 == name))
           matViews.put(src, mvs.filterNot(_._1 == name))
         for ((p, c) <- replicaPaths if c == name) replicaPaths.remove(p)
@@ -6956,7 +7006,7 @@ object ChSql {
         val block = fitToSchema(existing, name,
           listed.filter(incoming.columns.contains), incoming)
         checkVectorDims(name, block)
-        val appended = existing.unionByName(block)
+        val appended = existing.unionByName(sortInsertBlock(block, name))
         appended.createOrReplaceTempView(name)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
@@ -6971,7 +7021,7 @@ object ChSql {
           .getOrElse(existing.columns.take(src.columns.length).toSeq)
         val block = fitToSchema(existing, name, listed, src.toDF(listed: _*))
         checkVectorDims(name, block)
-        val appended = existing.unionByName(block)
+        val appended = existing.unionByName(sortInsertBlock(block, name))
         appended.createOrReplaceTempView(name)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
@@ -7014,7 +7064,7 @@ object ChSql {
           s"AS __v(${listed.map(c => s"`$c`").mkString(", ")})")
         val block = fitToSchema(existing, name, listed, vdf)
         checkVectorDims(name, block)
-        val appended = existing.unionByName(block)
+        val appended = existing.unionByName(sortInsertBlock(block, name))
         appended.createOrReplaceTempView(name)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)

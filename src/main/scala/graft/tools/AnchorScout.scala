@@ -161,6 +161,9 @@ object AnchorScout {
     if (!java.nio.file.Files.exists(sqlPath)) return Left("no .sql")
     val sql = new String(java.nio.file.Files.readAllBytes(sqlPath), "UTF-8")
     if (isEnvClass(name, sql)) return Left("ENV-CLASS (blocklisted)")
+    // every stateless test gets a FRESH database in clickhouse-test —
+    // reset the dialect session registries and views to match
+    graft.sqlfront.ChSql.resetSessionState(spark)
     // the stateless suite runs with join_use_nulls=0 (outer-join misses
     // carry type defaults) unless the test opts into 1. Scoped to this
     // runner only (cleared in the finally) — the oracle surface keeps
