@@ -1380,7 +1380,8 @@ object ChSql {
     tableEngines.clear(); tableColTz.clear(); tableColMeta.clear()
     alterVirtualCols.clear(); hiddenInsertCols.clear()
     nestedColNames.clear()
-    distributedTables.clear(); matViews.clear(); replicaPaths.clear()
+    distributedTables.clear(); distributedIntents.clear()
+    matViews.clear(); replicaPaths.clear()
     dynamicCols.clear()
     spark.catalog.listTables().collect().map(_.name)
       .foreach(spark.catalog.dropTempView)
@@ -1798,6 +1799,11 @@ object ChSql {
   private val distributedTables =
     scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
 
+  /** Distributed routing INTENT for proxies whose target didn't exist
+    * at create — consulted only for cycle detection (INFINITE_LOOP). */
+  private val distributedIntents =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Materialized views by SOURCE table: src -> (mv name, SELECT text).
     * The reference's MV semantics: the SELECT runs over each INSERTED
     * block and appends to the view's storage (StorageMaterializedView) —
@@ -1879,6 +1885,12 @@ object ChSql {
 
   private def safeViewName(name: String): String =
     if (name.matches("[A-Za-z_]\\w*")) name
+    // the system fixtures are registered under underscore names — never
+    // mint a t_* alias for them (it would rewrite system.one everywhere)
+    else if (name.equalsIgnoreCase("system.one")) "system_one"
+    else if (name.equalsIgnoreCase("system.numbers")) "system_numbers"
+    else if (name.equalsIgnoreCase("system.tables")) "system_tables"
+    else if (name.equalsIgnoreCase("system.columns")) "system_columns"
     else tableAliases.getOrElseUpdate(name, "t_" + name.replaceAll("\\W", "_"))
 
   /** Re-register every Distributed proxy over `underlying` after its
@@ -3219,6 +3231,9 @@ object ChSql {
     // trailing FORMAT clause (output format is the writer's concern here)
     q = q.replaceAll("""(?is)\bFORMAT\s+\w+\s*;?\s*$""", "")
 
+    // CH accepts a trailing comma in IN-lists / one-element tuples:
+    // `x IN (0,)` (reference ParserList); Spark rejects it
+    q = q.replaceAll("(?is)\\b(in\\s*\\([^()]*?),\\s*\\)", "$1)")
     // per-query SETTINGS tail is a hint surface — absorbed (the reference
     // applies them to its own execution; Spark confs are session-level)
     q = q.replaceAll("""(?is)\bSETTINGS\s+\w+\s*=\s*\S+(\s*,\s*\w+\s*=\s*\S+)*\s*;?\s*$""", "")
@@ -6581,7 +6596,11 @@ object ChSql {
             distributedTables.put(name, (und, sh))
             proxied.createOrReplaceTempView(name)
             return Some(proxied.limit(0)) // CREATE emits no rows
-          }
+          } else
+            // target doesn't exist yet: record the routing INTENT (for
+            // cycle detection only — inserts/reads must NOT route to a
+            // missing table); reads fall through to the declared schema
+            distributedIntents.put(name, und)
         }
       }
       val cols =
@@ -6909,10 +6928,47 @@ object ChSql {
         val name = safeViewName(name0.stripPrefix("default."))
         val src = safeViewName(src0.stripPrefix("default."))
         if (engine != null && engine.equalsIgnoreCase("distributed")) {
-          // AS-form Distributed creates carry cluster-depth semantics
-          // this session can't model — fall through so they error (the
-          // corpus only exercises the must-fail shapes, 01763)
-          None
+          // AS-form Distributed: a read proxy over the local table, one
+          // copy per shard (mirrors the bare-CREATE handler). A
+          // Distributed over another Distributed is the reference's
+          // TOO_LARGE_DISTRIBUTED_DEPTH — fall through so it errors.
+          val dargs = Option(engineArgs).map(a => splitArgs(a).map(_.trim))
+            .getOrElse(Seq.empty)
+          val undT = dargs.lift(2).map(_.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("default.").stripPrefix("currentDatabase()."))
+          val undDb = dargs.lift(1).map(_.stripPrefix("'").stripSuffix("'"))
+            .filter(d => d.equalsIgnoreCase("system"))
+          val und = undT.map(t =>
+            safeViewName(undDb.map(d => s"$d.$t").getOrElse(t)))
+            .getOrElse(src)
+          // Distributed-over-Distributed chains are legal up to
+          // max_distributed_depth (default 5) — deeper is the
+          // reference's TOO_LARGE_DISTRIBUTED_DEPTH
+          def depth(t: String, acc: Int): Int =
+            if (acc > 8) acc
+            else if (t == name)
+              throw new IllegalArgumentException(
+                "INFINITE_LOOP: Distributed table routes back to itself")
+            else distributedTables.get(t).map(_._1)
+              .orElse(distributedIntents.get(t)) match {
+              case Some(u) => depth(u, acc + 1)
+              case None => acc
+            }
+          if (depth(und, 1) > 5)
+            throw new IllegalArgumentException(
+              "TOO_LARGE_DISTRIBUTED_DEPTH: distributed chain exceeds max_distributed_depth")
+          if (!spark.catalog.tableExists(und))
+            None
+          else {
+            val cl = dargs.headOption.map(_.stripPrefix("'").stripSuffix("'"))
+              .getOrElse("")
+            val sh = testClusterShards.getOrElse(cl, (1, 1))._1
+            val base = spark.table(und)
+            val proxied = (1 until sh).foldLeft(base)((d, _) => d.unionAll(base))
+            distributedTables.put(name, (und, sh))
+            proxied.createOrReplaceTempView(name)
+            Some(proxied.limit(0))
+          }
         } else if (engine != null && engine.equalsIgnoreCase("buffer") &&
             engineArgs != null) {
           // Buffer(db, table, ...): route the new name to the flush
