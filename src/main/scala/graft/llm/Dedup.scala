@@ -86,6 +86,8 @@ object Dedup {
     // banding defaults DERIVE from corpus size (bits≈log(n) — the
     // measured difference between near-linear and quadratic at scale);
     // explicit k/bands still override, nHint skips the count()
+    require((k > 0) == (bands > 0),
+      s"minhashLshPairs: set BOTH k and bands or NEITHER (got k=$k, bands=$bands)")
     val (kk, bb) =
       if (k > 0 && bands > 0) (k, bands)
       else LshDefaults.minhash(if (nHint >= 0) nHint else docs.count())
@@ -122,6 +124,8 @@ object Dedup {
                      nHint: Long = -1L): DataFrame = {
     // size-derived banding (see minhashLshPairs); the LARGER side
     // drives bucket occupancy, so it picks the banding for both
+    require((k > 0) == (bands > 0),
+      s"minhashLshJoin: set BOTH k and bands or NEITHER (got k=$k, bands=$bands)")
     val (kk, bb) =
       if (k > 0 && bands > 0) (k, bands)
       else LshDefaults.minhash(
@@ -239,6 +243,16 @@ object Dedup {
     val newDocs = batch.select(col(idCol).as("id"), col(textCol).as("t"))
 
     val histExists = new java.io.File(bandsPath).exists()
+    // one statePath must be used consistently: batchId-partitioned and
+    // append-mode layouts don't mix (ownFiltered and the idempotent
+    // overwrite both key on the batch partition column)
+    if (histExists) {
+      val partitioned = spark.read.parquet(bandsPath).columns.contains("batch")
+      require(partitioned == (batchId >= 0),
+        s"incrementalLshDedup: state at $statePath is " +
+          (if (partitioned) "batchId-partitioned" else "append-mode") +
+          "; mixing batchId and non-batchId calls on one statePath is not supported")
+    }
     // a redelivered batch must not see ITS OWN crashed first attempt as
     // history (it would pair every batch doc with its stale copy)
     def ownFiltered(df: DataFrame): DataFrame =
@@ -274,11 +288,15 @@ object Dedup {
       .cache()
     verified.count() // materialize before mutating state
     if (batchId >= 0) {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // per-WRITE dynamic overwrite (DataFrameWriter option, not session
+      // conf — mutating the session conf would silently change the
+      // semantics of unrelated later partitioned overwrites)
       newBands.withColumn("batch", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch").parquet(bandsPath)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(bandsPath)
       newDocs.withColumn("batch", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch").parquet(docsPath)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(docsPath)
     } else {
       newBands.write.mode("append").parquet(bandsPath)
       newDocs.write.mode("append").parquet(docsPath)

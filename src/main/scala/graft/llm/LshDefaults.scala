@@ -35,6 +35,27 @@ object LshDefaults {
     else if (n <= 20000000L) (24, 21)
     else (24, 24)
 
+  /** Metadata-only row count of a parquet table — a cheap `nHint`
+    * source: sums the row counts recorded in each file footer, no Spark
+    * job. O(#files) driver-side footer reads; at real corpus scale the
+    * caller should pass the known corpus size instead, but for a
+    * registered fixture query this removes the sizing count() job. */
+  def parquetRowHint(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      else Array(p)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Single-bucket ANN plane count: keep expected bucket occupancy near
     * `targetBucket` — planes = log2(n / targetBucket), clamped. */
   def annPlanes(n: Long, targetBucket: Long = 1000L): Int = {

@@ -63,17 +63,29 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
-  /** ANN top-k: brute-force cosine restricted to the query's LSH bucket.
-    * Recall < 1 by construction; the bucket prunes the corpus ~2^nPlanes×.
-    * At cluster scale the corpus would be written bucketed/partitioned by
-    * this id so the scan touches one partition. */
+  /** ANN top-k: brute-force cosine restricted to the query's LSH bucket,
+    * optionally MULTI-PROBED (Lv et al. 2007, "Multi-Probe LSH"): with
+    * probeRadius = r the scan also covers every bucket whose sign
+    * pattern differs from the query's in <= r planes — the standard
+    * recall lever that avoids building more hash tables. Pruning factor
+    * is sum_{i<=r} C(nPlanes,i) / 2^nPlanes (e.g. 7/64 at nPlanes=6,
+    * r=1). Recall < 1 by construction; true near-duplicates (high
+    * cosine, tiny angle) land within radius r with probability
+    * >= (1 - r' angle/pi)^nPlanes summed over probes — near-certain for
+    * the near-dup use case. At cluster scale the corpus would be written
+    * bucketed/partitioned by this id so a probe touches 1+nPlanes
+    * partitions. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
+              queryId: Long, k: Int, nPlanes: Int = 8,
+              probeRadius: Int = 0): DataFrame = {
     val withBucket = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
     val q = broadcast(withBucket.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qv"), col("bucket").as("qbucket")))
+    val inProbe =
+      if (probeRadius == 0) col("bucket") === col("qbucket") // partition-prunable
+      else bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeRadius
     withBucket.crossJoin(q)
-      .filter(col("bucket") === col("qbucket") && col(idCol) =!= queryId)
+      .filter(inProbe && col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -209,6 +221,9 @@ object Similarity {
     // round-12 sweep's fixed 12×8 default ABORTED at ×100 corpus while
     // the scaled setting stayed near-linear — so scaling IS the default
     // now; explicit bands/planes override, nHint skips the count()
+    require((bands > 0) == (planesPerBand > 0),
+      s"cosinePairsBucketed: set BOTH bands and planesPerBand or NEITHER " +
+        s"(got bands=$bands, planesPerBand=$planesPerBand)")
     val (bb, pp) =
       if (bands > 0 && planesPerBand > 0) (bands, planesPerBand)
       else LshDefaults.cosine(if (nHint >= 0) nHint else emb.count())

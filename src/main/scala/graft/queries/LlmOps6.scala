@@ -56,7 +56,10 @@ object LlmOps6 {
           concat(slice(col("v"), 1, 1), array(element_at(col("v"), 2) * 1.5),
             slice(col("v"), 3, 62)).as("v"))
       val all = base.unionAll(pert1).unionAll(pert2)
-      val pairs = Similarity.cosinePairsBucketed(all, "vec_id", "v", 0.9)
+      // nHint from parquet footer metadata (+100 planted perturbations)
+      // — auto-banding stays live, sizing count() job skipped
+      val n = graft.llm.LshDefaults.parquetRowHint(s, s"$dir/embeddings.parquet") + 100
+      val pairs = Similarity.cosinePairsBucketed(all, "vec_id", "v", 0.9, nHint = n)
       ordered(Graphs.canonicalAssignment(all, "vec_id", pairs, "a", "b"))
     },
 

@@ -1378,6 +1378,7 @@ object ChSql {
     registeredDicts.clear(); dictParents.clear()
     tableTtls.clear(); tableDefaults.clear(); tableAliases.clear()
     tableEngines.clear(); tableColTz.clear(); tableColMeta.clear()
+    engineBacking.clear(); engineBlockSeq.clear()
     alterVirtualCols.clear(); hiddenInsertCols.clear()
     nestedColNames.clear()
     distributedTables.clear(); distributedIntents.clear()
@@ -1425,6 +1426,38 @@ object ChSql {
       sign: Option[String], version: Option[String], measures: Seq[String])
   private val tableEngines =
     scala.collection.concurrent.TrieMap.empty[String, EngineMeta]
+
+  /** FINAL-merge backing per engine table: the unioned insert blocks
+    * with a recorded `__gblock` insert sequence. The reference merges
+    * parts in BLOCK-NUMBER order (each INSERT allocates a monotonic
+    * block number); monotonically_increasing_id over the unioned view is
+    * partition-major, which need not equal insert order once a block has
+    * more than one partition — so insert order is recorded HERE at
+    * INSERT time instead. Any non-INSERT view replacement (ALTER,
+    * mutation, OPTIMIZE, TRUNCATE, DROP) invalidates the backing and
+    * FINAL falls back to the view (single merged block). */
+  private val engineBacking =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val engineBlockSeq =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Stamp an INSERT block with the table's next block sequence and
+    * extend the FINAL backing. Block 0 bootstraps from the pre-insert
+    * view (CREATE ... AS SELECT initial data). Call AFTER the public
+    * view was re-registered (the global view replacement also clears
+    * the backing). */
+  private def appendEngineBlock(name: String, preInsert: DataFrame,
+                                block: DataFrame): Unit =
+    if (tableEngines.contains(name)) {
+      import org.apache.spark.sql.functions.lit
+      val seq = engineBlockSeq.updateWith(name) {
+        case Some(n) => Some(n + 1); case None => Some(1L) }.get
+      val base = engineBacking.get(name).filter(
+          _.columns.filterNot(_ == "__gblock").sameElements(preInsert.columns))
+        .getOrElse(preInsert.withColumn("__gblock", lit(0L)))
+      engineBacking.put(name,
+        base.unionByName(block.withColumn("__gblock", lit(seq))))
+    }
 
   /** DateTime('tz') columns per table: type-default (epoch) fills render
     * as the declared zone's WALL CLOCK, matching inserted literals. */
@@ -1545,19 +1578,37 @@ object ChSql {
     tableEngines.get(name).flatMap { meta =>
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.NumericType
-      val t = spark.table(name)
+      val view = spark.table(name)
       // flattened Nested columns carry dots — always backtick-quote
       def c(n: String) = col(s"`$n`")
+      // prefer the INSERT-stamped backing (recorded block sequence) when
+      // its schema still matches the public view; fall back to the view
+      // otherwise (post-ALTER/mutation — single merged block semantics)
+      val backing = engineBacking.get(name).filter { b =>
+        b.schema.fields.filterNot(_.name == "__gblock")
+          .map(f => (f.name, f.dataType)).toIndexedSeq ==
+          view.schema.fields.map(f => (f.name, f.dataType)).toIndexedSeq
+      }
+      // summing merges are order-independent (sum per key) and
+      // auto-discover numeric measures — keep them on the plain view so
+      // __gblock is never swept in as a measure
+      val t = if (meta.family == "summing") view else backing.getOrElse(view)
+      // insert-order tiebreak: recorded block sequence first (exact
+      // cross-INSERT order, reference block-number merge order), mono id
+      // within a block (CH guarantees per-part key order only)
+      val insOrd: Seq[org.apache.spark.sql.Column] =
+        if (backing.isDefined) Seq(c("__gblock"), monotonically_increasing_id())
+        else Seq(monotonically_increasing_id())
       val lower = t.columns.map(_.toLowerCase).toSet
       val keys = meta.keys.filter(k => lower.contains(k.toLowerCase))
-      val orig = t.columns.toIndexedSeq.map(c)
+      val orig = view.columns.toIndexedSeq.map(c)
       if (keys.size != meta.keys.size || keys.isEmpty) None
       else (meta.family match {
         case "replacing" =>
-          // no version column -> last inserted row wins (insertion order
-          // approximated by the monotonic id of the unioned view)
+          // no version column -> last inserted row wins, in RECORDED
+          // insert order (block sequence, then within-block id)
           val ver = meta.version.filter(v => lower.contains(v.toLowerCase))
-            .map(col).toSeq :+ monotonically_increasing_id()
+            .map(col).toSeq ++ insOrd
           Some(graft.ops.EngineViews.replacingFinal(t, keys, ver).select(orig: _*))
         case "summing" =>
           import org.apache.spark.sql.types.ArrayType
@@ -1643,15 +1694,27 @@ object ChSql {
           // equal & last row positive (order "broken") -> keep BOTH the
           // first negative and the last positive
           meta.sign.filter(s => lower.contains(s.toLowerCase)).map { s =>
-            val t2 = t.withColumn("__ord", monotonically_increasing_id())
-            val stats = t2.groupBy(keys.map(c): _*).agg(
-              sum(when(c(s) > 0, 1).otherwise(0)).as("__pos"),
-              sum(when(c(s) < 0, 1).otherwise(0)).as("__neg"),
-              min(when(c(s) < 0, col("__ord"))).as("__fneg"),
-              max(when(c(s) > 0, col("__ord"))).as("__lpos"),
-              max(struct(col("__ord").as("o"),
-                c(s).cast("int").as("sg"))).as("__last"))
-            val j = t2.join(stats, keys)
+            // struct-valued order: (block sequence, within-block id) —
+            // min/max/equality on structs compare lexicographically.
+            // Per-key stats come from ONE window pass, not groupBy+join:
+            // __ord contains monotonically_increasing_id, and a join
+            // would evaluate the id subtree TWICE — two evaluations of a
+            // nondeterministic id need not agree (range-partitioned
+            // insert blocks sample their sort boundaries), so __lpos
+            // could match no row. The window shuffles rows WITH their
+            // already-computed __ord, one consistent evaluation (and one
+            // exchange instead of two + a join).
+            val t2 = t.withColumn("__ord",
+              struct(insOrd.zipWithIndex.map { case (x, i) => x.as(s"_$i") }: _*))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(c): _*)
+            val j = t2
+              .withColumn("__pos", sum(when(c(s) > 0, 1).otherwise(0)).over(w))
+              .withColumn("__neg", sum(when(c(s) < 0, 1).otherwise(0)).over(w))
+              .withColumn("__fneg", min(when(c(s) < 0, col("__ord"))).over(w))
+              .withColumn("__lpos", max(when(c(s) > 0, col("__ord"))).over(w))
+              .withColumn("__last", max(struct(col("__ord").as("o"),
+                c(s).cast("int").as("sg"))).over(w))
             val keep =
               (col("__pos") > col("__neg") && col("__ord") === col("__lpos")) ||
               (col("__neg") > col("__pos") && col("__ord") === col("__fneg")) ||
@@ -1663,7 +1726,7 @@ object ChSql {
         case "versionedcollapsing" =>
           meta.sign.filter(s => lower.contains(s.toLowerCase)).map { s =>
             val order = meta.version.filter(v => lower.contains(v.toLowerCase))
-              .map(col).toSeq :+ monotonically_increasing_id()
+              .map(col).toSeq ++ insOrd
             graft.ops.EngineViews.collapsingFinal(t, keys, col(s), order)
               .select(orig: _*)
           }
@@ -3232,8 +3295,19 @@ object ChSql {
     q = q.replaceAll("""(?is)\bFORMAT\s+\w+\s*;?\s*$""", "")
 
     // CH accepts a trailing comma in IN-lists / one-element tuples:
-    // `x IN (0,)` (reference ParserList); Spark rejects it
-    q = q.replaceAll("(?is)\\b(in\\s*\\([^()]*?),\\s*\\)", "$1)")
+    // `x IN (0,)` (reference ParserList); Spark rejects it. Quote-aware:
+    // a string literal containing "in (1,)" must not be rewritten.
+    if ("(?is)\\bin\\s*\\(".r.findFirstIn(q).nonEmpty) {
+      val inCommaRe = "(?is)\\b(in\\s*\\([^()]*?),\\s*\\)".r
+      val sb = new StringBuilder; var last = 0
+      for (m <- inCommaRe.findAllMatchIn(q)) {
+        sb.append(q.substring(last, m.start))
+        val inStr = q.substring(0, m.start).count(_ == '\'') % 2 == 1
+        sb.append(if (inStr) m.matched else m.group(1) + ")")
+        last = m.end
+      }
+      sb.append(q.substring(last)); q = sb.toString
+    }
     // per-query SETTINGS tail is a hint surface — absorbed (the reference
     // applies them to its own execution; Spark confs are session-level)
     q = q.replaceAll("""(?is)\bSETTINGS\s+\w+\s*=\s*\S+(\s*,\s*\w+\s*=\s*\S+)*\s*;?\s*$""", "")
@@ -6339,7 +6413,15 @@ object ChSql {
       else "(?is)\\bSELECT\\s+\\*\\s+FROM\\s+(\\w+)".r.replaceAllIn(chQuery0a, m => {
         val tbl = m.group(1)
         val hidden = hiddenInsertCols.getOrElse(tbl, Set.empty)
-        if (hidden.isEmpty || !tbl.matches("[A-Za-z_]\\w*") ||
+        // only expand a SINGLE-TABLE star: a JOIN / comma / alias after
+        // the table means other relations contribute columns too, and
+        // expanding to t's columns alone would silently drop theirs
+        val rest = m.after.toString.dropWhile(_.isWhitespace)
+        val singleTable = rest.isEmpty || rest.head == ';' || rest.head == ')' ||
+          ("(?is)^(WHERE|PREWHERE|GROUP|ORDER|HAVING|LIMIT|OFFSET|SETTINGS|" +
+            "FORMAT|UNION|EXCEPT|INTERSECT|QUALIFY|WINDOW|SAMPLE|FINAL)\\b").r
+            .findFirstIn(rest).nonEmpty
+        if (!singleTable || hidden.isEmpty || !tbl.matches("[A-Za-z_]\\w*") ||
             !spark.catalog.tableExists(tbl)) m.matched
         else {
           val vis = spark.table(tbl).columns.filterNot(hidden)
@@ -6468,7 +6550,7 @@ object ChSql {
     val alterRenColRe =
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+TO\\s+(\\w+);?\\s*$".r
     val alterModColRe =
-      ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+MODIFY\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?" +
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+MODIFY\\s+COLUMN\\s+(IF\\s+EXISTS\\s+)?" +
         "(\\w+)\\s+([\\w()0-9, ]+?)(?:\\s+DEFAULT\\s+.*?)?;?\\s*$").r
     // MODIFY COLUMN name DEFAULT expr (no type): only the default
     // expression changes — existing rows keep their values
@@ -6575,7 +6657,7 @@ object ChSql {
         replicaPaths.get(path) match {
           case Some(canon) if canon != name && spark.catalog.tableExists(canon) =>
             distributedTables.put(name, (canon, 1))
-            spark.table(canon).createOrReplaceTempView(name)
+            spark.table(canon).createOrReplaceTempView(name); engineBacking.remove(name)
             return Some(spark.table(canon).limit(0))
           case _ => replicaPaths.put(path, name)
         }
@@ -6594,7 +6676,7 @@ object ChSql {
             val base = spark.table(und)
             val proxied = (1 until sh).foldLeft(base)((d, _) => d.unionAll(base))
             distributedTables.put(name, (und, sh))
-            proxied.createOrReplaceTempView(name)
+            proxied.createOrReplaceTempView(name); engineBacking.remove(name)
             return Some(proxied.limit(0)) // CREATE emits no rows
           } else
             // target doesn't exist yet: record the routing INTENT (for
@@ -6703,7 +6785,7 @@ object ChSql {
         .foreach(vm => vectorIndexDims.put(name, (vm.group(1), vm.group(2).toInt)))
       "(?is)\\bTTL\\s+(.+?)(?:\\s+(?:SETTINGS|ORDER\\s+BY|PARTITION\\s+BY|PRIMARY\\s+KEY)\\b.*)?$"
         .r.findFirstMatchIn(rest).foreach(mm => tableTtls.put(name, mm.group(1).trim))
-      empty.createOrReplaceTempView(name)
+      empty.createOrReplaceTempView(name); engineBacking.remove(name)
       Some(empty)
     }
     // Cast listed columns to the table's declared types and fill unlisted
@@ -6842,7 +6924,7 @@ object ChSql {
         "(?is)\\bTTL\\s+(.+?)(?:\\s+(?:SETTINGS|ORDER\\s+BY|PARTITION\\s+BY|PRIMARY\\s+KEY)\\b.*)?$"
           .r.findFirstMatchIn(clauses)
           .foreach(m => tableTtls.put(name, m.group(1).trim))
-        out.createOrReplaceTempView(name)
+        out.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(out.limit(0))
       case q2 if systemRe.pattern.matcher(q2).matches =>
         Some(spark.range(0).toDF("ok"))
@@ -6966,7 +7048,7 @@ object ChSql {
             val base = spark.table(und)
             val proxied = (1 until sh).foldLeft(base)((d, _) => d.unionAll(base))
             distributedTables.put(name, (und, sh))
-            proxied.createOrReplaceTempView(name)
+            proxied.createOrReplaceTempView(name); engineBacking.remove(name)
             Some(proxied.limit(0))
           }
         } else if (engine != null && engine.equalsIgnoreCase("buffer") &&
@@ -6982,11 +7064,11 @@ object ChSql {
               tableAliases.put(name0, t)
               Some(spark.table(t).limit(0))
             case None =>
-              spark.table(src).limit(0).createOrReplaceTempView(name)
+              spark.table(src).limit(0).createOrReplaceTempView(name); engineBacking.remove(name)
               Some(spark.table(name).limit(0))
           }
         } else {
-          spark.table(src).limit(0).createOrReplaceTempView(name)
+          spark.table(src).limit(0).createOrReplaceTempView(name); engineBacking.remove(name)
           tableDefaults.get(src).foreach(tableDefaults.put(name, _))
           tableEngines.get(src).foreach(tableEngines.put(name, _))
           Some(spark.table(name).limit(0))
@@ -7000,6 +7082,7 @@ object ChSql {
         spark.catalog.dropTempView(name)
         tableTtls.remove(name); tableDefaults.remove(name)
         distributedTables.remove(name); tableEngines.remove(name)
+        engineBacking.remove(name); engineBlockSeq.remove(name)
         matViews.remove(name)
         // text-level aliases (Buffer write-through, unparseable names)
         // must die with the table or they rewrite LATER sessions' texts
@@ -7062,8 +7145,10 @@ object ChSql {
         val block = fitToSchema(existing, name,
           listed.filter(incoming.columns.contains), incoming)
         checkVectorDims(name, block)
-        val appended = existing.unionByName(sortInsertBlock(block, name))
+        val sorted = sortInsertBlock(block, name)
+        val appended = existing.unionByName(sorted)
         appended.createOrReplaceTempView(name)
+        appendEngineBlock(name, existing, sorted)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
         Some(appended.limit(0))
@@ -7077,8 +7162,10 @@ object ChSql {
           .getOrElse(existing.columns.take(src.columns.length).toSeq)
         val block = fitToSchema(existing, name, listed, src.toDF(listed: _*))
         checkVectorDims(name, block)
-        val appended = existing.unionByName(sortInsertBlock(block, name))
+        val sorted = sortInsertBlock(block, name)
+        val appended = existing.unionByName(sorted)
         appended.createOrReplaceTempView(name)
+        appendEngineBlock(name, existing, sorted)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
         Some(appended.limit(0))
@@ -7120,8 +7207,10 @@ object ChSql {
           s"AS __v(${listed.map(c => s"`$c`").mkString(", ")})")
         val block = fitToSchema(existing, name, listed, vdf)
         checkVectorDims(name, block)
-        val appended = existing.unionByName(sortInsertBlock(block, name))
+        val sorted = sortInsertBlock(block, name)
+        val appended = existing.unionByName(sorted)
         appended.createOrReplaceTempView(name)
+        appendEngineBlock(name, existing, sorted)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
         Some(appended.limit(0))
@@ -7244,7 +7333,7 @@ object ChSql {
           withCol = withCol.select(order.map(x =>
             org.apache.spark.sql.functions.col(s"`$x`")).toIndexedSeq: _*)
         }
-        withCol.createOrReplaceTempView(name)
+        withCol.createOrReplaceTempView(name); engineBacking.remove(name)
         if (dflt == null)
           alterVirtualCols.put(name,
             alterVirtualCols.getOrElse(name, Set.empty) + colName)
@@ -7288,21 +7377,24 @@ object ChSql {
       case alterDropColRe(name, colName0) =>
         val colName = colName0.stripPrefix("`").stripSuffix("`")
         val dropped = spark.table(name).drop(colName)
-        dropped.createOrReplaceTempView(name)
+        dropped.createOrReplaceTempView(name); engineBacking.remove(name)
         tableColMeta.get(name).foreach(m =>
           tableColMeta.put(name, m.filterNot(_._1 == colName)))
         Some(dropped.limit(0))
       case alterRenColRe(name, from, to) =>
         val renamed = spark.table(name).withColumnRenamed(from, to)
-        renamed.createOrReplaceTempView(name)
+        renamed.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(renamed.limit(0))
-      case alterModColRe(name, colName, _)
+      case alterModColRe(name, ifExists, colName, _)
           if !spark.table(name).columns.contains(colName) =>
-        // MODIFY COLUMN IF EXISTS on a missing column is a no-op (the
-        // single-action regex only reaches here through IF EXISTS texts
-        // or equivalent; a hard error would need the column resolvable)
+        // MODIFY COLUMN IF EXISTS on a missing column is a no-op; without
+        // IF EXISTS the reference rejects it (AlterCommands::validate,
+        // NOT_FOUND_COLUMN_IN_BLOCK)
+        if (ifExists == null)
+          throw new IllegalArgumentException(
+            s"NOT_FOUND_COLUMN_IN_BLOCK: there is no column $colName in table $name")
         Some(spark.range(0).toDF("ok"))
-      case alterModColRe(name, colName, chType) =>
+      case alterModColRe(name, _, colName, chType) =>
         val sqlT = chType.trim match {
           case "Int8" => "TINYINT"
           case "Int16" => "SMALLINT"
@@ -7329,7 +7421,7 @@ object ChSql {
               }))
           else spark.table(name).withColumn(colName,
             org.apache.spark.sql.functions.col(colName).cast(sqlT))
-        modified.createOrReplaceTempView(name)
+        modified.createOrReplaceTempView(name); engineBacking.remove(name)
         tableColMeta.get(name).foreach(m => tableColMeta.put(name,
           m.map(x => if (x._1 == colName) (x._1, chType.trim, x._3, x._4)
                      else x)))
@@ -7362,7 +7454,7 @@ object ChSql {
             case _ => org.apache.spark.sql.functions.lit(null).cast(f.dataType)
           })
         val cleared = t.withColumn(colName, fill)
-        cleared.createOrReplaceTempView(name)
+        cleared.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(cleared.limit(0))
       case alterCommentColRe(name) =>
         Some(spark.table(name).limit(0)) // comments are metadata-only: no-op
@@ -7375,7 +7467,7 @@ object ChSql {
       case alterDelRe(name, pred) =>
         val kept = spark.table(name)
           .filter(s"NOT (${rewrite(pred)})")
-        kept.createOrReplaceTempView(name)
+        kept.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(kept.limit(0))
       case alterUpdRe(name, assigns, pred) =>
         val t = spark.table(name)
@@ -7396,11 +7488,11 @@ object ChSql {
           }
         }.mkString(", ")
         val updated = spark.sql(s"SELECT $projected FROM $name")
-        updated.createOrReplaceTempView(name)
+        updated.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(updated.limit(0))
       case truncateRe(name) =>
         val empty = spark.table(name).limit(0)
-        empty.createOrReplaceTempView(name)
+        empty.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(empty)
       case optimizeDedupRe(name, byCols) =>
         val t = spark.table(name)
@@ -7411,7 +7503,7 @@ object ChSql {
         }
         val m = deduped.persist()
         m.count()
-        m.createOrReplaceTempView(name)
+        m.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(m.limit(0))
       case optimizeRe(name) =>
         // a merge point: apply the engine family's merge semantics
@@ -7419,7 +7511,7 @@ object ChSql {
         // registered TTL (the reference drops expired rows during
         // merges); otherwise a no-op — session tables have no parts
         engineFinalDf(spark, name).foreach { d =>
-          val m = d.persist(); m.count(); m.createOrReplaceTempView(name)
+          val m = d.persist(); m.count(); m.createOrReplaceTempView(name); engineBacking.remove(name)
         }
         tableTtls.get(name) match {
           case Some(ttl) =>
@@ -7427,7 +7519,7 @@ object ChSql {
               .filter(s"NOT ((${rewrite(ttl)}) <= current_timestamp())")
             val m = kept.persist()
             m.count()
-            m.createOrReplaceTempView(name)
+            m.createOrReplaceTempView(name); engineBacking.remove(name)
             Some(m.limit(0))
           case None => Some(spark.table(name).limit(0))
         }

@@ -2431,6 +2431,56 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getInt(0) == 15 && r.getString(1) == "x marks")
   }
 
+  test("r14: Collapsing FINAL follows recorded insert order across repartitioned blocks") {
+    // reference CollapsingSortedAlgorithm merges parts in BLOCK-NUMBER
+    // (insert) order; each insert block here is multi-partition, so a
+    // partition-major tiebreak computed at read time is NOT trustworthy —
+    // the order must come from the sequence recorded at INSERT
+    ch("DROP TABLE IF EXISTS t_collseq")
+    ch("CREATE TABLE t_collseq (k Int64, v Int64, sign Int8) " +
+      "ENGINE = CollapsingMergeTree(sign) ORDER BY k")
+    spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(1 AS BIGINT) AS v", "CAST(1 AS TINYINT) AS sign")
+      .repartition(8).createOrReplaceTempView("src_collb1")
+    ch("INSERT INTO t_collseq SELECT k, v, sign FROM src_collb1")
+    // block 2 cancels every key and re-states keys 0..49 with v=2
+    spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(1 AS BIGINT) AS v", "CAST(-1 AS TINYINT) AS sign")
+      .unionAll(spark.range(0, 50)
+        .selectExpr("id AS k", "CAST(2 AS BIGINT) AS v", "CAST(1 AS TINYINT) AS sign"))
+      .repartition(8).createOrReplaceTempView("src_collb2")
+    ch("INSERT INTO t_collseq SELECT k, v, sign FROM src_collb2")
+    val got = ch("SELECT k, v FROM t_collseq FINAL ORDER BY k").collect()
+    // keys 0..49: pos=2 > neg=1 -> keep the LAST positive (block 2, v=2);
+    // keys 50..99: pos=neg, last row negative -> fully cancelled
+    assert(got.length == 50, s"expected 50 surviving keys, got ${got.length}")
+    assert(got.forall(r => r.getLong(0) < 50 && r.getLong(1) == 2L),
+      s"every survivor must be block-2's v=2 re-statement; got ${got.take(5).mkString(",")}")
+    ch("DROP TABLE t_collseq")
+  }
+
+  test("r14: version-less Replacing FINAL keeps the later BLOCK's row") {
+    ch("DROP TABLE IF EXISTS t_replseq")
+    ch("CREATE TABLE t_replseq (k Int64, v Int64) " +
+      "ENGINE = ReplacingMergeTree ORDER BY k")
+    spark.range(0, 200).selectExpr("id AS k", "CAST(1 AS BIGINT) AS v")
+      .repartition(8).createOrReplaceTempView("src_replb1")
+    ch("INSERT INTO t_replseq SELECT k, v FROM src_replb1")
+    spark.range(0, 200).selectExpr("id AS k", "CAST(2 AS BIGINT) AS v")
+      .repartition(8).createOrReplaceTempView("src_replb2")
+    ch("INSERT INTO t_replseq SELECT k, v FROM src_replb2")
+    val got = ch("SELECT k, v FROM t_replseq FINAL ORDER BY k").collect()
+    assert(got.length == 200 && got.forall(_.getLong(1) == 2L),
+      "last inserted block must win for every key")
+    // a post-insert mutation invalidates the recorded backing — FINAL
+    // must still work (single-merged-block fallback), not crash
+    ch("ALTER TABLE t_replseq ADD COLUMN w Int64 DEFAULT 7")
+    val after = ch("SELECT k, w FROM t_replseq FINAL ORDER BY k").collect()
+    assert(after.length == 200 &&
+      after.forall(_.getAs[Number](1).longValue == 7L))
+    ch("DROP TABLE t_replseq")
+  }
+
   test("r12: ASOF JOIN without an equi-conjunct is left unrewritten") {
     // inequality-only ON: the reference refuses it; we must not emit
     // 'WHERE  AND ...' garbage — the rewrite returns the query unchanged

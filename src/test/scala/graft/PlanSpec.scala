@@ -263,7 +263,11 @@ class PlanSpec extends AnyFunSuite {
   test("q_sim_ann_nsw shuffles once into shards, never joins the corpus") {
     // NSW: one repartition into shard graphs, per-shard candidates merge
     // via global top-k — no corpus-wide join and no cartesian product.
-    val plan = SparkEntry.queries("q_sim_ann_nsw")(spark, sf)
+    // Pinned on the raw OPERATOR: the registered query now wraps it in a
+    // recall computation (ANN ∩ brute-force join) for the driver gate.
+    val plan = graft.llm.Similarity.annTopKNsw(
+        graft.core.Tables.t(spark, sf, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"NSW plan joined the corpus:\n${plan.take(2000)}")

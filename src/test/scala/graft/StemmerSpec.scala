@@ -12,38 +12,8 @@ class StemmerSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  val vectors = Seq(
-    // step 1a
-    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti", "cats" -> "cat",
-    // step 1b + cleanup
-    "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
-    "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
-    "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
-    "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
-    "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
-    // step 1c
-    "happy" -> "happi", "sky" -> "sky",
-    // step 2
-    "relational" -> "relat", "conditional" -> "condit", "rational" -> "ration",
-    "digitizer" -> "digit",
-    "differentli" -> "differ", // step 2 gives 'different'; step 4 then strips 'ent'
-    "vietnamization" -> "vietnam", "predication" -> "predic", "operator" -> "oper",
-    "feudalism" -> "feudal", "decisiveness" -> "decis", "hopefulness" -> "hope",
-    "callousness" -> "callous", "formaliti" -> "formal", "sensitiviti" -> "sensit",
-    // step 3
-    "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
-    "electriciti" -> "electr", "electrical" -> "electr", "hopeful" -> "hope",
-    "goodness" -> "good",
-    // step 4
-    "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
-    "airliner" -> "airlin", "gyroscopic" -> "gyroscop", "adjustable" -> "adjust",
-    "defensible" -> "defens", "irritant" -> "irrit", "replacement" -> "replac",
-    "adjustment" -> "adjust", "dependent" -> "depend", "adoption" -> "adopt",
-    "communism" -> "commun", "activate" -> "activ", "effective" -> "effect",
-    "bowdlerize" -> "bowdler",
-    // step 5
-    "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
-    "controll" -> "control", "roll" -> "roll")
+  // single source of truth shared with the driver-checked q_text_stem
+  val vectors = graft.llm.PorterPaperVectors.vectors
 
   test("Porter stemmer matches the paper's step examples") {
     val df = vectors.map(_._1).toDF("w")
