@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Full sweep of the reference performance-test corpus through the
+  * dialect for acceptance (see PerfShapes). Prints one PASS/FAIL line
+  * per `<query>` (`file.xml#idx`), then a reject-reason histogram — the
+  * work-list for the next dialect enablers. Curate PASSing ids into
+  * src/test/resources/perf_shapes.txt for PerfShapeSpec. */
+object PerfShapeScout {
+  def main(args: Array[String]): Unit = {
+    val perfDir = new java.io.File(
+      args.headOption.getOrElse("/root/reference/tests/performance"))
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val files = perfDir.listFiles().filter(_.getName.endsWith(".xml"))
+      .filter(f => only.isEmpty || only.exists(f.getName.startsWith))
+      .sortBy(_.getName)
+    var pass = 0; var fail = 0
+    val reasons = scala.collection.mutable.Map.empty[String, Int]
+    for (f <- files) {
+      PerfShapes.loadFile(f) match {
+        case Left(e) =>
+          println(s"FAIL ${f.getName}#* :: $e"); fail += 1
+        case Right(pf) =>
+          val setupErr = PerfShapes.setup(spark, dir, pf)
+          for ((q, i) <- pf.queries.zipWithIndex) {
+            val id = s"${pf.name}#$i"
+            (setupErr.map(e => Left(s"setup: $e")).getOrElse(
+              PerfShapes.runStmt(spark, dir, PerfShapes.prepareText(q, pf.subs)))
+            ) match {
+              case Right(_) => println(s"PASS $id"); pass += 1
+              case Left(e) =>
+                println(s"FAIL $id :: $e"); fail += 1
+                val key = e.take(80)
+                reasons(key) = reasons.getOrElse(key, 0) + 1
+            }
+          }
+      }
+      Console.out.flush()
+    }
+    println(s"\n== $pass pass / $fail fail ==")
+    println("\nTop reject reasons:")
+    reasons.toSeq.sortBy(-_._2).take(40).foreach { case (r, n) =>
+      println(f"$n%5d  $r")
+    }
+    spark.stop()
+  }
+}

@@ -89,7 +89,34 @@ object ScaleSweep {
         .collect()(0).get(0)
     }
 
-    // 5. Codec family linearity: dHash over synthesized PNGs at two
+    // 5. SummingMergeTree FINAL with 2 Nested map groups over the FULL
+    // lineitem fixture (the r13 engine-merge path, reachable from any
+    // dialect CREATE): per map group the merge is explode -> per-(key,
+    // mapkey) sum -> per-key sorted re-collect, joined back to the base
+    // sums — probe that it stays linear in rows (groups fixed at 10007).
+    graft.sqlfront.ChSql.sql(spark, dir,
+      """CREATE TABLE sweep_summing (k UInt64, v UInt64,
+        |`qMap.k` Array(UInt32), `qMap.v` Array(UInt64),
+        |`pMap.k` Array(UInt32), `pMap.v` Array(UInt64))
+        |ENGINE = SummingMergeTree ORDER BY k""".stripMargin)
+    T("lineitem").selectExpr(
+      "l_orderkey % 10007 AS k",
+      "CAST(l_quantity AS BIGINT) AS v",
+      "array(CAST(l_linenumber % 7 AS INT), CAST(l_linenumber % 5 + 7 AS INT)) AS qk",
+      "array(CAST(l_partkey % 97 AS BIGINT), CAST(l_suppkey % 89 AS BIGINT)) AS qv",
+      "array(CAST(l_linenumber % 3 AS INT), CAST(l_linenumber % 11 + 3 AS INT)) AS pk",
+      "array(CAST(l_extendedprice AS BIGINT), CAST(l_discount * 100 AS BIGINT)) AS pv")
+      .createOrReplaceTempView("sweep_summing_src")
+    graft.sqlfront.ChSql.sql(spark, dir,
+      "INSERT INTO sweep_summing SELECT * FROM sweep_summing_src")
+    time("summing_nested_final") {
+      graft.sqlfront.ChSql.sql(spark, dir,
+        """SELECT sum(k) AS sk, sum(v) AS sv,
+          |sum(arraySum(`qMap.v`)) AS sq, sum(arraySum(`pMap.v`)) AS sp
+          |FROM sweep_summing FINAL""".stripMargin).collect()(0).get(0)
+    }
+
+    // 6. Codec family linearity: dHash over synthesized PNGs at two
     // sizes in ONE run (the registered codec rows are key-bounded, so
     // this is their scale evidence — pure per-row executor CPU, no
     // shuffle; the ratio should track the size ratio).

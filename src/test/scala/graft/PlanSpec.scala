@@ -275,6 +275,39 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"NSW plan has $shuffles hash shuffles (expected 1):\n${plan.take(2000)}")
   }
 
+  test("Summing Nested-map FINAL: bounded exchanges, no cartesian, all in-plan") {
+    // the r13 engine-merge path (explode -> per-(key,mapkey) sum ->
+    // per-key re-collect -> join back), reachable from any dialect
+    // CREATE: per map group the merge must cost a bounded number of
+    // key-hash exchanges and never a cartesian or driver-side loop
+    import graft.sqlfront.ChSql
+    ChSql.sql(spark, sf, "DROP TABLE IF EXISTS t_sumplan")
+    ChSql.sql(spark, sf,
+      """CREATE TABLE t_sumplan (k UInt64, v UInt64,
+        |`aMap.k` Array(UInt32), `aMap.v` Array(UInt64),
+        |`bMap.k` Array(UInt32), `bMap.v` Array(UInt64))
+        |ENGINE = SummingMergeTree ORDER BY k""".stripMargin)
+    ChSql.sql(spark, sf,
+      "INSERT INTO t_sumplan VALUES (1, 2, [1,2], [10,20], [3], [30]), " +
+        "(1, 3, [2,4], [5,6], [3], [70])")
+    val df = ChSql.sql(spark, sf, "SELECT * FROM t_sumplan FINAL")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"nested-map merge went cartesian:\n${plan.take(3000)}")
+    val ex = "hashpartitioning".r.findAllIn(plan).length
+    assert(ex <= 6,
+      s"nested-map merge has $ex hash exchanges (expected <= 6 for 2 map groups):\n${plan.take(3000)}")
+    // semantics sanity on the same table: maps merged element-wise,
+    // zero groups kept (v sums non-zero), map keys sorted
+    val r = df.collect()
+    assert(r.length == 1)
+    def str(c: String) =
+      r(0).getAs[scala.collection.Seq[Any]](c).map(_.toString).toSeq
+    assert(str("aMap.k") == Seq("1", "2", "4") &&
+      str("aMap.v") == Seq("10", "25", "6"), r(0).toString)
+    ChSql.sql(spark, sf, "DROP TABLE t_sumplan")
+  }
+
   test("q_fn_dict_hier: the hierarchy chain is a broadcast-join tower") {
     // depth-8 parent chain over a 25-row dictionary: every subquery
     // level must compile to a BROADCAST join (the dictionary bounds the
