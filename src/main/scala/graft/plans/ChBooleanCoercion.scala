@@ -138,6 +138,31 @@ object ChFloat32Compare extends Rule[LogicalPlan] {
   }
 }
 
+/** CH's default NULL placement in ORDER BY: NULLs sort LAST in BOTH
+  * directions unless NULLS FIRST/LAST is spelled out (reference
+  * SortDescription nulls_direction; pinned by 00426_nulls_sorting —
+  * both the ASC and the DESC block end with \N). Spark's ASC default is
+  * NULLS FIRST, so flip it; DESC already defaults to NULLS LAST.
+  * Explicit spellings are indistinguishable post-parse, so ChSql.sql
+  * sets spark.graft.chExplicitNulls for queries whose TEXT contains an
+  * explicit NULLS FIRST/LAST and the rule stands down for them. */
+object ChNullsOrdering extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Sort
+  val skipKey = "spark.graft.chExplicitNulls"
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!ChDialect.on(conf) ||
+        conf.getConfString(skipKey, "false").toBoolean) plan
+    else plan.resolveOperators {
+      case s: Sort =>
+        val fixed = s.order.map {
+          case so @ SortOrder(_, Ascending, NullsFirst, _) =>
+            so.copy(nullOrdering = NullsLast)
+          case so => so
+        }
+        if (fixed == s.order) s else s.copy(order = fixed)
+    }
+}
+
 /** The dialect flag: ChSql.sql sets it (save/restore, nesting-safe)
   * around query construction so the CH-semantics resolution rules fire
   * only for dialect-routed plans; DataFrame-path queries skip them. */

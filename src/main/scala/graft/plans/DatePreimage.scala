@@ -86,6 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChBoolAsNumeric)
     ext.injectResolutionRule(_ => ChFloat32Compare)
     ext.injectResolutionRule(_ => ChJoinDefaults)
+    ext.injectResolutionRule(_ => ChNullsOrdering)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -3578,7 +3578,11 @@ object ChSql {
 
     // GLOBAL IN / GLOBAL JOIN are distribution hints in the reference;
     // Spark's optimizer owns distribution — drop the modifier.
-    q = q.replaceAll("""(?i)\bGLOBAL\s+(IN|NOT\s+IN|JOIN|ANY|ALL)\b""", "$1")
+    q = q.replaceAll("""(?i)\bGLOBAL\s+(IN|NOT\s+IN|JOIN|ANY|ALL|SEMI|ANTI)\b""", "$1")
+    // CH spells the semi/anti qualifier BEFORE the side (ParserJoin:
+    // SEMI LEFT JOIN); Spark wants LEFT SEMI JOIN
+    q = q.replaceAll("(?i)\\bSEMI\\s+LEFT(\\s+OUTER)?\\s+JOIN\\b", "LEFT SEMI JOIN")
+    q = q.replaceAll("(?i)\\bANTI\\s+LEFT(\\s+OUTER)?\\s+JOIN\\b", "LEFT ANTI JOIN")
 
     // ALL JOIN strictness modifier (reference Joins.h All) is Spark's
     // default join semantics — drop it.
@@ -3666,7 +3670,17 @@ object ChSql {
       s"coalesce(avg(CASE WHEN ${a(1)} THEN ${a(0)} END), CAST('NaN' AS DOUBLE))")
     q = rewriteCalls(q, "minIf")(a => s"min(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "maxIf")(a => s"max(CASE WHEN ${a(1)} THEN ${a(0)} END)")
+    // uniq*If: cardinality of the matching subset; 0 (type default) on
+    // an empty match set comes free (count distinct of no rows is 0)
+    q = rewriteCalls(q, "uniqIf")(a =>
+      s"approx_count_distinct(CASE WHEN ${a.last} THEN ${a.dropRight(1).mkString(", ")} END)")
+    q = rewriteCalls(q, "uniqExactIf")(a =>
+      s"count(DISTINCT CASE WHEN ${a.last} THEN ${a.dropRight(1).mkString(", ")} END)")
     q = rewriteCalls(q, "uniqExact")(a => s"count(DISTINCT ${a.mkString(", ")})")
+    // replicate(x, arr): internal function materializing a constant into
+    // an array of arr's shape (reference src/Functions/replicate.cpp)
+    q = rewriteCalls(q, "replicate")(a =>
+      s"transform(${a(1)}, __r_elem -> ${a(0)})")
     q = rewriteCalls(q, "toString")(a => s"cast(${a(0)} AS string)")
     q = rewriteCalls(q, "toInt64")(a => s"cast(${a(0)} AS bigint)")
     q = rewriteCalls(q, "toInt32")(a => s"cast(${a(0)} AS int)")
@@ -4682,6 +4696,19 @@ object ChSql {
     // parameterized quantile sketch variants -> percentile_approx; the
     // multi-level quantiles[Exact](p1, p2, …)(x) forms -> array results
     q = q.replaceAll("""\bquantilesExact\(([^)]*)\)\s*\(([^)]*)\)""", "percentile($2, array($1))")
+    // quantile[s]Timing: the reference's small-count path answers
+    // sorted[floor(level * n)] clamped to the last element, values
+    // saturate into [0, 30000] (QuantileTiming.h small/medium states)
+    locally {
+      def timingBody(x: String, p: String): String = {
+        val lst = s"sort_array(collect_list(least(greatest(CAST($x AS BIGINT), 0), 30000)))"
+        s"element_at($lst, least(CAST(floor(size($lst) * ($p)) AS INT) + 1, size($lst)))"
+      }
+      q = q.replaceAll("""\bquantilesTiming\(([^)]*)\)\s*\(([^()]*)\)""",
+        "transform(array($1), __p -> " + timingBody("$2", "__p") + ")")
+      q = q.replaceAll("""\bquantileTiming\(([^)]*)\)\s*\(([^()]*)\)""",
+        timingBody("$2", "$1"))
+    }
     q = q.replaceAll("""\bquantiles\(([^)]*)\)\s*\(([^)]*)\)""", "percentile_approx($2, array($1))")
     q = q.replaceAll(
       """\bquantile(?:TDigest|BFloat16|Timing)\(([0-9.]+)\)\s*\(([^)]*)\)""",
@@ -6153,6 +6180,13 @@ object ChSql {
       val sb = new StringBuffer
       while (m.find()) {
         val keys = m.group(1).trim
+        // record simple-identifier key lists so the anchor runner can
+        // render the totals BLOCK the way the reference does (blank
+        // line, key columns as type defaults, after the data rows)
+        val ks = splitArgs(keys).map(_.trim.stripPrefix("`").stripSuffix("`"))
+        lastTotalsKeys =
+          if (ks.nonEmpty && ks.forall(_.matches("[A-Za-z_]\\w*"))) Some(ks)
+          else None
         m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
           s"GROUP BY GROUPING SETS (($keys), ())"))
       }
@@ -6367,14 +6401,32 @@ object ChSql {
     // for DataFrame-path queries intact.
     val prev = spark.conf.getOption(graft.plans.ChDialect.key)
     spark.conf.set(graft.plans.ChDialect.key, "true")
+    // explicit NULLS FIRST/LAST in the text: the default-nulls flip
+    // (ChNullsOrdering) must not touch this query's sorts
+    val nKey = graft.plans.ChNullsOrdering.skipKey
+    val prevN = spark.conf.getOption(nKey)
+    spark.conf.set(nKey,
+      "(?i)\\bNULLS\\s+(FIRST|LAST)\\b".r.findFirstIn(chQuery0).isDefined.toString)
     try sqlImpl(spark, dir, chQuery0)
-    finally prev match {
-      case Some(v) => spark.conf.set(graft.plans.ChDialect.key, v)
-      case None => spark.conf.unset(graft.plans.ChDialect.key)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(graft.plans.ChDialect.key, v)
+        case None => spark.conf.unset(graft.plans.ChDialect.key)
+      }
+      prevN match {
+        case Some(v) => spark.conf.set(nKey, v)
+        case None => spark.conf.unset(nKey)
+      }
     }
   }
 
+  /** GROUP-BY key names of the last statement's WITH TOTALS clause
+    * (simple identifiers only) — consumed by the anchor runner to render
+    * the reference's totals block. Reset per statement. */
+  @volatile var lastTotalsKeys: Option[Seq[String]] = None
+
   private def sqlImpl(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
+    lastTotalsKeys = None
     // clickhouse-test macros: {CLICKHOUSE_DATABASE:Identifier} expands to
     // the per-test database, here always `default`; the String form is
     // quoted. `default.`-qualified names then collapse to bare view names
@@ -6559,6 +6611,15 @@ object ChSql {
         "(`[^`]+`|[\\w.]+)\\s+(DEFAULT|MATERIALIZED|ALIAS)\\s+(.*?);?\\s*$").r
     val alterClearColRe =
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+CLEAR\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+).*$".r
+    // skip-index / projection / constraint / per-table-setting actions
+    // are storage-layout performance hints in the reference
+    // (MergeTreeIndices, ProjectionsDescription) — results are identical
+    // without them, so they are accepted and absorbed
+    val alterHintRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+" +
+        "(?:ADD|DROP|MATERIALIZE|CLEAR)\\s+(?:INDEX|PROJECTION|CONSTRAINT|STATISTICS?)\\b.*$").r
+    val alterSettingRe =
+      "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+(?:MODIFY|RESET)\\s+SETTINGS?\\b.*$".r
     val alterCommentColRe =
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+COMMENT\\s+COLUMN\\s+.*$".r
     val renameTableRe =
@@ -6601,7 +6662,8 @@ object ChSql {
         return df
       case _ => ()
     }
-    val showTablesRe = "(?is)^\\s*SHOW\\s+TABLES(?:\\s+LIKE\\s+'([^']*)')?\\s*;?\\s*$".r
+    val showTablesRe = ("(?is)^\\s*SHOW\\s+TABLES(?:\\s+FROM\\s+\\w+)?" +
+      "(?:\\s+(NOT\\s+)?I?LIKE\\s+'([^']*)')?(?:\\s+LIMIT\\s+(.+?))?\\s*;?\\s*$").r
     val showCreateRe = "(?is)^\\s*SHOW\\s+CREATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
     val describeRe = "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
     val existsRe = "(?is)^\\s*EXISTS\\s+(?:TABLE\\s+)?(`[^`]+`|\\w+)\\s*;?\\s*$".r
@@ -6847,12 +6909,27 @@ object ChSql {
       }.select(fields.map(f => fcol(s"`${f.name}`")).toIndexedSeq: _*)
     }
     lazy val ddl: Option[DataFrame] = chQuery match {
-      case showTablesRe(pat) =>
+      case showTablesRe(notTok, pat, limitExpr) =>
         import spark.implicits._
         val like = Option(pat).map(_.replace("%", ".*").replace("_", "."))
-        Some(spark.catalog.listTables().collect().map(_.name).sorted.toSeq
-          .filter(n => like.forall(p => n.matches(s"(?i)$p")))
-          .toDF("name"))
+        val neg = notTok != null
+        // the reference lists the per-test DATABASE's tables — exclude
+        // the always-registered fixture views and runtime system views
+        val names = spark.catalog.listTables().collect().map(_.name).sorted.toSeq
+          .filterNot(n => graft.core.Tables.all.contains(n) ||
+            n.startsWith("system_") || n.startsWith("__") ||
+            n.endsWith("__final") || n == "perf_hits")
+          .filter(n => like.forall(p => n.matches(s"(?i)$p") != neg))
+        // LIMIT takes any constant expression (reference 01012: LIMIT 2*2)
+        val limited = Option(limitExpr).map(_.trim).filter(_.nonEmpty) match {
+          case Some(le) =>
+            val n = spark.range(1)
+              .select(org.apache.spark.sql.functions.expr(rewrite(le)).cast("int"))
+              .collect()(0).getInt(0)
+            names.take(n)
+          case None => names
+        }
+        Some(limited.toDF("name"))
       case describeRe(name) if spark.catalog.tableExists(name) =>
         import spark.implicits._
         // CH DESCRIBE: 7 TSV fields — name, DECLARED type, default kind,
@@ -7426,6 +7503,10 @@ object ChSql {
           m.map(x => if (x._1 == colName) (x._1, chType.trim, x._3, x._4)
                      else x)))
         Some(modified.limit(0))
+      case alterHintRe(name) if spark.catalog.tableExists(name) =>
+        Some(spark.range(0).toDF("ok"))
+      case alterSettingRe(name) if spark.catalog.tableExists(name) =>
+        Some(spark.range(0).toDF("ok"))
       case alterClearColRe(name, colName) =>
         // CLEAR COLUMN resets values to the column DEFAULT (declared
         // expression if any, else the TYPE default; reference

@@ -227,7 +227,13 @@ object AnchorScout {
           throw AnchorFail(s"expected failure did not fail: ${st.take(60)}")
         Seq.empty[String]
       } else {
-        val rows = graft.sqlfront.ChSql.sql(spark, sf, st).collect().toSeq
+        val df = graft.sqlfront.ChSql.sql(spark, sf, st)
+        // WITH TOTALS: the reference renders a SEPARATE totals block —
+        // data rows, blank line, then the totals row with the GROUP-BY
+        // key columns as their TYPE DEFAULTS (TotalsHavingTransform)
+        val totalsKeys = graft.sqlfront.ChSql.lastTotalsKeys
+          .filter(ks => ks.nonEmpty && ks.forall(df.columns.contains))
+        val rows = df.collect().toSeq
         if (suppress) Seq.empty[String]
         else if (mode == 2) // FORMAT Values: (a,b),(c,d) on one line
           Seq(rows.map { row =>
@@ -236,12 +242,37 @@ object AnchorScout {
           }.mkString(","))
         else if (mode == 3) rows.map(renderCsv) // FORMAT CSV
         else if (mode == 4) { // FORMAT CSVWithNames: header of names
-          val hdr = graft.sqlfront.ChSql.sql(spark, sf, st).columns
+          val hdr = df.columns
             .map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(",")
           hdr +: rows.map(renderCsv)
         }
-        else rows.map { row =>
-          (0 until row.length).map(i => render(row.get(i))).mkString("\t")
+        else totalsKeys match {
+          case Some(ks) =>
+            val kIdx = ks.map(df.schema.fieldIndex)
+            val (tot, data) = rows.partition(r => kIdx.forall(r.isNullAt))
+            def defText(dt: org.apache.spark.sql.types.DataType): String = {
+              import org.apache.spark.sql.types._
+              dt match {
+                case _: NumericType => "0"
+                case BooleanType => "false"
+                case DateType => "1970-01-01"
+                case _: TimestampType | TimestampNTZType => "1970-01-01 00:00:00"
+                case _: ArrayType => "[]"
+                case _ => ""
+              }
+            }
+            val kDef = kIdx.map(i => i -> defText(df.schema(i).dataType)).toMap
+            val dataLines = data.map(row =>
+              (0 until row.length).map(i => render(row.get(i))).mkString("\t"))
+            val totLines = tot.map(row =>
+              (0 until row.length).map(i =>
+                if (row.isNullAt(i) && kDef.contains(i)) kDef(i)
+                else render(row.get(i))).mkString("\t"))
+            if (totLines.isEmpty) dataLines
+            else dataLines ++ ("" +: totLines)
+          case None => rows.map { row =>
+            (0 until row.length).map(i => render(row.get(i))).mkString("\t")
+          }
         }
       }
     }.mkString("\n")

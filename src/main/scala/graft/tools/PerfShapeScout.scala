@@ -21,8 +21,16 @@ object PerfShapeScout {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
+    // resumable: skip files a previous (possibly OOM-killed) run
+    // finished — marked by their DONE line in the resume log
+    val doneFiles: Set[String] = sys.env.get("PERF_SCOUT_RESUME")
+      .filter(p => new java.io.File(p).exists()).map { p =>
+        scala.io.Source.fromFile(p).getLines()
+          .filter(_.startsWith("DONE ")).map(_.drop(5).trim).toSet
+      }.getOrElse(Set.empty)
     val files = perfDir.listFiles().filter(_.getName.endsWith(".xml"))
       .filter(f => only.isEmpty || only.exists(f.getName.startsWith))
+      .filterNot(f => doneFiles(f.getName))
       .sortBy(_.getName)
     var pass = 0; var fail = 0
     val reasons = scala.collection.mutable.Map.empty[String, Int]
@@ -32,19 +40,28 @@ object PerfShapeScout {
           println(s"FAIL ${f.getName}#* :: $e"); fail += 1
         case Right(pf) =>
           val setupErr = PerfShapes.setup(spark, dir, pf)
+          // a timed-out task may still be burning memory after cancel —
+          // don't stack more doomed work from the same file on top of it
+          var timedOut = false
           for ((q, i) <- pf.queries.zipWithIndex) {
             val id = s"${pf.name}#$i"
-            (setupErr.map(e => Left(s"setup: $e")).getOrElse(
-              PerfShapes.runStmt(spark, dir, PerfShapes.prepareText(q, pf.subs)))
+            (if (timedOut) Left("skipped: prior timeout in file")
+             else setupErr.map(e => Left(s"setup: $e")).getOrElse(
+               PerfShapes.runStmt(spark, dir, PerfShapes.prepareText(q, pf.subs)))
             ) match {
               case Right(_) => println(s"PASS $id"); pass += 1
               case Left(e) =>
+                if (e == "timeout") timedOut = true
                 println(s"FAIL $id :: $e"); fail += 1
                 val key = e.take(80)
                 reasons(key) = reasons.getOrElse(key, 0) + 1
             }
           }
+          if (timedOut) { // let cancelled tasks drain before the next file
+            spark.sparkContext.cancelAllJobs(); Thread.sleep(2000)
+          }
       }
+      println(s"DONE ${f.getName}")
       Console.out.flush()
     }
     println(s"\n== $pass pass / $fail fail ==")

@@ -88,6 +88,10 @@ object PerfShapes {
   private val genClampRe =
     "(?i)\\b(numbers_mt|numbers|zeros_mt|zeros)\\s*\\(\\s*(\\d+)\\s*\\)".r
   private val limitClampRe = "(?i)\\bLIMIT\\s+(\\d{7,})\\b".r
+  // scalar array builders: range(100000000) is a 100M-element ARRAY in
+  // one row — clamp every oversized literal argument (acceptance checks
+  // the shape, not scale)
+  private val rangeClampRe = "(?i)\\brange\\s*\\(([^()]*)\\)".r
 
   /** Substitute placeholders/tables and downscale generator cardinality. */
   def prepareText(q0: String, subs: Map[String, String]): String = {
@@ -100,6 +104,10 @@ object PerfShapes {
       s"${m.group(1)}($cap)"
     })
     q = limitClampRe.replaceAllIn(q, "LIMIT 100000")
+    q = rangeClampRe.replaceAllIn(q, m => {
+      val inner = "\\d{5,}".r.replaceAllIn(m.group(1), "10000")
+      java.util.regex.Matcher.quoteReplacement(s"range($inner)")
+    })
     q.trim
   }
 
