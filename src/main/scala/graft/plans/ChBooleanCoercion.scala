@@ -163,6 +163,25 @@ object ChNullsOrdering extends Rule[LogicalPlan] {
     }
 }
 
+/** CH freely converts Date to integers — toUInt16(date) is the
+  * days-since-epoch number (reference FunctionsConversion: DayNum is a
+  * UInt16 underneath). Spark forbids DATE -> integral casts at analysis,
+  * so rewrite them to datediff-from-epoch. Dialect-gated. */
+object ChDateIntCast extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!ChDialect.on(conf)) plan
+    else plan.resolveExpressions {
+      case c @ Cast(child, dt, tz, mode) if child.resolved &&
+          child.dataType == DateType && (dt match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _: DecimalType => true
+            case _ => false
+          }) =>
+        Cast(DateDiff(child, Literal(0, DateType)), dt, tz, mode)
+    }
+}
+
 /** The dialect flag: ChSql.sql sets it (save/restore, nesting-safe)
   * around query construction so the CH-semantics resolution rules fire
   * only for dialect-routed plans; DataFrame-path queries skip them. */

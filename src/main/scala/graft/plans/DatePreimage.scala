@@ -87,6 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChFloat32Compare)
     ext.injectResolutionRule(_ => ChJoinDefaults)
     ext.injectResolutionRule(_ => ChNullsOrdering)
+    ext.injectResolutionRule(_ => ChDateIntCast)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -26,7 +26,7 @@ object ChSql {
     "formatDateTime" -> "date_format",
     "dateDiff" -> "timestampdiff", "date_diff" -> "timestampdiff", // templates below: unit quotes stripped
     "addDays" -> "date_add", "subtractDays" -> "date_sub",
-    "makeDate" -> "make_date",
+    "makeDate" -> "make_date", "makeDate32" -> "make_date",
     // string
     "lengthUTF8" -> "length", "lowerUTF8" -> "lower", "upperUTF8" -> "upper",
     "substringUTF8" -> "substring", // base substring/mid/substr are BYTE-based (template)
@@ -1378,7 +1378,7 @@ object ChSql {
     registeredDicts.clear(); dictParents.clear()
     tableTtls.clear(); tableDefaults.clear(); tableAliases.clear()
     tableEngines.clear(); tableColTz.clear(); tableColMeta.clear()
-    engineBacking.clear(); engineBlockSeq.clear()
+    engineBacking.clear(); engineBlockSeq.clear(); joinEngineKeys.clear()
     alterVirtualCols.clear(); hiddenInsertCols.clear()
     nestedColNames.clear()
     distributedTables.clear(); distributedIntents.clear()
@@ -1436,6 +1436,10 @@ object ChSql {
     * INSERT time instead. Any non-INSERT view replacement (ALTER,
     * mutation, OPTIMIZE, TRUNCATE, DROP) invalidates the backing and
     * FINAL falls back to the view (single merged block). */
+  /** Key columns of ENGINE = Join tables, for joinGet lookups. */
+  private val joinEngineKeys =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
   private val engineBacking =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val engineBlockSeq =
@@ -1968,7 +1972,7 @@ object ChSql {
   /** Vector-similarity index dimension check on an inserted block
     * (reference: INCORRECT_DATA when an array's size differs from the
     * index's declared dimension). */
-  private def checkVectorDims(name: String, block: DataFrame): Unit =
+  private def checkVectorDims(name: String, block: DataFrame): Unit = {
     for ((col, dim) <- vectorIndexDims.get(name)
          if block.columns.contains(col)) {
       val badRows = block.filter(
@@ -1977,6 +1981,26 @@ object ChSql {
       if (badRows > 0) throw new IllegalArgumentException(
         s"INCORRECT_DATA: $badRows vectors in $col are not of dimension $dim")
     }
+    // flattened Nested groups are PARALLEL arrays: every element column
+    // must have the same per-row length (reference
+    // NestedUtils::validateArraySizes, 00698)
+    locally {
+      import org.apache.spark.sql.functions.{col => fcol, size => fsize}
+      import org.apache.spark.sql.types.ArrayType
+      val groups = block.columns.filter(_.contains('.'))
+        .groupBy(_.takeWhile(_ != '.'))
+        .filter { case (_, cs) => cs.length >= 2 &&
+          cs.forall(c => block.schema(c).dataType.isInstanceOf[ArrayType]) }
+      for ((p, cs) <- groups) {
+        val mismatch = cs.tail.map(c =>
+          fsize(fcol(s"`${cs.head}`")) =!= fsize(fcol(s"`$c`"))).reduce(_ || _)
+        if (!block.filter(mismatch).isEmpty)
+          throw new IllegalArgumentException(
+            s"SIZES_OF_ARRAYS_DONT_MATCH: elements of Nested data structure " +
+              s"'$p' have different array sizes")
+      }
+    }
+  }
 
   /** Push one inserted block through every materialized view on `src`
     * (reference StorageMaterializedView: the MV SELECT runs over the
@@ -3579,6 +3603,24 @@ object ChSql {
     // GLOBAL IN / GLOBAL JOIN are distribution hints in the reference;
     // Spark's optimizer owns distribution — drop the modifier.
     q = q.replaceAll("""(?i)\bGLOBAL\s+(IN|NOT\s+IN|JOIN|ANY|ALL|SEMI|ANTI)\b""", "$1")
+    // bare nan / inf / infinity are Float64 LITERALS in the reference
+    // (ParserNumber), not identifiers; quote- and alias-aware
+    if ("(?i)\\b(nan|inf|infinity)\\b".r.findFirstIn(q).isDefined) {
+      val litRe = "(?i)(?<![\\w.`'])(nan|inf|infinity)(?![\\w`'(])".r
+      val sb = new StringBuilder; var last = 0
+      for (m <- litRe.findAllMatchIn(q)) {
+        sb.append(q.substring(last, m.start))
+        val before = q.substring(0, m.start)
+        val inStr = before.count(_ == '\'') % 2 == 1
+        val isAlias = "(?is).*\\bAS\\s+$".r.pattern.matcher(before).matches
+        sb.append(
+          if (inStr || isAlias) m.matched
+          else if (m.group(1).equalsIgnoreCase("nan")) "CAST('NaN' AS DOUBLE)"
+          else "CAST('Infinity' AS DOUBLE)")
+        last = m.end
+      }
+      sb.append(q.substring(last)); q = sb.toString
+    }
     // CH spells the semi/anti qualifier BEFORE the side (ParserJoin:
     // SEMI LEFT JOIN); Spark wants LEFT SEMI JOIN
     q = q.replaceAll("(?i)\\bSEMI\\s+LEFT(\\s+OUTER)?\\s+JOIN\\b", "LEFT SEMI JOIN")
@@ -3654,6 +3696,8 @@ object ChSql {
     q = rewriteCalls(q, "date_diff")(ddiff)
     // exact aliases of dateDiff in the reference (dateDiff.cpp:469-471)
     q = rewriteCalls(q, "timestampDiff")(ddiff)
+    q = rewriteCalls(q, "timestampdiff")(ddiff)
+    q = rewriteCalls(q, "TIMESTAMPDIFF")(ddiff)
     q = rewriteCalls(q, "timestamp_diff")(ddiff)
     q = rewriteCalls(q, "position")(a => bytePos(a(0), a(1), identity))
     // CH *If combinators return the TYPE DEFAULT on an empty match set
@@ -3670,6 +3714,26 @@ object ChSql {
       s"coalesce(avg(CASE WHEN ${a(1)} THEN ${a(0)} END), CAST('NaN' AS DOUBLE))")
     q = rewriteCalls(q, "minIf")(a => s"min(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "maxIf")(a => s"max(CASE WHEN ${a(1)} THEN ${a(0)} END)")
+    // anyIf: first non-NULL of the matching subset (reference
+    // AggregateFunctionIf over any — NULL-skipping)
+    q = rewriteCalls(q, "anyIf")(a =>
+      s"any_value(CASE WHEN ${a(1)} THEN ${a(0)} END, true)")
+    // joinGet('t', 'col', k…): lookup into an ENGINE = Join table by its
+    // declared key columns (reference StorageJoin::joinGet) — a
+    // correlated scalar subquery over the (small, by design) join table
+    q = rewriteCalls(q, "joinGet") { a =>
+      val tbl = a(0).trim.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("default.").stripPrefix("`").stripSuffix("`")
+      val cn = a(1).trim.stripPrefix("'").stripSuffix("'")
+      joinEngineKeys.get(tbl) match {
+        case Some(ks) if ks.length == a.length - 2 =>
+          val cond = ks.zip(a.drop(2)).map { case (k, v) => s"`$k` = ($v)" }
+            .mkString(" AND ")
+          s"(SELECT any_value(`$cn`, true) FROM $tbl WHERE $cond)"
+        case _ => throw new IllegalArgumentException(
+          s"joinGet: '$tbl' is not a known Join-engine table with ${a.length - 2} key(s)")
+      }
+    }
     // uniq*If: cardinality of the matching subset; 0 (type default) on
     // an empty match set comes free (count distinct of no rows is 0)
     q = rewriteCalls(q, "uniqIf")(a =>
@@ -4690,6 +4754,73 @@ object ChSql {
         s"array_max(transform(${vecD(a(0))}, __v -> abs(__v))))")
     q = rewriteCalls(q, "normalizeLp")(a =>
       s"transform(${vecD(a(0))}, __n -> __n / ${lpNormBody(a(0), a(1))})")
+    // pointInPolygon((px,py), [(x1,y1), …]): even-odd ray cast expanded
+    // at rewrite time over the LITERAL vertex list (reference
+    // src/Functions/pointInPolygon.cpp; the non-literal polygon form is
+    // the DataFrame path, queries/Geo.q_point_in_polygon)
+    q = rewriteCalls(q, "pointInPolygon") { a =>
+      // non-literal polygons (column/subquery) fall through unrewritten
+      case class NotLiteral() extends RuntimeException
+      def tup(s: String): (String, String) =
+        "^\\s*\\(\\s*(.+?)\\s*,\\s*(.+?)\\s*\\)\\s*$".r.findFirstMatchIn(s.trim)
+          .map(m => (m.group(1), m.group(2)))
+          .getOrElse(throw NotLiteral())
+      try {
+      val (px0, py0) = tup(a(0))
+      val px = s"CAST($px0 AS DOUBLE)"; val py = s"CAST($py0 AS DOUBLE)"
+      def stripArr(s0: String): String = {
+        val s = s0.trim
+        if (s.startsWith("[")) s.stripPrefix("[").stripSuffix("]")
+        else if (s.toLowerCase.startsWith("array(")) s.drop(6).dropRight(1)
+        else throw NotLiteral()
+      }
+      def parseRing(s: String): Seq[(String, String)] = {
+        val vs0 = splitArgs(stripArr(s)).map(_.trim).filter(_.nonEmpty).map(tup)
+        require(vs0.length >= 3, "pointInPolygon: a ring needs >= 3 vertices")
+        // the reference validates rings (validate_polygons = 1 default,
+        // BAD_ARGUMENTS on self-intersection) — check literal coordinates
+        val nums = vs0.map { case (x, y) => (x.trim.toDoubleOption, y.trim.toDoubleOption) }
+        if (nums.forall(p => p._1.isDefined && p._2.isDefined)) {
+          val pts0 = nums.map(p => (p._1.get, p._2.get))
+          val pts = if (pts0.length > 1 && pts0.head == pts0.last) pts0.dropRight(1) else pts0
+          val n = pts.length
+          def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+            (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+          for (i <- 0 until n; j <- i + 1 until n
+               if (j + 1) % n != i && (i + 1) % n != j) {
+            val (p1, p2) = (pts(i), pts((i + 1) % n))
+            val (p3, p4) = (pts(j), pts((j + 1) % n))
+            val d1 = cross(p3, p4, p1); val d2 = cross(p3, p4, p2)
+            val d3 = cross(p1, p2, p3); val d4 = cross(p1, p2, p4)
+            if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+                ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0)))
+              throw new IllegalArgumentException(
+                "BAD_ARGUMENTS: polygon is not valid (self-intersecting ring)")
+          }
+        }
+        vs0
+      }
+      // rings: either one arg per ring (outer, hole1, …) or one
+      // nested array-of-rings arg ([[outer], [hole], …]); even-odd
+      // crossing count over ALL rings handles holes uniformly
+      val ringArgs = locally {
+        val parts = splitArgs(stripArr(a(1))).map(_.trim)
+        val nested = parts.headOption.exists(p =>
+          p.startsWith("[") || p.toLowerCase.startsWith("array("))
+        if (nested) parts else a.drop(1)
+      }
+      val terms = ringArgs.flatMap { ringTxt =>
+        val vs = parseRing(ringTxt)
+          .map { case (x, y) => (s"CAST($x AS DOUBLE)", s"CAST($y AS DOUBLE)") }
+        vs.indices.map { i =>
+          val (vx, vy) = vs(i); val (wx, wy) = vs((i + 1) % vs.length)
+          s"(CASE WHEN (($vy > $py) != ($wy > $py)) AND " +
+            s"($px < ($wx - $vx) * ($py - $vy) / ($wy - $vy) + $vx) THEN 1 ELSE 0 END)"
+        }
+      }
+      s"((${terms.mkString(" + ")}) % 2)"
+      } catch { case NotLiteral() => s"pointInPolygon(${a.mkString(", ")})" }
+    }
     q = rewriteCalls(q, "arrayJaccardIndex")(a =>
       s"(CAST(size(array_intersect(${a(0)}, ${a(1)})) AS DOUBLE) " +
         s"/ size(array_union(${a(0)}, ${a(1)})))")
@@ -6515,6 +6646,13 @@ object ChSql {
     }
     val chQuery = chQueryQ
     Tables.registerAll(spark, dir)
+    // dictionaries are SELECTable as tables in the reference
+    // (StorageDictionary) — alias the source table under the dict name
+    for ((dn, (src, _)) <- registeredDicts
+         if ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(dn) + "(?![\\w`])")
+           .r.findFirstIn(chQuery).isDefined &&
+           !spark.catalog.tableExists(dn) && spark.catalog.tableExists(src))
+      spark.table(src).createOrReplaceTempView(dn)
     // ONE partition: the reference's system.numbers streams sequentially,
     // so LIMIT n must yield 0..n-1 — a multi-partition range hands
     // LocalLimit rows from EVERY partition (numbers near 10^8), which
@@ -6591,7 +6729,7 @@ object ChSql {
     // for session tables generally.
     val alterAddColRe =
       ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-        "(`[^`]+`|[\\w.]+)\\s+([\\w()0-9,' ]+?)(?:\\s+DEFAULT\\s+(.*?))?" +
+        "(`[^`]+`|[\\w.]+)\\s+([\\w()0-9,'= ]+?)(?:\\s+DEFAULT\\s+(.*?))?" +
         "(?:\\s+AFTER\\s+(`[^`]+`|[\\w.]+))?;?\\s*$").r
     val alterDropColRe =
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+);?\\s*$".r
@@ -6603,7 +6741,7 @@ object ChSql {
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+TO\\s+(\\w+);?\\s*$".r
     val alterModColRe =
       ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+MODIFY\\s+COLUMN\\s+(IF\\s+EXISTS\\s+)?" +
-        "(\\w+)\\s+([\\w()0-9, ]+?)(?:\\s+DEFAULT\\s+.*?)?;?\\s*$").r
+        "(\\w+)\\s+([\\w()0-9,'= ]+?)(?:\\s+DEFAULT\\s+.*?)?;?\\s*$").r
     // MODIFY COLUMN name DEFAULT expr (no type): only the default
     // expression changes — existing rows keep their values
     val alterModDefRe =
@@ -6638,7 +6776,18 @@ object ChSql {
     // (every table here is an in-memory view — the hashed layout analog).
     val createDictRe = ("(?is)^\\s*CREATE\\s+DICTIONARY\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)" +
       ".*?PRIMARY\\s+KEY\\s+(\\w+).*?TABLE\\s+'?(\\w+)'?.*$").r
-    val dropDictRe = "(?is)^\\s*DROP\\s+DICTIONARY\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
+    val dropDictRe =
+      "(?is)^\\s*DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)(?:\\s+SYNC)?\\s*;?\\s*$".r
+    // mutation bookkeeping / access-control DDL: no async mutation queue
+    // and no access entities exist in this engine — absorbed
+    // (reference InterpreterKillQueryQuery / Access/RowPolicy)
+    val killMutationRe = "(?is)^\\s*KILL\\s+MUTATION\\b.*$".r
+    val rowPolicyRe =
+      "(?is)^\\s*(?:CREATE|DROP|ALTER)\\s+ROW\\s+POLICY\\b.*$".r
+    val modifyTtlRe =
+      "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+MODIFY\\s+TTL\\s+(.+?);?\\s*$".r
+    val removeTtlRe =
+      "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+REMOVE\\s+TTL\\s*;?\\s*$".r
     // interactive introspection (reference ParserShowTablesQuery.cpp,
     // InterpreterDescribeQuery.cpp, InterpreterShowCreateQuery.cpp,
     // InterpreterExistsQuery.cpp); types render in the reference's own
@@ -6799,6 +6948,13 @@ object ChSql {
         case Some(meta) => tableEngines.put(name, meta)
         case None => tableEngines.remove(name)
       }
+      // ENGINE = Join(strictness, kind, k1[, k2…]): record the key
+      // columns so joinGet() can route lookups (reference StorageJoin)
+      "(?is)\\bENGINE\\s*=\\s*Join\\s*\\(\\s*\\w+\\s*,\\s*\\w+\\s*,\\s*(.+?)\\)".r
+        .findFirstMatchIn(rest).foreach { jm =>
+          joinEngineKeys.put(name, splitArgs(jm.group(1))
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+        }
       cols.map(_.name).filter(_.contains('.'))
         .foreach(nestedColNames.add)
       hiddenInsertCols.put(name, cols.filter(cd =>
@@ -6973,9 +7129,21 @@ object ChSql {
         "(?is)(\\w+)\\s+\\w+\\s+HIERARCHICAL".r.findFirstMatchIn(chQuery)
           .foreach(m => dictParents.put(name, m.group(1)))
         Some(spark.table(table).limit(0))
-      case dropDictRe(name) if registeredDicts.contains(name) =>
+      case dropDictRe(ifExists, name0) =>
+        val name = name0.substring(name0.lastIndexOf('.') + 1)
+        if (!registeredDicts.contains(name) && ifExists == null)
+          throw new IllegalArgumentException(
+            s"UNKNOWN_DICTIONARY: there is no dictionary $name0")
         registeredDicts.remove(name)
         Some(spark.range(0).toDF("dropped"))
+      case killMutationRe() => Some(spark.range(0).toDF("ok"))
+      case rowPolicyRe() => Some(spark.range(0).toDF("ok"))
+      case modifyTtlRe(name, ttl) if spark.catalog.tableExists(name) =>
+        tableTtls.put(name, ttl.trim)
+        Some(spark.range(0).toDF("ok"))
+      case removeTtlRe(name) if spark.catalog.tableExists(name) =>
+        tableTtls.remove(name)
+        Some(spark.range(0).toDF("ok"))
       case createRe(kind, name, clauses, inner) =>
         val df = sql(spark, dir, inner)
         val out = if (kind.toUpperCase.startsWith("MATERIALIZED")) {
@@ -7160,6 +7328,7 @@ object ChSql {
         tableTtls.remove(name); tableDefaults.remove(name)
         distributedTables.remove(name); tableEngines.remove(name)
         engineBacking.remove(name); engineBlockSeq.remove(name)
+        joinEngineKeys.remove(name)
         matViews.remove(name)
         // text-level aliases (Buffer write-through, unparseable names)
         // must die with the table or they rewrite LATER sessions' texts
@@ -7640,7 +7809,18 @@ object ChSql {
               .replaceAll("""(?i)\bsystem\.one\b""", "system_one")
               .replaceAll("""(?i)\bsystem\.tables\b""", "system_tables")
               .replaceAll("""(?i)\bsystem\.columns\b""", "system_columns")
-            spark.sql(q)
+            try spark.sql(q)
+            catch {
+              // a FROM-less SELECT reads system.one in the reference, so
+              // bare `dummy` (its only column, always 0) resolves there;
+              // substitute the constant and retry (a real table's dummy
+              // column resolves normally and never reaches this path)
+              case e: org.apache.spark.sql.AnalysisException
+                  if Option(e.getMessage).exists(_.contains("`dummy`")) &&
+                    "(?i)(?<![\\w.`])dummy(?![\\w`])".r.findFirstIn(q).isDefined =>
+                spark.sql(
+                  "(?i)(?<![\\w.`])dummy(?![\\w`])".r.replaceAllIn(q, "0"))
+            }
         }
     }
   }

@@ -60,6 +60,23 @@ object ChTypes {
           val args = splitArgs(inner(t))
           // SimpleAggregateFunction(f, T): the stored type is T
           toSpark(args.last)
+        case "aggregatefunction" if t.contains('(') =>
+          // AggregateFunction(f, T...): the stored type is whatever this
+          // engine's -State template for f produces (ChSql combinators),
+          // so stored states INSERT and -Merge back without casts
+          val args = splitArgs(inner(t))
+          val f = args.head.trim.toLowerCase.takeWhile(c => c.isLetterOrDigit || c == '_')
+          f match {
+            case "uniq" | "uniqtheta" | "uniqhll12" | "uniqcombined" =>
+              ArrayType(LongType) // KMV buffer (uniq_theta_state)
+            case "count" => LongType
+            case "sum" | "min" | "max" | "any" | "anylast" => toSpark(args.last)
+            case "avg" => StructType(Seq(
+              StructField("s", DoubleType), StructField("c", LongType)))
+            case "grouparray" | "groupuniqarray" | "uniqexact" =>
+              ArrayType(toSpark(args.last))
+            case _ => ArrayType(LongType)
+          }
         case "array" if t.contains('(') => ArrayType(toSpark(inner(t)))
         case "map" if t.contains('(') =>
           val args = splitArgs(inner(t))

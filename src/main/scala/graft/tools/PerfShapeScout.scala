@@ -21,12 +21,18 @@ object PerfShapeScout {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    // resumable: skip files a previous (possibly OOM-killed) run
-    // finished — marked by their DONE line in the resume log
+    // resumable: skip files a previous (possibly OOM-killed or
+    // wedged-and-timeout-killed) run already STARTED — a file that
+    // printed any PASS/FAIL/DONE line is not retried, so a
+    // non-cancellable hang poisons one file, not the sweep
     val doneFiles: Set[String] = sys.env.get("PERF_SCOUT_RESUME")
       .filter(p => new java.io.File(p).exists()).map { p =>
-        scala.io.Source.fromFile(p).getLines()
-          .filter(_.startsWith("DONE ")).map(_.drop(5).trim).toSet
+        scala.io.Source.fromFile(p).getLines().flatMap { l =>
+          if (l.startsWith("DONE ")) Some(l.drop(5).trim)
+          else if (l.startsWith("PASS ") || l.startsWith("FAIL "))
+            Some(l.drop(5).takeWhile(_ != '#').trim)
+          else None
+        }.toSet
       }.getOrElse(Set.empty)
     val files = perfDir.listFiles().filter(_.getName.endsWith(".xml"))
       .filter(f => only.isEmpty || only.exists(f.getName.startsWith))
@@ -64,6 +70,7 @@ object PerfShapeScout {
       println(s"DONE ${f.getName}")
       Console.out.flush()
     }
+    println("SWEEP-COMPLETE")
     println(s"\n== $pass pass / $fail fail ==")
     println("\nTop reject reasons:")
     reasons.toSeq.sortBy(-_._2).take(40).foreach { case (r, n) =>
