@@ -3315,8 +3315,10 @@ object ChSql {
   def rewrite(chSql: String): String = {
     var q = chSql
 
-    // trailing FORMAT clause (output format is the writer's concern here)
+    // trailing FORMAT clause (output format is the writer's concern here);
+    // also the mid-statement `FORMAT X SETTINGS …` spelling
     q = q.replaceAll("""(?is)\bFORMAT\s+\w+\s*;?\s*$""", "")
+    q = q.replaceAll("""(?is)\bFORMAT\s+\w+\s+(?=SETTINGS\b)""", "")
 
     // CH accepts a trailing comma in IN-lists / one-element tuples:
     // `x IN (0,)` (reference ParserList); Spark rejects it. Quote-aware:
@@ -3483,6 +3485,17 @@ object ChSql {
         else s"(SELECT id AS number FROM RANGE(${a(0)}))")
     // (RANGE uppercase: Spark resolves case-insensitively while the CH
     // array-function `range` template matches lowercase only)
+    // zeros(N): N rows of a constant 0 column named `zero` — the
+    // cheapest-possible generator in the reference
+    // (TableFunctionZeros.cpp), ubiquitous in its performance corpus
+    for (n <- Seq("zeros", "zeros_mt"))
+      q = rewriteCalls(q, n)(a =>
+        s"(SELECT CAST(0 AS TINYINT) AS zero FROM RANGE(${a(0)}))")
+    q = q.replaceAll("""(?i)\bsystem\.numbers_mt\b""", "system_numbers")
+    q = q.replaceAll("""(?i)\bsystem\.zeros_mt\b""",
+      "(SELECT CAST(0 AS TINYINT) AS zero FROM RANGE(100000000))")
+    q = q.replaceAll("""(?i)\bsystem\.zeros\b""",
+      "(SELECT CAST(0 AS TINYINT) AS zero FROM RANGE(100000000))")
 
     // SQL lambda UDF macros first — bodies then flow through the dialect
     q = expandMacros(q)
@@ -6532,6 +6545,8 @@ object ChSql {
     // for DataFrame-path queries intact.
     val prev = spark.conf.getOption(graft.plans.ChDialect.key)
     spark.conf.set(graft.plans.ChDialect.key, "true")
+    // CH count() is parameterless — allow Spark's legacy spelling once
+    spark.conf.set("spark.sql.legacy.allowParameterlessCount", "true")
     // explicit NULLS FIRST/LAST in the text: the default-nulls flip
     // (ChNullsOrdering) must not touch this query's sorts
     val nKey = graft.plans.ChNullsOrdering.skipKey
