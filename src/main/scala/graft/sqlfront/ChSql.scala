@@ -1379,6 +1379,7 @@ object ChSql {
     tableTtls.clear(); tableDefaults.clear(); tableAliases.clear()
     tableEngines.clear(); tableColTz.clear(); tableColMeta.clear()
     engineBacking.clear(); engineBlockSeq.clear(); joinEngineKeys.clear()
+    legacyFormatTables.clear()
     alterVirtualCols.clear(); hiddenInsertCols.clear()
     nestedColNames.clear()
     distributedTables.clear(); distributedIntents.clear()
@@ -1436,9 +1437,44 @@ object ChSql {
     * INSERT time instead. Any non-INSERT view replacement (ALTER,
     * mutation, OPTIMIZE, TRUNCATE, DROP) invalidates the backing and
     * FINAL falls back to the view (single merged block). */
-  /** Key columns of ENGINE = Join tables, for joinGet lookups. */
+  /** (join kind, key columns) of ENGINE = Join tables, for joinGet
+    * lookups — joinGet requires a LEFT join table (reference
+    * StorageJoin::joinGet: INCOMPATIBLE_TYPE_OF_JOIN otherwise). */
   private val joinEngineKeys =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[String])]
+
+  /** Tables created with the DEPRECATED positional MergeTree syntax
+    * (ENGINE = MergeTree(date, key, granularity)) — per-table SETTING
+    * changes are rejected on them (reference AlterCommands). */
+  private val legacyFormatTables: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Recognized MergeTree per-table settings (reference
+    * MergeTreeSettings.h) — unknown names error (UNKNOWN_SETTING). */
+  private val knownTableSettings: Set[String] = Set(
+    "index_granularity", "index_granularity_bytes",
+    "enable_mixed_granularity_parts", "min_bytes_for_wide_part",
+    "min_rows_for_wide_part", "ttl_only_drop_parts",
+    "merge_with_ttl_timeout", "storage_policy", "allow_nullable_key",
+    "parts_to_delay_insert", "parts_to_throw_insert", "max_parts_in_total",
+    "old_parts_lifetime", "min_merge_bytes_to_use_direct_io",
+    "write_final_mark", "merge_max_block_size",
+    "max_bytes_to_merge_at_max_space_in_pool",
+    "min_age_to_force_merge_seconds", "max_suspicious_broken_parts",
+    "vertical_merge_algorithm_min_rows_to_activate",
+    "vertical_merge_algorithm_min_columns_to_activate",
+    "replicated_deduplication_window",
+    "non_replicated_deduplication_window", "max_replicated_merges_in_queue",
+    "cleanup_delay_period", "min_bytes_for_full_part_storage",
+    "ratio_of_defaults_for_sparse_serialization",
+    "min_rows_for_compact_part", "min_bytes_for_compact_part",
+    "in_memory_parts_enable_wal", "fsync_after_insert",
+    "number_of_free_entries_in_pool_to_lower_max_size_of_merge",
+    "always_fetch_merged_part", "prefer_fetch_merged_part_time_threshold",
+    "prefer_fetch_merged_part_size_threshold", "max_delay_to_insert",
+    "allow_remote_fs_zero_copy_replication", "detach_not_byte_identical_parts",
+    "merge_tree_clear_old_temporary_directories_interval_seconds",
+    "merge_tree_clear_old_parts_interval_seconds")
 
   private val engineBacking =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -3334,6 +3370,13 @@ object ChSql {
       }
       sb.append(q.substring(last)); q = sb.toString
     }
+    // bounded settings validate BEFORE the hint tail is absorbed
+    // (reference Settings: external-memory ratios must be in [0, 1))
+    for (m <- "(?i)max_bytes_ratio_before_external_(?:group_by|sort)\\s*=\\s*([0-9.eE+-]+)"
+           .r.findAllMatchIn(q);
+         v <- m.group(1).toDoubleOption if v < 0 || v >= 1)
+      throw new IllegalArgumentException(
+        s"BAD_ARGUMENTS: max_bytes_ratio_before_external settings must be in [0, 1), got $v")
     // per-query SETTINGS tail is a hint surface — absorbed (the reference
     // applies them to its own execution; Spark confs are session-level)
     q = q.replaceAll("""(?is)\bSETTINGS\s+\w+\s*=\s*\S+(\s*,\s*\w+\s*=\s*\S+)*\s*;?\s*$""", "")
@@ -3616,6 +3659,18 @@ object ChSql {
     // GLOBAL IN / GLOBAL JOIN are distribution hints in the reference;
     // Spark's optimizer owns distribution — drop the modifier.
     q = q.replaceAll("""(?i)\bGLOBAL\s+(IN|NOT\s+IN|JOIN|ANY|ALL|SEMI|ANTI)\b""", "$1")
+    // non-finite -> integer conversion and s2 coordinate validation
+    // happen BEFORE the literal substitution, while the nan/inf token is
+    // still visible (reference FunctionsConversion: CANNOT_CONVERT_TYPE;
+    // s2 functions validate degrees)
+    if ("(?i)\\bto(?:U?Int)(?:8|16|32|64|128|256)\\s*\\(\\s*[+-]?(?:inf|infinity|nan)\\s*\\)".r
+        .findFirstIn(q).isDefined)
+      throw new IllegalArgumentException(
+        "CANNOT_CONVERT_TYPE: unexpected inf or nan to integer conversion")
+    if ("(?i)\\bs2\\w+\\s*\\([^()]*(?<![\\w.`'])(?:inf|infinity|nan)(?![\\w`'])".r
+        .findFirstIn(q).isDefined)
+      throw new IllegalArgumentException(
+        "BAD_ARGUMENTS: invalid (non-finite) coordinate for an S2 function")
     // bare nan / inf / infinity are Float64 LITERALS in the reference
     // (ParserNumber), not identifiers; quote- and alias-aware
     if ("(?i)\\b(nan|inf|infinity)\\b".r.findFirstIn(q).isDefined) {
@@ -3738,8 +3793,13 @@ object ChSql {
       val tbl = a(0).trim.stripPrefix("'").stripSuffix("'")
         .stripPrefix("default.").stripPrefix("`").stripSuffix("`")
       val cn = a(1).trim.stripPrefix("'").stripSuffix("'")
+      if (cn.isEmpty) throw new IllegalArgumentException(
+        s"NO_SUCH_COLUMN_IN_TABLE: joinGet: empty column name for '$tbl'")
       joinEngineKeys.get(tbl) match {
-        case Some(ks) if ks.length == a.length - 2 =>
+        case Some((kind, _)) if kind != "LEFT" =>
+          throw new IllegalArgumentException(
+            s"INCOMPATIBLE_TYPE_OF_JOIN: joinGet needs an ANY LEFT Join table, '$tbl' is $kind")
+        case Some((_, ks)) if ks.length == a.length - 2 =>
           val cond = ks.zip(a.drop(2)).map { case (k, v) => s"`$k` = ($v)" }
             .mkString(" AND ")
           s"(SELECT any_value(`$cn`, true) FROM $tbl WHERE $cond)"
@@ -4795,6 +4855,11 @@ object ChSql {
         val nums = vs0.map { case (x, y) => (x.trim.toDoubleOption, y.trim.toDoubleOption) }
         if (nums.forall(p => p._1.isDefined && p._2.isDefined)) {
           val pts0 = nums.map(p => (p._1.get, p._2.get))
+          // coordinates beyond the reference's grid range are rejected
+          // (01700-class UBSan guards: Int64-extreme vertices error)
+          if (pts0.exists(p => math.abs(p._1) > 1e15 || math.abs(p._2) > 1e15))
+            throw new IllegalArgumentException(
+              "BAD_ARGUMENTS: polygon vertex coordinate out of range")
           val pts = if (pts0.length > 1 && pts0.head == pts0.last) pts0.dropRight(1) else pts0
           val n = pts.length
           def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
@@ -6963,12 +7028,19 @@ object ChSql {
         case Some(meta) => tableEngines.put(name, meta)
         case None => tableEngines.remove(name)
       }
+      // the deprecated positional MergeTree form (MergeTree(date, key,
+      // granularity)) — plain MergeTree with parenthesized args
+      if ("(?is)\\bENGINE\\s*=\\s*MergeTree\\s*\\(\\s*[^)\\s]".r
+          .findFirstIn(rest).isDefined)
+        legacyFormatTables.add(name)
+      else legacyFormatTables.remove(name)
       // ENGINE = Join(strictness, kind, k1[, k2…]): record the key
       // columns so joinGet() can route lookups (reference StorageJoin)
-      "(?is)\\bENGINE\\s*=\\s*Join\\s*\\(\\s*\\w+\\s*,\\s*\\w+\\s*,\\s*(.+?)\\)".r
+      "(?is)\\bENGINE\\s*=\\s*Join\\s*\\(\\s*\\w+\\s*,\\s*(\\w+)\\s*,\\s*(.+?)\\)".r
         .findFirstMatchIn(rest).foreach { jm =>
-          joinEngineKeys.put(name, splitArgs(jm.group(1))
-            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+          joinEngineKeys.put(name, (jm.group(1).toUpperCase,
+            splitArgs(jm.group(2))
+              .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
         }
       cols.map(_.name).filter(_.contains('.'))
         .foreach(nestedColNames.add)
@@ -7154,6 +7226,10 @@ object ChSql {
       case killMutationRe() => Some(spark.range(0).toDF("ok"))
       case rowPolicyRe() => Some(spark.range(0).toDF("ok"))
       case modifyTtlRe(name, ttl) if spark.catalog.tableExists(name) =>
+        if (legacyFormatTables.contains(name))
+          throw new IllegalArgumentException(
+            "BAD_ARGUMENTS: TTL is not supported for tables created with " +
+              "the deprecated MergeTree syntax")
         tableTtls.put(name, ttl.trim)
         Some(spark.range(0).toDF("ok"))
       case removeTtlRe(name) if spark.catalog.tableExists(name) =>
@@ -7343,7 +7419,7 @@ object ChSql {
         tableTtls.remove(name); tableDefaults.remove(name)
         distributedTables.remove(name); tableEngines.remove(name)
         engineBacking.remove(name); engineBlockSeq.remove(name)
-        joinEngineKeys.remove(name)
+        joinEngineKeys.remove(name); legacyFormatTables.remove(name)
         matViews.remove(name)
         // text-level aliases (Buffer write-through, unparseable names)
         // must die with the table or they rewrite LATER sessions' texts
@@ -7655,6 +7731,12 @@ object ChSql {
           throw new IllegalArgumentException(
             s"NOT_FOUND_COLUMN_IN_BLOCK: there is no column $colName in table $name")
         Some(spark.range(0).toDF("ok"))
+      case alterModColRe(name, _, colName, chType)
+          if chType.trim.toLowerCase.startsWith("object") =>
+        // the reference rejects converting stored columns to the
+        // experimental Object type (02725: "not allowed")
+        throw new IllegalArgumentException(
+          s"CANNOT_PARSE_TEXT: changing column $colName to ${chType.trim} is not allowed")
       case alterModColRe(name, _, colName, chType) =>
         val sqlT = chType.trim match {
           case "Int8" => "TINYINT"
@@ -7690,6 +7772,20 @@ object ChSql {
       case alterHintRe(name) if spark.catalog.tableExists(name) =>
         Some(spark.range(0).toDF("ok"))
       case alterSettingRe(name) if spark.catalog.tableExists(name) =>
+        // the reference rejects per-table setting changes on OLD-FORMAT
+        // MergeTree tables (deprecated positional-args syntax) and
+        // unknown setting names (MergeTreeSettings; 01089 / 02252)
+        if (legacyFormatTables.contains(name))
+          throw new IllegalArgumentException(
+            "NOT_IMPLEMENTED: ALTER MODIFY SETTING is not supported for tables " +
+              "created with the deprecated MergeTree syntax")
+        val names = "(?is)(?:MODIFY|RESET)\\s+SETTINGS?\\s+(.+?);?\\s*$".r
+          .findFirstMatchIn(chQuery).map(m => splitArgs(m.group(1))
+            .map(_.trim.takeWhile(c => c.isLetterOrDigit || c == '_'))
+            .filter(_.nonEmpty)).getOrElse(Seq.empty)
+        for (n <- names if !knownTableSettings.contains(n.toLowerCase))
+          throw new IllegalArgumentException(
+            s"UNKNOWN_SETTING: unknown table setting '$n'")
         Some(spark.range(0).toDF("ok"))
       case alterClearColRe(name, colName) =>
         // CLEAR COLUMN resets values to the column DEFAULT (declared

@@ -27,7 +27,7 @@ object AnchorScout {
   private val envMarkers: Seq[String] = Seq(
     "max_memory_usage", "memory_limit_exceeded",
     "sleep(", "sleepeachrow", "remerge", "filesystem", "zeros_mt",
-    "system.zeros", "max_execution_time")
+    "system.zeros", "max_execution_time", "max_rows_to_read")
 
   /** Tests whose expected failure is reached only AFTER gigabytes of
     * allocation in this engine (01661-class): they may pass in isolation

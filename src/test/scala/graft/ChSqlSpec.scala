@@ -712,10 +712,19 @@ class ChSqlSpec extends AnyFunSuite {
   }
 
   test("SHOW TABLES / DESCRIBE / SHOW CREATE / EXISTS introspection") {
+    // r14: SHOW TABLES lists the session's OWN tables (the reference's
+    // per-test database view) — fixture views are excluded; LIMIT takes
+    // constant expressions (01012)
+    ch("CREATE TABLE show_t1 (a Int64) ENGINE = Memory")
+    ch("CREATE TABLE show_t2 (a Int64) ENGINE = Memory")
     val names = ch("SHOW TABLES").collect().map(_.getString(0)).toSet
-    assert(Set("nation", "lineitem").subsetOf(names))
-    val liked = ch("SHOW TABLES LIKE 'nat%'").collect().map(_.getString(0)).toSet
-    assert(liked == Set("nation"))
+    assert(Set("show_t1", "show_t2").subsetOf(names))
+    assert(!names.contains("nation") && !names.contains("lineitem"))
+    val liked = ch("SHOW TABLES LIKE 'show_t%'").collect().map(_.getString(0)).toSet
+    assert(liked == Set("show_t1", "show_t2"))
+    val limited = ch("SHOW TABLES LIKE 'show_t%' LIMIT 1 * 1").collect()
+    assert(limited.length == 1)
+    ch("DROP TABLE show_t1"); ch("DROP TABLE show_t2")
     val desc = ch("DESCRIBE TABLE nation").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(desc("n_name") == "String")
