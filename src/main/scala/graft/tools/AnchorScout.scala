@@ -27,14 +27,17 @@ object AnchorScout {
   private val envMarkers: Seq[String] = Seq(
     "max_memory_usage", "memory_limit_exceeded",
     "sleep(", "sleepeachrow", "remerge", "filesystem", "zeros_mt",
-    "system.zeros", "max_execution_time", "max_rows_to_read")
+    "system.zeros", "max_execution_time")
 
   /** Tests whose expected failure is reached only AFTER gigabytes of
     * allocation in this engine (01661-class): they may pass in isolation
     * but poison a long shared JVM non-deterministically. The denylist is
     * consulted mechanically by every sweep and by runTest itself. */
   private val denylist: Set[String] = Set(
-    "01661_extract_all_groups_throw_fast")
+    "01661_extract_all_groups_throw_fast",
+    // expects a row-budget abort (max_rows_to_read) this engine's
+    // absorbed-settings model cannot produce
+    "02155_read_in_order_max_rows_to_read")
 
   /** True when the test is environment-class and must never be curated or
     * even executed by a sweep (crash/hang class: intentional OOMs, sleeps,

@@ -15,12 +15,10 @@ import org.apache.spark.sql.functions._
   * at both scales, reporting candidate-pair counts (threshold-0 run) and
   * verified-pair wall time. Sole-JVM discipline applies (bench-style). */
 object LshDensitySweep {
-  def main(args: Array[String]): Unit = {
+  /** Build the sf1/sf10 LSH fixtures from sf0.1 (idempotent) — shared
+    * with LshDensityAuto. */
+  def buildFixtures(spark: org.apache.spark.sql.SparkSession): Unit = {
     val src = "/root/testdata/sf0.1"
-    val spark = graft.core.Tables.session("local[32]", 32)
-    import spark.implicits._
-    spark.sparkContext.setLogLevel("ERROR")
-
     def fixture(out: String, copies: Int): Unit = {
       if (new java.io.File(s"$out/documents.parquet").exists()) return
       def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
@@ -53,6 +51,13 @@ object LshDensitySweep {
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       println(s"[lsh-sweep] fixture $out x$copies written")
     }
+    fixture("/tmp/lsh_sf1", 10)
+    fixture("/tmp/lsh_sf10", 100)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Tables.session("local[32]", 32)
+    spark.sparkContext.setLogLevel("ERROR")
 
     def med(body: => Long): (Double, Long) = {
       val runs = (1 to 3).map { _ =>
@@ -63,8 +68,7 @@ object LshDensitySweep {
       (runs.map(_._1).sorted.apply(1), runs.head._2)
     }
 
-    fixture("/tmp/lsh_sf1", 10)
-    fixture("/tmp/lsh_sf10", 100)
+    buildFixtures(spark)
 
     println(f"${"scale"}%-6s ${"op"}%-22s ${"params"}%-18s ${"cand"}%10s ${"pairs"}%8s ${"sec"}%8s")
     for ((label, dir) <- Seq("sf1" -> "/tmp/lsh_sf1", "sf10" -> "/tmp/lsh_sf10")) {
