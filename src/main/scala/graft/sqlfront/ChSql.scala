@@ -3348,8 +3348,168 @@ object ChSql {
     q
   }
 
+  /** Scan `s` for the first TOP-LEVEL (depth-0, outside strings)
+    * occurrence of a keyword; -1 if none. */
+  private def topLevelIndexOf(s: String, kw: String): Int = {
+    val re = ("(?i)\\b" + kw + "\\b").r
+    var depth = 0; var inStr = false; var i = 0
+    val hits = re.findAllMatchIn(s).map(_.start).toSet
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && hits(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `f(arrayJoin(g))` nested inside an expression: the reference lets
+    * arrayJoin appear anywhere in the select list (ArrayJoinAction
+    * multiplies the block); Spark allows generators only at the top
+    * level. Hoist the generator into a subquery — items reference the
+    * exploded alias instead — for the common single-generator shape.
+    * Multiple occurrences of the SAME text share one exploded value
+    * (exactly the reference's behavior); distinct generators (a
+    * cartesian in the reference) are left alone. Applied recursively to
+    * every parenthesized sub-SELECT. */
+  private def hoistNestedArrayJoin(q0: String): String = {
+    if (!"(?i)\\barrayJoin\\s*\\(".r.findFirstIn(q0).isDefined) return q0
+    def balancedEnd(s: String, open: Int): Int = {
+      var depth = 0; var inStr = false; var i = open
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      -1
+    }
+    // blank out parenthesized sub-SELECT blocks: their arrayJoins belong
+    // to THEIR select list (walk() already transformed them), not ours
+    def maskSubSelects(s: String): String = {
+      val sb = new StringBuilder(s); var i = 0; var inStr = false
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false; i += 1 }
+        else if (c == '\'') { inStr = true; i += 1 }
+        else if (c == '(' &&
+            "(?is)^\\(\\s*SELECT\\b".r.findFirstIn(sb.substring(i)).isDefined) {
+          val end = balancedEnd(sb.toString, i)
+          if (end < 0) i = sb.length
+          else { var j = i; while (j <= end) { sb.setCharAt(j, ' '); j += 1 }; i = end + 1 }
+        } else i += 1
+      }
+      sb.toString
+    }
+    // collect arrayJoin(<balanced>) call texts appearing in `s`
+    def ajCalls(s: String): Seq[String] =
+      "(?i)\\barrayJoin\\s*\\(".r.findAllMatchIn(s).toSeq.flatMap { m =>
+        val end = balancedEnd(s, s.indexOf('(', m.start))
+        if (end < 0) None else Some(s.substring(m.start, end + 1))
+      }
+    def transformSelect(seg0: String): String = {
+      val seg = seg0
+      if (!"(?is)^\\s*SELECT\\b".r.findFirstIn(seg).isDefined) return seg
+      if (ajCalls(seg).isEmpty) return seg
+      // set-operation chains: transform each branch independently
+      locally {
+        val u = topLevelIndexOf(seg, "UNION|INTERSECT|EXCEPT")
+        if (u >= 0) {
+          val kw = "(?is)^(UNION(\\s+ALL|\\s+DISTINCT)?|INTERSECT|EXCEPT)\\b".r
+            .findFirstIn(seg.substring(u)).getOrElse(return seg)
+          return transformSelect(seg.substring(0, u)) + kw + " " +
+            transformSelect(seg.substring(u + kw.length).trim)
+        }
+      }
+      // bail on shapes whose arrayJoin placement is not plain-select-list
+      for (kw <- Seq("GROUP\\s+BY", "HAVING", "ARRAY\\s+JOIN"))
+        if (topLevelIndexOf(seg, kw) >= 0) return seg
+      // DISTINCT applies AFTER arrayJoin in the reference — keep it on
+      // the OUTER select
+      val distinctM = "(?is)^\\s*SELECT\\s+(DISTINCT\\b)?".r
+        .findFirstMatchIn(seg).get
+      val distinct = if (distinctM.group(1) != null) "DISTINCT " else ""
+      val selStart = distinctM.end
+      val fromIdx = topLevelIndexOf(seg, "FROM")
+      val listEnd = if (fromIdx >= 0) fromIdx else {
+        val o = topLevelIndexOf(seg, "ORDER"); val l = topLevelIndexOf(seg, "LIMIT")
+        val w = topLevelIndexOf(seg, "WHERE")
+        Seq(o, l, w).filter(_ >= 0).sorted.headOption.getOrElse(seg.length)
+      }
+      val list = seg.substring(selStart, listEnd)
+      val rawCalls = ajCalls(list)
+      val outerCalls = ajCalls(maskSubSelects(list))
+      // all in sub-selects -> nothing to do here; mixed -> too entangled
+      if (outerCalls.isEmpty || rawCalls.length != outerCalls.length) return seg
+      val calls = outerCalls.distinct
+      if (calls.size > 1) return seg
+      val aj = calls.head
+      // a single occurrence that IS a whole item already works as a
+      // top-level explode — leave it
+      val items = splitArgs(list).map(_.trim)
+      val wholeItem = "(?is)^arrayJoin\\s*\\(.*\\)\\s*(AS\\s+\\w+)?$"
+      if (items.count(_.contains("arrayJoin")) == 1 &&
+          items.exists(it => it.matches(wholeItem) && ajCalls(it).headOption.contains(aj)))
+        return seg
+      val listH = {
+        // literal replacement of every occurrence of the call text
+        var out = list; var idx = out.indexOf(aj)
+        while (idx >= 0) {
+          out = out.substring(0, idx) + "__ajh" + out.substring(idx + aj.length)
+          idx = out.indexOf(aj)
+        }
+        out
+      }
+      if (listH.contains("arrayJoin")) return seg // partial-text miss: bail
+      val tail = seg.substring(listEnd)
+      if (fromIdx < 0) {
+        // FROM-less: ORDER/LIMIT (if any) stay outside
+        s"SELECT $distinct$listH FROM (SELECT $aj AS __ajh) $tail"
+      } else {
+        // split tail = FROM <src+where> [ORDER/LIMIT outside]
+        val t2 = tail // starts with FROM...
+        val ord = Seq(topLevelIndexOf(t2, "ORDER"), topLevelIndexOf(t2, "LIMIT"),
+          topLevelIndexOf(t2, "SETTINGS"), topLevelIndexOf(t2, "FORMAT"))
+          .filter(_ >= 0).sorted.headOption.getOrElse(t2.length)
+        if (ajCalls(maskSubSelects(t2.substring(0, ord))).nonEmpty)
+          return seg // arrayJoin directly in WHERE: bail
+        val srcWhere = t2.substring(4, ord) // after 'FROM'
+        val outer = t2.substring(ord)
+        s"SELECT $distinct$listH FROM (SELECT *, $aj AS __ajh FROM $srcWhere) $outer"
+      }
+    }
+    // innermost-first recursion over parenthesized sub-SELECTs
+    def walk(s: String): String = {
+      val sb = new StringBuilder; var i = 0; var inStr = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+        else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+        else if (c == '(') {
+          val end = balancedEnd(s, i)
+          if (end < 0) { sb.append(s.substring(i)); i = s.length }
+          else {
+            val inner = s.substring(i + 1, end)
+            val walked = walk(inner)
+            val t = if ("(?is)^\\s*SELECT\\b".r.findFirstIn(walked).isDefined)
+              transformSelect(walked) else walked
+            sb.append('(').append(t).append(')')
+            i = end + 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    transformSelect(walk(q0))
+  }
+
   def rewrite(chSql: String): String = {
-    var q = chSql
+    var q = hoistNestedArrayJoin(chSql)
 
     // trailing FORMAT clause (output format is the writer's concern here);
     // also the mid-statement `FORMAT X SETTINGS …` spelling
@@ -3452,6 +3612,12 @@ object ChSql {
           // through the to<Type> templates, parameterized ones through
           // accurateCast's type map
           if (tpe.matches("[A-Za-z]\\w*")) s"to$tpe(${a(0)})"
+          else if (tpe.matches("(?is)Enum(8|16)?\\s*\\(.*"))
+            // a non-Nullable Enum target rejects NULL inputs at runtime
+            // (reference: CANNOT_INSERT_NULL_IN_ORDINARY_COLUMN, 01536)
+            s"(CASE WHEN (${a(0)}) IS NULL THEN raise_error(" +
+              "'CANNOT_INSERT_NULL_IN_ORDINARY_COLUMN: cannot convert NULL " +
+              s"to a non-Nullable Enum') ELSE accurateCast(${a(0)}, ${a(1)}) END)"
           else s"accurateCast(${a(0)}, ${a(1)})"
         } else if (a.length == 1) chAsCast(a(0)).getOrElse(s"CAST(${a(0)})")
         else s"CAST(${a.mkString(", ")})")
