@@ -109,7 +109,11 @@ object Bench {
       // r12 (verdict task 7): the actually-expensive post-LLM-era operators
       // belong in the tracked dict so regressions are headline-visible
       "q_dedup_components", "q_semantic_components", "q_groups_frame_sweep",
-      "q_image_dhash")
+      "q_image_dhash",
+      // r15: ClickBench rows (the reference's own published workload) —
+      // a representative subset in the compact stdout line; all 43 are
+      // in BENCH_local.json
+      "q_cb_02", "q_cb_09", "q_cb_18", "q_cb_29", "q_cb_32", "q_cb_33")
     val rmap = results.toMap
     val qs = headline.flatMap(n => rmap.get(n).filter(_ >= 0).map(v =>
       "\"" + n + "\":" + fmt(v))).mkString("{", ",", "}")

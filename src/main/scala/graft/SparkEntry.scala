@@ -51,7 +51,8 @@ object SparkEntry {
       (graft.queries.NlpTail.queries, graft.queries.NlpTail.oracleSql),
       (graft.queries.Functions8.queries, graft.queries.Functions8.oracleSql),
       (graft.queries.Functions9.queries, graft.queries.Functions9.oracleSql),
-      (graft.queries.Functions10.queries, graft.queries.Functions10.oracleSql)
+      (graft.queries.Functions10.queries, graft.queries.Functions10.oracleSql),
+      (graft.queries.ClickBench.queries, graft.queries.ClickBench.oracleSql)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

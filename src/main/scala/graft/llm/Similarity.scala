@@ -79,16 +79,46 @@ object Similarity {
               queryId: Long, k: Int, nPlanes: Int = 8,
               probeRadius: Int = 0): DataFrame = {
     val withBucket = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
-    val q = broadcast(withBucket.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), col("bucket").as("qbucket")))
-    val inProbe =
-      if (probeRadius == 0) col("bucket") === col("qbucket") // partition-prunable
-      else bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeRadius
-    withBucket.crossJoin(q)
-      .filter(inProbe && col(idCol) =!= queryId)
-      .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
+    if (probeRadius == 0) {
+      val q = broadcast(withBucket.filter(col(idCol) === queryId)
+        .select(col(vecCol).as("qv"), col("bucket").as("qbucket")))
+      withBucket.crossJoin(q)
+        .filter(col("bucket") === col("qbucket") && col(idCol) =!= queryId)
+        .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+    } else {
+      // the probe set is enumerated DRIVER-side (one 1-row lookup) and
+      // shipped as a literal IN-list: a non-literal predicate over the
+      // bucket column (bit_count(XOR) <= r) cannot become a
+      // PartitionFilter, so a bucketed/partitioned corpus would scan ALL
+      // partitions; the literal isin prunes to sum_{i<=r} C(nPlanes,i)
+      // partitions.
+      val qRow = withBucket.filter(col(idCol) === queryId)
+        .select(col(vecCol).cast("array<double>"), col("bucket")).head()
+      val qv = array(qRow.getSeq[Double](0).map(lit): _*)
+      val probes = probeBuckets(qRow.getLong(1), nPlanes, probeRadius)
+      withBucket
+        .filter(col("bucket").isin(probes: _*) && col(idCol) =!= queryId)
+        .select(col(idCol), cosine(col(vecCol), qv).as("cos"))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
+  /** All bucket ids within Hamming distance <= probeRadius of qBucket
+    * over nPlanes sign bits — the Multi-Probe LSH probe sequence,
+    * enumerated exactly (sum_{i<=r} C(nPlanes,i) ids). */
+  def probeBuckets(qBucket: Long, nPlanes: Int, probeRadius: Int): Seq[Long] = {
+    def masks(bits: List[Int], choose: Int): Seq[Long] =
+      if (choose == 0) Seq(0L)
+      else bits match {
+        case Nil => Seq.empty
+        case b :: rest =>
+          masks(rest, choose - 1).map(_ | (1L << b)) ++ masks(rest, choose)
+      }
+    (0 to probeRadius).flatMap(r => masks((0 until nPlanes).toList, r))
+      .map(_ ^ qBucket)
   }
 
   /** Persist the corpus PARTITIONED BY its LSH bucket id — the layout
@@ -105,15 +135,18 @@ object Similarity {
     * exact cosine kernel. */
   def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      idCol: String, vecCol: String,
-                     queryVec: Seq[Double], k: Int, nPlanes: Int = 8): DataFrame = {
+                     queryVec: Seq[Double], k: Int, nPlanes: Int = 8,
+                     probeRadius: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.{array => arr}
     val qv = arr(queryVec.map(lit): _*)
     val corpus = spark.read.parquet(path)
     // the query's bucket: one deterministic scalar, evaluated on a 1-row
-    // frame (never touches the corpus)
+    // frame (never touches the corpus); probes ship as a literal IN-list
+    // so PartitionFilters prune to 1 + sum C(nPlanes,i) directories
     val qBucket = spark.range(1)
       .select(lshBucket(qv, nPlanes).as("qb")).collect()(0).getLong(0)
-    corpus.filter(col("bucket") === qBucket)
+    val probes = probeBuckets(qBucket, nPlanes, probeRadius)
+    corpus.filter(col("bucket").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), qv).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -1385,6 +1385,7 @@ object ChSql {
     distributedTables.clear(); distributedIntents.clear()
     matViews.clear(); replicaPaths.clear()
     dynamicCols.clear()
+    emitTotalsMarker = false
     spark.catalog.listTables().collect().map(_.name)
       .foreach(spark.catalog.dropTempView)
   }
@@ -1495,8 +1496,17 @@ object ChSql {
       val base = engineBacking.get(name).filter(
           _.columns.filterNot(_ == "__gblock").sameElements(preInsert.columns))
         .getOrElse(preInsert.withColumn("__gblock", lit(0L)))
+      val merged = base.unionByName(block.withColumn("__gblock", lit(seq)))
+      // bound the union-lineage depth: every 32 blocks, cut the plan at a
+      // materialized localCheckpoint so the Nth INSERT re-analyzes an
+      // O(32) tree, not an O(N) one (quadratic total otherwise). Some
+      // block plans only evaluate under the read path's rewrites (e.g.
+      // unsigned overflow-wrap on t64-style inserts): if eager
+      // materialization fails, keep the lazy chain — correctness first.
       engineBacking.put(name,
-        base.unionByName(block.withColumn("__gblock", lit(seq))))
+        if (seq % 32 == 0)
+          (try merged.localCheckpoint() catch { case _: Throwable => merged })
+        else merged)
     }
 
   /** DateTime('tz') columns per table: type-default (epoch) fills render
@@ -3351,7 +3361,10 @@ object ChSql {
   /** Scan `s` for the first TOP-LEVEL (depth-0, outside strings)
     * occurrence of a keyword; -1 if none. */
   private def topLevelIndexOf(s: String, kw: String): Int = {
-    val re = ("(?i)\\b" + kw + "\\b").r
+    // group the alternation so both \b anchors apply to EVERY alternative
+    // (ungrouped, "UNION|INTERSECT|EXCEPT" would match INTERSECT inside
+    // identifiers like 'intersections')
+    val re = ("(?i)\\b(?:" + kw + ")\\b").r
     var depth = 0; var inStr = false; var i = 0
     val hits = re.findAllMatchIn(s).map(_.start).toSet
     while (i < s.length) {
@@ -3406,12 +3419,26 @@ object ChSql {
       }
       sb.toString
     }
+    // blank the CONTENT of single-quoted literals (length-preserving) so
+    // 'arrayJoin(x)' inside a string is never collected or rewritten
+    def maskStrings(s: String): String = {
+      val sb = new StringBuilder(s); var i = 0; var inStr = false
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false else sb.setCharAt(i, ' ') }
+        else if (c == '\'') inStr = true
+        i += 1
+      }
+      sb.toString
+    }
     // collect arrayJoin(<balanced>) call texts appearing in `s`
-    def ajCalls(s: String): Seq[String] =
-      "(?i)\\barrayJoin\\s*\\(".r.findAllMatchIn(s).toSeq.flatMap { m =>
-        val end = balancedEnd(s, s.indexOf('(', m.start))
+    def ajCalls(s: String): Seq[String] = {
+      val ms = maskStrings(s)
+      "(?i)\\barrayJoin\\s*\\(".r.findAllMatchIn(ms).toSeq.flatMap { m =>
+        val end = balancedEnd(s, ms.indexOf('(', m.start))
         if (end < 0) None else Some(s.substring(m.start, end + 1))
       }
+    }
     def transformSelect(seg0: String): String = {
       val seg = seg0
       if (!"(?is)^\\s*SELECT\\b".r.findFirstIn(seg).isDefined) return seg
@@ -3457,15 +3484,26 @@ object ChSql {
           items.exists(it => it.matches(wholeItem) && ajCalls(it).headOption.contains(aj)))
         return seg
       val listH = {
-        // literal replacement of every occurrence of the call text
-        var out = list; var idx = out.indexOf(aj)
+        // literal replacement of every occurrence of the call text,
+        // skipping occurrences that START inside a quoted literal (the
+        // call text itself may CONTAIN literals — e.g.
+        // arrayJoin(['a','b']) — so the haystack cannot be masked)
+        def inString(s: String, pos: Int): Boolean =
+          s.substring(0, pos).count(_ == '\'') % 2 == 1
+        def nextIdx(s: String, from: Int): Int = {
+          var i = s.indexOf(aj, from)
+          while (i >= 0 && inString(s, i)) i = s.indexOf(aj, i + 1)
+          i
+        }
+        var out = list
+        var idx = nextIdx(out, 0)
         while (idx >= 0) {
           out = out.substring(0, idx) + "__ajh" + out.substring(idx + aj.length)
-          idx = out.indexOf(aj)
+          idx = nextIdx(out, idx)
         }
         out
       }
-      if (listH.contains("arrayJoin")) return seg // partial-text miss: bail
+      if (maskStrings(listH).contains("arrayJoin")) return seg // partial-text miss: bail
       val tail = seg.substring(listEnd)
       if (fromIdx < 0) {
         // FROM-less: ORDER/LIMIT (if any) stay outside
@@ -3819,8 +3857,9 @@ object ChSql {
     // by later templates is untouched. Found by the dialect fuzzer.
     q = rewriteCalls(q, "length")(a => s"ch_length(${a(0)})")
 
-    // count() -> count(*)
-    q = q.replaceAll("""\bcount\(\s*\)""", "count(*)")
+    // count() -> count(*) (case-insensitive: the perf corpus spells
+    // COUNT()/Count() too; allow whitespace before the parens)
+    q = q.replaceAll("""(?i)\bcount\s*\(\s*\)""", "count(*)")
 
     // GLOBAL IN / GLOBAL JOIN are distribution hints in the reference;
     // Spark's optimizer owns distribution — drop the modifier.
@@ -3975,10 +4014,17 @@ object ChSql {
     }
     // uniq*If: cardinality of the matching subset; 0 (type default) on
     // an empty match set comes free (count distinct of no rows is 0)
+    // multi-value forms hash the tuple: wrap in struct so the CASE stays
+    // a single expression (splicing "a, b" into one CASE branch is a
+    // Spark parse error)
+    def uniqIfVal(a: Seq[String]): String = {
+      val vs = a.dropRight(1)
+      if (vs.length == 1) vs.head else s"struct(${vs.mkString(", ")})"
+    }
     q = rewriteCalls(q, "uniqIf")(a =>
-      s"approx_count_distinct(CASE WHEN ${a.last} THEN ${a.dropRight(1).mkString(", ")} END)")
+      s"approx_count_distinct(CASE WHEN ${a.last} THEN ${uniqIfVal(a)} END)")
     q = rewriteCalls(q, "uniqExactIf")(a =>
-      s"count(DISTINCT CASE WHEN ${a.last} THEN ${a.dropRight(1).mkString(", ")} END)")
+      s"count(DISTINCT CASE WHEN ${a.last} THEN ${uniqIfVal(a)} END)")
     q = rewriteCalls(q, "uniqExact")(a => s"count(DISTINCT ${a.mkString(", ")})")
     // replicate(x, arr): internal function materializing a constant into
     // an array of arr's shape (reference src/Functions/replicate.cpp)
@@ -6514,6 +6560,15 @@ object ChSql {
     q = rewriteCalls(q, "visitParamExtractUInt")(a =>
       s"coalesce(try_cast(try_cast(get_json_object(${a(0)}, concat('$$.', ${a(1)})) AS DOUBLE) AS BIGINT), 0)")
 
+    // SQL-standard EXTRACT(unit FROM expr) (reference ParserFunction
+    // parses it into toMinute/toHour/...): convert to date_part BEFORE
+    // the alias map renames extract -> regexp_extract (CH's two-arg
+    // extract(haystack, pattern) is the regex form and keeps the alias)
+    q = q.replaceAll(
+      "(?i)\\bextract\\s*\\(\\s*(second|minute|hour|day|dayofmonth|" +
+        "dayofweek|dayofyear|doy|week|month|quarter|year)\\s+FROM\\b",
+      "date_part('$1', ")
+
     // plain 1:1 aliases (word-boundary)
     for ((ch, sp) <- aliases if !templated.contains(ch)) {
       q = q.replaceAll(s"""\\b$ch\\s*\\(""", sp + "(")
@@ -6553,7 +6608,9 @@ object ChSql {
       val m = java.util.regex.Pattern
         .compile("(?is)GROUP BY\\s+(.*?)\\s+WITH\\s+TOTALS").matcher(q)
       val sb = new StringBuffer
+      var nTotals = 0; var atTopLevel = false
       while (m.find()) {
+        nTotals += 1
         val keys = m.group(1).trim
         // record simple-identifier key lists so the anchor runner can
         // render the totals BLOCK the way the reference does (blank
@@ -6562,11 +6619,39 @@ object ChSql {
         lastTotalsKeys =
           if (ks.nonEmpty && ks.forall(_.matches("[A-Za-z_]\\w*"))) Some(ks)
           else None
+        // paren depth at the match start in the ORIGINAL text: only a
+        // depth-0 GROUP BY belongs to the outer select
+        atTopLevel = {
+          var d = 0; var inStr = false; var i = 0
+          while (i < m.start) {
+            val c = q.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else if (c == '\'') inStr = true
+            else if (c == '(') d += 1
+            else if (c == ')') d -= 1
+            i += 1
+          }
+          d == 0
+        }
         m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
           s"GROUP BY GROUPING SETS (($keys), ())"))
       }
       m.appendTail(sb)
       q = sb.toString
+      // when the anchor runner asks (emitTotalsMarker), append a
+      // grouping() marker column so it can tell the GROUPING SETS total
+      // apart from a genuine all-NULL-key data group. Appended at the
+      // END of the select list so positional ORDER BY stays valid; only
+      // for a single top-level TOTALS over simple keys.
+      if (emitTotalsMarker && nTotals == 1 && atTopLevel &&
+          lastTotalsKeys.isDefined &&
+          "(?is)^\\s*SELECT\\b".r.findFirstIn(q).isDefined) {
+        val fromIdx = topLevelIndexOf(q, "FROM")
+        if (fromIdx > 0)
+          q = q.substring(0, fromIdx) +
+            s", grouping(`${lastTotalsKeys.get.head}`) AS __totals_mark " +
+            q.substring(fromIdx)
+      }
     }
 
     // PREWHERE -> WHERE (merge with existing WHERE if both present)
@@ -6801,6 +6886,12 @@ object ChSql {
     * (simple identifiers only) — consumed by the anchor runner to render
     * the reference's totals block. Reset per statement. */
   @volatile var lastTotalsKeys: Option[Seq[String]] = None
+
+  /** When true (set by the anchor runner), the WITH TOTALS rewrite
+    * appends a `grouping(firstKey) AS __totals_mark` column so the
+    * totals row is identified by the grouping flag rather than by
+    * all-NULL-keys inference (which misfires on nullable keys). */
+  @volatile var emitTotalsMarker: Boolean = false
 
   private def sqlImpl(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
     lastTotalsKeys = None

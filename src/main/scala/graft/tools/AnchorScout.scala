@@ -128,24 +128,28 @@ object AnchorScout {
   /** One row as a CH CSV record: strings always double-quoted with ""
     * escapes, containers rendered in CH text form inside quotes,
     * numbers/dates bare (reference CSVRowOutputFormat). */
-  private def renderCsv(row: org.apache.spark.sql.Row): String = {
-    def cells(v: Any): Seq[String] = v match {
-      case null => Seq("\\N")
-      case s: String => Seq("\"" + s.replace("\"", "\"\"") + "\"")
-      // tuples flatten to adjacent CSV columns (observed in the
-      // reference's 00300_csv expected bytes)
-      case r: org.apache.spark.sql.Row =>
-        (0 until r.length).flatMap(i => cells(r.get(i)))
-      case a: scala.collection.Seq[_] =>
-        Seq("\"" + render(a).replace("\"", "\"\"") + "\"")
-      case m: scala.collection.Map[_, _] =>
-        Seq("\"" + render(m).replace("\"", "\"\"") + "\"")
-      case d: java.sql.Date => Seq("\"" + d + "\"")
-      case d: java.time.LocalDate => Seq("\"" + d + "\"")
-      case t: java.sql.Timestamp => Seq("\"" + render(t) + "\"")
-      case other => Seq(render(other))
-    }
-    (0 until row.length).flatMap(i => cells(row.get(i))).mkString(",")
+  private def renderCsv(row: org.apache.spark.sql.Row): String =
+    renderCsv(row, 0 until row.length)
+
+  private def renderCsv(row: org.apache.spark.sql.Row,
+                        cols: Seq[Int]): String =
+    cols.flatMap(i => csvCells(row.get(i))).mkString(",")
+
+  private def csvCells(v: Any): Seq[String] = v match {
+    case null => Seq("\\N")
+    case s: String => Seq("\"" + s.replace("\"", "\"\"") + "\"")
+    // tuples flatten to adjacent CSV columns (observed in the
+    // reference's 00300_csv expected bytes)
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).flatMap(i => csvCells(r.get(i)))
+    case a: scala.collection.Seq[_] =>
+      Seq("\"" + render(a).replace("\"", "\"\"") + "\"")
+    case m: scala.collection.Map[_, _] =>
+      Seq("\"" + render(m).replace("\"", "\"\"") + "\"")
+    case d: java.sql.Date => Seq("\"" + d + "\"")
+    case d: java.time.LocalDate => Seq("\"" + d + "\"")
+    case t: java.sql.Timestamp => Seq("\"" + render(t) + "\"")
+    case other => Seq(render(other))
   }
 
   // ------------------------------------------------------ shared runner
@@ -167,6 +171,8 @@ object AnchorScout {
     // every stateless test gets a FRESH database in clickhouse-test —
     // reset the dialect session registries and views to match
     graft.sqlfront.ChSql.resetSessionState(spark)
+    // identify WITH TOTALS rows by grouping() flag, not NULL-key guess
+    graft.sqlfront.ChSql.emitTotalsMarker = true
     // the stateless suite runs with join_use_nulls=0 (outer-join misses
     // carry type defaults) unless the test opts into 1. Scoped to this
     // runner only (cleared in the finally) — the oracle surface keeps
@@ -191,6 +197,19 @@ object AnchorScout {
           case Array(ins, rest) => Seq(ins.trim, rest.trim).filter(_.nonEmpty)
           case _ => Seq(st)
         }
+      }
+    // the grouping() totals marker fails analysis when the GROUP BY key
+    // is a select-list alias (lateralAliasReference is not a grouping
+    // column) — retry those statements with the marker off (NULL-key
+    // inference fallback, the pre-r15 behavior)
+    def chSql(st: String): org.apache.spark.sql.DataFrame =
+      try graft.sqlfront.ChSql.sql(spark, sf, st)
+      catch {
+        case _: Throwable if graft.sqlfront.ChSql.emitTotalsMarker &&
+            "(?i)WITH\\s+TOTALS".r.findFirstIn(st).isDefined =>
+          graft.sqlfront.ChSql.emitTotalsMarker = false
+          try graft.sqlfront.ChSql.sql(spark, sf, st)
+          finally graft.sqlfront.ChSql.emitTotalsMarker = true
       }
     val fmtRe = "(?is)^(.*?)\\bFORMAT\\s+(\\w+)\\s*$".r
     val out = statements.flatMap { st0 =>
@@ -223,36 +242,46 @@ object AnchorScout {
           // wrongly accepts may be an unbounded scan — evaluating it
           // executor-side surfaces the expected error (if any) without
           // accumulating rows on the driver (00198-class JVM poisoning)
-          try { graft.sqlfront.ChSql.sql(spark, sf, st).foreach(_ => ()); false }
+          try { chSql(st).foreach(_ => ()); false }
           catch { case _: AnchorFail => false
                   case _: Throwable => true } // incl. OOM from absent size caps
         if (!failed)
           throw AnchorFail(s"expected failure did not fail: ${st.take(60)}")
         Seq.empty[String]
       } else {
-        val df = graft.sqlfront.ChSql.sql(spark, sf, st)
+        val df = chSql(st)
         // WITH TOTALS: the reference renders a SEPARATE totals block —
         // data rows, blank line, then the totals row with the GROUP-BY
-        // key columns as their TYPE DEFAULTS (TotalsHavingTransform)
+        // key columns as their TYPE DEFAULTS (TotalsHavingTransform).
+        // The dialect appends a grouping() marker column (__totals_mark)
+        // when it can, so the totals row is identified by the grouping
+        // flag, not by all-NULL-keys inference (a nullable grouping key
+        // has a genuine NULL-key group that would be indistinguishable).
         val totalsKeys = graft.sqlfront.ChSql.lastTotalsKeys
           .filter(ks => ks.nonEmpty && ks.forall(df.columns.contains))
+        val markIdx = df.columns.indexOf("__totals_mark")
+        val cols: Seq[Int] = (0 until df.schema.length).filter(_ != markIdx)
         val rows = df.collect().toSeq
         if (suppress) Seq.empty[String]
         else if (mode == 2) // FORMAT Values: (a,b),(c,d) on one line
           Seq(rows.map { row =>
-            (0 until row.length).map(i => renderNested(row.get(i)))
+            cols.map(i => renderNested(row.get(i)))
               .mkString("(", ",", ")")
           }.mkString(","))
-        else if (mode == 3) rows.map(renderCsv) // FORMAT CSV
+        else if (mode == 3) rows.map(renderCsv(_, cols)) // FORMAT CSV
         else if (mode == 4) { // FORMAT CSVWithNames: header of names
-          val hdr = df.columns
+          val hdr = cols.map(df.columns)
             .map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(",")
-          hdr +: rows.map(renderCsv)
+          hdr +: rows.map(renderCsv(_, cols))
         }
         else totalsKeys match {
           case Some(ks) =>
             val kIdx = ks.map(df.schema.fieldIndex)
-            val (tot, data) = rows.partition(r => kIdx.forall(r.isNullAt))
+            val (tot, data) =
+              if (markIdx >= 0)
+                rows.partition(r => !r.isNullAt(markIdx) &&
+                  String.valueOf(r.get(markIdx)) == "1")
+              else rows.partition(r => kIdx.forall(r.isNullAt))
             def defText(dt: org.apache.spark.sql.types.DataType): String = {
               import org.apache.spark.sql.types._
               dt match {
@@ -266,15 +295,15 @@ object AnchorScout {
             }
             val kDef = kIdx.map(i => i -> defText(df.schema(i).dataType)).toMap
             val dataLines = data.map(row =>
-              (0 until row.length).map(i => render(row.get(i))).mkString("\t"))
+              cols.map(i => render(row.get(i))).mkString("\t"))
             val totLines = tot.map(row =>
-              (0 until row.length).map(i =>
+              cols.map(i =>
                 if (row.isNullAt(i) && kDef.contains(i)) kDef(i)
                 else render(row.get(i))).mkString("\t"))
             if (totLines.isEmpty) dataLines
             else dataLines ++ ("" +: totLines)
           case None => rows.map { row =>
-            (0 until row.length).map(i => render(row.get(i))).mkString("\t")
+            cols.map(i => render(row.get(i))).mkString("\t")
           }
         }
       }

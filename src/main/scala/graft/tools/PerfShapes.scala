@@ -135,9 +135,13 @@ object PerfShapes {
   def runStmt(spark: SparkSession, dir: String, q: String,
               timeout: FiniteDuration = 30.seconds): Either[String, Unit] = {
     val tag = s"perfshape-${System.nanoTime()}"
-    spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = true)
+    // job-group properties are THREAD-local: set them on the thread that
+    // actually submits the jobs (inside the Future), or cancelJobGroup
+    // after a timeout cancels nothing
     val fut = Future {
-      graft.sqlfront.ChSql.sql(spark, dir, q).foreach(_ => ())
+      spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = true)
+      try graft.sqlfront.ChSql.sql(spark, dir, q).foreach(_ => ())
+      finally spark.sparkContext.clearJobGroup()
     }
     try { Await.result(fut, timeout); Right(()) }
     catch {

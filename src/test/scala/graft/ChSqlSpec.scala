@@ -2490,6 +2490,41 @@ class ChSqlSpec extends AnyFunSuite {
     ch("DROP TABLE t_replseq")
   }
 
+  test("r15: multi-argument uniqIf/uniqExactIf hash the tuple") {
+    // reference src/AggregateFunctions/AggregateFunctionUniq.cpp: the
+    // multi-arg form counts distinct TUPLES among rows passing the cond
+    val r = ch("SELECT uniqExactIf(l_returnflag, l_linestatus, l_quantity > 25) AS u, " +
+      "uniqIf(l_returnflag, l_linestatus, l_quantity > 25) AS ua FROM lineitem").collect()(0)
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+    val expect = li.filter(col("l_quantity") > 25)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct().count()
+    assert(r.getLong(0) == expect, s"uniqExactIf ${r.getLong(0)} vs $expect")
+    // approx variant: within HLL error of the exact answer (tiny set -> exact)
+    assert(math.abs(r.getLong(1) - expect) <= 1)
+  }
+
+  test("r15: 200 single-row INSERTs keep the FINAL plan depth bounded") {
+    ch("DROP TABLE IF EXISTS t_manyins")
+    ch("CREATE TABLE t_manyins (k Int64, v Int64) " +
+      "ENGINE = ReplacingMergeTree ORDER BY k")
+    // 2 statements per key so FINAL must still dedup; 200 inserts total
+    for (i <- 0 until 200)
+      ch(s"INSERT INTO t_manyins VALUES (${i % 100}, $i)")
+    val df = ch("SELECT k, v FROM t_manyins FINAL ORDER BY k")
+    // the union lineage is cut every 32 blocks: the analyzed plan holds
+    // O(32) Union children, not O(200)
+    val unions = df.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.map(_.children.length).sum
+    assert(unions <= 80, s"union fan-in grew with insert count: $unions")
+    val got = df.collect()
+    assert(got.length == 100, s"expected 100 final keys, got ${got.length}")
+    // later block wins: key k keeps v = k + 100 (second statement)
+    assert(got.forall(r => r.getLong(1) == r.getLong(0) + 100L),
+      s"FINAL must keep the last insert per key; got ${got.take(5).mkString(",")}")
+    ch("DROP TABLE t_manyins")
+  }
+
   test("r12: ASOF JOIN without an equi-conjunct is left unrewritten") {
     // inequality-only ON: the reference refuses it; we must not emit
     // 'WHERE  AND ...' garbage — the rewrite returns the query unchanged

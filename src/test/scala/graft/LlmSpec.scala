@@ -274,6 +274,27 @@ class LlmSpec extends AnyFunSuite {
       k = 10, nPlanes = 6).collect().map(_.getLong(0)).toSet
     val idx = indexed.collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSet
     assert(idx == mem, s"indexed $idx vs in-memory $mem")
+
+    // multi-probe (radius 1): the probe set ships as a LITERAL IN-list,
+    // so PartitionFilters prunes to exactly 1 + nPlanes = 7 directories
+    // (a bit_count(XOR) predicate would scan all 2^6)
+    val probed = Similarity.annTopKIndexed(spark, path, "vec_id", "embedding",
+      qv, k = 11, nPlanes = 6, probeRadius = 1)
+    val pplan = probed.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(pplan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("bucket"), s"no bucket PartitionFilter:\n${pplan.take(2000)}")
+    val nProbeVals = "-?\\d+".r.findAllIn(
+      pf.substring(pf.indexOf("IN").max(0))).length
+    assert(nProbeVals == 7, s"expected 7 probe buckets in $pf")
+    // the radius-1 candidate POOL is a strict superset of radius-0's
+    // (top-k order may differ — compare the full pools, not the top-k)
+    val pool0 = Similarity.annTopKIndexed(spark, path, "vec_id", "embedding",
+      qv, k = 1000000, nPlanes = 6).collect().map(_.getLong(0)).toSet
+    val pool1 = Similarity.annTopKIndexed(spark, path, "vec_id", "embedding",
+      qv, k = 1000000, nPlanes = 6, probeRadius = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(pool0.subsetOf(pool1), "radius-1 pool lost radius-0 candidates")
   }
 
   test("Corpus: rebalance caps groups, packing bins respect the budget") {
