@@ -62,7 +62,7 @@ object Functions10 {
           |  array_join(transform(maxMappedArrays([l_linenumber], [CAST(l_quantity AS DOUBLE)]).values, __v -> CAST(CAST(floor(__v) AS BIGINT) AS STRING)), ',') AS mxm_v,
           |  array_join(transform(approx_top_k(3)(l_linenumber), __t -> concat(__t.value, ':', __t.count)), ',') AS atk,
           |  array_join(transform(approx_top_sum(2)(l_linenumber, CAST(l_quantity AS DOUBLE)), __t -> concat(__t.value, ':', __t.count)), ',') AS ats,
-          |  groupBitmapXor(l_suppkey) AS gbx,
+          |  groupBitmapXor(bitmapBuild([l_suppkey])) AS gbx,
           |  array_join(transform(covarSampMatrix(l_quantity, l_extendedprice), __r -> array_join(transform(__r, __v -> CAST(CAST(floor(__v / 1000) AS BIGINT) AS STRING)), ':')), '|') AS cvm,
           |  array_join(transform(covarPopMatrix(l_quantity, l_extendedprice), __r -> array_join(transform(__r, __v -> CAST(CAST(floor(__v / 1000) AS BIGINT) AS STRING)), ':')), '|') AS cpm,
           |  array_join(distinctJSONPaths(concat('{"k', toString(l_linenumber), '": 1, "z": {"w": "x"}}')), ',') AS jsd,

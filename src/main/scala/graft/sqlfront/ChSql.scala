@@ -1230,6 +1230,10 @@ object ChSql {
         case ')' | ']' => d += 1
         case '(' | '[' => if (d == 0) condStart = k + 1 else d -= 1
         case ',' if d == 0 => condStart = k + 1
+        // a lambda arrow: the ternary is the lambda BODY — the head
+        // (x ->) stays outside the if() (01043 arrayMap shape)
+        case '>' if d == 0 && k > 0 && sql.charAt(k - 1) == '-' =>
+          condStart = k + 1
         case _ =>
       }
       if (condStart == 0 && d == 0 && (c.isLetter || c == '_')) {
@@ -2185,6 +2189,213 @@ object ChSql {
     q = rewriteCalls(q, "uniqState")(a => s"uniq_theta_state(${a(0)})")
     q = rewriteCalls(q, "uniqMerge")(a => s"CAST(uniq_theta_merge(${a(0)}) AS BIGINT)")
     q = rewriteCalls(q, "uniqThetaMerge")(a => s"CAST(uniq_theta_merge(${a(0)}) AS BIGINT)")
+
+    // ---- r15 statistics/sweep-line aggregate spellings ----
+    // (reference AggregateFunctionMaxIntersections.h, IntervalLengthSum.cpp,
+    // Entropy.h, RankCorrelation.cpp + StatCommon.h, CrossTab.h +
+    // CramersV/TheilsU/ContingencyCoefficient.cpp,
+    // CategoricalInformationValue.cpp). All are formulated as
+    // collect_list + array HOFs so they work in any GROUP BY context;
+    // float edge semantics (x/0 -> ±Inf, 0/0 -> NaN, ln(0) -> -Inf)
+    // follow the reference's raw IEEE arithmetic, which Spark's NULL-on-
+    // zero-division would otherwise lose.
+    locally {
+      def D(x: String) = s"CAST($x AS DOUBLE)"
+      def chdiv(a: String, b: String) =
+        s"(CASE WHEN ($b) = 0.0 THEN (CASE WHEN ($a) > 0.0 THEN CAST('Infinity' AS DOUBLE) " +
+          s"WHEN ($a) < 0.0 THEN CAST('-Infinity' AS DOUBLE) ELSE CAST('NaN' AS DOUBLE) END) " +
+          s"ELSE ($a) / ($b) END)"
+      def chln(x: String) =
+        s"(CASE WHEN ($x) > 0.0 THEN ln($x) WHEN ($x) = 0.0 THEN CAST('-Infinity' AS DOUBLE) " +
+          s"WHEN ($x) < 0.0 THEN CAST('NaN' AS DOUBLE) ELSE ($x) END)"
+      // sweep events: (+1 at start, -1 at end), sorted by (pos, delta) so
+      // ends close BEFORE starts open at the same point — (1,3),(3,5)
+      // never intersect (00671 pins this)
+      def sweepEvents(s: String, e: String) =
+        s"array_sort(concat(collect_list(named_struct('p', ${D(s)}, 'd', 1)), " +
+          s"collect_list(named_struct('p', ${D(e)}, 'd', -1))))"
+      q = rewriteCalls(q, "maxIntersectionsPosition")(a =>
+        s"aggregate(${sweepEvents(a(0), a(1))}, " +
+          "named_struct('c', 0, 'm', 0, 'p', CAST(NULL AS DOUBLE)), " +
+          "(__ac, __ev) -> named_struct('c', __ac.c + __ev.d, " +
+          "'m', GREATEST(__ac.m, __ac.c + __ev.d), " +
+          "'p', CASE WHEN __ac.c + __ev.d > __ac.m THEN __ev.p ELSE __ac.p END), " +
+          "__ac -> CAST(__ac.p AS BIGINT))")
+      q = rewriteCalls(q, "maxIntersections")(a =>
+        s"aggregate(${sweepEvents(a(0), a(1))}, named_struct('c', 0, 'm', 0), " +
+          "(__ac, __ev) -> named_struct('c', __ac.c + __ev.d, " +
+          "'m', GREATEST(__ac.m, __ac.c + __ev.d)), " +
+          "__ac -> CAST(__ac.m AS BIGINT))")
+      // union length of merged intervals; reversed pairs count by |len|,
+      // zero-length pairs are skipped (collect_list drops the NULLs)
+      q = rewriteCalls(q, "intervalLengthSum")(a =>
+        s"transform(array(array_sort(collect_list(CASE " +
+          s"WHEN ${D(a(1))} < ${D(a(0))} THEN named_struct('s', ${D(a(1))}, 'e', ${D(a(0))}) " +
+          s"WHEN ${D(a(1))} = ${D(a(0))} THEN CAST(NULL AS STRUCT<s: DOUBLE, e: DOUBLE>) " +
+          s"ELSE named_struct('s', ${D(a(0))}, 'e', ${D(a(1))}) END))), " +
+          "__ivs -> aggregate(__ivs, " +
+          "named_struct('cov', CAST(0 AS DOUBLE), 'hi', CAST('-Infinity' AS DOUBLE)), " +
+          "(__ac, __iv) -> named_struct(" +
+          "'cov', __ac.cov + GREATEST(CAST(0 AS DOUBLE), __iv.e - GREATEST(__iv.s, __ac.hi)), " +
+          "'hi', GREATEST(__ac.hi, __iv.e)), __ac -> __ac.cov))[0]")
+      // Shannon entropy of the value distribution (log2); multi-arg =
+      // entropy of the tuple — values key on their string rendering
+      q = rewriteCalls(q, "entropy") { a =>
+        val v =
+          if (a.length == 1) s"CAST(${a(0)} AS STRING)"
+          else s"CAST(named_struct(${a.zipWithIndex.map { case (x, i) => s"'c$i', $x" }.mkString(", ")}) AS STRING)"
+        s"transform(array(collect_list($v)), __xs -> " +
+          "aggregate(array_distinct(__xs), CAST(0 AS DOUBLE), (__ac, __v) -> __ac + " +
+          "(size(filter(__xs, __u -> __u = __v)) / CAST(size(__xs) AS DOUBLE)) * " +
+          "log2(size(filter(__xs, __u -> __u = __v)) / CAST(size(__xs) AS DOUBLE)), " +
+          "__ac -> -__ac))[0]"
+      }
+      // Spearman: 1 - 6*sum(d^2)/(n(n^2-1)) over midranks; NaN inputs are
+      // skipped per column (02347: all-NaN side -> n=0 -> 0/0 -> nan)
+      q = rewriteCalls(q, "rankCorr") { a =>
+        def rank(arr: String, v: String) =
+          s"(size(filter($arr, __w -> __w < $v)) + (size(filter($arr, __w -> __w = $v)) + 1) / 2.0)"
+        val sumd2 = "aggregate(filter(__t.ps, __p -> NOT isnan(__p.x) AND NOT isnan(__p.y)), " +
+          "CAST(0 AS DOUBLE), (__ac, __p) -> __ac + " +
+          s"pow(${rank("__t.xs", "__p.x")} - ${rank("__t.ys", "__p.y")}, 2), __ac -> __ac)"
+        val n = "CAST(least(size(__t.xs), size(__t.ys)) AS DOUBLE)"
+        s"transform(array(collect_list(named_struct('x', ${D(a(0))}, 'y', ${D(a(1))}))), __ps -> " +
+          "transform(array(named_struct(" +
+          "'xs', filter(transform(__ps, __p -> __p.x), __v -> NOT isnan(__v)), " +
+          "'ys', filter(transform(__ps, __p -> __p.y), __v -> NOT isnan(__v)), " +
+          "'ps', __ps)), __t -> " +
+          s"1 - ${chdiv(s"6 * $sumd2", s"$n * ($n * $n - 1)")})[0])[0]"
+      }
+      // categoricalInformationValue(x1..xn, y): per feature i,
+      // (no_i/sum_no - yes_i/sum_yes) * ln((no_i/sum_no)/(yes_i/sum_yes))
+      q = rewriteCalls(q, "categoricalInformationValue") { a =>
+        val y = a.last
+        def cnt(cond: String) = s"CAST(coalesce(sum(CASE WHEN $cond THEN 1 ELSE 0 END), 0) AS DOUBLE)"
+        val sumNo = cnt(s"CAST($y AS INT) = 0")
+        val sumYes = cnt(s"CAST($y AS INT) <> 0")
+        val elems = a.dropRight(1).map { x =>
+          val no = cnt(s"CAST($x AS INT) <> 0 AND CAST($y AS INT) = 0")
+          val yes = cnt(s"CAST($x AS INT) <> 0 AND CAST($y AS INT) <> 0")
+          val rNo = chdiv(no, sumNo)
+          val rYes = chdiv(yes, sumYes)
+          s"(($rNo - $rYes) * ${chln(chdiv(rNo, rYes))})"
+        }
+        s"array(${elems.mkString(", ")})"
+      }
+      // cross-tab statistics (CrossTab.h): counts keyed on string-
+      // rendered values; phi^2 = chi^2 / n
+      def crossTab(a0: String, b0: String)(body: String): String = {
+        // array/map literals are NOT_IMPLEMENTED argument types in the
+        // reference's cross-tab aggregates (02419)
+        if (Seq(a0, b0).exists(x =>
+            x.trim.startsWith("[") || x.trim.startsWith("array(")))
+          throw new IllegalArgumentException(
+            "NOT_IMPLEMENTED: cross-tab statistics over array arguments")
+        s"transform(array(collect_list(named_struct('a', CAST($a0 AS STRING), 'b', CAST($b0 AS STRING)))), __ps -> " +
+          "transform(array(named_struct('n', CAST(size(__ps) AS DOUBLE), " +
+          "'da', array_distinct(transform(__ps, __p -> __p.a)), " +
+          "'db', array_distinct(transform(__ps, __p -> __p.b)), " +
+          "'dab', array_distinct(__ps))), __t -> " +
+          s"CASE WHEN __t.n < 2 THEN CAST('NaN' AS DOUBLE) ELSE $body END)[0])[0]"
+      }
+      def ca(v: String) = s"CAST(size(filter(__ps, __r -> __r.a = $v)) AS DOUBLE)"
+      def cb(v: String) = s"CAST(size(filter(__ps, __r -> __r.b = $v)) AS DOUBLE)"
+      val phi2 = "(aggregate(__t.dab, CAST(0 AS DOUBLE), (__ac, __q) -> __ac + " +
+        s"pow(size(filter(__ps, __r -> __r.a = __q.a AND __r.b = __q.b)) - ${ca("__q.a")} * ${cb("__q.b")} / __t.n, 2) / " +
+        s"(${ca("__q.a")} * ${cb("__q.b")} / __t.n), __ac -> __ac) / __t.n)"
+      q = rewriteCalls(q, "cramersVBiasCorrected")(a => crossTab(a(0), a(1)) {
+        val adj = s"GREATEST(CAST(0 AS DOUBLE), $phi2 - " +
+          "(size(__t.da) - 1) * CAST(size(__t.db) - 1 AS DOUBLE) / (__t.n - 1))"
+        val corrA = "(size(__t.da) - pow(size(__t.da) - 1, 2) / (__t.n - 1))"
+        val corrB = "(size(__t.db) - pow(size(__t.db) - 1, 2) / (__t.n - 1))"
+        s"sqrt(${chdiv(adj, s"least($corrA, $corrB) - 1")})"
+      })
+      q = rewriteCalls(q, "cramersV")(a => crossTab(a(0), a(1)) {
+        s"sqrt(${chdiv(phi2, "CAST(least(size(__t.da), size(__t.db)) - 1 AS DOUBLE)")})"
+      })
+      q = rewriteCalls(q, "contingency")(a => crossTab(a(0), a(1)) {
+        s"sqrt(${chdiv(phi2, s"$phi2 + __t.n")})"
+      })
+      // theilsU: numerator computed in the DISTRIBUTED form
+      // sum_ab (cab/n)(ln(cab/cb) - ln(ca/n)) so the independent case
+      // cancels exactly per term (0 / negative h_a then renders -0,
+      // matching the reference)
+      q = rewriteCalls(q, "theilsU")(a => crossTab(a(0), a(1)) {
+        def cab = "CAST(size(filter(__ps, __r -> __r.a = __q.a AND __r.b = __q.b)) AS DOUBLE)"
+        val num = "aggregate(__t.dab, CAST(0 AS DOUBLE), (__ac, __q) -> __ac + " +
+          s"($cab / __t.n) * (${chln(chdiv(cab, cb("__q.b")))} - ${chln(chdiv(ca("__q.a"), "__t.n"))}), " +
+          "__ac -> __ac)"
+        val hA = "aggregate(__t.da, CAST(0 AS DOUBLE), (__ac, __v) -> __ac + " +
+          s"(${ca("__v")} / __t.n) * ${chln(chdiv(ca("__v"), "__t.n"))}, __ac -> __ac)"
+        chdiv(num, hA)
+      })
+      // bitmap states are sorted distinct arrays (same representation as
+      // bitmapBuild); And/Or/Xor fold the collected states
+      q = rewriteCalls(q, "groupBitmapState") { a =>
+        // the reference rejects Nullable inputs (ILLEGAL_TYPE_OF_ARGUMENT,
+        // 03457); a NULL literal or Nullable cast in the argument is the
+        // textual signature of that shape
+        if ("(?i)\\bNULL\\b|Nullable\\s*\\(|toNullable\\s*\\(|try_cast\\s*\\(|\\w+OrNull\\s*\\(".r.findFirstIn(a(0)).isDefined)
+          throw new IllegalArgumentException(
+            "ILLEGAL_TYPE_OF_ARGUMENT: groupBitmapState over a Nullable input")
+        s"array_sort(collect_set(${a(0)}))"
+      }
+      q = rewriteCalls(q, "groupBitmapMerge")(a =>
+        s"CAST(size(array_distinct(flatten(collect_list(${a(0)})))) AS BIGINT)")
+      def bitmapFold(st: String, op: (String, String) => String): String =
+        s"transform(array(collect_list($st)), __bs -> " +
+          s"CASE WHEN size(__bs) = 0 THEN slice(flatten(__bs), 1, 0) " +
+          s"ELSE aggregate(slice(__bs, 2, size(__bs)), __bs[0], " +
+          s"(__ac, __x) -> ${op("__ac", "__x")}) END)[0]"
+      val andOp = (a: String, b: String) => s"array_intersect($a, $b)"
+      val orOp = (a: String, b: String) => s"array_union($a, $b)"
+      val xorOp = (a: String, b: String) =>
+        s"array_except(array_union($a, $b), array_intersect($a, $b))"
+      // -MergeState: merge the states, KEEP the state (= the Or-fold)
+      q = rewriteCalls(q, "groupBitmapMergeState")(a => s"array_sort(${bitmapFold(a(0), orOp)})")
+      q = rewriteCalls(q, "groupBitmapAndState")(a => s"array_sort(${bitmapFold(a(0), andOp)})")
+      q = rewriteCalls(q, "groupBitmapOrState")(a => s"array_sort(${bitmapFold(a(0), orOp)})")
+      q = rewriteCalls(q, "groupBitmapXorState")(a => s"array_sort(${bitmapFold(a(0), xorOp)})")
+      q = rewriteCalls(q, "groupBitmapAnd")(a => s"CAST(size(${bitmapFold(a(0), andOp)}) AS BIGINT)")
+      q = rewriteCalls(q, "groupBitmapOr")(a => s"CAST(size(${bitmapFold(a(0), orOp)}) AS BIGINT)")
+      q = rewriteCalls(q, "groupBitmapXor")(a => s"CAST(size(${bitmapFold(a(0), xorOp)}) AS BIGINT)")
+      // -Array combinators: the aggregate over all elements of all arrays
+      q = rewriteCalls(q, "sumArray")(a =>
+        s"coalesce(sum(aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __b) -> __a + __b)), CAST(0 AS DOUBLE))")
+      q = rewriteCalls(q, "minArray")(a => s"min(array_min(${a(0)}))")
+      q = rewriteCalls(q, "maxArray")(a => s"max(array_max(${a(0)}))")
+      q = rewriteCalls(q, "avgArray")(a =>
+        s"(sum(aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __b) -> __a + __b)) / sum(size(${a(0)})))")
+      q = rewriteCalls(q, "countArray")(a => s"CAST(sum(size(${a(0)})) AS BIGINT)")
+      q = rewriteCalls(q, "uniqArray")(a =>
+        s"CAST(size(array_distinct(flatten(collect_list(${a(0)})))) AS BIGINT)")
+      q = rewriteCalls(q, "groupUniqArrayArray")(a =>
+        s"array_distinct(flatten(collect_list(${a(0)})))")
+      q = rewriteCalls(q, "groupArrayArrayState")(a => s"flatten(collect_list(${a(0)}))")
+      q = rewriteCalls(q, "groupArrayArrayMerge")(a => s"flatten(collect_list(${a(0)}))")
+      q = rewriteCalls(q, "sumArrayIf")(a =>
+        s"coalesce(sum(CASE WHEN ${a(1)} THEN " +
+          s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __b) -> __a + __b) END), CAST(0 AS DOUBLE))")
+      // values('c1 T1, c2 T2', row, row...) TABLE function: the schema
+      // string names and types the columns (reference
+      // TableFunctionValues.cpp); plain VALUES lists pass through
+      q = rewriteCalls(q, "values") { a =>
+        val schema = a.headOption.map(_.trim).getOrElse("")
+        if (a.length >= 2 && schema.matches("(?s)'\\s*[A-Za-z_]\\w*\\s+[A-Za-z].*'")) {
+          val cols = splitArgs(schema.stripPrefix("'").stripSuffix("'"))
+            .map(_.trim).map { cd =>
+              val sp = cd.indexOf(' ')
+              val n = cd.substring(0, sp).trim
+              val t = try ChTypes.toSpark(cd.substring(sp + 1).trim).sql
+                catch { case _: Exception => "STRING" }
+              (n, t)
+            }
+          val sel = cols.zipWithIndex.map { case ((n, t), i) =>
+            s"CAST(col${i + 1} AS $t) AS `$n`" }.mkString(", ")
+          s"(SELECT $sel FROM (VALUES ${a.drop(1).mkString(", ")}))"
+        } else s"values(${a.mkString(", ")})"
+      }
+    }
     // any/anyValue/anyLast SKIP NULLs in the reference (Nullable inputs
     // route through AggregateFunctionNull) — Spark's first/last need the
     // explicit ignoreNulls flag. The *RespectNulls spellings are plain
@@ -2360,12 +2571,8 @@ object ChSql {
     q = rewriteParamCalls(q, "approx_top_sum")((p, a) => topNSum(p(0), a(0), a(1)))
     q = rewriteCalls(q, "approx_top_sum")(a => topNSum("10", a(0), a(1)))
 
-    // groupBitmapXor: cardinality of the XOR-fold = values occurring an
-    // odd number of times (AggregateFunctionGroupBitmap.cpp)
-    q = rewriteCalls(q, "groupBitmapXor") { a =>
-      val arr = s"collect_list(${a(0)})"
-      s"CAST(size(filter(array_distinct($arr), __d -> size(filter($arr, __xe -> __xe <=> __d)) % 2 = 1)) AS BIGINT)"
-    }
+    // (groupBitmapXor now lives with the r15 bitmap-state fold templates:
+    // the reference's signature takes bitmap STATES, not scalars)
 
     // distinctJSONPaths/distinctJSONPathsAndTypes/distinctDynamicTypes
     // (AggregateFunctionDistinctJSONPaths.cpp): sorted distinct leaf
@@ -3342,7 +3549,13 @@ object ChSql {
                   s"ILLEGAL_TYPE_OF_ARGUMENT: cannot cast to $tpe$typeArgs")
               else try {
                 val dt = ChTypes.toSpark(tpe + typeArgs)
-                s"CAST($prim AS ${dt.sql})"
+                // Nullable targets: keep the nullability OBSERVABLE (the
+                // cast alone types non-null when the input is) — the
+                // if(true,...) wrapper folds away but types nullable, and
+                // downstream Nullable-rejecting aggregates can see it
+                if (tpe.equalsIgnoreCase("Nullable"))
+                  s"if(true, CAST($prim AS ${dt.sql}), NULL)"
+                else s"CAST($prim AS ${dt.sql})"
               } catch {
                 case _: IllegalArgumentException =>
                   // reference rejects malformed parameterized types
@@ -3596,7 +3809,14 @@ object ChSql {
     //  - string input: parse-in-tz then render-in-tz is identity → plain CAST
     //  - numeric/other input: epoch instant shifted to tz wall-clock via
     //    from_utc_timestamp. 'UTC' (and fixed UTC spellings) stay a bare cast.
-    q = rewriteCalls(q, "toDateTime")(a =>
+    q = rewriteCalls(q, "toDateTime") { a0 =>
+      // CH accepts hour 24 in literals (readDateTimeText rolls it into
+      // the next day: '2016-06-15 24:00:00' = 06-16 00:00:00)
+      val h24 = "^'(\\d{4}-\\d{2}-\\d{2}) 24:(\\d{2}:\\d{2}(?:\\.\\d+)?)'$".r
+      val a = a0.map(x => x.trim match {
+        case h24(d, rest) => s"'${java.time.LocalDate.parse(d).plusDays(1)} 00:$rest'"
+        case _ => x
+      })
       if (a.length == 2 && a(1).trim.matches("'[A-Za-z][\\w/+-]*'")) {
         val tz = a(1).trim
         val isUtc = tz.equalsIgnoreCase("'UTC'") || tz.equalsIgnoreCase("'Etc/UTC'") ||
@@ -3604,7 +3824,8 @@ object ChSql {
         val isStrLit = a(0).trim.startsWith("'")
         if (isUtc || isStrLit) s"CAST((${a(0)}) AS TIMESTAMP)"
         else s"from_utc_timestamp(CAST((${a(0)}) AS TIMESTAMP), $tz)"
-      } else s"toDateTime(${a.mkString(", ")})")
+      } else s"toDateTime(${a.mkString(", ")})"
+    }
 
     // CH tuple dot-number access: ident.1 -> tupleElement(ident, 1)
     // (float literals never match — the left side must be an identifier;
@@ -3650,6 +3871,14 @@ object ChSql {
           // through the to<Type> templates, parameterized ones through
           // accurateCast's type map
           if (tpe.matches("[A-Za-z]\\w*")) s"to$tpe(${a(0)})"
+          // CAST((keys, values), 'Map(K,V)'): the reference builds a map
+          // from the tuple's two arrays (ColumnMap shapes)
+          else if (tpe.matches("(?is)Map\\s*\\(.*") && a(0).trim.startsWith("(") &&
+              a(0).trim.endsWith(")") &&
+              splitArgs(a(0).trim.stripPrefix("(").stripSuffix(")")).length == 2) {
+            val parts = splitArgs(a(0).trim.stripPrefix("(").stripSuffix(")"))
+            s"map_from_arrays(${parts(0)}, ${parts(1)})"
+          }
           else if (tpe.matches("(?is)Enum(8|16)?\\s*\\(.*"))
             // a non-Nullable Enum target rejects NULL inputs at runtime
             // (reference: CANNOT_INSERT_NULL_IN_ORDINARY_COLUMN, 01536)
@@ -4012,6 +4241,34 @@ object ChSql {
           s"joinGet: '$tbl' is not a known Join-engine table with ${a.length - 2} key(s)")
       }
     }
+    // joinGetOrNull: like joinGet but a missed key yields NULL — except
+    // Array columns, which are never Nullable in the reference and yield
+    // [] (01240 pins both shapes)
+    q = rewriteCalls(q, "joinGetOrNull") { a =>
+      val tbl = a(0).trim.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("default.").stripPrefix("`").stripSuffix("`")
+      val cn = a(1).trim.stripPrefix("'").stripSuffix("'")
+      joinEngineKeys.get(tbl) match {
+        case Some((kind, _)) if kind != "LEFT" =>
+          throw new IllegalArgumentException(
+            s"INCOMPATIBLE_TYPE_OF_JOIN: joinGetOrNull needs an ANY LEFT Join table, '$tbl' is $kind")
+        case Some((_, ks)) if ks.length == a.length - 2 =>
+          val cond = ks.zip(a.drop(2)).map { case (k, v) => s"`$k` = ($v)" }
+            .mkString(" AND ")
+          val base = s"(SELECT any_value(`$cn`, true) FROM $tbl WHERE $cond)"
+          val declared = tableColMeta.get(tbl)
+            .flatMap(_.collectFirst { case (n, t, _, _) if n == cn => t })
+          declared match {
+            case Some(t) if t.trim.startsWith("Array(") =>
+              val sp = try ChTypes.toSpark(t.trim).sql
+                catch { case _: Exception => "ARRAY<STRING>" }
+              s"coalesce($base, CAST(array() AS $sp))"
+            case _ => base
+          }
+        case _ => throw new IllegalArgumentException(
+          s"joinGetOrNull: '$tbl' is not a known Join-engine table with ${a.length - 2} key(s)")
+      }
+    }
     // uniq*If: cardinality of the matching subset; 0 (type default) on
     // an empty match set comes free (count distinct of no rows is 0)
     // multi-value forms hash the tuple: wrap in struct so the CASE stays
@@ -4304,7 +4561,12 @@ object ChSql {
         case "Date" => ("DATE", None)
         case "DateTime" => ("TIMESTAMP", None)
         case d if d.startsWith("Decimal(") => (d.replace("Decimal", "DECIMAL"), None)
-        case _ => ("STRING", None) // unmapped target renders via STRING
+        // container targets route through the full CH type parser; other
+        // unmapped targets keep the legacy STRING render (Nullable(...)
+        // NULL-casts feed arithmetic that relies on the loose coercion)
+        case c if c.startsWith("Array(") || c.startsWith("Map(") || c.startsWith("Tuple(") =>
+          (try ChTypes.toSpark(c).sql catch { case _: Exception => "STRING" }, None)
+        case _ => ("STRING", None)
       }
       (loHi, orNull) match {
         case (None, true) => s"try_cast($x AS $sqlT)"
@@ -5141,11 +5403,21 @@ object ChSql {
       """\bquantileDeterministic\(([0-9.]+)\)\s*\(([^,)]+)[^)]*\)""",
       "percentile_approx($2, $1)")
 
-    // parameterized-aggregate syntax quantile[Exact](0.5)(x) -> percentile(x, 0.5)
-    q = q.replaceAll("""\bquantile(?:Exact)?\(([0-9.]+)\)\s*\(""", "__QUANTILE__$1(")
-    for (p <- Seq("0.5", "0.25", "0.75", "0.9", "0.95", "0.99"))
-      q = rewriteCalls(q, s"__QUANTILE__$p")(a => s"percentile(${a(0)}, $p)")
+    // parameterized-aggregate syntax quantile[Exact](p)(x) -> percentile(x, p)
+    // for ANY literal level (the old fixed-level list missed e.g. 0.2)
+    q = rewriteParamCalls(q, "quantileExact")((p, a) => s"percentile(${a(0)}, ${p(0)})")
+    q = rewriteParamCalls(q, "quantile")((p, a) => s"percentile(${a(0)}, ${p(0)})")
     q = rewriteCalls(q, "quantileExact")(a => s"percentile(${a(0)}, 0.5)")
+    // plural weighted form: Spark's percentile takes a frequency column
+    q = q.replaceAll(
+      """\bquantilesExactWeighted\(([^)]*)\)\s*\(([^,()]+),([^()]*)\)""",
+      "percentile($2, array($1), CAST($3 AS BIGINT))")
+    // plural deterministic form: the determinator only seeds the
+    // reference's sub-sampling — below the sample cap the estimate is
+    // the exact quantile
+    q = q.replaceAll(
+      """\bquantilesDeterministic\(([^)]*)\)\s*\(\s*([^,()]+),[^()]*\)""",
+      "percentile($2, array($1))")
 
     // ---- batch 5 templates ----
     // mapApply((k, v) -> (k', v'), m): tuple lambda -> entry transform.
@@ -5453,8 +5725,13 @@ object ChSql {
     q = rewriteCalls(q, "bitmapBuild")(a => s"array_sort(array_distinct(${a(0)}))")
     q = rewriteCalls(q, "bitmapToArray")(a => a(0))
     q = rewriteCalls(q, "bitmapCardinality")(a => s"size(${a(0)})")
-    q = rewriteCalls(q, "bitmapMin")(a => s"array_min(${a(0)})")
-    q = rewriteCalls(q, "bitmapMax")(a => s"array_max(${a(0)})")
+    // empty-bitmap defaults (00829): min of empty = type max (roaring32
+    // UINT32_MAX, or UINT64_MAX for the 64-bit build), max of empty = 0
+    q = rewriteCalls(q, "bitmapMin")(a =>
+      s"coalesce(array_min(${a(0)}), " +
+        s"${if (a(0).contains("UInt64") || a(0).contains("DECIMAL(20"))
+            "18446744073709551615" else "4294967295"})")
+    q = rewriteCalls(q, "bitmapMax")(a => s"coalesce(array_max(${a(0)}), 0)")
     q = rewriteCalls(q, "bitmapAnd")(a =>
       s"array_sort(array_intersect(${a(0)}, ${a(1)}))")
     q = rewriteCalls(q, "bitmapOr")(a =>
@@ -5464,7 +5741,10 @@ object ChSql {
         s"array_intersect(${a(0)}, ${a(1)})))")
     q = rewriteCalls(q, "bitmapAndnot")(a =>
       s"array_sort(array_except(${a(0)}, ${a(1)}))")
-    q = rewriteCalls(q, "bitmapContains")(a => s"array_contains(${a(0)}, ${a(1)})")
+    // CAST to INT: the reference returns UInt8, so `0 = bitmapContains(..)`
+    // comparisons type-check (00829), and 1/0 renders either way
+    q = rewriteCalls(q, "bitmapContains")(a =>
+      s"CAST(array_contains(${a(0)}, ${a(1)}) AS INT)")
     // subset ops (reference bitmapSubsetInRange/Limit, subBitmap,
     // bitmapTransform over our sorted-distinct-array representation)
     q = rewriteCalls(q, "bitmapSubsetInRange")(a =>
@@ -5473,12 +5753,21 @@ object ChSql {
       s"slice(filter(${a(0)}, __x -> __x >= ${a(1)}), 1, ${a(2)})")
     q = rewriteCalls(q, "subBitmap")(a =>
       s"slice(${a(0)}, CAST(${a(1)} AS INT) + 1, CAST(${a(2)} AS INT))")
+    // bitmapTransform applies (from -> to) pairs SEQUENTIALLY: each pair
+    // removes `from` (if present) and adds `to` — a later pair can then
+    // move the just-added value again (00829 line 44 pins this)
     q = rewriteCalls(q, "bitmapTransform")(a =>
-      s"array_sort(array_distinct(transform(${a(0)}, " +
-        s"__x -> coalesce(element_at(map_from_arrays(${a(1)}, ${a(2)}), __x), __x))))")
-    q = rewriteCalls(q, "bitmapHasAny")(a => s"arrays_overlap(${a(0)}, ${a(1)})")
+      s"array_sort(array_distinct(aggregate(" +
+        s"zip_with(${a(1)}, ${a(2)}, (__f, __t) -> " +
+        s"named_struct('f', CAST(__f AS BIGINT), 't', CAST(__t AS BIGINT))), " +
+        s"CAST(${a(0)} AS ARRAY<BIGINT>), " +
+        s"(__acc, __p) -> CASE WHEN array_contains(__acc, __p.f) " +
+        s"THEN array_union(array_except(__acc, array(__p.f)), array(__p.t)) " +
+        s"ELSE __acc END)))")
+    q = rewriteCalls(q, "bitmapHasAny")(a =>
+      s"CAST(arrays_overlap(${a(0)}, ${a(1)}) AS INT)")
     q = rewriteCalls(q, "bitmapHasAll")(a =>
-      s"(size(array_except(${a(1)}, ${a(0)})) = 0)")
+      s"CAST(size(array_except(${a(1)}, ${a(0)})) = 0 AS INT)")
     q = rewriteCalls(q, "bitmapAndCardinality")(a =>
       s"size(array_intersect(${a(0)}, ${a(1)}))")
     q = rewriteCalls(q, "bitmapOrCardinality")(a =>
@@ -6744,8 +7033,45 @@ object ChSql {
       .filter(t => t.matches("[A-Za-z_]\\w*") &&
         (try spark.catalog.tableExists(t) catch { case _: Exception => false }))
       .toList.distinct
-    if (froms.size != 1) return q0
-    val cols = spark.table(froms.head).columns
+    val cols: Array[String] =
+      if (froms.size == 1) spark.table(froms.head).columns
+      else if (froms.nonEmpty) return q0
+      // numbers()/system.numbers generators expose one column
+      else if ("(?i)\\bFROM\\s+(?:system\\.)?numbers(?:_mt)?\\s*[(\\s;)]"
+          .r.findFirstIn(q0 + " ").isDefined) Array("number")
+      else {
+        // FROM (SELECT <aliased list>): derive the output names textually
+        val fi = "(?is)\\bFROM\\s*\\(".r.findFirstMatchIn(q0)
+        fi.flatMap { m =>
+          val open = q0.indexOf('(', m.end - 1)
+          var depth = 0; var i = open; var inStr = false; var closeI = -1
+          while (i < q0.length && closeI < 0) {
+            val c = q0.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else if (c == '\'') inStr = true
+            else if (c == '(') depth += 1
+            else if (c == ')') { depth -= 1; if (depth == 0) closeI = i }
+            i += 1
+          }
+          if (closeI < 0) None
+          else {
+            val inner = q0.substring(open + 1, closeI).trim
+            if (!"(?is)^SELECT\\b".r.findFirstIn(inner).isDefined) None
+            else {
+              val listEnd = topLevelIndexOf(inner, "FROM") match {
+                case -1 => inner.length; case x => x
+              }
+              val items = splitArgs(inner.substring(6, listEnd)).map(_.trim)
+              val names = items.map { it =>
+                val asIdx = "(?i)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(it)
+                asIdx.map(_.group(1))
+                  .orElse(if (it.matches("[A-Za-z_]\\w*")) Some(it) else None)
+              }
+              if (names.exists(_.isEmpty)) None else Some(names.flatten.toArray)
+            }
+          }
+        }.getOrElse(return q0)
+      }
     // balanced-paren body starting at an opening paren index
     def parenBody(s: String, open: Int): Option[(String, Int)] = {
       var depth = 0; var i = open; var inStr = false
@@ -6824,11 +7150,100 @@ object ChSql {
         }
       }
     }
-    q = expandOne(q, "(SELECT\\s+|,\\s*)COLUMNS\\s*\\(", body => {
-      val re = body.trim.stripPrefix("'").stripSuffix("'")
-      val sel = cols.filter(_.matches(re))
-      if (sel.isEmpty) None else Some(sel.mkString(", "))
-    })
+    // chains of APPLY (fn) / APPLY fn after a column-set marker — the
+    // reference allows both spellings and stacking (01470):
+    // COLUMNS('[jk]') APPLY(toString) APPLY(length)
+    def applyChain(s: String, pos0: Int): (List[String], Int) = {
+      val re1 = "(?is)^\\s*APPLY\\s*\\(\\s*(\\w+)\\s*\\)".r
+      val re2 = "(?is)^\\s*APPLY\\s+(\\w+)".r
+      var pos = pos0; var fns = List.empty[String]; var cont = true
+      while (cont) {
+        val after = s.substring(pos)
+        re1.findFirstMatchIn(after).orElse(re2.findFirstMatchIn(after)) match {
+          case Some(m) => fns = fns :+ m.group(1); pos += m.end
+          case None => cont = false
+        }
+      }
+      (fns, pos)
+    }
+    def renderChain(sel: Seq[String], fns: List[String]): String =
+      sel.map { c =>
+        val expr = fns.foldLeft(c)((e, f) => s"$f($e)")
+        if (fns.isEmpty) c else s"$expr AS `$expr`"
+      }.mkString(", ")
+    // COLUMNS('re') [APPLY ...]* — anywhere an expression can appear
+    // (select list, function args, arithmetic); the regex is UNANCHORED
+    // (reference ASTColumnsMatcher uses RE2 partial match: 'ber' matches
+    // 'number'); an empty match set deletes the marker and its adjacent
+    // comma (an empty SELECT then fails like the reference's
+    // EMPTY_LIST_OF_COLUMNS_QUERIED)
+    locally {
+      val re = "(?is)\\bCOLUMNS\\s*\\(".r
+      var changed = true
+      while (changed) {
+        changed = false
+        re.findFirstMatchIn(q).foreach { m =>
+          parenBody(q, q.indexOf('(', m.end - 1)).foreach { case (body, close) =>
+            if (body.trim.startsWith("'")) {
+              val rex = body.trim.stripPrefix("'").stripSuffix("'")
+              val sel = cols.filter(c =>
+                rex.isEmpty ||
+                  (try rex.r.findFirstIn(c).isDefined
+                   catch { case _: Exception => false })).toSeq
+              val (fns, end) = applyChain(q, close + 1)
+              // a multi-match COLUMNS used as an OPERAND of a binary
+              // operator makes the operator's arg lists mismatch in the
+              // reference (NUMBER_OF_ARGUMENTS_DOESNT_MATCH) — plus(a,b)
+              // + plus(b) is not well-formed
+              if (sel.size > 1) {
+                var j2 = end
+                while (j2 < q.length && q.charAt(j2).isWhitespace) j2 += 1
+                var k2 = m.start - 1
+                while (k2 >= 0 && q.charAt(k2).isWhitespace) k2 -= 1
+                val ops = "+-*/%"
+                if ((j2 < q.length && ops.contains(q.charAt(j2))) ||
+                    (k2 >= 0 && ops.contains(q.charAt(k2))))
+                  throw new IllegalArgumentException(
+                    "NUMBER_OF_ARGUMENTS_DOESNT_MATCH: COLUMNS matched " +
+                      s"${sel.size} columns as an operand of a binary operator")
+              }
+              if (sel.nonEmpty) {
+                q = q.substring(0, m.start) + renderChain(sel, fns) +
+                  q.substring(end)
+              } else {
+                var st = m.start
+                var k = st - 1
+                while (k >= 0 && q.charAt(k).isWhitespace) k -= 1
+                if (k >= 0 && q.charAt(k) == ',') st = k
+                var j = end
+                if (st == m.start) {
+                  while (j < q.length && q.charAt(j).isWhitespace) j += 1
+                  if (j < q.length && q.charAt(j) == ',') j += 1 else j = end
+                }
+                q = q.substring(0, st) + q.substring(j)
+              }
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    // [qualifier.]* APPLY chain (paren or bare-name form)
+    locally {
+      val re = "(?is)(SELECT\\s+|,\\s*)(?:\\w+\\.)?\\*\\s+(?=APPLY\\b)".r
+      var changed = true
+      while (changed) {
+        changed = false
+        re.findFirstMatchIn(q).foreach { m =>
+          val (fns, end) = applyChain(q, m.end)
+          if (fns.nonEmpty) {
+            q = q.substring(0, m.start) + m.group(1) +
+              renderChain(cols.toSeq, fns) + q.substring(end)
+            changed = true
+          }
+        }
+      }
+    }
     q = expandOne(q, "(SELECT\\s+|,\\s*)\\*\\s+REPLACE\\s*\\(", body => {
       val parsed = splitArgs(body).map { a =>
         val i = a.toLowerCase.lastIndexOf(" as ")
@@ -6839,11 +7254,6 @@ object ChSql {
         val repls = parsed.flatten.toMap
         Some(cols.map(c => repls.get(c).map(e => s"($e) AS $c").getOrElse(c)).mkString(", "))
       }
-    })
-    q = expandOne(q, "(SELECT\\s+|,\\s*)\\*\\s+APPLY\\s*\\(", body => {
-      val fn = body.trim
-      if (!fn.matches("\\w+")) None
-      else Some(cols.map(c => s"$fn($c) AS `$fn($c)`").mkString(", "))
     })
     q
   }
@@ -7293,7 +7703,8 @@ object ChSql {
       else legacyFormatTables.remove(name)
       // ENGINE = Join(strictness, kind, k1[, k2…]): record the key
       // columns so joinGet() can route lookups (reference StorageJoin)
-      "(?is)\\bENGINE\\s*=\\s*Join\\s*\\(\\s*\\w+\\s*,\\s*(\\w+)\\s*,\\s*(.+?)\\)".r
+      // the '=' after ENGINE is optional in the reference's grammar
+      "(?is)\\bENGINE\\s*=?\\s*Join\\s*\\(\\s*\\w+\\s*,\\s*(\\w+)\\s*,\\s*(.+?)\\)".r
         .findFirstMatchIn(rest).foreach { jm =>
           joinEngineKeys.put(name, (jm.group(1).toUpperCase,
             splitArgs(jm.group(2))
@@ -7797,8 +8208,22 @@ object ChSql {
             val hidden = hiddenInsertCols.getOrElse(name, Set.empty)
             existing.columns.toSeq.filterNot(hidden)
           }
-        val vdf = spark.sql(s"SELECT * FROM (VALUES ${rewrite(values)}) " +
-          s"AS __v(${listed.map(c => s"`$c`").mkString(", ")})")
+        val colAliases = listed.map(c => s"`$c`").mkString(", ")
+        val vdf =
+          try spark.sql(s"SELECT * FROM (VALUES ${rewrite(values)}) " +
+            s"AS __v($colAliases)")
+          catch {
+            // Spark inline tables cannot evaluate HOF/lambda expressions
+            // (e.g. bitmapBuild -> array_sort(comparator)): route such
+            // rows through a UNION ALL of SELECTs instead
+            case e: Exception
+                if Option(e.getMessage).exists(_.contains("INVALID_INLINE_TABLE")) =>
+              val rows = splitArgs(values).map(_.trim)
+                .map(r => r.stripPrefix("(").stripSuffix(")"))
+              val sel = rows.map(r => s"SELECT ${rewrite(r)}")
+                .mkString(" UNION ALL ")
+              spark.sql(s"SELECT * FROM ($sel) AS __v($colAliases)")
+          }
         val block = fitToSchema(existing, name, listed, vdf)
         checkVectorDims(name, block)
         val sorted = sortInsertBlock(block, name)

@@ -106,11 +106,14 @@ object AnchorScout {
     case d: Double =>
       if (d.isNaN) "nan"
       else if (d.isPosInfinity) "inf" else if (d.isNegInfinity) "-inf"
+      // the reference prints negative zero as -0 (sign bit preserved)
+      else if (d == 0.0 && 1.0 / d < 0) "-0"
       else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
       else d.toString
     case f: Float =>
       if (f.isNaN) "nan"
       else if (f.isPosInfinity) "inf" else if (f.isNegInfinity) "-inf"
+      else if (f == 0.0f && 1.0f / f < 0) "-0"
       else if (f == math.rint(f) && math.abs(f) < 1e15f) f.toLong.toString
       else f.toString
     case x => x.toString
@@ -313,11 +316,17 @@ object AnchorScout {
     else {
       val gl = out.linesIterator.toVector
       val wl = expected.linesIterator.toVector
-      val i = math.max(0, gl.zipAll(wl, "<eof>", "<eof>")
-        .indexWhere { case (a, b) => a != b })
-      Left(s"diff at line ${i + 1}: got " +
-        gl.lift(i).getOrElse("<eof>").take(80) + " want " +
-        wl.lift(i).getOrElse("<eof>").take(80))
+      // same multiset of lines in a different order is its own diff
+      // class (sort-stability / ties), called out for the histogram
+      if (gl.sorted == wl.sorted)
+        Left(s"diff: ROW ORDER only (${gl.length} lines)")
+      else {
+        val i = math.max(0, gl.zipAll(wl, "<eof>", "<eof>")
+          .indexWhere { case (a, b) => a != b })
+        Left(s"diff at line ${i + 1}: got " +
+          gl.lift(i).getOrElse("<eof>").take(80) + " want " +
+          wl.lift(i).getOrElse("<eof>").take(80))
+      }
     }
   } catch {
     case AnchorFail(m) => Left(m)

@@ -29,6 +29,10 @@ object PerfShapeScout {
       .filter(p => new java.io.File(p).exists()).map { p =>
         scala.io.Source.fromFile(p).getLines().flatMap { l =>
           if (l.startsWith("DONE ")) Some(l.drop(5).trim)
+          // BEGIN lines too: a file whose processing WEDGED the JVM
+          // (zombie tasks ignoring interrupts block even listTables)
+          // must not be retried by the resume wrapper
+          else if (l.startsWith("BEGIN ")) Some(l.drop(6).trim)
           else if (l.startsWith("PASS ") || l.startsWith("FAIL "))
             Some(l.drop(5).takeWhile(_ != '#').trim)
           else None
@@ -41,6 +45,7 @@ object PerfShapeScout {
     var pass = 0; var fail = 0
     val reasons = scala.collection.mutable.Map.empty[String, Int]
     for (f <- files) {
+      println(s"BEGIN ${f.getName}"); Console.out.flush()
       PerfShapes.loadFile(f) match {
         case Left(e) =>
           println(s"FAIL ${f.getName}#* :: $e"); fail += 1

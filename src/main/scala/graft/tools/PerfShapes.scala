@@ -156,11 +156,12 @@ object PerfShapes {
 
   /** Prepare a file's tables (reset + hits + creates + fills); returns
     * the first setup error, if any. */
-  def setup(spark: SparkSession, dir: String, pf: PerfFile): Option[String] = {
+  def setup(spark: SparkSession, dir: String, pf: PerfFile,
+            timeout: FiniteDuration = 30.seconds): Option[String] = {
     graft.sqlfront.ChSql.resetSessionState(spark)
     registerHits(spark)
     (pf.creates ++ pf.fills).iterator
-      .map(c => runStmt(spark, dir, prepareText(c, pf.subs)))
+      .map(c => runStmt(spark, dir, prepareText(c, pf.subs), timeout))
       .collectFirst { case Left(e) => e }
   }
 }

@@ -31,12 +31,16 @@ class PerfShapeSpec extends AnyFunSuite {
       graft.sqlfront.ChSql.resetSessionState(spark)
       val pf = graft.tools.PerfShapes.loadFile(new java.io.File(perfDir, file))
         .fold(e => fail(s"xml load failed: $e"), identity)
-      val setupErr = graft.tools.PerfShapes.setup(spark, "/root/testdata/sf0.001", pf)
+      // 120s bound (not the sweep's 30s): the shared test JVM runs 7
+      // concurrent forks, and a 2s query can exceed 30s under that load
+      val setupErr = graft.tools.PerfShapes.setup(spark, "/root/testdata/sf0.001", pf,
+        timeout = scala.concurrent.duration.DurationInt(120).seconds)
       assert(setupErr.isEmpty, s"setup failed: ${setupErr.getOrElse("")}")
       for (i <- idxs) {
         assert(i < pf.queries.length, s"index $i out of range for $file")
         val r = graft.tools.PerfShapes.runStmt(spark, "/root/testdata/sf0.001",
-          graft.tools.PerfShapes.prepareText(pf.queries(i), pf.subs))
+          graft.tools.PerfShapes.prepareText(pf.queries(i), pf.subs),
+          timeout = scala.concurrent.duration.DurationInt(120).seconds)
         assert(r.isRight, s"$file#$i rejected: ${r.left.getOrElse("")}")
       }
       graft.sqlfront.ChSql.resetSessionState(spark)

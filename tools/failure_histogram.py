@@ -46,7 +46,56 @@ RULES = [
 ]
 
 
+DIFF_RE = re.compile(r"diff at line \d+: got (.*) want (.*)$")
+
+
+def classify_diff(got, want):
+    """Sub-classify an output diff by its first diverging line."""
+    got, want = got.strip(), want.strip()
+    if got == "<eof>" or want == "<eof>":
+        return "diff: row count"
+    g, w = got.split("\t"), want.split("\t")
+    if len(g) != len(w):
+        return "diff: column count"
+    causes = set()
+    for a, b in zip(g, w):
+        if a == b:
+            continue
+        if (a == r"\N") != (b == r"\N"):
+            causes.add("null-vs-value")
+            continue
+        try:
+            fa, fb = float(a), float(b)
+            if fa == fb:
+                causes.add("float formatting")
+            elif abs(fa - fb) <= 1e-6 * max(1.0, abs(fb)):
+                causes.add("float near-equal")
+            else:
+                causes.add("numeric value")
+            continue
+        except ValueError:
+            pass
+        if a.replace("'", '"') == b.replace("'", '"'):
+            causes.add("quote style")
+        elif re.sub(r"\s+", "", a) == re.sub(r"\s+", "", b):
+            causes.add("whitespace")
+        elif re.search(r"\d{4}-\d{2}-\d{2}", a) and re.search(r"\d{4}-\d{2}-\d{2}", b):
+            causes.add("datetime rendering")
+        elif a.startswith("[") and b.startswith("["):
+            causes.add("array rendering")
+        else:
+            causes.add("string value")
+    if not causes:
+        return "diff: trailing-line"
+    return "diff: " + "+".join(sorted(causes))
+
+
 def classify(reason):
+    if reason.startswith("diff: ROW ORDER"):
+        return "diff: row order only", None
+    m = DIFF_RE.search(reason)
+    if m:
+        return classify_diff(m.group(1), m.group(2)), None
     for bucket, rx in RULES:
         if re.search(rx, reason):
             m = re.search(r"routine `([A-Za-z0-9_]+)`", reason)
