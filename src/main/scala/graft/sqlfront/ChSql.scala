@@ -2373,6 +2373,31 @@ object ChSql {
         s"array_distinct(flatten(collect_list(${a(0)})))")
       q = rewriteCalls(q, "groupArrayArrayState")(a => s"flatten(collect_list(${a(0)}))")
       q = rewriteCalls(q, "groupArrayArrayMerge")(a => s"flatten(collect_list(${a(0)}))")
+      // CH transform(x, from, to[, default]): value mapping through
+      // parallel arrays, first match wins, else default (4-arg) or x
+      // itself (3-arg). Spark's own transform(arr, lambda) keeps its
+      // 2-arg HOF form untouched.
+      q = rewriteCalls(q, "transform") { a =>
+        if (a.length < 3) s"transform(${a.mkString(", ")})"
+        else if (a.length == 3 && "(?i)\\bnull\\b".r.findFirstIn(a(2)).isDefined)
+          // 3-arg transform keeps x's type; a NULL in the to-array makes
+          // that type unsatisfiable (ILLEGAL_TYPE_OF_ARGUMENT, 02542)
+          throw new IllegalArgumentException(
+            "ILLEGAL_TYPE_OF_ARGUMENT: transform(x, from, to) with NULL in to")
+        else if (a.exists(x => "(?is)\\(\\s*SELECT\\b".r.findFirstIn(x).isDefined)) {
+          // subquery-built arrays cannot appear inside lambdas — use the
+          // map_from_arrays form (02800_transform_alter; assumes the
+          // from-array has no duplicates, which a groupArray over
+          // distinct keys satisfies)
+          val dflt = if (a.length >= 4) a(3) else a(0)
+          s"coalesce(element_at(map_from_arrays(${a(1)}, ${a(2)}), ${a(0)}), $dflt)"
+        } else {
+          val dflt = if (a.length >= 4) a(3) else a(0)
+          s"coalesce(get(transform(filter(zip_with(${a(1)}, ${a(2)}, " +
+            s"(__f, __t) -> named_struct('f', __f, 't', __t)), " +
+            s"__p -> __p.f <=> (${a(0)})), __p -> __p.t), 0), $dflt)"
+        }
+      }
       q = rewriteCalls(q, "sumArrayIf")(a =>
         s"coalesce(sum(CASE WHEN ${a(1)} THEN " +
           s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __b) -> __a + __b) END), CAST(0 AS DOUBLE))")
@@ -3472,7 +3497,7 @@ object ChSql {
     }
     val target = q0.substring(tStart, i)
     val usingRe =
-      "(?is)^\\s*(?:AS\\s+(\\w+)\\s+|(\\w+)\\s+)??USING\\s*\\(?\\s*([\\w`]+(?:\\s*,\\s*[\\w`]+)*)\\s*\\)?".r
+      "(?is)^\\s*(?:AS\\s+(`?\\w+`?)\\s+|(`?\\w+`?)\\s+)??USING\\s*\\(?\\s*([\\w`]+(?:\\s*,\\s*[\\w`]+)*)\\s*\\)?".r
     val um = usingRe.findFirstMatchIn(q0.substring(i)).getOrElse(return q0)
     val alias = Option(um.group(1)).orElse(Option(um.group(2)))
       .filterNot(_.equalsIgnoreCase("USING"))
@@ -3791,6 +3816,14 @@ object ChSql {
     // per-query SETTINGS tail is a hint surface — absorbed (the reference
     // applies them to its own execution; Spark confs are session-level)
     q = q.replaceAll("""(?is)\bSETTINGS\s+\w+\s*=\s*\S+(\s*,\s*\w+\s*=\s*\S+)*\s*;?\s*$""", "")
+
+    // quoted/spaced/commented system-table spellings — `system`.`one`,
+    // system . one, system /* c */. `one` — collapse to the bare form
+    // the virtual-table mapping matches (00138, 00269)
+    q = q.replaceAll(
+      "(?is)`?\\bsystem`?\\s*(?:/\\*.*?\\*/)?\\s*\\.\\s*`?" +
+        "(one|numbers|numbers_mt|zeros|zeros_mt|tables|columns|functions)\\b`?",
+      "system.$1")
 
     // CH scalar WITH aliases before anything else sees the query
     q = rewriteScalarWith(q)
@@ -5154,12 +5187,9 @@ object ChSql {
     q = rewriteCalls(q, "toDecimal32")(a => s"CAST(${a(0)} AS DECIMAL(9, ${a(1)}))")
     q = rewriteCalls(q, "toDecimal64")(a => s"CAST(${a(0)} AS DECIMAL(18, ${a(1)}))")
     q = rewriteCalls(q, "toDecimal128")(a => s"CAST(${a(0)} AS DECIMAL(38, ${a(1)}))")
-    // CH transform(x, [from], [to], default) — only the 4-arg form; the
-    // 2-arg higher-order transform passes through to Spark's own.
-    q = rewriteCalls(q, "transform")(a =>
-      if (a.length == 4)
-        s"coalesce(element_at(map_from_arrays(${a(1)}, ${a(2)}), ${a(0)}), ${a(3)})"
-      else s"transform(${a.mkString(", ")})")
+    // (CH transform(x, from, to[, default]) is handled up in
+    // rewriteAggSpellings — first-match zip_with scan, subquery-arg
+    // map_from_arrays fallback; Spark's 2-arg HOF passes through)
     q = rewriteCalls(q, "arrayResize")(a =>
       if (a.length == 3)
         s"(CASE WHEN size(${a(0)}) >= ${a(1)} THEN slice(${a(0)}, 1, ${a(1)}) " +
@@ -6943,16 +6973,23 @@ object ChSql {
       }
     }
 
-    // PREWHERE -> WHERE (merge with existing WHERE if both present)
-    if (q.matches("(?is).*\\bPREWHERE\\b.*\\bWHERE\\b.*")) {
+    // PREWHERE -> WHERE (merge with existing WHERE if both present).
+    // A table NAMED prewhere must not match (00140): the keyword can't
+    // directly follow FROM/TABLE/INTO/EXISTS/JOIN (all length-5
+    // lookbehinds with their trailing space).
+    val prewhereKw =
+      "(?i)(?<!(?:FROM|ABLE|INTO|ISTS|JOIN)\\s)\\bPREWHERE\\b"
+    if (prewhereKw.r.findFirstIn(q).isDefined &&
+        "(?is)PREWHERE\\b.*\\bWHERE\\b".r.findFirstIn(
+          q.substring(prewhereKw.r.findFirstMatchIn(q).get.start)).isDefined) {
       // PREWHERE p ... WHERE w  ->  WHERE (p) AND (w)
       val m = java.util.regex.Pattern
-        .compile("(?is)PREWHERE(.*?)WHERE(.*?)(GROUP BY|ORDER BY|LIMIT|QUALIFY|$)")
+        .compile("(?is)" + prewhereKw + "(.*?)\\bWHERE(.*?)(GROUP BY|ORDER BY|LIMIT|QUALIFY|$)")
         .matcher(q)
       if (m.find())
         q = q.substring(0, m.start) + "WHERE (" + m.group(1).trim + ") AND (" +
           m.group(2).trim + ") " + q.substring(m.start(3))
-    } else q = q.replaceAll("""(?i)\bPREWHERE\b""", "WHERE")
+    } else q = q.replaceAll(prewhereKw, "WHERE")
 
     // QUALIFY cond -> wrap as subquery filter (cond must reference
     // select-list aliases, the common CH usage)

@@ -304,7 +304,9 @@ object FuzzDialect {
             (s"quantileExactHigh($lvl)(${e.ch})",
              s"(list_sort(list(${e.duck})))[LEAST(CAST(floor($lvl * count(*)) AS BIGINT), count(*) - 1) + 1]")
           },
-          () => (s"groupBitmapXor(${e.ch})",
+          // CH signature takes a bitmap STATE — build a one-element
+          // bitmap per row (the XOR-fold then counts odd-occurring values)
+          () => (s"groupBitmapXor(bitmapBuild([${e.ch}]))",
                  s"CAST(length(list_filter(list_distinct(list(${e.duck})), " +
                    s"__fd -> length(list_filter(list(${e.duck}), __fx -> __fx = __fd)) % 2 = 1)) AS BIGINT)"),
           // quantileExactWeighted: threshold ceil(level*W), first sorted
