@@ -79,6 +79,7 @@ case class ChAbs(child: Expression)
     extends RuntimeReplaceable
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
   override lazy val replacement: Expression = child.dataType match {
+    case NullType => child // abs(NULL) is NULL (the reference's Nullable pass-through)
     case BooleanType | ByteType =>
       Abs(Cast(child, ShortType), failOnError = false)
     case ShortType => Abs(Cast(child, IntegerType), failOnError = false)
@@ -96,6 +97,7 @@ case class ChNegate(child: Expression)
     extends RuntimeReplaceable
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
   override lazy val replacement: Expression = child.dataType match {
+    case NullType => child // negate(NULL) is NULL
     case BooleanType | ByteType => UnaryMinus(Cast(child, ShortType), failOnError = false)
     case ShortType => UnaryMinus(Cast(child, IntegerType), failOnError = false)
     case IntegerType => UnaryMinus(Cast(child, LongType), failOnError = false)

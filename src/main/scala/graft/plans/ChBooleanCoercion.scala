@@ -38,8 +38,19 @@ object ChBooleanCoercion extends Rule[LogicalPlan] {
     // query across the whole 284-query surface; DataFrame-path plans
     // spell their predicates explicitly and never need CH truthiness
     if (!ChDialect.on(conf)) return plan
+    // a Float64-TYPED filter expression is rejected by the reference
+    // (ILLEGAL_TYPE_OF_COLUMN_FOR_FILTER) — float OPERANDS inside
+    // logical functions are fine there (they coerce to UInt8), so only
+    // the condition's own type matters
     val p1 = plan.resolveOperators {
-      case f @ Filter(cond, _) if isNum(cond) => f.copy(condition = toBool(cond))
+      case f @ Filter(cond, _) if isNum(cond) =>
+        cond.dataType match {
+          case FloatType | DoubleType =>
+            throw new IllegalArgumentException(
+              "ILLEGAL_TYPE_OF_COLUMN_FOR_FILTER: Float filter conditions " +
+                "are rejected by the reference")
+          case _ => f.copy(condition = toBool(cond))
+        }
     }
     p1.resolveExpressions {
       case Not(e) if isNum(e) => Not(toBool(e))
@@ -179,6 +190,53 @@ object ChDateIntCast extends Rule[LogicalPlan] {
             case _ => false
           }) =>
         Cast(DateDiff(child, Literal(0, DateType)), dt, tz, mode)
+    }
+}
+
+/** CH's `/` operator ALWAYS divides in Float64 (reference divide.cpp:
+  * DivideFloatingImpl — 1/0 is inf, 0/0 is nan, never an error). Spark's
+  * integral Divide under ANSI throws DIVIDE_BY_ZERO instead, so widen
+  * both sides to double when BOTH are integral; decimal/decimal keeps
+  * Spark's decimal division (CH also stays decimal there). */
+object ChFloatDivision extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, GreaterThan, If, IsNull, LessThan, Or}
+  import org.apache.spark.sql.catalyst.expressions.EvalMode
+  import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+  private val rewritten = TreeNodeTag[Boolean]("graft.chFloatDivision")
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!ChDialect.on(conf)) plan
+    else plan.resolveExpressions {
+      // the inner Divide carries a tag so the rule cannot re-fire on its
+      // own output. The zero branch computes the IEEE result
+      // (sign-of-zero aware: 1 / -0. is -inf, pinned by 00516); NULL
+      // operands stay NULL; LEGACY eval mode on the guarded divide so a
+      // residual zero can never throw.
+      case d @ Divide(l0, r0, m)
+          if d.resolved && m != EvalMode.LEGACY &&
+            d.getTagValue(rewritten).isEmpty &&
+            l0.deterministic && r0.deterministic &&
+            (d.dataType == DoubleType ||
+              // a fractional LITERAL is Float64 in the reference (Spark
+              // parses `-0.`/`2.5` as DECIMAL); decimal/decimal COLUMN
+              // division stays decimal in both engines
+              (d.dataType.isInstanceOf[DecimalType] &&
+                (l0.exists { case Literal(_, _: DecimalType) => true; case _ => false } ||
+                 r0.exists { case Literal(_, _: DecimalType) => true; case _ => false }))) =>
+        val (l, r) =
+          if (d.dataType == DoubleType) (l0, r0)
+          else (Cast(l0, DoubleType), Cast(r0, DoubleType))
+        val zero = Literal(0.0)
+        val negz = EqualTo(Cast(r, StringType), Literal("-0.0"))
+        val pos = Literal(Double.PositiveInfinity)
+        val neg = Literal(Double.NegativeInfinity)
+        val zeroCase = CaseWhen(Seq(
+          (GreaterThan(l, zero), If(negz, neg, pos)),
+          (LessThan(l, zero), If(negz, pos, neg))),
+          Literal(Double.NaN))
+        val inner = Divide(l, r, EvalMode.LEGACY)
+        inner.setTagValue(rewritten, true)
+        If(Or(IsNull(l), IsNull(r)), Literal(null, DoubleType),
+          CaseWhen(Seq((EqualTo(r, zero), zeroCase)), inner))
     }
 }
 

@@ -88,6 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChJoinDefaults)
     ext.injectResolutionRule(_ => ChNullsOrdering)
     ext.injectResolutionRule(_ => ChDateIntCast)
+    ext.injectResolutionRule(_ => ChFloatDivision)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

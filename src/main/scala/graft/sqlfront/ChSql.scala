@@ -3825,6 +3825,11 @@ object ChSql {
         "(one|numbers|numbers_mt|zeros|zeros_mt|tables|columns|functions)\\b`?",
       "system.$1")
 
+    // negative-zero float literals: Spark parses -0. as a DECIMAL, which
+    // has no signed zero — the sign is unrecoverable post-parse and
+    // 1 / -0. would flip to +inf (00516). Route through a string cast.
+    q = q.replaceAll("(?<![\\w.])-0\\.0*(?![0-9.])", "CAST('-0.0' AS DOUBLE)")
+
     // CH scalar WITH aliases before anything else sees the query
     q = rewriteScalarWith(q)
 
@@ -5403,9 +5408,13 @@ object ChSql {
       s"((${terms.mkString(" + ")}) % 2)"
       } catch { case NotLiteral() => s"pointInPolygon(${a.mkString(", ")})" }
     }
+    // two empty arrays are an ILLEGAL_TYPE in the reference (02737) —
+    // raise instead of the IEEE 0/0 the float-division rule would give
     q = rewriteCalls(q, "arrayJaccardIndex")(a =>
-      s"(CAST(size(array_intersect(${a(0)}, ${a(1)})) AS DOUBLE) " +
-        s"/ size(array_union(${a(0)}, ${a(1)})))")
+      s"(CASE WHEN size(array_union(${a(0)}, ${a(1)})) = 0 THEN " +
+        s"CAST(raise_error('ILLEGAL_TYPE_OF_ARGUMENT: arrayJaccardIndex of empty arrays') AS DOUBLE) " +
+        s"ELSE CAST(size(array_intersect(${a(0)}, ${a(1)})) AS DOUBLE) " +
+        s"/ size(array_union(${a(0)}, ${a(1)})) END)")
     // parameterized quantile sketch variants -> percentile_approx; the
     // multi-level quantiles[Exact](p1, p2, …)(x) forms -> array results
     q = q.replaceAll("""\bquantilesExact\(([^)]*)\)\s*\(([^)]*)\)""", "percentile($2, array($1))")
@@ -5620,6 +5629,11 @@ object ChSql {
     // interval [start, start+duration] touches
     q = rewriteCalls(q, "timeSlots") { a =>
       val sz = if (a.length > 2) a(2) else "1800"
+      // a zero slot size is ILLEGAL_COLUMN in the reference (00734) —
+      // the float-division rule would otherwise turn it into an inf grid
+      if (sz.trim.matches("0+(\\.0*)?"))
+        throw new IllegalArgumentException(
+          "ILLEGAL_COLUMN: timeSlots size must be positive")
       s"transform(sequence(CAST(floor(unix_timestamp(${a(0)}) / ($sz)) AS BIGINT), " +
         s"CAST(floor((unix_timestamp(${a(0)}) + (${a(1)})) / ($sz)) AS BIGINT)), " +
         s"__i -> timestamp_seconds(__i * ($sz)))"
@@ -6986,9 +7000,17 @@ object ChSql {
       val m = java.util.regex.Pattern
         .compile("(?is)" + prewhereKw + "(.*?)\\bWHERE(.*?)(GROUP BY|ORDER BY|LIMIT|QUALIFY|$)")
         .matcher(q)
-      if (m.find())
+      if (m.find()) {
+        // a standalone PREWHERE of Float64 type is ILLEGAL in the
+        // reference (02680) — the AND-merge below would hide the type,
+        // so catch the modulo-by-float-zero signature textually
+        if ("(?i)%\\s*CAST\\('-0\\.0' AS DOUBLE\\)\\s*$".r
+            .findFirstIn(m.group(1).trim).isDefined)
+          throw new IllegalArgumentException(
+            "ILLEGAL_TYPE_OF_COLUMN_FOR_FILTER: Float PREWHERE")
         q = q.substring(0, m.start) + "WHERE (" + m.group(1).trim + ") AND (" +
           m.group(2).trim + ") " + q.substring(m.start(3))
+      }
     } else q = q.replaceAll(prewhereKw, "WHERE")
 
     // QUALIFY cond -> wrap as subquery filter (cond must reference

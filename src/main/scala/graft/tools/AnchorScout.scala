@@ -119,6 +119,9 @@ object AnchorScout {
     case x => x.toString
   }
   private def renderNested(v: Any): String = v match {
+    // inside composites the reference spells NULL out ([NULL], (NULL));
+    // only top-level TSV cells use \N
+    case null => "NULL"
     case s: String => "'" + s + "'"
     // dates/times quote in nested contexts (CH Map/Array/Tuple text)
     case d: java.sql.Date => "'" + d + "'"
