@@ -94,15 +94,25 @@ object Similarity {
       // PartitionFilter, so a bucketed/partitioned corpus would scan ALL
       // partitions; the literal isin prunes to sum_{i<=r} C(nPlanes,i)
       // partitions.
-      val qRow = withBucket.filter(col(idCol) === queryId)
-        .select(col(vecCol).cast("array<double>"), col("bucket")).head()
-      val qv = array(qRow.getSeq[Double](0).map(lit): _*)
-      val probes = probeBuckets(qRow.getLong(1), nPlanes, probeRadius)
-      withBucket
-        .filter(col("bucket").isin(probes: _*) && col(idCol) =!= queryId)
-        .select(col(idCol), cosine(col(vecCol), qv).as("cos"))
-        .orderBy(col("cos").desc, col(idCol))
-        .limit(k)
+      val qRowOpt = withBucket.filter(col(idCol) === queryId)
+        .select(col(vecCol).cast("array<double>"), col("bucket"))
+        .limit(1).collect().headOption
+      qRowOpt match {
+        case None =>
+          // absent query id: empty k-NN result, matching the radius-0 path
+          emb.sparkSession.emptyDataFrame
+            .select(lit(null).cast("bigint").as(idCol),
+              lit(null).cast("double").as("cos"))
+            .limit(0)
+        case Some(qRow) =>
+          val qv = array(qRow.getSeq[Double](0).map(lit): _*)
+          val probes = probeBuckets(qRow.getLong(1), nPlanes, probeRadius)
+          withBucket
+            .filter(col("bucket").isin(probes: _*) && col(idCol) =!= queryId)
+            .select(col(idCol), cosine(col(vecCol), qv).as("cos"))
+            .orderBy(col("cos").desc, col(idCol))
+            .limit(k)
+      }
     }
   }
 

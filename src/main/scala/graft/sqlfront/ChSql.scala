@@ -1509,7 +1509,13 @@ object ChSql {
       // materialization fails, keep the lazy chain — correctness first.
       engineBacking.put(name,
         if (seq % 32 == 0)
-          (try merged.localCheckpoint() catch { case _: Throwable => merged })
+          (try merged.localCheckpoint() catch {
+            case e: Throwable =>
+              System.err.println(s"[graft] engineBacking checkpoint for " +
+                s"'$name' at block $seq fell back to lazy lineage: " +
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+              merged
+          })
         else merged)
     }
 
@@ -3828,7 +3834,28 @@ object ChSql {
     // negative-zero float literals: Spark parses -0. as a DECIMAL, which
     // has no signed zero — the sign is unrecoverable post-parse and
     // 1 / -0. would flip to +inf (00516). Route through a string cast.
-    q = q.replaceAll("(?<![\\w.])-0\\.0*(?![0-9.])", "CAST('-0.0' AS DOUBLE)")
+    // Matched on a string-masked copy so '-0.0' inside a quoted literal
+    // is never rewritten, and with ')' ']' '\'' excluded from the left
+    // context so count(*)-0.0 / arr[1]-0.0 stay binary subtraction.
+    q = locally {
+      val masked = {
+        val sb = new StringBuilder(q); var i = 0; var inStr = false
+        while (i < sb.length) {
+          val c = sb.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false else sb.setCharAt(i, ' ') }
+          else if (c == '\'') inStr = true
+          i += 1
+        }
+        sb.toString
+      }
+      val re = "(?<![\\w.)\\]'])-0\\.0*(?![0-9.])".r
+      val out = new StringBuilder; var last = 0
+      for (m <- re.findAllMatchIn(masked)) {
+        out.append(q.substring(last, m.start)).append("CAST('-0.0' AS DOUBLE)")
+        last = m.end
+      }
+      out.append(q.substring(last)); out.toString
+    }
 
     // CH scalar WITH aliases before anything else sees the query
     q = rewriteScalarWith(q)
@@ -5771,10 +5798,18 @@ object ChSql {
     q = rewriteCalls(q, "bitmapCardinality")(a => s"size(${a(0)})")
     // empty-bitmap defaults (00829): min of empty = type max (roaring32
     // UINT32_MAX, or UINT64_MAX for the 64-bit build), max of empty = 0
-    q = rewriteCalls(q, "bitmapMin")(a =>
+    q = rewriteCalls(q, "bitmapMin")(a => {
+      // 64-bit default detection: type text in the call itself, or — for
+      // a bare column reference — the DECLARED type in tableColMeta
+      // (a UInt64 bitmap column carries no type text at the call site)
+      val arg = a(0).trim
+      val declared64 = arg.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+        tableColMeta.values.exists(_.exists(c =>
+          c._1 == arg && c._2.contains("UInt64")))
       s"coalesce(array_min(${a(0)}), " +
-        s"${if (a(0).contains("UInt64") || a(0).contains("DECIMAL(20"))
-            "18446744073709551615" else "4294967295"})")
+        s"${if (a(0).contains("UInt64") || a(0).contains("DECIMAL(20") || declared64)
+            "18446744073709551615" else "4294967295"})"
+    })
     q = rewriteCalls(q, "bitmapMax")(a => s"coalesce(array_max(${a(0)}), 0)")
     q = rewriteCalls(q, "bitmapAnd")(a =>
       s"array_sort(array_intersect(${a(0)}, ${a(1)}))")
@@ -7353,14 +7388,26 @@ object ChSql {
 
   /** GROUP-BY key names of the last statement's WITH TOTALS clause
     * (simple identifiers only) — consumed by the anchor runner to render
-    * the reference's totals block. Reset per statement. */
-  @volatile var lastTotalsKeys: Option[Seq[String]] = None
+    * the reference's totals block. Reset per statement. THREAD-LOCAL:
+    * anchor ranges run in parallel inside one JVM, so shared mutable
+    * state here would race across concurrently-running statements. */
+  private val _lastTotalsKeys = new ThreadLocal[Option[Seq[String]]] {
+    override def initialValue: Option[Seq[String]] = None
+  }
+  def lastTotalsKeys: Option[Seq[String]] = _lastTotalsKeys.get
+  def lastTotalsKeys_=(v: Option[Seq[String]]): Unit = _lastTotalsKeys.set(v)
 
   /** When true (set by the anchor runner), the WITH TOTALS rewrite
     * appends a `grouping(firstKey) AS __totals_mark` column so the
     * totals row is identified by the grouping flag rather than by
-    * all-NULL-keys inference (which misfires on nullable keys). */
-  @volatile var emitTotalsMarker: Boolean = false
+    * all-NULL-keys inference (which misfires on nullable keys).
+    * THREAD-LOCAL for the same reason: the runner's retry path toggles
+    * it off and back on around a re-run. */
+  private val _emitTotalsMarker = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+  def emitTotalsMarker: Boolean = _emitTotalsMarker.get
+  def emitTotalsMarker_=(v: Boolean): Unit = _emitTotalsMarker.set(v)
 
   private def sqlImpl(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
     lastTotalsKeys = None

@@ -25,25 +25,36 @@ object PerfShapeScout {
     // wedged-and-timeout-killed) run already STARTED — a file that
     // printed any PASS/FAIL/DONE line is not retried, so a
     // non-cancellable hang poisons one file, not the sweep
-    val doneFiles: Set[String] = sys.env.get("PERF_SCOUT_RESUME")
-      .filter(p => new java.io.File(p).exists()).map { p =>
-        scala.io.Source.fromFile(p).getLines().flatMap { l =>
-          if (l.startsWith("DONE ")) Some(l.drop(5).trim)
-          // BEGIN lines too: a file whose processing WEDGED the JVM
-          // (zombie tasks ignoring interrupts block even listTables)
-          // must not be retried by the resume wrapper
-          else if (l.startsWith("BEGIN ")) Some(l.drop(6).trim)
-          else if (l.startsWith("PASS ") || l.startsWith("FAIL "))
-            Some(l.drop(5).takeWhile(_ != '#').trim)
-          else None
-        }.toSet
-      }.getOrElse(Set.empty)
+    val (doneFiles: Set[String], wedgedFiles: Set[String]) =
+      sys.env.get("PERF_SCOUT_RESUME")
+        .filter(p => new java.io.File(p).exists()).map { p =>
+          val lines = scala.io.Source.fromFile(p).getLines().toVector
+          val began = lines.collect { case l if l.startsWith("BEGIN ") => l.drop(6).trim }.toSet
+          val done = lines.flatMap { l =>
+            if (l.startsWith("DONE ")) Some(l.drop(5).trim)
+            else if (l.startsWith("PASS ") || l.startsWith("FAIL "))
+              Some(l.drop(5).takeWhile(_ != '#').trim)
+            else None
+          }.toSet
+          // BEGIN-without-terminal-marker: the file WEDGED the previous
+          // JVM (or it was interrupted mid-file). Still skipped — a
+          // non-cancellable hang must not poison the resumed sweep — but
+          // recorded as an explicit FAIL below rather than silently
+          // vanishing from the acceptance counts.
+          (began ++ done, began -- done)
+        }.getOrElse((Set.empty[String], Set.empty[String]))
     val files = perfDir.listFiles().filter(_.getName.endsWith(".xml"))
       .filter(f => only.isEmpty || only.exists(f.getName.startsWith))
       .filterNot(f => doneFiles(f.getName))
       .sortBy(_.getName)
     var pass = 0; var fail = 0
     val reasons = scala.collection.mutable.Map.empty[String, Int]
+    for (w <- wedgedFiles.toSeq.sorted) {
+      println(s"FAIL $w#* :: wedged/interrupted (resume-skipped)")
+      fail += 1
+      reasons("wedged/interrupted (resume-skipped)") =
+        reasons.getOrElse("wedged/interrupted (resume-skipped)", 0) + 1
+    }
     for (f <- files) {
       println(s"BEGIN ${f.getName}"); Console.out.flush()
       PerfShapes.loadFile(f) match {
