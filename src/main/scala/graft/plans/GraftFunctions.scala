@@ -130,6 +130,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.functions.ChReverse(es.head)),
     (FunctionIdentifier("ch_element_at"), info("ch_element_at"),
       (es: Seq[Expression]) => graft.functions.ChElementAt(es(0), es(1))),
+    (FunctionIdentifier("ch_sparkbar"), info("ch_sparkbar"),
+      (es: Seq[Expression]) =>
+        graft.functions.ChSparkbar(intLit(es(0), "sparkbar width"), es.drop(1))),
+    (FunctionIdentifier("ch_json_norm"), info("ch_json_norm"),
+      (es: Seq[Expression]) => graft.functions.ChJsonNorm(es.head)),
     (FunctionIdentifier("ch_first_default"), info("ch_first_default"),
       (es: Seq[Expression]) => graft.functions.ChFirstLastDefault(es.head, last = false)),
     (FunctionIdentifier("ch_last_default"), info("ch_last_default"),

@@ -2373,12 +2373,64 @@ object ChSql {
       q = rewriteCalls(q, "avgArray")(a =>
         s"(sum(aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __b) -> __a + __b)) / sum(size(${a(0)})))")
       q = rewriteCalls(q, "countArray")(a => s"CAST(sum(size(${a(0)})) AS BIGINT)")
+      // multi-arg -Array combinators aggregate over ZIPPED element
+      // tuples (00533: uniqArray([0,1,1],[0,1,1],[0,1,0]) = 3)
+      def zippedArr(a: Seq[String]): String =
+        if (a.length == 1) a(0) else s"arrays_zip(${a.mkString(", ")})"
       q = rewriteCalls(q, "uniqArray")(a =>
-        s"CAST(size(array_distinct(flatten(collect_list(${a(0)})))) AS BIGINT)")
+        s"CAST(size(array_distinct(flatten(collect_list(${zippedArr(a)})))) AS BIGINT)")
       q = rewriteCalls(q, "groupUniqArrayArray")(a =>
         s"array_distinct(flatten(collect_list(${a(0)})))")
       q = rewriteCalls(q, "groupArrayArrayState")(a => s"flatten(collect_list(${a(0)}))")
       q = rewriteCalls(q, "groupArrayArrayMerge")(a => s"flatten(collect_list(${a(0)}))")
+      q = rewriteCalls(q, "uniqExactArray")(a =>
+        s"CAST(size(array_distinct(flatten(collect_list(${zippedArr(a)})))) AS BIGINT)")
+      // -Merge on groupUniqArray states (states ARE the arrays here)
+      q = rewriteCalls(q, "groupUniqArrayMerge")(a =>
+        s"array_distinct(flatten(collect_list(${a(0)})))")
+      // uniqUpTo(K)(x..) (AggregateFunctionUniqUpTo.h): exact distinct
+      // count capped at K — answers K+1 as soon as more than K are seen
+      q = rewriteParamCalls(q, "uniqUpTo")((p, a) =>
+        s"least(count(DISTINCT ${a.mkString(", ")}), CAST(${p(0)} AS BIGINT) + 1)")
+      q = rewriteParamCalls(q, "uniqUpToArray")((p, a) => {
+        val flatTuples =
+          if (a.length == 1) s"flatten(collect_list(${a(0)}))"
+          else s"flatten(collect_list(arrays_zip(${a.mkString(", ")})))"
+        s"least(CAST(size(array_distinct($flatTuples)) AS BIGINT), " +
+          s"CAST(${p(0)} AS BIGINT) + 1)"
+      })
+      // -ForEach combinator (AggregateFunctionForEach.cpp): elementwise
+      // aggregation across the group's arrays; result length = LONGEST
+      // array, each slot aggregating only the arrays long enough
+      locally {
+        def forEachT(agg: String => String): Seq[String] => String = a => {
+          val lst = s"collect_list(${a(0)})"
+          val slot = s"filter(transform($lst, __fa -> (CASE WHEN " +
+            s"size(__fa) >= __fi THEN element_at(__fa, __fi) END)), " +
+            s"__fv -> __fv IS NOT NULL)"
+          s"transform(sequence(1, array_max(transform($lst, __fa -> size(__fa)))), " +
+            s"__fi -> ${agg(slot)})"
+        }
+        q = rewriteCalls(q, "sumForEach")(forEachT(s =>
+          s"aggregate($s, CAST(0 AS BIGINT), (__acc, __v) -> __acc + __v)"))
+        q = rewriteCalls(q, "minForEach")(forEachT(s => s"array_min($s)"))
+        q = rewriteCalls(q, "maxForEach")(forEachT(s => s"array_max($s)"))
+        q = rewriteCalls(q, "avgForEach")(forEachT(s =>
+          s"(aggregate($s, CAST(0 AS DOUBLE), (__acc, __v) -> __acc + __v) / size($s))"))
+        q = rewriteCalls(q, "countForEach")(forEachT(s =>
+          s"CAST(size($s) AS BIGINT)"))
+        q = rewriteCalls(q, "groupArrayForEach")(forEachT(identity))
+      }
+      // remaining simple combinator spellings: -If on groupUniqArray
+      // (collect_set drops the CASE's null misses), -OrNull on count
+      // (NULL instead of 0 on an empty set)
+      q = rewriteCalls(q, "groupUniqArrayIf")(a =>
+        s"collect_set(CASE WHEN ${a.last} THEN ${a.dropRight(1).mkString(", ")} END)")
+      q = rewriteCalls(q, "countOrNull")(a =>
+        if (a.isEmpty || a.forall(_.trim.isEmpty)) "nullif(count(1), 0)"
+        else s"nullif(count(${a(0)}), 0)")
+      q = rewriteCalls(q, "sumOrNull")(a =>
+        s"(CASE WHEN count(${a(0)}) > 0 THEN sum(${a(0)}) END)")
       // CH transform(x, from, to[, default]): value mapping through
       // parallel arrays, first match wins, else default (4-arg) or x
       // itself (3-arg). Spark's own transform(arr, lambda) keeps its
@@ -2410,6 +2462,10 @@ object ChSql {
       // values('c1 T1, c2 T2', row, row...) TABLE function: the schema
       // string names and types the columns (reference
       // TableFunctionValues.cpp); plain VALUES lists pass through
+      // the TVF name is case-insensitive in the reference (02016 writes
+      // FROM Values('x UInt64, ...')) — canonicalize the FROM-clause
+      // spelling only (an INSERT's VALUES keyword must stay untouched)
+      q = q.replaceAll("(?i)(\\bFROM\\s+)VALUES(\\s*\\(\\s*')", "$1values$2")
       q = rewriteCalls(q, "values") { a =>
         val schema = a.headOption.map(_.trim).getOrElse("")
         if (a.length >= 2 && schema.matches("(?s)'\\s*[A-Za-z_]\\w*\\s+[A-Za-z].*'")) {
@@ -2439,11 +2495,12 @@ object ChSql {
     // median* = quantile*(0.5) (AggregateFunctionQuantile.cpp)
     q = rewriteCalls(q, "medianDeterministic")(a =>
       s"percentile_approx(${a(0)}, 0.5)")
-    for (n <- Seq("medianTDigestWeighted", "medianTimingWeighted",
-        "medianBFloat16Weighted"))
+    for (n <- Seq("medianTDigestWeighted", "medianBFloat16Weighted"))
       q = rewriteCalls(q, n)(a =>
         s"percentile(${a(0)}, 0.5, CAST(${a(1)} AS BIGINT))")
-    for (n <- Seq("medianTDigest", "medianBFloat16", "medianTiming", "median"))
+    // medianTiming[Weighted] keep the QuantileTiming value semantics —
+    // rewritten with the timing templates further down, NOT here
+    for (n <- Seq("medianTDigest", "medianBFloat16", "median"))
       q = rewriteCalls(q, n)(a => s"percentile_approx(${a(0)}, 0.5)")
     q = rewriteParamCalls(q, "medianGK")((p, a) =>
       s"approx_percentile(${a(0)}, 0.5, ${p(0)})")
@@ -2601,6 +2658,61 @@ object ChSql {
     }
     q = rewriteParamCalls(q, "approx_top_sum")((p, a) => topNSum(p(0), a(0), a(1)))
     q = rewriteCalls(q, "approx_top_sum")(a => topNSum("10", a(0), a(1)))
+
+    // topK / topKWeighted SQL spellings (AggregateFunctionTopK.cpp):
+    // plain VALUE arrays, count-desc then first-seen order (ties here
+    // break value-asc, matching SpaceSaving's insertion order for the
+    // monotone generators the stateless tests use). The optional third
+    // parameter 'counts' switches to the tuple form approx_top_k emits.
+    def topVals(n: String, x: String): String =
+      s"transform(${topN(n, x)}, __tv -> __tv.value)"
+    q = rewriteParamCalls(q, "topK")((p, a) =>
+      if (p.length >= 3 && p(2).toLowerCase.contains("counts")) topN(p(0), a(0))
+      else topVals(p(0), a(0)))
+    q = rewriteCalls(q, "topK")(a => topVals("10", a(0)))
+    q = rewriteParamCalls(q, "topKWeighted")((p, a) =>
+      if (p.length >= 3 && p(2).toLowerCase.contains("counts")) topNSum(p(0), a(0), a(1))
+      else s"transform(${topNSum(p(0), a(0), a(1))}, __tv -> __tv.value)")
+    q = rewriteCalls(q, "topKWeighted")(a =>
+      s"transform(${topNSum("10", a(0), a(1))}, __tv -> __tv.value)")
+
+    // sparkbar(width)(x, y) / sparkBar alias (AggregateFunctionSparkbar
+    // .cpp): render on the collected (x, y) pairs — the aggregation
+    // itself stays a native collect_list, the bar layout runs once per
+    // group in the ChSparkbar kernel
+    for (sp <- Seq("sparkbar", "sparkBar"))
+      q = rewriteParamCalls(q, sp)((p, a) => {
+        if (p.length != 1 && p.length != 3) // width alone or width+min+max
+          throw new IllegalArgumentException(
+            "BAD_ARGUMENTS: sparkbar takes (width) or (width, min_x, max_x)")
+        val range = if (p.length >= 3) s", ${p(1)}, ${p(2)}" else ""
+        s"ch_sparkbar(${p(0)}, collect_list(named_struct(" +
+          s"'x', ${a(0)}, 'y', ${a(1)}))$range)"
+      })
+
+    // singleValueOrNull (AggregateFunctionSingleValueOrNull.cpp): the
+    // group's value when every row agrees, NULL as soon as two differ
+    q = rewriteCalls(q, "singleValueOrNull")(a =>
+      s"(CASE WHEN count(DISTINCT ${a(0)}) = 1 THEN max(${a(0)}) END)")
+
+    // groupArrayIntersect (AggregateFunctionGroupArrayIntersect.cpp):
+    // running intersection of the group's array values, sorted ascending
+    q = rewriteCalls(q, "groupArrayIntersect") { a =>
+      val arr = s"collect_list(${a(0)})"
+      s"array_sort(array_distinct(CASE WHEN size($arr) = 1 THEN element_at($arr, 1) " +
+        s"ELSE aggregate(slice($arr, 2, size($arr) - 1), element_at($arr, 1), " +
+        s"(__acc, __e) -> array_intersect(__acc, __e)) END))"
+    }
+
+    // retention(c1, .., cN) (AggregateFunctionRetention.cpp): flags[i] =
+    // "condition i held on SOME row"; result[0] = flags[0], result[i] =
+    // flags[0] AND flags[i] — conditions may fire on different rows.
+    q = rewriteCalls(q, "retention") { a =>
+      def flag(c: String) = s"max(CASE WHEN ($c) THEN 1 ELSE 0 END)"
+      val f0 = flag(a.head)
+      val elems = f0 +: a.tail.map(c => s"least($f0, ${flag(c)})")
+      elems.map(e => s"CAST($e AS TINYINT)").mkString("array(", ", ", ")")
+    }
 
     // (groupBitmapXor now lives with the r15 bitmap-state fold templates:
     // the reference's signature takes bitmap STATES, not scalars)
@@ -3790,6 +3902,30 @@ object ChSql {
     transformSelect(walk(q0))
   }
 
+  /** Apply a regex replacement with matching done on a copy whose
+    * single-quoted literal CONTENT is blanked (length-preserving), so
+    * tokens inside strings are never rewritten. The replacement callback
+    * receives the match (positions valid in the original text). */
+  private def replaceOutsideStrings(s: String, re: scala.util.matching.Regex)(
+      repl: scala.util.matching.Regex.Match => String): String = {
+    val masked = {
+      val sb = new StringBuilder(s); var i = 0; var inStr = false
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false else sb.setCharAt(i, ' ') }
+        else if (c == '\'') inStr = true
+        i += 1
+      }
+      sb.toString
+    }
+    val out = new StringBuilder; var last = 0
+    for (m <- re.findAllMatchIn(masked)) {
+      out.append(s.substring(last, m.start)).append(repl(m))
+      last = m.end
+    }
+    out.append(s.substring(last)); out.toString
+  }
+
   def rewrite(chSql: String): String = {
     var q = hoistNestedArrayJoin(chSql)
 
@@ -3831,31 +3967,25 @@ object ChSql {
         "(one|numbers|numbers_mt|zeros|zeros_mt|tables|columns|functions)\\b`?",
       "system.$1")
 
+    // hex / binary integer literals (reference ParserNumber accepts 0xFF
+    // and 0b0101): Spark's SQL parser has neither form, so fold them to
+    // decimal text before parsing. BigInt keeps UInt64-range literals
+    // (0xABCDEF0123456789) intact — they parse as DECIMAL(20,0), the
+    // same path bare UInt64 decimal literals take. Masked so 0x inside
+    // a quoted string survives.
+    q = replaceOutsideStrings(q, "(?i)(?<![\\w.])0x([0-9a-f]+)(?![\\w.])".r)(m =>
+      BigInt(m.group(1), 16).toString)
+    q = replaceOutsideStrings(q, "(?<![\\w.])0[bB]([01]+)(?![\\w.])".r)(m =>
+      BigInt(m.group(1), 2).toString)
+
     // negative-zero float literals: Spark parses -0. as a DECIMAL, which
     // has no signed zero — the sign is unrecoverable post-parse and
     // 1 / -0. would flip to +inf (00516). Route through a string cast.
     // Matched on a string-masked copy so '-0.0' inside a quoted literal
     // is never rewritten, and with ')' ']' '\'' excluded from the left
     // context so count(*)-0.0 / arr[1]-0.0 stay binary subtraction.
-    q = locally {
-      val masked = {
-        val sb = new StringBuilder(q); var i = 0; var inStr = false
-        while (i < sb.length) {
-          val c = sb.charAt(i)
-          if (inStr) { if (c == '\'') inStr = false else sb.setCharAt(i, ' ') }
-          else if (c == '\'') inStr = true
-          i += 1
-        }
-        sb.toString
-      }
-      val re = "(?<![\\w.)\\]'])-0\\.0*(?![0-9.])".r
-      val out = new StringBuilder; var last = 0
-      for (m <- re.findAllMatchIn(masked)) {
-        out.append(q.substring(last, m.start)).append("CAST('-0.0' AS DOUBLE)")
-        last = m.end
-      }
-      out.append(q.substring(last)); out.toString
-    }
+    q = replaceOutsideStrings(q, "(?<![\\w.)\\]'])-0\\.0*(?![0-9.])".r)(_ =>
+      "CAST('-0.0' AS DOUBLE)")
 
     // CH scalar WITH aliases before anything else sees the query
     q = rewriteScalarWith(q)
@@ -4022,7 +4152,9 @@ object ChSql {
     for (n <- Seq("numbers", "numbers_mt"))
       q = rewriteCalls(q, n)(a =>
         if (a.length >= 2)
-          s"(SELECT id + (${a(0)}) AS number FROM RANGE(${a(1)}))"
+          // try_add: a UInt64-range offset (02016's UBSan probes) wraps
+          // in the reference; here it NULLs out instead of raising
+          s"(SELECT try_add(id, (${a(0)})) AS number FROM RANGE(${a(1)}))"
         else s"(SELECT id AS number FROM RANGE(${a(0)}))")
     // (RANGE uppercase: Spark resolves case-insensitively while the CH
     // array-function `range` template matches lowercase only)
@@ -4070,7 +4202,10 @@ object ChSql {
         // round-10 batch 30: registered alias of extractKeyValuePairs
         // (reference extractKeyValuePairs.cpp:255)
         "mapFromString" -> "extractKeyValuePairs"))
-      q = q.replaceAll(s"\\b$compat\\s*\\(", chName + "(")
+      // the reference registers the MySQL-compat names CASE-INSENSITIVE
+      // (FunctionFactory::registerFunction Case::Insensitive) — 00232
+      // spells format_bytes in lowercase
+      q = q.replaceAll(s"(?i)\\b$compat\\s*\\(", chName + "(")
     // IPv4ToIPv6(num): the IPv4-mapped ::ffff:a.b.c.d address — emit
     // IPv4NumToString(...) so the later template expands it
     q = rewriteCalls(q, "IPv4ToIPv6")(a =>
@@ -4254,10 +4389,43 @@ object ChSql {
     // sides are truncated to the unit first ('2024-01-01 23:00' ->
     // '2024-01-02 01:00' must be 1 day, not 0). CH age() IS the
     // elapsed-units semantics, so it maps to bare timestampdiff.
-    val stripUnit = (u: String) => u.replaceAll("'", "").trim.toUpperCase
+    // unit alias grid (reference dateDiff.cpp DateDiffImpl: plural and
+    // abbreviated spellings all fold to the canonical unit)
+    val unitCanon = Map(
+      "YEARS" -> "YEAR", "YYYY" -> "YEAR", "YY" -> "YEAR",
+      "QUARTERS" -> "QUARTER", "QQ" -> "QUARTER", "Q" -> "QUARTER",
+      "MONTHS" -> "MONTH", "MM" -> "MONTH", "M" -> "MONTH",
+      "WEEKS" -> "WEEK", "WK" -> "WEEK", "WW" -> "WEEK",
+      "DAYS" -> "DAY", "DD" -> "DAY", "D" -> "DAY",
+      "HOURS" -> "HOUR", "HH" -> "HOUR", "H" -> "HOUR",
+      "MINUTES" -> "MINUTE", "MI" -> "MINUTE", "N" -> "MINUTE",
+      "SECONDS" -> "SECOND", "SS" -> "SECOND", "S" -> "SECOND",
+      "MILLISECONDS" -> "MILLISECOND", "MS" -> "MILLISECOND",
+      "MICROSECONDS" -> "MICROSECOND", "MCS" -> "MICROSECOND",
+      "US" -> "MICROSECOND")
+    val stripUnit = (u: String) => {
+      val s = u.replaceAll("'", "").trim.toUpperCase
+      unitCanon.getOrElse(s, s)
+    }
     val ddiff = (a: Seq[String]) => {
       val u = stripUnit(a(0))
-      s"timestampdiff($u, date_trunc('$u', ${a(1)}), date_trunc('$u', ${a(2)}))"
+      // sub-second units: Spark's timestampdiff stops at SECOND, so diff
+      // the truncated instants in microseconds (CH counts boundary
+      // crossings; DateTime carries at most microsecond precision, so
+      // the nanosecond count is the microsecond count * 1000)
+      def microsDiff(scale: Long, trunc: String): String =
+        s"((unix_micros(CAST(date_trunc('$trunc', ${a(2)}) AS TIMESTAMP)) - " +
+          s"unix_micros(CAST(date_trunc('$trunc', ${a(1)}) AS TIMESTAMP))) " +
+          (if (scale == 1L) ")" else s"* $scale)")
+      u match {
+        case "MILLISECOND" =>
+          s"(${microsDiff(1, "MILLISECOND")} DIV 1000)"
+        case "MICROSECOND" => microsDiff(1, "MICROSECOND")
+        case "NANOSECONDS" | "NANOSECOND" | "NS" =>
+          microsDiff(1000, "MICROSECOND")
+        case _ =>
+          s"timestampdiff($u, date_trunc('$u', ${a(1)}), date_trunc('$u', ${a(2)}))"
+      }
     }
     q = rewriteCalls(q, "dateDiff")(ddiff)
     q = rewriteCalls(q, "date_diff")(ddiff)
@@ -5189,7 +5357,23 @@ object ChSql {
       if (a.length == 2) s"porter_stem(${a(1)})" else s"porter_stem(${a(0)})")
     // ---- batch 3 templates ----
     q = rewriteCalls(q, "toStartOfSecond")(a => s"date_trunc('second', ${a(0)})")
-    q = rewriteCalls(q, "age")(a => s"timestampdiff(${stripUnit(a(0))}, ${a(1)}, ${a(2)})")
+    q = rewriteCalls(q, "age") { a =>
+      // age() = ELAPSED full units (bare timestampdiff, no truncation);
+      // sub-second units via unix_micros — Spark's timestampdiff stops
+      // at SECOND
+      stripUnit(a(0)) match {
+        case "MILLISECOND" =>
+          s"((unix_micros(CAST(${a(2)} AS TIMESTAMP)) - " +
+            s"unix_micros(CAST(${a(1)} AS TIMESTAMP))) DIV 1000)"
+        case "MICROSECOND" =>
+          s"(unix_micros(CAST(${a(2)} AS TIMESTAMP)) - " +
+            s"unix_micros(CAST(${a(1)} AS TIMESTAMP)))"
+        case "NANOSECOND" | "NS" =>
+          s"((unix_micros(CAST(${a(2)} AS TIMESTAMP)) - " +
+            s"unix_micros(CAST(${a(1)} AS TIMESTAMP))) * 1000)"
+        case u => s"timestampdiff($u, ${a(1)}, ${a(2)})"
+      }
+    }
     q = rewriteCalls(q, "timeDiff")(a => s"(unix_timestamp(${a(1)}) - unix_timestamp(${a(0)}))")
     q = rewriteCalls(q, "timezone")(_ => "'UTC'") // session zone is pinned UTC
     q = rewriteCalls(q, "serverTimezone")(_ => "'UTC'")
@@ -5453,10 +5637,30 @@ object ChSql {
         val lst = s"sort_array(collect_list(least(greatest(CAST($x AS BIGINT), 0), 30000)))"
         s"element_at($lst, least(CAST(floor(size($lst) * ($p)) AS INT) + 1, size($lst)))"
       }
+      // Weighted forms: weight-expanded multiset (each value counted w
+      // times), same floor(level*n) selection; all-zero weights -> nan
+      // (QuantileTiming.h get() on an empty state)
+      def timingWBody(x: String, w: String, p: String): String = {
+        val lst = s"sort_array(flatten(collect_list(array_repeat(" +
+          s"least(greatest(CAST($x AS BIGINT), 0), 30000), CAST($w AS INT)))))"
+        s"(CASE WHEN size($lst) = 0 THEN CAST('NaN' AS DOUBLE) " +
+          s"ELSE CAST(element_at($lst, least(CAST(floor(size($lst) * ($p)) AS INT) + 1, " +
+          s"size($lst))) AS DOUBLE) END)"
+      }
+      q = q.replaceAll("""\bquantilesTimingWeighted\(([^)]*)\)\s*\(([^(),]+),([^()]*)\)""",
+        "transform(array($1), __p -> " + timingWBody("$2", "$3", "__p") + ")")
+      q = q.replaceAll("""\bquantileTimingWeighted\(([^)]*)\)\s*\(([^(),]+),([^()]*)\)""",
+        timingWBody("$2", "$3", "$1"))
+      q = rewriteCalls(q, "medianTimingWeighted")(a => timingWBody(a(0), a(1), "0.5"))
+      q = rewriteCalls(q, "medianTiming")(a => timingBody(a(0), "0.5"))
       q = q.replaceAll("""\bquantilesTiming\(([^)]*)\)\s*\(([^()]*)\)""",
         "transform(array($1), __p -> " + timingBody("$2", "__p") + ")")
       q = q.replaceAll("""\bquantileTiming\(([^)]*)\)\s*\(([^()]*)\)""",
         timingBody("$2", "$1"))
+      // bare 1-arg form = median (registerAggregateFunctions: level 0.5)
+      q = rewriteCalls(q, "quantileTiming")(a =>
+        if (a.length == 1) timingBody(a(0), "0.5")
+        else s"quantileTiming(${a.mkString(", ")})")
     }
     q = q.replaceAll("""\bquantiles\(([^)]*)\)\s*\(([^)]*)\)""", "percentile_approx($2, array($1))")
     q = q.replaceAll(
@@ -5665,18 +5869,54 @@ object ChSql {
         s"CAST(floor((unix_timestamp(${a(0)}) + (${a(1)})) / ($sz)) AS BIGINT)), " +
         s"__i -> timestamp_seconds(__i * ($sz)))"
     }
-    // arrayAUC(scores, labels): midrank formula with tie handling —
-    // (sum of positive midranks - P(P+1)/2) / (P*N); O(n^2) per row,
-    // intended for per-row arrays (reference src/Functions/array/arrayAUC.cpp)
-    q = rewriteCalls(q, "arrayAUC") { a =>
-      val (s0, l0) = (a(0), a(1))
-      val p = s"size(filter($l0, __l -> __l = 1))"
+    // arrayROCAUC is the current spelling of arrayAUC (arrayAUC.cpp
+    // registers both); the optional 3rd bool arg disables scaling —
+    // unscaled = scaled * P * N
+    // arrayAUC / arrayROCAUC (same function, arrayAUC.cpp registers
+    // both): midrank formula with tie handling — scaled = (sum of
+    // positive midranks - P(P+1)/2) / (P*N); unscaled (scale=false)
+    // keeps the raw pair count (0, not nan, when P or N is 0).
+    // O(n^2) per row, intended for per-row arrays.
+    def aucBody(s0: String, l0: String, scaledCond: Option[String]): String = {
+      // label positivity via string image: covers numeric labels (>0)
+      // AND Enum/Bool spellings ('true'); reference isLabelPositive
+      val pos = (l: String) => s"(CAST($l AS STRING) = 'true' OR " +
+        s"try_cast(CAST($l AS STRING) AS DOUBLE) > 0)"
+      val p = s"size(filter($l0, __l -> ${pos("__l")}))"
       val sumRanks = s"aggregate(zip_with($s0, $l0, (__s, __l) -> " +
-        s"CASE WHEN __l = 1 THEN (size(filter($s0, __x -> __x < __s)) + " +
+        s"CASE WHEN ${pos("__l")} THEN (size(filter($s0, __x -> __x < __s)) + " +
         s"size(filter($s0, __x -> __x <= __s)) + 1) / 2.0 " +
         s"ELSE CAST(0 AS DOUBLE) END), CAST(0 AS DOUBLE), (__a2, __x2) -> __a2 + __x2)"
-      s"(($sumRanks - $p * ($p + 1) / 2.0) / ($p * (size($l0) - $p)))"
+      val raw = s"($sumRanks - $p * ($p + 1) / 2.0)"
+      val body = scaledCond match {
+        case None => s"($raw / ($p * (size($l0) - $p)))"
+        case Some(c) => s"(CASE WHEN ($c) THEN ($raw / ($p * (size($l0) - $p))) " +
+          s"ELSE $raw END)"
+      }
+      // empty input and length mismatch raise in the reference
+      // (BAD_ARGUMENTS: scores and labels must be equal-size, non-empty)
+      s"(CASE WHEN size($s0) = 0 OR size($l0) = 0 OR size($s0) != size($l0) THEN " +
+        s"CAST(raise_error('BAD_ARGUMENTS: arrayAUC needs equal-size non-empty arrays') AS DOUBLE) " +
+        s"ELSE $body END)"
     }
+    q = rewriteCalls(q, "arrayROCAUC") { a =>
+      if (a.length >= 5 || a.length < 2)
+        throw new IllegalArgumentException(
+          "NUMBER_OF_ARGUMENTS_DOESNT_MATCH: arrayROCAUC takes 2 to 4 arguments")
+      if (a.length >= 3 && !a(2).trim.toLowerCase.matches("true|false|0|1"))
+        throw new IllegalArgumentException( // scale must be a const bool
+          "ILLEGAL_TYPE_OF_ARGUMENT: arrayROCAUC scale must be a constant")
+      if (a.length == 4 &&
+          !a(3).replaceAll("(?i)array", "").replaceAll("[\\[\\]()\\s,]", "").matches("0+"))
+        // non-zero partial offsets: the partial-AUC path is not emulated
+        throw new IllegalArgumentException(
+          "NOT_IMPLEMENTED: arrayROCAUC partial offsets")
+      if (a.length == 2) aucBody(a(0), a(1), None)
+      else aucBody(a(0), a(1), Some(a(2)))
+    }
+    q = rewriteCalls(q, "arrayAUC")(a =>
+      if (a.length >= 3) aucBody(a(0), a(1), Some(a(2)))
+      else aucBody(a(0), a(1), None))
     // CH integer arithmetic promotes to the next wider type (plus.cpp /
     // NumberTraits) — ch_plus/ch_minus/ch_multiply dispatch on resolved
     // types (graft.functions.ChArith); also covers date+int / date-date
@@ -5714,19 +5954,21 @@ object ChSql {
       "date'" + java.time.LocalDate.now(java.time.ZoneOffset.UTC) + "'")
     q = rewriteCalls(q, "formatReadableSize") { a =>
       val x = s"CAST(${a(0)} AS DOUBLE)"
-      val ui = s"CAST(floor(log(greatest($x, 1.0)) / log(1024.0)) AS INT)"
+      // index CLAMPED to the largest unit (reference formatReadable.h
+      // runs out of units and keeps dividing by the last one)
+      val ui = s"least(CAST(floor(log(greatest($x, 1.0)) / log(1024.0)) AS INT), 8)"
       s"format_string('%.2f %s', $x / power(1024.0, $ui), " +
-        s"element_at(array('B', 'KiB', 'MiB', 'GiB', 'TiB', 'PiB'), $ui + 1))"
+        s"element_at(array('B', 'KiB', 'MiB', 'GiB', 'TiB', 'PiB', 'EiB', 'ZiB', 'YiB'), $ui + 1))"
     }
     q = rewriteCalls(q, "formatReadableDecimalSize") { a =>
       val x = s"CAST(${a(0)} AS DOUBLE)"
-      val ui = s"CAST(floor(log(greatest($x, 1.0)) / log(1000.0)) AS INT)"
+      val ui = s"least(CAST(floor(log(greatest($x, 1.0)) / log(1000.0)) AS INT), 8)"
       s"format_string('%.2f %s', $x / power(1000.0, $ui), " +
-        s"element_at(array('B', 'KB', 'MB', 'GB', 'TB', 'PB'), $ui + 1))"
+        s"element_at(array('B', 'KB', 'MB', 'GB', 'TB', 'PB', 'EB', 'ZB', 'YB'), $ui + 1))"
     }
     q = rewriteCalls(q, "formatReadableQuantity") { a =>
       val x = s"CAST(${a(0)} AS DOUBLE)"
-      val ui = s"CAST(floor(log(greatest($x, 1.0)) / log(1000.0)) AS INT)"
+      val ui = s"least(CAST(floor(log(greatest($x, 1.0)) / log(1000.0)) AS INT), 4)"
       s"trim(format_string('%.2f %s', $x / power(1000.0, $ui), " +
         s"element_at(array('', 'thousand', 'million', 'billion', 'trillion'), $ui + 1)))"
     }
@@ -6927,6 +7169,11 @@ object ChSql {
       s"coalesce(try_cast(get_json_object(${a(0)}, concat('$$.', ${a(1)})) AS DOUBLE), 0.0)")
     q = rewriteCalls(q, "visitParamExtractUInt")(a =>
       s"coalesce(try_cast(try_cast(get_json_object(${a(0)}, concat('$$.', ${a(1)})) AS DOUBLE) AS BIGINT), 0)")
+
+    // `x :: JSON` / CAST(x AS JSON) arrive here spelled toJSON(x) (the
+    // ParserCastOperator rewrite emits to<Type>): normalize through the
+    // JSON-object-type renderer (sorted paths, scalar leaves as strings)
+    q = rewriteCalls(q, "toJSON")(a => s"ch_json_norm(${a(0)})")
 
     // SQL-standard EXTRACT(unit FROM expr) (reference ParserFunction
     // parses it into toMinute/toHour/...): convert to date_part BEFORE

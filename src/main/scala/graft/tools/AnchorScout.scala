@@ -189,21 +189,42 @@ object AnchorScout {
       java.nio.file.Paths.get(s"$base/$name.reference")), "UTF-8").stripLineEnd
     val tagged = sql.replaceAll(
       "(?m);\\s*--\\s*\\{\\s*serverError[^\\n]*", " @@MUST_FAIL@@;")
-    val statements = tagged.split(";").map(_.trim)
-      .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
-      .filter(_.nonEmpty)
-      .filterNot(_.toUpperCase.startsWith("SET "))
-      // INSERT ... FORMAT <fmt> inline data ends at the first blank line;
-      // the ';'-split may have glued the NEXT statement onto the chunk
-      .flatMap { st =>
-        val m = "(?is)^\\s*INSERT\\s+INTO\\b.*?\\bFORMAT\\s+(CSV\\w*|TSV|TabSeparated|JSONEachRow)\\b"
-          .r.findFirstIn(st)
-        if (m.isEmpty) Seq(st)
-        else st.split("\n\\s*\n", 2) match {
-          case Array(ins, rest) => Seq(ins.trim, rest.trim).filter(_.nonEmpty)
-          case _ => Seq(st)
-        }
+    // `-- { echo }` / `-- { echoOn }` / `-- { echoOff }` (clickhouse-test
+    // echo hints): from the chunk carrying an ON tag, every executed
+    // statement's RAW text (leading comments included, as trimmed chunk
+    // + ';') is emitted before its result lines. SET statements and
+    // must-fail statements are NOT echoed (observed in the reference's
+    // own .reference bytes: 00173 set lines absent, 02016 serverError
+    // lines absent).
+    var echoActive = false
+    val units: Seq[(Option[String], Seq[String])] =
+      tagged.split(";").toSeq.map { raw =>
+        if ("(?i)--\\s*\\{\\s*echo(On)?\\s*\\}".r.findFirstIn(raw).isDefined)
+          echoActive = true
+        if ("(?i)--\\s*\\{\\s*echoOff\\s*\\}".r.findFirstIn(raw).isDefined)
+          echoActive = false
+        val st0 = raw.trim.linesIterator.filterNot(_.trim.startsWith("--"))
+          .mkString("\n").trim
+        val sts: Seq[String] =
+          if (st0.isEmpty || st0.toUpperCase.startsWith("SET ")) Seq.empty
+          // INSERT ... FORMAT <fmt> inline data ends at the first blank
+          // line; the ';'-split may have glued the NEXT statement on
+          else {
+            val m = "(?is)^\\s*INSERT\\s+INTO\\b.*?\\bFORMAT\\s+(CSV\\w*|TSV|TabSeparated|JSONEachRow)\\b"
+              .r.findFirstIn(st0)
+            if (m.isEmpty) Seq(st0)
+            else st0.split("\n\\s*\n", 2) match {
+              case Array(ins, rest) => Seq(ins.trim, rest.trim).filter(_.nonEmpty)
+              case _ => Seq(st0)
+            }
+          }
+        val echo =
+          if (echoActive && sts.nonEmpty && !st0.endsWith("@@MUST_FAIL@@"))
+            Some(raw.trim + ";")
+          else None
+        (echo, sts)
       }
+    val statements = units.flatMap(_._2)
     // the grouping() totals marker fails analysis when the GROUP BY key
     // is a select-list alias (lateralAliasReference is not a grouping
     // column) — retry those statements with the marker off (NULL-key
@@ -223,7 +244,7 @@ object AnchorScout {
     // compare as a line MULTISET below — Spark's partition-dependent
     // output order for ORDER-BY-less queries (02733_distinct) is not an
     // operator defect and must not flake the suite
-    val blocks: Seq[(Seq[String], Boolean)] = statements.toSeq.map { st0 =>
+    def stmtBlock(st0: String): (Seq[String], Boolean) = {
       val mustFail = st0.endsWith("@@MUST_FAIL@@")
       val st1 = st0.stripSuffix("@@MUST_FAIL@@").trim
       // trailing FORMAT clause (clickhouse-test runs TSV by default):
@@ -320,6 +341,9 @@ object AnchorScout {
       }
       (lines.flatMap(_.split("\n", -1).toSeq),
         "(?i)\\bORDER\\s+BY\\b".r.findFirstIn(st).isEmpty)
+    }
+    val blocks: Seq[(Seq[String], Boolean)] = units.flatMap { case (echo, sts) =>
+      echo.map(e => (e.split("\n", -1).toSeq, false)).toSeq ++ sts.map(stmtBlock)
     }
     val out = blocks.flatMap(_._1).mkString("\n")
     spark.catalog.clearCache()
