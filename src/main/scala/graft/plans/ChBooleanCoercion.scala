@@ -286,7 +286,15 @@ object ChJoinDefaults extends Rule[LogicalPlan] {
   private def fillable(j: Join): Seq[Attribute] = j.joinType match {
     case LeftOuter => j.right.output.filterNot(_.nullable)
     case RightOuter => j.left.output.filterNot(_.nullable)
-    case FullOuter => (j.left.output ++ j.right.output).filterNot(_.nullable)
+    case FullOuter =>
+      // keys stay NULL on a full join: Spark's USING output is
+      // coalesce(l.key, r.key), which must see the MATCH side's value —
+      // filling the missing side first would shadow it with the type
+      // default (00980: FULL JOIN USING(id, ...) must emit the real id)
+      val keyIds = j.condition
+        .map(_.references.map(_.exprId).toSet).getOrElse(Set.empty[ExprId])
+      (j.left.output ++ j.right.output)
+        .filterNot(_.nullable).filterNot(a => keyIds.contains(a.exprId))
     case _ => Seq.empty
   }
 
@@ -341,6 +349,94 @@ object ChJoinDefaults extends Rule[LogicalPlan] {
         // qualified hidden access, which no SELECT * ever sees).
         val raws = pairs.collect { case (_, Some((old, _))) => old }
         (Project(pairs.map(_._1) ++ raws, j), pairs.flatMap(_._2))
+    }
+  }
+}
+
+/** CH empty-set aggregate defaults (AggregateFunctionNull.h wrapping:
+  * aggregates over a NON-Nullable argument keep a non-Nullable result,
+  * so an aggregation over ZERO rows without GROUP BY returns the
+  * function's type default — sum -> 0, min/max -> the type's default
+  * value, avg -> nan — while a Nullable argument routes through the
+  * Null combinator and yields NULL, which is also Spark's ANSI result).
+  * 01528 pins the contrast: `SELECT sum(n) FROM empty` is 0 but
+  * `sumOrNull(n)` is NULL.
+  *
+  * The rewrite keeps each output's ExprId (the Alias is re-created with
+  * the SAME id) so ancestor references stay attached. Gated with the
+  * anchor-runner flag: the oracle-checked surface keeps ANSI NULLs. */
+object ChEmptySetAggDefaults extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+  import org.apache.spark.sql.catalyst.expressions.aggregate._
+
+  private val done =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("chEmptySetAgg")
+
+  private def defaultFor(f: AggregateFunction): Option[Expression] = f match {
+    case s: Sum if !s.child.nullable =>
+      Some(Cast(Literal(0), s.dataType))
+    case m: Min if !m.child.nullable => Literal.default(m.dataType) match {
+      case d if d.dataType == m.dataType => Some(d)
+      case _ => None
+    }
+    case m: Max if !m.child.nullable => Literal.default(m.dataType) match {
+      case d if d.dataType == m.dataType => Some(d)
+      case _ => None
+    }
+    case a: Average if !a.child.nullable && a.dataType == DoubleType =>
+      Some(Literal(Double.NaN))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val anchor = conf.getConfString("spark.graft.chJoinDefaults", "false").toBoolean
+    if (!anchor) return plan
+    // SET aggregate_functions_null_for_empty=1 flips every aggregate to
+    // its -OrNull form (NULL on an empty set); SET
+    // empty_result_for_aggregation_by_empty_set=1 drops the result row
+    // entirely. Both are recognized by the anchor runner's SET handling.
+    val nullForEmpty =
+      conf.getConfString("spark.graft.chAggNullForEmpty", "false").toBoolean
+    val emptyResult =
+      conf.getConfString("spark.graft.chEmptyResultEmptySet", "false").toBoolean
+    if (!plan.resolved) return plan
+    plan.resolveOperatorsUp {
+      case a: Aggregate if a.resolved && a.groupingExpressions.isEmpty &&
+          !a.getTagValue(done).contains(true) =>
+        a.setTagValue(done, true)
+        if (emptyResult) {
+          // keep the aggregate row only when at least one row aggregated
+          val cnt = Alias(
+            Count(Literal(1)).toAggregateExpression(), "__er_cnt")()
+          val agg2 = a.copy(
+            aggregateExpressions = a.aggregateExpressions :+ cnt)
+          agg2.setTagValue(done, true)
+          org.apache.spark.sql.catalyst.plans.logical.Project(
+            a.output,
+            org.apache.spark.sql.catalyst.plans.logical.Filter(
+              GreaterThan(cnt.toAttribute, Literal(0L)), agg2))
+        } else if (nullForEmpty) {
+          // the -OrNull rewrite matches Spark's ANSI behavior for
+          // sum/min/max/avg, and count() is EXEMPT in the reference
+          // (01528: count over empty stays 0 under the setting) — so
+          // simply skip the type-default coalesce
+          a
+        } else {
+          val newExprs = a.aggregateExpressions.map {
+            case al @ Alias(ae: AggregateExpression, name)
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              defaultFor(ae.aggregateFunction) match {
+                case Some(d) =>
+                  Alias(Coalesce(Seq(ae, d)), name)(exprId = al.exprId,
+                    qualifier = al.qualifier,
+                    explicitMetadata = Some(al.metadata))
+                case None => al
+              }
+            case other => other
+          }
+          if (newExprs == a.aggregateExpressions) a
+          else a.copy(aggregateExpressions = newExprs)
+        }
     }
   }
 }

@@ -89,6 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChNullsOrdering)
     ext.injectResolutionRule(_ => ChDateIntCast)
     ext.injectResolutionRule(_ => ChFloatDivision)
+    ext.injectResolutionRule(_ => ChEmptySetAggDefaults)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -45,6 +45,7 @@ object ChSql {
     "startsWith" -> "startswith", "endsWith" -> "endswith",
     "trimBoth" -> "trim", "trimLeft" -> "ltrim", "trimRight" -> "rtrim",
     "leftPad" -> "lpad", "rightPad" -> "rpad",
+    "leftPadUTF8" -> "lpad", "rightPadUTF8" -> "rpad",
     // math / misc
     "modulo" -> "mod", "plus" -> "t",
     "ln" -> "ln", "log2" -> "log2", "log10" -> "log10",
@@ -1390,6 +1391,10 @@ object ChSql {
     matViews.clear(); replicaPaths.clear()
     dynamicCols.clear()
     emitTotalsMarker = false
+    spark.conf.set("spark.graft.chAggNullForEmpty", "false")
+    spark.conf.set("spark.graft.chEmptyResultEmptySet", "false")
+    spark.conf.set("spark.graft.jsonEscapeSlash", "true")
+    spark.conf.set("spark.graft.jsonQuote64", "true")
     spark.catalog.listTables().collect().map(_.name)
       .foreach(spark.catalog.dropTempView)
   }
@@ -2526,6 +2531,10 @@ object ChSql {
     q = rewriteCalls(q, "quantileExactHigh")(a => exactLH("0.5", a(0), high = true))
     q = rewriteCalls(q, "medianExactLow")(a => exactLH("0.5", a(0), high = false))
     q = rewriteCalls(q, "medianExactHigh")(a => exactLH("0.5", a(0), high = true))
+    q = rewriteParamCalls(q, "quantilesExactLow")((p, a) =>
+      "array(" + p.map(l => exactLH(l, a(0), high = false)).mkString(", ") + ")")
+    q = rewriteParamCalls(q, "quantilesExactHigh")((p, a) =>
+      "array(" + p.map(l => exactLH(l, a(0), high = true)).mkString(", ") + ")")
 
     // quantileExactWeighted (AggregateFunctionQuantileExactWeighted.cpp:
     // threshold = ceil(level * sum_weight); first sorted value whose
@@ -3977,6 +3986,10 @@ object ChSql {
       BigInt(m.group(1), 16).toString)
     q = replaceOutsideStrings(q, "(?<![\\w.])0[bB]([01]+)(?![\\w.])".r)(m =>
       BigInt(m.group(1), 2).toString)
+    // numeric literals with underscore separators (3_000_000) — the
+    // reference's ParserNumber accepts them, Spark's lexer does not
+    q = replaceOutsideStrings(q, "(?<![\\w.])\\d[\\d_]*_[\\d_]*\\d(?![\\w.])".r)(m =>
+      m.matched.replace("_", ""))
 
     // negative-zero float literals: Spark parses -0. as a DECIMAL, which
     // has no signed zero — the sign is unrecoverable post-parse and
@@ -5285,7 +5298,11 @@ object ChSql {
     q = rewriteCalls(q, "isDistinctFrom")(a => s"(NOT ((${a(0)}) <=> (${a(1)})))")
     q = rewriteCalls(q, "ifNotFinite")(a =>
       s"(CASE WHEN isnan(CAST(${a(0)} AS DOUBLE)) OR abs(CAST(${a(0)} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) THEN ${a(1)} ELSE ${a(0)} END)")
-    q = rewriteCalls(q, "toNullable")(a => s"(${a(0)})")
+    // the CASE keeps the VALUE but flips the Spark nullability bit —
+    // CH Nullable(T) semantics (empty-set aggregates over toNullable
+    // yield NULL, 00572); the always-true branch folds away post-analysis
+    q = rewriteCalls(q, "toNullable")(a =>
+      s"(CASE WHEN 1 = 1 THEN (${a(0)}) END)")
     q = rewriteCalls(q, "materialize")(a => s"(${a(0)})")
     q = rewriteCalls(q, "identity")(a => s"(${a(0)})")
     // type conversion
@@ -7656,6 +7673,28 @@ object ChSql {
   def emitTotalsMarker: Boolean = _emitTotalsMarker.get
   def emitTotalsMarker_=(v: Boolean): Unit = _emitTotalsMarker.set(v)
 
+  /** Recognized semantic settings from the anchor runner's SET
+    * statements (applied in statement order; resetSessionState restores
+    * the per-test defaults). Unrecognized names stay absorbed, matching
+    * the per-query SETTINGS-tail policy. */
+  def applyAnchorSetting(spark: SparkSession, name: String, value0: String): Unit = {
+    val value = value0.stripPrefix("'").stripSuffix("'")
+    val on = value == "1" || value.equalsIgnoreCase("true")
+    name.toLowerCase match {
+      case "join_use_nulls" =>
+        spark.conf.set("spark.graft.chJoinDefaults", (!on).toString)
+      case "aggregate_functions_null_for_empty" =>
+        spark.conf.set("spark.graft.chAggNullForEmpty", on.toString)
+      case "empty_result_for_aggregation_by_empty_set" =>
+        spark.conf.set("spark.graft.chEmptyResultEmptySet", on.toString)
+      case "output_format_json_escape_forward_slashes" =>
+        spark.conf.set("spark.graft.jsonEscapeSlash", on.toString)
+      case "output_format_json_quote_64bit_integers" =>
+        spark.conf.set("spark.graft.jsonQuote64", on.toString)
+      case _ => ()
+    }
+  }
+
   private def sqlImpl(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
     lastTotalsKeys = None
     // clickhouse-test macros: {CLICKHOUSE_DATABASE:Identifier} expands to
@@ -7785,7 +7824,7 @@ object ChSql {
     // views; ENGINE/ORDER BY/PARTITION BY clauses are storage hints our
     // layout ops own (Layout.writeBucketed/compact), absorbed here.
     val createRe =
-      "(?is)^\\s*CREATE\\s+(?:TEMPORARY\\s+)?(TABLE|VIEW|MATERIALIZED\\s+VIEW)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)(.*?)\\bAS\\b\\s+(SELECT.*)$".r
+      "(?is)^\\s*CREATE\\s+(?:TEMPORARY\\s+)?(TABLE|VIEW|MATERIALIZED\\s+VIEW)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)(.*?)\\bAS\\b\\s+((?:SELECT|WITH)\\b.*)$".r
     // CREATE TABLE x AS y [ENGINE = E(...)]: schema clone of a registered
     // table (reference ParserCreateQuery "AS table" form). A Buffer(db,
     // tbl) engine writes THROUGH to the underlying table — alias the new
@@ -8014,7 +8053,11 @@ object ChSql {
           new org.apache.spark.sql.types.MetadataBuilder()
             .putBoolean("ch_nullable", true).build()
         else org.apache.spark.sql.types.Metadata.empty
-        StructField(c.name, dt, metadata = md)
+        // the Spark nullability bit IS CH's Nullable(T) bit: a bare
+        // `x UInt8` column is non-Nullable, so empty-set aggregates and
+        // join default-fills see it (00572: avg over an empty declared
+        // table is nan, not NULL)
+        StructField(c.name, dt, nullable = c.chNullable, metadata = md)
       }
       validateCreate(q.substring(m.end, i - 1), rest)
       val empty = spark.createDataFrame(

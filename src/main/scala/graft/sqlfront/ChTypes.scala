@@ -96,9 +96,12 @@ object ChTypes {
         case "datetime" | "datetime32" => TimestampType   // DateTime('tz')
         case "datetime64" => TimestampType
         case "decimal" if t.contains('(') =>
+          // Decimal128/256 declarations (precision up to 76) clamp to
+          // Spark's 38-digit maximum, like the conversion grid does
           val args = splitArgs(inner(t)).map(_.trim.toInt)
-          if (args.length == 2) DecimalType(args(0), args(1))
-          else DecimalType(args(0), 0)
+          val p = math.min(args(0), 38)
+          if (args.length == 2) DecimalType(p, math.min(args(1), p))
+          else DecimalType(p, 0)
         case "decimal32" => DecimalType(9, inner(t).trim.toInt)
         case "decimal64" => DecimalType(18, inner(t).trim.toInt)
         case "decimal128" => DecimalType(38, inner(t).trim.toInt)

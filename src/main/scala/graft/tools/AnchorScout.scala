@@ -69,9 +69,30 @@ object AnchorScout {
 
   // ------------------------------------------------------- TSV renderer
 
+  /** CH TabSeparated string escaping (reference
+    * src/IO/WriteHelpers.h writeEscapedString): backslash and control
+    * characters render as two-character escapes — a FixedString's NUL
+    * padding appears as literal \0 in the .reference bytes. */
+  private def tsvEscape(s: String): String =
+    if (!s.exists(c => c == '\\' || c < ' ')) s
+    else {
+      val sb = new StringBuilder
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\t' => sb.append("\\t")
+        case '\r' => sb.append("\\r")
+        case '\u0000' => sb.append("\\0")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
   def render(v: Any): String = v match {
     case null => "\\N"
-    case s: String => s
+    case s: String => tsvEscape(s)
     case a: scala.collection.Seq[_] => a.map(renderNested).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] => // CH Map TSV: {k:v,...}
       m.map { case (k, w) => s"${renderNested(k)}:${renderNested(w)}" }
@@ -122,13 +143,70 @@ object AnchorScout {
     // inside composites the reference spells NULL out ([NULL], (NULL));
     // only top-level TSV cells use \N
     case null => "NULL"
-    case s: String => "'" + s + "'"
+    // quoted form escapes like the TSV cell, plus the quote itself
+    case s: String => "'" + tsvEscape(s).replace("'", "\\'") + "'"
     // dates/times quote in nested contexts (CH Map/Array/Tuple text)
     case d: java.sql.Date => "'" + d + "'"
     case d: java.time.LocalDate => "'" + d + "'"
     case t: java.sql.Timestamp => "'" + render(t) + "'"
     case t: java.time.LocalDateTime => "'" + render(t) + "'"
     case other => render(other)
+  }
+
+  /** CH JSON string quoting (reference WriteHelpers writeJSONString with
+    * output_format_json_escape_forward_slashes=1, the default): '"' '\'
+    * '/' and control chars escape; everything else passes through. */
+  private def jsonQuote(s: String, escapeSlash: Boolean = true): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '/' if escapeSlash => sb.append("\\/")
+      case '/' => sb.append('/')
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** One JSON value in CH's JSON output convention: 64-bit integers
+    * QUOTED (output_format_json_quote_64bit_integers=1 default),
+    * narrower ints bare, dates/times quoted, arrays/tuples as JSON
+    * arrays, maps as objects. */
+  private def jsonCell(v: Any, escapeSlash: Boolean = true,
+                       quote64: Boolean = true): String = v match {
+    case null => "null"
+    case s: String => jsonQuote(s, escapeSlash)
+    case b: Boolean => if (b) "true" else "false"
+    case l: Long => if (quote64) "\"" + l + "\"" else l.toString
+    case bd: java.math.BigDecimal =>
+      if (quote64) "\"" + render(bd) + "\"" else render(bd)
+    case bd: scala.math.BigDecimal =>
+      if (quote64) "\"" + render(bd) + "\"" else render(bd)
+    case i: Int => i.toString
+    case sh: Short => sh.toString
+    case by: Byte => by.toString
+    case d: Double => render(d)
+    case f: Float => render(f)
+    case d: java.sql.Date => "\"" + d + "\""
+    case d: java.time.LocalDate => "\"" + d + "\""
+    case t: java.sql.Timestamp => "\"" + render(t) + "\""
+    case t: java.time.LocalDateTime => "\"" + render(t) + "\""
+    case a: scala.collection.Seq[_] =>
+      a.map(jsonCell(_, escapeSlash, quote64)).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, w) => jsonQuote(String.valueOf(k), escapeSlash) + ":" +
+        jsonCell(w, escapeSlash, quote64) }
+        .mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => jsonCell(r.get(i), escapeSlash, quote64))
+        .mkString("[", ",", "]")
+    case x => jsonQuote(x.toString, escapeSlash)
   }
 
   /** One row as a CH CSV record: strings always double-quoted with ""
@@ -206,7 +284,11 @@ object AnchorScout {
         val st0 = raw.trim.linesIterator.filterNot(_.trim.startsWith("--"))
           .mkString("\n").trim
         val sts: Seq[String] =
-          if (st0.isEmpty || st0.toUpperCase.startsWith("SET ")) Seq.empty
+          // recognized semantic settings take effect IN STATEMENT ORDER
+          // (session-scoped, reset per test) via a marker the execution
+          // loop intercepts; everything else stays absorbed
+          if (st0.toUpperCase.startsWith("SET ")) Seq("@@SET@@" + st0.drop(4))
+          else if (st0.isEmpty) Seq.empty
           // INSERT ... FORMAT <fmt> inline data ends at the first blank
           // line; the ';'-split may have glued the NEXT statement on
           else {
@@ -219,7 +301,8 @@ object AnchorScout {
             }
           }
         val echo =
-          if (echoActive && sts.nonEmpty && !st0.endsWith("@@MUST_FAIL@@"))
+          if (echoActive && sts.nonEmpty && !st0.endsWith("@@MUST_FAIL@@") &&
+              !sts.head.startsWith("@@SET@@"))
             Some(raw.trim + ";")
           else None
         (echo, sts)
@@ -245,6 +328,16 @@ object AnchorScout {
     // output order for ORDER-BY-less queries (02733_distinct) is not an
     // operator defect and must not flake the suite
     def stmtBlock(st0: String): (Seq[String], Boolean) = {
+      if (st0.startsWith("@@SET@@")) {
+        for (kv <- st0.drop(7).split(",")) {
+          val eq = kv.indexOf('=')
+          if (eq > 0)
+            graft.sqlfront.ChSql.applyAnchorSetting(spark,
+              kv.substring(0, eq).trim,
+              kv.substring(eq + 1).trim.stripSuffix(";").trim)
+        }
+        return (Seq.empty, false)
+      }
       val mustFail = st0.endsWith("@@MUST_FAIL@@")
       val st1 = st0.stripSuffix("@@MUST_FAIL@@").trim
       // trailing FORMAT clause (clickhouse-test runs TSV by default):
@@ -263,6 +356,8 @@ object AnchorScout {
             !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 3)
         case fmtRe(body, fmt) if fmt.equalsIgnoreCase("CSVWithNames") &&
             !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 4)
+        case fmtRe(body, fmt) if fmt.equalsIgnoreCase("JSONEachRow") &&
+            !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 5)
         case _ => (st1, 0)
       }
       val suppress = mode == 1
@@ -305,6 +400,14 @@ object AnchorScout {
           val hdr = cols.map(df.columns)
             .map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(",")
           hdr +: rows.map(renderCsv(_, cols))
+        }
+        else if (mode == 5) { // FORMAT JSONEachRow
+          val esc = spark.conf.get("spark.graft.jsonEscapeSlash", "true").toBoolean
+          val q64 = spark.conf.get("spark.graft.jsonQuote64", "true").toBoolean
+          rows.map { row =>
+            cols.map(i => jsonQuote(df.columns(i), esc) + ":" +
+              jsonCell(row.get(i), esc, q64)).mkString("{", ",", "}")
+          }
         }
         else totalsKeys match {
           case Some(ks) =>

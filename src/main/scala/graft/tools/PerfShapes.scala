@@ -77,7 +77,24 @@ object PerfShapes {
       "timestamp_seconds(1372600000 + (id % 86400)) AS ClientEventTime",
       "CAST(id % 1000 AS BIGINT) AS RemoteIP",
       "pmod(xxhash64(id, 5), 18446744073709551) AS UserIDHash",
-      "concat('opnstat-', CAST(id % 17 AS STRING)) AS OpenstatServiceName")
+      "concat('opnstat-', CAST(id % 17 AS STRING)) AS OpenstatServiceName",
+      // r16: the residual unresolved-column head of the r15 perf sweep
+      "CAST(id % 2 AS INT) AS Refresh",
+      "CAST(id % 2 AS INT) AS IsMobile",
+      "CASE WHEN id % 6 = 0 THEN '' ELSE concat('utm-src-', CAST(id % 13 AS STRING)) END AS UTMSource",
+      "CASE WHEN id % 6 = 1 THEN '' ELSE concat('utm-med-', CAST(id % 7 AS STRING)) END AS UTMMedium",
+      "CASE WHEN id % 6 = 2 THEN '' ELSE concat('utm-cmp-', CAST(id % 23 AS STRING)) END AS UTMCampaign",
+      "CASE WHEN id % 6 = 3 THEN '' ELSE concat('utm-cnt-', CAST(id % 11 AS STRING)) END AS UTMContent",
+      "CASE WHEN id % 6 = 4 THEN '' ELSE concat('utm-term-', CAST(id % 19 AS STRING)) END AS UTMTerm",
+      "CAST(id % 10000 AS BIGINT) AS ParamPrice",
+      "CAST(id % 4096 AS INT) AS IPNetworkID",
+      "CASE WHEN id % 5 = 0 THEN '' ELSE concat('social/', CAST(id % 31 AS STRING)) END AS SocialSourcePage",
+      "concat('osrc-', CAST(id % 29 AS STRING)) AS OpenstatSourceID",
+      "concat('ocmp-', CAST(id % 41 AS STRING)) AS OpenstatCampaignID",
+      "concat('oad-', CAST(id % 43 AS STRING)) AS OpenstatAdID",
+      "CASE WHEN id % 7 = 0 THEN '' ELSE concat('tag-', CAST(id % 47 AS STRING)) END AS FromTag",
+      "concat('fm2-', CAST(id % 5 AS STRING)) AS FlashMinor2",
+      "concat('::ffff:10.0.', CAST(id % 256 AS STRING), '.', CAST(id % 250 AS STRING)) AS ClientIP6")
       .drop("HitColor_n", "ClientEventTime_n")
     hits.createOrReplaceTempView("perf_hits")
   }
