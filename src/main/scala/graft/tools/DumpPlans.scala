@@ -36,7 +36,10 @@ object DumpPlans {
       // regression (map-side only), grid-family explode shape
       "q_running_concurrency", "q_fn_ml_method", "q_ts_grid_family",
       // round-11 — scalar pretty-printer projection, MySQL-alias aggregates
-      "q_fn_format_query", "q_agg_spellings3")
+      "q_fn_format_query", "q_agg_spellings3",
+      // round-16 — ClickBench wide-agg rows (pin single-exchange
+      // partial-agg shapes) + the rewritten one-pass ANN recall query
+      "q_cb_10", "q_cb_11", "q_cb_18", "q_sim_ann_lsh")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
