@@ -1529,6 +1529,48 @@ object ChSql {
   private val tableColTz =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
 
+  /** Raw DDL tail (everything after the column list) per bare-created
+    * table — SHOW CREATE reconstructs the canonical engine/clause block
+    * from it (reference InterpreterShowCreateQuery). */
+  private val tableDdlTail =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Canonical SHOW CREATE clause block from a raw DDL tail: `ENGINE =
+    * X`, each storage clause on its own line, and the default
+    * `SETTINGS index_granularity = 8192` appended for modern MergeTree
+    * declarations (the reference's formatter output shape). */
+  private def formatDdlTail(raw0: String): String = {
+    val raw = raw0.trim.stripSuffix(";").trim
+      .replaceAll("\\s+", " ")
+    if (raw.isEmpty) return "ENGINE = Memory"
+    val clauseRe = ("(?i)\\b(ENGINE\\s*=?|PARTITION BY|PRIMARY KEY|ORDER BY|" +
+      "SAMPLE BY|TTL|SETTINGS|COMMENT)\\b").r
+    val ms = clauseRe.findAllMatchIn(raw).toVector
+    if (ms.isEmpty) return "ENGINE = Memory"
+    val parts = ms.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < ms.length) ms(i + 1).start else raw.length
+      val kw = m.group(1).toUpperCase.replaceAll("\\s*=\\s*$", "").trim
+      val body = raw.substring(m.end, end).trim.stripPrefix("=").trim
+      (kw, body)
+    }
+    val engine = parts.find(_._1 == "ENGINE").map(_._2).getOrElse("Memory")
+    val rest = parts.filterNot(_._1 == "ENGINE")
+      .map { case (kw, body) => s"$kw $body" }
+    // modern declarations carry their ORDER BY / PARTITION BY as
+    // clauses (the legacy MergeTree(date, key, granularity) form holds
+    // them inside the engine args and gets NO settings line, 00061)
+    val isModernMergeTree =
+      engine.toLowerCase.contains("mergetree") &&
+        parts.exists(p => p._1 == "ORDER BY" || p._1 == "PARTITION BY" ||
+          p._1 == "PRIMARY KEY")
+    val withSettings =
+      if (isModernMergeTree && !parts.exists(_._1 == "SETTINGS"))
+        rest :+ "SETTINGS index_granularity = 8192"
+      else rest
+    (s"ENGINE = ${engine.replaceAll("\\(\\s*\\)$", "")}" +: withSettings)
+      .mkString("\n")
+  }
+
   /** Full declared column metadata per bare-created table, for DESCRIBE
     * (reference InterpreterDescribeQuery prints name, DECLARED type,
     * default kind/expression, comment, codec, ttl — 7 TSV fields). */
@@ -7751,7 +7793,24 @@ object ChSql {
           java.util.regex.Matcher.quoteReplacement(s"SELECT $vis FROM $tbl")
         }
       })
-    val chQuery0b = rewriteRemoteCluster(chQuery0s)
+    // `SELECT *, extra FROM t` — the star still expands to the ordinary
+    // (non-MATERIALIZED/ALIAS) columns, extras stay (00079)
+    val chQuery0s2 =
+      if (hiddenInsertCols.isEmpty || !chQuery0s.contains("*")) chQuery0s
+      else "(?is)\\bSELECT\\s+\\*\\s*,\\s*([\\w, `()%]+?)\\s+FROM\\s+(\\w+)".r
+        .replaceAllIn(chQuery0s, m => {
+          val (extras, tbl) = (m.group(1), m.group(2))
+          val hidden = hiddenInsertCols.getOrElse(tbl, Set.empty)
+          if (hidden.isEmpty || !tbl.matches("[A-Za-z_]\\w*") ||
+              !spark.catalog.tableExists(tbl)) m.matched
+          else {
+            val vis = spark.table(tbl).columns.filterNot(hidden)
+              .map(x => s"`$x`").mkString(", ")
+            java.util.regex.Matcher.quoteReplacement(
+              s"SELECT $vis, $extras FROM $tbl")
+          }
+        })
+    val chQuery0b = rewriteRemoteCluster(chQuery0s2)
     // SELECT ... FROM t FINAL over an engine-family table reads the
     // MERGED view (reference SELECT ... FINAL): substitute a finalized
     // temp view; tables without engine metadata keep the plain strip in
@@ -7868,7 +7927,7 @@ object ChSql {
     // for session tables generally.
     val alterAddColRe =
       ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-        "(`[^`]+`|[\\w.]+)\\s+([\\w()0-9,'= ]+?)(?:\\s+DEFAULT\\s+(.*?))?" +
+        "(`[^`]+`|[\\w.]+)\\s+([\\w()0-9,'= ]+?)(?:\\s+(?:DEFAULT|(MATERIALIZED)|ALIAS)\\s+(.*?))?" +
         "(?:\\s+AFTER\\s+(`[^`]+`|[\\w.]+))?;?\\s*$").r
     val alterDropColRe =
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+);?\\s*$".r
@@ -7880,7 +7939,7 @@ object ChSql {
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+TO\\s+(\\w+);?\\s*$".r
     val alterModColRe =
       ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+MODIFY\\s+COLUMN\\s+(IF\\s+EXISTS\\s+)?" +
-        "(\\w+)\\s+([\\w()0-9,'= ]+?)(?:\\s+DEFAULT\\s+.*?)?;?\\s*$").r
+        "(\\w+)\\s+([\\w()0-9,'= ]+?)(?:\\s+DEFAULT\\s+(.*?))?;?\\s*$").r
     // MODIFY COLUMN name DEFAULT expr (no type): only the default
     // expression changes — existing rows keep their values
     val alterModDefRe =
@@ -8134,6 +8193,24 @@ object ChSql {
         else if (s.toLowerCase.startsWith("today()")) "Date"
         else if (s.toLowerCase.startsWith("todate(")) "Date"
         else if (s.toLowerCase.startsWith("now()")) "DateTime"
+        // `col (+|-|*) smallIntLiteral`: CH integer arithmetic promotes
+        // to the NEXT WIDER type (NumberTraits: result bytes =
+        // 2 * max(operand bytes), capped at 8 — 00079: UInt32 col + 1
+        // is UInt64)
+        else if (s.matches("(\\w+)\\s*[+\\-*]\\s*\\d+")) {
+          val ref = s.takeWhile(c => c.isLetterOrDigit || c == '_')
+          val widen = Map(
+            "UInt8" -> "UInt16", "UInt16" -> "UInt32",
+            "UInt32" -> "UInt64", "UInt64" -> "UInt64",
+            "Int8" -> "Int16", "Int16" -> "Int32",
+            "Int32" -> "Int64", "Int64" -> "Int64")
+          cols.find(_.name == ref).map(_.chType).filter(_.nonEmpty)
+            .map(t => widen.getOrElse(t, t)).getOrElse("")
+        }
+        // rand() is UInt32; inside integer arithmetic it widens to UInt64
+        else if (s.matches("(?i).*\\brand\\(\\).*[+\\-*].*|.*[+\\-*].*\\brand\\(\\).*"))
+          "UInt64"
+        else if (s.matches("(?i)rand\\(\\)")) "UInt32"
         else ""
       }
       tableColMeta.put(name, cols.map(cd => (cd.name,
@@ -8143,6 +8220,7 @@ object ChSql {
           if (inf.nonEmpty) inf else "String"
         },
         cd.defaultKind.toUpperCase, cd.defaultExpr.getOrElse(""))))
+      tableDdlTail.put(name, rest.trim.stripSuffix(";").trim)
       tableDefaults.put(name,
         cols.collect { case c if c.defaultExpr.isDefined => c.name -> c.defaultExpr.get })
       dynamicCols.put(name, splitArgs(q.substring(m.end, i - 1)).flatMap { it =>
@@ -8257,9 +8335,22 @@ object ChSql {
         }
       case showCreateRe(name) if spark.catalog.tableExists(name) =>
         import spark.implicits._
-        val cols = spark.table(name).schema.fields
-          .map(f => s"    `${f.name}` ${chTypeName(f.dataType)}")
-        Some(Seq(s"CREATE TABLE $name\n(\n${cols.mkString(",\n")}\n)\nENGINE = Memory")
+        // canonical reconstruction (reference InterpreterShowCreateQuery
+        // formatting): backticked names, DECLARED CH types, default
+        // kind/expression, clause-per-line storage block
+        val cols = tableColMeta.get(name) match {
+          case Some(meta) => meta.map { case (n, ty, kind, e) =>
+            val kindTxt =
+              if (e.nonEmpty && Seq("DEFAULT", "MATERIALIZED", "ALIAS", "EPHEMERAL")
+                .contains(kind)) s" $kind $e"
+              else ""
+            s"    `$n` $ty$kindTxt"
+          }
+          case None => spark.table(name).schema.fields.toSeq
+            .map(f => s"    `${f.name}` ${chTypeName(f.dataType)}")
+        }
+        val tail = formatDdlTail(tableDdlTail.getOrElse(name, ""))
+        Some(Seq(s"CREATE TABLE default.$name\n(\n${cols.mkString(",\n")}\n)\n$tail")
           .toDF("statement"))
       case existsRe(name0)
           if !chQuery.trim.toLowerCase.startsWith("exists table (") =>
@@ -8648,7 +8739,7 @@ object ChSql {
       case other => innerDdl2(other)
     }
     def innerDdl2(chQuery: String): Option[DataFrame] = chQuery match {
-      case alterAddColRe(name, colName0, declaredType, dflt, after0)
+      case alterAddColRe(name, colName0, declaredType, matKind, dflt, after0)
           if declaredType.trim.toLowerCase.startsWith("nested") =>
         // ADD COLUMN n Nested(a T1, b T2): expand into the flattened
         // array sub-columns, same as CREATE (reference NestedUtils).
@@ -8667,7 +8758,7 @@ object ChSql {
           Some(s"$name1.${sub.name}")
         }
         Some(spark.range(0).toDF("ok"))
-      case alterAddColRe(name, colName0, declaredType, dflt, after0) =>
+      case alterAddColRe(name, colName0, declaredType, matKind, dflt, after0) =>
         val colName = colName0.stripPrefix("`").stripSuffix("`")
         if (spark.table(name).columns.contains(colName))
           return Some(spark.range(0).toDF("ok")) // IF NOT EXISTS no-op
@@ -8752,8 +8843,16 @@ object ChSql {
         if (dflt == null)
           alterVirtualCols.put(name,
             alterVirtualCols.getOrElse(name, Set.empty) + colName)
+        if (matKind != null) // MATERIALIZED: hidden from * and INSERT
+          hiddenInsertCols.put(name,
+            hiddenInsertCols.getOrElse(name, Set.empty) + colName)
+        if (dflt != null) // later INSERTs compute the declared expression
+          tableDefaults.put(name, tableDefaults.getOrElse(name, Seq.empty)
+            .filterNot(_._1 == colName) :+ (colName -> dflt))
         tableColMeta.get(name).foreach { meta0 =>
-          val entry = (colName, declaredType.trim, "",
+          val entry = (colName, declaredType.trim,
+            if (dflt != null && matKind != null) "MATERIALIZED"
+            else if (dflt != null) "DEFAULT" else "",
             Option(dflt).getOrElse(""))
           val idx = after.map(a => meta0.indexWhere(_._1 == a))
             .filter(_ >= 0).map(_ + 1).getOrElse(meta0.length)
@@ -8800,7 +8899,7 @@ object ChSql {
         val renamed = spark.table(name).withColumnRenamed(from, to)
         renamed.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(renamed.limit(0))
-      case alterModColRe(name, ifExists, colName, _)
+      case alterModColRe(name, ifExists, colName, _, _)
           if !spark.table(name).columns.contains(colName) =>
         // MODIFY COLUMN IF EXISTS on a missing column is a no-op; without
         // IF EXISTS the reference rejects it (AlterCommands::validate,
@@ -8809,13 +8908,13 @@ object ChSql {
           throw new IllegalArgumentException(
             s"NOT_FOUND_COLUMN_IN_BLOCK: there is no column $colName in table $name")
         Some(spark.range(0).toDF("ok"))
-      case alterModColRe(name, _, colName, chType)
+      case alterModColRe(name, _, colName, chType, _)
           if chType.trim.toLowerCase.startsWith("object") =>
         // the reference rejects converting stored columns to the
         // experimental Object type (02725: "not allowed")
         throw new IllegalArgumentException(
           s"CANNOT_PARSE_TEXT: changing column $colName to ${chType.trim} is not allowed")
-      case alterModColRe(name, _, colName, chType) =>
+      case alterModColRe(name, _, colName, chType, modDflt) =>
         val sqlT = chType.trim match {
           case "Int8" => "TINYINT"
           case "Int16" => "SMALLINT"
@@ -8844,8 +8943,11 @@ object ChSql {
             org.apache.spark.sql.functions.col(colName).cast(sqlT))
         modified.createOrReplaceTempView(name); engineBacking.remove(name)
         tableColMeta.get(name).foreach(m => tableColMeta.put(name,
-          m.map(x => if (x._1 == colName) (x._1, chType.trim, x._3, x._4)
-                     else x)))
+          m.map(x => if (x._1 == colName)
+              (x._1, chType.trim,
+                if (modDflt != null) "DEFAULT" else x._3,
+                if (modDflt != null) modDflt.trim.stripSuffix(";") else x._4)
+            else x)))
         Some(modified.limit(0))
       case alterHintRe(name) if spark.catalog.tableExists(name) =>
         Some(spark.range(0).toDF("ok"))

@@ -74,7 +74,7 @@ object AnchorScout {
     * characters render as two-character escapes — a FixedString's NUL
     * padding appears as literal \0 in the .reference bytes. */
   private def tsvEscape(s: String): String =
-    if (!s.exists(c => c == '\\' || c < ' ')) s
+    if (!s.exists(c => c == '\\' || c == '\'' || c < ' ')) s
     else {
       val sb = new StringBuilder
       s.foreach {
@@ -85,6 +85,7 @@ object AnchorScout {
         case '\u0000' => sb.append("\\0")
         case '\b' => sb.append("\\b")
         case '\f' => sb.append("\\f")
+        case '\'' => sb.append("\\'") // writeEscapedString escapes ' too
         case c => sb.append(c)
       }
       sb.toString
@@ -143,8 +144,8 @@ object AnchorScout {
     // inside composites the reference spells NULL out ([NULL], (NULL));
     // only top-level TSV cells use \N
     case null => "NULL"
-    // quoted form escapes like the TSV cell, plus the quote itself
-    case s: String => "'" + tsvEscape(s).replace("'", "\\'") + "'"
+    // quoted form escapes like the TSV cell (incl. the quote itself)
+    case s: String => "'" + tsvEscape(s) + "'"
     // dates/times quote in nested contexts (CH Map/Array/Tuple text)
     case d: java.sql.Date => "'" + d + "'"
     case d: java.time.LocalDate => "'" + d + "'"
