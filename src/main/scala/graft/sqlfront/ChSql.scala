@@ -7715,6 +7715,28 @@ object ChSql {
   def emitTotalsMarker: Boolean = _emitTotalsMarker.get
   def emitTotalsMarker_=(v: Boolean): Unit = _emitTotalsMarker.set(v)
 
+  /** DateTime64 render-scale hint for the anchor runner: a timestamp
+    * output column renders with exactly N fractional digits when the
+    * statement spells toDateTime64(..., N ...) or a registered table
+    * declares the column as DateTime64(N). Plain DateTime prints none. */
+  def dt64ScaleHint(colName: String, stmtText: String): Option[Int] = {
+    val inStmt = ("(?is)toDateTime64(?:OrNull|OrZero|OrDefault)?\\s*\\(" +
+      "(?:[^()]|\\([^()]*\\))*?,\\s*(\\d+)").r
+      .findFirstMatchIn(stmtText).map(_.group(1).toInt)
+      // type-spelling forms: x::DateTime64(3), CAST(x AS DateTime64(3))
+      .orElse("(?i)DateTime64\\s*\\(\\s*(\\d+)".r
+        .findFirstMatchIn(stmtText).map(_.group(1).toInt))
+    inStmt.orElse {
+      tableColMeta.values.flatMap(_.collectFirst {
+        case (n, ty, _, _) if n == colName &&
+            ty.matches("(?i).*DateTime64\\b.*") =>
+          "(?i)DateTime64\\s*\\(\\s*(\\d+)".r
+            .findFirstMatchIn(ty).map(_.group(1).toInt)
+            .getOrElse(3) // DateTime64 defaults to scale 3
+      }).headOption
+    }.map(n => math.min(n, 9))
+  }
+
   /** Recognized semantic settings from the anchor runner's SET
     * statements (applied in statement order; resetSessionState restores
     * the per-test defaults). Unrecognized names stay absorbed, matching

@@ -390,6 +390,27 @@ object AnchorScout {
         val markIdx = df.columns.indexOf("__totals_mark")
         val cols: Seq[Int] = (0 until df.schema.length).filter(_ != markIdx)
         val rows = df.collect().toSeq
+        // DateTime64 columns render with their DECLARED number of
+        // fractional digits (.000 for scale 3 even on whole seconds)
+        val dtScale: Map[Int, Int] = cols.flatMap { i =>
+          df.schema(i).dataType match {
+            case org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType =>
+              graft.sqlfront.ChSql.dt64ScaleHint(df.columns(i), st)
+                .map(i -> _)
+            case _ => None
+          }
+        }.toMap
+        def cell(row: org.apache.spark.sql.Row, i: Int): String =
+          (row.get(i), dtScale.get(i)) match {
+            case (t: java.sql.Timestamp, Some(n)) =>
+              val s = t.toString
+              val dot = s.lastIndexOf('.')
+              if (n == 0) s.substring(0, dot)
+              else s.substring(0, dot) + "." +
+                (s.substring(dot + 1) + "0" * 9).take(n)
+            case (v, _) => render(v)
+          }
         if (suppress) Seq.empty[String]
         else if (mode == 2) // FORMAT Values: (a,b),(c,d) on one line
           Seq(rows.map { row =>
@@ -431,15 +452,15 @@ object AnchorScout {
             }
             val kDef = kIdx.map(i => i -> defText(df.schema(i).dataType)).toMap
             val dataLines = data.map(row =>
-              cols.map(i => render(row.get(i))).mkString("\t"))
+              cols.map(i => cell(row, i)).mkString("\t"))
             val totLines = tot.map(row =>
               cols.map(i =>
                 if (row.isNullAt(i) && kDef.contains(i)) kDef(i)
-                else render(row.get(i))).mkString("\t"))
+                else cell(row, i)).mkString("\t"))
             if (totLines.isEmpty) dataLines
             else dataLines ++ ("" +: totLines)
           case None => rows.map { row =>
-            cols.map(i => render(row.get(i))).mkString("\t")
+            cols.map(i => cell(row, i)).mkString("\t")
           }
         }
       }
