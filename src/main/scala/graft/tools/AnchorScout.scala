@@ -359,6 +359,8 @@ object AnchorScout {
             !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 4)
         case fmtRe(body, fmt) if fmt.equalsIgnoreCase("JSONEachRow") &&
             !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 5)
+        case fmtRe(body, fmt) if fmt.equalsIgnoreCase("LineAsString") &&
+            !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 6)
         case _ => (st1, 0)
       }
       val suppress = mode == 1
@@ -422,6 +424,9 @@ object AnchorScout {
           val hdr = cols.map(df.columns)
             .map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(",")
           hdr +: rows.map(renderCsv(_, cols))
+        }
+        else if (mode == 6) rows.map { row => // FORMAT LineAsString: raw
+          cols.map(i => String.valueOf(row.get(i))).mkString("\t")
         }
         else if (mode == 5) { // FORMAT JSONEachRow
           val esc = spark.conf.get("spark.graft.jsonEscapeSlash", "true").toBoolean
