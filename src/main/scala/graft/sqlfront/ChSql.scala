@@ -2717,13 +2717,31 @@ object ChSql {
     // parameter 'counts' switches to the tuple form approx_top_k emits.
     def topVals(n: String, x: String): String =
       s"transform(${topN(n, x)}, __tv -> __tv.value)"
-    q = rewriteParamCalls(q, "topK")((p, a) =>
+    // K and load_factor bounds (AggregateFunctionTopK.cpp TOP_K_MAX_SIZE
+    // and load-factor checks): a bad parameter must raise at ANALYSIS —
+    // 01471's must-fail runs over unbounded system.numbers, so lazily
+    // erroring after the scan would never return
+    def topKCheck(p: Seq[String]): Unit = {
+      for (k <- p.headOption.flatMap(_.trim.toLongOption)
+           if k < 1 || k > 1000000)
+        throw new IllegalArgumentException(
+          s"ARGUMENT_OUT_OF_BOUND: topK size $k out of [1, 1e6]")
+      for (lf <- p.lift(1).flatMap(_.trim.toLongOption)
+           if lf < 1 || lf > 65536)
+        throw new IllegalArgumentException(
+          s"ARGUMENT_OUT_OF_BOUND: topK load factor $lf out of [1, 65536]")
+    }
+    q = rewriteParamCalls(q, "topK")((p, a) => {
+      topKCheck(p)
       if (p.length >= 3 && p(2).toLowerCase.contains("counts")) topN(p(0), a(0))
-      else topVals(p(0), a(0)))
+      else topVals(p(0), a(0))
+    })
     q = rewriteCalls(q, "topK")(a => topVals("10", a(0)))
-    q = rewriteParamCalls(q, "topKWeighted")((p, a) =>
+    q = rewriteParamCalls(q, "topKWeighted")((p, a) => {
+      topKCheck(p)
       if (p.length >= 3 && p(2).toLowerCase.contains("counts")) topNSum(p(0), a(0), a(1))
-      else s"transform(${topNSum(p(0), a(0), a(1))}, __tv -> __tv.value)")
+      else s"transform(${topNSum(p(0), a(0), a(1))}, __tv -> __tv.value)"
+    })
     q = rewriteCalls(q, "topKWeighted")(a =>
       s"transform(${topNSum("10", a(0), a(1))}, __tv -> __tv.value)")
 

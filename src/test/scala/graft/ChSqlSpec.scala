@@ -729,8 +729,11 @@ class ChSqlSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(desc("n_name") == "String")
     assert(desc("n_nationkey").startsWith("Int"))
+    // r16: the canonical reconstruction qualifies with `default.` and
+    // reads declared metadata (parquet fixtures fall back to the Spark
+    // schema + Memory engine)
     val stmt = ch("SHOW CREATE TABLE region").collect()(0).getString(0)
-    assert(stmt.startsWith("CREATE TABLE region\n(\n    `r_regionkey`"))
+    assert(stmt.startsWith("CREATE TABLE default.region\n(\n    `r_regionkey`"))
     assert(stmt.endsWith("ENGINE = Memory"))
     assert(ch("EXISTS TABLE nation").collect()(0).getInt(0) == 1)
     assert(ch("EXISTS TABLE no_such_tbl").collect()(0).getInt(0) == 0)
