@@ -137,6 +137,22 @@ class KmvMergeAggregator(k: Int = ThetaSetOps.K)
   def outputEncoder: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
 }
 
+/** -MergeState half (reference AggregateFunctionMergeState): unions KMV
+  * state buffers WITHOUT finalizing — the result is still a state that
+  * finalizeAggregation/uniqMerge can consume. */
+class KmvMergeStateAggregator(k: Int = ThetaSetOps.K)
+    extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+  private val inner = new KmvDistinctAggregator(k)
+  def zero: Array[Long] = inner.zero
+  def reduce(b: Array[Long], st: Array[Long]): Array[Long] =
+    inner.merge(b, if (st == null) Array.empty else st)
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  def finish(b: Array[Long]): Array[Long] = b
+  def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+  def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 class KmvStateAggregator(k: Int = ThetaSetOps.K)
     extends Aggregator[Long, Array[Long], Array[Long]] {
   private val inner = new KmvDistinctAggregator(k)

@@ -148,6 +148,9 @@ object Tables {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     spark.udf.register("uniq_theta_merge",
       udaf(new graft.aggregates.KmvMergeAggregator(), arrLongEnc))
+    // -MergeState form: merged state stays a state (uniqMergeState)
+    spark.udf.register("uniq_theta_merge_state",
+      udaf(new graft.aggregates.KmvMergeStateAggregator(), arrLongEnc))
     spark.udf.register("top_k",
       udaf(new graft.aggregates.TopKAggregator(10), Encoders.STRING))
     // quantile_dd_<pct> at the reference's default 0.01 relative accuracy

@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * evaluated on the already-aggregated array so the aggregation itself
   * stays a native codegen'd collect_list.
   */
-case class ChSparkbar(width: Int, children: Seq[Expression])
+case class ChSparkbar(width: Int, yBound: Long, children: Seq[Expression])
     extends Expression with CodegenFallback {
   // reference AggregateFunctionSparkbar factory: width in [2, 1024]
   if (width < 2 || width > 1024)
@@ -95,9 +95,11 @@ case class ChSparkbar(width: Int, children: Seq[Expression])
       if (fromX < 0 || toX < 0) // range params must match the unsigned X
         throw new IllegalArgumentException(
           "ILLEGAL_TYPE_OF_ARGUMENT: sparkbar range must be non-negative")
-      if (fromX > toX)
+      // reference constructor: begin_x >= end_x is BAD_ARGUMENTS; the
+      // single-'█' path applies only to the INFERRED-range case below
+      if (fromX >= toX)
         throw new IllegalArgumentException(
-          "BAD_ARGUMENTS: sparkbar min_x must not exceed max_x")
+          "BAD_ARGUMENTS: sparkbar min_x must be less than max_x")
     }
     if (fromX >= toX) return UTF8String.fromString(bars(8))
     val delta = toX - fromX + 1
@@ -122,17 +124,10 @@ case class ChSparkbar(width: Int, children: Seq[Expression])
     if (yMax <= 0) return UTF8String.fromString("")
     // the reference scales with Y-typed integer arithmetic: scaled =
     // y*7 in Y; if that overflows Y, fall back to y / (yMax/7) + 1
-    // (both divisions integer). Y's width is recovered from the Spark
-    // type the engine's CH-type mapping produced (UInt8 -> SHORT, ...).
-    val yBound: Long = yType match {
-      case ByteType => 127L
-      case ShortType => 255L
-      // the engine maps UInt8 -> INT (as it does UInt16/Int32); the only
-      // sparkbar corpus hitting this branch is 02016's UInt8 y, so the
-      // UInt8 bound is pinned here
-      case IntegerType => 255L
-      case _ => Long.MaxValue
-    }
+    // (both divisions integer). Y's width (yBound) is resolved by the
+    // dialect from the DECLARED CH type of the y argument — the Spark
+    // type alone can't distinguish UInt8 from Int32 (both may arrive
+    // as IntegerType).
     val sb = new StringBuilder
     k = 0
     while (k < width) {

@@ -3,7 +3,7 @@ package graft.plans
 import graft.functions.{Codecs, IdGen, Stemmer, VectorKernels}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL registration of the engine's custom kernels, so the dialect layer
   * (and plain spark.sql) can call them by name (reference analog:
@@ -132,7 +132,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.functions.ChElementAt(es(0), es(1))),
     (FunctionIdentifier("ch_sparkbar"), info("ch_sparkbar"),
       (es: Seq[Expression]) =>
-        graft.functions.ChSparkbar(intLit(es(0), "sparkbar width"), es.drop(1))),
+        graft.functions.ChSparkbar(intLit(es(0), "sparkbar width"),
+          es(1) match {
+            case Literal(l: Long, LongType) => l
+            case Literal(i: Int, IntegerType) => i.toLong
+            case other => throw new IllegalArgumentException(
+              s"sparkbar y-bound must be an integer literal, got $other")
+          }, es.drop(2))),
     (FunctionIdentifier("ch_json_norm"), info("ch_json_norm"),
       (es: Seq[Expression]) => graft.functions.ChJsonNorm(es.head)),
     (FunctionIdentifier("ch_first_default"), info("ch_first_default"),

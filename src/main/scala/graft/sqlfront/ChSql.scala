@@ -1386,6 +1386,9 @@ object ChSql {
     engineBacking.clear(); engineBlockSeq.clear(); joinEngineKeys.clear()
     legacyFormatTables.clear()
     alterVirtualCols.clear(); hiddenInsertCols.clear()
+    tableDdlTail.clear()
+    ChParts.clear(); virtualShadow.clear(); detachedRows.clear()
+    recordedSettings.clear()
     nestedColNames.clear()
     distributedTables.clear(); distributedIntents.clear()
     matViews.clear(); replicaPaths.clear()
@@ -1535,6 +1538,79 @@ object ChSql {
   private val tableDdlTail =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Every SET name = value the session has issued, raw value text —
+    * getSetting/getSettingOrDefault resolve against it at rewrite time
+    * (`null` stays the literal NULL). */
+  private val recordedSettings =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Reference defaults for settings tests read WITHOUT setting them. */
+  private val defaultSettingValues: Map[String, String] = Map(
+    "max_block_size" -> "65409",
+    "enable_analyzer" -> "1", "allow_experimental_analyzer" -> "1")
+  /** The clickhouse-test server macros (tests/config/config.d/macros.xml). */
+  private val testMacros: Map[String, String] = Map(
+    "test" -> "Hello, world!", "shard" -> "s1", "replica" -> "r1",
+    "default_cluster_macro" -> "test_shard_localhost",
+    "default_path_test" -> "/clickhouse/tables/{database}/{shard}/",
+    "default_name_test" -> "table_{table}")
+
+  /** Per-table shadow of the data WITH the MergeTree row virtuals
+    * (_part, _partition_id, _block_number, _part_offset,
+    * _sample_factor), maintained at INSERT; reads that mention one are
+    * routed here (reference MergeTreeVirtualColumns). */
+  private val virtualShadow =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** DETACHed parts' rows (with virtuals), awaiting ATTACH. */
+  private val detachedRows =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val virtualColNames = Seq(
+    "_part", "_partition_id", "_partition_value", "_block_number",
+    "_part_offset", "_sample_factor")
+
+  /** Record an insert block's data parts and extend the virtual-column
+    * shadow (bounded lineage: shadow re-reads stay cheap at test scale;
+    * at production scale parts metadata comes from the table format's
+    * manifest, not from tracking). */
+  private def recordPartsBlock(spark: SparkSession, name: String,
+                               sorted: DataFrame): Unit =
+    if (ChParts.isTracked(name)) try {
+      val tagged0 = ChParts.tagBlock(spark, name, sorted, e => rewrite(e))
+      if (!(tagged0 eq sorted)) {
+        val tagged = tagged0
+          .withColumn("_partition_id",
+            org.apache.spark.sql.functions.expr(
+              "substring_index(_part, '_', 1)"))
+          .withColumn("_sample_factor",
+            org.apache.spark.sql.functions.lit(1.0))
+        val merged = virtualShadow.get(name) match {
+          case Some(prev) => prev.unionByName(tagged)
+          case None => tagged
+        }
+        virtualShadow.put(name,
+          if (ChParts.partsOf(name).length % 24 == 0) merged.localCheckpoint()
+          else merged)
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      if (sys.env.contains("GRAFT_PARTS_DEBUG"))
+        System.err.println(s"[parts] tagBlock($name) failed: $e")
+      virtualShadow.remove(name) // never let bookkeeping break the INSERT
+    }
+
+  /** Apply part renames (merge/mutation) to the shadow's `_part`. */
+  private def renameShadowParts(name: String,
+                                renames: Map[String, String]): Unit =
+    if (renames.nonEmpty) virtualShadow.get(name).foreach { sh =>
+      import org.apache.spark.sql.functions.{col, lit, when, expr}
+      val rs = renames.toSeq
+      val nc = rs.tail.foldLeft(
+        when(col("_part") === lit(rs.head._1), lit(rs.head._2))) {
+        case (acc, (o, n)) => acc.when(col("_part") === lit(o), lit(n))
+      }.otherwise(col("_part"))
+      virtualShadow.put(name, sh.withColumn("_part", nc)
+        .withColumn("_partition_id",
+          expr("substring_index(_part, '_', 1)")))
+    }
+
   /** Canonical SHOW CREATE clause block from a raw DDL tail: `ENGINE =
     * X`, each storage clause on its own line, and the default
     * `SETTINGS index_granularity = 8192` appended for modern MergeTree
@@ -1576,6 +1652,24 @@ object ChSql {
     * default kind/expression, comment, codec, ttl — 7 TSV fields). */
   private val tableColMeta = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, String, String, String)]]
+
+  /** The DECLARED CH type of `col` in any of `tables` (first match) —
+    * lets renderers (JSONEachRow 64-bit quoting, DateTime64 scale)
+    * distinguish widths the Spark type erases (UInt32 vs UInt64 both
+    * arrive as LongType). */
+  def declaredTypeOf(tables: Iterable[String], col: String): Option[String] =
+    tables.iterator.flatMap(t => tableColMeta.get(t)
+      .flatMap(_.find(_._1 == col).map(_._2))).toSeq.headOption
+
+  /** True when `col` in the statement's FROM tables is DECLARED Bool —
+    * those render true/false while computed predicates keep CH's 1/0
+    * (reference DataTypeBool SerializationBool vs UInt8). */
+  def boolColHint(col: String, stmt: String): Boolean = {
+    val ts = "(?i)\\b(?:FROM|JOIN)\\s+`?([\\w.]+)`?".r.findAllMatchIn(stmt)
+      .map(_.group(1).stripPrefix("default.").stripPrefix("__vt_")).toSeq
+    declaredTypeOf(ts, col).exists(t =>
+      t.replaceAll("^(?:Nullable|LowCardinality)\\(", "").startsWith("Bool"))
+  }
 
   /** Columns ADDed by ALTER with no DEFAULT and never written: CH stores
     * no data for them, so reads substitute the CURRENT type's default —
@@ -2239,9 +2333,25 @@ object ChSql {
     q = rewriteCalls(q, "uniqExactState")(a => s"collect_set(${a(0)})")
     q = rewriteCalls(q, "uniqExactMerge")(a =>
       s"CAST(size(array_distinct(flatten(collect_list(${a(0)})))) AS BIGINT)")
+    // -MergeState keeps the merged result a STATE (00208):
+    // finalizeAggregation then estimates it
+    q = rewriteCalls(q, "uniqMergeState")(a =>
+      s"uniq_theta_merge_state(${a(0)})")
     q = rewriteCalls(q, "uniqState")(a => s"uniq_theta_state(${a(0)})")
     q = rewriteCalls(q, "uniqMerge")(a => s"CAST(uniq_theta_merge(${a(0)}) AS BIGINT)")
     q = rewriteCalls(q, "uniqThetaMerge")(a => s"CAST(uniq_theta_merge(${a(0)}) AS BIGINT)")
+    // states whose value IS the state (argMax/argMin/-SimpleState/any)
+    q = rewriteCalls(q, "groupUniqArrayState")(a => s"collect_set(${a(0)})")
+    q = rewriteCalls(q, "argMaxState")(a => s"max_by(${a(0)}, ${a(1)})")
+    q = rewriteCalls(q, "argMinState")(a => s"min_by(${a(0)}, ${a(1)})")
+    for ((n, fn) <- Seq("minSimpleState" -> "min", "maxSimpleState" -> "max",
+        "sumSimpleState" -> "sum", "sumWithOverflowSimpleState" -> "sum"))
+      q = rewriteCalls(q, n)(a => s"$fn(${a(0)})")
+    q = rewriteCalls(q, "anySimpleState")(a => s"first(${a(0)}, true)")
+    q = rewriteCalls(q, "anyLastSimpleState")(a => s"last(${a(0)}, true)")
+    for (n <- Seq("any_respect_nullsState", "anyRespectNullsState",
+        "any_value_respect_nullsState", "first_value_respect_nullsState"))
+      q = rewriteCalls(q, n)(a => s"first(${a(0)})")
 
     // ---- r15 statistics/sweep-line aggregate spellings ----
     // (reference AggregateFunctionMaxIntersections.h, IntervalLengthSum.cpp,
@@ -2467,6 +2577,39 @@ object ChSql {
         q = rewriteCalls(q, "countForEach")(forEachT(s =>
           s"CAST(size($s) AS BIGINT)"))
         q = rewriteCalls(q, "groupArrayForEach")(forEachT(identity))
+        q = rewriteCalls(q, "uniqForEach")(forEachT(s =>
+          s"CAST(size(array_distinct($s)) AS BIGINT)"))
+        q = rewriteCalls(q, "uniqExactForEach")(forEachT(s =>
+          s"CAST(size(array_distinct($s)) AS BIGINT)"))
+        // -ForEachIf: the condition gates whole ARRAYS (00544)
+        q = rewriteCalls(q, "sumForEachIf")(a =>
+          forEachT(s =>
+            s"aggregate($s, CAST(0 AS BIGINT), (__acc, __v) -> __acc + __v)")(
+            Seq(s"CASE WHEN ${a.last} THEN ${a(0)} END")))
+        q = rewriteCalls(q, "minForEachIf")(a =>
+          forEachT(s => s"array_min($s)")(
+            Seq(s"CASE WHEN ${a.last} THEN ${a(0)} END")))
+        q = rewriteCalls(q, "maxForEachIf")(a =>
+          forEachT(s => s"array_max($s)")(
+            Seq(s"CASE WHEN ${a.last} THEN ${a(0)} END")))
+        // -IfForEach: an ARRAY condition gates elementwise (00544)
+        for ((n, fn) <- Seq(
+            "sumIfForEach" -> ((s: String) =>
+              s"aggregate($s, CAST(0 AS BIGINT), (__acc, __v) -> __acc + __v)"),
+            "minIfForEach" -> ((s: String) => s"array_min($s)"),
+            "maxIfForEach" -> ((s: String) => s"array_max($s)"),
+            "countIfForEach" -> ((s: String) => s"CAST(size($s) AS BIGINT)")))
+          q = rewriteCalls(q, n)(a => forEachT(fn)(Seq(
+            s"zip_with(${a(0)}, ${a(1)}, (__zv, __zc) -> " +
+              "CASE WHEN __zc THEN __zv END)")))
+        // quantilesExactForEach(p...)(arr): per-slot exact quantiles
+        // (00447) — result[i] = [q_p(slot_i) for each p]; QuantileExact
+        // takes sorted[floor(p * n)] (reference QuantileExact.h)
+        q = rewriteParamCalls(q, "quantilesExactForEach")((p, a) =>
+          forEachT(s =>
+            "array(" + p.map(l =>
+              s"element_at(array_sort($s), LEAST(CAST(floor(($l) * size($s)) AS INT) + 1, size($s)))")
+              .mkString(", ") + ")")(a))
       }
       // remaining simple combinator spellings: -If on groupUniqArray
       // (collect_set drops the CASE's null misses), -OrNull on count
@@ -2755,10 +2898,93 @@ object ChSql {
           throw new IllegalArgumentException(
             "BAD_ARGUMENTS: sparkbar takes (width) or (width, min_x, max_x)")
         val range = if (p.length >= 3) s", ${p(1)}, ${p(2)}" else ""
-        s"ch_sparkbar(${p(0)}, collect_list(named_struct(" +
+        // the reference scales y with Y-typed integer arithmetic — recover
+        // Y's width from the DECLARED CH type of a bare-column y (Spark's
+        // IntegerType can't distinguish UInt8 from Int32)
+        val yArg = a(1).trim
+        // scan the ORIGINAL text too — a Values('y UInt8', ...) schema
+        // string has been rewritten into CASTs by this point
+        val scanText = q0 + "\n" + q
+        val queried = "(?i)\\b(?:FROM|JOIN)\\s+`?([\\w.]+)`?".r
+          .findAllMatchIn(scanText).map(_.group(1).stripPrefix("default.")).toSet
+        val declared =
+          if (yArg.matches("[A-Za-z_][A-Za-z0-9_]*"))
+            queried.flatMap(t => tableColMeta.get(t)
+              .flatMap(_.find(_._1 == yArg).map(_._2))).headOption
+              // Values('x UInt64, y UInt8') schema strings never reach
+              // tableColMeta — recover the declared type from the text
+              .orElse(("(?s)\\b" + java.util.regex.Pattern.quote(yArg) +
+                  "\\s+(U?Int(?:8|16|32|64))\\b").r
+                .findFirstMatchIn(scanText).map(_.group(1)))
+              .getOrElse("")
+          else if (yArg.matches("(?i)to(U?Int(8|16|32|64))\\s*\\(.*"))
+            yArg.replaceAll("(?i)^to", "").takeWhile(_ != '(')
+          else ""
+        val yBound = declared.replaceAll("\\(.*", "").trim match {
+          case "UInt8" => "255" case "Int8" => "127"
+          case "UInt16" => "65535" case "Int16" => "32767"
+          case "UInt32" => "4294967295" case "Int32" => "2147483647"
+          case _ => Long.MaxValue.toString
+        }
+        s"ch_sparkbar(${p(0)}, $yBound, collect_list(named_struct(" +
           s"'x', ${a(0)}, 'y', ${a(1)}))$range)"
       })
 
+    // caseWithExpression(op, v1, r1, ..., default) = CASE op WHEN v1
+    // THEN r1 ... ELSE default END (reference caseWithExpression.cpp)
+    q = rewriteCalls(q, "caseWithExpression") { a =>
+      val rest = a.tail
+      val (pairs, dflt) =
+        if (rest.length % 2 == 1) (rest.dropRight(1), Some(rest.last))
+        else (rest, None)
+      s"(CASE (${a.head}) " +
+        pairs.grouped(2).map(p => s"WHEN ${p(0)} THEN ${p(1)}")
+          .mkString(" ") +
+        dflt.map(d => s" ELSE $d").getOrElse("") + " END)"
+    }
+    // getSetting / getSettingOrDefault / getMacro: rewrite-time constants
+    // from the session's recorded SET statements and the test config's
+    // macros block (reference getSetting.cpp / getMacro.cpp;
+    // tests/config/config.d/macros.xml values)
+    q = rewriteCalls(q, "getSetting") { a =>
+      val nm = a(0).trim
+      if (!nm.matches("'[^']*'"))
+        throw new IllegalArgumentException(
+          "ILLEGAL_TYPE_OF_ARGUMENT: getSetting name must be a string literal")
+      val key = nm.stripPrefix("'").stripSuffix("'").toLowerCase
+      recordedSettings.get(key)
+        .orElse(defaultSettingValues.get(key))
+        .getOrElse(throw new IllegalArgumentException(
+          s"UNKNOWN_SETTING: there is no setting '$key'"))
+    }
+    q = rewriteCalls(q, "getSettingOrDefault") { a =>
+      if (a.length != 2)
+        throw new IllegalArgumentException(
+          "NUMBER_OF_ARGUMENTS_DOESNT_MATCH: getSettingOrDefault takes 2 arguments")
+      val nm = a(0).trim
+      if (!nm.matches("'[^']*'"))
+        throw new IllegalArgumentException(
+          "ILLEGAL_TYPE_OF_ARGUMENT: getSettingOrDefault name must be a string literal")
+      val key = nm.stripPrefix("'").stripSuffix("'").toLowerCase
+      recordedSettings.get(key).orElse(defaultSettingValues.get(key))
+        .getOrElse(s"(${a(1)})")
+    }
+    // test_function (clickhouse-test fixture, tests/config/
+    // test_function.xml): an executable UDF `awk '{print $1 + $2}'`
+    // over two UInt64 args. The ExecutableUdf operator covers the
+    // machinery; the fixture's arithmetic applies inline.
+    q = rewriteCalls(q, "test_function") { a =>
+      if (a.length != 2)
+        throw new IllegalArgumentException(
+          "NUMBER_OF_ARGUMENTS_DOESNT_MATCH: test_function takes 2 arguments")
+      s"CAST((${a(0)}) + (${a(1)}) AS BIGINT)"
+    }
+    q = rewriteCalls(q, "getMacro") { a =>
+      val key = a(0).trim.stripPrefix("'").stripSuffix("'")
+      testMacros.get(key).map(v => s"'$v'")
+        .getOrElse(throw new IllegalArgumentException(
+          s"NO_ELEMENTS_IN_CONFIG: macro '$key' is not defined"))
+    }
     // singleValueOrNull (AggregateFunctionSingleValueOrNull.cpp): the
     // group's value when every row agrees, NULL as soon as two differ
     q = rewriteCalls(q, "singleValueOrNull")(a =>
@@ -3998,6 +4224,19 @@ object ChSql {
   def rewrite(chSql: String): String = {
     var q = hoistNestedArrayJoin(chSql)
 
+    // getSizeOfEnumType: the declared Enum's member count — resolved
+    // FIRST, while the Enum type text still exists (00511; later passes
+    // rewrite CAST-to-Enum into value mappings)
+    q = rewriteCalls(q, "getSizeOfEnumType") { a =>
+      val enumRe = "(?is)Enum(?:8|16)?\\s*\\(((?:[^()']|'[^']*')*)\\)".r
+      enumRe.findFirstMatchIn(a(0)) match {
+        case Some(m) =>
+          splitArgs(m.group(1)).count(_.trim.nonEmpty).toString
+        case None => throw new IllegalArgumentException(
+          "ILLEGAL_TYPE_OF_ARGUMENT: getSizeOfEnumType expects an Enum argument")
+      }
+    }
+
     // trailing FORMAT clause (output format is the writer's concern here);
     // also the mid-statement `FORMAT X SETTINGS …` spelling
     q = q.replaceAll("""(?is)\bFORMAT\s+\w+\s*;?\s*$""", "")
@@ -4161,8 +4400,10 @@ object ChSql {
     // src/Functions/FunctionsJSON.cpp JSONExtract): path from the middle
     // args (1-based indices / member names), value cast to the named type
     q = rewriteCalls(q, "JSONExtract")(a =>
-      if (a.length >= 2 && a.last.trim.matches("'[A-Za-z][\\w() ,]*'")) {
+      if (a.length >= 2 &&
+          a.last.trim.matches("(?s)'[A-Za-z][\\w() ,\\s]*'")) {
         val tpe = a.last.trim.stripPrefix("'").stripSuffix("'")
+          .replaceAll("\\s+", " ")
         val path = "$" + a.drop(1).dropRight(1).map(_.trim).map { k =>
           if (k.matches("-?\\d+")) s"[${k.toInt - 1}]"
           else s".${k.stripPrefix("'").stripSuffix("'")}"
@@ -4174,6 +4415,11 @@ object ChSql {
             if (t.startsWith("ARRAY"))
               s"from_json(get_json_object(${a(0)}, '$path'), '$t')"
             else s"CAST(get_json_object(${a(0)}, '$path') AS $t)"
+          case Some(t) =>
+            // Tuple/Map targets parse structurally (from_json handles
+            // struct<>/map<> schemas; numbers coerce to String fields
+            // like the reference's JSONExtract Tuple semantics)
+            s"from_json(get_json_object(${a(0)}, '$path'), '${t.replace("'", "\\'")}')"
           case _ => s"JSONExtract(${a.mkString(", ")})"
         }
       } else s"JSONExtract(${a.mkString(", ")})")
@@ -5740,6 +5986,11 @@ object ChSql {
         else s"quantileTiming(${a.mkString(", ")})")
     }
     q = q.replaceAll("""\bquantiles\(([^)]*)\)\s*\(([^)]*)\)""", "percentile_approx($2, array($1))")
+    // plural sketch spellings share the approx mapping (the reference's
+    // TDigest/BFloat16 sketches converge to these on test-sized data)
+    q = q.replaceAll(
+      """\bquantiles(?:TDigest|BFloat16)\(([^)]*)\)\s*\(([^)]*)\)""",
+      "percentile_approx($2, array($1))")
     q = q.replaceAll(
       """\bquantile(?:TDigest|BFloat16|Timing)\(([0-9.]+)\)\s*\(([^)]*)\)""",
       "percentile_approx($2, $1)")
@@ -6122,9 +6373,14 @@ object ChSql {
       // a bare column reference — the DECLARED type in tableColMeta
       // (a UInt64 bitmap column carries no type text at the call site)
       val arg = a(0).trim
+      // resolve the declared type against the QUERIED tables only — a
+      // same-named UInt64 column in an unrelated table must not widen
+      // this table's UInt32 bitmap default
+      val queried = "(?i)\\b(?:FROM|JOIN)\\s+`?([\\w.]+)`?".r
+        .findAllMatchIn(q).map(_.group(1).stripPrefix("default.")).toSet
       val declared64 = arg.matches("[A-Za-z_][A-Za-z0-9_]*") &&
-        tableColMeta.values.exists(_.exists(c =>
-          c._1 == arg && c._2.contains("UInt64")))
+        queried.exists(t => tableColMeta.get(t).exists(_.exists(c =>
+          c._1 == arg && c._2.contains("UInt64"))))
       s"coalesce(array_min(${a(0)}), " +
         s"${if (a(0).contains("UInt64") || a(0).contains("DECIMAL(20") || declared64)
             "18446744073709551615" else "4294967295"})"
@@ -6523,7 +6779,12 @@ object ChSql {
     // the part-name id — rendered as the '-'-joined value list here
     for (n <- Seq("partitionID", "partitionId"))
       q = rewriteCalls(q, n)(a =>
-        s"concat_ws('-', ${a.map(x => s"CAST($x AS STRING)").mkString(", ")})")
+        s"concat_ws('-', ${a.map(x =>
+          // Date values render as YYYYMMDD in part ids (MergeTreePartition
+          // ::getID), everything else as its plain text
+          s"(CASE WHEN CAST($x AS STRING) RLIKE '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$' " +
+            s"THEN replace(CAST($x AS STRING), '-', '') " +
+            s"ELSE CAST($x AS STRING) END)").mkString(", ")})")
     // hasColumnInTable([host,] db, table, col): resolved at rewrite time
     // against the declared fixture schemas
     q = rewriteCalls(q, "hasColumnInTable") { a =>
@@ -7760,6 +8021,7 @@ object ChSql {
     * the per-test defaults). Unrecognized names stay absorbed, matching
     * the per-query SETTINGS-tail policy. */
   def applyAnchorSetting(spark: SparkSession, name: String, value0: String): Unit = {
+    recordedSettings.put(name.toLowerCase, value0.trim)
     val value = value0.stripPrefix("'").stripSuffix("'")
     val on = value == "1" || value.equalsIgnoreCase("true")
     name.toLowerCase match {
@@ -7807,14 +8069,64 @@ object ChSql {
       tableAliases.foldLeft(chQuery1) { case (q, (ch, alias)) =>
         q.replaceAll("(?<![\\w`])" + java.util.regex.Pattern.quote(ch) + "\\b", alias)
       })
+    // system.parts / parts_columns and the MergeTree row virtuals
+    // (_part family): substitute EARLY so the `*`-expansion below sees
+    // the final table names and their hidden-column sets
+    val chQuery0a2 = locally {
+      var qq = chQuery0a
+      if ("(?i)\\bsystem\\.(parts|parts_columns|detached_parts)\\b".r
+          .findFirstIn(qq).isDefined) {
+        ChParts.buildViews(spark, t =>
+          tableColMeta.get(t).map(_.map(c => (c._1, c._2))).getOrElse(
+            if (spark.catalog.tableExists(t))
+              spark.table(t).schema.fields.toSeq
+                .map(f => (f.name, f.dataType.simpleString))
+            else Seq.empty))
+        hiddenInsertCols.put("system_parts",
+          Set("_state", "part_name", "bytes"))
+        import spark.implicits._
+        if (!spark.catalog.tableExists("system_detached_parts"))
+          Seq.empty[(String, String, String)]
+            .toDF("database", "table", "name")
+            .createOrReplaceTempView("system_detached_parts")
+        qq = qq
+          .replaceAll("(?i)\\bsystem\\.parts_columns\\b", "system_parts_columns")
+          .replaceAll("(?i)\\bsystem\\.detached_parts\\b", "system_detached_parts")
+          .replaceAll("(?i)\\bsystem\\.parts\\b", "system_parts")
+      }
+      if ("(?i)\\bsystem\\.macros\\b".r.findFirstIn(qq).isDefined) {
+        import spark.implicits._
+        testMacros.toSeq.sortBy(_._1).toDF("macro", "substitution")
+          .createOrReplaceTempView("system_macros")
+        qq = qq.replaceAll("(?i)\\bsystem\\.macros\\b", "system_macros")
+      }
+      if (virtualShadow.nonEmpty && virtualColNames.exists(c =>
+          ("(?<![\\w])" + c + "\\b").r.findFirstIn(qq).isDefined) &&
+          !"(?is)^\\s*(INSERT|CREATE|ALTER|DROP|TRUNCATE|OPTIMIZE)\\b".r
+            .pattern.matcher(qq).matches) {
+        for ((t, sh) <- virtualShadow
+             if ("(?i)\\b(FROM|JOIN)\\s+`?" + t + "`?(?![\\w.])").r
+               .findFirstIn(qq).isDefined) {
+          // schema drift (ALTER since the last insert) disables routing
+          val mainCols = spark.table(t).columns.toSet
+          if ((sh.columns.toSet -- virtualColNames) == mainCols) {
+            sh.createOrReplaceTempView("__vt_" + t)
+            hiddenInsertCols.put("__vt_" + t, virtualColNames.toSet)
+            qq = ("(?i)\\b(FROM|JOIN)(\\s+)`?" + t + "`?(?![\\w.])").r
+              .replaceAllIn(qq, mm => mm.group(1) + mm.group(2) + "__vt_" + t)
+          }
+        }
+      }
+      qq
+    }
     // SELECT * omits MATERIALIZED/ALIAS columns (reference
     // ColumnsDescription::getOrdinary drives the asterisk expansion).
     // Runs BEFORE remote() shard expansion so the generated per-shard
     // SELECT * keeps the full table (ALIAS columns stay addressable
     // through the expansion, 02494 shape).
     val chQuery0s =
-      if (hiddenInsertCols.isEmpty || !chQuery0a.contains("*")) chQuery0a
-      else "(?is)\\bSELECT\\s+\\*\\s+FROM\\s+(\\w+)".r.replaceAllIn(chQuery0a, m => {
+      if (hiddenInsertCols.isEmpty || !chQuery0a2.contains("*")) chQuery0a2
+      else "(?is)\\bSELECT\\s+\\*\\s+FROM\\s+(\\w+)".r.replaceAllIn(chQuery0a2, m => {
         val tbl = m.group(1)
         val hidden = hiddenInsertCols.getOrElse(tbl, Set.empty)
         // only expand a SINGLE-TABLE star: a JOIN / comma / alias after
@@ -7906,7 +8218,9 @@ object ChSql {
     if ("(?i)system\\.(tables|columns)".r.findFirstIn(chQuery).nonEmpty) {
       import spark.implicits._
       val names = spark.catalog.listTables().collect()
-        .map(_.name).filter(n => n != "system_tables" && n != "system_columns")
+        .map(_.name).filter(n => n != "system_tables" && n != "system_columns" &&
+          !n.startsWith("system_parts") && n != "system_detached_parts" &&
+          !n.startsWith("__vt_"))
         .sorted
       names.toSeq.map(n => ("default", n)).toDF("database", "name")
         .createOrReplaceTempView("system_tables")
@@ -8000,7 +8314,9 @@ object ChSql {
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+COMMENT\\s+COLUMN\\s+.*$".r
     val renameTableRe =
       "(?is)^\\s*RENAME\\s+TABLE\\s+(\\w+)\\s+TO\\s+(\\w+);?\\s*$".r
-    val truncateRe = "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
+    // TABLE keyword is optional in the reference (ParserTruncateQuery)
+    val truncateRe =
+      "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
     // OPTIMIZE ... DEDUPLICATE [BY col, ...] has real row-dropping
     // semantics (reference InterpreterOptimizeQuery.cpp / MergeTree
     // DEDUPLICATE merges): full-row distinct, or first-row-per-key when a
@@ -8261,6 +8577,28 @@ object ChSql {
         },
         cd.defaultKind.toUpperCase, cd.defaultExpr.getOrElse(""))))
       tableDdlTail.put(name, rest.trim.stripSuffix(";").trim)
+      // MergeTree-family tables get data-part bookkeeping (system.parts
+      // and the _part/_block_number row virtuals — reference
+      // MergeTreePartInfo naming)
+      if ("(?is)\\bENGINE\\s*=?\\s*\\w*MergeTree\\b".r.findFirstIn(rest).isDefined) {
+        val pby = ("(?is)\\bPARTITION\\s+BY\\s+(.*?)\\s*(?=\\b(?:PRIMARY\\s+KEY|" +
+          "ORDER\\s+BY|SAMPLE\\s+BY|TTL|SETTINGS|COMMENT)\\b|;?\\s*$)").r
+          .findFirstMatchIn(rest).map(_.group(1).trim).getOrElse("")
+        val gran = "(?i)index_granularity\\s*=\\s*(\\d+)".r
+          .findFirstMatchIn(rest).map(_.group(1).toLong).getOrElse(8192L)
+        ChParts.register(name, pby, gran)
+        ("(?is)\\bTTL\\s+(.+?)\\s*(?=\\b(?:SETTINGS|ORDER\\s+BY|PARTITION\\s+BY|" +
+          "PRIMARY\\s+KEY|SAMPLE\\s+BY|COMMENT)\\b|;?\\s*$)").r
+          .findFirstMatchIn(rest)
+          .foreach(m => ChParts.setTtl(name, m.group(1).trim))
+        ("(?is)\\bORDER\\s+BY\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|[\\w`.]+" +
+          "(?:\\s*\\((?:[^()]|\\([^()]*\\))*\\))?)").r
+          .findFirstMatchIn(rest).foreach { m =>
+            val ks = splitArgs(m.group(1).stripPrefix("(").stripSuffix(")"))
+              .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+            ChParts.setOrderKeys(name, ks)
+          }
+      }
       tableDefaults.put(name,
         cols.collect { case c if c.defaultExpr.isDefined => c.name -> c.defaultExpr.get })
       dynamicCols.put(name, splitArgs(q.substring(m.end, i - 1)).flatMap { it =>
@@ -8456,8 +8794,38 @@ object ChSql {
           .r.findFirstMatchIn(clauses)
           .foreach(m => tableTtls.put(name, m.group(1).trim))
         out.createOrReplaceTempView(name); engineBacking.remove(name)
+        // a MergeTree CTAS gets part bookkeeping, its SELECT being the
+        // first insert block
+        if (!kind.toUpperCase.startsWith("MATERIALIZED") &&
+            "(?is)\\bENGINE\\s*=?\\s*\\w*MergeTree\\b".r
+              .findFirstIn(clauses).isDefined) {
+          val pby = ("(?is)\\bPARTITION\\s+BY\\s+(.*?)\\s*(?=\\b(?:PRIMARY\\s+KEY|" +
+            "ORDER\\s+BY|SAMPLE\\s+BY|TTL|SETTINGS|COMMENT)\\b|;?\\s*$)").r
+            .findFirstMatchIn(clauses).map(_.group(1).trim).getOrElse("")
+          val gran = "(?i)index_granularity\\s*=\\s*(\\d+)".r
+            .findFirstMatchIn(clauses).map(_.group(1).toLong).getOrElse(8192L)
+          ChParts.register(name, pby, gran)
+          recordPartsBlock(spark, name, out)
+        }
         Some(out.limit(0))
       case q2 if systemRe.pattern.matcher(q2).matches =>
+        // STOP/START MERGES gates part-merge bookkeeping (reference
+        // InterpreterSystemQuery ActionLocks); other SYSTEM verbs tune
+        // server state with no analog here — all return ok
+        "(?is)^\\s*SYSTEM\\s+(STOP|START)\\s+MERGES(?:\\s+(?:ON\\s+VOLUME\\s+\\S+\\s+)?([\\w.]+))?\\s*;?\\s*$".r
+          .findFirstMatchIn(q2).foreach { m =>
+            val t = Option(m.group(2)).map(_.stripPrefix("default."))
+            if (m.group(1).equalsIgnoreCase("STOP"))
+              t.foreach(ChParts.stopMerges)
+            else t.foreach(ChParts.startMerges)
+          }
+        "(?is)^\\s*SYSTEM\\s+(UNLOAD|LOAD)\\s+PRIMARY\\s+KEY(?:\\s+([\\w.]+))?\\s*;?\\s*$".r
+          .findFirstMatchIn(q2).foreach { m =>
+            val t = Option(m.group(2)).map(_.stripPrefix("default."))
+            if (m.group(1).equalsIgnoreCase("UNLOAD"))
+              ChParts.unloadPrimaryKey(t)
+            else ChParts.loadPrimaryKey(t)
+          }
         Some(spark.range(0).toDF("ok"))
       // database DDL: the session catalog is single-database (`default`)
       // — clickhouse-test's per-test CREATE/DROP DATABASE and USE are
@@ -8602,6 +8970,16 @@ object ChSql {
           spark.table(src).limit(0).createOrReplaceTempView(name); engineBacking.remove(name)
           tableDefaults.get(src).foreach(tableDefaults.put(name, _))
           tableEngines.get(src).foreach(tableEngines.put(name, _))
+          // the clone's DDL tail is its own ENGINE clause if given, else
+          // the source's — never a stale tail from a prior same-named table
+          if (engine != null)
+            tableDdlTail.put(name, "ENGINE = " + engine +
+              Option(engineArgs).map(a => s"($a)").getOrElse(""))
+          else tableDdlTail.get(src) match {
+            case Some(t) => tableDdlTail.put(name, t)
+            case None => tableDdlTail.remove(name)
+          }
+          tableColMeta.get(src).foreach(tableColMeta.put(name, _))
           Some(spark.table(name).limit(0))
         }
       case q if createDbRe.pattern.matcher(q).matches ||
@@ -8622,6 +9000,11 @@ object ChSql {
           tableAliases.remove(k)
         hiddenInsertCols.remove(name); tableColMeta.remove(name)
         tableColTz.remove(name); alterVirtualCols.remove(name)
+        tableDdlTail.remove(name)
+        ChParts.drop(name); virtualShadow.remove(name)
+        detachedRows.remove(name)
+        spark.catalog.dropTempView("__vt_" + name)
+        hiddenInsertCols.remove("__vt_" + name)
         for ((src, mvs) <- matViews if mvs.exists(_._1 == name))
           matViews.put(src, mvs.filterNot(_._1 == name))
         for ((p, c) <- replicaPaths if c == name) replicaPaths.remove(p)
@@ -8681,6 +9064,7 @@ object ChSql {
         val appended = existing.unionByName(sorted)
         appended.createOrReplaceTempView(name)
         appendEngineBlock(name, existing, sorted)
+        recordPartsBlock(spark, name, sorted)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
         Some(appended.limit(0))
@@ -8698,6 +9082,7 @@ object ChSql {
         val appended = existing.unionByName(sorted)
         appended.createOrReplaceTempView(name)
         appendEngineBlock(name, existing, sorted)
+        recordPartsBlock(spark, name, sorted)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
         Some(appended.limit(0))
@@ -8757,6 +9142,7 @@ object ChSql {
         val appended = existing.unionByName(sorted)
         appended.createOrReplaceTempView(name)
         appendEngineBlock(name, existing, sorted)
+        recordPartsBlock(spark, name, sorted)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
         Some(appended.limit(0))
@@ -8988,8 +9374,119 @@ object ChSql {
                 if (modDflt != null) "DEFAULT" else x._3,
                 if (modDflt != null) modDflt.trim.stripSuffix(";") else x._4)
             else x)))
+        // later INSERTs that omit the column must compute the NEW default
+        // (mirrors the ADD COLUMN path, which updates both registries)
+        if (modDflt != null) {
+          val d = modDflt.trim.stripSuffix(";")
+          tableDefaults.put(name,
+            tableDefaults.getOrElse(name, Seq.empty)
+              .filterNot(_._1 == colName) :+ (colName -> d))
+        }
         Some(modified.limit(0))
+      // partition commands (reference PartitionCommands): DROP forgets,
+      // DETACH stashes, ATTACH re-adds as a fresh level-0 part with a
+      // new block number, MOVE ... TO TABLE transfers rows. Row-level
+      // effects run through the virtual-column shadow, which knows each
+      // row's part.
+      case q2 if ("(?is)^\\s*ALTER\\s+TABLE\\s+\\w+\\s+" +
+          "(?:DROP|DETACH|ATTACH|MOVE)\\s+(?:PARTITION|PART)\\b.*$").r
+          .pattern.matcher(q2).matches =>
+        val m = ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+" +
+          "(DROP|DETACH|ATTACH|MOVE)\\s+(PARTITION|PART)\\s+(?:ID\\s+)?" +
+          "(.+?);?\\s*$").r.findFirstMatchIn(q2).get
+        val name = m.group(1)
+        val verb = m.group(2).toUpperCase
+        val kind = m.group(3).toUpperCase
+        val (spec0, destOpt) =
+          "(?is)^(.*?)\\s+TO\\s+TABLE\\s+([\\w.]+)\\s*$".r
+            .findFirstMatchIn(m.group(4).trim) match {
+            case Some(mm) =>
+              (mm.group(1).trim, Some(mm.group(2).stripPrefix("default.")))
+            case None => (m.group(4).trim, None)
+          }
+        val spec = spec0.stripPrefix("'").stripSuffix("'")
+        import org.apache.spark.sql.functions.{col, lit}
+        def partPred(p: ChParts.Part): Boolean =
+          if (kind == "PART") p.name == spec
+          else if (spec.equalsIgnoreCase("tuple()"))
+            p.partitionId == "all"
+          else p.partitionId == spec || p.partition == spec
+        def rowCond(sh: DataFrame) =
+          if (kind == "PART") col("_part") === lit(spec)
+          else if (spec.equalsIgnoreCase("tuple()"))
+            col("_partition_id") === lit("all")
+          else col("_partition_id") === lit(spec) ||
+            col("_partition_value") === lit(spec)
+        verb match {
+          case "MOVE" if destOpt.contains(name) =>
+            Some(spark.range(0).toDF("ok")) // move-to-self: no-op (03038)
+          case "DROP" | "DETACH" | "MOVE" =>
+            val removed = ChParts.removeParts(name, partPred, verb == "DETACH")
+            virtualShadow.get(name) match {
+              case Some(sh) if removed.nonEmpty || verb != "ATTACH" =>
+                val cond = rowCond(sh)
+                val moved = sh.filter(cond)
+                val keptSh = sh.filter(!cond)
+                if (verb == "DETACH")
+                  detachedRows.put(name,
+                    detachedRows.get(name).map(_.unionByName(moved))
+                      .getOrElse(moved))
+                virtualShadow.put(name, keptSh)
+                val kept = keptSh.select(spark.table(name).columns
+                  .map(c => col(s"`$c`")): _*)
+                kept.createOrReplaceTempView(name); engineBacking.remove(name)
+                for (dest <- destOpt if dest != name) {
+                  val destCols = spark.table(dest).columns
+                  val block = moved.select(destCols.map(c => col(s"`$c`")): _*)
+                  val appended = spark.table(dest).unionByName(block)
+                  appended.createOrReplaceTempView(dest)
+                  engineBacking.remove(dest)
+                  recordPartsBlock(spark, dest, block)
+                }
+              case _ => ()
+            }
+            Some(spark.range(0).toDF("ok"))
+          case "ATTACH" =>
+            val back = ChParts.takeDetached(name, partPred)
+            virtualShadow.get(name) match {
+              case Some(_) if back.nonEmpty =>
+                detachedRows.get(name).foreach { dr =>
+                  val names = back.map(_.name).toSet
+                  val take = dr.filter(col("_part").isin(names.toSeq: _*))
+                  val rest = dr.filter(!col("_part").isin(names.toSeq: _*))
+                  detachedRows.put(name, rest)
+                  for (p <- back) {
+                    val np = ChParts.attachAsNew(name, p.partition,
+                      p.partitionId, p.rows)
+                    val rows = take.filter(col("_part") === lit(p.name))
+                      .withColumn("_part", lit(np.name))
+                      .withColumn("_block_number", lit(np.minBlock))
+                    virtualShadow.put(name,
+                      virtualShadow(name).unionByName(rows))
+                  }
+                  val sh = virtualShadow(name)
+                  val full = sh.select(spark.table(name).columns
+                    .map(c => col(s"`$c`")): _*)
+                  full.createOrReplaceTempView(name)
+                  engineBacking.remove(name)
+                }
+              case _ => ()
+            }
+            Some(spark.range(0).toDF("ok"))
+        }
       case alterHintRe(name) if spark.catalog.tableExists(name) =>
+        Some(spark.range(0).toDF("ok"))
+      // FREEZE marks active parts frozen (reference PartitionCommands
+      // FREEZE -> shadow/ hardlinks; observable via system.parts.is_frozen)
+      case q2 if "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+(?:FREEZE|UNFREEZE)\\b.*$".r
+          .pattern.matcher(q2).matches =>
+        val m = "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+(FREEZE|UNFREEZE)\\b.*$".r
+          .findFirstMatchIn(q2).get
+        val pf = "(?is)\\bPARTITION\\s+(?:ID\\s+)?('([^']*)'|\\w+)".r
+          .findFirstMatchIn(q2)
+          .map(x => Option(x.group(2)).getOrElse(x.group(1)))
+        if (m.group(2).equalsIgnoreCase("FREEZE"))
+          ChParts.freeze(m.group(1), pf)
         Some(spark.range(0).toDF("ok"))
       case alterSettingRe(name) if spark.catalog.tableExists(name) =>
         // the reference rejects per-table setting changes on OLD-FORMAT
@@ -9045,10 +9542,40 @@ object ChSql {
         spark.catalog.dropTempView(from)
         tableTtls.remove(from).foreach(ttl => tableTtls.put(to, ttl))
         Some(t.limit(0))
+      // lightweight DELETE (reference InterpreterDeleteQuery): same row
+      // semantics as ALTER DELETE here; parts keep their names (the
+      // reference masks rows via _row_exists rather than rewriting)
+      case q2 if "(?is)^\\s*DELETE\\s+FROM\\s+\\w+\\s+WHERE\\b.*$".r
+          .pattern.matcher(q2).matches =>
+        val m = "(?is)^\\s*DELETE\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.*?);?\\s*$".r
+          .findFirstMatchIn(q2).get
+        val (name, pred) = (m.group(1), m.group(2))
+        // the reference rejects lightweight DELETE on views
+        // (InterpreterDeleteQuery: BAD_ARGUMENTS for non-MergeTree)
+        if (matViews.values.exists(_.exists(_._1 == name)))
+          throw new IllegalArgumentException(
+            s"BAD_ARGUMENTS: DELETE is not supported for view '$name'")
+        val kept = spark.table(name).filter(s"NOT (${rewrite(pred)})")
+        kept.createOrReplaceTempView(name); engineBacking.remove(name)
+        virtualShadow.get(name).foreach { sh =>
+          try virtualShadow.put(name, sh.filter(s"NOT (${rewrite(pred)})"))
+          catch { case scala.util.control.NonFatal(_) =>
+            virtualShadow.remove(name) }
+        }
+        Some(kept.limit(0))
       case alterDelRe(name, pred) =>
         val kept = spark.table(name)
           .filter(s"NOT (${rewrite(pred)})")
         kept.createOrReplaceTempView(name); engineBacking.remove(name)
+        // the mutation applies to the virtual-column shadow too: rows
+        // filtered, and every active part stamped with the new data
+        // version (all_1_1_0 -> all_1_1_0_<v>)
+        virtualShadow.get(name).foreach { sh =>
+          try virtualShadow.put(name, sh.filter(s"NOT (${rewrite(pred)})"))
+          catch { case scala.util.control.NonFatal(_) =>
+            virtualShadow.remove(name) }
+        }
+        renameShadowParts(name, ChParts.mutate(name))
         Some(kept.limit(0))
       case alterUpdRe(name, assigns, pred) =>
         val t = spark.table(name)
@@ -9070,12 +9597,34 @@ object ChSql {
         }.mkString(", ")
         val updated = spark.sql(s"SELECT $projected FROM $name")
         updated.createOrReplaceTempView(name); engineBacking.remove(name)
+        // same mutation on the virtual-column shadow (keeps _part reads
+        // consistent after ALTER UPDATE; drop it if the expr won't apply)
+        virtualShadow.get(name).foreach { sh =>
+          try {
+            val shProj = sh.columns.map { c =>
+              updates.get(c) match {
+                case Some(e) => s"CASE WHEN ($p) THEN ($e) ELSE $c END AS $c"
+                case None => s"`$c`"
+              }
+            }.mkString(", ")
+            sh.createOrReplaceTempView("__vt_mut_" + name)
+            virtualShadow.put(name,
+              spark.sql(s"SELECT $shProj FROM __vt_mut_$name"))
+          } catch { case scala.util.control.NonFatal(_) =>
+            virtualShadow.remove(name) }
+        }
+        renameShadowParts(name, ChParts.mutate(name))
         Some(updated.limit(0))
       case truncateRe(name) =>
         val empty = spark.table(name).limit(0)
         empty.createOrReplaceTempView(name); engineBacking.remove(name)
+        ChParts.truncate(name)
+        virtualShadow.get(name).foreach(s => virtualShadow.put(name, s.limit(0)))
         Some(empty)
-      case optimizeDedupRe(name, byCols) =>
+      case optimizeDedupRe(name, byCols0) =>
+        val byCols = byCols0
+        ChParts.optimize(name, None) // parts merge; rows change below
+        virtualShadow.remove(name)
         val t = spark.table(name)
         val deduped = Option(byCols) match {
           case Some(cs) =>
@@ -9090,7 +9639,16 @@ object ChSql {
         // a merge point: apply the engine family's merge semantics
         // (Summing/Replacing/Collapsing…) recorded at CREATE, then any
         // registered TTL (the reference drops expired rows during
-        // merges); otherwise a no-op — session tables have no parts
+        // merges). Parts bookkeeping: merge each (selected) partition's
+        // active parts into one, rename the shadow's _part accordingly.
+        locally {
+          val pidOpt = ("(?is)\\bPARTITION\\s+(?:ID\\s+)?('([^']*)'|\\w+)").r
+            .findFirstMatchIn(chQuery)
+            .map(m => Option(m.group(2)).getOrElse(m.group(1)))
+            .filterNot(_.equalsIgnoreCase("tuple()"))
+          val fin = "(?i)\\bFINAL\\b".r.findFirstIn(chQuery).isDefined
+          renameShadowParts(name, ChParts.optimize(name, pidOpt, fin))
+        }
         engineFinalDf(spark, name).foreach { d =>
           val m = d.persist(); m.count(); m.createOrReplaceTempView(name); engineBacking.remove(name)
         }
@@ -9099,8 +9657,17 @@ object ChSql {
             val kept = spark.table(name)
               .filter(s"NOT ((${rewrite(ttl)}) <= current_timestamp())")
             val m = kept.persist()
-            m.count()
+            val keptRows = m.count()
             m.createOrReplaceTempView(name); engineBacking.remove(name)
+            // TTL merges drop rows — re-pin the merged part's count and
+            // apply the same filter to the virtual-column shadow
+            ChParts.recountActive(name, keptRows)
+            virtualShadow.get(name).foreach { sh =>
+              try virtualShadow.put(name,
+                sh.filter(s"NOT ((${rewrite(ttl)}) <= current_timestamp())"))
+              catch { case scala.util.control.NonFatal(_) =>
+                virtualShadow.remove(name) }
+            }
             Some(m.limit(0))
           case None => Some(spark.table(name).limit(0))
         }
@@ -9116,6 +9683,34 @@ object ChSql {
     // AST); the plan variants return the formatted Catalyst plan.
     val explainRe = "(?is)^\\s*EXPLAIN(\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE))?\\s+(.*)$".r
     chQuery match {
+      case explainRe(_, mode, inner)
+          if mode != null && mode.equalsIgnoreCase("ESTIMATE") &&
+            "(?is)\\bFROM\\s+(\\w+)".r.findFirstMatchIn(inner)
+              .map(_.group(1).stripPrefix("__vt_")).exists(t =>
+                ChParts.isTracked(t) && virtualShadow.contains(t)) =>
+        // EXPLAIN ESTIMATE (reference InterpreterExplainQuery Estimate):
+        // per-table scan estimate AFTER partition pruning — a part is
+        // read iff any of its rows can match, so on partition-aligned
+        // predicates the shadow's per-part match count IS the estimate
+        import spark.implicits._
+        val t = "(?is)\\bFROM\\s+(\\w+)".r.findFirstMatchIn(inner).get
+          .group(1).stripPrefix("__vt_")
+        val whereOpt = "(?is)\\bWHERE\\s+(.*?)(?:\\s+(?:GROUP|ORDER|LIMIT|SETTINGS|FORMAT)\\b.*)?$".r
+          .findFirstMatchIn(inner).map(_.group(1).trim)
+        val sh = virtualShadow(t)
+        sh.createOrReplaceTempView("__vt_" + t)
+        val matched = whereOpt match {
+          case Some(w) =>
+            spark.sql(s"SELECT DISTINCT _part FROM __vt_$t WHERE ${rewrite(w)}")
+              .collect().map(_.getString(0)).toSet
+          case None => ChParts.partsOf(t).filter(_.state == "Active")
+            .map(_.name).toSet
+        }
+        val ps = ChParts.partsOf(t).filter(p =>
+          p.state == "Active" && matched(p.name))
+        Seq(("default", t, ps.length.toLong, ps.map(_.rows).sum,
+          ps.map(_.marks).sum))
+          .toDF("database", "table", "parts", "rows", "marks")
       case explainRe(_, mode, inner) =>
         import spark.implicits._
         val rewritten = rewrite(expandColumnsTransformers(spark, inner))

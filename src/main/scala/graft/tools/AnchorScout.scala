@@ -403,8 +403,16 @@ object AnchorScout {
             case _ => None
           }
         }.toMap
+        // DECLARED Bool columns render true/false (computed predicates
+        // stay CH's 1/0)
+        val boolText: Set[Int] = cols.filter { i =>
+          df.schema(i).dataType == org.apache.spark.sql.types.BooleanType &&
+            graft.sqlfront.ChSql.boolColHint(df.columns(i), st)
+        }.toSet
         def cell(row: org.apache.spark.sql.Row, i: Int): String =
           (row.get(i), dtScale.get(i)) match {
+            case (b: Boolean, _) if boolText(i) =>
+              if (b) "true" else "false"
             case (t: java.sql.Timestamp, Some(n)) =>
               val s = t.toString
               val dot = s.lastIndexOf('.')
@@ -431,9 +439,25 @@ object AnchorScout {
         else if (mode == 5) { // FORMAT JSONEachRow
           val esc = spark.conf.get("spark.graft.jsonEscapeSlash", "true").toBoolean
           val q64 = spark.conf.get("spark.graft.jsonQuote64", "true").toBoolean
+          // quote_64bit_integers quotes only GENUINE 64-bit integers:
+          // a UInt32 column arrives as LongType but the reference leaves
+          // it bare — consult the declared CH type when one is known
+          val qTables = "(?i)\\b(?:FROM|JOIN)\\s+`?([\\w.]+)`?".r
+            .findAllMatchIn(st).map(_.group(1).stripPrefix("default.")).toSeq
+          val colQ64: Seq[Boolean] = cols.map { i =>
+            graft.sqlfront.ChSql.declaredTypeOf(qTables, df.columns(i)) match {
+              case Some(t) =>
+                val b = t.replaceAll("^(?:Nullable|LowCardinality)\\(", "")
+                // only the INTEGER width is decided here; non-integer
+                // declared types keep the session default
+                if (b.matches("U?Int(8|16|32)\\b.*")) false else q64
+              case None => q64
+            }
+          }
           rows.map { row =>
-            cols.map(i => jsonQuote(df.columns(i), esc) + ":" +
-              jsonCell(row.get(i), esc, q64)).mkString("{", ",", "}")
+            cols.zip(colQ64).map { case (i, q) =>
+              jsonQuote(df.columns(i), esc) + ":" +
+                jsonCell(row.get(i), esc, q) }.mkString("{", ",", "}")
           }
         }
         else totalsKeys match {
