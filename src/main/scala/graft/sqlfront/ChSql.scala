@@ -1386,7 +1386,8 @@ object ChSql {
     engineBacking.clear(); engineBlockSeq.clear(); joinEngineKeys.clear()
     legacyFormatTables.clear()
     alterVirtualCols.clear(); hiddenInsertCols.clear()
-    tableDdlTail.clear()
+    tableDdlTail.clear(); tableColExtras.clear(); tableIndexes.clear()
+    tableProjections.clear(); replicaGroup.clear()
     ChParts.clear(); virtualShadow.clear(); detachedRows.clear()
     recordedSettings.clear()
     nestedColNames.clear()
@@ -1538,6 +1539,133 @@ object ChSql {
   private val tableDdlTail =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Declared per-column COMMENT / CODEC / TTL clauses (metadata-only in
+    * the reference — ColumnsDescription) per bare-created table:
+    * col -> (comment, codec args, ttl expr). Rendered by SHOW CREATE and
+    * DESCRIBE; ALTER COMMENT COLUMN updates the comment slot. */
+  private val tableColExtras =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, (String, String, String)]]
+
+  /** Declared skip indexes per table, in declaration order:
+    * (index name, definition text after the name — e.g.
+    * "u64 * i32 TYPE minmax GRANULARITY 10"). The reference keeps these
+    * in IndicesDescription and SHOW CREATE re-renders them inside the
+    * column block; ALTER ADD/DROP INDEX maintains the list. */
+  private val tableIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[(String, String)]]
+
+  /** SHOW CREATE / DESCRIBE render Tuple(...) types one element per line
+    * (reference IDataType::getName through formatAST one_line=false):
+    * `Tuple(\n<pad>a Int8,\n<pad>b String)` with elements indented 4
+    * past the line the type starts on and the closing paren attached to
+    * the last element. Other composite types stay single-line. */
+  private[sqlfront] def chTypeMultiline(ty: String, baseIndent: Int): String = {
+    val t = ty.trim
+    val open = t.indexOf('(')
+    if (!t.toLowerCase.startsWith("tuple") || open < 0 || !t.endsWith(")")) t
+    else {
+      val inner = t.substring(open + 1, t.length - 1)
+      val elems = splitArgs(inner).map(_.trim).filter(_.nonEmpty)
+      if (elems.isEmpty) t
+      else {
+        val pad = " " * (baseIndent + 4)
+        val parts = elems.map { e =>
+          // named element = identifier + space at paren-depth 0
+          var d = 0; var sp = -1; var k = 0
+          while (k < e.length && sp < 0) {
+            val c = e.charAt(k)
+            if (c == '(') d += 1 else if (c == ')') d -= 1
+            else if (c == ' ' && d == 0) sp = k
+            k += 1
+          }
+          if (sp > 0)
+            e.take(sp) + " " + chTypeMultiline(e.drop(sp + 1), baseIndent + 4)
+          else chTypeMultiline(e, baseIndent + 4)
+        }
+        t.take(open) + "(\n" + pad + parts.mkString(",\n" + pad) + ")"
+      }
+    }
+  }
+
+  /** Declared projections per table, in order: (name, body text inside
+    * the parens). SHOW CREATE re-renders them with the reference's
+    * clause-per-line statement formatting. */
+  private val tableProjections =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[(String, String)]]
+
+  /** table -> its Replicated* zookeeper path: tables sharing a path are
+    * replicas of one another; metadata ALTERs propagate to all of them
+    * (reference ReplicatedMergeTree ALTER via the replication log). */
+  private val replicaGroup =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Drop the table-level TTL clause from a raw DDL tail (used by
+    * ALTER ... MODIFY/REMOVE TTL so SHOW CREATE reflects the change). */
+  private def stripTailTtl(raw: String): String =
+    ("(?is)\\bTTL\\s+.+?(?=\\b(?:SETTINGS|ORDER\\s+BY|PARTITION\\s+BY|" +
+      "PRIMARY\\s+KEY|SAMPLE\\s+BY|COMMENT)\\b|;?\\s*$)").r
+      .replaceAllIn(raw, "").replaceAll("\\s+", " ").trim
+
+  /** Every replica sharing `name`'s zookeeper path (incl. itself). */
+  private def replicaSiblings(name: String): Seq[String] =
+    replicaGroup.get(name) match {
+      case Some(p) =>
+        replicaGroup.collect { case (t, pp) if pp == p => t }.toSeq
+      case None => Seq(name)
+    }
+
+  /** Render one projection the way SHOW CREATE does:
+    * `    PROJECTION name\n    (\n        SELECT ...\n    )` with
+    * multi-element GROUP BY / ORDER BY lists one key per line. */
+  private def renderProjection(pname: String, body: String): String = {
+    val compact = body.trim.replaceAll("\\s+", " ")
+      .replaceAll("(?i)\\bas\\b", "AS")
+      .replaceAll("(?i)\\bapply\\b", "APPLY")
+      .replaceAll("(?i)\\bcount\\(", "count(")
+    val kwRe = "(?i)\\b(WITH|SELECT|GROUP BY|ORDER BY)\\b".r
+    // split at top-level clause keywords only (depth 0)
+    val marks = kwRe.findAllMatchIn(compact).filter { m =>
+      val pre = compact.take(m.start)
+      pre.count(_ == '(') == pre.count(_ == ')') &&
+        pre.count(_ == '\'') % 2 == 0
+    }.toVector
+    val clauses =
+      if (marks.isEmpty) Vector(("", compact))
+      else marks.zipWithIndex.map { case (m, i) =>
+        val end = if (i + 1 < marks.length) marks(i + 1).start else compact.length
+        (m.group(1).toUpperCase, compact.substring(m.end, end).trim)
+      }
+    val lines = clauses.map { case (kw, args) =>
+      val items = splitArgs(args).map(_.trim).filter(_.nonEmpty)
+      if (kw.isEmpty) "        " + args
+      else if (items.length <= 1) s"        $kw $args"
+      else s"        $kw\n" + items.map("            " + _).mkString(",\n")
+    }
+    s"    PROJECTION $pname\n    (\n${lines.mkString("\n")}\n    )"
+  }
+
+  /** Canonical skip-index definition text: outer parens of the key
+    * expression stripped, whitespace collapsed, GRANULARITY defaulted to
+    * 1 when omitted (reference IndicesDescription::parse). */
+  private def normalizeIndexDef(d: String): String =
+    "(?is)^(.*?)\\s+(TYPE\\s+.*)$".r.findFirstMatchIn(d.trim) match {
+      case Some(mm) =>
+        var e = mm.group(1).trim
+        if (e.startsWith("(") && e.endsWith(")")) {
+          val inner = e.substring(1, e.length - 1)
+          var dd = 0; var ok = true
+          inner.foreach { c =>
+            if (c == '(') dd += 1
+            else if (c == ')') { dd -= 1; if (dd < 0) ok = false } }
+          if (ok && dd == 0) e = inner.trim
+        }
+        var t = mm.group(2).trim.replaceAll("\\s+", " ")
+        if ("(?i)\\bGRANULARITY\\b".r.findFirstIn(t).isEmpty)
+          t += " GRANULARITY 1"
+        s"$e $t"
+      case None => d.trim
+    }
+
   /** Every SET name = value the session has issued, raw value text —
     * getSetting/getSettingOrDefault resolve against it at rewrite time
     * (`null` stays the literal NULL). */
@@ -1615,9 +1743,70 @@ object ChSql {
     * X`, each storage clause on its own line, and the default
     * `SETTINGS index_granularity = 8192` appended for modern MergeTree
     * declarations (the reference's formatter output shape). */
-  private def formatDdlTail(raw0: String): String = {
-    val raw = raw0.trim.stripSuffix(";").trim
-      .replaceAll("\\s+", " ")
+  /** Re-render every single-quoted literal the way the reference's
+    * formatter does (parse the escapes, then writeQuotedString): the
+    * round trip doubles bare backslashes (`'m\[0-9\]'` -> `'m\\[0-9\\]'`,
+    * 01298) and is the identity on plain text. Outside literals,
+    * constant-folds currentDatabase() to 'default' (SHOW CREATE
+    * evaluates it). */
+  private def rerenderTailLiterals(s0: String): String = {
+    val s = "(?i)currentDatabase\\(\\)".r.replaceAllIn(s0, "'default'")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '\'') { sb.append(c); i += 1 }
+      else {
+        // parse the literal value (CH lexer: recognized escapes decode,
+        // unknown escapes KEEP the backslash)
+        val v = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < s.length) {
+            val n = s.charAt(i + 1)
+            n match {
+              case '\\' => v.append('\\')
+              case '\'' => v.append('\'')
+              case 'n' => v.append('\n')
+              case 't' => v.append('\t')
+              case 'r' => v.append('\r')
+              case '0' => v.append('\u0000')
+              case other => v.append('\\').append(other)
+            }
+            i += 2
+          } else if (ch == '\'') { closed = true; i += 1 }
+          else { v.append(ch); i += 1 }
+        }
+        sb.append('\'')
+        v.foreach {
+          case '\\' => sb.append("\\\\")
+          case '\'' => sb.append("\\'")
+          case '\n' => sb.append("\\n")
+          case '\t' => sb.append("\\t")
+          case '\r' => sb.append("\\r")
+          case '\u0000' => sb.append("\\0")
+          case ch => sb.append(ch)
+        }
+        sb.append('\'')
+      }
+    }
+    sb.toString
+  }
+
+  /** `expr + INTERVAL 1 MONTH` renders canonically as
+    * `expr + toIntervalMonth(1)` in stored DDL (reference formatAST on
+    * ASTFunction toIntervalMonth — INTERVAL sugar parses to the fn). */
+  private def canonicalizeIntervals(s: String): String =
+    ("(?i)\\bINTERVAL\\s+(\\d+|'[^']*')\\s+" +
+      "(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?\\b").r
+      .replaceAllIn(s, m =>
+        s"toInterval${m.group(2).toLowerCase.capitalize}(${m.group(1)})")
+
+  private def formatDdlTail(raw0: String, autoSettings: Boolean = true): String = {
+    val raw = rerenderTailLiterals(raw0.trim.stripSuffix(";").trim
+      .replaceAll("\\s+", " "))
     if (raw.isEmpty) return "ENGINE = Memory"
     val clauseRe = ("(?i)\\b(ENGINE\\s*=?|PARTITION BY|PRIMARY KEY|ORDER BY|" +
       "SAMPLE BY|TTL|SETTINGS|COMMENT)\\b").r
@@ -1626,12 +1815,28 @@ object ChSql {
     val parts = ms.zipWithIndex.map { case (m, i) =>
       val end = if (i + 1 < ms.length) ms(i + 1).start else raw.length
       val kw = m.group(1).toUpperCase.replaceAll("\\s*=\\s*$", "").trim
-      val body = raw.substring(m.end, end).trim.stripPrefix("=").trim
+      val body0 = raw.substring(m.end, end).trim.stripPrefix("=").trim
+      // `ORDER BY ()` is the empty tuple — canonically `tuple()`
+      val body = if (body0 == "()") "tuple()" else body0
       (kw, body)
     }
     val engine = parts.find(_._1 == "ENGINE").map(_._2).getOrElse("Memory")
+    // canonical clause order (reference formatAST for CREATE storage):
+    // PARTITION BY, PRIMARY KEY, ORDER BY, SAMPLE BY, TTL, SETTINGS
+    val clauseOrder = Seq("PARTITION BY", "PRIMARY KEY", "ORDER BY",
+      "SAMPLE BY", "TTL", "SETTINGS", "COMMENT")
     val rest = parts.filterNot(_._1 == "ENGINE")
-      .map { case (kw, body) => s"$kw $body" }
+      .sortBy(p => clauseOrder.indexOf(p._1) match {
+        case -1 => clauseOrder.length
+        case n => n
+      })
+      .map {
+        case ("SETTINGS", body) =>
+          // reference renders `name = value` with spaces
+          "SETTINGS " + body.replaceAll("\\s*=\\s*", " = ")
+        case ("TTL", body) => "TTL " + canonicalizeIntervals(body)
+        case (kw, body) => s"$kw $body"
+      }
     // modern declarations carry their ORDER BY / PARTITION BY as
     // clauses (the legacy MergeTree(date, key, granularity) form holds
     // them inside the engine args and gets NO settings line, 00061)
@@ -1640,7 +1845,7 @@ object ChSql {
         parts.exists(p => p._1 == "ORDER BY" || p._1 == "PARTITION BY" ||
           p._1 == "PRIMARY KEY")
     val withSettings =
-      if (isModernMergeTree && !parts.exists(_._1 == "SETTINGS"))
+      if (isModernMergeTree && autoSettings && !parts.exists(_._1 == "SETTINGS"))
         rest :+ "SETTINGS index_granularity = 8192"
       else rest
     (s"ENGINE = ${engine.replaceAll("\\(\\s*\\)$", "")}" +: withSettings)
@@ -8311,7 +8516,15 @@ object ChSql {
     val alterSettingRe =
       "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+(?:MODIFY|RESET)\\s+SETTINGS?\\b.*$".r
     val alterCommentColRe =
-      "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+COMMENT\\s+COLUMN\\s+.*$".r
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+COMMENT\\s+COLUMN\\s+" +
+        "(?:IF\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+)\\s+'((?:[^'\\\\]|\\\\.)*)'\\s*;?\\s*$").r
+    // MODIFY COLUMN col REMOVE DEFAULT/MATERIALIZED/ALIAS/CODEC/COMMENT/TTL
+    // strips ONE property, keeping the column (reference AlterCommands
+    // REMOVE_PROPERTY)
+    val alterRemovePropRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+MODIFY\\s+COLUMN\\s+" +
+        "(?:IF\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+)\\s+REMOVE\\s+" +
+        "(DEFAULT|MATERIALIZED|ALIAS|CODEC|COMMENT|TTL)\\s*;?\\s*$").r
     val renameTableRe =
       "(?is)^\\s*RENAME\\s+TABLE\\s+(\\w+)\\s+TO\\s+(\\w+);?\\s*$".r
     // TABLE keyword is optional in the reference (ParserTruncateQuery)
@@ -8367,7 +8580,8 @@ object ChSql {
     }
     val showTablesRe = ("(?is)^\\s*SHOW\\s+TABLES(?:\\s+FROM\\s+\\w+)?" +
       "(?:\\s+(NOT\\s+)?I?LIKE\\s+'([^']*)')?(?:\\s+LIMIT\\s+(.+?))?\\s*;?\\s*$").r
-    val showCreateRe = "(?is)^\\s*SHOW\\s+CREATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
+    val showCreateRe =
+      "(?is)^\\s*SHOW\\s+CREATE\\s+(TEMPORARY\\s+)?(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
     val describeRe = "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
     val existsRe = "(?is)^\\s*EXISTS\\s+(?:TABLE\\s+)?(`[^`]+`|\\w+)\\s*;?\\s*$".r
     def chTypeName(dt: org.apache.spark.sql.types.DataType): String = {
@@ -8423,8 +8637,22 @@ object ChSql {
           case Some(canon) if canon != name && spark.catalog.tableExists(canon) =>
             distributedTables.put(name, (canon, 1))
             spark.table(canon).createOrReplaceTempView(name); engineBacking.remove(name)
+            // the replica carries its OWN declared DDL (replica arg
+            // differs) — record metadata so SHOW CREATE renders it and
+            // replicated metadata ALTERs can reach every sibling
+            replicaGroup.put(name, path); replicaGroup.put(canon, path)
+            try {
+              val cs = ChTypes.parseColumns(q.substring(m.end, i - 1))
+              tableColMeta.put(name, cs.map(cd => (cd.name,
+                if (cd.chType.nonEmpty) cd.chType else "String",
+                cd.defaultKind.toUpperCase, cd.defaultExpr.getOrElse(""))))
+              tableColExtras.put(name, cs.map(cd => cd.name ->
+                (cd.comment.getOrElse(""), cd.codec.getOrElse(""),
+                  cd.colTtl.getOrElse(""))).toMap)
+              tableDdlTail.put(name, rest.trim.stripSuffix(";").trim)
+            } catch { case _: Exception => () }
             return Some(spark.table(canon).limit(0))
-          case _ => replicaPaths.put(path, name)
+          case _ => replicaPaths.put(path, name); replicaGroup.put(name, path)
         }
       }
       // ENGINE = Distributed(cluster, db, local_table[, key]): a read
@@ -8576,6 +8804,30 @@ object ChSql {
           if (inf.nonEmpty) inf else "String"
         },
         cd.defaultKind.toUpperCase, cd.defaultExpr.getOrElse(""))))
+      tableColExtras.put(name, cols.map(cd => cd.name ->
+        (cd.comment.getOrElse(""), cd.codec.getOrElse(""),
+          cd.colTtl.getOrElse(""))).toMap)
+      // INDEX entries of the column list (parseColumns skips them):
+      // `INDEX name expr TYPE t [GRANULARITY g]`
+      tableIndexes.put(name, splitArgs(q.substring(m.end, i - 1))
+        .map(_.trim).filter(_.toLowerCase.startsWith("index "))
+        .flatMap { item =>
+          val body = item.drop("index".length).trim
+          val idxName = body.takeWhile(!_.isWhitespace)
+          val defTxt = normalizeIndexDef(body.drop(idxName.length).trim)
+          if (idxName.nonEmpty && defTxt.nonEmpty) Some((idxName, defTxt))
+          else None
+        }.toVector)
+      tableProjections.put(name, splitArgs(q.substring(m.end, i - 1))
+        .map(_.trim).filter(_.toLowerCase.startsWith("projection "))
+        .flatMap { item =>
+          val body = item.drop("projection".length).trim
+          val pName = body.takeWhile(!_.isWhitespace)
+          val inner = body.drop(pName.length).trim
+          if (pName.nonEmpty && inner.startsWith("(") && inner.endsWith(")"))
+            Some((pName, inner.substring(1, inner.length - 1).trim))
+          else None
+        }.toVector)
       tableDdlTail.put(name, rest.trim.stripSuffix(";").trim)
       // MergeTree-family tables get data-part bookkeeping (system.parts
       // and the _part/_block_number row virtuals — reference
@@ -8699,36 +8951,80 @@ object ChSql {
         // default expression, comment, codec, ttl (empties render as
         // trailing tabs). Bare-created tables keep their declared CH
         // type text; others fall back to the closest CH spelling.
+        val extras0 = tableColExtras.getOrElse(name, Map.empty)
+        def ex(n: String): (String, String, String) = extras0.get(n) match {
+          case Some((cmt, codec, ttl)) =>
+            (cmt, if (codec.nonEmpty) s"CODEC($codec)" else "", ttl)
+          case None => ("", "", "")
+        }
         tableColMeta.get(name) match {
           case Some(meta0) =>
             Some(meta0.map { case (n, ty, kind, e) =>
-              (n, ty, kind, e, "", "", "")
+              val (cmt, cdc, ttl) = ex(n)
+              (n, chTypeMultiline(ty, 0), kind, e, cmt, cdc, ttl)
             }.toDF("name", "type", "default_type", "default_expression",
               "comment", "codec_expression", "ttl_expression"))
           case None =>
             Some(spark.table(name).schema.fields.toSeq
-              .map(f => (f.name, chTypeName(f.dataType), "", "", "", "", ""))
+              .map { f =>
+                val (cmt, cdc, ttl) = ex(f.name)
+                (f.name, chTypeMultiline(chTypeName(f.dataType), 0),
+                  "", "", cmt, cdc, ttl)
+              }
               .toDF("name", "type", "default_type", "default_expression",
                 "comment", "codec_expression", "ttl_expression"))
         }
-      case showCreateRe(name) if spark.catalog.tableExists(name) =>
+      case showCreateRe(tmpKw, name) if spark.catalog.tableExists(name) =>
         import spark.implicits._
         // canonical reconstruction (reference InterpreterShowCreateQuery
         // formatting): backticked names, DECLARED CH types, default
         // kind/expression, clause-per-line storage block
+        val extras = tableColExtras.getOrElse(name, Map.empty)
+        def extraTxt(n: String): String = extras.get(n) match {
+          case Some((cmt, codec, ttl)) =>
+            (if (cmt.nonEmpty) s" COMMENT '$cmt'" else "") +
+              (if (codec.nonEmpty) s" CODEC($codec)" else "") +
+              (if (ttl.nonEmpty) s" TTL ${canonicalizeIntervals(ttl)}" else "")
+          case None => ""
+        }
         val cols = tableColMeta.get(name) match {
           case Some(meta) => meta.map { case (n, ty, kind, e) =>
             val kindTxt =
               if (e.nonEmpty && Seq("DEFAULT", "MATERIALIZED", "ALIAS", "EPHEMERAL")
                 .contains(kind)) s" $kind $e"
               else ""
-            s"    `$n` $ty$kindTxt"
+            s"    `$n` ${chTypeMultiline(ChTypes.canonicalType(ty), 4)}" +
+              s"$kindTxt${extraTxt(n)}"
           }
           case None => spark.table(name).schema.fields.toSeq
-            .map(f => s"    `${f.name}` ${chTypeName(f.dataType)}")
+            .map(f =>
+              s"    `${f.name}` ${chTypeMultiline(chTypeName(f.dataType), 4)}" +
+                extraTxt(f.name))
         }
-        val tail = formatDdlTail(tableDdlTail.getOrElse(name, ""))
-        Some(Seq(s"CREATE TABLE default.$name\n(\n${cols.mkString(",\n")}\n)\n$tail")
+        val idxLines = tableIndexes.getOrElse(name, Vector.empty)
+          .map { case (inm, idef) => s"    INDEX $inm $idef" } ++
+          tableProjections.getOrElse(name, Vector.empty)
+            .map { case (pnm, pbody) => renderProjection(pnm, pbody) }
+        // a mangled view name (numeric-leading or db-qualified original)
+        // renders as its ORIGINAL spelling, backticked where needed
+        val orig = tableAliases.collectFirst {
+          case (o, m) if m == name && m == "t_" + o.replaceAll("\\W", "_") => o
+        }.getOrElse(name)
+        val (dbPart, tblPart) = orig.lastIndexOf('.') match {
+          case -1 => ("default", orig)
+          case k => (orig.take(k), orig.drop(k + 1))
+        }
+        def bq(s: String) = if (s.matches("[A-Za-z_]\\w*")) s else s"`$s`"
+        val tail = formatDdlTail(tableDdlTail.getOrElse(name, ""),
+          autoSettings = tmpKw == null)
+          .replace("{database}", dbPart)
+        // TEMPORARY tables render without the database qualifier
+        // (reference InterpreterShowCreateQuery on temporary storage)
+        val header =
+          if (tmpKw == null) s"CREATE TABLE $dbPart.${bq(tblPart)}"
+          else s"CREATE TEMPORARY TABLE ${bq(tblPart)}"
+        Some(Seq(s"$header\n(\n" +
+          (cols ++ idxLines).mkString(",\n") + s"\n)\n$tail")
           .toDF("statement"))
       case existsRe(name0)
           if !chQuery.trim.toLowerCase.startsWith("exists table (") =>
@@ -8763,10 +9059,18 @@ object ChSql {
           throw new IllegalArgumentException(
             "BAD_ARGUMENTS: TTL is not supported for tables created with " +
               "the deprecated MergeTree syntax")
-        tableTtls.put(name, ttl.trim)
+        replicaSiblings(name).foreach { t =>
+          tableTtls.put(t, ttl.trim)
+          tableDdlTail.get(t).foreach(raw => tableDdlTail.put(t,
+            stripTailTtl(raw) + " TTL " + ttl.trim))
+        }
         Some(spark.range(0).toDF("ok"))
       case removeTtlRe(name) if spark.catalog.tableExists(name) =>
-        tableTtls.remove(name)
+        replicaSiblings(name).foreach { t =>
+          tableTtls.remove(t)
+          tableDdlTail.get(t).foreach(raw =>
+            tableDdlTail.put(t, stripTailTtl(raw)))
+        }
         Some(spark.range(0).toDF("ok"))
       case createRe(kind, name, clauses, inner) =>
         val df = sql(spark, dir, inner)
@@ -8980,6 +9284,18 @@ object ChSql {
             case None => tableDdlTail.remove(name)
           }
           tableColMeta.get(src).foreach(tableColMeta.put(name, _))
+          tableColExtras.get(src) match {
+            case Some(x) => tableColExtras.put(name, x)
+            case None => tableColExtras.remove(name)
+          }
+          tableIndexes.get(src) match {
+            case Some(x) => tableIndexes.put(name, x)
+            case None => tableIndexes.remove(name)
+          }
+          tableProjections.get(src) match {
+            case Some(x) => tableProjections.put(name, x)
+            case None => tableProjections.remove(name)
+          }
           Some(spark.table(name).limit(0))
         }
       case q if createDbRe.pattern.matcher(q).matches ||
@@ -9001,6 +9317,8 @@ object ChSql {
         hiddenInsertCols.remove(name); tableColMeta.remove(name)
         tableColTz.remove(name); alterVirtualCols.remove(name)
         tableDdlTail.remove(name)
+        tableColExtras.remove(name); tableIndexes.remove(name)
+        tableProjections.remove(name); replicaGroup.remove(name)
         ChParts.drop(name); virtualShadow.remove(name)
         detachedRows.remove(name)
         spark.catalog.dropTempView("__vt_" + name)
@@ -9325,6 +9643,30 @@ object ChSql {
         val renamed = spark.table(name).withColumnRenamed(from, to)
         renamed.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(renamed.limit(0))
+      case alterRemovePropRe(name, col0, what) if spark.catalog.tableExists(name) =>
+        val col = col0.stripPrefix("`").stripSuffix("`")
+        replicaSiblings(name).foreach { t =>
+          what.toUpperCase match {
+            case "DEFAULT" | "MATERIALIZED" | "ALIAS" =>
+              tableColMeta.get(t).foreach(ms => tableColMeta.put(t,
+                ms.map(mm => if (mm._1 == col) (mm._1, mm._2, "", "") else mm)))
+              tableDefaults.get(t).foreach(ds =>
+                tableDefaults.put(t, ds.filterNot(_._1 == col)))
+              hiddenInsertCols.get(t).foreach(hs =>
+                hiddenInsertCols.put(t, hs - col))
+            case other =>
+              val cur = tableColExtras.getOrElse(t, Map.empty)
+              cur.get(col).foreach { case (c1, c2, c3) =>
+                val upd = other match {
+                  case "COMMENT" => ("", c2, c3)
+                  case "CODEC" => (c1, "", c3)
+                  case _ => (c1, c2, "")
+                }
+                tableColExtras.put(t, cur + (col -> upd))
+              }
+          }
+        }
+        Some(spark.table(name).limit(0))
       case alterModColRe(name, ifExists, colName, _, _)
           if !spark.table(name).columns.contains(colName) =>
         // MODIFY COLUMN IF EXISTS on a missing column is a no-op; without
@@ -9475,6 +9817,48 @@ object ChSql {
             Some(spark.range(0).toDF("ok"))
         }
       case alterHintRe(name) if spark.catalog.tableExists(name) =>
+        // ADD/DROP INDEX maintain the declared-index list (metadata only
+        // — skip indexes are storage hints; SHOW CREATE renders them)
+        val addIdxRe = ("(?is)^ADD\\s+INDEX\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+          "(\\w+)\\s+(.*?)\\s*(?:\\b(FIRST|AFTER\\s+(\\w+))\\s*)?;?\\s*$").r
+        val dropIdxRe =
+          "(?is)^DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
+        val addProjRe = ("(?is)^ADD\\s+PROJECTION\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+          "(\\w+)\\s+\\((.*)\\)\\s*;?\\s*$").r
+        val dropProjRe =
+          "(?is)^DROP\\s+PROJECTION\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
+        val body = "(?is)^\\s*ALTER\\s+TABLE\\s+\\w+\\s+(.*)$".r
+          .findFirstMatchIn(chQuery).map(_.group(1)).getOrElse("")
+        splitArgs(body).map(_.trim).foreach {
+          case addIdxRe(idxName, rawDef, pos, after) =>
+            val idef = normalizeIndexDef(rawDef.trim)
+            val cur = tableIndexes.getOrElse(name, Vector.empty)
+              .filterNot(_._1 == idxName)
+            val updated = (Option(pos).map(_.trim.toUpperCase), Option(after)) match {
+              case (Some("FIRST"), _) => (idxName, idef) +: cur
+              case (Some(_), Some(aft)) =>
+                val at = cur.indexWhere(_._1 == aft)
+                if (at < 0) cur :+ ((idxName, idef))
+                else {
+                  val (pre, post) = cur.splitAt(at + 1)
+                  pre ++ Vector((idxName, idef)) ++ post
+                }
+              case _ => cur :+ ((idxName, idef))
+            }
+            tableIndexes.put(name, updated)
+          case dropIdxRe(idxName) =>
+            tableIndexes.put(name, tableIndexes.getOrElse(name, Vector.empty)
+              .filterNot(_._1 == idxName))
+          case addProjRe(pName, pBody) =>
+            tableProjections.put(name,
+              tableProjections.getOrElse(name, Vector.empty)
+                .filterNot(_._1 == pName) :+ ((pName, pBody.trim)))
+          case dropProjRe(pName) =>
+            tableProjections.put(name,
+              tableProjections.getOrElse(name, Vector.empty)
+                .filterNot(_._1 == pName))
+          case _ => ()
+        }
         Some(spark.range(0).toDF("ok"))
       // FREEZE marks active parts frozen (reference PartitionCommands
       // FREEZE -> shadow/ hardlinks; observable via system.parts.is_frozen)
@@ -9534,8 +9918,16 @@ object ChSql {
         val cleared = t.withColumn(colName, fill)
         cleared.createOrReplaceTempView(name); engineBacking.remove(name)
         Some(cleared.limit(0))
-      case alterCommentColRe(name) =>
-        Some(spark.table(name).limit(0)) // comments are metadata-only: no-op
+      case alterCommentColRe(name, col0, cmt) =>
+        // comments are metadata-only: record for SHOW CREATE / DESCRIBE
+        // (on every replica sharing the zookeeper path)
+        val col = col0.stripPrefix("`").stripSuffix("`")
+        replicaSiblings(name).foreach { t =>
+          val cur = tableColExtras.getOrElse(t, Map.empty)
+          val (_, codec, ttl) = cur.getOrElse(col, ("", "", ""))
+          tableColExtras.put(t, cur + (col -> (cmt, codec, ttl)))
+        }
+        Some(spark.table(name).limit(0))
       case renameTableRe(from, to) =>
         val t = spark.table(from)
         t.createOrReplaceTempView(to)

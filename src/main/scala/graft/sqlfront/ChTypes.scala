@@ -123,7 +123,10 @@ object ChTypes {
                              chNullable: Boolean = false,
                              defaultKind: String = "",
                              chTz: Option[String] = None,
-                             chType: String = "")
+                             chType: String = "",
+                             comment: Option[String] = None,
+                             codec: Option[String] = None,
+                             colTtl: Option[String] = None)
 
   /** The timezone literal of a DateTime('tz') / DateTime64(p, 'tz')
     * declaration — needed to render type-default (epoch) fills as the
@@ -135,6 +138,25 @@ object ChTypes {
   private val modifierKeywords = Set("default", "materialized", "alias",
     "ephemeral", "comment", "codec", "ttl", "primary", "settings")
 
+  /** SQL-compat type aliases -> the CH-native name DESCRIBE/SHOW CREATE
+    * render (reference DataTypeFactory::registerAlias). */
+  private val typeAliases: Map[String, String] = Map(
+    "int" -> "Int32", "integer" -> "Int32", "int4" -> "Int32",
+    "tinyint" -> "Int8", "int1" -> "Int8", "byte" -> "Int8",
+    "smallint" -> "Int16", "int2" -> "Int16",
+    "bigint" -> "Int64",
+    "float" -> "Float32", "real" -> "Float32", "single" -> "Float32",
+    "double" -> "Float64", "double precision" -> "Float64",
+    "varchar" -> "String", "char" -> "String", "text" -> "String",
+    "blob" -> "String", "clob" -> "String", "longtext" -> "String",
+    "mediumtext" -> "String", "tinytext" -> "String", "binary" -> "String",
+    "bytea" -> "String", "boolean" -> "Bool")
+
+  /** Canonical declared-type text: whole-name aliases mapped, everything
+    * else (already CH spelling) unchanged. */
+  def canonicalType(t: String): String =
+    typeAliases.getOrElse(t.trim.toLowerCase, t.trim)
+
   /** Parse a CREATE TABLE column list (INDEX/PROJECTION/CONSTRAINT/
     * PRIMARY KEY entries are storage hints, skipped). */
   def parseColumns(colList: String): Seq[ColumnDef] =
@@ -145,51 +167,54 @@ object ChTypes {
       else {
         val name = head.stripPrefix("`").stripSuffix("`")
         val rest = item.drop(head.length).trim
-        // the type runs to the first top-level modifier keyword
-        var i = 0; var depth = 0; var inStr = false; var typeEnd = rest.length
-        var defaultStart = -1; var defaultKind = ""
-        while (i < rest.length && typeEnd == rest.length) {
+        // every top-level modifier keyword position (quote/paren-aware);
+        // the type runs to the first one, each clause to the next
+        val marks = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+        var i = 0; var depth = 0; var inStr = false
+        while (i < rest.length) {
           val c = rest.charAt(i)
           if (inStr) { if (c == '\'') inStr = false }
           else if (c == '\'') inStr = true
           else if (c == '(') depth += 1
           else if (c == ')') depth -= 1
-          else if (depth == 0 && (i == 0 || !rest.charAt(i - 1).isLetterOrDigit)) {
+          else if (depth == 0 && (i == 0 || {
+            val p = rest.charAt(i - 1)
+            !p.isLetterOrDigit && p != '_' && p != '`'
+          })) {
             val word = rest.drop(i).takeWhile(ch => ch.isLetter).toLowerCase
-            if (modifierKeywords.contains(word) && word.nonEmpty) {
-              typeEnd = i
-              if (Set("default", "materialized", "alias").contains(word)) {
-                defaultKind = word
-                defaultStart = i + word.length
-              }
+            val nxt = i + word.length
+            val nextOk = nxt >= rest.length || {
+              val c2 = rest.charAt(nxt)
+              !c2.isLetterOrDigit && c2 != '_'
             }
+            if (modifierKeywords.contains(word) && word.nonEmpty && nextOk)
+              marks += ((i, word))
           }
           i += 1
         }
+        val typeEnd = marks.headOption.map(_._1).getOrElse(rest.length)
         val typeStr = rest.take(typeEnd).trim
-        // DEFAULT expr runs to the next top-level modifier or end
-        val dflt =
-          if (defaultStart < 0) None
-          else {
-            val tail = rest.drop(defaultStart).trim
-            var j = 0; var d2 = 0; var s2 = false; var end2 = tail.length
-            while (j < tail.length && end2 == tail.length) {
-              val c = tail.charAt(j)
-              if (s2) { if (c == '\'') s2 = false }
-              else if (c == '\'') s2 = true
-              else if (c == '(') d2 += 1
-              else if (c == ')') d2 -= 1
-              else if (d2 == 0 && (j == 0 || !tail.charAt(j - 1).isLetterOrDigit)) {
-                val w = tail.drop(j).takeWhile(_.isLetter).toLowerCase
-                if (modifierKeywords.contains(w) && w.nonEmpty && j > 0) end2 = j
-              }
-              j += 1
-            }
-            Some(tail.take(end2).trim).filter(_.nonEmpty)
-          }
+        // clause text of modifier `word`: from after the keyword to the
+        // next top-level modifier (or end)
+        def clause(word: String): Option[String] =
+          marks.zipWithIndex.collectFirst { case ((p, w), idx) if w == word =>
+            val from = p + w.length
+            val to = marks.lift(idx + 1).map(_._1).getOrElse(rest.length)
+            rest.substring(from, to).trim
+          }.filter(_.nonEmpty)
+        val defaultKind = marks.collectFirst {
+          case (_, w) if Set("default", "materialized", "alias").contains(w) => w
+        }.getOrElse("")
+        val dflt = if (defaultKind.isEmpty) None else clause(defaultKind)
+        val commentTxt = clause("comment")
+          .map(_.stripPrefix("'").stripSuffix("'"))
+        val codecTxt = clause("codec")
+          .map(_.trim.stripPrefix("(").stripSuffix(")").trim).filter(_.nonEmpty)
+        val ttlTxt = clause("ttl")
         if (typeStr.isEmpty && dflt.isDefined)
           // typeless `col DEFAULT expr`: type inferred from the expression
-          Some(ColumnDef(name, NullType, dflt, defaultKind = defaultKind))
+          Some(ColumnDef(name, NullType, dflt, defaultKind = defaultKind,
+            comment = commentTxt, codec = codecTxt, colTtl = ttlTxt))
         else if (typeStr.trim.toLowerCase.startsWith("nested")) {
           // CH `name Nested(a T1, b T2)` is sugar for the parallel-array
           // columns `name.a Array(T1)`, `name.b Array(T2)` (reference
@@ -202,7 +227,8 @@ object ChTypes {
         } else
           Some(ColumnDef(name, toSpark(typeStr), dflt,
             typeStr.trim.toLowerCase.startsWith("nullable"), defaultKind,
-            tzOf(typeStr), typeStr.trim))
+            tzOf(typeStr), canonicalType(typeStr),
+            comment = commentTxt, codec = codecTxt, colTtl = ttlTxt))
       }
     }
 }

@@ -361,6 +361,9 @@ object AnchorScout {
             !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 5)
         case fmtRe(body, fmt) if fmt.equalsIgnoreCase("LineAsString") &&
             !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 6)
+        case fmtRe(body, fmt) if (fmt.equalsIgnoreCase("TSVRaw") ||
+            fmt.equalsIgnoreCase("TabSeparatedRaw") || fmt.equalsIgnoreCase("Raw")) &&
+            !"(?is)^\\s*INSERT\\b".r.findFirstIn(body).isDefined => (body.trim, 6)
         case _ => (st1, 0)
       }
       val suppress = mode == 1
@@ -527,9 +530,10 @@ object AnchorScout {
       else {
         val i = math.max(0, gl.zipAll(wl, "<eof>", "<eof>")
           .indexWhere { case (a, b) => a != b })
+        val w = sys.env.get("ANCHOR_DIFF_WIDTH").map(_.toInt).getOrElse(80)
         Left(s"diff at line ${i + 1}: got " +
-          gl.lift(i).getOrElse("<eof>").take(80) + " want " +
-          wl.lift(i).getOrElse("<eof>").take(80))
+          gl.lift(i).getOrElse("<eof>").take(w) + " want " +
+          wl.lift(i).getOrElse("<eof>").take(w))
       }
     }
   } catch {
@@ -541,9 +545,22 @@ object AnchorScout {
   } finally spark.conf.set("spark.graft.chJoinDefaults", "false")
 
   def main(args: Array[String]): Unit = {
-    val spark = graft.core.Tables.session("local[8]", 8)
+    var spark = graft.core.Tables.session("local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
+
+    // One bad test can kill the shared SparkContext (task OOM, stop()
+    // from a failing eager command); every later test then reports
+    // INTERNAL_ERROR and the sweep's tail is garbage (the recurring
+    // "sick-JVM range" in rounds 15/16). Recover: on an INTERNAL_ERROR
+    // verdict, rebuild the session and retry the test once.
+    def revive(): Unit = {
+      try spark.stop() catch { case _: Throwable => }
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      spark = graft.core.Tables.session("local[8]", 8)
+      spark.sparkContext.setLogLevel("ERROR")
+    }
 
     val rangeRe = "^(\\d{5})-(\\d{5})$".r
     val names: Seq[String] = args.toSeq match {
@@ -564,7 +581,14 @@ object AnchorScout {
     }
     var pass = 0
     names.foreach { n =>
-      runTest(spark, sf, n) match {
+      if (spark.sparkContext.isStopped) { println(s"REVIVE before $n"); revive() }
+      val first = runTest(spark, sf, n)
+      val res = first match {
+        case Left(why) if why.contains("INTERNAL_ERROR") =>
+          println(s"REVIVE after $n"); revive(); runTest(spark, sf, n)
+        case r => r
+      }
+      res match {
         case Right(_) => pass += 1; println(s"PASS $n")
         case Left(why) => println(s"FAIL $n :: $why")
       }
