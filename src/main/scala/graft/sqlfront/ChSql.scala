@@ -1675,6 +1675,114 @@ object ChSql {
   private val defaultSettingValues: Map[String, String] = Map(
     "max_block_size" -> "65409",
     "enable_analyzer" -> "1", "allow_experimental_analyzer" -> "1")
+  /** system.settings catalog: name -> (default value, type, tier,
+    * description). A small curated slice of the reference's Settings.h —
+    * enough for the common `SELECT value/changed/type FROM
+    * system.settings WHERE name = '…'` probes; unlisted names that were
+    * SET still appear (changed=1, type guessed from the value). */
+  private val settingsCatalog: Seq[(String, String, String, String, String)] = Seq(
+    ("max_block_size", "65409", "UInt64", "Production",
+      "Maximum block size in rows for reading."),
+    ("max_insert_block_size", "1048449", "UInt64", "Production",
+      "The size of blocks in rows to form for insertion into a table."),
+    ("insert_quorum", "0", "UInt64Auto", "Production",
+      "Enables the quorum writes."),
+    ("mysql_max_rows_to_insert", "65536", "UInt64", "Production",
+      "The maximum number of rows in MySQL batch insertion of the MySQL storage engine."),
+    ("async_insert", "0", "Bool", "Production",
+      "If true, data from INSERT query is stored in queue and later flushed to table in background."),
+    ("join_algorithm", "direct,parallel_hash,hash", "JoinAlgorithm", "Production",
+      "Specifies which JOIN algorithm is used."),
+    ("join_use_nulls", "0", "Bool", "Production",
+      "Sets the type of JOIN behaviour: fill non-joined columns with NULLs or type defaults."),
+    ("compatibility", "", "String", "Production",
+      "Changes other settings according to provided ClickHouse version."),
+    ("allow_experimental_analyzer", "1", "Bool", "Beta",
+      "Allow new query analyzer."),
+    ("enable_analyzer", "1", "Bool", "Beta",
+      "Allow new query analyzer."),
+    ("max_threads", "'auto(16)'", "MaxThreads", "Production",
+      "The maximum number of query processing threads."),
+    ("max_rows_to_read", "0", "UInt64", "Production",
+      "Limitation on reading rows, applied on each shard separately."),
+    ("send_timeout", "300", "Seconds", "Production",
+      "Timeout for sending data to the network, in seconds."),
+    ("allow_settings_after_format_in_insert", "0", "Bool", "Production",
+      "Control whether SETTINGS after FORMAT in INSERT queries is allowed or not."),
+    ("allow_experimental_lightweight_update", "0", "Bool", "Experimental",
+      "Allow to use lightweight updates."),
+    ("optimize_move_to_prewhere", "1", "Bool", "Production",
+      "Enables or disables automatic PREWHERE optimization in SELECT queries."),
+    ("background_pool_size", "16", "UInt64", "Obsolete",
+      "Obsolete setting, does nothing."),
+    ("drain_timeout", "3", "Seconds", "Obsolete",
+      "Obsolete setting, does nothing."),
+    ("format_avro_schema_registry_url", "", "URI", "Production",
+      "For AvroConfluent format: Confluent Schema Registry URL."),
+    ("format_csv_delimiter", ",", "Char", "Production",
+      "The character to be considered as a delimiter in CSV data."),
+    ("max_alter_threads", "'auto(16)'", "MaxThreads", "Obsolete",
+      "Obsolete setting, does nothing."),
+    ("output_format_orc_compression_method", "zstd", "ORCCompression", "Production",
+      "Compression method for ORC output format."))
+
+  /** SET on either of these applies to BOTH names (alias_for pairs). */
+  private val settingAliases: Map[String, String] = Map(
+    "allow_experimental_analyzer" -> "enable_analyzer",
+    "enable_analyzer" -> "allow_experimental_analyzer")
+
+  /** Rows of system.settings, reflecting this session's SETs. */
+  private def settingsRows(): Seq[(String, String, Int, String, String,
+      String, Int, String, String, String, Int, String)] = {
+    def boolNorm(tpe: String, v: String): String =
+      if (tpe == "Bool") {
+        if (v.equalsIgnoreCase("true")) "1"
+        else if (v.equalsIgnoreCase("false")) "0" else v
+      } else v
+    // SET compatibility = 'X.Y' implicitly marks version-dependent
+    // settings changed and rewinds their values (reference
+    // Settings::applyCompatibilitySetting) — modeled for the analyzer
+    // pair, the one the compatibility anchors probe
+    val compatVer: Option[(Int, Int)] = recordedSettings.get("compatibility")
+      .map(_.stripPrefix("'").stripSuffix("'"))
+      .flatMap(v => "^(\\d+)\\.(\\d+)".r.findFirstMatchIn(v)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)))
+    val analyzerNames = Set("allow_experimental_analyzer", "enable_analyzer")
+    val catalog = settingsCatalog.map { case (n, dflt, tpe, tier, desc) =>
+      val recorded = recordedSettings.get(n)
+        .orElse(settingAliases.get(n).flatMap(recordedSettings.get))
+      val (value0, changed) = (recorded, compatVer) match {
+        case (Some(r), _) => (r.stripPrefix("'").stripSuffix("'"), 1)
+        case (None, Some((maj, min))) if analyzerNames.contains(n) &&
+            (maj < 24 || (maj == 24 && min < 4)) =>
+          // the analyzer default flipped in 24.4: older compatibility
+          // targets rewind it (marked changed); 24.3 keeps value 1
+          (if (maj == 24 && min == 3) "1" else "0", 1)
+        case _ => (dflt, 0)
+      }
+      val value = boolNorm(tpe, value0)
+      (n, value, changed, desc, "\\N", "\\N",
+        0, tpe, dflt, "", if (tier == "Obsolete") 1 else 0, tier)
+    }
+    val known = settingsCatalog.map(_._1).toSet
+    val extras = recordedSettings.toSeq.sortBy(_._1).collect {
+      case (n, raw) if !known.contains(n) =>
+        val v = raw.stripPrefix("'").stripSuffix("'")
+        val custom = n.startsWith("custom_")
+        val tpe =
+          if (v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false")) "Bool"
+          else if (v.matches("\\d+")) "UInt64"
+          else if (v.matches("-\\d+")) "Int64"
+          else if (v.matches("-?\\d*\\.\\d+")) "Float64"
+          else "String"
+        val norm = boolNorm(tpe, v)
+        if (custom)
+          (n, s"${tpe}_$norm", 1, "", "\\N", "\\N", 0, "Custom", "", "", 0, "Custom")
+        else (n, norm, 1, "", "\\N", "\\N", 0, tpe, "", "", 0, "Production")
+    }
+    catalog ++ extras
+  }
+
   /** The clickhouse-test server macros (tests/config/config.d/macros.xml). */
   private val testMacros: Map[String, String] = Map(
     "test" -> "Hello, world!", "shard" -> "s1", "replica" -> "r1",
@@ -8226,8 +8334,20 @@ object ChSql {
     * the per-test defaults). Unrecognized names stay absorbed, matching
     * the per-query SETTINGS-tail policy. */
   def applyAnchorSetting(spark: SparkSession, name: String, value0: String): Unit = {
+    // SET name = DEFAULT restores the built-in default and clears the
+    // changed flag (reference SettingsConstraints 02458)
+    if (value0.trim.equalsIgnoreCase("default")) {
+      recordedSettings.remove(name.toLowerCase)
+      return
+    }
+    val value = value0.trim.stripPrefix("'").stripSuffix("'")
+    // compatibility must be a dotted version string (reference
+    // Settings::applyCompatibilitySetting throws BAD_ARGUMENTS)
+    if (name.equalsIgnoreCase("compatibility") && value.nonEmpty &&
+        !value.matches("\\d+(\\.\\d+)*"))
+      throw new IllegalArgumentException(
+        s"BAD_ARGUMENTS: Unable to parse compatibility setting value '$value'")
     recordedSettings.put(name.toLowerCase, value0.trim)
-    val value = value0.stripPrefix("'").stripSuffix("'")
     val on = value == "1" || value.equalsIgnoreCase("true")
     name.toLowerCase match {
       case "join_use_nulls" =>
@@ -8298,6 +8418,38 @@ object ChSql {
           .replaceAll("(?i)\\bsystem\\.parts_columns\\b", "system_parts_columns")
           .replaceAll("(?i)\\bsystem\\.detached_parts\\b", "system_detached_parts")
           .replaceAll("(?i)\\bsystem\\.parts\\b", "system_parts")
+      }
+      if ("(?i)\\bsystem\\.settings\\b".r.findFirstIn(qq).isDefined) {
+        import spark.implicits._
+        settingsRows().toDF("name", "value", "changed", "description",
+          "min", "max", "readonly", "type", "default", "alias_for",
+          "is_obsolete", "tier")
+          .createOrReplaceTempView("system_settings")
+        qq = qq.replaceAll("(?i)\\bsystem\\.settings\\b", "system_settings")
+      }
+      if ("(?i)\\bsystem\\.data_skipping_indices\\b".r.findFirstIn(qq).isDefined) {
+        import spark.implicits._
+        val idxRows = tableIndexes.toSeq.sortBy(_._1).flatMap { case (t, idxs) =>
+          idxs.map { case (inm, idef) =>
+            val tpe = "(?i)\\bTYPE\\s+(\\w+)".r.findFirstMatchIn(idef)
+              .map(_.group(1)).getOrElse("")
+            val tpeFull = ("(?i)\\bTYPE\\s+(\\w+(?:\\((?:[^()]|\\([^()]*\\))*\\))?)").r
+              .findFirstMatchIn(idef).map(_.group(1)).getOrElse(tpe)
+            val expr = "(?is)^(.*?)\\s+TYPE\\b".r.findFirstMatchIn(idef)
+              .map(_.group(1)).getOrElse("")
+            val gran = "(?i)\\bGRANULARITY\\s+(\\d+)".r.findFirstMatchIn(idef)
+              .map(_.group(1).toLong).getOrElse(1L)
+            ("default", tableAliases.collectFirst {
+              case (o, m) if m == t => o }.getOrElse(t),
+              inm, tpe, tpeFull, expr, gran, 0L, 0L, 0L)
+          }
+        }
+        idxRows.toDF("database", "table", "name", "type", "type_full",
+          "expr", "granularity", "data_compressed_bytes",
+          "data_uncompressed_bytes", "marks")
+          .createOrReplaceTempView("system_data_skipping_indices")
+        qq = qq.replaceAll("(?i)\\bsystem\\.data_skipping_indices\\b",
+          "system_data_skipping_indices")
       }
       if ("(?i)\\bsystem\\.macros\\b".r.findFirstIn(qq).isDefined) {
         import spark.implicits._

@@ -332,10 +332,19 @@ object AnchorScout {
       if (st0.startsWith("@@SET@@")) {
         for (kv <- st0.drop(7).split(",")) {
           val eq = kv.indexOf('=')
-          if (eq > 0)
-            graft.sqlfront.ChSql.applyAnchorSetting(spark,
-              kv.substring(0, eq).trim,
-              kv.substring(eq + 1).trim.stripSuffix(";").trim)
+          if (eq > 0) {
+            val k = kv.substring(0, eq).trim
+            val v0 = kv.substring(eq + 1).trim.stripSuffix(";").trim
+            if (v0.endsWith("@@MUST_FAIL@@")) {
+              // a SET tagged `-- { serverError }` must throw
+              val v = v0.stripSuffix("@@MUST_FAIL@@").trim
+              val threw =
+                try { graft.sqlfront.ChSql.applyAnchorSetting(spark, k, v); false }
+                catch { case _: Throwable => true }
+              if (!threw)
+                throw AnchorFail(s"expected failure did not fail: SET $k")
+            } else graft.sqlfront.ChSql.applyAnchorSetting(spark, k, v0)
+          }
         }
         return (Seq.empty, false)
       }
