@@ -22,16 +22,77 @@ case class Base58Encode(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Base58Encode = copy(c)
 }
 
+/** The try* spelling: returns the EMPTY STRING on malformed input
+  * (reference tryBase58Decode docs — not NULL). */
 case class Base58Decode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullable: Boolean = true
-  override def nullSafeEval(input: Any): Any =
-    Encodings.base58DecodeEval(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(input: Any): Any = {
+    val r = Encodings.base58DecodeEval(input.asInstanceOf[UTF8String])
+    if (r == null) UTF8String.EMPTY_UTF8 else r
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
     nullSafeCodeGen(ctx, ev, a => s"""
       ${ev.value} = graft.functions.Encodings.base58DecodeEval($a);
-      ${ev.isNull} = (${ev.value} == null);""")
+      if (${ev.value} == null)
+        ${ev.value} = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8;""")
   override protected def withNewChildInternal(c: Expression): Base58Decode = copy(c)
+}
+
+case class Base58DecodeStrict(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Encodings.base58DecodeStrictEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Encodings.base58DecodeStrictEval($a);")
+  override protected def withNewChildInternal(c: Expression): Base58DecodeStrict = copy(c)
+}
+
+case class Base32DecodeStrict(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Encodings.base32DecodeStrictEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Encodings.base32DecodeStrictEval($a);")
+  override protected def withNewChildInternal(c: Expression): Base32DecodeStrict = copy(c)
+}
+
+case class Base64DecodeStrict(child: Expression, urlVariant: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Encodings.base64DecodeStrictEval(input.asInstanceOf[UTF8String], urlVariant)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Encodings.base64DecodeStrictEval($a, $urlVariant);")
+  override protected def withNewChildInternal(c: Expression): Base64DecodeStrict =
+    copy(child = c)
+}
+
+/** URL-safe unpadded base64 (reference base64URLEncode.cpp). Spark's
+  * built-in base64() MIME-chunks outputs over 76 chars — unusable here. */
+case class Base64UrlEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Encodings.base64UrlEncodeEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Encodings.base64UrlEncodeEval($a);")
+  override protected def withNewChildInternal(c: Expression): Base64UrlEncode =
+    copy(c)
+}
+
+case class Base64DecodeTry(child: Expression, urlVariant: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Encodings.base64DecodeTryEval(input.asInstanceOf[UTF8String], urlVariant)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Encodings.base64DecodeTryEval($a, $urlVariant);")
+  override protected def withNewChildInternal(c: Expression): Base64DecodeTry =
+    copy(child = c)
 }
 
 /** RFC 4648 base32 (reference src/Functions/ FunctionBase32Conversion
@@ -213,6 +274,9 @@ object Encodings {
   private val b32Index: Array[Int] = {
     val a = Array.fill(128)(-1)
     b32Alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    // the reference decoder is case-insensitive (03447: 'my======')
+    b32Alphabet.zipWithIndex.foreach { case (c, i) =>
+      if (c.isLetter) a(c.toLower.toInt) = i }
     a
   }
 
@@ -249,6 +313,7 @@ object Encodings {
     val str = s.toString
     val body = str.indexOf('=') match {
       case -1 => str
+      case 0 => return null // padding-only input is malformed (03447)
       case p => if (str.substring(p).forall(_ == '=')) str.substring(0, p) else return null
     }
     if (str.nonEmpty && str.length % 8 != 0) return null
@@ -395,6 +460,48 @@ object Encodings {
   def idnaDecodeEval(s: UTF8String): UTF8String =
     try UTF8String.fromString(java.net.IDN.toUnicode(s.toString))
     catch { case _: IllegalArgumentException => null }
+
+  /** Strict (throwing) decode kernels — the reference's base58Decode /
+    * base32Decode / base64Decode raise INCORRECT_DATA on malformed input
+    * (FunctionBase58Conversion.cpp); only the try* spellings return a
+    * default. */
+  def base58DecodeStrictEval(s: UTF8String): UTF8String = {
+    val r = base58DecodeEval(s)
+    if (r == null) throw new IllegalArgumentException(
+      s"INCORRECT_DATA: Invalid Base58 value: '$s'")
+    r
+  }
+
+  def base32DecodeStrictEval(s: UTF8String): UTF8String = {
+    val r = base32DecodeEval(s)
+    if (r == null) throw new IllegalArgumentException(
+      s"INCORRECT_DATA: Invalid Base32 value: '$s'")
+    r
+  }
+
+  def base64DecodeStrictEval(s: UTF8String, url: Boolean): UTF8String = {
+    val str = s.toString
+    val norm = (if (url) str.replace('-', '+').replace('_', '/') else str)
+      .replaceAll("\\s+", "")
+    // the standard alphabet requires full 4-symbol groups ('foo' is
+    // INCORRECT_DATA, 00732); the URL variant accepts unpadded tails
+    if (!url && norm.length % 4 != 0)
+      throw new IllegalArgumentException(
+        s"INCORRECT_DATA: Failed to decode Base64: '$str'")
+    try UTF8String.fromBytes(java.util.Base64.getDecoder.decode(norm))
+    catch {
+      case _: IllegalArgumentException => throw new IllegalArgumentException(
+        s"INCORRECT_DATA: Failed to decode Base64: '$str'")
+    }
+  }
+
+  def base64UrlEncodeEval(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes))
+
+  def base64DecodeTryEval(s: UTF8String, url: Boolean): UTF8String =
+    try base64DecodeStrictEval(s, url)
+    catch { case _: IllegalArgumentException => UTF8String.EMPTY_UTF8 }
 
   def base58Encode(c: Column): Column = column(Base58Encode(expression(c)))
   def base58Decode(c: Column): Column = column(Base58Decode(expression(c)))

@@ -172,6 +172,20 @@ object GraftFunctions {
       (es: Seq[Expression]) => graft.functions.Base58Encode(es.head)),
     (FunctionIdentifier("base58_decode"), info("base58_decode"),
       (es: Seq[Expression]) => graft.functions.Base58Decode(es.head)),
+    (FunctionIdentifier("base58_decode_strict"), info("base58_decode_strict"),
+      (es: Seq[Expression]) => graft.functions.Base58DecodeStrict(es.head)),
+    (FunctionIdentifier("base32_decode_strict"), info("base32_decode_strict"),
+      (es: Seq[Expression]) => graft.functions.Base32DecodeStrict(es.head)),
+    (FunctionIdentifier("base64_decode_strict"), info("base64_decode_strict"),
+      (es: Seq[Expression]) => graft.functions.Base64DecodeStrict(es.head, false)),
+    (FunctionIdentifier("base64url_decode_strict"), info("base64url_decode_strict"),
+      (es: Seq[Expression]) => graft.functions.Base64DecodeStrict(es.head, true)),
+    (FunctionIdentifier("base64url_encode"), info("base64url_encode"),
+      (es: Seq[Expression]) => graft.functions.Base64UrlEncode(es.head)),
+    (FunctionIdentifier("base64_decode_try"), info("base64_decode_try"),
+      (es: Seq[Expression]) => graft.functions.Base64DecodeTry(es.head, false)),
+    (FunctionIdentifier("base64url_decode_try"), info("base64url_decode_try"),
+      (es: Seq[Expression]) => graft.functions.Base64DecodeTry(es.head, true)),
     (FunctionIdentifier("idna_encode"), info("idna_encode"),
       (es: Seq[Expression]) => graft.functions.IdnaEncode(es.head)),
     (FunctionIdentifier("idna_decode"), info("idna_decode"),

@@ -390,8 +390,8 @@ object ChSql {
     "JSONExtractKeys" -> "t", "JSONLength" -> "t", "JSONType" -> "t",
     "JSONExtractArrayRaw" -> "t",
     // base58 / IDNA codecs (custom kernels, snake_case SQL names)
-    "base58Encode" -> "base58_encode", "base58Decode" -> "base58_decode",
-    "base32Encode" -> "base32_encode", "base32Decode" -> "base32_decode",
+    "base58Encode" -> "base58_encode", "base58Decode" -> "base58_decode_strict",
+    "base32Encode" -> "base32_encode", "base32Decode" -> "base32_decode_strict",
     "bech32Encode" -> "bech32_encode", "bech32Decode" -> "bech32_decode",
     "sparseGrams" -> "sparse_grams",
     "tryBase58Decode" -> "base58_decode",
@@ -4534,8 +4534,64 @@ object ChSql {
     out.append(s.substring(last)); out.toString
   }
 
+  /** CH string literals support \xHH byte escapes (reference Lexer /
+    * parseComplexEscapeSequence). Spark's parser doesn't — a literal
+    * containing \x re-emits as CAST(unhex('<hex>') AS STRING) with ALL
+    * its escapes decoded (02337 base58 of raw bytes, 00280). */
+  private def rewriteHexEscapeLiterals(q: String): String = {
+    if (!q.contains("\\x")) return q
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c != '\'') { sb.append(c); i += 1 }
+      else {
+        val start = i
+        i += 1
+        val raw = new StringBuilder
+        var closed = false
+        while (i < q.length && !closed) {
+          val ch = q.charAt(i)
+          if (ch == '\\' && i + 1 < q.length) {
+            raw.append(ch).append(q.charAt(i + 1)); i += 2
+          } else if (ch == '\'') { closed = true; i += 1 }
+          else { raw.append(ch); i += 1 }
+        }
+        val rawS = raw.toString
+        if (!closed || !rawS.contains("\\x")) sb.append(q, start, i)
+        else {
+          val out = new java.io.ByteArrayOutputStream
+          var j = 0
+          while (j < rawS.length) {
+            val ch = rawS.charAt(j)
+            if (ch == '\\' && j + 1 < rawS.length) {
+              rawS.charAt(j + 1) match {
+                case 'x' if j + 3 < rawS.length &&
+                    rawS.substring(j + 2, j + 4).matches("[0-9a-fA-F]{2}") =>
+                  out.write(Integer.parseInt(rawS.substring(j + 2, j + 4), 16))
+                  j += 4
+                case 'n' => out.write('\n'); j += 2
+                case 't' => out.write('\t'); j += 2
+                case 'r' => out.write('\r'); j += 2
+                case '0' => out.write(0); j += 2
+                case o =>
+                  out.write(String.valueOf(o).getBytes(utf8)); j += 2
+              }
+            } else {
+              out.write(String.valueOf(ch).getBytes(utf8)); j += 1
+            }
+          }
+          val hex = out.toByteArray.map(b => f"${b & 0xff}%02X").mkString
+          sb.append(s"CAST(unhex('$hex') AS STRING)")
+        }
+      }
+    }
+    sb.toString
+  }
+
   def rewrite(chSql: String): String = {
-    var q = hoistNestedArrayJoin(chSql)
+    var q = rewriteHexEscapeLiterals(hoistNestedArrayJoin(chSql))
 
     // getSizeOfEnumType: the declared Enum's member count — resolved
     // FIRST, while the Enum type text still exists (00511; later passes
@@ -6848,12 +6904,13 @@ object ChSql {
     // without the cast any string function over the result fails
     // analysis (found by the fuzzer: toInt64OrZero(base64Decode(...)))
     q = rewriteCalls(q, "base64Decode")(a =>
-      s"CAST(unbase64(${a(0)}) AS STRING)")
+      s"base64_decode_strict(${a(0)})")
     // URL-safe base64 alphabet (reference base64URLEncode.cpp)
+    // the URL-safe variant is UNPADDED (reference base64URLEncode.cpp)
     q = rewriteCalls(q, "base64URLEncode")(a =>
-      s"translate(base64(CAST(${a(0)} AS BINARY)), '+/', '-_')")
+      s"base64url_encode(${a(0)})")
     q = rewriteCalls(q, "base64URLDecode")(a =>
-      s"CAST(unbase64(translate(${a(0)}, '-_', '+/')) AS STRING)")
+      s"base64url_decode_strict(${a(0)})")
     // bar(x, min, max, width) — full blocks only (the reference also
     // emits eighth-blocks for the fractional tail)
     q = rewriteCalls(q, "bar")(a =>
@@ -7509,10 +7566,13 @@ object ChSql {
     q = rewriteCalls(q, "toBFloat16OrZero")(a =>
       s"to_bfloat16(coalesce(try_cast(CAST(${a(0)} AS STRING) AS DOUBLE), 0.0))")
     q = rewriteCalls(q, "toBFloat16")(a => s"to_bfloat16(${a(0)})")
+    // try* decodes return the EMPTY STRING on malformed input, not NULL
+    // (same strict kernel as base64Decode — Spark's try_to_binary is
+    // MIME-lenient and accepts inputs the reference rejects, 00732)
     q = rewriteCalls(q, "tryBase64Decode")(a =>
-      s"CAST(try_to_binary(${a(0)}, 'base64') AS STRING)")
+      s"base64_decode_try(${a(0)})")
     q = rewriteCalls(q, "tryBase64URLDecode")(a =>
-      s"CAST(try_to_binary(translate(${a(0)}, '-_', '+/'), 'base64') AS STRING)")
+      s"base64url_decode_try(${a(0)})")
     q = rewriteCalls(q, "parseReadableSizeOrZero")(a =>
       s"coalesce(${readableSize(a(0))}, 0.0)")
 
@@ -8254,6 +8314,72 @@ object ChSql {
     * Also provides the reference's `system.numbers` / `system.one`
     * virtual tables (src/TableFunctions + system tables used throughout
     * the reference's stateless tests). */
+  /** Fixed-arity table for functions whose argument-count errors the
+    * reference raises at ANALYSIS time (NUMBER_OF_ARGUMENTS_DOESNT_MATCH,
+    * reference IFunction::checkNumberOfArguments). Checked textually
+    * before rewrite so misuse fails the statement, not the executor. */
+  private val fnArity: Map[String, (Int, Int)] = Map(
+    "uuidtonum" -> (1, 2), "base64decode" -> (1, 1), "base64encode" -> (1, 1),
+    "base64urlencode" -> (1, 1), "base64urldecode" -> (1, 1),
+    "trybase64decode" -> (1, 1), "trybase64urldecode" -> (1, 1),
+    "base32encode" -> (1, 1), "base32decode" -> (1, 1),
+    "trybase32decode" -> (1, 1),
+    "base58encode" -> (1, 1), "base58decode" -> (1, 1),
+    "trybase58decode" -> (1, 1),
+    "neighbor" -> (2, 3), "isconstant" -> (1, 1),
+    "multiply" -> (2, 2), "plus" -> (2, 2), "minus" -> (2, 2),
+    "divide" -> (2, 2), "intdiv" -> (2, 2), "modulo" -> (2, 2),
+    "gcd" -> (2, 2), "lcm" -> (2, 2),
+    "h3getres0indexes" -> (0, 0),
+    "timeslots" -> (2, 3), "tupleconcat" -> (1, Int.MaxValue),
+    "arrayshingles" -> (2, 2),
+    "fromdayssinceyearzero" -> (1, 1), "fromdayssinceyearzero32" -> (1, 1),
+    "todayssinceyearzero" -> (1, 2),
+    "idnaencode" -> (1, 1), "idnadecode" -> (1, 1), "tryidnaencode" -> (1, 1),
+    "punycodeencode" -> (1, 1), "punycodedecode" -> (1, 1),
+    "trypunycodedecode" -> (1, 1),
+    "sqidencode" -> (1, Int.MaxValue), "sqiddecode" -> (1, 1),
+    "changeyear" -> (2, 2), "changemonth" -> (2, 2), "changeday" -> (2, 2),
+    "changehour" -> (2, 2), "changeminute" -> (2, 2), "changesecond" -> (2, 2),
+    "generateserialid" -> (1, 1), "generatesnowflakeid" -> (0, 2),
+    "parsereadablesize" -> (1, 1), "parsereadablesizeornull" -> (1, 1),
+    "parsereadablesizeorzero" -> (1, 1),
+    "bitslice" -> (2, 3), "comparesubstrings" -> (5, 5),
+    "tokens" -> (1, 3), "datetimetosnowflakeid" -> (1, 2),
+    "datetime64tosnowflakeid" -> (1, 2))
+
+  private[sqlfront] def checkFunctionArity(q: String): Unit = {
+    val fnRe = "(?i)\\b([A-Za-z_][A-Za-z_0-9]*)\\s*\\(".r
+    for (m <- fnRe.findAllMatchIn(q)) {
+      val fn = m.group(1).toLowerCase
+      fnArity.get(fn).foreach { case (lo, hi) =>
+        // count top-level commas between the matching parens
+        var i = m.end; var depth = 1; var inStr = false
+        var commas = 0; var nonWs = false
+        while (i < q.length && depth > 0) {
+          val c = q.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true; nonWs = true
+            case '(' => depth += 1; nonWs = true
+            case ')' => depth -= 1
+            case ',' => if (depth == 1) commas += 1; nonWs = true
+            case ch => if (!ch.isWhitespace) nonWs = true
+          }
+          i += 1
+        }
+        if (depth == 0) {
+          val n = if (!nonWs) 0 else commas + 1
+          if (n < lo || n > hi)
+            throw new IllegalArgumentException(
+              s"NUMBER_OF_ARGUMENTS_DOESNT_MATCH: function ${m.group(1)} " +
+                s"expects ${if (lo == hi) s"$lo" else s"$lo..$hi"} " +
+                s"arguments, got $n")
+        }
+      }
+    }
+  }
+
   def sql(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
     // Flag the session as dialect-routed for the duration of query
     // CONSTRUCTION (DataFrames analyze eagerly, so the CH-semantics
@@ -8271,6 +8397,7 @@ object ChSql {
     val prevN = spark.conf.getOption(nKey)
     spark.conf.set(nKey,
       "(?i)\\bNULLS\\s+(FIRST|LAST)\\b".r.findFirstIn(chQuery0).isDefined.toString)
+    checkFunctionArity(chQuery0)
     try sqlImpl(spark, dir, chQuery0)
     finally {
       prev match {
