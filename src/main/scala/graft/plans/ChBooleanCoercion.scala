@@ -385,6 +385,20 @@ object ChEmptySetAggDefaults extends Rule[LogicalPlan] {
     }
     case a: Average if !a.child.nullable && a.dataType == DoubleType =>
       Some(Literal(Double.NaN))
+    // any/anyLast on an empty set produce the TYPE DEFAULT (reference
+    // AggregateFunctionAny with non-Nullable argument; 03002)
+    case f: First if !f.child.nullable => Literal.default(f.dataType) match {
+      case d if d.dataType == f.dataType => Some(d)
+      case _ => None
+    }
+    case l: Last if !l.child.nullable => Literal.default(l.dataType) match {
+      case d if d.dataType == l.dataType => Some(d)
+      case _ => None
+    }
+    case v: AnyValue if !v.child.nullable => Literal.default(v.dataType) match {
+      case d if d.dataType == v.dataType => Some(d)
+      case _ => None
+    }
     case _ => None
   }
 
@@ -423,15 +437,24 @@ object ChEmptySetAggDefaults extends Rule[LogicalPlan] {
           a
         } else {
           val newExprs = a.aggregateExpressions.map {
-            case al @ Alias(ae: AggregateExpression, name)
-                if !ae.isDistinct && ae.filter.isEmpty =>
-              defaultFor(ae.aggregateFunction) match {
-                case Some(d) =>
-                  Alias(Coalesce(Seq(ae, d)), name)(exprId = al.exprId,
-                    qualifier = al.qualifier,
-                    explicitMetadata = Some(al.metadata))
-                case None => al
+            case al @ Alias(child, name) =>
+              // the default-coalesce applies at ANY depth (03002:
+              // uniq(b) * any(b) — the product of two defaulted
+              // aggregates, not a bare aggregate)
+              // transformUp: the rewritten Coalesce(ae, d) is not
+              // re-visited (transformDown would re-match ae forever)
+              val rewritten = child.transformUp {
+                case ae: AggregateExpression
+                    if !ae.isDistinct && ae.filter.isEmpty =>
+                  defaultFor(ae.aggregateFunction) match {
+                    case Some(d) => Coalesce(Seq(ae, d))
+                    case None => ae
+                  }
               }
+              if (rewritten eq child) al
+              else Alias(rewritten, name)(exprId = al.exprId,
+                qualifier = al.qualifier,
+                explicitMetadata = Some(al.metadata))
             case other => other
           }
           if (newExprs == a.aggregateExpressions) a

@@ -209,7 +209,10 @@ object ChParts {
     * decimal text, Date -> YYYYMMDD. Composite/string keys get a
     * sanitized text id — self-consistent with partitionID(). */
   def partitionIdOf(v: Any): String = v match {
-    case null => "all"
+    // a NULL partition-key value hashes to this fixed id (reference
+    // MergeTreePartition::getID — sipHash128 of the serialized Nullable
+    // NULL, one 0x01 flag byte regardless of the inner type; 03522)
+    case null => "2b16b490a87466b6a6d34fd9027f3c3d"
     case d: java.sql.Date => d.toString.replace("-", "")
     case d: java.time.LocalDate => d.toString.replace("-", "")
     case t: java.sql.Timestamp =>
@@ -259,7 +262,17 @@ object ChParts {
     * caller unions it into the view), or the block unchanged if the
     * table isn't tracked. */
   def tagBlock(spark: SparkSession, table: String, block: DataFrame,
-               rewriteExpr: String => String): DataFrame = {
+               rewriteExpr: String => String,
+               ordSource: DataFrame = null): DataFrame = {
+    // partition first-occurrence order comes from the PRE-SORT insert
+    // block (CH splits by partition before sorting rows by key)
+    val ordBlock = if (ordSource == null) block else ordSource
+    // a PHYSICAL column may shadow a virtual name (03033: `_part UInt32`
+    // declared in the table) — the declared column wins, skip tagging
+    if (block.columns.exists(c => c == "_part" || c == "_partition_id" ||
+        c == "_partition_value" || c == "_block_number" ||
+        c == "_part_offset" || c == "_sample_factor"))
+      return block
     val pb = partBy.getOrElse(table, return block)
     val gran = granularity.getOrElse(table, 8192L)
     val partCol =
@@ -298,7 +311,8 @@ object ChParts {
       }
     case class G(pv: Any, key: String, n: Long,
                  mn: java.sql.Timestamp, mx: java.sql.Timestamp,
-                 dn: java.sql.Timestamp, dx: java.sql.Timestamp, kb: Long)
+                 dn: java.sql.Timestamp, dx: java.sql.Timestamp, kb: Long,
+                 ord: Long = 0L)
     def aggList = Seq(count(lit(1)).as("__n")) ++
       tsCol.toSeq.flatMap(c =>
         Seq(min(col(c)).as("__mn"), max(col(c)).as("__mx"))) ++
@@ -313,7 +327,7 @@ object ChParts {
         if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
           r.getLong(r.fieldIndex(f)) else 0L
       G(pv, key, lg("__n"), ts("__mn"), ts("__mx"), ts("__dn"), ts("__dx"),
-        lg("__kb"))
+        lg("__kb"), lg("__ord"))
     }
     val groups2: Seq[G] =
       if (pb.isEmpty) {
@@ -329,8 +343,18 @@ object ChParts {
           .agg(aggList.head, aggList.tail: _*)
           .collect().map(r => readG(r, r.get(0), r.getString(1))).toSeq
         if (g.isEmpty) return tagEmpty(block)
-        // deterministic block-number order across the block's partitions
-        g.sortBy(x => partitionIdOf(x.pv))
+        // block numbers follow FIRST-OCCURRENCE order of each partition
+        // within the inserted block (reference MergeTreeDataWriter::
+        // splitBlockIntoParts keeps row order, 03522). zipWithIndex is
+        // the true row ordinal (monotonically_increasing_id is
+        // recomputed post-exchange and lies here); the reduce keeps the
+        // collected map at one entry per partition, driver-safe.
+        val firstIdx = ordBlock.select(partCol.cast("string")).rdd
+          .zipWithIndex
+          .map { case (r, i) => (Option(r.getString(0)), i) }
+          .reduceByKey(math.min)
+          .collectAsMap()
+        g.sortBy(x => firstIdx.getOrElse(Option(x.key), Long.MaxValue))
       }
     val newParts = groups2.map { g =>
       val blk = nextBlock.getOrElse(table, 1L)

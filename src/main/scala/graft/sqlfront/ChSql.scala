@@ -1808,9 +1808,11 @@ object ChSql {
     * at production scale parts metadata comes from the table format's
     * manifest, not from tracking). */
   private def recordPartsBlock(spark: SparkSession, name: String,
-                               sorted: DataFrame): Unit =
+                               sorted: DataFrame,
+                               original: DataFrame = null): Unit =
     if (ChParts.isTracked(name)) try {
-      val tagged0 = ChParts.tagBlock(spark, name, sorted, e => rewrite(e))
+      val tagged0 = ChParts.tagBlock(spark, name, sorted, e => rewrite(e),
+        ordSource = original)
       if (!(tagged0 eq sorted)) {
         val tagged = tagged0
           .withColumn("_partition_id",
@@ -9352,7 +9354,37 @@ object ChSql {
         }
         Some(spark.range(0).toDF("ok"))
       case createRe(kind, name, clauses, inner) =>
-        val df = sql(spark, dir, inner)
+        val df0 = sql(spark, dir, inner)
+        // an explicit column list before ENGINE renames (and casts) the
+        // SELECT result — `CREATE TABLE t (_part UInt32) ... AS SELECT 1`
+        // stores a PHYSICAL column `_part` (03033)
+        val declaredCols: Seq[ChTypes.ColumnDef] =
+          if (!kind.toUpperCase.startsWith("MATERIALIZED") &&
+              clauses.trim.startsWith("(")) {
+            val t = clauses.trim
+            var d = 0; var i2 = 0; var end = -1
+            while (i2 < t.length && end < 0) {
+              val c = t.charAt(i2)
+              if (c == '(') d += 1
+              else if (c == ')') { d -= 1; if (d == 0) end = i2 }
+              i2 += 1
+            }
+            if (end > 0)
+              try ChTypes.parseColumns(t.substring(1, end))
+              catch { case _: Exception => Seq.empty }
+            else Seq.empty
+          } else Seq.empty
+        val df =
+          if (declaredCols.nonEmpty &&
+              declaredCols.length == df0.columns.length) {
+            tableColMeta.put(name, declaredCols.map(cd => (cd.name,
+              if (cd.chType.nonEmpty) cd.chType else "String",
+              cd.defaultKind.toUpperCase, cd.defaultExpr.getOrElse(""))))
+            df0.toDF(declaredCols.map(_.name): _*).select(
+              declaredCols.map(cd =>
+                org.apache.spark.sql.functions.col(s"`${cd.name}`")
+                  .cast(cd.dataType).as(cd.name)): _*)
+          } else df0
         val out = if (kind.toUpperCase.startsWith("MATERIALIZED")) {
           // materialized: compute & persist the RESULT, not the query,
           // and register for insert-block propagation (the reference's
@@ -9661,7 +9693,7 @@ object ChSql {
         val appended = existing.unionByName(sorted)
         appended.createOrReplaceTempView(name)
         appendEngineBlock(name, existing, sorted)
-        recordPartsBlock(spark, name, sorted)
+        recordPartsBlock(spark, name, sorted, block)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
         Some(appended.limit(0))
@@ -9679,7 +9711,7 @@ object ChSql {
         val appended = existing.unionByName(sorted)
         appended.createOrReplaceTempView(name)
         appendEngineBlock(name, existing, sorted)
-        recordPartsBlock(spark, name, sorted)
+        recordPartsBlock(spark, name, sorted, block)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
         Some(appended.limit(0))
@@ -9739,7 +9771,7 @@ object ChSql {
         val appended = existing.unionByName(sorted)
         appended.createOrReplaceTempView(name)
         appendEngineBlock(name, existing, sorted)
-        recordPartsBlock(spark, name, sorted)
+        recordPartsBlock(spark, name, sorted, block)
         refreshDistributed(spark, name)
         propagateMatViews(spark, dir, name, block)
         Some(appended.limit(0))

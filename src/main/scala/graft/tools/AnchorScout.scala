@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   */
 object AnchorScout {
 
-  val base = "/root/reference/tests/queries/0_stateless"
+  val base = sys.env.getOrElse("ANCHOR_BASE",
+    "/root/reference/tests/queries/0_stateless")
 
   /** Markers whose presence makes a stateless test environment-bound or
     * actively dangerous to run inside a shared JVM. Kept in sync with the
