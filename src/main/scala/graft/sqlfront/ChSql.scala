@@ -8382,6 +8382,83 @@ object ChSql {
     }
   }
 
+  /** Find `expr AS <alias>` in a select list and substitute `(expr)` for
+    * every other standalone occurrence of the alias (outside string
+    * literals, backticks, qualified refs and nested `(SELECT …)`
+    * groups). Returns None when the alias has no such definition. */
+  private[sqlfront] def expandSelectAliasRefs(
+      q: String, alias: String): Option[String] = {
+    val asRe = ("(?is)\\bAS\\s+`?" +
+      java.util.regex.Pattern.quote(alias) + "`?(?![\\w])").r
+    val m = asRe.findFirstMatchIn(q).getOrElse(return None)
+    // walk back from the AS to the item start (previous top-level comma,
+    // opening paren, or SELECT keyword)
+    var i = m.start - 1
+    var depth = 0
+    var start = -1
+    while (i >= 0 && start < 0) {
+      q.charAt(i) match {
+        case ')' => depth += 1
+        case '(' => if (depth == 0) start = i + 1 else depth -= 1
+        case ',' if depth == 0 => start = i + 1
+        case c if (c == 't' || c == 'T') && depth == 0 &&
+            i >= 5 && q.substring(i - 5, i + 1).equalsIgnoreCase("select") &&
+            (i < 6 || !q.charAt(i - 6).isLetterOrDigit) =>
+          start = i + 1
+        case _ => ()
+      }
+      i -= 1
+    }
+    if (start < 0) return None
+    val exprTxt = q.substring(start, m.start).trim
+      .replaceAll("(?is)^(?:DISTINCT|ALL)\\s+", "")
+    if (exprTxt.isEmpty || exprTxt.equalsIgnoreCase(alias)) return None
+    // a generator alias (arrayJoin/explode) cannot be substituted into
+    // scalar positions — leave the error to surface
+    if ("(?i)\\b(arrayJoin|explode)\\s*\\(".r.findFirstIn(exprTxt).isDefined)
+      return None
+    val defEnd = m.end
+    val sb = new StringBuilder
+    var j = 0
+    var changed = false
+    while (j < q.length) {
+      val c = q.charAt(j)
+      if (c == '\'') {
+        // copy a string literal verbatim (escape-aware)
+        sb.append(c); j += 1
+        var closed = false
+        while (j < q.length && !closed) {
+          val ch = q.charAt(j)
+          sb.append(ch)
+          if (ch == '\\' && j + 1 < q.length) { sb.append(q.charAt(j + 1)); j += 2 }
+          else { if (ch == '\'') closed = true; j += 1 }
+        }
+      } else if (c == '`') {
+        val e = q.indexOf('`', j + 1)
+        val stop = if (e < 0) q.length else e + 1
+        sb.append(q, j, stop); j = stop
+      } else if (c.isLetter || c == '_') {
+        val k0 = j
+        while (j < q.length && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_')) j += 1
+        val word = q.substring(k0, j)
+        val prev = if (k0 == 0) ' ' else q.charAt(k0 - 1)
+        val isDef = k0 >= m.start && k0 < defEnd
+        // a re-definition elsewhere (`… AS alias`) must keep its name
+        val afterAs = locally {
+          var p = k0 - 1
+          while (p >= 0 && q.charAt(p).isWhitespace) p -= 1
+          p >= 1 && q.substring(math.max(0, p - 1), p + 1)
+            .equalsIgnoreCase("as") &&
+            (p < 2 || !q.charAt(p - 2).isLetterOrDigit)
+        }
+        if (word == alias && prev != '.' && !isDef && !afterAs) {
+          sb.append('(').append(exprTxt).append(')'); changed = true
+        } else sb.append(word)
+      } else { sb.append(c); j += 1 }
+    }
+    if (changed) Some(sb.toString) else None
+  }
+
   def sql(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
     // Flag the session as dialect-routed for the duration of query
     // CONSTRUCTION (DataFrames analyze eagerly, so the CH-semantics
@@ -8400,7 +8477,26 @@ object ChSql {
     spark.conf.set(nKey,
       "(?i)\\bNULLS\\s+(FIRST|LAST)\\b".r.findFirstIn(chQuery0).isDefined.toString)
     checkFunctionArity(chQuery0)
-    try sqlImpl(spark, dir, chQuery0)
+    // CH resolves SELECT-list aliases inside WHERE/PREWHERE/GROUP BY/
+    // HAVING of the same query (reference QueryNormalizer alias
+    // substitution — `SELECT f(x) AS w ... WHERE w > 0`). Spark doesn't:
+    // on an unresolved-column error naming a SELECT alias, substitute
+    // the alias expression textually and retry (bounded for the chained
+    // alias case, 00988).
+    def run(q: String, depth: Int): DataFrame =
+      try sqlImpl(spark, dir, q)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if depth < 8 && e.getMessage != null &&
+              e.getMessage.contains("UNRESOLVED_COLUMN") =>
+          val nm = "with name `([^`]+)`".r.findFirstMatchIn(e.getMessage)
+            .map(_.group(1))
+          nm.flatMap(n => expandSelectAliasRefs(q, n)) match {
+            case Some(q2) if q2 != q => run(q2, depth + 1)
+            case _ => throw e
+          }
+      }
+    try run(chQuery0, 0)
     finally {
       prev match {
         case Some(v) => spark.conf.set(graft.plans.ChDialect.key, v)
