@@ -409,7 +409,7 @@ object Functions9 {
         |  cast(to_timestamp((cast(epoch(cast('2020-01-01 10:' || lpad(cast(c_custkey % 60 AS VARCHAR), 2, '0') || ':23' AS TIMESTAMP)) AS BIGINT) // 600) * 600 + 600) AS TIMESTAMP) AS te,
         |  (cast(epoch(cast('2020-01-01 10:' || lpad(cast(c_custkey % 60 AS VARCHAR), 2, '0') || ':23' AS TIMESTAMP)) AS BIGINT) // 600) * 600 + 600 AS wid,
         |  c_mktsegment AS b64,
-        |  cast(NULL AS VARCHAR) AS b64_bad
+        |  cast('' AS VARCHAR) AS b64_bad
         |FROM customer WHERE c_custkey < 400
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
 

@@ -8459,6 +8459,53 @@ object ChSql {
     if (changed) Some(sb.toString) else None
   }
 
+  /** `SELECT … arrayJoin(e) AS w … WHERE f(w)`: CH filters AFTER the
+    * array expansion. A generator alias can't be substituted into the
+    * WHERE — wrap instead: `SELECT * FROM (select-without-where) WHERE
+    * f(w)`. Only the simple shape (top-level WHERE, nothing after the
+    * predicate) is handled — enough for the fill-query family. */
+  private[sqlfront] def wrapGeneratorWhere(
+      q: String, alias: String): Option[String] = {
+    if (!"(?is)^\\s*SELECT\\b".r.findFirstIn(q).isDefined) return None
+    val asRe = ("(?is)\\b(?:arrayJoin|explode)\\s*\\((?:[^()]|\\([^()]*\\))*\\)" +
+      "\\s+AS\\s+`?" + java.util.regex.Pattern.quote(alias) + "`?(?![\\w])").r
+    if (asRe.findFirstIn(q).isEmpty) return None
+    // locate the top-level WHERE (quote/paren aware)
+    var i = 0; var depth = 0; var inStr = false; var whereAt = -1
+    while (i < q.length && whereAt < 0) {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (c == 'w' || c == 'W') &&
+          i + 5 <= q.length &&
+          q.substring(i, i + 5).equalsIgnoreCase("where") &&
+          (i == 0 || !q.charAt(i - 1).isLetterOrDigit) &&
+          (i + 5 == q.length || !q.charAt(i + 5).isLetterOrDigit))
+        whereAt = i
+      i += 1
+    }
+    if (whereAt < 0) return None
+    val predAll = q.substring(whereAt + 5).trim.stripSuffix(";").trim
+    // ORDER BY / LIMIT after the predicate move OUTSIDE the wrap;
+    // GROUP BY / HAVING / set ops bail (the filter's position matters)
+    val tailKw = ("(?i)\\b(ORDER\\s+BY|LIMIT|SETTINGS|FORMAT)\\b").r
+      .findFirstMatchIn(predAll)
+    val (pred, suffix) = tailKw match {
+      case Some(mm) => (predAll.take(mm.start).trim,
+        " " + predAll.substring(mm.start).trim)
+      case None => (predAll, "")
+    }
+    if (pred.isEmpty ||
+        ("(?i)\\b(GROUP\\s+BY|HAVING|UNION|INTERSECT|" +
+          "EXCEPT|WINDOW)\\b").r.findFirstIn(pred).isDefined ||
+        !("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(alias) +
+          "\\b").r.findFirstIn(pred).isDefined)
+      return None
+    Some(s"SELECT * FROM (${q.substring(0, whereAt).trim}) WHERE $pred$suffix")
+  }
+
   def sql(spark: SparkSession, dir: String, chQuery0: String): DataFrame = {
     // Flag the session as dialect-routed for the duration of query
     // CONSTRUCTION (DataFrames analyze eagerly, so the CH-semantics
@@ -8491,7 +8538,8 @@ object ChSql {
               e.getMessage.contains("UNRESOLVED_COLUMN") =>
           val nm = "with name `([^`]+)`".r.findFirstMatchIn(e.getMessage)
             .map(_.group(1))
-          nm.flatMap(n => expandSelectAliasRefs(q, n)) match {
+          nm.flatMap(n => expandSelectAliasRefs(q, n)
+            .orElse(wrapGeneratorWhere(q, n))) match {
             case Some(q2) if q2 != q => run(q2, depth + 1)
             case _ => throw e
           }
@@ -8826,7 +8874,14 @@ object ChSql {
     // name so inserts/reads hit the target (flushes are transparent).
     val createAsTableRe =
       ("(?is)^\\s*CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-        "([\\w.]+)\\s+AS\\s+([\\w.]+)\\s*(?:ENGINE\\s*=?\\s*(\\w+)\\s*(?:\\(((?:[^()]|\\([^()]*\\))*)\\))?)?\\s*;?\\s*$").r
+        "([\\w.]+)\\s+AS\\s+([\\w.]+)\\s*(?:ENGINE\\s*=?\\s*(\\w+)\\s*(?:\\(((?:[^()]|\\([^()]*\\))*)\\))?)?\\s*" +
+        "((?:PARTITION\\s+BY|PRIMARY\\s+KEY|ORDER\\s+BY|SAMPLE\\s+BY|TTL\\b|SETTINGS|COMMENT)\\b.*?)?;?\\s*$").r
+    // `CREATE TABLE t ENGINE = X(...) AS src` — same clone, ENGINE first
+    // (count_from_formats.xml File-engine clones)
+    val createEngineAsTableRe =
+      ("(?is)^\\s*CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "([\\w.]+)\\s+(ENGINE\\s*=?\\s*\\w+\\s*(?:\\(((?:[^()]|\\([^()]*\\))*)\\))?)\\s*" +
+        "AS\\s+([\\w.]+)\\s*;?\\s*$").r
     // CREATE/DROP DATABASE and USE: the session catalog is single-
     // database (every `{CLICKHOUSE_DATABASE*}` macro collapses to
     // `default`), so database DDL is a no-op surface
@@ -9614,7 +9669,12 @@ object ChSql {
         Some(spark.range(0).toDF("ok"))
       case BareCreate(df) =>
         Some(df)
-      case createAsTableRe(name0, src0, engine, engineArgs)
+      case createEngineAsTableRe(name0, engineTxt, _, src0)
+          if spark.catalog.tableExists(
+            safeViewName(src0.stripPrefix("default."))) =>
+        // normalize to the AS-form clone and re-dispatch
+        innerDdl2(s"CREATE TABLE $name0 AS $src0 $engineTxt")
+      case createAsTableRe(name0, src0, engine, engineArgs, cloneTail)
           if spark.catalog.tableExists(
             safeViewName(src0.stripPrefix("default."))) =>
         val name = safeViewName(name0.stripPrefix("default."))
@@ -9683,9 +9743,22 @@ object ChSql {
           tableEngines.get(src).foreach(tableEngines.put(name, _))
           // the clone's DDL tail is its own ENGINE clause if given, else
           // the source's — never a stale tail from a prior same-named table
-          if (engine != null)
+          if (engine != null) {
+            val tailTxt = Option(cloneTail).map(_.trim).filter(_.nonEmpty)
+              .map(" " + _).getOrElse("")
             tableDdlTail.put(name, "ENGINE = " + engine +
-              Option(engineArgs).map(a => s"($a)").getOrElse(""))
+              Option(engineArgs).map(a => s"($a)").getOrElse("") + tailTxt)
+            // a MergeTree-family clone gets data-part bookkeeping like a
+            // bare CREATE (polymorphic_parts.xml clone-with-clauses)
+            if (engine.toLowerCase.contains("mergetree")) {
+              val pby = ("(?is)\\bPARTITION\\s+BY\\s+(.*?)\\s*(?=\\b(?:PRIMARY\\s+KEY|" +
+                "ORDER\\s+BY|SAMPLE\\s+BY|TTL|SETTINGS|COMMENT)\\b|;?\\s*$)").r
+                .findFirstMatchIn(tailTxt).map(_.group(1).trim).getOrElse("")
+              val gran = "(?i)index_granularity\\s*=\\s*(\\d+)".r
+                .findFirstMatchIn(tailTxt).map(_.group(1).toLong).getOrElse(8192L)
+              ChParts.register(name, pby, gran)
+            }
+          }
           else tableDdlTail.get(src) match {
             case Some(t) => tableDdlTail.put(name, t)
             case None => tableDdlTail.remove(name)

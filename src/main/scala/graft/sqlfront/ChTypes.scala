@@ -50,7 +50,12 @@ object ChTypes {
     try { toSpark(s); true } catch { case _: IllegalArgumentException => false }
 
   def toSpark(t0: String): DataType = {
-    val t = t0.trim
+    // `Array (UInt8)` is legal CH spelling (whitespace before the paren,
+    // has_all.xml); `Dynamic(max_types=N)` parameterizes a simple type
+    val t = t0.trim.replaceAll("^([A-Za-z_][A-Za-z_0-9]*)\\s+\\(", "$1(") match {
+      case s if s.toLowerCase.startsWith("dynamic(") => "Dynamic"
+      case s => s
+    }
     val lower = t.toLowerCase
     val head = lower.takeWhile(c => c.isLetterOrDigit || c == '_')
     simple.get(lower).getOrElse {
