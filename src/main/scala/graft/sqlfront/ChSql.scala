@@ -8064,6 +8064,10 @@ object ChSql {
     // D on template-emitted literals inside CASTs is value-preserving.
     q = rewriteFloatLiterals(q)
 
+    // `x IN [a, b, c]` arrived here as `x IN array(a, b, c)` (the
+    // bracket-literal pass) — Spark's IN wants a plain list (03257)
+    q = q.replaceAll("(?i)\\b(IN)\\s+array\\s*\\(", "$1 (")
+
     q.trim
   }
 
@@ -8699,6 +8703,20 @@ object ChSql {
           "is_obsolete", "tier")
           .createOrReplaceTempView("system_settings")
         qq = qq.replaceAll("(?i)\\bsystem\\.settings\\b", "system_settings")
+      }
+      if ("(?i)\\bsystem\\.merge_tree_settings\\b".r.findFirstIn(qq).isDefined) {
+        import spark.implicits._
+        Seq(
+          ("index_granularity", "8192", 0, "How many rows correspond to one primary key value.", "\\N", "\\N", 0, "UInt64", "8192", "", 0, "Production"),
+          ("adaptive_index_granularity_bytes", "10485760", 0, "Approximate amount of bytes in single granule.", "\\N", "\\N", 0, "UInt64", "10485760", "", 0, "Production"),
+          ("enable_block_number_column", "0", 0, "Enable persisting column _block_number for each row.", "\\N", "\\N", 0, "Bool", "0", "", 0, "Beta"),
+          ("allow_experimental_replacing_merge_with_cleanup", "0", 0, "Allow experimental CLEANUP merges.", "\\N", "\\N", 0, "Bool", "0", "", 0, "Experimental"),
+          ("kill_threads", "128", 0, "Obsolete setting, does nothing.", "\\N", "\\N", 0, "UInt64", "128", "", 1, "Obsolete"))
+          .toDF("name", "value", "changed", "description", "min", "max",
+            "readonly", "type", "default", "alias_for", "is_obsolete", "tier")
+          .createOrReplaceTempView("system_merge_tree_settings")
+        qq = qq.replaceAll("(?i)\\bsystem\\.merge_tree_settings\\b",
+          "system_merge_tree_settings")
       }
       if ("(?i)\\bsystem\\.data_skipping_indices\\b".r.findFirstIn(qq).isDefined) {
         import spark.implicits._
@@ -9673,7 +9691,7 @@ object ChSql {
           if spark.catalog.tableExists(
             safeViewName(src0.stripPrefix("default."))) =>
         // normalize to the AS-form clone and re-dispatch
-        innerDdl2(s"CREATE TABLE $name0 AS $src0 $engineTxt")
+        innerDdl(s"CREATE TABLE $name0 AS $src0 $engineTxt")
       case createAsTableRe(name0, src0, engine, engineArgs, cloneTail)
           if spark.catalog.tableExists(
             safeViewName(src0.stripPrefix("default."))) =>
