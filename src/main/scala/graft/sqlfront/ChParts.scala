@@ -162,6 +162,11 @@ object ChParts {
 
   def isTracked(table: String): Boolean = partBy.contains(table)
 
+  /** Active part names, in name order (CHECK TABLE listing). */
+  def activeParts(table: String): Seq[String] =
+    parts.getOrElse(table, Vector.empty)
+      .filter(_.state == "Active").map(_.name).sorted
+
   def partsOf(table: String): Vector[Part] =
     parts.getOrElse(table, Vector.empty)
 
@@ -495,7 +500,9 @@ object ChParts {
     * views from the registry. `_state` rides along as a real column —
     * the caller hides it from `*` via hiddenInsertCols. */
   def buildViews(spark: SparkSession,
-                 colTypes: String => Seq[(String, String)]): Unit = {
+                 colTypes: String => Seq[(String, String)],
+                 sparseKinds: String => Map[(String, String), String] =
+                   _ => Map.empty): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -542,16 +549,21 @@ object ChParts {
       .withColumn("part_name", org.apache.spark.sql.functions.col("name"))
       .withColumn("bytes", org.apache.spark.sql.functions.col("bytes_on_disk"))
       .createOrReplaceTempView("system_parts")
+    val sparseByTable = scala.collection.mutable.Map.empty[String, Map[(String, String), String]]
     val cols = all.flatMap { p =>
+      val sk = sparseByTable.getOrElseUpdate(p.table,
+        try sparseKinds(p.table)
+        catch { case scala.util.control.NonFatal(_) => Map.empty })
       colTypes(p.table).map { case (cn, ct) =>
         ("default", p.table, p.name, if (p.state == "Active") 1 else 0,
           p.rows, cn, ct, p.bytesOnDisk, p.bytesOnDisk, 8L * p.rows,
-          p.partition, p.partType)
+          p.partition, p.partType, sk.getOrElse((p.name, cn), "Default"))
       }
     }
     cols.toDF("database", "table", "name", "active", "rows", "column",
         "type", "column_bytes_on_disk", "column_data_compressed_bytes",
-        "column_data_uncompressed_bytes", "partition", "part_type")
+        "column_data_uncompressed_bytes", "partition", "part_type",
+        "serialization_kind")
       .createOrReplaceTempView("system_parts_columns")
   }
 }

@@ -1387,7 +1387,7 @@ object ChSql {
     legacyFormatTables.clear()
     alterVirtualCols.clear(); hiddenInsertCols.clear()
     tableDdlTail.clear(); tableColExtras.clear(); tableIndexes.clear()
-    tableProjections.clear(); replicaGroup.clear()
+    tableProjections.clear(); replicaGroup.clear(); tableSparseRatio.clear()
     ChParts.clear(); virtualShadow.clear(); detachedRows.clear()
     recordedSettings.clear()
     nestedColNames.clear()
@@ -1592,6 +1592,49 @@ object ChSql {
     * clause-per-line statement formatting. */
   private val tableProjections =
     scala.collection.concurrent.TrieMap.empty[String, Vector[(String, String)]]
+
+  /** Per-table ratio_of_defaults_for_sparse_serialization (CREATE
+    * SETTINGS; reference MergeTreeSettings default 0.9375). A part's
+    * column serializes Sparse when its default-value ratio is >= this. */
+  private val tableSparseRatio =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  /** serialization_kind per (part, column) for system.parts_columns:
+    * computed from the virtual-column shadow at query time (test scale;
+    * a real deployment reads this from the format's own manifest). */
+  private def sparseKindsFor(spark: SparkSession, t: String): Map[(String, String), String] =
+    virtualShadow.get(t) match {
+      case Some(sh) =>
+        import org.apache.spark.sql.functions._
+        val ratio = tableSparseRatio.getOrElse(t, 0.9375)
+        val defaultTest: Map[String, org.apache.spark.sql.Column] =
+          sh.schema.fields.filterNot(_.name.startsWith("_")).flatMap { f =>
+            import org.apache.spark.sql.types._
+            val c = col(s"`${f.name}`")
+            f.dataType match {
+              case _: NumericType => Some(f.name -> (c === lit(0)))
+              case StringType => Some(f.name -> (c === lit("")))
+              case BooleanType => Some(f.name -> (c === lit(false)))
+              case _: ArrayType => Some(f.name -> (size(c) === lit(0)))
+              case _ => None
+            }
+          }.toMap
+        if (defaultTest.isEmpty) Map.empty
+        else {
+          val aggs = defaultTest.toSeq.map { case (n, test) =>
+            avg(when(test, 1.0d).otherwise(0.0d)).as(n) }
+          sh.groupBy(col("_part")).agg(aggs.head, aggs.tail: _*)
+            .collect().flatMap { r =>
+              val part = r.getString(0)
+              defaultTest.keys.flatMap { n =>
+                val i = r.fieldIndex(n)
+                val frac = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+                if (frac >= ratio) Some((part, n) -> "Sparse") else None
+              }
+            }.toMap
+        }
+      case None => Map.empty
+    }
 
   /** table -> its Replicated* zookeeper path: tables sharing a path are
     * replicas of one another; metadata ALTERs propagate to all of them
@@ -4727,9 +4770,25 @@ object ChSql {
     }
 
     // bare USING k[, k2] -> USING (k, k2) (CH allows the paren-less list)
-    q = "(?is)\\bUSING\\s+(?!\\()([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)".r
-      .replaceAllIn(q, m => "USING (" +
-        java.util.regex.Matcher.quoteReplacement(m.group(1)) + ")")
+    // — matched on a literal-masked copy so 'using lightweight' inside a
+    // string stays untouched (02352)
+    locally {
+      val masked = locally {
+        val sb = new StringBuilder(q); var i = 0; var inStr = false
+        while (i < sb.length) {
+          val c = sb.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false else sb.setCharAt(i, ' ') }
+          else if (c == '\'') inStr = true
+          i += 1
+        }
+        sb.toString
+      }
+      val re = "(?is)\\bUSING\\s+(?!\\()([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)".r
+      val sb = new StringBuilder(q)
+      for (m <- re.findAllMatchIn(masked).toList.reverse)
+        sb.replace(m.start, m.end, "USING (" + q.substring(m.start(1), m.end(1)) + ")")
+      q = sb.toString
+    }
 
     // `expr :: Type` postfix cast (reference ParserCastOperator): binds to
     // the adjacent primary; routed through the to<Type> conversion
@@ -4839,6 +4898,8 @@ object ChSql {
     // table functions view(...) / numbers(...) (reference
     // src/TableFunctions/TableFunctionView.cpp, TableFunctionNumbers.cpp)
     q = rewriteCalls(q, "view")(a => s"(${a.mkString(", ")})")
+    // `numbers (1, N)` — whitespace before the arg list is legal CH
+    q = q.replaceAll("(?i)\\b(numbers|numbers_mt|zeros|zeros_mt)\\s+\\(", "$1(")
     for (n <- Seq("numbers", "numbers_mt"))
       q = rewriteCalls(q, n)(a =>
         if (a.length >= 2)
@@ -8683,7 +8744,8 @@ object ChSql {
             if (spark.catalog.tableExists(t))
               spark.table(t).schema.fields.toSeq
                 .map(f => (f.name, f.dataType.simpleString))
-            else Seq.empty))
+            else Seq.empty),
+          t => sparseKindsFor(spark, t))
         hiddenInsertCols.put("system_parts",
           Set("_state", "part_name", "bytes"))
         import spark.implicits._
@@ -9289,6 +9351,9 @@ object ChSql {
         val gran = "(?i)index_granularity\\s*=\\s*(\\d+)".r
           .findFirstMatchIn(rest).map(_.group(1).toLong).getOrElse(8192L)
         ChParts.register(name, pby, gran)
+        "(?i)ratio_of_defaults_for_sparse_serialization\\s*=\\s*'?([0-9.]+)'?".r
+          .findFirstMatchIn(rest)
+          .foreach(mm => tableSparseRatio.put(name, mm.group(1).toDouble))
         ("(?is)\\bTTL\\s+(.+?)\\s*(?=\\b(?:SETTINGS|ORDER\\s+BY|PARTITION\\s+BY|" +
           "PRIMARY\\s+KEY|SAMPLE\\s+BY|COMMENT)\\b|;?\\s*$)").r
           .findFirstMatchIn(rest)
@@ -9476,6 +9541,19 @@ object ChSql {
         Some(Seq(s"$header\n(\n" +
           (cols ++ idxLines).mkString(",\n") + s"\n)\n$tail")
           .toDF("statement"))
+      case q9 if "(?is)^\\s*CHECK\\s+TABLE\\s+\\w+.*$".r.pattern.matcher(q9).matches =>
+        // CHECK TABLE (reference InterpreterCheckQuery): every part is
+        // consistent by construction here. single_value_result=0 lists
+        // one row per part (part_name, 1, ''); default returns 1.
+        import spark.implicits._
+        val nm = "(?is)^\\s*CHECK\\s+TABLE\\s+(\\w+)".r
+          .findFirstMatchIn(q9).get.group(1)
+        val perPart = "(?i)check_query_single_value_result\\s*=\\s*0".r
+          .findFirstIn(q9).isDefined
+        if (perPart && ChParts.isTracked(nm))
+          Some(ChParts.activeParts(nm).map(p => (p, 1, ""))
+            .toDF("part_path", "is_passed", "message"))
+        else Some(Seq(1).toDF("result"))
       case existsRe(name0)
           if !chQuery.trim.toLowerCase.startsWith("exists table (") =>
         import spark.implicits._
@@ -9817,6 +9895,7 @@ object ChSql {
         tableDdlTail.remove(name)
         tableColExtras.remove(name); tableIndexes.remove(name)
         tableProjections.remove(name); replicaGroup.remove(name)
+        tableSparseRatio.remove(name)
         ChParts.drop(name); virtualShadow.remove(name)
         detachedRows.remove(name)
         spark.catalog.dropTempView("__vt_" + name)
