@@ -4635,8 +4635,320 @@ object ChSql {
     sb.toString
   }
 
+  /** The format(Fmt[, 'structure'], 'data') TABLE function (reference
+    * TableFunctionFormat.cpp): parses the inline data and emits a VALUES
+    * relation. JSONEachRow keeps each leaf's RAW source text (array
+    * values render with their original spacing, 02875); CSV/TSV parse
+    * against the declared structure. Settings
+    * input_format_json_read_numbers_as_strings / read_arrays_as_strings
+    * widen the inferred column types like the reference. */
+  private def rewriteFormatTableFn(q0: String): String = {
+    if (!"(?i)\\bformat\\s*\\(".r.findFirstIn(q0).isDefined) return q0
+    val fromRe = "(?i)\\b(FROM|JOIN)\\s+format\\s*\\(".r
+    val m = fromRe.findFirstMatchIn(q0).getOrElse(return q0)
+    val open = q0.indexOf('(', m.start + m.group(1).length)
+    // find the balanced close
+    var i = open; var depth = 0; var inStr = false; var close = -1
+    while (i < q0.length && close < 0) {
+      val c = q0.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < q0.length) i += 1
+        else if (c == '\'') inStr = false
+      }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+      i += 1
+    }
+    if (close < 0) return q0
+    val args = splitArgs(q0.substring(open + 1, close)).map(_.trim)
+    if (args.length < 2 || args.length > 3) return q0
+    val fmt = args.head.stripPrefix("'").stripSuffix("'")
+    def unlit(s: String): Option[String] =
+      if (s.startsWith("'") && s.endsWith("'") && s.length >= 2)
+        Some(unescapeCh(s.substring(1, s.length - 1)))
+      else if (s.startsWith("$$") && s.endsWith("$$"))
+        Some(s.substring(2, s.length - 2))
+      else None
+    val structure =
+      if (args.length == 3) unlit(args(1)).orElse(return q0) else None
+    val data = unlit(args.last).getOrElse(return q0)
+    val rel = try formatRelation(fmt, structure, data) catch {
+      case scala.util.control.NonFatal(_) => return q0
+    }
+    rel match {
+      case Some(r) =>
+        rewriteFormatTableFn(
+          q0.substring(0, m.start) + m.group(1) + " " + r +
+            q0.substring(close + 1))
+      case None => q0
+    }
+  }
+
+  /** CH string-literal unescape (the lexer's escapes). */
+  private def unescapeCh(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r'); case '0' => sb.append('\u0000')
+          case '\\' => sb.append('\\'); case '\'' => sb.append('\'')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One parsed JSONEachRow line: key -> (rawText, kind) where kind is
+    * 's' string (raw WITHOUT the quotes, unescaped), 'i' integer,
+    * 'f' float, 'b' bool, 'n' null, 'a' array raw, 'o' object raw. */
+  private def scanJsonLine(line: String): Seq[(String, (String, Char))] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, (String, Char))]
+    var i = 0
+    def ws(): Unit = while (i < line.length && line.charAt(i).isWhitespace) i += 1
+    def str(): String = {
+      // at opening quote
+      val sb = new StringBuilder; i += 1
+      while (i < line.length && line.charAt(i) != '"') {
+        val c = line.charAt(i)
+        if (c == '\\' && i + 1 < line.length) {
+          line.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case 'u' =>
+              if (i + 5 < line.length) {
+                sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar)
+                i += 4
+              }
+            case o => sb.append(o)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    def value(): (String, Char) = {
+      ws()
+      val start = i
+      line.charAt(i) match {
+        case '"' => (str(), 's')
+        case '[' | '{' =>
+          val openCh = line.charAt(i); val closeCh = if (openCh == '[') ']' else '}'
+          var d = 0; var inS = false
+          while (i < line.length && (d > 0 || i == start)) {
+            val c = line.charAt(i)
+            if (inS) {
+              if (c == '\\') i += 1 else if (c == '"') inS = false
+            } else if (c == '"') inS = true
+            else if (c == openCh) d += 1
+            else if (c == closeCh) d -= 1
+            i += 1
+          }
+          (line.substring(start, i), if (openCh == '[') 'a' else 'o')
+        case _ =>
+          while (i < line.length && !",}]".contains(line.charAt(i)) &&
+            !line.charAt(i).isWhitespace) i += 1
+          val tok = line.substring(start, i)
+          if (tok == "null") (tok, 'n')
+          else if (tok == "true" || tok == "false") (tok, 'b')
+          else if (tok.matches("-?\\d+")) (tok, 'i')
+          else (tok, 'f')
+      }
+    }
+    ws()
+    if (i >= line.length || line.charAt(i) != '{') return out.toSeq
+    i += 1
+    var done = false
+    while (!done) {
+      ws()
+      if (i >= line.length || line.charAt(i) == '}') done = true
+      else {
+        if (line.charAt(i) == ',') { i += 1; ws() }
+        if (i < line.length && line.charAt(i) == '"') {
+          val k = str(); ws()
+          if (i < line.length && line.charAt(i) == ':') i += 1
+          out += (k -> value())
+        } else done = true
+      }
+    }
+    out.toSeq
+  }
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Build the inline relation text for format(...), or None when the
+    * format/shape isn't supported. */
+  private def formatRelation(fmt: String, structure: Option[String],
+                             data: String): Option[String] = {
+    val lines = data.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val declared = structure.map(s => ChTypes.parseColumns(s))
+    fmt.toLowerCase match {
+      case "jsoneachrow" =>
+        val rows = lines.map(scanJsonLine)
+        val cols: Seq[String] = declared.map(_.map(_.name)).getOrElse {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          rows.foreach(_.foreach { case (k, _) => seen += k })
+          seen.toSeq
+        }
+        if (cols.isEmpty) return None
+        val numbersAsStrings = recordedSettings
+          .get("input_format_json_read_numbers_as_strings").exists(_ == "1")
+        // per-column kind: declared type wins; else inferred
+        val arraysAsStrings0 = recordedSettings
+          .get("input_format_json_read_arrays_as_strings").exists(_ == "1")
+        val colType: Map[String, String] = cols.map { c =>
+          val vals = rows.flatMap(_.collectFirst {
+            case (k, v) if k == c => v })
+          val kinds = vals.map(_._2)
+          val t = declared.flatMap(_.find(_.name == c)).map(_.chType) match {
+            case Some(ct) if "(?i)^(Tuple|Map|Array|Nested|Variant|JSON)".r
+                .findFirstIn(ct.trim).isDefined =>
+              return None // composite declared targets unsupported here
+            case Some(ct) if ct.nonEmpty => chToSparkLite(ct)
+            case _ =>
+              val ks = kinds.filterNot(_ == 'n').distinct
+              if (ks.isEmpty) "string"
+              else if (ks == Seq('i')) "bigint"
+              else if (ks.forall(k => k == 'i' || k == 'f')) "double"
+              else if (ks.forall(k => k == 'b')) "boolean"
+              else if (ks == Seq('a') && !arraysAsStrings0) {
+                // typed array; element type from every row's elements
+                val allInt = vals.filter(_._2 == 'a').forall { case (raw, _) =>
+                  splitArgs(raw.trim.stripPrefix("[").stripSuffix("]"))
+                    .map(_.trim).filter(_.nonEmpty)
+                    .forall(_.matches("-?\\d+"))
+                }
+                if (allInt) "array<bigint>" else "array<string>"
+              }
+              else if (ks.forall(k => k == 's' || k == 'i' || k == 'f') &&
+                numbersAsStrings) "string"
+              else if (ks.forall(k => k == 's')) "string"
+              else if (ks.forall(k => k == 'a' || k == 's')) "string"
+              else return None
+          }
+          c -> t
+        }.toMap
+        val valueRows = rows.map { r =>
+          cols.map { c =>
+            r.collectFirst { case (k, v) if k == c => v } match {
+              case None | Some((_, 'n')) =>
+                s"CAST(NULL AS ${colType(c)})"
+              case Some((raw, kd)) =>
+                // an inferred (not declared, not read-as-strings) array
+                // renders CH-style: Array(Int64) bare, Array(String)
+                // single-quoted elements (02422)
+                val arraysAsStrings = recordedSettings
+                  .get("input_format_json_read_arrays_as_strings")
+                  .exists(_ == "1")
+                if (kd == 'a' && colType(c).startsWith("array<")) {
+                  // a TYPED array (structural quotes render CH-style)
+                  val elems = splitArgs(
+                    raw.trim.stripPrefix("[").stripSuffix("]"))
+                    .map(_.trim).filter(_.nonEmpty)
+                  if (colType(c) == "array<bigint>")
+                    elems.mkString("array(", ", ", ")")
+                  else elems.map(e =>
+                    sqlLit(if (e.startsWith("\"") && e.endsWith("\""))
+                      e.substring(1, e.length - 1) else e))
+                    .mkString("array(", ", ", ")")
+                } else colType(c) match {
+                  case "string" => sqlLit(raw)
+                  case t if kd == 'b' =>
+                    s"CAST(${if (raw == "true") "1" else "0"} AS $t)"
+                  case t => s"CAST(${sqlLit(raw)} AS $t)"
+                }
+            }
+          }.mkString("(", ", ", ")")
+        }
+        val alias = "__fmt_" + math.abs(data.hashCode).toString
+        if (valueRows.isEmpty)
+          Some("(SELECT " + cols.map(c =>
+            s"CAST(NULL AS ${colType(c)}) AS `$c`").mkString(", ") +
+            " WHERE false) AS " + alias)
+        else
+          Some("(VALUES " + valueRows.mkString(", ") + " AS " + alias +
+            cols.map(c => s"`$c`").mkString("(", ", ", ")") + ")")
+      case "csv" | "tsv" | "tabseparated" if declared.isDefined =>
+        val cds = declared.get
+        if (cds.exists(cd => "(?i)^(Tuple|Map|Nested|Variant|JSON)".r
+            .findFirstIn(cd.chType.trim).isDefined)) return None
+        val sep = if (fmt.equalsIgnoreCase("csv")) ',' else '\t'
+        def splitCsv(ln: String): Seq[String] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val cur = new StringBuilder
+          var i2 = 0; var inQ = false
+          while (i2 < ln.length) {
+            val c = ln.charAt(i2)
+            if (inQ) {
+              if (c == '"') {
+                if (i2 + 1 < ln.length && ln.charAt(i2 + 1) == '"') {
+                  cur.append('"'); i2 += 1
+                } else inQ = false
+              } else cur.append(c)
+            }
+            else if (c == '"' && cur.isEmpty) inQ = true
+            else if (c == sep) { out += cur.toString; cur.clear() }
+            else cur.append(c)
+            i2 += 1
+          }
+          out += cur.toString
+          out.toSeq.map(_.trim)
+        }
+        val valueRows = lines.map { ln =>
+          val fields = splitCsv(ln)
+          cds.zipWithIndex.map { case (cd, ix) =>
+            val t = chToSparkLite(cd.chType)
+            val f = fields.lift(ix).getOrElse("")
+            if (f == "\\N") s"CAST(NULL AS $t)"
+            else if (f.isEmpty && t != "string") t match {
+              // a missing field fills the TYPE DEFAULT (02834)
+              case "date" => "CAST('1970-01-01' AS date)"
+              case "timestamp" => "CAST('1970-01-01 00:00:00' AS timestamp)"
+              case other => s"CAST(0 AS $other)"
+            }
+            else if (t == "string") sqlLit(f)
+            // CH text parsing of dates is best-effort (yyyyMMdd,
+            // comma-free variants — 02916/02812): route through the
+            // dialect's own parse kernels, which later passes rewrite
+            else if (t == "date") s"toDate(${sqlLit(f)})"
+            else if (t == "timestamp")
+              s"parseDateTimeBestEffort(${sqlLit(f)})"
+            else s"CAST(${sqlLit(f)} AS $t)"
+          }.mkString("(", ", ", ")")
+        }
+        if (valueRows.isEmpty) None
+        else Some("(VALUES " + valueRows.mkString(", ") + " AS __fmt_csv" +
+          cds.map(cd => s"`${cd.name}`").mkString("(", ", ", ")") + ")")
+      case _ => None
+    }
+  }
+
+  /** Spark cast-target for a CH type (the simple subset format() needs). */
+  private def chToSparkLite(ct: String): String = {
+    val b = ct.trim.replaceAll("(?i)^Nullable\\((.*)\\)$", "$1")
+    b.toLowerCase match {
+      case "string" | "fixedstring" => "string"
+      case t if t.startsWith("fixedstring") => "string"
+      case "uint8" | "int8" | "int16" | "uint16" | "int32" => "int"
+      case "uint32" | "int64" | "uint64" => "bigint"
+      case "float32" => "float"
+      case "float64" => "double"
+      case "date" => "date"
+      case t if t.startsWith("datetime") => "timestamp"
+      case "bool" => "boolean"
+      case _ => "string"
+    }
+  }
+
   def rewrite(chSql: String): String = {
-    var q = rewriteHexEscapeLiterals(hoistNestedArrayJoin(chSql))
+    var q = rewriteFormatTableFn(
+      rewriteHexEscapeLiterals(hoistNestedArrayJoin(chSql)))
 
     // getSizeOfEnumType: the declared Enum's member count — resolved
     // FIRST, while the Enum type text still exists (00511; later passes
