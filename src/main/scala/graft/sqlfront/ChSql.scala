@@ -8790,6 +8790,31 @@ object ChSql {
     val exprTxt = q.substring(start, m.start).trim
       .replaceAll("(?is)^(?:DISTINCT|ALL)\\s+", "")
     if (exprTxt.isEmpty || exprTxt.equalsIgnoreCase(alias)) return None
+    // the alias is only visible inside ITS OWN select block — outer
+    // occurrences are projected-column references and must keep the
+    // name (00277: arr defined in a subquery, summed outside). Scope =
+    // the innermost paren group containing the definition.
+    val (scopeLo, scopeHi) = locally {
+      var lo = 0; var hi = q.length
+      val stack = scala.collection.mutable.Stack.empty[Int]
+      var k = 0; var inS = false
+      while (k < q.length) {
+        val c = q.charAt(k)
+        if (inS) { if (c == '\'') inS = false }
+        else if (c == '\'') inS = true
+        else if (c == '(') stack.push(k)
+        else if (c == ')') {
+          if (stack.nonEmpty) {
+            val o = stack.pop()
+            if (o < m.start && k > m.start && o >= lo && k <= hi) {
+              lo = o + 1; hi = k
+            }
+          }
+        }
+        k += 1
+      }
+      (lo, hi)
+    }
     // a generator alias (arrayJoin/explode) cannot be substituted into
     // scalar positions — leave the error to surface
     if ("(?i)\\b(arrayJoin|explode)\\s*\\(".r.findFirstIn(exprTxt).isDefined)
@@ -8828,7 +8853,8 @@ object ChSql {
             .equalsIgnoreCase("as") &&
             (p < 2 || !q.charAt(p - 2).isLetterOrDigit)
         }
-        if (word == alias && prev != '.' && !isDef && !afterAs) {
+        if (word == alias && prev != '.' && !isDef && !afterAs &&
+            k0 >= scopeLo && k0 < scopeHi) {
           sb.append('(').append(exprTxt).append(')'); changed = true
         } else sb.append(word)
       } else { sb.append(c); j += 1 }
