@@ -3232,6 +3232,15 @@ object ChSql {
         throw new IllegalArgumentException(
           s"ARGUMENT_OUT_OF_BOUND: topK load factor $lf out of [1, 65536]")
     }
+    // groupArraySorted(N)(x): the N smallest values, ascending
+    // (reference AggregateFunctionGroupArraySorted.cpp)
+    q = rewriteParamCalls(q, "groupArraySorted")((p, a) =>
+      s"slice(sort_array(collect_list(${a(0)})), 1, ${p(0)})")
+    q = rewriteCalls(q, "groupArraySorted")(a =>
+      s"sort_array(collect_list(${a(0)}))")
+    // sleep/sleepEachRow: scheduling no-ops here; both return 0
+    q = rewriteCalls(q, "sleep")(_ => "CAST(0 AS TINYINT)")
+    q = rewriteCalls(q, "sleepEachRow")(_ => "CAST(0 AS TINYINT)")
     q = rewriteParamCalls(q, "topK")((p, a) => {
       topKCheck(p)
       if (p.length >= 3 && p(2).toLowerCase.contains("counts")) topN(p(0), a(0))

@@ -54,6 +54,8 @@ object ChTypes {
     // has_all.xml); `Dynamic(max_types=N)` parameterizes a simple type
     val t = t0.trim.replaceAll("^([A-Za-z_][A-Za-z_0-9]*)\\s+\\(", "$1(") match {
       case s if s.toLowerCase.startsWith("dynamic(") => "Dynamic"
+      case s if s.toLowerCase.startsWith("json(") => "JSON"
+      case s if s.toLowerCase.startsWith("object(") => "JSON"
       case s => s
     }
     val lower = t.toLowerCase
@@ -107,10 +109,12 @@ object ChTypes {
           val p = math.min(args(0), 38)
           if (args.length == 2) DecimalType(p, math.min(args(1), p))
           else DecimalType(p, 0)
-        case "decimal32" => DecimalType(9, inner(t).trim.toInt)
-        case "decimal64" => DecimalType(18, inner(t).trim.toInt)
-        case "decimal128" => DecimalType(38, inner(t).trim.toInt)
-        case "decimal256" => DecimalType(38, inner(t).trim.toInt)
+        // scales above Spark's 38-digit cap clamp WITH the precision
+        // (Decimal256(75) in avg_weighted.xml)
+        case "decimal32" => DecimalType(9, math.min(inner(t).trim.toInt, 9))
+        case "decimal64" => DecimalType(18, math.min(inner(t).trim.toInt, 18))
+        case "decimal128" => DecimalType(38, math.min(inner(t).trim.toInt, 38))
+        case "decimal256" => DecimalType(38, math.min(inner(t).trim.toInt, 38))
         case "enum" | "enum8" | "enum16" => StringType
         case "aggregatefunction" => BinaryType
         case "interval" => LongType
