@@ -150,13 +150,18 @@ object ChParts {
     val v = nextBlock.getOrElse(table, 1L)
     nextBlock.put(table, v + 1)
     var renames = Map.empty[String, String]
-    parts.put(table, ps.map { p =>
+    // the OLD part is retained Outdated (system.parts lists it until
+    // cleanup — 01414 sees both all_1_1_0 and all_1_1_0_2); the mutated
+    // part is a NEW entry and does not inherit the frozen flag
+    val updated = ps.flatMap { p =>
       if (p.state == "Active") {
         val nn = mkName(p.partitionId, p.minBlock, p.maxBlock, p.level, v)
         renames += (p.name -> nn)
-        p.copy(name = nn, mutation = v)
-      } else p
-    })
+        Vector(p.copy(state = "Outdated"),
+          p.copy(name = nn, mutation = v, isFrozen = 0))
+      } else Vector(p)
+    }
+    parts.put(table, updated)
     renames
   }
 
@@ -231,6 +236,9 @@ object ChParts {
     case other =>
       val s = String.valueOf(other)
       if (s.matches("-?\\d+")) s
+      // an IPv4 partition key's id is its NUMERIC value (02530)
+      else if (s.matches("\\d{1,3}(\\.\\d{1,3}){3}"))
+        s.split("\\.").map(_.toLong).reduce((a, b) => a * 256 + b).toString
       else s.getBytes("UTF-8").take(8).map("%02x".format(_)).mkString
   }
 

@@ -10648,6 +10648,10 @@ object ChSql {
             tableDefaults.getOrElse(name, Seq.empty)
               .filterNot(_._1 == colName) :+ (colName -> d))
         }
+        // a type change REWRITES the column data — it is a mutation and
+        // stamps parts with a fresh version suffix (01414)
+        if (!isVirtual && ChParts.isTracked(name))
+          renameShadowParts(name, ChParts.mutate(name))
         Some(modified.limit(0))
       // partition commands (reference PartitionCommands): DROP forgets,
       // DETACH stashes, ATTACH re-adds as a fresh level-0 part with a
