@@ -304,7 +304,7 @@ object ChSql {
     "fromUnixTimestamp64Nano" -> "t",
     "toUnixTimestamp64Micro" -> "unix_micros", "toUnixTimestamp64Nano" -> "t",
     "dateName" -> "t",
-    "startsWithUTF8" -> "startswith", "endsWithUTF8" -> "endswith",
+    "startsWithUTF8" -> "t", "endsWithUTF8" -> "t",
     "leftUTF8" -> "left", "rightUTF8" -> "right",
     "substringIndexUTF8" -> "substring_index",
     "countSubstringsCaseInsensitive" -> "t",
@@ -3234,8 +3234,14 @@ object ChSql {
     }
     // groupArraySorted(N)(x): the N smallest values, ascending
     // (reference AggregateFunctionGroupArraySorted.cpp)
-    q = rewriteParamCalls(q, "groupArraySorted")((p, a) =>
-      s"slice(sort_array(collect_list(${a(0)})), 1, ${p(0)})")
+    q = rewriteParamCalls(q, "groupArraySorted")((p, a) => {
+      val n = "^(\\d+)".r.findFirstIn(
+        p(0).trim.replaceAll("(?i)::UInt\\d+$", "")).map(_.toLong)
+      if (n.contains(0L))
+        throw new IllegalArgumentException(
+          "BAD_ARGUMENTS: groupArraySorted max size must be positive")
+      s"slice(sort_array(collect_list(${a(0)})), 1, ${p(0)})"
+    })
     q = rewriteCalls(q, "groupArraySorted")(a =>
       s"sort_array(collect_list(${a(0)}))")
     // sleep/sleepEachRow: scheduling no-ops here; both return 0
@@ -3301,6 +3307,12 @@ object ChSql {
     // THEN r1 ... ELSE default END (reference caseWithExpression.cpp)
     q = rewriteCalls(q, "caseWithExpression") { a =>
       val rest = a.tail
+      // without a default the argument count is wrong — the reference
+      // requires expr + N (when, then) pairs + default (03444)
+      if (rest.length % 2 == 0)
+        throw new IllegalArgumentException(
+          "BAD_ARGUMENTS: invalid number of arguments for function " +
+            "caseWithExpression")
       val (pairs, dflt) =
         if (rest.length % 2 == 1) (rest.dropRight(1), Some(rest.last))
         else (rest, None)
@@ -4027,6 +4039,13 @@ object ChSql {
         // it fails loudly (02841/03518 anchor shapes)
         if (addr.isEmpty || addr.split("[,|]", -1).exists(_.trim.isEmpty))
           return q0
+        // parallel replicas over an ad-hoc replica list need a named
+        // cluster (reference: CLUSTER_DOESNT_EXIST, 02947)
+        if (addr.contains("|") &&
+            "(?i)\\benable_parallel_replicas\\s*=\\s*[12]".r
+              .findFirstIn(q0).isDefined)
+          throw new IllegalArgumentException(
+            "CLUSTER_DOESNT_EXIST: parallel replicas require a named cluster")
         addressCount(addr)
       } else {
         val (s, r) = testClusterShards.getOrElse(unq(args.head), (1, 1))
@@ -4613,7 +4632,9 @@ object ChSql {
           else { raw.append(ch); i += 1 }
         }
         val rawS = raw.toString
-        if (!closed || !rawS.contains("\\x")) sb.append(q, start, i)
+        // NOTE: append(q, start, i) would AUTO-TUPLE on scala's
+        // StringBuilder (no 3-arg CharSequence overload) — substring it
+        if (!closed || !rawS.contains("\\x")) sb.append(q.substring(start, i))
         else {
           val out = new java.io.ByteArrayOutputStream
           var j = 0
@@ -4683,6 +4704,8 @@ object ChSql {
       if (args.length == 3) unlit(args(1)).orElse(return q0) else None
     val data = unlit(args.last).getOrElse(return q0)
     val rel = try formatRelation(fmt, structure, data) catch {
+      // deliberate parse rejections (bad datetime text) must surface
+      case e: IllegalArgumentException => throw e
       case scala.util.control.NonFatal(_) => return q0
     }
     rel match {
@@ -4885,8 +4908,9 @@ object ChSql {
             cols.map(c => s"`$c`").mkString("(", ", ", ")") + ")")
       case "csv" | "tsv" | "tabseparated" if declared.isDefined =>
         val cds = declared.get
-        if (cds.exists(cd => "(?i)^(Tuple|Map|Nested|Variant|JSON)".r
-            .findFirstIn(cd.chType.trim).isDefined)) return None
+        if (cds.exists(cd =>
+            "(?i)^(Tuple|Map|Nested|Variant|JSON|AggregateFunction|SimpleAggregateFunction)".r
+              .findFirstIn(cd.chType.trim).isDefined)) return None
         val sep = if (fmt.equalsIgnoreCase("csv")) ',' else '\t'
         def splitCsv(ln: String): Seq[String] = {
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -4924,10 +4948,17 @@ object ChSql {
             else if (t == "string") sqlLit(f)
             // CH text parsing of dates is best-effort (yyyyMMdd,
             // comma-free variants — 02916/02812): route through the
-            // dialect's own parse kernels, which later passes rewrite
+            // dialect's own parse kernels, which later passes rewrite.
+            // Trailing garbage after a parsed value is rejected
+            // (UNEXPECTED_DATA_AFTER_PARSED_VALUE, 03407).
             else if (t == "date") s"toDate(${sqlLit(f)})"
-            else if (t == "timestamp")
-              s"parseDateTimeBestEffort(${sqlLit(f)})"
+            else if (t == "timestamp") {
+              val ok = f.matches("\\d{4}-\\d{2}-\\d{2}([ T,]\\s?\\d{2}:\\d{2}(:\\d{2})?(\\.\\d+)?)?") ||
+                f.matches("\\d+(\\.\\d+)?") || f.matches("\\d{14}")
+              if (!ok) throw new IllegalArgumentException(
+                s"UNEXPECTED_DATA_AFTER_PARSED_VALUE: cannot parse '$f' as DateTime")
+              s"parseDateTimeBestEffort(${sqlLit(f.replace(",", ""))})"
+            }
             else s"CAST(${sqlLit(f)} AS $t)"
           }.mkString("(", ", ", ")")
         }
@@ -5455,6 +5486,12 @@ object ChSql {
       bytePos(a(0), a(1), asciiLower))
     q = rewriteCalls(q, "positionCaseInsensitiveUTF8")(a =>
       s"instr(lower(${a(0)}), lower(${a(1)}))")
+    // the UTF8 variants compare CODE POINTS: a needle that is not valid
+    // UTF-8 (a lone continuation byte) can never match (02833)
+    q = rewriteCalls(q, "startsWithUTF8")(a =>
+      s"(startswith(${a(0)}, ${a(1)}) AND is_valid_utf8(${a(1)}))")
+    q = rewriteCalls(q, "endsWithUTF8")(a =>
+      s"(endswith(${a(0)}, ${a(1)}) AND is_valid_utf8(${a(1)}))")
     // CH dateDiff('day', a, b): unit arrives as a string literal; Spark's
     // timestampdiff needs a bare unit identifier. CH counts unit-BOUNDARY
     // crossings while timestampdiff counts full elapsed units, so both
@@ -5560,7 +5597,10 @@ object ChSql {
         case Some((_, ks)) if ks.length == a.length - 2 =>
           val cond = ks.zip(a.drop(2)).map { case (k, v) => s"`$k` = ($v)" }
             .mkString(" AND ")
-          val base = s"(SELECT any_value(`$cn`, true) FROM $tbl WHERE $cond)"
+          // if(true, x, NULL) makes the aggregated child NULLABLE so the
+          // empty-set type-default rule leaves the miss as NULL (01240)
+          val base =
+            s"(SELECT any_value(if(true, `$cn`, NULL), true) FROM $tbl WHERE $cond)"
           val declared = tableColMeta.get(tbl)
             .flatMap(_.collectFirst { case (n, t, _, _) if n == cn => t })
           declared match {
@@ -8758,7 +8798,13 @@ object ChSql {
         }
         if (depth == 0) {
           val n = if (!nonWs) 0 else commas + 1
-          if (n < lo || n > hi)
+          // a COLUMNS(...) matcher expands to several arguments later —
+          // the textual count is meaningless there (00969)
+          val argTxt = q.substring(m.end, i - 1)
+          val expandsLater =
+            "(?i)\\bCOLUMNS\\s*\\(".r.findFirstIn(argTxt).isDefined ||
+              argTxt.trim == "*"
+          if ((n < lo || n > hi) && !expandsLater)
             throw new IllegalArgumentException(
               s"NUMBER_OF_ARGUMENTS_DOESNT_MATCH: function ${m.group(1)} " +
                 s"expects ${if (lo == hi) s"$lo" else s"$lo..$hi"} " +
@@ -8847,7 +8893,7 @@ object ChSql {
       } else if (c == '`') {
         val e = q.indexOf('`', j + 1)
         val stop = if (e < 0) q.length else e + 1
-        sb.append(q, j, stop); j = stop
+        sb.append(q.substring(j, stop)); j = stop
       } else if (c.isLetter || c == '_') {
         val k0 = j
         while (j < q.length && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_')) j += 1
@@ -9032,6 +9078,19 @@ object ChSql {
         !value.matches("\\d+(\\.\\d+)*"))
       throw new IllegalArgumentException(
         s"BAD_ARGUMENTS: Unable to parse compatibility setting value '$value'")
+    // unsigned settings reject negative values (CANNOT_CONVERT_TYPE,
+    // 02992); these sizes must be non-zero (BAD_ARGUMENTS, 03393/03405)
+    if (value.startsWith("-") &&
+        Set("max_threads", "max_block_size", "max_insert_block_size",
+          "max_read_buffer_size", "max_rows_to_read")
+          .contains(name.toLowerCase))
+      throw new IllegalArgumentException(
+        s"CANNOT_CONVERT_TYPE: cannot convert '$value' to unsigned setting $name")
+    if (value == "0" &&
+        Set("max_read_buffer_size", "output_format_parquet_batch_size")
+          .contains(name.toLowerCase))
+      throw new IllegalArgumentException(
+        s"BAD_ARGUMENTS: setting $name must be non-zero")
     recordedSettings.put(name.toLowerCase, value0.trim)
     val on = value == "1" || value.equalsIgnoreCase("true")
     name.toLowerCase match {
@@ -10661,6 +10720,12 @@ object ChSql {
       case q2 if ("(?is)^\\s*ALTER\\s+TABLE\\s+\\w+\\s+" +
           "(?:DROP|DETACH|ATTACH|MOVE)\\s+(?:PARTITION|PART)\\b.*$").r
           .pattern.matcher(q2).matches =>
+        // a partition expression must be a constant — generators are
+        // BAD_ARGUMENTS (02009: ATTACH PARTITION tuple(arrayJoin(...)))
+        if ("(?i)\\barrayJoin\\s*\\(".r.findFirstIn(q2).isDefined)
+          throw new IllegalArgumentException(
+            "BAD_ARGUMENTS: partition expression must be a constant, " +
+              "arrayJoin is not allowed")
         val m = ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+" +
           "(DROP|DETACH|ATTACH|MOVE)\\s+(PARTITION|PART)\\s+(?:ID\\s+)?" +
           "(.+?);?\\s*$").r.findFirstMatchIn(q2).get
