@@ -3235,8 +3235,9 @@ object ChSql {
     // groupArraySorted(N)(x): the N smallest values, ascending
     // (reference AggregateFunctionGroupArraySorted.cpp)
     q = rewriteParamCalls(q, "groupArraySorted")((p, a) => {
-      val n = "^(\\d+)".r.findFirstIn(
-        p(0).trim.replaceAll("(?i)::UInt\\d+$", "")).map(_.toLong)
+      // the max-size literal may already be cast-wrapped (0::UInt64 ->
+      // CAST(0 AS ...)) — read the leftmost integer
+      val n = "(?<![\\w.])\\d+".r.findFirstIn(p(0)).map(_.toLong)
       if (n.contains(0L))
         throw new IllegalArgumentException(
           "BAD_ARGUMENTS: groupArraySorted max size must be positive")
