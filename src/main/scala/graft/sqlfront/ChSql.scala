@@ -6598,10 +6598,16 @@ object ChSql {
     // size < shingle length is an error in CH (arrayShingles.cpp:66);
     // a template can't throw, so yield [] instead of letting
     // sequence(1, n<=0) descend into nonsense windows
-    q = rewriteCalls(q, "arrayShingles")(a =>
+    q = rewriteCalls(q, "arrayShingles") { a =>
+      // a LITERAL non-positive length is ARGUMENT_OUT_OF_BOUND at
+      // analysis in the reference (02891)
+      if (a(1).trim.matches("-?\\d+") && a(1).trim.toLong <= 0)
+        throw new IllegalArgumentException(
+          "ARGUMENT_OUT_OF_BOUND: shingle length must be positive")
       s"transform(slice(sequence(0, greatest(size(${a(0)}) - (${a(1)}) + 1, 0)), " +
         s"2, greatest(size(${a(0)}) - (${a(1)}) + 1, 0)), " +
-        s"__i -> slice(${a(0)}, __i, ${a(1)}))")
+        s"__i -> slice(${a(0)}, __i, ${a(1)}))"
+    }
     // simpleJSON* share the JSONExtract default contract (visitParam*
     // legacy family): missing -> '' / 0, NULL input -> NULL
     q = rewriteCalls(q, "simpleJSONExtractString")(a =>
@@ -8790,8 +8796,8 @@ object ChSql {
           if (inStr) { if (c == '\'') inStr = false }
           else c match {
             case '\'' => inStr = true; nonWs = true
-            case '(' => depth += 1; nonWs = true
-            case ')' => depth -= 1
+            case '(' | '[' => depth += 1; nonWs = true
+            case ')' | ']' => depth -= 1
             case ',' => if (depth == 1) commas += 1; nonWs = true
             case ch => if (!ch.isWhitespace) nonWs = true
           }

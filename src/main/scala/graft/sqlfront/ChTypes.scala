@@ -54,8 +54,6 @@ object ChTypes {
     // has_all.xml); `Dynamic(max_types=N)` parameterizes a simple type
     val t = t0.trim.replaceAll("^([A-Za-z_][A-Za-z_0-9]*)\\s+\\(", "$1(") match {
       case s if s.toLowerCase.startsWith("dynamic(") => "Dynamic"
-      case s if s.toLowerCase.startsWith("json(") => "JSON"
-      case s if s.toLowerCase.startsWith("object(") => "JSON"
       case s => s
     }
     val lower = t.toLowerCase

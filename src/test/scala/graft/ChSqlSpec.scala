@@ -2077,7 +2077,9 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getTimestamp(15).toString.startsWith("2020-01-01 10:25:00"))
     assert(r.getLong(16) == r.getTimestamp(12).getTime / 1000)
     assert(r.getString(17) == "hello")
-    assert(r.isNullAt(18))
+    // tryBase64Decode returns the EMPTY STRING on malformed input
+    // (reference FunctionBase64Conversion), not NULL
+    assert(r.getString(18) == "")
   }
 
   test("batch-25: S2 cell ids — faces, round trips, neighbors, caps, rects") {
@@ -2214,7 +2216,8 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getDecimal(15).longValue == 42L)
     assert(r.getString(16).matches("[0-9a-f-]{36}"))
     assert(r.getBoolean(17) && !r.getBoolean(18))
-    assert(r.getString(19) == "2020-01-15-7")
+    // Date components render YYYYMMDD (reference MergeTreePartition)
+    assert(r.getString(19) == "20200115-7")
     // the infix keyword written without a space keeps its meaning
     val n = ch("SELECT count() AS n FROM orders WHERE o_orderkey in(1, 2, 3)")
       .collect()(0).getLong(0)
