@@ -481,8 +481,13 @@ object Encodings {
 
   def base64DecodeStrictEval(s: UTF8String, url: Boolean): UTF8String = {
     val str = s.toString
-    val norm = (if (url) str.replace('-', '+').replace('_', '/') else str)
-      .replaceAll("\\s+", "")
+    // no whitespace stripping: embedded whitespace is INCORRECT_DATA
+    // (the basic java decoder rejects it below); the URL alphabet has
+    // no '+'/'/' — those must fail BEFORE translation
+    if (url && (str.indexOf('+') >= 0 || str.indexOf('/') >= 0))
+      throw new IllegalArgumentException(
+        s"INCORRECT_DATA: Failed to decode Base64: '$str'")
+    val norm = if (url) str.replace('-', '+').replace('_', '/') else str
     // the standard alphabet requires full 4-symbol groups ('foo' is
     // INCORRECT_DATA, 00732); the URL variant accepts unpadded tails
     if (!url && norm.length % 4 != 0)

@@ -167,6 +167,9 @@ object ChParts {
 
   def isTracked(table: String): Boolean = partBy.contains(table)
 
+  /** The registered (wrap-adjusted) PARTITION BY expression; "" = none. */
+  def partExprOf(table: String): Option[String] = partBy.get(table)
+
   /** Active part names, in name order (CHECK TABLE listing). */
   def activeParts(table: String): Seq[String] =
     parts.getOrElse(table, Vector.empty)
@@ -180,13 +183,15 @@ object ChParts {
     * (NumberTraits::ResultOfModulo; 01870 pins this for partition
     * keys). Applied to partition expressions only — innermost
     * identifier operands first, then parenthesised/call operands. */
-  private def wrapModulo(s0: String): String = {
-    // signed wrap to the divisor's width, ANSI-safe (pmod, no CAST)
-    def wrap(x: String, n: Long): String = {
+  private def wrapModulo(s0: String, unsignedCols: Set[String]): String = {
+    // signed wrap to the divisor's width, ANSI-safe (pmod, no CAST).
+    // ResultOfModulo is signed only when an OPERAND is signed: an
+    // unsigned dividend (UInt8 x % 200) keeps its plain remainder.
+    def wrap(x: String, n: Long, signedDividend: Boolean): String = {
       val m: Long =
         if (n <= 255L) 256L else if (n <= 65535L) 65536L
         else if (n <= 4294967295L) 4294967296L else 0L
-      if (m == 0L) s"($x % $n)"
+      if (m == 0L || !signedDividend) s"($x % $n)"
       else {
         val u = s"pmod($x % $n, ${m}L)"
         s"(CASE WHEN $u >= ${m / 2}L THEN $u - ${m}L ELSE $u END)"
@@ -197,17 +202,20 @@ object ChParts {
       "\\((?:[^()]|\\([^()]*\\))*\\)))\\s*%\\s*(\\d+)").r
     val s1 = pass1.replaceAllIn(s0, m =>
       java.util.regex.Matcher.quoteReplacement(
-        wrap(m.group(1), m.group(2).toLong)))
+        wrap(m.group(1), m.group(2).toLong,
+          !unsignedCols.contains(m.group(1)))))
     pass2.replaceAllIn(s1, m =>
       java.util.regex.Matcher.quoteReplacement(
-        wrap(m.group(1), m.group(2).toLong)))
+        wrap(m.group(1), m.group(2).toLong, signedDividend = true)))
   }
 
   /** Register a MergeTree-family table at CREATE: its PARTITION BY
     * expression (already in CH dialect; "" when unpartitioned) and
-    * index granularity. */
-  def register(table: String, partitionBy: String, gran: Long): Unit = {
-    partBy.put(table, wrapModulo(partitionBy.trim))
+    * index granularity. `unsignedCols` names the columns whose DECLARED
+    * CH type is unsigned (UInt*) — their modulo stays non-negative. */
+  def register(table: String, partitionBy: String, gran: Long,
+               unsignedCols: Set[String] = Set.empty): Unit = {
+    partBy.put(table, wrapModulo(partitionBy.trim, unsignedCols))
     granularity.put(table, if (gran > 0) gran else 8192L)
     parts.putIfAbsent(table, Vector.empty)
     nextBlock.putIfAbsent(table, 1L)

@@ -865,6 +865,7 @@ object ChSql {
     "stochasticLogisticRegression" -> "t",
     "stochasticLogisticRegressionState" -> "t",
     "evalMLMethod" -> "t", "sequenceMatchEvents" -> "t",
+    "sequenceMatch" -> "t",
 
     // ---- round-10 batch 34: H3 index arithmetic (H3Cells.scala) ----
     "h3GetResolution" -> "h3_resolution", "h3GetBaseCell" -> "h3_basecell",
@@ -2019,6 +2020,55 @@ object ChSql {
     tables.iterator.flatMap(t => tableColMeta.get(t)
       .flatMap(_.find(_._1 == col).map(_._2))).toSeq.headOption
 
+  /** A literal Decimal scale above the clamped precision clamps WITH it
+    * (toDecimal256(x, 75) in avg_weighted.xml -> DECIMAL(38, 38)). */
+  private def clampScale(s: String, p: Int): String = {
+    val t = s.trim
+    if (!t.matches("\\d+")) t
+    // >38 scales clamp to 30, keeping integer headroom for sums
+    // (same rule as ChTypes.clampedScale; avg_weighted.xml)
+    else if (t.toLong > 38) math.min(p, 30).toString
+    else math.min(t.toLong, p).toString
+  }
+
+  /** INSERT conversion to a narrow integer column WRAPS like the
+    * reference (toInt8(1250) = -62, NumberTraits wraparound;
+    * joins_in_memory.xml inserts 40000 into an Int8 column) instead of
+    * throwing Spark's ANSI CAST_OVERFLOW. Applied only when the incoming
+    * Spark type differs from the target (a real conversion). */
+  private def chIntWrapCast(c: org.apache.spark.sql.Column, chType: String,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{pmod, lit}
+    val base = chType.replaceAll("^(?:Nullable|LowCardinality)\\(", "")
+      .takeWhile(ch => ch.isLetterOrDigit)
+    def wrap(m: Long, signed: Boolean): org.apache.spark.sql.Column = {
+      val l = c.cast(org.apache.spark.sql.types.LongType)
+      val u = pmod(l, lit(m))
+      (if (signed)
+        org.apache.spark.sql.functions.when(u >= lit(m / 2), u - lit(m))
+          .otherwise(u)
+      else u).cast(dt)
+    }
+    base match {
+      case "Int8" => wrap(256L, signed = true)
+      case "UInt8" => wrap(256L, signed = false)
+      case "Int16" => wrap(65536L, signed = true)
+      case "UInt16" => wrap(65536L, signed = false)
+      case "Int32" => wrap(4294967296L, signed = true)
+      case "UInt32" => wrap(4294967296L, signed = false)
+      case _ => c.cast(dt)
+    }
+  }
+
+  /** Columns of `table` DECLARED unsigned (UInt*) — partition-key modulo
+    * on these keeps a plain remainder (ChParts.wrapModulo). */
+  private def unsignedColsOf(table: String): Set[String] =
+    tableColMeta.get(table).map(_.collect {
+      case (cn, ct, _, _) if ct
+        .replaceAll("^(?:Nullable|LowCardinality)\\(", "")
+        .startsWith("UInt") => cn
+    }.toSet).getOrElse(Set.empty)
+
   /** True when `col` in the statement's FROM tables is DECLARED Bool —
     * those render true/false while computed predicates keep CH's 1/0
     * (reference DataTypeBool SerializationBool vs UInt8). */
@@ -2702,6 +2752,11 @@ object ChSql {
     q = rewriteCalls(q, "groupUniqArrayState")(a => s"collect_set(${a(0)})")
     q = rewriteCalls(q, "argMaxState")(a => s"max_by(${a(0)}, ${a(1)})")
     q = rewriteCalls(q, "argMinState")(a => s"min_by(${a(0)}, ${a(1)})")
+    // value-is-state merge: the stored argMax/argMin state is the value
+    // itself (ordering column not retained), so merging keeps the
+    // extremal stored value (aggregate_functions_deserialization.xml)
+    q = rewriteCalls(q, "argMaxMerge")(a => s"max(${a(0)})")
+    q = rewriteCalls(q, "argMinMerge")(a => s"min(${a(0)})")
     for ((n, fn) <- Seq("minSimpleState" -> "min", "maxSimpleState" -> "max",
         "sumSimpleState" -> "sum", "sumWithOverflowSimpleState" -> "sum"))
       q = rewriteCalls(q, n)(a => s"$fn(${a(0)})")
@@ -3565,6 +3620,53 @@ object ChSql {
         s"IF(__t1 IS NOT NULL AND __t2 IS NOT NULL, array(__t1, __t2), array())), 1)), 1)"
     }
 
+    // sequenceMatch('(?1)(?t<T)(?2)…')(ts, c1, …): linear chains of
+    // condition steps with optional adjacent time constraints
+    // (AggregateFunctionSequenceMatch.cpp pattern grammar, restricted to
+    // the no-`.*` form used across sequence_match.xml). Semantics: events
+    // matching NO condition are dropped; the remaining sequence must
+    // contain the chain at CONSECUTIVE positions, each (?t OP n) checked
+    // between the two adjacent matched events.
+    q = rewriteParamCalls(q, "sequenceMatch") { (p, a) =>
+      val pat = stripName(p(0))
+      val tokRe = "\\(\\?(?:(\\d+)|t\\s*([<>]=?|==?)\\s*(\\d+))\\)".r
+      val toks = tokRe.findAllMatchIn(pat).toSeq
+      require(toks.map(_.matched).mkString == pat.replaceAll("\\s+", ""),
+        s"sequenceMatch: only linear '(?N)[(?t OP n)]' chains are SQL-routed, got '$pat'")
+      // fold into steps: (condIdx, constraint-vs-previous)
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, Option[(String, Long)])]
+      var pendingT: Option[(String, Long)] = None
+      for (t <- toks) {
+        if (t.group(1) != null) { steps += ((t.group(1).toInt, pendingT)); pendingT = None }
+        else {
+          require(steps.nonEmpty, s"sequenceMatch: pattern starts with a time constraint: '$pat'")
+          pendingT = Some((if (t.group(2) == "==") "=" else t.group(2), t.group(3).toLong))
+        }
+      }
+      require(pendingT.isEmpty && steps.nonEmpty,
+        s"sequenceMatch: dangling time constraint in '$pat'")
+      val conds = a.tail.map(c => s"coalesce(CAST(($c) AS BOOLEAN), false)")
+      require(steps.forall(s => s._1 >= 1 && s._1 <= conds.length),
+        s"sequenceMatch: pattern references condition out of range in '$pat'")
+      val evs = s"filter(array_sort(collect_list(named_struct(" +
+        s"'ts', CAST((${a(0)}) AS DOUBLE), 'm', array(${conds.mkString(", ")})))), " +
+        s"__e -> exists(__e.m, __x -> __x))"
+      val s = steps.length
+      val body = steps.zipWithIndex.map { case ((ci, tc), j) =>
+        val step = s"element_at(element_at(__sq, __i + $j).m, $ci)"
+        tc match {
+          case Some((op, n)) =>
+            s"$step AND (element_at(__sq, __i + $j).ts - " +
+              s"element_at(__sq, __i + ${j - 1}).ts) $op $n"
+          case None => step
+        }
+      }.mkString(" AND ")
+      s"element_at(transform(array($evs), __sq -> " +
+        s"CASE WHEN size(__sq) >= $s THEN " +
+        s"exists(sequence(1, size(__sq) - ${s - 1}), __i -> $body) " +
+        s"ELSE false END), 1)"
+    }
+
     // initializeAggregation('fState', x): materialize a single-value
     // aggregate state. Algebraic aggregates' -State here IS the value
     // (sum/min/max/any); uniqThetaState gets a real one-hash KMV state
@@ -3575,6 +3677,13 @@ object ChSql {
              "anyLastState" => s"(${a(1)})"
         case "countState" => "CAST(1 AS BIGINT)"
         case "groupArrayState" | "groupUniqArrayState" => s"array(${a(1)})"
+        // a single-row avg state is (sum=x, count=1) — the same
+        // (s, c) pair avgState/avgMerge use (avg_serialization.xml)
+        case "avgState" =>
+          s"named_struct('s', CAST(${a(1)} AS DOUBLE), 'c', CAST(1 AS BIGINT))"
+        // argMax/argMin singleton state: the value IS the state
+        // (matches the max_by/min_by -State routing)
+        case "argMaxState" | "argMinState" => s"(${a(1)})"
         case "uniqThetaState" | "uniqState" | "uniqExactState" =>
           s"uniq_theta_singleton(${a(1)})"
         case other => throw new IllegalArgumentException(
@@ -4170,13 +4279,35 @@ object ChSql {
     * latest DESC; at-or-after -> earliest ASC). The right table must be a
     * plain named table and the inequality must qualify its column. */
   private def rewriteAsofJoin(q0: String): String = {
-    val re = "(?is)\\bASOF\\s+(LEFT\\s+|INNER\\s+)?JOIN\\s+(\\w+)(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+ON\\s+".r
+    // the right side is a named table OR a parenthesized subquery
+    val re = ("(?is)\\bASOF\\s+(LEFT\\s+|INNER\\s+)?JOIN\\s+" +
+      "(\\w+|\\()").r
     val m = re.findFirstMatchIn(q0).getOrElse(return q0)
     val left = Option(m.group(1)).exists(_.trim.equalsIgnoreCase("LEFT"))
-    val table = m.group(2)
-    val alias = Option(m.group(3)).getOrElse(table)
+    // resolve the right relation text and the position after it
+    val (table, afterRel) =
+      if (m.group(2) == "(") {
+        var j = m.end; var d = 1; var inS = false
+        while (j < q0.length && d > 0) {
+          val c = q0.charAt(j)
+          if (inS) { if (c == '\'') inS = false }
+          else if (c == '\'') inS = true
+          else if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          j += 1
+        }
+        if (d != 0) return q0
+        (q0.substring(m.end - 1, j), j)
+      } else (m.group(2), m.end)
+    val tailRe = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)?\\s*\\bON\\s+".r
+    val tm = tailRe.findFirstMatchIn(q0.substring(afterRel))
+      .getOrElse(return q0)
+    val alias = Option(tm.group(1)).filterNot(a =>
+      a.equalsIgnoreCase("ON")).getOrElse(
+        if (m.group(2) == "(") return q0 else table)
+    val condStart = afterRel + tm.end
     // condition runs to the next clause keyword at paren depth 0
-    var i = m.end; var depth = 0; var inStr = false; var end = q0.length
+    var i = condStart; var depth = 0; var inStr = false; var end = q0.length
     val stops = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
       "SETTINGS", "QUALIFY")
     while (i < q0.length && end == q0.length) {
@@ -4191,8 +4322,49 @@ object ChSql {
         end = i
       i += 1
     }
-    val cond = q0.substring(m.end, end).trim
-    val conjuncts = cond.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
+    // strip redundant enclosing parens: `ON (a = b) AND (c < d)` and
+    // `ON (a = b AND c < d)` both appear in the corpus (asof.xml)
+    def stripOuter(s0: String): String = {
+      var s = s0.trim; var changed = true
+      while (changed && s.length >= 2 && s.head == '(' && s.last == ')') {
+        var d = 0; var ok = true; var inS = false; var j = 0
+        while (j < s.length - 1) {
+          val c = s.charAt(j)
+          if (inS) { if (c == '\'') inS = false }
+          else if (c == '\'') inS = true
+          else if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d == 0) ok = false }
+          j += 1
+        }
+        if (ok && d == 1) s = s.substring(1, s.length - 1).trim
+        else changed = false
+      }
+      s
+    }
+    def splitTopAnd(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var d = 0; var inS = false; var last = 0; var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (inS) { if (c == '\'') inS = false }
+        else if (c == '\'') inS = true
+        else if (c == '(') d += 1
+        else if (c == ')') d -= 1
+        else if (d == 0 && (c == 'A' || c == 'a') &&
+            s.regionMatches(true, j, "AND", 0, 3) &&
+            (j == 0 || (!Character.isLetterOrDigit(s.charAt(j - 1)) &&
+              s.charAt(j - 1) != '_')) &&
+            (j + 3 >= s.length || (!Character.isLetterOrDigit(s.charAt(j + 3)) &&
+              s.charAt(j + 3) != '_'))) {
+          out += s.substring(last, j); last = j + 3; j += 2
+        }
+        j += 1
+      }
+      out += s.substring(last)
+      out.map(stripOuter).filter(_.nonEmpty).toSeq
+    }
+    val cond = stripOuter(q0.substring(condStart, end))
+    val conjuncts = splitTopAnd(cond)
     val ineqRe = "(?s)^(.*?)(<=|>=|<|>)(.*)$".r
     val (ineqs, eqs) = conjuncts.partition(c => ineqRe.pattern.matcher(c).matches)
     // the reference requires at least one equi-conjunct besides the
@@ -4298,7 +4470,51 @@ object ChSql {
     val target = q0.substring(tStart, i)
     val usingRe =
       "(?is)^\\s*(?:AS\\s+(`?\\w+`?)\\s+|(`?\\w+`?)\\s+)??USING\\s*\\(?\\s*([\\w`]+(?:\\s*,\\s*[\\w`]+)*)\\s*\\)?".r
-    val um = usingRe.findFirstMatchIn(q0.substring(i)).getOrElse(return q0)
+    val um = usingRe.findFirstMatchIn(q0.substring(i)).getOrElse {
+      // `ANY … JOIN t [alias] ON l.k = r.k [AND …]`: dedupe the build
+      // side on the right-qualified equality columns, keep the ON
+      val onRe = "(?is)^\\s*(?:AS\\s+)?(`?\\w+`?)?\\s*\\bON\\s+".r
+      val om = onRe.findFirstMatchIn(q0.substring(i)).getOrElse(return q0)
+      val alias = Option(om.group(1)).map(_.stripPrefix("`").stripSuffix("`"))
+        .filterNot(_.equalsIgnoreCase("ON"))
+        .getOrElse(target.takeWhile(_ != '(')) // bare table name as alias
+      if (alias.isEmpty) return q0
+      val condStart = i + om.end
+      var j = condStart; var d = 0; var inS = false; var end = q0.length
+      val stops = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+        "UNION", "SETTINGS", "QUALIFY", "JOIN", "FORMAT")
+      while (j < q0.length && end == q0.length) {
+        val c = q0.charAt(j)
+        if (inS) { if (c == '\'') inS = false }
+        else if (c == '\'') inS = true
+        else if (c == '(') d += 1
+        else if (c == ')') d -= 1
+        else if (d == 0 && Character.isLetter(c) &&
+          !Character.isLetterOrDigit(q0.charAt(j - 1)) && q0.charAt(j - 1) != '_' &&
+          stops.exists(k => q0.regionMatches(true, j, k, 0, k.length)))
+          end = j
+        j += 1
+      }
+      val cond = q0.substring(condStart, end)
+      val eqCols = cond.split("(?i)\\bAND\\b").toSeq.map(_.trim).map { cj =>
+        val c2 = cj.stripPrefix("(").stripSuffix(")").trim
+        val sides = c2.split("=", 2).map(_.trim)
+        if (sides.length != 2) return q0
+        val rSide = sides.find(s =>
+          s.matches("(?i)`?" + java.util.regex.Pattern.quote(alias) + "`?\\.[`\\w]+"))
+          .getOrElse(return q0)
+        rSide.substring(rSide.indexOf('.') + 1).stripPrefix("`").stripSuffix("`")
+      }
+      if (eqCols.isEmpty) return q0
+      val colList = eqCols.distinct.mkString(", ")
+      val dedup = s"(SELECT * EXCEPT (__any_rn, __any_ord) FROM (" +
+        s"SELECT *, row_number() OVER (PARTITION BY $colList ORDER BY __any_ord) AS __any_rn " +
+        s"FROM (SELECT *, monotonically_increasing_id() AS __any_ord FROM $target)) " +
+        s"WHERE __any_rn = 1)"
+      return rewriteAnyJoin(q0.substring(0, m.start) +
+        s" ${m.group(1)} JOIN $dedup AS $alias ON " +
+        cond + q0.substring(end))
+    }
     val alias = Option(um.group(1)).orElse(Option(um.group(2)))
       .filterNot(_.equalsIgnoreCase("USING"))
     val cols = um.group(3).split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -5030,9 +5246,55 @@ object ChSql {
          v <- m.group(1).toDoubleOption if v < 0 || v >= 1)
       throw new IllegalArgumentException(
         s"BAD_ARGUMENTS: max_bytes_ratio_before_external settings must be in [0, 1), got $v")
+    // INTERVAL (expr) UNIT — the reference's ParserIntervalOperator
+    // takes an arbitrary parenthesized operand; Spark's INTERVAL only
+    // takes literals, so route through make_interval (asof.xml)
+    locally {
+      val unitPos = Map("YEAR" -> 0, "MONTH" -> 1, "WEEK" -> 2, "DAY" -> 3,
+        "HOUR" -> 4, "MINUTE" -> 5, "SECOND" -> 6)
+      var from = 0
+      var m = "(?i)\\bINTERVAL\\s*\\(".r.findFirstMatchIn(q.substring(from))
+      var guard = 0
+      while (m.isDefined && guard < 64) {
+        guard += 1
+        val mm = m.get
+        val open = from + mm.end - 1
+        var j = open + 1; var d = 1; var inS = false
+        while (j < q.length && d > 0) {
+          val c = q.charAt(j)
+          if (inS) { if (c == '\'') inS = false }
+          else if (c == '\'') inS = true
+          else if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          j += 1
+        }
+        val um =
+          if (d == 0)
+            "(?i)^\\s*(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?\\b"
+              .r.findFirstMatchIn(q.substring(j))
+          else None
+        um match {
+          case Some(u) =>
+            val inner = q.substring(open + 1, j - 1)
+            val unit = u.group(1).toUpperCase
+            val args = Array.fill(7)("0")
+            if (unit == "QUARTER") args(1) = s"CAST(3 * ($inner) AS INT)"
+            else if (unit == "SECOND")
+              args(6) = s"CAST(($inner) AS DECIMAL(18, 6))"
+            else args(unitPos(unit)) = s"CAST(($inner) AS INT)"
+            val repl = s"make_interval(${args.mkString(", ")})"
+            q = q.substring(0, from + mm.start) + repl + q.substring(j + u.end)
+            from = from + mm.start + repl.length
+          case None => from = from + mm.end
+        }
+        m = "(?i)\\bINTERVAL\\s*\\(".r.findFirstMatchIn(q.substring(from))
+      }
+    }
     // per-query SETTINGS tail is a hint surface — absorbed (the reference
     // applies them to its own execution; Spark confs are session-level)
-    q = q.replaceAll("""(?is)\bSETTINGS\s+\w+\s*=\s*\S+(\s*,\s*\w+\s*=\s*\S+)*\s*;?\s*$""", "")
+    // a repeated clause (`settings a=0 settings b='x'`,
+    // joins_in_memory.xml) is one absorbed tail too
+    q = q.replaceAll("""(?is)\bSETTINGS\s+\w+\s*=\s*\S+((\s*,\s*|\s+SETTINGS\s+)\w+\s*=\s*\S+)*\s*;?\s*$""", "")
 
     // quoted/spaced/commented system-table spellings — `system`.`one`,
     // system . one, system /* c */. `one` — collapse to the bare form
@@ -5559,6 +5821,13 @@ object ChSql {
       s"coalesce(avg(CASE WHEN ${a(1)} THEN ${a(0)} END), CAST('NaN' AS DOUBLE))")
     q = rewriteCalls(q, "minIf")(a => s"min(CASE WHEN ${a(1)} THEN ${a(0)} END)")
     q = rewriteCalls(q, "maxIf")(a => s"max(CASE WHEN ${a(1)} THEN ${a(0)} END)")
+    // avgWeightedIf(v, w, cond): weighted mean of the matching subset
+    // (avg_weighted.xml); CH truthiness — a numeric cond is `!= 0`
+    q = rewriteCalls(q, "avgWeightedIf") { a =>
+      val c = s"coalesce(CAST((${a(2)}) AS BOOLEAN), false)"
+      s"(sum(CASE WHEN $c THEN (${a(0)}) * (${a(1)}) END) / " +
+        s"sum(CASE WHEN $c THEN ${a(1)} END))"
+    }
     // anyIf: first non-NULL of the matching subset (reference
     // AggregateFunctionIf over any — NULL-skipping)
     q = rewriteCalls(q, "anyIf")(a =>
@@ -5845,17 +6114,18 @@ object ChSql {
     for ((n, p) <- Seq("toDecimal32" -> 9, "toDecimal64" -> 18,
         "toDecimal128" -> 38, "toDecimal256" -> 38)) {
       q = rewriteCalls(q, n + "OrNull")(a =>
-        s"try_cast(${chStr(a(0))} AS DECIMAL($p, ${a(1)}))")
+        s"try_cast(${chStr(a(0))} AS DECIMAL($p, ${clampScale(a(1), p)}))")
       q = rewriteCalls(q, n + "OrZero")(a =>
-        s"coalesce(try_cast(${chStr(a(0))} AS DECIMAL($p, ${a(1)})), " +
-          s"CAST(0 AS DECIMAL($p, ${a(1)})))")
+        s"coalesce(try_cast(${chStr(a(0))} AS DECIMAL($p, ${clampScale(a(1), p)})), " +
+          s"CAST(0 AS DECIMAL($p, ${clampScale(a(1), p)})))")
       q = rewriteCalls(q, n + "OrDefault")(a =>
         if (a.length >= 3)
-          s"coalesce(try_cast(${chStr(a(0))} AS DECIMAL($p, ${a(1)})), ${a(2)})"
-        else s"coalesce(try_cast(${chStr(a(0))} AS DECIMAL($p, ${a(1)})), " +
-          s"CAST(0 AS DECIMAL($p, ${a(1)})))")
+          s"coalesce(try_cast(${chStr(a(0))} AS DECIMAL($p, ${clampScale(a(1), p)})), ${a(2)})"
+        else s"coalesce(try_cast(${chStr(a(0))} AS DECIMAL($p, ${clampScale(a(1), p)})), " +
+          s"CAST(0 AS DECIMAL($p, ${clampScale(a(1), p)})))")
     }
-    q = rewriteCalls(q, "toDecimal256")(a => s"CAST(${a(0)} AS DECIMAL(38, ${a(1)}))")
+    q = rewriteCalls(q, "toDecimal256")(a =>
+      s"CAST(${a(0)} AS DECIMAL(38, ${clampScale(a(1), 38)}))")
     // 128/256-bit integers land on DECIMAL(38,0) — exact to 10^38-1
     // (SURVEY §1 "UInt128/256 best-effort"); the CH parse grammar guard
     // matches the narrow-integer family above
@@ -6366,7 +6636,10 @@ object ChSql {
     q = rewriteCalls(q, "arrayProduct")(a =>
       s"(CASE WHEN size(${a(0)}) = 0 THEN CAST(0 AS DOUBLE) " +
         s"ELSE aggregate(${a(0)}, CAST(1 AS DOUBLE), (__a, __x) -> __a * __x) END)")
-    q = rewriteCalls(q, "arrayWithConstant")(a => s"array_repeat(${a(1)}, ${a(0)})")
+    // count must be INT for Spark's array_repeat (a UInt64-typed
+    // `rand() % 10 + 5` arrives as BIGINT — column_array_replicate.xml)
+    q = rewriteCalls(q, "arrayWithConstant")(a =>
+      s"array_repeat(${a(1)}, CAST(${a(0)} AS INT))")
     // sequence(1, 0) would DESCEND on empty arrays — build [0..size] and
     // drop the leading 0 instead (slice of an ascending sequence)
     q = rewriteCalls(q, "arrayEnumerate")(a =>
@@ -6517,9 +6790,12 @@ object ChSql {
     q = rewriteCalls(q, "moduloOrZero")(a =>
       s"(CASE WHEN (${a(1)}) = 0 THEN 0 ELSE (${a(0)}) % (${a(1)}) END)")
     q = rewriteCalls(q, "negate")(a => s"ch_negate(${a(0)})")
-    q = rewriteCalls(q, "toDecimal32")(a => s"CAST(${a(0)} AS DECIMAL(9, ${a(1)}))")
-    q = rewriteCalls(q, "toDecimal64")(a => s"CAST(${a(0)} AS DECIMAL(18, ${a(1)}))")
-    q = rewriteCalls(q, "toDecimal128")(a => s"CAST(${a(0)} AS DECIMAL(38, ${a(1)}))")
+    q = rewriteCalls(q, "toDecimal32")(a =>
+      s"CAST(${a(0)} AS DECIMAL(9, ${clampScale(a(1), 9)}))")
+    q = rewriteCalls(q, "toDecimal64")(a =>
+      s"CAST(${a(0)} AS DECIMAL(18, ${clampScale(a(1), 18)}))")
+    q = rewriteCalls(q, "toDecimal128")(a =>
+      s"CAST(${a(0)} AS DECIMAL(38, ${clampScale(a(1), 38)}))")
     // (CH transform(x, from, to[, default]) is handled up in
     // rewriteAggSpellings — first-match zip_with scan, subquery-arg
     // map_from_arrays fallback; Spark's 2-arg HOF passes through)
@@ -6806,6 +7082,11 @@ object ChSql {
     q = rewriteParamCalls(q, "quantileExact")((p, a) => s"percentile(${a(0)}, ${p(0)})")
     q = rewriteParamCalls(q, "quantile")((p, a) => s"percentile(${a(0)}, ${p(0)})")
     q = rewriteCalls(q, "quantileExact")(a => s"percentile(${a(0)}, 0.5)")
+    // bare quantile(x) defaults to the median level (quantile.xml) —
+    // without this the simple-name map emits a 1-arg percentile_approx
+    q = rewriteCalls(q, "quantile")(a =>
+      if (a.length == 1) s"percentile_approx(${a(0)}, 0.5)"
+      else s"percentile_approx(${a.mkString(", ")})")
     // plural weighted form: Spark's percentile takes a frequency column
     q = q.replaceAll(
       """\bquantilesExactWeighted\(([^)]*)\)\s*\(([^,()]+),([^()]*)\)""",
@@ -8783,7 +9064,35 @@ object ChSql {
     "tokens" -> (1, 3), "datetimetosnowflakeid" -> (1, 2),
     "datetime64tosnowflakeid" -> (1, 2))
 
-  private[sqlfront] def checkFunctionArity(q: String): Unit = {
+  private[sqlfront] def checkFunctionArity(q0: String): Unit = {
+    // scan a literal- and comment-masked copy: function-shaped text in a
+    // string ('plus(1, 2, 3)') or a commented-out call must not trip the
+    // arity check (same discipline as the USING rewrite's masked copy)
+    val q = locally {
+      val sb = new StringBuilder(q0); var i = 0
+      var inStr = false; var inLine = false; var inBlock = false
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false else sb.setCharAt(i, ' ') }
+        else if (inLine) {
+          if (c == '\n') inLine = false else sb.setCharAt(i, ' ')
+        } else if (inBlock) {
+          if (c == '*' && i + 1 < sb.length && sb.charAt(i + 1) == '/') {
+            sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' ')
+            inBlock = false; i += 1
+          } else if (c != '\n') sb.setCharAt(i, ' ')
+        } else if (c == '\'') inStr = true
+        else if (c == '-' && i + 1 < sb.length && sb.charAt(i + 1) == '-') {
+          sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' ')
+          inLine = true; i += 1
+        } else if (c == '/' && i + 1 < sb.length && sb.charAt(i + 1) == '*') {
+          sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' ')
+          inBlock = true; i += 1
+        }
+        i += 1
+      }
+      sb.toString
+    }
     val fnRe = "(?i)\\b([A-Za-z_][A-Za-z_0-9]*)\\s*\\(".r
     for (m <- fnRe.findAllMatchIn(q)) {
       val fn = m.group(1).toLowerCase
@@ -8819,6 +9128,49 @@ object ChSql {
         }
       }
     }
+  }
+
+  /** Qualify every standalone occurrence of `col` with `qual.` —
+    * outside string literals, skipping already-qualified refs
+    * (`x.col` / `col.x`), backticked names, and `AS col` alias
+    * definitions. Used by the AMBIGUOUS_REFERENCE left-table retry. */
+  private[sqlfront] def qualifyBareColumn(
+      q: String, col: String, qual: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0; var inStr = false; var changed = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if ((Character.isLetter(c) || c == '_') &&
+          (i == 0 || (!Character.isLetterOrDigit(q.charAt(i - 1)) &&
+            q.charAt(i - 1) != '_' && q.charAt(i - 1) != '.' &&
+            q.charAt(i - 1) != '`')) &&
+          q.regionMatches(false, i, col, 0, col.length) &&
+          (i + col.length >= q.length ||
+            (!Character.isLetterOrDigit(q.charAt(i + col.length)) &&
+              q.charAt(i + col.length) != '_' &&
+              q.charAt(i + col.length) != '`'))) {
+        // skip `.` after (qualifier position) and a preceding AS
+        var j = i + col.length
+        while (j < q.length && Character.isWhitespace(q.charAt(j))) j += 1
+        val followedByDot = j < q.length && q.charAt(j) == '.'
+        var k = i - 1
+        while (k >= 0 && Character.isWhitespace(q.charAt(k))) k -= 1
+        val prevWordEnd = k
+        while (k >= 0 && (Character.isLetterOrDigit(q.charAt(k)) ||
+          q.charAt(k) == '_')) k -= 1
+        val prevWord = q.substring(k + 1, prevWordEnd + 1)
+        if (followedByDot || prevWord.equalsIgnoreCase("AS")) {
+          // NOT sb.append(q, i, j): the 3-arg overload auto-tuples
+          sb.append(q.substring(i, i + col.length)); i += col.length
+        } else {
+          sb.append(qual).append('.').append(col)
+          changed = true; i += col.length
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    if (changed) Some(sb.toString) else None
   }
 
   /** Find `expr AS <alias>` in a select list and substitute `(expr)` for
@@ -9005,6 +9357,33 @@ object ChSql {
             .map(_.group(1))
           nm.flatMap(n => expandSelectAliasRefs(q, n)
             .orElse(wrapGeneratorWhere(q, n))) match {
+            case Some(q2) if q2 != q => run(q2, depth + 1)
+            case _ => throw e
+          }
+        // CH resolves a bare column present on BOTH join sides to the
+        // LEFT table (reference IdentifierSemantic membership order;
+        // joins_in_memory.xml `WHERE i32 = …` after JOIN USING i64).
+        // Spark throws — qualify the bare occurrences with the first
+        // FROM relation's alias and retry.
+        case e: org.apache.spark.sql.AnalysisException
+            if depth < 8 && e.getMessage != null &&
+              e.getMessage.contains("AMBIGUOUS_REFERENCE") =>
+          val msg = e.getMessage
+          val nm = "Reference `([^`]+)` is ambiguous".r
+            .findFirstMatchIn(msg).map(_.group(1))
+          val cands = "could be: \\[([^\\]]*)\\]".r.findFirstMatchIn(msg)
+            .map(_.group(1)).map(_.split(",").toSeq.map(_.trim))
+            .getOrElse(Seq.empty)
+            .flatMap(c => "`([^`]+)`\\.`[^`]+`".r.findFirstMatchIn(c)
+              .map(_.group(1)))
+          nm.flatMap { n =>
+            val fromAlias =
+              ("(?is)\\bFROM\\s+[\\w.`()]+\\s+(?:AS\\s+)?([A-Za-z_]\\w*)\\b")
+                .r.findFirstMatchIn(q).map(_.group(1))
+            val qual = fromAlias.filter(cands.contains)
+              .orElse(cands.headOption)
+            qual.flatMap(qualifyBareColumn(q, n, _))
+          } match {
             case Some(q2) if q2 != q => run(q2, depth + 1)
             case _ => throw e
           }
@@ -9223,10 +9602,24 @@ object ChSql {
           .createOrReplaceTempView("system_macros")
         qq = qq.replaceAll("(?i)\\bsystem\\.macros\\b", "system_macros")
       }
+      // File-engine virtual columns _file/_path (reference StorageFile
+      // virtual columns — one data.<Format> file per table here)
+      if ("(?<![\\w])_(?:file|path)\\b".r.findFirstIn(qq).isDefined) {
+        for (mm <- "(?i)\\b(?:FROM|JOIN)\\s+`?(\\w+)`?".r
+               .findAllMatchIn(qq).toSeq;
+             tail <- tableDdlTail.get(mm.group(1));
+             fm <- "(?i)\\bENGINE\\s*=?\\s*File\\s*\\(\\s*([\\w]+)".r
+               .findFirstMatchIn(tail)) {
+          val fmt = fm.group(1)
+          qq = qq.replaceAll("(?<![\\w])_file\\b", s"'data.$fmt'")
+          qq = qq.replaceAll("(?<![\\w])_path\\b",
+            s"'/var/lib/clickhouse/data/default/${mm.group(1)}/data.$fmt'")
+        }
+      }
       if (virtualShadow.nonEmpty && virtualColNames.exists(c =>
           ("(?<![\\w])" + c + "\\b").r.findFirstIn(qq).isDefined) &&
-          !"(?is)^\\s*(INSERT|CREATE|ALTER|DROP|TRUNCATE|OPTIMIZE)\\b".r
-            .pattern.matcher(qq).matches) {
+          "(?is)^\\s*(INSERT|CREATE|ALTER|DROP|TRUNCATE|OPTIMIZE|DELETE)\\b".r
+            .findFirstIn(qq).isEmpty) {
         for ((t, sh) <- virtualShadow
              if ("(?i)\\b(FROM|JOIN)\\s+`?" + t + "`?(?![\\w.])").r
                .findFirstIn(qq).isDefined) {
@@ -9763,7 +10156,7 @@ object ChSql {
           .findFirstMatchIn(rest).map(_.group(1).trim).getOrElse("")
         val gran = "(?i)index_granularity\\s*=\\s*(\\d+)".r
           .findFirstMatchIn(rest).map(_.group(1).toLong).getOrElse(8192L)
-        ChParts.register(name, pby, gran)
+        ChParts.register(name, pby, gran, unsignedColsOf(name))
         "(?i)ratio_of_defaults_for_sparse_serialization\\s*=\\s*'?([0-9.]+)'?".r
           .findFirstMatchIn(rest)
           .foreach(mm => tableSparseRatio.put(name, mm.group(1).toDouble))
@@ -9842,10 +10235,18 @@ object ChSql {
           case _ => flit(null).cast(f.dataType)
         }
       }
+      val chTypeOf = tableColMeta.getOrElse(name, Seq.empty)
+        .map(c => c._1 -> c._2).toMap
       fields.foldLeft(incoming) { (d, f) =>
-        if (listed.contains(f.name))
-          d.withColumn(f.name, fcol(s"`${f.name}`").cast(f.dataType))
-        else defaults.get(f.name) match {
+        if (listed.contains(f.name)) {
+          val src = fcol(s"`${f.name}`")
+          val srcT = incoming.schema.fields.find(_.name == f.name)
+            .map(_.dataType)
+          d.withColumn(f.name,
+            if (srcT.contains(f.dataType)) src.cast(f.dataType)
+            else chIntWrapCast(src, chTypeOf.getOrElse(f.name, ""),
+              f.dataType))
+        } else defaults.get(f.name) match {
           case Some(e) => d.withColumn(f.name, fexpr(rewrite(e)).cast(f.dataType))
           case None => d.withColumn(f.name, typeDefault(f))
         }
@@ -10079,7 +10480,7 @@ object ChSql {
             .findFirstMatchIn(clauses).map(_.group(1).trim).getOrElse("")
           val gran = "(?i)index_granularity\\s*=\\s*(\\d+)".r
             .findFirstMatchIn(clauses).map(_.group(1).toLong).getOrElse(8192L)
-          ChParts.register(name, pby, gran)
+          ChParts.register(name, pby, gran, unsignedColsOf(name))
           recordPartsBlock(spark, name, out)
         }
         Some(out.limit(0))
@@ -10265,7 +10666,8 @@ object ChSql {
                 .findFirstMatchIn(tailTxt).map(_.group(1).trim).getOrElse("")
               val gran = "(?i)index_granularity\\s*=\\s*(\\d+)".r
                 .findFirstMatchIn(tailTxt).map(_.group(1).toLong).getOrElse(8192L)
-              ChParts.register(name, pby, gran)
+              ChParts.register(name, pby, gran,
+                unsignedColsOf(name) ++ unsignedColsOf(src))
             }
           }
           else tableDdlTail.get(src) match {
@@ -10785,6 +11187,40 @@ object ChSql {
                   engineBacking.remove(dest)
                   recordPartsBlock(spark, dest, block)
                 }
+              case None if ChParts.isTracked(name) && removed.nonEmpty =>
+                // the shadow can be missing (tagBlock fallback dropped
+                // it): delete rows via the partition predicate on the
+                // main table instead of updating only system.parts
+                if (kind == "PART")
+                  throw new IllegalArgumentException(
+                    "NOT_IMPLEMENTED: cannot resolve PART '" + spec +
+                      "' to rows without part-level tracking")
+                val pe = ChParts.partExprOf(name).getOrElse("")
+                val condStr =
+                  if (spec.equalsIgnoreCase("tuple()") || pe.isEmpty) "true"
+                  else {
+                    val vals = removed.map(_.partition.replace("'", "''"))
+                      .distinct
+                    s"CAST((${rewrite(pe)}) AS STRING) IN (" +
+                      vals.map(v => s"'$v'").mkString(", ") + ")"
+                  }
+                val t = spark.table(name)
+                val moved = t.filter(condStr)
+                val kept = t.filter(s"NOT ($condStr)")
+                if (verb == "DETACH")
+                  detachedRows.put(name,
+                    detachedRows.get(name).map(_.unionByName(moved))
+                      .getOrElse(moved))
+                kept.createOrReplaceTempView(name)
+                engineBacking.remove(name)
+                for (dest <- destOpt if dest != name) {
+                  val destCols = spark.table(dest).columns
+                  val block = moved.select(destCols.map(c => col(s"`$c`")): _*)
+                  spark.table(dest).unionByName(block)
+                    .createOrReplaceTempView(dest)
+                  engineBacking.remove(dest)
+                  recordPartsBlock(spark, dest, block)
+                }
               case _ => ()
             }
             Some(spark.range(0).toDF("ok"))
@@ -10941,20 +11377,37 @@ object ChSql {
           .pattern.matcher(q2).matches =>
         val m = "(?is)^\\s*DELETE\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.*?);?\\s*$".r
           .findFirstMatchIn(q2).get
-        val (name, pred) = (m.group(1), m.group(2))
+        // a `__vt_` name means the shadow-routing pass rewrote the FROM:
+        // resolve back to the base table so BOTH it and the shadow shrink
+        val (name, pred) = (m.group(1).stripPrefix("__vt_"), m.group(2))
         // the reference rejects lightweight DELETE on views
         // (InterpreterDeleteQuery: BAD_ARGUMENTS for non-MergeTree)
         if (matViews.values.exists(_.exists(_._1 == name)))
           throw new IllegalArgumentException(
             s"BAD_ARGUMENTS: DELETE is not supported for view '$name'")
-        val kept = spark.table(name).filter(s"NOT (${rewrite(pred)})")
-        kept.createOrReplaceTempView(name); engineBacking.remove(name)
-        virtualShadow.get(name).foreach { sh =>
-          try virtualShadow.put(name, sh.filter(s"NOT (${rewrite(pred)})"))
-          catch { case scala.util.control.NonFatal(_) =>
-            virtualShadow.remove(name) }
+        val predR = rewrite(pred)
+        // a predicate over _part/_partition_id only resolves against the
+        // shadow — filter there and project the main view from it
+        val usesVirtual = virtualColNames.exists(c =>
+          ("(?<![\\w])" + c + "\\b").r.findFirstIn(pred).isDefined)
+        virtualShadow.get(name) match {
+          case Some(sh) if usesVirtual =>
+            val keptSh = sh.filter(s"NOT ($predR)")
+            virtualShadow.put(name, keptSh)
+            val kept = keptSh.select(spark.table(name).columns.map(c =>
+              org.apache.spark.sql.functions.col(s"`$c`")): _*)
+            kept.createOrReplaceTempView(name); engineBacking.remove(name)
+            Some(kept.limit(0))
+          case shOpt =>
+            val kept = spark.table(name).filter(s"NOT ($predR)")
+            kept.createOrReplaceTempView(name); engineBacking.remove(name)
+            shOpt.foreach { sh =>
+              try virtualShadow.put(name, sh.filter(s"NOT ($predR)"))
+              catch { case scala.util.control.NonFatal(_) =>
+                virtualShadow.remove(name) }
+            }
+            Some(kept.limit(0))
         }
-        Some(kept.limit(0))
       case alterDelRe(name, pred) =>
         val kept = spark.table(name)
           .filter(s"NOT (${rewrite(pred)})")

@@ -49,6 +49,15 @@ object ChTypes {
   def isChType(s: String): Boolean =
     try { toSpark(s); true } catch { case _: IllegalArgumentException => false }
 
+  /** A declared scale that exceeded Spark's cap (Decimal256(75)) clamps
+    * to 30, not 38: sums over such columns need integer headroom —
+    * Spark types sum(DECIMAL(38, s)) at precision 38, so a 38-scale
+    * column overflows on the very first non-fractional carry
+    * (avg_weighted.xml avg over 10^5 sub-1 values). Scales the user
+    * could legally declare (<= the width's precision) pass through. */
+  private def clampedScale(s: Int, p: Int): Int =
+    if (s > 38) math.min(p, 30) else math.min(s, p)
+
   def toSpark(t0: String): DataType = {
     // `Array (UInt8)` is legal CH spelling (whitespace before the paren,
     // has_all.xml); `Dynamic(max_types=N)` parameterizes a simple type
@@ -70,12 +79,17 @@ object ChTypes {
           // engine's -State template for f produces (ChSql combinators),
           // so stored states INSERT and -Merge back without casts
           val args = splitArgs(inner(t))
-          val f = args.head.trim.toLowerCase.takeWhile(c => c.isLetterOrDigit || c == '_')
+          // an explicit -State spelling (AggregateFunction(avgState, …),
+          // aggregate_functions_deserialization.xml) names the same state
+          val f = args.head.trim.toLowerCase
+            .takeWhile(c => c.isLetterOrDigit || c == '_')
+            .stripSuffix("state")
           f match {
             case "uniq" | "uniqtheta" | "uniqhll12" | "uniqcombined" =>
               ArrayType(LongType) // KMV buffer (uniq_theta_state)
             case "count" => LongType
             case "sum" | "min" | "max" | "any" | "anylast" => toSpark(args.last)
+            case "argmax" | "argmin" if args.length >= 2 => toSpark(args(1))
             case "avg" => StructType(Seq(
               StructField("s", DoubleType), StructField("c", LongType)))
             case "grouparray" | "groupuniqarray" | "uniqexact" =>
@@ -105,14 +119,14 @@ object ChTypes {
           // Spark's 38-digit maximum, like the conversion grid does
           val args = splitArgs(inner(t)).map(_.trim.toInt)
           val p = math.min(args(0), 38)
-          if (args.length == 2) DecimalType(p, math.min(args(1), p))
+          if (args.length == 2) DecimalType(p, clampedScale(args(1), p))
           else DecimalType(p, 0)
         // scales above Spark's 38-digit cap clamp WITH the precision
         // (Decimal256(75) in avg_weighted.xml)
-        case "decimal32" => DecimalType(9, math.min(inner(t).trim.toInt, 9))
-        case "decimal64" => DecimalType(18, math.min(inner(t).trim.toInt, 18))
-        case "decimal128" => DecimalType(38, math.min(inner(t).trim.toInt, 38))
-        case "decimal256" => DecimalType(38, math.min(inner(t).trim.toInt, 38))
+        case "decimal32" => DecimalType(9, clampedScale(inner(t).trim.toInt, 9))
+        case "decimal64" => DecimalType(18, clampedScale(inner(t).trim.toInt, 18))
+        case "decimal128" => DecimalType(38, clampedScale(inner(t).trim.toInt, 38))
+        case "decimal256" => DecimalType(38, clampedScale(inner(t).trim.toInt, 38))
         case "enum" | "enum8" | "enum16" => StringType
         case "aggregatefunction" => BinaryType
         case "interval" => LongType

@@ -94,7 +94,11 @@ object PerfShapes {
       "concat('oad-', CAST(id % 43 AS STRING)) AS OpenstatAdID",
       "CASE WHEN id % 7 = 0 THEN '' ELSE concat('tag-', CAST(id % 47 AS STRING)) END AS FromTag",
       "concat('fm2-', CAST(id % 5 AS STRING)) AS FlashMinor2",
-      "concat('::ffff:10.0.', CAST(id % 256 AS STRING), '.', CAST(id % 250 AS STRING)) AS ClientIP6")
+      "concat('::ffff:10.0.', CAST(id % 256 AS STRING), '.', CAST(id % 250 AS STRING)) AS ClientIP6",
+      // r18: sequence_match.xml array-condition queries
+      "CASE WHEN id % 4 = 0 THEN array() ELSE array(CAST(id % 10 AS INT), " +
+        "CAST(1 + id % 3849 AS INT), CAST(id % 2326 AS INT)) END AS RefererCategories",
+      "CAST(id % 37 AS INT) AS RequestNum")
       .drop("HitColor_n", "ClientEventTime_n")
     hits.createOrReplaceTempView("perf_hits")
   }
