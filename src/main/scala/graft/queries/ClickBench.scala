@@ -247,6 +247,9 @@ object ClickBench {
 
   private def name(i: Int) = f"q_cb_$i%02d"
 
+  /** Raw dialect-side query texts, for the rewrite-only timing probe. */
+  def sparkTexts: Seq[String] = cb.map(_.spark)
+
   val queries: Map[String, Q] = cb.zipWithIndex.map { case (q, i) =>
     name(i) -> { (s: SparkSession, dir: String) =>
       registerHits(s, dir)

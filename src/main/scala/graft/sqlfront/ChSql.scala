@@ -96,7 +96,7 @@ object ChSql {
     "sipHash128Reference" -> "ch_siphash128_reference",
     "halfMD5" -> "ch_halfmd5", "MD5" -> "md5",
     "hex" -> "hex", "unhex" -> "unhex",
-    "base64Encode" -> "base64", "base64Decode" -> "t",
+    "base64Encode" -> "t", "base64Decode" -> "t",
     "bitHammingDistance" -> "bit_hamming", // template below
 
     // ---- extended surface (round 2; reference src/Functions/*) ----
@@ -2020,15 +2020,19 @@ object ChSql {
     tables.iterator.flatMap(t => tableColMeta.get(t)
       .flatMap(_.find(_._1 == col).map(_._2))).toSeq.headOption
 
-  /** A literal Decimal scale above the clamped precision clamps WITH it
-    * (toDecimal256(x, 75) in avg_weighted.xml -> DECIMAL(38, 38)). */
+  /** A literal Decimal scale above SPARK'S 38-digit cap clamps (the
+    * Decimal256(75) family in avg_weighted.xml — unrepresentable here,
+    * clamp to 30 for integer headroom). A scale that merely exceeds the
+    * REQUESTED type's own precision (toDecimal32(x, 10)) passes through
+    * unclamped so Spark's scale>precision rejection reproduces the
+    * reference's ARGUMENT_OUT_OF_BOUND (01425). */
   private def clampScale(s: String, p: Int): String = {
     val t = s.trim
     if (!t.matches("\\d+")) t
     // >38 scales clamp to 30, keeping integer headroom for sums
     // (same rule as ChTypes.clampedScale; avg_weighted.xml)
     else if (t.toLong > 38) math.min(p, 30).toString
-    else math.min(t.toLong, p).toString
+    else t
   }
 
   /** INSERT conversion to a narrow integer column WRAPS like the
@@ -2044,10 +2048,22 @@ object ChSql {
     def wrap(m: Long, signed: Boolean): org.apache.spark.sql.Column = {
       val l = c.cast(org.apache.spark.sql.types.LongType)
       val u = pmod(l, lit(m))
-      (if (signed)
-        org.apache.spark.sql.functions.when(u >= lit(m / 2), u - lit(m))
-          .otherwise(u)
-      else u).cast(dt)
+      val w =
+        if (signed)
+          org.apache.spark.sql.functions.when(u >= lit(m / 2), u - lit(m))
+            .otherwise(u)
+        else u
+      // Pmod declares nullable=true unconditionally; that bit would leak
+      // into the table's schema and turn off the CH outer-join default
+      // fill (ChJoinDefaults keys on pre-join non-nullability — 02461/
+      // 03282 regression). The wrap of a non-null input is never null,
+      // and a NULL input into a non-Nullable CH column becomes the type
+      // default anyway (input_format_null_as_default=1): coalesce with 0
+      // restores the non-nullable bit. A DECLARED Nullable(T) column
+      // keeps its NULLs (00543/01457/02015 — NULL must survive).
+      (if (chType.trim.toLowerCase.startsWith("nullable("))
+        w
+      else org.apache.spark.sql.functions.coalesce(w, lit(0L))).cast(dt)
     }
     base match {
       case "Int8" => wrap(256L, signed = true)
@@ -6637,9 +6653,18 @@ object ChSql {
       s"(CASE WHEN size(${a(0)}) = 0 THEN CAST(0 AS DOUBLE) " +
         s"ELSE aggregate(${a(0)}, CAST(1 AS DOUBLE), (__a, __x) -> __a * __x) END)")
     // count must be INT for Spark's array_repeat (a UInt64-typed
-    // `rand() % 10 + 5` arrives as BIGINT — column_array_replicate.xml)
-    q = rewriteCalls(q, "arrayWithConstant")(a =>
-      s"array_repeat(${a(1)}, CAST(${a(0)} AS INT))")
+    // `rand() % 10 + 5` arrives as BIGINT — column_array_replicate.xml);
+    // a negative or absurd size raises TOO_LARGE_ARRAY_SIZE like the
+    // reference (arrayWithConstant.cpp caps at 1e9 elements; 00842 pins
+    // the negative case) — Spark's array_repeat would silently return []
+    q = rewriteCalls(q, "arrayWithConstant") { a =>
+      val n = s"CAST(${a(0)} AS BIGINT)"
+      s"array_repeat(${a(1)}, CAST(CASE WHEN $n < 0 OR $n > 1000000000 " +
+        s"THEN CAST(raise_error(concat('TOO_LARGE_ARRAY_SIZE: Array size ', " +
+        s"CAST($n AS STRING), ' is negative or too large: " +
+        s"while executing function arrayWithConstant')) AS BIGINT) " +
+        s"ELSE $n END AS INT))"
+    }
     // sequence(1, 0) would DESCEND on empty arrays — build [0..size] and
     // drop the leading 0 instead (slice of an ascending sequence)
     q = rewriteCalls(q, "arrayEnumerate")(a =>
@@ -7617,6 +7642,12 @@ object ChSql {
     // analysis (found by the fuzzer: toInt64OrZero(base64Decode(...)))
     q = rewriteCalls(q, "base64Decode")(a =>
       s"base64_decode_strict(${a(0)})")
+    // Spark's base64 emits RFC-2045 MIME chunking (CRLF every 76 chars);
+    // CH never chunks — strip the breaks (translate with no target chars
+    // deletes). The strict decoder rejects embedded whitespace, so
+    // unstripped output would fail its own round-trip (02113).
+    q = rewriteCalls(q, "base64Encode")(a =>
+      "translate(base64(" + a(0) + "), '\\r\\n', '')")
     // URL-safe base64 alphabet (reference base64URLEncode.cpp)
     // the URL-safe variant is UNPADDED (reference base64URLEncode.cpp)
     q = rewriteCalls(q, "base64URLEncode")(a =>
@@ -9130,12 +9161,65 @@ object ChSql {
     }
   }
 
+  /** Positions lying in a WHERE / PREWHERE / GROUP BY / HAVING region —
+    * the contexts where CH's IdentifierSemantic resolves a bare column
+    * present on BOTH join sides to the LEFT table (QueryNormalizer).
+    * The SELECT list and JOIN ON clauses are deliberately EXCLUDED: an
+    * ambiguous reference inside ON is INVALID_JOIN_ON_EXPRESSION in the
+    * reference (00800), and leaving SELECT-list ambiguity to fail keeps
+    * must-fail anchors like 03402 failing. A region ends at the next
+    * clause keyword at the same nesting depth or at the subquery's
+    * closing paren. */
+  private def whereContextRanges(q: String): Seq[(Int, Int)] = {
+    val starters = Seq("WHERE", "PREWHERE", "HAVING", "GROUP")
+    val enders = Seq("SELECT", "FROM", "JOIN", "ON", "ORDER", "LIMIT",
+      "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "WINDOW", "QUALIFY",
+      "FORMAT")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0; var inStr = false; var depth = 0
+    var regionStart = -1; var regionDepth = -1
+    def closeRegion(end: Int): Unit =
+      if (regionStart >= 0) { out += ((regionStart, end)); regionStart = -1 }
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (regionStart >= 0 && depth < regionDepth) closeRegion(i)
+        i += 1
+      } else if ((Character.isLetter(c) || c == '_') &&
+          (i == 0 || (!Character.isLetterOrDigit(q.charAt(i - 1)) &&
+            q.charAt(i - 1) != '_'))) {
+        var j = i
+        while (j < q.length && (Character.isLetterOrDigit(q.charAt(j)) ||
+          q.charAt(j) == '_')) j += 1
+        val w = q.substring(i, j).toUpperCase
+        if (starters.contains(w)) {
+          closeRegion(i)
+          regionStart = j; regionDepth = depth
+        } else if (enders.contains(w) &&
+            regionStart >= 0 && depth == regionDepth)
+          closeRegion(i)
+        i = j
+      } else i += 1
+    }
+    closeRegion(q.length)
+    out.toSeq
+  }
+
   /** Qualify every standalone occurrence of `col` with `qual.` —
     * outside string literals, skipping already-qualified refs
     * (`x.col` / `col.x`), backticked names, and `AS col` alias
-    * definitions. Used by the AMBIGUOUS_REFERENCE left-table retry. */
+    * definitions — but ONLY in WHERE/PREWHERE/GROUP BY/HAVING context
+    * (whereContextRanges). Used by the AMBIGUOUS_REFERENCE left-table
+    * retry. */
   private[sqlfront] def qualifyBareColumn(
       q: String, col: String, qual: String): Option[String] = {
+    val allowed = whereContextRanges(q)
+    if (allowed.isEmpty) return None
+    def inAllowed(p: Int): Boolean = allowed.exists(r => p >= r._1 && p < r._2)
     val sb = new StringBuilder
     var i = 0; var inStr = false; var changed = false
     while (i < q.length) {
@@ -9161,7 +9245,8 @@ object ChSql {
         while (k >= 0 && (Character.isLetterOrDigit(q.charAt(k)) ||
           q.charAt(k) == '_')) k -= 1
         val prevWord = q.substring(k + 1, prevWordEnd + 1)
-        if (followedByDot || prevWord.equalsIgnoreCase("AS")) {
+        if (followedByDot || prevWord.equalsIgnoreCase("AS") ||
+            !inAllowed(i)) {
           // NOT sb.append(q, i, j): the 3-arg overload auto-tuples
           sb.append(q.substring(i, i + col.length)); i += col.length
         } else {
@@ -10186,6 +10271,17 @@ object ChSql {
       empty.createOrReplaceTempView(name); engineBacking.remove(name)
       Some(empty)
     }
+    // An INSERT column list naming the same column twice is
+    // DUPLICATE_COLUMN at analysis (reference InterpreterInsertQuery;
+    // 01032) — checked before any retry machinery can paper over the
+    // ambiguity.
+    def checkDupInsertCols(listed: Seq[String]): Seq[String] = {
+      val dups = listed.groupBy(identity).collect { case (c, o) if o.length > 1 => c }
+      if (dups.nonEmpty) throw new IllegalArgumentException(
+        s"DUPLICATE_COLUMN: column ${dups.head} specified more than once " +
+          "in the INSERT column list")
+      listed
+    }
     // Cast listed columns to the table's declared types and fill unlisted
     // ones from DEFAULT exprs (NULL when none), in declared order.
     def fitToSchema(existing: DataFrame, name: String, listed: Seq[String],
@@ -10733,6 +10829,7 @@ object ChSql {
         val existing = spark.table(name)
         val listed = Option(colsOpt).map(_.trim).filter(_.nonEmpty)
           .map(splitArgs(_).map(_.trim.stripPrefix("`").stripSuffix("`")))
+          .map(checkDupInsertCols)
           .getOrElse(existing.columns.toSeq)
         val lines0 = data.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
         val lines =
@@ -10785,6 +10882,7 @@ object ChSql {
         val src = sql(spark, dir, inner)
         val listed = Option(colsOpt).map(_.trim).filter(_.nonEmpty)
           .map(splitArgs(_).map(_.trim.stripPrefix("`").stripSuffix("`")))
+          .map(checkDupInsertCols)
           .getOrElse(existing.columns.take(src.columns.length).toSeq)
         val block = fitToSchema(existing, name, listed, src.toDF(listed: _*))
         checkVectorDims(name, block)
@@ -10824,6 +10922,7 @@ object ChSql {
         val existing = spark.table(name)
         val listed = Option(colsOpt).map(_.trim).filter(_.nonEmpty)
           .map(splitArgs(_).map(_.trim.stripPrefix("`").stripSuffix("`")))
+          .map(checkDupInsertCols)
           .getOrElse {
             // positional INSERT targets the INSERTABLE columns only —
             // MATERIALIZED/ALIAS columns always compute from their exprs
