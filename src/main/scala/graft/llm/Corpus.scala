@@ -40,13 +40,21 @@ object Corpus {
         explode(graft.functions.TextHashes.token_ngrams(col("toks"), 3)).as("tri"))
       .distinct()
     val nDocs = base.select(count(lit(1)).as("n_docs"))
-    val freq = tri.groupBy(col("tri")).agg(count(lit(1)).as("df"))
+    // per-trigram document frequency as a whole-partition window over
+    // `tri` instead of groupBy(tri) + join-back: the corpus-sized
+    // relation crosses the network ONCE by trigram (the window's
+    // exchange) rather than twice (aggregate exchange + join exchange),
+    // and the trigram-vocabulary side table disappears entirely — it
+    // was planner-broadcast at bench scale but is corpus-vocabulary-
+    // sized (unbroadcastable) at 100 TB (r18 plan audit: 16 -> 10
+    // exchanges, 2 scans of `tri` -> 1).
+    val wTri = org.apache.spark.sql.expressions.Window.partitionBy(col("tri"))
+    tri.withColumn("df", count(lit(1)).over(wTri))
       .crossJoin(broadcast(nDocs))
-      .select(col("tri"), (col("df") > col("n_docs") * docFrac).as("is_freq"))
-    tri.join(freq, "tri")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"),
-        sum(when(col("is_freq"), 1L).otherwise(0L)).as("n_freq"))
+        sum(when(col("df") > col("n_docs") * docFrac, 1L).otherwise(0L))
+          .as("n_freq"))
       .withColumn("frac_ppm",
         floor(lit(1000000L) * col("n_freq") / col("n_tri")).cast("long"))
       .withColumn("kept", col("frac_ppm") <= keepBelowPpm)
@@ -162,8 +170,14 @@ object Corpus {
     // ONE pass over the exploded pairs: per-doc bigram multiplicities.
     // Bigram totals roll up from that, unigram totals roll up from the
     // bigram totals (c1 = Σ_w2 c12) — the raw pairs are never re-scanned.
+    // No .persist(): the two consumers share the identical aggregate
+    // subtree, which physical planning dedupes via ReuseExchange — and a
+    // persist here registered the plan in the session CacheManager, so
+    // every later identical invocation silently read the FIRST run's
+    // materialization (cross-pass result reuse the bench must not see)
+    // and the entry was never unpersisted (unbounded executor memory
+    // growth over a long session).
     val pairAgg = pairs.groupBy("id", "w1", "w2").agg(count(lit(1)).as("m"))
-      .persist()
     val bi = pairAgg.groupBy("w1", "w2").agg(sum("m").as("c12"))
     val uni = bi.groupBy("w1").agg(sum("c12").as("c1"))
     val model = bi.join(uni, "w1")

@@ -53,13 +53,22 @@ object Ops {
 
   /** ANY JOIN — first/any match per left row, no row multiplication
     * (reference: src/Core/Joins.h:47-48). The right side is deduplicated
-    * on the join key first (deterministically via `rightOrder`), then a
-    * plain equi-join runs — Catalyst may still broadcast the deduped side. */
+    * on the join key first (deterministically via `rightOrder` — BARE
+    * ascending columns forming a total order within each key), then a
+    * plain equi-join runs — Catalyst may still broadcast the deduped side.
+    *
+    * Dedup = min_by over a struct keyed by the order columns (struct
+    * ordering is lexicographic), a map-side-combinable aggregate: one
+    * exchange carrying <=1 row per (key, map partition). The previous
+    * row_number window paid two sorts + a window exec for the same
+    * result (r18 plan audit). */
   def anyJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
               rightOrder: Seq[Column], joinType: String = "inner"): DataFrame = {
-    val w = Window.partitionBy(keys.map(right(_)): _*).orderBy(rightOrder: _*)
-    val dedup = right.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val payload = right.columns.filterNot(keys.contains)
+    val dedup = right.groupBy(keys.map(right(_)): _*)
+      .agg(min_by(struct(payload.map(right(_)): _*),
+        struct(rightOrder: _*)).as("__first"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__first.`$c`").as(c)): _*)
     left.join(dedup, keys, joinType)
   }
 

@@ -139,11 +139,20 @@ object Aggregates {
 
     // uniqUpTo(N) (reference AggregateFunctionUniqUpTo): exact distinct,
     // saturating at N+1 -> reported as N.
+    //
+    // size(collect_set(..)) instead of two countDistinct columns: Spark
+    // plans multi-distinct as Expand (input x2) + two extra exchanges;
+    // collect_set partial-aggregates map-side and the whole query is ONE
+    // exchange on l_suppkey (r18 plan audit: 3 exchanges + Expand -> 1
+    // exchange). Scale posture: groups (suppliers) scale with the data
+    // while per-group sets stay data-bounded (parts per supplier,
+    // <= 3 flags) — the same bytes the Expand plan shuffled as rows.
     "q_uniq_upto" -> { (s, dir) =>
       val li = T(s, dir)("lineitem")
       ordered(li.groupBy(col("l_suppkey"))
-        .agg(least(countDistinct(col("l_partkey")), lit(50L)).as("upto50"),
-             countDistinct(col("l_returnflag")).as("nd_flags")))
+        .agg(least(size(collect_set(col("l_partkey"))).cast("long"), lit(50L))
+               .as("upto50"),
+             size(collect_set(col("l_returnflag"))).cast("long").as("nd_flags")))
     },
 
     // Fixed-width histogram of l_quantity (reference histogram/widthBucket)

@@ -37,8 +37,25 @@ object Aggregates5 {
       val li = T(s, dir)("lineitem")
         .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
           col("l_extendedprice").as("y"))
+      // The per-(g, bucket) offset tables depend ONLY on the base
+      // relation's (g, bucket(v)) counts — computing them from the
+      // PREVIOUS midrank stage (the old nested formulation) embedded the
+      // whole level-1 window+join chain inside level-2's count aggregate
+      // and doubled the plan to 32 exchanges (r18 plan audit). Built
+      // from `li` directly, each offset table is an independent tiny
+      // subtree and the main chain is scan -> window(x) -> bcast join ->
+      // window(y) -> bcast join -> agg.
+      def offsets(bucket: Column): DataFrame = {
+        val tots = li.groupBy(col("g").as("__g"), bucket.cast("long").as("__p"))
+          .agg(count(lit(1)).as("__n"))
+        tots.as("a")
+          .join(tots.as("b"),
+            col("a.__g") === col("b.__g") && col("b.__p") < col("a.__p"), "left")
+          .groupBy(col("a.__g").as("__g"), col("a.__p").as("__p"))
+          .agg(sum(col("b.__n")).as("__off"))
+      }
       def withMidrank(df: DataFrame, v: String, out: String,
-                      bucket: Column): DataFrame = {
+                      bucket: Column, offs: DataFrame): DataFrame = {
         val pid = s"__pid_$v"
         val withPid = df.withColumn(pid, bucket.cast("long"))
         val wLeq = Window.partitionBy(col("g"), col(pid)).orderBy(col(v))
@@ -48,13 +65,6 @@ object Aggregates5 {
         val local = withPid
           .withColumn("__leq", count(lit(1)).over(wLeq))
           .withColumn("__eq", count(lit(1)).over(wEq))
-        val tots = withPid.groupBy(col("g").as("__g"), col(pid).as("__p"))
-          .agg(count(lit(1)).as("__n"))
-        val offs = tots.as("a")
-          .join(tots.as("b"),
-            col("a.__g") === col("b.__g") && col("b.__p") < col("a.__p"), "left")
-          .groupBy(col("a.__g").as("__g"), col("a.__p").as("__p"))
-          .agg(sum(col("b.__n")).as("__off"))
         local.join(broadcast(offs),
             col("g") === col("__g") && col(pid) === col("__p"))
           .withColumn(out,
@@ -63,8 +73,10 @@ object Aggregates5 {
           .drop("__g", "__p", "__off", "__leq", "__eq", pid)
       }
       val ranked = withMidrank(
-        withMidrank(li, "x", "mrx", floor(col("x") / 2)),
-        "y", "mry", floor(col("y") / 2000))
+        withMidrank(li, "x", "mrx", floor(col("x") / 2),
+          offsets(floor(col("x") / 2))),
+        "y", "mry", floor(col("y") / 2000),
+        offsets(floor(col("y") / 2000)))
       ordered(ranked.groupBy(col("g"))
         .agg(round(corr(col("mrx"), col("mry")), 6).as("rank_corr")))
     },

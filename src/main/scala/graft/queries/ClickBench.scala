@@ -92,12 +92,22 @@ object ClickBench {
 
   /** Register the hits temp view (idempotent; column pruning reaches the
     * lineitem scan through the view, so each query reads only what it
-    * projects). */
+    * projects).
+    *
+    * Memoized per (session, dir): re-analyzing the 27-column derivation
+    * measured ~67 ms of driver time per query (DriverOverheadTimer,
+    * r18) — repeated identically by every q_cb_* invocation. The
+    * tableExists check covers the anchor runner's view-dropping reset. */
+  private val hitsFor =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
+
   def registerHits(s: SparkSession, dir: String): Unit = {
+    if (dir == hitsFor.get(s) && s.catalog.tableExists("hits")) return
     T(s, dir)("lineitem")
       .selectExpr("l_orderkey * 8 + l_linenumber AS rid")
       .createOrReplaceTempView("cb_rid")
     s.sql(s"SELECT $hitsSelectSpark FROM cb_rid").createOrReplaceTempView("hits")
+    hitsFor.put(s, dir)
   }
 
   private case class CbQ(spark: String, duck: String, cols: Seq[String])

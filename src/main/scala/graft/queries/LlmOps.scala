@@ -228,6 +228,12 @@ object LlmOps {
       import s.implicits._
       val keys = T(s, dir)("part").filter(col("p_partkey") < 400)
         .select(col("p_partkey").cast("long")).as[Long]
+        // the 400-key scan is ONE parquet split, which would serialize
+        // the CPU-heavy per-key codec kernel on a single core — hash-
+        // spread the tiny key set across the session's shuffle
+        // parallelism first (guide §2.5: repartition after an
+        // unsplittable read; the exchange moves 400 longs)
+        .repartition(col("p_partkey"))
       val feats = keys.mapPartitions(_.map { k =>
         val w = (k % 17 + 4).toInt; val h = (k % 13 + 4).toInt
         val r = (k * 37 % 256).toInt; val g = (k * 59 % 256).toInt
@@ -258,6 +264,12 @@ object LlmOps {
       import s.implicits._
       val keys = T(s, dir)("part").filter(col("p_partkey") < 400)
         .select(col("p_partkey").cast("long")).as[Long]
+        // the 400-key scan is ONE parquet split, which would serialize
+        // the CPU-heavy per-key codec kernel on a single core — hash-
+        // spread the tiny key set across the session's shuffle
+        // parallelism first (guide §2.5: repartition after an
+        // unsplittable read; the exchange moves 400 longs)
+        .repartition(col("p_partkey"))
       val out = keys.mapPartitions(_.map { k =>
         val kk = k * 2654435761L + 1234567L
         def walk(jitter: (Int, Int) => Int, shift: Int): Array[Array[Int]] = {
@@ -297,6 +309,12 @@ object LlmOps {
       import s.implicits._
       val keys = T(s, dir)("part").filter(col("p_partkey") < 400)
         .select(col("p_partkey").cast("long")).as[Long]
+        // the 400-key scan is ONE parquet split, which would serialize
+        // the CPU-heavy per-key codec kernel on a single core — hash-
+        // spread the tiny key set across the session's shuffle
+        // parallelism first (guide §2.5: repartition after an
+        // unsplittable read; the exchange moves 400 longs)
+        .repartition(col("p_partkey"))
       val out = keys.mapPartitions(_.map { k =>
         val kk = k * 2654435761L + 9876543L
         val amps = new Array[Double](66)
@@ -330,6 +348,12 @@ object LlmOps {
       import s.implicits._
       val keys = T(s, dir)("part").filter(col("p_partkey") < 400)
         .select(col("p_partkey").cast("long")).as[Long]
+        // the 400-key scan is ONE parquet split, which would serialize
+        // the CPU-heavy per-key codec kernel on a single core — hash-
+        // spread the tiny key set across the session's shuffle
+        // parallelism first (guide §2.5: repartition after an
+        // unsplittable read; the exchange moves 400 longs)
+        .repartition(col("p_partkey"))
       val out = keys.mapPartitions(_.map { k =>
         val nf = (k % 5 + 2).toInt
         val w = (k % 9 + 8).toInt; val h = (k % 7 + 8).toInt

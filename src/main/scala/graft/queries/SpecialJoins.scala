@@ -50,9 +50,10 @@ object SpecialJoins {
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"))
       // l_linenumber is NOT unique per order in the fixtures — extend the
-      // dedup order so the "first" row is deterministic.
+      // dedup order so the "first" row is deterministic. (Bare ascending
+      // columns: anyJoin's dedup is a min_by over their struct.)
       ordered(Ops.anyJoin(o, li, Seq("o_orderkey"),
-          Seq(col("l_linenumber").asc, col("l_extendedprice").asc, col("l_quantity").asc))
+          Seq(col("l_linenumber"), col("l_extendedprice"), col("l_quantity")))
         .select(col("o_orderkey"), col("o_totalprice"),
           col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))
     },

@@ -1402,7 +1402,19 @@ object ChSql {
     spark.conf.set("spark.graft.jsonQuote64", "true")
     spark.catalog.listTables().collect().map(_.name)
       .foreach(spark.catalog.dropTempView)
+    // fixture + generator views were just dropped — force the next
+    // sql() to re-register them (their registration is memoized per
+    // session since r18; see Tables.registerAll)
+    graft.core.Tables.invalidateRegistered(spark)
+    sessionViewsReady.remove(spark)
   }
+
+  /** Sessions whose system_numbers/system_one generator views exist —
+    * creating them measured ~14 ms/query (DriverOverheadTimer r18), so
+    * sqlImpl builds them once per session; resetSessionState drops the
+    * views and clears the flag. */
+  private val sessionViewsReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   private val registeredDicts =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
@@ -9808,10 +9820,13 @@ object ChSql {
     // so LIMIT n must yield 0..n-1 — a multi-partition range hands
     // LocalLimit rows from EVERY partition (numbers near 10^8), which
     // both diverges and blows up downstream per-row allocations
-    // (00198-class: range(x) over a limited scan)
-    spark.range(0, 100000000L, 1, 1).toDF("number")
-      .createOrReplaceTempView("system_numbers")
-    spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
+    // (00198-class: range(x) over a limited scan). Built once per
+    // session (sessionViewsReady); resetSessionState clears the flag.
+    if (sessionViewsReady.add(spark)) {
+      spark.range(0, 100000000L, 1, 1).toDF("number")
+        .createOrReplaceTempView("system_numbers")
+      spark.range(0, 1).toDF("dummy").createOrReplaceTempView("system_one")
+    }
     // system.tables / system.columns introspection (reference
     // src/Storages/System/StorageSystemTables.cpp, StorageSystemColumns.cpp):
     // one row per registered view; columns enumerated from each schema.
@@ -10622,6 +10637,8 @@ object ChSql {
         if (spark.catalog.tableExists(nm)) {
           detachedTables.put(nm, spark.table(nm))
           spark.catalog.dropTempView(nm)
+          if (graft.core.Tables.all.contains(nm))
+            graft.core.Tables.invalidateRegistered(spark)
         }
         Some(spark.range(0).toDF("ok"))
       case q2 if "(?is)^\\s*ATTACH\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?\\w+\\s*;?\\s*$"
@@ -10792,6 +10809,8 @@ object ChSql {
       case dropRe(name1) =>
         val name = unqName(name1)
         spark.catalog.dropTempView(name)
+        if (graft.core.Tables.all.contains(name))
+          graft.core.Tables.invalidateRegistered(spark)
         tableTtls.remove(name); tableDefaults.remove(name)
         distributedTables.remove(name); tableEngines.remove(name)
         engineBacking.remove(name); engineBlockSeq.remove(name)
@@ -11467,6 +11486,8 @@ object ChSql {
         val t = spark.table(from)
         t.createOrReplaceTempView(to)
         spark.catalog.dropTempView(from)
+        if (graft.core.Tables.all.contains(from))
+          graft.core.Tables.invalidateRegistered(spark)
         tableTtls.remove(from).foreach(ttl => tableTtls.put(to, ttl))
         Some(t.limit(0))
       // lightweight DELETE (reference InterpreterDeleteQuery): same row

@@ -118,9 +118,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_any_join plan: right side dedups BEFORE the join") {
     // ANY JOIN = dedup right side on the join key, then a plain equi-join.
-    // The dedup (top-1 WindowGroupLimit + rn=1 filter) must sit INSIDE a
-    // join child subtree — deduping after the join would be semantically
-    // wrong, and a missing dedup would fan out matches.
+    // The dedup (min_by-over-struct aggregate since r18; previously a
+    // top-1 WindowGroupLimit) must sit INSIDE a join child subtree —
+    // deduping after the join would be semantically wrong, and a missing
+    // dedup would fan out matches.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
@@ -135,10 +136,10 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan
     val joins = collect(root) { case j: BaseJoinExec => j }
     assert(joins.nonEmpty, s"no join node:\n${root.toString.take(2000)}")
-    val dedupInsideJoinChild = joins.exists(_.children.exists(
-      _.toString.contains("WindowGroupLimit")))
+    val dedupInsideJoinChild = joins.exists(_.children.exists(c =>
+      c.toString.contains("min_by") || c.toString.contains("WindowGroupLimit")))
     assert(dedupInsideJoinChild,
-      s"right-side top-1 dedup not inside a join child:\n${root.toString.take(3000)}")
+      s"right-side first-row dedup not inside a join child:\n${root.toString.take(3000)}")
   }
 
   test("q_dedup_embedding_lsh plan has no all-pairs join") {
